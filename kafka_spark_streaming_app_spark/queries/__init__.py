@@ -1,0 +1,7 @@
+"""Driver-facing query definitions, grouped by operator family.
+
+Importing this package registers everything into ``registry.QUERIES``
+and ``registry.ORACLES``.
+"""
+
+from . import windowed  # noqa: F401

@@ -1,0 +1,60 @@
+"""Batch table loading.
+
+Spark has no nanosecond timestamp type; the driver's test parquet is
+written with ``TIMESTAMP(NANOS)``, which the vectorized reader rejects
+outright. With ``spark.sql.legacy.parquet.nanosAsLong=true`` those
+columns arrive as int64 nanoseconds; we down-convert to microsecond
+``TimestampType`` with integer division (truncation — exactly what
+DuckDB does when it narrows ns→µs, so both engines see identical
+values).
+
+Column pruning / predicate pushdown still work: the conversion is a
+projection on top of the scan, and Catalyst pushes filters on other
+columns below it. At 100 TB the same loader applies — nanos parquet is
+common from Arrow-native writers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import apply_runtime_confs
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Names of TIMESTAMP(NANOS) columns in a parquet file/dir (footer
+    metadata only — no data read)."""
+    import pyarrow.dataset as ds
+    import pyarrow.types as pat
+
+    schema = ds.dataset(path, format="parquet").schema
+    return [
+        field.name
+        for field in schema
+        if pat.is_timestamp(field.type) and field.type.unit == "ns"
+    ]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load ``{sf_dir}/{name}.parquet`` with nanos→micros normalization."""
+    apply_runtime_confs(spark)
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    df = spark.read.parquet(path)
+    for col in _nanos_timestamp_columns(path):
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] | list[str]
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] | list[str]
+) -> None:
+    """Register each table as a temp view for the SQL API."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
