@@ -1,0 +1,109 @@
+"""JSON wire-path queries (reference P2/P3/E4/E5, SURVEY.md §2.3/§2.6)
+exercised on the ``events.props`` JSON string column."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.jsonpath import parse_json_column, serialize_json
+from ..registry import query
+from ..schemas import EVENT_PROPS_SCHEMA
+from ..sources.batch import load_table
+
+_PARSE_ORACLE = """
+SELECT
+    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+    event_id
+FROM events
+"""
+
+
+@query("json_parse_props", _PARSE_ORACLE)
+def json_parse_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json with declared schema + struct star-flatten
+    (ecommerce_streaming.py:57-59): missing fields null-fill, extras
+    drop, malformed → NULL."""
+    events = load_table(spark, sf_dir, "events")
+    return parse_json_column(events, "props", EVENT_PROPS_SCHEMA, keep=["event_id"])
+
+
+_JSON_AGG_ORACLE = """
+WITH parsed AS (
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, value
+    FROM events
+)
+SELECT
+    k % 10 AS k_bucket,
+    count(*) AS n,
+    CAST(sum(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS total_value
+FROM parsed
+GROUP BY k_bucket
+"""
+
+
+@query("json_parse_agg", _JSON_AGG_ORACLE)
+def json_parse_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation over a parsed JSON field — the full ingest-then-agg
+    path (parse → derive → groupBy)."""
+    from ..operators.windowed import stabilized_sum
+
+    events = load_table(spark, sf_dir, "events")
+    parsed = parse_json_column(events, "props", EVENT_PROPS_SCHEMA, keep=["value"])
+    return (
+        parsed.withColumn("k_bucket", F.col("k") % 10)
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            stabilized_sum("value").alias("total_value"),
+        )
+    )
+
+
+_SERIALIZE_ORACLE = """
+SELECT CAST(to_json(struct_pack(event_id := event_id, event_type := event_type))
+            AS VARCHAR) AS value
+FROM events
+"""
+
+
+@query("json_serialize", _SERIALIZE_ORACLE)
+def json_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row → JSON string, the Kafka alert-sink wire format
+    (to_json(struct('*')), ecommerce_streaming.py:122)."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    return serialize_json(events)
+
+
+_PARSE_CLEAN_ORACLE = """
+WITH stringed AS (
+    SELECT
+        event_id,
+        CASE WHEN event_id % 100 = 0 THEN 'not-a-timestamp'
+             ELSE strftime(ts, '%Y-%m-%d %H:%M:%S.%f') END AS ts_str
+    FROM events
+)
+SELECT event_id, try_cast(ts_str AS TIMESTAMP) AS event_timestamp
+FROM stringed
+WHERE try_cast(ts_str AS TIMESTAMP) IS NOT NULL
+"""
+
+
+@query("parse_clean_timestamps", _PARSE_CLEAN_ORACLE)
+def parse_clean_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-string → timestamp conversion with malformed-row drop
+    (reference parse_and_clean_data, ecommerce_streaming.py:61-62:
+    to_timestamp + isNotNull filter). Corrupts every 100th row to
+    exercise the failure path; uses try_to_timestamp because Spark 4
+    ANSI mode makes bare to_timestamp throw on malformed input."""
+    events = load_table(spark, sf_dir, "events")
+    stringed = events.select(
+        "event_id",
+        F.when(F.col("event_id") % 100 == 0, F.lit("not-a-timestamp"))
+        .otherwise(F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        .alias("ts_str"),
+    )
+    return stringed.select(
+        "event_id",
+        F.try_to_timestamp(F.col("ts_str")).alias("event_timestamp"),
+    ).filter(F.col("event_timestamp").isNotNull())
