@@ -1,0 +1,350 @@
+"""Relational breadth: joins, sorts, top-k, set ops, rollup, analytic
+window functions.
+
+The reference exercises none of these (SURVEY.md §2.8) — they are the
+engine-completeness layer a user graduating from the reference app
+needs for ad-hoc analytics over the same data. Each query is written
+Catalyst-first:
+
+- small dimension tables are explicitly ``F.broadcast`` (region,
+  nation, customer at any realistic scale) — no shuffle for the dim
+  side even before AQE kicks in;
+- fact-fact joins (orders ⋈ lineitem) shuffle on the join key once,
+  and AQE handles skew;
+- top-k is ``ORDER BY ... LIMIT k`` → Spark plans
+  ``TakeOrderedAndProject`` (no global sort materialization);
+- every LIMIT query has a total deterministic order (unique key last)
+  so results are reproducible across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.windowed import stabilized_sum
+from ..registry import query
+from ..sources.batch import load_table
+
+# --- TPC-H Q1: scan-heavy group-by (pricing summary) --------------------
+
+_Q1_ORACLE = """
+SELECT
+    l_returnflag,
+    l_linestatus,
+    CAST(sum(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS sum_base_price,
+    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,10))) AS DOUBLE)
+        AS sum_disc_price,
+    CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,10))) AS DOUBLE)
+        AS sum_charge,
+    CAST(sum(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) / count(*) AS avg_qty,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) / count(*) AS avg_price,
+    CAST(sum(CAST(l_discount AS DECIMAL(25,4))) AS DOUBLE) / count(*) AS avg_disc,
+    count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("q1_pricing_summary", _Q1_ORACLE)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: single scan → partial+final hash agg, filter
+    pushed to parquet. The canonical scan-bound query at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        stabilized_sum("l_quantity").alias("sum_qty"),
+        stabilized_sum("l_extendedprice").alias("sum_base_price"),
+        F.sum(disc_price.cast("decimal(27,10)")).cast("double").alias("sum_disc_price"),
+        F.sum(charge.cast("decimal(27,10)")).cast("double").alias("sum_charge"),
+        stabilized_sum("l_discount").alias("sum_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        (F.col("sum_qty") / F.col("count_order")).alias("avg_qty"),
+        (F.col("sum_base_price") / F.col("count_order")).alias("avg_price"),
+        (F.col("sum_disc") / F.col("count_order")).alias("avg_disc"),
+        "count_order",
+    )
+
+
+# --- TPC-H Q3 shape: 3-way join + top-k ---------------------------------
+
+_Q3_ORACLE = """
+SELECT
+    l.l_orderkey,
+    CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,10))) AS DOUBLE)
+        AS revenue,
+    o.o_orderdate,
+    o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+@query("q3_shipping_priority", _Q3_ORACLE)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → broadcast customer into
+    orders, shuffle-join lineitem, agg, TakeOrderedAndProject top-10.
+    Total order (unique l_orderkey last) → deterministic LIMIT."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    joined = l.join(
+        F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+        l.l_orderkey == o.o_orderkey,
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue.cast("decimal(27,10)")).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --- broadcast star join over the full dimension chain ------------------
+
+_STAR_ORACLE = """
+SELECT
+    r.r_name,
+    n.n_name,
+    count(*) AS n_customers,
+    CAST(sum(CAST(c.c_acctbal AS DECIMAL(25,4))) AS DOUBLE) AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+"""
+
+
+@query("star_join_dims", _STAR_ORACLE)
+def star_join_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-chain star join: nation and region are broadcast (tiny
+    at any scale factor — 25/5 rows), so the fact side never shuffles
+    for the join, only for the final agg."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.groupBy("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        stabilized_sum("c_acctbal").alias("total_acctbal"),
+    )
+
+
+# --- semi / anti joins ----------------------------------------------------
+
+_ANTI_ORACLE = """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+@query("customers_without_urgent_orders", _ANTI_ORACLE)
+def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS) with a pushed-down probe-side
+    predicate. At scale: broadcast the distinct key set when small;
+    Catalyst rewrites to BroadcastHashJoin."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+_SEMI_ORACLE = """
+SELECT DISTINCT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey
+              AND l.l_quantity > 45)
+"""
+
+
+@query("suppliers_with_bulk_lines", _SEMI_ORACLE)
+def suppliers_with_bulk_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS) with a pushed-down predicate on the
+    probe side."""
+    s = load_table(spark, sf_dir, "supplier")
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        s.join(l, s.s_suppkey == l.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
+
+
+# --- set operations -------------------------------------------------------
+
+_SETOPS_ORACLE = """
+(SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+ EXCEPT
+ SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+UNION
+(SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+ INTERSECT
+ SELECT DISTINCT user_id FROM events WHERE event_type = 'view')
+"""
+
+
+@query("set_ops_users", _SETOPS_ORACLE)
+def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT / INTERSECT / UNION (distinct set semantics)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def users(et: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == et).select("user_id").distinct()
+
+    return (
+        users("purchase")
+        .exceptAll(users("error"))
+        .distinct()
+        .union(users("signup").intersect(users("view")))
+        .distinct()
+    )
+
+
+# --- rollup ---------------------------------------------------------------
+
+_ROLLUP_ORACLE = """
+SELECT
+    o_orderpriority,
+    o_orderstatus,
+    count(*) AS n_orders,
+    CAST(sum(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+@query("rollup_orders", _ROLLUP_ORACLE)
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via ROLLUP — hierarchical subtotals in one pass
+    (Spark expands to a single Expand + hash agg, no re-scan)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        stabilized_sum("o_totalprice").alias("total_price"),
+    )
+
+
+# --- distinct / exact dedup on relational keys ---------------------------
+
+_DISTINCT_ORACLE = """
+SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+"""
+
+
+@query("distinct_order_keys", _DISTINCT_ORACLE)
+def distinct_order_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT (hash-agg dedup) — reference lacks it entirely
+    (SURVEY.md §2.8)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderstatus", "o_orderpriority")
+        .distinct()
+    )
+
+
+# --- analytic window functions -------------------------------------------
+
+_WINDOW_FN_ORACLE = """
+SELECT
+    o_custkey,
+    o_orderkey,
+    o_orderdate,
+    row_number() OVER w AS order_seq,
+    lag(o_totalprice) OVER w AS prev_price,
+    CAST(sum(CAST(o_totalprice AS DECIMAL(25,4))) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS running_spend,
+    rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        AS spend_rank
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@query("window_functions_orders", _WINDOW_FN_ORACLE)
+def window_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions: row_number / lag / running sum / rank.
+    One shuffle on the partition key serves all four (same window
+    spec); explicit ROWS frame for cross-engine determinism."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_rows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_rank = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.row_number().over(w).alias("order_seq"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,4)"))
+        .over(w_rows)
+        .cast("double")
+        .alias("running_spend"),
+        F.rank().over(w_rank).alias("spend_rank"),
+    )
+
+
+# --- top-k per group ------------------------------------------------------
+
+_TOPK_GROUP_ORACLE = """
+SELECT event_type, event_id, user_id, value
+FROM (
+    SELECT *,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY value DESC, event_id) AS rn
+    FROM events
+) t
+WHERE rn <= 5
+"""
+
+
+@query("topk_per_group", _TOPK_GROUP_ORACLE)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 rows per group via ranked window — the distributed top-k
+    idiom (each partition keeps k candidates; no global sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("event_type", "event_id", "user_id", "value")
+    )
