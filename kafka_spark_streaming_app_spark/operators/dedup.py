@@ -1,0 +1,266 @@
+"""Deduplication operators for training-data pipelines.
+
+Four strategies, cheapest to most expressive (BASELINE.json north-star
+scope; the reference itself has no dedup at all, SURVEY.md §2.8):
+
+1. **Exact** — hash-groupBy on normalized text; one shuffle on the
+   hash, perfectly parallel at 100 TB (this is how web-scale exact
+   dedup actually runs).
+2. **MinHash + LSH** — k md5-derived min-hashes per document computed
+   row-locally with higher-order array functions (NO explode, NO
+   shuffle to build signatures), banded into b buckets; only the
+   band-bucket equi-join shuffles, and it shuffles signatures (tiny),
+   not documents. Candidates are then exact-verified by Jaccard on the
+   (much smaller) candidate set.
+3. **SimHash** — bit-wise majority vote over token hashes; one
+   explode + groupBy(doc) shuffle; signatures join/group for buckets.
+4. **Embedding cosine** — near-dup by vector similarity, blocked by a
+   partition key to avoid the full cross join.
+
+Scale notes: the LSH band join is the canonical web-dedup plan
+(shuffle ∝ corpus size × k, not corpus²). Skewed buckets (boilerplate
+docs) are the classic hazard — AQE skew-join handles moderate skew;
+pathological buckets should be capped upstream (drop buckets with
+> N members before pairing, they are boilerplate by definition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h60, normalize_text, word_shingles
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on normalized text: one row per distinct content,
+    keeping the smallest id as canonical plus the duplicate count.
+
+    GroupBy the 60-bit content hash, not the full text, so the shuffle
+    carries ~24 bytes/row instead of the document body.
+    """
+    return (
+        df.select(
+            F.col(id_col), h60(normalize_text(text_col)).alias("content_hash")
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, mh0..mh{k-1}) MinHash signature table.
+
+    Each min-hash is ``min over shingles of h60(i || '|' || shingle)``
+    — computed entirely row-local with transform/array_min (no explode:
+    a 100 TB corpus computes signatures in a single scan-projection
+    stage with zero shuffle).
+    """
+    sh = word_shingles(text_col, shingle_n)
+    cols = [F.col(id_col)]
+    for i in range(num_hashes):
+        hashed = F.transform(
+            sh, lambda s, i=i: h60(F.concat(F.lit(f"{i}|"), s))
+        )
+        cols.append(F.array_min(hashed).alias(f"mh{i}"))
+    return df.select(*cols)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    band_size: int = 2,
+) -> DataFrame:
+    """Banded LSH: documents sharing any band signature become a
+    candidate pair. Returns distinct (id_a, id_b) with id_a < id_b.
+
+    The band table is (id, band_idx, band_sig) — a self equi-join on
+    (band_idx, band_sig) whose shuffle is k/band_size rows per doc of
+    ~28 bytes each.
+    """
+    n_bands = num_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        sig = F.concat_ws(
+            ":",
+            *[
+                F.col(f"mh{b * band_size + j}").cast("string")
+                for j in range(band_size)
+            ],
+        )
+        bands.append(
+            F.struct(F.lit(b).alias("band_idx"), sig.alias("band_sig"))
+        )
+    exploded = signatures.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_sig")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def shingle_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Exploded DISTINCT (id, shingle) pairs — the exact-Jaccard input."""
+    return (
+        df.select(
+            F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingle_df: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every pair sharing ≥1
+    shingle: |A∩B| via shingle self-join, |A|,|B| via group sizes.
+    Returns (id_a, id_b, jaccard) with jaccard ≥ threshold.
+
+    O(pairs sharing a shingle) — fine when shingle frequencies are
+    bounded; at 100 TB, hot shingles (boilerplate) must be dropped
+    first (same cap as LSH buckets). Used standalone as ground truth
+    and as the verify stage after LSH candidate generation.
+    """
+    sizes = shingle_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = shingle_df.alias("a")
+    b = shingle_df.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        common.join(sa, F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("id_b") == F.col(f"sb.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """(id, simhash) — bit-wise majority vote over token hashes,
+    term-frequency weighted (duplicate tokens vote repeatedly).
+
+    One explode + one groupBy(id) with ``bits`` conditional-sum
+    aggregates; the final signature is reassembled with shiftleft/sum.
+    All JVM expressions — at scale this is a single shuffle on id.
+    """
+    from ..functions.hashing import tokens
+
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    ).withColumn("th", h60("token"))
+    votes = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("th"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = bit if sig is None else sig + bit
+    return votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str = "label",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Near-duplicate vectors by cosine similarity within blocks.
+
+    Blocking on ``block_col`` turns the quadratic cross join into
+    per-block joins (at 100 TB the block key would be an LSH bucket —
+    see operators/similarity.py). Cosine is computed with higher-order
+    functions in float64 (cast first: float32 arithmetic orders
+    differently across engines).
+    """
+    withnorm = df.select(
+        F.col(id_col),
+        F.col(block_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn(
+        "norm",
+        F.sqrt(
+            F.aggregate(
+                F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        ),
+    )
+    a = withnorm.alias("a")
+    b = withnorm.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{block_col}").alias("label"),
+            F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
