@@ -1,0 +1,151 @@
+"""Similarity search over embedding columns.
+
+Two tiers (north-star extension; the reference has no vector ops):
+
+- **Brute-force top-k** — broadcast the (small) query set against the
+  corpus, score every pair, rank per query. Exact; the baseline. At
+  100 TB this is one corpus scan per query batch: scan-bound and
+  embarrassingly parallel, with a per-partition top-k
+  (``row_number`` window) so only k rows per query leave each
+  partition.
+- **SRP-LSH ANN** — signed-random-projection buckets: P fixed ±1
+  hyperplanes (derived from md5 so any engine can reproduce them),
+  bucket = sign-bit pattern of the P projections. Search only the
+  query's bucket: candidate set shrinks ~2^P×, trading recall for a
+  bucket-local join. The production recall lever is multi-probe
+  (flip low-margin bits) or repeated tables — both compose from this
+  same operator.
+
+All scoring is float64 higher-order expressions (functions/vectors.py)
+— no UDFs, fully codegen'd.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double_array, cosine, l2_norm
+
+
+def srp_planes(num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes: sign(p,d) = parity of the
+    md5-derived h60 of "p:d". Pure parameters (computed driver-side,
+    embedded as literals in both the Spark plan and any oracle SQL)."""
+    planes = []
+    for p in range(num_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16)
+            row.append(1.0 if h & 1 == 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def with_vector_norm(
+    df: DataFrame, vec_col: str = "embedding", out_vec: str = "v", out_norm: str = "norm"
+) -> DataFrame:
+    return df.withColumn(out_vec, as_double_array(vec_col)).withColumn(
+        out_norm, l2_norm(F.col(out_vec))
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine. ``queries`` is
+    broadcast (query batches are small by construction); ties break on
+    corpus id for full determinism."""
+    c = with_vector_norm(corpus, vec_col).select(
+        F.col(id_col).alias("corpus_id"), "v", "norm"
+    )
+    q = with_vector_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = c.join(F.broadcast(q), F.col("corpus_id") != F.col("query_id")).select(
+        "query_id",
+        "corpus_id",
+        cosine(F.col("qv"), F.col("v"), F.col("qnorm"), F.col("norm")).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("corpus_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
+def with_srp_bucket(
+    df: DataFrame,
+    planes: list[list[float]],
+    vec_col: str = "v",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Attach the SRP bucket id: bit p set iff plane_p · v > 0."""
+    bucket = None
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(s) for s in plane])
+        proj = F.aggregate(
+            F.zip_with(F.col(vec_col), lit_plane, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return df.withColumn(out_col, bucket.cast("int"))
+
+
+def ann_topk_srp(
+    corpus: DataFrame,
+    queries: DataFrame,
+    num_planes: int = 8,
+    dim: int = 64,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's SRP
+    bucket. The bucket equi-join replaces the cross join — candidate
+    work drops ~2^P× at the cost of recall (multi-probe extends this
+    operator without changing its shape)."""
+    planes = srp_planes(num_planes, dim)
+    c = with_srp_bucket(with_vector_norm(corpus, vec_col), planes).select(
+        F.col(id_col).alias("corpus_id"), "v", "norm", "bucket"
+    )
+    q = with_srp_bucket(with_vector_norm(queries, vec_col), planes).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket"))
+        & (F.col("corpus_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "corpus_id",
+        cosine(F.col("qv"), F.col("v"), F.col("qnorm"), F.col("norm")).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("corpus_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )

@@ -4,4 +4,4 @@ Importing this package registers everything into ``registry.QUERIES``
 and ``registry.ORACLES``.
 """
 
-from . import alerts, dedup, jsonpath, relational, windowed  # noqa: F401
+from . import alerts, dedup, jsonpath, relational, similarity, windowed  # noqa: F401

@@ -313,13 +313,13 @@ def window_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.row_number().over(w).alias("order_seq"),
+        F.row_number().over(w).cast("bigint").alias("order_seq"),
         F.lag("o_totalprice").over(w).alias("prev_price"),
         F.sum(F.col("o_totalprice").cast("decimal(25,4)"))
         .over(w_rows)
         .cast("double")
         .alias("running_spend"),
-        F.rank().over(w_rank).alias("spend_rank"),
+        F.rank().over(w_rank).cast("bigint").alias("spend_rank"),
     )
 
 
