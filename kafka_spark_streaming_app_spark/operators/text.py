@@ -1,0 +1,125 @@
+"""Text-analysis operators for training-data curation.
+
+Quality scoring, token counting, language ID, and fingerprinting — the
+filters an LLM-data pipeline applies before dedup (north-star scope).
+Everything is built-in string/array/regex expressions: at 100 TB these
+run inside whole-stage codegen as a pure scan-projection (no shuffle at
+all except lang-id's argmax, which is row-local too in the composed
+form below).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h60, normalize_text, tokens
+
+# Minimal per-language stopword sets (public, common-knowledge lists).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr": ("le", "la", "de", "et", "un", "est", "que", "pour"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "不"),
+}
+
+PUNCT_PATTERN = r"[^\w\s]"
+SUBWORD_PATTERN = "[a-z0-9]{1,4}"  # BPE-ish greedy subword chunks
+
+
+def _ratio(num: Column, den: Column) -> Column:
+    """Integer-exact double ratio (identical across engines), guarded
+    against empty documents."""
+    return F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality features: token/char counts, average word
+    length, type-token ratio, stopword ratio, punctuation ratio."""
+    toks = tokens(text_col)
+    norm = normalize_text(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(norm)
+    n_punct = F.length(norm) - F.length(F.regexp_replace(norm, PUNCT_PATTERN, ""))
+    en_stop = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t)))
+    n_distinct = F.size(F.array_distinct(toks))
+    # characters inside words (normalized text minus single separators)
+    n_word_chars = n_chars - (n_tokens - 1)
+    return df.select(
+        F.col(id_col),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        n_chars.cast("bigint").alias("n_chars_norm"),
+        _ratio(n_word_chars, n_tokens).alias("avg_word_len"),
+        _ratio(n_distinct, n_tokens).alias("type_token_ratio"),
+        _ratio(n_stop, n_tokens).alias("stopword_ratio"),
+        _ratio(n_punct, n_chars).alias("punct_ratio"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Two token counts: whitespace words and BPE-ish greedy subword
+    chunks (regex ``[a-z0-9]{1,4}``) — the cheap proxy pair used to
+    estimate tokenizer cost before running a real BPE."""
+    return df.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).cast("bigint").alias("n_words"),
+        F.size(
+            F.regexp_extract_all(normalize_text(text_col), F.lit(SUBWORD_PATTERN), 0)
+        )
+        .cast("bigint")
+        .alias("n_subwords"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-overlap language ID: score = stopword hits per
+    language, predicted = argmax (ties broken alphabetically).
+
+    Composed as explode-scores → ranked window so the same shape works
+    for any score source (n-gram models later); the explode is bounded
+    (|languages| rows per doc)."""
+    toks = tokens(text_col)
+
+    def contains_pred(arr):
+        # closure factory: a default-arg lambda would read as a
+        # two-parameter (element, index) HOF lambda to Spark
+        return lambda t: F.array_contains(arr, t)
+
+    scores = []
+    for lang, words in sorted(STOPWORDS.items()):
+        arr = F.array(*[F.lit(w) for w in words])
+        score = F.size(F.filter(toks, contains_pred(arr)))
+        scores.append(F.struct(F.lit(lang).alias("lang_guess"), score.alias("score")))
+    exploded = df.select(
+        F.col(id_col), F.explode(F.array(*scores)).alias("s")
+    ).select(id_col, "s.lang_guess", "s.score")
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("lang_guess"))
+    return (
+        exploded.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            id_col,
+            "lang_guess",
+            F.col("score").cast("bigint").alias("score"),
+        )
+    )
+
+
+def fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = 80,
+) -> DataFrame:
+    """Document fingerprints: full-content md5 (hex), 60-bit integer
+    hash, and a prefix fingerprint (md5 of the first ``prefix_len``
+    normalized chars — catches shared-boilerplate heads)."""
+    norm = normalize_text(text_col)
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fp_md5"),
+        h60(norm).alias("fp_h60"),
+        F.md5(F.substring(norm, 1, prefix_len)).alias("fp_prefix"),
+    )

@@ -4,4 +4,12 @@ Importing this package registers everything into ``registry.QUERIES``
 and ``registry.ORACLES``.
 """
 
-from . import alerts, dedup, jsonpath, relational, similarity, windowed  # noqa: F401
+from . import (  # noqa: F401
+    alerts,
+    dedup,
+    jsonpath,
+    relational,
+    similarity,
+    text,
+    windowed,
+)
