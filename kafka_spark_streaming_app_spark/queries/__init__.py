@@ -10,6 +10,7 @@ from . import (  # noqa: F401
     jsonpath,
     relational,
     similarity,
+    streaming,
     text,
     windowed,
 )

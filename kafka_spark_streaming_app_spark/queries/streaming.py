@@ -1,0 +1,157 @@
+"""Streaming end-to-end queries for the driver harness.
+
+Each query materializes the ``events`` table as a JSON-lines text
+stream (one JSON object per line — exactly the Kafka wire shape minus
+the binary cast), runs the REAL ingestion path
+(``parse_and_clean``: from_json → flatten → try_to_timestamp → filter
+→ watermark) and a downstream operator as a Structured Streaming job
+into a memory sink, drives it to completion with
+``processAllAvailable``, and returns the result as a batch DataFrame.
+
+Because the input is finite and deterministic, the streaming result
+must equal the batch oracle — so the driver's hash check covers the
+streaming engine itself. (Watermark LATE-DROP semantics can't be
+SQL-mirrored and are covered by tests/test_streaming.py instead.)
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.alerts import detect_fraud
+from ..operators.windowed import windowed_aggregation
+from ..registry import query
+from ..sources.batch import load_table
+from ..streaming.pipeline import parse_and_clean, write_memory_stream
+
+WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("amount", T.DoubleType(), True),
+        T.StructField("timestamp", T.StringType(), True),
+    ]
+)
+
+
+def _events_as_wire_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → JSON-lines files → text stream → parsed/cleaned stream."""
+    events = load_table(spark, sf_dir, "events")
+    wire = events.select(
+        F.to_json(
+            F.struct(
+                F.col("event_id"),
+                F.col("user_id"),
+                F.col("event_type"),
+                F.col("value").alias("amount"),
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                    "timestamp"
+                ),
+            )
+        ).alias("value")
+    )
+    src_dir = tempfile.mkdtemp(prefix="wire_stream_")
+    wire.write.mode("overwrite").text(src_dir)
+    raw = spark.readStream.text(src_dir)
+    return parse_and_clean(raw, WIRE_SCHEMA, ts_field="timestamp")
+
+
+def _run_to_table(spark: SparkSession, df: DataFrame, output_mode: str) -> DataFrame:
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = write_memory_stream(df, name, output_mode=output_mode)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+_STREAM_AGG_ORACLE = """
+WITH expanded AS (
+    SELECT
+        make_timestamp(((CAST(floor(epoch(ts) / 30) AS BIGINT) - s.k) * 30) * 1000000)
+            AS window_start,
+        e.*
+    FROM events e
+    CROSS JOIN (SELECT 0 AS k UNION ALL SELECT 1) s
+)
+SELECT
+    window_start,
+    window_start + INTERVAL 60 SECOND AS window_end,
+    event_type,
+    count(*) AS order_count,
+    CAST(sum(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS total_revenue,
+    CAST(sum(CAST(value AS DECIMAL(25,4))) AS DOUBLE) / count(*) AS avg_order_value,
+    max(value) AS max_order_value,
+    min(value) AS min_order_value
+FROM expanded
+GROUP BY window_start, window_end, event_type
+"""
+
+
+@query("streaming_windowed_agg", _STREAM_AGG_ORACLE)
+def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship sliding-window aggregation executed BY THE STREAMING
+    ENGINE (complete output mode) over the JSON wire replay of
+    ``events``. Exact-distinct is not streamable, so the streaming
+    variant omits unique_customers (the production twin uses HLL++)."""
+    stream = _events_as_wire_stream(spark, sf_dir)
+    agg = windowed_aggregation(
+        stream,
+        ts_col="event_timestamp",
+        keys=("event_type",),
+        amount_col="amount",
+        user_col="user_id",
+        window_duration="1 minute",
+        slide_duration="30 seconds",
+        exact_distinct=False,
+        stabilize_sums=True,
+    ).drop("unique_customers")
+    return _run_to_table(spark, agg, output_mode="complete")
+
+
+_STREAM_FRAUD_ORACLE = """
+WITH flagged AS (
+    SELECT *, (user_id % 10 = 0) AS is_fraud FROM events
+)
+SELECT
+    event_id,
+    user_id,
+    value AS amount,
+    event_type,
+    ts AS event_timestamp,
+    CASE
+        WHEN value > 300 THEN 'HIGH_VALUE_ORDER'
+        WHEN event_type IN ('error') THEN 'SUSPICIOUS_LOCATION'
+        WHEN is_fraud THEN 'FRAUD_SIMULATION'
+        ELSE 'UNKNOWN'
+    END AS alert_type
+FROM flagged
+WHERE value > 300 OR event_type IN ('error') OR is_fraud
+"""
+
+
+@query("streaming_fraud_alerts", _STREAM_FRAUD_ORACLE)
+def streaming_fraud_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fraud-alert branch executed by the streaming engine (append
+    mode — stateless filter/classify emits immediately), over the same
+    wire replay."""
+    stream = _events_as_wire_stream(spark, sf_dir).withColumn(
+        "is_fraud", F.col("user_id") % 10 == 0
+    )
+    alerts = detect_fraud(
+        stream,
+        select_cols=["event_id", "user_id", "amount", "event_type", "event_timestamp"],
+        amount_col="amount",
+        amount_threshold=300.0,
+        location_col="event_type",
+        suspicious_locations=("error",),
+        flag_col="is_fraud",
+    )
+    return _run_to_table(spark, alerts, output_mode="append")

@@ -40,7 +40,13 @@ RUNTIME_CONFS: dict[str, str] = {
 
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply the engine's runtime confs to an existing session."""
-    for key, value in RUNTIME_CONFS.items():
+    confs = dict(RUNTIME_CONFS)
+    # Size the shuffle width to the machine, not Spark's 200 default —
+    # with AQE coalescing on, modest over-partitioning is self-healing,
+    # but 200 tasks on a laptop-scale run is pure scheduler overhead.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    confs.setdefault("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+    for key, value in confs.items():
         try:
             spark.conf.set(key, value)
         except Exception:

@@ -1,0 +1,116 @@
+"""Streaming sources.
+
+Three interchangeable sources behind one shape (the reference's own
+pattern: its ``main()`` swaps the Kafka source for a rate source
+without touching any downstream operator — reference
+``ecommerce_streaming.py:170-186``):
+
+- **Kafka** — full option parity with the reference's reader
+  (``read_kafka_stream``, ecommerce_streaming.py:38-52). The connector
+  jar (`spark-sql-kafka-0-10`) ships separately from pip pyspark, so
+  construction raises a clear error when it's absent; no broker is
+  needed in this environment.
+- **Rate** — deterministic synthetic order stream: the reference's 9
+  column derivations off the monotonically-increasing ``value``
+  (ecommerce_streaming.py:176-183), re-expressed as a pure transform
+  usable on ANY (timestamp, value) input — batch range() for tests,
+  rate stream for soak runs.
+- **File (JSON-lines)** — replayable micro-batches for deterministic
+  streaming tests (one file per micro-batch with maxFilesPerTrigger=1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Option parity with the reference Kafka reader (ecommerce_streaming.py:43-51).
+KAFKA_READER_DEFAULTS = {
+    "startingOffsets": "latest",
+    "maxOffsetsPerTrigger": "1000",
+    "kafka.request.timeout.ms": "60000",
+    "kafka.session.timeout.ms": "60000",
+    "kafka.heartbeat.interval.ms": "10000",
+    "kafka.connections.max.idle.ms": "540000",
+    "kafka.metadata.max.age.ms": "300000",
+}
+
+
+def read_kafka_stream(
+    spark: SparkSession,
+    kafka_servers: str,
+    topic: str,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Kafka stream source with the reference's tuned options.
+    Raises RuntimeError with remediation if the Kafka connector jar is
+    not on the classpath (pip pyspark does not bundle it)."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", kafka_servers)
+        .option("subscribe", topic)
+    )
+    for key, value in {**KAFKA_READER_DEFAULTS, **(options or {})}.items():
+        reader = reader.option(key, value)
+    try:
+        return reader.load()
+    except Exception as exc:  # pragma: no cover - env without the jar
+        raise RuntimeError(
+            "Kafka source unavailable: the spark-sql-kafka-0-10 connector "
+            "jar is not on the classpath. Submit with --packages "
+            "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version> "
+            "or use the rate/file sources."
+        ) from exc
+
+
+def synthesize_orders(df: DataFrame) -> DataFrame:
+    """The reference's deterministic synthetic-order derivations
+    (ecommerce_streaming.py:176-183) as a pure transform over any
+    (timestamp, value) relation — batch or streaming.
+
+    value % 4 drives product/category, % 3 location, % 100 user,
+    % 500 + 50 amount, % 10 = 0 the fraud flag.
+    """
+    v = F.col("value")
+    return (
+        df.withColumn("order_id", F.concat(F.lit("order_"), v))
+        .withColumn("user_id", F.concat(F.lit("user_"), v % 100))
+        .withColumn(
+            "product_name",
+            F.when(v % 4 == 0, "MacBook Pro").otherwise("Nike Shoes"),
+        )
+        .withColumn(
+            "category",
+            F.when(v % 4 == 0, "Electronics").otherwise("Clothing"),
+        )
+        .withColumn("total_amount", (v % 500 + 50.0).cast("double"))
+        .withColumn("location", F.when(v % 3 == 0, "US").otherwise("UK"))
+        .withColumn("is_fraud_simulation", v % 10 == 0)
+        .withColumn("event_timestamp", F.col("timestamp"))
+    )
+
+
+def read_rate_orders(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
+    """Rate-source synthetic order stream (reference test mode,
+    ecommerce_streaming.py:171-184), watermarked like the original."""
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+    return synthesize_orders(rate).withWatermark("event_timestamp", "30 seconds")
+
+
+def read_json_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """JSON-lines file stream — deterministic micro-batch replay (one
+    file per trigger by default, in file modification-time order)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.json(path)

@@ -1,0 +1,209 @@
+"""Streaming semantics that have no SQL oracle: watermark late-data
+drop under append mode, the rate-source order synthesis, foreachBatch
+sink idempotence, and multi-sink fan-out."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_spark_streaming_app_spark.schemas import ORDER_SCHEMA
+from kafka_spark_streaming_app_spark.sources.streams import synthesize_orders
+from kafka_spark_streaming_app_spark.streaming.pipeline import (
+    foreach_batch_parquet,
+    parse_and_clean,
+    write_memory_stream,
+)
+
+
+def _write_wire_file(dir_: str, name: str, rows: list[dict]) -> None:
+    # readStream.text exposes each raw line as the `value` column, so
+    # each line is the bare JSON order object (the Kafka wire payload).
+    path = os.path.join(dir_, name)
+    with open(path + ".tmp", "w") as f:
+        for row in rows:
+            f.write(json.dumps(row) + "\n")
+    os.rename(path + ".tmp", path)
+
+
+def _order(order_id: str, ts: str, amount: float = 100.0) -> dict:
+    return {
+        "order_id": order_id,
+        "user_id": "user_1",
+        "category": "Electronics",
+        "location": "US",
+        "total_amount": amount,
+        "timestamp": ts,
+        "event_type": "order",
+        "is_fraud_simulation": False,
+    }
+
+
+def test_watermark_drops_late_rows_in_append_mode(spark):
+    """Rows arriving > 30 s behind the watermark must be excluded from
+    finalized windows (reference semantics: withWatermark 30s + append,
+    ecommerce_streaming.py:63,115). Two micro-batches: batch 2 advances
+    event time by 10 minutes, then batch 3 replays a very late row —
+    its window is already finalized, so order_count for w1 stays 2."""
+    src = tempfile.mkdtemp(prefix="late_data_")
+    # JSON text stream, one file per micro-batch (modification order).
+    _write_wire_file(
+        src,
+        "b1.json",
+        [
+            _order("o1", "2024-01-01 10:00:05"),
+            _order("o2", "2024-01-01 10:00:20"),
+        ],
+    )
+    raw = spark.readStream.option("maxFilesPerTrigger", "1").text(src)
+    parsed = parse_and_clean(raw, ORDER_SCHEMA, watermark="30 seconds")
+    agg = (
+        parsed.groupBy(F.window("event_timestamp", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .select(F.col("w.start").alias("window_start"), "order_count")
+    )
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = write_memory_stream(agg, name, output_mode="append")
+    try:
+        q.processAllAvailable()
+        # advance event time far past w1's end + watermark → finalizes w1
+        _write_wire_file(src, "b2.json", [_order("o3", "2024-01-01 10:10:00")])
+        q.processAllAvailable()
+        # a very late row for w1 — must be dropped, not re-emitted
+        _write_wire_file(src, "b3.json", [_order("o4", "2024-01-01 10:00:40")])
+        q.processAllAvailable()
+        # one more advance so anything pending would flush
+        _write_wire_file(src, "b4.json", [_order("o5", "2024-01-01 10:20:00")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {
+        r["window_start"].isoformat(): r["order_count"]
+        for r in spark.table(name).collect()
+    }
+    assert out.get("2024-01-01T10:00:00") == 2, (
+        f"late row leaked into finalized window: {out}"
+    )
+
+
+def test_malformed_rows_dropped_by_parse_and_clean(spark):
+    src = tempfile.mkdtemp(prefix="malformed_")
+    rows = [
+        _order("good", "2024-01-01 10:00:05"),
+        _order("bad_ts", "definitely-not-a-timestamp"),
+    ]
+    _write_wire_file(src, "b1.json", rows)
+    with open(os.path.join(src, "b2.json"), "w") as f:
+        f.write("this is not json at all\n")
+    raw = spark.readStream.text(src)
+    parsed = parse_and_clean(raw, ORDER_SCHEMA, watermark=None)
+    name = f"mal_{uuid.uuid4().hex[:8]}"
+    q = write_memory_stream(parsed, name, output_mode="append")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table(name).select("order_id").collect()
+    assert [r["order_id"] for r in got] == ["good"]
+
+
+def test_synthesize_orders_matches_reference_derivations(spark):
+    """The rate-source derivation transform, checked in batch (it is
+    stream-agnostic by construction)."""
+    base = spark.range(0, 20).select(
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("timestamp"),
+        F.col("id").alias("value"),
+    )
+    rows = {r["value"]: r for r in synthesize_orders(base).collect()}
+    assert rows[0]["category"] == "Electronics"
+    assert rows[1]["category"] == "Clothing"
+    assert rows[4]["product_name"] == "MacBook Pro"
+    assert rows[3]["location"] == "US"
+    assert rows[10]["is_fraud_simulation"] is True
+    assert rows[7]["total_amount"] == 57.0
+    assert rows[13]["order_id"] == "order_13"
+    assert rows[13]["user_id"] == "user_13"
+
+
+def test_rate_source_stream_runs(spark):
+    """The live rate source itself: a few rows must flow end-to-end."""
+    from kafka_spark_streaming_app_spark.sources.streams import read_rate_orders
+
+    orders = read_rate_orders(spark, rows_per_second=50)
+    name = f"rate_{uuid.uuid4().hex[:8]}"
+    q = write_memory_stream(orders, name, output_mode="append")
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and spark.table(name).count() == 0:
+            time.sleep(0.5)
+        assert spark.table(name).count() > 0
+    finally:
+        q.stop()
+
+
+def test_foreach_batch_parquet_sink(spark, sf_smoke):
+    src = tempfile.mkdtemp(prefix="fb_src_")
+    out = tempfile.mkdtemp(prefix="fb_out_")
+    ckpt = tempfile.mkdtemp(prefix="fb_ckpt_")
+    _write_wire_file(src, "b1.json", [_order("o1", "2024-01-01 10:00:05")])
+    _write_wire_file(src, "b2.json", [_order("o2", "2024-01-01 10:00:06")])
+    raw = spark.readStream.option("maxFilesPerTrigger", "1").text(src)
+    parsed = parse_and_clean(raw, ORDER_SCHEMA, watermark=None).drop(
+        "processing_time"
+    )
+    q = foreach_batch_parquet(parsed, out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    result = spark.read.parquet(out)
+    assert sorted(r["order_id"] for r in result.collect()) == ["o1", "o2"]
+    assert "_batch_id" in result.columns
+
+
+def test_multi_sink_fan_out(spark):
+    """One parsed stream feeding two concurrent sinks (reference
+    main(): agg→parquet + alerts→kafka + agg→console concurrently)."""
+    src = tempfile.mkdtemp(prefix="fan_src_")
+    _write_wire_file(
+        src,
+        "b1.json",
+        [_order("o1", "2024-01-01 10:00:05", amount=2000.0),
+         _order("o2", "2024-01-01 10:00:06", amount=10.0)],
+    )
+    raw = spark.readStream.text(src)
+    parsed = parse_and_clean(raw, ORDER_SCHEMA, watermark=None)
+    n1 = f"fan_a_{uuid.uuid4().hex[:8]}"
+    n2 = f"fan_b_{uuid.uuid4().hex[:8]}"
+    q1 = write_memory_stream(parsed.select("order_id"), n1)
+    q2 = write_memory_stream(
+        parsed.filter(F.col("total_amount") > 1000).select("order_id"), n2
+    )
+    try:
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+    finally:
+        q1.stop()
+        q2.stop()
+    assert spark.table(n1).count() == 2
+    assert spark.table(n2).count() == 1
+
+
+def test_kafka_source_unavailable_raises_clean_error(spark):
+    """pip pyspark has no kafka connector jar: the wrapper must raise
+    an actionable error, not a raw Py4J stack."""
+    from kafka_spark_streaming_app_spark.sources.streams import read_kafka_stream
+
+    try:
+        df = read_kafka_stream(spark, "localhost:9092", "test-topic")
+    except RuntimeError as exc:
+        assert "spark-sql-kafka" in str(exc)
+    else:
+        # connector present: schema must be the kafka wire schema
+        assert "value" in df.columns and "offset" in df.columns
