@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     alerts,
     dedup,
     jsonpath,
+    multimodal,
     relational,
     similarity,
     streaming,

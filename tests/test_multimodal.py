@@ -1,0 +1,73 @@
+"""Multimodal plumbing: stubbed decode contract, deterministic fake,
+Arrow batch shapes, row expansion."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_spark_streaming_app_spark.operators.multimodal import (
+    decode_payload,
+    extract_features,
+    sample_frames,
+    synthesize_media,
+)
+from kafka_spark_streaming_app_spark.sources.batch import load_table
+
+
+def test_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_payload(b"abc", "image")
+
+
+def test_fake_decode_is_deterministic_and_shaped():
+    img1 = decode_payload(b"same-bytes", "image", fake=True)
+    img2 = decode_payload(b"same-bytes", "image", fake=True)
+    assert (img1 == img2).all()
+    assert img1.shape == (16, 16) and img1.dtype.name == "uint8"
+    audio = decode_payload(b"x", "audio", fake=True)
+    assert audio.shape == (256,) and audio.dtype.name == "int16"
+    video = decode_payload(b"x", "video", fake=True)
+    assert video.shape == (4, 8, 8)
+    assert (decode_payload(b"other", "image", fake=True) != img1).any()
+
+
+def test_feature_extraction_batch_shape(spark, sf_smoke):
+    media = synthesize_media(load_table(spark, sf_smoke, "documents"))
+    feats = extract_features(media, num_bins=16)
+    rows = feats.collect()
+    assert len(rows) == media.count()
+    r = rows[0]
+    assert len(r["histogram"]) == 16
+    assert sum(r["histogram"]) == r["n_bytes"]
+    assert 0.0 <= r["byte_mean"] <= 255.0
+
+
+def test_feature_extraction_survives_repartition(spark, sf_smoke):
+    """Multiple Arrow batches / partitions must not change results."""
+    media = synthesize_media(load_table(spark, sf_smoke, "documents"))
+    one = {
+        r["media_id"]: r["byte_mean"]
+        for r in extract_features(media.coalesce(1)).collect()
+    }
+    many = {
+        r["media_id"]: r["byte_mean"]
+        for r in extract_features(media.repartition(16)).collect()
+    }
+    assert one == many
+
+
+def test_frame_sampling_expands_video_rows(spark, sf_smoke):
+    media = synthesize_media(load_table(spark, sf_smoke, "documents"))
+    frames = sample_frames(media, every_n=2)
+    got = frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    expected = {
+        r["media_id"]: (int(r["n_frames"]) + 1) // 2
+        for r in media.filter(F.col("media_type") == "video")
+        .select("media_id", F.col("meta.n_frames").alias("n_frames"))
+        .collect()
+    }
+    assert {r["media_id"]: r["n"] for r in got} == expected
+    # frame payloads are non-empty deterministic slices
+    sample = frames.limit(5).collect()
+    assert all(len(r["frame_payload"]) > 0 for r in sample)
