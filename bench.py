@@ -1,0 +1,84 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"<name>": <sec>, ...}, "sf": <float>}
+
+Each query is materialized end-to-end with the noop sink (full compute,
+no driver collect). The headline set spans the engine's families:
+reference parity (windowed agg, alerts, streaming engine), relational
+(scan-agg, join+topk), and the LLM-pipeline extensions (LSH dedup,
+similarity, text stats).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+HEADLINE = [
+    "windowed_agg_sliding",
+    "fraud_alerts",
+    "json_parse_agg",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "window_functions_orders",
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "similarity_topk_brute",
+    "similarity_ann_srp_lsh",
+    "text_stats",
+    "streaming_windowed_agg",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from kafka_spark_streaming_app_spark import registry
+    from kafka_spark_streaming_app_spark.session import get_spark
+
+    registry.load_all()
+    spark = get_spark(
+        app_name="bench",
+        extra_confs={"spark.driver.memory": os.environ.get("BENCH_DRIVER_MEM", "48g")},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # JVM / codegen warmup outside the measured region
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

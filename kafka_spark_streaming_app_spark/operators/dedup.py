@@ -62,19 +62,31 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, mh0..mh{k-1}) MinHash signature table.
 
-    Each min-hash is ``min over shingles of h60(i || '|' || shingle)``
-    — computed entirely row-local with transform/array_min (no explode:
-    a 100 TB corpus computes signatures in a single scan-projection
-    stage with zero shuffle).
+    Each min-hash is ``min over shingles of h60(i || '|' || shingle)``.
+    Plan shape: explode distinct shingles → k hash expressions in a
+    codegen'd projection → groupBy(id) with k ``min`` aggregates.
+    Partial (map-side) aggregation collapses the shuffle to one
+    signature row per document per partition, so the exploded shingle
+    relation never crosses the network. (A transform/array_min
+    higher-order form avoids the explode entirely but keeps md5 out of
+    whole-stage codegen — measured 4× slower; HOFs don't participate in
+    codegen subexpression elimination.)
+
+    Documents with fewer than ``shingle_n`` tokens have no shingles and
+    therefore no signature row (they can't LSH-collide anyway).
     """
-    sh = word_shingles(text_col, shingle_n)
-    cols = [F.col(id_col)]
-    for i in range(num_hashes):
-        hashed = F.transform(
-            sh, lambda s, i=i: h60(F.concat(F.lit(f"{i}|"), s))
-        )
-        cols.append(F.array_min(hashed).alias(f"mh{i}"))
-    return df.select(*cols)
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias(
+            "shingle"
+        ),
+    )
+    return exploded.groupBy(id_col).agg(
+        *[
+            F.min(h60(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
 
 
 def lsh_candidate_pairs(

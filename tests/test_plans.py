@@ -1,0 +1,110 @@
+"""Physical-plan audits: the 100 TB posture, asserted.
+
+These tests pin the plan properties that matter at scale — if a
+refactor silently turns a broadcast join into a shuffle join or stops
+a filter from reaching the parquet scan, they fail even though results
+stay correct.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from kafka_spark_streaming_app_spark import registry
+
+registry.load_all()
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_q1_filter_pushdown_and_column_pruning(spark, sf_smoke):
+    plan = plan_str(registry.QUERIES["q1_pricing_summary"](spark, sf_smoke))
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split(
+        "PushedFilters"
+    )[1].split("]")[0], "shipdate filter did not reach the parquet scan"
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_partkey" not in read_schema and "l_orderkey" not in read_schema, (
+        f"scan reads columns the query never uses: {read_schema}"
+    )
+
+
+def test_q1_is_partial_final_aggregation(spark, sf_smoke):
+    plan = plan_str(registry.QUERIES["q1_pricing_summary"](spark, sf_smoke))
+    assert plan.count("HashAggregate") >= 2, "missing partial (map-side) aggregation"
+
+
+def test_q3_broadcasts_dimensions_and_takes_ordered(spark, sf_smoke):
+    plan = plan_str(registry.QUERIES["q3_shipping_priority"](spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan, "dimension join is not broadcast"
+    assert "TakeOrderedAndProject" in plan, (
+        "top-10 materializes a global sort instead of TakeOrderedAndProject"
+    )
+
+
+def test_star_join_is_fully_broadcast(spark, sf_smoke):
+    plan = plan_str(registry.QUERIES["star_join_dims"](spark, sf_smoke))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_fraud_alert_filter_sits_on_scan_and_prunes_columns(spark, sf_smoke):
+    """A cross-column OR can't push into the parquet reader, but it must
+    (a) evaluate codegen'd directly above the scan with no shuffle and
+    (b) not stop column pruning (props/ts are never read)."""
+    plan = plan_str(registry.QUERIES["fraud_alerts"](spark, sf_smoke))
+    assert "Exchange" not in plan, "stateless filter/classify acquired a shuffle"
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "props" not in read_schema, f"unused column read: {read_schema}"
+    assert "Condition : (((value" in plan, "fraud predicate not in scan-stage filter"
+
+
+def test_text_stats_has_no_shuffle(spark, sf_smoke):
+    plan = plan_str(registry.QUERIES["text_stats"](spark, sf_smoke))
+    assert "Exchange" not in plan, "pure scan-projection query acquired a shuffle"
+
+
+def test_windowed_agg_exact_distinct_shape(spark, sf_smoke):
+    """Oracle twin: count(DISTINCT) forces the two-phase distinct-agg
+    plan — 2 shuffles is the correct (and unavoidable) shape."""
+    plan = plan_str(registry.QUERIES["windowed_agg_sliding"](spark, sf_smoke))
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("- Exchange") == 2
+
+
+def test_windowed_agg_production_single_shuffle(spark, sf_smoke):
+    """Production twin: HLL++ sketch keeps the agg partial+final with
+    exactly ONE shuffle — the property that matters at 100 TB (state
+    and network ∝ groups, not distinct users)."""
+    plan = plan_str(registry.QUERIES["windowed_agg_approx"](spark, sf_smoke))
+    assert plan.count("HashAggregate") >= 2, "missing map-side partial agg"
+    assert plan.count("- Exchange") == 1, (
+        "approx windowed agg must shuffle exactly once"
+    )
+
+
+def test_minhash_signatures_aggregate_before_shuffle(spark, sf_smoke):
+    """The exploded shingle relation must be partially aggregated
+    map-side — the property that keeps LSH shuffle ∝ docs, not
+    shingles."""
+    from kafka_spark_streaming_app_spark.operators.dedup import minhash_signatures
+    from kafka_spark_streaming_app_spark.sources.batch import load_table
+
+    sigs = minhash_signatures(load_table(spark, sf_smoke, "documents"))
+    plan = plan_str(sigs)
+    before_exchange = plan.split("Exchange")[-1]
+    assert "HashAggregate" in before_exchange, (
+        "no map-side partial aggregation below the shuffle"
+    )
+
+
+def test_similarity_brute_force_broadcasts_queries(spark, sf_smoke):
+    plan = plan_str(registry.QUERIES["similarity_topk_brute"](spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
+        "query batch is not broadcast — corpus would shuffle"
+    )
