@@ -6,11 +6,11 @@ scope; the reference itself has no dedup at all, SURVEY.md §2.8):
 1. **Exact** — hash-groupBy on normalized text; one shuffle on the
    hash, perfectly parallel at 100 TB (this is how web-scale exact
    dedup actually runs).
-2. **MinHash + LSH** — k md5-derived min-hashes per document computed
-   row-locally with higher-order array functions (NO explode, NO
-   shuffle to build signatures), banded into b buckets; only the
-   band-bucket equi-join shuffles, and it shuffles signatures (tiny),
-   not documents. Candidates are then exact-verified by Jaccard on the
+2. **MinHash + LSH** — k md5-derived min-hashes per document via
+   explode + map-side-combined min aggregates (the shuffle carries one
+   signature row per doc, never the shingles), banded into b buckets;
+   the band-bucket equi-join shuffles signatures (tiny), not
+   documents. Candidates are then exact-verified by Jaccard on the
    (much smaller) candidate set.
 3. **SimHash** — bit-wise majority vote over token hashes; one
    explode + groupBy(doc) shuffle; signatures join/group for buckets.
