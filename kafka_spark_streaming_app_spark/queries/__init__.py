@@ -10,6 +10,7 @@ from . import (  # noqa: F401
     jsonpath,
     multimodal,
     relational,
+    sessions,
     similarity,
     streaming,
     text,

@@ -348,3 +348,154 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("event_type", "event_id", "user_id", "value")
     )
+
+
+# --- TPC-H Q6: pure scan + selective filter + single aggregate -----------
+
+_Q6_ORACLE = """
+SELECT
+    CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(27,10))) AS DOUBLE)
+        AS revenue,
+    count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("q6_forecast_revenue", _Q6_ORACLE)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: every predicate pushes to the parquet scan; the
+    agg is a single partial+final pair with no grouping — the purest
+    scan-bound query. At 100 TB this is bandwidth-limited by design."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(27,10)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# --- TPC-H Q5 shape: supplier-nation revenue rollup -----------------------
+
+_Q5_ORACLE = """
+SELECT
+    n.n_name,
+    CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,10))) AS DOUBLE)
+        AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+"""
+
+
+@query("q5_supplier_nation_revenue", _Q5_ORACLE)
+def q5_supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: fact⋈fact shuffle join (lineitem⋈orders) plus a
+    broadcast dimension chain (supplier→nation→region)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy("n_name").agg(
+        F.sum(revenue.cast("decimal(27,10)")).cast("double").alias("revenue")
+    )
+
+
+# --- TPC-H Q10 shape: returned-item customers, top 20 ---------------------
+
+_Q10_ORACLE = """
+SELECT
+    c.c_custkey,
+    c.c_name,
+    CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,10))) AS DOUBLE)
+        AS revenue,
+    n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@query("q10_returned_items", _Q10_ORACLE)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: selective fact filter, two joins, grouped
+    revenue, deterministic top-20."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue.cast("decimal(27,10)")).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# --- exact quantiles -------------------------------------------------------
+
+_QUANTILE_ORACLE = """
+SELECT
+    o_orderpriority,
+    quantile_cont(o_totalprice, 0.25) AS p25,
+    quantile_cont(o_totalprice, 0.5) AS p50,
+    quantile_cont(o_totalprice, 0.75) AS p75,
+    quantile_cont(o_totalprice, 0.95) AS p95
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query("quantiles_order_price", _QUANTILE_ORACLE)
+def quantiles_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (Spark
+    ``percentile`` == DuckDB ``quantile_cont``). The production twin at
+    100 TB is ``percentile_approx`` (t-digest sketch, single pass,
+    bounded memory) — exact percentile requires a per-group sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.25).alias("p25"),
+        F.percentile("o_totalprice", 0.5).alias("p50"),
+        F.percentile("o_totalprice", 0.75).alias("p75"),
+        F.percentile("o_totalprice", 0.95).alias("p95"),
+    )

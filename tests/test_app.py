@@ -1,0 +1,69 @@
+"""End-to-end test of app.py: file source → 3 concurrent sinks, with
+historical timestamps so append-mode windows finalize within the run."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_app_file_source_end_to_end():
+    src = tempfile.mkdtemp(prefix="app_src_")
+    out = tempfile.mkdtemp(prefix="app_out_")
+    rows = []
+    # two minutes of orders at 2024-01-01, one high-value + one flagged
+    for i in range(40):
+        rows.append(
+            {
+                "order_id": f"order_{i}",
+                "user_id": f"user_{i % 7}",
+                "category": "Electronics" if i % 4 == 0 else "Clothing",
+                "location": "US" if i % 3 == 0 else "UK",
+                "price": 100.0,
+                "quantity": 1,
+                "total_amount": 2000.0 if i == 5 else 100.0 + i,
+                "timestamp": f"2024-01-01 10:{i // 20:02d}:{(i * 3) % 60:02d}",
+                "event_type": "order",
+                "is_fraud_simulation": i == 11,
+            }
+        )
+    # a final far-future row advances the watermark past every window
+    rows.append({**rows[0], "order_id": "closer", "timestamp": "2024-01-01 11:00:00"})
+    with open(os.path.join(src, "orders.json"), "w") as f:
+        for r in rows[:-1]:
+            f.write(json.dumps(r) + "\n")
+    with open(os.path.join(src, "zz_closer.json"), "w") as f:
+        f.write(json.dumps(rows[-1]) + "\n")
+
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "app.py"),
+            "--source", "file",
+            "--input-dir", src,
+            "--output-dir", out,
+            "--duration", "35",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    import duckdb
+
+    aggs = duckdb.sql(
+        f"SELECT * FROM '{out}/windowed-aggregations/*.parquet'"
+    ).fetchall()
+    assert len(aggs) > 0, "no finalized windowed aggregates written"
+    alerts = duckdb.sql(
+        f"SELECT order_id, alert_type FROM '{out}/alerts/*.parquet'"
+    ).fetchall()
+    got = dict(alerts)
+    assert got.get("order_5") == "HIGH_VALUE_ORDER"
+    assert got.get("order_11") == "FRAUD_SIMULATION"
