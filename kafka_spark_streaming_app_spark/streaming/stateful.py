@@ -1,0 +1,88 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+For semantics the built-in windowed/session aggregations can't express
+(per-key accumulators with custom emission rules), Structured Streaming
+exposes arbitrary per-key state with timeouts. The example operator
+here is a running per-key spend tracker that emits an updated snapshot
+every micro-batch — the shape any custom accumulator follows
+(fraud velocity counters, per-user token budgets, dedup-seen sets).
+
+Scale notes: state lives in the state store partitioned by key (one
+shuffle); a pandas batch sees all rows for its keys in the micro-batch.
+State size is the operator author's responsibility — keep per-key
+state O(1) (this one stores 3 numbers per key).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+RUNNING_TOTALS_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.StringType(), True),
+        T.StructField("n_orders", T.LongType(), True),
+        T.StructField("total_spend", T.DoubleType(), True),
+        T.StructField("max_order", T.DoubleType(), True),
+    ]
+)
+
+RUNNING_TOTALS_STATE = T.StructType(
+    [
+        T.StructField("n_orders", T.LongType(), True),
+        T.StructField("total_spend", T.DoubleType(), True),
+        T.StructField("max_order", T.DoubleType(), True),
+    ]
+)
+
+
+def running_totals(
+    orders: DataFrame,
+    key_col: str = "user_id",
+    amount_col: str = "total_amount",
+) -> DataFrame:
+    """Per-key running (count, sum, max) across the whole stream —
+    state carried between micro-batches, snapshot emitted per batch."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        n, total, mx = (
+            state.get if state.exists else (0, 0.0, float("-inf"))
+        )
+        for pdf in pdfs:
+            amounts = pdf[amount_col].dropna()
+            n += len(amounts)
+            total += float(amounts.sum())
+            if len(amounts):
+                mx = max(mx, float(amounts.max()))
+        state.update((n, total, mx))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": key[0],
+                    "n_orders": n,
+                    "total_spend": total,
+                    "max_order": mx,
+                }
+            ]
+        )
+
+    return (
+        orders.select(key_col, amount_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=RUNNING_TOTALS_OUTPUT,
+            stateStructType=RUNNING_TOTALS_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
