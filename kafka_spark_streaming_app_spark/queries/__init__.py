@@ -12,6 +12,7 @@ from . import (  # noqa: F401
     relational,
     sessions,
     similarity,
+    sqlapi,
     streaming,
     text,
     windowed,

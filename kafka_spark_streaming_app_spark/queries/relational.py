@@ -34,9 +34,9 @@ SELECT
     l_linestatus,
     CAST(sum(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty,
     CAST(sum(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS sum_base_price,
-    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,10))) AS DOUBLE)
+    CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,10))) AS DECIMAL(25,6)) AS DOUBLE)
         AS sum_disc_price,
-    CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,10))) AS DOUBLE)
+    CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,10))) AS DECIMAL(25,6)) AS DOUBLE)
         AS sum_charge,
     CAST(sum(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) / count(*) AS avg_qty,
     CAST(sum(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) / count(*) AS avg_price,
@@ -60,8 +60,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = li.groupBy("l_returnflag", "l_linestatus").agg(
         stabilized_sum("l_quantity").alias("sum_qty"),
         stabilized_sum("l_extendedprice").alias("sum_base_price"),
-        F.sum(disc_price.cast("decimal(27,10)")).cast("double").alias("sum_disc_price"),
-        F.sum(charge.cast("decimal(27,10)")).cast("double").alias("sum_charge"),
+        F.sum(disc_price.cast("decimal(27,10)")).cast("decimal(25,6)").cast("double").alias("sum_disc_price"),
+        F.sum(charge.cast("decimal(27,10)")).cast("decimal(25,6)").cast("double").alias("sum_charge"),
         stabilized_sum("l_discount").alias("sum_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
@@ -84,7 +84,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q3_ORACLE = """
 SELECT
     l.l_orderkey,
-    CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,10))) AS DOUBLE)
+    CAST(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,10))) AS DECIMAL(25,6)) AS DOUBLE)
         AS revenue,
     o.o_orderdate,
     o.o_orderpriority
@@ -121,7 +121,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(revenue.cast("decimal(27,10)")).cast("double").alias("revenue"))
+        .agg(F.sum(revenue.cast("decimal(27,10)")).cast("decimal(25,6)").cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
         .limit(10)
@@ -354,7 +354,7 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q6_ORACLE = """
 SELECT
-    CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(27,10))) AS DOUBLE)
+    CAST(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(27,10))) AS DECIMAL(25,6)) AS DOUBLE)
         AS revenue,
     count(*) AS n_lines
 FROM lineitem
@@ -390,7 +390,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q5_ORACLE = """
 SELECT
     n.n_name,
-    CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,10))) AS DOUBLE)
+    CAST(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,10))) AS DECIMAL(25,6)) AS DOUBLE)
         AS revenue
 FROM lineitem l
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -423,7 +423,7 @@ def q5_supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return joined.groupBy("n_name").agg(
-        F.sum(revenue.cast("decimal(27,10)")).cast("double").alias("revenue")
+        F.sum(revenue.cast("decimal(27,10)")).cast("decimal(25,6)").cast("double").alias("revenue")
     )
 
 
@@ -433,7 +433,7 @@ _Q10_ORACLE = """
 SELECT
     c.c_custkey,
     c.c_name,
-    CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,10))) AS DOUBLE)
+    CAST(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,10))) AS DECIMAL(25,6)) AS DOUBLE)
         AS revenue,
     n.n_name
 FROM customer c
@@ -465,7 +465,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         joined.groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(revenue.cast("decimal(27,10)")).cast("double").alias("revenue"))
+        .agg(F.sum(revenue.cast("decimal(27,10)")).cast("decimal(25,6)").cast("double").alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)

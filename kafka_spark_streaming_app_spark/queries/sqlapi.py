@@ -1,0 +1,77 @@
+"""SQL string interface: the engine's ``spark.sql`` surface.
+
+The reference never uses ``spark.sql`` (SURVEY.md §2.8); a complete
+engine must. These queries register the testdata as temp views and run
+ANSI SQL that is *textually identical* to the DuckDB oracle — CTEs,
+IN / NOT EXISTS subqueries, CASE, date arithmetic — demonstrating the
+parser/analyzer surface, not just the DataFrame API.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import query
+from ..sources.batch import register_views
+
+_SEGMENT_SQL = """
+WITH seg AS (
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+)
+SELECT
+    o_orderpriority,
+    count(*) AS n_orders,
+    CAST(sum(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM seg)
+GROUP BY o_orderpriority
+"""
+
+
+@query("sql_cte_in_subquery", _SEGMENT_SQL)
+def sql_cte_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE + IN-subquery, same text on both engines."""
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_SEGMENT_SQL)
+
+
+_NOT_EXISTS_SQL = """
+SELECT p.p_brand, count(*) AS n_parts
+FROM part p
+WHERE NOT EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 48
+)
+GROUP BY p.p_brand
+"""
+
+
+@query("sql_not_exists", _NOT_EXISTS_SQL)
+def sql_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated NOT EXISTS (anti-join decorrelation), same text on
+    both engines."""
+    register_views(spark, sf_dir, ("part", "lineitem"))
+    return spark.sql(_NOT_EXISTS_SQL)
+
+
+_CASE_DATE_SQL = """
+SELECT
+    CASE
+        WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN 'old'
+        WHEN o_orderdate < TIMESTAMP '2000-01-01' THEN 'mid'
+        ELSE 'recent'
+    END AS era,
+    o_orderstatus,
+    count(*) AS n,
+    min(o_orderdate) AS first_order,
+    max(o_orderdate) AS last_order
+FROM orders
+GROUP BY era, o_orderstatus
+"""
+
+
+@query("sql_case_date_buckets", _CASE_DATE_SQL)
+def sql_case_date_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE buckets over timestamps + min/max date aggregates."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_CASE_DATE_SQL)

@@ -1,0 +1,60 @@
+"""Regenerate PLANS.md: formatted physical plans of headline queries
+with the scale-relevant properties annotated."""
+
+import contextlib
+import io
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from kafka_spark_streaming_app_spark import registry
+from kafka_spark_streaming_app_spark.session import get_spark
+
+NOTES = {
+    "windowed_agg_approx": "Production flagship. One Exchange (partial+final hash agg); HLL++ keeps distinct-user state O(kB)/group.",
+    "q1_pricing_summary": "Scan-bound: shipdate filter in PushedFilters, ReadSchema pruned to 7 columns, partial+final agg.",
+    "q3_shipping_priority": "Dims broadcast (no fact shuffle for the join), top-10 via TakeOrderedAndProject (no global sort).",
+    "q5_supplier_nation_revenue": "Fact-fact shuffle join (lineitem-orders) + broadcast dim chain.",
+    "dedup_minhash_lsh": "Signatures partial-aggregate map-side (shuffle = 1 row/doc); band self-join shuffles signatures, not documents; Jaccard verify on candidates only.",
+    "similarity_ann_srp_lsh": "Bucket equi-join replaces the cross join; query side broadcast.",
+    "sessionize_users": "session_window merge inside a single keyed aggregation.",
+    "fraud_alerts": "Stateless scan-stage filter+classify, zero shuffle, unused columns pruned.",
+}
+
+
+def main():
+    spark = get_spark(app_name="plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    out = ["# PLANS — physical plans of headline queries (sf0.001, local)",
+           "",
+           "Regenerate with `python scripts/dump_plans.py`. The properties",
+           "called out per plan are asserted in `tests/test_plans.py`.",
+           ""]
+    for name, note in NOTES.items():
+        df = registry.QUERIES[name](spark, sf)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        # keep the tree + scan details, trim the long operator details
+        tree = plan.split("\n\n")[0]
+        details = "\n\n".join(
+            s for s in plan.split("\n\n")[1:]
+            if s.startswith("(1)") or "PushedFilters" in s or "ReadSchema" in s
+        )
+        out.append(f"## {name}\n\n**{note}**\n\n```\n{tree}\n")
+        if details:
+            out.append(f"\n{details}\n")
+        out.append("```\n")
+    with open(os.path.join(REPO, "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print("wrote PLANS.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
