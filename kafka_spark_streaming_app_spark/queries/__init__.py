@@ -7,6 +7,7 @@ and ``registry.ORACLES``.
 from . import (  # noqa: F401
     alerts,
     dedup,
+    functions_breadth,
     jsonpath,
     multimodal,
     relational,

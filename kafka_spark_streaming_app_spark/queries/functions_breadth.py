@@ -1,0 +1,138 @@
+"""Scalar-function breadth: string / date / array-explode families.
+
+The reference touches only a handful of scalar functions (SURVEY.md
+§2.6); a usable engine needs the standard library. Each family is one
+oracle-checked query over the shared testdata. Functions chosen are
+exactly cross-engine-deterministic (no libm transcendentals whose last
+ulp differs; day-of-week avoided — Spark and DuckDB number weekdays
+differently).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.batch import load_table
+
+_STRING_ORACLE = """
+SELECT
+    p_partkey,
+    upper(p_brand) AS brand_upper,
+    lower(p_type) AS type_lower,
+    substr(p_name, 1, 10) AS name_prefix,
+    length(p_name) AS name_len,
+    replace(p_type, ' ', '_') AS type_snake,
+    lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+    concat_ws('|', p_brand, p_type) AS brand_type,
+    levenshtein(p_brand, 'Brand#00') AS brand_dist,
+    contains(p_name, 'red') AS has_red,
+    starts_with(p_type, 'STANDARD') AS is_standard
+FROM part
+"""
+
+
+@query("string_functions", _STRING_ORACLE)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String library: case, substring, pad, replace, concat_ws,
+    levenshtein, contains/startswith."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 10).alias("name_prefix"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#00"))
+        .cast("bigint")
+        .alias("brand_dist"),
+        F.contains(F.col("p_name"), F.lit("red")).alias("has_red"),
+        F.startswith(F.col("p_type"), F.lit("STANDARD")).alias("is_standard"),
+    )
+
+
+_DATE_ORACLE = """
+SELECT
+    o_orderkey,
+    CAST(year(o_orderdate) AS BIGINT) AS order_year,
+    CAST(month(o_orderdate) AS BIGINT) AS order_month,
+    CAST(day(o_orderdate) AS BIGINT) AS order_day,
+    CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter,
+    date_trunc('month', o_orderdate) AS month_start,
+    o_orderdate + INTERVAL 90 DAY AS due_date,
+    CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)
+        AS days_since_epoch_start
+FROM orders
+"""
+
+
+@query("date_functions", _DATE_ORACLE)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time library: parts extraction, truncation, interval
+    arithmetic, datediff."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("order_day"),
+        F.quarter("o_orderdate").cast("bigint").alias("order_quarter"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+        )
+        .cast("bigint")
+        .alias("days_since_epoch_start"),
+    )
+
+
+_EXPLODE_ORACLE = """
+WITH dims AS (
+    SELECT
+        vec_id,
+        label,
+        generate_subscripts(embedding, 1) - 1 AS dim,
+        unnest(embedding)::DOUBLE AS x
+    FROM embeddings
+)
+SELECT
+    dim,
+    count(*) AS n,
+    CAST(sum(CAST(x AS DECIMAL(25,12))) AS DOUBLE) AS sum_x,
+    CAST(sum(CAST(x AS DECIMAL(25,12))) AS DOUBLE) / count(*) AS mean_x,
+    max(x) AS max_x,
+    min(x) AS min_x
+FROM dims
+GROUP BY dim
+"""
+
+
+@query("array_explode_dim_stats", _EXPLODE_ORACLE)
+def array_explode_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode over the embedding arrays → per-dimension corpus
+    statistics (the feature-distribution audit an embedding pipeline
+    runs before training). Float values cast to double, summed through
+    DECIMAL(25,12) for order-independent exactness."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "xf")
+    ).select("dim", F.col("xf").cast("double").alias("x"))
+    agg = dims.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(25,12)")).cast("double").alias("sum_x"),
+        F.max("x").alias("max_x"),
+        F.min("x").alias("min_x"),
+    )
+    return agg.select(
+        F.col("dim").cast("bigint").alias("dim"),
+        "n",
+        "sum_x",
+        (F.col("sum_x") / F.col("n")).alias("mean_x"),
+        "max_x",
+        "min_x",
+    )
