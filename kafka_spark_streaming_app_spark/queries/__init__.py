@@ -10,6 +10,7 @@ from . import (  # noqa: F401
     functions_breadth,
     jsonpath,
     multimodal,
+    pivots,
     relational,
     sessions,
     similarity,

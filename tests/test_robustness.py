@@ -1,0 +1,57 @@
+"""Edge-condition robustness: empty inputs, missing tables, repeated
+query invocation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_spark_streaming_app_spark.operators.dedup import (
+    jaccard_pairs,
+    minhash_signatures,
+    shingle_sets,
+)
+from kafka_spark_streaming_app_spark.operators.windowed import windowed_aggregation
+from kafka_spark_streaming_app_spark.sources.batch import load_table
+
+
+def test_windowed_agg_on_empty_input(spark, sf_smoke):
+    events = load_table(spark, sf_smoke, "events").filter(F.lit(False))
+    out = windowed_aggregation(events)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields][:3] == [
+        "window_start",
+        "window_end",
+        "event_type",
+    ]
+
+
+def test_minhash_on_empty_and_short_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "one two"), (3, "one two three four")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs, shingle_n=3)
+    # docs 1 and 2 have < 3 tokens → no shingles → no signature rows
+    assert [r["doc_id"] for r in sigs.select("doc_id").collect()] == [3]
+    pairs = jaccard_pairs(shingle_sets(docs, n=3))
+    assert pairs.count() == 0
+
+
+def test_missing_table_raises_analysis_error(spark, sf_smoke):
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        load_table(spark, sf_smoke, "not_a_table").count()
+
+
+def test_queries_are_rerunnable(spark, sf_smoke):
+    """Registry callables must be pure — same result on repeat calls
+    (the driver may invoke more than once)."""
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    fn = registry.QUERIES["windowed_agg_sliding"]
+    a = fn(spark, sf_smoke).count()
+    b = fn(spark, sf_smoke).count()
+    assert a == b > 0
