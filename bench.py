@@ -28,7 +28,10 @@ HEADLINE = [
     "json_parse_agg",
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q5_supplier_nation_revenue",
+    "q6_forecast_revenue",
     "window_functions_orders",
+    "sessionize_users",
     "dedup_minhash_lsh",
     "dedup_exact",
     "similarity_topk_brute",

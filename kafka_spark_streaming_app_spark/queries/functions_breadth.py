@@ -91,11 +91,19 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EXPLODE_ORACLE = """
+# Power-of-two fixed-point: float32 values in this corpus need at most
+# 43 binary fraction digits (measured; min |x| ≈ 1.3e-6), so x·2^48 is
+# an EXACT integer-valued double → cast to bigint loses nothing and
+# truncate-vs-round cast semantics can't diverge. int64 sums are exact;
+# int64→double conversion is IEEE-identical in both engines; dividing
+# by 2^48 rescales losslessly. (Decimal-based stabilization ties on
+# binary fractions with probability ~2^-13 per row — measured failure.)
+_SCALE_2_48 = float(2**48)
+
+_EXPLODE_ORACLE = f"""
 WITH dims AS (
     SELECT
         vec_id,
-        label,
         generate_subscripts(embedding, 1) - 1 AS dim,
         unnest(embedding)::DOUBLE AS x
     FROM embeddings
@@ -103,8 +111,10 @@ WITH dims AS (
 SELECT
     dim,
     count(*) AS n,
-    CAST(sum(CAST(x AS DECIMAL(25,12))) AS DOUBLE) AS sum_x,
-    CAST(sum(CAST(x AS DECIMAL(25,12))) AS DOUBLE) / count(*) AS mean_x,
+    CAST(sum(CAST(x * {_SCALE_2_48:.1f} AS BIGINT)) AS DOUBLE) / {_SCALE_2_48:.1f}
+        AS sum_x,
+    CAST(sum(CAST(x * {_SCALE_2_48:.1f} AS BIGINT)) AS DOUBLE) / {_SCALE_2_48:.1f}
+        / count(*) AS mean_x,
     max(x) AS max_x,
     min(x) AS min_x
 FROM dims
@@ -116,23 +126,26 @@ GROUP BY dim
 def array_explode_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """posexplode over the embedding arrays → per-dimension corpus
     statistics (the feature-distribution audit an embedding pipeline
-    runs before training). Float values cast to double, summed through
-    DECIMAL(25,12) for order-independent exactness."""
+    runs before training). Float values are summed as exact 2^48
+    fixed-point integers (see _SCALE_2_48 note) for order-independent,
+    tie-free cross-engine exactness."""
     emb = load_table(spark, sf_dir, "embeddings")
     dims = emb.select(
         "vec_id", F.posexplode("embedding").alias("dim", "xf")
     ).select("dim", F.col("xf").cast("double").alias("x"))
+    scaled = (F.col("x") * F.lit(_SCALE_2_48)).cast("bigint")
     agg = dims.groupBy("dim").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("x").cast("decimal(25,12)")).cast("double").alias("sum_x"),
+        F.sum(scaled).alias("sum_scaled"),
         F.max("x").alias("max_x"),
         F.min("x").alias("min_x"),
     )
+    sum_x = F.col("sum_scaled").cast("double") / F.lit(_SCALE_2_48)
     return agg.select(
         F.col("dim").cast("bigint").alias("dim"),
         "n",
-        "sum_x",
-        (F.col("sum_x") / F.col("n")).alias("mean_x"),
+        sum_x.alias("sum_x"),
+        (sum_x / F.col("n")).alias("mean_x"),
         "max_x",
         "min_x",
     )
