@@ -108,3 +108,19 @@ def test_similarity_brute_force_broadcasts_queries(spark, sf_smoke):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
         "query batch is not broadcast — corpus would shuffle"
     )
+
+
+def test_sessionize_single_shuffle(spark, sf_smoke):
+    """Session merging happens inside one keyed aggregation — exactly
+    one Exchange, no windowed-sort extra pass."""
+    plan = plan_str(registry.QUERIES["sessionize_users"](spark, sf_smoke))
+    assert plan.count("- Exchange") == 1, "sessionization should shuffle once"
+
+
+def test_pivot_is_single_aggregation(spark, sf_smoke):
+    """pivot with an explicit value list must plan as ONE partial+final
+    agg pair (conditional aggregates), not one pass per pivot value and
+    no value-discovery job."""
+    plan = plan_str(registry.QUERIES["pivot_status_revenue"](spark, sf_smoke))
+    assert plan.count("- Exchange") == 1
+    assert plan.count("- HashAggregate") == 2

@@ -10,7 +10,6 @@ import tempfile
 import time
 import uuid
 
-import pytest
 from pyspark.sql import functions as F
 
 from kafka_spark_streaming_app_spark.schemas import ORDER_SCHEMA
