@@ -197,3 +197,51 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
         "media_id", "payload", F.col("meta.n_frames").alias("n_frames")
     )
     return vids.mapInPandas(expand, schema=FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("pixels", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, width: int = 8, height: int = 8
+) -> DataFrame:
+    """Resize stage for image rows — the mapInPandas shape a real
+    PIL/opencv resize plugs into. Without codecs, the body fake-decodes
+    (deterministic, payload-seeded) and nearest-neighbor-resamples the
+    16x16 fake grid to (height, width); the output contract (one row
+    per image, row-major uint8 bytes + final dims) is what matters.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_payload(payload, "image", fake=True)
+                ys = (np.arange(height) * img.shape[0] // height)
+                xs = (np.arange(width) * img.shape[1] // width)
+                small = img[np.ix_(ys, xs)]
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "width": width,
+                        "height": height,
+                        "pixels": small.tobytes(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "pixels"]
+            )
+
+    imgs = media.filter(F.col("media_type") == "image").select(
+        "media_id", "payload"
+    )
+    return imgs.mapInPandas(resize, schema=RESIZED_SCHEMA)

@@ -71,3 +71,17 @@ def test_frame_sampling_expands_video_rows(spark, sf_smoke):
     # frame payloads are non-empty deterministic slices
     sample = frames.limit(5).collect()
     assert all(len(r["frame_payload"]) > 0 for r in sample)
+
+
+def test_resize_images_contract(spark, sf_smoke):
+    from kafka_spark_streaming_app_spark.operators.multimodal import resize_images
+
+    media = synthesize_media(load_table(spark, sf_smoke, "documents"))
+    resized = resize_images(media, width=8, height=4)
+    rows = resized.collect()
+    n_images = media.filter(F.col("media_type") == "image").count()
+    assert len(rows) == n_images
+    assert all(len(r["pixels"]) == 8 * 4 for r in rows)
+    # deterministic: same payload -> same pixels
+    again = {r["media_id"]: r["pixels"] for r in resize_images(media, 8, 4).collect()}
+    assert {r["media_id"]: r["pixels"] for r in rows} == again

@@ -146,3 +146,34 @@ def test_streaming_session_window(spark):
         (r["user"], r["n"]) for r in spark.table(name).select("user", "n").collect()
     }
     assert ("u1", 2) in rows and ("u1", 1) in rows, f"sessions wrong: {rows}"
+
+
+def test_drop_duplicates_within_watermark(spark):
+    """dropDuplicatesWithinWatermark: duplicates inside the watermark
+    window are suppressed even when their event times differ (the
+    practical streaming-dedup API — state expires with the watermark)."""
+    src = tempfile.mkdtemp(prefix="ddww_")
+    _write_lines(
+        src,
+        "b1.json",
+        [
+            {"order_id": "a", "ts": "2024-01-01 10:00:00"},
+            {"order_id": "a", "ts": "2024-01-01 10:00:30"},  # dup, different ts
+            {"order_id": "b", "ts": "2024-01-01 10:00:10"},
+        ],
+    )
+    stream = (
+        spark.readStream.schema("order_id string, ts string")
+        .json(src)
+        .withColumn("ts", F.to_timestamp("ts"))
+        .withWatermark("ts", "5 minutes")
+        .dropDuplicatesWithinWatermark(["order_id"])
+    )
+    name = f"ddww_{uuid.uuid4().hex[:8]}"
+    q = write_memory_stream(stream, name)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r["order_id"] for r in spark.table(name).collect())
+    assert got == ["a", "b"], f"within-watermark dedup failed: {got}"
