@@ -213,3 +213,88 @@ def brute_force_topk_pandas(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cosine", "rank")
     )
+
+
+def ann_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    num_centroids: int = 16,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: partition the corpus into inverted
+    lists by nearest centroid, search only the query's ``n_probe``
+    closest lists.
+
+    Centroids here are the first ``num_centroids`` corpus vectors
+    (deterministic; production would k-means them — the plan shape is
+    identical). Assignment is a broadcast-centroid argmax of cosine;
+    the search joins query→probed lists, so scoring work drops to
+    ~n_probe/num_centroids of brute force.
+    """
+    c = with_vector_norm(corpus, vec_col).select(
+        F.col(id_col).alias("corpus_id"), "v", "norm"
+    )
+    centroids = (
+        with_vector_norm(
+            corpus.filter(F.col(id_col) < num_centroids), vec_col
+        )
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col("v").alias("cv"),
+            F.col("norm").alias("cnorm"),
+        )
+    )
+
+    def nearest_lists(side: DataFrame, side_id: str, n_lists: int) -> DataFrame:
+        """Attach the n_lists nearest centroid ids to each vector."""
+        scored = side.join(F.broadcast(centroids), F.lit(True)).select(
+            side_id,
+            "centroid_id",
+            cosine(F.col("v"), F.col("cv"), F.col("norm"), F.col("cnorm")).alias(
+                "c_sim"
+            ),
+        )
+        w = Window.partitionBy(side_id).orderBy(
+            F.desc("c_sim"), F.asc("centroid_id")
+        )
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= n_lists)
+            .select(side_id, "centroid_id")
+        )
+
+    assignment = nearest_lists(c, "corpus_id", 1)
+    c_listed = c.join(assignment, "corpus_id")
+    q = with_vector_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    q_probes = nearest_lists(
+        q.select(F.col("query_id"), F.col("qv").alias("v"), F.col("qnorm").alias("norm")),
+        "query_id",
+        n_probe,
+    )
+    q_listed = q.join(
+        q_probes.withColumnRenamed("centroid_id", "qcentroid_id"), "query_id"
+    )
+    scored = c_listed.join(
+        F.broadcast(q_listed),
+        (F.col("centroid_id") == F.col("qcentroid_id"))
+        & (F.col("corpus_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "corpus_id",
+        cosine(F.col("qv"), F.col("v"), F.col("qnorm"), F.col("norm")).alias(
+            "cosine"
+        ),
+    ).distinct()
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )

@@ -115,3 +115,84 @@ def similarity_ann_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < _NUM_QUERIES)
     result = ann_topk_srp(emb, queries_df, num_planes=_PLANES, dim=_DIM, k=5)
     return result.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+_CENTROIDS = 16
+_PROBES = 2
+
+_IVF_ORACLE = """
+WITH n AS (
+    SELECT
+        vec_id,
+        embedding::DOUBLE[] AS v,
+        sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
+    FROM embeddings
+),
+cent AS (
+    SELECT vec_id AS centroid_id, v AS cv, norm AS cnorm FROM n
+    WHERE vec_id < 16
+),
+assign AS (
+    SELECT corpus_id, centroid_id FROM (
+        SELECT
+            c.vec_id AS corpus_id,
+            cent.centroid_id,
+            row_number() OVER (
+                PARTITION BY c.vec_id
+                ORDER BY round(list_inner_product(c.v, cent.cv) / (c.norm * cent.cnorm), 6)
+                             DESC,
+                         cent.centroid_id
+            ) AS crank
+        FROM n c, cent
+    ) WHERE crank = 1
+),
+q AS (
+    SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM n WHERE vec_id < 5
+),
+qprobe AS (
+    SELECT query_id, centroid_id FROM (
+        SELECT
+            q.query_id,
+            cent.centroid_id,
+            row_number() OVER (
+                PARTITION BY q.query_id
+                ORDER BY round(list_inner_product(q.qv, cent.cv) / (q.qnorm * cent.cnorm), 6)
+                             DESC,
+                         cent.centroid_id
+            ) AS crank
+        FROM q, cent
+    ) WHERE crank <= 2
+),
+scored AS (
+    SELECT DISTINCT
+        q.query_id,
+        c.vec_id AS corpus_id,
+        round(list_inner_product(q.qv, c.v) / (q.qnorm * c.norm), 6) AS cosine
+    FROM n c
+    JOIN assign a ON a.corpus_id = c.vec_id
+    JOIN qprobe p ON p.centroid_id = a.centroid_id
+    JOIN q ON q.query_id = p.query_id AND c.vec_id <> q.query_id
+)
+SELECT query_id, corpus_id, cosine, rank FROM (
+    SELECT *,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, corpus_id) AS rank
+    FROM scored
+) WHERE rank <= 5
+"""
+
+
+@query("similarity_ann_ivf", _IVF_ORACLE)
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: 16 deterministic seed centroids, nearest-centroid
+    inverted lists, 2-probe search. Scoring work ~ n_probe/num_centroids
+    of brute force; the oracle replicates the full assignment + probe
+    algorithm."""
+    from ..operators.similarity import ann_topk_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < _NUM_QUERIES)
+    result = ann_topk_ivf(
+        emb, queries_df, num_centroids=_CENTROIDS, k=5, n_probe=_PROBES
+    )
+    return result.withColumn("rank", F.col("rank").cast("bigint"))
