@@ -32,11 +32,12 @@ HEADLINE = [
     "q6_forecast_revenue",
     "window_functions_orders",
     "sessionize_users",
-    "dedup_minhash_lsh",
+    "text_stats",
     "dedup_exact",
+    "dedup_minhash_lsh",
     "similarity_topk_brute",
     "similarity_ann_srp_lsh",
-    "text_stats",
+    "similarity_ann_ivf",
     "streaming_windowed_agg",
 ]
 
