@@ -6,6 +6,7 @@ and ``registry.ORACLES``.
 
 from . import (  # noqa: F401
     alerts,
+    asof,
     dedup,
     functions_breadth,
     jsonpath,
@@ -17,5 +18,6 @@ from . import (  # noqa: F401
     sqlapi,
     streaming,
     text,
+    tpch_extra,
     windowed,
 )
