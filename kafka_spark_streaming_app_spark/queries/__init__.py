@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     functions_breadth,
     jsonpath,
     multimodal,
+    nulls,
     pivots,
     relational,
     sessions,

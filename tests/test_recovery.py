@@ -96,3 +96,68 @@ def test_percentile_approx_tracks_exact(spark, sf_correctness):
         F.percentile("o_totalprice", 0.5).alias("exact"),
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.01
+
+
+def test_stateful_windowed_agg_recovers_state(spark):
+    """Windowed-aggregation STATE must survive a restart: rows ingested
+    before the stop and rows after must land in the same finalized
+    window exactly once."""
+    src = tempfile.mkdtemp(prefix="recw_src_")
+    out = tempfile.mkdtemp(prefix="recw_out_")
+    ckpt = tempfile.mkdtemp(prefix="recw_ckpt_")
+
+    def start_query():
+        raw = spark.readStream.option("maxFilesPerTrigger", "1").text(src)
+        parsed = parse_and_clean(raw, ORDER_SCHEMA, watermark="30 seconds")
+        agg = (
+            parsed.groupBy(F.window("event_timestamp", "1 minute").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"), "n")
+        )
+        return (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    # two rows in window 10:00
+    _write_orders(src, "b1.json", ["o1", "o2"])
+    q = start_query()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # third row in the SAME window arrives while the query is down,
+    # plus a watermark-advancing row that finalizes the window
+    with open(os.path.join(src, "b2.json"), "w") as f:
+        f.write(
+            json.dumps(
+                {"order_id": "o3", "user_id": "u1", "total_amount": 10.0,
+                 "timestamp": "2024-01-01 10:00:40"}
+            )
+            + "\n"
+        )
+    with open(os.path.join(src, "b3.json"), "w") as f:
+        f.write(
+            json.dumps(
+                {"order_id": "closer", "user_id": "u1", "total_amount": 10.0,
+                 "timestamp": "2024-01-01 10:30:00"}
+            )
+            + "\n"
+        )
+    q2 = start_query()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    rows = {
+        r["window_start"].isoformat(): r["n"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert rows.get("2024-01-01T10:00:00") == 3, (
+        f"window state not recovered across restart: {rows}"
+    )
