@@ -499,3 +499,114 @@ def quantiles_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("o_totalprice", 0.75).alias("p75"),
         F.percentile("o_totalprice", 0.95).alias("p95"),
     )
+
+
+# --- advanced window functions: ranks, distribution, value access ---------
+
+_WINDOW_FN2_ORACLE = """
+SELECT
+    o_custkey,
+    o_orderkey,
+    ntile(4) OVER w AS spend_quartile,
+    percent_rank() OVER w AS spend_pct_rank,
+    cume_dist() OVER w AS spend_cume_dist,
+    first_value(o_orderkey) OVER w AS cheapest_order,
+    last_value(o_orderkey) OVER (
+        PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    ) AS priciest_order,
+    lead(o_orderkey) OVER w AS next_pricier_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@query("window_functions_advanced", _WINDOW_FN2_ORACLE)
+def window_functions_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist / first_value / last_value /
+    lead over one window spec (single shuffle+sort serves all six).
+    percent_rank/cume_dist are ratios of identical integers → exact
+    cross-engine doubles."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).cast("bigint").alias("spend_quartile"),
+        F.percent_rank().over(w).alias("spend_pct_rank"),
+        F.cume_dist().over(w).alias("spend_cume_dist"),
+        F.first("o_orderkey").over(w).alias("cheapest_order"),
+        F.last("o_orderkey").over(w_full).alias("priciest_order"),
+        F.lead("o_orderkey").over(w).alias("next_pricier_order"),
+    )
+
+
+# --- statistical moments from stabilized sums ------------------------------
+
+_MOMENTS_ORACLE = """
+WITH s AS (
+    SELECT
+        l_returnflag,
+        count(*) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS s1,
+        CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(27,8))) AS DOUBLE) AS s2
+    FROM lineitem
+    GROUP BY l_returnflag
+)
+SELECT
+    l_returnflag,
+    n,
+    s1 / n AS mean_qty,
+    (s2 - s1 * s1 / n) / n AS var_pop_qty,
+    (s2 - s1 * s1 / n) / (n - 1) AS var_samp_qty,
+    sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev_qty
+FROM s
+"""
+
+
+@query("stats_moments", _MOMENTS_ORACLE)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance / stddev derived from decimal-stabilized power sums —
+    NOT the built-in stddev (engines use order-dependent streaming
+    algorithms whose results differ in the last ulp); the sum-of-squares
+    formulation makes the moments bit-exact across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q2 = (F.col("l_quantity") * F.col("l_quantity")).cast("decimal(27,8)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        stabilized_sum("l_quantity").alias("s1"),
+        F.sum(q2).cast("double").alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    return s.select(
+        "l_returnflag",
+        "n",
+        (s1 / n).alias("mean_qty"),
+        ((s2 - s1 * s1 / n) / n).alias("var_pop_qty"),
+        ((s2 - s1 * s1 / n) / (n - 1)).alias("var_samp_qty"),
+        F.sqrt((s2 - s1 * s1 / n) / (n - 1)).alias("stddev_qty"),
+    )
+
+
+# --- multiset set operations ------------------------------------------------
+
+_MULTISET_ORACLE = """
+(SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+ EXCEPT ALL
+ SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'P')
+INTERSECT ALL
+SELECT o_orderpriority FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+"""
+
+
+@query("multiset_ops", _MULTISET_ORACLE)
+def multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL / INTERSECT ALL (bag semantics — duplicates counted)."""
+    o = load_table(spark, sf_dir, "orders")
+    f_rows = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    p_rows = o.filter(F.col("o_orderstatus") == "P").select("o_orderpriority")
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp")
+    ).select("o_orderpriority")
+    return f_rows.exceptAll(p_rows).intersectAll(recent)

@@ -16,6 +16,7 @@ SQL-mirrored and are covered by tests/test_streaming.py instead.)
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -40,24 +41,33 @@ WIRE_SCHEMA = T.StructType(
 )
 
 
+# one wire materialization per (session, sf_dir) — both streaming
+# queries replay the same files
+_WIRE_DIRS: dict[tuple[int, str], str] = {}
+
+
 def _events_as_wire_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → JSON-lines files → text stream → parsed/cleaned stream."""
-    events = load_table(spark, sf_dir, "events")
-    wire = events.select(
-        F.to_json(
-            F.struct(
-                F.col("event_id"),
-                F.col("user_id"),
-                F.col("event_type"),
-                F.col("value").alias("amount"),
-                F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
-                    "timestamp"
-                ),
-            )
-        ).alias("value")
-    )
-    src_dir = tempfile.mkdtemp(prefix="wire_stream_")
-    wire.write.mode("overwrite").text(src_dir)
+    key = (id(spark.sparkContext), sf_dir)
+    src_dir = _WIRE_DIRS.get(key)
+    if src_dir is None or not os.path.isdir(src_dir):
+        events = load_table(spark, sf_dir, "events")
+        wire = events.select(
+            F.to_json(
+                F.struct(
+                    F.col("event_id"),
+                    F.col("user_id"),
+                    F.col("event_type"),
+                    F.col("value").alias("amount"),
+                    F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                        "timestamp"
+                    ),
+                )
+            ).alias("value")
+        )
+        src_dir = tempfile.mkdtemp(prefix="wire_stream_")
+        wire.write.mode("overwrite").text(src_dir)
+        _WIRE_DIRS[key] = src_dir
     raw = spark.readStream.text(src_dir)
     return parse_and_clean(raw, WIRE_SCHEMA, ts_field="timestamp")
 
