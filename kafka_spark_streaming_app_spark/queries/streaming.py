@@ -165,3 +165,38 @@ def streaming_fraud_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         flag_col="is_fraud",
     )
     return _run_to_table(spark, alerts, output_mode="append")
+
+
+_STATEFUL_ORACLE = """
+SELECT
+    CAST(user_id AS VARCHAR) AS user_id,
+    count(*) AS n_orders,
+    round(CAST(sum(CAST(value AS DECIMAL(25,4))) AS DOUBLE), 2) AS total_spend,
+    max(value) AS max_order
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("streaming_stateful_running_totals", _STATEFUL_ORACLE)
+def streaming_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) driven over the
+    wire replay in ONE micro-batch: update mode emits exactly one state
+    snapshot per key, which must equal the batch group-by. Python-side
+    float accumulation is rounded to cents on both sides (inputs are
+    2-decimal, accumulation error ~1e-10 << 0.005, so rounding is
+    exact)."""
+    from ..streaming.stateful import running_totals
+
+    stream = _events_as_wire_stream(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("user_id"),
+        F.col("amount").alias("total_amount"),
+    )
+    totals = running_totals(stream)
+    snapshot = _run_to_table(spark, totals, output_mode="update")
+    return snapshot.select(
+        "user_id",
+        "n_orders",
+        F.round("total_spend", 2).alias("total_spend"),
+        F.col("max_order"),
+    )
