@@ -13,6 +13,7 @@ from . import (  # noqa: F401
     multimodal,
     nulls,
     pivots,
+    profile,
     relational,
     sessions,
     similarity,

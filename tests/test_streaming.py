@@ -206,3 +206,37 @@ def test_kafka_source_unavailable_raises_clean_error(spark):
     else:
         # connector present: schema must be the kafka wire schema
         assert "value" in df.columns and "offset" in df.columns
+
+
+def test_observe_metrics_reported_per_batch(spark):
+    """Dataset.observe metrics must appear in the streaming progress
+    events (the engine's structured replacement for console-sink
+    monitoring)."""
+    import json as _json
+    import tempfile as _tempfile
+
+    from kafka_spark_streaming_app_spark.streaming.metrics import (
+        with_throughput_metrics,
+    )
+
+    src = _tempfile.mkdtemp(prefix="obs_src_")
+    _write_wire_file(
+        src,
+        "b1.json",
+        [_order("o1", "2024-01-01 10:00:05", amount=100.0),
+         _order("o2", "2024-01-01 10:00:06", amount=50.0)],
+    )
+    raw = spark.readStream.text(src)
+    parsed = parse_and_clean(raw, ORDER_SCHEMA, watermark=None)
+    observed = with_throughput_metrics(parsed)
+    name = f"obs_{uuid.uuid4().hex[:8]}"
+    q = write_memory_stream(observed, name)
+    try:
+        q.processAllAvailable()
+        progress = q.lastProgress
+    finally:
+        q.stop()
+    metrics = progress["observedMetrics"]["engine_metrics"]
+    assert metrics["n_rows"] == 2
+    assert metrics["amount_total"] == 150.0
+    assert metrics["n_null_amount"] == 0
