@@ -245,3 +245,4 @@ def resize_images(
         "media_id", "payload"
     )
     return imgs.mapInPandas(resize, schema=RESIZED_SCHEMA)
+

@@ -9,6 +9,7 @@ from . import (  # noqa: F401
     asof,
     dedup,
     functions_breadth,
+    grouped_map,
     jsonpath,
     multimodal,
     nulls,
