@@ -24,14 +24,18 @@ def salted_join(
     """Equi-join ``big ⋈ small`` on ``key`` with the big side salted
     across ``salt_buckets`` sub-partitions.
 
-    The big side gets a random-but-deterministic salt (hash of its full
-    row id space via monotonically_increasing_id would be
-    nondeterministic across retries — use a hash of all columns is
-    overkill; a round-robin on a stable column is enough, here the key
-    itself xxhashed with the partition id seed). The small side is
-    exploded ``salt_buckets``× so every (key, salt) pair exists.
+    The salt must be a PURE function of row content: anything
+    nondeterministic (rand(), spark_partition_id(),
+    monotonically_increasing_id()) in a shuffle key breaks exactly-once
+    under task retries — a re-executed map task would route rows to
+    different reducers than the attempt whose output other reducers
+    already fetched. Hashing every column spreads a hot key's rows
+    across salts (identical duplicate rows co-locate, which is
+    acceptable). The small side is exploded ``salt_buckets``× so every
+    (key, salt) pair exists.
     """
-    salt = (F.xxhash64(F.col(key), F.spark_partition_id()) % salt_buckets + salt_buckets) % salt_buckets
+    row_hash = F.xxhash64(*[F.col(c) for c in big.columns])
+    salt = (row_hash % salt_buckets + salt_buckets) % salt_buckets
     big_salted = big.withColumn("_salt", salt.cast("int"))
     small_salted = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
