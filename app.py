@@ -38,6 +38,7 @@ from kafka_spark_streaming_app_spark.sources.streams import (
     read_rate_orders,
 )
 from kafka_spark_streaming_app_spark.streaming.pipeline import (
+    fan_out,
     parse_and_clean,
     write_console_stream,
     write_kafka_stream,
@@ -132,7 +133,8 @@ def main(argv: list[str] | None = None) -> int:
         if args.duration > 0:
             time.sleep(args.duration)
         else:
-            queries[-1].awaitTermination()
+            # blocks until ANY query terminates; re-raises sink failures
+            fan_out(queries)
     except KeyboardInterrupt:
         pass
     finally:

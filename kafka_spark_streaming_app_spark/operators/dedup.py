@@ -41,12 +41,16 @@ def dedup_exact(
     """Exact dedup on normalized text: one row per distinct content,
     keeping the smallest id as canonical plus the duplicate count.
 
-    GroupBy the 60-bit content hash, not the full text, so the shuffle
-    carries ~24 bytes/row instead of the document body.
+    GroupBy the full 128-bit md5 of the content (32-char hex), not the
+    text itself, so the shuffle carries ~40 bytes/row instead of the
+    document body. 128 bits keeps the collision probability negligible
+    even at web scale (~2^-68 for 10^9 docs) — a 60-bit hash would
+    expect birthday collisions past ~2^30 documents and silently merge
+    distinct content.
     """
     return (
         df.select(
-            F.col(id_col), h60(normalize_text(text_col)).alias("content_hash")
+            F.col(id_col), F.md5(normalize_text(text_col)).alias("content_hash")
         )
         .groupBy("content_hash")
         .agg(
@@ -122,6 +126,11 @@ def lsh_candidate_pairs(
     (band_idx, band_sig) whose shuffle is k/band_size rows per doc of
     ~28 bytes each.
     """
+    if num_hashes % band_size != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} must be divisible by band_size="
+            f"{band_size}; trailing hashes would be silently ignored"
+        )
     n_bands = num_hashes // band_size
     bands = []
     for b in range(n_bands):
@@ -291,7 +300,7 @@ def embedding_near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{block_col}").alias("label"),
+            F.col(f"a.{block_col}").alias(block_col),
             F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)

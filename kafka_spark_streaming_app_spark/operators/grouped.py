@@ -26,11 +26,14 @@ def grouped_rank_pandas(
     deterministic tie-break, so it is exactly oracle-checkable against
     SQL row_number — the shape any per-group Python model-scoring stage
     follows."""
+    # output schema mirrors the INPUT column types (hard-coding types
+    # would break any df whose columns aren't the fixture's types)
+    in_types = {f.name: f.dataType for f in df.schema.fields}
     out_schema = T.StructType(
         [
-            T.StructField(group_col, T.StringType(), True),
-            T.StructField(tie_col, T.LongType(), True),
-            T.StructField(order_col, T.DoubleType(), True),
+            T.StructField(group_col, in_types[group_col], True),
+            T.StructField(tie_col, in_types[tie_col], True),
+            T.StructField(order_col, in_types[order_col], True),
             T.StructField("group_rank", T.LongType(), True),
         ]
     )

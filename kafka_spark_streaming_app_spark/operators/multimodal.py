@@ -143,8 +143,14 @@ def extract_features(media: DataFrame, num_bins: int = 16) -> DataFrame:
                 pdf["media_id"], pdf["media_type"], pdf["payload"]
             ):
                 arr = np.frombuffer(payload or b"", dtype=np.uint8)
+                # arr * num_bins // 256 lands in [0, num_bins) for ANY
+                # num_bins (floor-dividing by 256//num_bins overflows
+                # into an extra bin when num_bins doesn't divide 256)
                 hist = (
-                    np.bincount(arr // (256 // num_bins), minlength=num_bins)
+                    np.bincount(
+                        arr.astype(np.int64) * num_bins // 256,
+                        minlength=num_bins,
+                    )
                     if arr.size
                     else np.zeros(num_bins, dtype=np.int64)
                 )

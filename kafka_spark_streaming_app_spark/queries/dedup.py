@@ -36,7 +36,7 @@ WITH all_docs AS (
     SELECT doc_id + 1000000 AS doc_id, text FROM documents
 ),
 hashed AS (
-    SELECT doc_id, {h60_sql(NORMALIZE_SQL.format(x="text"))} AS content_hash
+    SELECT doc_id, md5({NORMALIZE_SQL.format(x="text")}) AS content_hash
     FROM all_docs
 )
 SELECT content_hash, min(doc_id) AS canonical_id, count(*) AS n_dups

@@ -91,4 +91,8 @@ def get_spark(
             builder = builder.config(key, value)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    return apply_runtime_confs(spark)
+    apply_runtime_confs(spark)
+    # an explicitly requested shuffle width must win over the
+    # machine-sized default apply_runtime_confs just installed
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return spark

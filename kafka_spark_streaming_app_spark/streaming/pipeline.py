@@ -146,16 +146,25 @@ def foreach_batch_parquet(
     )
 
 
-def fan_out(
-    sinks: list,
-) -> None:
+def fan_out(sinks: list, poll_seconds: float = 1.0) -> None:
     """Await a multi-sink fan-out (reference main(),
-    ecommerce_streaming.py:197-218): block on the last query, stop all
-    on interrupt."""
+    ecommerce_streaming.py:197-218, which blocks on its console query
+    only — a failure in another sink there goes unnoticed forever).
+
+    Blocks until ANY query terminates; if it failed, re-raises its
+    exception. All queries are stopped on the way out.
+    """
     if not sinks:
         return
+    import time as _time
+
     try:
-        sinks[-1].awaitTermination()
+        while True:
+            for q in sinks:
+                if not q.isActive:
+                    q.awaitTermination()  # re-raises if the query failed
+                    return
+            _time.sleep(poll_seconds)
     finally:
         for q in sinks:
             if q.isActive:

@@ -54,15 +54,14 @@ def running_totals(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterable[pd.DataFrame]:
-        n, total, mx = (
-            state.get if state.exists else (0, 0.0, float("-inf"))
-        )
+        n, total, mx = state.get if state.exists else (0, 0.0, None)
         for pdf in pdfs:
             amounts = pdf[amount_col].dropna()
             n += len(amounts)
             total += float(amounts.sum())
             if len(amounts):
-                mx = max(mx, float(amounts.max()))
+                batch_max = float(amounts.max())
+                mx = batch_max if mx is None else max(mx, batch_max)
         state.update((n, total, mx))
         yield pd.DataFrame(
             [
@@ -70,6 +69,8 @@ def running_totals(
                     "user_id": key[0],
                     "n_orders": n,
                     "total_spend": total,
+                    # None (not a -inf sentinel) when no non-null amount
+                    # has ever been seen for this key
                     "max_order": mx,
                 }
             ]

@@ -42,10 +42,19 @@ def create_topics(
     bootstrap_servers: str, specs: dict[str, dict[str, int]] | None = None
 ) -> list[str]:
     """Create (or recreate) the engine's topics with the reference
-    layout. Returns the created topic names."""
+    layout (force delete-and-recreate, like the reference's
+    setup_kafka_topics.py). Returns the created topic names."""
     admin = _admin(bootstrap_servers)  # raises the actionable error if absent
     from kafka.admin import NewTopic
+
     specs = specs or TOPIC_SPECS
+    try:
+        # best-effort delete so re-runs recreate with the declared
+        # layout; deletion is async broker-side — brand-new clusters or
+        # already-absent topics raise and are fine to ignore
+        admin.delete_topics(list(specs))
+    except Exception:
+        pass
     topics = [
         NewTopic(
             name=name,

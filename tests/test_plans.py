@@ -97,9 +97,14 @@ def test_minhash_signatures_aggregate_before_shuffle(spark, sf_smoke):
 
     sigs = minhash_signatures(load_table(spark, sf_smoke, "documents"))
     plan = plan_str(sigs)
-    before_exchange = plan.split("Exchange")[-1]
-    assert "HashAggregate" in before_exchange, (
-        "no map-side partial aggregation below the shuffle"
+    # inspect the TREE section only (the details section would always
+    # contain 'HashAggregate' and make the assertion vacuous); in the
+    # top-down tree, the map-side partial agg prints BELOW the Exchange
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" in tree
+    below_exchange = tree.split("Exchange", 1)[1]
+    assert "HashAggregate" in below_exchange, (
+        "no map-side partial aggregation below the shuffle:\n" + tree
     )
 
 
