@@ -58,3 +58,33 @@ def register_views(
     """Register each table as a temp view for the SQL API."""
     for name in names:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def load_file(
+    spark: SparkSession,
+    path: str,
+    format: str = "parquet",
+    schema=None,
+    **options,
+) -> DataFrame:
+    """Generic batch file loader (parquet / csv / json / orc / text).
+
+    Schema is explicit-first: pass a StructType (or DDL string) for
+    csv/json — inference costs an extra full scan and is
+    nondeterministic under schema drift, so production readers must
+    never rely on it.
+    """
+    apply_runtime_confs(spark)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif format in ("csv", "json"):
+        raise ValueError(
+            f"{format} reads require an explicit schema (inference costs a "
+            "full extra scan and drifts); pass schema=..."
+        )
+    if format == "csv":
+        options.setdefault("header", "true")
+    for key, value in options.items():
+        reader = reader.option(key, value)
+    return reader.format(format).load(path)

@@ -1,0 +1,37 @@
+"""Lakehouse table formats (Delta / Iceberg) — gated stubs.
+
+The connector jars are not on this environment's classpath; these
+entry points keep the API surface present and fail with remediation
+instead of a raw ClassNotFoundException (same pattern as the Kafka
+source wrapper).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+_REMEDIATION = {
+    "delta": (
+        "Delta Lake needs the delta-spark package: submit with "
+        "--packages io.delta:delta-spark_2.13:<version> and set "
+        "spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension"
+    ),
+    "iceberg": (
+        "Apache Iceberg needs the runtime jar: submit with --packages "
+        "org.apache.iceberg:iceberg-spark-runtime-<spark>_2.13:<version> "
+        "and configure a catalog (spark.sql.catalog.<name>=...)"
+    ),
+}
+
+
+def read_lakehouse(spark: SparkSession, path: str, format: str) -> DataFrame:
+    """Read a Delta/Iceberg table, or raise an actionable error when the
+    connector is absent."""
+    if format not in _REMEDIATION:
+        raise ValueError(f"unknown lakehouse format {format!r}")
+    try:
+        return spark.read.format(format).load(path)
+    except Exception as exc:
+        raise RuntimeError(
+            f"{format} connector unavailable: {_REMEDIATION[format]}"
+        ) from exc
