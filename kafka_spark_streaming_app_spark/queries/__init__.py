@@ -6,6 +6,7 @@ and ``registry.ORACLES``.
 
 from . import (  # noqa: F401
     alerts,
+    analytics,
     asof,
     dedup,
     functions_breadth,

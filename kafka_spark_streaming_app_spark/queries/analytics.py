@@ -1,0 +1,189 @@
+"""Analytics/profiling queries a training-data pipeline runs before
+and during curation: heavy-hitter tokens (boilerplate detection),
+numeric histograms, exact correlation, per-group feature normalization.
+
+All exact and oracle-checked — aggregates ride the decimal-stabilization
+discipline so even derived statistics (correlation, z-scores) are
+bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import TOKENS_SQL, tokens
+from ..operators.windowed import stabilized_sum
+from ..registry import query
+from ..sources.batch import load_table
+
+# --- heavy hitters: hot tokens across the corpus ---------------------------
+
+_HEAVY_ORACLE = f"""
+WITH tok AS (
+    SELECT unnest({TOKENS_SQL.format(x="text")}) AS token FROM documents
+)
+SELECT token, count(*) AS n
+FROM tok
+GROUP BY token
+HAVING count(*) > 500
+ORDER BY n DESC, token
+"""
+
+
+@query("heavy_hitter_tokens", _HEAVY_ORACLE)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-wide hot tokens (count > threshold) — the
+    boilerplate/stopword discovery pass that feeds the shingle/bucket
+    caps documented in operators/dedup.py. Map-side combine keeps the
+    shuffle ∝ distinct tokens; at 100 TB swap in a count-min sketch for
+    a single-pass approximate twin."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 500)
+        .orderBy(F.desc("n"), F.asc("token"))
+    )
+
+
+# --- fixed-width numeric histogram ----------------------------------------
+
+_HISTOGRAM_ORACLE = """
+SELECT
+    CAST(floor(value / 25.0) AS BIGINT) AS bin,
+    CAST(floor(value / 25.0) AS BIGINT) * 25.0 AS bin_low,
+    count(*) AS n,
+    min(value) AS bin_min,
+    max(value) AS bin_max
+FROM events
+GROUP BY bin
+"""
+
+
+@query("value_histogram", _HISTOGRAM_ORACLE)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of the amount distribution (bin = 25).
+    floor of a double division is identical across engines; bin edges
+    are exact multiples of the literal width."""
+    ev = load_table(spark, sf_dir, "events")
+    bin_col = F.floor(F.col("value") / F.lit(25.0)).cast("bigint")
+    return (
+        ev.groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("bin_min"),
+            F.max("value").alias("bin_max"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * F.lit(25.0)).alias("bin_low"),
+            "n",
+            "bin_min",
+            "bin_max",
+        )
+    )
+
+
+# --- exact Pearson correlation ---------------------------------------------
+
+_CORR_ORACLE = """
+WITH s AS (
+    SELECT
+        count(*) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sx,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS sy,
+        CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(27,8))) AS DOUBLE) AS sxx,
+        CAST(CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,4)))
+             AS DECIMAL(25,4)) AS DOUBLE) AS syy,
+        CAST(CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(27,6)))
+             AS DECIMAL(25,6)) AS DOUBLE) AS sxy
+    FROM lineitem
+)
+SELECT
+    n,
+    (n * sxy - sx * sy)
+        / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price
+FROM s
+"""
+
+
+@query("correlation_qty_price", _CORR_ORACLE)
+def correlation_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Pearson correlation from decimal-stabilized power sums
+    (the built-in corr() uses an order-dependent streaming update —
+    engine-specific last ulps; the sum formulation is bit-exact)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        stabilized_sum("l_quantity").alias("sx"),
+        stabilized_sum("l_extendedprice").alias("sy"),
+        F.sum((q * q).cast("decimal(27,8)")).cast("double").alias("sxx"),
+        F.sum((p * p).cast("decimal(30,4)"))
+        .cast("decimal(25,4)")
+        .cast("double")
+        .alias("syy"),
+        F.sum((q * p).cast("decimal(27,6)"))
+        .cast("decimal(25,6)")
+        .cast("double")
+        .alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "n",
+        (
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("corr_qty_price"),
+    )
+
+
+# --- per-group z-score normalization ----------------------------------------
+
+_ZSCORE_ORACLE = """
+WITH stats AS (
+    SELECT
+        event_type,
+        count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS s1,
+        CAST(sum(CAST(value * value AS DECIMAL(27,8))) AS DOUBLE) AS s2
+    FROM events
+    GROUP BY event_type
+)
+SELECT
+    e.event_id,
+    e.event_type,
+    e.value,
+    (e.value - s.s1 / s.n)
+        / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)) AS value_z
+FROM events e
+JOIN stats s ON e.event_type = s.event_type
+"""
+
+
+@query("zscore_normalize", _ZSCORE_ORACLE)
+def zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature normalization (z-score within event_type) —
+    the standard scaling pass before training. Group stats come from
+    stabilized power sums broadcast back onto the rows; every operand
+    pair is identical across engines, so the per-row z is bit-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        stabilized_sum("value").alias("s1"),
+        F.sum((v * v).cast("decimal(27,8)")).cast("double").alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    joined = ev.join(F.broadcast(stats), "event_type")
+    return joined.select(
+        "event_id",
+        "event_type",
+        "value",
+        (
+            (v - s1 / n) / F.sqrt((s2 - s1 * s1 / n) / (n - 1))
+        ).alias("value_z"),
+    )
