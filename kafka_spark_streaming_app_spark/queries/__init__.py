@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     alerts,
     analytics,
     asof,
+    curation,
     dedup,
     functions_breadth,
     grouped_map,

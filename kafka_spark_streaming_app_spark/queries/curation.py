@@ -1,0 +1,113 @@
+"""The end-to-end curation pipeline — the composition this engine
+exists for: quality-filter → exact-dedup → fuzzy-dedup → token-budget
+accounting, as ONE oracle-checked dataflow.
+
+Survivor policy for fuzzy pairs: drop the higher id of each verified
+near-dup pair (the standard cheap policy; full connected-components
+needs iteration and changes survivors only for chains, which the
+planted pairs don't form)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import NORMALIZE_SQL, TOKENS_SQL, shingles_sql
+from ..operators.dedup import jaccard_pairs, shingle_sets
+from ..registry import query
+from ..sources.batch import load_table
+
+_NORM = NORMALIZE_SQL.format(x="text")
+_WORDS = TOKENS_SQL.format(x="text")
+_SHINGLES = shingles_sql("text", 3)
+
+_CURATE_ORACLE = f"""
+WITH stats AS (
+    SELECT
+        doc_id,
+        lang,
+        len({_WORDS}) AS n_tokens,
+        len(list_distinct({_WORDS})) AS n_distinct,
+        len(regexp_extract_all({_NORM}, '[a-z0-9]{{1,4}}')) AS n_subwords,
+        md5({_NORM}) AS content_hash
+    FROM documents
+),
+quality AS (
+    SELECT * FROM stats
+    WHERE n_tokens >= 25
+      AND CAST(n_distinct AS DOUBLE) / n_tokens >= 0.35
+),
+exact_canon AS (
+    SELECT min(doc_id) AS doc_id FROM quality GROUP BY content_hash
+),
+ds AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+    )
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id),
+fuzzy_drop AS (
+    SELECT DISTINCT id_b AS doc_id FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ) p
+    JOIN sizes s1 ON s1.doc_id = p.id_a
+    JOIN sizes s2 ON s2.doc_id = p.id_b
+    WHERE CAST(c AS DOUBLE) / (s1.sz + s2.sz - c) >= 0.5
+)
+SELECT
+    q.doc_id,
+    q.lang,
+    CAST(q.n_tokens AS BIGINT) AS n_tokens,
+    CAST(q.n_subwords AS BIGINT) AS n_subwords
+FROM quality q
+JOIN exact_canon e ON q.doc_id = e.doc_id
+WHERE q.doc_id NOT IN (SELECT doc_id FROM fuzzy_drop)
+"""
+
+
+@query("curate_documents", _CURATE_ORACLE)
+def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality filter (length + lexical diversity) → exact dedup
+    (md5 canonical) → fuzzy dedup (Jaccard ≥ 0.5 pair survivors) →
+    per-doc token accounting. One declarative dataflow; Catalyst fuses
+    the stat projections into the scan and the dedup joins follow the
+    same plans audited in test_plans.py."""
+    from ..functions.hashing import normalize_text, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    norm = normalize_text("text")
+    stats = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(F.regexp_extract_all(norm, F.lit("[a-z0-9]{1,4}"), 0)).alias(
+            "n_subwords"
+        ),
+        F.md5(norm).alias("content_hash"),
+    )
+    quality = stats.filter(
+        (F.col("n_tokens") >= 25)
+        & (F.col("n_distinct").cast("double") / F.col("n_tokens") >= 0.35)
+    )
+    exact_canon = quality.groupBy("content_hash").agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    fuzzy_drop = (
+        jaccard_pairs(shingle_sets(docs, n=3), threshold=0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        quality.join(exact_canon, "doc_id", "left_semi")
+        .join(fuzzy_drop, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("n_subwords").cast("bigint").alias("n_subwords"),
+        )
+    )
