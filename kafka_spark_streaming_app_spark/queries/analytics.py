@@ -9,7 +9,7 @@ bit-identical across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import TOKENS_SQL, tokens
@@ -104,7 +104,8 @@ WITH s AS (
 SELECT
     n,
     (n * sxy - sx * sy)
-        / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price
+        / sqrt(GREATEST(0.0, (n * sxx - sx * sx) * (n * syy - sy * sy)))
+        AS corr_qty_price
 FROM s
 """
 
@@ -136,7 +137,9 @@ def correlation_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (
             (n * sxy - sx * sy)
-            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+            / F.sqrt(
+                F.greatest(F.lit(0.0), (n * sxx - sx * sx) * (n * syy - sy * sy))
+            )
         ).alias("corr_qty_price"),
     )
 
@@ -158,7 +161,7 @@ SELECT
     e.event_type,
     e.value,
     (e.value - s.s1 / s.n)
-        / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)) AS value_z
+        / sqrt(GREATEST(0.0, (s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1))) AS value_z
 FROM events e
 JOIN stats s ON e.event_type = s.event_type
 """
@@ -184,6 +187,7 @@ def zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
         (
-            (v - s1 / n) / F.sqrt((s2 - s1 * s1 / n) / (n - 1))
+            (v - s1 / n)
+            / F.sqrt(F.greatest(F.lit(0.0), (s2 - s1 * s1 / n) / (n - 1)))
         ).alias("value_z"),
     )

@@ -14,12 +14,14 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import NORMALIZE_SQL, TOKENS_SQL, shingles_sql
 from ..operators.dedup import jaccard_pairs, shingle_sets
+from ..operators.text import SUBWORD_PATTERN
 from ..registry import query
 from ..sources.batch import load_table
 
 _NORM = NORMALIZE_SQL.format(x="text")
 _WORDS = TOKENS_SQL.format(x="text")
 _SHINGLES = shingles_sql("text", 3)
+_SUBWORD = SUBWORD_PATTERN
 
 _CURATE_ORACLE = f"""
 WITH stats AS (
@@ -28,7 +30,7 @@ WITH stats AS (
         lang,
         len({_WORDS}) AS n_tokens,
         len(list_distinct({_WORDS})) AS n_distinct,
-        len(regexp_extract_all({_NORM}, '[a-z0-9]{{1,4}}')) AS n_subwords,
+        len(regexp_extract_all({_NORM}, '{_SUBWORD}')) AS n_subwords,
         md5({_NORM}) AS content_hash
     FROM documents
 ),
@@ -41,8 +43,12 @@ exact_canon AS (
     SELECT min(doc_id) AS doc_id FROM quality GROUP BY content_hash
 ),
 ds AS (
+    -- shingles over QUALITY SURVIVORS only: pairing against already-
+    -- discarded docs would both waste the dominant join cost and drop
+    -- a surviving doc whose only near-dup failed the quality filter
     SELECT DISTINCT doc_id, shingle FROM (
-        SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+        SELECT d.doc_id, unnest({_SHINGLES}) AS shingle
+        FROM documents d JOIN quality q ON d.doc_id = q.doc_id
     )
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id),
@@ -84,7 +90,7 @@ def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
-        F.size(F.regexp_extract_all(norm, F.lit("[a-z0-9]{1,4}"), 0)).alias(
+        F.size(F.regexp_extract_all(norm, F.lit(_SUBWORD), 0)).alias(
             "n_subwords"
         ),
         F.md5(norm).alias("content_hash"),
@@ -96,8 +102,10 @@ def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_canon = quality.groupBy("content_hash").agg(
         F.min("doc_id").alias("doc_id")
     ).select("doc_id")
+    # fuzzy-pair only the quality survivors (see oracle comment)
+    quality_docs = docs.join(quality.select("doc_id"), "doc_id", "left_semi")
     fuzzy_drop = (
-        jaccard_pairs(shingle_sets(docs, n=3), threshold=0.5)
+        jaccard_pairs(shingle_sets(quality_docs, n=3), threshold=0.5)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )

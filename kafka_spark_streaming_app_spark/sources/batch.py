@@ -83,8 +83,9 @@ def load_file(
             f"{format} reads require an explicit schema (inference costs a "
             "full extra scan and drifts); pass schema=..."
         )
-    if format == "csv":
-        options.setdefault("header", "true")
+    # no header default for csv: the schema is user-supplied (names never
+    # come from the file), and defaulting header=true silently eats the
+    # first data row of headerless files — callers state it explicitly
     for key, value in options.items():
         reader = reader.option(key, value)
     return reader.format(format).load(path)

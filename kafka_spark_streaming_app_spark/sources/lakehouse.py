@@ -32,6 +32,19 @@ def read_lakehouse(spark: SparkSession, path: str, format: str) -> DataFrame:
     try:
         return spark.read.format(format).load(path)
     except Exception as exc:
-        raise RuntimeError(
-            f"{format} connector unavailable: {_REMEDIATION[format]}"
-        ) from exc
+        # only rewrap CONNECTOR-MISSING failures; a bad path, permission
+        # error, or corrupt table with the connector installed must
+        # surface as itself, not as bogus --packages advice
+        msg = str(exc)
+        if any(
+            marker in msg
+            for marker in (
+                "DATA_SOURCE_NOT_FOUND",
+                "Failed to find data source",
+                "ClassNotFoundException",
+            )
+        ):
+            raise RuntimeError(
+                f"{format} connector unavailable: {_REMEDIATION[format]}"
+            ) from exc
+        raise

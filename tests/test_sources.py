@@ -21,7 +21,7 @@ def test_csv_and_json_round_trip(spark, sf_smoke):
     csv_dir = tempfile.mkdtemp(prefix="src_csv_")
     events.write.mode("overwrite").option("header", "true").csv(csv_dir)
     got_csv = sorted(
-        map(tuple, load_file(spark, csv_dir, "csv", schema).collect())
+        map(tuple, load_file(spark, csv_dir, "csv", schema, header="true").collect())
     )
     assert got_csv == want
 
