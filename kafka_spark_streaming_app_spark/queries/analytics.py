@@ -191,3 +191,49 @@ def zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(F.greatest(F.lit(0.0), (s2 - s1 * s1 / n) / (n - 1)))
         ).alias("value_z"),
     )
+
+
+# --- TF-IDF -----------------------------------------------------------------
+
+_TFIDF_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest({TOKENS_SQL.format(x="text")}) AS token
+    FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT
+    tf.doc_id,
+    tf.token,
+    tf.tf,
+    df.df,
+    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 8) AS tfidf
+FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+WHERE df.df < 400
+"""
+
+
+@query("tfidf_tokens", _TFIDF_ORACLE)
+def tfidf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (doc, token), restricted to non-ubiquitous tokens
+    (df < 400 of 500 docs — ubiquitous tokens carry no signal and
+    dominate row count). tf/df are exact integers; ln() is libm on both
+    engines, rounded to 8 decimals at the boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    return (
+        tf.join(F.broadcast(df.filter(F.col("df") < 400)), "token")
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 8
+            ).alias("tfidf"),
+        )
+    )

@@ -200,3 +200,64 @@ def streaming_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataF
         F.round("total_spend", 2).alias("total_spend"),
         F.col("max_order"),
     )
+
+
+_ENRICHED_ORACLE = """
+WITH user_stats AS (
+    SELECT
+        o_custkey AS user_id,
+        count(*) AS lifetime_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS lifetime_spend
+    FROM orders
+    GROUP BY o_custkey
+),
+flagged AS (SELECT *, (user_id % 10 = 0) AS is_fraud FROM events)
+SELECT
+    f.event_id,
+    f.user_id,
+    f.value AS amount,
+    u.lifetime_orders,
+    u.lifetime_spend
+FROM flagged f
+LEFT JOIN user_stats u ON f.user_id = u.user_id
+WHERE f.value > 300 OR f.event_type IN ('error') OR f.is_fraud
+"""
+
+
+@query("streaming_enriched_alerts", _ENRICHED_ORACLE)
+def streaming_enriched_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join: the alert stream enriched with per-user
+    lifetime stats from the static orders table — the canonical
+    dimension-enrichment pattern (static side is batch-planned and
+    broadcast into every micro-batch; no streaming state)."""
+    from ..operators.alerts import fraud_predicate
+    from ..operators.windowed import stabilized_sum
+
+    stream = _events_as_wire_stream(spark, sf_dir).withColumn(
+        "is_fraud", F.col("user_id") % 10 == 0
+    )
+    alerts = stream.filter(
+        fraud_predicate(
+            amount_col="amount",
+            amount_threshold=300.0,
+            location_col="event_type",
+            suspicious_locations=("error",),
+            flag_col="is_fraud",
+        )
+    )
+    user_stats = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("lifetime_orders"),
+            stabilized_sum("o_totalprice").alias("lifetime_spend"),
+        )
+    )
+    enriched = alerts.join(F.broadcast(user_stats), "user_id", "left").select(
+        "event_id",
+        "user_id",
+        F.col("amount"),
+        "lifetime_orders",
+        "lifetime_spend",
+    )
+    return _run_to_table(spark, enriched, output_mode="append")
