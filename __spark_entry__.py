@@ -12,12 +12,20 @@ this module is a thin re-export so the engine is usable as a library.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from kafka_spark_streaming_app_spark import registry
-from kafka_spark_streaming_app_spark.session import apply_runtime_confs
+# self-locate: keep the package importable even when this module is
+# loaded by file path rather than through the repo root on sys.path
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from kafka_spark_streaming_app_spark import registry  # noqa: E402
+from kafka_spark_streaming_app_spark.session import apply_runtime_confs  # noqa: E402
 
 registry.load_all()
 
