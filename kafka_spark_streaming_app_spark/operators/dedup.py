@@ -118,6 +118,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 12,
     band_size: int = 2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded LSH: documents sharing any band signature become a
     candidate pair. Returns distinct (id_a, id_b) with id_a < id_b.
@@ -125,6 +126,15 @@ def lsh_candidate_pairs(
     The band table is (id, band_idx, band_sig) — a self equi-join on
     (band_idx, band_sig) whose shuffle is k/band_size rows per doc of
     ~28 bytes each.
+
+    ``max_bucket_size`` is the hot-bucket cap for web-scale corpora:
+    buckets with more members than the cap are boilerplate by
+    definition (a random 120-bit band signature collides ~never), and
+    pairing inside one is quadratic — so they are dropped *before* the
+    self-join via a semi-join against the small-bucket list. The cap
+    costs one extra aggregation over the band table (tiny: one row per
+    bucket) and bounds the worst-case pair count at N·cap instead of
+    N².
     """
     if num_hashes % band_size != 0:
         raise ValueError(
@@ -147,6 +157,14 @@ def lsh_candidate_pairs(
     exploded = signatures.select(
         F.col(id_col), F.explode(F.array(*bands)).alias("band")
     ).select(id_col, "band.band_idx", "band.band_sig")
+    if max_bucket_size is not None:
+        small = (
+            exploded.groupBy("band_idx", "band_sig")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .select("band_idx", "band_sig")
+        )
+        exploded = exploded.join(small, ["band_idx", "band_sig"], "left_semi")
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -203,6 +221,48 @@ def jaccard_pairs(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
         )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        common.join(sa, F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("id_b") == F.col(f"sb.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_verify_candidates(
+    shingle_df: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard restricted to LSH candidate pairs — the verify
+    stage of MinHash+LSH dedup. Intersection sizes come from joining
+    each candidate pair to both docs' shingle sets on shingle equality;
+    cost is proportional to the candidate docs' shingles, never the
+    corpus². Returns (id_a, id_b, jaccard) with jaccard ≥ threshold.
+    """
+    sizes = shingle_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = shingle_df.alias("a")
+    b = shingle_df.alias("b")
+    common = (
+        candidates.join(a, F.col("id_a") == F.col(f"a.{id_col}"))
+        .join(
+            b,
+            (F.col("id_b") == F.col(f"b.{id_col}"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.alias("sa")

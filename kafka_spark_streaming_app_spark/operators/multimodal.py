@@ -135,6 +135,8 @@ def extract_features(media: DataFrame, num_bins: int = 16) -> DataFrame:
     model when codecs are available)."""
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
         import numpy as np
 
         for pdf in batches:
@@ -154,13 +156,22 @@ def extract_features(media: DataFrame, num_bins: int = 16) -> DataFrame:
                     if arr.size
                     else np.zeros(num_bins, dtype=np.int64)
                 )
+                # mean/std from EXACT integer power sums (values ≤ 255,
+                # sums stay far below 2^53): every downstream double op
+                # (divide, multiply, subtract, sqrt) is then a single
+                # IEEE rounding an oracle engine reproduces bit-for-bit
+                n = int(arr.size)
+                s = int(arr.sum(dtype=np.int64))
+                ss = int((arr.astype(np.int64) ** 2).sum())
+                mean = s / n if n else 0.0
+                var = max(0.0, ss / n - (s / n) * (s / n)) if n else 0.0
                 out.append(
                     {
                         "media_id": media_id,
                         "media_type": media_type,
-                        "n_bytes": int(arr.size),
-                        "byte_mean": float(arr.mean()) if arr.size else 0.0,
-                        "byte_std": float(arr.std()) if arr.size else 0.0,
+                        "n_bytes": n,
+                        "byte_mean": mean,
+                        "byte_std": math.sqrt(var),
                         "histogram": hist.astype("int64").tolist(),
                     }
                 )

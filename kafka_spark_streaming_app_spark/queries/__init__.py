@@ -2,27 +2,34 @@
 
 Importing this package registers everything into ``registry.QUERIES``
 and ``registry.ORACLES``.
+
+IMPORT ORDER IS REGISTRATION ORDER, and the driver samples the
+registry head-first when it caps the per-round correctness run — so
+the flagship windowed/streaming queries, the TPC-H tail, and the
+LLM-pipeline components register before the long tail of
+function-breadth queries (all of which stay pytest-covered via
+test_oracle_parity regardless of driver sampling).
 """
 
 from . import (  # noqa: F401
-    alerts,
-    analytics,
-    asof,
+    windowed,
+    streaming,
+    tpch_extra,
+    sqlapi,
+    text,
+    similarity,
+    multimodal,
     curation,
     dedup,
-    functions_breadth,
-    grouped_map,
+    analytics,
+    relational,
+    alerts,
     jsonpath,
-    multimodal,
+    asof,
+    sessions,
+    grouped_map,
+    functions_breadth,
     nulls,
     pivots,
     profile,
-    relational,
-    sessions,
-    similarity,
-    sqlapi,
-    streaming,
-    text,
-    tpch_extra,
-    windowed,
 )

@@ -224,16 +224,23 @@ def tfidf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
-    n_docs = docs.count()
+    # n_docs stays IN-PLAN: a 1-row aggregate cross-joined (Spark plans
+    # it as a broadcast nested-loop of one row) — no eager driver-side
+    # count() job, no literal baked into the plan.
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    # no broadcast hint on df: `df < 400` keeps the RARE tokens, i.e.
+    # nearly the whole vocabulary — unbounded in corpus size. AQE
+    # broadcasts only if the side is actually small.
     return (
-        tf.join(F.broadcast(df.filter(F.col("df") < 400)), "token")
+        tf.join(df.filter(F.col("df") < 400), "token")
+        .crossJoin(n_docs)
         .select(
             "doc_id",
             "token",
             "tf",
             "df",
             F.round(
-                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 8
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 8
             ).alias("tfidf"),
         )
     )

@@ -13,7 +13,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import NORMALIZE_SQL, TOKENS_SQL, shingles_sql
-from ..operators.dedup import jaccard_pairs, shingle_sets
+from ..operators.dedup import (
+    jaccard_verify_candidates,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingle_sets,
+)
 from ..operators.text import SUBWORD_PATTERN
 from ..registry import query
 from ..sources.batch import load_table
@@ -102,10 +107,21 @@ def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_canon = quality.groupBy("content_hash").agg(
         F.min("doc_id").alias("doc_id")
     ).select("doc_id")
-    # fuzzy-pair only the quality survivors (see oracle comment)
+    # fuzzy-pair only the quality survivors (see oracle comment).
+    # Scale path: MinHash+LSH candidate generation (hot-bucket capped)
+    # then exact Jaccard on candidates ONLY — never the all-pairs
+    # shingle self-join (quadratic on boilerplate shingles). The oracle
+    # stays the exact pair set, so the driver check also proves LSH
+    # recall at the planted similarity level.
     quality_docs = docs.join(quality.select("doc_id"), "doc_id", "left_semi")
+    sigs = minhash_signatures(quality_docs, num_hashes=12, shingle_n=3)
+    candidates = lsh_candidate_pairs(
+        sigs, num_hashes=12, band_size=2, max_bucket_size=64
+    )
     fuzzy_drop = (
-        jaccard_pairs(shingle_sets(quality_docs, n=3), threshold=0.5)
+        jaccard_verify_candidates(
+            shingle_sets(quality_docs, n=3), candidates, threshold=0.5
+        )
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )

@@ -19,6 +19,7 @@ from ..operators.dedup import (
     dedup_exact,
     embedding_near_dup_pairs,
     jaccard_pairs,
+    jaccard_verify_candidates,
     lsh_candidate_pairs,
     minhash_signatures,
     shingle_sets,
@@ -100,34 +101,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, num_hashes=12, shingle_n=3)
     candidates = lsh_candidate_pairs(sigs, num_hashes=12, band_size=2)
-    ds = shingle_sets(docs, n=3)
-    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = ds.alias("a")
-    b = ds.alias("b")
-    common = (
-        candidates.join(a, F.col("id_a") == F.col("a.doc_id"))
-        .join(
-            b,
-            (F.col("id_b") == F.col("b.doc_id"))
-            & (F.col("a.shingle") == F.col("b.shingle")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    return (
-        common.join(sa, F.col("id_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("n_common").cast("double")
-                / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.5)
+    return jaccard_verify_candidates(
+        shingle_sets(docs, n=3), candidates, threshold=0.5
     )
 
 

@@ -43,16 +43,115 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_features")
+# The fake featurizer computes byte stats from EXACT integer power
+# sums, so the whole feature row is SQL-expressible: the oracle
+# re-derives per-byte values from the hex encoding of the payload.
+_FEATURES_ORACLE = """
+WITH b AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           hex(encode(text)) AS h,
+           octet_length(encode(text)) AS n
+    FROM documents
+),
+bytes AS (
+    SELECT doc_id, ('0x' || substr(h, 2 * i - 1, 2))::INT AS v
+    FROM (SELECT doc_id, h, unnest(range(1, n + 1)) AS i FROM b)
+),
+stats AS (
+    SELECT doc_id, count(*) AS n_bytes, sum(v) AS s, sum(v * v) AS ss
+    FROM bytes GROUP BY doc_id
+),
+binc AS (
+    SELECT doc_id, v // 16 AS bin, count(*) AS c FROM bytes GROUP BY 1, 2
+),
+bins AS (
+    SELECT b.doc_id, g.bin, coalesce(c.c, 0) AS c
+    FROM b
+    CROSS JOIN generate_series(0, 15) AS g(bin)
+    LEFT JOIN binc c ON c.doc_id = b.doc_id AND c.bin = g.bin
+),
+hist AS (
+    SELECT doc_id, string_agg(c::VARCHAR, ',' ORDER BY bin) AS histogram
+    FROM bins GROUP BY doc_id
+)
+SELECT
+    b.doc_id AS media_id,
+    b.media_type,
+    coalesce(s.n_bytes, 0) AS n_bytes,
+    CASE WHEN coalesce(s.n_bytes, 0) = 0 THEN 0.0
+         ELSE round(s.s::DOUBLE / s.n_bytes, 6) END AS byte_mean,
+    CASE WHEN coalesce(s.n_bytes, 0) = 0 THEN 0.0
+         ELSE round(sqrt(greatest(0.0,
+              s.ss::DOUBLE / s.n_bytes
+              - (s.s::DOUBLE / s.n_bytes) * (s.s::DOUBLE / s.n_bytes))), 6)
+    END AS byte_std,
+    h.histogram
+FROM b
+LEFT JOIN stats s ON s.doc_id = b.doc_id
+LEFT JOIN hist h ON h.doc_id = b.doc_id
+"""
+
+
+@query("multimodal_features", _FEATURES_ORACLE)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched byte-feature extraction (mapInPandas). Rows-only:
-    the Pandas stage has no SQL twin."""
+    """Arrow-batched byte-feature extraction (mapInPandas), projected
+    to a canon-safe shape for the harness: the histogram array is
+    serialized to a comma-joined string (array columns are unhashable
+    driver-side), mean/std rounded at the engine boundary."""
     media = synthesize_media(load_table(spark, sf_dir, "documents"))
-    return extract_features(media)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        F.round("byte_mean", 6).alias("byte_mean"),
+        F.round("byte_std", 6).alias("byte_std"),
+        F.array_join(F.col("histogram").cast("array<string>"), ",").alias(
+            "histogram"
+        ),
+    )
 
 
-@query("multimodal_frame_sample")
+# Frame expansion over the deterministic fake is pure arithmetic:
+# video docs have n_frames = n_chars % 32 + 2, slices of step
+# max(n_bytes // n_frames, 1), sampled every 2nd index. The oracle
+# reproduces ids × frame indices and each slice's byte length.
+_FRAMES_ORACLE = """
+WITH v AS (
+    SELECT doc_id,
+           octet_length(encode(text)) AS nb,
+           (n_chars % 32 + 2) AS n_frames
+    FROM documents
+    WHERE doc_id % 3 = 2
+),
+f AS (
+    SELECT doc_id, nb,
+           greatest(nb // greatest(n_frames, 1), 1) AS step,
+           unnest(range(0, n_frames, 2)) AS frame_idx
+    FROM v
+)
+SELECT
+    doc_id AS media_id,
+    CAST(frame_idx AS INTEGER) AS frame_idx,
+    CAST(greatest(0, least((frame_idx + 1) * step, nb) - frame_idx * step)
+         AS BIGINT) AS frame_bytes
+FROM f
+"""
+
+
+@query("multimodal_frame_sample", _FRAMES_ORACLE)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Row-expanding frame sampler over video rows (mapInPandas)."""
+    """Row-expanding frame sampler over video rows (mapInPandas),
+    projected to (id, frame index, slice length) — binary payloads
+    stay out of the canon (bytearray columns are unhashable
+    driver-side); the length check still pins the exact slicing."""
     media = synthesize_media(load_table(spark, sf_dir, "documents"))
-    return sample_frames(media, every_n=2)
+    frames = sample_frames(media, every_n=2)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.octet_length("frame_payload").cast("bigint").alias("frame_bytes"),
+    )

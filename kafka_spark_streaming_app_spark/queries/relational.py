@@ -114,8 +114,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
     )
+    # Broadcast ONLY the selective customer filter; orders keeps most of
+    # its rows under the date predicate, so lineitem ⋈ orders must stay
+    # a shuffle join (broadcasting the fact side OOMs at scale). Plan
+    # shape pinned in tests/test_plans.py.
     joined = l.join(
-        F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
         l.l_orderkey == o.o_orderkey,
     )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -459,7 +463,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer is the LARGEST TPC-H dimension (15M rows at sf100) —
+        # no broadcast hint; AQE broadcasts only if actually small
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
     )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))

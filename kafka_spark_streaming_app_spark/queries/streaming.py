@@ -228,8 +228,8 @@ WHERE f.value > 300 OR f.event_type IN ('error') OR f.is_fraud
 def streaming_enriched_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STATIC join: the alert stream enriched with per-user
     lifetime stats from the static orders table — the canonical
-    dimension-enrichment pattern (static side is batch-planned and
-    broadcast into every micro-batch; no streaming state)."""
+    dimension-enrichment pattern (static side is batch-planned per
+    micro-batch; no streaming state)."""
     from ..operators.alerts import fraud_predicate
     from ..operators.windowed import stabilized_sum
 
@@ -253,7 +253,10 @@ def streaming_enriched_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
             stabilized_sum("o_totalprice").alias("lifetime_spend"),
         )
     )
-    enriched = alerts.join(F.broadcast(user_stats), "user_id", "left").select(
+    # user_stats cardinality is the user count — unbounded at scale, so
+    # no broadcast hint; Spark plans the stream-static join per
+    # micro-batch and broadcasts only if the static side is small
+    enriched = alerts.join(user_stats, "user_id", "left").select(
         "event_id",
         "user_id",
         F.col("amount"),

@@ -195,7 +195,8 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        # no broadcast hint on customer (largest dimension) — AQE decides
+        .join(c, F.col("o_custkey") == c.c_custkey)
         .join(l, F.col("o_orderkey") == l.l_orderkey)
         .groupBy("c_name", "o_orderkey", "o_totalprice")
         .agg(stabilized_sum("l_quantity").alias("total_qty"))

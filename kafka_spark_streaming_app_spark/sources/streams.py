@@ -30,9 +30,9 @@ KAFKA_READER_DEFAULTS = {
     "startingOffsets": "latest",
     "maxOffsetsPerTrigger": "1000",
     "kafka.request.timeout.ms": "60000",
-    "kafka.session.timeout.ms": "60000",
+    "kafka.session.timeout.ms": "30000",
     "kafka.heartbeat.interval.ms": "10000",
-    "kafka.connections.max.idle.ms": "540000",
+    "kafka.connections.max.idle.ms": "300000",
     "kafka.metadata.max.age.ms": "300000",
 }
 

@@ -3,7 +3,7 @@ engine's confs), import __spark_entry__ from the repo root, smoke
 entry(), then run every queries()[name] vs oracle_sql()[name] at
 sf0.01 with an order-insensitive value hash.
 
-Usage: python scripts/driver_sim.py [--smoke]
+Usage: python scripts/driver_sim.py [--smoke] [--only q1,q2,...]
 """
 
 import hashlib
@@ -32,6 +32,9 @@ def value_hash(pdf):
 
 def main() -> int:
     smoke_only = "--smoke" in sys.argv
+    only = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("driver-sim")
@@ -42,10 +45,11 @@ def main() -> int:
 
     import __spark_entry__ as e
 
-    df = e.entry(spark)
-    rows = df.collect()
-    print(f"entry(): {len(rows)} rows, schema={[f.name for f in df.schema.fields]}")
-    assert len(rows) > 0, "entry() returned no rows"
+    if only is None:
+        df = e.entry(spark)
+        rows = df.collect()
+        print(f"entry(): {len(rows)} rows, schema={[f.name for f in df.schema.fields]}")
+        assert len(rows) > 0, "entry() returned no rows"
     if smoke_only:
         spark.stop()
         return 0
@@ -58,6 +62,10 @@ def main() -> int:
         )
 
     qs, oracles = e.queries(), e.oracle_sql()
+    if only is not None:
+        missing = only - set(qs)
+        assert not missing, f"--only names not registered: {missing}"
+        qs = {n: f for n, f in qs.items() if n in only}
     print(f"{len(qs)} queries, {len(oracles)} oracles")
     failures = []
     for name, fn in qs.items():

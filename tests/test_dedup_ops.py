@@ -1,0 +1,52 @@
+"""Dedup operator units that the oracle queries don't pin: the LSH
+hot-bucket cap and candidate-restricted Jaccard verification."""
+
+from __future__ import annotations
+
+from kafka_spark_streaming_app_spark.operators.dedup import (
+    jaccard_verify_candidates,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingle_sets,
+)
+
+
+def _boilerplate_corpus(spark, n_dups: int):
+    """n_dups identical docs (one hot LSH bucket) + one distinct pair."""
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, text) for i in range(n_dups)]
+    rows += [
+        (100, "completely different content about distributed query engines"),
+        (101, "completely different content about distributed query engines"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_lsh_hot_bucket_cap_drops_boilerplate(spark):
+    docs = _boilerplate_corpus(spark, n_dups=8)
+    sigs = minhash_signatures(docs, num_hashes=12, shingle_n=3)
+
+    uncapped = lsh_candidate_pairs(sigs, num_hashes=12, band_size=2)
+    # 8 identical docs pair quadratically: C(8,2)=28, plus the planted pair
+    assert uncapped.count() == 29
+
+    capped = lsh_candidate_pairs(
+        sigs, num_hashes=12, band_size=2, max_bucket_size=4
+    )
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    # the 8-doc boilerplate bucket exceeds the cap and is dropped whole;
+    # the 2-doc bucket survives
+    assert got == {(100, 101)}
+
+
+def test_jaccard_verify_restricted_to_candidates(spark):
+    docs = _boilerplate_corpus(spark, n_dups=3)
+    ss = shingle_sets(docs, n=3)
+    candidates = spark.createDataFrame([(0, 1), (100, 101)], ["id_a", "id_b"])
+    verified = jaccard_verify_candidates(ss, candidates, threshold=0.5)
+    got = {(r.id_a, r.id_b): r.jaccard for r in verified.collect()}
+    # only candidate pairs are scored — (0,2)/(1,2) are true dups but
+    # were never candidates, so they must not appear
+    assert set(got) == {(0, 1), (100, 101)}
+    assert got[(0, 1)] == 1.0
+    assert got[(100, 101)] == 1.0

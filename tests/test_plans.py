@@ -47,6 +47,79 @@ def test_q3_broadcasts_dimensions_and_takes_ordered(spark, sf_smoke):
     )
 
 
+def test_q3_fact_side_shuffles_only_customer_broadcast(spark, sf_smoke):
+    """The scale contract for q3: customer (selective dim filter) is
+    the ONLY hinted broadcast; lineitem ⋈ orders must shuffle — the
+    orders date filter keeps most rows, so broadcasting that side OOMs
+    at 100 TB. autoBroadcastJoinThreshold is disabled so the test sees
+    hints, not sf0.001 size estimates."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try:
+        plan = plan_str(registry.QUERIES["q3_shipping_priority"](spark, sf_smoke))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") == 1, (
+        "exactly one hinted broadcast (customer) expected:\n" + tree
+    )
+    assert "SortMergeJoin" in tree or "ShuffledHashJoin" in tree, (
+        "lineitem ⋈ orders is not a shuffle join:\n" + tree
+    )
+
+
+def test_q10_q18_no_customer_broadcast_hint(spark, sf_smoke):
+    """customer is the largest TPC-H dimension — the plan must not
+    force-broadcast it (AQE may still choose to at small sf; with the
+    threshold disabled, only hints survive, and the only hinted
+    broadcast left is q10's nation)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try:
+        q10 = plan_str(registry.QUERIES["q10_returned_items"](spark, sf_smoke))
+        q18 = plan_str(
+            registry.QUERIES["q18_large_volume_orders"](spark, sf_smoke)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    q10_tree = q10.split("\n\n")[0]
+    q18_tree = q18.split("\n\n")[0]
+    assert q10_tree.count("BroadcastHashJoin") == 1, (
+        "q10 should hint-broadcast nation only:\n" + q10_tree
+    )
+    assert q18_tree.count("BroadcastHashJoin") == 0, (
+        "q18 should have no broadcast hints:\n" + q18_tree
+    )
+
+
+def test_curation_fuzzy_stage_uses_lsh_bands(spark, sf_smoke):
+    """curate_documents' fuzzy dedup must run through banded LSH
+    candidate generation (band_sig bucket join), never the all-pairs
+    shingle self-join."""
+    plan = plan_str(registry.QUERIES["curate_documents"](spark, sf_smoke))
+    assert "band_sig" in plan, (
+        "no LSH band join in the curation plan — fuzzy stage regressed "
+        "to all-pairs"
+    )
+
+
+def test_tfidf_has_no_eager_count_and_no_vocab_broadcast(spark, sf_smoke):
+    """n_docs must be an in-plan 1-row aggregate (no literal baked in
+    by a driver-side count) and the document-frequency table must not
+    be hint-broadcast (it holds nearly the whole vocabulary)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try:
+        plan = plan_str(registry.QUERIES["tfidf_tokens"](spark, sf_smoke))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" not in tree, (
+        "vocabulary (df) table is hint-broadcast:\n" + tree
+    )
+    assert "n_docs" in plan, "n_docs is not computed in-plan"
+
+
 def test_star_join_is_fully_broadcast(spark, sf_smoke):
     plan = plan_str(registry.QUERIES["star_join_dims"](spark, sf_smoke))
     assert plan.count("BroadcastHashJoin") >= 2

@@ -112,6 +112,60 @@ def test_malformed_rows_dropped_by_parse_and_clean(spark):
     assert [r["order_id"] for r in got] == ["good"]
 
 
+def test_wire_format_golden_reference_producer_drift(spark):
+    """Golden replay of the reference PRODUCER's actual wire shape
+    (ecommerce_data_producer.py:59-69), which DRIFTS from the consumer
+    schema (ecommerce_streaming.py:23-36): the producer emits
+    ``customer_id`` and ``region`` that the schema lacks (silently
+    dropped) and omits ``user_id``/``category``/``location``/
+    ``event_type``/``is_fraud_simulation`` that the schema declares
+    (null-filled). Asserts the exact null-fill/drop-extra semantics on
+    the true payload shape, end to end through parse_and_clean."""
+    src = tempfile.mkdtemp(prefix="wire_golden_")
+    # field-for-field the reference producer's generate_order() output
+    producer_payload = {
+        "order_id": "11111111-2222-3333-4444-555555555555",
+        "customer_id": "CUST_1234",
+        "product_id": "P001",
+        "product_name": "Laptop",
+        "quantity": 3,
+        "price": 999.99,
+        "total_amount": 2999.97,
+        "timestamp": "2024-01-01T10:00:05.123456",
+        "region": "US-East",
+    }
+    _write_wire_file(src, "b1.json", [producer_payload])
+    raw = spark.readStream.text(src)
+    parsed = parse_and_clean(raw, ORDER_SCHEMA, watermark=None)
+    name = f"golden_{uuid.uuid4().hex[:8]}"
+    q = write_memory_stream(parsed, name, output_mode="append")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name)
+    # drift extras are DROPPED, not surfaced
+    assert "customer_id" not in out.columns
+    assert "region" not in out.columns
+    [r] = out.collect()
+    # declared-but-absent fields are NULL-filled
+    assert r["user_id"] is None
+    assert r["category"] is None
+    assert r["location"] is None
+    assert r["event_type"] is None
+    assert r["is_fraud_simulation"] is None
+    # present fields parse with their declared types
+    assert r["order_id"] == "11111111-2222-3333-4444-555555555555"
+    assert r["product_id"] == "P001"
+    assert r["product_name"] == "Laptop"
+    assert r["quantity"] == 3
+    assert r["price"] == 999.99
+    assert r["total_amount"] == 2999.97
+    # ISO-8601 'T' separator (datetime.now().isoformat()) parses
+    assert r["event_timestamp"] is not None
+    assert r["event_timestamp"].year == 2024
+
+
 def test_synthesize_orders_matches_reference_derivations(spark):
     """The rate-source derivation transform, checked in batch (it is
     stream-agnostic by construction)."""
