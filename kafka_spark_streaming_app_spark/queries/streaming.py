@@ -66,7 +66,11 @@ def _events_as_wire_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("value")
         )
         src_dir = tempfile.mkdtemp(prefix="wire_stream_")
-        wire.write.mode("overwrite").text(src_dir)
+        # one file per core: the file-stream source assigns one task
+        # per file, so a 2-file wire dir would cap the micro-batch's
+        # parse/agg parallelism at 2 regardless of cluster size
+        n_files = spark.sparkContext.defaultParallelism
+        wire.repartition(n_files).write.mode("overwrite").text(src_dir)
         _WIRE_DIRS[key] = src_dir
     raw = spark.readStream.text(src_dir)
     return parse_and_clean(raw, WIRE_SCHEMA, ts_field="timestamp")
