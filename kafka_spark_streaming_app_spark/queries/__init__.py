@@ -15,6 +15,7 @@ from . import (  # noqa: F401
     windowed,
     streaming,
     tpch_extra,
+    tpch_tail,
     sqlapi,
     text,
     similarity,

@@ -17,7 +17,6 @@ from ..operators.dedup import (
     jaccard_verify_candidates,
     lsh_candidate_pairs,
     minhash_signatures,
-    shingle_sets,
 )
 from ..operators.text import SUBWORD_PATTERN
 from ..registry import query
@@ -120,7 +119,7 @@ def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fuzzy_drop = (
         jaccard_verify_candidates(
-            shingle_sets(quality_docs, n=3), candidates, threshold=0.5
+            quality_docs, candidates, shingle_n=3, threshold=0.5
         )
         .select(F.col("id_b").alias("doc_id"))
         .distinct()

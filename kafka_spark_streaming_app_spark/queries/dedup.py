@@ -102,7 +102,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(docs, num_hashes=12, shingle_n=3)
     candidates = lsh_candidate_pairs(sigs, num_hashes=12, band_size=2)
     return jaccard_verify_candidates(
-        shingle_sets(docs, n=3), candidates, threshold=0.5
+        docs, candidates, shingle_n=3, threshold=0.5
     )
 
 

@@ -1,0 +1,802 @@
+"""TPC-H tail: the remaining classic query shapes (Q7-Q9, Q11, Q13,
+Q15-Q17, Q19-Q22) adapted to the testdata's columns (no ``partsupp``
+table, no ``l_commitdate``/``l_receiptdate`` — shapes that need them
+are re-targeted at equivalent optimizer patterns over the columns that
+exist, mirroring how queries/tpch_extra.py adapts Q2/Q4).
+
+Each query exercises a distinct plan pattern the reference never
+touches but any engine of record must own:
+
+- Q7  multi-way fact/dim join with a nation-pair disjunction
+- Q8  market-share: conditional share of a stabilized total
+- Q9  semi-join through a filtered dimension + two-key rollup
+- Q11 group-HAVING against a global scalar aggregate (in-plan, no
+  driver-side action — same fix pattern the round-1 review demanded
+  for tfidf_tokens)
+- Q13 outer-join distribution (join condition ≠ filter!)
+- Q15 argmax via self-agg max comparison
+- Q16 anti-join (NOT IN) + count(DISTINCT) aggregate
+- Q17 correlated per-group average threshold
+- Q19 disjunction of conjunctive ranges (OR-of-triples)
+- Q20 two-level aggregate chain (supplier share per part)
+- Q21 double-correlated EXISTS/NOT EXISTS, rewritten as one
+  aggregation pass (the scale-correct form: the EXISTS form re-scans
+  lineitem twice; the aggregate form scans once and reuses the
+  orderkey partitioning)
+- Q22 global-average filter + anti-join
+
+Scale notes: no fact-side broadcast hints anywhere; the only hinted
+broadcasts are `nation` (25 rows at every SF) and part tables
+pre-filtered to a constant brand list (bounded independent of SF).
+Everything else is left to AQE, which sees real sizes at runtime.
+
+Decimal discipline (queries/relational.py): plain 2-decimal columns
+sum through DECIMAL(25,4); double products through DECIMAL(27,10) then
+a lossless DECIMAL(25,6) downcast before the double cast, so both
+engines produce bit-identical doubles regardless of partition order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.windowed import stabilized_sum
+from ..registry import query
+from ..sources.batch import load_table
+
+# Revenue sum: extendedprice*(1-discount) has ≤ 4 fractional decimal
+# digits; DECIMAL(27,10) accumulates exactly, DECIMAL(25,6) is a
+# lossless downcast, the final double cast is deterministic.
+_REV_SQL = (
+    "CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,10)))"
+    " AS DECIMAL(25,6)) AS DOUBLE)"
+)
+
+
+def _rev_sum(expr):
+    return (
+        F.sum(expr.cast("decimal(27,10)")).cast("decimal(25,6)").cast("double")
+    )
+
+
+def _revenue_col():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# --- Q7: volume shipping between a nation pair ------------------------------
+
+_Q7_ORACLE = f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       {_REV_SQL} AS revenue
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY n1.n_name, n2.n_name, CAST(year(l.l_shipdate) AS BIGINT)
+"""
+
+
+@query("q7_nation_volume_shipping", _Q7_ORACLE)
+def q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: 6-way join with a nation-pair disjunction.
+
+    Plan strategy: broadcast `nation` (25 rows forever) into supplier
+    and customer FIRST, so both sides arrive at the fact joins already
+    filtered to 2/25 of their rows; lineitem⋈orders is the one real
+    shuffle. The pair disjunction runs post-join on two tiny string
+    columns.
+    """
+    n = load_table(spark, sf_dir, "nation")
+    pair = F.col("n_name").isin("NATION_1", "NATION_2")
+    n1 = n.filter(pair).select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.filter(pair).select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .select("s_suppkey", "supp_nation")
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .select("c_custkey", "cust_nation")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("bigint").alias("l_year"),
+    ).agg(_rev_sum(_revenue_col()).alias("revenue"))
+
+
+# --- Q8: market share --------------------------------------------------------
+
+_Q8_ORACLE = """
+WITH base AS (
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,10)) AS volume,
+           n2.n_name AS supp_nation
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+    JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+    WHERE n1.n_regionkey = 0
+      AND p.p_type = 'STANDARD'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+)
+SELECT o_year,
+       CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                          ELSE CAST(0 AS DECIMAL(27,10)) END)
+                 AS DECIMAL(25,6)) AS DOUBLE)
+       / CAST(CAST(sum(volume) AS DECIMAL(25,6)) AS DOUBLE) AS mkt_share
+FROM base
+GROUP BY o_year
+"""
+
+
+@query("q8_market_share", _Q8_ORACLE)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's purchase volume
+    by year. Conditional-decimal numerator over stabilized denominator
+    — one aggregation, no second pass for the total.
+
+    Join order: lineitem is pre-reduced by a semi-join-able part filter
+    (p_type constant → bounded fraction of part, projected to the key
+    column only) before the orders shuffle.
+    """
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "STANDARD")
+        .select("p_partkey")
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    n = load_table(spark, sf_dir, "nation")
+    cust_nations = n.filter(F.col("n_regionkey") == 0).select(
+        F.col("n_nationkey").alias("c_nkey")
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(cust_nations), F.col("c_nationkey") == F.col("c_nkey"))
+        .select("c_custkey")
+    )
+    supp_nation = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("s_nkey"))
+        .select("s_suppkey", "supp_nation")
+    )
+    vol = _revenue_col().cast("decimal(27,10)")
+    zero = F.lit(0).cast("decimal(27,10)")
+    base = (
+        l.join(p, l.l_partkey == p.p_partkey, "inner")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey, "left_semi")
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    return base.groupBy("o_year").agg(
+        (
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_5", F.col("volume")).otherwise(
+                    zero
+                )
+            )
+            .cast("decimal(25,6)")
+            .cast("double")
+            / F.sum("volume").cast("decimal(25,6)").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+# --- Q9: revenue by supplier nation and year over a part-name filter --------
+
+_Q9_ORACLE = f"""
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       {_REV_SQL} AS sum_revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY n.n_name, CAST(year(o.o_orderdate) AS BIGINT)
+"""
+
+
+@query("q9_nation_year_revenue", _Q9_ORACLE)
+def q9_nation_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit, revenue-adapted — testdata
+    has no partsupp/supplycost): part-name filter reduces lineitem via
+    a key-only semi-join, then the orders shuffle and a (nation, year)
+    rollup.
+
+    The part filter is projected to p_partkey before joining so the
+    build side carries 8 bytes/row — at SF100 a '%red%' filter keeps
+    ~1/6 of 20M parts ≈ 26 MB of keys, which AQE can still broadcast;
+    no explicit hint so larger selectivities degrade gracefully to a
+    shuffle join instead of an OOM.
+    """
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("nation")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("s_nkey"))
+        .select("s_suppkey", "nation")
+    )
+    joined = (
+        l.join(p, l.l_partkey == p.p_partkey, "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+    )
+    return joined.groupBy(
+        "nation", F.year("o_orderdate").cast("bigint").alias("o_year")
+    ).agg(_rev_sum(_revenue_col()).alias("sum_revenue"))
+
+
+# --- Q11: suppliers above a share of global value ---------------------------
+
+_Q11_ORACLE = f"""
+WITH sv AS (
+    SELECT l_suppkey, {_REV_SQL} AS supp_value
+    FROM lineitem
+    GROUP BY l_suppkey
+)
+SELECT l_suppkey, supp_value
+FROM sv
+WHERE supp_value > (SELECT sum(supp_value) * 0.0105 FROM sv)
+"""
+
+
+@query("q11_important_suppliers", _Q11_ORACLE)
+def q11_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock, adapted to supplier revenue
+    share — no partsupp in testdata): grouped aggregate filtered
+    against a scalar aggregate OF ITSELF.
+
+    The global total is a window aggregate OVER the per-supplier
+    aggregate (empty partitionBy) — structurally ONE lineitem scan,
+    unlike the cross-join-a-1-row-agg form whose two branches only
+    merge if AQE's exchange reuse happens to fire (measured: it
+    doesn't for this shape — the executed plan scans lineitem twice).
+    The window's single partition holds one row per supplier
+    (SF-bounded dimension cardinality, ~1M rows at SF100), not fact
+    rows, so the bottleneck is bounded.
+    """
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem")
+    sv = l.groupBy("l_suppkey").agg(_rev_sum(_revenue_col()).alias("supp_value"))
+    total = F.sum("supp_value").over(Window.partitionBy())
+    return (
+        sv.withColumn("_total", total)
+        .filter(F.col("supp_value") > F.col("_total") * 0.0105)
+        .select("l_suppkey", "supp_value")
+    )
+
+
+# --- Q13: customer order-count distribution ---------------------------------
+
+_Q13_ORACLE = """
+SELECT c_count, count(*) AS custdist
+FROM (
+    SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+) per_cust
+GROUP BY c_count
+"""
+
+
+@query("q13_customer_distribution", _Q13_ORACLE)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join whose extra predicate lives in
+    the join condition (NOT the WHERE — moving it would drop the
+    zero-order customers), then a two-level count-of-counts.
+
+    Second aggregation's key cardinality is tiny (distinct order
+    counts), so the heavy shuffle is only the first groupBy on
+    c_custkey — which reuses the join's hash partitioning on the same
+    key, so Catalyst elides the second exchange entirely.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --- Q15: top supplier by period revenue ------------------------------------
+
+_Q15_ORACLE = f"""
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no, {_REV_SQL} AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1997-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+@query("q15_top_supplier", _Q15_ORACLE)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: argmax against a self-aggregate. The max is a
+    window aggregate over the revenue view (ties kept — all suppliers
+    at the max — exactly the SQL semantics), so lineitem is scanned
+    once; the stabilized decimal sum makes the equality comparison
+    safe cross-engine (bit-identical doubles on both sides).
+    """
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _rev_sum(_revenue_col()).alias("total_revenue")
+    )
+    mx = F.max("total_revenue").over(Window.partitionBy())
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.withColumn("_mx", mx)
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --- Q16: supplier counts by part attributes with NOT IN --------------------
+
+_Q16_ORACLE = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+  AND l.l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
+@query("q16_supplier_part_counts", _Q16_ORACLE)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier-count per part attribute, NOT IN
+    exclusion — complaint filter adapted to negative acctbal): the
+    NOT IN over a non-null key column plans as a broadcast anti-join;
+    the part filter (constant brand/type/size lists → bounded rows at
+    any SF) is explicitly broadcast.
+    """
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & (F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(bad_supp, l.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --- Q17: small-quantity revenue against per-part average -------------------
+
+_Q17_ORACLE = """
+WITH pa AS (
+    SELECT l_partkey,
+           CAST(sum(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) / count(*)
+               AS avg_qty
+    FROM lineitem
+    GROUP BY l_partkey
+)
+SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) / 7.0
+           AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN pa ON pa.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#3'
+  AND l.l_quantity < 0.2 * pa.avg_qty
+"""
+
+
+@query("q17_small_quantity_revenue", _Q17_ORACLE)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: rows below 20% of their part's average
+    quantity. Two scale moves over the naive decorrelation:
+
+    1. The brand semi-join happens BEFORE the per-part average — the
+       average only matters for Brand#3 partkeys, so the aggregate's
+       input shrinks by the brand selectivity (1/25 here) and lineitem
+       is scanned once, not once per branch.
+    2. The per-part average is a window aggregate over that slice
+       (stabilized decimal sum / exact count — bit-identical doubles
+       make the `<` threshold safe cross-engine), so there is no
+       aggregate-then-join-back: one exchange on l_partkey total.
+    """
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#3")
+        .select("p_partkey")
+    )
+    sliced = l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "left_semi")
+    w = Window.partitionBy("l_partkey")
+    avg_qty = (
+        F.sum(F.col("l_quantity").cast("decimal(25,4)"))
+        .over(w)
+        .cast("decimal(25,4)")
+        .cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        sliced.withColumn("avg_qty", avg_qty)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (stabilized_sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly")
+        )
+    )
+
+
+# --- Q19: disjunction of conjunctive ranges ---------------------------------
+
+_Q19_ORACLE = f"""
+SELECT {_REV_SQL} AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#16' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@query("q19_discounted_revenue", _Q19_ORACLE)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR of brand/size/quantity triples across the
+    join. The part side is pre-filtered to the UNION of the per-branch
+    part predicates (3 constant brands → bounded build side, explicit
+    broadcast); the full disjunction is re-applied post-join, and the
+    lineitem side gets the derivable quantity envelope (1..30) pushed
+    into the scan.
+    """
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (
+                (F.col("p_brand") == "Brand#2")
+                & F.col("p_size").between(1, 15)
+            )
+            | (
+                (F.col("p_brand") == "Brand#11")
+                & F.col("p_size").between(1, 25)
+            )
+            | (
+                (F.col("p_brand") == "Brand#16")
+                & F.col("p_size").between(1, 35)
+            )
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(1, 30)
+    )
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#16")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(branch)
+        .agg(_rev_sum(_revenue_col()).alias("revenue"))
+    )
+
+
+# --- Q20: suppliers shipping over half a part's volume ----------------------
+
+_Q20_ORACLE = """
+WITH pp AS (
+    SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+),
+flt AS (
+    SELECT l.l_suppkey, l.l_partkey, l.l_quantity
+    FROM lineitem l
+    JOIN pp ON l.l_partkey = pp.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+),
+sq AS (
+    SELECT l_suppkey, l_partkey,
+           CAST(sum(CAST(l_quantity AS DECIMAL(25,4))) AS DECIMAL(25,4))
+               AS supp_qty_dec
+    FROM flt GROUP BY l_suppkey, l_partkey
+),
+pq AS (
+    SELECT l_partkey,
+           CAST(sum(supp_qty_dec) AS DECIMAL(25,4)) AS part_qty_dec
+    FROM sq GROUP BY l_partkey
+)
+SELECT DISTINCT s.s_suppkey, s.s_name
+FROM supplier s
+JOIN sq ON s.s_suppkey = sq.l_suppkey
+JOIN pq ON sq.l_partkey = pq.l_partkey
+WHERE CAST(sq.supp_qty_dec AS DOUBLE) > 0.5 * CAST(pq.part_qty_dec AS DOUBLE)
+"""
+
+
+@query("q20_dominant_suppliers", _Q20_ORACLE)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (excess-availability, adapted: suppliers who
+    shipped more than half of a red-part's annual volume): the
+    per-part total is a window sum OVER the per-(supplier, part)
+    aggregate (sums stay in exact DECIMAL until the final comparison)
+    — lineitem is scanned ONCE and the comparison needs no join at
+    all: the window partition is the partkey, whose rows are already
+    one-per-supplier-per-part.
+    """
+    from pyspark.sql import Window
+
+    pp = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    flt = l.join(pp, l.l_partkey == pp.p_partkey, "left_semi").select(
+        "l_suppkey", "l_partkey", "l_quantity"
+    )
+    sq = flt.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(25,4)"))
+        .cast("decimal(25,4)")
+        .alias("supp_qty_dec")
+    )
+    part_total = (
+        F.sum("supp_qty_dec")
+        .over(Window.partitionBy("l_partkey"))
+        .cast("decimal(25,4)")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        sq.withColumn("part_qty_dec", part_total)
+        .filter(
+            F.col("supp_qty_dec").cast("double")
+            > 0.5 * F.col("part_qty_dec").cast("double")
+        )
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
+
+
+# --- Q21: suppliers who kept multi-supplier orders waiting ------------------
+
+_Q21_ORACLE = """
+SELECT s.s_name, count(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F'
+  AND n.n_name = 'NATION_3'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey
+        AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s.s_name
+"""
+
+
+@query("q21_waiting_suppliers", _Q21_ORACLE)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who were the sole late shipper on a
+    multi-supplier order; 'late' adapted to shipdate > orderdate+60d —
+    no receipt/commit dates in testdata).
+
+    The double-correlated EXISTS / NOT EXISTS is rewritten as ONE
+    aggregation pass: per (orderkey, suppkey) count late lines, then
+    per orderkey count suppliers and late suppliers (a window over the
+    same orderkey partitioning — zero extra exchanges), and keep
+    supplier rows that are late where total suppliers > 1 and late
+    suppliers == 1. The EXISTS form (the oracle) scans lineitem three
+    times; this form scans it once — the difference between a night
+    and an hour at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lines = l.join(o, l.l_orderkey == o.o_orderkey).withColumn(
+        "is_late",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).cast("int"),
+    )
+    per_supp = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum("is_late").alias("n_late_lines")
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_supp.withColumn(
+        "n_suppliers", F.count(F.lit(1)).over(w)
+    ).withColumn(
+        "n_late_suppliers",
+        F.sum((F.col("n_late_lines") > 0).cast("int")).over(w),
+    )
+    waiting = flagged.filter(
+        (F.col("n_late_lines") > 0)
+        & (F.col("n_suppliers") > 1)
+        & (F.col("n_late_suppliers") == 1)
+    )
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    ).select("n_nationkey")
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        waiting.join(s, F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.sum("n_late_lines").alias("numwait"))
+    )
+
+
+# --- Q22: rich idle customers ------------------------------------------------
+
+_Q22_ORACLE = """
+SELECT c.c_nationkey, count(*) AS numcust,
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(25,4))) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (
+    SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(25,4))) AS DOUBLE) / count(*)
+    FROM customer c2 WHERE c2.c_acctbal > 0
+)
+AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '1999-07-01'
+)
+GROUP BY c.c_nationkey
+"""
+
+
+@query("q22_idle_rich_customers", _Q22_ORACLE)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-average threshold + anti-join; country
+    code adapted to c_nationkey — testdata has no phone column). The
+    global average is an in-plan 1-row aggregate (stabilized sum /
+    exact count — safe `>` comparison cross-engine); customers with
+    recent orders drop via a LEFT ANTI join on o_custkey ('idle' =
+    nothing ordered since mid-1999; a plain no-orders-ever anti-join is
+    empty at every SF of this testdata, which would make the oracle
+    trivially green).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (stabilized_sum("c_acctbal") / F.count(F.lit(1))).alias("_avg")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-07-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(avg_bal)
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(o, c.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            stabilized_sum("c_acctbal").alias("totacctbal"),
+        )
+    )

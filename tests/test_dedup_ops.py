@@ -7,7 +7,6 @@ from kafka_spark_streaming_app_spark.operators.dedup import (
     jaccard_verify_candidates,
     lsh_candidate_pairs,
     minhash_signatures,
-    shingle_sets,
 )
 
 
@@ -41,9 +40,8 @@ def test_lsh_hot_bucket_cap_drops_boilerplate(spark):
 
 def test_jaccard_verify_restricted_to_candidates(spark):
     docs = _boilerplate_corpus(spark, n_dups=3)
-    ss = shingle_sets(docs, n=3)
     candidates = spark.createDataFrame([(0, 1), (100, 101)], ["id_a", "id_b"])
-    verified = jaccard_verify_candidates(ss, candidates, threshold=0.5)
+    verified = jaccard_verify_candidates(docs, candidates, threshold=0.5)
     got = {(r.id_a, r.id_b): r.jaccard for r in verified.collect()}
     # only candidate pairs are scored — (0,2)/(1,2) are true dups but
     # were never candidates, so they must not appear

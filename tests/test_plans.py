@@ -202,3 +202,58 @@ def test_pivot_is_single_aggregation(spark, sf_smoke):
     plan = plan_str(registry.QUERIES["pivot_status_revenue"](spark, sf_smoke))
     assert plan.count("- Exchange") == 1
     assert plan.count("- HashAggregate") == 2
+
+
+def test_q7_broadcasts_only_nation_fact_join_shuffles(spark, sf_smoke):
+    """q7's scale contract: the two hinted broadcasts are nation
+    filtered to the pair (25 rows at every SF); lineitem ⋈ orders must
+    stay a shuffle join."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try:
+        plan = plan_str(
+            registry.QUERIES["q7_nation_volume_shipping"](spark, sf_smoke)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") == 2, (
+        "exactly two hinted broadcasts (nation→supplier, nation→customer) "
+        "expected:\n" + tree
+    )
+    assert "SortMergeJoin" in tree or "ShuffledHashJoin" in tree, (
+        "lineitem ⋈ orders is not a shuffle join:\n" + tree
+    )
+
+
+def test_scalar_aggregate_queries_scan_lineitem_once(spark, sf_smoke):
+    """q11/q15/q17/q20 compare a relation against an aggregate of
+    itself. The window-over-aggregate form guarantees ONE lineitem
+    scan structurally; the cross-join-a-1-row-agg form re-scans the
+    fact table per branch (exchange reuse does NOT reliably fire for
+    it — measured on the executed plan)."""
+    for name in (
+        "q11_important_suppliers",
+        "q15_top_supplier",
+        "q17_small_quantity_revenue",
+        "q20_dominant_suppliers",
+    ):
+        plan = plan_str(registry.QUERIES[name](spark, sf_smoke))
+        assert plan.count("lineitem.parquet") == 1, (
+            f"{name}: lineitem scanned more than once"
+        )
+
+
+def test_q21_single_pass_no_exists_rescan(spark, sf_smoke):
+    """The EXISTS/NOT-EXISTS rewrite must keep exactly one lineitem
+    scan (the whole point of the aggregation form — the subquery form
+    scans lineitem three times)."""
+    plan = plan_str(registry.QUERIES["q21_waiting_suppliers"](spark, sf_smoke))
+    assert plan.count("lineitem.parquet") == 1, (
+        "q21 re-scans lineitem — EXISTS-style plan crept back in"
+    )
+
+
+def test_q16_not_in_plans_as_anti_join(spark, sf_smoke):
+    plan = plan_str(registry.QUERIES["q16_supplier_part_counts"](spark, sf_smoke))
+    assert "LeftAnti" in plan, "NOT IN exclusion did not plan as an anti-join"
