@@ -21,6 +21,7 @@ from . import (  # noqa: F401
     similarity,
     multimodal,
     curation,
+    llmprep,
     dedup,
     analytics,
     relational,

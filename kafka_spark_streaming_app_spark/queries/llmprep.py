@@ -1,0 +1,188 @@
+"""Training-data preparation queries: chunking, PII scrubbing,
+deterministic splits — driver-facing wrappers over
+operators/llmprep.py with exact DuckDB oracles.
+
+The corpus contains no natural PII, so the PII query synthesizes
+deterministic emails/URLs/phone numbers from doc_id on BOTH engines
+(same pattern as the multimodal payload synthesis) — the oracle then
+proves detection counts AND redaction output byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import TOKENS_SQL, h60_sql
+from ..operators.llmprep import (
+    EMAIL_PATTERN,
+    PHONE_PATTERN,
+    URL_PATTERN,
+    chunk_documents,
+    dataset_split,
+    pii_scrub,
+)
+from ..registry import query
+from ..sources.batch import load_table
+
+# --- chunking ---------------------------------------------------------------
+
+_CHUNK, _OVERLAP = 64, 16
+_STRIDE = _CHUNK - _OVERLAP
+_WORDS = TOKENS_SQL.format(x="text")
+
+_CHUNK_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, {_WORDS} AS w FROM documents
+),
+st AS (
+    SELECT doc_id, w,
+           unnest(range(1, greatest(len(w) - {_OVERLAP}, 1) + 1, {_STRIDE}))
+               AS start
+    FROM toks
+)
+SELECT doc_id,
+       CAST((start - 1) // {_STRIDE} AS BIGINT) AS chunk_idx,
+       array_to_string(list_slice(w, start, start + {_CHUNK} - 1), ' ')
+           AS chunk_text,
+       CAST(least({_CHUNK}, len(w) - start + 1) AS BIGINT)
+           AS n_chunk_tokens
+FROM st
+"""
+
+
+@query("chunk_documents", _CHUNK_ORACLE)
+def chunk_documents_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-token chunks with 16-token overlap over every document —
+    chunk text checked byte-for-byte cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, chunk_tokens=_CHUNK, overlap=_OVERLAP
+    )
+
+
+# --- PII scrub --------------------------------------------------------------
+
+_SYNTH_SQL = """
+    text || CASE doc_id % 4
+        WHEN 0 THEN ' contact agent' || CAST(doc_id AS VARCHAR)
+                    || '@example.com for details'
+        WHEN 1 THEN ' see https://docs.example.com/p/'
+                    || CAST(doc_id AS VARCHAR) || '?ref=x now'
+        WHEN 2 THEN ' call +1 (555) 01' || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+                    || ' today'
+        ELSE ''
+    END
+"""
+
+_PII_ORACLE = f"""
+WITH synth AS (
+    SELECT doc_id, {_SYNTH_SQL} AS text FROM documents
+),
+eu AS (
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{EMAIL_PATTERN}')) AS n_emails,
+           len(regexp_extract_all(text, '{URL_PATTERN}')) AS n_urls,
+           regexp_replace(regexp_replace(text, '{EMAIL_PATTERN}', '<EMAIL>', 'g'),
+                          '{URL_PATTERN}', '<URL>', 'g') AS redacted_eu
+    FROM synth
+)
+SELECT doc_id,
+       CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(n_urls AS BIGINT) AS n_urls,
+       CAST(len(regexp_extract_all(redacted_eu, '{PHONE_PATTERN}')) AS BIGINT)
+           AS n_phones,
+       regexp_replace(redacted_eu, '{PHONE_PATTERN}', '<PHONE>', 'g')
+           AS redacted
+FROM eu
+"""
+
+
+@query("pii_scrub", _PII_ORACLE)
+def pii_scrub_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/URL/phone detection counts + full redacted text, over a
+    corpus with synthesized PII (doc_id % 4 selects the PII kind, so
+    ~3/4 of docs have exactly one planted match and the rest none)."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 4 == 0,
+                F.concat(
+                    F.lit(" contact agent"),
+                    did.cast("string"),
+                    F.lit("@example.com for details"),
+                ),
+            )
+            .when(
+                did % 4 == 1,
+                F.concat(
+                    F.lit(" see https://docs.example.com/p/"),
+                    did.cast("string"),
+                    F.lit("?ref=x now"),
+                ),
+            )
+            .when(
+                did % 4 == 2,
+                F.concat(
+                    F.lit(" call +1 (555) 01"),
+                    F.lpad(did.cast("string"), 4, "0"),
+                    F.lit(" today"),
+                ),
+            )
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scrub(synth)
+
+
+# --- deterministic split ----------------------------------------------------
+
+_BUCKET_SQL = h60_sql("('split|' || CAST(doc_id AS VARCHAR))") + " % 100"
+
+_SPLIT_ORACLE = f"""
+SELECT doc_id, lang,
+       CASE WHEN {_BUCKET_SQL} < 80 THEN 'train'
+            WHEN {_BUCKET_SQL} < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+@query("dataset_split", _SPLIT_ORACLE)
+def dataset_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-bucket 80/10/10 split assignment — stable under
+    repartitioning/re-ingestion because it is a pure function of
+    doc_id (cross-engine h60, proven by the oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", dataset_split(docs).alias("split")
+    )
+
+
+_SPLIT_COUNTS_ORACLE = f"""
+SELECT split, lang, count(*) AS n_docs
+FROM (
+    SELECT lang,
+           CASE WHEN {_BUCKET_SQL} < 80 THEN 'train'
+                WHEN {_BUCKET_SQL} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+)
+GROUP BY split, lang
+"""
+
+
+@query("dataset_split_counts", _SPLIT_COUNTS_ORACLE)
+def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratification audit: doc counts per (split, lang) — the check
+    a pipeline runs before accepting a split."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", dataset_split(docs).alias("split"))
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -1,0 +1,85 @@
+"""Unit tests for training-data prep operators: chunk coverage and
+overlap, PII redaction ordering, split determinism under
+repartitioning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_spark_streaming_app_spark.operators.llmprep import (
+    chunk_documents,
+    dataset_split,
+    pii_scrub,
+)
+
+
+def test_chunks_cover_every_token_with_overlap(spark):
+    text = " ".join(f"t{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=10, overlap=2).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    # stride 8 over 100 tokens: starts 1,9,...,97 -> ceil(98/8)=13 chunks
+    assert [r.chunk_idx for r in rows] == list(range(13))
+    assert rows[0].chunk_text.split(" ")[:2] == ["t0", "t1"]
+    # consecutive chunks overlap by exactly 2 tokens
+    first, second = rows[0].chunk_text.split(" "), rows[1].chunk_text.split(" ")
+    assert first[-2:] == second[:2]
+    # last chunk is short (tokens 96..99) and coverage is complete
+    assert rows[-1].n_chunk_tokens == 4
+    covered = set()
+    for r in rows:
+        covered.update(r.chunk_text.split(" "))
+    assert covered == {f"t{i}" for i in range(100)}
+
+
+def test_short_doc_yields_single_chunk(spark):
+    df = spark.createDataFrame([(1, "just five little words here")], ["doc_id", "text"])
+    rows = chunk_documents(df, chunk_tokens=64, overlap=16).collect()
+    assert len(rows) == 1
+    assert rows[0].n_chunk_tokens == 5
+    assert rows[0].chunk_text == "just five little words here"
+
+
+def test_chunk_rejects_overlap_ge_chunk(spark):
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_pii_scrub_counts_and_redacts_disjoint_spans(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-corp.io or visit https://x.io/p?id=1234567 ok"),
+            (2, "call +1 (555) 123-4567 about order"),
+            (3, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert (got[1].n_emails, got[1].n_urls, got[1].n_phones) == (1, 1, 0)
+    # the URL's digit run must NOT be double-counted as a phone
+    assert got[1].redacted == "mail <EMAIL> or visit <URL> ok"
+    assert (got[2].n_emails, got[2].n_urls, got[2].n_phones) == (0, 0, 1)
+    assert got[2].redacted == "call <PHONE> about order"
+    assert got[3].redacted == "nothing sensitive here"
+
+
+def test_dataset_split_stable_under_repartition(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], ["doc_id"])
+    a = {
+        r.doc_id: r.split
+        for r in df.select("doc_id", dataset_split(df).alias("split")).collect()
+    }
+    shuffled = df.repartition(13, "doc_id")
+    b = {
+        r.doc_id: r.split
+        for r in shuffled.select(
+            "doc_id", dataset_split(shuffled).alias("split")
+        ).collect()
+    }
+    assert a == b
+    frac = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.7 < frac < 0.9, f"train fraction {frac} far from 80%"
