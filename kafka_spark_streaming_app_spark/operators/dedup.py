@@ -156,6 +156,7 @@ def lsh_candidate_pairs(
     num_hashes: int = 12,
     band_size: int = 2,
     max_bucket_size: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Banded LSH: documents sharing any band signature become a
     candidate pair. Returns distinct (id_a, id_b) with id_a < id_b.
@@ -172,6 +173,18 @@ def lsh_candidate_pairs(
     costs one extra aggregation over the band table (tiny: one row per
     bucket) and bounds the worst-case pair count at N·cap instead of
     N².
+
+    ``materialize`` (default True) puts a lazy ``localCheckpoint``
+    barrier on the band table before the self-join: a DataFrame used
+    on both sides of a join is otherwise duplicated as a subtree, so
+    the ENTIRE signature computation (scan + explode + minhash agg)
+    runs once per reference — measured 22 scans of the corpus in the
+    un-barriered LSH plan. The band table is k/band_size small rows
+    per doc; persisting it is cheap at any scale. (localCheckpoint is
+    executor-local and not fault-tolerant — on a real cluster an
+    engine would use ``setCheckpointDir`` + ``checkpoint`` or a
+    persisted staging table; pass False to keep the pure-lineage plan,
+    e.g. for plan inspection.)
     """
     if num_hashes % band_size != 0:
         raise ValueError(
@@ -194,6 +207,8 @@ def lsh_candidate_pairs(
     exploded = signatures.select(
         F.col(id_col), F.explode(F.array(*bands)).alias("band")
     ).select(id_col, "band.band_idx", "band.band_sig")
+    if materialize:
+        exploded = exploded.localCheckpoint(eager=False)
     if max_bucket_size is not None:
         small = (
             exploded.groupBy("band_idx", "band_sig")
@@ -311,6 +326,7 @@ def jaccard_verify_candidates(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact Jaccard restricted to LSH candidate pairs — the verify
     stage of MinHash+LSH dedup.
@@ -324,7 +340,17 @@ def jaccard_verify_candidates(
     free verify. The semi-join is unhinted: AQE broadcasts the id set
     when it is small and degrades to a shuffle join when a pathological
     corpus makes it large. Returns (id_a, id_b, jaccard ≥ threshold).
+
+    ``materialize`` puts lazy localCheckpoint barriers on the
+    candidate pair set (referenced by both halves of the id union and
+    by the intersection join) and on the candidate shingle table
+    (referenced by the intersection join and both size lookups) — both
+    are candidate-proportional, and without the barriers every
+    reference re-runs its whole upstream pipeline (see
+    lsh_candidate_pairs).
     """
+    if materialize:
+        candidates = candidates.localCheckpoint(eager=False)
     cand_ids = (
         candidates.select(F.col("id_a").alias(id_col))
         .unionAll(candidates.select(F.col("id_b").alias(id_col)))
@@ -332,6 +358,8 @@ def jaccard_verify_candidates(
     )
     cand_docs = docs.join(cand_ids, id_col, "left_semi")
     shingle_df = hashed_shingle_sets(cand_docs, text_col, id_col, shingle_n)
+    if materialize:
+        shingle_df = shingle_df.localCheckpoint(eager=False)
     sizes = shingle_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = shingle_df.alias("a")
     b = shingle_df.alias("b")

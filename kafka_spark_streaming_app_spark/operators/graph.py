@@ -1,0 +1,87 @@
+"""Iterative graph operators: connected components over a pair graph.
+
+The one operator family Spark's DataFrame API genuinely lacks a
+primitive for (SURVEY.md §2.8 extension scope): grouping near-dup
+PAIRS into CLUSTERS so a curation pipeline can keep exactly one
+canonical document per component — pairwise drop-the-higher-id keeps
+too many docs when dups form chains (a~b, b~c: pairwise drops b and c
+from pairs but a chain policy must drop b,c together under canonical
+a even when (a,c) was never a direct pair).
+
+Algorithm: Pregel-style min-label propagation — each superstep every
+node adopts the minimum label among itself and its neighbors;
+converges in O(graph diameter) supersteps. Each superstep is one
+self-contained Spark job (join + groupBy on the edge list); the
+driver only coordinates supersteps and checks the convergence count,
+which is the standard distributed-iteration pattern (GraphX/Pregel do
+exactly this) — the per-node work is fully distributed, the
+driver-side value is a single long per superstep.
+
+Scale notes: shuffle per superstep ∝ |edges|; labels are
+``localCheckpoint``ed each superstep to cut the exponentially growing
+lineage (on a cluster, ``spark.sparkContext.setCheckpointDir`` +
+``checkpoint()`` is the fault-tolerant swap). Near-dup graphs are
+sparse forests of small components, so diameters are tiny; the
+``max_iter`` guard raises instead of silently emitting half-merged
+clusters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, cluster_id) for every node in ``pairs``; cluster_id is
+    the minimum node id in the component (deterministic canonical)."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        edges.unionAll(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("node", F.col("label").alias("cluster_id"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} supersteps "
+        "(graph diameter exceeds the guard — raise max_iter)"
+    )

@@ -106,6 +106,65 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- connected components over the near-dup graph --------------------------
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE ds AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+    )
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id),
+pairs AS (
+    SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ) p
+    JOIN sizes s1 ON s1.doc_id = p.id_a
+    JOIN sizes s2 ON s2.doc_id = p.id_b
+    WHERE CAST(c AS DOUBLE) / (s1.sz + s2.sz - c) >= 0.5
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, r) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.src, rc.r FROM edges e JOIN reach rc ON e.dst = rc.node
+),
+cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+"""
+
+
+@query("dedup_clusters", _CLUSTERS_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the Jaccard ≥ 0.5
+    pair graph (pairs via MinHash+LSH+verify, recall proven by
+    `dedup_minhash_lsh`'s oracle), canonical = min doc_id per
+    component; docs outside the graph are their own singleton cluster.
+    The oracle computes true transitive closure with a recursive CTE —
+    so this check proves the iterative min-label propagation reaches
+    the exact fixpoint, chains included."""
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=12, shingle_n=3)
+    candidates = lsh_candidate_pairs(sigs, num_hashes=12, band_size=2)
+    pairs = jaccard_verify_candidates(
+        docs, candidates, shingle_n=3, threshold=0.5
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs)
+    return docs.join(cc, docs.doc_id == cc.node, "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+    )
+
+
 # --- SimHash ---------------------------------------------------------------
 
 _BITS = 32

@@ -21,6 +21,11 @@ NOTES = {
     "similarity_ann_srp_lsh": "Bucket equi-join replaces the cross join; query side broadcast.",
     "sessionize_users": "session_window merge inside a single keyed aggregation.",
     "fraud_alerts": "Stateless scan-stage filter+classify, zero shuffle, unused columns pruned.",
+    "q7_nation_volume_shipping": "Nation broadcast into both dim sides BEFORE the fact joins; single lineitem-orders shuffle; pair disjunction post-join.",
+    "q21_waiting_suppliers": "EXISTS/NOT-EXISTS rewritten to ONE lineitem scan: per-supplier agg + order-partitioned window share the orderkey exchange.",
+    "q17_small_quantity_revenue": "Brand semi-join BEFORE the per-part average; window-over-slice avoids the agg-then-join-back second scan.",
+    "chunk_documents": "Row-local bounded explode, zero shuffle — chunking is a pure scan projection.",
+    "dedup_clusters": "Per-superstep join+agg on the edge list; labels localCheckpoint'ed to cut iterative lineage.",
 }
 
 

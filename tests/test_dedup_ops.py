@@ -48,3 +48,34 @@ def test_jaccard_verify_restricted_to_candidates(spark):
     assert set(got) == {(0, 1), (100, 101)}
     assert got[(0, 1)] == 1.0
     assert got[(100, 101)] == 1.0
+
+
+def test_connected_components_merges_chains(spark):
+    """a~b and b~c without a~c must land in ONE cluster — the case
+    pairwise drop-higher-id policies get wrong."""
+    from kafka_spark_streaming_app_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        ["id_a", "id_b"],
+    )
+    got = {
+        r.node: r.cluster_id for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_raises_when_not_converged(spark):
+    import pytest
+
+    from kafka_spark_streaming_app_spark.operators.graph import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(chain, max_iter=1)

@@ -93,14 +93,41 @@ def test_q10_q18_no_customer_broadcast_hint(spark, sf_smoke):
 
 
 def test_curation_fuzzy_stage_uses_lsh_bands(spark, sf_smoke):
-    """curate_documents' fuzzy dedup must run through banded LSH
-    candidate generation (band_sig bucket join), never the all-pairs
-    shingle self-join."""
-    plan = plan_str(registry.QUERIES["curate_documents"](spark, sf_smoke))
+    """The fuzzy-dedup candidate generator must be the banded LSH
+    bucket join (band_sig equi-join), never the all-pairs shingle
+    self-join — asserted on the unbarriered operator plan (the
+    materialization barrier hides it in the composed curate plan)."""
+    from kafka_spark_streaming_app_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from kafka_spark_streaming_app_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    sigs = minhash_signatures(docs, num_hashes=12, shingle_n=3)
+    plan = plan_str(
+        lsh_candidate_pairs(
+            sigs, num_hashes=12, band_size=2, materialize=False
+        )
+    )
     assert "band_sig" in plan, (
-        "no LSH band join in the curation plan — fuzzy stage regressed "
+        "no LSH band join in the candidate plan — fuzzy stage regressed "
         "to all-pairs"
     )
+
+
+def test_lsh_queries_have_materialization_barriers(spark, sf_smoke):
+    """Shared intermediates (band table, candidate set, candidate
+    shingles, quality stats) must sit behind lazy localCheckpoint
+    barriers: without them every reference re-expands the whole
+    upstream pipeline (measured 22 corpus scans in the LSH plan, 82 in
+    the curation plan)."""
+    for name in ("dedup_minhash_lsh", "curate_documents"):
+        plan = plan_str(registry.QUERIES[name](spark, sf_smoke))
+        assert "ExistingRDD" in plan, f"{name}: no barrier in plan"
+        assert plan.count("documents.parquet") == 0, (
+            f"{name}: corpus subtree duplicated outside the barrier"
+        )
 
 
 def test_tfidf_has_no_eager_count_and_no_vocab_broadcast(spark, sf_smoke):
