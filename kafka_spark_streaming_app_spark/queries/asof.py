@@ -57,3 +57,55 @@ def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_id="event_id",
         right_cols=["o_orderkey", "o_totalprice"],
     )
+
+
+_INTERVAL_ORACLE = """
+SELECT
+    a.event_type AS first_type,
+    b.event_type AS next_type,
+    count(*) AS n_pairs,
+    CAST(sum(CAST(b.value AS DECIMAL(25,4))) AS DOUBLE) AS next_value_total
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 10 MINUTE
+GROUP BY a.event_type, b.event_type
+"""
+
+
+@query("interval_join_event_pairs", _INTERVAL_ORACLE)
+def interval_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval join: per user, every follow-up event within 10
+    minutes of an earlier event (ALL pairs in the band, vs as-of's
+    latest-only), rolled up by (first, next) event type — the
+    funnel/attribution primitive.
+
+    Scale shape: the equi key (user_id) makes this a plain shuffle
+    hash/SMJ join with the time band evaluated as a join-side range
+    predicate (never a cross join); both sides shuffle once on the
+    key, skew handled by AQE. This is exactly the plan Structured
+    Streaming uses for stream-stream interval joins (tested in
+    test_streaming_joins.py) — the batch twin is its oracle-checkable
+    face.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "ts", "user_id", "event_type", "value"
+    )
+    a = events.alias("a")
+    b = events.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    from ..operators.windowed import stabilized_sum
+
+    return joined.groupBy(
+        F.col("a.event_type").alias("first_type"),
+        F.col("b.event_type").alias("next_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        stabilized_sum(F.col("b.value")).alias("next_value_total"),
+    )

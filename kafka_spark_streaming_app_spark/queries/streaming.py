@@ -268,3 +268,54 @@ def streaming_enriched_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lifetime_spend",
     )
     return _run_to_table(spark, enriched, output_mode="append")
+
+
+_STREAM_SESSION_ORACLE = """
+WITH ordered AS (
+    SELECT
+        user_id,
+        ts,
+        value,
+        CASE
+            WHEN lag(ts) OVER w IS NULL THEN 1
+            WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1
+            ELSE 0
+        END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+    SELECT *,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM ordered
+)
+SELECT
+    user_id,
+    min(ts) AS session_start,
+    max(ts) + INTERVAL 30 MINUTE AS session_end,
+    count(*) AS n_events,
+    CAST(sum(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS total_value
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
+@query("streaming_sessionize", _STREAM_SESSION_ORACLE)
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window sessionization executed BY THE STREAMING ENGINE
+    (complete mode) over the JSON wire replay — the streaming twin of
+    `sessionize_users`, checked against the same lag-gap-cumsum oracle:
+    the engine's incremental session MERGING (sessions extend and fuse
+    across micro-batches) must converge to the batch fixpoint."""
+    from ..operators.sessions import sessionize
+
+    stream = _events_as_wire_stream(spark, sf_dir)
+    sessions = sessionize(
+        stream,
+        ts_col="event_timestamp",
+        keys=("user_id",),
+        gap="30 minutes",
+        amount_col="amount",
+    )
+    return _run_to_table(spark, sessions, output_mode="complete")
