@@ -149,3 +149,36 @@ def array_explode_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_x",
         "min_x",
     )
+
+
+# --- map functions ----------------------------------------------------------
+
+_MAP_ORACLE = """
+WITH entries AS (
+    SELECT event_id, 'type' AS key, event_type AS value FROM events
+    UNION ALL
+    SELECT event_id, 'user', CAST(user_id AS VARCHAR) FROM events
+    UNION ALL
+    SELECT event_id, 'bucket', CAST(event_id % 16 AS VARCHAR) FROM events
+)
+SELECT event_id, key, value FROM entries
+"""
+
+
+@query("map_functions", _MAP_ORACLE)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType round-trip: build a map<string,string> per row
+    (create_map), explode it to (key, value) entries — the map-column
+    family the rest of the suite doesn't touch. DuckDB has no MAP
+    over heterogeneous sources, so the oracle states the semantics
+    directly as the union of the entries; the order-insensitive driver
+    hash makes the two shapes comparable."""
+    events = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("user"), F.col("user_id").cast("string"),
+        F.lit("bucket"), (F.col("event_id") % 16).cast("string"),
+    )
+    return events.select(
+        "event_id", F.explode(m).alias("key", "value")
+    )

@@ -196,3 +196,44 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries_df, num_centroids=_CENTROIDS, k=5, n_probe=_PROBES
     )
     return result.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+# --- signed random projection (dimensionality reduction) --------------------
+
+_PROJ_PLANES = srp_planes(8, _DIM)
+_PROJ_TERMS = ", ".join(
+    f"list_inner_product(v, {_plane_literal(plane)}) AS proj{p}"
+    for p, plane in enumerate(_PROJ_PLANES)
+)
+
+_PROJECT_ORACLE = f"""
+SELECT vec_id, {_PROJ_TERMS}
+FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+"""
+
+
+@query("embedding_project", _PROJECT_ORACLE)
+def embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense signed random projection 64 → 8 dims (the
+    Johnson-Lindenstrauss compression step before coarse clustering /
+    visualization): out_j = v · plane_j with deterministic ±1 planes.
+
+    Row-local higher-order zip_with/aggregate expressions — zero
+    shuffle, scan-projection at any scale. Cross-engine exactness
+    needs no rounding: float32 inputs cast to double are exact, ±1
+    products are exact, and both engines sum the accumulator
+    left-to-right over the same element order, so the doubles are
+    bit-identical."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    out = emb.select("vec_id", v.alias("v"))
+    cols = []
+    for p, plane in enumerate(_PROJ_PLANES):
+        lit_plane = F.array(*[F.lit(s) for s in plane])
+        proj = F.aggregate(
+            F.zip_with(F.col("v"), lit_plane, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cols.append(proj.alias(f"proj{p}"))
+    return out.select("vec_id", *cols)
