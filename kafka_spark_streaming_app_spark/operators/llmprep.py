@@ -10,7 +10,9 @@ whole-stage codegen at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import h60, tokens
@@ -121,4 +123,77 @@ def dataset_split(
         F.when(bucket < train_pct, F.lit("train"))
         .when(bucket < train_pct + val_pct, F.lit("val"))
         .otherwise(F.lit("test"))
+    )
+
+
+def with_running_total(
+    df: DataFrame,
+    order_cols: Sequence[Column | str],
+    value_col: str,
+    out_col: str = "running_total",
+) -> DataFrame:
+    """Exact running total of ``value_col`` over a TOTAL order — the
+    distributed prefix sum behind token-budget selection ("take the
+    best documents until the budget is full").
+
+    A naive ``Window.orderBy(...)`` with no partitionBy drags the
+    ENTIRE table through one task. This implementation is the
+    standard two-level prefix sum instead:
+
+    1. ``repartitionByRange(order)`` — ranges are assigned to
+       partition ids in order, so partition boundaries respect the
+       global order;
+    2. per-partition running totals (window partitioned by
+       ``spark_partition_id()`` — local sort only, no single-task
+       bottleneck);
+    3. per-partition grand totals (one tiny row per partition) get a
+       running offset via a single-partition window over
+       ``num_partitions`` rows — negligible at any scale;
+    4. offsets broadcast-join back on partition id.
+
+    ``order_cols`` must be a TOTAL order (include a unique tiebreak
+    column): equal keys may straddle a range boundary, and only a
+    total order makes the prefix sum well-defined and cross-engine
+    reproducible. Values accumulate in DECIMAL(25,4) (exact,
+    order-independent); callers cast to double at the edge if needed.
+    """
+    order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    # lazy barrier: `ranged` feeds both the local cumsum and the
+    # per-partition totals — without it the range shuffle (and the
+    # nondeterministic boundary sampling) would run once per branch
+    ranged = (
+        df.repartitionByRange(*order)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    local_w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dec = F.col(value_col).cast("decimal(25,4)")
+    local = ranged.withColumn("_local_cum", F.sum(dec).over(local_w))
+    totals = (
+        ranged.groupBy("_pid")
+        .agg(F.sum(dec).alias("_ptotal"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_ptotal").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0).cast("decimal(25,4)"),
+            ),
+        )
+        .select("_pid", "_offset")
+    )
+    return (
+        local.join(F.broadcast(totals), "_pid")
+        .withColumn(
+            out_col,
+            (F.col("_local_cum") + F.col("_offset")).cast("decimal(25,4)"),
+        )
+        .drop("_pid", "_local_cum")
     )

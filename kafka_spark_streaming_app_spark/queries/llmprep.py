@@ -186,3 +186,67 @@ def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# --- token-budget selection -------------------------------------------------
+
+_BUDGET = 30000
+
+_BUDGET_ORACLE = f"""
+WITH scored AS (
+    SELECT
+        doc_id,
+        CAST(len(list_distinct({_WORDS})) AS DOUBLE) / len({_WORDS}) AS quality,
+        len(regexp_extract_all(lower(trim(text)), '[a-z0-9]{{1,4}}'))
+            AS n_subwords
+    FROM documents
+),
+cum AS (
+    SELECT *,
+           sum(n_subwords) OVER (ORDER BY quality DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS running_total
+    FROM scored
+)
+SELECT doc_id, quality, CAST(n_subwords AS BIGINT) AS n_subwords,
+       CAST(running_total AS DOUBLE) AS running_total
+FROM cum
+WHERE running_total <= {_BUDGET}
+"""
+
+
+@query("token_budget_selection", _BUDGET_ORACLE)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill a subword-token budget with the highest-quality documents:
+    rank by lexical diversity, take the running-total prefix within
+    the budget. The running total is the two-level distributed prefix
+    sum (range partition → local cumsum → offset join), NOT an
+    unpartitioned global window — the oracle's single-window SQL is
+    the semantics, not the plan."""
+    from ..functions.hashing import tokens
+    from ..operators.llmprep import with_running_total
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    # subword regex inlined to match the oracle's lower(trim()) exactly
+    scored = docs.select(
+        "doc_id",
+        (
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("quality"),
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.trim(F.col("text"))), F.lit("[a-z0-9]{1,4}"), 0
+            )
+        ).alias("n_subwords"),
+    )
+    cum = with_running_total(
+        scored,
+        order_cols=[F.col("quality").desc(), F.col("doc_id")],
+        value_col="n_subwords",
+    )
+    return cum.filter(F.col("running_total") <= _BUDGET).select(
+        "doc_id",
+        "quality",
+        F.col("n_subwords").cast("bigint").alias("n_subwords"),
+        F.col("running_total").cast("double").alias("running_total"),
+    )

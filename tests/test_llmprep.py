@@ -83,3 +83,31 @@ def test_dataset_split_stable_under_repartition(spark):
     assert a == b
     frac = sum(1 for v in a.values() if v == "train") / len(a)
     assert 0.7 < frac < 0.9, f"train fraction {frac} far from 80%"
+
+
+def test_distributed_prefix_sum_equals_global_window(spark):
+    """The two-level prefix sum must equal a naive single-partition
+    global-window cumsum — including duplicate order keys that may
+    straddle range-partition boundaries (total order via tiebreak)."""
+    from pyspark.sql import Window
+
+    from kafka_spark_streaming_app_spark.operators.llmprep import (
+        with_running_total,
+    )
+
+    rows = [(i, i % 7, float((i * 13) % 50 + 1)) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["id", "grp", "v"]).repartition(16)
+    got = {
+        r.id: float(r.running_total)
+        for r in with_running_total(
+            df, order_cols=[F.col("grp"), F.col("id")], value_col="v"
+        ).collect()
+    }
+    w = Window.orderBy("grp", "id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r.id: float(r.rt)
+        for r in df.withColumn("rt", F.sum("v").over(w)).collect()
+    }
+    assert got == want
