@@ -297,7 +297,7 @@ WITH sv AS (
 )
 SELECT l_suppkey, supp_value
 FROM sv
-WHERE supp_value > (SELECT sum(supp_value) * 0.0105 FROM sv)
+WHERE supp_value > (SELECT 1.05 * (sum(supp_value) / count(*)) FROM sv)
 """
 
 
@@ -305,9 +305,12 @@ WHERE supp_value > (SELECT sum(supp_value) * 0.0105 FROM sv)
 def q11_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (important stock, adapted to supplier revenue
     share — no partsupp in testdata): grouped aggregate filtered
-    against a scalar aggregate OF ITSELF.
+    against a scalar aggregate OF ITSELF. The threshold is 1.05× the
+    AVERAGE supplier share — scale-invariant, so the query is
+    non-vacuous at every SF (a fixed share-of-total threshold returns
+    0 rows once the supplier count passes 1/threshold).
 
-    The global total is a window aggregate OVER the per-supplier
+    The global average is a window aggregate OVER the per-supplier
     aggregate (empty partitionBy) — structurally ONE lineitem scan,
     unlike the cross-join-a-1-row-agg form whose two branches only
     merge if AQE's exchange reuse happens to fire (measured: it
@@ -320,10 +323,11 @@ def q11_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     l = load_table(spark, sf_dir, "lineitem")
     sv = l.groupBy("l_suppkey").agg(_rev_sum(_revenue_col()).alias("supp_value"))
-    total = F.sum("supp_value").over(Window.partitionBy())
+    w = Window.partitionBy()
+    avg = F.sum("supp_value").over(w) / F.count(F.lit(1)).over(w)
     return (
-        sv.withColumn("_total", total)
-        .filter(F.col("supp_value") > F.col("_total") * 0.0105)
+        sv.withColumn("_avg", avg)
+        .filter(F.col("supp_value") > F.lit(1.05) * F.col("_avg"))
         .select("l_suppkey", "supp_value")
     )
 
