@@ -82,3 +82,37 @@ def unpivot_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+# --- explicit grouping sets -------------------------------------------------
+
+_GROUPING_SETS_ORACLE = """
+SELECT
+    o_orderstatus,
+    o_orderpriority,
+    count(*) AS n_orders,
+    CAST(sum(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS total_price,
+    CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@query("grouping_sets_orders", _GROUPING_SETS_ORACLE)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither rollup nor cube: two disjoint
+    single-column rollups + grand total in ONE Expand + hash agg pass)
+    with grouping_id disambiguating which set produced each row (a
+    NULL status row could otherwise be a real NULL group)."""
+    from ..operators.windowed import stabilized_sum
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        stabilized_sum("o_totalprice").alias("total_price"),
+        F.grouping_id().cast("bigint").alias("gid"),
+    )

@@ -284,3 +284,29 @@ def test_q21_single_pass_no_exists_rescan(spark, sf_smoke):
 def test_q16_not_in_plans_as_anti_join(spark, sf_smoke):
     plan = plan_str(registry.QUERIES["q16_supplier_part_counts"](spark, sf_smoke))
     assert "LeftAnti" in plan, "NOT IN exclusion did not plan as an anti-join"
+
+
+def test_chunking_and_pii_are_scan_projections(spark, sf_smoke):
+    """Chunking (bounded row-local explode) and PII scrubbing are pure
+    scan pipelines — any Exchange is a regression."""
+    for name in ("chunk_documents", "pii_scrub"):
+        plan = plan_str(registry.QUERIES[name](spark, sf_smoke))
+        assert "Exchange" not in plan, f"{name} acquired a shuffle"
+
+
+def test_token_budget_has_no_global_single_partition_sort(spark, sf_smoke):
+    """The running total must be the two-level prefix sum: the only
+    SinglePartition exchange allowed is the per-partition-totals
+    offset window (one row per partition), never a global sort of the
+    data rows."""
+    plan = plan_str(registry.QUERIES["token_budget_selection"](spark, sf_smoke))
+    tree = plan.split("\n\n")[0]
+    # the ranged data rows sit behind the localCheckpoint barrier
+    # (ExistingRDD); the only SinglePartition exchange in the visible
+    # plan is the per-partition-totals offset window
+    assert "ExistingRDD" in tree, "prefix sum lost its range barrier:\n" + tree
+    assert tree.lower().count("exchange singlepartition") <= 1, (
+        "data rows are being globally single-partitioned:\n" + tree
+    )
+    # the data-row window must be partitioned by _pid, not global
+    assert "partitionBy" not in tree or "_pid" in tree
