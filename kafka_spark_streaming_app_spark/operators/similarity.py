@@ -298,3 +298,94 @@ def ann_topk_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cosine", "rank")
     )
+
+
+# --- k-means (Lloyd iterations, cross-engine exact) -------------------------
+
+# 2^48 fixed-point scale: embedding components rescale losslessly (see
+# queries/functions_breadth.py note), so per-dim centroid sums are
+# exact integers — order-independent and engine-independent.
+KM_SCALE = float(2**48)
+
+
+def _km_assign(v: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
+    """(id, x, cid, dist): nearest centroid per vector, ties broken by
+    centroid id. dist is a left-to-right fold over dims — both engines
+    produce bit-identical doubles, so the argmin agrees."""
+    dist = F.aggregate(
+        F.zip_with(F.col("x"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, y: acc + y,
+    )
+    scored = v.crossJoin(F.broadcast(centroids)).select(
+        id_col, "x", "cid", dist.alias("dist")
+    )
+    w = Window.partitionBy(id_col).orderBy("dist", "cid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def _km_update(assigned: DataFrame, dim: int) -> DataFrame:
+    """New centroids: exact fixed-point per-dim means of each cluster
+    (empty clusters drop out — deterministically on both engines)."""
+    dims = assigned.select(
+        "cid", F.posexplode("x").alias("d", "xd")
+    ).select(
+        "cid", "d", (F.col("xd") * F.lit(KM_SCALE)).cast("bigint").alias("xs")
+    )
+    means = dims.groupBy("cid", "d").agg(
+        (
+            F.sum("xs").cast("double") / F.lit(KM_SCALE) / F.count(F.lit(1))
+        ).alias("m")
+    )
+    return (
+        means.groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "m"))),
+                lambda s: s.m,
+            ).alias("c")
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+def kmeans_fit_predict(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    dim: int = 64,
+    iters: int = 2,
+) -> DataFrame:
+    """Lloyd's k-means over the corpus, fully distributed and
+    cross-engine exact: deterministic init (the k smallest ids),
+    assignment = broadcast-centroids cross join + per-vector argmin
+    (shuffle ∝ corpus × k distance rows, never corpus²), update =
+    one explode + two aggregations (per-dim fixed-point means).
+
+    Each iteration is 2 jobs; centroids (k rows) sit behind a lazy
+    checkpoint barrier so the iterative lineage stays shallow. This is
+    the production-quality centroid source for IVF (`ann_topk_ivf`
+    documents its first-N init as the shortcut this replaces).
+
+    Returns the final assignment (id, cid, dist).
+    """
+    v = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("x"),
+    )
+    centroids = (
+        v.filter(F.col(id_col) < k)
+        .select(F.col(id_col).cast("int").alias("cid"), F.col("x").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(iters):
+        assigned = _km_assign(v, centroids, id_col)
+        centroids = _km_update(assigned, dim)
+    return _km_assign(v, centroids, id_col).select(
+        id_col, "cid", F.round("dist", 6).alias("dist")
+    )

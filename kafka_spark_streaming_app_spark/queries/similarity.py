@@ -237,3 +237,82 @@ def embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cols.append(proj.alias(f"proj{p}"))
     return out.select("vec_id", *cols)
+
+
+# --- k-means clustering -----------------------------------------------------
+
+_KM_K, _KM_DIM, _KM_SCALE_SQL = 8, 64, "281474976710656.0"
+
+_KM_DIST = (
+    "list_sum(list_transform(range(1, {d} + 1), "
+    "i -> (v.x[i] - c.c[i]) * (v.x[i] - c.c[i])))"
+).format(d=_KM_DIM)
+
+
+def _km_iter_sql(cent_cte: str, out_assign: str, out_cent: str) -> str:
+    """One Lloyd iteration: assignment vs ``cent_cte`` then exact
+    fixed-point centroid update."""
+    return f"""
+{out_assign}_s AS (
+    SELECT v.vec_id, v.x, c.cid, {_KM_DIST} AS dist
+    FROM v CROSS JOIN {cent_cte} c
+),
+{out_assign} AS (
+    SELECT vec_id, x, cid, dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cid) AS rn
+        FROM {out_assign}_s
+    ) WHERE rn = 1
+),
+{out_cent}_d AS (
+    SELECT cid, i,
+           CAST(x[i] * {_KM_SCALE_SQL} AS BIGINT) AS xs
+    FROM {out_assign}, range(1, {_KM_DIM} + 1) t(i)
+),
+{out_cent}_m AS (
+    SELECT cid, i,
+           CAST(sum(xs) AS DOUBLE) / {_KM_SCALE_SQL} / count(*) AS m
+    FROM {out_cent}_d GROUP BY cid, i
+),
+{out_cent} AS (
+    SELECT cid, list(m ORDER BY i) AS c FROM {out_cent}_m GROUP BY cid
+)"""
+
+
+_KMEANS_ORACLE = f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+),
+c0 AS (
+    SELECT CAST(vec_id AS INTEGER) AS cid, x AS c FROM v
+    WHERE vec_id < {_KM_K}
+),
+{_km_iter_sql("c0", "a1", "c1")},
+{_km_iter_sql("c1", "a2", "c2")},
+final_s AS (
+    SELECT v.vec_id, c.cid, {_KM_DIST} AS dist
+    FROM v CROSS JOIN c2 c
+)
+SELECT vec_id, cid, round(dist, 6) AS dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cid) AS rn
+    FROM final_s
+) WHERE rn = 1
+"""
+
+
+@query("similarity_kmeans", _KMEANS_ORACLE)
+def similarity_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (k=8, 2 iterations, deterministic
+    first-k init) over the embedding corpus — the production
+    replacement for IVF's first-N centroid shortcut. The oracle
+    unrolls the same two iterations in SQL; exactness end-to-end comes
+    from fixed-point centroid means (exact integers, order-free) and
+    left-to-right distance folds (bit-identical doubles → identical
+    argmins)."""
+    from ..operators.similarity import kmeans_fit_predict
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_fit_predict(
+        emb, k=_KM_K, dim=_KM_DIM, iters=2
+    )
