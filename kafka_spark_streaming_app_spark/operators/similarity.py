@@ -223,30 +223,41 @@ def ann_topk_ivf(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroid_table: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: partition the corpus into inverted
     lists by nearest centroid, search only the query's ``n_probe``
     closest lists.
 
-    Centroids here are the first ``num_centroids`` corpus vectors
-    (deterministic; production would k-means them — the plan shape is
-    identical). Assignment is a broadcast-centroid argmax of cosine;
-    the search joins query→probed lists, so scoring work drops to
+    Default centroids are the first ``num_centroids`` corpus vectors
+    (deterministic shortcut; the oracle replicates it). Pass
+    ``centroid_table`` — (cid, c: array<double>), e.g. the output of
+    :func:`kmeans_fit_predict`'s trained centroids — for production-
+    quality lists; the plan shape is identical either way. Assignment
+    is a broadcast-centroid argmax of cosine; the search joins
+    query→probed lists, so scoring work drops to
     ~n_probe/num_centroids of brute force.
     """
     c = with_vector_norm(corpus, vec_col).select(
         F.col(id_col).alias("corpus_id"), "v", "norm"
     )
-    centroids = (
-        with_vector_norm(
-            corpus.filter(F.col(id_col) < num_centroids), vec_col
+    if centroid_table is not None:
+        centroids = centroid_table.select(
+            F.col("cid").alias("centroid_id"),
+            F.col("c").alias("cv"),
+            l2_norm(F.col("c")).alias("cnorm"),
         )
-        .select(
-            F.col(id_col).alias("centroid_id"),
-            F.col("v").alias("cv"),
-            F.col("norm").alias("cnorm"),
+    else:
+        centroids = (
+            with_vector_norm(
+                corpus.filter(F.col(id_col) < num_centroids), vec_col
+            )
+            .select(
+                F.col(id_col).alias("centroid_id"),
+                F.col("v").alias("cv"),
+                F.col("norm").alias("cnorm"),
+            )
         )
-    )
 
     def nearest_lists(side: DataFrame, side_id: str, n_lists: int) -> DataFrame:
         """Attach the n_lists nearest centroid ids to each vector."""
@@ -353,6 +364,31 @@ def _km_update(assigned: DataFrame, dim: int) -> DataFrame:
     )
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    dim: int = 64,
+    iters: int = 2,
+) -> DataFrame:
+    """Trained (cid, c) centroid table after ``iters`` Lloyd
+    iterations — feed to :func:`ann_topk_ivf` as ``centroid_table``."""
+    v = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("x"),
+    )
+    centroids = (
+        v.filter(F.col(id_col) < k)
+        .select(F.col(id_col).cast("int").alias("cid"), F.col("x").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(iters):
+        assigned = _km_assign(v, centroids, id_col)
+        centroids = _km_update(assigned, dim)
+    return centroids
+
+
 def kmeans_fit_predict(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -378,14 +414,9 @@ def kmeans_fit_predict(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("x"),
     )
-    centroids = (
-        v.filter(F.col(id_col) < k)
-        .select(F.col(id_col).cast("int").alias("cid"), F.col("x").alias("c"))
-        .localCheckpoint(eager=False)
+    centroids = kmeans_centroids(
+        df, vec_col=vec_col, id_col=id_col, k=k, dim=dim, iters=iters
     )
-    for _ in range(iters):
-        assigned = _km_assign(v, centroids, id_col)
-        centroids = _km_update(assigned, dim)
     return _km_assign(v, centroids, id_col).select(
         id_col, "cid", F.round("dist", 6).alias("dist")
     )
