@@ -47,6 +47,9 @@ HEADLINE = [
     "q21_waiting_suppliers",
     "chunk_documents",
     "curate_documents",
+    "dedup_clusters",
+    "token_budget_selection",
+    "similarity_kmeans",
 ]
 
 
