@@ -319,3 +319,53 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         amount_col="amount",
     )
     return _run_to_table(spark, sessions, output_mode="complete")
+
+
+_STREAM_APPEND_ORACLE = """
+WITH wm AS (
+    SELECT max(ts) - INTERVAL 30 SECOND AS w FROM events
+),
+expanded AS (
+    SELECT
+        make_timestamp(((CAST(floor(epoch(ts) / 30) AS BIGINT) - s.k) * 30) * 1000000)
+            AS window_start,
+        e.*
+    FROM events e
+    CROSS JOIN (SELECT 0 AS k UNION ALL SELECT 1) s
+)
+SELECT
+    window_start,
+    window_start + INTERVAL 60 SECOND AS window_end,
+    event_type,
+    count(*) AS order_count,
+    CAST(sum(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS total_revenue
+FROM expanded
+GROUP BY window_start, window_end, event_type
+HAVING window_start + INTERVAL 60 SECOND <= (SELECT w FROM wm)
+"""
+
+
+@query("streaming_windowed_append", _STREAM_APPEND_ORACLE)
+def streaming_windowed_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode watermarked windowed aggregation through the real
+    streaming engine: only FINALIZED windows are emitted — exactly
+    those whose end ≤ the final watermark (max event time − 30 s, the
+    ingestion path's watermark; boundary inclusion verified
+    empirically: a window ending exactly at the watermark IS emitted).
+    The oracle is the batch windowed aggregate with that same HAVING
+    bound, so the driver hash check covers the engine's append
+    finalization semantics, not just its arithmetic — the piece of W1
+    that was previously pytest-only."""
+    stream = _events_as_wire_stream(spark, sf_dir)
+    agg = windowed_aggregation(
+        stream,
+        ts_col="event_timestamp",
+        keys=("event_type",),
+        amount_col="amount",
+        user_col="user_id",
+        window_duration="1 minute",
+        slide_duration="30 seconds",
+        exact_distinct=False,
+        stabilize_sums=True,
+    ).drop("unique_customers", "avg_order_value", "max_order_value", "min_order_value")
+    return _run_to_table(spark, agg, output_mode="append")
