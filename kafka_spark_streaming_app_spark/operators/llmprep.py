@@ -197,3 +197,43 @@ def with_running_total(
         )
         .drop("_pid", "_local_cum")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    target_per_stratum: int = 60,
+    salt: str = "sample|",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling toward a target size —
+    the corpus-rebalancing step that stops one over-represented
+    language/source from dominating a training mix.
+
+    Keep probability per stratum is ``min(1, target/n)``, applied as
+    an h60 hash-bucket threshold: a pure function of the row id, so
+    the SAMPLE ITSELF is stable under repartitioning and re-runs
+    (adding data to one stratum only tightens its threshold; kept ids
+    whose bucket clears the new threshold stay kept). The stratum
+    counts are a tiny aggregate joined back unhinted (AQE broadcasts
+    it); no per-stratum window — a window partitioned by a 5-value
+    column would funnel the corpus through 5 tasks.
+
+    Expected kept size per stratum is Binomial(n, threshold/10⁴) —
+    concentrated within ~√n of the target, not exact; exactness would
+    need a global rank (see with_running_total) and is rarely worth
+    the extra shuffle.
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    bucket = (
+        h60(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % 10000
+    )
+    threshold = F.least(
+        F.floor(F.lit(10000.0) * F.lit(target_per_stratum) / F.col("_n")),
+        F.lit(10000),
+    )
+    return (
+        df.join(counts, strata_col)
+        .filter(bucket < threshold)
+        .drop("_n")
+    )

@@ -250,3 +250,31 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_subwords").cast("bigint").alias("n_subwords"),
         F.col("running_total").cast("double").alias("running_total"),
     )
+
+
+# --- language rebalancing ----------------------------------------------------
+
+_REBALANCE_ORACLE = f"""
+WITH counts AS (
+    SELECT lang, count(*) AS n FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang
+FROM documents d
+JOIN counts c ON d.lang = c.lang
+WHERE {h60_sql("('sample|' || CAST(doc_id AS VARCHAR))")} % 10000
+      < least(floor(10000.0 * 60 / c.n), 10000)
+"""
+
+
+@query("language_rebalance", _REBALANCE_ORACLE)
+def language_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling toward ~60 docs per language —
+    over-represented languages shrink, small ones pass through whole.
+    Deterministic hash-bucket sampling (oracle-exact), stratum counts
+    joined back unhinted."""
+    from ..operators.llmprep import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, strata_col="lang", target_per_stratum=60
+    ).select("doc_id", "lang")

@@ -1,0 +1,91 @@
+"""Empty-input behavior: every new operator must return an empty
+result with the right schema, not throw (ANSI mode makes this easy to
+regress — sequence(), element_at(), argmin windows)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ])
+    )
+
+
+def test_chunk_pii_split_on_empty_corpus(spark):
+    from kafka_spark_streaming_app_spark.operators.llmprep import (
+        chunk_documents,
+        dataset_split,
+        pii_scrub,
+    )
+
+    docs = _empty_docs(spark)
+    assert chunk_documents(docs).count() == 0
+    assert pii_scrub(docs).count() == 0
+    assert docs.select(dataset_split(docs).alias("s")).count() == 0
+
+
+def test_minhash_lsh_verify_on_empty_corpus(spark):
+    from kafka_spark_streaming_app_spark.operators.dedup import (
+        jaccard_verify_candidates,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = _empty_docs(spark)
+    sigs = minhash_signatures(docs, num_hashes=12, shingle_n=3)
+    assert sigs.count() == 0
+    cands = lsh_candidate_pairs(sigs, num_hashes=12, band_size=2)
+    assert cands.count() == 0
+    assert jaccard_verify_candidates(docs, cands).count() == 0
+
+
+def test_connected_components_on_empty_pairs(spark):
+    from kafka_spark_streaming_app_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+        ])
+    )
+    assert connected_components(pairs).count() == 0
+
+
+def test_running_total_on_empty_input(spark):
+    from kafka_spark_streaming_app_spark.operators.llmprep import (
+        with_running_total,
+    )
+
+    df = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+        ])
+    )
+    assert with_running_total(df, ["id"], "v").count() == 0
+
+
+def test_single_token_doc_chunks_and_shingles(spark):
+    """One-token and whitespace-only docs: no shingles (below n), one
+    chunk (the whole doc)."""
+    from kafka_spark_streaming_app_spark.operators.dedup import (
+        minhash_signatures,
+    )
+    from kafka_spark_streaming_app_spark.operators.llmprep import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "word"), (2, "   ")], ["doc_id", "text"]
+    )
+    assert minhash_signatures(docs, shingle_n=3).count() == 0
+    chunks = chunk_documents(docs, chunk_tokens=8, overlap=2).collect()
+    assert {(r.doc_id, r.chunk_idx) for r in chunks} == {(1, 0), (2, 0)}
