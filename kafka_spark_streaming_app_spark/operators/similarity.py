@@ -420,3 +420,59 @@ def kmeans_fit_predict(
     return _km_assign(v, centroids, id_col).select(
         id_col, "cid", F.round("dist", 6).alias("dist")
     )
+
+
+# --- multi-probe SRP ---------------------------------------------------------
+
+
+def srp_projections(
+    df: DataFrame, planes: list[list[float]], vec_col: str = "v"
+) -> list:
+    """One projection Column per plane (left-to-right fold — the same
+    arithmetic the bucketing and any SQL oracle must reproduce)."""
+    projs = []
+    for plane in planes:
+        lit_plane = F.array(*[F.lit(s) for s in plane])
+        projs.append(
+            F.aggregate(
+                F.zip_with(F.col(vec_col), lit_plane, lambda x, s: x * s),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    return projs
+
+
+def with_srp_probes(
+    df: DataFrame,
+    planes: list[list[float]],
+    vec_col: str = "v",
+    out_col: str = "probe",
+) -> DataFrame:
+    """Attach TWO probe bucket ids per row: the home bucket and the
+    home bucket with its lowest-margin bit flipped (the plane the
+    vector is closest to — the most likely single-bit hash error for
+    a true near neighbor). This is multi-probe LSH: recall of ~2
+    hash tables for the storage of one. The argmin is resolved with a
+    least + first-match CASE chain (not a sort) so a SQL oracle can
+    reproduce the tie-break bit-for-bit. Output has one row per
+    (vector, probe) — callers explode-join on the probe column.
+    """
+    projs = srp_projections(df, planes, vec_col)
+    bucket = None
+    for p, proj in enumerate(projs):
+        bit = F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    min_margin = F.least(*[F.abs(p) for p in projs])
+    flip = None
+    for p, proj in enumerate(projs):
+        cond = F.abs(proj) == min_margin
+        flip = (
+            F.when(cond, F.lit(2**p))
+            if flip is None
+            else flip.when(cond, F.lit(2**p))
+        )
+    probes = F.array(
+        bucket.cast("int"), bucket.cast("int").bitwiseXOR(flip.cast("int"))
+    )
+    return df.withColumn(out_col, F.explode(probes))

@@ -316,3 +316,108 @@ def similarity_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_fit_predict(
         emb, k=_KM_K, dim=_KM_DIM, iters=2
     )
+
+
+# --- multi-probe SRP ANN -----------------------------------------------------
+
+_MP_PLANES = srp_planes(_PLANES, _DIM)
+_IP = [
+    f"list_inner_product(v, {_plane_literal(plane)})" for plane in _MP_PLANES
+]
+_MP_MIN = "least(" + ", ".join(f"abs({ip})" for ip in _IP) + ")"
+_MP_FLIP = (
+    "CASE "
+    + " ".join(
+        f"WHEN abs({ip}) = {_MP_MIN} THEN {2 ** p}" for p, ip in enumerate(_IP)
+    )
+    + " END"
+)
+
+_MULTIPROBE_ORACLE = f"""
+WITH n AS (
+    SELECT
+        vec_id,
+        embedding::DOUBLE[] AS v,
+        sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
+    FROM embeddings
+),
+b AS (
+    SELECT *, CAST({_BUCKET_TERMS} AS INTEGER) AS bucket FROM n
+),
+qp AS (
+    SELECT vec_id AS query_id, v AS qv, norm AS qnorm, bucket AS probe
+    FROM b WHERE vec_id < 5
+    UNION
+    SELECT vec_id, v, norm, xor(bucket, CAST({_MP_FLIP} AS INTEGER))
+    FROM b WHERE vec_id < 5
+),
+scored AS (
+    SELECT DISTINCT
+        qp.query_id,
+        c.vec_id AS corpus_id,
+        round(list_inner_product(qp.qv, c.v) / (qp.qnorm * c.norm), 6) AS cosine
+    FROM b c JOIN qp ON c.bucket = qp.probe AND c.vec_id <> qp.query_id
+)
+SELECT query_id, corpus_id, cosine, rank FROM (
+    SELECT *,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, corpus_id) AS rank
+    FROM scored
+) WHERE rank <= 5
+"""
+
+
+@query("similarity_ann_srp_multiprobe", _MULTIPROBE_ORACLE)
+def similarity_ann_srp_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe SRP ANN: each query searches its home bucket AND
+    the bucket with its lowest-margin bit flipped (the plane it sits
+    closest to — the most likely single-bit hash disagreement for a
+    true neighbor). Recall of ~2 hash tables for the storage of one;
+    the oracle replicates the bucket arithmetic, the argmin-margin
+    CASE tie-break, and the XOR probe generation exactly."""
+    from ..operators.similarity import (
+        with_srp_bucket,
+        with_srp_probes,
+        with_vector_norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = with_srp_bucket(with_vector_norm(emb), _MP_PLANES).select(
+        F.col("vec_id").alias("corpus_id"), "v", "norm", "bucket"
+    )
+    q = with_srp_probes(
+        with_vector_norm(emb.filter(F.col("vec_id") < _NUM_QUERIES)),
+        _MP_PLANES,
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.col("probe"),
+    )
+    from ..functions.vectors import cosine
+
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("probe"))
+            & (F.col("corpus_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "corpus_id",
+            cosine(
+                F.col("qv"), F.col("v"), F.col("qnorm"), F.col("norm")
+            ).alias("cosine"),
+        )
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("corpus_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )

@@ -52,3 +52,28 @@ def test_ivf_with_kmeans_centroids_recall(spark, sf_smoke):
     assert len(km & exact) >= 0.8 * len(exact), (
         f"k-means IVF recall too low: {len(km & exact)}/{len(exact)}"
     )
+
+
+def test_multiprobe_recall_is_superset_of_single_probe(spark, sf_smoke):
+    """Multi-probe searches the home bucket PLUS one flipped-bit
+    bucket, so its candidate set per query strictly contains the
+    single-probe set — recall can only go up."""
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    single = {
+        (r.query_id, r.corpus_id)
+        for r in registry.QUERIES["similarity_ann_srp_lsh"](
+            spark, sf_smoke
+        ).collect()
+    }
+    multi = {
+        (r.query_id, r.corpus_id)
+        for r in registry.QUERIES["similarity_ann_srp_multiprobe"](
+            spark, sf_smoke
+        ).collect()
+    }
+    # top-5 per query from a superset candidate pool: every single-probe
+    # hit either survives or is displaced by a BETTER neighbor, so the
+    # multi set is at least as large
+    assert len(multi) >= len(single)
