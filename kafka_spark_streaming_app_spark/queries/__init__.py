@@ -16,22 +16,22 @@ from . import (  # noqa: F401
     streaming,
     tpch_extra,
     tpch_tail,
-    sqlapi,
-    text,
+    dedup,
+    llmprep,
     similarity,
+    asof,
     multimodal,
     curation,
-    llmprep,
-    dedup,
+    pivots,
+    text,
+    sqlapi,
     analytics,
     relational,
     alerts,
     jsonpath,
-    asof,
     sessions,
     grouped_map,
     functions_breadth,
     nulls,
-    pivots,
     profile,
 )
