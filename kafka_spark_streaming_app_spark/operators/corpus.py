@@ -1,0 +1,181 @@
+"""Corpus-level quality and contamination operators for training-data
+pipelines: per-document repetition metrics (Gopher-style), corpus-wide
+boilerplate n-gram detection (C4-style), and benchmark-contamination
+checks (n-gram overlap against a held-out evaluation set).
+
+These extend the reference app's data-quality surface (it has none —
+its pipeline stops at fraud-flag filters, ecommerce_streaming.py:66-79)
+with the document-hygiene stages a large-scale LLM data pipeline runs
+before training.
+
+Scale notes (100 TB posture):
+- Every operator here is explode → hash-keyed groupBy/join. The
+  shuffle rows carry a 60-bit gram hash + doc id, never gram strings
+  or document bodies.
+- ``repetition_metrics`` carries the row-local token stats through the
+  gram groupBy as grouping keys (they are functionally dependent on
+  doc_id), so the whole operator is ONE explode and TWO reduce-side
+  aggregations on the same doc_id key — no join back to the corpus.
+- ``boilerplate_ngrams`` / ``contamination_check`` join per-doc gram
+  sets against a corpus-wide hot/benchmark gram set on the gram hash —
+  an equi-join whose build side is the (much smaller) distinct-gram
+  table; AQE broadcasts it when it fits, shuffles otherwise. No
+  all-pairs document comparison anywhere.
+- Cross-engine-checkable md5-based ``h60`` is the oracle hash; swap
+  ``F.xxhash64`` in production (same shapes, cheaper hash) — the same
+  trade documented in functions/hashing.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h60, tokens, word_shingles
+
+
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition statistics per document.
+
+    Returns one row per input document:
+    - ``n_tokens`` / ``n_distinct_tokens`` and ``dup_word_frac``
+      (fraction of token instances that are repeats of an earlier
+      token — ``1 - distinct/total``),
+    - ``top_bigram_frac`` (share of bigram instances taken by the
+      single most frequent bigram),
+    - ``dup_bigram_frac`` (fraction of bigram instances that are
+      repeats).
+
+    High values of any of these mark machine-generated or boilerplate
+    text (Rae et al., "Scaling Language Models: ... Gopher", §A1.1).
+
+    Documents with fewer than 2 tokens keep a row (explode_outer) with
+    zeroed bigram fractions.
+    """
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        word_shingles(text_col, 2).alias("grams"),
+    )
+    # grouping by the doc-level stats (functionally dependent on the
+    # doc id) carries them to the final agg without a join
+    per_gram = (
+        base.select(
+            id_col,
+            "n_tokens",
+            "n_distinct_tokens",
+            F.explode_outer("grams").alias("gram"),
+        )
+        .groupBy(id_col, "n_tokens", "n_distinct_tokens", "gram")
+        .agg(F.count("gram").alias("cnt"))
+    )
+    # when-guards (not coalesce): double 0/0 is NaN in Spark but NULL
+    # in other engines — never emit either
+    total = F.sum("cnt")
+    return per_gram.groupBy(id_col, "n_tokens", "n_distinct_tokens").agg(
+        F.when(
+            F.col("n_tokens") > 0,
+            F.lit(1.0)
+            - F.col("n_distinct_tokens")
+            / F.col("n_tokens").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_word_frac"),
+        F.when(total > 0, F.max("cnt") / total.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+        F.when(
+            total > 0, F.lit(1.0) - F.count("gram") / total.cast("double")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+    )
+
+
+def _doc_grams(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """Distinct (doc, gram-hash) pairs — the per-document n-gram set."""
+    return (
+        df.select(
+            F.col(id_col), F.explode(word_shingles(text_col, n)).alias("gram")
+        )
+        .select(id_col, h60(F.col("gram")).alias("g"))
+        .distinct()
+    )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """C4-style boilerplate detection: an n-gram occurring in
+    ``min_docs``-or-more DISTINCT documents is boilerplate; each
+    document is scored by the fraction of its distinct n-grams that
+    are boilerplate (``boiler_frac``).
+
+    Returns (doc_id, n_grams, n_boiler, boiler_frac) for every
+    document that has at least one n-gram.
+    """
+    grams = _doc_grams(df, text_col, id_col, n)
+    hot = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("g", F.lit(True).alias("is_boiler"))
+    )
+    joined = grams.join(hot, "g", "left")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count("is_boiler").alias("n_boiler"),
+        (F.count("is_boiler") / F.count(F.lit(1)).cast("double")).alias(
+            "boiler_frac"
+        ),
+    )
+
+
+def contamination_check(
+    df: DataFrame,
+    is_benchmark,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    flag_threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark-contamination scan: score every NON-benchmark document
+    by the fraction of its distinct n-grams that also occur anywhere in
+    the benchmark partition (``is_benchmark`` is a boolean Column over
+    ``df``). Documents at or above ``flag_threshold`` overlap are
+    flagged ``contaminated`` — the decontamination stage drops them
+    before training so evaluation stays honest.
+
+    Returns (doc_id, n_grams, n_hit, overlap_frac, contaminated) for
+    every candidate document with at least one n-gram.
+    """
+    flagged = df.withColumn("_bench", is_benchmark)
+    bench_grams = (
+        _doc_grams(
+            flagged.filter(F.col("_bench")), text_col, id_col, n
+        )
+        .select("g")
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    cand = _doc_grams(
+        flagged.filter(~F.col("_bench")), text_col, id_col, n
+    )
+    joined = cand.join(bench_grams, "g", "left")
+    frac = F.count("_hit") / F.count(F.lit(1)).cast("double")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count("_hit").alias("n_hit"),
+        frac.alias("overlap_frac"),
+        (frac >= flag_threshold).alias("contaminated"),
+    )

@@ -21,6 +21,7 @@ from . import (  # noqa: F401
     similarity,
     asof,
     multimodal,
+    corpus_quality,
     curation,
     pivots,
     text,

@@ -1,0 +1,157 @@
+"""Corpus-hygiene queries: Gopher-style repetition metrics, C4-style
+boilerplate n-gram scoring, and benchmark-contamination scanning —
+driver-facing wrappers over operators/corpus.py with exact DuckDB
+oracles.
+
+The benchmark partition for the contamination scan is synthesized
+deterministically (``doc_id % 20 == 0`` → 5% of the corpus plays the
+held-out eval set) so both engines agree on it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import TOKENS_SQL, h60_sql, shingles_sql
+from ..operators.corpus import (
+    boilerplate_ngrams,
+    contamination_check,
+    repetition_metrics,
+)
+from ..registry import query
+from ..sources.batch import load_table
+
+_WORDS = TOKENS_SQL.format(x="text")
+
+# --- repetition metrics -----------------------------------------------------
+
+_REPETITION_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id,
+           len({_WORDS}) AS n_tokens,
+           len(list_distinct({_WORDS})) AS n_distinct_tokens,
+           {shingles_sql("text", 2)} AS grams
+    FROM documents
+),
+gram_counts AS (
+    SELECT doc_id, gram, count(*) AS cnt
+    FROM (SELECT doc_id, unnest(grams) AS gram FROM base)
+    GROUP BY doc_id, gram
+),
+gram_agg AS (
+    SELECT doc_id, sum(cnt) AS total, max(cnt) AS top,
+           count(*) AS n_distinct_grams
+    FROM gram_counts GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CAST(b.n_distinct_tokens AS BIGINT) AS n_distinct_tokens,
+       CASE WHEN b.n_tokens > 0
+            THEN 1.0 - b.n_distinct_tokens / CAST(b.n_tokens AS DOUBLE)
+            ELSE 0.0 END AS dup_word_frac,
+       CASE WHEN g.total > 0
+            THEN g.top / CAST(g.total AS DOUBLE)
+            ELSE 0.0 END AS top_bigram_frac,
+       CASE WHEN g.total > 0
+            THEN 1.0 - g.n_distinct_grams / CAST(g.total AS DOUBLE)
+            ELSE 0.0 END AS dup_bigram_frac
+FROM base b LEFT JOIN gram_agg g USING (doc_id)
+"""
+
+
+@query("repetition_metrics", _REPETITION_ORACLE)
+def repetition_metrics_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition statistics (duplicate-word fraction,
+    top-bigram share, duplicate-bigram fraction) — the Gopher §A1.1
+    quality filters. One explode + two same-key aggregations; the
+    doc-level token stats ride the groupBy keys, so there is no join
+    back to the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    rep = repetition_metrics(docs)
+    return rep.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("bigint").alias("n_distinct_tokens"),
+        "dup_word_frac",
+        "top_bigram_frac",
+        "dup_bigram_frac",
+    )
+
+
+# --- boilerplate n-grams ----------------------------------------------------
+
+_B_N, _B_MIN_DOCS = 5, 2
+
+_BOILER_ORACLE = f"""
+WITH grams AS (
+    SELECT DISTINCT doc_id, {h60_sql("gram")} AS g
+    FROM (SELECT doc_id, unnest({shingles_sql("text", _B_N)}) AS gram
+          FROM documents)
+),
+hot AS (
+    SELECT g FROM grams GROUP BY g HAVING count(*) >= {_B_MIN_DOCS}
+)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(h.g) AS BIGINT) AS n_boiler,
+       count(h.g) / CAST(count(*) AS DOUBLE) AS boiler_frac
+FROM grams c LEFT JOIN hot h ON c.g = h.g
+GROUP BY c.doc_id
+"""
+
+
+@query("boilerplate_ngrams", _BOILER_ORACLE)
+def boilerplate_ngrams_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate scoring: a 5-gram present in ≥2 distinct
+    documents is boilerplate; every document is scored by the fraction
+    of its distinct 5-grams that are boilerplate. The join key is the
+    60-bit gram hash — gram strings never shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return boilerplate_ngrams(docs, n=_B_N, min_docs=_B_MIN_DOCS)
+
+
+# --- benchmark contamination ------------------------------------------------
+
+_C_N, _C_THRESHOLD = 3, 0.5
+
+_CONTAM_ORACLE = f"""
+WITH flagged AS (
+    SELECT doc_id, text, doc_id % 20 = 0 AS bench FROM documents
+),
+bgrams AS (
+    SELECT DISTINCT {h60_sql("gram")} AS g
+    FROM (SELECT unnest({shingles_sql("text", _C_N)}) AS gram
+          FROM flagged WHERE bench)
+),
+cgrams AS (
+    SELECT DISTINCT doc_id, {h60_sql("gram")} AS g
+    FROM (SELECT doc_id, unnest({shingles_sql("text", _C_N)}) AS gram
+          FROM flagged WHERE NOT bench)
+)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(b.g) AS BIGINT) AS n_hit,
+       count(b.g) / CAST(count(*) AS DOUBLE) AS overlap_frac,
+       count(b.g) / CAST(count(*) AS DOUBLE) >= {_C_THRESHOLD}
+           AS contaminated
+FROM cgrams c LEFT JOIN bgrams b ON c.g = b.g
+GROUP BY c.doc_id
+"""
+
+
+@query("contamination_check", _CONTAM_ORACLE)
+def contamination_check_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: every non-benchmark document
+    scored by the fraction of its distinct trigrams that appear in the
+    benchmark partition (doc_id % 20 == 0); ≥50% overlap flags the
+    document for decontamination. Candidate and benchmark gram sets
+    meet in a hash-keyed equi-join (build side = the benchmark's
+    distinct grams — small by construction)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_check(
+        docs,
+        is_benchmark=F.col("doc_id") % 20 == 0,
+        n=_C_N,
+        flag_threshold=_C_THRESHOLD,
+    )

@@ -40,26 +40,34 @@ def test_app_file_source_end_to_end():
     with open(os.path.join(src, "zz_closer.json"), "w") as f:
         f.write(json.dumps(rows[-1]) + "\n")
 
-    proc = subprocess.run(
-        [
-            sys.executable,
-            os.path.join(REPO, "app.py"),
-            "--source", "file",
-            "--input-dir", src,
-            "--output-dir", out,
-            "--duration", "35",
-        ],
-        capture_output=True,
-        text=True,
-        timeout=300,
-    )
-    assert proc.returncode == 0, proc.stderr[-2000:]
-
     import duckdb
+    import glob
 
-    aggs = duckdb.sql(
-        f"SELECT * FROM '{out}/windowed-aggregations/*.parquet'"
-    ).fetchall()
+    # the run length is wall-clock-sensitive (JVM startup + trigger
+    # cadence); on a noisy host 35 s can end before the finalizing
+    # micro-batch fires, so retry once with a longer window
+    aggs = []
+    for duration in ("35", "90"):
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(REPO, "app.py"),
+                "--source", "file",
+                "--input-dir", src,
+                "--output-dir", out,
+                "--duration", duration,
+            ],
+            capture_output=True,
+            text=True,
+            timeout=300,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        if glob.glob(f"{out}/windowed-aggregations/*.parquet"):
+            aggs = duckdb.sql(
+                f"SELECT * FROM '{out}/windowed-aggregations/*.parquet'"
+            ).fetchall()
+            if aggs:
+                break
     assert len(aggs) > 0, "no finalized windowed aggregates written"
     alerts = duckdb.sql(
         f"SELECT order_id, alert_type FROM '{out}/alerts/*.parquet'"
