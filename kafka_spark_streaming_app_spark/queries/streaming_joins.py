@@ -1,0 +1,116 @@
+"""Stream-stream join and streaming deduplication — the two Structured
+Streaming capabilities beyond the reference's single-stream pipeline
+(ecommerce_streaming.py drives one source into independent sinks; it
+never joins two live streams or dedups a replayed feed).
+
+Both queries run the REAL streaming engine over the JSON wire replay
+(same harness as queries/streaming.py) and are hash-checked against a
+batch SQL oracle, so the driver verifies the engine's join/dedup state
+machinery, not just the arithmetic.
+
+Scale notes:
+- ``streaming_dedup_within_watermark``: dedup state is keyed by
+  event_id and EVICTED once the watermark passes the event's time +
+  delay — at-least-once Kafka replays dedup with bounded state, the
+  production shape for exactly-once ingestion without an idempotent
+  sink.
+- ``streaming_view_purchase_join``: inner stream-stream equi-join on
+  user_id with an event-time range bound; the watermark + range bound
+  let the engine drop buffered rows older than (watermark − range), so
+  state is O(events within the join window), not O(stream).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from .streaming import _events_as_wire_stream, _run_to_table
+
+_DEDUP_ORACLE = """
+SELECT event_id, user_id, event_type,
+       value AS amount, ts AS event_timestamp
+FROM events
+"""
+
+
+@query("streaming_dedup_within_watermark", _DEDUP_ORACLE)
+def streaming_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Replay the wire stream TWICE (union of two source instances —
+    every event arrives duplicated, the at-least-once delivery shape)
+    and collapse with ``dropDuplicatesWithinWatermark`` keyed on
+    event_id. The oracle is the plain events table: exactly one
+    surviving row per event proves in-batch and cross-instance
+    duplicates both die while state stays watermark-bounded."""
+    once = _events_as_wire_stream(spark, sf_dir)
+    again = _events_as_wire_stream(spark, sf_dir)
+    deduped = once.union(again).dropDuplicatesWithinWatermark(["event_id"])
+    out = deduped.select(
+        "event_id", "user_id", "event_type", "amount", "event_timestamp"
+    )
+    return _run_to_table(spark, out, output_mode="append")
+
+
+_JOIN_WINDOW = "2 hours"
+
+_SS_JOIN_ORACLE = """
+SELECT v.user_id,
+       v.event_id AS view_event_id,
+       p.event_id AS purchase_event_id,
+       v.ts AS view_ts,
+       p.ts AS purchase_ts,
+       p.value AS amount
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 2 HOUR
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+"""
+
+
+@query("streaming_view_purchase_join", _SS_JOIN_ORACLE)
+def streaming_view_purchase_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Attribution join executed BY THE STREAMING ENGINE: each purchase
+    is matched to every view by the same user in the preceding 2 hours
+    — two independently watermarked stream instances, inner-joined on
+    user_id with an event-time range condition (the state-cleanup
+    contract). The oracle is the equivalent batch self-join."""
+    views = (
+        _events_as_wire_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select("user_id", "event_id", "event_timestamp")
+    )
+    purchases = (
+        _events_as_wire_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("amount"),
+            F.col("event_timestamp").alias("purchase_ts"),
+        )
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("event_timestamp"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("event_timestamp") + F.expr(f"INTERVAL {_JOIN_WINDOW}")
+        ),
+        "inner",
+    ).select(
+        "user_id",
+        F.col("event_id").alias("view_event_id"),
+        "purchase_event_id",
+        F.col("event_timestamp").alias("view_ts"),
+        "purchase_ts",
+        "amount",
+    )
+    return _run_to_table(spark, joined, output_mode="append")

@@ -294,3 +294,43 @@ def test_observe_metrics_reported_per_batch(spark):
     assert metrics["n_rows"] == 2
     assert metrics["amount_total"] == 150.0
     assert metrics["n_null_amount"] == 0
+
+
+def test_dedup_within_watermark_collapses_cross_batch_duplicates(spark):
+    """dropDuplicatesWithinWatermark must collapse duplicates arriving
+    in the SAME micro-batch and in a LATER micro-batch while the key's
+    state is still within the watermark delay (the at-least-once
+    replay shape behind streaming_dedup_within_watermark)."""
+    src = tempfile.mkdtemp(prefix="dedup_wm_")
+    _write_wire_file(
+        src,
+        "b1.json",
+        [
+            _order("o1", "2024-01-01 10:00:05"),
+            _order("o1", "2024-01-01 10:00:05"),  # in-batch duplicate
+            _order("o2", "2024-01-01 10:00:10"),
+        ],
+    )
+    raw = spark.readStream.option("maxFilesPerTrigger", "1").text(src)
+    parsed = parse_and_clean(raw, ORDER_SCHEMA, watermark="30 seconds")
+    deduped = parsed.dropDuplicatesWithinWatermark(["order_id"]).select(
+        "order_id", "event_timestamp"
+    )
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = write_memory_stream(deduped, name, output_mode="append")
+    try:
+        q.processAllAvailable()
+        # o2 replayed one batch later, still inside the 30 s delay
+        _write_wire_file(
+            src,
+            "b2.json",
+            [
+                _order("o2", "2024-01-01 10:00:10"),
+                _order("o3", "2024-01-01 10:00:20"),
+            ],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [r["order_id"] for r in spark.table(name).collect()]
+    assert sorted(got) == ["o1", "o2", "o3"], f"duplicates leaked: {got}"
