@@ -115,6 +115,7 @@ def boilerplate_ngrams(
     id_col: str = "doc_id",
     n: int = 5,
     min_docs: int = 2,
+    materialize: bool = True,
 ) -> DataFrame:
     """C4-style boilerplate detection: an n-gram occurring in
     ``min_docs``-or-more DISTINCT documents is boilerplate; each
@@ -123,8 +124,16 @@ def boilerplate_ngrams(
 
     Returns (doc_id, n_grams, n_boiler, boiler_frac) for every
     document that has at least one n-gram.
+
+    ``materialize`` puts a lazy ``localCheckpoint`` barrier on the
+    per-doc gram set: it feeds BOTH the hot-gram count and the join
+    back, and without the barrier Spark re-expands the explode +
+    distinct subtree (and the corpus scan under it) once per
+    reference.
     """
     grams = _doc_grams(df, text_col, id_col, n)
+    if materialize:
+        grams = grams.localCheckpoint(eager=False)
     hot = (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("n_docs"))

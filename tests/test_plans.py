@@ -310,3 +310,47 @@ def test_token_budget_has_no_global_single_partition_sort(spark, sf_smoke):
     )
     # the data-row window must be partitioned by _pid, not global
     assert "partitionBy" not in tree or "_pid" in tree
+
+
+def test_repetition_metrics_single_scan_no_join(spark, sf_smoke):
+    """The Gopher repetition stats must stay one corpus scan with the
+    doc-level token stats riding the groupBy keys — a join back to the
+    corpus (or a re-expanded second scan) is the anti-pattern."""
+    from kafka_spark_streaming_app_spark.operators.corpus import (
+        repetition_metrics,
+    )
+    from kafka_spark_streaming_app_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    tree = plan_str(repetition_metrics(docs)).split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, (
+        "corpus scanned more than once:\n" + tree
+    )
+    assert "Join" not in tree, "unexpected join back to the corpus:\n" + tree
+
+
+def test_corpus_gram_joins_are_equi_joins(spark, sf_smoke):
+    """Boilerplate scoring and contamination scans must meet their
+    corpus-wide gram sets in hash-keyed equi-joins — never a nested
+    loop / cartesian comparison (asserted on the unbarriered
+    boilerplate plan; the contamination query has no barrier)."""
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_app_spark.operators.corpus import (
+        boilerplate_ngrams,
+        contamination_check,
+    )
+    from kafka_spark_streaming_app_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    for tree in (
+        plan_str(boilerplate_ngrams(docs, materialize=False)).split("\n\n")[0],
+        plan_str(
+            contamination_check(docs, is_benchmark=F.col("doc_id") % 20 == 0)
+        ).split("\n\n")[0],
+    ):
+        assert "CartesianProduct" not in tree
+        assert "BroadcastNestedLoopJoin" not in tree
+        assert ("HashJoin" in tree) or ("SortMergeJoin" in tree), (
+            "gram-set join missing or degenerate:\n" + tree
+        )
