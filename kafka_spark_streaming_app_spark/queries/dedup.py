@@ -225,3 +225,123 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/similarity.py for the unblocked ANN path)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+# --- incremental dedup (new batch vs historical corpus) ---------------------
+
+_INC_NEW = "(doc_id % 10 = 9 OR doc_id >= 1000000)"
+_NORM = NORMALIZE_SQL.format(x="text")
+
+_INCREMENTAL_ORACLE = f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    WHERE doc_id % 25 = 0
+),
+newb AS (SELECT * FROM corpus WHERE {_INC_NEW}),
+hist AS (SELECT * FROM corpus WHERE NOT {_INC_NEW}),
+hist_hashes AS (SELECT DISTINCT md5({_NORM}) AS h FROM hist),
+exact_ids AS (
+    SELECT DISTINCT n.doc_id FROM newb n
+    JOIN hist_hashes ON md5({NORMALIZE_SQL.format(x="n.text")}) = h
+),
+surv AS (
+    SELECT * FROM newb
+    WHERE doc_id NOT IN (SELECT doc_id FROM exact_ids)
+),
+nds AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM surv)
+),
+hds AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM hist)
+),
+nsz AS (SELECT doc_id, count(*) AS sz FROM nds GROUP BY doc_id),
+hsz AS (SELECT doc_id, count(*) AS sz FROM hds GROUP BY doc_id),
+common AS (
+    SELECT n.doc_id AS n_id, h.doc_id AS h_id, count(*) AS c
+    FROM nds n JOIN hds h ON n.shingle = h.shingle
+    GROUP BY 1, 2
+),
+near AS (
+    SELECT DISTINCT n_id AS doc_id
+    FROM common
+    JOIN nsz ON nsz.doc_id = n_id
+    JOIN hsz ON hsz.doc_id = h_id
+    WHERE CAST(c AS DOUBLE) / (nsz.sz + hsz.sz - c) >= 0.5
+)
+SELECT doc_id,
+       CASE WHEN doc_id IN (SELECT doc_id FROM exact_ids) THEN 'exact_dup'
+            WHEN doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
+            ELSE 'unique' END AS status
+FROM newb
+"""
+
+
+@query("dedup_incremental", _INCREMENTAL_ORACLE)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup — the shape a production corpus
+    actually runs: a NEW batch (doc_id % 10 == 9, plus planted exact
+    copies of historical docs) is checked against the HISTORICAL
+    corpus, never against itself. Stage 1 drops exact dups by
+    normalized-content hash (semi-join against the historical hash
+    set); stage 2 runs MinHash+LSH over (historical ∪ survivors),
+    keeps only cross candidate pairs (one new side), and
+    exact-Jaccard-verifies those. Each new doc gets a status:
+    exact_dup / near_dup / unique. The oracle recomputes both stages
+    with the brute-force exact pair set, so the hash check proves LSH
+    recall on the cross pairs too."""
+    from ..functions.hashing import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionAll(planted)
+
+    def _is_new(c):
+        return (c % 10 == 9) | (c >= 1000000)
+
+    newb = corpus.filter(_is_new(F.col("doc_id")))
+    hist = corpus.filter(~_is_new(F.col("doc_id")))
+
+    hist_hashes = hist.select(
+        F.md5(normalize_text("text")).alias("content_hash")
+    ).distinct()
+    exact_ids = (
+        newb.select("doc_id", F.md5(normalize_text("text")).alias("content_hash"))
+        .join(hist_hashes, "content_hash", "left_semi")
+        .select("doc_id")
+        .localCheckpoint(eager=False)  # referenced by the anti-join AND the final status join
+    )
+
+    survivors = newb.join(exact_ids, "doc_id", "left_anti")
+    fuzzy_corpus = hist.unionAll(survivors)
+    sigs = minhash_signatures(fuzzy_corpus, num_hashes=12, shingle_n=3)
+    cands = lsh_candidate_pairs(sigs, num_hashes=12, band_size=2)
+    cross = cands.filter(
+        _is_new(F.col("id_a")) != _is_new(F.col("id_b"))
+    )
+    verified = jaccard_verify_candidates(
+        fuzzy_corpus, cross, shingle_n=3, threshold=0.5
+    )
+    near_ids = (
+        verified.select(F.col("id_a").alias("doc_id"))
+        .unionAll(verified.select(F.col("id_b").alias("doc_id")))
+        .filter(_is_new(F.col("doc_id")))
+        .distinct()
+    )
+    return (
+        newb.select("doc_id")
+        .join(exact_ids.withColumn("_e", F.lit(True)), "doc_id", "left")
+        .join(near_ids.withColumn("_n", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_e"), F.lit("exact_dup"))
+            .when(F.col("_n"), F.lit("near_dup"))
+            .otherwise(F.lit("unique"))
+            .alias("status"),
+        )
+    )
