@@ -50,6 +50,12 @@ HEADLINE = [
     "dedup_clusters",
     "token_budget_selection",
     "similarity_kmeans",
+    # round-2 late additions: corpus hygiene, incremental ingestion
+    # dedup, and the stream-stream join through the real engine
+    "repetition_metrics",
+    "contamination_check",
+    "dedup_incremental",
+    "streaming_view_purchase_join",
 ]
 
 

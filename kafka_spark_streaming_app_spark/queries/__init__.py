@@ -23,6 +23,7 @@ from . import (  # noqa: F401
     multimodal,
     corpus_quality,
     streaming_joins,
+    pyds,
     curation,
     pivots,
     text,

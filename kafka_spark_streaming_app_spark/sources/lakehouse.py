@@ -48,3 +48,55 @@ def read_lakehouse(spark: SparkSession, path: str, format: str) -> DataFrame:
                 f"{format} connector unavailable: {_REMEDIATION[format]}"
             ) from exc
         raise
+
+
+_AVRO_REMEDIATION = (
+    "Avro needs the spark-avro datasource module: submit with "
+    "--packages org.apache.spark:spark-avro_2.13:<spark-version> "
+    "(the avro-*.jar files in $SPARK_HOME/jars are Spark's internal "
+    "Avro libraries, not the datasource)"
+)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Read Avro files, or raise an actionable error when the
+    spark-avro datasource module is absent (same gating contract as
+    the lakehouse readers)."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as exc:
+        msg = str(exc)
+        if any(
+            marker in msg
+            for marker in (
+                "DATA_SOURCE_NOT_FOUND",
+                "Failed to find data source",
+                "ClassNotFoundException",
+                "AVRO",
+            )
+        ):
+            raise RuntimeError(
+                f"avro datasource unavailable: {_AVRO_REMEDIATION}"
+            ) from exc
+        raise
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write Avro files with the same availability gating as read_avro."""
+    try:
+        df.write.mode(mode).format("avro").save(path)
+    except Exception as exc:
+        msg = str(exc)
+        if any(
+            marker in msg
+            for marker in (
+                "DATA_SOURCE_NOT_FOUND",
+                "Failed to find data source",
+                "ClassNotFoundException",
+                "AVRO",
+            )
+        ):
+            raise RuntimeError(
+                f"avro datasource unavailable: {_AVRO_REMEDIATION}"
+            ) from exc
+        raise

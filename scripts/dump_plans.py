@@ -26,6 +26,9 @@ NOTES = {
     "q17_small_quantity_revenue": "Brand semi-join BEFORE the per-part average; window-over-slice avoids the agg-then-join-back second scan.",
     "chunk_documents": "Row-local bounded explode, zero shuffle — chunking is a pure scan projection.",
     "dedup_clusters": "Per-superstep join+agg on the edge list; labels localCheckpoint'ed to cut iterative lineage.",
+    "repetition_metrics": "ONE corpus scan; doc-level token stats ride the groupBy keys, so there is no join back (partial+final agg twice on the same doc key).",
+    "contamination_check": "Gram sets meet on the 60-bit hash; benchmark gram table is the build side (AQE broadcast here, shuffle at adversarial scale).",
+    "dedup_incremental": "Exact-hash semi-join kills cheap dups before the fuzzy stage; LSH candidates filtered to cross pairs so verify cost tracks the NEW batch only.",
 }
 
 

@@ -50,3 +50,90 @@ def test_lakehouse_stub_raises_actionable_error(spark):
             assert df is not None
     with pytest.raises(ValueError, match="unknown lakehouse"):
         read_lakehouse(spark, "/tmp/x", "hudi-ish")
+
+
+def test_avro_roundtrip_or_actionable_error(spark, sf_smoke):
+    """Avro read/write round-trips when the spark-avro module is on
+    the classpath, and degrades to a remediation error (never a raw
+    ClassNotFoundException) when it is not."""
+    import tempfile
+
+    from kafka_spark_streaming_app_spark.sources.batch import load_table
+    from kafka_spark_streaming_app_spark.sources.lakehouse import (
+        read_avro,
+        write_avro,
+    )
+
+    nation = load_table(spark, sf_smoke, "nation")
+    out = tempfile.mkdtemp(prefix="avro_out_")
+    try:
+        write_avro(nation, out)
+    except RuntimeError as exc:
+        assert "spark-avro" in str(exc)
+        return
+    back = read_avro(spark, out)
+    assert back.count() == nation.count()
+    assert set(back.columns) == set(nation.columns)
+
+
+def test_wire_replay_batch_partitioned_generation(spark):
+    """The custom Python DataSource must generate exactly its rows,
+    partition-locally (random access, no prefix replay), and match the
+    pure-python payload function."""
+    import json
+
+    from kafka_spark_streaming_app_spark.sources.pyds import (
+        register_wire_replay,
+        wire_order_at,
+    )
+
+    register_wire_replay(spark)
+    df = (
+        spark.read.format("wire_replay")
+        .option("rows", 100)
+        .option("numPartitions", 7)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 7
+    got = sorted(
+        (json.loads(r["value"]) for r in df.collect()),
+        key=lambda o: o["order_id"],
+    )
+    want = sorted(
+        (wire_order_at(i) for i in range(100)), key=lambda o: o["order_id"]
+    )
+    assert got == want
+
+
+def test_wire_replay_stream_drains_in_micro_batches(spark):
+    """The streaming face: offsets advance by rowsPerBatch up to the
+    cap, processAllAvailable drains the finite stream, and every row
+    arrives exactly once."""
+    import uuid
+
+    from kafka_spark_streaming_app_spark.sources.pyds import (
+        register_wire_replay,
+    )
+    from kafka_spark_streaming_app_spark.streaming.pipeline import (
+        write_memory_stream,
+    )
+
+    register_wire_replay(spark)
+    stream = (
+        spark.readStream.format("wire_replay")
+        .option("rows", 500)
+        .option("rowsPerBatch", 200)
+        .option("numPartitions", 4)
+        .load()
+    )
+    name = f"pyds_{uuid.uuid4().hex[:8]}"
+    q = write_memory_stream(stream, name, output_mode="append")
+    try:
+        q.processAllAvailable()
+        n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    finally:
+        q.stop()
+    out = spark.table(name)
+    assert out.count() == 500
+    assert out.select("value").distinct().count() == 500
+    assert n_batches >= 3, f"expected >=3 non-empty micro-batches, got {n_batches}"
