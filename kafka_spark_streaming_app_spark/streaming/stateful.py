@@ -87,3 +87,92 @@ def running_totals(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- transformWithState (second-generation stateful API) --------------------
+
+CATEGORY_SPEND_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.StringType(), True),
+        T.StructField("n_orders", T.LongType(), True),
+        T.StructField("n_categories", T.LongType(), True),
+        T.StructField("total_spend", T.DoubleType(), True),
+    ]
+)
+
+
+def category_spend_tracker(orders: DataFrame) -> DataFrame:
+    """Per-user spend + distinct-category tracker on the
+    second-generation stateful API (``transformWithStateInPandas``,
+    Spark 4): a ValueState holds the O(1) running totals and a
+    MapState holds the per-category order counts — composite typed
+    state the first-generation ``applyInPandasWithState`` flat tuple
+    cannot express incrementally.
+
+    Emits an updated (user_id, n_orders, n_categories, total_spend)
+    snapshot for every key seen in the micro-batch. Requires the
+    RocksDB state store provider (transformWithState's backing store);
+    the caller sets ``spark.sql.streaming.stateStore.providerClass``.
+    The TWS runtime also needs the ``protobuf`` package (its Python
+    worker speaks protobuf to the state server) — absent in this
+    sandbox, so the covering test import-skips with remediation; the
+    first-generation ``running_totals`` above is the fully-exercised
+    stateful path here.
+
+    Scale: state is per-key O(#categories) — bounded by the catalog,
+    not the stream; the shuffle is the single groupBy(user_id).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _CategorySpend(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n_orders long, total_spend double"
+            )
+            self._per_cat = handle.getMapState(
+                "per_cat", "category string", "n long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._totals.get() if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["total_amount"].dropna().sum())
+                for cat in pdf["category"].dropna():
+                    prev = (
+                        self._per_cat.getValue((cat,))[0]
+                        if self._per_cat.containsKey((cat,))
+                        else 0
+                    )
+                    self._per_cat.updateValue((cat,), (prev + 1,))
+            self._totals.update((n, total))
+            n_cats = sum(1 for _ in self._per_cat.keys())
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": key[0],
+                        "n_orders": n,
+                        "n_categories": n_cats,
+                        "total_spend": total,
+                    }
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        orders.select("user_id", "category", "total_amount")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_CategorySpend(),
+            outputStructType=CATEGORY_SPEND_OUTPUT,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
