@@ -10,8 +10,10 @@ before training.
 
 Scale notes (100 TB posture):
 - Every operator here is explode → hash-keyed groupBy/join. The
-  shuffle rows carry a 60-bit gram hash + doc id, never gram strings
-  or document bodies.
+  shuffle rows carry a 64-bit xxhash64 gram hash + doc id, never gram
+  strings or document bodies. The hash value never leaves the engine
+  (only match counts do), so the DuckDB oracles join raw gram strings
+  and stay hash-agnostic — no md5 tax for cross-engine parity here.
 - ``repetition_metrics`` carries the row-local token stats through the
   gram groupBy as grouping keys (they are functionally dependent on
   doc_id), so the whole operator is ONE explode and TWO reduce-side
@@ -21,9 +23,9 @@ Scale notes (100 TB posture):
   an equi-join whose build side is the (much smaller) distinct-gram
   table; AQE broadcasts it when it fits, shuffles otherwise. No
   all-pairs document comparison anywhere.
-- Cross-engine-checkable md5-based ``h60`` is the oracle hash; swap
-  ``F.xxhash64`` in production (same shapes, cheaper hash) — the same
-  trade documented in functions/hashing.py.
+- ``rebalance_partitions`` exists because tokenization runs at scan
+  parallelism: few-row-group local fixtures need one spreading
+  shuffle; a many-file production corpus must leave it None.
 """
 
 from __future__ import annotations
@@ -31,11 +33,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import h60, tokens, word_shingles
+from ..functions.hashing import tokens, word_shingles
 
 
 def repetition_metrics(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rebalance_partitions: int | None = None,
 ) -> DataFrame:
     """Gopher-style repetition statistics per document.
 
@@ -53,7 +58,18 @@ def repetition_metrics(
 
     Documents with fewer than 2 tokens keep a row (explode_outer) with
     zeroed bigram fractions.
+
+    ``rebalance_partitions``: tokenization dominates this operator and
+    runs at SCAN parallelism; a corpus stored in few parquet row
+    groups (this sandbox's single-file testdata) tokenizes on one
+    task. Passing a width inserts one round-robin shuffle of the raw
+    docs before the explode (measured 4.7× here). Leave None at
+    production scale — a many-file corpus already scans wide, and
+    re-shuffling 100 TB of text to "rebalance" it would be the
+    bottleneck.
     """
+    if rebalance_partitions:
+        df = df.repartition(rebalance_partitions)
     toks = tokens(text_col)
     base = df.select(
         F.col(id_col),
@@ -62,13 +78,24 @@ def repetition_metrics(
         word_shingles(text_col, 2).alias("grams"),
     )
     # grouping by the doc-level stats (functionally dependent on the
-    # doc id) carries them to the final agg without a join
+    # doc id) carries them to the final agg without a join; the gram
+    # shuffles as a 64-bit hash, null-preserved so the explode_outer
+    # empty-doc row stays countable (xxhash64 alone maps NULL to the
+    # seed, not NULL)
     per_gram = (
         base.select(
             id_col,
             "n_tokens",
             "n_distinct_tokens",
             F.explode_outer("grams").alias("gram"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_distinct_tokens",
+            F.when(
+                F.col("gram").isNotNull(), F.xxhash64(F.col("gram"))
+            ).alias("gram"),
         )
         .groupBy(id_col, "n_tokens", "n_distinct_tokens", "gram")
         .agg(F.count("gram").alias("cnt"))
@@ -97,14 +124,27 @@ def repetition_metrics(
 
 
 def _doc_grams(
-    df: DataFrame, text_col: str, id_col: str, n: int
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    rebalance_partitions: int | None = None,
 ) -> DataFrame:
-    """Distinct (doc, gram-hash) pairs — the per-document n-gram set."""
+    """Distinct (doc, gram-hash) pairs — the per-document n-gram set.
+
+    The hash is codegen-native ``xxhash64`` (measured ~2× faster
+    end-to-end than the md5-derived h60 on these queries): the hash
+    VALUE never leaves the engine — downstream only compares/counts
+    matches — so the DuckDB oracles join raw gram strings instead and
+    stay hash-agnostic (same counts modulo 2^-64 collisions).
+    """
+    if rebalance_partitions:
+        df = df.repartition(rebalance_partitions)
     return (
         df.select(
             F.col(id_col), F.explode(word_shingles(text_col, n)).alias("gram")
         )
-        .select(id_col, h60(F.col("gram")).alias("g"))
+        .select(id_col, F.xxhash64(F.col("gram")).alias("g"))
         .distinct()
     )
 
@@ -116,6 +156,7 @@ def boilerplate_ngrams(
     n: int = 5,
     min_docs: int = 2,
     materialize: bool = True,
+    rebalance_partitions: int | None = None,
 ) -> DataFrame:
     """C4-style boilerplate detection: an n-gram occurring in
     ``min_docs``-or-more DISTINCT documents is boilerplate; each
@@ -131,7 +172,7 @@ def boilerplate_ngrams(
     distinct subtree (and the corpus scan under it) once per
     reference.
     """
-    grams = _doc_grams(df, text_col, id_col, n)
+    grams = _doc_grams(df, text_col, id_col, n, rebalance_partitions)
     if materialize:
         grams = grams.localCheckpoint(eager=False)
     hot = (
@@ -157,6 +198,7 @@ def contamination_check(
     id_col: str = "doc_id",
     n: int = 3,
     flag_threshold: float = 0.5,
+    rebalance_partitions: int | None = None,
 ) -> DataFrame:
     """Benchmark-contamination scan: score every NON-benchmark document
     by the fraction of its distinct n-grams that also occur anywhere in
@@ -171,14 +213,16 @@ def contamination_check(
     flagged = df.withColumn("_bench", is_benchmark)
     bench_grams = (
         _doc_grams(
-            flagged.filter(F.col("_bench")), text_col, id_col, n
+            flagged.filter(F.col("_bench")), text_col, id_col, n,
+            rebalance_partitions,
         )
         .select("g")
         .distinct()
         .withColumn("_hit", F.lit(True))
     )
     cand = _doc_grams(
-        flagged.filter(~F.col("_bench")), text_col, id_col, n
+        flagged.filter(~F.col("_bench")), text_col, id_col, n,
+        rebalance_partitions,
     )
     joined = cand.join(bench_grams, "g", "left")
     frac = F.count("_hit") / F.count(F.lit(1)).cast("double")

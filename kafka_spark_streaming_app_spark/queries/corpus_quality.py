@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import TOKENS_SQL, h60_sql, shingles_sql
+from ..functions.hashing import TOKENS_SQL, shingles_sql
 from ..operators.corpus import (
     boilerplate_ngrams,
     contamination_check,
@@ -68,7 +68,11 @@ def repetition_metrics_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-level token stats ride the groupBy keys, so there is no join
     back to the corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    rep = repetition_metrics(docs)
+    # testdata is one parquet row group; spread the tokenize (see
+    # operators/corpus.py on why production leaves this None)
+    rep = repetition_metrics(
+        docs, rebalance_partitions=spark.sparkContext.defaultParallelism
+    )
     return rep.select(
         "doc_id",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
@@ -85,7 +89,7 @@ _B_N, _B_MIN_DOCS = 5, 2
 
 _BOILER_ORACLE = f"""
 WITH grams AS (
-    SELECT DISTINCT doc_id, {h60_sql("gram")} AS g
+    SELECT DISTINCT doc_id, gram AS g
     FROM (SELECT doc_id, unnest({shingles_sql("text", _B_N)}) AS gram
           FROM documents)
 ),
@@ -106,9 +110,15 @@ def boilerplate_ngrams_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style boilerplate scoring: a 5-gram present in ≥2 distinct
     documents is boilerplate; every document is scored by the fraction
     of its distinct 5-grams that are boilerplate. The join key is the
-    60-bit gram hash — gram strings never shuffle."""
+    64-bit xxhash64 of the gram — gram strings never shuffle (the
+    oracle joins raw strings; match counts are hash-agnostic)."""
     docs = load_table(spark, sf_dir, "documents")
-    return boilerplate_ngrams(docs, n=_B_N, min_docs=_B_MIN_DOCS)
+    return boilerplate_ngrams(
+        docs,
+        n=_B_N,
+        min_docs=_B_MIN_DOCS,
+        rebalance_partitions=spark.sparkContext.defaultParallelism,
+    )
 
 
 # --- benchmark contamination ------------------------------------------------
@@ -120,12 +130,12 @@ WITH flagged AS (
     SELECT doc_id, text, doc_id % 20 = 0 AS bench FROM documents
 ),
 bgrams AS (
-    SELECT DISTINCT {h60_sql("gram")} AS g
+    SELECT DISTINCT gram AS g
     FROM (SELECT unnest({shingles_sql("text", _C_N)}) AS gram
           FROM flagged WHERE bench)
 ),
 cgrams AS (
-    SELECT DISTINCT doc_id, {h60_sql("gram")} AS g
+    SELECT DISTINCT doc_id, gram AS g
     FROM (SELECT doc_id, unnest({shingles_sql("text", _C_N)}) AS gram
           FROM flagged WHERE NOT bench)
 )
@@ -154,4 +164,5 @@ def contamination_check_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         is_benchmark=F.col("doc_id") % 20 == 0,
         n=_C_N,
         flag_threshold=_C_THRESHOLD,
+        rebalance_partitions=spark.sparkContext.defaultParallelism,
     )
