@@ -107,3 +107,51 @@ def parse_clean_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.try_to_timestamp(F.col("ts_str")).alias("event_timestamp"),
     ).filter(F.col("event_timestamp").isNotNull())
+
+
+# --- VARIANT (Spark 4 semi-structured type) ---------------------------------
+
+_VARIANT_ORACLE = """
+SELECT event_id,
+       user_id AS uid,
+       event_type AS etype,
+       value AS v0,
+       event_id % 7 AS v1
+FROM events
+"""
+
+
+@query("variant_extract", _VARIANT_ORACLE)
+def variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT round-trip: a nested JSON payload (object +
+    array) synthesized from the event columns is parsed with
+    ``parse_json`` into a VariantType and re-extracted with typed
+    ``variant_get`` paths. The oracle recomputes the expected values
+    directly from the source columns, so a hash match proves the
+    variant encode/decode + path navigation end to end (the payload's
+    doubles survive because Java's shortest-round-trip double→string
+    is parse-exact).
+
+    VARIANT is the schema-on-read path for semi-structured columns at
+    scale: one binary column, no schema declaration, per-path typed
+    extraction pushed into the scan."""
+    events = load_table(spark, sf_dir, "events")
+    payload = F.concat(
+        F.lit('{"user":{"id":'),
+        F.col("user_id").cast("string"),
+        F.lit(',"type":"'),
+        F.col("event_type"),
+        F.lit('"},"vals":['),
+        F.col("value").cast("string"),
+        F.lit(","),
+        (F.col("event_id") % 7).cast("string"),
+        F.lit("]}"),
+    )
+    v = F.parse_json(payload)
+    return events.select(
+        "event_id",
+        F.variant_get(v, "$.user.id", "bigint").alias("uid"),
+        F.variant_get(v, "$.user.type", "string").alias("etype"),
+        F.variant_get(v, "$.vals[0]", "double").alias("v0"),
+        F.variant_get(v, "$.vals[1]", "bigint").alias("v1"),
+    )

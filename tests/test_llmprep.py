@@ -111,3 +111,29 @@ def test_distributed_prefix_sum_equals_global_window(spark):
         for r in df.withColumn("rt", F.sum("v").over(w)).collect()
     }
     assert got == want
+
+
+def test_chunk_udtf_matches_native_chunker(spark, sf_smoke):
+    """The Python UDTF twin must reproduce the codegen-native chunker
+    exactly (same normalization, starts, short-final-chunk handling) —
+    exercised through the SQL LATERAL surface."""
+    from kafka_spark_streaming_app_spark.functions.udtfs import register_udtfs
+    from kafka_spark_streaming_app_spark.operators.llmprep import (
+        chunk_documents,
+    )
+    from kafka_spark_streaming_app_spark.sources.batch import load_table
+
+    register_udtfs(spark)
+    docs = load_table(spark, sf_smoke, "documents").filter("doc_id < 40")
+    docs.createOrReplaceTempView("chunk_udtf_docs")
+    native = chunk_documents(docs, chunk_tokens=64, overlap=16)
+    via_udtf = spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_chunk_tokens
+        FROM chunk_udtf_docs d,
+             LATERAL chunk_document(d.text, 64, 16) c
+        """
+    )
+    got = sorted(map(tuple, via_udtf.collect()), key=lambda t: (t[0], t[1]))
+    want = sorted(map(tuple, native.collect()), key=lambda t: (t[0], t[1]))
+    assert got == want
