@@ -161,3 +161,52 @@ def test_stateful_windowed_agg_recovers_state(spark):
     assert rows.get("2024-01-01T10:00:00") == 3, (
         f"window state not recovered across restart: {rows}"
     )
+
+
+def test_windowed_agg_on_rocksdb_state_store(spark):
+    """The production state store: the windowed aggregation must run
+    (and produce identical results) on RocksDBStateStoreProvider —
+    the store a real cluster uses for 100 GB+ of streaming state —
+    not just the default HDFS-backed in-memory one."""
+    import uuid
+
+    from kafka_spark_streaming_app_spark.operators.windowed import (
+        windowed_aggregation,
+    )
+    from kafka_spark_streaming_app_spark.streaming.pipeline import (
+        write_memory_stream,
+    )
+
+    src = tempfile.mkdtemp(prefix="rocks_src_")
+    _write_orders(src, "b1.json", [f"o{i}" for i in range(10)])
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        raw = spark.readStream.text(src)
+        parsed = parse_and_clean(raw, ORDER_SCHEMA, watermark="30 seconds")
+        agg = windowed_aggregation(
+            parsed,
+            ts_col="event_timestamp",
+            keys=("category",),
+            amount_col="total_amount",
+        )
+        name = f"rocks_{uuid.uuid4().hex[:8]}"
+        q = write_memory_stream(agg, name, output_mode="complete")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = spark.table(name).collect()
+    finally:
+        if old:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", old
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert sum(r["order_count"] for r in rows) == 20  # 10 orders x 2 windows
+    assert all(abs(r["total_revenue"] - 100.0) < 1e-9 for r in rows)
