@@ -56,6 +56,11 @@ HEADLINE = [
     "contamination_check",
     "dedup_incremental",
     "streaming_view_purchase_join",
+    # round-2 continuation: corpus-prep family + quantized ANN
+    "line_dedup_clean",
+    "global_shuffle_shards",
+    "quality_classifier",
+    "similarity_sq8_rerank",
 ]
 
 

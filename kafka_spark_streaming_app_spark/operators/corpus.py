@@ -191,6 +191,62 @@ def boilerplate_ngrams(
     )
 
 
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_docs: int = 5,
+    materialize: bool = True,
+) -> DataFrame:
+    """C4-style line-level deduplication: a LINE (newline-delimited)
+    occurring in ``max_docs``-or-more DISTINCT documents is boilerplate
+    (nav bars, cookie banners, footers) and is removed from every
+    document; the remaining lines are reassembled in order.
+
+    Returns (doc_id, n_lines, n_kept, cleaned_text) — one row per
+    document, ``cleaned_text`` is the kept lines joined by ``\\n``
+    (empty string when everything was boilerplate).
+
+    Scale shape: one bounded explode (lines per doc), one groupBy on a
+    64-bit line hash to count distinct documents (shuffle rows carry
+    hash + doc id, never line text... except the line itself rides
+    along for reassembly — at 100 TB split this into a distinct
+    (hash → n_docs) build side like :func:`boilerplate_ngrams` and
+    join it back; here the single pass keeps the plan to exactly two
+    shuffles), then one groupBy back on the doc id. No all-pairs
+    comparison; no driver materialization.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("li", "line"),
+    ).withColumn("lh", F.xxhash64("line"))
+    if materialize:
+        # feeds both the hot-line count and the reassembly join
+        lines = lines.localCheckpoint(eager=False)
+    hot = (
+        lines.select(id_col, "lh")
+        .distinct()
+        .groupBy("lh")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= max_docs)
+        .select("lh", F.lit(True).alias("is_boiler"))
+    )
+    tagged = lines.join(hot, "lh", "left")
+    kept_struct = F.when(
+        F.col("is_boiler").isNull(), F.struct("li", "line")
+    )
+    return tagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count(kept_struct).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s.line
+            ),
+            "\n",
+        ).alias("cleaned_text"),
+    )
+
+
 def contamination_check(
     df: DataFrame,
     is_benchmark,

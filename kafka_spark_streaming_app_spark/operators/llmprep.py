@@ -237,3 +237,70 @@ def stratified_sample(
         .filter(bucket < threshold)
         .drop("_n")
     )
+
+
+def per_key_cap(
+    df: DataFrame,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    cap: int = 15,
+    salt: str = "cap|",
+    out_col: str = "sample_rank",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per key (domain caps: no single
+    source may dominate the corpus), chosen deterministically by an
+    h60 hash order over the row id — a stable pseudo-random sample
+    that re-runs and repartitioning cannot change.
+
+    Unlike :func:`stratified_sample` (probabilistic, no window), the
+    cap here is EXACT, via ``row_number`` partitioned by the key. That
+    is the right trade when keys are plentiful (millions of domains →
+    the window parallelizes across keys). A single hot key still
+    funnels its rows through one task; at 100 TB, pre-trim hot keys
+    with a cheap hash-bucket filter (keep buckets < ~4·cap/n_key) so
+    the window ranks a bounded candidate set — composition of
+    ``stratified_sample`` (approximate pre-trim) then this operator
+    (exact cap) — rather than ranking the raw key population.
+    """
+    order_key = h60(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(key_col).orderBy(order_key, F.col(id_col))
+    return (
+        df.withColumn(out_col, F.row_number().over(w).cast("bigint"))
+        .filter(F.col(out_col) <= cap)
+    )
+
+
+def global_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    shard_size: int = 64,
+    salt: str = "shuf|",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding — the final
+    'randomize the training order and cut into shard files' step of a
+    corpus build.
+
+    Every row gets ``pos`` (its 1-based position in the shuffled
+    total order — h60 of the salted id, tie-broken by id) and
+    ``shard`` (``(pos-1) // shard_size``). The total order comes from
+    the two-level distributed prefix sum (:func:`with_running_total`
+    counting 1 per row) — never a global single-task window. Writing
+    ``partitionBy(shard)`` then yields equal-sized, reproducibly
+    shuffled shard files.
+    """
+    keyed = df.withColumn(
+        "_sk", h60(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    )
+    pos = with_running_total(
+        keyed.withColumn("_one", F.lit(1)),
+        order_cols=["_sk", id_col],
+        value_col="_one",
+        out_col="_pos",
+    )
+    return (
+        pos.withColumn("pos", F.col("_pos").cast("bigint"))
+        .withColumn(
+            "shard", ((F.col("pos") - 1) / F.lit(shard_size)).cast("bigint")
+        )
+        .drop("_sk", "_one", "_pos")
+    )

@@ -476,3 +476,126 @@ def with_srp_probes(
         bucket.cast("int"), bucket.cast("int").bitwiseXOR(flip.cast("int"))
     )
     return df.withColumn(out_col, F.explode(probes))
+
+
+# --- int8 scalar quantization (SQ8) ------------------------------------------
+
+
+def sq8_scale(v: DataFrame, vec_col: str = "u") -> DataFrame:
+    """Global symmetric quantization scale as ONE row: step =
+    max(|component|)/127 over the whole (normalized) corpus. A single
+    double regardless of corpus size — cross-joining it onto the scan
+    broadcasts one row."""
+    return v.select(F.explode(vec_col).alias("xd")).agg(
+        (F.max(F.abs(F.col("xd"))) / F.lit(127.0)).alias("step")
+    )
+
+
+def with_sq8_codes(
+    v: DataFrame, scale: DataFrame, vec_col: str = "u", out_col: str = "q"
+) -> DataFrame:
+    """Attach the symmetric int8 code array over UNIT vectors:
+    code_i = clamp(floor(u_i/step + 0.5), -127, 127). Because the
+    inputs are normalized and the scale is global, the integer dot
+    product of two code arrays is proportional to cosine up to
+    quantization error — which is what makes the candidate ranking
+    work. Row-local transform over the broadcast scale row; fixed-order
+    IEEE float ops, so codes are bit-identical across engines."""
+    step = F.col("step")
+    codes = F.transform(
+        F.col(vec_col),
+        lambda x: F.when(step == 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(127),
+                F.greatest(F.lit(-127), F.floor(x / step + F.lit(0.5))),
+            )
+        )
+        .cast("int"),
+    )
+    return v.crossJoin(F.broadcast(scale)).withColumn(out_col, codes).drop(
+        "step"
+    )
+
+
+def ann_topk_sq8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rerank: int = 50,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar-quantized top-k with exact rerank: score every pair on
+    the int8 codes (integer dot product — exact, engine-independent),
+    keep the top ``rerank`` candidates per query, then rerank those by
+    exact float cosine and return the top ``k``.
+
+    This is the memory-bandwidth lever for 100 TB vector search: the
+    hot scan reads 1 byte/dim instead of 4 (float32) — a 4× smaller
+    corpus image — and the exact vectors are touched only for
+    ``rerank`` rows per query. The candidate stage is still a full
+    scan (compose with IVF lists or SRP buckets to also cut the scan);
+    output quality is governed by ``rerank``, not the 8-bit error.
+    """
+    unit = F.transform(
+        F.col("v"), lambda x: x / F.col("norm")
+    )
+    v = with_vector_norm(corpus, vec_col).select(
+        F.col(id_col).alias("corpus_id"), "v", "norm"
+    ).withColumn("u", unit)
+    scale = sq8_scale(v, "u").localCheckpoint(eager=False)
+    c = with_sq8_codes(v, scale, "u").drop("u")
+    q = with_sq8_codes(
+        with_vector_norm(queries, vec_col)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+        )
+        .withColumn(
+            "u", F.transform(F.col("qv"), lambda x: x / F.col("qnorm"))
+        ),
+        scale,
+        "u",
+        out_col="qq",
+    ).drop("u")
+    iscore = F.aggregate(
+        F.zip_with(F.col("q"), F.col("qq"), lambda a, b: (a * b).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("corpus_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "corpus_id",
+        iscore.alias("approx_score"),
+        "v",
+        "norm",
+        "qv",
+        "qnorm",
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_score"), F.asc("corpus_id")
+    )
+    cand = scored.withColumn("crank", F.row_number().over(wc)).filter(
+        F.col("crank") <= rerank
+    )
+    exact = cand.select(
+        "query_id",
+        "corpus_id",
+        "approx_score",
+        cosine(F.col("qv"), F.col("v"), F.col("qnorm"), F.col("norm")).alias(
+            "cosine"
+        ),
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("corpus_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "approx_score", "cosine", "rank")
+    )

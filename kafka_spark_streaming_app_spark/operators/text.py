@@ -123,3 +123,52 @@ def fingerprints(
         h60(norm).alias("fp_h60"),
         F.md5(F.substring(norm, 1, prefix_len)).alias("fp_prefix"),
     )
+
+
+# Fixed public weights for the linear quality classifier — the shape of
+# a fastText/logistic quality filter (e.g. the CCNet / LLaMA-style
+# wiki-reference classifier) with hand-set coefficients. A trained
+# model swaps the constants; the plan is identical.
+QUALITY_WEIGHTS = {
+    "bias": -1.2,
+    "type_token_ratio": 2.4,
+    "stopword_ratio": 3.0,
+    "avg_word_len_dev": -0.15,  # applied to (avg_word_len - 4.5)^2
+    "short_doc": -0.9,  # applied to 1[n_tokens < 20]
+}
+
+
+def quality_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Model-based quality filtering, linear form: score each document
+    with a fixed-weight linear function of its :func:`text_stats`
+    features and flag keep/drop at threshold 0.
+
+    The score stays a LINEAR logit (no sigmoid): exp() is libm- and
+    engine-dependent in the last ulp, while fixed-order +/*/÷ on
+    doubles is bit-identical everywhere — monotone in the probability,
+    so the keep decision is unchanged. Pure scan-projection: the
+    features and the dot product all fuse into one codegen stage, zero
+    shuffle at any scale.
+    """
+    w = QUALITY_WEIGHTS
+    feats = text_stats(df, text_col, id_col)
+    dev = F.col("avg_word_len") - F.lit(4.5)
+    score = (
+        F.lit(w["bias"])
+        + F.lit(w["type_token_ratio"]) * F.col("type_token_ratio")
+        + F.lit(w["stopword_ratio"]) * F.col("stopword_ratio")
+        + F.lit(w["avg_word_len_dev"]) * dev * dev
+        + F.lit(w["short_doc"])
+        * F.when(F.col("n_tokens") < 20, F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+    return feats.select(
+        id_col,
+        "n_tokens",
+        "type_token_ratio",
+        "stopword_ratio",
+        "avg_word_len",
+        score.alias("quality_logit"),
+        (score >= 0).alias("keep"),
+    )

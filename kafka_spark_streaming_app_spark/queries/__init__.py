@@ -22,6 +22,7 @@ from . import (  # noqa: F401
     asof,
     multimodal,
     corpus_quality,
+    corpus_prep,
     streaming_joins,
     pyds,
     curation,

@@ -1,0 +1,218 @@
+"""Corpus-preparation queries: line-level dedup, per-source caps,
+deterministic global shuffle/sharding, and model-based quality
+filtering — the last-mile steps between a curated document set and
+training shards (north-star scope; the reference has no document
+pipeline, SURVEY.md §2.8).
+
+The corpus fixture has single-line documents, so the line-dedup query
+synthesizes line structure deterministically on BOTH engines (the same
+pattern the PII query uses to plant redactable spans): an 8-token line
+split plus a boilerplate header/footer planted by ``doc_id`` modulus —
+the oracle then proves removal AND reassembly byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import TOKENS_SQL, h60_sql, tokens
+from ..operators.corpus import line_dedup
+from ..operators.llmprep import global_shuffle, per_key_cap
+from ..operators.text import QUALITY_WEIGHTS, quality_score
+from ..registry import query
+from ..sources.batch import load_table
+
+# --- line-level dedup (C4-style) ---------------------------------------------
+
+_HEADER = "subscribe to our newsletter for daily updates"
+_FOOTER = "all rights reserved terms of service apply"
+_LINE_TOKENS = 8
+_MAX_DOCS = 5
+
+_WORDS = TOKENS_SQL.format(x="text")
+
+_LINE_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, {_WORDS} AS w FROM documents
+),
+synth AS (
+    SELECT doc_id,
+           (CASE WHEN doc_id % 3 = 0 THEN ['{_HEADER}']
+                 ELSE CAST([] AS VARCHAR[]) END)
+           || list_transform(
+                  range(1, len(w) + 1, {_LINE_TOKENS}),
+                  s -> array_to_string(w[s:s + {_LINE_TOKENS} - 1], ' '))
+           || (CASE WHEN doc_id % 5 = 0 THEN ['{_FOOTER}']
+                    ELSE CAST([] AS VARCHAR[]) END) AS lines
+    FROM toks
+),
+lx AS (
+    SELECT doc_id,
+           unnest(lines) AS line,
+           generate_subscripts(lines, 1) AS li
+    FROM synth
+),
+freq AS (
+    SELECT line, count(DISTINCT doc_id) AS nd FROM lx GROUP BY line
+)
+SELECT lx.doc_id,
+       count(*) AS n_lines,
+       count(CASE WHEN nd < {_MAX_DOCS} THEN 1 END) AS n_kept,
+       coalesce(
+           string_agg(CASE WHEN nd < {_MAX_DOCS} THEN line END,
+                      chr(10) ORDER BY li),
+           '') AS cleaned_text
+FROM lx JOIN freq USING (line)
+GROUP BY lx.doc_id
+"""
+
+
+def _synth_lines(docs: DataFrame) -> DataFrame:
+    """Plant deterministic line structure: optional boilerplate header
+    (doc_id % 3) + 8-token content lines + optional footer (doc_id % 5),
+    newline-joined. Mirrored exactly by the oracle's synth CTE."""
+    did = F.col("doc_id")
+    toks = tokens("text")
+    n = F.size(toks)
+    content = F.transform(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(_LINE_TOKENS)),
+        lambda s: F.concat_ws(" ", F.slice(toks, s, _LINE_TOKENS)),
+    )
+    empty = F.array().cast("array<string>")
+    lines = F.concat(
+        F.when(did % 3 == 0, F.array(F.lit(_HEADER))).otherwise(empty),
+        content,
+        F.when(did % 5 == 0, F.array(F.lit(_FOOTER))).otherwise(empty),
+    )
+    return docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+
+
+@query("line_dedup_clean", _LINE_ORACLE)
+def line_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level dedup over a corpus with planted boilerplate:
+    any line present in ≥5 distinct documents (the planted header in
+    every 3rd doc, footer in every 5th) is removed from all of them;
+    the cleaned text is reassembled in line order and checked
+    byte-for-byte cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    return line_dedup(_synth_lines(docs), max_docs=_MAX_DOCS)
+
+
+# --- per-source cap ----------------------------------------------------------
+
+_CAP = 15
+
+_CAP_KEY = h60_sql("('cap|' || CAST(doc_id AS VARCHAR))")
+
+_CAP_ORACLE = f"""
+SELECT doc_id, source, sample_rank FROM (
+    SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY {_CAP_KEY}, doc_id) AS sample_rank
+    FROM documents
+) WHERE sample_rank <= {_CAP}
+"""
+
+
+@query("source_cap_sample", _CAP_ORACLE)
+def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain caps: keep at most 15 documents per source, selected by
+    a deterministic hash order (stable under re-runs/repartitioning).
+    Exact cap via a per-key ranked window — parallel across keys; the
+    hot-key mitigation (hash-bucket pre-trim) is documented on the
+    operator."""
+    docs = load_table(spark, sf_dir, "documents")
+    return per_key_cap(docs, key_col="source", cap=_CAP).select(
+        "doc_id", "source", "sample_rank"
+    )
+
+
+# --- global shuffle + shards -------------------------------------------------
+
+_SHARD_SIZE = 64
+
+_SHUF_KEY = h60_sql("('shuf|' || CAST(doc_id AS VARCHAR))")
+
+_SHUFFLE_ORACLE = f"""
+SELECT doc_id, pos, (pos - 1) // {_SHARD_SIZE} AS shard FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY {_SHUF_KEY}, doc_id) AS pos
+    FROM documents
+)
+"""
+
+
+@query("global_shuffle_shards", _SHUFFLE_ORACLE)
+def global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle + 64-doc shard
+    assignment. The oracle's single global window is the SEMANTICS;
+    the Spark plan is the two-level distributed prefix sum
+    (range-partition by hash key → per-partition rank → tiny offset
+    join) — no single-task global sort at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return global_shuffle(docs, shard_size=_SHARD_SIZE).select(
+        "doc_id", "pos", "shard"
+    )
+
+
+# --- model-based quality filter ----------------------------------------------
+
+_NORM_W = TOKENS_SQL.format(x="text")
+_W = QUALITY_WEIGHTS
+
+_QUALITY_ORACLE = f"""
+WITH m AS (
+    SELECT
+        doc_id,
+        len({_NORM_W}) AS n_tokens,
+        length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS n_chars,
+        len(list_distinct({_NORM_W})) AS n_distinct,
+        len(list_filter({_NORM_W},
+            w -> w IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'that')))
+            AS n_stop
+    FROM documents
+),
+f AS (
+    SELECT
+        doc_id,
+        CAST(n_tokens AS BIGINT) AS n_tokens,
+        CASE WHEN n_tokens > 0
+             THEN CAST(n_distinct AS DOUBLE) / n_tokens
+             ELSE 0.0 END AS type_token_ratio,
+        CASE WHEN n_tokens > 0
+             THEN CAST(n_stop AS DOUBLE) / n_tokens
+             ELSE 0.0 END AS stopword_ratio,
+        CASE WHEN n_tokens > 0
+             THEN CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens
+             ELSE 0.0 END AS avg_word_len
+    FROM m
+)
+SELECT doc_id, n_tokens, type_token_ratio, stopword_ratio, avg_word_len,
+       ({_W["bias"]}) + {_W["type_token_ratio"]} * type_token_ratio
+           + {_W["stopword_ratio"]} * stopword_ratio
+           + ({_W["avg_word_len_dev"]}) * (avg_word_len - 4.5)
+               * (avg_word_len - 4.5)
+           + ({_W["short_doc"]})
+               * (CASE WHEN n_tokens < 20 THEN 1.0 ELSE 0.0 END)
+           AS quality_logit,
+       (({_W["bias"]}) + {_W["type_token_ratio"]} * type_token_ratio
+           + {_W["stopword_ratio"]} * stopword_ratio
+           + ({_W["avg_word_len_dev"]}) * (avg_word_len - 4.5)
+               * (avg_word_len - 4.5)
+           + ({_W["short_doc"]})
+               * (CASE WHEN n_tokens < 20 THEN 1.0 ELSE 0.0 END)) >= 0
+           AS keep
+FROM f
+"""
+
+
+@query("quality_classifier", _QUALITY_ORACLE)
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-weight linear quality classifier (the shape of a
+    CCNet-style trained filter): linear logit over diversity /
+    stopword / word-length features, keep at logit ≥ 0. Linear (no
+    sigmoid) so the doubles are bit-identical cross-engine; one
+    codegen scan-projection, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_score(docs)

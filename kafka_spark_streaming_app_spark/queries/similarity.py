@@ -421,3 +421,88 @@ def similarity_ann_srp_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("rank") <= 5)
         .select("query_id", "corpus_id", "cosine", "rank")
     )
+
+
+# --- int8 scalar quantization + exact rerank ---------------------------------
+
+_SQ_RERANK, _SQ_K = 50, 5
+
+_SQ8_ORACLE = f"""
+WITH n AS (
+    SELECT
+        vec_id,
+        embedding::DOUBLE[] AS v,
+        sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
+    FROM embeddings
+),
+un AS (
+    SELECT vec_id, v, norm, list_transform(v, x -> x / norm) AS u FROM n
+),
+s AS (
+    SELECT max(abs(x)) / 127.0 AS step
+    FROM un, unnest(un.u) AS t(x)
+),
+qz AS (
+    SELECT vec_id, v, norm,
+           list_transform(u,
+               x -> CASE WHEN step = 0 THEN 0
+                         ELSE CAST(least(127, greatest(-127,
+                             floor(x / step + 0.5))) AS INTEGER) END) AS q
+    FROM un, s
+),
+qq AS (
+    SELECT vec_id AS query_id, v AS qv, norm AS qnorm, q AS qcodes
+    FROM qz WHERE vec_id < {_NUM_QUERIES}
+),
+scored AS (
+    SELECT
+        qq.query_id,
+        c.vec_id AS corpus_id,
+        CAST(list_sum(list_transform(range(1, {_DIM} + 1),
+                 i -> CAST(c.q[i] AS BIGINT) * qcodes[i])) AS BIGINT)
+            AS approx_score,
+        c.v AS cv, c.norm AS cnorm, qq.qv, qq.qnorm
+    FROM qz c, qq
+    WHERE c.vec_id <> qq.query_id
+),
+cand AS (
+    SELECT * FROM (
+        SELECT *,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY approx_score DESC, corpus_id)
+                   AS crank
+        FROM scored
+    ) WHERE crank <= {_SQ_RERANK}
+),
+exact AS (
+    SELECT query_id, corpus_id, approx_score,
+           round(list_inner_product(qv, cv) / (qnorm * cnorm), 6) AS cosine
+    FROM cand
+)
+SELECT query_id, corpus_id, approx_score, cosine, rank FROM (
+    SELECT *,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, corpus_id) AS rank
+    FROM exact
+) WHERE rank <= {_SQ_K}
+"""
+
+
+@query("similarity_sq8_rerank", _SQ8_ORACLE)
+def similarity_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantized search with exact rerank: normalize,
+    symmetric 8-bit codes under one global scale (so the integer dot
+    product is proportional to cosine up to quantization error) →
+    integer-scored candidates (top 50, exact integer math both
+    engines) → exact float cosine rerank to top 5. The 100 TB story is memory bandwidth: the hot
+    scan touches 1 byte/dim (4× less than float32); exact vectors are
+    read only for rerank rows. The oracle replicates bounds, codes,
+    integer scoring, and the rerank bit-for-bit."""
+    from ..operators.similarity import ann_topk_sq8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < _NUM_QUERIES)
+    result = ann_topk_sq8(
+        emb, queries_df, k=_SQ_K, rerank=_SQ_RERANK, dim=_DIM
+    )
+    return result.withColumn("rank", F.col("rank").cast("bigint"))

@@ -1,0 +1,110 @@
+"""Unit tests for the corpus-preparation operators: line dedup,
+per-key caps, global shuffle/sharding, quality scoring, SQ8 ANN.
+(The registered queries are oracle-checked in test_oracle_parity;
+these tests pin operator semantics on hand-built inputs.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_spark_streaming_app_spark.operators.corpus import line_dedup
+from kafka_spark_streaming_app_spark.operators.llmprep import (
+    global_shuffle,
+    per_key_cap,
+)
+from kafka_spark_streaming_app_spark.operators.similarity import ann_topk_sq8
+from kafka_spark_streaming_app_spark.operators.text import quality_score
+
+
+def test_line_dedup_removes_corpus_frequent_lines(spark):
+    boiler = "click here to accept cookies"
+    rows = [
+        (i, f"{boiler}\nunique content line {i}\nsecond line {i}")
+        for i in range(6)
+    ] + [(100, "a loner document")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(df, max_docs=5).collect()
+    }
+    for i in range(6):
+        assert out[i]["n_lines"] == 3
+        assert out[i]["n_kept"] == 2
+        assert out[i]["cleaned_text"] == (
+            f"unique content line {i}\nsecond line {i}"
+        )
+    assert out[100]["cleaned_text"] == "a loner document"
+
+
+def test_line_dedup_all_boiler_doc_empties(spark):
+    rows = [(i, "same line everywhere") for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = line_dedup(df, max_docs=5).collect()
+    assert all(r["n_kept"] == 0 and r["cleaned_text"] == "" for r in out)
+
+
+def test_per_key_cap_exact_and_repartition_stable(spark):
+    rows = [(k * 10 + i, f"src{k}") for k in range(3) for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    kept = per_key_cap(df, key_col="source", cap=2).collect()
+    by_key: dict[str, list] = {}
+    for r in kept:
+        by_key.setdefault(r["source"], []).append(r)
+    assert all(len(v) == 2 for v in by_key.values())
+    assert all(
+        sorted(r["sample_rank"] for r in v) == [1, 2] for v in by_key.values()
+    )
+    again = per_key_cap(df.repartition(7), key_col="source", cap=2).collect()
+    assert sorted(r["doc_id"] for r in kept) == sorted(
+        r["doc_id"] for r in again
+    )
+
+
+def test_global_shuffle_is_permutation_with_even_shards(spark):
+    df = spark.createDataFrame([(i,) for i in range(130)], ["doc_id"])
+    out = global_shuffle(df, shard_size=64).collect()
+    assert sorted(r["pos"] for r in out) == list(range(1, 131))
+    sizes: dict[int, int] = {}
+    for r in out:
+        sizes[r["shard"]] = sizes.get(r["shard"], 0) + 1
+    assert sizes == {0: 64, 1: 64, 2: 2}
+    # position is a pure function of doc_id: re-run identical
+    again = global_shuffle(df, shard_size=64).collect()
+    assert {r["doc_id"]: r["pos"] for r in out} == {
+        r["doc_id"]: r["pos"] for r in again
+    }
+
+
+def test_quality_score_separates_diverse_from_degenerate(spark):
+    good = (
+        "the quick brown fox jumps over a lazy dog and that is "
+        "widely seen in typing practice across many decades of use "
+        "which makes it a fine sample of ordinary english prose"
+    )
+    spam = "buy buy buy " * 20
+    df = spark.createDataFrame([(1, good), (2, spam)], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in quality_score(df).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False
+    assert out[1]["quality_logit"] > out[2]["quality_logit"]
+
+
+def test_sq8_rerank_recalls_exact_topk(spark, sf_smoke):
+    """With rerank=50 of a 500-vector corpus, the quantized candidate
+    set recovers the exact top-5 for every query on this fixture
+    (deterministic data, deterministic assertion)."""
+    from kafka_spark_streaming_app_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from kafka_spark_streaming_app_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    sq8 = ann_topk_sq8(emb, queries, k=5, rerank=50).collect()
+    exact_pairs = {(r["query_id"], r["corpus_id"]) for r in exact}
+    sq8_pairs = {(r["query_id"], r["corpus_id"]) for r in sq8}
+    overlap = len(exact_pairs & sq8_pairs) / len(exact_pairs)
+    assert overlap >= 0.8, f"SQ8 recall collapsed: {overlap}"
+    # approx scores are exact integers — every |code| <= 127, 64 dims
+    assert all(abs(r["approx_score"]) <= 127 * 127 * 64 for r in sq8)

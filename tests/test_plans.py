@@ -354,3 +354,46 @@ def test_corpus_gram_joins_are_equi_joins(spark, sf_smoke):
         assert ("HashJoin" in tree) or ("SortMergeJoin" in tree), (
             "gram-set join missing or degenerate:\n" + tree
         )
+
+
+def test_quality_classifier_is_scan_projection(spark, sf_smoke):
+    """The linear quality filter must fuse into one codegen scan —
+    any Exchange means the feature extraction broke out of the
+    projection."""
+    plan = plan_str(registry.QUERIES["quality_classifier"](spark, sf_smoke))
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree, "quality filter shuffles:\n" + tree
+    assert "Join" not in tree
+
+
+def test_global_shuffle_no_single_partition_data_sort(spark, sf_smoke):
+    """Shard assignment must use the two-level prefix sum — the only
+    SinglePartition exchange allowed is the tiny per-partition-offsets
+    window, never the data rows."""
+    plan = plan_str(registry.QUERIES["global_shuffle_shards"](spark, sf_smoke))
+    tree = plan.split("\n\n")[0]
+    assert "ExistingRDD" in tree, "prefix sum lost its range barrier:\n" + tree
+    assert tree.lower().count("exchange singlepartition") <= 1, (
+        "data rows are globally single-partitioned:\n" + tree
+    )
+
+
+def test_line_dedup_joins_on_hash_no_cartesian(spark, sf_smoke):
+    """Line dedup must meet the hot-line set in a hash equi-join on
+    the 64-bit line hash — never an all-pairs comparison."""
+    plan = plan_str(registry.QUERIES["line_dedup_clean"](spark, sf_smoke))
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree and "NestedLoop" not in tree, (
+        "line dedup degenerated to an all-pairs plan:\n" + tree
+    )
+
+
+def test_sq8_candidate_join_broadcasts_queries(spark, sf_smoke):
+    """The SQ8 scoring join must broadcast the (small) query batch —
+    the corpus side streams; a shuffle join of the corpus against 5
+    query rows would be the anti-pattern."""
+    plan = plan_str(registry.QUERIES["similarity_sq8_rerank"](spark, sf_smoke))
+    tree = plan.split("\n\n")[0]
+    assert "SortMergeJoin" not in tree, (
+        "SQ8 scoring shuffles the corpus against the query batch:\n" + tree
+    )
