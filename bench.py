@@ -61,6 +61,8 @@ HEADLINE = [
     "global_shuffle_shards",
     "quality_classifier",
     "similarity_sq8_rerank",
+    "bigram_fluency_score",
+    "window_range_frame",
 ]
 
 

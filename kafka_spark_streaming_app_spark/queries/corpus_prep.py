@@ -216,3 +216,116 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen scan-projection, zero shuffle."""
     docs = load_table(spark, sf_dir, "documents")
     return quality_score(docs)
+
+
+# --- bigram fluency score (statistical LM-lite) ------------------------------
+
+_BIGRAM_FLUENCY_ORACLE = f"""
+WITH grams AS (
+    SELECT doc_id, unnest(
+        CASE WHEN len({_WORDS}) >= 2 THEN
+            list_transform(range(1, len({_WORDS})),
+                i -> ({_WORDS})[i] || ' ' || ({_WORDS})[i + 1])
+        ELSE [] END) AS gram
+    FROM documents
+),
+freq AS (
+    SELECT gram, count(*) AS cnt FROM grams GROUP BY gram
+),
+tot AS (
+    SELECT count(*) AS total FROM grams
+)
+SELECT g.doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum(f.cnt) AS BIGINT) AS sum_gram_freq,
+       CAST(sum(f.cnt) AS DOUBLE) / (count(*) * (SELECT total FROM tot))
+           AS fluency
+FROM grams g JOIN freq f USING (gram)
+GROUP BY g.doc_id
+"""
+
+
+@query("bigram_fluency_score", _BIGRAM_FLUENCY_ORACLE)
+def bigram_fluency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM-lite fluency scoring: each document's mean
+    corpus-relative bigram frequency (high = the doc's word
+    transitions are common corpus-wide; near-minimum = gibberish or
+    very atypical text). The n-gram LM idea with division deferred so
+    every aggregate is an exact INTEGER (sum of counts), and the only
+    float op is one final division — bit-identical cross-engine with
+    no stabilization machinery.
+
+    Scale shape: one explode → bigram-count aggregation (map-side
+    combine on the gram hash), an equi-join of doc-grams to the count
+    table (AQE broadcasts it when small), and a 1-row total
+    cross-joined in-plan (never a driver-side count)."""
+    from ..functions.hashing import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(word_shingles("text", 2)).alias("gram")
+    ).localCheckpoint(eager=False)
+    freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+    total = grams.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        grams.join(freq, "gram")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "total")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("cnt").alias("sum_gram_freq"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_gram_freq",
+            (
+                F.col("sum_gram_freq").cast("double")
+                / (F.col("n_bigrams") * F.col("total"))
+            ).alias("fluency"),
+        )
+    )
+
+
+# --- incremental rollup maintenance ------------------------------------------
+
+_ROLLUP_MERGE_ORACLE = """
+SELECT
+    date_trunc('hour', ts) AS hour,
+    event_type,
+    count(*) AS n_events,
+    CAST(sum(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("incremental_rollup_merge", _ROLLUP_MERGE_ORACLE)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance: the historical partition
+    (event_id % 10 < 8) is rolled up to (hour, event_type) partial
+    aggregates FIRST, the late-arriving delta batch separately, and
+    the two partial-aggregate tables are merged by re-aggregation
+    (counts add; decimal partial sums add exactly). The oracle is the
+    from-scratch rollup over everything — proving merge == recompute,
+    the property that lets a 100 TB pipeline maintain rollups by
+    touching only new data."""
+    events = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts")).alias("hour")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(hour, "event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,4)")).alias("_psum"),
+        )
+
+    hist = partial(events.filter(F.col("event_id") % 10 < 8))
+    delta = partial(events.filter(F.col("event_id") % 10 >= 8))
+    return (
+        hist.unionByName(delta)
+        .groupBy("hour", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("_psum").cast("double").alias("total_value"),
+        )
+    )

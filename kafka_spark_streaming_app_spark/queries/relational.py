@@ -616,3 +616,179 @@ def multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp")
     ).select("o_orderpriority")
     return f_rows.exceptAll(p_rows).intersectAll(recent)
+
+
+# --- full outer reconciliation ---------------------------------------------
+
+_FULL_OUTER_ORACLE = """
+WITH o AS (
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE)
+               AS total_spend
+    FROM orders GROUP BY o_custkey
+),
+e AS (
+    SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+)
+SELECT
+    coalesce(o.o_custkey, e.user_id) AS entity_id,
+    o.n_orders,
+    o.total_spend,
+    e.n_events,
+    CASE WHEN o.o_custkey IS NOT NULL AND e.user_id IS NOT NULL THEN 'both'
+         WHEN o.o_custkey IS NOT NULL THEN 'orders_only'
+         ELSE 'events_only' END AS presence
+FROM o FULL OUTER JOIN e ON o.o_custkey = e.user_id
+"""
+
+
+@query("full_outer_reconciliation", _FULL_OUTER_ORACLE)
+def full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregate ledgers (order spend per
+    customer vs event activity per user) — the reconciliation shape
+    that surfaces entities present on only one side. Both inputs are
+    pre-aggregated before the join, so the full-outer shuffle carries
+    one row per entity, not raw facts."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            stabilized_sum("o_totalprice").alias("total_spend"),
+        )
+    )
+    e = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    j = o.join(e, o.o_custkey == e.user_id, "full_outer")
+    return j.select(
+        F.coalesce("o_custkey", "user_id").alias("entity_id"),
+        "n_orders",
+        "total_spend",
+        "n_events",
+        F.when(
+            F.col("o_custkey").isNotNull() & F.col("user_id").isNotNull(),
+            F.lit("both"),
+        )
+        .when(F.col("o_custkey").isNotNull(), F.lit("orders_only"))
+        .otherwise(F.lit("events_only"))
+        .alias("presence"),
+    )
+
+
+# --- RANGE-frame window: trailing 30-day spend ------------------------------
+
+_RANGE_FRAME_ORACLE = """
+WITH d AS (
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+               AS day_no
+    FROM orders
+)
+SELECT o_orderkey, o_custkey, CAST(day_no AS BIGINT) AS day_no,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(25,4))) OVER (
+            PARTITION BY o_custkey ORDER BY day_no
+            RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS trailing_30d_spend,
+       count(*) OVER (
+            PARTITION BY o_custkey ORDER BY day_no
+            RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+       ) AS trailing_30d_orders
+FROM d
+"""
+
+
+@query("window_range_frame", _RANGE_FRAME_ORACLE)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame analytic window: per order, the customer's trailing
+    30-day spend and order count — the frame is VALUE-based (all rows
+    within 30 day-numbers), not row-count-based, so same-day peers are
+    always included regardless of tie order (which is exactly what
+    makes it deterministic cross-engine without a unique tiebreak).
+    Partitioned by customer — parallel across keys at any scale; the
+    sum accumulates in DECIMAL(25,4) on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    day_no = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+    )
+    d = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        day_no.cast("bigint").alias("day_no"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_no")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return d.select(
+        "o_orderkey",
+        "o_custkey",
+        "day_no",
+        F.sum(F.col("o_totalprice").cast("decimal(25,4)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_30d_spend"),
+        F.count(F.lit(1)).over(w).alias("trailing_30d_orders"),
+    )
+
+
+# --- approximate quantile sketch (rows-only by design) ----------------------
+
+
+@query("quantiles_order_price_approx")
+def quantiles_order_price_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass bounded-memory percentile SKETCH per group
+    (``percentile_approx``, accuracy 10000) — the production twin of
+    the exact ``quantiles_order_price``. Rows-only by design, like the
+    HLL query: sketch internals are engine-specific, so cross-engine
+    value equality is not defined (SURVEY.md §5); the exact twin is
+    the oracle-checked correctness anchor."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90_approx"),
+        F.percentile_approx("o_totalprice", 0.99, 10000).alias("p99_approx"),
+    )
+
+
+# --- explicit skew salting (result == plain join, proven) -------------------
+
+_SALTED_ORACLE = """
+SELECT
+    c.c_nationkey,
+    count(*) AS n_events,
+    CAST(sum(CAST(e.value AS DECIMAL(25,4))) AS DOUBLE) AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_nationkey
+"""
+
+
+@query("skewed_join_salted", _SALTED_ORACLE)
+def skewed_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key salting made driver-checkable: the events fact side is
+    scattered across 8 salt sub-keys (pure row-content hash — never
+    rand(), which breaks exactly-once under task retry), the customer
+    side replicated 8x, joined on (key, salt), then re-aggregated.
+    The oracle is the PLAIN join — proving salting changes only the
+    shuffle distribution, never the result. This is the explicit
+    fallback for pathological hot keys AQE's skew-join can't split
+    (one user = 10% of a 100 TB fact table)."""
+    from ..operators.skew import salted_join
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("c_custkey"), "value"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    joined = salted_join(e, c, "c_custkey", salt_buckets=8)
+    return joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        stabilized_sum("value").alias("total_value"),
+    )

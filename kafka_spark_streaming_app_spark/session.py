@@ -35,6 +35,13 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Test parquet is written with ns timestamps; Spark has no ns type.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Runtime bloom-filter join pruning (SPARK-32268): a selective
+    # non-broadcast build side publishes a bloom filter applied on the
+    # fact scan BEFORE its shuffle. Self-gating — it only injects when
+    # the application-side scan is >= 10 GB (never on local fixtures;
+    # exactly the 100 TB case it exists for). Plan shape pinned in
+    # tests/test_plans.py::test_runtime_bloom_filter_prunes_fact_join.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
 }
 
 

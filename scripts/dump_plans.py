@@ -29,6 +29,13 @@ NOTES = {
     "repetition_metrics": "ONE corpus scan; doc-level token stats ride the groupBy keys, so there is no join back (partial+final agg twice on the same doc key).",
     "contamination_check": "Gram sets meet on the 60-bit hash; benchmark gram table is the build side (AQE broadcast here, shuffle at adversarial scale).",
     "dedup_incremental": "Exact-hash semi-join kills cheap dups before the fuzzy stage; LSH candidates filtered to cross pairs so verify cost tracks the NEW batch only.",
+    "line_dedup_clean": "Line explode -> hot-line count on the 64-bit hash -> equi-join back -> per-doc reassembly; barrier stops the explode re-expanding per branch.",
+    "global_shuffle_shards": "Two-level prefix sum: range partition by hash key, per-partition rank, one-row-per-partition offset window — no single-task global sort.",
+    "quality_classifier": "Zero-shuffle codegen scan projection — features and the linear logit fuse into one stage.",
+    "similarity_sq8_rerank": "1-row scale broadcast onto the scan; integer-dot candidates with query batch broadcast; exact cosine only on rerank rows.",
+    "bigram_fluency_score": "One explode behind a barrier feeds gram counts, the 1-row total, and the join back — integer aggregates end-to-end, one final division.",
+    "incremental_rollup_merge": "Partial aggregates per partition-branch union-merged by re-aggregation; decimal partial sums add exactly.",
+    "window_range_frame": "Per-customer RANGE frame — one shuffle+sort partitioned by the key, both frame aggregates share it.",
 }
 
 

@@ -397,3 +397,44 @@ def test_sq8_candidate_join_broadcasts_queries(spark, sf_smoke):
     assert "SortMergeJoin" not in tree, (
         "SQ8 scoring shuffles the corpus against the query batch:\n" + tree
     )
+
+
+def test_runtime_bloom_filter_prunes_fact_join(spark, sf_correctness):
+    """Spark's runtime bloom-filter join pruning (SPARK-32268) is the
+    semi-join lever when neither side broadcasts: the selective build
+    side publishes a bloom filter that the fact scan applies BEFORE
+    the shuffle, so non-joining fact rows never cross the network.
+
+    It is on by default in the engine session but gates on the
+    application-side scan looking >= 10 GB
+    (``applicationSideScanSizeThreshold``) — correct at 100 TB, never
+    triggered by local fixtures — so this test lowers the gate to
+    prove the plan shape the production scale hits."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.read.parquet(f"{sf_correctness}/lineitem.parquet")
+        small = spark.read.parquet(f"{sf_correctness}/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = (
+            big.join(small, big.l_orderkey == small.o_orderkey)
+            .groupBy("l_returnflag")
+            .count()
+        )
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "might_contain" in optimized and "bloom_filter_agg" in optimized, (
+        "runtime bloom filter did not inject:\n" + optimized
+    )
