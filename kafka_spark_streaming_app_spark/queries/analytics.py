@@ -244,3 +244,127 @@ def tfidf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
+
+
+# --- funnel conversion ------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH fv AS (
+    SELECT user_id, min(ts) AS first_view
+    FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+fc AS (
+    SELECT e.user_id, min(e.ts) AS first_click
+    FROM events e JOIN fv ON e.user_id = fv.user_id
+    WHERE e.event_type = 'click' AND e.ts > fv.first_view
+    GROUP BY e.user_id
+),
+fp AS (
+    SELECT e.user_id, min(e.ts) AS first_purchase
+    FROM events e JOIN fc ON e.user_id = fc.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > fc.first_click
+    GROUP BY e.user_id
+)
+SELECT fv.user_id,
+       fv.first_view,
+       fc.first_click,
+       fp.first_purchase,
+       CASE WHEN fp.user_id IS NOT NULL THEN 3
+            WHEN fc.user_id IS NOT NULL THEN 2
+            ELSE 1 END AS funnel_depth
+FROM fv
+LEFT JOIN fc ON fv.user_id = fc.user_id
+LEFT JOIN fp ON fv.user_id = fp.user_id
+"""
+
+
+@query("funnel_conversion", _FUNNEL_ORACLE)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view → click → purchase funnel per user: each step must
+    happen strictly AFTER the previous step's first occurrence (not
+    mere co-presence of event types). Three keyed aggregations joined
+    on user_id — co-partitioned on the same key, so at scale the
+    shuffles collapse onto one exchange per side and no step ever
+    materializes raw event pairs."""
+    events = load_table(spark, sf_dir, "events")
+    fv = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    fc = (
+        events.join(fv, "user_id")
+        .filter(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("first_view"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    fp = (
+        events.join(fc, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("first_click"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        fv.join(fc, "user_id", "left")
+        .join(fp, "user_id", "left")
+        .select(
+            "user_id",
+            "first_view",
+            "first_click",
+            "first_purchase",
+            F.when(F.col("first_purchase").isNotNull(), F.lit(3))
+            .when(F.col("first_click").isNotNull(), F.lit(2))
+            .otherwise(F.lit(1))
+            .alias("funnel_depth"),
+        )
+    )
+
+
+# --- retention cohorts ------------------------------------------------------
+
+_RETENTION_ORACLE = """
+WITH first_seen AS (
+    SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+    FROM events GROUP BY user_id
+),
+activity AS (
+    SELECT DISTINCT e.user_id, f.cohort_week,
+           date_trunc('week', e.ts) AS active_week
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+)
+SELECT cohort_week, active_week, count(*) AS n_users
+FROM activity
+GROUP BY cohort_week, active_week
+"""
+
+
+@query("retention_cohorts", _RETENTION_ORACLE)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-seen week,
+    counted in every week they were active — the triangle a product
+    analytics pipeline reads retention off. Two keyed aggregations and
+    one equi-join on user_id; the distinct collapses to one row per
+    (user, week) BEFORE the final count, so the last shuffle carries
+    cohort cells, not events."""
+    events = load_table(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        events.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.date_trunc("week", F.col("ts")).alias("active_week"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "active_week").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

@@ -109,3 +109,91 @@ def interval_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         stabilized_sum(F.col("b.value")).alias("next_value_total"),
     )
+
+
+# --- time-spine gap fill (hypertable-style forward fill) --------------------
+
+_GAP_FILL_ORACLE = """
+WITH bounds AS (
+    SELECT user_id,
+           date_trunc('day', min(ts)) AS d0,
+           date_trunc('day', max(ts)) AS d1
+    FROM events GROUP BY user_id
+),
+spine AS (
+    SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+    FROM bounds
+),
+j AS (
+    SELECT s.user_id, s.day, e.event_id, e.value,
+           row_number() OVER (
+               PARTITION BY s.user_id, s.day
+               ORDER BY e.ts DESC, e.event_id
+           ) AS rn
+    FROM spine s
+    JOIN events e
+      ON e.user_id = s.user_id
+     AND e.ts <= s.day + INTERVAL 1 DAY - INTERVAL 1 MICROSECOND
+)
+SELECT user_id, day,
+       event_id AS last_event_id,
+       value AS filled_value
+FROM j WHERE rn = 1
+"""
+
+
+@query("time_spine_gap_fill", _GAP_FILL_ORACLE)
+def time_spine_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap fill: a daily time spine per user (from
+    each user's first to last event day, generated in-plan — no
+    driver-side date math) forward-filled with the user's most recent
+    event at or before each day's end via the as-of join. Days with no
+    activity still get a row carrying the last known value — the
+    downsample-and-fill shape time-series stores special-case, here as
+    a declarative sequence-explode + as-of composition Catalyst
+    optimizes like any other plan."""
+    events = load_table(spark, sf_dir, "events")
+    spine = (
+        events.groupBy("user_id")
+        .agg(
+            F.date_trunc("day", F.min("ts")).alias("d0"),
+            F.date_trunc("day", F.max("ts")).alias("d1"),
+        )
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+        .withColumn(
+            "day_end",
+            F.col("day")
+            + F.expr("interval 1 day")
+            - F.expr("interval 1 microsecond"),
+        )
+        .withColumn(
+            "_sid",
+            F.concat(
+                F.col("user_id").cast("string"),
+                F.lit("|"),
+                F.col("day").cast("string"),
+            ),
+        )
+    )
+    filled = as_of_join(
+        spine,
+        events.select("user_id", "ts", "event_id", "value"),
+        left_key="user_id",
+        right_key="user_id",
+        left_ts="day_end",
+        right_ts="ts",
+        left_id="_sid",
+        right_cols=["event_id", "value"],
+        how="inner",
+    )
+    return filled.select(
+        "user_id",
+        "day",
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("filled_value"),
+    )

@@ -258,13 +258,26 @@ def bigram_fluency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one explode → bigram-count aggregation (map-side
     combine on the gram hash), an equi-join of doc-grams to the count
     table (AQE broadcasts it when small), and a 1-row total
-    cross-joined in-plan (never a driver-side count)."""
+    cross-joined in-plan (never a driver-side count). Grams shuffle as
+    64-bit xxhash64 keys, never strings — the hash value stays inside
+    the engine (only counts leave), so the oracle joins raw gram
+    strings and stays hash-agnostic (same counts modulo 2^-64
+    collisions). The pre-explode rebalance spreads tokenization off
+    the single row-group the local fixture scans as one task; a
+    many-file production corpus scans wide already (same convention
+    as operators/corpus.py)."""
     from ..functions.hashing import word_shingles
 
-    docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id", F.explode(word_shingles("text", 2)).alias("gram")
-    ).localCheckpoint(eager=False)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    grams = (
+        docs.select(
+            "doc_id", F.explode(word_shingles("text", 2)).alias("gram")
+        )
+        .select("doc_id", F.xxhash64("gram").alias("gram"))
+        .localCheckpoint(eager=False)
+    )
     freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
     total = grams.agg(F.count(F.lit(1)).alias("total"))
     return (

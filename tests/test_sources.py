@@ -137,3 +137,32 @@ def test_wire_replay_stream_drains_in_micro_batches(spark):
     assert out.count() == 500
     assert out.select("value").distinct().count() == 500
     assert n_batches >= 3, f"expected >=3 non-empty micro-batches, got {n_batches}"
+
+
+def test_orc_and_text_round_trip(spark, sf_smoke):
+    """ORC round-trips with full type fidelity (columnar like parquet);
+    the text source is the one-column raw-lines reader a corpus
+    ingestion job starts from."""
+    events = load_table(spark, sf_smoke, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    want = sorted(map(tuple, events.collect()))
+
+    orc_dir = tempfile.mkdtemp(prefix="src_orc_")
+    events.write.mode("overwrite").orc(orc_dir)
+    got_orc = sorted(map(tuple, load_file(spark, orc_dir, "orc").collect()))
+    assert got_orc == want
+
+    text_dir = tempfile.mkdtemp(prefix="src_text_")
+    lines = events.select(
+        F.concat_ws(
+            "\t",
+            F.col("event_id").cast("string"),
+            F.col("event_type"),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(text_dir)
+    got_text = sorted(
+        r["value"] for r in spark.read.text(text_dir).collect()
+    )
+    assert got_text == sorted(r["value"] for r in lines.collect())
