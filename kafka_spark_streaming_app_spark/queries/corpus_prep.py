@@ -94,8 +94,12 @@ def line_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     any line present in ≥5 distinct documents (the planted header in
     every 3rd doc, footer in every 5th) is removed from all of them;
     the cleaned text is reassembled in line order and checked
-    byte-for-byte cross-engine."""
-    docs = load_table(spark, sf_dir, "documents")
+    byte-for-byte cross-engine. Pre-explode rebalance per the
+    corpus-op convention (the local fixture scans as one row group →
+    one tokenize task; a many-file corpus scans wide already)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return line_dedup(_synth_lines(docs), max_docs=_MAX_DOCS)
 
 

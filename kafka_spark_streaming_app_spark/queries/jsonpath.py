@@ -155,3 +155,48 @@ def variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.vals[0]", "double").alias("v0"),
         F.variant_get(v, "$.vals[1]", "bigint").alias("v1"),
     )
+
+
+_MALFORMED_ORACLE = """
+WITH c AS (
+    SELECT event_id,
+           CASE WHEN event_id % 7 = 0
+                THEN substr(props, 1, length(props) - 2)
+                ELSE props END AS s
+    FROM events
+)
+SELECT event_id,
+       NOT json_valid(s) AS is_malformed,
+       CASE WHEN json_valid(s)
+            THEN CAST(json_extract_string(s, '$.k') AS BIGINT) END AS k
+FROM c
+"""
+
+
+@query("json_malformed_audit", _MALFORMED_ORACLE)
+def json_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record accounting on the wire path: every 7th event's
+    JSON payload is deterministically truncated (planted corruption,
+    same on both engines), parsed PERMISSIVE with a
+    columnNameOfCorruptRecord sidecar — corrupt rows are FLAGGED and
+    keep their raw payload for a quarantine sink instead of silently
+    null-filling. The audit row set (id, is_malformed, parsed field)
+    hash-matches DuckDB's json_valid view of the same corruption."""
+    events = load_table(spark, sf_dir, "events")
+    corrupted = F.when(
+        F.col("event_id") % 7 == 0,
+        F.expr("substring(props, 1, length(props) - 2)"),
+    ).otherwise(F.col("props"))
+    parsed = events.select(
+        "event_id",
+        F.from_json(
+            corrupted,
+            "k bigint, _corrupt string",
+            {"columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("p"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p._corrupt").isNotNull().alias("is_malformed"),
+        F.col("p.k").alias("k"),
+    )

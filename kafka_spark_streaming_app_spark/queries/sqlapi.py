@@ -75,3 +75,38 @@ def sql_case_date_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CASE buckets over timestamps + min/max date aggregates."""
     register_views(spark, sf_dir, ("orders",))
     return spark.sql(_CASE_DATE_SQL)
+
+
+_RECURSIVE_CHAIN_SQL = """
+WITH RECURSIVE succ AS (
+    SELECT o_custkey, o_orderkey,
+           lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS next_key,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS rn
+    FROM orders
+),
+chain(o_custkey, o_orderkey, next_key, chain_pos) AS (
+    SELECT o_custkey, o_orderkey, next_key, 1 FROM succ WHERE rn = 1
+    UNION ALL
+    SELECT s.o_custkey, s.o_orderkey, s.next_key, c.chain_pos + 1
+    FROM chain c JOIN succ s
+      ON s.o_custkey = c.o_custkey AND s.o_orderkey = c.next_key
+)
+SELECT o_custkey, o_orderkey, CAST(chain_pos AS BIGINT) AS chain_pos
+FROM chain
+"""
+
+
+@query("sql_recursive_order_chain", _RECURSIVE_CHAIN_SQL)
+def sql_recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE), same text on both
+    engines: walk each customer's order history front-to-back along
+    lead()-built successor links — anchor is the first order, each
+    iteration joins the next. The successor graph is a union of linear
+    chains (acyclic by construction), so UNION ALL recursion
+    terminates at the longest per-customer history — Spark's
+    iterative execution depth is max-orders-per-customer, not table
+    size, and each step is an equi-join on (custkey, orderkey)."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_RECURSIVE_CHAIN_SQL)

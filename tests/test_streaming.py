@@ -334,3 +334,95 @@ def test_dedup_within_watermark_collapses_cross_batch_duplicates(spark):
         q.stop()
     got = [r["order_id"] for r in spark.table(name).collect()]
     assert sorted(got) == ["o1", "o2", "o3"], f"duplicates leaked: {got}"
+
+
+def test_foreach_batch_incremental_rollup_equals_batch(spark):
+    """Continuous-aggregate maintenance through the streaming engine:
+    each micro-batch's partial (hour, type) aggregates are merged into
+    a persistent rollup table by re-aggregation (counts add, decimal
+    partial sums add exactly). After draining, the maintained rollup
+    must equal the from-scratch batch rollup — the streaming face of
+    the `incremental_rollup_merge` oracle property. (A lakehouse
+    deployment would MERGE INTO instead of overwrite-after-barrier;
+    the merge arithmetic is identical.)"""
+    import json as _json
+    from pyspark.sql import functions as F
+
+    src = tempfile.mkdtemp(prefix="roll_src_")
+    out = os.path.join(tempfile.mkdtemp(prefix="roll_out_"), "rollup")
+    ckpt = tempfile.mkdtemp(prefix="roll_ckpt_")
+    rows1 = [
+        {"ts": "2024-01-01 10:05:00", "event_type": "view", "value": 1.5},
+        {"ts": "2024-01-01 10:55:00", "event_type": "view", "value": 2.5},
+        {"ts": "2024-01-01 11:05:00", "event_type": "click", "value": 4.0},
+    ]
+    rows2 = [
+        {"ts": "2024-01-01 11:20:00", "event_type": "click", "value": 8.0},
+        {"ts": "2024-01-01 11:40:00", "event_type": "view", "value": 16.0},
+        {"ts": "2024-01-01 12:10:00", "event_type": "view", "value": 32.0},
+    ]
+    for name, rows in (("b1.json", rows1), ("b2.json", rows2)):
+        with open(os.path.join(src, name), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    schema = "ts timestamp, event_type string, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+
+    def merge_rollup(batch_df, batch_id):
+        part = batch_df.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,4)")).alias("psum"),
+        )
+        try:
+            existing = batch_df.sparkSession.read.parquet(out)
+        except Exception:
+            existing = None
+        merged = (
+            part if existing is None else existing.unionByName(part)
+        ).groupBy("hour", "event_type").agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("psum").cast("decimal(25,4)").alias("psum"),
+        )
+        # barrier before overwriting the directory the plan reads from
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            out
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(merge_rollup)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        if q.isActive:
+            q.stop()
+
+    maintained = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["psum"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = (
+        spark.read.schema(schema)
+        .json(src)
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,4)")).alias("psum"),
+        )
+    )
+    want = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["psum"])
+        for r in batch.collect()
+    }
+    assert maintained == want
+    assert len(want) == 4  # 10h/view, 11h/click, 11h/view, 12h/view
