@@ -63,6 +63,7 @@ HEADLINE = [
     "similarity_sq8_rerank",
     "bigram_fluency_score",
     "window_range_frame",
+    "text_hashing_topk",
 ]
 
 

@@ -368,3 +368,151 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "active_week").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+# --- market-basket co-purchase pairs ----------------------------------------
+
+_COPURCHASE_ORACLE = """
+WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       count(*) AS support
+FROM items a
+JOIN items b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY part_a, part_b
+HAVING count(*) >= 2
+"""
+
+
+@query("copurchase_pairs", _COPURCHASE_ORACLE)
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: parts bought together in ≥2 distinct
+    orders. The self-join is keyed on the ORDER (equi-join on
+    l_orderkey with part_a < part_b), so fan-out is bounded by
+    order-size² (≤13 lines/order here, ~C(13,2)=78 pairs worst case)
+    — never quadratic in table size. The distinct-first projection
+    keeps duplicate part lines within one order from inflating
+    support. At 100 TB the same plan holds; a pathological mega-order
+    would be capped upstream exactly like LSH hot buckets."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+
+
+# --- trailing-window anomaly detection --------------------------------------
+
+_ANOMALY_ORACLE = """
+WITH d AS (
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+               AS day_no,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+),
+w AS (
+    SELECT o_orderkey, o_custkey, CAST(day_no AS BIGINT) AS day_no,
+           o_totalprice,
+           count(*) OVER tw AS n_window,
+           CAST(sum(cents) OVER tw AS BIGINT) AS s,
+           CAST(sum(cents * cents) OVER tw AS BIGINT) AS s2
+    FROM d
+    WINDOW tw AS (PARTITION BY o_custkey ORDER BY day_no
+                  RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
+),
+f AS (
+    SELECT *,
+           CAST(s AS DOUBLE) / 100.0 / n_window AS m,
+           CASE WHEN n_window > 1 THEN
+               sqrt(greatest((CAST(s2 AS DOUBLE) / 10000.0
+                    - (CAST(s AS DOUBLE) / 100.0) * (CAST(s AS DOUBLE) / 100.0)
+                      / n_window) / (n_window - 1), 0.0))
+           END AS sd
+    FROM w
+)
+SELECT o_orderkey, o_custkey, day_no, n_window,
+       m AS trailing_mean,
+       CASE WHEN n_window > 1 AND sd > 0
+            THEN (o_totalprice - m) / sd END AS zscore,
+       CASE WHEN n_window > 1 AND sd > 0
+            THEN abs((o_totalprice - m) / sd) > 2.0
+            ELSE FALSE END AS is_anomaly
+FROM f
+"""
+
+
+@query("anomaly_trailing_zscore", _ANOMALY_ORACLE)
+def anomaly_trailing_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly flags: each order scored against its
+    customer's prior 90 days (value-based RANGE frame), z = (x - mean)
+    / sample-std from exact decimal power sums — the same
+    power-sum-first discipline as the corpus z-score query, here over
+    a moving frame. Cancellation is guarded with greatest(var, 0);
+    degenerate frames (n=1 or zero variance) yield NULL z and FALSE
+    flag on both engines."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    day_no = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+    )
+    d = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        day_no.cast("bigint").alias("day_no"),
+    )
+    tw = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_no")
+        .rangeBetween(-90, Window.currentRow)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    w = d.withColumn("cents", cents).select(
+        "o_orderkey",
+        "o_custkey",
+        "day_no",
+        "o_totalprice",
+        F.count(F.lit(1)).over(tw).alias("n_window"),
+        F.sum("cents").over(tw).alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).over(tw).alias("s2"),
+    )
+    n = F.col("n_window")
+    s = F.col("s").cast("double")
+    s2 = F.col("s2").cast("double")
+    mean = s / F.lit(100.0) / n
+    std = F.sqrt(
+        F.greatest(
+            (s2 / F.lit(10000.0) - (s / F.lit(100.0)) * (s / F.lit(100.0)) / n)
+            / (n - 1),
+            F.lit(0.0),
+        )
+    )
+    z = (F.col("o_totalprice") - mean) / std
+    valid = (n > 1) & (std > 0)
+    return w.select(
+        "o_orderkey",
+        "o_custkey",
+        "day_no",
+        "n_window",
+        mean.alias("trailing_mean"),
+        F.when(valid, z).alias("zscore"),
+        F.when(valid, F.abs(z) > 2.0).otherwise(F.lit(False)).alias(
+            "is_anomaly"
+        ),
+    )

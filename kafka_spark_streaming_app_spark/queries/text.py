@@ -120,3 +120,148 @@ FROM documents
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content + prefix fingerprints (md5 hex, 60-bit int)."""
     return fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+# --- hashing-trick retrieval (BoW vectors without a trained embedder) -------
+
+_HT_DIM = 32
+_HT_TOKEN_BUCKET = h60_sql("tok") + f" % {_HT_DIM}"
+
+_HASHING_TOPK_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest({TOKENS_SQL.format(x="text")}) AS tok
+    FROM documents
+),
+bucketed AS (
+    SELECT doc_id, {_HT_TOKEN_BUCKET} AS b, count(*) AS cnt
+    FROM tok GROUP BY doc_id, {_HT_TOKEN_BUCKET}
+),
+vec AS (
+    SELECT d.doc_id, list(CAST(coalesce(bk.cnt, 0) AS DOUBLE) ORDER BY i.i) AS v
+    FROM (SELECT DISTINCT doc_id FROM bucketed) d
+    CROSS JOIN range(0, {_HT_DIM}) i(i)
+    LEFT JOIN bucketed bk ON bk.doc_id = d.doc_id AND bk.b = i.i
+    GROUP BY d.doc_id
+),
+n AS (
+    SELECT doc_id, v,
+           sqrt(list_sum(list_transform(v, x -> x * x))) AS norm
+    FROM vec
+),
+q AS (
+    SELECT doc_id AS query_id, v AS qv, norm AS qnorm FROM n
+    WHERE doc_id < 5
+),
+scored AS (
+    SELECT q.query_id, c.doc_id AS corpus_id,
+           round(list_inner_product(q.qv, c.v) / (q.qnorm * c.norm), 6)
+               AS cosine
+    FROM n c, q WHERE c.doc_id <> q.query_id
+)
+SELECT query_id, corpus_id, cosine, rank FROM (
+    SELECT *,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, corpus_id) AS rank
+    FROM scored
+) WHERE rank <= 5
+"""
+
+
+@query("text_hashing_topk", _HASHING_TOPK_ORACLE)
+def text_hashing_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text retrieval WITHOUT a trained embedder: hashing-trick
+    bag-of-words vectors (token → h60 % 32 bucket counts, the
+    HashingTF construction) + cosine top-5 through the same
+    brute-force top-k operator the embedding queries use. One explode
+    → (doc, bucket) count aggregation → row-local array reassembly
+    via map lookup; integer counts make the vectors exact, so the
+    whole retrieval is hash-checked cross-engine."""
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import h60, tokens
+    from ..operators.similarity import brute_force_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    ).select("doc_id", (h60(F.col("tok")) % _HT_DIM).alias("b"))
+    counts = t.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    vec = counts.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("b", "cnt"))).alias("m")
+    ).select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_HT_DIM - 1)),
+            lambda i: F.coalesce(
+                F.element_at("m", i.cast("bigint")), F.lit(0)
+            ).cast("double"),
+        ).alias("v"),
+    )
+    queries_df = vec.filter(F.col("doc_id") < 5)
+    out = brute_force_topk(
+        vec, queries_df, k=5, id_col="doc_id", vec_col="v"
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+# --- URL/domain analytics ---------------------------------------------------
+
+_HOST_RE = "https?://([^/]+)"
+
+_DOMAIN_ORACLE = f"""
+WITH synth AS (
+    SELECT doc_id, n_chars,
+           'https://' || CASE CAST(doc_id % 7 AS INTEGER)
+               WHEN 0 THEN 'shop' WHEN 1 THEN 'news' WHEN 2 THEN 'blog'
+               WHEN 3 THEN 'docs' WHEN 4 THEN 'forum' WHEN 5 THEN 'wiki'
+               ELSE 'mail' END
+           || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url
+    FROM documents
+)
+SELECT regexp_extract(url, '{_HOST_RE}', 1) AS host,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+FROM synth
+GROUP BY host
+"""
+
+
+@query("url_domain_stats", _DOMAIN_ORACLE)
+def url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus accounting (the crawl-side ledger behind
+    per-source caps): host extracted with the same regex on both
+    engines from deterministically synthesized URLs, per-host doc
+    count + exact character totals (avg = one division of exact
+    integers). One scan, one aggregation."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.element_at(
+            F.array(
+                *[
+                    F.lit(s)
+                    for s in (
+                        "shop", "news", "blog", "docs", "forum", "wiki",
+                        "mail",
+                    )
+                ]
+            ),
+            (did % 7).cast("int") + 1,
+        ),
+        F.lit(".example.com/p/"),
+        did.cast("string"),
+    )
+    synth = docs.select("doc_id", "n_chars", url.alias("url"))
+    return synth.select(
+        F.regexp_extract("url", _HOST_RE, 1).alias("host"), "n_chars"
+    ).groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias(
+            "avg_chars"
+        ),
+    )

@@ -438,3 +438,37 @@ def test_runtime_bloom_filter_prunes_fact_join(spark, sf_correctness):
     assert "might_contain" in optimized and "bloom_filter_agg" in optimized, (
         "runtime bloom filter did not inject:\n" + optimized
     )
+
+
+def test_parquet_aggregate_pushdown_metadata_only_scan(spark, sf_correctness):
+    """MIN/MAX/COUNT over an unfiltered parquet scan can be answered
+    from row-group footer statistics alone (SPARK-34952, DSv2 scans):
+    the plan carries PushedAggregation and the scan never materializes
+    data pages. At 100 TB this turns full-table sanity aggregates into
+    a metadata read. Needs the v2 parquet reader — confs are
+    test-local because the engine default (v1 + nanosAsLong loader
+    path) is what the oracle contract is proven on."""
+    confs = {
+        "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.sql.sources.useV1SourceList": "",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        df = spark.read.parquet(f"{sf_correctness}/lineitem.parquet")
+        agg = df.selectExpr(
+            "min(l_quantity) AS mn", "max(l_quantity) AS mx", "count(*) AS n"
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        row = agg.collect()[0]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "min(l_quantity)" in plan and "BatchScan" in plan, (
+        "aggregate did not push into the scan:\n" + plan
+    )
+    assert row["n"] == 60000 and row["mn"] == 1.0 and row["mx"] == 50.0
