@@ -64,6 +64,7 @@ HEADLINE = [
     "bigram_fluency_score",
     "window_range_frame",
     "text_hashing_topk",
+    "copurchase_pagerank",
 ]
 
 

@@ -85,3 +85,69 @@ def connected_components(
         f"connected_components did not converge in {max_iter} supersteps "
         "(graph diameter exceeds the guard — raise max_iter)"
     )
+
+
+# 2^40 fixed-point scale for PageRank contributions: floor-truncated
+# scaled integers sum exactly (order- and engine-independent), the
+# same discipline as similarity.KM_SCALE. floor() — not a bare bigint
+# cast — because Spark's double→bigint cast truncates while DuckDB's
+# rounds; floor is identical in both.
+PR_SCALE = float(2**40)
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Distributed PageRank over a symmetrized edge list, cross-engine
+    exact: per-iteration contributions ``floor(pr/deg · 2^40)`` are
+    exact integers, so the per-node sums (the only order-sensitive
+    reduction) agree bit-for-bit on any engine/partitioning; the
+    teleport step is fixed-order double arithmetic.
+
+    Each iteration is one equi-join (edges ⋈ ranks, shuffle ∝ |edges|
+    carrying (dst, int64)) plus one aggregation; ranks sit behind a
+    lazy checkpoint barrier to keep iterative lineage shallow. Every
+    node in ``edges`` has degree ≥ 1 by construction (isolated
+    vertices carry teleport mass only and are excluded — callers union
+    them back if needed), so there is no dangling-mass term.
+
+    Returns (node, pr).
+    """
+    deg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = deg.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    pr = (
+        deg.select(F.col(src_col).alias("node"), "deg")
+        .crossJoin(F.broadcast(n_nodes))
+        .select("node", "deg", "n", (F.lit(1.0) / F.col("n")).alias("pr"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(iters):
+        contrib = edges.join(pr, edges[src_col] == pr.node).select(
+            F.col(dst_col).alias("cnode"),
+            F.floor(F.col("pr") / F.col("deg") * F.lit(PR_SCALE))
+            .cast("bigint")
+            .alias("c"),
+        )
+        sums = contrib.groupBy("cnode").agg(F.sum("c").alias("sc"))
+        pr = (
+            pr.join(sums, pr.node == sums.cnode, "left")
+            .select(
+                "node",
+                "deg",
+                "n",
+                (
+                    F.lit(1.0 - damping) / F.col("n")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("sc"), F.lit(0)).cast("double")
+                        / F.lit(PR_SCALE)
+                    )
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pr.select("node", "pr")

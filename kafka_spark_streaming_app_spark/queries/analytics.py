@@ -516,3 +516,95 @@ def anomaly_trailing_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_anomaly"
         ),
     )
+
+
+# --- PageRank over the co-purchase graph ------------------------------------
+
+_PR_SCALE_SQL = "1099511627776.0"  # 2^40, matches operators.graph.PR_SCALE
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    """One PageRank iteration: floor-scaled integer contributions,
+    exact sums, fixed-order teleport arithmetic."""
+    return f"""
+{out}_c AS (
+    SELECT e.dst AS node,
+           CAST(sum(CAST(floor(p.pr / p.deg * {_PR_SCALE_SQL}) AS BIGINT))
+                AS BIGINT) AS sc
+    FROM edges e JOIN {prev} p ON e.src = p.node
+    GROUP BY e.dst
+),
+{out} AS (
+    SELECT p.node, p.deg, p.n,
+           0.15 / p.n
+           + 0.85 * (CAST(coalesce(c.sc, 0) AS DOUBLE) / {_PR_SCALE_SQL})
+               AS pr
+    FROM {prev} p LEFT JOIN {out}_c c ON p.node = c.node
+)"""
+
+
+_PAGERANK_ORACLE = f"""
+WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+    FROM items a
+    JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY part_a, part_b
+    HAVING count(*) >= 2
+),
+edges AS (
+    SELECT part_a AS src, part_b AS dst FROM pairs
+    UNION ALL
+    SELECT part_b AS src, part_a AS dst FROM pairs
+),
+deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+nn AS (SELECT count(*) AS n FROM deg),
+pr0 AS (SELECT node, deg, n, 1.0 / n AS pr FROM deg, nn),
+{_pr_iter_sql("pr0", "pr1")},
+{_pr_iter_sql("pr1", "pr2")}
+SELECT node AS part, pr FROM pr2
+"""
+
+
+@query("copurchase_pagerank", _PAGERANK_ORACLE)
+def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (2 Lloyd-style unrolled iterations, damping 0.85) over
+    the symmetrized co-purchase graph — 'hub products' by relational
+    importance rather than raw order count. Cross-engine exactness
+    comes from floor-scaled integer contributions (the only
+    order-sensitive sum is over exact int64) — same fixed-point
+    discipline as k-means and the SQ8 scorer; the oracle unrolls the
+    identical two iterations in SQL."""
+    from ..operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .localCheckpoint(eager=False)
+    )
+    edges = pairs.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("part_b").alias("src"), F.col("part_a").alias("dst")
+        )
+    )
+    return pagerank(edges, damping=0.85, iters=2).select(
+        F.col("node").alias("part"), "pr"
+    )

@@ -59,3 +59,58 @@ def write_bucketed_table(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ~``target_file_bytes`` output files.
+
+    The small-file problem is the classic streaming-sink pathology at
+    scale (a 10 s trigger writing 32 partitions creates ~276 K
+    files/day): NameNode/listing pressure, per-file open cost, and
+    row groups too small for effective column statistics. Compaction
+    sizes output files by MEASURED input bytes (directory listing, no
+    data read) and lets AQE coalesce the rewrite — one wide scan, one
+    write, no shuffle beyond the coalesce.
+
+    Returns the number of output files requested. Production runs this
+    per partition directory (so compaction itself prunes), writes to a
+    temp dir and atomically swaps — here the caller owns the swap.
+    """
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, (total + target_file_bytes - 1) // target_file_bytes)
+    df = spark.read.parquet(path)
+    df.repartition(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files
+
+
+def write_sorted_parquet(
+    df: DataFrame, path: str, sort_cols: list[str], num_files: int
+) -> None:
+    """Range-partitioned, within-file-sorted parquet — the clustered
+    layout that makes parquet min/max row-group statistics selective:
+    a point/range predicate on ``sort_cols`` prunes to one file's
+    row groups instead of matching every file's full value range.
+    (Linear clustering on the leading column; multi-dimensional
+    workloads use space-filling curves — same write shape, different
+    sort key.)"""
+    from pyspark.sql import functions as F
+
+    cols = [F.col(c) for c in sort_cols]
+    (
+        df.repartitionByRange(num_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

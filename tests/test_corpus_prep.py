@@ -108,3 +108,20 @@ def test_sq8_rerank_recalls_exact_topk(spark, sf_smoke):
     assert overlap >= 0.8, f"SQ8 recall collapsed: {overlap}"
     # approx scores are exact integers — every |code| <= 127, 64 dims
     assert all(abs(r["approx_score"]) <= 127 * 127 * 64 for r in sq8)
+
+
+def test_pagerank_star_graph_ranks_hub_highest(spark):
+    from kafka_spark_streaming_app_spark.operators.graph import pagerank
+
+    spokes = list(range(1, 6))
+    pairs = [(0, s) for s in spokes]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], ["src", "dst"]
+    )
+    out = {r["node"]: r["pr"] for r in pagerank(edges, iters=3).collect()}
+    assert set(out) == {0, *spokes}
+    hub = out[0]
+    assert all(hub > out[s] for s in spokes), out
+    # floor truncation loses at most |nodes| * 2^-40 mass per iteration
+    assert abs(sum(out.values()) - 1.0) < 1e-6
+    assert len({out[s] for s in spokes}) == 1  # symmetric spokes tie

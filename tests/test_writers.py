@@ -51,3 +51,64 @@ def test_bucketed_join_has_no_shuffle(spark, sf_smoke):
         orders, lineitem.l_orderkey == orders.o_orderkey
     ).count()
     assert joined.count() == want
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, sf_smoke):
+    import glob
+    import tempfile
+
+    from kafka_spark_streaming_app_spark.sources.writers import (
+        compact_parquet,
+    )
+
+    src = tempfile.mkdtemp(prefix="compact_src_")
+    out = tempfile.mkdtemp(prefix="compact_out_")
+    events = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    # simulate a streaming sink's small-file pathology: 40 tiny files
+    events.repartition(40).write.mode("overwrite").parquet(src)
+    assert len(glob.glob(f"{src}/*.parquet")) == 40
+
+    n = compact_parquet(spark, src, out, target_file_bytes=64 * 1024 * 1024)
+    got_files = glob.glob(f"{out}/*.parquet")
+    assert len(got_files) == n and n < 40
+    want = sorted(r["event_id"] for r in events.collect())
+    got = sorted(
+        r["event_id"] for r in spark.read.parquet(out).collect()
+    )
+    assert got == want
+
+
+def test_sorted_write_produces_nonoverlapping_file_ranges(spark, sf_smoke):
+    """Clustered layout contract: after range-partitioned sorted write,
+    per-FILE [min, max] spans of the sort key must not overlap — this
+    is exactly what makes parquet min/max statistics prune to one file
+    for a point predicate."""
+    import glob
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from kafka_spark_streaming_app_spark.sources.writers import (
+        write_sorted_parquet,
+    )
+
+    out = tempfile.mkdtemp(prefix="sorted_out_")
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    write_sorted_parquet(orders, out, ["o_orderkey"], num_files=6)
+
+    spans = []
+    for f in glob.glob(f"{out}/*.parquet"):
+        meta = pq.ParquetFile(f).metadata
+        idx = meta.schema.names.index("o_orderkey")
+        mins, maxs = [], []
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    assert len(spans) == 6
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"file ranges overlap: {spans}"
