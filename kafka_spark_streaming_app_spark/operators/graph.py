@@ -119,35 +119,39 @@ def pagerank(
     """
     deg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("deg"))
     n_nodes = deg.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    # rank mass lives in the scaled-INTEGER domain end-to-end: every
+    # float op below is a lone mult/div immediately floored, never an
+    # a + b*c chain — C++ engines contract those into FMA (no
+    # intermediate rounding) while the JVM does not, which costs a
+    # last-ulp divergence. Integer adds/divs are exact everywhere.
     pr = (
         deg.select(F.col(src_col).alias("node"), "deg")
         .crossJoin(F.broadcast(n_nodes))
-        .select("node", "deg", "n", (F.lit(1.0) / F.col("n")).alias("pr"))
+        .select(
+            "node",
+            "deg",
+            "n",
+            F.floor(F.lit(PR_SCALE) / F.col("n")).cast("bigint").alias("prs"),
+        )
         .localCheckpoint(eager=False)
     )
     for _ in range(iters):
         contrib = edges.join(pr, edges[src_col] == pr.node).select(
             F.col(dst_col).alias("cnode"),
-            F.floor(F.col("pr") / F.col("deg") * F.lit(PR_SCALE))
-            .cast("bigint")
-            .alias("c"),
+            F.expr("prs div deg").alias("c"),
         )
         sums = contrib.groupBy("cnode").agg(F.sum("c").alias("sc"))
+        teleport = F.floor(
+            F.lit(PR_SCALE) * F.lit(1.0 - damping) / F.col("n")
+        ).cast("bigint")
+        spread = F.floor(
+            F.lit(damping) * F.coalesce(F.col("sc"), F.lit(0)).cast("double")
+        ).cast("bigint")
         pr = (
             pr.join(sums, pr.node == sums.cnode, "left")
-            .select(
-                "node",
-                "deg",
-                "n",
-                (
-                    F.lit(1.0 - damping) / F.col("n")
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("sc"), F.lit(0)).cast("double")
-                        / F.lit(PR_SCALE)
-                    )
-                ).alias("pr"),
-            )
+            .select("node", "deg", "n", (teleport + spread).alias("prs"))
             .localCheckpoint(eager=False)
         )
-    return pr.select("node", "pr")
+    return pr.select(
+        "node", (F.col("prs").cast("double") / F.lit(PR_SCALE)).alias("pr")
+    )

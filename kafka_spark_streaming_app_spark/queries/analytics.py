@@ -524,21 +524,21 @@ _PR_SCALE_SQL = "1099511627776.0"  # 2^40, matches operators.graph.PR_SCALE
 
 
 def _pr_iter_sql(prev: str, out: str) -> str:
-    """One PageRank iteration: floor-scaled integer contributions,
-    exact sums, fixed-order teleport arithmetic."""
+    """One PageRank iteration in the scaled-integer domain: exact
+    integer spread division, exact sums, each float op a lone
+    mult/div immediately floored (FMA-contraction-proof — see
+    operators/graph.pagerank)."""
     return f"""
 {out}_c AS (
-    SELECT e.dst AS node,
-           CAST(sum(CAST(floor(p.pr / p.deg * {_PR_SCALE_SQL}) AS BIGINT))
-                AS BIGINT) AS sc
+    SELECT e.dst AS node, CAST(sum(p.prs // p.deg) AS BIGINT) AS sc
     FROM edges e JOIN {prev} p ON e.src = p.node
     GROUP BY e.dst
 ),
 {out} AS (
     SELECT p.node, p.deg, p.n,
-           0.15 / p.n
-           + 0.85 * (CAST(coalesce(c.sc, 0) AS DOUBLE) / {_PR_SCALE_SQL})
-               AS pr
+           CAST(floor({_PR_SCALE_SQL} * (1.0 - 0.85) / p.n) AS BIGINT)
+           + CAST(floor(0.85 * CAST(coalesce(c.sc, 0) AS DOUBLE)) AS BIGINT)
+               AS prs
     FROM {prev} p LEFT JOIN {out}_c c ON p.node = c.node
 )"""
 
@@ -562,10 +562,11 @@ edges AS (
 ),
 deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
 nn AS (SELECT count(*) AS n FROM deg),
-pr0 AS (SELECT node, deg, n, 1.0 / n AS pr FROM deg, nn),
+pr0 AS (SELECT node, deg, n,
+        CAST(floor(1099511627776.0 / n) AS BIGINT) AS prs FROM deg, nn),
 {_pr_iter_sql("pr0", "pr1")},
 {_pr_iter_sql("pr1", "pr2")}
-SELECT node AS part, pr FROM pr2
+SELECT node AS part, CAST(prs AS DOUBLE) / 1099511627776.0 AS pr FROM pr2
 """
 
 

@@ -36,6 +36,11 @@ NOTES = {
     "bigram_fluency_score": "One explode behind a barrier feeds gram counts, the 1-row total, and the join back — integer aggregates end-to-end, one final division.",
     "incremental_rollup_merge": "Partial aggregates per partition-branch union-merged by re-aggregation; decimal partial sums add exactly.",
     "window_range_frame": "Per-customer RANGE frame — one shuffle+sort partitioned by the key, both frame aggregates share it.",
+    "copurchase_pagerank": "Order-keyed self-join builds the edge list (fan-out ~ order size); per-iteration join+agg on edges with floor-scaled int64 contributions; ranks barriered per iteration.",
+    "anomaly_trailing_zscore": "One shuffle+sort per customer; count and both integer-cents power sums share the same RANGE frame.",
+    "funnel_conversion": "Three keyed aggregations co-partitioned on user_id; left joins reuse the exchange.",
+    "text_hashing_topk": "Explode -> (doc,bucket) count agg -> row-local array assembly; scoring broadcast-joins only the query batch.",
+    "time_spine_gap_fill": "In-plan spine (sequence explode) + as-of range join; ranked dedup per spine row.",
 }
 
 

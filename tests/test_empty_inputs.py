@@ -89,3 +89,45 @@ def test_single_token_doc_chunks_and_shingles(spark):
     assert minhash_signatures(docs, shingle_n=3).count() == 0
     chunks = chunk_documents(docs, chunk_tokens=8, overlap=2).collect()
     assert {(r.doc_id, r.chunk_idx) for r in chunks} == {(1, 0), (2, 0)}
+
+
+def test_corpus_prep_operators_on_empty_corpus(spark):
+    from kafka_spark_streaming_app_spark.operators.corpus import line_dedup
+    from kafka_spark_streaming_app_spark.operators.llmprep import (
+        global_shuffle,
+        per_key_cap,
+    )
+    from kafka_spark_streaming_app_spark.operators.text import quality_score
+
+    docs = _empty_docs(spark)
+    assert line_dedup(docs).count() == 0
+    assert quality_score(docs).count() == 0
+    assert global_shuffle(docs).count() == 0
+    with_src = docs.withColumn("source", F.lit("s"))
+    assert per_key_cap(with_src, key_col="source").count() == 0
+
+
+def test_pagerank_on_empty_edges(spark):
+    from kafka_spark_streaming_app_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("src", T.LongType()),
+            T.StructField("dst", T.LongType()),
+        ])
+    )
+    assert pagerank(edges).count() == 0
+
+
+def test_sq8_on_single_vector_corpus(spark):
+    """Degenerate quantization: one corpus vector means every dim is
+    constant (step from that vector's own max |u_i|) — codes must not
+    divide by zero and the join (corpus != query) yields nothing."""
+    from kafka_spark_streaming_app_spark.operators.similarity import (
+        ann_topk_sq8,
+    )
+
+    one = spark.createDataFrame(
+        [(0, [1.0] * 4 + [0.0] * 60)], ["vec_id", "embedding"]
+    )
+    assert ann_topk_sq8(one, one, k=3, rerank=5).count() == 0
