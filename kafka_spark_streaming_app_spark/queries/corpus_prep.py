@@ -346,3 +346,52 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_psum").cast("double").alias("total_value"),
         )
     )
+
+
+# --- importance sampling by quality ------------------------------------------
+
+_IMP_BUCKET = h60_sql("('imp|' || CAST(doc_id AS VARCHAR))") + " % 10000"
+
+_IMPORTANCE_ORACLE = f"""
+WITH scored AS (
+    SELECT doc_id,
+           CASE WHEN len({_WORDS}) > 0
+                THEN CAST(len(list_distinct({_WORDS})) AS DOUBLE)
+                     / len({_WORDS})
+                ELSE 0.0 END AS quality
+    FROM documents
+)
+SELECT doc_id, quality
+FROM scored
+WHERE {_IMP_BUCKET} < floor(10000.0 * least(1.0, quality * 1.5))
+"""
+
+
+@query("importance_sample_quality", _IMPORTANCE_ORACLE)
+def importance_sample_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling for the training mix: keep probability
+    proportional to a quality score (lexical diversity here), capped
+    at 1 — high-quality documents are kept whole, low-quality ones are
+    downweighted instead of hard-dropped. Deterministic hash-bucket
+    acceptance (pure function of doc_id), so the sample is stable
+    under repartitioning and re-runs; the score→threshold arithmetic
+    is lone mults + least + floor (no FMA-contractible a+b*c), hence
+    bit-identical cross-engine. One scan, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    quality = F.when(
+        F.size(toks) > 0,
+        F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
+    ).otherwise(F.lit(0.0))
+    from ..functions.hashing import h60
+
+    bucket = (
+        h60(F.concat(F.lit("imp|"), F.col("doc_id").cast("string"))) % 10000
+    )
+    scored = docs.select("doc_id", quality.alias("quality"))
+    return scored.filter(
+        bucket
+        < F.floor(
+            F.lit(10000.0) * F.least(F.lit(1.0), F.col("quality") * F.lit(1.5))
+        )
+    )
