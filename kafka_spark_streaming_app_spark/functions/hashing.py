@@ -34,12 +34,18 @@ def h60_sql(expr: str) -> str:
 
 def normalize_text(col: Column | str) -> Column:
     """Canonical text form for dedup: lowercase, trimmed, whitespace
-    collapsed."""
+    collapsed. NULL text is treated as empty — a null-propagating
+    normalizer silently DROPS null-text documents from every
+    explode-based operator downstream (posexplode of a null array
+    emits no rows), which is data loss a cleaning pipeline must never
+    do implicitly."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.regexp_replace(
+        F.lower(F.trim(F.coalesce(c, F.lit("")))), r"\s+", " "
+    )
 
 
-NORMALIZE_SQL = "regexp_replace(lower(trim({x})), '\\s+', ' ', 'g')"
+NORMALIZE_SQL = "regexp_replace(lower(trim(coalesce({x}, ''))), '\\s+', ' ', 'g')"
 
 
 def tokens(col: Column | str) -> Column:

@@ -218,7 +218,11 @@ def line_dedup(
     """
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("li", "line"),
+        # coalesce: a null-text doc must keep its output row (as one
+        # empty line), not silently vanish from the cleaned corpus
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("li", "line"),
     ).withColumn("lh", F.xxhash64("line"))
     if materialize:
         # feeds both the hot-line count and the reassembly join

@@ -131,3 +131,31 @@ def test_sq8_on_single_vector_corpus(spark):
         [(0, [1.0] * 4 + [0.0] * 60)], ["vec_id", "embedding"]
     )
     assert ann_topk_sq8(one, one, k=3, rerank=5).count() == 0
+
+
+def test_null_text_documents_are_retained_not_dropped(spark):
+    """NULL text must behave exactly like empty text: the document
+    keeps an output row in every operator (a null-propagating
+    tokenizer would silently DROP the doc from explode-based
+    operators — data loss), and chunking must not fabricate token
+    counts (regression: greatest/least null-skipping once produced a
+    phantom 64-token chunk for a NULL doc)."""
+    from kafka_spark_streaming_app_spark.operators.corpus import line_dedup
+    from kafka_spark_streaming_app_spark.operators.llmprep import (
+        chunk_documents,
+    )
+    from kafka_spark_streaming_app_spark.operators.text import quality_score
+
+    df = spark.createDataFrame(
+        [(1, "real text here"), (2, None)], ["doc_id", "text"]
+    )
+    ld = {r["doc_id"]: r for r in line_dedup(df, max_docs=5).collect()}
+    assert set(ld) == {1, 2}
+    assert ld[2]["n_lines"] == 1 and ld[2]["cleaned_text"] == ""
+
+    ch = [r for r in chunk_documents(df).collect() if r["doc_id"] == 2]
+    assert len(ch) == 1
+    assert ch[0]["chunk_text"] == "" and ch[0]["n_chunk_tokens"] == 1
+
+    qs = {r["doc_id"]: r for r in quality_score(df).collect()}
+    assert qs[2]["keep"] is False and qs[2]["n_tokens"] == 1
