@@ -125,3 +125,52 @@ def test_pagerank_star_graph_ranks_hub_highest(spark):
     # floor truncation loses at most |nodes| * 2^-40 mass per iteration
     assert abs(sum(out.values()) - 1.0) < 1e-6
     assert len({out[s] for s in spokes}) == 1  # symmetric spokes tie
+
+
+def test_quality_score_runs_unchanged_on_a_stream(spark):
+    """The engine's design rule — every transform is a pure
+    DataFrame→DataFrame function usable in batch AND streaming — holds
+    for the new corpus-prep family: the stateless quality classifier
+    runs unchanged on a streaming source with identical per-row
+    results."""
+    import json as _json
+    import os
+    import tempfile
+
+    from kafka_spark_streaming_app_spark.streaming.pipeline import (
+        write_memory_stream,
+    )
+
+    src = tempfile.mkdtemp(prefix="qs_stream_")
+    rows = [
+        {"doc_id": 1, "text": "the quick brown fox jumps over a lazy dog"},
+        {"doc_id": 2, "text": "buy buy buy buy buy buy buy buy buy buy"},
+    ]
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    schema = "doc_id long, text string"
+    stream = spark.readStream.schema(schema).json(src)
+    q = write_memory_stream(
+        quality_score(stream), "qs_stream_out", available_now=True
+    )
+    try:
+        q.awaitTermination(60)
+    finally:
+        if q.isActive:
+            q.stop()
+    got = {
+        r["doc_id"]: r for r in spark.table("qs_stream_out").collect()
+    }
+    batch = {
+        r["doc_id"]: r
+        for r in quality_score(
+            spark.createDataFrame(
+                [(r["doc_id"], r["text"]) for r in rows], ["doc_id", "text"]
+            )
+        ).collect()
+    }
+    assert set(got) == {1, 2}
+    for k in got:
+        assert got[k]["quality_logit"] == batch[k]["quality_logit"]
+        assert got[k]["keep"] == batch[k]["keep"]
