@@ -395,3 +395,42 @@ def importance_sample_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(10000.0) * F.least(F.lit(1.0), F.col("quality") * F.lit(1.5))
         )
     )
+
+
+# --- streaming quality filter (through the real engine) ----------------------
+
+_DOC_STREAM_DIRS: dict = {}
+
+
+def _documents_as_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → JSON-lines files → schema'd file stream (one file
+    per core so micro-batch parallelism isn't capped by file count —
+    same convention as the events wire replay)."""
+    import os
+    import tempfile
+
+    key = (id(spark.sparkContext), sf_dir)
+    src = _DOC_STREAM_DIRS.get(key)
+    if src is None or not os.path.isdir(src):
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        src = tempfile.mkdtemp(prefix="doc_stream_")
+        docs.repartition(spark.sparkContext.defaultParallelism).write.mode(
+            "overwrite"
+        ).json(src)
+        _DOC_STREAM_DIRS[key] = src
+    return spark.readStream.schema("doc_id long, text string").json(src)
+
+
+@query("streaming_quality_filter", _QUALITY_ORACLE)
+def streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality classifier through the REAL streaming engine: the
+    corpus replayed as a JSON file stream, scored row-by-row in
+    append mode (stateless scan projection → streamable unchanged),
+    drained to a memory sink. Hash-matched against the same batch
+    oracle as `quality_classifier` — the engine's batch/streaming
+    duality proven inside the driver's correctness gate, not just in
+    pytest."""
+    from .streaming import _run_to_table
+
+    stream = quality_score(_documents_as_stream(spark, sf_dir))
+    return _run_to_table(spark, stream, output_mode="append")
