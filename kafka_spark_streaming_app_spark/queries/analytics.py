@@ -609,3 +609,101 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, damping=0.85, iters=2).select(
         F.col("node").alias("part"), "pr"
     )
+
+
+# --- count-min sketch (oracle-checked sketch machinery) ---------------------
+
+_CMS_W = 1024  # buckets per row
+_CMS_D = 4  # hash rows
+_CMS_THRESH = 500
+
+
+def _cms_bucket_sql(row: int, token_expr: str = "token") -> str:
+    from ..functions.hashing import h60_sql
+
+    salted = "('cms" + str(row) + "|' || " + token_expr + ")"
+    return h60_sql(salted) + " % " + str(_CMS_W)
+
+
+_CMS_SKETCH_ROWS = " UNION ALL ".join(
+    "SELECT " + str(r) + " AS row_id, " + _cms_bucket_sql(r)
+    + " AS bucket, count(*) AS cnt FROM tok GROUP BY bucket"
+    for r in range(_CMS_D)
+)
+
+_CMS_PROBES = ", ".join(
+    "(SELECT s.cnt FROM sketch s WHERE s.row_id = " + str(r)
+    + " AND s.bucket = " + _cms_bucket_sql(r, "h.token") + ")"
+    for r in range(_CMS_D)
+)
+
+_CMS_ORACLE = f"""
+WITH tok AS (
+    SELECT unnest({TOKENS_SQL.format(x="text")}) AS token FROM documents
+),
+sketch AS (
+    {_CMS_SKETCH_ROWS}
+),
+heavy AS (
+    SELECT token, count(*) AS true_n
+    FROM tok GROUP BY token HAVING count(*) > {_CMS_THRESH}
+)
+SELECT h.token, h.true_n,
+       CAST(least({_CMS_PROBES}) AS BIGINT) AS cms_estimate
+FROM heavy h
+"""
+
+
+@query("cms_heavy_hitters", _CMS_ORACLE)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch, fully oracle-checked (unlike HLL/t-digest,
+    whose internals are engine-specific, CMS is just salted-hash
+    bucketed counting — both engines build the IDENTICAL d=4 x w=1024
+    sketch from the h60 hash family). The sketch is a fixed 4096
+    counters regardless of corpus size — the single-pass bounded-memory
+    swap for exact heavy-hitter counting at 100 TB. Each heavy token's
+    estimate = min over its d buckets; the CMS guarantee
+    (estimate >= true count) is asserted in a unit test, and the
+    estimates themselves hash-match cross-engine."""
+    from ..functions.hashing import h60
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("token"))
+    tok = tok.localCheckpoint(eager=False)
+
+    def bucket(row: int, col):
+        return (
+            h60(F.concat(F.lit(f"cms{row}|"), col)) % _CMS_W
+        )
+
+    sketch = None
+    for r in range(_CMS_D):
+        part = (
+            tok.groupBy(bucket(r, F.col("token")).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.lit(r).alias("row_id"), "bucket", "cnt")
+        )
+        sketch = part if sketch is None else sketch.unionByName(part)
+    sketch = sketch.localCheckpoint(eager=False)
+
+    heavy = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .filter(F.col("true_n") > _CMS_THRESH)
+    )
+    est = heavy
+    for r in range(_CMS_D):
+        sr = sketch.filter(F.col("row_id") == r).select(
+            F.col("bucket").alias(f"b{r}"), F.col("cnt").alias(f"c{r}")
+        )
+        est = est.join(
+            F.broadcast(sr),
+            bucket(r, F.col("token")) == F.col(f"b{r}"),
+        ).drop(f"b{r}")
+    return est.select(
+        "token",
+        "true_n",
+        F.least(*[F.col(f"c{r}") for r in range(_CMS_D)]).alias(
+            "cms_estimate"
+        ),
+    )

@@ -174,3 +174,15 @@ def test_quality_score_runs_unchanged_on_a_stream(spark):
     for k in got:
         assert got[k]["quality_logit"] == batch[k]["quality_logit"]
         assert got[k]["keep"] == batch[k]["keep"]
+
+
+def test_cms_estimate_never_undercounts(spark, sf_smoke):
+    """The count-min guarantee: estimate >= true count for every
+    queried item (hash collisions only ever ADD mass)."""
+    from kafka_spark_streaming_app_spark.queries.analytics import (
+        cms_heavy_hitters,
+    )
+
+    rows = cms_heavy_hitters(spark, sf_smoke).collect()
+    assert len(rows) > 0
+    assert all(r["cms_estimate"] >= r["true_n"] for r in rows)
