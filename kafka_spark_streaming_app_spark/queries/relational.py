@@ -792,3 +792,146 @@ def skewed_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         stabilized_sum("value").alias("total_value"),
     )
+
+
+# --- bloom-filter membership as a DATA operator -----------------------------
+
+_BL_BITS = 60000  # total filter bits (~0.15 load at sf0.01 build side)
+_BL_WORD = 60  # bits per word (sign bit + headroom never touched)
+_BL_K = 3  # hash functions
+
+
+def _bl_pos_sql(k: int, key_expr: str) -> str:
+    from ..functions.hashing import h60_sql
+
+    return (
+        h60_sql(f"('bl{k}|' || CAST({key_expr} AS VARCHAR))")
+        + f" % {_BL_BITS}"
+    )
+
+
+_BL_BUILD_ROWS = " UNION ALL ".join(
+    f"SELECT {_bl_pos_sql(k, 'o_orderkey')} AS pos FROM urgent"
+    for k in range(_BL_K)
+)
+
+_BL_PROBE_HIT = " AND ".join(
+    f"(coalesce((SELECT w.bits FROM bloom w WHERE w.word = "
+    f"({_bl_pos_sql(k, 'p.l_orderkey')}) // {_BL_WORD}), 0)"
+    f" & (1::BIGINT << (({_bl_pos_sql(k, 'p.l_orderkey')}) % {_BL_WORD})))"
+    f" != 0"
+    for k in range(_BL_K)
+)
+
+_BLOOM_ORACLE = f"""
+WITH urgent AS (
+    SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+positions AS (
+    {_BL_BUILD_ROWS}
+),
+bloom AS (
+    SELECT pos // {_BL_WORD} AS word,
+           bit_or(1::BIGINT << (pos % {_BL_WORD})) AS bits
+    FROM positions GROUP BY word
+),
+probes AS (
+    SELECT DISTINCT l_orderkey FROM lineitem
+),
+checked AS (
+    SELECT p.l_orderkey,
+           ({_BL_PROBE_HIT}) AS bloom_hit,
+           EXISTS (SELECT 1 FROM urgent u
+                   WHERE u.o_orderkey = p.l_orderkey) AS member
+    FROM probes p
+)
+SELECT count(*) AS n_probed,
+       count(CASE WHEN bloom_hit THEN 1 END) AS n_hits,
+       count(CASE WHEN member THEN 1 END) AS n_members,
+       count(CASE WHEN bloom_hit AND NOT member THEN 1 END) AS n_false_pos,
+       count(CASE WHEN member AND NOT bloom_hit THEN 1 END) AS n_false_neg
+FROM checked
+"""
+
+
+@query("bloom_membership_audit", _BLOOM_ORACLE)
+def bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter as a DATA operator (complementing the optimizer's
+    runtime bloom pruning): a 60000-bit filter over the urgent-order
+    key set, packed into 60-bit words (the sign bit is never touched,
+    so two's-complement shift semantics can't diverge), built with
+    bit_or aggregation and broadcast to probe every distinct lineitem
+    key. Output is the exact confusion ledger — and the oracle proves
+    the no-false-negative guarantee (n_false_neg = 0) cross-engine,
+    because both engines build the identical h60-salted filter. The
+    filter is 20 words at ANY build-side size: this is the semi-join
+    pre-filter a 100 TB pipeline ships to the fact scan."""
+    from ..functions.hashing import h60
+
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+
+    def pos(k: int, col):
+        return (
+            h60(F.concat(F.lit(f"bl{k}|"), col.cast("string"))) % _BL_BITS
+        )
+
+    positions = None
+    for k in range(_BL_K):
+        part = urgent.select(pos(k, F.col("o_orderkey")).alias("pos"))
+        positions = part if positions is None else positions.unionByName(part)
+    # pyspark's shiftleft() takes a literal shift count only — the
+    # column-shift form goes through the SQL expression
+    mask_expr = f"shiftleft(1L, cast(pos % {_BL_WORD} as int))"
+    bloom = (
+        positions.select(
+            (F.col("pos") / _BL_WORD).cast("bigint").alias("word"),
+            F.expr(mask_expr).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    # pack the whole filter into ONE row of (word-ordered) arrays
+    packed = bloom.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("word", "bits"))),
+            lambda st: st.bits,
+        ).alias("bits_arr"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("word", "bits"))),
+            lambda st: st.word,
+        ).alias("word_arr"),
+    )
+
+    probes = (
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
+    )
+    checked = probes.crossJoin(F.broadcast(packed))
+    for k in range(_BL_K):
+        checked = checked.withColumn(f"pk{k}", pos(k, F.col("l_orderkey")))
+    hit = None
+    for k in range(_BL_K):
+        word_idx = F.array_position(
+            F.col("word_arr"), (F.col(f"pk{k}") / _BL_WORD).cast("bigint")
+        )
+        bits = F.when(
+            word_idx > 0, F.element_at(F.col("bits_arr"), word_idx.cast("int"))
+        ).otherwise(F.lit(0).cast("long"))
+        mask = F.expr(f"shiftleft(1L, cast(pk{k} % {_BL_WORD} as int))")
+        this = bits.bitwiseAND(mask) != 0
+        hit = this if hit is None else (hit & this)
+    member = F.col("o_orderkey").isNotNull()
+    checked = checked.withColumn("bloom_hit", hit).join(
+        urgent,
+        F.col("l_orderkey") == urgent.o_orderkey,
+        "left",
+    )
+    return checked.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.count(F.when(F.col("bloom_hit"), 1)).alias("n_hits"),
+        F.count(F.when(member, 1)).alias("n_members"),
+        F.count(F.when(F.col("bloom_hit") & ~member, 1)).alias("n_false_pos"),
+        F.count(F.when(member & ~F.col("bloom_hit"), 1)).alias("n_false_neg"),
+    )

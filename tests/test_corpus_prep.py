@@ -186,3 +186,18 @@ def test_cms_estimate_never_undercounts(spark, sf_smoke):
     rows = cms_heavy_hitters(spark, sf_smoke).collect()
     assert len(rows) > 0
     assert all(r["cms_estimate"] >= r["true_n"] for r in rows)
+
+
+def test_bloom_membership_no_false_negatives_low_fp(spark, sf_correctness):
+    """Bloom guarantees, asserted on the real ledger: membership is
+    never missed (n_false_neg = 0 — bits only ever get SET), and at
+    ~0.15 load with k=3 the false-positive rate stays well under 2%."""
+    from kafka_spark_streaming_app_spark.queries.relational import (
+        bloom_membership_audit,
+    )
+
+    row = bloom_membership_audit(spark, sf_correctness).collect()[0]
+    assert row["n_false_neg"] == 0
+    assert row["n_members"] > 0
+    non_members = row["n_probed"] - row["n_members"]
+    assert row["n_false_pos"] / non_members < 0.02
