@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.profile import profile_columns
 from ..registry import query
@@ -30,3 +31,97 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-column (rows, non-null, distinct) profile — the
     new-dataset audit."""
     return profile_columns(load_table(spark, sf_dir, "orders"))
+
+
+# --- constraint audit (deequ/dbt-test shape) --------------------------------
+
+_AUDIT_ORACLE = """
+SELECT 'orders_pk_unique' AS check_name,
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'lineitem_fk_orders',
+       CAST(count(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS (
+    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'orders_fk_customer',
+       CAST(count(*) AS BIGINT)
+FROM orders o WHERE NOT EXISTS (
+    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'events_value_nonnegative',
+       CAST(count(CASE WHEN value < 0 THEN 1 END) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'documents_text_not_null',
+       CAST(count(CASE WHEN text IS NULL THEN 1 END) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'lineitem_qty_range',
+       CAST(count(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END)
+            AS BIGINT)
+FROM lineitem
+"""
+
+
+@query("data_quality_audit", _AUDIT_ORACLE)
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint suite over the warehouse (the deequ/dbt-test shape):
+    key uniqueness, two referential-integrity checks (anti-join
+    counts), a value-range check, and not-null checks — one row per
+    constraint with its violation count (0 = pass). Each check is a
+    single aggregate or anti-join over one table; the union is a
+    plan-parallel batch of independent small jobs, which is exactly
+    how a nightly data-contract gate runs at 100 TB (per-partition
+    scoping composes the same way)."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+    documents = load_table(spark, sf_dir, "documents")
+
+    def check(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.col("n_violations").cast("bigint").alias("n_violations"),
+        )
+
+    pk = orders.agg(
+        (F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey"))).alias(
+            "n_violations"
+        )
+    )
+    fk_li = (
+        lineitem.join(
+            orders.select("o_orderkey"),
+            lineitem.l_orderkey == orders.o_orderkey,
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("n_violations"))
+    )
+    fk_o = (
+        orders.join(
+            customer.select("c_custkey"),
+            orders.o_custkey == customer.c_custkey,
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("n_violations"))
+    )
+    ev = events.agg(
+        F.count(F.when(F.col("value") < 0, 1)).alias("n_violations")
+    )
+    dn = documents.agg(
+        F.count(F.when(F.col("text").isNull(), 1)).alias("n_violations")
+    )
+    qty = lineitem.agg(
+        F.count(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+        ).alias("n_violations")
+    )
+    return (
+        check("orders_pk_unique", pk)
+        .unionByName(check("lineitem_fk_orders", fk_li))
+        .unionByName(check("orders_fk_customer", fk_o))
+        .unionByName(check("events_value_nonnegative", ev))
+        .unionByName(check("documents_text_not_null", dn))
+        .unionByName(check("lineitem_qty_range", qty))
+    )
