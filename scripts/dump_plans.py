@@ -41,6 +41,9 @@ NOTES = {
     "funnel_conversion": "Three keyed aggregations co-partitioned on user_id; left joins reuse the exchange.",
     "text_hashing_topk": "Explode -> (doc,bucket) count agg -> row-local array assembly; scoring broadcast-joins only the query batch.",
     "time_spine_gap_fill": "In-plan spine (sequence explode) + as-of range join; ranked dedup per spine row.",
+    "cms_heavy_hitters": "d bucketed counts off one barriered token explode; heavy candidates probe the 4096-counter sketch via broadcast joins.",
+    "bloom_membership_audit": "bit_or build -> one packed-array row broadcast onto the probe scan; membership check is row-local bit math.",
+    "data_quality_audit": "Union of independent per-table aggregates/anti-joins — each check scans its table once.",
 }
 
 
