@@ -935,3 +935,127 @@ def bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("bloom_hit") & ~member, 1)).alias("n_false_pos"),
         F.count(F.when(member & ~F.col("bloom_hit"), 1)).alias("n_false_neg"),
     )
+
+
+# --- SCD type-2 temporal dimension join -------------------------------------
+
+_SCD_SPLIT = "1995-07-01"
+
+_SCD_ORACLE = f"""
+WITH dim AS (
+    SELECT n_nationkey, 1 AS version,
+           TIMESTAMP '1990-01-01 00:00:00' AS eff_from,
+           TIMESTAMP '{_SCD_SPLIT} 00:00:00' AS eff_to,
+           CAST(n_nationkey AS DOUBLE) / 100.0 AS tax_rate
+    FROM nation
+    UNION ALL
+    SELECT n_nationkey, 2,
+           TIMESTAMP '{_SCD_SPLIT} 00:00:00',
+           TIMESTAMP '2999-01-01 00:00:00',
+           CAST(n_nationkey + 5 AS DOUBLE) / 100.0
+    FROM nation
+)
+SELECT o.o_orderkey, c.c_nationkey AS nationkey, d.version,
+       d.tax_rate,
+       CAST(count(*) OVER () AS BIGINT) AS n_total
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN dim d ON d.n_nationkey = c.c_nationkey
+          AND o.o_orderdate >= d.eff_from
+          AND o.o_orderdate < d.eff_to
+"""
+
+
+@query("scd2_dimension_join", _SCD_ORACLE)
+def scd2_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) join: a versioned dimension
+    (two effective-dated versions per nation, synthesized identically
+    on both engines) matched to each fact row by point-in-interval
+    containment on the order date — every order gets the attribute
+    value that was in force WHEN IT HAPPENED. The interval join is an
+    equi-join on the dimension key plus a range residual, so it plans
+    as a normal broadcast/hash join with a filter — never a
+    cross-product; exactly-one-version-per-fact is guaranteed by the
+    non-overlapping validity ranges (and visible in the count)."""
+    nation = load_table(spark, sf_dir, "nation")
+    v1 = nation.select(
+        "n_nationkey",
+        F.lit(1).alias("version"),
+        F.lit("1990-01-01 00:00:00").cast("timestamp").alias("eff_from"),
+        F.lit(f"{_SCD_SPLIT} 00:00:00").cast("timestamp").alias("eff_to"),
+        (F.col("n_nationkey").cast("double") / 100.0).alias("tax_rate"),
+    )
+    v2 = nation.select(
+        "n_nationkey",
+        F.lit(2).alias("version"),
+        F.lit(f"{_SCD_SPLIT} 00:00:00").cast("timestamp").alias("eff_from"),
+        F.lit("2999-01-01 00:00:00").cast("timestamp").alias("eff_to"),
+        ((F.col("n_nationkey") + 5).cast("double") / 100.0).alias("tax_rate"),
+    )
+    dim = v1.unionByName(v2)
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(dim),
+            (F.col("n_nationkey") == F.col("c_nationkey"))
+            & (F.col("o_orderdate") >= F.col("eff_from"))
+            & (F.col("o_orderdate") < F.col("eff_to")),
+        )
+    )
+    from pyspark.sql import Window
+
+    return joined.select(
+        "o_orderkey",
+        F.col("c_nationkey").alias("nationkey"),
+        "version",
+        "tax_rate",
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("n_total"),
+    )
+
+
+# --- equi-depth histogram ---------------------------------------------------
+
+_EQUIDEPTH_ORACLE = """
+WITH ranked AS (
+    SELECT o_totalprice,
+           ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+    FROM orders
+)
+SELECT decile,
+       count(*) AS n,
+       min(o_totalprice) AS lo,
+       max(o_totalprice) AS hi
+FROM ranked
+GROUP BY decile
+"""
+
+
+@query("equidepth_histogram", _EQUIDEPTH_ORACLE)
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram of order value — equal COUNT per
+    bucket with data-driven edges, the complement of the fixed-width
+    `value_histogram` and the statistic a CBO stores for skewed
+    columns. Deterministic under ties via the orderkey tiebreak. The
+    oracle's single global ntile is the semantics; for a 100 TB
+    column, production computes the same deciles from
+    `approx_percentile` edges or the two-level prefix-sum rank —
+    this query IS the exactness anchor for those."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    ranked = o.select(
+        "o_totalprice",
+        F.ntile(10)
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("decile"),
+    )
+    return ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
