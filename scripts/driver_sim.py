@@ -30,6 +30,42 @@ def value_hash(pdf):
     ).hexdigest()
 
 
+def _dtype_kind(dtype) -> str:
+    """Collapse a pandas dtype to the kind the driver's hasher is
+    sensitive to.  The CSV hash above prints int64 38 and float64 38.0
+    identically (%.10g), but the real driver hashes dtype-qualified
+    values — DuckDB HUGEINT (sum over INTEGER) arrives as float64 or
+    object while Spark's BIGINT arrives as int64, and that alone flips
+    the driver hash (seen on q12 in round 2).  Compare kinds, not exact
+    dtypes, so datetime64[ns] vs datetime64[us] stays green."""
+    s = str(dtype)
+    if s.startswith(("int", "uint", "Int", "UInt")):
+        return "int"
+    if s.startswith(("float", "Float")):
+        return "float"
+    if s.startswith("datetime"):
+        return "datetime"
+    if s.startswith("bool"):
+        return "bool"
+    return "object"
+
+
+def dtype_mismatches(sdf, odf):
+    out = []
+    for c in sorted(sdf.columns):
+        if c not in odf.columns:
+            continue
+        sk, ok = _dtype_kind(sdf[c].dtype), _dtype_kind(odf[c].dtype)
+        if sk != ok and not (
+            # all-NULL / nullable-int columns surface as float or object
+            # on either side; only int-vs-float/object drift with real
+            # values is the driver-hash hazard
+            sdf[c].isna().all() or odf[c].isna().all()
+        ):
+            out.append(f"{c}: spark={sdf[c].dtype} oracle={odf[c].dtype}")
+    return out
+
+
 def main() -> int:
     smoke_only = "--smoke" in sys.argv
     only = None
@@ -82,11 +118,13 @@ def main() -> int:
                 and sorted(sdf.columns) == sorted(odf.columns)
                 and value_hash(sdf) == value_hash(odf)
             )
+            drift = dtype_mismatches(sdf, odf) if match else []
             print(
                 f"{name}: spark_rows={len(sdf)} oracle_rows={len(odf)} "
                 f"HASH_MATCH={match}"
+                + (f" DTYPE_DRIFT={drift}" if drift else "")
             )
-            if not match:
+            if not match or drift:
                 failures.append(name)
         else:
             print(f"{name}: rows-only, rows={len(sdf)}")
