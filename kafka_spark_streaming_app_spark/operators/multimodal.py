@@ -15,9 +15,14 @@ The pattern for a 100 TB multimodal corpus:
 - partitioning: payload rows are large — repartition by byte budget
   (``spark.sql.files.maxPartitionBytes``), never by row count.
 
-Codec libraries (PIL/ffmpeg/torchaudio) are NOT in this environment,
-so the actual decoders are STUBBED: ``decode_payload`` raises
-``NotImplementedError`` unless ``fake=True``, in which case a
+Codec coverage: PNG is REAL — ``operators/imagecodec.py`` is a
+pure-stdlib PNG encoder/decoder (all five scanline filters) plus
+PNG/JPEG header parsers, so image rows decode with ``fake=False``
+(``synthesize_image_media`` plants real PNG/JPEG bytes and the
+``multimodal_image_*`` queries are oracle-checked end-to-end through
+the real codec).  Audio/video codecs (ffmpeg/torchaudio) are NOT in
+this environment, so those decoders stay STUBBED: ``decode_payload``
+raises ``NotImplementedError`` unless ``fake=True``, in which case a
 deterministic byte-derived fake (seeded by the payload itself) stands
 in. Everything around the stub — schemas, UDF signatures, Arrow batch
 shapes, row expansion — is real and tested.
@@ -106,7 +111,12 @@ def synthesize_media(documents: DataFrame) -> DataFrame:
 
 
 def decode_payload(payload: bytes, media_type: str, fake: bool = False):
-    """STUB: real decoding needs PIL/ffmpeg/torchaudio, absent here.
+    """Decode a media payload to a numpy array.
+
+    ``fake=False`` (the real path) decodes PNG images via the
+    pure-stdlib codec in ``operators/imagecodec.py`` → (H, W) uint8.
+    Audio/video (and non-PNG images) still need ffmpeg/torchaudio,
+    absent here, and raise ``NotImplementedError``.
 
     ``fake=True`` returns a deterministic numpy array derived from the
     payload bytes (md5-seeded), preserving shape contracts:
@@ -115,9 +125,14 @@ def decode_payload(payload: bytes, media_type: str, fake: bool = False):
     import numpy as np
 
     if not fake:
+        from .imagecodec import _PNG_MAGIC, decode_png
+
+        if media_type == "image" and (payload or b"").startswith(_PNG_MAGIC):
+            return decode_png(payload)
         raise NotImplementedError(
-            "media decoding requires codec libraries (PIL/ffmpeg) that are "
-            "not installed; pass fake=True for the deterministic test fake"
+            "non-PNG media decoding requires codec libraries (PIL/ffmpeg) "
+            "that are not installed; pass fake=True for the deterministic "
+            "test fake"
         )
     seed = int.from_bytes(hashlib.md5(payload or b"").digest()[:4], "big")
     rng = np.random.default_rng(seed)
@@ -126,6 +141,151 @@ def decode_payload(payload: bytes, media_type: str, fake: bool = False):
     if media_type == "audio":
         return rng.integers(-(2**15), 2**15, size=(256,), dtype=np.int16)
     return rng.integers(0, 256, size=(4, 8, 8), dtype=np.uint8)
+
+
+IMAGE_MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("codec", T.StringType(), True),  # png|jpeg
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+IMAGE_HEADER_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("bit_depth", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+    ]
+)
+
+
+def synthesize_image_media(documents: DataFrame) -> DataFrame:
+    """REAL image fixture: even doc_ids become genuine 8-bit grayscale
+    PNGs (encoded by ``imagecodec.encode_png`` — zlib IDAT, CRC'd
+    chunks) with closed-form dimensions and pixel values
+
+        W = doc_id % 24 + 8,  H = doc_id % 16 + 8,
+        pixel(y, x) = (doc_id + 31*y + x) % 256
+
+    so a SQL oracle can recompute every decoded byte; odd doc_ids get
+    header-only JPEG containers (real SOI/APP0/SOF0 markers, dims
+    W = doc_id % 640 + 16, H = doc_id % 480 + 16,
+    channels = doc_id % 3 + 1).  Runs as an Arrow-batched mapInPandas
+    stage — the shape a real "render/transcode" fixture stage takes."""
+    from .imagecodec import encode_png, make_jpeg_header_bytes
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 2 == 0:
+                    w, h = d % 24 + 8, d % 16 + 8
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    pixels = ((d + 31 * yy + xx) % 256).astype(np.uint8)
+                    rows.append(
+                        {
+                            "media_id": d,
+                            "codec": "png",
+                            "payload": encode_png(pixels),
+                        }
+                    )
+                else:
+                    rows.append(
+                        {
+                            "media_id": d,
+                            "codec": "jpeg",
+                            "payload": make_jpeg_header_bytes(
+                                d % 640 + 16, d % 480 + 16, d % 3 + 1
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "codec", "payload"])
+
+    return documents.select("doc_id").mapInPandas(
+        render, schema=IMAGE_MEDIA_SCHEMA
+    )
+
+
+def image_header_metadata(media: DataFrame) -> DataFrame:
+    """Parse real container headers (PNG IHDR / JPEG SOF marker scan)
+    from the binary payload — the metadata-extraction stage that runs
+    BEFORE any decode in a media pipeline (O(header) per row, no
+    decompression)."""
+    from .imagecodec import parse_image_header
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                hdr = parse_image_header(bytes(payload))
+                hdr["media_id"] = media_id
+                rows.append(hdr)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "format", "width", "height",
+                    "bit_depth", "channels",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        parse, schema=IMAGE_HEADER_SCHEMA
+    )
+
+
+DECODED_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_pixels", T.LongType(), True),
+        T.StructField("pixel_sum", T.LongType(), True),
+        T.StructField("pixel_min", T.IntegerType(), True),
+        T.StructField("pixel_max", T.IntegerType(), True),
+    ]
+)
+
+
+def decode_image_stats(media: DataFrame) -> DataFrame:
+    """REAL decode stage (``fake=False``): inflate + unfilter each PNG
+    via the pure-stdlib decoder and emit exact integer pixel stats.
+    Every value is a deterministic function of the decoded bytes, so a
+    closed-form SQL oracle over the fixture's pixel formula catches any
+    encoder OR decoder defect bit-exactly."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_payload(bytes(payload), "image", fake=False)
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "width": img.shape[1],
+                        "height": img.shape[0],
+                        "n_pixels": int(img.size),
+                        "pixel_sum": int(img.sum(dtype="int64")),
+                        "pixel_min": int(img.min()),
+                        "pixel_max": int(img.max()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_pixels",
+                    "pixel_sum", "pixel_min", "pixel_max",
+                ],
+            )
+
+    pngs = media.filter(F.col("codec") == "png").select("media_id", "payload")
+    return pngs.mapInPandas(stats, schema=DECODED_STATS_SCHEMA)
 
 
 def extract_features(media: DataFrame, num_bins: int = 16) -> DataFrame:

@@ -7,7 +7,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import extract_features, sample_frames, synthesize_media
+from ..operators.multimodal import (
+    decode_image_stats,
+    extract_features,
+    image_header_metadata,
+    sample_frames,
+    synthesize_image_media,
+    synthesize_media,
+)
 from ..registry import query
 from ..sources.batch import load_table
 
@@ -140,6 +147,70 @@ SELECT
          AS BIGINT) AS frame_bytes
 FROM f
 """
+
+
+# REAL codec path: the fixture plants genuine PNG bytes (zlib IDAT,
+# CRC'd chunks) for even doc_ids and real JPEG marker sequences for odd
+# ones with closed-form dimensions, so the header parse is SQL-checkable.
+_IMAGE_HEADERS_ORACLE = """
+SELECT
+    doc_id AS media_id,
+    CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+    CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 24 + 8
+              ELSE doc_id % 640 + 16 END AS INTEGER) AS width,
+    CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 16 + 8
+              ELSE doc_id % 480 + 16 END AS INTEGER) AS height,
+    CAST(8 AS INTEGER) AS bit_depth,
+    CAST(CASE WHEN doc_id % 2 = 0 THEN 1
+              ELSE doc_id % 3 + 1 END AS INTEGER) AS channels
+FROM documents
+"""
+
+
+@query("multimodal_image_headers", _IMAGE_HEADERS_ORACLE)
+def multimodal_image_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container parsing: PNG IHDR / JPEG SOF marker scan over
+    genuine bytes (operators/imagecodec.py, pure stdlib). A wrong
+    chunk walk, endianness slip, or marker-skip bug breaks the hash."""
+    media = synthesize_image_media(load_table(spark, sf_dir, "documents"))
+    return image_header_metadata(media)
+
+
+# The decode oracle recomputes every pixel of every even-doc PNG from
+# the fixture formula pixel(y,x) = (doc_id + 31*y + x) % 256 — if the
+# encoder wrote wrong bytes OR the decoder (inflate + unfilter)
+# misreads them, the integer stats cannot match.
+_IMAGE_DECODE_ORACLE = """
+WITH d AS (
+    SELECT doc_id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h
+    FROM documents WHERE doc_id % 2 = 0
+),
+yy AS (SELECT doc_id, w, h, unnest(range(0, h)) AS y FROM d),
+px AS (
+    SELECT doc_id, w, h, (doc_id + 31 * y + x.x) % 256 AS p
+    FROM yy, LATERAL (SELECT unnest(range(0, w)) AS x) x
+)
+SELECT
+    doc_id AS media_id,
+    CAST(w AS INTEGER) AS width,
+    CAST(h AS INTEGER) AS height,
+    CAST(count(*) AS BIGINT) AS n_pixels,
+    CAST(sum(p) AS BIGINT) AS pixel_sum,
+    CAST(min(p) AS INTEGER) AS pixel_min,
+    CAST(max(p) AS INTEGER) AS pixel_max
+FROM px
+GROUP BY doc_id, w, h
+"""
+
+
+@query("multimodal_image_decode", _IMAGE_DECODE_ORACLE)
+def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode (``fake=False``): zlib inflate + scanline
+    unfilter per image inside an Arrow-batched mapInPandas stage;
+    exact integer pixel stats hash-checked against the closed-form
+    pixel formula."""
+    media = synthesize_image_media(load_table(spark, sf_dir, "documents"))
+    return decode_image_stats(media)
 
 
 @query("multimodal_frame_sample", _FRAMES_ORACLE)
