@@ -54,18 +54,54 @@ def fraud_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("windowed_agg_approx")
-def windowed_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PRODUCTION flagship twin: approx_count_distinct (HLL++) instead
-    of the oracle's exact distinct — sketch values are engine-specific
-    so this entry is rows-only checked (SURVEY.md §2.5 A4)."""
-    from ..operators.windowed import windowed_aggregation
+# Sketch values are engine-specific (cross-engine HLL never matches),
+# but the sketch's ERROR BOUND is checkable: the query emits the exact
+# distinct count plus a boolean asserting |HLL − exact| within 4 sigma
+# of the configured rsd (0.05 default → 20%) with a small-cardinality
+# floor. The oracle emits the exact count and literal TRUE — if the
+# sketch ever drifts outside its contract, the driver hash flips red.
+_APPROX_TOL_ORACLE = """
+WITH expanded AS (
+    SELECT
+        make_timestamp(((CAST(floor(epoch(ts) / 30) AS BIGINT) - s.k) * 30) * 1000000)
+            AS window_start,
+        e.*
+    FROM events e
+    CROSS JOIN (SELECT 0 AS k UNION ALL SELECT 1) s
+)
+SELECT
+    window_start,
+    window_start + INTERVAL 60 SECOND AS window_end,
+    event_type,
+    count(DISTINCT user_id) AS unique_customers,
+    true AS hll_within_tolerance
+FROM expanded
+GROUP BY window_start, window_end, event_type
+"""
 
+
+@query("windowed_agg_approx", _APPROX_TOL_ORACLE)
+def windowed_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION flagship twin: approx_count_distinct (HLL++) with a
+    TOLERANCE oracle — the HLL value itself is engine-specific, so the
+    query computes both sketch and exact distinct in one aggregation
+    and hash-checks that the sketch honors its rsd error contract
+    (SURVEY.md §2.5 A4)."""
     events = load_table(spark, sf_dir, "events")
-    return windowed_aggregation(
-        events,
-        window_duration="1 minute",
-        slide_duration="30 seconds",
-        exact_distinct=False,
-        stabilize_sums=False,
+    agg = events.groupBy(
+        F.window(F.col("ts"), "1 minute", "30 seconds").alias("window"),
+        "event_type",
+    ).agg(
+        F.approx_count_distinct("user_id").alias("hll_u"),
+        F.count_distinct(F.col("user_id")).alias("unique_customers"),
+    )
+    tol = F.greatest(F.lit(4.0), F.lit(4 * 0.05) * F.col("unique_customers"))
+    return agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "event_type",
+        "unique_customers",
+        (
+            F.abs(F.col("hll_u") - F.col("unique_customers")) <= tol
+        ).alias("hll_within_tolerance"),
     )
