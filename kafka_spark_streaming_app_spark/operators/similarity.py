@@ -158,10 +158,12 @@ def brute_force_topk_pandas(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """BLAS-backed twin of :func:`brute_force_topk`: the query matrix is
-    collected driver-side (query batches are small by contract) and the
-    corpus is scored per Arrow batch with one numpy matmul.
+    collected driver-side (query batches are small by contract —
+    enforced by ``max_query_rows``) and the corpus is scored per Arrow
+    batch with one numpy matmul.
 
     Use over the expression form when vectors are wide (≥ ~256 dims) or
     query batches are large — one GEMM per batch beats per-element
@@ -172,7 +174,20 @@ def brute_force_topk_pandas(
     import pandas as pd
     from collections.abc import Iterator
 
-    q_rows = queries.select(id_col, vec_col).collect()
+    # the driver-side collect is safe ONLY for small query batches; a
+    # miswired caller (e.g. the full corpus as `queries`) must fail
+    # loudly, not OOM the driver — limit(cap+1) bounds the fetch itself
+    q_rows = (
+        queries.select(id_col, vec_col)
+        .limit(max_query_rows + 1)
+        .collect()
+    )
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"brute_force_topk_pandas collects the query batch driver-side; "
+            f"got more than max_query_rows={max_query_rows} rows — "
+            f"use brute_force_topk (distributed) or raise the cap explicitly"
+        )
     q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
@@ -523,7 +538,6 @@ def ann_topk_sq8(
     queries: DataFrame,
     k: int = 5,
     rerank: int = 50,
-    dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:

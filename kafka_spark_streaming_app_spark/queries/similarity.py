@@ -503,6 +503,6 @@ def similarity_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < _NUM_QUERIES)
     result = ann_topk_sq8(
-        emb, queries_df, k=_SQ_K, rerank=_SQ_RERANK, dim=_DIM
+        emb, queries_df, k=_SQ_K, rerank=_SQ_RERANK
     )
     return result.withColumn("rank", F.col("rank").cast("bigint"))

@@ -77,3 +77,15 @@ def test_multiprobe_recall_is_superset_of_single_probe(spark, sf_smoke):
     # hit either survives or is displaced by a BETTER neighbor, so the
     # multi set is at least as large
     assert len(multi) >= len(single)
+
+
+def test_brute_force_pandas_query_cap(spark, sf_smoke):
+    """The driver-side collect of the query batch is bounded: over-cap
+    callers fail loudly instead of materializing on the driver."""
+    import pytest
+
+    from kafka_spark_streaming_app_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    with pytest.raises(ValueError, match="max_query_rows"):
+        brute_force_topk_pandas(emb, emb, k=3, max_query_rows=10).collect()
