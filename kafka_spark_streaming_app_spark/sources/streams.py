@@ -37,21 +37,64 @@ KAFKA_READER_DEFAULTS = {
 }
 
 
+def kafka_security_options(
+    security_protocol: str | None = None,
+    sasl_mechanism: str | None = None,
+    sasl_jaas_config: str | None = None,
+    extra: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """Generic auth/TLS option block for the Spark Kafka connector —
+    closes the reference's SASL path (ecommerce_data_producer.py:30-44)
+    without any cloud-specific plumbing: the caller supplies whatever
+    ``security.protocol`` / ``sasl.*`` values their broker needs and
+    they are passed through verbatim under the connector's ``kafka.``
+    prefix (already-prefixed keys in ``extra`` are kept as-is)."""
+    out: dict[str, str] = {}
+    if security_protocol:
+        out["kafka.security.protocol"] = security_protocol
+    if sasl_mechanism:
+        out["kafka.sasl.mechanism"] = sasl_mechanism
+    if sasl_jaas_config:
+        out["kafka.sasl.jaas.config"] = sasl_jaas_config
+    for key, value in (extra or {}).items():
+        out[key if key.startswith("kafka.") else f"kafka.{key}"] = value
+    return out
+
+
+def build_kafka_reader_options(
+    kafka_servers: str,
+    topic: str,
+    options: dict[str, str] | None = None,
+    security: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """Assemble the full reader option map (pure — unit-testable
+    without a broker or the connector jar): reference-tuned defaults,
+    then security passthrough, then caller overrides, last wins."""
+    return {
+        "kafka.bootstrap.servers": kafka_servers,
+        "subscribe": topic,
+        **KAFKA_READER_DEFAULTS,
+        **(security or {}),
+        **(options or {}),
+    }
+
+
 def read_kafka_stream(
     spark: SparkSession,
     kafka_servers: str,
     topic: str,
     options: dict[str, str] | None = None,
+    security: dict[str, str] | None = None,
 ) -> DataFrame:
-    """Kafka stream source with the reference's tuned options.
+    """Kafka stream source with the reference's tuned options plus
+    optional auth passthrough (``security`` — build with
+    :func:`kafka_security_options`).
     Raises RuntimeError with remediation if the Kafka connector jar is
     not on the classpath (pip pyspark does not bundle it)."""
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", kafka_servers)
-        .option("subscribe", topic)
-    )
-    for key, value in {**KAFKA_READER_DEFAULTS, **(options or {})}.items():
+    reader = spark.readStream.format("kafka")
+    for key, value in build_kafka_reader_options(
+        kafka_servers, topic, options, security
+    ).items():
         reader = reader.option(key, value)
     try:
         return reader.load()

@@ -78,18 +78,25 @@ def write_kafka_stream(
     topic: str,
     checkpoint: str,
     trigger_seconds: int = 5,
+    security: dict[str, str] | None = None,
 ) -> StreamingQuery:
     """JSON-serialized Kafka sink (reference write_alerts_to_kafka,
-    ecommerce_streaming.py:119-133): to_json(struct(*)) as value."""
+    ecommerce_streaming.py:119-133): to_json(struct(*)) as value.
+    ``security`` takes the same ``kafka.``-prefixed auth options as the
+    source (build with ``sources.streams.kafka_security_options``)."""
     from ..operators.jsonpath import serialize_json
 
-    return (
+    writer = (
         serialize_json(df)
         .writeStream.format("kafka")
         .option("kafka.bootstrap.servers", kafka_servers)
         .option("topic", topic)
         .option("checkpointLocation", checkpoint)
-        .outputMode("append")
+    )
+    for key, value in (security or {}).items():
+        writer = writer.option(key, value)
+    return (
+        writer.outputMode("append")
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )

@@ -84,15 +84,47 @@ def produce_to_files(
     return paths
 
 
+def producer_client_config(
+    bootstrap_servers: str,
+    security_protocol: str | None = None,
+    sasl_mechanism: str | None = None,
+    sasl_username: str | None = None,
+    sasl_password: str | None = None,
+    extra: dict | None = None,
+) -> dict:
+    """kafka-python client kwargs with generic SASL/TLS passthrough —
+    the broker-agnostic counterpart of the reference producer's auth
+    block (ecommerce_data_producer.py:30-44), minus any cloud-specific
+    token machinery: callers supply standard ``security_protocol`` /
+    ``sasl_*`` values (or arbitrary overrides via ``extra``)."""
+    cfg: dict = {
+        "bootstrap_servers": bootstrap_servers,
+        "acks": "all",
+        "retries": 3,
+    }
+    if security_protocol:
+        cfg["security_protocol"] = security_protocol
+    if sasl_mechanism:
+        cfg["sasl_mechanism"] = sasl_mechanism
+    if sasl_username is not None:
+        cfg["sasl_plain_username"] = sasl_username
+    if sasl_password is not None:
+        cfg["sasl_plain_password"] = sasl_password
+    cfg.update(extra or {})
+    return cfg
+
+
 def produce_to_kafka(
     bootstrap_servers: str,
     n: int = 100,
     topic: str = "ecommerce-orders",
     alert_topic: str = "ecommerce-alerts",
     seed: int = 42,
+    security: dict | None = None,
 ) -> int:
     """Send orders to Kafka with the reference's client-side high-value
-    alert mirror. Requires kafka-python."""
+    alert mirror. Requires kafka-python. ``security`` holds extra
+    client kwargs (see :func:`producer_client_config`)."""
     try:
         from kafka import KafkaProducer
     except ImportError as exc:  # pragma: no cover - env without the client
@@ -101,10 +133,8 @@ def produce_to_kafka(
             "broker-less path"
         ) from exc
     producer = KafkaProducer(
-        bootstrap_servers=bootstrap_servers,
         value_serializer=lambda x: json.dumps(x).encode(),
-        acks="all",
-        retries=3,
+        **producer_client_config(bootstrap_servers, extra=security),
     )
     sent = 0
     for order in generate_orders(n, seed=seed):

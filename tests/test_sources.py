@@ -166,3 +166,58 @@ def test_orc_and_text_round_trip(spark, sf_smoke):
         r["value"] for r in spark.read.text(text_dir).collect()
     )
     assert got_text == sorted(r["value"] for r in lines.collect())
+
+
+def test_kafka_security_options_passthrough():
+    """Generic SASL/TLS passthrough: values land verbatim under the
+    connector's kafka. prefix; already-prefixed keys are kept as-is."""
+    from kafka_spark_streaming_app_spark.sources.streams import (
+        build_kafka_reader_options,
+        kafka_security_options,
+    )
+
+    sec = kafka_security_options(
+        security_protocol="SASL_SSL",
+        sasl_mechanism="SCRAM-SHA-512",
+        sasl_jaas_config="org.apache.kafka.common.security.scram.ScramLoginModule required;",
+        extra={"ssl.truststore.location": "/tls/ts.jks", "kafka.ssl.protocol": "TLSv1.3"},
+    )
+    assert sec["kafka.security.protocol"] == "SASL_SSL"
+    assert sec["kafka.sasl.mechanism"] == "SCRAM-SHA-512"
+    assert sec["kafka.sasl.jaas.config"].endswith("required;")
+    assert sec["kafka.ssl.truststore.location"] == "/tls/ts.jks"
+    assert sec["kafka.ssl.protocol"] == "TLSv1.3"
+
+    opts = build_kafka_reader_options(
+        "broker:9096", "orders", options={"maxOffsetsPerTrigger": "500"},
+        security=sec,
+    )
+    # defaults + subscribe survive, security lands verbatim, caller
+    # overrides win last
+    assert opts["kafka.bootstrap.servers"] == "broker:9096"
+    assert opts["subscribe"] == "orders"
+    assert opts["startingOffsets"] == "latest"
+    assert opts["maxOffsetsPerTrigger"] == "500"
+    assert opts["kafka.security.protocol"] == "SASL_SSL"
+
+
+def test_producer_client_config_security():
+    from kafka_spark_streaming_app_spark.tools.producer import (
+        producer_client_config,
+    )
+
+    cfg = producer_client_config(
+        "broker:9096",
+        security_protocol="SASL_SSL",
+        sasl_mechanism="PLAIN",
+        sasl_username="svc",
+        sasl_password="secret",
+        extra={"request_timeout_ms": 30000},
+    )
+    assert cfg["bootstrap_servers"] == "broker:9096"
+    assert cfg["acks"] == "all" and cfg["retries"] == 3
+    assert cfg["security_protocol"] == "SASL_SSL"
+    assert cfg["sasl_mechanism"] == "PLAIN"
+    assert cfg["sasl_plain_username"] == "svc"
+    assert cfg["sasl_plain_password"] == "secret"
+    assert cfg["request_timeout_ms"] == 30000
