@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import TOKENS_SQL, h60_sql, tokens
+from ..functions.hashing import NORMALIZE_SQL, TOKENS_SQL, h60_sql, tokens
 from ..operators.corpus import line_dedup
 from ..operators.llmprep import global_shuffle, per_key_cap
 from ..operators.text import QUALITY_WEIGHTS, quality_score
@@ -170,7 +170,7 @@ WITH m AS (
     SELECT
         doc_id,
         len({_NORM_W}) AS n_tokens,
-        length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS n_chars,
+        length({NORMALIZE_SQL.format(x="text")}) AS n_chars,
         len(list_distinct({_NORM_W})) AS n_distinct,
         len(list_filter({_NORM_W},
             w -> w IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'that')))
@@ -406,14 +406,20 @@ def _documents_as_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → JSON-lines files → schema'd file stream (one file
     per core so micro-batch parallelism isn't capped by file count —
     same convention as the events wire replay)."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
-    key = (id(spark.sparkContext), sf_dir)
+    # applicationId is stable and unique per SparkContext — id() values
+    # can be recycled after GC, which could silently hand a new session
+    # a stale directory
+    key = (spark.sparkContext.applicationId, sf_dir)
     src = _DOC_STREAM_DIRS.get(key)
     if src is None or not os.path.isdir(src):
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
         src = tempfile.mkdtemp(prefix="doc_stream_")
+        atexit.register(shutil.rmtree, src, ignore_errors=True)
         docs.repartition(spark.sparkContext.defaultParallelism).write.mode(
             "overwrite"
         ).json(src)

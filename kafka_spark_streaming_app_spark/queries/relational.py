@@ -1035,18 +1035,18 @@ def scd2_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_orderdate") >= F.col("eff_from"))
             & (F.col("o_orderdate") < F.col("eff_to")),
         )
-    )
-    from pyspark.sql import Window
-
-    return joined.select(
+    ).localCheckpoint(eager=False)
+    # global total as a 1-row agg broadcast back onto the rows — the
+    # same pattern as pagerank's n_nodes / the bigram total; a
+    # count(*) OVER () window would funnel every fact row through one
+    # task (checkpoint barrier keeps the join subtree single-executed)
+    n_total = joined.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    return joined.crossJoin(F.broadcast(n_total)).select(
         "o_orderkey",
         F.col("c_nationkey").alias("nationkey"),
         "version",
         "tax_rate",
-        F.count(F.lit(1))
-        .over(Window.partitionBy())
-        .cast("bigint")
-        .alias("n_total"),
+        "n_total",
     )
 
 

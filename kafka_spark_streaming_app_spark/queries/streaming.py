@@ -48,7 +48,8 @@ _WIRE_DIRS: dict[tuple[int, str], str] = {}
 
 def _events_as_wire_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → JSON-lines files → text stream → parsed/cleaned stream."""
-    key = (id(spark.sparkContext), sf_dir)
+    # keyed on applicationId (stable per context), not id() (recyclable)
+    key = (spark.sparkContext.applicationId, sf_dir)
     src_dir = _WIRE_DIRS.get(key)
     if src_dir is None or not os.path.isdir(src_dir):
         events = load_table(spark, sf_dir, "events")
@@ -65,7 +66,11 @@ def _events_as_wire_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("value")
         )
+        import atexit
+        import shutil
+
         src_dir = tempfile.mkdtemp(prefix="wire_stream_")
+        atexit.register(shutil.rmtree, src_dir, ignore_errors=True)
         # one file per core: the file-stream source assigns one task
         # per file, so a 2-file wire dir would cap the micro-batch's
         # parse/agg parallelism at 2 regardless of cluster size

@@ -75,8 +75,15 @@ def compact_parquet(
     files/day): NameNode/listing pressure, per-file open cost, and
     row groups too small for effective column statistics. Compaction
     sizes output files by MEASURED input bytes (directory listing, no
-    data read) and lets AQE coalesce the rewrite — one wide scan, one
-    write, no shuffle beyond the coalesce.
+    data read) and narrows the write with ``coalesce`` — one wide scan
+    fused into a narrowed write, NO shuffle (coalesce merges input
+    splits in place; a ``repartition`` here would round-robin every
+    byte through an exchange just to change the file count).
+
+    ``target_file_bytes`` is an on-disk compressed-size target: input
+    sizes are compressed parquet and the rewrite re-compresses, so
+    output files land near the target (modulo encoding differences) —
+    set it to the desired FILE size, not the in-memory row size.
 
     Returns the number of output files requested. Production runs this
     per partition directory (so compaction itself prunes), writes to a
@@ -91,7 +98,7 @@ def compact_parquet(
                 total += os.path.getsize(os.path.join(root, f))
     n_files = max(1, (total + target_file_bytes - 1) // target_file_bytes)
     df = spark.read.parquet(path)
-    df.repartition(n_files).write.mode("overwrite").parquet(out_path)
+    df.coalesce(n_files).write.mode("overwrite").parquet(out_path)
     return n_files
 
 

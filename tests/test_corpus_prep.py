@@ -5,6 +5,7 @@ these tests pin operator semantics on hand-built inputs.)"""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from kafka_spark_streaming_app_spark.operators.corpus import line_dedup
@@ -201,3 +202,46 @@ def test_bloom_membership_no_false_negatives_low_fp(spark, sf_correctness):
     assert row["n_members"] > 0
     non_members = row["n_probed"] - row["n_members"]
     assert row["n_false_pos"] / non_members < 0.02
+
+
+def test_quality_oracle_null_text_parity(spark, tmp_path):
+    """NULL-text parity: the engine treats NULL text as empty
+    (coalesce in the normalize path); the SQL oracle must agree or a
+    NULL doc in production data silently breaks the driver hash. The
+    fixtures have no NULL docs, so pin it with a planted one."""
+    import duckdb
+
+    from kafka_spark_streaming_app_spark.queries.corpus_prep import (
+        _QUALITY_ORACLE,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["the quick brown fox jumps", None, "   "],
+            "lang": ["en"] * 3,
+            "source": ["web"] * 3,
+            "n_chars": [25, 0, 3],
+        }
+    )
+    doc_path = str(tmp_path / "documents.parquet")
+    pdf.to_parquet(doc_path)
+
+    got = (
+        quality_score(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{doc_path}')"
+    )
+    want = (
+        con.execute(_QUALITY_ORACLE)
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for col in ("n_tokens", "quality_logit", "keep"):
+        assert list(got[col]) == list(want[col]), col
