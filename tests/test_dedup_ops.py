@@ -79,3 +79,40 @@ def test_connected_components_raises_when_not_converged(spark):
     )
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(chain, max_iter=1)
+
+
+def test_lsh_candidate_count_bounded_under_planted_skew(spark, sf_smoke):
+    """Regression for the documented LSH hazard (operators/dedup.py:
+    skewed buckets from boilerplate docs): plant a 200-copy boilerplate
+    cluster on top of the real sf corpus and assert the bucket-cap
+    semi-join keeps the candidate count bounded by N*cap instead of
+    exploding quadratically (C(200,2)=19900 pairs from one bucket)."""
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_app_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    boiler = spark.range(200).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        F.lit(
+            "subscribe to our newsletter for updates terms of service "
+            "privacy policy all rights reserved contact us about us"
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(boiler)
+    n = corpus.count()
+    cap = 8
+    sigs = minhash_signatures(corpus, num_hashes=12, shingle_n=3)
+    capped = lsh_candidate_pairs(
+        sigs, num_hashes=12, band_size=2, max_bucket_size=cap
+    )
+    n_pairs = capped.count()
+    # every surviving bucket has <= cap members, and each doc appears in
+    # at most n_bands=6 buckets, so pairs <= N * n_bands * cap/2 — far
+    # below the quadratic blowup of the uncapped hot bucket
+    assert n_pairs <= n * 6 * cap // 2
+    # the boilerplate cluster (bucket size 200 > cap) contributes none
+    planted = capped.filter(
+        (F.col("id_a") >= 1_000_000) & (F.col("id_b") >= 1_000_000)
+    )
+    assert planted.count() == 0
