@@ -81,9 +81,30 @@ def _events_as_wire_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_and_clean(raw, WIRE_SCHEMA, ts_field="timestamp")
 
 
-def _run_to_table(spark: SparkSession, df: DataFrame, output_mode: str) -> DataFrame:
+def _run_to_table(
+    spark: SparkSession,
+    df: DataFrame,
+    output_mode: str,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Drive a finite stream to completion into a memory sink.
+
+    ``shuffle_partitions`` overrides the state-partition count for THIS
+    query only (it is fixed at stream start from the session conf and
+    pinned in the checkpoint thereafter). Stateful operators pay
+    per-partition-per-batch state-store overhead — a stream-stream join
+    keeps 4 stores per partition — so a bounded replay harness wants
+    far fewer than a production cluster's shuffle width; results are
+    partitioning-independent either way."""
     name = f"mem_{uuid.uuid4().hex[:8]}"
-    q = write_memory_stream(df, name, output_mode=output_mode)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = write_memory_stream(df, name, output_mode=output_mode)
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     try:
         q.processAllAvailable()
     finally:

@@ -113,4 +113,9 @@ def streaming_view_purchase_join(
         "purchase_ts",
         "amount",
     )
-    return _run_to_table(spark, joined, output_mode="append")
+    # bounded harness: 8 state partitions (32 state stores instead of
+    # 128 for the 4-store-per-partition join) — the replay is ~100 MB;
+    # a production deployment keeps the cluster-wide default
+    return _run_to_table(
+        spark, joined, output_mode="append", shuffle_partitions=8
+    )
