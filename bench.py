@@ -65,6 +65,9 @@ HEADLINE = [
     "window_range_frame",
     "text_hashing_topk",
     "copurchase_pagerank",
+    # round-3 additions: real-codec multimodal + SemDeDup
+    "multimodal_image_decode",
+    "semantic_dedup",
 ]
 
 

@@ -425,6 +425,60 @@ def simhash_signatures(
     return votes.select(F.col(id_col), sig.alias("simhash"))
 
 
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    dim: int = 64,
+    iters: int = 2,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication: cluster the embedding
+    corpus with distributed k-means, then prune near-duplicates by
+    pairwise cosine WITHIN each cluster only.
+
+    This is the canonical embedding-dedup plan for web-scale corpora
+    (SemDeDup, Abbas et al. 2023): clustering replaces the quadratic
+    all-pairs cosine with per-cluster blocks, and the cluster count is
+    the scale lever — at 100 TB you run k ~ 10^4-10^5 so each block
+    stays small enough for its pairwise join (pairs ∝ Σ|cluster|²,
+    never corpus²). Keep rule: within a cluster, a vector is dropped
+    iff it has cosine ≥ threshold with a SMALLER-id vector — a greedy,
+    deterministic, SQL-expressible representative choice (the
+    transitive-closure variant is ``dedup_clusters``).
+
+    Returns (id, cid, keep) for every input vector.
+    """
+    from .similarity import kmeans_fit_predict
+
+    assign = kmeans_fit_predict(
+        df, vec_col=vec_col, id_col=id_col, k=k, dim=dim, iters=iters
+    ).select(id_col, "cid")
+    clustered = (
+        df.select(id_col, vec_col)
+        .join(assign, id_col)
+        .localCheckpoint(eager=False)
+    )
+    pairs = embedding_near_dup_pairs(
+        clustered,
+        vec_col=vec_col,
+        id_col=id_col,
+        block_col="cid",
+        threshold=threshold,
+    )
+    dropped = (
+        pairs.select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        clustered.select(id_col, "cid")
+        .join(dropped, id_col, "left")
+        .select(id_col, "cid", F.col("_dup").isNull().alias("keep"))
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

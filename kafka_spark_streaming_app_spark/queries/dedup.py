@@ -227,6 +227,74 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, threshold=0.4)
 
 
+# --- semantic dedup (SemDeDup shape: k-means blocks + cosine prune) ---------
+
+
+def _semantic_oracle() -> str:
+    from .similarity import _KM_K, _km_iter_sql
+
+    return f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+),
+c0 AS (
+    SELECT CAST(vec_id AS INTEGER) AS cid, x AS c FROM v
+    WHERE vec_id < {_KM_K}
+),
+{_km_iter_sql("c0", "a1", "c1")},
+{_km_iter_sql("c1", "a2", "c2")},
+final_s AS (
+    SELECT v.vec_id, v.x,
+           c.cid, {_km_dist_sql()} AS dist
+    FROM v CROSS JOIN c2 c
+),
+asg AS (
+    SELECT vec_id, x, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cid) AS rn
+        FROM final_s
+    ) WHERE rn = 1
+),
+n AS (
+    SELECT vec_id, cid, x AS vv,
+           sqrt(list_sum(list_transform(x, e -> e * e))) AS norm
+    FROM asg
+),
+dropped AS (
+    SELECT DISTINCT b.vec_id
+    FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE round(list_inner_product(a.vv, b.vv) / (a.norm * b.norm), 6)
+          >= {_SEM_THRESHOLD}
+)
+SELECT vec_id, cid,
+       vec_id NOT IN (SELECT vec_id FROM dropped) AS keep
+FROM n
+"""
+
+
+def _km_dist_sql() -> str:
+    from .similarity import _KM_DIST
+
+    return _KM_DIST.replace("v.x", "x").replace("c.c", "c.c")
+
+
+_SEM_THRESHOLD = 0.4
+
+
+@query("semantic_dedup", _semantic_oracle())
+def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup pipeline end-to-end: distributed k-means (k=8, 2
+    Lloyd iterations, deterministic init — bit-exact vs the unrolled
+    SQL twin) blocks the corpus, then cosine ≥ 0.4 within blocks
+    greedily drops the larger id of each near-dup pair. The cluster
+    count is the 100 TB lever: pairs cost Σ|cluster|², never corpus²
+    (operators/dedup.py:semantic_dedup)."""
+    from ..operators.dedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, k=8, dim=64, iters=2, threshold=_SEM_THRESHOLD)
+
+
 # --- incremental dedup (new batch vs historical corpus) ---------------------
 
 _INC_NEW = "(doc_id % 10 = 9 OR doc_id >= 1000000)"

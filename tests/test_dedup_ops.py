@@ -116,3 +116,31 @@ def test_lsh_candidate_count_bounded_under_planted_skew(spark, sf_smoke):
         (F.col("id_a") >= 1_000_000) & (F.col("id_b") >= 1_000_000)
     )
     assert planted.count() == 0
+
+
+def test_semantic_dedup_drops_planted_near_dups(spark, sf_smoke):
+    """SemDeDup pipeline: k-means blocks + within-cluster cosine prune.
+    The fixture plants near-dup embedding pairs; they must cluster
+    together and the larger id of each pair must be dropped."""
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_app_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        semantic_dedup,
+    )
+    from kafka_spark_streaming_app_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    out = semantic_dedup(emb, k=8, dim=64, iters=2, threshold=0.4)
+    rows = out.collect()
+    assert len(rows) == emb.count()          # every vector classified
+    dropped = {r.vec_id for r in rows if not r.keep}
+    assert dropped                            # non-vacuous
+    # every label-blocked near-dup pair (the planted ground truth) has
+    # its larger id dropped whenever the pair shares a k-means cluster
+    cid = {r.vec_id: r.cid for r in rows}
+    pairs = embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    same_cluster = [p for p in pairs if cid[p.id_a] == cid[p.id_b]]
+    assert same_cluster                       # clustering kept dups together
+    for p in same_cluster:
+        assert p.id_b in dropped
