@@ -33,7 +33,10 @@ NOTES = {
     "global_shuffle_shards": "Two-level prefix sum: range partition by hash key, per-partition rank, one-row-per-partition offset window — no single-task global sort.",
     "quality_classifier": "Zero-shuffle codegen scan projection — features and the linear logit fuse into one stage.",
     "similarity_sq8_rerank": "1-row scale broadcast onto the scan; integer-dot candidates with query batch broadcast; exact cosine only on rerank rows.",
-    "bigram_fluency_score": "One explode behind a barrier feeds gram counts, the 1-row total, and the join back — integer aggregates end-to-end, one final division.",
+    "bigram_fluency_score": "One explode behind a barrier; per-gram counts attach via a single gram-key window shuffle (no aggregate-then-self-join); 1-row total broadcast; integer aggregates end-to-end, one final division.",
+    "semantic_dedup": "SemDeDup: k-means assignment (broadcast centroids, shuffle = corpus x k distance rows), clustered corpus barriered, pairwise cosine only WITHIN cid blocks — pair cost sum(|cluster|^2), never corpus^2.",
+    "multimodal_image_decode": "Real PNG decode (inflate + unfilter) inside one Arrow-batched mapInPandas stage over the pruned (id, payload) projection — zero shuffle; stats leave Python as 6 scalars/row.",
+    "scd2_dimension_join": "Versioned dim broadcast onto the fact join (equi + range residual); global total as a 1-row agg broadcast back — no single-partition window.",
     "incremental_rollup_merge": "Partial aggregates per partition-branch union-merged by re-aggregation; decimal partial sums add exactly.",
     "window_range_frame": "Per-customer RANGE frame — one shuffle+sort partitioned by the key, both frame aggregates share it.",
     "copurchase_pagerank": "Order-keyed self-join builds the edge list (fan-out ~ order size); per-iteration join+agg on edges with floor-scaled int64 contributions; ranks barriered per iteration.",

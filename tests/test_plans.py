@@ -178,14 +178,33 @@ def test_windowed_agg_exact_distinct_shape(spark, sf_smoke):
 
 
 def test_windowed_agg_production_single_shuffle(spark, sf_smoke):
-    """Production twin: HLL++ sketch keeps the agg partial+final with
-    exactly ONE shuffle — the property that matters at 100 TB (state
-    and network ∝ groups, not distinct users)."""
-    plan = plan_str(registry.QUERIES["windowed_agg_approx"](spark, sf_smoke))
+    """Production operator: HLL++ sketch keeps the agg partial+final
+    with exactly ONE shuffle — the property that matters at 100 TB
+    (state and network ∝ groups, not distinct users). Asserted on the
+    operator directly: the registry's `windowed_agg_approx` QUERY now
+    also computes the exact distinct for its tolerance oracle, which
+    legitimately adds the exact-distinct Expand/second Exchange."""
+    from kafka_spark_streaming_app_spark.operators.windowed import (
+        windowed_aggregation,
+    )
+    from kafka_spark_streaming_app_spark.sources.batch import load_table
+
+    events = load_table(spark, sf_smoke, "events")
+    prod = windowed_aggregation(
+        events,
+        window_duration="1 minute",
+        slide_duration="30 seconds",
+        exact_distinct=False,
+        stabilize_sums=False,
+    )
+    plan = plan_str(prod)
     assert plan.count("HashAggregate") >= 2, "missing map-side partial agg"
     assert plan.count("- Exchange") == 1, (
         "approx windowed agg must shuffle exactly once"
     )
+    # and the tolerance query still carries its verification column
+    tol = plan_str(registry.QUERIES["windowed_agg_approx"](spark, sf_smoke))
+    assert "hll_within_tolerance" in tol
 
 
 def test_minhash_signatures_aggregate_before_shuffle(spark, sf_smoke):
@@ -472,3 +491,44 @@ def test_parquet_aggregate_pushdown_metadata_only_scan(spark, sf_correctness):
         "aggregate did not push into the scan:\n" + plan
     )
     assert row["n"] == 60000 and row["mn"] == 1.0 and row["mx"] == 50.0
+
+
+def test_bigram_fluency_single_gram_shuffle_no_self_join(spark, sf_smoke):
+    """Per-gram counts must attach via a window over the gram key, not
+    an aggregate-then-self-join (which shuffles the gram relation
+    twice)."""
+    plan = plan_str(registry.QUERIES["bigram_fluency_score"](spark, sf_smoke))
+    assert "Window" in plan, "gram counts no longer use the window shape"
+    assert "SortMergeJoin" not in plan, (
+        "gram relation is self-joined — the shape the window replaced"
+    )
+
+
+def test_semantic_dedup_pairs_only_within_clusters(spark, sf_smoke):
+    """The near-dup pair join must be an equi-join on cid (blocked),
+    never a cartesian/broadcast-nested-loop over the corpus."""
+    plan = plan_str(registry.QUERIES["semantic_dedup"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    # the only nested-loop allowed is the 1-row centroid/total
+    # broadcasts inside k-means; the pair join itself is hash/SMJ on cid
+    assert "cid" in plan
+
+
+def test_multimodal_decode_is_single_python_stage(spark, sf_smoke):
+    """Real PNG decode: one mapInPandas over a pruned 2-column
+    projection, zero shuffle."""
+    plan = plan_str(
+        registry.QUERIES["multimodal_image_decode"](spark, sf_smoke)
+    )
+    tree = plan.split("\n\n")[0]
+    assert tree.count("MapInPandas") == 2, (
+        "expected exactly the render + decode Arrow stages"
+    )
+    assert "Exchange" not in plan, "decode stage should not shuffle"
+
+
+def test_scd2_total_is_broadcast_not_global_window(spark, sf_smoke):
+    plan = plan_str(registry.QUERIES["scd2_dimension_join"](spark, sf_smoke))
+    assert "Window" not in plan, (
+        "global total regressed to a single-partition window"
+    )
