@@ -1,0 +1,99 @@
+"""Consumer smoke test — parity with the reference's
+``kafka_consumer_test.py`` (reads up to N messages, reports
+partition/offset/payload per message, lists available topics when the
+read comes back empty; reference kafka_consumer_test.py:12-63).
+
+Two transports, mirroring ``tools/producer.py``:
+
+- **kafka** (when kafka-python is installed): a real consumer with the
+  reference's read loop, plus the generic SASL/TLS passthrough.
+- **file**: replays a JSON-lines wire directory (what
+  ``produce_to_files`` writes and the engine's file stream reads) —
+  the broker-less path, so the smoke-test SHAPE is testable here.
+
+Returns structured records instead of printing, so callers (tests,
+notebooks, a CLI) decide presentation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+
+def consume_sample_files(wire_dir: str, max_messages: int = 10) -> dict:
+    """File-transport twin of the consumer smoke test: reads up to
+    ``max_messages`` JSON lines across the directory's files in name
+    order (the producer's flush order), reporting the source file as
+    the 'partition' and the line number as the 'offset'."""
+    messages = []
+    files = sorted(
+        f for f in os.listdir(wire_dir) if not f.startswith((".", "_"))
+    )
+    for fname in files:
+        with open(os.path.join(wire_dir, fname)) as fh:
+            for offset, line in enumerate(fh):
+                if len(messages) >= max_messages:
+                    break
+                line = line.strip()
+                if not line:
+                    continue
+                messages.append(
+                    {
+                        "partition": fname,
+                        "offset": offset,
+                        "value": json.loads(line),
+                    }
+                )
+        if len(messages) >= max_messages:
+            break
+    return {
+        "messages": messages,
+        "empty": not messages,
+        "available": files if not messages else [],
+    }
+
+
+def consume_sample_kafka(
+    bootstrap_servers: str,
+    topic: str = "ecommerce-orders",
+    max_messages: int = 10,
+    timeout_ms: int = 5000,
+    security: dict | None = None,
+) -> dict:
+    """Reference consumer smoke test over a real broker: subscribe at
+    earliest, poll up to ``max_messages``, and on an empty read list
+    the cluster's topics (the reference's troubleshooting behavior).
+    ``security`` takes kafka-python client kwargs (see
+    ``tools.producer.producer_client_config``)."""
+    try:
+        from kafka import KafkaConsumer
+    except ImportError as exc:  # pragma: no cover - env without the client
+        raise RuntimeError(
+            "kafka-python is not installed; use consume_sample_files for "
+            "the broker-less path"
+        ) from exc
+    consumer = KafkaConsumer(
+        topic,
+        bootstrap_servers=bootstrap_servers,
+        auto_offset_reset="earliest",
+        consumer_timeout_ms=timeout_ms,
+        value_deserializer=lambda b: json.loads(b.decode()),
+        **(security or {}),
+    )
+    messages = []
+    try:
+        for msg in consumer:
+            messages.append(
+                {
+                    "partition": msg.partition,
+                    "offset": msg.offset,
+                    "value": msg.value,
+                }
+            )
+            if len(messages) >= max_messages:
+                break
+        available = sorted(consumer.topics()) if not messages else []
+    finally:
+        consumer.close()
+    return {"messages": messages, "empty": not messages, "available": available}

@@ -59,3 +59,30 @@ def test_kafka_paths_degrade_cleanly():
         kafka_admin.create_topics("localhost:9092")
     with pytest.raises(RuntimeError, match="kafka-python"):
         producer.produce_to_kafka("localhost:9092", n=1)
+
+
+def test_consumer_smoke_file_transport(tmp_path):
+    """Reference kafka_consumer_test parity through the file transport:
+    caps at max_messages, reports partition/offset/value, and lists
+    available sources on an empty read."""
+    from kafka_spark_streaming_app_spark.tools.consumer import (
+        consume_sample_files,
+    )
+    from kafka_spark_streaming_app_spark.tools.producer import (
+        produce_to_files,
+    )
+
+    out = str(tmp_path / "wire")
+    produce_to_files(out, n=30, batch_size=10)
+    got = consume_sample_files(out, max_messages=10)
+    assert not got["empty"] and len(got["messages"]) == 10
+    first = got["messages"][0]
+    assert first["value"]["order_id"].startswith("order_")
+    assert first["offset"] == 0 and first["partition"].startswith("orders_")
+
+    empty_dir = str(tmp_path / "empty")
+    import os
+
+    os.makedirs(empty_dir)
+    got = consume_sample_files(empty_dir, max_messages=10)
+    assert got["empty"] and got["available"] == []
