@@ -68,6 +68,13 @@ HEADLINE = [
     # round-3 additions: real-codec multimodal + SemDeDup
     "multimodal_image_decode",
     "semantic_dedup",
+    # round-3 continuation: real audio/video codecs, BM25 retrieval,
+    # winnowing fingerprints, chained streaming windows
+    "multimodal_audio_decode",
+    "multimodal_video_decode",
+    "text_bm25_topk",
+    "winnow_fingerprints",
+    "streaming_chained_windows",
 ]
 
 

@@ -1,0 +1,226 @@
+"""Pure-stdlib audio/video codecs: a REAL RIFF/WAV PCM encoder/decoder
+and a REAL YUV4MPEG2 (.y4m) uncompressed-video encoder/decoder.
+
+This closes the audio/video half of the multimodal story the same way
+``operators/imagecodec.py`` closed images: compressed codecs (MP3/AAC,
+H.264) genuinely need ffmpeg — absent here — but the two canonical
+UNCOMPRESSED containers need nothing beyond ``struct``:
+
+- ``encode_wav`` / ``decode_wav``: RIFF chunk walk, ``fmt `` (PCM,
+  16-bit little-endian) + ``data`` chunks. The decoder round-trips
+  output from any conformant writer — the test suite cross-checks it
+  against Python's stdlib ``wave`` module as a foreign encoder.
+- ``encode_y4m`` / ``decode_y4m``: the YUV4MPEG2 stream format used by
+  ffmpeg/mjpegtools for raw video — ASCII parameter header, then
+  ``FRAME\\n`` + raw planes per frame.  ``Cmono`` (luma-only) frames
+  keep the plane math exact and fully SQL-expressible.
+- ``parse_wav_header`` / ``parse_y4m_header``: planning-relevant
+  metadata (rate / channels / sample count; dims / fps / frame count)
+  straight from the container without touching sample data — the
+  prune-before-decode stage of a 100 TB media pipeline.
+
+Scale posture: all of this runs inside Arrow-batched ``mapInPandas``
+stages (see ``operators/multimodal.py``); nothing here touches Spark.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_RIFF_MAGIC = b"RIFF"
+_WAVE_TAG = b"WAVE"
+_Y4M_MAGIC = b"YUV4MPEG2 "
+
+
+# --------------------------------------------------------------------------
+# WAV (RIFF PCM)
+# --------------------------------------------------------------------------
+
+
+def encode_wav(samples, sample_rate: int, channels: int = 1) -> bytes:
+    """Encode an int16 sample array as a PCM WAV file.
+
+    ``samples`` is a 1-D int16 array of interleaved frames (length must
+    be a multiple of ``channels``).  Emits the canonical 44-byte
+    RIFF/fmt/data layout any audio tool reads.
+    """
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int16)
+    if arr.ndim != 1:
+        raise ValueError("encode_wav expects a 1-D int16 array")
+    if arr.size % channels:
+        raise ValueError("sample count not a multiple of channels")
+    data = arr.tobytes()
+    block_align = channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate,
+        sample_rate * block_align, block_align, 16,
+    )
+    body = (
+        _WAVE_TAG
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return _RIFF_MAGIC + struct.pack("<I", len(body)) + body
+
+
+def _riff_chunks(data: bytes):
+    pos = 12  # RIFF + size + WAVE
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", data, pos + 4)
+        yield tag, data[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+
+
+def parse_wav_header(data: bytes) -> dict:
+    """Sample rate / channels / bit depth / frame count from the
+    ``fmt `` and ``data`` chunk headers only — no sample reads."""
+    if not (data.startswith(_RIFF_MAGIC) and data[8:12] == _WAVE_TAG):
+        raise ValueError("not a RIFF/WAVE file")
+    fmt = None
+    data_len = None
+    for tag, body in _riff_chunks(data):
+        if tag == b"fmt " and fmt is None:
+            audio_fmt, channels, rate, _, block_align, bits = (
+                struct.unpack_from("<HHIIHH", body, 0)
+            )
+            fmt = (audio_fmt, channels, rate, block_align, bits)
+        elif tag == b"data" and data_len is None:
+            data_len = len(body)
+    if fmt is None or data_len is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, channels, rate, block_align, bits = fmt
+    return {
+        "format": "wav",
+        "audio_format": audio_fmt,  # 1 = PCM
+        "channels": channels,
+        "sample_rate": rate,
+        "bit_depth": bits,
+        "n_frames": data_len // block_align if block_align else 0,
+    }
+
+
+def decode_wav(data: bytes):
+    """Decode a 16-bit PCM WAV to ``(samples, header)`` where samples
+    is a 1-D int16 array of interleaved frames.  Walks RIFF chunks, so
+    it reads files with extra chunks (LIST/fact) from foreign writers,
+    not just ``encode_wav`` output."""
+    import numpy as np
+
+    hdr = parse_wav_header(data)
+    if hdr["audio_format"] != 1 or hdr["bit_depth"] != 16:
+        raise NotImplementedError(
+            "decode_wav supports 16-bit PCM only "
+            f"(got format={hdr['audio_format']}, bits={hdr['bit_depth']})"
+        )
+    for tag, body in _riff_chunks(data):
+        if tag == b"data":
+            samples = np.frombuffer(
+                body[: len(body) - (len(body) % 2)], dtype="<i2"
+            )
+            return samples, hdr
+    raise ValueError("WAV missing data chunk")
+
+
+# --------------------------------------------------------------------------
+# Y4M (YUV4MPEG2 raw video)
+# --------------------------------------------------------------------------
+
+
+def encode_y4m(frames, fps_num: int = 25, fps_den: int = 1) -> bytes:
+    """Encode an (F, H, W) uint8 luma array as a YUV4MPEG2 stream with
+    ``Cmono`` colorspace (luma plane only — a real, spec'd colorspace;
+    chroma subsampling would add planes but no new parsing ideas)."""
+    import numpy as np
+
+    arr = np.asarray(frames, dtype=np.uint8)
+    if arr.ndim != 3:
+        raise ValueError("encode_y4m expects a 3-D (F, H, W) uint8 array")
+    f, h, w = arr.shape
+    header = (
+        f"YUV4MPEG2 W{w} H{h} F{fps_num}:{fps_den} Ip A1:1 Cmono\n"
+    ).encode("ascii")
+    return header + b"".join(
+        b"FRAME\n" + arr[i].tobytes() for i in range(f)
+    )
+
+
+def parse_y4m_header(data: bytes) -> dict:
+    """Width / height / fps / colorspace from the ASCII parameter line;
+    frame count derived arithmetically from the remaining byte length
+    (uncompressed frames are fixed-size) — no frame reads."""
+    if not data.startswith(_Y4M_MAGIC):
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = data.index(b"\n")
+    params = data[len(_Y4M_MAGIC) : nl].decode("ascii").split()
+    w = h = None
+    fps_num, fps_den = 25, 1
+    colorspace = "C420"
+    for p in params:
+        if p.startswith("W"):
+            w = int(p[1:])
+        elif p.startswith("H"):
+            h = int(p[1:])
+        elif p.startswith("F"):
+            fps_num, fps_den = (int(x) for x in p[1:].split(":"))
+        elif p.startswith("C"):
+            colorspace = p
+    if w is None or h is None:
+        raise ValueError("Y4M missing W/H parameters")
+    if colorspace == "Cmono":
+        frame_bytes = w * h
+    elif colorspace in ("C420", "C420jpeg", "C420paldv", "C420mpeg2"):
+        frame_bytes = w * h * 3 // 2
+    elif colorspace == "C422":
+        frame_bytes = w * h * 2
+    elif colorspace == "C444":
+        frame_bytes = w * h * 3
+    else:
+        raise NotImplementedError(f"unsupported Y4M colorspace {colorspace}")
+    body = len(data) - nl - 1
+    per_frame = len(b"FRAME\n") + frame_bytes
+    return {
+        "format": "y4m",
+        "width": w,
+        "height": h,
+        "fps_num": fps_num,
+        "fps_den": fps_den,
+        "colorspace": colorspace,
+        "n_frames": body // per_frame if per_frame else 0,
+    }
+
+
+def decode_y4m(data: bytes):
+    """Decode a ``Cmono`` Y4M stream to ``(frames, header)`` where
+    frames is an (F, H, W) uint8 luma array.  Validates every FRAME
+    marker (frame headers may carry parameters up to their newline)."""
+    import numpy as np
+
+    hdr = parse_y4m_header(data)
+    if hdr["colorspace"] != "Cmono":
+        raise NotImplementedError(
+            "decode_y4m supports Cmono (luma-only) streams; "
+            f"got {hdr['colorspace']} — chroma planes need a real player"
+        )
+    w, h = hdr["width"], hdr["height"]
+    frame_bytes = w * h
+    pos = data.index(b"\n") + 1
+    frames = []
+    while pos < len(data):
+        if data[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad Y4M FRAME marker at offset {pos}")
+        pos = data.index(b"\n", pos) + 1
+        plane = data[pos : pos + frame_bytes]
+        if len(plane) != frame_bytes:
+            raise ValueError("truncated Y4M frame")
+        frames.append(
+            np.frombuffer(plane, dtype=np.uint8).reshape(h, w)
+        )
+        pos += frame_bytes
+    return (
+        np.stack(frames)
+        if frames
+        else np.zeros((0, h, w), dtype=np.uint8)
+    ), hdr

@@ -15,17 +15,28 @@ The pattern for a 100 TB multimodal corpus:
 - partitioning: payload rows are large — repartition by byte budget
   (``spark.sql.files.maxPartitionBytes``), never by row count.
 
-Codec coverage: PNG is REAL — ``operators/imagecodec.py`` is a
-pure-stdlib PNG encoder/decoder (all five scanline filters) plus
-PNG/JPEG header parsers, so image rows decode with ``fake=False``
-(``synthesize_image_media`` plants real PNG/JPEG bytes and the
-``multimodal_image_*`` queries are oracle-checked end-to-end through
-the real codec).  Audio/video codecs (ffmpeg/torchaudio) are NOT in
-this environment, so those decoders stay STUBBED: ``decode_payload``
-raises ``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic byte-derived fake (seeded by the payload itself) stands
-in. Everything around the stub — schemas, UDF signatures, Arrow batch
-shapes, row expansion — is real and tested.
+Codec coverage: every modality now has a REAL pure-stdlib codec for
+at least one container:
+
+- image: PNG encoder/decoder + PNG/JPEG header parsers
+  (``operators/imagecodec.py``);
+- audio: RIFF/WAV 16-bit PCM encoder/decoder
+  (``operators/avcodec.py`` — cross-checked against stdlib ``wave``
+  as a foreign encoder);
+- video: YUV4MPEG2 (.y4m) raw-video encoder/decoder
+  (``operators/avcodec.py``).
+
+``synthesize_image_media`` / ``synthesize_audio_media`` /
+``synthesize_video_media`` plant genuine container bytes with
+closed-form content, and the ``multimodal_image_decode`` /
+``multimodal_audio_decode`` / ``multimodal_video_decode`` queries are
+oracle-checked end-to-end through the real codecs.  COMPRESSED
+audio/video (MP3/AAC/H.264) still needs ffmpeg, absent here:
+``decode_payload`` raises ``NotImplementedError`` for those unless
+``fake=True``, in which case a deterministic byte-derived fake (seeded
+by the payload itself) stands in. Everything around that remaining
+stub — schemas, UDF signatures, Arrow batch shapes, row expansion — is
+real and tested.
 """
 
 from __future__ import annotations
@@ -125,14 +136,20 @@ def decode_payload(payload: bytes, media_type: str, fake: bool = False):
     import numpy as np
 
     if not fake:
+        from .avcodec import _RIFF_MAGIC, _Y4M_MAGIC, decode_wav, decode_y4m
         from .imagecodec import _PNG_MAGIC, decode_png
 
-        if media_type == "image" and (payload or b"").startswith(_PNG_MAGIC):
-            return decode_png(payload)
+        buf = payload or b""
+        if media_type == "image" and buf.startswith(_PNG_MAGIC):
+            return decode_png(buf)
+        if media_type == "audio" and buf.startswith(_RIFF_MAGIC):
+            return decode_wav(buf)[0]
+        if media_type == "video" and buf.startswith(_Y4M_MAGIC):
+            return decode_y4m(buf)[0]
         raise NotImplementedError(
-            "non-PNG media decoding requires codec libraries (PIL/ffmpeg) "
-            "that are not installed; pass fake=True for the deterministic "
-            "test fake"
+            "compressed media decoding requires codec libraries (PIL/ffmpeg) "
+            "that are not installed (real paths: PNG images, PCM WAV audio, "
+            "Y4M video); pass fake=True for the deterministic test fake"
         )
     seed = int.from_bytes(hashlib.md5(payload or b"").digest()[:4], "big")
     rng = np.random.default_rng(seed)
@@ -286,6 +303,183 @@ def decode_image_stats(media: DataFrame) -> DataFrame:
 
     pngs = media.filter(F.col("codec") == "png").select("media_id", "payload")
     return pngs.mapInPandas(stats, schema=DECODED_STATS_SCHEMA)
+
+
+AUDIO_MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("amp_sum", T.LongType(), True),
+        T.StructField("amp_min", T.IntegerType(), True),
+        T.StructField("amp_max", T.IntegerType(), True),
+        T.StructField("energy", T.LongType(), True),
+    ]
+)
+
+
+def synthesize_audio_media(documents: DataFrame) -> DataFrame:
+    """REAL audio fixture: every doc becomes a genuine mono 16-bit PCM
+    WAV (RIFF/fmt/data chunks via ``avcodec.encode_wav``) with
+    closed-form content
+
+        n = doc_id % 480 + 32 samples,
+        rate = 8000 * (doc_id % 3 + 1),
+        sample(i) = (doc_id * 7919 + i * 131) % 65536 - 32768
+
+    so a SQL oracle can recompute every decoded sample."""
+    from .avcodec import encode_wav
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = d % 480 + 32
+                rate = 8000 * (d % 3 + 1)
+                i = np.arange(n, dtype=np.int64)
+                samples = ((d * 7919 + i * 131) % 65536 - 32768).astype(
+                    np.int16
+                )
+                rows.append(
+                    {"media_id": d, "payload": encode_wav(samples, rate)}
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return documents.select("doc_id").mapInPandas(
+        render, schema=AUDIO_MEDIA_SCHEMA
+    )
+
+
+def decode_audio_stats(media: DataFrame) -> DataFrame:
+    """REAL audio decode stage: parse the RIFF container and the PCM
+    samples per row inside mapInPandas; every output is an exact
+    integer (sums/extrema/energy over int16 samples), so a closed-form
+    SQL oracle over the fixture's sample formula catches any encoder
+    OR decoder defect bit-exactly."""
+
+    from .avcodec import parse_wav_header
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples = decode_payload(bytes(payload), "audio", fake=False)
+                hdr = parse_wav_header(bytes(payload))
+                s64 = samples.astype("int64")
+                n = int(samples.size)
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "sample_rate": hdr["sample_rate"],
+                        "channels": hdr["channels"],
+                        "n_samples": n,
+                        "duration_ms": n * 1000 // hdr["sample_rate"],
+                        "amp_sum": int(s64.sum()),
+                        "amp_min": int(samples.min()) if n else 0,
+                        "amp_max": int(samples.max()) if n else 0,
+                        "energy": int((s64 * s64).sum()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "channels", "n_samples",
+                    "duration_ms", "amp_sum", "amp_min", "amp_max", "energy",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        stats, schema=AUDIO_STATS_SCHEMA
+    )
+
+
+VIDEO_FRAME_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("luma_sum", T.LongType(), True),
+        T.StructField("luma_min", T.IntegerType(), True),
+        T.StructField("luma_max", T.IntegerType(), True),
+    ]
+)
+
+
+def synthesize_video_media(documents: DataFrame) -> DataFrame:
+    """REAL video fixture: every doc becomes a genuine YUV4MPEG2 stream
+    (``avcodec.encode_y4m``, Cmono luma planes) with closed-form frames
+
+        W = doc_id % 16 + 8,  H = doc_id % 8 + 8,
+        F = doc_id % 6 + 2,
+        luma(f, y, x) = (doc_id + 7*f + 3*y + x) % 256."""
+    from .avcodec import encode_y4m
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, nf = d % 16 + 8, d % 8 + 8, d % 6 + 2
+                ff, yy, xx = np.mgrid[0:nf, 0:h, 0:w]
+                frames = ((d + 7 * ff + 3 * yy + xx) % 256).astype(np.uint8)
+                rows.append({"media_id": d, "payload": encode_y4m(frames)})
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return documents.select("doc_id").mapInPandas(
+        render, schema=AUDIO_MEDIA_SCHEMA
+    )
+
+
+def decode_video_frame_stats(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL video decode + frame sampling: parse the Y4M stream, keep
+    every ``every_n``-th frame, emit exact integer luma stats per kept
+    frame — the row-expanding decode shape with a real container."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = decode_payload(bytes(payload), "video", fake=False)
+                h, w = frames.shape[1], frames.shape[2]
+                for idx in range(0, frames.shape[0], every_n):
+                    fr = frames[idx].astype("int64")
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "frame_idx": idx,
+                            "width": w,
+                            "height": h,
+                            "luma_sum": int(fr.sum()),
+                            "luma_min": int(fr.min()),
+                            "luma_max": int(fr.max()),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "width", "height",
+                    "luma_sum", "luma_min", "luma_max",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        stats, schema=VIDEO_FRAME_STATS_SCHEMA
+    )
 
 
 def extract_features(media: DataFrame, num_bins: int = 16) -> DataFrame:

@@ -8,12 +8,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.multimodal import (
+    decode_audio_stats,
     decode_image_stats,
+    decode_video_frame_stats,
     extract_features,
     image_header_metadata,
     sample_frames,
+    synthesize_audio_media,
     synthesize_image_media,
     synthesize_media,
+    synthesize_video_media,
 )
 from ..registry import query
 from ..sources.batch import load_table
@@ -211,6 +215,91 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixel formula."""
     media = synthesize_image_media(load_table(spark, sf_dir, "documents"))
     return decode_image_stats(media)
+
+
+# REAL audio path: the fixture plants genuine RIFF/WAV PCM bytes with
+# closed-form samples, so the oracle recomputes every decoded int16
+# value — a wrong chunk walk, endianness slip, or sample misread in
+# either the encoder or the decoder breaks the hash.
+_AUDIO_DECODE_ORACLE = """
+WITH d AS (
+    SELECT doc_id,
+           doc_id % 480 + 32 AS n,
+           8000 * (doc_id % 3 + 1) AS rate
+    FROM documents
+),
+s AS (
+    SELECT doc_id, n, rate,
+           (doc_id * 7919 + i.i * 131) % 65536 - 32768 AS v
+    FROM d, LATERAL (SELECT unnest(range(0, n)) AS i) i
+)
+SELECT
+    doc_id AS media_id,
+    CAST(rate AS INTEGER) AS sample_rate,
+    CAST(1 AS INTEGER) AS channels,
+    CAST(n AS BIGINT) AS n_samples,
+    CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+    CAST(sum(v) AS BIGINT) AS amp_sum,
+    CAST(min(v) AS INTEGER) AS amp_min,
+    CAST(max(v) AS INTEGER) AS amp_max,
+    CAST(sum(v * v) AS BIGINT) AS energy
+FROM s
+GROUP BY doc_id, n, rate
+"""
+
+
+@query("multimodal_audio_decode", _AUDIO_DECODE_ORACLE)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV decode (``fake=False``): RIFF chunk walk + PCM sample
+    read per row inside an Arrow-batched mapInPandas stage; exact
+    integer amplitude stats hash-checked against the closed-form
+    sample formula (operators/avcodec.py, pure stdlib)."""
+    media = synthesize_audio_media(load_table(spark, sf_dir, "documents"))
+    return decode_audio_stats(media)
+
+
+# REAL video path: genuine YUV4MPEG2 streams (Cmono luma planes) with
+# closed-form frames; every 2nd frame is sampled and its exact luma
+# stats recomputed by the oracle from the fixture formula.
+_VIDEO_DECODE_ORACLE = """
+WITH d AS (
+    SELECT doc_id,
+           doc_id % 16 + 8 AS w,
+           doc_id % 8 + 8 AS h,
+           doc_id % 6 + 2 AS nf
+    FROM documents
+),
+f AS (
+    SELECT doc_id, w, h, unnest(range(0, nf, 2)) AS fi FROM d
+),
+px AS (
+    SELECT doc_id, w, h, fi,
+           (doc_id + 7 * fi + 3 * y.y + x.x) % 256 AS p
+    FROM f,
+         LATERAL (SELECT unnest(range(0, h)) AS y) y,
+         LATERAL (SELECT unnest(range(0, w)) AS x) x
+)
+SELECT
+    doc_id AS media_id,
+    CAST(fi AS INTEGER) AS frame_idx,
+    CAST(w AS INTEGER) AS width,
+    CAST(h AS INTEGER) AS height,
+    CAST(sum(p) AS BIGINT) AS luma_sum,
+    CAST(min(p) AS INTEGER) AS luma_min,
+    CAST(max(p) AS INTEGER) AS luma_max
+FROM px
+GROUP BY doc_id, fi, w, h
+"""
+
+
+@query("multimodal_video_decode", _VIDEO_DECODE_ORACLE)
+def multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Y4M decode + frame sampling (``fake=False``): parse the
+    YUV4MPEG2 parameter header and FRAME markers, keep every 2nd frame,
+    emit exact integer luma stats per kept frame — the row-expanding
+    decode shape through a genuine container."""
+    media = synthesize_video_media(load_table(spark, sf_dir, "documents"))
+    return decode_video_frame_stats(media, every_n=2)
 
 
 @query("multimodal_frame_sample", _FRAMES_ORACLE)

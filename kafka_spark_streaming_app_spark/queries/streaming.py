@@ -371,6 +371,90 @@ HAVING window_start + INTERVAL 60 SECOND <= (SELECT w FROM wm)
 """
 
 
+# Chained stateful operators: 1-minute windows re-aggregated into
+# 5-minute windows INSIDE one streaming query. Emitted 5-minute windows
+# have window_end ≤ final watermark; every 1-minute window they contain
+# ends no later, so the batch twin needs only the outer HAVING bound.
+_CHAINED_ORACLE = """
+WITH wm AS (
+    SELECT max(ts) - INTERVAL 30 SECOND AS w FROM events
+),
+m1 AS (
+    SELECT
+        make_timestamp((CAST(floor(epoch(ts) / 60) AS BIGINT) * 60) * 1000000)
+            AS w1_start,
+        event_type,
+        count(*) AS order_count,
+        CAST(sum(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS revenue
+    FROM events
+    GROUP BY w1_start, event_type
+),
+m5 AS (
+    SELECT
+        make_timestamp((CAST(floor(epoch(w1_start) / 300) AS BIGINT) * 300) * 1000000)
+            AS window_start,
+        event_type,
+        CAST(sum(order_count) AS BIGINT) AS order_count,
+        CAST(sum(CAST(revenue AS DECIMAL(25,4))) AS DOUBLE) AS total_revenue,
+        max(revenue) AS max_minute_revenue,
+        count(*) AS n_minutes
+    FROM m1
+    GROUP BY window_start, event_type
+)
+SELECT
+    window_start,
+    window_start + INTERVAL 300 SECOND AS window_end,
+    event_type,
+    order_count,
+    total_revenue,
+    max_minute_revenue,
+    n_minutes
+FROM m5
+WHERE window_start + INTERVAL 300 SECOND <= (SELECT w FROM wm)
+"""
+
+
+@query("streaming_chained_windows", _CHAINED_ORACLE)
+def streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators (Spark 4 multiple-stateful-operator
+    support): a 1-minute tumbling aggregation feeds a 5-minute rollup
+    via ``window(window_time(window), ...)`` in the SAME streaming
+    query, append mode — the streaming form of a hierarchical rollup
+    (minute → 5-minute continuous aggregate). Both stages shuffle on
+    the same keys; the inner window finalizes under the watermark and
+    flows straight into the outer window's state. Sums re-stabilize
+    through DECIMAL at the second stage so the rollup is bit-exact."""
+    stream = _events_as_wire_stream(spark, sf_dir)
+    m1 = stream.groupBy(
+        F.window("event_timestamp", "1 minute"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("order_count"),
+        F.sum(F.col("amount").cast("decimal(25,4)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+    m5 = m1.groupBy(
+        F.window(F.window_time("window"), "5 minutes"), "event_type"
+    ).agg(
+        F.sum("order_count").alias("order_count"),
+        F.sum(F.col("revenue").cast("decimal(25,4)"))
+        .cast("double")
+        .alias("total_revenue"),
+        F.max("revenue").alias("max_minute_revenue"),
+        F.count(F.lit(1)).alias("n_minutes"),
+    )
+    out = m5.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "event_type",
+        "order_count",
+        "total_revenue",
+        "max_minute_revenue",
+        "n_minutes",
+    )
+    return _run_to_table(spark, out, output_mode="append", shuffle_partitions=8)
+
+
 @query("streaming_windowed_append", _STREAM_APPEND_ORACLE)
 def streaming_windowed_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPEND-mode watermarked windowed aggregation through the real

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..functions.hashing import NORMALIZE_SQL, TOKENS_SQL, h60_sql
+from ..functions.hashing import NORMALIZE_SQL, TOKENS_SQL, h60_sql, shingles_sql
 from ..operators.text import (
     STOPWORDS,
     fingerprints,
@@ -202,6 +202,223 @@ def text_hashing_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec, queries_df, k=5, id_col="doc_id", vec_col="v"
     )
     return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+# --- BM25 retrieval (inverted-index shape, fixed-point scoring) -------------
+#
+# k1 = 1.2, b = 0.75. The per-term denominator tf + k1*(1-b+b*dl/avgdl)
+# is multiplied through by 10*L (L = total corpus tokens, avgdl = L/N):
+#
+#     contrib = idf_u * (22 * L * tf) // (10*L*tf + 3*L + 9*dl*N)
+#
+# so every per-term contribution is an exact BIGINT once idf is
+# quantized to idf_u = floor(1e6 * ln((2(N-df)+1)/(2df+1) + 1)) — the
+# repo's floor-scaled-integer discipline (see copurchase_pagerank):
+# ranking compares exact integers, never engine-rounded doubles. The
+# production path at 100 TB swaps the exact integers for plain doubles
+# (and this fixture's int64 headroom note goes away with them).
+
+_BM25_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest({TOKENS_SQL.format(x="text")}) AS tok
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok
+),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, sum(dl) AS l FROM dl),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+q AS (
+    SELECT doc_id AS query_id, tok FROM tf WHERE doc_id < 3
+),
+contrib AS (
+    SELECT q.query_id, tf.doc_id AS corpus_id,
+           CAST(floor(1000000.0 * ln(
+               (2.0 * (s.n - dfreq.df) + 1.0) / (2.0 * dfreq.df + 1.0)
+               + 1.0
+           )) AS BIGINT)
+           * (22 * s.l * tf.tf)
+           // (10 * s.l * tf.tf + 3 * s.l + 9 * dl.dl * s.n) AS c
+    FROM q
+    JOIN tf ON tf.tok = q.tok AND tf.doc_id <> q.query_id
+    JOIN dl ON dl.doc_id = tf.doc_id
+    JOIN dfreq ON dfreq.tok = q.tok
+    CROSS JOIN stats s
+),
+scored AS (
+    SELECT query_id, corpus_id, sum(c) AS score_u
+    FROM contrib GROUP BY query_id, corpus_id
+)
+SELECT query_id, corpus_id,
+       CAST(score_u AS DOUBLE) / 1000000.0 AS score,
+       rank
+FROM (
+    SELECT *,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score_u DESC, corpus_id) AS rank
+    FROM scored
+) WHERE rank <= 5
+"""
+
+
+@query("text_bm25_topk", _BM25_ORACLE)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 retrieval as the INVERTED-INDEX dataflow: the tf
+    table (one row per posting) is the index, queries fan out via a
+    term-keyed equi-join against it — never a doc×doc product; df and
+    dl attach by key, corpus-wide N/L constants by broadcast of a
+    1-row aggregate. Scoring is floor-scaled integer BM25 (k1=1.2,
+    b=0.75) so the ranking is an exact-integer sort cross-engine."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # one tf subtree feeds four consumers — barrier it so the plan
+    # doesn't re-expand the corpus scan per consumer
+    tf = tf.localCheckpoint(eager=False)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("l")
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    q = tf.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "tok"
+    )
+    idf_u = F.floor(
+        F.lit(1000000.0)
+        * F.log(
+            (2.0 * (F.col("n") - F.col("df")) + 1.0)
+            / (2.0 * F.col("df") + 1.0)
+            + 1.0
+        )
+    ).cast("bigint")
+    contrib = (
+        tf.join(F.broadcast(q), "tok")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            F.col("doc_id").alias("corpus_id"),
+            (
+                idf_u
+                * (F.lit(22) * F.col("l") * F.col("tf"))
+            ).alias("num"),
+            (
+                F.lit(10) * F.col("l") * F.col("tf")
+                + F.lit(3) * F.col("l")
+                + F.lit(9) * F.col("dl") * F.col("n")
+            ).alias("den"),
+        )
+        .select(
+            "query_id", "corpus_id", F.expr("num div den").alias("c")
+        )
+    )
+    scored = contrib.groupBy("query_id", "corpus_id").agg(
+        F.sum("c").alias("score_u")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_u").desc(), "corpus_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "corpus_id",
+            (F.col("score_u").cast("double") / 1000000.0).alias("score"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+# --- winnowing fingerprints (MOSS) ------------------------------------------
+#
+# Word 3-gram rolling hashes, window w=4: each window of 4 consecutive
+# gram hashes contributes its minimum (leftmost on ties), and the
+# distinct selected (hash, position) pairs are the document's
+# fingerprints — the MOSS guarantee that any shared run of ≥ w+k-1
+# tokens yields at least one shared fingerprint. Hash and position are
+# packed into one BIGINT (30-bit hash · 2^31 + position) so the
+# min-with-tie-break is a plain integer window MIN on both engines.
+
+_WINNOW_W = 4
+_H30 = 1 << 30
+_POS_SCALE = 1 << 31
+
+_WINNOW_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, {shingles_sql("text", 3)} AS sh FROM documents
+),
+g AS (
+    SELECT doc_id, p.p - 1 AS pos,
+           ({h60_sql("sh[p.p]")} % {_H30}) * {_POS_SCALE} + p.p - 1 AS pack
+    FROM d, LATERAL (SELECT unnest(range(1, len(sh) + 1)) AS p) p
+),
+w AS (
+    SELECT doc_id, pos,
+           min(pack) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW
+                           AND {_WINNOW_W - 1} FOLLOWING) AS wmin,
+           count(*) OVER (PARTITION BY doc_id) AS n
+    FROM g
+)
+SELECT DISTINCT doc_id,
+       wmin // {_POS_SCALE} AS fp,
+       CAST(wmin % {_POS_SCALE} AS BIGINT) AS fp_pos
+FROM w
+WHERE pos <= greatest(n - {_WINNOW_W}, 0)
+"""
+
+
+@query("winnow_fingerprints", _WINNOW_ORACLE)
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    local-minimum selection over a sliding window of gram hashes. One
+    explode + ONE doc-keyed shuffle (both window functions share the
+    partition/order), then distinct — no joins, no corpus-wide state;
+    the selected-fingerprint density is ~2/(w+1) of grams regardless
+    of corpus size."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import h60, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id", F.posexplode(word_shingles("text", 3)).alias("pos", "gram")
+    ).select(
+        "doc_id",
+        "pos",
+        ((h60(F.col("gram")) % _H30) * _POS_SCALE + F.col("pos")).alias(
+            "pack"
+        ),
+    )
+    wspec = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, _WINNOW_W - 1)
+    )
+    nspec = Window.partitionBy("doc_id")
+    sel = g.select(
+        "doc_id",
+        "pos",
+        F.min("pack").over(wspec).alias("wmin"),
+        F.count(F.lit(1)).over(nspec).alias("n"),
+    ).filter(
+        F.col("pos") <= F.greatest(F.col("n") - _WINNOW_W, F.lit(0))
+    )
+    return sel.select(
+        "doc_id",
+        F.expr(f"wmin div {_POS_SCALE}").alias("fp"),
+        (F.col("wmin") % _POS_SCALE).cast("bigint").alias("fp_pos"),
+    ).distinct()
 
 
 # --- URL/domain analytics ---------------------------------------------------

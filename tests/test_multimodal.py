@@ -200,7 +200,7 @@ def test_jpeg_header_parse_and_errors():
 
 def test_decode_payload_real_png_path():
     """fake=False is now REAL for PNG images; still gated for the
-    codecs the environment lacks."""
+    compressed codecs the environment lacks."""
     import numpy as np
 
     from kafka_spark_streaming_app_spark.operators.imagecodec import (
@@ -210,8 +210,169 @@ def test_decode_payload_real_png_path():
     img = np.full((4, 5), 7, dtype=np.uint8)
     out = decode_payload(encode_png(img), "image", fake=False)
     assert (out == img).all()
-    with pytest.raises(NotImplementedError, match="non-PNG"):
+    with pytest.raises(NotImplementedError, match="compressed"):
         decode_payload(b"raw-bytes", "audio", fake=False)
+
+
+def test_wav_roundtrip_header_and_foreign_encoder():
+    """Our decoder round-trips our encoder AND the stdlib ``wave``
+    module's output (a genuinely foreign RIFF writer)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from kafka_spark_streaming_app_spark.operators.avcodec import (
+        decode_wav,
+        encode_wav,
+        parse_wav_header,
+    )
+
+    samples = (np.arange(200, dtype=np.int64) * 997 % 65536 - 32768).astype(
+        np.int16
+    )
+    data = encode_wav(samples, 16000)
+    hdr = parse_wav_header(data)
+    assert hdr == {
+        "format": "wav", "audio_format": 1, "channels": 1,
+        "sample_rate": 16000, "bit_depth": 16, "n_frames": 200,
+    }
+    out, hdr2 = decode_wav(data)
+    assert (out == samples).all() and hdr2["sample_rate"] == 16000
+
+    # foreign encoder: stdlib wave writes the same PCM stream
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(samples.tobytes())
+    foreign, fhdr = decode_wav(buf.getvalue())
+    assert (foreign == samples).all() and fhdr["n_frames"] == 200
+
+    # and stdlib wave reads OUR bytes back (round trip both ways)
+    with wave.open(io.BytesIO(data), "rb") as r:
+        assert r.getframerate() == 16000 and r.getnframes() == 200
+        assert r.readframes(200) == samples.tobytes()
+
+
+def test_wav_error_paths():
+    import numpy as np
+
+    from kafka_spark_streaming_app_spark.operators.avcodec import (
+        decode_wav,
+        encode_wav,
+        parse_wav_header,
+    )
+
+    with pytest.raises(ValueError, match="RIFF"):
+        parse_wav_header(b"not audio")
+    with pytest.raises(ValueError, match="multiple of channels"):
+        encode_wav(np.zeros(3, dtype=np.int16), 8000, channels=2)
+    # 8-bit PCM is honestly unsupported
+    eight_bit = encode_wav(np.zeros(4, dtype=np.int16), 8000)
+    patched = bytearray(eight_bit)
+    patched[34] = 8  # fmt chunk bits-per-sample field
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        decode_wav(bytes(patched))
+
+
+def test_y4m_roundtrip_header_and_frame_stats():
+    import numpy as np
+
+    from kafka_spark_streaming_app_spark.operators.avcodec import (
+        decode_y4m,
+        encode_y4m,
+        parse_y4m_header,
+    )
+
+    frames = (
+        np.arange(3 * 6 * 10, dtype=np.int64).reshape(3, 6, 10) % 256
+    ).astype(np.uint8)
+    data = encode_y4m(frames, fps_num=30, fps_den=1)
+    hdr = parse_y4m_header(data)
+    assert (hdr["width"], hdr["height"], hdr["n_frames"]) == (10, 6, 3)
+    assert hdr["fps_num"] == 30 and hdr["colorspace"] == "Cmono"
+    out, _ = decode_y4m(data)
+    assert (out == frames).all()
+
+    # foreign-parameter header (different token order, extra params)
+    alt = b"YUV4MPEG2 F25:1 H2 W3 Ip A1:1 Cmono XCOMMENT\nFRAME\n" + bytes(
+        range(6)
+    )
+    out2, hdr2 = decode_y4m(alt)
+    assert out2.shape == (1, 2, 3) and out2.flatten().tolist() == list(range(6))
+    assert hdr2["n_frames"] == 1
+
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        parse_y4m_header(b"RIFFxxxx")
+    with pytest.raises(NotImplementedError, match="C420"):
+        decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C420\n" + b"FRAME\n" + bytes(24))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_y4m(b"YUV4MPEG2 W4 H4 Cmono\nFRAME\n" + bytes(3))
+
+
+def test_decode_payload_real_audio_video_paths():
+    import numpy as np
+
+    from kafka_spark_streaming_app_spark.operators.avcodec import (
+        encode_wav,
+        encode_y4m,
+    )
+
+    samples = np.array([1, -2, 3], dtype=np.int16)
+    assert (
+        decode_payload(encode_wav(samples, 8000), "audio", fake=False)
+        == samples
+    ).all()
+    frames = np.zeros((2, 4, 4), dtype=np.uint8)
+    out = decode_payload(encode_y4m(frames), "video", fake=False)
+    assert out.shape == (2, 4, 4) and (out == 0).all()
+
+
+def test_synthesized_audio_video_media_decode(spark, sf_smoke):
+    """End-to-end through Spark: real WAV/Y4M fixture rows decode to
+    the closed-form stats."""
+    from kafka_spark_streaming_app_spark.operators.multimodal import (
+        decode_audio_stats,
+        decode_video_frame_stats,
+        synthesize_audio_media,
+        synthesize_video_media,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents").limit(12)
+    audio = {
+        r["media_id"]: r.asDict()
+        for r in decode_audio_stats(synthesize_audio_media(docs)).collect()
+    }
+    assert len(audio) == 12
+    for mid, a in audio.items():
+        n = mid % 480 + 32
+        rate = 8000 * (mid % 3 + 1)
+        assert a["n_samples"] == n and a["sample_rate"] == rate
+        assert a["duration_ms"] == n * 1000 // rate
+        assert a["amp_sum"] == sum(
+            (mid * 7919 + i * 131) % 65536 - 32768 for i in range(n)
+        )
+
+    vids = decode_video_frame_stats(
+        synthesize_video_media(docs), every_n=2
+    ).collect()
+    by_media = {}
+    for r in vids:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for mid, rows in by_media.items():
+        nf = mid % 6 + 2
+        assert [r["frame_idx"] for r in sorted(rows, key=lambda r: r["frame_idx"])] == list(range(0, nf, 2))
+        w, h = mid % 16 + 8, mid % 8 + 8
+        r0 = rows[0]
+        assert r0["width"] == w and r0["height"] == h
+        expected = sum(
+            (mid + 7 * r0["frame_idx"] + 3 * y + x) % 256
+            for y in range(h)
+            for x in range(w)
+        )
+        assert r0["luma_sum"] == expected
 
 
 def test_synthesized_image_media_decodes(spark, sf_smoke):
