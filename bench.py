@@ -75,6 +75,9 @@ HEADLINE = [
     "text_bm25_topk",
     "winnow_fingerprints",
     "streaming_chained_windows",
+    "triangle_count",
+    "zorder_layout",
+    "grouped_wavg_pandas",
 ]
 
 

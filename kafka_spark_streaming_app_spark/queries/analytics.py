@@ -415,6 +415,119 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- triangle counting / clustering coefficient -----------------------------
+
+_TRIANGLE_ORACLE = """
+WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e AS (
+    SELECT a.l_partkey AS u, b.l_partkey AS v
+    FROM items a
+    JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY u, v
+    HAVING count(*) >= 2
+),
+deg AS (
+    SELECT node, count(*) AS d
+    FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+    GROUP BY node
+),
+tri AS (
+    SELECT count(*) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.u = e1.v
+    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+nodes AS (
+    SELECT count(*) AS n_nodes,
+           CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+    FROM deg
+),
+edges AS (SELECT count(*) AS n_edges FROM e)
+SELECT
+    CAST(n_nodes AS BIGINT) AS n_nodes,
+    CAST(n_edges AS BIGINT) AS n_edges,
+    CAST(n_triangles AS BIGINT) AS n_triangles,
+    n_wedges,
+    CASE WHEN n_wedges > 0
+         THEN (3.0 * n_triangles) / n_wedges ELSE 0.0 END
+        AS global_clustering
+FROM nodes, edges, tri
+"""
+
+
+@query("triangle_count", _TRIANGLE_ORACLE)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + global clustering coefficient over the
+    co-purchase graph. Edges are id-oriented (u < v) so each triangle
+    is enumerated exactly once by the two-hop equi-join
+    e1(u,v) ⋈ e2(v,w) ⋈ e3(u,w) — wedge generation is bounded by
+    per-node out-degree under the orientation, and at 100 TB the
+    standard upgrade is DEGREE orientation (low-degree → high-degree,
+    provably ≤ O(m^1.5) wedges) — same plan, different sort key.
+    Wedge totals come from exact integer degree arithmetic; the only
+    double is one final division. The shared edge list is barriered
+    (localCheckpoint) so the corpus self-join isn't re-expanded by its
+    four consumers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u"))
+            & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nodes = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.when(
+                F.col("n_wedges") > 0,
+                (F.lit(3.0) * F.col("n_triangles")) / F.col("n_wedges"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("global_clustering"),
+        )
+    )
+
+
 # --- trailing-window anomaly detection --------------------------------------
 
 _ANOMALY_ORACLE = """

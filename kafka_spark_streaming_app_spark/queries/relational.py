@@ -1091,3 +1091,87 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("lo"),
         F.max("o_totalprice").alias("hi"),
     )
+
+
+# --- z-order (Morton) layout for data skipping ------------------------------
+#
+# The 100 TB layout lever: sorting files by an interleaved-bit key
+# makes min/max footer stats tight on BOTH dimensions at once, so
+# two-dimensional predicates (customer AND date) prune files that a
+# single-column sort could only prune on its leading key.  The bit
+# interleave is pure integer arithmetic, generated identically for
+# both engines; the per-bucket ledger below is exactly the min/max
+# span a reader consults to skip.
+
+_Z_BITS = 10
+
+
+def _morton_terms(x: str, y: str, shiftfmt) -> str:
+    terms = [shiftfmt(x, k, 2 * k) for k in range(_Z_BITS)]
+    terms += [shiftfmt(y, k, 2 * k + 1) for k in range(_Z_BITS)]
+    return " + ".join(terms)
+
+
+_MORTON_SPARK = _morton_terms(
+    "x", "y",
+    lambda c, k, p: f"shiftleft(shiftright({c}, {k}) % 2, {p})",
+)
+_MORTON_DUCK = _morton_terms(
+    "x", "y",
+    lambda c, k, p: f"((({c} >> {k}) % 2) << {p})",
+)
+
+_ZORDER_ORACLE = f"""
+WITH dims AS (
+    SELECT
+        o_custkey % 1024 AS x,
+        CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             AS BIGINT) % 1024 AS y
+    FROM orders
+),
+z AS (
+    SELECT x, y, {_MORTON_DUCK} AS zval FROM dims
+)
+SELECT
+    zval >> 12 AS z_bucket,
+    count(*) AS n_rows,
+    CAST(min(x) AS BIGINT) AS min_x,
+    CAST(max(x) AS BIGINT) AS max_x,
+    CAST(min(y) AS BIGINT) AS min_y,
+    CAST(max(y) AS BIGINT) AS max_y
+FROM z
+GROUP BY z_bucket
+"""
+
+
+@query("zorder_layout", _ZORDER_ORACLE)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (customer, order-day) plus
+    the per-bucket min/max ledger that data skipping reads. The
+    interleave is 20 shift-mask-add terms of whole-stage-codegen
+    integer arithmetic — zero Python, zero shuffle until the one
+    bucket aggregation. Feed ``zval`` to ``write_sorted_parquet`` to
+    materialize the layout; this query proves the key and the pruning
+    spans cross-engine."""
+    o = load_table(spark, sf_dir, "orders")
+    dims = o.select(
+        (F.col("o_custkey") % 1024).alias("x"),
+        (
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01")
+            ).cast("bigint")
+            % 1024
+        ).alias("y"),
+    )
+    z = dims.select("x", "y", F.expr(_MORTON_SPARK).alias("zval"))
+    return (
+        z.select(F.expr("zval >> 12").alias("z_bucket"), "x", "y")
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+    )
