@@ -47,6 +47,12 @@ NOTES = {
     "cms_heavy_hitters": "d bucketed counts off one barriered token explode; heavy candidates probe the 4096-counter sketch via broadcast joins.",
     "bloom_membership_audit": "bit_or build -> one packed-array row broadcast onto the probe scan; membership check is row-local bit math.",
     "data_quality_audit": "Union of independent per-table aggregates/anti-joins — each check scans its table once.",
+    "text_bm25_topk": "Inverted-index retrieval: postings (tf) barriered and joined by TERM key; query terms, df, and the 1-row N/L stats broadcast; scoring is exact-integer div, top-5 via per-query window.",
+    "winnow_fingerprints": "One shingle explode -> pack hash+pos into one int64 -> BOTH window functions (min, count) share a single doc-keyed shuffle+sort -> distinct. No joins, no corpus-wide state.",
+    "triangle_count": "Edge list built once behind a barrier; id-oriented two-hop equi-join enumerates each triangle once; wedges from exact integer degree math; 1-row branches broadcast-crossed.",
+    "zorder_layout": "20 shift-mask-add Morton terms fuse into the codegen'd scan projection; single bucket aggregation is the only shuffle.",
+    "grouped_wavg_pandas": "GROUPED_AGG pandas_udf plans as a regular partial/final hash aggregate with Arrow batches through Python; inputs pre-cast to exact int64 on the scan.",
+    "multimodal_audio_decode": "Real RIFF/WAV PCM decode inside one Arrow-batched mapInPandas over the pruned (id, payload) projection — zero shuffle; exact integer stats leave Python.",
 }
 
 

@@ -532,3 +532,54 @@ def test_scd2_total_is_broadcast_not_global_window(spark, sf_smoke):
     assert "Window" not in plan, (
         "global total regressed to a single-partition window"
     )
+
+
+def test_winnow_windows_share_one_shuffle(spark, sf_smoke):
+    """Both window functions (min-pack, count) must ride ONE doc-keyed
+    Exchange+Sort, and the trailing distinct must reuse that
+    partitioning rather than adding a second shuffle."""
+    plan = plan_str(registry.QUERIES["winnow_fingerprints"](spark, sf_smoke))
+    assert plan.count("Window") >= 1
+    n_exchange = plan.count("+- Exchange") + plan.count(":- Exchange")
+    assert n_exchange == 1, (
+        f"winnowing should shuffle exactly once (doc key); got {n_exchange}"
+    )
+
+
+def test_zorder_morton_is_single_aggregation_scan(spark, sf_smoke):
+    """The Morton interleave must fuse into the scan projection — one
+    Exchange for the bucket aggregation, nothing else."""
+    plan = plan_str(registry.QUERIES["zorder_layout"](spark, sf_smoke))
+    n_exchange = plan.count("+- Exchange") + plan.count(":- Exchange")
+    assert n_exchange == 1, f"zorder expects one shuffle, got {n_exchange}"
+    assert "Join" not in plan
+
+
+def test_bm25_broadcasts_small_sides_topk_grouplimit(spark, sf_smoke):
+    """Query terms / df / 1-row stats broadcast onto the postings
+    table; the per-query top-5 must plan as WindowGroupLimit (rank
+    pushdown), not a full window materialization."""
+    plan = plan_str(registry.QUERIES["text_bm25_topk"](spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_grouped_wavg_is_arrow_aggregate(spark, sf_smoke):
+    """The GROUPED_AGG pandas_udf must plan as the Arrow aggregate
+    operator (not grouped-map over collected groups)."""
+    plan = plan_str(registry.QUERIES["grouped_wavg_pandas"](spark, sf_smoke))
+    assert "ArrowAggregatePython" in plan or "AggregateInPandas" in plan
+    n_exchange = plan.count("+- Exchange") + plan.count(":- Exchange")
+    assert n_exchange == 1, f"UDAF expects one shuffle, got {n_exchange}"
+
+
+def test_triangle_edges_checkpointed_once(spark, sf_smoke):
+    """The edge list feeds four consumers; the localCheckpoint barrier
+    must stop the order-keyed self-join from re-expanding per branch —
+    the scan of lineitem appears in the plan at most once (the barrier
+    turns the other references into ExistingRDD scans)."""
+    plan = plan_str(registry.QUERIES["triangle_count"](spark, sf_smoke))
+    assert plan.count("Scan parquet") <= 1, (
+        "edge-list subtree re-expanded: lineitem scanned more than once"
+    )
