@@ -820,3 +820,83 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cms_estimate"
         ),
     )
+
+
+# --- winsorization (outlier clipping) ---------------------------------------
+#
+# Bounds are ORDER STATISTICS (type-1 quantiles: the element at rank
+# 1 + floor(q*(n-1)), no interpolation), so both engines pick the same
+# stored value and clipping is exact — interpolated percentile_cont
+# would put a lerp between engines. At 100 TB the bounds come from
+# approx_percentile or the equi-depth prefix-sum path instead; this is
+# the exactness anchor for that swap (same contract as
+# equidepth_histogram).
+
+_WINSOR_ORACLE = """
+WITH ranked AS (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+),
+bounds AS (
+    SELECT event_type,
+           min(CASE WHEN rn = 1 + CAST(floor(0.01 * (n - 1)) AS BIGINT)
+                    THEN value END) AS lo,
+           min(CASE WHEN rn = 1 + CAST(floor(0.99 * (n - 1)) AS BIGINT)
+                    THEN value END) AS hi
+    FROM ranked GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       least(greatest(e.value, b.lo), b.hi) AS value_clipped,
+       (e.value < b.lo OR e.value > b.hi) AS was_clipped
+FROM events e
+JOIN bounds b ON b.event_type = e.event_type
+"""
+
+
+@query("winsorize_values", _WINSOR_ORACLE)
+def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization: clip values to the exact p01/p99 order
+    statistics. One window pass ranks within each group, the tiny
+    per-group bounds table broadcasts back onto the fact scan, and the
+    clip itself is row-local codegen (least/greatest)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    wr = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = events.select(
+        "event_type",
+        "value",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    bounds = ranked.groupBy("event_type").agg(
+        F.min(
+            F.when(
+                F.col("rn")
+                == 1 + F.floor(0.01 * (F.col("n") - 1)).cast("bigint"),
+                F.col("value"),
+            )
+        ).alias("lo"),
+        F.min(
+            F.when(
+                F.col("rn")
+                == 1 + F.floor(0.99 * (F.col("n") - 1)).cast("bigint"),
+                F.col("value"),
+            )
+        ).alias("hi"),
+    )
+    return events.join(F.broadcast(bounds), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias(
+            "value_clipped"
+        ),
+        ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).alias(
+            "was_clipped"
+        ),
+    )

@@ -119,3 +119,98 @@ def streaming_view_purchase_join(
     return _run_to_table(
         spark, joined, output_mode="append", shuffle_partitions=8
     )
+
+
+# LEFT OUTER adds the state-EXPIRY semantic the inner join never
+# exercises: a view with no purchase emits NULL-padded only once the
+# watermark proves no match can arrive — i.e. its state evicted. With
+# a finite replay the final watermark is max_ts − 30 s, so exactly the
+# unmatched views whose 2 h window closed before it are emitted; later
+# unmatched views are (correctly) never released. The oracle states
+# that bound explicitly.
+_SS_LEFT_ORACLE = """
+WITH wm AS (
+    SELECT max(ts) - INTERVAL 30 SECOND AS w FROM events
+),
+v AS (SELECT * FROM events WHERE event_type = 'view'),
+p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+matched AS (
+    SELECT v.user_id,
+           v.event_id AS view_event_id,
+           p.event_id AS purchase_event_id,
+           v.ts AS view_ts,
+           p.ts AS purchase_ts,
+           p.value AS amount
+    FROM v
+    JOIN p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 2 HOUR
+),
+unmatched AS (
+    SELECT v.user_id,
+           v.event_id AS view_event_id,
+           CAST(NULL AS BIGINT) AS purchase_event_id,
+           v.ts AS view_ts,
+           CAST(NULL AS TIMESTAMP) AS purchase_ts,
+           CAST(NULL AS DOUBLE) AS amount
+    FROM v
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.user_id = v.user_id
+          AND p.ts >= v.ts
+          AND p.ts <= v.ts + INTERVAL 2 HOUR
+    )
+      AND v.ts + INTERVAL 2 HOUR < (SELECT w FROM wm)
+)
+SELECT * FROM matched
+UNION ALL
+SELECT * FROM unmatched
+"""
+
+
+@query("streaming_view_purchase_left_join", _SS_LEFT_ORACLE)
+def streaming_view_purchase_left_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEFT OUTER stream-stream join through the real engine: matches
+    emit like the inner join; a NULL-padded row emits only when the
+    watermark passes the view's join window (state eviction = proof of
+    no-match). The oracle enumerates both populations — the batch left
+    join restricted by the final watermark bound — so the driver hash
+    checks the engine's outer-row release machinery."""
+    views = (
+        _events_as_wire_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select("user_id", "event_id", "event_timestamp")
+    )
+    purchases = (
+        _events_as_wire_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("amount"),
+            F.col("event_timestamp").alias("purchase_ts"),
+        )
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("event_timestamp"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("event_timestamp") + F.expr(f"INTERVAL {_JOIN_WINDOW}")
+        ),
+        "left_outer",
+    ).select(
+        "user_id",
+        F.col("event_id").alias("view_event_id"),
+        "purchase_event_id",
+        F.col("event_timestamp").alias("view_ts"),
+        "purchase_ts",
+        "amount",
+    )
+    return _run_to_table(
+        spark, joined, output_mode="append", shuffle_partitions=8
+    )

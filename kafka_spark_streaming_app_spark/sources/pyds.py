@@ -32,7 +32,10 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 # the reference's 5-product catalog (ecommerce_data_producer.py:48-54)
@@ -128,8 +131,116 @@ class _WireStreamReader(DataSourceStreamReader):
         pass
 
 
+# --------------------------------------------------------------------------
+# Writer faces: the broker-less Kafka SINK twin. Two-phase commit over a
+# shared filesystem: tasks write unique temp files and return commit
+# messages; the DRIVER renames them into place (batch: all-or-nothing
+# with optional truncate; streaming: per-batch manifest making replayed
+# micro-batches idempotent — the exactly-once file-sink contract).
+# Assumes a filesystem all tasks can reach (local[*] here; object store
+# or DFS on a cluster — same protocol, that's the point of the design).
+# --------------------------------------------------------------------------
+
+
+class _WireCommit(WriterCommitMessage):
+    def __init__(self, tmp_path: str, final_name: str, n_rows: int):
+        self.tmp_path = tmp_path
+        self.final_name = final_name
+        self.n_rows = n_rows
+
+
+def _write_part(path: str, iterator) -> _WireCommit:
+    import os
+    import uuid
+
+    os.makedirs(path, exist_ok=True)
+    name = f"part-{uuid.uuid4().hex}.jsonl"
+    tmp = os.path.join(path, f"_tmp_{name}")
+    n = 0
+    with open(tmp, "w") as f:
+        for row in iterator:
+            f.write((row.value or "") + "\n")
+            n += 1
+    return _WireCommit(tmp, name, n)
+
+
+def _cleanup(messages) -> None:
+    import contextlib
+    import os
+
+    for m in messages:
+        if m is not None:
+            with contextlib.suppress(OSError):
+                os.remove(m.tmp_path)
+
+
+class _WireBatchWriter(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("wire_replay sink requires a 'path' option")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _WireCommit:
+        return _write_part(self.path, iterator)
+
+    def commit(self, messages) -> None:
+        import glob
+        import os
+
+        if self.overwrite:
+            for old in glob.glob(os.path.join(self.path, "part-*.jsonl")):
+                os.remove(old)
+        for m in messages:
+            if m is not None:
+                os.replace(
+                    m.tmp_path, os.path.join(self.path, m.final_name)
+                )
+
+    def abort(self, messages) -> None:
+        _cleanup(messages)
+
+
+class _WireStreamWriter(DataSourceStreamWriter):
+    """Per-batch manifest (`_batches.log`: one line per committed
+    batchId) makes a replayed micro-batch a no-op: its temp files are
+    discarded instead of renamed, so restarts never double-write."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("wire_replay sink requires a 'path' option")
+
+    def write(self, iterator) -> _WireCommit:
+        return _write_part(self.path, iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        import os
+
+        log = os.path.join(self.path, "_batches.log")
+        committed = set()
+        if os.path.exists(log):
+            with open(log) as f:
+                committed = {line.strip() for line in f if line.strip()}
+        if str(batchId) in committed:
+            _cleanup(messages)
+            return
+        for m in messages:
+            if m is not None:
+                os.replace(
+                    m.tmp_path, os.path.join(self.path, m.final_name)
+                )
+        with open(log, "a") as f:
+            f.write(f"{batchId}\n")
+
+    def abort(self, messages, batchId: int) -> None:
+        _cleanup(messages)
+
+
 class WireReplayDataSource(DataSource):
-    """``wire_replay``: batch + streaming JSON wire-format source."""
+    """``wire_replay``: batch + streaming JSON wire-format source AND
+    sink (read: deterministic generator; write: two-phase-commit
+    JSON-lines directory)."""
 
     @classmethod
     def name(cls) -> str:
@@ -143,6 +254,22 @@ class WireReplayDataSource(DataSource):
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         return _WireStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        names = [f.name for f in schema.fields]
+        if "value" not in names:
+            raise ValueError(
+                f"wire_replay sink expects a 'value' string column, got {names}"
+            )
+        return _WireBatchWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> DataSourceStreamWriter:
+        names = [f.name for f in schema.fields]
+        if "value" not in names:
+            raise ValueError(
+                f"wire_replay sink expects a 'value' string column, got {names}"
+            )
+        return _WireStreamWriter(self.options)
 
 
 def register_wire_replay(spark) -> None:

@@ -221,3 +221,115 @@ def test_producer_client_config_security():
     assert cfg["sasl_plain_username"] == "svc"
     assert cfg["sasl_plain_password"] == "secret"
     assert cfg["request_timeout_ms"] == 30000
+
+
+def test_wire_replay_sink_batch_write_roundtrip(tmp_path, spark):
+    """Batch writer face: two-phase commit (temp files renamed by the
+    driver) — written rows read back exactly; overwrite truncates."""
+    import json
+
+    from kafka_spark_streaming_app_spark.sources.pyds import (
+        register_wire_replay,
+        wire_order_at,
+    )
+
+    register_wire_replay(spark)
+    out = str(tmp_path / "wire_out")
+    src = (
+        spark.read.format("wire_replay")
+        .option("rows", 60)
+        .option("numPartitions", 3)
+        .load()
+    )
+    src.write.format("wire_replay").option("path", out).mode("append").save()
+    back = [json.loads(r["value"]) for r in spark.read.text(out).collect()]
+    want = sorted(
+        (wire_order_at(i) for i in range(60)), key=lambda o: o["order_id"]
+    )
+    assert sorted(back, key=lambda o: o["order_id"]) == want
+    # no stray temp files survive commit
+    assert not list(tmp_path.glob("wire_out/_tmp_*"))
+
+    # overwrite replaces, never appends
+    src.limit(0).write.format("wire_replay").option("path", out).mode(
+        "overwrite"
+    ).save()
+    assert spark.read.text(out).count() == 0
+
+
+def test_wire_replay_sink_rejects_wrong_schema(tmp_path, spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from kafka_spark_streaming_app_spark.sources.pyds import (
+        register_wire_replay,
+    )
+
+    register_wire_replay(spark)
+    df = spark.range(3).selectExpr("id AS not_value")
+    with pytest.raises(Exception, match="value"):
+        df.write.format("wire_replay").option(
+            "path", str(tmp_path / "bad")
+        ).mode("append").save()
+
+
+def test_wire_replay_sink_streaming_exactly_once(tmp_path, spark):
+    """Streaming writer face: the per-batch manifest commits each
+    micro-batch once; a REPLAYED commit (same batchId) is discarded,
+    so restarts cannot double-write."""
+    import json
+    import uuid
+
+    from kafka_spark_streaming_app_spark.sources.pyds import (
+        _WireCommit,
+        _WireStreamWriter,
+        register_wire_replay,
+        wire_order_at,
+    )
+
+    register_wire_replay(spark)
+    out = str(tmp_path / "stream_out")
+    stream = (
+        spark.readStream.format("wire_replay")
+        .option("rows", 300)
+        .option("rowsPerBatch", 100)
+        .option("numPartitions", 2)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("wire_replay")
+        .option("path", out)
+        .option(
+            "checkpointLocation", str(tmp_path / f"ckpt_{uuid.uuid4().hex[:6]}")
+        )
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = [
+        json.loads(r["value"])
+        for r in spark.read.text(out).filter("value != ''").collect()
+    ]
+    want = sorted(
+        (wire_order_at(i) for i in range(300)), key=lambda o: o["order_id"]
+    )
+    assert sorted(back, key=lambda o: o["order_id"]) == want
+
+    # replayed commit: same batchId again -> temp files discarded
+    w = _WireStreamWriter({"path": out})
+
+    class _Row:
+        value = '{"replayed": true}'
+
+    msg = w.write(iter([_Row()]))
+    n_before = spark.read.text(out).count()
+    with open(f"{out}/_batches.log") as f:
+        replay_id = int(f.read().splitlines()[0])
+    w.commit([msg], replay_id)
+    assert spark.read.text(out).count() == n_before
+    import glob
+
+    assert not glob.glob(f"{out}/_tmp_*")
