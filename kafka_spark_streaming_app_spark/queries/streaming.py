@@ -479,3 +479,70 @@ def streaming_windowed_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         stabilize_sums=True,
     ).drop("unique_customers", "avg_order_value", "max_order_value", "min_order_value")
     return _run_to_table(spark, agg, output_mode="append")
+
+
+# Custom stateful sessionization with EVENT-TIME TIMEOUT: a session
+# emits once — when a successor event closes it (gap exceeded) or when
+# the watermark passes last_event + gap (state timeout). Open trailing
+# sessions are never emitted. The oracle enumerates exactly that set:
+# every non-final session per user (successor-closed) plus final
+# sessions whose gap window closed before the final watermark.
+_TIMEOUT_SESSIONS_ORACLE = """
+WITH wm AS (
+    SELECT max(ts) - INTERVAL 30 SECOND AS w FROM events
+),
+ordered AS (
+    SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1
+                ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+    SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+    FROM ordered
+),
+agg AS (
+    SELECT user_id, sid,
+           min(ts) AS start_ts,
+           max(ts) AS last_ts,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM sess
+    GROUP BY user_id, sid
+),
+flagged AS (
+    SELECT *, max(sid) OVER (PARTITION BY user_id) AS max_sid FROM agg
+)
+SELECT user_id,
+       epoch_us(start_ts) AS session_start_us,
+       epoch_us(last_ts) AS session_last_us,
+       n_events,
+       total_cents,
+       CASE WHEN sid < max_sid THEN 'successor' ELSE 'timeout' END
+           AS closed_by
+FROM flagged
+WHERE sid < max_sid
+   OR last_ts + INTERVAL 30 MINUTE < (SELECT w FROM wm)
+"""
+
+
+@query("streaming_timeout_sessions", _TIMEOUT_SESSIONS_ORACLE)
+def streaming_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization rebuilt on raw ``applyInPandasWithState`` with
+    EventTimeTimeout — the custom-stateful-operator semantic the
+    built-in ``session_window`` hides: gap-exceeded successors close
+    sessions inside the batch; the WATERMARK closes trailing sessions
+    via ``state.hasTimedOut``; still-open sessions never emit. The
+    oracle enumerates both closed populations, so the driver hash
+    checks the timeout machinery itself."""
+    from ..streaming.stateful import timeout_sessions
+
+    stream = _events_as_wire_stream(spark, sf_dir)
+    sessions = timeout_sessions(stream, gap_minutes=30)
+    return _run_to_table(
+        spark, sessions, output_mode="append", shuffle_partitions=8
+    )

@@ -176,3 +176,111 @@ def category_spend_tracker(orders: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+# --- event-time-timeout sessionization --------------------------------------
+
+TIMEOUT_SESSIONS_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("session_start_us", T.LongType(), True),
+        T.StructField("session_last_us", T.LongType(), True),
+        T.StructField("n_events", T.LongType(), True),
+        T.StructField("total_cents", T.LongType(), True),
+        T.StructField("closed_by", T.StringType(), True),  # successor|timeout
+    ]
+)
+
+TIMEOUT_SESSIONS_STATE = T.StructType(
+    [
+        T.StructField("start_us", T.LongType(), True),
+        T.StructField("last_us", T.LongType(), True),
+        T.StructField("n_events", T.LongType(), True),
+        T.StructField("total_cents", T.LongType(), True),
+    ]
+)
+
+
+def timeout_sessions(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "event_timestamp",
+    amount_col: str = "amount",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Custom sessionization with EVENT-TIME TIMEOUT: the semantics of
+    ``session_window`` rebuilt on raw ``applyInPandasWithState`` state
+    — a session closes either when a later event from the same key
+    exceeds the gap (emitted in that batch, ``closed_by='successor'``)
+    or when the WATERMARK passes its last event + gap
+    (``state.hasTimedOut`` → emitted and state removed,
+    ``closed_by='timeout'``). Open trailing sessions are never emitted
+    — exactly the guarantee a production session feed needs (a session
+    emits once, only when provably complete).
+
+    Exactness: timestamps ride as integer microseconds and amounts as
+    integer cents, so emitted rows are bit-comparable to a SQL oracle.
+    State is O(1) per key; the shuffle is the single groupBy(key).
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        cols = [
+            "user_id", "session_start_us", "session_last_us",
+            "n_events", "total_cents", "closed_by",
+        ]
+
+        def row(start, last, n, cents, how):
+            return {
+                "user_id": key[0],
+                "session_start_us": start,
+                "session_last_us": last,
+                "n_events": n,
+                "total_cents": cents,
+                "closed_by": how,
+            }
+
+        if state.hasTimedOut:
+            start, last, n, cents = state.get
+            state.remove()
+            yield pd.DataFrame([row(start, last, n, cents, "timeout")], columns=cols)
+            return
+
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(ts_col)
+        ts_us = (batch[ts_col].astype("int64") // 1000).tolist()
+        cents_list = (
+            (batch[amount_col] * 100).round().astype("int64").tolist()
+        )
+        cur = list(state.get) if state.exists else None
+        out = []
+        for t, c in zip(ts_us, cents_list):
+            if cur is None:
+                cur = [t, t, 1, c]
+            elif t - cur[1] <= gap_us:
+                cur[1] = t
+                cur[2] += 1
+                cur[3] += c
+            else:
+                out.append(row(cur[0], cur[1], cur[2], cur[3], "successor"))
+                cur = [t, t, 1, c]
+        state.update(tuple(cur))
+        # wake up when the watermark proves no successor can extend it
+        state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+        yield pd.DataFrame(out, columns=cols)
+
+    return (
+        events.select(key_col, ts_col, amount_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=TIMEOUT_SESSIONS_OUTPUT,
+            stateStructType=TIMEOUT_SESSIONS_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -426,3 +426,21 @@ def test_foreach_batch_incremental_rollup_equals_batch(spark):
     }
     assert maintained == want
     assert len(want) == 4  # 10h/view, 11h/click, 11h/view, 12h/view
+
+
+def test_timeout_sessions_emits_both_close_paths(spark, sf_smoke):
+    """Non-vacuity for the event-time-timeout sessionizer: the replay
+    must exercise BOTH close paths (successor-closed mid-stream AND
+    watermark-timeout at the tail) and never emit an open session."""
+    from kafka_spark_streaming_app_spark.registry import QUERIES, load_all
+
+    load_all()
+    out = QUERIES["streaming_timeout_sessions"](spark, sf_smoke)
+    by = {r["closed_by"]: r for r in out.collect()}
+    counts = out.groupBy("closed_by").count().collect()
+    got = {r["closed_by"]: r["count"] for r in counts}
+    assert got.get("successor", 0) > 0, "no successor-closed sessions"
+    assert got.get("timeout", 0) > 0, "no watermark-timeout sessions"
+    # every emitted session is provably closed: last + gap is either
+    # below the final watermark (timeout) or a successor existed
+    assert set(got) == {"successor", "timeout"}
