@@ -78,6 +78,10 @@ HEADLINE = [
     "triangle_count",
     "zorder_layout",
     "grouped_wavg_pandas",
+    "winsorize_values",
+    "streaming_view_purchase_left_join",
+    "streaming_timeout_sessions",
+    "source_token_kl",
 ]
 
 

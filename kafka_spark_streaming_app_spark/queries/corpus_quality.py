@@ -166,3 +166,89 @@ def contamination_check_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         flag_threshold=_C_THRESHOLD,
         rebalance_partitions=spark.sparkContext.defaultParallelism,
     )
+
+
+# --- per-source KL divergence (data-mixing diagnostic) ----------------------
+#
+# KL(P_source || P_corpus) over token distributions — how far each
+# source's language drifts from the mix, the number a data-mixing run
+# watches when reweighting sources. Exactness discipline (the BM25 /
+# PageRank pattern): each term is floor-quantized to integer
+# nano-units, so the cross-token SUM — the only order-sensitive step —
+# adds exact int64 values. The ln argument is built from one division
+# of exact ≤2^53 integer products; every double op is a single IEEE
+# rounding both engines reproduce.
+
+_KL_ORACLE = f"""
+WITH tok AS (
+    SELECT source, unnest({TOKENS_SQL.format(x="text")}) AS tok
+    FROM documents
+),
+stf AS (
+    SELECT source, tok, count(*) AS tf FROM tok GROUP BY source, tok
+),
+stot AS (SELECT source, sum(tf) AS ts FROM stf GROUP BY source),
+ctf AS (SELECT tok, sum(tf) AS ctf FROM stf GROUP BY tok),
+ctot AS (SELECT sum(tf) AS tc FROM stf),
+terms AS (
+    SELECT s.source,
+           CAST(floor(
+               1e9 * (CAST(s.tf AS DOUBLE) / st.ts)
+                   * ln((CAST(s.tf AS DOUBLE) * c2.tc)
+                        / (CAST(st.ts AS DOUBLE) * c.ctf))
+           ) AS BIGINT) AS term_u
+    FROM stf s
+    JOIN stot st ON st.source = s.source
+    JOIN ctf c ON c.tok = s.tok
+    CROSS JOIN ctot c2
+)
+SELECT source,
+       CAST(sum(term_u) AS BIGINT) AS kl_nano,
+       CAST(sum(term_u) AS DOUBLE) / 1e9 AS kl_nats
+FROM terms
+GROUP BY source
+"""
+
+
+@query("source_token_kl", _KL_ORACLE)
+def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence from the corpus token mix. One token
+    explode feeds (source, token) counts behind a barrier; per-token
+    corpus totals attach by token key, the two scalar totals broadcast.
+    Every source present in the corpus has every one of its tokens in
+    the corpus distribution, so no zero-denominator terms exist by
+    construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..functions.hashing import tokens as _tokens
+
+    tok = docs.select("source", F.explode(_tokens("text")).alias("tok"))
+    stf = (
+        tok.groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    stot = stf.groupBy("source").agg(F.sum("tf").alias("ts"))
+    ctf = stf.groupBy("tok").agg(F.sum("tf").alias("ctf"))
+    ctot = stf.agg(F.sum("tf").alias("tc"))
+    terms = (
+        stf.join(F.broadcast(stot), "source")
+        .join(ctf, "tok")
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            "source",
+            F.floor(
+                F.lit(1e9)
+                * (F.col("tf").cast("double") / F.col("ts"))
+                * F.log(
+                    (F.col("tf").cast("double") * F.col("tc"))
+                    / (F.col("ts").cast("double") * F.col("ctf"))
+                )
+            )
+            .cast("bigint")
+            .alias("term_u"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.sum("term_u").alias("kl_nano"),
+        (F.sum("term_u").cast("double") / F.lit(1e9)).alias("kl_nats"),
+    )

@@ -53,6 +53,8 @@ NOTES = {
     "zorder_layout": "20 shift-mask-add Morton terms fuse into the codegen'd scan projection; single bucket aggregation is the only shuffle.",
     "grouped_wavg_pandas": "GROUPED_AGG pandas_udf plans as a regular partial/final hash aggregate with Arrow batches through Python; inputs pre-cast to exact int64 on the scan.",
     "multimodal_audio_decode": "Real RIFF/WAV PCM decode inside one Arrow-batched mapInPandas over the pruned (id, payload) projection — zero shuffle; exact integer stats leave Python.",
+    "winsorize_values": "One window pass ranks per group; the tiny bounds table broadcasts back onto the fact scan; the clip is row-local codegen.",
+    "source_token_kl": "One token explode behind a barrier; per-token corpus totals attach by token key; scalar totals broadcast; the only order-sensitive sum adds floor-quantized int64 terms.",
 }
 
 
