@@ -506,3 +506,49 @@ def similarity_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries_df, k=_SQ_K, rerank=_SQ_RERANK
     )
     return result.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+# --- ANN quality evaluation (recall@k vs the exact baseline) ----------------
+
+_RECALL_ORACLE = (
+    "WITH brute_full AS (" + _BRUTE_ORACLE + "),\n"
+    "ann AS (" + _ANN_ORACLE + ")\n"
+    + """
+SELECT b.query_id,
+       count(*) AS n_truth,
+       count(a.corpus_id) AS n_hit,
+       CAST(count(a.corpus_id) AS DOUBLE) / count(*) AS recall_at_5
+FROM (SELECT * FROM brute_full WHERE rank <= 5) b
+LEFT JOIN ann a
+  ON a.query_id = b.query_id AND a.corpus_id = b.corpus_id
+GROUP BY b.query_id
+"""
+)
+
+
+@query("ann_recall_eval", _RECALL_ORACLE)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the SRP-LSH index against the exact brute-force
+    baseline, per query — the eval harness an ANN deployment runs
+    after every index build, expressed as one dataflow over the two
+    existing pipelines (truth ∩ approx via left join on the pair key).
+    At 100 TB the same query runs over a SAMPLED query set; the
+    pipelines underneath keep their own scale postures."""
+    brute = similarity_topk_brute(spark, sf_dir).filter(F.col("rank") <= 5)
+    ann = similarity_ann_srp_lsh(spark, sf_dir).select(
+        F.col("query_id").alias("a_query_id"),
+        F.col("corpus_id").alias("a_corpus_id"),
+    )
+    joined = brute.join(
+        ann,
+        (F.col("query_id") == F.col("a_query_id"))
+        & (F.col("corpus_id") == F.col("a_corpus_id")),
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        F.count("a_corpus_id").alias("n_hit"),
+        (
+            F.count("a_corpus_id").cast("double") / F.count(F.lit(1))
+        ).alias("recall_at_5"),
+    )

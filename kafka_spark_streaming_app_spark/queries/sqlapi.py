@@ -110,3 +110,27 @@ def sql_recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     size, and each step is an equi-join on (custkey, orderkey)."""
     register_views(spark, sf_dir, ("orders",))
     return spark.sql(_RECURSIVE_CHAIN_SQL)
+
+
+_LATERAL_TOPK_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice, t.rk
+FROM customer c,
+LATERAL (
+    SELECT o_orderkey, o_totalprice,
+           row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk
+    FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 2
+) t
+"""
+
+
+@query("sql_lateral_topk", _LATERAL_TOPK_SQL)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (same text on both engines): the
+    top-2 orders per customer as a per-row dependent subplan —
+    Catalyst decorrelates it into the window-rank-filter plan rather
+    than executing per-row; deterministic via the orderkey tiebreak."""
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_LATERAL_TOPK_SQL)

@@ -83,9 +83,17 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = cpus
 
+    # Local mode runs every executor thread inside the driver JVM, and
+    # Spark's DEFAULT driver heap is 1g — a 32-thread local run at any
+    # real data size GC-thrashes long before it spills. Size the heap
+    # to the work (must be set before the JVM starts; a getOrCreate
+    # against an existing session leaves it unchanged). Overridable via
+    # SPARK_GRAFT_DRIVER_MEM; on a cluster spark-submit supplies it.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.sql.streaming.metricsEnabled", "true")

@@ -1,0 +1,105 @@
+"""Scale probe: wall-clock scaling of headline queries when the input
+grows Nx (default 8x), holding cores fixed.
+
+Builds a synthetic Nx dataset by materializing each sf0.1 table as a
+DIRECTORY of N file copies (hardlinks — zero extra disk) so Spark
+plans N times the splits over identical data, then times each probe
+query at 1x and Nx (min-of-2). A scale-safe plan shows time ratio ~N
+(linear work, fixed cores) or better; a super-linear ratio exposes a
+quadratic/skew term that would kill the operator at 100 TB.
+
+Interpretation caveats:
+- duplicated documents change DEDUP semantics (every doc gains N-1
+  exact twins), so probe queries are chosen from the linear families
+  (scan/agg/window/join/retrieval) where duplication just multiplies
+  rows;
+- local[32] has fixed parallelism — perfect scaling is ratio == N;
+  ratios below N mean the 1x run was underutilizing cores.
+
+Usage: python scripts/scale_probe.py [N]
+Prints one JSON line: {"scale": N, "queries": {name: {"t1": s,
+"tN": s, "ratio": r}}}
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+# Probes must be DUPLICATION-LINEAR: file duplication replicates JOIN
+# KEYS, so a fact-fact equi-join (e.g. lineitem ⋈ orders) fans out
+# N² per original pair — an artifact of the synthetic Nx build, not a
+# property of the plan (real Nx data has distinct keys). Scan / window
+# / aggregation / aggregated-key-join queries scale honestly here.
+PROBES = (
+    "windowed_agg_sliding",
+    "q1_pricing_summary",
+    "text_bm25_topk",
+    "winnow_fingerprints",
+    "zorder_layout",
+    "source_token_kl",
+)
+
+
+def build_scaled_dir(src_sf: str, n: int) -> str:
+    out = tempfile.mkdtemp(prefix=f"scale{n}x_")
+    for t in TABLES:
+        src = os.path.join(src_sf, f"{t}.parquet")
+        dst_dir = os.path.join(out, f"{t}.parquet")
+        os.makedirs(dst_dir)
+        for i in range(n):
+            dst = os.path.join(dst_dir, f"copy{i}.parquet")
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy(src, dst)
+    return out
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from kafka_spark_streaming_app_spark import registry
+    from kafka_spark_streaming_app_spark.session import get_spark
+
+    registry.load_all()
+    spark = get_spark(app_name=f"scale_probe_{n}x")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    scaled = build_scaled_dir(src, n)
+    try:
+        results = {}
+        for name in PROBES:
+            fn = registry.QUERIES[name]
+            times = {}
+            for label, sf_dir in (("t1", src), ("tN", scaled)):
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    best = min(best, time.perf_counter() - t0)
+                times[label] = round(best, 3)
+            times["ratio"] = round(times["tN"] / times["t1"], 2)
+            results[name] = times
+            print(f"\n# {name}: {times}", file=sys.stderr, flush=True)
+        print(json.dumps({"scale": n, "queries": results}))
+    finally:
+        shutil.rmtree(scaled, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -81,6 +81,11 @@ def assert_matches_oracle(
                 np.array_equal(g, w)
                 or bool(np.all((g == w) | (np.isnan(g) & np.isnan(w))))
             )
+        elif np.issubdtype(g.dtype, np.datetime64):
+            # NaT != NaT under ==; equal-null semantics like NaN above
+            ok = g.shape == w.shape and bool(
+                np.all((g == w) | (np.isnat(g) & np.isnat(w)))
+            )
         else:
             ok = np.array_equal(g, w)
         if not ok:
