@@ -140,14 +140,26 @@ def main() -> int:
     # reports the machine's capability, not the neighbor's interference
     N_RUNS = 2
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+
+    def run_once(name: str) -> float:
         fn = registry.QUERIES[name]
-        best = float("inf")
-        for _ in range(N_RUNS):
-            start = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - start
+
+    for name in HEADLINE:
+        timings[name] = round(min(run_once(name) for _ in range(N_RUNS)), 3)
+
+    # Contention shield: min-of-2 back-to-back runs shares one noise
+    # window, so a neighbor burst mid-sequence can inflate a whole
+    # stretch of queries at once (measured 0.7s->36s on this box with
+    # identical code). Re-run the slowest tail LATER in wall-clock and
+    # min-merge — a temporally decorrelated third sample.
+    retry = sorted(timings, key=timings.get, reverse=True)[
+        : max(4, len(HEADLINE) // 4)
+    ]
+    for name in retry:
+        timings[name] = round(min(timings[name], run_once(name)), 3)
 
     total = round(sum(timings.values()), 3)
     print(

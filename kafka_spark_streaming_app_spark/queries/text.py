@@ -391,6 +391,15 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.hashing import h60, word_shingles
 
     docs = load_table(spark, sf_dir, "documents")
+    # tokenize+md5 dominates; a single-row-group corpus file would run
+    # it in ONE task. Repartitioning BY doc_id moves the window's
+    # required exchange BEFORE the explode — same single shuffle, but
+    # shingling/hashing now runs at full parallelism (the corpus-op
+    # rebalance convention, here free because the window wanted this
+    # partitioning anyway).
+    docs = docs.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     g = docs.select(
         "doc_id", F.posexplode(word_shingles("text", 3)).alias("pos", "gram")
     ).select(
