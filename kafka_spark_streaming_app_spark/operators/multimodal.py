@@ -536,6 +536,68 @@ def extract_features(media: DataFrame, num_bins: int = 16) -> DataFrame:
     )
 
 
+def extract_features_arrow(media: DataFrame, num_bins: int = 16) -> DataFrame:
+    """``mapInArrow`` twin of :func:`extract_features`: the lower-level
+    Arrow face — RecordBatch in, RecordBatch out, no pandas
+    conversion. Same exact-integer arithmetic, so results are
+    bit-identical to the pandas path (equivalence pinned by a test and
+    by sharing the oracle). Use this face when batches are large and
+    the pandas materialization cost matters."""
+
+    def featurize(batches):
+        import math
+
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            types = batch.column("media_type").to_pylist()
+            payloads = batch.column("payload").to_pylist()
+            out = {
+                "media_id": [], "media_type": [], "n_bytes": [],
+                "byte_mean": [], "byte_std": [], "histogram": [],
+            }
+            for mid, mtype, payload in zip(ids, types, payloads):
+                arr = np.frombuffer(payload or b"", dtype=np.uint8)
+                hist = (
+                    np.bincount(
+                        arr.astype(np.int64) * num_bins // 256,
+                        minlength=num_bins,
+                    )
+                    if arr.size
+                    else np.zeros(num_bins, dtype=np.int64)
+                )
+                n = int(arr.size)
+                s = int(arr.sum(dtype=np.int64))
+                ss = int((arr.astype(np.int64) ** 2).sum())
+                mean = s / n if n else 0.0
+                var = max(0.0, ss / n - (s / n) * (s / n)) if n else 0.0
+                out["media_id"].append(mid)
+                out["media_type"].append(mtype)
+                out["n_bytes"].append(n)
+                out["byte_mean"].append(mean)
+                out["byte_std"].append(math.sqrt(var))
+                out["histogram"].append(hist.astype("int64").tolist())
+            yield pa.RecordBatch.from_pydict(
+                out,
+                schema=pa.schema(
+                    [
+                        ("media_id", pa.int64()),
+                        ("media_type", pa.string()),
+                        ("n_bytes", pa.int64()),
+                        ("byte_mean", pa.float64()),
+                        ("byte_std", pa.float64()),
+                        ("histogram", pa.list_(pa.int64())),
+                    ]
+                ),
+            )
+
+    return media.select("media_id", "media_type", "payload").mapInArrow(
+        featurize, schema=FEATURE_SCHEMA
+    )
+
+
 def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
     """Frame sampling for video rows — demonstrates the row-EXPANDING
     mapInPandas shape (one input row → n_frames/every_n output rows).

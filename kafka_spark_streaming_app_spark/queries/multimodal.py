@@ -12,6 +12,7 @@ from ..operators.multimodal import (
     decode_image_stats,
     decode_video_frame_stats,
     extract_features,
+    extract_features_arrow,
     image_header_metadata,
     sample_frames,
     synthesize_audio_media,
@@ -114,6 +115,25 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side), mean/std rounded at the engine boundary."""
     media = synthesize_media(load_table(spark, sf_dir, "documents"))
     feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        F.round("byte_mean", 6).alias("byte_mean"),
+        F.round("byte_std", 6).alias("byte_std"),
+        F.array_join(F.col("histogram").cast("array<string>"), ",").alias(
+            "histogram"
+        ),
+    )
+
+
+@query("multimodal_features_arrow", _FEATURES_ORACLE)
+def multimodal_features_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInArrow face of the featurizer (RecordBatch in/out, no
+    pandas materialization), checked against the SAME oracle as the
+    pandas path — both faces provably compute identical values."""
+    media = synthesize_media(load_table(spark, sf_dir, "documents"))
+    feats = extract_features_arrow(media)
     return feats.select(
         "media_id",
         "media_type",

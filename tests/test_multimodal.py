@@ -406,3 +406,22 @@ def test_synthesized_image_media_decodes(spark, sf_smoke):
             (mid + 31 * y + x) % 256 for y in range(h) for x in range(w)
         )
         assert s["pixel_sum"] == expect
+
+
+def test_feature_faces_pandas_vs_arrow_identical(spark, sf_smoke):
+    """The mapInPandas and mapInArrow featurizer faces must be
+    bit-identical (same exact-integer arithmetic, different transport)."""
+    from kafka_spark_streaming_app_spark.operators.multimodal import (
+        extract_features_arrow,
+    )
+
+    media = synthesize_media(load_table(spark, sf_smoke, "documents"))
+    a = {
+        r["media_id"]: r.asDict()
+        for r in extract_features(media).collect()
+    }
+    b = {
+        r["media_id"]: r.asDict()
+        for r in extract_features_arrow(media).collect()
+    }
+    assert a == b
