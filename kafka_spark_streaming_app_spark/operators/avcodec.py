@@ -149,8 +149,10 @@ def encode_y4m(frames, fps_num: int = 25, fps_den: int = 1) -> bytes:
 
 def parse_y4m_header(data: bytes) -> dict:
     """Width / height / fps / colorspace from the ASCII parameter line;
-    frame count derived arithmetically from the remaining byte length
-    (uncompressed frames are fixed-size) — no frame reads."""
+    frame count by stepping over the fixed-size planes, reading only
+    each frame's one-line header (frames may carry per-frame
+    parameters, so the stride is not constant) — plane bytes are never
+    touched."""
     if not data.startswith(_Y4M_MAGIC):
         raise ValueError("not a YUV4MPEG2 stream")
     nl = data.index(b"\n")
@@ -179,8 +181,14 @@ def parse_y4m_header(data: bytes) -> dict:
         frame_bytes = w * h * 3
     else:
         raise NotImplementedError(f"unsupported Y4M colorspace {colorspace}")
-    body = len(data) - nl - 1
-    per_frame = len(b"FRAME\n") + frame_bytes
+    n_frames = 0
+    pos = nl + 1
+    while pos < len(data) and data[pos : pos + 5] == b"FRAME":
+        plane_start = data.index(b"\n", pos) + 1
+        if plane_start + frame_bytes > len(data):
+            break  # truncated trailing frame — not a frame
+        pos = plane_start + frame_bytes
+        n_frames += 1
     return {
         "format": "y4m",
         "width": w,
@@ -188,7 +196,7 @@ def parse_y4m_header(data: bytes) -> dict:
         "fps_num": fps_num,
         "fps_den": fps_den,
         "colorspace": colorspace,
-        "n_frames": body // per_frame if per_frame else 0,
+        "n_frames": n_frames,
     }
 
 

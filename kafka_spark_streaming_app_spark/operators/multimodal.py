@@ -369,23 +369,26 @@ def decode_audio_stats(media: DataFrame) -> DataFrame:
     SQL oracle over the fixture's sample formula catches any encoder
     OR decoder defect bit-exactly."""
 
-    from .avcodec import parse_wav_header
+    from .avcodec import decode_wav
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                samples = decode_payload(bytes(payload), "audio", fake=False)
-                hdr = parse_wav_header(bytes(payload))
+                # one chunk walk: decode_wav returns samples AND header
+                samples, hdr = decode_wav(bytes(payload))
                 s64 = samples.astype("int64")
-                n = int(samples.size)
+                n = int(samples.size)  # interleaved samples
+                # duration counts FRAMES (sample sets), not interleaved
+                # samples — a stereo file is not twice as long
+                frames = n // max(hdr["channels"], 1)
                 rows.append(
                     {
                         "media_id": media_id,
                         "sample_rate": hdr["sample_rate"],
                         "channels": hdr["channels"],
                         "n_samples": n,
-                        "duration_ms": n * 1000 // hdr["sample_rate"],
+                        "duration_ms": frames * 1000 // hdr["sample_rate"],
                         "amp_sum": int(s64.sum()),
                         "amp_min": int(samples.min()) if n else 0,
                         "amp_max": int(samples.max()) if n else 0,

@@ -489,7 +489,10 @@ def streaming_windowed_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sessions whose gap window closed before the final watermark.
 _TIMEOUT_SESSIONS_ORACLE = """
 WITH wm AS (
-    SELECT max(ts) - INTERVAL 30 SECOND AS w FROM events
+    -- the engine's event-time watermark is MILLISECOND-granular:
+    -- floor(max_event_us / 1000) - delay_ms; timeouts fire when the
+    -- state's ms timeout value is strictly below it
+    SELECT epoch_us(max(ts)) // 1000 - 30000 AS w_ms FROM events
 ),
 ordered AS (
     SELECT user_id, ts, value,
@@ -526,7 +529,7 @@ SELECT user_id,
            AS closed_by
 FROM flagged
 WHERE sid < max_sid
-   OR last_ts + INTERVAL 30 MINUTE < (SELECT w FROM wm)
+   OR (epoch_us(last_ts) + 1800000000) // 1000 < (SELECT w_ms FROM wm)
 """
 
 

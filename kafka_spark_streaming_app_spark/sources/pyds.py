@@ -159,7 +159,14 @@ def _write_part(path: str, iterator) -> _WireCommit:
     n = 0
     with open(tmp, "w") as f:
         for row in iterator:
-            f.write((row.value or "") + "\n")
+            if row.value is None:
+                # a JSON-lines file cannot represent NULL distinctly
+                # from '' — fail fast instead of silently degrading
+                # (Kafka-tombstone semantics need a keyed sink)
+                raise ValueError(
+                    "wire_replay sink requires non-null value strings"
+                )
+            f.write(row.value + "\n")
             n += 1
     return _WireCommit(tmp, name, n)
 
@@ -202,9 +209,13 @@ class _WireBatchWriter(DataSourceWriter):
 
 
 class _WireStreamWriter(DataSourceStreamWriter):
-    """Per-batch manifest (`_batches.log`: one line per committed
-    batchId) makes a replayed micro-batch a no-op: its temp files are
-    discarded instead of renamed, so restarts never double-write."""
+    """Exactly-once by DETERMINISTIC DESTINATIONS: batch ``b``'s task
+    ``i`` always commits to ``part-b{b}-{i}.jsonl``, so a replayed
+    micro-batch (same offsets → same deterministic content) atomically
+    overwrites the same files instead of adding new ones — idempotent
+    across EVERY crash window, including a crash between the renames
+    and the manifest append (a uuid-named scheme double-writes there).
+    The ``_batches.log`` manifest only short-circuits replayed work."""
 
     def __init__(self, options: dict):
         self.path = options.get("path")
@@ -225,10 +236,13 @@ class _WireStreamWriter(DataSourceStreamWriter):
         if str(batchId) in committed:
             _cleanup(messages)
             return
-        for m in messages:
+        for i, m in enumerate(messages):
             if m is not None:
                 os.replace(
-                    m.tmp_path, os.path.join(self.path, m.final_name)
+                    m.tmp_path,
+                    os.path.join(
+                        self.path, f"part-b{batchId:06d}-{i:04d}.jsonl"
+                    ),
                 )
         with open(log, "a") as f:
             f.write(f"{batchId}\n")

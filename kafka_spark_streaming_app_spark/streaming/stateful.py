@@ -261,7 +261,20 @@ def timeout_sessions(
         for t, c in zip(ts_us, cents_list):
             if cur is None:
                 cur = [t, t, 1, c]
-            elif t - cur[1] <= gap_us:
+            elif t < cur[1]:
+                # cross-batch late (but pre-watermark) event inside the
+                # open session's span: extend bounds, never move the
+                # last-event time BACKWARDS. An event older than
+                # session_start - gap would need full session-merge
+                # state (that is session_window's machinery, proven in
+                # streaming_sessionize); this operator documents
+                # in-order delivery per key across batches.
+                cur[0] = min(cur[0], t)
+                cur[2] += 1
+                cur[3] += c
+            elif t - cur[1] < gap_us:
+                # strict <: a successor exactly gap later STARTS a new
+                # session (session_window/lag-oracle convention)
                 cur[1] = t
                 cur[2] += 1
                 cur[3] += c
@@ -269,7 +282,11 @@ def timeout_sessions(
                 out.append(row(cur[0], cur[1], cur[2], cur[3], "successor"))
                 cur = [t, t, 1, c]
         state.update(tuple(cur))
-        # wake up when the watermark proves no successor can extend it
+        # Wake when the watermark proves no successor can extend it.
+        # The engine is MILLISECOND-granular (timeout fires when
+        # floor-to-ms watermark exceeds this ms value), so the oracle
+        # mirrors the exact floor-div-1000 comparison — no sub-ms
+        # boundary window where the two can disagree.
         state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
         yield pd.DataFrame(out, columns=cols)
 

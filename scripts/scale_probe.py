@@ -57,12 +57,24 @@ def build_scaled_dir(src_sf: str, n: int) -> str:
         src = os.path.join(src_sf, f"{t}.parquet")
         dst_dir = os.path.join(out, f"{t}.parquet")
         os.makedirs(dst_dir)
+        # a table may be a single file OR a Spark-written directory of
+        # part files — link every data file N times either way
+        files = (
+            [
+                os.path.join(src, f)
+                for f in os.listdir(src)
+                if f.endswith(".parquet")
+            ]
+            if os.path.isdir(src)
+            else [src]
+        )
         for i in range(n):
-            dst = os.path.join(dst_dir, f"copy{i}.parquet")
-            try:
-                os.link(src, dst)
-            except OSError:
-                shutil.copy(src, dst)
+            for j, fpath in enumerate(files):
+                dst = os.path.join(dst_dir, f"copy{i}_{j}.parquet")
+                try:
+                    os.link(fpath, dst)
+                except OSError:
+                    shutil.copy(fpath, dst)
     return out
 
 

@@ -425,3 +425,39 @@ def test_feature_faces_pandas_vs_arrow_identical(spark, sf_smoke):
         for r in extract_features_arrow(media).collect()
     }
     assert a == b
+
+
+def test_wav_stereo_duration_counts_frames_not_samples():
+    """A stereo file is not twice as long: duration derives from
+    frames (interleaved sample sets), matching the header's channel
+    count."""
+    import numpy as np
+
+    from kafka_spark_streaming_app_spark.operators.avcodec import (
+        decode_wav,
+        encode_wav,
+        parse_wav_header,
+    )
+
+    stereo = np.arange(16000, dtype=np.int16)  # 8000 frames x 2 ch
+    data = encode_wav(stereo, 8000, channels=2)
+    hdr = parse_wav_header(data)
+    assert hdr["channels"] == 2 and hdr["n_frames"] == 8000
+    samples, h2 = decode_wav(data)
+    frames = samples.size // h2["channels"]
+    assert frames * 1000 // h2["sample_rate"] == 1000  # 1s, not 2s
+
+
+def test_y4m_header_counts_frames_with_per_frame_params():
+    """Foreign streams may carry per-frame parameters after each FRAME
+    marker; the header parse must still count frames correctly (and
+    ignore a truncated trailing frame)."""
+    from kafka_spark_streaming_app_spark.operators.avcodec import (
+        parse_y4m_header,
+    )
+
+    frame = b"FRAME Ip X7\n" + bytes(6)
+    data = b"YUV4MPEG2 W3 H2 F25:1 Cmono\n" + frame * 3
+    assert parse_y4m_header(data)["n_frames"] == 3
+    truncated = data + b"FRAME\n" + bytes(2)
+    assert parse_y4m_header(truncated)["n_frames"] == 3

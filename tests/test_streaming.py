@@ -436,7 +436,6 @@ def test_timeout_sessions_emits_both_close_paths(spark, sf_smoke):
 
     load_all()
     out = QUERIES["streaming_timeout_sessions"](spark, sf_smoke)
-    by = {r["closed_by"]: r for r in out.collect()}
     counts = out.groupBy("closed_by").count().collect()
     got = {r["closed_by"]: r["count"] for r in counts}
     assert got.get("successor", 0) > 0, "no successor-closed sessions"
