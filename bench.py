@@ -82,6 +82,7 @@ HEADLINE = [
     "streaming_view_purchase_left_join",
     "streaming_timeout_sessions",
     "source_token_kl",
+    "bpe_train_merges",
 ]
 
 

@@ -38,4 +38,5 @@ from . import (  # noqa: F401
     functions_breadth,
     nulls,
     profile,
+    bpe,
 )

@@ -1,0 +1,213 @@
+"""BPE merge training as a distributed dataflow.
+
+Classic byte-pair-encoding training (Sennrich et al. 2016): split
+words into symbols, repeatedly (1) count adjacent symbol pairs across
+the corpus weighted by word frequency, (2) take the most frequent
+pair, (3) greedily merge its left-to-right occurrences. Three
+iterations are unrolled here (the structure is the loop body; vocab
+size is just the iteration count).
+
+Cross-engine exactness:
+
+- symbol sequences ride as strings with a ``chr(31)`` (unit
+  separator) delimiter on both ends of every symbol, so the greedy
+  merge IS plain ``replace('<s>a<s>b<s>' -> '<s>ab<s>')`` — string
+  replace is left-to-right non-overlapping in BOTH engines, which is
+  exactly BPE's merge rule;
+- pair supports are exact integer sums (word_freq per adjacent pair,
+  overlaps counted — the classic count);
+- the argmax pair is deterministic via (support DESC, pair ASC).
+
+Scale posture: the corpus collapses to a (word, freq) table first —
+BPE cost is vocabulary-sized, not corpus-sized (the standard trick).
+Each iteration is one explode + one aggregation + a 1-row broadcast
+of the winning pair back onto the vocab; the vocab table is barriered
+per iteration so the chain stays shallow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import TOKENS_SQL, tokens
+from ..registry import query
+from ..sources.batch import load_table
+
+_SEP = "\x1f"
+_ITERS = 3
+
+_BPE_ORACLE = f"""
+WITH w AS (
+    SELECT tok AS word, count(*) AS freq
+    FROM (
+        SELECT unnest({TOKENS_SQL.format(x="text")}) AS tok FROM documents
+    )
+    WHERE tok <> '' AND NOT contains(tok, chr(31))
+    GROUP BY tok
+),
+v0 AS (
+    SELECT chr(31) || regexp_replace(word, '(.)', '\\1' || chr(31), 'g')
+               AS seq,
+           freq
+    FROM w
+),
+p1 AS (
+    SELECT a, b, CAST(sum(freq) AS BIGINT) AS support
+    FROM (
+        SELECT freq,
+               syms[i] AS a, syms[i + 1] AS b
+        FROM (
+            SELECT freq,
+                   list_filter(string_split(seq, chr(31)), x -> x <> '')
+                       AS syms
+            FROM v0
+        ), LATERAL (
+            SELECT unnest(range(1, len(syms))) AS i
+        )
+    )
+    GROUP BY a, b
+),
+m1 AS (SELECT a, b, support FROM p1 ORDER BY support DESC, a, b LIMIT 1),
+v1 AS (
+    SELECT replace(seq,
+                   chr(31) || (SELECT a FROM m1) || chr(31)
+                           || (SELECT b FROM m1) || chr(31),
+                   chr(31) || (SELECT a FROM m1)
+                           || (SELECT b FROM m1) || chr(31)) AS seq,
+           freq
+    FROM v0
+),
+p2 AS (
+    SELECT a, b, CAST(sum(freq) AS BIGINT) AS support
+    FROM (
+        SELECT freq, syms[i] AS a, syms[i + 1] AS b
+        FROM (
+            SELECT freq,
+                   list_filter(string_split(seq, chr(31)), x -> x <> '')
+                       AS syms
+            FROM v1
+        ), LATERAL (SELECT unnest(range(1, len(syms))) AS i)
+    )
+    GROUP BY a, b
+),
+m2 AS (SELECT a, b, support FROM p2 ORDER BY support DESC, a, b LIMIT 1),
+v2 AS (
+    SELECT replace(seq,
+                   chr(31) || (SELECT a FROM m2) || chr(31)
+                           || (SELECT b FROM m2) || chr(31),
+                   chr(31) || (SELECT a FROM m2)
+                           || (SELECT b FROM m2) || chr(31)) AS seq,
+           freq
+    FROM v1
+),
+p3 AS (
+    SELECT a, b, CAST(sum(freq) AS BIGINT) AS support
+    FROM (
+        SELECT freq, syms[i] AS a, syms[i + 1] AS b
+        FROM (
+            SELECT freq,
+                   list_filter(string_split(seq, chr(31)), x -> x <> '')
+                       AS syms
+            FROM v2
+        ), LATERAL (SELECT unnest(range(1, len(syms))) AS i)
+    )
+    GROUP BY a, b
+),
+m3 AS (SELECT a, b, support FROM p3 ORDER BY support DESC, a, b LIMIT 1)
+SELECT 1 AS step, a AS left_sym, b AS right_sym, a || b AS merged, support
+FROM m1
+UNION ALL
+SELECT 2, a, b, a || b, support FROM m2
+UNION ALL
+SELECT 3, a, b, a || b, support FROM m3
+"""
+
+
+def _adjacent_pairs(vocab: DataFrame) -> DataFrame:
+    """Explode each symbol sequence into weighted adjacent pairs."""
+    syms = F.filter(
+        F.split(F.col("seq"), _SEP), lambda x: x != F.lit("")
+    )
+    withs = vocab.select("freq", syms.alias("syms"))
+    pairs = withs.select(
+        "freq",
+        F.explode(
+            F.when(
+                F.size("syms") >= 2,
+                F.zip_with(
+                    F.slice("syms", 1, F.size("syms") - 1),
+                    F.slice("syms", 2, F.size("syms") - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                ),
+            ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        ).alias("p"),
+    )
+    return pairs.groupBy(
+        F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    ).agg(F.sum("freq").alias("support"))
+
+
+def _best_pair(pairs: DataFrame) -> DataFrame:
+    return pairs.orderBy(
+        F.desc("support"), F.asc("a"), F.asc("b")
+    ).limit(1)
+
+
+@query("bpe_train_merges", _BPE_ORACLE)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first three BPE merges from the corpus. Per
+    iteration: weighted adjacent-pair counts over the (word, freq)
+    vocab (explode + one aggregation), deterministic argmax (1 row,
+    broadcast), then the greedy left-to-right merge applied to every
+    sequence as a plain string replace — the merge rule and the SQL
+    function have identical semantics, which is what makes real BPE
+    oracle-checkable."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .filter((F.col("word") != "") & ~F.col("word").contains(_SEP))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.concat(
+                F.lit(_SEP),
+                F.regexp_replace(F.col("word"), "(.)", "$1" + _SEP),
+            ).alias("seq"),
+            "freq",
+        )
+        .localCheckpoint(eager=False)
+    )
+    merges = []
+    for step in range(1, _ITERS + 1):
+        best = _best_pair(_adjacent_pairs(vocab)).localCheckpoint(
+            eager=False
+        )
+        merges.append(
+            best.select(
+                F.lit(step).alias("step"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.concat("a", "b").alias("merged"),
+                "support",
+            )
+        )
+        if step < _ITERS:
+            vocab = (
+                vocab.crossJoin(F.broadcast(best))
+                .select(
+                    F.replace(
+                        F.col("seq"),
+                        F.concat(
+                            F.lit(_SEP), "a", F.lit(_SEP), "b", F.lit(_SEP)
+                        ),
+                        F.concat(F.lit(_SEP), "a", "b", F.lit(_SEP)),
+                    ).alias("seq"),
+                    "freq",
+                )
+                .localCheckpoint(eager=False)
+            )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out

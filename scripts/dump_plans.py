@@ -55,6 +55,7 @@ NOTES = {
     "multimodal_audio_decode": "Real RIFF/WAV PCM decode inside one Arrow-batched mapInPandas over the pruned (id, payload) projection — zero shuffle; exact integer stats leave Python.",
     "winsorize_values": "One window pass ranks per group; the tiny bounds table broadcasts back onto the fact scan; the clip is row-local codegen.",
     "source_token_kl": "One token explode behind a barrier; per-token corpus totals attach by token key; scalar totals broadcast; the only order-sensitive sum adds floor-quantized int64 terms.",
+    "bpe_train_merges": "Corpus collapses to (word, freq) FIRST so per-iteration cost is vocab-sized; each merge step = explode + one agg + 1-row broadcast argmax + string-replace merge; vocab barriered per step.",
 }
 
 
