@@ -154,22 +154,15 @@ def _best_pair(pairs: DataFrame) -> DataFrame:
     ).limit(1)
 
 
-@query("bpe_train_merges", _BPE_ORACLE)
-def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learn the first three BPE merges from the corpus. Per
-    iteration: weighted adjacent-pair counts over the (word, freq)
-    vocab (explode + one aggregation), deterministic argmax (1 row,
-    broadcast), then the greedy left-to-right merge applied to every
-    sequence as a plain string replace — the merge rule and the SQL
-    function have identical semantics, which is what makes real BPE
-    oracle-checkable."""
+def _initial_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    vocab = (
+    return (
         docs.select(F.explode(tokens("text")).alias("word"))
         .filter((F.col("word") != "") & ~F.col("word").contains(_SEP))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(
+            "word",
             F.concat(
                 F.lit(_SEP),
                 F.regexp_replace(F.col("word"), "(.)", "$1" + _SEP),
@@ -178,8 +171,13 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
+
+
+def _train(vocab: DataFrame, iters: int) -> tuple[list, DataFrame]:
+    """Run ``iters`` BPE steps; return (per-step merge rows, the vocab
+    with ALL merges applied)."""
     merges = []
-    for step in range(1, _ITERS + 1):
+    for step in range(1, iters + 1):
         best = _best_pair(_adjacent_pairs(vocab)).localCheckpoint(
             eager=False
         )
@@ -192,22 +190,138 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "support",
             )
         )
-        if step < _ITERS:
-            vocab = (
-                vocab.crossJoin(F.broadcast(best))
-                .select(
-                    F.replace(
-                        F.col("seq"),
-                        F.concat(
-                            F.lit(_SEP), "a", F.lit(_SEP), "b", F.lit(_SEP)
-                        ),
-                        F.concat(F.lit(_SEP), "a", "b", F.lit(_SEP)),
-                    ).alias("seq"),
-                    "freq",
-                )
-                .localCheckpoint(eager=False)
+        vocab = (
+            vocab.crossJoin(F.broadcast(best))
+            .select(
+                "word",
+                F.replace(
+                    F.col("seq"),
+                    F.concat(
+                        F.lit(_SEP), "a", F.lit(_SEP), "b", F.lit(_SEP)
+                    ),
+                    F.concat(F.lit(_SEP), "a", "b", F.lit(_SEP)),
+                ).alias("seq"),
+                "freq",
             )
+            .localCheckpoint(eager=False)
+        )
+    return merges, vocab
+
+
+@query("bpe_train_merges", _BPE_ORACLE)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first three BPE merges from the corpus. Per
+    iteration: weighted adjacent-pair counts over the (word, freq)
+    vocab (explode + one aggregation), deterministic argmax (1 row,
+    broadcast), then the greedy left-to-right merge applied to every
+    sequence as a plain string replace — the merge rule and the SQL
+    function have identical semantics, which is what makes real BPE
+    oracle-checkable."""
+    merges, _ = _train(_initial_vocab(spark, sf_dir), _ITERS)
     out = merges[0]
     for m in merges[1:]:
         out = out.unionAll(m)
     return out
+
+
+def _chain_sql(iters: int) -> str:
+    """Generate the w/v0/p_k/m_k/v_k CTE chain (word carried through)
+    up to v{iters} — the SQL twin of :func:`_train`."""
+    parts = [
+        f"""w AS (
+    SELECT tok AS word, count(*) AS freq
+    FROM (
+        SELECT unnest({TOKENS_SQL.format(x="text")}) AS tok FROM documents
+    )
+    WHERE tok <> '' AND NOT contains(tok, chr(31))
+    GROUP BY tok
+)""",
+        """v0 AS (
+    SELECT word,
+           chr(31) || regexp_replace(word, '(.)', '\\1' || chr(31), 'g')
+               AS seq,
+           freq
+    FROM w
+)""",
+    ]
+    for k in range(1, iters + 1):
+        prev = f"v{k - 1}"
+        parts.append(f"""p{k} AS (
+    SELECT a, b, CAST(sum(freq) AS BIGINT) AS support
+    FROM (
+        SELECT freq, syms[i] AS a, syms[i + 1] AS b
+        FROM (
+            SELECT freq,
+                   list_filter(string_split(seq, chr(31)), x -> x <> '')
+                       AS syms
+            FROM {prev}
+        ), LATERAL (SELECT unnest(range(1, len(syms))) AS i)
+    )
+    GROUP BY a, b
+)""")
+        parts.append(
+            f"m{k} AS (SELECT a, b, support FROM p{k} "
+            f"ORDER BY support DESC, a, b LIMIT 1)"
+        )
+        parts.append(f"""v{k} AS (
+    SELECT word,
+           replace(seq,
+                   chr(31) || (SELECT a FROM m{k}) || chr(31)
+                           || (SELECT b FROM m{k}) || chr(31),
+                   chr(31) || (SELECT a FROM m{k})
+                           || (SELECT b FROM m{k}) || chr(31)) AS seq,
+           freq
+    FROM {prev}
+)""")
+    return "WITH " + ",\n".join(parts)
+
+
+_BPE_TOKENIZE_ORACLE = (
+    _chain_sql(_ITERS)
+    + f""",
+wc AS (
+    SELECT word,
+           len(list_filter(string_split(seq, chr(31)), x -> x <> ''))
+               AS n_sym
+    FROM v{_ITERS}
+),
+tok AS (
+    SELECT doc_id, unnest({TOKENS_SQL.format(x="text")}) AS tok
+    FROM documents
+)
+SELECT doc_id,
+       count(*) AS n_words,
+       CAST(sum(wc.n_sym) AS BIGINT) AS n_bpe_tokens
+FROM tok JOIN wc ON wc.word = tok.tok
+GROUP BY doc_id
+"""
+)
+
+
+@query("bpe_tokenize_counts", _BPE_TOKENIZE_ORACLE)
+def bpe_tokenize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE INFERENCE at corpus scale: apply the learned merges and
+    count resulting tokens per document. The tokenizer is a per-WORD
+    table (symbol count after all merges), so corpus-wide tokenization
+    is a word-keyed join — the vocab is tiny next to the corpus and
+    broadcasts; no per-document Python, no re-segmentation work per
+    occurrence of the same word."""
+    _, final_vocab = _train(_initial_vocab(spark, sf_dir), _ITERS)
+    syms = F.filter(
+        F.split(F.col("seq"), _SEP), lambda x: x != F.lit("")
+    )
+    wc = final_vocab.select(
+        "word", F.size(syms).alias("n_sym")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("word")
+    )
+    return (
+        tok.join(F.broadcast(wc), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+        )
+    )
