@@ -278,3 +278,71 @@ def language_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(
         docs, strata_col="lang", target_per_stratum=60
     ).select("doc_id", "lang")
+
+
+# --- sequence packing (concatenate-and-cut training windows) ----------------
+#
+# GPT-style sample packing: documents are laid out in a deterministic
+# shuffle order and the concatenated token stream is cut into
+# fixed-size windows of B tokens. Each document's placement is a pure
+# function of the EXCLUSIVE prefix sum of token counts — computed with
+# the two-level distributed prefix sum (never a single-task global
+# window); the oracle's single window IS the exactness anchor.
+
+_PACK_BUDGET = 2048
+
+_PACKING_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id,
+           len({TOKENS_SQL.format(x="text")}) AS n_tok,
+           {h60_sql("('pack|' || CAST(doc_id AS VARCHAR))")} AS k
+    FROM documents
+),
+c AS (
+    SELECT doc_id, n_tok,
+           CAST(sum(n_tok) OVER (ORDER BY k, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               - n_tok AS start_tok
+    FROM t
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       start_tok // {_PACK_BUDGET} AS seq_id,
+       start_tok % {_PACK_BUDGET} AS seq_offset,
+       (start_tok % {_PACK_BUDGET}) + n_tok > {_PACK_BUDGET} AS straddles
+FROM c
+"""
+
+
+@query("sequence_packing", _PACKING_ORACLE)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document its (sequence id, offset) in the packed
+    training stream of {B}-token windows. Placement derives from the
+    exclusive prefix sum of token counts over a deterministic shuffle
+    order — two-level prefix sum (range partition -> local cumsum ->
+    offset join), so packing 100 TB never funnels through one task;
+    the straddle flag marks documents a loader must split across
+    window boundaries."""
+    from ..functions.hashing import h60, tokens
+    from ..operators.llmprep import with_running_total
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(tokens("text")).alias("n_tok"),
+        h60(
+            F.concat(F.lit("pack|"), F.col("doc_id").cast("string"))
+        ).alias("k"),
+    )
+    c = with_running_total(t, ["k", "doc_id"], "n_tok", out_col="_cum")
+    start = (F.col("_cum").cast("bigint") - F.col("n_tok")).alias("start_tok")
+    return c.select("doc_id", "n_tok", start).select(
+        "doc_id",
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        F.expr(f"start_tok div {_PACK_BUDGET}").alias("seq_id"),
+        (F.col("start_tok") % _PACK_BUDGET).alias("seq_offset"),
+        (
+            (F.col("start_tok") % _PACK_BUDGET) + F.col("n_tok")
+            > _PACK_BUDGET
+        ).alias("straddles"),
+    )
