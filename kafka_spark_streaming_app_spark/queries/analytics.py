@@ -900,3 +900,100 @@ def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             "was_clipped"
         ),
     )
+
+
+# --- k-hop reachability (BFS over the co-purchase graph) --------------------
+
+_KHOP_ORACLE = """
+WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e0 AS (
+    SELECT a.l_partkey AS u, b.l_partkey AS v
+    FROM items a
+    JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY u, v
+    HAVING count(*) >= 2
+),
+e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+d0 AS (
+    SELECT DISTINCT u AS node FROM e WHERE u % 100 = 0
+),
+d1 AS (
+    SELECT DISTINCT e.v AS node
+    FROM d0 JOIN e ON e.u = d0.node
+    WHERE e.v NOT IN (SELECT node FROM d0)
+),
+d2 AS (
+    SELECT DISTINCT e.v AS node
+    FROM (SELECT node FROM d0 UNION SELECT node FROM d1) f
+    JOIN e ON e.u = f.node
+    WHERE e.v NOT IN (SELECT node FROM d0 UNION SELECT node FROM d1)
+),
+d3 AS (
+    SELECT DISTINCT e.v AS node
+    FROM (SELECT node FROM d0 UNION SELECT node FROM d1
+          UNION SELECT node FROM d2) f
+    JOIN e ON e.u = f.node
+    WHERE e.v NOT IN (SELECT node FROM d0 UNION SELECT node FROM d1
+                      UNION SELECT node FROM d2)
+)
+SELECT node, CAST(0 AS INTEGER) AS hop FROM d0
+UNION ALL SELECT node, 1 FROM d1
+UNION ALL SELECT node, 2 FROM d2
+UNION ALL SELECT node, 3 FROM d3
+"""
+
+
+@query("graph_khop_reach", _KHOP_ORACLE)
+def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS: every part within 3 co-purchase hops of the seed
+    set (partkey % 100 == 0), labeled with its hop distance. Classic
+    frontier/visited iteration — each hop is one edge equi-join +
+    anti-join against the visited set, distinct per frontier; work per
+    hop is O(frontier x avg-degree), the scalable BFS shape (the
+    unbounded fixpoint variant is `dedup_clusters`). Edge list built
+    once behind a barrier."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("u", "v")
+    )
+    edges = (
+        e0.unionAll(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint(eager=False)
+    )
+    frontier = (
+        edges.filter(F.col("u") % 100 == 0)
+        .select(F.col("u").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    visited = frontier
+    out = frontier.select("node", F.lit(0).cast("int").alias("hop"))
+    for hop in (1, 2, 3):
+        frontier = (
+            frontier.join(edges, frontier["node"] == edges["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionAll(frontier).localCheckpoint(eager=False)
+        out = out.unionAll(
+            frontier.select("node", F.lit(hop).cast("int").alias("hop"))
+        )
+    return out
