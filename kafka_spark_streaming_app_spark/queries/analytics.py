@@ -372,17 +372,49 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- market-basket co-purchase pairs ----------------------------------------
 
-_COPURCHASE_ORACLE = """
-WITH items AS (
+# Shared co-purchase edge builder: the ONE definition of the graph all
+# four graph queries (pairs / triangles / pagerank / k-hop) run on.
+# e0 = id-oriented (u < v) edges between parts co-bought in >= 2
+# distinct orders; the self-join is keyed on the ORDER so fan-out is
+# bounded by order-size^2, never table-size^2.
+
+_EDGE_CTE = """items AS (
     SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-)
-SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
-       count(*) AS support
-FROM items a
-JOIN items b
-  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-GROUP BY part_a, part_b
-HAVING count(*) >= 2
+),
+e0 AS (
+    SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS support
+    FROM items a
+    JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY u, v
+    HAVING count(*) >= 2
+)"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(u, v, support) co-purchase edges, u < v — Spark twin of
+    ``_EDGE_CTE``."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+
+
+_COPURCHASE_ORACLE = f"""
+WITH {_EDGE_CTE}
+SELECT u AS part_a, v AS part_b, support FROM e0
 """
 
 
@@ -396,39 +428,18 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps duplicate part lines within one order from inflating
     support. At 100 TB the same plan holds; a pathological mega-order
     would be capped upstream exactly like LSH hot buckets."""
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= 2)
+    return _copurchase_edges(spark, sf_dir).select(
+        F.col("u").alias("part_a"),
+        F.col("v").alias("part_b"),
+        "support",
     )
 
 
 # --- triangle counting / clustering coefficient -----------------------------
 
-_TRIANGLE_ORACLE = """
-WITH items AS (
-    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-),
-e AS (
-    SELECT a.l_partkey AS u, b.l_partkey AS v
-    FROM items a
-    JOIN items b
-      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-    GROUP BY u, v
-    HAVING count(*) >= 2
-),
+_TRIANGLE_ORACLE = f"""
+WITH {_EDGE_CTE},
+e AS (SELECT u, v FROM e0),
 deg AS (
     SELECT node, count(*) AS d
     FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
@@ -471,21 +482,8 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     double is one final division. The shared edge list is barriered
     (localCheckpoint) so the corpus self-join isn't re-expanded by its
     four consumers."""
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= 2)
+        _copurchase_edges(spark, sf_dir)
         .select("u", "v")
         .localCheckpoint(eager=False)
     )
@@ -657,21 +655,11 @@ def _pr_iter_sql(prev: str, out: str) -> str:
 
 
 _PAGERANK_ORACLE = f"""
-WITH items AS (
-    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-),
-pairs AS (
-    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
-    FROM items a
-    JOIN items b
-      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-    GROUP BY part_a, part_b
-    HAVING count(*) >= 2
-),
+WITH {_EDGE_CTE},
 edges AS (
-    SELECT part_a AS src, part_b AS dst FROM pairs
+    SELECT u AS src, v AS dst FROM e0
     UNION ALL
-    SELECT part_b AS src, part_a AS dst FROM pairs
+    SELECT v AS src, u AS dst FROM e0
 ),
 deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
 nn AS (SELECT count(*) AS n FROM deg),
@@ -694,30 +682,11 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical two iterations in SQL."""
     from ..operators.graph import pagerank
 
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= 2)
-        .localCheckpoint(eager=False)
-    )
+    pairs = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     edges = pairs.select(
-        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+        F.col("u").alias("src"), F.col("v").alias("dst")
     ).unionByName(
-        pairs.select(
-            F.col("part_b").alias("src"), F.col("part_a").alias("dst")
-        )
+        pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
     return pagerank(edges, damping=0.85, iters=2).select(
         F.col("node").alias("part"), "pr"
@@ -904,18 +873,8 @@ def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- k-hop reachability (BFS over the co-purchase graph) --------------------
 
-_KHOP_ORACLE = """
-WITH items AS (
-    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-),
-e0 AS (
-    SELECT a.l_partkey AS u, b.l_partkey AS v
-    FROM items a
-    JOIN items b
-      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-    GROUP BY u, v
-    HAVING count(*) >= 2
-),
+_KHOP_ORACLE = f"""
+WITH {_EDGE_CTE},
 e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
 d0 AS (
     SELECT DISTINCT u AS node FROM e WHERE u % 100 = 0
@@ -955,23 +914,7 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     hop is O(frontier x avg-degree), the scalable BFS shape (the
     unbounded fixpoint variant is `dedup_clusters`). Edge list built
     once behind a barrier."""
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    e0 = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= 2)
-        .select("u", "v")
-    )
+    e0 = _copurchase_edges(spark, sf_dir).select("u", "v")
     edges = (
         e0.unionAll(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .localCheckpoint(eager=False)

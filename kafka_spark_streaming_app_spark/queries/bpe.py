@@ -10,10 +10,14 @@ size is just the iteration count).
 Cross-engine exactness:
 
 - symbol sequences ride as strings with a ``chr(31)`` (unit
-  separator) delimiter on both ends of every symbol, so the greedy
-  merge IS plain ``replace('<s>a<s>b<s>' -> '<s>ab<s>')`` — string
-  replace is left-to-right non-overlapping in BOTH engines, which is
-  exactly BPE's merge rule;
+  separator) delimiter on both ends of every symbol, and the greedy
+  merge is ``replace('<s>a<s>b<s>' -> '<s>ab<s>')`` applied TWICE —
+  string replace is left-to-right non-overlapping in BOTH engines,
+  but back-to-back occurrences (abab) share a delimiter, so one pass
+  merges alternating occurrences and a second pass merges the
+  now-isolated leftovers; two passes provably reach the BPE fixpoint
+  (merging cannot create new occurrences of the same pair, and true
+  symbol-overlaps like aaa are correctly left half-merged);
 - pair supports are exact integer sums (word_freq per adjacent pair,
   overlaps counted — the classic count);
 - the argmax pair is deterministic via (support DESC, pair ASC).
@@ -37,91 +41,6 @@ from ..sources.batch import load_table
 _SEP = "\x1f"
 _ITERS = 3
 
-_BPE_ORACLE = f"""
-WITH w AS (
-    SELECT tok AS word, count(*) AS freq
-    FROM (
-        SELECT unnest({TOKENS_SQL.format(x="text")}) AS tok FROM documents
-    )
-    WHERE tok <> '' AND NOT contains(tok, chr(31))
-    GROUP BY tok
-),
-v0 AS (
-    SELECT chr(31) || regexp_replace(word, '(.)', '\\1' || chr(31), 'g')
-               AS seq,
-           freq
-    FROM w
-),
-p1 AS (
-    SELECT a, b, CAST(sum(freq) AS BIGINT) AS support
-    FROM (
-        SELECT freq,
-               syms[i] AS a, syms[i + 1] AS b
-        FROM (
-            SELECT freq,
-                   list_filter(string_split(seq, chr(31)), x -> x <> '')
-                       AS syms
-            FROM v0
-        ), LATERAL (
-            SELECT unnest(range(1, len(syms))) AS i
-        )
-    )
-    GROUP BY a, b
-),
-m1 AS (SELECT a, b, support FROM p1 ORDER BY support DESC, a, b LIMIT 1),
-v1 AS (
-    SELECT replace(seq,
-                   chr(31) || (SELECT a FROM m1) || chr(31)
-                           || (SELECT b FROM m1) || chr(31),
-                   chr(31) || (SELECT a FROM m1)
-                           || (SELECT b FROM m1) || chr(31)) AS seq,
-           freq
-    FROM v0
-),
-p2 AS (
-    SELECT a, b, CAST(sum(freq) AS BIGINT) AS support
-    FROM (
-        SELECT freq, syms[i] AS a, syms[i + 1] AS b
-        FROM (
-            SELECT freq,
-                   list_filter(string_split(seq, chr(31)), x -> x <> '')
-                       AS syms
-            FROM v1
-        ), LATERAL (SELECT unnest(range(1, len(syms))) AS i)
-    )
-    GROUP BY a, b
-),
-m2 AS (SELECT a, b, support FROM p2 ORDER BY support DESC, a, b LIMIT 1),
-v2 AS (
-    SELECT replace(seq,
-                   chr(31) || (SELECT a FROM m2) || chr(31)
-                           || (SELECT b FROM m2) || chr(31),
-                   chr(31) || (SELECT a FROM m2)
-                           || (SELECT b FROM m2) || chr(31)) AS seq,
-           freq
-    FROM v1
-),
-p3 AS (
-    SELECT a, b, CAST(sum(freq) AS BIGINT) AS support
-    FROM (
-        SELECT freq, syms[i] AS a, syms[i + 1] AS b
-        FROM (
-            SELECT freq,
-                   list_filter(string_split(seq, chr(31)), x -> x <> '')
-                       AS syms
-            FROM v2
-        ), LATERAL (SELECT unnest(range(1, len(syms))) AS i)
-    )
-    GROUP BY a, b
-),
-m3 AS (SELECT a, b, support FROM p3 ORDER BY support DESC, a, b LIMIT 1)
-SELECT 1 AS step, a AS left_sym, b AS right_sym, a || b AS merged, support
-FROM m1
-UNION ALL
-SELECT 2, a, b, a || b, support FROM m2
-UNION ALL
-SELECT 3, a, b, a || b, support FROM m3
-"""
 
 
 def _adjacent_pairs(vocab: DataFrame) -> DataFrame:
@@ -190,17 +109,17 @@ def _train(vocab: DataFrame, iters: int) -> tuple[list, DataFrame]:
                 "support",
             )
         )
+        pat = F.concat(F.lit(_SEP), "a", F.lit(_SEP), "b", F.lit(_SEP))
+        rep = F.concat(F.lit(_SEP), "a", "b", F.lit(_SEP))
+        # TWICE: back-to-back occurrences share a delimiter, so one
+        # non-overlapping pass merges alternating occurrences; the
+        # leftovers are isolated and the second pass reaches fixpoint
         vocab = (
             vocab.crossJoin(F.broadcast(best))
             .select(
                 "word",
-                F.replace(
-                    F.col("seq"),
-                    F.concat(
-                        F.lit(_SEP), "a", F.lit(_SEP), "b", F.lit(_SEP)
-                    ),
-                    F.concat(F.lit(_SEP), "a", "b", F.lit(_SEP)),
-                ).alias("seq"),
+                F.replace(F.replace(F.col("seq"), pat, rep), pat, rep)
+                .alias("seq"),
                 "freq",
             )
             .localCheckpoint(eager=False)
@@ -208,7 +127,6 @@ def _train(vocab: DataFrame, iters: int) -> tuple[list, DataFrame]:
     return merges, vocab
 
 
-@query("bpe_train_merges", _BPE_ORACLE)
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn the first three BPE merges from the corpus. Per
     iteration: weighted adjacent-pair counts over the (word, freq)
@@ -263,17 +181,34 @@ def _chain_sql(iters: int) -> str:
             f"m{k} AS (SELECT a, b, support FROM p{k} "
             f"ORDER BY support DESC, a, b LIMIT 1)"
         )
+        pat = (
+            f"chr(31) || (SELECT a FROM m{k}) || chr(31) "
+            f"|| (SELECT b FROM m{k}) || chr(31)"
+        )
+        rep = (
+            f"chr(31) || (SELECT a FROM m{k}) "
+            f"|| (SELECT b FROM m{k}) || chr(31)"
+        )
         parts.append(f"""v{k} AS (
     SELECT word,
-           replace(seq,
-                   chr(31) || (SELECT a FROM m{k}) || chr(31)
-                           || (SELECT b FROM m{k}) || chr(31),
-                   chr(31) || (SELECT a FROM m{k})
-                           || (SELECT b FROM m{k}) || chr(31)) AS seq,
+           replace(replace(seq, {pat}, {rep}), {pat}, {rep}) AS seq,
            freq
     FROM {prev}
 )""")
     return "WITH " + ",\n".join(parts)
+
+
+_BPE_ORACLE = (
+    _chain_sql(_ITERS)
+    + """
+SELECT 1 AS step, a AS left_sym, b AS right_sym, a || b AS merged, support
+FROM m1
+UNION ALL
+SELECT 2, a, b, a || b, support FROM m2
+UNION ALL
+SELECT 3, a, b, a || b, support FROM m3
+"""
+)
 
 
 _BPE_TOKENIZE_ORACLE = (
@@ -298,7 +233,6 @@ GROUP BY doc_id
 )
 
 
-@query("bpe_tokenize_counts", _BPE_TOKENIZE_ORACLE)
 def bpe_tokenize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE INFERENCE at corpus scale: apply the learned merges and
     count resulting tokens per document. The tokenizer is a per-WORD
@@ -325,3 +259,8 @@ def bpe_tokenize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_sym").alias("n_bpe_tokens"),
         )
     )
+
+
+# registration happens after the oracle builders above exist
+query("bpe_train_merges", _BPE_ORACLE)(bpe_train_merges)
+query("bpe_tokenize_counts", _BPE_TOKENIZE_ORACLE)(bpe_tokenize_counts)

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import TOKENS_SQL, h60_sql
+from ..functions.hashing import TOKENS_SQL, h60, h60_sql, tokens
 from ..operators.llmprep import (
     EMAIL_PATTERN,
     PHONE_PATTERN,
@@ -21,6 +21,7 @@ from ..operators.llmprep import (
     chunk_documents,
     dataset_split,
     pii_scrub,
+    with_running_total,
 )
 from ..registry import query
 from ..sources.batch import load_table
@@ -317,15 +318,12 @@ FROM c
 @query("sequence_packing", _PACKING_ORACLE)
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assign every document its (sequence id, offset) in the packed
-    training stream of {B}-token windows. Placement derives from the
+    training stream of 2048-token windows. Placement derives from the
     exclusive prefix sum of token counts over a deterministic shuffle
     order — two-level prefix sum (range partition -> local cumsum ->
     offset join), so packing 100 TB never funnels through one task;
     the straddle flag marks documents a loader must split across
     window boundaries."""
-    from ..functions.hashing import h60, tokens
-    from ..operators.llmprep import with_running_total
-
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id",

@@ -137,3 +137,42 @@ def test_chunk_udtf_matches_native_chunker(spark, sf_smoke):
     got = sorted(map(tuple, via_udtf.collect()), key=lambda t: (t[0], t[1]))
     want = sorted(map(tuple, native.collect()), key=lambda t: (t[0], t[1]))
     assert got == want
+
+
+def test_bpe_merge_handles_back_to_back_and_true_overlaps(spark):
+    """The delimiter-string merge must equal true greedy BPE: abab
+    merges BOTH occurrences (they share only a delimiter, not a
+    symbol), while aaa merges only the first (true symbol overlap).
+    One replace pass gets abab wrong (alternating occurrences) — the
+    double-pass is the fixpoint."""
+    from pyspark.sql import functions as F
+
+    SEP = "\x1f"
+    df = spark.createDataFrame(
+        [("abab",), ("aaa",), ("aab",), ("ababab",), ("aaaa",)],
+        "word string",
+    ).select(
+        "word",
+        F.concat(
+            F.lit(SEP), F.regexp_replace(F.col("word"), "(.)", "$1" + SEP)
+        ).alias("seq"),
+    )
+
+    def merged(a, b):
+        pat = F.lit(SEP + a + SEP + b + SEP)
+        rep = F.lit(SEP + a + b + SEP)
+        return F.replace(F.replace(F.col("seq"), pat, rep), pat, rep)
+
+    got_ab = {
+        r["word"]: [s for s in r["m"].split(SEP) if s]
+        for r in df.select("word", merged("a", "b").alias("m")).collect()
+    }
+    assert got_ab["abab"] == ["ab", "ab"]
+    assert got_ab["ababab"] == ["ab", "ab", "ab"]
+    assert got_ab["aab"] == ["a", "ab"]
+    got_aa = {
+        r["word"]: [s for s in r["m"].split(SEP) if s]
+        for r in df.select("word", merged("a", "a").alias("m")).collect()
+    }
+    assert got_aa["aaa"] == ["aa", "a"]
+    assert got_aa["aaaa"] == ["aa", "aa"]
