@@ -413,3 +413,81 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+# --- containment (asymmetric near-dup: quotes / excerpts) -------------------
+
+_CONTAINMENT_ORACLE = f"""
+WITH ds AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+    )
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+    FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(c AS DOUBLE) / least(s1.sz, s2.sz) AS containment,
+       CAST(c AS DOUBLE) / (s1.sz + s2.sz - c) AS jaccard
+FROM common
+JOIN sizes s1 ON s1.doc_id = id_a
+JOIN sizes s2 ON s2.doc_id = id_b
+WHERE CAST(c AS DOUBLE) / least(s1.sz, s2.sz) >= 0.6
+"""
+
+
+@query("dedup_containment", _CONTAINMENT_ORACLE)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection: containment
+    |A∩B| / min(|A|,|B|) ≥ 0.6 — catches a document mostly CONTAINED
+    in another (quotes, excerpts, page-plus-boilerplate) that
+    symmetric Jaccard misses when the sizes differ. Same shingle
+    machinery and hot-shingle caveats as the Jaccard anchor; the
+    production path replaces the exact self-join with the LSH
+    candidates + this verify (containment is what the verify stage
+    computes — only the denominator changes)."""
+    from ..operators.dedup import shingle_sets
+
+    ds = shingle_sets(
+        load_table(spark, sf_dir, "documents"), n=3
+    ).localCheckpoint(eager=False)
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = ds.alias("a"), ds.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s1 = sizes.select(
+        F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a")
+    )
+    s2 = sizes.select(
+        F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b")
+    )
+    scored = (
+        common.join(s1, "id_a")
+        .join(s2, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("c").cast("double")
+                / F.least(F.col("sz_a"), F.col("sz_b"))
+            ).alias("containment"),
+            (
+                F.col("c").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("c"))
+            ).alias("jaccard"),
+        )
+    )
+    return scored.filter(F.col("containment") >= 0.6)
