@@ -940,3 +940,55 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             frontier.select("node", F.lit(hop).cast("int").alias("hop"))
         )
     return out
+
+
+# --- frequent 3-itemsets (the Apriori rung above pairs) ---------------------
+
+_TRIPLES_ORACLE = """
+WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       c.l_partkey AS part_c, count(*) AS support
+FROM items a
+JOIN items b
+  ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey
+JOIN items c
+  ON c.l_orderkey = a.l_orderkey AND c.l_partkey > b.l_partkey
+GROUP BY part_a, part_b, part_c
+HAVING count(*) >= 2
+"""
+
+
+@query("copurchase_triples", _TRIPLES_ORACLE)
+def copurchase_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets: part triples co-bought in ≥ 2 distinct
+    orders — the Apriori rung above `copurchase_pairs`. The 3-way
+    self-join stays keyed on the ORDER with an id-ordered chain
+    (a < b < c enumerates each triple once), so fan-out is bounded by
+    order-size³ (C(13,3)=286 worst case/order), never table-size³; at
+    100 TB the Apriori prune (join candidate triples against frequent
+    PAIRS first — `copurchase_pairs` is exactly that table) bounds it
+    further."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b, c = items.alias("a"), items.alias("b"), items.alias("c")
+    return (
+        a.join(
+            b,
+            (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("b.l_partkey") > F.col("a.l_partkey")),
+        )
+        .join(
+            c,
+            (F.col("c.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("c.l_partkey") > F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+            F.col("c.l_partkey").alias("part_c"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )

@@ -1175,3 +1175,61 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("y").alias("max_y"),
         )
     )
+
+
+# --- schema evolution: union across drifted schemas -------------------------
+
+_SCHEMA_EVO_ORACLE = """
+WITH v1 AS (
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderkey % 2 = 0
+),
+v2 AS (
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 1
+),
+unioned AS (
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           o_orderstatus, CAST(NULL AS VARCHAR) AS o_orderpriority
+    FROM v1
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(NULL AS VARCHAR) AS o_orderstatus, o_orderpriority
+    FROM v2
+)
+SELECT coalesce(o_orderstatus, 'unknown') AS status,
+       coalesce(o_orderpriority, 'unknown') AS priority,
+       count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE)
+           AS total
+FROM unioned
+GROUP BY status, priority
+"""
+
+
+@query("schema_evolution_union", _SCHEMA_EVO_ORACLE)
+def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema DRIFT across batch generations: two projections of the
+    same feed with different column sets (the v1 writer had
+    o_orderstatus, the v2 writer replaced it with o_orderpriority)
+    are reconciled with ``unionByName(allowMissingColumns=True)`` —
+    missing columns null-fill, positions don't matter — then
+    aggregated with explicit unknown-bucket coalescing. The batch twin
+    of the streaming path's schema-drift ``from_json`` handling."""
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    unioned = v1.unionByName(v2, allowMissingColumns=True)
+    return unioned.groupBy(
+        F.coalesce("o_orderstatus", F.lit("unknown")).alias("status"),
+        F.coalesce("o_orderpriority", F.lit("unknown")).alias("priority"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,4)"))
+        .cast("double")
+        .alias("total"),
+    )
