@@ -197,3 +197,105 @@ def time_spine_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("last_event_id"),
         F.col("value").alias("filled_value"),
     )
+
+
+# --- bucketed range join (NO equi key) --------------------------------------
+#
+# Correlating a fact stream with interval windows that share NO equi
+# key (incident windows, deploy windows, promo periods) is the shape
+# Catalyst plans as a nested-loop product. The scalable rewrite is
+# time BUCKETING: explode each interval into the 30-minute buckets it
+# covers, equi-join facts to buckets, then apply the exact range
+# residual — O(facts + intervals x buckets) with a real hash join.
+# The oracle is the NAIVE range join, so the hash check proves the
+# bucketing rewrite exact (boundary buckets, empty windows included).
+
+_BUCKETED_RANGE_ORACLE = """
+WITH b AS (SELECT min(ts) AS t0 FROM events),
+inc AS (
+    SELECT r.i AS incident_id,
+           date_trunc('hour', t0) + r.i * INTERVAL 2 HOUR AS start_ts
+    FROM b, range(0, 10) r(i)
+)
+SELECT inc.incident_id,
+       inc.start_ts,
+       count(e.ts) AS n_events,
+       coalesce(CAST(sum(CAST(e.value AS DECIMAL(25,4))) AS DOUBLE), 0.0)
+           AS total_value
+FROM inc
+LEFT JOIN events e
+  ON e.ts >= inc.start_ts
+ AND e.ts < inc.start_ts + INTERVAL 25 MINUTE
+GROUP BY inc.incident_id, inc.start_ts
+"""
+
+
+@query("range_join_bucketed", _BUCKETED_RANGE_ORACLE)
+def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless interval correlation via time bucketing: ten synthetic
+    25-minute incident windows (2 h apart from the corpus start hour)
+    joined to events on the 30-minute BUCKET equi key + exact range
+    residual — never a nested-loop product; empty windows survive via
+    the final left join back to the incident table."""
+    events = load_table(spark, sf_dir, "events")
+
+    def bucket(col):
+        return F.timestamp_seconds(
+            F.floor(F.unix_timestamp(col) / 1800).cast("bigint") * 1800
+        )
+
+    inc = (
+        events.agg(F.min("ts").alias("t0"))
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("incident_id"),
+            F.date_trunc("hour", F.col("t0")).alias("h0"),
+        )
+        .select(
+            "incident_id",
+            F.expr("h0 + incident_id * INTERVAL 2 HOUR").alias("start_ts"),
+        )
+        .select(
+            "incident_id",
+            "start_ts",
+            F.expr("start_ts + INTERVAL 25 MINUTE").alias("end_ts"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    covered = inc.select(
+        "incident_id",
+        "start_ts",
+        "end_ts",
+        F.explode(
+            F.sequence(
+                bucket(F.col("start_ts")),
+                bucket(F.col("end_ts")),
+                F.expr("INTERVAL 30 MINUTE"),
+            )
+        ).alias("bstart"),
+    )
+    ev = events.select("ts", "value", bucket(F.col("ts")).alias("bstart"))
+    hits = (
+        ev.join(F.broadcast(covered), "bstart")
+        .filter(
+            (F.col("ts") >= F.col("start_ts"))
+            & (F.col("ts") < F.col("end_ts"))
+        )
+        .groupBy("incident_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,4)")).alias("_tv"),
+        )
+    )
+    from ..operators.windowed import stabilized_sum  # noqa: F401  (doc xref)
+
+    return (
+        inc.join(hits, "incident_id", "left")
+        .select(
+            "incident_id",
+            "start_ts",
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            F.coalesce(F.col("_tv").cast("double"), F.lit(0.0)).alias(
+                "total_value"
+            ),
+        )
+    )

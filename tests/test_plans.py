@@ -583,3 +583,13 @@ def test_triangle_edges_checkpointed_once(spark, sf_smoke):
     assert plan.count("Scan parquet") <= 1, (
         "edge-list subtree re-expanded: lineitem scanned more than once"
     )
+
+
+def test_range_join_bucketed_has_no_nested_loop(spark, sf_smoke):
+    """The keyless interval correlation must plan as a bucket EQUI
+    join (hash/broadcast-hash), never the nested-loop product a naive
+    range predicate produces."""
+    plan = plan_str(registry.QUERIES["range_join_bucketed"](spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
