@@ -125,3 +125,87 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(check("documents_text_not_null", dn))
         .unionByName(check("lineitem_qty_range", qty))
     )
+
+
+# --- categorical column profiling: entropy + Gini ---------------------------
+#
+# The CBO/data-quality statistics for categorical columns: cardinality,
+# Shannon entropy, and Gini impurity per profiled column. Exactness:
+# Gini = 1 - sum(c^2)/N^2 is one division of exact integers; entropy
+# terms are floor-quantized to nano-nats (the KL/BM25 discipline) so
+# the cross-category sum adds exact int64.
+
+def _entropy_block(col: str) -> str:
+    return f"""
+SELECT '{col}' AS column_name,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(tu) AS DOUBLE) / 1e9 AS entropy_nats,
+       1.0 - CAST(sum(c * c) AS DOUBLE) / (CAST(sum(c) AS DOUBLE) * sum(c))
+           AS gini
+FROM (
+    SELECT c,
+           CAST(floor(1e9 * (CAST(c AS DOUBLE) / t)
+                * ln(CAST(t AS DOUBLE) / c)) AS BIGINT) AS tu
+    FROM (
+        SELECT count(*) AS c FROM events GROUP BY {col}
+    ), (SELECT count(*) AS t FROM events)
+)
+"""
+
+
+_ENTROPY_ORACLE = "\nUNION ALL\n".join(
+    _entropy_block(c) for c in ("event_type", "user_id")
+)
+
+
+@query("categorical_entropy", _ENTROPY_ORACLE)
+def categorical_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column categorical statistics (cardinality, entropy, Gini)
+    — one groupBy per profiled column, 1-row total broadcast, unioned.
+    The skew diagnostic a planner or data-quality gate reads: low
+    entropy relative to log(cardinality) flags hot keys before they
+    hit a join."""
+    ev = load_table(spark, sf_dir, "events")
+    outs = []
+    for col in ("event_type", "user_id"):
+        counts = ev.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        total = counts.agg(F.sum("c").alias("t"))
+        term = (
+            counts.crossJoin(F.broadcast(total))
+            .select(
+                "c",
+                "t",
+                F.floor(
+                    F.lit(1e9)
+                    * (F.col("c").cast("double") / F.col("t"))
+                    * F.log(F.col("t").cast("double") / F.col("c"))
+                )
+                .cast("bigint")
+                .alias("tu"),
+            )
+        )
+        outs.append(
+            term.agg(
+                F.count(F.lit(1)).alias("n_distinct"),
+                (F.sum("tu").cast("double") / F.lit(1e9)).alias(
+                    "entropy_nats"
+                ),
+                (
+                    F.lit(1.0)
+                    - F.sum(F.col("c") * F.col("c")).cast("double")
+                    / (
+                        F.sum("c").cast("double")
+                        * F.sum("c")
+                    )
+                ).alias("gini"),
+            ).select(
+                F.lit(col).alias("column_name"),
+                "n_distinct",
+                "entropy_nats",
+                "gini",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
