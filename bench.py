@@ -83,6 +83,12 @@ HEADLINE = [
     "streaming_timeout_sessions",
     "source_token_kl",
     "bpe_train_merges",
+    "bpe_tokenize_counts",
+    "sequence_packing",
+    "graph_khop_reach",
+    "range_join_bucketed",
+    "schema_evolution_union",
+    "categorical_entropy",
 ]
 
 
