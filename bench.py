@@ -89,6 +89,7 @@ HEADLINE = [
     "range_join_bucketed",
     "schema_evolution_union",
     "categorical_entropy",
+    "entity_match_fuzzy",
 ]
 
 
