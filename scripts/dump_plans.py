@@ -56,6 +56,8 @@ NOTES = {
     "winsorize_values": "One window pass ranks per group; the tiny bounds table broadcasts back onto the fact scan; the clip is row-local codegen.",
     "source_token_kl": "One token explode behind a barrier; per-token corpus totals attach by token key; scalar totals broadcast; the only order-sensitive sum adds floor-quantized int64 terms.",
     "bpe_train_merges": "Corpus collapses to (word, freq) FIRST so per-iteration cost is vocab-sized; each merge step = explode + one agg + 1-row broadcast argmax + string-replace merge; vocab barriered per step.",
+    "entity_match_fuzzy": "Prefix blocking with broadcast hot-block cap; length-difference bound prunes BEFORE thresholded levenshtein; block equi-join, never a cross product.",
+    "range_join_bucketed": "Keyless interval join rewritten to a bucket EQUI join (facts x exploded interval buckets, broadcast) + exact range residual — no nested loop.",
 }
 
 
