@@ -277,10 +277,16 @@ def jaccard_pairs(
     shingle_df: DataFrame,
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    containment_threshold: float | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for every pair sharing ≥1
-    shingle: |A∩B| via shingle self-join, |A|,|B| via group sizes.
-    Returns (id_a, id_b, jaccard) with jaccard ≥ threshold.
+    """Exact n-gram set similarity for every pair sharing ≥1 shingle:
+    |A∩B| via shingle self-join, |A|,|B| via group sizes.
+
+    Default: (id_a, id_b, jaccard) with jaccard ≥ threshold. With
+    ``containment_threshold`` set, returns
+    (id_a, id_b, containment, jaccard) filtered on CONTAINMENT
+    |A∩B| / min(|A|,|B|) instead — the asymmetric measure that
+    catches one document mostly contained in another.
 
     O(pairs sharing a shingle) — fine when shingle frequencies are
     bounded; at 100 TB, hot shingles (boilerplate) must be dropped
@@ -304,18 +310,23 @@ def jaccard_pairs(
     )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
-    return (
-        common.join(sa, F.col("id_a") == F.col(f"sa.{id_col}"))
-        .join(sb, F.col("id_b") == F.col(f"sb.{id_col}"))
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("n_common").cast("double")
-                / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
-            ).alias("jaccard"),
+    jaccard = (
+        F.col("n_common").cast("double")
+        / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
+    ).alias("jaccard")
+    scored = common.join(sa, F.col("id_a") == F.col(f"sa.{id_col}")).join(
+        sb, F.col("id_b") == F.col(f"sb.{id_col}")
+    )
+    if containment_threshold is not None:
+        containment = (
+            F.col("n_common").cast("double")
+            / F.least(F.col("sa.sz"), F.col("sb.sz"))
+        ).alias("containment")
+        return scored.select("id_a", "id_b", containment, jaccard).filter(
+            F.col("containment") >= containment_threshold
         )
-        .filter(F.col("jaccard") >= threshold)
+    return scored.select("id_a", "id_b", jaccard).filter(
+        F.col("jaccard") >= threshold
     )
 
 

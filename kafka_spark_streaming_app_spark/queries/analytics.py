@@ -971,7 +971,14 @@ def copurchase_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     PAIRS first — `copurchase_pairs` is exactly that table) bounds it
     further."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # barrier: three aliases of the same distinct subtree — without it
+    # the scan+distinct re-expands once per alias (triangle_count's
+    # plan test pins the same discipline)
+    items = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     a, b, c = items.alias("a"), items.alias("b"), items.alias("c")
     return (
         a.join(

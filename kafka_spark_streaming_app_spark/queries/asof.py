@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.asof import as_of_join
+from ..operators.windowed import stabilized_sum
 from ..registry import query
 from ..sources.batch import load_table
 
@@ -283,19 +284,15 @@ def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("incident_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(25,4)")).alias("_tv"),
+            stabilized_sum("value").alias("_tv"),
         )
     )
-    from ..operators.windowed import stabilized_sum  # noqa: F401  (doc xref)
-
     return (
         inc.join(hits, "incident_id", "left")
         .select(
             "incident_id",
             "start_ts",
             F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
-            F.coalesce(F.col("_tv").cast("double"), F.lit(0.0)).alias(
-                "total_value"
-            ),
+            F.coalesce(F.col("_tv"), F.lit(0.0)).alias("total_value"),
         )
     )

@@ -449,48 +449,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     production path replaces the exact self-join with the LSH
     candidates + this verify (containment is what the verify stage
     computes — only the denominator changes)."""
-    from ..operators.dedup import shingle_sets
+    from ..operators.dedup import jaccard_pairs, shingle_sets
 
     ds = shingle_sets(
         load_table(spark, sf_dir, "documents"), n=3
     ).localCheckpoint(eager=False)
-    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = ds.alias("a"), ds.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    s1 = sizes.select(
-        F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a")
-    )
-    s2 = sizes.select(
-        F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b")
-    )
-    scored = (
-        common.join(s1, "id_a")
-        .join(s2, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("c").cast("double")
-                / F.least(F.col("sz_a"), F.col("sz_b"))
-            ).alias("containment"),
-            (
-                F.col("c").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("c"))
-            ).alias("jaccard"),
-        )
-    )
-    return scored.filter(F.col("containment") >= 0.6)
+    return jaccard_pairs(ds, containment_threshold=0.6)
 
 
 # --- fuzzy string matching (entity-resolution face) -------------------------
@@ -500,7 +464,15 @@ WITH n AS (
     SELECT doc_id, {NORMALIZE_SQL.format(x="text")} AS t FROM documents
 ),
 b AS (
-    SELECT doc_id, substr(t, 1, 8) AS blk, substr(t, 1, 300) AS head
+    -- non-printable-ASCII projected to '?': DuckDB levenshtein counts BYTES
+    -- while Spark counts CODEPOINTS — on ASCII the two coincide.
+    -- Production keeps full Unicode on the Spark side; this
+    -- projection exists for the byte-based oracle.
+    SELECT doc_id,
+           substr(regexp_replace(t, '[^ -~]', '?', 'g'), 1, 8)
+               AS blk,
+           substr(regexp_replace(t, '[^ -~]', '?', 'g'), 1, 300)
+               AS head
     FROM n
 ),
 ok_blk AS (
@@ -529,10 +501,13 @@ def entity_match_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.hashing import normalize_text
 
     docs = load_table(spark, sf_dir, "documents")
+    ascii_t = F.regexp_replace(
+        normalize_text("text"), "[^ -~]", "?"
+    )
     b = docs.select(
         "doc_id",
-        F.substring(normalize_text("text"), 1, 8).alias("blk"),
-        F.substring(normalize_text("text"), 1, 300).alias("head"),
+        F.substring(ascii_t, 1, 8).alias("blk"),
+        F.substring(ascii_t, 1, 300).alias("head"),
     ).localCheckpoint(eager=False)
     ok = (
         b.groupBy("blk")

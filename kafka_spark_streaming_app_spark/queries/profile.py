@@ -140,8 +140,9 @@ def _entropy_block(col: str) -> str:
 SELECT '{col}' AS column_name,
        CAST(count(*) AS BIGINT) AS n_distinct,
        CAST(sum(tu) AS DOUBLE) / 1e9 AS entropy_nats,
-       1.0 - CAST(sum(c * c) AS DOUBLE) / (CAST(sum(c) AS DOUBLE) * sum(c))
-           AS gini
+       1.0 - CAST(sum(CAST(c AS DECIMAL(15,0)) * CAST(c AS DECIMAL(15,0)))
+                  AS DOUBLE)
+           / (CAST(sum(c) AS DOUBLE) * sum(c)) AS gini
 FROM (
     SELECT c,
            CAST(floor(1e9 * (CAST(c AS DOUBLE) / t)
@@ -192,7 +193,14 @@ def categorical_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 (
                     F.lit(1.0)
-                    - F.sum(F.col("c") * F.col("c")).cast("double")
+                    # c^2 through DECIMAL: int64 sum(c*c) overflows at
+                    # c ~ 3e9 rows/category (ANSI abort or silent wrap
+                    # vs DuckDB's exact hugeint) — decimal(15)^2 sums
+                    # exactly to decimal(38) on both engines
+                    - F.sum(
+                        F.col("c").cast("decimal(15,0)")
+                        * F.col("c").cast("decimal(15,0)")
+                    ).cast("double")
                     / (
                         F.sum("c").cast("double")
                         * F.sum("c")
