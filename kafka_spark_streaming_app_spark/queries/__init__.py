@@ -39,4 +39,5 @@ from . import (  # noqa: F401
     nulls,
     profile,
     bpe,
+    mlstats,
 )

@@ -1,0 +1,367 @@
+"""Distributed classical statistics over the warehouse: closed-form
+OLS regression, Welch's two-sample t-test, and robust (median/MAD)
+outlier detection.
+
+These are the "is this data drifting / which feature predicts what"
+primitives a training-data pipeline runs next to its cleaning passes.
+All three follow the repo's exactness discipline (SURVEY.md §5,
+ROUND_NOTES round-3 fixed-point findings):
+
+- **sufficient statistics in exact integer units** (quantity is
+  integral, prices/values are cents-exact in the fixtures), summed as
+  DECIMAL(38,0) so no engine-specific float summation order, decimal
+  widening rule (DuckDB HUGEINT vs Spark BIGINT), or int64 overflow at
+  larger SFs (the Gini lesson) can drift;
+- derived doubles (slope, t, variance) are computed from those exact
+  sums with the SAME expression tree on both engines and rounded to 6
+  for cross-engine comparability (the cosine discipline);
+- medians/MADs run on integer cents, where every percentile
+  interpolation lands on an exactly-representable 0.25 grid — both
+  engines produce bit-identical doubles regardless of their
+  interpolation formula.
+
+Scale posture: OLS and Welch are single-scan partial aggregations
+(map-side combine, one shuffle on a tiny key). MAD is the canonical
+two-pass algorithm (pass 1 medians, broadcast back, pass 2 deviation
+medians) — exact percentiles need a full pass each; at 100 TB you
+would swap ``percentile`` for ``percentile_approx`` and keep the same
+dataflow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.batch import load_table
+
+
+def _dec_sum(col: Column) -> Column:
+    """Exact integer-domain sum: per-term DECIMAL(38,0) so the sum
+    never overflows int64 and both engines agree on the result type."""
+    return F.sum(col.cast("decimal(38,0)")).cast("decimal(38,0)")
+
+
+# --- OLS: closed-form linear regression ------------------------------------
+
+_OLS_ORACLE = """
+WITH t AS (
+    SELECT
+        l_returnflag,
+        CAST(l_quantity AS BIGINT) AS x,
+        CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS yc
+    FROM lineitem
+),
+s AS (
+    SELECT
+        l_returnflag,
+        count(*) AS n,
+        CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+        CAST(sum(CAST(yc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+        CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+        CAST(sum(CAST(x * yc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+        CAST(sum(CAST(yc * yc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
+    FROM t GROUP BY l_returnflag
+)
+SELECT
+    l_returnflag, n,
+    CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+    CAST(sxx AS DOUBLE) AS sxx, CAST(sxy AS DOUBLE) AS sxy,
+    CAST(syy AS DOUBLE) AS syy,
+    round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) / 100, 6) AS slope,
+    round(((CAST(sy AS DOUBLE)
+            - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+              * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE)) / 100, 6) AS intercept,
+    round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+          / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+FROM s
+ORDER BY l_returnflag
+"""
+
+
+@query("ols_regression", _OLS_ORACLE)
+def ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-return-flag OLS of extended price on quantity via the normal
+    equations: one scan, map-side partial sums of the five sufficient
+    statistics, one shuffle on a 3-value key. The sums are exact
+    integers (DECIMAL(38,0) over quantity × price-cents products);
+    slope/intercept/r² derive from them in doubles rounded to 6.
+
+    The distributed shape — sufficient statistics, never row transfer —
+    is how regression works at 100 TB; the closed form needs no
+    iteration at all.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("yc"),
+    )
+    x, yc = F.col("x"), F.col("yc")
+    s = t.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dec_sum(x).alias("sx"),
+        _dec_sum(yc).alias("sy"),
+        _dec_sum(x * x).alias("sxx"),
+        _dec_sum(x * yc).alias("sxy"),
+        _dec_sum(yc * yc).alias("syy"),
+    )
+    nD = F.col("n").cast("double")
+    sxD = F.col("sx").cast("double")
+    syD = F.col("sy").cast("double")
+    sxxD = F.col("sxx").cast("double")
+    sxyD = F.col("sxy").cast("double")
+    syyD = F.col("syy").cast("double")
+    num = nD * sxyD - sxD * syD
+    den = nD * sxxD - sxD * sxD
+    slope_raw = num / den
+    return (
+        s.select(
+            "l_returnflag",
+            "n",
+            F.col("sx").cast("double").alias("sx"),
+            F.col("sy").cast("double").alias("sy"),
+            F.col("sxx").cast("double").alias("sxx"),
+            F.col("sxy").cast("double").alias("sxy"),
+            F.col("syy").cast("double").alias("syy"),
+            F.round(slope_raw / 100, 6).alias("slope"),
+            F.round(((syD - slope_raw * sxD) / nD) / 100, 6).alias("intercept"),
+            F.round((num * num) / (den * (nD * syyD - syD * syD)), 6).alias("r2"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- Welch's t-test: each event type vs the rest ----------------------------
+
+_WELCH_ORACLE = """
+WITH t AS (
+    SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS vc
+    FROM events
+),
+g AS (
+    SELECT
+        event_type,
+        count(*) AS n,
+        CAST(sum(CAST(vc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+        CAST(sum(CAST(vc * vc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ss
+    FROM t GROUP BY event_type
+),
+tot AS (
+    SELECT count(*) AS tn,
+           CAST(sum(CAST(vc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ts,
+           CAST(sum(CAST(vc * vc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS tss
+    FROM t
+),
+w AS (
+    SELECT
+        g.event_type, g.n, g.s, g.ss,
+        tot.tn - g.n AS rn,
+        CAST(tot.ts - g.s AS DECIMAL(38,0)) AS rs,
+        CAST(tot.tss - g.ss AS DECIMAL(38,0)) AS rss
+    FROM g, tot
+),
+v AS (
+    SELECT
+        event_type, n, s, ss, rn, rs, rss,
+        round((CAST(ss AS DOUBLE) / 10000.0
+               - (CAST(s AS DOUBLE) / 100.0) * (CAST(s AS DOUBLE) / 100.0)
+                 / CAST(n AS DOUBLE))
+              / (CAST(n AS DOUBLE) - 1), 6) AS var_t,
+        round((CAST(rss AS DOUBLE) / 10000.0
+               - (CAST(rs AS DOUBLE) / 100.0) * (CAST(rs AS DOUBLE) / 100.0)
+                 / CAST(rn AS DOUBLE))
+              / (CAST(rn AS DOUBLE) - 1), 6) AS var_r
+    FROM w
+)
+SELECT
+    event_type, n, CAST(s AS DOUBLE) AS s, CAST(ss AS DOUBLE) AS ss,
+    round(CAST(s AS DOUBLE) / 100.0 / CAST(n AS DOUBLE), 6) AS mean_t,
+    round(CAST(rs AS DOUBLE) / 100.0 / CAST(rn AS DOUBLE), 6) AS mean_r,
+    var_t, var_r,
+    round((CAST(s AS DOUBLE) / 100.0 / CAST(n AS DOUBLE)
+           - CAST(rs AS DOUBLE) / 100.0 / CAST(rn AS DOUBLE))
+          / sqrt(var_t / CAST(n AS DOUBLE) + var_r / CAST(rn AS DOUBLE)),
+          6) AS t_welch,
+    round(((var_t / CAST(n AS DOUBLE) + var_r / CAST(rn AS DOUBLE))
+           * (var_t / CAST(n AS DOUBLE) + var_r / CAST(rn AS DOUBLE)))
+          / ((var_t / CAST(n AS DOUBLE)) * (var_t / CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1)
+             + (var_r / CAST(rn AS DOUBLE)) * (var_r / CAST(rn AS DOUBLE))
+               / (CAST(rn AS DOUBLE) - 1)), 6) AS df_welch
+FROM v
+ORDER BY event_type
+"""
+
+
+@query("welch_ttest", _WELCH_ORACLE)
+def welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test of each event type's ``value``
+    against all other events (the A/B-test / drift-check shape).
+
+    One scan builds exact per-type integer-cents sufficient statistics;
+    the grand total attaches via a broadcast 1-row cross join (the
+    pagerank/bigram pattern — never a global window), so "the rest" is
+    total − group with zero extra passes. Variances are rounded to 6
+    first, then t and Welch–Satterthwaite df derive from the rounded
+    variances — both engines see identical inputs to the final
+    expressions.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("vc"),
+    )
+    vc = F.col("vc")
+    g = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dec_sum(vc).alias("s"),
+        _dec_sum(vc * vc).alias("ss"),
+    )
+    tot = t.agg(
+        F.count(F.lit(1)).alias("tn"),
+        _dec_sum(vc).alias("ts"),
+        _dec_sum(vc * vc).alias("tss"),
+    )
+    w = g.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n",
+        "s",
+        "ss",
+        (F.col("tn") - F.col("n")).alias("rn"),
+        (F.col("ts") - F.col("s")).cast("decimal(38,0)").alias("rs"),
+        (F.col("tss") - F.col("ss")).cast("decimal(38,0)").alias("rss"),
+    )
+
+    def _var(ss_c: str, s_c: str, n_c: str) -> Column:
+        ssD = F.col(ss_c).cast("double")
+        sD = F.col(s_c).cast("double")
+        nD = F.col(n_c).cast("double")
+        return F.round(
+            (ssD / 10000.0 - (sD / 100.0) * (sD / 100.0) / nD) / (nD - 1), 6
+        )
+
+    v = w.withColumn("var_t", _var("ss", "s", "n")).withColumn(
+        "var_r", _var("rss", "rs", "rn")
+    )
+    nD = F.col("n").cast("double")
+    rnD = F.col("rn").cast("double")
+    mean_t = F.col("s").cast("double") / 100.0 / nD
+    mean_r = F.col("rs").cast("double") / 100.0 / rnD
+    se2 = F.col("var_t") / nD + F.col("var_r") / rnD
+    df_den = (F.col("var_t") / nD) * (F.col("var_t") / nD) / (nD - 1) + (
+        F.col("var_r") / rnD
+    ) * (F.col("var_r") / rnD) / (rnD - 1)
+    return (
+        v.select(
+            "event_type",
+            "n",
+            F.col("s").cast("double").alias("s"),
+            F.col("ss").cast("double").alias("ss"),
+            F.round(mean_t, 6).alias("mean_t"),
+            F.round(mean_r, 6).alias("mean_r"),
+            "var_t",
+            "var_r",
+            F.round((mean_t - mean_r) / F.sqrt(se2), 6).alias("t_welch"),
+            F.round((se2 * se2) / df_den, 6).alias("df_welch"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- Robust outliers: median / MAD on integer cents -------------------------
+
+_MAD_ORACLE = """
+WITH t AS (
+    SELECT o_orderstatus, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS pc
+    FROM orders
+),
+med AS (
+    SELECT o_orderstatus, quantile_cont(CAST(pc AS DOUBLE), 0.5) AS med_c
+    FROM t GROUP BY o_orderstatus
+),
+dev AS (
+    SELECT t.o_orderstatus, med.med_c,
+           abs(CAST(t.pc AS DOUBLE) - med.med_c) AS dev_c
+    FROM t JOIN med USING (o_orderstatus)
+),
+mad AS (
+    SELECT o_orderstatus, min(med_c) AS med_c,
+           count(*) AS n, quantile_cont(dev_c, 0.5) AS mad_c
+    FROM dev GROUP BY o_orderstatus
+)
+SELECT
+    dev.o_orderstatus,
+    min(mad.n) AS n,
+    round(min(mad.med_c) / 100.0, 6) AS median_price,
+    round(min(mad.mad_c) / 100.0, 6) AS mad_price,
+    CAST(count(CASE WHEN dev.dev_c > 4.4478 * mad.mad_c THEN 1 END) AS BIGINT)
+        AS n_outliers
+FROM dev JOIN mad USING (o_orderstatus)
+GROUP BY dev.o_orderstatus
+ORDER BY dev.o_orderstatus
+"""
+
+
+@query("mad_outliers", _MAD_ORACLE)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-status outlier detection: median and MAD of the order
+    total, then count of rows beyond 3·1.4826·MAD (= 4.4478·MAD, the
+    normal-consistent robust z>3 rule).
+
+    Exactness: everything runs on integer cents, where every exact
+    percentile interpolation lands on a 0.25 grid — bit-identical
+    doubles on both engines with NO rounding step, so even the
+    threshold comparison ``dev > 4.4478·mad`` is cross-engine exact.
+
+    Scale: the canonical two-pass MAD — pass 1 group medians (broadcast
+    back, 3-row table), pass 2 deviation medians + counts. At 100 TB
+    the same dataflow runs on ``percentile_approx``.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    t = orders.select(
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("pc"),
+    )
+    med = t.groupBy("o_orderstatus").agg(
+        F.percentile(F.col("pc").cast("double"), F.lit(0.5)).alias("med_c")
+    )
+    dev = t.join(F.broadcast(med), "o_orderstatus").select(
+        "o_orderstatus",
+        "med_c",
+        F.abs(F.col("pc").cast("double") - F.col("med_c")).alias("dev_c"),
+    )
+    mad = dev.groupBy("o_orderstatus").agg(
+        F.min("med_c").alias("med_c"),
+        F.count(F.lit(1)).alias("n"),
+        F.percentile(F.col("dev_c"), F.lit(0.5)).alias("mad_c"),
+    )
+    return (
+        dev.drop("med_c")
+        .join(F.broadcast(mad.select("o_orderstatus", "mad_c", "n", "med_c")),
+              "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.min("n").alias("n"),
+            F.round(F.min("med_c") / 100.0, 6).alias("median_price"),
+            F.round(F.min("mad_c") / 100.0, 6).alias("mad_price"),
+            F.count(F.when(F.col("dev_c") > 4.4478 * F.col("mad_c"), 1))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("o_orderstatus")
+    )

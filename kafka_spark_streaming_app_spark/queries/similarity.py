@@ -552,3 +552,91 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("a_corpus_id").cast("double") / F.count(F.lit(1))
         ).alias("recall_at_5"),
     )
+
+
+# --- k-NN classification over the embedding corpus --------------------------
+
+_KNN_K = 5
+_KNN_ORACLE = """
+WITH n AS (
+    SELECT
+        vec_id, label,
+        embedding::DOUBLE[] AS v,
+        sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
+    FROM embeddings
+),
+q AS (
+    SELECT vec_id AS query_id, label AS true_label, v AS qv, norm AS qnorm
+    FROM n WHERE vec_id % 17 = 0
+),
+c AS (SELECT * FROM n WHERE vec_id % 17 <> 0),
+scored AS (
+    SELECT
+        q.query_id, q.true_label,
+        c.vec_id AS corpus_id, c.label,
+        round(list_inner_product(q.qv, c.v) / (q.qnorm * c.norm), 6) AS cosine
+    FROM c, q
+),
+nbrs AS (
+    SELECT * FROM (
+        SELECT *,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, corpus_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+),
+votes AS (
+    SELECT query_id, true_label, label, count(*) AS n_votes
+    FROM nbrs GROUP BY query_id, true_label, label
+)
+SELECT query_id, true_label,
+       label AS pred_label,
+       n_votes,
+       CAST(label = true_label AS BOOLEAN) AS correct
+FROM (
+    SELECT *,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY n_votes DESC, label) AS vote_rank
+    FROM votes
+) WHERE vote_rank = 1
+ORDER BY query_id
+"""
+
+
+@query("knn_classify", _KNN_ORACLE)
+def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label prediction: every 17th vector is held out, classified
+    by the majority label of its 5 nearest (cosine) neighbors among the
+    rest; ties break toward the smaller label. The top-k reuses the
+    shared broadcast-queries brute-force operator (exactness anchor);
+    at 100 TB the neighbor stage swaps to any of the bucketed ANN
+    variants (SRP/IVF/SQ8) with this voting dataflow unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 17 == 0)
+    corpus = emb.filter(F.col("vec_id") % 17 != 0)
+    nbrs = brute_force_topk(corpus, queries_df, k=_KNN_K)
+    labels = emb.select(F.col("vec_id").alias("corpus_id"), "label")
+    truth = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    votes = (
+        nbrs.join(F.broadcast(labels), "corpus_id")
+        .join(F.broadcast(truth), "query_id")
+        .groupBy("query_id", "true_label", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), F.asc("label"))
+    return (
+        votes.withColumn("vote_rank", F.row_number().over(w))
+        .filter(F.col("vote_rank") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("label").alias("pred_label"),
+            "n_votes",
+            (F.col("label") == F.col("true_label")).alias("correct"),
+        )
+        .orderBy("query_id")
+    )
