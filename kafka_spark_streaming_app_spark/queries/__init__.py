@@ -40,4 +40,5 @@ from . import (  # noqa: F401
     profile,
     bpe,
     mlstats,
+    layout,
 )

@@ -34,26 +34,35 @@ def write_bucketed_table(
     bucket_col: str,
     num_buckets: int = 8,
     sort_col: str | None = None,
+    path: str | None = None,
 ) -> None:
-    """Persist as a bucketed (optionally sorted) managed table; joins
-    and aggregations on ``bucket_col`` between tables bucketed the same
+    """Persist as a bucketed (optionally sorted) table; joins and
+    aggregations on ``bucket_col`` between tables bucketed the same
     way skip their shuffle (and their sort, when sorted).
 
-    Drops any existing table AND its orphaned warehouse directory first
-    — the in-memory catalog forgets tables between sessions while their
-    warehouse files persist, and Spark refuses to reuse the location.
+    With ``path`` the table is external at that location (callers that
+    must control where bytes land, e.g. a temp fixture); otherwise it
+    is managed in the warehouse directory. Drops any existing table AND
+    its orphaned warehouse directory first — the in-memory catalog
+    forgets tables between sessions while their warehouse files
+    persist, and Spark refuses to reuse the location.
     """
     import shutil
     from urllib.parse import urlparse
 
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS `{table}`")
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
-    if warehouse:
-        shutil.rmtree(f"{warehouse.rstrip('/')}/{table.lower()}", ignore_errors=True)
+    if path is None:
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+        if warehouse:
+            shutil.rmtree(
+                f"{warehouse.rstrip('/')}/{table.lower()}", ignore_errors=True
+            )
     writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
     if sort_col:
         writer = writer.sortBy(sort_col)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 

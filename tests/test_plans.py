@@ -593,3 +593,28 @@ def test_range_join_bucketed_has_no_nested_loop(spark, sf_smoke):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Join" in plan
+
+
+def test_partition_prune_scan_has_partition_filters(spark, sf_smoke):
+    """The driver-facing layout query must read through the
+    partitioned directory with a PartitionFilters entry on the
+    partition column — directory pruning, not a data filter."""
+    plan = plan_str(registry.QUERIES["partition_prune_scan"](spark, sf_smoke))
+    assert "PartitionFilters: [" in plan
+    assert "event_type" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_bucketed_join_segments_joins_without_exchange(spark, sf_smoke):
+    """Co-bucketed orders⋈customer must sort-merge with no Exchange
+    below the join; the only shuffles allowed in the whole plan are
+    the post-join aggregation's."""
+    df = registry.QUERIES["bucketed_join_segments"](spark, sf_smoke)
+    plan = plan_str(df)
+    assert "SortMergeJoin" in plan, plan
+    # in the printed tree parents come first: the join's INPUT subtree
+    # is everything between the join node and the node-detail section
+    subtree = plan.split("SortMergeJoin", 1)[1].split("\n\n")[0]
+    assert "Exchange" not in subtree, (
+        "bucketed join still shuffles its inputs:\n" + plan
+    )
+    assert plan.count("Bucketed: true") == 2, plan
