@@ -155,3 +155,56 @@ def pagerank(
     return pr.select(
         "node", (F.col("prs").cast("double") / F.lit(PR_SCALE)).alias("pr")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 2,
+    u_col: str = "u",
+    v_col: str = "v",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (LPA):
+    every node starts in its own community, then each superstep
+    reassigns it to the most frequent label among its neighbors
+    (ties break toward the SMALLER label — fully deterministic, so
+    an oracle can unroll the same supersteps).
+
+    Unlike min-label connected components, LPA splits a connected
+    graph into densely-linked groups. Synchronous update + fixed
+    iteration count keeps it engine-reproducible; production LPA runs
+    until <1%% of nodes change. Each superstep is one edge⋈label
+    equi-join + a (node, label) count + an argmax window — all keyed
+    shuffles, barriered per iteration so the plan never re-expands
+    (the iterative-algorithm discipline shared with
+    ``connected_components`` / ``pagerank``).
+    """
+    from pyspark.sql import Window
+
+    und = edges.select(F.col(u_col).alias("src"), F.col(v_col).alias("dst"))
+    und = (
+        und.unionAll(
+            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("n_votes"), F.asc("label"))
+    for _ in range(iterations):
+        votes = (
+            und.join(labels, und.dst == labels.node)
+            .groupBy("src", "label")
+            .agg(F.count(F.lit(1)).alias("n_votes"))
+        )
+        labels = (
+            votes.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+            .select(F.col("src").alias("node"), "label")
+            .localCheckpoint(eager=False)
+        )
+    return labels

@@ -999,3 +999,58 @@ def copurchase_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= 2)
     )
+
+
+# --- label-propagation communities ------------------------------------------
+
+_LPA_ORACLE = f"""
+WITH {_EDGE_CTE},
+e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+l0 AS (SELECT DISTINCT u AS node FROM e),
+v1 AS (
+    SELECT e.u AS node, e.v AS label, count(*) AS n_votes
+    FROM e GROUP BY 1, 2
+),
+l1 AS (
+    SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY n_votes DESC, label) AS rnk
+        FROM v1
+    ) WHERE rnk = 1
+),
+v2 AS (
+    SELECT e.u AS node, l1.label, count(*) AS n_votes
+    FROM e JOIN l1 ON l1.node = e.v
+    GROUP BY 1, 2
+),
+l2 AS (
+    SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY n_votes DESC, label) AS rnk
+        FROM v2
+    ) WHERE rnk = 1
+)
+SELECT node, label AS community FROM l2 ORDER BY node, community
+"""
+
+
+@query("label_propagation_communities", _LPA_ORACLE)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the co-purchase graph: 2 synchronous
+    label-propagation supersteps (most-frequent neighbor label, ties
+    to the smaller label) — the fifth member of the graph family on
+    the SAME shared edge builder as pairs/pagerank/triangles/k-hop.
+    The oracle unrolls the identical supersteps (iteration 1 reduces
+    to min-neighbor because every initial label is unique), so the
+    driver hash checks the voting argmax itself. Per-superstep cost is
+    one edge-keyed shuffle — linear in edges at any scale."""
+    from ..operators.graph import label_propagation
+
+    edges = _copurchase_edges(spark, sf_dir).select("u", "v")
+    return (
+        label_propagation(edges, iterations=2)
+        .select("node", F.col("label").alias("community"))
+        .orderBy("node", "community")
+    )

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import TOKENS_SQL, h60, h60_sql, tokens
+from ..functions.hashing import TOKENS_SQL, h60, h60_sql, shingles_sql, tokens
 from ..operators.llmprep import (
     EMAIL_PATTERN,
     PHONE_PATTERN,
@@ -343,4 +343,91 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("start_tok") % _PACK_BUDGET) + F.col("n_tok")
             > _PACK_BUDGET
         ).alias("straddles"),
+    )
+
+
+# --- split leakage audit ----------------------------------------------------
+
+_LEAK_SHINGLES = shingles_sql("text", 3)
+
+_LEAK_ORACLE = f"""
+WITH ds AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest({_LEAK_SHINGLES}) AS shingle FROM documents
+    )
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+    FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT id_a, id_b, CAST(c AS DOUBLE) / (s1.sz + s2.sz - c) AS jaccard
+    FROM common
+    JOIN sizes s1 ON s1.doc_id = id_a
+    JOIN sizes s2 ON s2.doc_id = id_b
+    WHERE CAST(c AS DOUBLE) / (s1.sz + s2.sz - c) >= 0.5
+),
+splits AS (
+    SELECT doc_id,
+           CASE WHEN {_BUCKET_SQL} < 80 THEN 'train'
+                WHEN {_BUCKET_SQL} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+)
+SELECT p.id_a, p.id_b, p.jaccard,
+       sa.split AS split_a, sb.split AS split_b,
+       CAST(sa.split <> sb.split AS BOOLEAN) AS leak
+FROM pairs p
+JOIN splits sa ON sa.doc_id = p.id_a
+JOIN splits sb ON sb.doc_id = p.id_b
+ORDER BY p.id_a, p.id_b
+"""
+
+
+@query("split_leakage_audit", _LEAK_ORACLE)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test leakage audit: every near-duplicate pair
+    (MinHash+LSH candidates, exact-Jaccard-verified at 0.5) labeled
+    with both members' split assignments; ``leak`` flags pairs that
+    straddle splits — the eval-contamination a random split of a
+    near-dup-bearing corpus ALWAYS produces, and the reason production
+    pipelines dedup before splitting (or split by cluster).
+
+    The oracle recomputes the exact pair set brute-force and the same
+    hash-bucket split, so the driver hash proves LSH recall AND the
+    leak labeling in one check. Scale posture is the LSH pipeline's
+    (banded candidates, capped hot buckets); the split join adds two
+    broadcast-size lookups.
+    """
+    from ..operators.dedup import (
+        jaccard_verify_candidates,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = minhash_signatures(docs, num_hashes=12, shingle_n=3)
+    candidates = lsh_candidate_pairs(sigs, num_hashes=12, band_size=2)
+    pairs = jaccard_verify_candidates(docs, candidates, shingle_n=3, threshold=0.5)
+    splits = docs.select("doc_id", dataset_split(docs).alias("split"))
+    sa = splits.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            "split_a",
+            "split_b",
+            (F.col("split_a") != F.col("split_b")).alias("leak"),
+        )
+        .orderBy("id_a", "id_b")
     )

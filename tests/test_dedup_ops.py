@@ -144,3 +144,19 @@ def test_semantic_dedup_drops_planted_near_dups(spark, sf_smoke):
     assert same_cluster                       # clustering kept dups together
     for p in same_cluster:
         assert p.id_b in dropped
+
+
+def test_label_propagation_forms_multimember_communities(spark, sf_smoke):
+    """LPA must actually group nodes: >1 community and at least one
+    community with >1 member, else the voting is vacuous."""
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["label_propagation_communities"](
+        spark, sf_smoke
+    ).collect()
+    from collections import Counter
+
+    sizes = Counter(r["community"] for r in rows)
+    assert len(sizes) > 1
+    assert max(sizes.values()) > 1

@@ -176,3 +176,17 @@ def test_bpe_merge_handles_back_to_back_and_true_overlaps(spark):
     }
     assert got_aa["aaa"] == ["aa", "a"]
     assert got_aa["aaaa"] == ["aa", "aa"]
+
+
+def test_split_leakage_audit_flags_both_populations(spark, sf_correctness):
+    """The leak flag must discriminate on the fixture: some near-dup
+    pairs land in the same split, some straddle splits — if either
+    population is empty the audit is vacuous."""
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["split_leakage_audit"](
+        spark, sf_correctness
+    ).collect()
+    leaks = {r["leak"] for r in rows}
+    assert leaks == {True, False}, rows
