@@ -41,4 +41,5 @@ from . import (  # noqa: F401
     bpe,
     mlstats,
     layout,
+    cdc,
 )

@@ -55,3 +55,19 @@ def test_queries_are_rerunnable(spark, sf_smoke):
     a = fn(spark, sf_smoke).count()
     b = fn(spark, sf_smoke).count()
     assert a == b > 0
+
+
+def test_cdc_upsert_exercises_all_merge_paths(spark, sf_correctness):
+    """kept / updated / inserted must all be present and deletes must
+    shrink the snapshot — otherwise the merge test is vacuous."""
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["cdc_upsert_latest"](spark, sf_correctness).collect()
+    kinds = {r["change_type"] for r in rows}
+    assert kinds == {"kept", "updated", "inserted"}, kinds
+    n_customers = (
+        spark.read.parquet(f"{sf_correctness}/customer.parquet").count()
+    )
+    n_out_existing = sum(1 for r in rows if r["change_type"] != "inserted")
+    assert n_out_existing < n_customers  # deletes actually dropped rows
