@@ -90,6 +90,16 @@ HEADLINE = [
     "schema_evolution_union",
     "categorical_entropy",
     "entity_match_fuzzy",
+    # round-3 third wave: classical stats, layout-through queries,
+    # leakage/community analytics, CDC merge
+    "ols_regression",
+    "mad_outliers",
+    "knn_classify",
+    "partition_prune_scan",
+    "bucketed_join_segments",
+    "split_leakage_audit",
+    "label_propagation_communities",
+    "cdc_upsert_latest",
 ]
 
 

@@ -444,3 +444,57 @@ def streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = quality_score(_documents_as_stream(spark, sf_dir))
     return _run_to_table(spark, stream, output_mode="append")
+
+
+# --- per-language percentile quality filter ---------------------------------
+
+_PCT_FILTER_ORACLE = f"""
+WITH scored AS (
+    SELECT * FROM ({_QUALITY_ORACLE})
+),
+ranked AS (
+    SELECT s.doc_id, d.lang, s.quality_logit,
+           percent_rank() OVER (PARTITION BY d.lang
+                                ORDER BY s.quality_logit DESC, s.doc_id)
+               AS pct_rank
+    FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+)
+SELECT doc_id, lang, quality_logit,
+       round(pct_rank, 6) AS pct_rank,
+       pct_rank <= 0.5 AS keep_top_half
+FROM ranked
+ORDER BY doc_id
+"""
+
+
+@query("quality_percentile_filter", _PCT_FILTER_ORACLE)
+def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style RELATIVE quality thresholding: rank documents by
+    the model-based quality logit WITHIN each language and keep the
+    top half — per-group percentiles, not a global cutoff, so
+    low-resource languages aren't wiped out by a threshold tuned on
+    the dominant one. Ordering ties break on doc_id, making the
+    percent_rank deterministic cross-engine (the logit itself is
+    hash-proven by `quality_classifier`). One lang-keyed window; at
+    100 TB the same rank comes from a per-language equidepth histogram
+    instead of a full sort."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_score(docs).select("doc_id", "quality_logit")
+    langs = docs.select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("quality_logit"), F.asc("doc_id")
+    )
+    return (
+        scored.join(langs, "doc_id")
+        .withColumn("pct_rank", F.percent_rank().over(w))
+        .select(
+            "doc_id",
+            "lang",
+            "quality_logit",
+            F.round("pct_rank", 6).alias("pct_rank"),
+            (F.col("pct_rank") <= 0.5).alias("keep_top_half"),
+        )
+        .orderBy("doc_id")
+    )

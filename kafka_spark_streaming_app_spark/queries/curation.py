@@ -139,3 +139,67 @@ def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_subwords").cast("bigint").alias("n_subwords"),
         )
     )
+
+
+# --- best-in-cluster canonical selection ------------------------------------
+
+from .dedup import _CLUSTERS_ORACLE
+
+_KEEP_BEST_ORACLE = f"""
+WITH clusters AS (
+    SELECT * FROM ({_CLUSTERS_ORACLE})
+),
+q AS (
+    SELECT doc_id,
+           CASE WHEN len({_WORDS}) > 0
+                THEN CAST(len(list_distinct({_WORDS})) AS DOUBLE)
+                     / len({_WORDS})
+                ELSE 0.0 END AS quality
+    FROM documents
+)
+SELECT c.doc_id, c.cluster_id, q.quality,
+       (row_number() OVER (PARTITION BY c.cluster_id
+                           ORDER BY q.quality DESC, c.doc_id)) = 1 AS keep
+FROM clusters c JOIN q ON q.doc_id = c.doc_id
+ORDER BY c.doc_id
+"""
+
+
+@query("dedup_keep_best", _KEEP_BEST_ORACLE)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical selection done RIGHT for a training corpus: within
+    each near-dup cluster (connected components over the LSH pair
+    graph) keep the HIGHEST-QUALITY member (lexical diversity, ties to
+    the smaller id) — not the arbitrary min-id. Singleton clusters
+    keep their only member, so exactly one keep=true per cluster.
+    The oracle reuses the recursive-CTE transitive closure plus the
+    same argmax, so the driver hash checks clustering AND the keep
+    policy. Scale posture: the cluster stage's (banded LSH + label
+    propagation); the argmax is one cluster-keyed window."""
+    from .dedup import dedup_clusters
+
+    from ..functions.hashing import tokens
+
+    cc = dedup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    quality = (
+        F.when(
+            F.size(toks) > 0,
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("quality")
+    )
+    q = docs.select("doc_id", quality)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        cc.join(q, "doc_id")
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select("doc_id", "cluster_id", "quality", "keep")
+        .orderBy("doc_id")
+    )

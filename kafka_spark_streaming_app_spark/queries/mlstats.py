@@ -162,10 +162,10 @@ g AS (
     FROM t GROUP BY event_type
 ),
 tot AS (
-    SELECT count(*) AS tn,
-           CAST(sum(CAST(vc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ts,
-           CAST(sum(CAST(vc * vc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS tss
-    FROM t
+    SELECT CAST(sum(n) AS BIGINT) AS tn,
+           CAST(sum(s) AS DECIMAL(38,0)) AS ts,
+           CAST(sum(ss) AS DECIMAL(38,0)) AS tss
+    FROM g
 ),
 w AS (
     SELECT
@@ -227,15 +227,24 @@ def welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100, 0).cast("bigint").alias("vc"),
     )
     vc = F.col("vc")
-    g = t.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        _dec_sum(vc).alias("s"),
-        _dec_sum(vc * vc).alias("ss"),
+    # barriered: g feeds both the totals fold and the final join —
+    # without the barrier each reference re-expands the whole scan
+    g = (
+        t.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum(vc).alias("s"),
+            _dec_sum(vc * vc).alias("ss"),
+        )
+        .localCheckpoint(eager=False)
     )
-    tot = t.agg(
-        F.count(F.lit(1)).alias("tn"),
-        _dec_sum(vc).alias("ts"),
-        _dec_sum(vc * vc).alias("tss"),
+    # grand totals fold the per-group sums — ONE corpus scan feeds
+    # both levels (re-aggregating partials is exact in the decimal
+    # domain), vs a second full scan for a separate total
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("s").cast("decimal(38,0)").alias("ts"),
+        F.sum("ss").cast("decimal(38,0)").alias("tss"),
     )
     w = g.crossJoin(F.broadcast(tot)).select(
         "event_type",
