@@ -100,6 +100,8 @@ HEADLINE = [
     "split_leakage_audit",
     "label_propagation_communities",
     "cdc_upsert_latest",
+    "dedup_keep_best",
+    "quality_percentile_filter",
 ]
 
 

@@ -58,6 +58,17 @@ NOTES = {
     "bpe_train_merges": "Corpus collapses to (word, freq) FIRST so per-iteration cost is vocab-sized; each merge step = explode + one agg + 1-row broadcast argmax + string-replace merge; vocab barriered per step.",
     "entity_match_fuzzy": "Prefix blocking with broadcast hot-block cap; length-difference bound prunes BEFORE thresholded levenshtein; block equi-join, never a cross product.",
     "range_join_bucketed": "Keyless interval join rewritten to a bucket EQUI join (facts x exploded interval buckets, broadcast) + exact range residual — no nested loop.",
+    "ols_regression": "Single scan-bound partial+final agg on a 3-value key; all five exact decimal power sums ride ONE shuffle; regression stats are row-local arithmetic on the 3-row result.",
+    "welch_ttest": "One corpus scan: per-type sums barriered, grand totals FOLD the per-group partials (re-aggregation, no second scan) and broadcast back — 'the rest' = total − group.",
+    "mad_outliers": "Canonical two-pass MAD: pass-1 group medians broadcast back onto the scan; deviation percentiles and the robust-z threshold counts share pass 2; integer cents end-to-end.",
+    "knn_classify": "Brute-force cosine with the query batch broadcast; per-query top-k window; voting is a (query,label) count + argmax window with label/truth lookups broadcast.",
+    "partition_prune_scan": "PartitionFilters directory pruning — only the two matching event_type partitions are listed; the rollup is a plain partial+final agg over the pruned scan.",
+    "bucketed_join_segments": "Co-bucketed SMJ: Sort sits directly on the bucketed scans (Bucketed: true, SelectedBucketsCount 8/8) with ZERO Exchange below the join; only the post-join agg shuffles.",
+    "split_leakage_audit": "The banded LSH pipeline unchanged (capped buckets, candidate-restricted verify); split labels are pure functions of doc_id joined on the pair keys.",
+    "label_propagation_communities": "Per superstep: edge⋈label equi-join, (node,label) vote count, argmax window — one edge-keyed shuffle each; labels barriered per superstep.",
+    "cdc_upsert_latest": "Latest-change window and the full-outer merge share the merge-key partitioning; merge semantics are row-local CASE logic, delete-filter included.",
+    "dedup_keep_best": "Cluster stage = banded LSH + barriered iterative CC; the keep policy adds one cluster-keyed argmax window over the (doc, quality) join.",
+    "quality_percentile_filter": "Zero-shuffle quality-logit projection, then a single lang-keyed window for percent_rank — per-group relative thresholds without a global sort.",
 }
 
 
