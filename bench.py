@@ -102,6 +102,7 @@ HEADLINE = [
     "cdc_upsert_latest",
     "dedup_keep_best",
     "quality_percentile_filter",
+    "streaming_cdc_upsert",
 ]
 
 

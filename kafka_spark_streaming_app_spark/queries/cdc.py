@@ -19,6 +19,8 @@ recurring nightly merge joins shuffle-free.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -59,41 +61,21 @@ ORDER BY c_custkey
 """
 
 
-@query("cdc_upsert_latest", _CDC_ORACLE)
-def cdc_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Apply a keyed change feed to the customer snapshot, latest
-    change per key winning: updates overwrite the balance, deletes
-    drop the row, changes for unknown keys insert, untouched rows are
-    kept. One merge-key window + one full-outer join — MERGE INTO
-    without a table format. ``change_type`` makes the merge audit-able
-    (and the oracle hash checks all four paths: kept / updated /
-    inserted / delete-dropped)."""
-    orders = load_table(spark, sf_dir, "orders")
-    base = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_acctbal", "c_mktsegment"
-    )
-    # every 23rd order's change lands on an unknown key → insert path;
-    # only every 3rd order emits a change so untouched customers
-    # exercise the kept path
-    changes = orders.filter(F.col("o_orderkey") % 3 == 0).select(
-        (
-            F.col("o_custkey")
-            + F.when(F.col("o_orderkey") % 23 == 0, F.lit(1000000)).otherwise(
-                F.lit(0)
-            )
-        ).alias("c_custkey"),
-        F.col("o_orderkey").alias("seq"),
-        F.when(F.col("o_orderkey") % 19 == 0, F.lit("D"))
-        .otherwise(F.lit("U"))
-        .alias("op"),
-        F.col("o_totalprice").alias("new_bal"),
-    )
+def _latest_changes(changes: DataFrame) -> DataFrame:
+    """Latest change per merge key (max seq wins). Associative under
+    re-application: latest(latest(A) ∪ B) == latest(A ∪ B), which is
+    what makes the streaming foreachBatch twin batch-boundary-proof."""
     w = Window.partitionBy("c_custkey").orderBy(F.desc("seq"))
-    latest = (
+    return (
         changes.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("c_custkey", "op", "new_bal")
+        .select("c_custkey", "seq", "op", "new_bal")
     )
+
+
+def _apply_latest(base: DataFrame, latest: DataFrame) -> DataFrame:
+    """Full-outer MERGE of the latest keyed changes into the snapshot:
+    update / delete / insert / keep with an audit column."""
     b = base.alias("b")
     l = latest.alias("l")
     merged = b.join(
@@ -116,3 +98,123 @@ def cdc_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+def _change_feed(orders: DataFrame) -> DataFrame:
+    """Deterministic keyed change feed derived from orders — every 3rd
+    order updates its customer's balance, every 19th order key is a
+    delete, every 23rd lands on an unknown key (insert path)."""
+    return orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        (
+            F.col("o_custkey")
+            + F.when(F.col("o_orderkey") % 23 == 0, F.lit(1000000)).otherwise(
+                F.lit(0)
+            )
+        ).alias("c_custkey"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 19 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("o_totalprice").alias("new_bal"),
+    )
+
+
+@query("cdc_upsert_latest", _CDC_ORACLE)
+def cdc_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a keyed change feed to the customer snapshot, latest
+    change per key winning: updates overwrite the balance, deletes
+    drop the row, changes for unknown keys insert, untouched rows are
+    kept. One merge-key window + one full-outer join — MERGE INTO
+    without a table format. ``change_type`` makes the merge audit-able
+    (and the oracle hash checks all four paths: kept / updated /
+    inserted / delete-dropped)."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    latest = _latest_changes(_change_feed(orders)).drop("seq")
+    return _apply_latest(base, latest)
+
+
+# --- streaming twin: foreachBatch snapshot maintenance ----------------------
+
+_FEED_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _change_feed_files(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the change feed as JSON-lines files (8 files →
+    several micro-batches under maxFilesPerTrigger), once per
+    (session, sf_dir)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    src = _FEED_DIRS.get(key)
+    if src is None or not os.path.isdir(src):
+        src = tempfile.mkdtemp(prefix="cdc_feed_")
+        atexit.register(shutil.rmtree, src, ignore_errors=True)
+        feed = _change_feed(load_table(spark, sf_dir, "orders"))
+        feed.repartition(8).write.mode("overwrite").json(src)
+        _FEED_DIRS[key] = src
+    return src
+
+
+@query("streaming_cdc_upsert", _CDC_ORACLE)
+def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC merge through the REAL streaming engine: the change
+    feed replays as a file stream (2 files per micro-batch), and
+    foreachBatch maintains a persistent latest-change-per-key state
+    table — each batch's latest changes union-merge with the stored
+    state and re-argmax by seq. Because latest() is associative
+    (latest(latest(A) ∪ B) = latest(A ∪ B)), the final state is
+    independent of batch boundaries, and applying it to the snapshot
+    must hash-match the BATCH oracle exactly — streaming/batch MERGE
+    duality proven in the driver gate itself. This is the production
+    ingestion shape: accumulate compacted CDC state per micro-batch,
+    apply to the serving snapshot on demand."""
+    import tempfile
+
+    src = _change_feed_files(spark, sf_dir)
+    state_dir = os.path.join(
+        tempfile.mkdtemp(prefix="cdc_state_"), "latest"
+    )
+    ckpt = tempfile.mkdtemp(prefix="cdc_ckpt_")
+    schema = "c_custkey bigint, seq bigint, op string, new_bal double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .json(src)
+    )
+
+    def merge_state(batch_df: DataFrame, batch_id: int) -> None:
+        part = _latest_changes(batch_df)
+        try:
+            existing = batch_df.sparkSession.read.parquet(state_dir)
+        except Exception:
+            existing = None
+        merged = _latest_changes(
+            part if existing is None else existing.unionByName(part)
+        )
+        # barrier before overwriting the directory the plan reads from
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            state_dir
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(merge_state)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    latest = spark.read.parquet(state_dir).drop("seq")
+    return _apply_latest(base, latest)
