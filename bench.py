@@ -103,6 +103,7 @@ HEADLINE = [
     "dedup_keep_best",
     "quality_percentile_filter",
     "streaming_cdc_upsert",
+    "hll_mergeable_rollup",
 ]
 
 

@@ -1054,3 +1054,71 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("node", F.col("label").alias("community"))
         .orderBy("node", "community")
     )
+
+
+# --- mergeable HLL sketch rollup --------------------------------------------
+
+# DataSketches HLL at lgConfigK=12: rsd ≈ 1.04/sqrt(2^12) ≈ 0.01625.
+_HLL_RSD = 1.04 / (2 ** 12) ** 0.5
+
+_HLL_ROLLUP_ORACLE = """
+SELECT
+    CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start,
+    event_type,
+    count(DISTINCT user_id) AS exact_users,
+    true AS sketch_within_tolerance
+FROM events
+GROUP BY date_trunc('week', ts), event_type
+ORDER BY week_start, event_type
+"""
+
+
+@query("hll_mergeable_rollup", _HLL_ROLLUP_ORACLE)
+def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count rollup — the property that makes
+    sketches the 100 TB answer: per-(day, type) DataSketches HLL
+    sketches built once, then UNIONED up to (week, type) without
+    touching raw rows again. The weekly estimate is checked against
+    the exact weekly distinct within 4 sigma of the sketch's rsd
+    (tolerance oracle, the `windowed_agg_approx` discipline — sketch
+    bytes are engine-specific, the error contract is not).
+
+    In production the daily sketch table IS the stored rollup: any
+    ad-hoc date range merges in O(sketches), never O(rows). The exact
+    twin here exists only to verify the contract."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    weekly_est = (
+        daily.groupBy(
+            F.date_trunc("week", F.col("day").cast("timestamp")).alias(
+                "week_start"
+            ),
+            "event_type",
+        )
+        .agg(F.hll_union_agg("sketch").alias("merged"))
+        .select(
+            "week_start",
+            "event_type",
+            F.hll_sketch_estimate("merged").alias("est_users"),
+        )
+    )
+    weekly_exact = events.groupBy(
+        F.date_trunc("week", "ts").alias("week_start"), "event_type"
+    ).agg(F.count_distinct("user_id").alias("exact_users"))
+    tol = F.greatest(
+        F.lit(4.0), F.lit(4 * _HLL_RSD) * F.col("exact_users")
+    )
+    return (
+        weekly_exact.join(weekly_est, ["week_start", "event_type"])
+        .select(
+            "week_start",
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("est_users") - F.col("exact_users")) <= tol
+            ).alias("sketch_within_tolerance"),
+        )
+        .orderBy("week_start", "event_type")
+    )

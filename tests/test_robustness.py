@@ -71,3 +71,35 @@ def test_cdc_upsert_exercises_all_merge_paths(spark, sf_correctness):
     )
     n_out_existing = sum(1 for r in rows if r["change_type"] != "inserted")
     assert n_out_existing < n_customers  # deletes actually dropped rows
+
+
+def test_observation_metrics_ride_the_job(spark, sf_smoke):
+    """df.observe(): pipeline health counters collected as a side
+    effect of the job that already runs — no second scan, the way a
+    100 TB pipeline audits itself. Metrics must match a directly
+    computed aggregate."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_app_spark.sources.batch import load_table
+
+    events = load_table(spark, sf_smoke, "events")
+    obs = Observation("health")
+    observed = events.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("value") < 0, 1)).alias("n_negative"),
+        F.sum(F.col("value").cast("decimal(25,4)")).alias("total_value"),
+    )
+    # the "real" job: any action over the observed frame
+    n_purchases = observed.filter(F.col("event_type") == "purchase").count()
+    got = obs.get
+    want = events.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("value") < 0, 1)).alias("n_negative"),
+        F.sum(F.col("value").cast("decimal(25,4)")).alias("total_value"),
+    ).collect()[0]
+    assert got["n_rows"] == want["n_rows"] > 0
+    assert got["n_negative"] == want["n_negative"] == 0
+    assert got["total_value"] == want["total_value"]
+    assert n_purchases > 0
