@@ -182,3 +182,90 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select(
         "event_id", F.explode(m).alias("key", "value")
     )
+
+
+# --- XML round-trip ---------------------------------------------------------
+
+_XML_ORACLE = """
+SELECT
+    event_id,
+    event_type AS x_type,
+    CAST(user_id AS BIGINT) AS x_user,
+    CAST(event_id % 16 AS BIGINT) AS x_bucket
+FROM events
+ORDER BY event_id
+"""
+
+
+@query("xml_roundtrip_extract", _XML_ORACLE)
+def xml_roundtrip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion face (Spark 4 ``to_xml``/``from_xml``): each event
+    serializes to an XML fragment, parses back through the XML reader
+    path, and the extracted fields must equal the originals — the
+    ``json_serialize`` round-trip discipline applied to the second
+    wire format (DuckDB has no XML, so the oracle states the expected
+    field values directly). Both directions are row-local codegen/
+    StaxXmlParser work — zero shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    xml = events.select(
+        "event_id",
+        F.to_xml(
+            F.struct(
+                F.col("event_type").alias("x_type"),
+                F.col("user_id").alias("x_user"),
+                (F.col("event_id") % 16).alias("x_bucket"),
+            ),
+            {"rowTag": "ev"},
+        ).alias("payload"),
+    )
+    parsed = xml.select(
+        "event_id",
+        F.from_xml(
+            "payload", "x_type string, x_user bigint, x_bucket bigint"
+        ).alias("p"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.x_type").alias("x_type"),
+        F.col("p.x_user").alias("x_user"),
+        F.col("p.x_bucket").alias("x_bucket"),
+    ).orderBy("event_id")
+
+
+# --- collation-aware grouping (Spark 4 collations) --------------------------
+
+_COLLATE_ORACLE = """
+WITH mixed AS (
+    SELECT CASE WHEN event_id % 2 = 1
+                THEN upper(event_type[1]) || event_type[2:]
+                ELSE event_type END AS name
+    FROM events
+)
+SELECT lower(name) AS name_ci, count(*) AS n
+FROM mixed
+GROUP BY lower(name)
+ORDER BY name_ci
+"""
+
+
+@query("collated_group_counts", _COLLATE_ORACLE)
+def collated_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware aggregation (Spark 4 collations): event types
+    are re-cased on odd ids, then grouped under UTF8_LCASE — the
+    engine's collation support must merge the case variants exactly
+    like the oracle's explicit lower() grouping. The visible key is
+    lower()ed because a case-insensitive group's representative is
+    engine-chosen. Collation comparisons stay row-local — the group-by
+    shuffle is the only exchange."""
+    events = load_table(spark, sf_dir, "events")
+    mixed = events.select(
+        F.when(F.col("event_id") % 2 == 1, F.initcap("event_type"))
+        .otherwise(F.col("event_type"))
+        .alias("name")
+    )
+    return (
+        mixed.groupBy(F.collate(F.col("name"), "UTF8_LCASE").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lower(F.col("k").cast("string")).alias("name_ci"), "n")
+        .orderBy("name_ci")
+    )
