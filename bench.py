@@ -104,6 +104,9 @@ HEADLINE = [
     "quality_percentile_filter",
     "streaming_cdc_upsert",
     "hll_mergeable_rollup",
+    "ewma_daily_revenue",
+    "correlation_matrix",
+    "xml_roundtrip_extract",
 ]
 
 

@@ -374,3 +374,176 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --- EWMA over the daily revenue series -------------------------------------
+
+_EWMA_ORACLE = """
+WITH daily AS (
+    SELECT o_orderstatus,
+           CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+    FROM orders
+    GROUP BY o_orderstatus, date_trunc('day', o_orderdate)
+),
+series AS (
+    SELECT o_orderstatus,
+           count(*) AS n_days,
+           CAST(max(day) AS TIMESTAMP) AS last_day,
+           list(CAST(rev_cents AS DOUBLE) ORDER BY day) AS xs
+    FROM daily GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, n_days, last_day,
+       round(list_reduce(xs, (acc, x) -> (acc + x) * 0.5) / 100, 6)
+           AS ewma_revenue
+FROM series
+ORDER BY o_orderstatus
+"""
+
+
+@query("ewma_daily_revenue", _EWMA_ORACLE)
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily revenue per
+    status (α = 0.5) — the smoothing primitive behind streaming
+    dashboards and anomaly baselines. The fold runs as a row-local
+    ``aggregate`` over the day-ordered series array; with α = ½ each
+    step is ``(acc + x) · 0.5`` — two single IEEE ops with no
+    FMA-fusable mul-into-add shape, so the fold is bit-identical
+    cross-engine (the PageRank fixed-point lesson, solved structurally
+    instead of by quantizing). Scale: the series is grouped per key
+    and bounded by the calendar (days), so the collected array stays
+    small however many orders feed each day — the daily aggregation
+    underneath is the only data-sized shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        "o_orderstatus", F.to_date("o_orderdate").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    series = daily.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.max("day").cast("timestamp").alias("last_day"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("day"), F.col("rev_cents")))
+            ),
+            lambda s: s["rev_cents"].cast("double"),
+        ).alias("xs"),
+    )
+    ewma = F.aggregate(
+        F.slice(F.col("xs"), 2, F.size(F.col("xs")) - 1),
+        F.element_at(F.col("xs"), 1),
+        lambda acc, x: (acc + x) * F.lit(0.5),
+    )
+    return series.select(
+        "o_orderstatus",
+        "n_days",
+        "last_day",
+        F.round(ewma / 100, 6).alias("ewma_revenue"),
+    ).orderBy("o_orderstatus")
+
+
+# --- one-scan correlation matrix --------------------------------------------
+
+_CM_COLS = ["qty", "price_c", "disc_c", "tax_c"]
+_CM_PAIRS = [
+    (a, b) for i, a in enumerate(_CM_COLS) for b in _CM_COLS[i + 1 :]
+]
+
+_CM_SRC = """
+    SELECT
+        CAST(l_quantity AS BIGINT) AS qty,
+        CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c,
+        CAST(round(l_discount * 100, 0) AS BIGINT) AS disc_c,
+        CAST(round(l_tax * 100, 0) AS BIGINT) AS tax_c
+    FROM lineitem
+"""
+
+_CM_SUMS = ", ".join(
+    f"CAST(sum(CAST({c} AS DECIMAL(38,0))) AS DOUBLE) AS s_{c}, "
+    f"CAST(sum(CAST({c} * {c} AS DECIMAL(38,0))) AS DOUBLE) AS ss_{c}"
+    for c in _CM_COLS
+) + ", " + ", ".join(
+    f"CAST(sum(CAST({a} * {b} AS DECIMAL(38,0))) AS DOUBLE) AS s_{a}_{b}"
+    for a, b in _CM_PAIRS
+)
+
+_CM_ROWS = "\nUNION ALL\n".join(
+    f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+       round((nD * s_{a}_{b} - s_{a} * s_{b})
+             / sqrt((nD * ss_{a} - s_{a} * s_{a})
+                    * (nD * ss_{b} - s_{b} * s_{b})), 6) AS corr_r
+FROM sums"""
+    for a, b in _CM_PAIRS
+)
+
+_CM_ORACLE = f"""
+WITH t AS ({_CM_SRC}),
+sums AS (
+    SELECT CAST(count(*) AS DOUBLE) AS nD, {_CM_SUMS} FROM t
+)
+{_CM_ROWS}
+ORDER BY col_a, col_b
+"""
+
+
+@query("correlation_matrix", _CM_ORACLE)
+def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Pearson correlation matrix over the four lineitem numerics
+    in ONE scan: a single aggregation computes every per-column and
+    cross-column power sum (exact integer-unit decimals), and all six
+    pairwise correlations derive from that 1-row result — the
+    feature-profiling shape at 100 TB, where k² sums riding one
+    shuffle beats k² separate corr() passes by exactly k² scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("price_c"),
+        F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("disc_c"),
+        F.round(F.col("l_tax") * 100, 0).cast("bigint").alias("tax_c"),
+    )
+    aggs = [F.count(F.lit(1)).cast("double").alias("nD")]
+    for c in _CM_COLS:
+        aggs.append(_dec_sum(F.col(c)).cast("double").alias(f"s_{c}"))
+        aggs.append(
+            _dec_sum(F.col(c) * F.col(c)).cast("double").alias(f"ss_{c}")
+        )
+    for a, b in _CM_PAIRS:
+        aggs.append(
+            _dec_sum(F.col(a) * F.col(b)).cast("double").alias(f"s_{a}_{b}")
+        )
+    sums = t.agg(*aggs)
+    pair_structs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.round(
+                    (
+                        F.col("nD") * F.col(f"s_{a}_{b}")
+                        - F.col(f"s_{a}") * F.col(f"s_{b}")
+                    )
+                    / F.sqrt(
+                        (
+                            F.col("nD") * F.col(f"ss_{a}")
+                            - F.col(f"s_{a}") * F.col(f"s_{a}")
+                        )
+                        * (
+                            F.col("nD") * F.col(f"ss_{b}")
+                            - F.col(f"s_{b}") * F.col(f"s_{b}")
+                        )
+                    ),
+                    6,
+                ).alias("corr_r"),
+            )
+            for a, b in _CM_PAIRS
+        ]
+    )
+    return (
+        sums.select(F.explode(pair_structs).alias("p"))
+        .select("p.col_a", "p.col_b", "p.corr_r")
+        .orderBy("col_a", "col_b")
+    )
