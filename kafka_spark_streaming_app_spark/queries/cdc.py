@@ -173,13 +173,16 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     duality proven in the driver gate itself. This is the production
     ingestion shape: accumulate compacted CDC state per micro-batch,
     apply to the serving snapshot on demand."""
+    import atexit
+    import shutil
     import tempfile
 
     src = _change_feed_files(spark, sf_dir)
-    state_dir = os.path.join(
-        tempfile.mkdtemp(prefix="cdc_state_"), "latest"
-    )
+    state_root = tempfile.mkdtemp(prefix="cdc_state_")
     ckpt = tempfile.mkdtemp(prefix="cdc_ckpt_")
+    for d in (state_root, ckpt):
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    state_dir = os.path.join(state_root, "latest")
     schema = "c_custkey bigint, seq bigint, op string, new_bal double"
     stream = (
         spark.readStream.schema(schema)

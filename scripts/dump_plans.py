@@ -69,6 +69,10 @@ NOTES = {
     "cdc_upsert_latest": "Latest-change window and the full-outer merge share the merge-key partitioning; merge semantics are row-local CASE logic, delete-filter included.",
     "dedup_keep_best": "Cluster stage = banded LSH + barriered iterative CC; the keep policy adds one cluster-keyed argmax window over the (doc, quality) join.",
     "quality_percentile_filter": "Zero-shuffle quality-logit projection, then a single lang-keyed window for percent_rank — per-group relative thresholds without a global sort.",
+    "hll_mergeable_rollup": "Per-day DataSketches HLL sketches (one agg) UNIONED to weekly by a second agg over sketch state — raw rows touched once; the exact twin exists only to check the error contract.",
+    "ewma_daily_revenue": "Daily integer-cents agg is the only data-sized shuffle; the EWMA fold is a row-local aggregate over the day-ordered series array.",
+    "correlation_matrix": "ONE scan, one aggregation carrying all 14 power sums; six correlations derive from the 1-row result and explode row-locally.",
+    "xml_roundtrip_extract": "to_xml/from_xml both row-local in the scan stage — zero shuffle; the XML wire path costs no distribution.",
 }
 
 
