@@ -107,6 +107,8 @@ HEADLINE = [
     "ewma_daily_revenue",
     "correlation_matrix",
     "xml_roundtrip_extract",
+    "event_transition_matrix",
+    "rfm_segmentation",
 ]
 
 

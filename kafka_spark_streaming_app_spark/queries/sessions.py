@@ -5,6 +5,7 @@ algorithms that must agree exactly."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.sessions import sessionize
 from ..registry import query
@@ -49,4 +50,163 @@ def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return sessionize(
         events, ts_col="ts", keys=("user_id",), gap="30 minutes"
+    )
+
+
+# --- event transition matrix (first-order Markov) ---------------------------
+
+_TRANSITION_ORACLE = """
+WITH ordered AS (
+    SELECT user_id, event_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM events
+),
+pairs AS (
+    SELECT event_type AS cur_type, next_type, count(*) AS n
+    FROM ordered WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+),
+tot AS (
+    SELECT cur_type, sum(n) AS row_total FROM pairs GROUP BY cur_type
+)
+SELECT p.cur_type, p.next_type, p.n,
+       round(CAST(p.n AS DOUBLE) / t.row_total, 6) AS p_next
+FROM pairs p JOIN tot t ON t.cur_type = p.cur_type
+ORDER BY p.cur_type, p.next_type
+"""
+
+
+@query("event_transition_matrix", _TRANSITION_ORACLE)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: P(next event type | current), the sequence-mining
+    summary behind next-action prediction and funnel design. One
+    user-keyed window (ties broken on event_id for determinism)
+    produces successor pairs; the row-normalizing totals fold from
+    the pair counts themselves — no second scan. All probabilities
+    are exact-integer ratios rounded to 6."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = events.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    pairs = (
+        ordered.filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("cur_type"), "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)  # feeds totals AND the final join
+    )
+    tot = pairs.groupBy("cur_type").agg(F.sum("n").alias("row_total"))
+    return (
+        pairs.join(F.broadcast(tot), "cur_type")
+        .select(
+            "cur_type",
+            "next_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("row_total"), 6).alias(
+                "p_next"
+            ),
+        )
+        .orderBy("cur_type", "next_type")
+    )
+
+
+# --- RFM customer segmentation ----------------------------------------------
+
+_RFM_METRICS = """
+    SELECT
+        o_custkey AS c_custkey,
+        date_diff('day', CAST(max(o_orderdate) AS DATE),
+                  (SELECT CAST(max(o_orderdate) AS DATE) FROM orders))
+            AS recency_days,
+        count(*) AS frequency,
+        CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+            AS monetary_cents
+    FROM orders GROUP BY o_custkey
+"""
+
+_RFM_ORACLE = f"""
+WITH m AS ({_RFM_METRICS}),
+q AS (
+    SELECT
+        quantile_cont(CAST(recency_days AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS qr,
+        quantile_cont(CAST(frequency AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS qf,
+        quantile_cont(CAST(monetary_cents AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS qm
+    FROM m
+)
+SELECT
+    m.c_custkey, m.recency_days, m.frequency, m.monetary_cents,
+    5 - ((m.recency_days > qr[1])::INT + (m.recency_days > qr[2])::INT
+         + (m.recency_days > qr[3])::INT + (m.recency_days > qr[4])::INT)
+        AS r_score,
+    1 + (m.frequency > qf[1])::INT + (m.frequency > qf[2])::INT
+      + (m.frequency > qf[3])::INT + (m.frequency > qf[4])::INT AS f_score,
+    1 + (m.monetary_cents > qm[1])::INT + (m.monetary_cents > qm[2])::INT
+      + (m.monetary_cents > qm[3])::INT + (m.monetary_cents > qm[4])::INT
+        AS m_score
+FROM m, q
+ORDER BY m.c_custkey
+"""
+
+
+@query("rfm_segmentation", _RFM_ORACLE)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary
+    quintile scores, recency inverted so recent = 5). Deliberately NOT
+    a global ntile() window — quintile thresholds come from one exact
+    percentile aggregation (integer inputs → 0.25-grid doubles,
+    cross-engine exact) broadcast back onto the per-customer metrics,
+    so scoring is row-local comparisons and the only shuffle is the
+    per-customer aggregate. At 100 TB swap the threshold pass to
+    percentile_approx; the dataflow is unchanged — the scd2/ntile
+    single-task-global-window trap never appears."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = (
+        orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_day"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("monetary_cents"),
+        )
+        .localCheckpoint(eager=False)  # feeds thresholds AND scoring
+    )
+    anchor = m.agg(F.max("last_day").alias("anchor"))
+    m2 = m.crossJoin(F.broadcast(anchor)).select(
+        "c_custkey",
+        F.datediff("anchor", "last_day").cast("bigint").alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    ).localCheckpoint(eager=False)
+    qs = [0.2, 0.4, 0.6, 0.8]
+    th = m2.agg(
+        F.percentile(F.col("recency_days").cast("double"), F.array(*[F.lit(q) for q in qs])).alias("qr"),
+        F.percentile(F.col("frequency").cast("double"), F.array(*[F.lit(q) for q in qs])).alias("qf"),
+        F.percentile(F.col("monetary_cents").cast("double"), F.array(*[F.lit(q) for q in qs])).alias("qm"),
+    )
+
+    def _score(col: str, th_col: str) -> F.Column:
+        s = F.lit(0)
+        for i in range(4):
+            s = s + (F.col(col) > F.element_at(F.col(th_col), i + 1)).cast("int")
+        return s
+
+    return (
+        m2.crossJoin(F.broadcast(th))
+        .select(
+            "c_custkey",
+            "recency_days",
+            "frequency",
+            "monetary_cents",
+            (F.lit(5) - _score("recency_days", "qr")).alias("r_score"),
+            (F.lit(1) + _score("frequency", "qf")).alias("f_score"),
+            (F.lit(1) + _score("monetary_cents", "qm")).alias("m_score"),
+        )
+        .orderBy("c_custkey")
     )
