@@ -109,6 +109,7 @@ HEADLINE = [
     "xml_roundtrip_extract",
     "event_transition_matrix",
     "rfm_segmentation",
+    "phrase_search_positional",
 ]
 
 

@@ -491,3 +491,98 @@ def url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_chars"
         ),
     )
+
+
+# --- positional-index phrase search -----------------------------------------
+
+_PHRASE_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, {TOKENS_SQL.format(x="text")} AS w FROM documents
+),
+post AS (
+    SELECT doc_id, i AS pos, w[i] AS tok
+    FROM t, unnest(range(1, len(w) + 1)) AS r(i)
+),
+tri AS (
+    SELECT p1.tok AS w1, p2.tok AS w2, p3.tok AS w3,
+           count(*) AS n_occurrences,
+           count(DISTINCT p1.doc_id) AS n_docs
+    FROM post p1
+    JOIN post p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+    JOIN post p3 ON p3.doc_id = p1.doc_id AND p3.pos = p1.pos + 2
+    GROUP BY 1, 2, 3
+),
+top AS (
+    SELECT * FROM tri
+    ORDER BY n_docs DESC, n_occurrences DESC, w1, w2, w3 LIMIT 1
+),
+hits AS (
+    SELECT p1.doc_id, p1.pos
+    FROM post p1
+    JOIN post p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+    JOIN post p3 ON p3.doc_id = p1.doc_id AND p3.pos = p1.pos + 2
+    JOIN top ON p1.tok = top.w1 AND p2.tok = top.w2 AND p3.tok = top.w3
+)
+SELECT h.doc_id, h.pos,
+       (SELECT w1 || ' ' || w2 || ' ' || w3 FROM top) AS phrase
+FROM hits h
+ORDER BY h.doc_id, h.pos
+"""
+
+
+@query("phrase_search_positional", _PHRASE_ORACLE)
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search on a POSITIONAL inverted index — the
+    retrieval face BM25's bag-of-words cannot express: postings are
+    (doc, pos, token) rows, and a 3-word phrase is two adjacency
+    equi-joins on (doc, pos+1). The searched phrase is the corpus's
+    own hottest trigram (deterministic argmax), so the query is
+    non-vacuous at every SF. Scale: postings shuffle once on the
+    (doc) key for the adjacency joins; the 1-row phrase broadcast
+    prunes p1/p2/p3 by token before joining — at 100 TB the token
+    filter pushes into the postings scan exactly like any selective
+    dimension."""
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    post = docs.select(
+        "doc_id",
+        F.posexplode(_tokens("text")).alias("pos0", "tok"),
+    ).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "tok"
+    ).localCheckpoint(eager=False)  # postings feed mining AND search
+
+    p1, p2, p3 = post.alias("p1"), post.alias("p2"), post.alias("p3")
+    adjacency = p1.join(
+        p2,
+        (F.col("p2.doc_id") == F.col("p1.doc_id"))
+        & (F.col("p2.pos") == F.col("p1.pos") + 1),
+    ).join(
+        p3,
+        (F.col("p3.doc_id") == F.col("p1.doc_id"))
+        & (F.col("p3.pos") == F.col("p1.pos") + 2),
+    )
+    tri = adjacency.groupBy(
+        F.col("p1.tok").alias("w1"),
+        F.col("p2.tok").alias("w2"),
+        F.col("p3.tok").alias("w3"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct(F.col("p1.doc_id")).alias("n_docs"),
+    )
+    top = tri.orderBy(
+        F.desc("n_docs"), F.desc("n_occurrences"), "w1", "w2", "w3"
+    ).limit(1)
+    hits = adjacency.join(
+        F.broadcast(top),
+        (F.col("p1.tok") == F.col("w1"))
+        & (F.col("p2.tok") == F.col("w2"))
+        & (F.col("p3.tok") == F.col("w3")),
+    )
+    return hits.select(
+        F.col("p1.doc_id").alias("doc_id"),
+        F.col("p1.pos").alias("pos"),
+        F.concat_ws(" ", "w1", "w2", "w3").alias("phrase"),
+    ).orderBy("doc_id", "pos")
