@@ -110,6 +110,7 @@ HEADLINE = [
     "event_transition_matrix",
     "rfm_segmentation",
     "phrase_search_positional",
+    "scd2_build_versions",
 ]
 
 

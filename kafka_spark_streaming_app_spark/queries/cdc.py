@@ -221,3 +221,53 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     latest = spark.read.parquet(state_dir).drop("seq")
     return _apply_latest(base, latest)
+
+
+# --- SCD2 version build from the change feed --------------------------------
+
+_SCD2_BUILD_ORACLE = """
+WITH changes AS (
+    SELECT
+        o_custkey + CASE WHEN o_orderkey % 23 = 0 THEN 1000000 ELSE 0 END
+            AS c_custkey,
+        o_orderkey AS seq,
+        CASE WHEN o_orderkey % 19 = 0 THEN 'D' ELSE 'U' END AS op,
+        o_totalprice AS new_bal
+    FROM orders
+    WHERE o_orderkey % 3 = 0
+)
+SELECT
+    c_custkey,
+    seq AS effective_from,
+    lead(seq) OVER w - 1 AS effective_to,
+    (lead(seq) OVER w IS NULL) AS is_current,
+    op,
+    new_bal,
+    row_number() OVER w AS version_n
+FROM changes
+WINDOW w AS (PARTITION BY c_custkey ORDER BY seq)
+ORDER BY c_custkey, version_n
+"""
+
+
+@query("scd2_build_versions", _SCD2_BUILD_ORACLE)
+def scd2_build_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUILD the slowly-changing-dimension history that
+    `scd2_dimension_join` consumes: every change becomes a version row
+    with [effective_from, effective_to] derived from the NEXT change's
+    sequence (lead over the merge key) and an is_current flag on the
+    open-ended tail. One key-partitioned window — the same shuffle the
+    latest-wins merge uses, producing the full history instead of just
+    the tip."""
+    changes = _change_feed(load_table(spark, sf_dir, "orders"))
+    w = Window.partitionBy("c_custkey").orderBy("seq")
+    nxt = F.lead("seq").over(w)
+    return changes.select(
+        "c_custkey",
+        F.col("seq").alias("effective_from"),
+        (nxt - 1).alias("effective_to"),
+        nxt.isNull().alias("is_current"),
+        "op",
+        "new_bal",
+        F.row_number().over(w).alias("version_n"),
+    ).orderBy("c_custkey", "version_n")
