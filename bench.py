@@ -111,6 +111,7 @@ HEADLINE = [
     "rfm_segmentation",
     "phrase_search_positional",
     "scd2_build_versions",
+    "content_chunk_dedup",
 ]
 
 

@@ -586,3 +586,122 @@ def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p1.pos").alias("pos"),
         F.concat_ws(" ", "w1", "w2", "w3").alias("phrase"),
     ).orderBy("doc_id", "pos")
+
+
+# --- content-defined chunking + sub-document dedup --------------------------
+
+_CDC_MOD = 16  # E[chunk] ~ 16 words: boundary where gram hash % 16 == 0
+
+_CHUNK_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, {TOKENS_SQL.format(x="text")} AS w FROM documents
+),
+post AS (
+    SELECT doc_id, i AS pos, w[i] AS word,
+           CASE WHEN i <= len(w) - 2 THEN
+               {h60_sql("array_to_string(w[i:i+2], ' ')")} % {_CDC_MOD} = 0
+           ELSE FALSE END AS boundary
+    FROM t, unnest(range(1, len(w) + 1)) AS r(i)
+),
+numbered AS (
+    SELECT doc_id, pos, word,
+           sum(CASE WHEN boundary THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id
+    FROM post
+),
+chunks AS (
+    SELECT doc_id, chunk_id,
+           md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_hash,
+           count(*) AS n_words
+    FROM numbered GROUP BY doc_id, chunk_id
+)
+SELECT chunk_hash,
+       CAST(min(n_words) AS BIGINT) AS n_words,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_occurrences,
+       min(doc_id) AS first_doc
+FROM chunks
+GROUP BY chunk_hash
+HAVING count(DISTINCT doc_id) >= 2
+ORDER BY chunk_hash
+"""
+
+
+@query("content_chunk_dedup", _CHUNK_ORACLE)
+def content_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the rsync/borg/dedup-store trick at
+    word granularity): a chunk boundary opens wherever the rolling
+    3-gram hash ≡ 0 (mod 16), so boundaries survive insertions — two
+    nearly-identical documents still produce mostly IDENTICAL chunks,
+    unlike fixed-width splitting where one edit shifts every window.
+    Chunks shared by ≥2 documents are the sub-document duplication a
+    storage layer dedups and a corpus pipeline flags (the planted
+    near-dup pairs and boilerplate heads both surface here).
+
+    Dataflow: one posexplode, boundary flags row-local from the gram
+    hash, chunk ids via a doc-keyed cumulative window (one shuffle),
+    chunk reassembly by the same key, then a hash-keyed dedup count —
+    every stage linear in tokens at any corpus size."""
+    from pyspark.sql import Window, functions as F
+
+    from ..functions.hashing import h60, tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", _tokens("text").alias("w"))
+    post = t.select(
+        "doc_id",
+        F.posexplode("w").alias("pos0", "word"),
+        F.col("w").alias("w_all"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        "word",
+        F.when(
+            F.col("pos0") <= F.size("w_all") - 3,
+            h60(
+                F.concat_ws(
+                    " ", F.slice(F.col("w_all"), F.col("pos0") + 1, 3)
+                )
+            )
+            % _CDC_MOD
+            == 0,
+        )
+        .otherwise(F.lit(False))
+        .alias("boundary"),
+    )
+    w_cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = post.select(
+        "doc_id",
+        "pos",
+        "word",
+        F.sum(F.col("boundary").cast("int")).over(w_cum).alias("chunk_id"),
+    )
+    chunks = numbered.groupBy("doc_id", "chunk_id").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("word")))
+                    ),
+                    lambda s: s["word"],
+                ),
+            )
+        ).alias("chunk_hash"),
+        F.count(F.lit(1)).alias("n_words"),
+    )
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.min("n_words").cast("bigint").alias("n_words"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("chunk_hash")
+    )

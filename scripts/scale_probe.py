@@ -48,6 +48,14 @@ PROBES = (
     "winnow_fingerprints",
     "zorder_layout",
     "source_token_kl",
+    # round-3 fourth-session additions (all duplication-linear:
+    # scan-agg sufficient statistics, percentile passes, per-key
+    # series folds — no fact-fact key-replicating joins)
+    "ols_regression",
+    "mad_outliers",
+    "correlation_matrix",
+    "ewma_daily_revenue",
+    "rfm_segmentation",
 )
 
 
