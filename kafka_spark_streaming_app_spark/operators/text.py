@@ -172,3 +172,72 @@ def quality_score(
         score.alias("quality_logit"),
         (score >= 0).alias("keep"),
     )
+
+
+def content_chunks(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mod: int = 16,
+) -> "DataFrame":
+    """Content-defined chunking at word granularity: a chunk boundary
+    opens before token i wherever h60 of the 3-gram starting at i is
+    ≡ 0 (mod ``mod``), so boundaries are a pure function of LOCAL
+    content and survive insertions — the property that makes
+    chunk-level dedup edit-stable (pinned by a hypothesis test).
+    Returns (id, chunk_id, chunk_hash, n_words) — one posexplode,
+    row-local boundary flags, one id-keyed cumulative window, chunk
+    reassembly on the same key.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import h60, tokens as _tokens
+
+    t = df.select(F.col(id_col), _tokens(text_col).alias("w"))
+    post = t.select(
+        id_col,
+        F.posexplode("w").alias("pos0", "word"),
+        F.col("w").alias("w_all"),
+    ).select(
+        id_col,
+        (F.col("pos0") + 1).alias("pos"),
+        "word",
+        F.when(
+            F.col("pos0") <= F.size("w_all") - 3,
+            h60(
+                F.concat_ws(
+                    " ", F.slice(F.col("w_all"), F.col("pos0") + 1, 3)
+                )
+            )
+            % mod
+            == 0,
+        )
+        .otherwise(F.lit(False))
+        .alias("boundary"),
+    )
+    w_cum = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = post.select(
+        id_col,
+        "pos",
+        "word",
+        F.sum(F.col("boundary").cast("int")).over(w_cum).alias("chunk_id"),
+    )
+    return numbered.groupBy(id_col, "chunk_id").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("word")))
+                    ),
+                    lambda s: s["word"],
+                ),
+            )
+        ).alias("chunk_hash"),
+        F.count(F.lit(1)).alias("n_words"),
+    )

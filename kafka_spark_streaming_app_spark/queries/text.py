@@ -642,58 +642,12 @@ def content_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash, chunk ids via a doc-keyed cumulative window (one shuffle),
     chunk reassembly by the same key, then a hash-keyed dedup count —
     every stage linear in tokens at any corpus size."""
-    from pyspark.sql import Window, functions as F
+    from pyspark.sql import functions as F
 
-    from ..functions.hashing import h60, tokens as _tokens
+    from ..operators.text import content_chunks
 
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", _tokens("text").alias("w"))
-    post = t.select(
-        "doc_id",
-        F.posexplode("w").alias("pos0", "word"),
-        F.col("w").alias("w_all"),
-    ).select(
-        "doc_id",
-        (F.col("pos0") + 1).alias("pos"),
-        "word",
-        F.when(
-            F.col("pos0") <= F.size("w_all") - 3,
-            h60(
-                F.concat_ws(
-                    " ", F.slice(F.col("w_all"), F.col("pos0") + 1, 3)
-                )
-            )
-            % _CDC_MOD
-            == 0,
-        )
-        .otherwise(F.lit(False))
-        .alias("boundary"),
-    )
-    w_cum = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    numbered = post.select(
-        "doc_id",
-        "pos",
-        "word",
-        F.sum(F.col("boundary").cast("int")).over(w_cum).alias("chunk_id"),
-    )
-    chunks = numbered.groupBy("doc_id", "chunk_id").agg(
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("pos"), F.col("word")))
-                    ),
-                    lambda s: s["word"],
-                ),
-            )
-        ).alias("chunk_hash"),
-        F.count(F.lit(1)).alias("n_words"),
-    )
+    chunks = content_chunks(docs, mod=_CDC_MOD)
     return (
         chunks.groupBy("chunk_hash")
         .agg(

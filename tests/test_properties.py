@@ -1,0 +1,125 @@
+"""Property-based tests (hypothesis): invariants that hold for ANY
+input, not just the fixtures — the layer that catches semantic bugs a
+single planted example can miss.
+
+Examples are kept small and max_examples modest because every example
+runs real Spark jobs; the session is shared via the conftest fixture.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+WORDS = ["scan", "join", "hash", "sort", "row", "table", "key", "data"]
+
+_word = st.sampled_from(WORDS)
+_doc = st.lists(_word, min_size=8, max_size=60)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(words=_doc, data=st.data())
+def test_content_chunking_edit_locality(spark, words, data):
+    """THE content-defined-chunking property: inserting one word into
+    a document changes only the chunks around the edit — the two
+    documents' chunk-hash multisets differ in a bounded number of
+    entries (a fixed-width splitter would shift EVERY downstream
+    chunk). Boundaries depend on a 3-gram window, so one insertion
+    can perturb at most the chunks overlapping a 3-token neighborhood
+    — allow ≤ 3 changed chunks per side."""
+    from collections import Counter
+
+    from kafka_spark_streaming_app_spark.operators.text import content_chunks
+
+    pos = data.draw(st.integers(min_value=1, max_value=len(words) - 1))
+    inserted = data.draw(_word)
+    edited = words[:pos] + [inserted] + words[pos:]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, " ".join(edited))],
+        "doc_id long, text string",
+    )
+    rows = content_chunks(df).collect()
+    c1 = Counter(r["chunk_hash"] for r in rows if r["doc_id"] == 1)
+    c2 = Counter(r["chunk_hash"] for r in rows if r["doc_id"] == 2)
+    changed_1 = sum((c1 - c2).values())
+    changed_2 = sum((c2 - c1).values())
+    assert changed_1 <= 3 and changed_2 <= 3, (
+        f"edit at {pos} perturbed {changed_1}/{changed_2} chunks: "
+        f"{c1 - c2} vs {c2 - c1}"
+    )
+    # and the chunks partition the document: word counts must add up
+    assert sum(r["n_words"] for r in rows if r["doc_id"] == 1) == len(words)
+    assert sum(r["n_words"] for r in rows if r["doc_id"] == 2) == len(edited)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(xs=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=50))
+def test_ewma_fold_matches_python(spark, xs):
+    """The α=½ EWMA fold expression must equal the plain Python fold
+    bit-for-bit — (acc+x)*0.5 is two exact-rounding IEEE ops with no
+    fusable shape, so there is no tolerance here, only equality."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(xs,)], "xs array<bigint>")
+    got = df.select(
+        F.aggregate(
+            F.slice(F.col("xs"), 2, F.size(F.col("xs")) - 1),
+            F.element_at(F.col("xs"), 1).cast("double"),
+            lambda acc, x: (acc + x.cast("double")) * F.lit(0.5),
+        ).alias("ewma")
+    ).collect()[0]["ewma"]
+    want = float(xs[0])
+    for x in xs[1:]:
+        want = (want + float(x)) * 0.5
+    assert got == want
+
+
+def test_welch_ttest_matches_numpy(spark, sf_smoke):
+    """Independent-reference check: the registered Welch query's t and
+    df must match a straight numpy computation on the same fixture
+    (same cents quantization), to 1e-9 relative — guarding against a
+    formula slip that a cross-engine oracle (same formula both sides)
+    cannot catch."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    got = {
+        r["event_type"]: r
+        for r in registry.QUERIES["welch_ttest"](spark, sf_smoke).collect()
+    }
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet")
+    cents = np.round(ev["value"].to_numpy() * 100).astype("int64")
+    for etype, row in got.items():
+        mask = (ev["event_type"] == etype).to_numpy()
+        a, b = cents[mask] / 100.0, cents[~mask] / 100.0
+        va = a.var(ddof=1)
+        vb = b.var(ddof=1)
+        se2 = va / len(a) + vb / len(b)
+        t = (a.mean() - b.mean()) / math.sqrt(se2)
+        df_w = se2**2 / (
+            (va / len(a)) ** 2 / (len(a) - 1)
+            + (vb / len(b)) ** 2 / (len(b) - 1)
+        )
+        assert abs(row["t_welch"] - t) <= max(1e-9 * abs(t), 2e-6), (
+            etype,
+            row["t_welch"],
+            t,
+        )
+        assert abs(row["df_welch"] - df_w) <= max(1e-6 * df_w, 1e-3), (
+            etype,
+            row["df_welch"],
+            df_w,
+        )
