@@ -112,6 +112,7 @@ HEADLINE = [
     "phrase_search_positional",
     "scd2_build_versions",
     "content_chunk_dedup",
+    "decision_stump_train",
 ]
 
 

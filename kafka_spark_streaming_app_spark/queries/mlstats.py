@@ -30,7 +30,7 @@ dataflow.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -546,4 +546,111 @@ def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         sums.select(F.explode(pair_structs).alias("p"))
         .select("p.col_a", "p.col_b", "p.corr_r")
         .orderBy("col_a", "col_b")
+    )
+
+
+# --- decision stump: distributed split finding ------------------------------
+
+_STUMP_ORACLE = """
+WITH t AS (
+    SELECT CAST(l_quantity AS BIGINT) AS x,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+    FROM lineitem
+),
+hist AS (
+    SELECT x, count(*) AS n, sum(y) AS n_pos
+    FROM t GROUP BY x
+),
+tot AS (
+    SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(n_pos) AS BIGINT) AS tp
+    FROM hist
+),
+cum AS (
+    SELECT x AS threshold,
+           CAST(sum(n) OVER w AS BIGINT) AS n_left,
+           CAST(sum(n_pos) OVER w AS BIGINT) AS p_left
+    FROM hist
+    WINDOW w AS (ORDER BY x ROWS UNBOUNDED PRECEDING)
+),
+gain AS (
+    SELECT threshold, n_left, p_left,
+           tn - n_left AS n_right, tp - p_left AS p_right,
+           round(
+               (CAST(tp AS DOUBLE) * (tn - tp)) / (CAST(tn AS DOUBLE) * tn)
+               - (CAST(p_left AS DOUBLE) * (n_left - p_left))
+                 / (CAST(n_left AS DOUBLE) * tn)
+               - (CAST(tp - p_left AS DOUBLE) * ((tn - n_left) - (tp - p_left)))
+                 / (CAST(tn - n_left AS DOUBLE) * tn), 9) AS gini_gain
+    FROM cum, tot
+    WHERE n_left < tn
+)
+SELECT threshold, n_left, p_left, n_right, p_right, gini_gain,
+       (row_number() OVER (ORDER BY gini_gain DESC, threshold) = 1)
+           AS is_best
+FROM gain
+ORDER BY threshold
+"""
+
+
+@query("decision_stump_train", _STUMP_ORACLE)
+def decision_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed decision-stump training — the histogram → gain-scan
+    primitive every GBDT/XGBoost-style learner runs per feature per
+    boosting round: one scan collapses the feature to a (value,
+    count, positives) HISTOGRAM (50 rows here — split finding never
+    touches raw rows again), a cumulative scan over the tiny
+    histogram yields every candidate split's class counts exactly,
+    and Gini gain picks the best threshold (x ≤ t vs x > t for the
+    label returnflag='R').
+
+    Gain uses the half-Gini identity gain = I(parent) − Σ w·I(child)
+    with every term an exact-integer ratio scaled by the SAME tn
+    denominator, computed in doubles rounded to 9; the argmax
+    tie-breaks on threshold. At 100 TB only the histogram aggregation
+    sees data; the gain scan is O(|distinct values|)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    hist = (
+        t.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos"))
+        .localCheckpoint(eager=False)  # feeds totals AND the cum scan
+    )
+    tot = hist.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("n_pos").cast("bigint").alias("tp"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        F.col("x").alias("threshold"),
+        F.sum("n").over(w).cast("bigint").alias("n_left"),
+        F.sum("n_pos").over(w).cast("bigint").alias("p_left"),
+    )
+    g = cum.crossJoin(F.broadcast(tot)).filter(F.col("n_left") < F.col("tn"))
+    tnD = F.col("tn").cast("double")
+    tpD = F.col("tp").cast("double")
+    nlD = F.col("n_left").cast("double")
+    plD = F.col("p_left").cast("double")
+    nrD = tnD - nlD
+    prD = tpD - plD
+    gain = F.round(
+        (tpD * (tnD - tpD)) / (tnD * tnD)
+        - (plD * (nlD - plD)) / (nlD * tnD)
+        - (prD * (nrD - prD)) / (nrD * tnD),
+        9,
+    )
+    scored = g.select(
+        "threshold",
+        "n_left",
+        "p_left",
+        (F.col("tn") - F.col("n_left")).cast("bigint").alias("n_right"),
+        (F.col("tp") - F.col("p_left")).cast("bigint").alias("p_right"),
+        gain.alias("gini_gain"),
+    )
+    wb = Window.orderBy(F.desc("gini_gain"), F.asc("threshold"))
+    return (
+        scored.withColumn("is_best", F.row_number().over(wb) == 1)
+        .orderBy("threshold")
     )
