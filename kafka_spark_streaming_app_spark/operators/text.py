@@ -195,26 +195,33 @@ def content_chunks(
     from ..functions.hashing import h60, tokens as _tokens
 
     t = df.select(F.col(id_col), _tokens(text_col).alias("w"))
-    post = t.select(
-        id_col,
-        F.posexplode("w").alias("pos0", "word"),
-        F.col("w").alias("w_all"),
-    ).select(
-        id_col,
-        (F.col("pos0") + 1).alias("pos"),
-        "word",
-        F.when(
-            F.col("pos0") <= F.size("w_all") - 3,
+    # boundary flags computed in the ARRAY domain before the explode:
+    # the exploded rows then carry one word + one flag each, never the
+    # whole token array (which would cost O(len²) bytes per document)
+    w_col = F.col("w")
+    flags = F.transform(
+        w_col,
+        lambda x, i: F.when(
+            i <= F.size(w_col) - 3,
             h60(
                 F.concat_ws(
-                    " ", F.slice(F.col("w_all"), F.col("pos0") + 1, 3)
+                    " ",
+                    F.element_at(w_col, i + 1),
+                    F.element_at(w_col, i + 2),
+                    F.element_at(w_col, i + 3),
                 )
             )
             % mod
             == 0,
-        )
-        .otherwise(F.lit(False))
-        .alias("boundary"),
+        ).otherwise(F.lit(False)),
+    )
+    post = t.select(
+        id_col, F.posexplode(F.arrays_zip(w_col, flags.alias("b"))).alias("pos0", "z")
+    ).select(
+        id_col,
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("z.w").alias("word"),
+        F.col("z.b").alias("boundary"),
     )
     w_cum = (
         Window.partitionBy(id_col)

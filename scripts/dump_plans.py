@@ -73,6 +73,12 @@ NOTES = {
     "ewma_daily_revenue": "Daily integer-cents agg is the only data-sized shuffle; the EWMA fold is a row-local aggregate over the day-ordered series array.",
     "correlation_matrix": "ONE scan, one aggregation carrying all 14 power sums; six correlations derive from the 1-row result and explode row-locally.",
     "xml_roundtrip_extract": "to_xml/from_xml both row-local in the scan stage — zero shuffle; the XML wire path costs no distribution.",
+    "event_transition_matrix": "One user-keyed window yields successor pairs; row totals FOLD from the pair counts (barriered) and broadcast back — no second scan.",
+    "rfm_segmentation": "Per-customer agg is the only data shuffle; quintile thresholds are ONE exact-percentile row broadcast back — scoring is row-local, never a global ntile window.",
+    "phrase_search_positional": "Postings barriered; adjacency equi-joins share the doc key; the mined 1-row phrase broadcasts onto the token filters before the join.",
+    "scd2_build_versions": "One merge-key window produces effective ranges and version numbers — the same shuffle the latest-wins merge uses, yielding history instead of the tip.",
+    "content_chunk_dedup": "One posexplode; boundary flags row-local from the gram hash; chunk ids + reassembly share one doc-keyed shuffle; dedup counts shuffle on the chunk hash.",
+    "decision_stump_train": "Histogram aggregation is the only stage that sees data; the cumulative gain scan runs over the 50-row histogram (tiny global window by design).",
 }
 
 
