@@ -113,6 +113,8 @@ HEADLINE = [
     "scd2_build_versions",
     "content_chunk_dedup",
     "decision_stump_train",
+    "dedup_prefix_filter",
+    "join_cardinality_estimate",
 ]
 
 

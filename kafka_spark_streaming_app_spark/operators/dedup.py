@@ -538,3 +538,59 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def prefix_filter_candidates(
+    shingle_df: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """PPJoin-style prefix filtering: candidate pairs for Jaccard ≥ t
+    with ZERO false negatives — the exact-threshold alternative to
+    LSH's probabilistic bands.
+
+    Every document orders its shingles by a GLOBAL canonical order
+    (ascending corpus frequency, then shingle — rare-first), and only
+    its PREFIX of the first ``|d| − ceil(t·|d|) + 1`` shingles is
+    indexed: two sets with Jaccard ≥ t must share a prefix shingle
+    under any common total order (the pigeonhole bound), so joining
+    prefixes finds every qualifying pair. Rare-first ordering makes
+    prefixes meet on the rarest shingles — hot boilerplate shingles
+    fall OUT of prefixes instead of exploding the join, which is the
+    scale story (LSH needed an explicit bucket cap for the same
+    hazard).
+    """
+    from pyspark.sql import Window
+
+    sizes = shingle_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    freq = shingle_df.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
+    ranked = (
+        shingle_df.join(freq, "shingle")
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(
+                    F.asc("freq"), F.asc("shingle")
+                )
+            ),
+        )
+        .join(sizes, id_col)
+    )
+    prefix = ranked.filter(
+        F.col("r")
+        <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select(id_col, "shingle")
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import TOKENS_SQL, tokens
+from ..functions.hashing import TOKENS_SQL, h60_sql, tokens
 from ..operators.windowed import stabilized_sum
 from ..registry import query
 from ..sources.batch import load_table
@@ -1121,4 +1121,97 @@ def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sketch_within_tolerance"),
         )
         .orderBy("week_start", "event_type")
+    )
+
+
+# --- CMS join-cardinality estimation ----------------------------------------
+
+_JC_W = 1024
+_JC_D = 4
+
+_JC_SKETCH_ROWS = " UNION ALL ".join(
+    f"""SELECT {r} AS row_id, {h60_sql(f"('jc{r}|' || CAST(user_id AS VARCHAR))")} % {_JC_W} AS bucket,
+       count(*) AS cnt FROM events GROUP BY bucket"""
+    for r in range(_JC_D)
+)
+
+_JC_ORACLE = f"""
+WITH sk AS ({_JC_SKETCH_ROWS}),
+per_row AS (
+    SELECT row_id, CAST(sum(cnt * cnt) AS BIGINT) AS est FROM sk
+    GROUP BY row_id
+),
+est AS (SELECT CAST(min(est) AS BIGINT) AS est_join FROM per_row),
+ex AS (
+    SELECT CAST(sum(c * c) AS BIGINT) AS exact_join,
+           CAST(sum(c) AS BIGINT) AS n_rows
+    FROM (SELECT count(*) AS c FROM events GROUP BY user_id)
+)
+SELECT
+    ex.exact_join,
+    est.est_join,
+    -- literal TRUEs (the windowed_agg_approx discipline): the Spark
+    -- side COMPUTES these, so a broken estimator flips the driver hash
+    true AS never_underestimates,
+    true AS within_epsilon_bound
+FROM est, ex
+"""
+
+
+@query("join_cardinality_estimate", _JC_ORACLE)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CBO-style join-size estimation from sketches: the self-join
+    |events ⋈ events ON user_id| is estimated as the count-min-sketch
+    INNER PRODUCT (min over d rows of Σ_w cntᵢ·cntᵢ) — computable
+    from two fixed 4×1024 sketches without touching the other side's
+    rows, which is how an optimizer prices a join it hasn't run. The
+    estimate is an exact integer on both engines (identical salted-h60
+    bucketing), so the driver hash checks the estimator itself, plus
+    the two CMS guarantees: never under exact Σc², within ε·N²
+    (ε = e/w) above it. The exact twin folds from per-key counts —
+    no join is ever executed."""
+    from ..functions.hashing import h60 as _h60
+
+    events = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    per_row = None
+    for r in range(_JC_D):
+        sk = (
+            events.groupBy(
+                (
+                    _h60(F.concat(F.lit(f"jc{r}|"), uid)) % _JC_W
+                ).alias("bucket")
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .agg(
+                F.lit(r).alias("row_id"),
+                F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("est"),
+            )
+        )
+        per_row = sk if per_row is None else per_row.unionByName(sk)
+    est = per_row.agg(F.min("est").cast("bigint").alias("est_join"))
+    ex = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("exact_join"),
+            F.sum("c").cast("bigint").alias("n_rows"),
+        )
+    )
+    import math
+
+    eps = math.e / _JC_W
+    return est.crossJoin(F.broadcast(ex)).select(
+        "exact_join",
+        "est_join",
+        (F.col("est_join") >= F.col("exact_join")).alias(
+            "never_underestimates"
+        ),
+        (
+            F.col("est_join")
+            <= F.col("exact_join")
+            + F.ceil(F.lit(eps) * F.col("n_rows") * F.col("n_rows")).cast(
+                "bigint"
+            )
+        ).alias("within_epsilon_bound"),
     )

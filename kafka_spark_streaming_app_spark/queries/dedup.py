@@ -538,3 +538,21 @@ def entity_match_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_distance") >= 0)
     )
+
+
+@query("dedup_prefix_filter", _JACCARD_ORACLE)
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered similarity join (PPJoin candidate step + exact
+    verify): provably NO false negatives at the Jaccard threshold —
+    the deterministic-completeness alternative to LSH's probabilistic
+    recall. The oracle is the SAME full exact pair set as
+    `dedup_minhash_lsh`, so the driver hash proves the pigeonhole
+    completeness argument holds on real data, while runtime stays
+    prefix-join-proportional (rare-first ordering keeps hot shingles
+    out of prefixes)."""
+    from ..operators.dedup import prefix_filter_candidates
+
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = shingle_sets(docs, n=3)
+    cands = prefix_filter_candidates(shingles, threshold=0.5)
+    return jaccard_verify_candidates(docs, cands, shingle_n=3, threshold=0.5)
