@@ -115,6 +115,7 @@ HEADLINE = [
     "decision_stump_train",
     "dedup_prefix_filter",
     "join_cardinality_estimate",
+    "bootstrap_ci_mean",
 ]
 
 

@@ -654,3 +654,141 @@ def decision_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("is_best", F.row_number().over(wb) == 1)
         .orderBy("threshold")
     )
+
+
+# --- Poisson bootstrap CI ---------------------------------------------------
+
+_B = 32  # bootstrap replicates
+# Poisson(1) CDF thresholds (literal doubles — identical comparisons
+# on both engines); weights are the inverse-CDF of a per-(row,
+# replicate) h60 uniform
+_POIS_CDF = [
+    0.3678794411714423,
+    0.7357588823428846,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+]
+_H60_SCALE = float(2**60)
+
+
+def _w_sql(b: int) -> str:
+    from ..functions.hashing import h60_sql
+
+    u = (
+        "CAST(" + h60_sql(f"('boot{b}|' || CAST(o_orderkey AS VARCHAR))")
+        + f" AS DOUBLE) / {_H60_SCALE!r}"
+    )
+    cases = " + ".join(f"CASE WHEN {u} > {t!r} THEN 1 ELSE 0 END" for t in _POIS_CDF)
+    return f"({cases})"
+
+
+_BOOT_SUMS = ", ".join(
+    f"CAST(sum(CAST({_w_sql(b)} * pc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s{b}, "
+    f"CAST(sum({_w_sql(b)}) AS BIGINT) AS n{b}"
+    for b in range(_B)
+)
+
+_BOOT_MEANS = ", ".join(
+    f"round(CAST(s{b} AS DOUBLE) / 100.0 / n{b}, 6)" for b in range(_B)
+)
+
+_BOOT_ORACLE = f"""
+WITH t AS (
+    SELECT o_orderstatus,
+           o_orderkey,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS pc
+    FROM orders
+),
+sums AS (
+    SELECT o_orderstatus,
+           count(*) AS n,
+           CAST(sum(CAST(pc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+           {_BOOT_SUMS}
+    FROM t GROUP BY o_orderstatus
+),
+m AS (
+    SELECT o_orderstatus, n,
+           round(CAST(s AS DOUBLE) / 100.0 / n, 6) AS mean_price,
+           list_sort([{_BOOT_MEANS}]) AS bm
+    FROM sums
+)
+SELECT o_orderstatus, n, mean_price,
+       bm[2] AS boot_lo, bm[{_B - 1}] AS boot_hi
+FROM m
+ORDER BY o_orderstatus
+"""
+
+
+@query("bootstrap_ci_mean", _BOOT_ORACLE)
+def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed POISSON bootstrap (the at-scale resampling trick:
+    true with-replacement resampling needs global N coordination, but
+    Poisson(1) per-row replicate weights are a pure row-local function
+    — so ALL 32 replicate sums ride ONE scan as extra aggregate
+    expressions). Replicate means sort row-locally and order
+    statistics 2/31 of 32 give a ~90% CI for the mean order value per
+    status. Weights are the Poisson inverse-CDF of per-(row,
+    replicate) h60 uniforms against literal CDF thresholds —
+    deterministic and identical cross-engine; sums are exact decimal;
+    means round to 6."""
+    from ..functions.hashing import h60 as _h60
+
+    orders = load_table(spark, sf_dir, "orders")
+    t = orders.select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("pc"),
+    )
+
+    def w(b: int) -> Column:
+        u = (
+            _h60(
+                F.concat(F.lit(f"boot{b}|"), F.col("o_orderkey").cast("string"))
+            ).cast("double")
+            / _H60_SCALE
+        )
+        expr = F.lit(0)
+        for thr in _POIS_CDF:
+            expr = expr + F.when(u > thr, 1).otherwise(0)
+        return expr
+
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        _dec_sum(F.col("pc")).alias("s"),
+    ]
+    for b in range(_B):
+        wb = w(b)
+        aggs.append(_dec_sum(wb * F.col("pc")).alias(f"s{b}"))
+        aggs.append(F.sum(wb).cast("bigint").alias(f"n{b}"))
+    sums = t.groupBy("o_orderstatus").agg(*aggs)
+    means = F.array_sort(
+        F.array(
+            *[
+                F.round(
+                    F.col(f"s{b}").cast("double") / 100.0 / F.col(f"n{b}"), 6
+                )
+                for b in range(_B)
+            ]
+        )
+    )
+    return (
+        sums.select(
+            "o_orderstatus",
+            "n",
+            F.round(F.col("s").cast("double") / 100.0 / F.col("n"), 6).alias(
+                "mean_price"
+            ),
+            means.alias("bm"),
+        )
+        .select(
+            "o_orderstatus",
+            "n",
+            "mean_price",
+            F.element_at("bm", 2).alias("boot_lo"),
+            F.element_at("bm", _B - 1).alias("boot_hi"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -123,3 +123,17 @@ def test_welch_ttest_matches_numpy(spark, sf_smoke):
             row["df_welch"],
             df_w,
         )
+
+
+def test_bootstrap_ci_brackets_the_mean(spark, sf_correctness):
+    """The bootstrap order statistics must bracket the point mean with
+    nonzero width — a degenerate or inverted interval means the
+    replicate weights collapsed."""
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    for r in registry.QUERIES["bootstrap_ci_mean"](
+        spark, sf_correctness
+    ).collect():
+        assert r["boot_lo"] < r["boot_hi"], r
+        assert r["boot_lo"] <= r["mean_price"] <= r["boot_hi"], r
