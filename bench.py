@@ -116,6 +116,8 @@ HEADLINE = [
     "dedup_prefix_filter",
     "join_cardinality_estimate",
     "bootstrap_ci_mean",
+    "ks_test_two_sample",
+    "chi_square_independence",
 ]
 
 

@@ -792,3 +792,159 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --- two-sample Kolmogorov-Smirnov ------------------------------------------
+
+_KS_ORACLE = """
+WITH t AS (
+    SELECT CAST(round(value * 100, 0) AS BIGINT) AS vc,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp_a
+    FROM events
+    WHERE event_type IN ('purchase', 'view')
+),
+hist AS (
+    SELECT vc,
+           CAST(sum(grp_a) AS BIGINT) AS ca,
+           CAST(sum(1 - grp_a) AS BIGINT) AS cb
+    FROM t GROUP BY vc
+),
+tot AS (
+    SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+    FROM hist
+),
+cum AS (
+    SELECT vc,
+           CAST(sum(ca) OVER w AS BIGINT) AS cca,
+           CAST(sum(cb) OVER w AS BIGINT) AS ccb
+    FROM hist
+    WINDOW w AS (ORDER BY vc ROWS UNBOUNDED PRECEDING)
+)
+SELECT
+    tot.na, tot.nb,
+    round(max(abs(CAST(cca AS DOUBLE) / tot.na
+                  - CAST(ccb AS DOUBLE) / tot.nb)), 6) AS ks_d,
+    round(max(abs(CAST(cca AS DOUBLE) / tot.na
+                  - CAST(ccb AS DOUBLE) / tot.nb))
+          / sqrt((CAST(tot.na AS DOUBLE) + tot.nb)
+                 / (CAST(tot.na AS DOUBLE) * tot.nb)), 6) AS ks_stat
+FROM cum, tot
+GROUP BY tot.na, tot.nb
+"""
+
+
+@query("ks_test_two_sample", _KS_ORACLE)
+def ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov: D = max ECDF gap between
+    purchase and view values — the nonparametric distribution-drift
+    test (no normality assumption, unlike Welch). HISTOGRAM-FIRST
+    discipline: raw rows collapse to per-distinct-value group counts
+    in one scan, and the cumulative ECDF scan runs over the value
+    histogram (bounded by distinct cents values, not row count — the
+    decision-stump posture); D and the normalized KS statistic derive
+    as exact-integer ratios rounded to 6."""
+    events = load_table(spark, sf_dir, "events")
+    t = events.filter(
+        F.col("event_type").isin("purchase", "view")
+    ).select(
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("vc"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "grp_a"
+        ),
+    )
+    hist = (
+        t.groupBy("vc")
+        .agg(
+            F.sum("grp_a").cast("bigint").alias("ca"),
+            F.sum(1 - F.col("grp_a")).cast("bigint").alias("cb"),
+        )
+        .localCheckpoint(eager=False)  # feeds totals AND the ECDF scan
+    )
+    tot = hist.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    w = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        F.sum("ca").over(w).cast("bigint").alias("cca"),
+        F.sum("cb").over(w).cast("bigint").alias("ccb"),
+    )
+    gap = F.abs(
+        F.col("cca").cast("double") / F.col("na")
+        - F.col("ccb").cast("double") / F.col("nb")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(
+            F.round(F.max(gap), 6).alias("ks_d"),
+            F.round(
+                F.max(gap)
+                / F.sqrt(
+                    (F.col("na").cast("double") + F.col("nb"))
+                    / (F.col("na").cast("double") * F.col("nb"))
+                ),
+                6,
+            ).alias("ks_stat"),
+        )
+    )
+
+
+# --- chi-square independence ------------------------------------------------
+
+_CHI2_ORACLE = """
+WITH t AS (
+    SELECT event_type, dayofweek(ts) AS dow FROM events
+),
+o AS (
+    SELECT event_type, dow, count(*) AS obs FROM t GROUP BY event_type, dow
+),
+margins AS (
+    SELECT o.*,
+           sum(obs) OVER (PARTITION BY event_type) AS row_tot,
+           sum(obs) OVER (PARTITION BY dow) AS col_tot,
+           sum(obs) OVER () AS grand
+    FROM o
+)
+SELECT
+    CAST(count(*) AS BIGINT) AS n_cells,
+    CAST(max(grand) AS BIGINT) AS n_rows,
+    round(sum(
+        (obs - CAST(row_tot AS DOUBLE) * col_tot / grand)
+        * (obs - CAST(row_tot AS DOUBLE) * col_tot / grand)
+        / (CAST(row_tot AS DOUBLE) * col_tot / grand)), 6) AS chi2
+FROM margins
+"""
+
+
+@query("chi_square_independence", _CHI2_ORACLE)
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of event type × day-of-week: one scan
+    to the contingency table (35 cells), margins via windows over the
+    TINY table, χ² from exact integer counts rounded to 6 — the
+    seasonality/independence check behind "is traffic mix shifting by
+    weekday". All heavy lifting is the contingency aggregation;
+    everything after is cell-count-sized."""
+    events = load_table(spark, sf_dir, "events")
+    o = (
+        events.select("event_type", F.dayofweek("ts").alias("dow"))
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("dow")
+    wg = Window.partitionBy()
+    m = o.select(
+        "obs",
+        F.sum("obs").over(wr).alias("row_tot"),
+        F.sum("obs").over(wc).alias("col_tot"),
+        F.sum("obs").over(wg).alias("grand"),
+    )
+    e = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("grand")
+    return m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.max("grand").cast("bigint").alias("n_rows"),
+        F.round(F.sum((F.col("obs") - e) * (F.col("obs") - e) / e), 6).alias(
+            "chi2"
+        ),
+    )
