@@ -118,6 +118,9 @@ HEADLINE = [
     "bootstrap_ci_mean",
     "ks_test_two_sample",
     "chi_square_independence",
+    "km_survival_gaps",
+    "pca_2d_closed_form",
+    "association_rules",
 ]
 
 

@@ -948,3 +948,274 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2"
         ),
     )
+
+
+# --- Kaplan-Meier survival over inter-order gaps ----------------------------
+
+_KM_ORACLE = """
+WITH gaps AS (
+    SELECT o_custkey,
+           date_diff('day', o_orderdate,
+                     lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                             ORDER BY o_orderdate, o_orderkey))
+               AS gap_days
+    FROM orders
+),
+ev AS (SELECT CAST(gap_days AS BIGINT) AS t FROM gaps WHERE gap_days IS NOT NULL),
+hist AS (SELECT t, count(*) AS d FROM ev GROUP BY t),
+tot AS (SELECT CAST(sum(d) AS BIGINT) AS n FROM hist),
+km0 AS (
+    SELECT t, d,
+           tot.n - CAST(coalesce(sum(d) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS at_risk
+    FROM hist, tot
+),
+km1 AS (
+    SELECT t, d, at_risk,
+           CAST(floor(1e9 * ln(1.0 - CAST(d AS DOUBLE) / at_risk))
+                AS BIGINT) AS qlog
+    FROM km0 WHERE CAST(d AS DOUBLE) < at_risk
+),
+km AS (
+    SELECT t, d, at_risk,
+           CAST(sum(qlog) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS qlog_s
+    FROM km1
+)
+SELECT t AS gap_days, d AS n_events, at_risk, qlog_s,
+       round(exp(CAST(qlog_s AS DOUBLE) / 1e9), 6) AS survival
+FROM km
+ORDER BY t
+"""
+
+
+@query("km_survival_gaps", _KM_ORACLE)
+def km_survival_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over inter-order gaps (time until a
+    customer's NEXT order): S(t) = Π(1 − dᵢ/nᵢ) over event-time
+    order — the churn/retention curve. The product telescopes through
+    the floor-quantized-log discipline (each ln term floored at 1e-9
+    resolution → exact int64 cumulative sums → exp of an identical
+    double), the same fixed-point treatment as KL/BM25, because naive
+    cumulative float products are summation-order-sensitive. Gaps
+    collapse to a day-level histogram first, so the cumulative scans
+    run over distinct gap values, not rows; the last event time (where
+    everything "dies") is excluded as S would hit 0."""
+    orders = load_table(spark, sf_dir, "orders")
+    wg = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        F.datediff(
+            F.lead("o_orderdate").over(wg), F.col("o_orderdate")
+        ).cast("bigint").alias("t")
+    ).filter(F.col("t").isNotNull())
+    hist = (
+        gaps.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    tot = hist.agg(F.sum("d").cast("bigint").alias("n"))
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    km = (
+        hist.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "at_risk",
+            (
+                F.col("n")
+                - F.coalesce(F.sum("d").over(w_prev), F.lit(0))
+            ).cast("bigint"),
+        )
+        .filter(F.col("d").cast("double") < F.col("at_risk"))
+        .withColumn(
+            "qlog",
+            F.floor(
+                1e9
+                * F.log(
+                    1.0 - F.col("d").cast("double") / F.col("at_risk")
+                )
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "qlog_s", F.sum("qlog").over(w_cum).cast("bigint")
+        )
+    )
+    return km.select(
+        F.col("t").alias("gap_days"),
+        F.col("d").alias("n_events"),
+        "at_risk",
+        "qlog_s",
+        F.round(F.exp(F.col("qlog_s").cast("double") / 1e9), 6).alias(
+            "survival"
+        ),
+    ).orderBy("t")
+
+
+# --- 2-D PCA, closed form ---------------------------------------------------
+
+_PCA_ORACLE = """
+WITH t AS (
+    SELECT CAST(l_quantity AS BIGINT) AS x,
+           CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS yc
+    FROM lineitem
+),
+s AS (
+    SELECT count(*) AS n,
+           CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(yc AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(x * yc AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+           CAST(sum(CAST(yc * yc AS DECIMAL(38,0))) AS DOUBLE) AS syy
+    FROM t
+),
+c AS (
+    SELECT n,
+        (sxx - sx * sx / n) / (n - 1) AS a,
+        (sxy - sx * sy / n) / (n - 1) AS b,
+        (syy - sy * sy / n) / (n - 1) AS c2
+    FROM s
+)
+SELECT n,
+    round((a + c2 + sqrt((a - c2) * (a - c2) + 4 * b * b)) / 2, 6)
+        AS lambda1,
+    round((a + c2 - sqrt((a - c2) * (a - c2) + 4 * b * b)) / 2, 6)
+        AS lambda2,
+    round(((a + c2 + sqrt((a - c2) * (a - c2) + 4 * b * b)) / 2)
+          / (a + c2), 6) AS explained_ratio,
+    round(degrees(atan2(
+        (a + c2 + sqrt((a - c2) * (a - c2) + 4 * b * b)) / 2 - a, b)), 6)
+        AS pc1_angle_deg
+FROM c
+"""
+
+
+@query("pca_2d_closed_form", _PCA_ORACLE)
+def pca_2d_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA of (quantity, price) by the 2×2 closed form: the covariance
+    matrix folds from the SAME five exact decimal power sums OLS uses
+    (one scan, map-side combine), and eigenvalues/PC1 angle come from
+    the quadratic formula — no iteration, no driver linear algebra.
+    k-D PCA at 100 TB keeps this dataflow (k² sums in one pass) and
+    swaps the closed form for a driver-side eigensolve of the tiny
+    k×k matrix; the data pass is identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("yc"),
+    )
+    x, yc = F.col("x"), F.col("yc")
+    s = t.agg(
+        F.count(F.lit(1)).alias("n"),
+        _dec_sum(x).cast("double").alias("sx"),
+        _dec_sum(yc).cast("double").alias("sy"),
+        _dec_sum(x * x).cast("double").alias("sxx"),
+        _dec_sum(x * yc).cast("double").alias("sxy"),
+        _dec_sum(yc * yc).cast("double").alias("syy"),
+    )
+    nD = F.col("n").cast("double")
+    a = (F.col("sxx") - F.col("sx") * F.col("sx") / nD) / (nD - 1)
+    b = (F.col("sxy") - F.col("sx") * F.col("sy") / nD) / (nD - 1)
+    c2 = (F.col("syy") - F.col("sy") * F.col("sy") / nD) / (nD - 1)
+    disc = F.sqrt((a - c2) * (a - c2) + 4 * b * b)
+    l1 = (a + c2 + disc) / 2
+    l2 = (a + c2 - disc) / 2
+    return s.select(
+        "n",
+        F.round(l1, 6).alias("lambda1"),
+        F.round(l2, 6).alias("lambda2"),
+        F.round(l1 / (a + c2), 6).alias("explained_ratio"),
+        F.round(F.degrees(F.atan2(l1 - a, b)), 6).alias("pc1_angle_deg"),
+    )
+
+
+# --- association rules from co-purchase pairs --------------------------------
+
+_RULES_ORACLE = """
+WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM items),
+item_supp AS (
+    SELECT l_partkey, count(*) AS supp_item FROM items GROUP BY l_partkey
+),
+pair_supp AS (
+    SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS supp_pair
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY u, v
+    HAVING count(*) >= 3
+)
+SELECT p.u AS antecedent, p.v AS consequent, p.supp_pair,
+       sa.supp_item AS supp_a, sb.supp_item AS supp_b,
+       round(CAST(p.supp_pair AS DOUBLE) / sa.supp_item, 6) AS confidence,
+       round(CAST(p.supp_pair AS DOUBLE) * n.n
+             / (CAST(sa.supp_item AS DOUBLE) * sb.supp_item), 6) AS lift
+FROM pair_supp p
+JOIN item_supp sa ON sa.l_partkey = p.u
+JOIN item_supp sb ON sb.l_partkey = p.v
+CROSS JOIN n_orders n
+ORDER BY antecedent, consequent
+"""
+
+
+@query("association_rules", _RULES_ORACLE)
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over co-purchase pairs: confidence
+    P(v | u) and lift P(u,v)/(P(u)P(v)) for every pair supported by
+    ≥3 orders — the market-basket RULES face on top of the existing
+    pair mining. Item supports and the order total fold from the same
+    distinct (order, part) projection (barriered, scanned once);
+    ratios are exact-integer divisions rounded to 6."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds pairs, supports, total
+    )
+    n_orders = items.agg(
+        F.count_distinct("l_orderkey").alias("n")
+    )
+    item_supp = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("supp_item")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pair_supp = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("supp_pair"))
+        .filter(F.col("supp_pair") >= 3)
+    )
+    sa = item_supp.select(
+        F.col("l_partkey").alias("u"), F.col("supp_item").alias("supp_a")
+    )
+    sb = item_supp.select(
+        F.col("l_partkey").alias("v"), F.col("supp_item").alias("supp_b")
+    )
+    return (
+        pair_supp.join(sa, "u")
+        .join(sb, "v")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            F.col("u").alias("antecedent"),
+            F.col("v").alias("consequent"),
+            "supp_pair",
+            "supp_a",
+            "supp_b",
+            F.round(
+                F.col("supp_pair").cast("double") / F.col("supp_a"), 6
+            ).alias("confidence"),
+            F.round(
+                F.col("supp_pair").cast("double")
+                * F.col("n")
+                / (F.col("supp_a").cast("double") * F.col("supp_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("antecedent", "consequent")
+    )
