@@ -121,6 +121,8 @@ HEADLINE = [
     "km_survival_gaps",
     "pca_2d_closed_form",
     "association_rules",
+    "acf_daily_revenue",
+    "link_prediction_aa",
 ]
 
 

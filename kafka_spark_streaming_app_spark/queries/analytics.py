@@ -1215,3 +1215,94 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("within_epsilon_bound"),
     )
+
+
+# --- link prediction: Adamic-Adar over the co-purchase graph ----------------
+
+_AA_ORACLE = f"""
+WITH {_EDGE_CTE},
+e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+deg AS (SELECT u AS node, count(*) AS d FROM e GROUP BY u),
+wedges AS (
+    SELECT e1.u AS a, e2.v AS b, e1.v AS w
+    FROM e e1 JOIN e e2 ON e2.u = e1.v
+    WHERE e1.u < e2.v
+),
+non_edges AS (
+    SELECT w.a, w.b, w.w FROM wedges w
+    LEFT JOIN e0 ON e0.u = w.a AND e0.v = w.b
+    WHERE e0.u IS NULL
+),
+scored AS (
+    SELECT ne.a, ne.b,
+           count(*) AS common_neighbors,
+           CAST(sum(CAST(floor(1e9 / ln(CAST(deg.d AS DOUBLE))) AS BIGINT))
+                AS BIGINT) AS aa_q
+    FROM non_edges ne JOIN deg ON deg.node = ne.w
+    WHERE deg.d > 1
+    GROUP BY ne.a, ne.b
+    HAVING count(*) >= 2
+)
+SELECT a AS node_a, b AS node_b, common_neighbors, aa_q,
+       round(CAST(aa_q AS DOUBLE) / 1e9, 6) AS adamic_adar
+FROM scored
+ORDER BY node_a, node_b
+"""
+
+
+@query("link_prediction_aa", _AA_ORACLE)
+def link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the co-purchase graph: Adamic-Adar scores
+    Σ 1/ln(deg(w)) over common neighbors w for node pairs that are
+    NOT yet edges (≥2 common neighbors) — the 'parts likely to be
+    co-bought next' recommender face, sixth member of the graph
+    family on the shared edge builder. Wedge enumeration is the
+    triangle join reused with an anti-join against existing edges;
+    per-neighbor terms are floor-quantized (1e9/ln d) so the score
+    sum is exact int64 cross-engine."""
+    edges = _copurchase_edges(spark, sf_dir).select("u", "v").localCheckpoint(
+        eager=False
+    )
+    e = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    deg = e.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    e1, e2 = e.alias("e1"), e.alias("e2")
+    wedges = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .filter(F.col("e1.u") < F.col("e2.v"))
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e2.v").alias("b"),
+            F.col("e1.v").alias("w"),
+        )
+    )
+    ex = edges.select(
+        F.col("u").alias("a"), F.col("v").alias("b"), F.lit(True).alias("_e")
+    )
+    non_edges = (
+        wedges.join(ex, ["a", "b"], "left")
+        .filter(F.col("_e").isNull())
+        .drop("_e")
+    )
+    scored = (
+        non_edges.join(deg, non_edges.w == deg.node)
+        .filter(F.col("d") > 1)
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.sum(
+                F.floor(1e9 / F.log(F.col("d").cast("double"))).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("aa_q"),
+        )
+        .filter(F.col("common_neighbors") >= 2)
+    )
+    return scored.select(
+        F.col("a").alias("node_a"),
+        F.col("b").alias("node_b"),
+        "common_neighbors",
+        "aa_q",
+        F.round(F.col("aa_q").cast("double") / 1e9, 6).alias("adamic_adar"),
+    ).orderBy("node_a", "node_b")

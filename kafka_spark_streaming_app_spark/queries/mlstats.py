@@ -1219,3 +1219,95 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("antecedent", "consequent")
     )
+
+
+# --- autocorrelation of the daily revenue series ----------------------------
+
+_ACF_ORACLE = """
+WITH daily AS (
+    SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS rev
+    FROM orders GROUP BY date_trunc('day', o_orderdate)
+),
+idx AS (
+    SELECT rev,
+           row_number() OVER (ORDER BY day) AS i
+    FROM daily
+),
+lags AS (SELECT unnest(range(1, 8)) AS lag),
+pairs AS (
+    SELECT l.lag, a.rev AS x, b.rev AS y
+    FROM idx a JOIN lags l ON TRUE
+    JOIN idx b ON b.i = a.i + l.lag
+),
+s AS (
+    SELECT lag, count(*) AS n,
+           CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+           CAST(sum(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+    FROM pairs GROUP BY lag
+)
+SELECT lag, n,
+       round((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS acf
+FROM s
+ORDER BY lag
+"""
+
+
+@query("acf_daily_revenue", _ACF_ORACLE)
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily revenue at lags 1-7 (the
+    weekly-seasonality diagnostic): the series collapses to one row
+    per day, day indexes come from one window over the tiny series,
+    and each lag is a self-join on index+lag — correlation per lag
+    from the same exact-power-sum discipline as OLS. Series length is
+    calendar-bounded, so everything after the daily aggregation is
+    days-sized regardless of row count."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("rev")
+    )
+    idx = daily.select(
+        "rev", F.row_number().over(Window.orderBy("day")).alias("i")
+    ).localCheckpoint(eager=False)
+    lags = spark.range(1, 8).select(F.col("id").cast("bigint").alias("lag"))
+    a = idx.alias("a")
+    b = idx.alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("b.i") == F.col("a.i") + F.col("lag"))
+        .select(
+            "lag", F.col("a.rev").alias("x"), F.col("b.rev").alias("y")
+        )
+    )
+    x, y = F.col("x"), F.col("y")
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dec_sum(x).cast("double").alias("sx"),
+        _dec_sum(y).cast("double").alias("sy"),
+        _dec_sum(x * x).cast("double").alias("sxx"),
+        _dec_sum(x * y).cast("double").alias("sxy"),
+        _dec_sum(y * y).cast("double").alias("syy"),
+    )
+    nD = F.col("n").cast("double")
+    return s.select(
+        "lag",
+        "n",
+        F.round(
+            (nD * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (nD * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (nD * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("acf"),
+    ).orderBy("lag")
