@@ -123,6 +123,8 @@ HEADLINE = [
     "association_rules",
     "acf_daily_revenue",
     "link_prediction_aa",
+    "cohort_ltv_curve",
+    "attribution_linear",
 ]
 
 

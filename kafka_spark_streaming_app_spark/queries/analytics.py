@@ -9,7 +9,7 @@ bit-identical across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import TOKENS_SQL, h60_sql, tokens
@@ -1306,3 +1306,187 @@ def link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aa_q",
         F.round(F.col("aa_q").cast("double") / 1e9, 6).alias("adamic_adar"),
     ).orderBy("node_a", "node_b")
+
+
+# --- cohort LTV curve -------------------------------------------------------
+
+_LTV_ORACLE = """
+WITH firsts AS (
+    SELECT o_custkey,
+           min(CAST(date_trunc('month', o_orderdate) AS DATE)) AS cohort
+    FROM orders GROUP BY o_custkey
+),
+rev AS (
+    SELECT f.cohort,
+           date_diff('month', f.cohort,
+                     CAST(date_trunc('month', o.o_orderdate) AS DATE))
+               AS month_n,
+           CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS pc
+    FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+),
+grid AS (
+    SELECT cohort, month_n,
+           CAST(sum(CAST(pc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS rev_c,
+           count(*) AS n_orders
+    FROM rev WHERE month_n <= 11 GROUP BY cohort, month_n
+),
+size_c AS (SELECT cohort, count(*) AS n_customers FROM firsts GROUP BY cohort)
+SELECT
+    CAST(g.cohort AS TIMESTAMP) AS cohort,
+    g.month_n,
+    g.n_orders,
+    s.n_customers,
+    round(CAST(CAST(sum(g.rev_c) OVER (PARTITION BY g.cohort
+                                       ORDER BY g.month_n
+                                       ROWS UNBOUNDED PRECEDING)
+               AS DECIMAL(38,0)) AS DOUBLE) / 100.0 / s.n_customers, 6)
+        AS cum_ltv_per_customer
+FROM grid g JOIN size_c s ON s.cohort = g.cohort
+ORDER BY cohort, month_n
+"""
+
+
+@query("cohort_ltv_curve", _LTV_ORACLE)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lifetime value per customer by acquisition cohort
+    (first-order month) over months 0-11 — the curve every
+    subscription/commerce dashboard draws next to retention triangles.
+    First-order months join back broadcast-small; the monthly grid is
+    cohorts × 12, so the cumulative window runs over a tiny relation;
+    revenue accumulates as exact decimal cents and divides once per
+    row."""
+    orders = load_table(spark, sf_dir, "orders")
+    firsts = (
+        orders.groupBy("o_custkey")
+        .agg(F.min(F.trunc("o_orderdate", "month")).alias("cohort"))
+        .localCheckpoint(eager=False)  # feeds the join AND cohort sizes
+    )
+    rev = orders.join(firsts, "o_custkey").select(
+        "cohort",
+        (
+            F.months_between(
+                F.trunc("o_orderdate", "month"), F.col("cohort")
+            )
+        ).cast("bigint").alias("month_n"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("pc"),
+    )
+    grid = (
+        rev.filter(F.col("month_n") <= 11)
+        .groupBy("cohort", "month_n")
+        .agg(
+            F.sum(F.col("pc").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("rev_c"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    size_c = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("month_n")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(F.broadcast(size_c), "cohort")
+        .select(
+            F.col("cohort").cast("timestamp").alias("cohort"),
+            "month_n",
+            "n_orders",
+            "n_customers",
+            F.round(
+                F.sum("rev_c").over(w).cast("decimal(38,0)").cast("double")
+                / 100.0
+                / F.col("n_customers"),
+                6,
+            ).alias("cum_ltv_per_customer"),
+        )
+        .orderBy("cohort", "month_n")
+    )
+
+
+# --- linear multi-touch attribution -----------------------------------------
+
+_ATTR_ORACLE = """
+WITH purchases AS (
+    SELECT event_id AS p_id, user_id, ts AS p_ts,
+           CAST(round(value * 100, 0) AS BIGINT) AS pc
+    FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+    SELECT p.p_id, p.pc, e.event_type, e.event_id
+    FROM purchases p
+    JOIN events e
+      ON e.user_id = p.user_id
+     AND e.event_type <> 'purchase'
+     AND e.ts > p.p_ts - INTERVAL 1 HOUR
+     AND e.ts <= p.p_ts
+),
+sized AS (
+    SELECT p_id, pc, event_type, event_id,
+           count(*) OVER (PARTITION BY p_id) AS n_touch
+    FROM touches
+),
+credited AS (
+    SELECT event_type, p_id,
+           (pc * 1000000) // n_touch AS credit_micro
+    FROM sized
+)
+SELECT event_type,
+       count(DISTINCT p_id) AS n_purchases,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(sum(credit_micro) AS BIGINT) AS credit_micro_cents,
+       round(CAST(sum(credit_micro) AS DOUBLE) / 1e6 / 100.0, 6)
+           AS credited_revenue
+FROM credited
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("attribution_linear", _ATTR_ORACLE)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value splits
+    equally across the same user's non-purchase events in the
+    preceding hour, credited to the touch's event type — the
+    marketing-mix ledger behind "which interactions drive revenue".
+    The touch join is user-keyed equi + time-range residual (per-user
+    event counts bound the fan-out, the interval-join posture);
+    per-touch credit is EXACT integer division in micro-cents (floored
+    identically on both engines), so credited totals are int64-exact
+    before the single display division."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("pc"),
+    )
+    touches = purchases.join(
+        events,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("event_type") != "purchase")
+        & (F.col("ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("ts") <= F.col("p_ts")),
+    ).select("p_id", "pc", "event_type", "event_id")
+    sized = touches.withColumn(
+        "n_touch", F.count(F.lit(1)).over(Window.partitionBy("p_id"))
+    )
+    credited = sized.select(
+        "event_type",
+        "p_id",
+        F.expr("(pc * 1000000) div n_touch").alias("credit_micro"),
+    )
+    return (
+        credited.groupBy("event_type")
+        .agg(
+            F.count_distinct("p_id").alias("n_purchases"),
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum("credit_micro").cast("bigint").alias("credit_micro_cents"),
+            F.round(
+                F.sum("credit_micro").cast("double") / 1e6 / 100.0, 6
+            ).alias("credited_revenue"),
+        )
+        .orderBy("event_type")
+    )
