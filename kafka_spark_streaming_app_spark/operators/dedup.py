@@ -580,13 +580,26 @@ def prefix_filter_candidates(
         F.col("r")
         <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
     ).select(id_col, "shingle")
+    # NOTE measured tradeoff (sf0.1, shared-vocabulary fixture):
+    # prefix filtering generates ~500x more candidates than banded LSH
+    # (409k vs 766) because uniform shingle frequencies defeat the
+    # rare-first heuristic — completeness costs verification volume.
+    # Production PPJoin adds positional filters to close that gap; the
+    # LSH twin remains the default scale path, this operator the
+    # exact-complete alternative.
+    prefix = prefix.join(sizes, id_col)
     a = prefix.alias("a")
     b = prefix.alias("b")
+    # sound length filter: J ≥ t ⇒ min(|A|,|B|)/max(|A|,|B|) ≥ t
     return (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (
+                F.least(F.col("a.sz"), F.col("b.sz"))
+                >= threshold * F.greatest(F.col("a.sz"), F.col("b.sz"))
+            ),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),

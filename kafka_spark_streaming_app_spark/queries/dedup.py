@@ -550,9 +550,14 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     completeness argument holds on real data, while runtime stays
     prefix-join-proportional (rare-first ordering keeps hot shingles
     out of prefixes)."""
-    from ..operators.dedup import prefix_filter_candidates
+    from ..operators.dedup import hashed_shingle_sets, prefix_filter_candidates
 
     docs = load_table(spark, sf_dir, "documents")
-    shingles = shingle_sets(docs, n=3)
+    # candidates run on xxhash64 shingle KEYS (completeness holds for
+    # ANY global total order — ordering by (freq, hash) is as valid as
+    # (freq, string) — and no shingle string is ever materialized in
+    # the candidate join, the corpus-op projection saving); the exact
+    # verify still compares true string shingle sets
+    shingles = hashed_shingle_sets(docs, n=3)
     cands = prefix_filter_candidates(shingles, threshold=0.5)
     return jaccard_verify_candidates(docs, cands, shingle_n=3, threshold=0.5)

@@ -79,6 +79,15 @@ NOTES = {
     "scd2_build_versions": "One merge-key window produces effective ranges and version numbers — the same shuffle the latest-wins merge uses, yielding history instead of the tip.",
     "content_chunk_dedup": "One posexplode; boundary flags row-local from the gram hash; chunk ids + reassembly share one doc-keyed shuffle; dedup counts shuffle on the chunk hash.",
     "decision_stump_train": "Histogram aggregation is the only stage that sees data; the cumulative gain scan runs over the 50-row histogram (tiny global window by design).",
+    "dedup_prefix_filter": "Rare-first global shingle order; only prefixes join (hot shingles fall OUT of prefixes); verify restricted to candidates — zero false negatives by pigeonhole.",
+    "join_cardinality_estimate": "Two fixed 4x1024 sketches price the join; per-row inner products fold bucket-locally; the exact twin folds from per-key counts — no join executes.",
+    "bootstrap_ci_mean": "All 32 Poisson replicate sums ride ONE scan as extra aggregates (row-local hash weights); replicate means sort row-locally into order-statistic CIs.",
+    "ks_test_two_sample": "Rows collapse to a distinct-value histogram first; the ECDF cumulative scan is bounded by distinct cents values, not row count.",
+    "km_survival_gaps": "Gap histogram first; at-risk and quantized-log survival telescoping run over distinct gap values; the heavy stage is the per-customer lead window.",
+    "acf_daily_revenue": "Calendar-bounded: everything after the daily aggregation is days-sized; per-lag self-joins on the barriered indexed series.",
+    "link_prediction_aa": "Shared edge builder barriered; wedge join anti-joined against edges; 1/ln(deg) terms floor-quantized to exact int64 sums.",
+    "cohort_ltv_curve": "First-order cohort table barriered and broadcast; cumulative LTV window runs over the cohorts x 12 grid only.",
+    "attribution_linear": "User-keyed equi join + time-range residual bounds fan-out by per-user activity; credit is exact integer division in micro-cents.",
 }
 
 
