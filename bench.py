@@ -125,6 +125,8 @@ HEADLINE = [
     "link_prediction_aa",
     "cohort_ltv_curve",
     "attribution_linear",
+    "seasonal_decompose_daily",
+    "holt_forecast_daily",
 ]
 
 

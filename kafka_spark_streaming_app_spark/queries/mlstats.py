@@ -1333,3 +1333,194 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("acf"),
     ).orderBy("lag")
+
+
+# --- seasonal decomposition of daily revenue --------------------------------
+
+_DECOMP_ORACLE = """
+WITH daily AS (
+    SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+           dayofweek(CAST(date_trunc('day', o_orderdate) AS DATE)) AS dow,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS rev
+    FROM orders GROUP BY 1, 2
+),
+trend AS (
+    SELECT day, dow, rev,
+           count(*) OVER w AS n_win,
+           CAST(sum(rev) OVER w AS BIGINT) AS s_win
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+detr AS (
+    SELECT day, dow, rev,
+           round(CAST(s_win AS DOUBLE) / n_win, 6) AS trend_c,
+           rev - round(CAST(s_win AS DOUBLE) / n_win, 6) AS resid
+    FROM trend WHERE n_win = 7
+),
+seas AS (
+    SELECT dow, round(avg(resid), 6) AS seasonal_c FROM detr GROUP BY dow
+)
+SELECT CAST(d.day AS TIMESTAMP) AS day,
+       round(d.rev / 100.0, 6) AS revenue,
+       round(d.trend_c / 100.0, 6) AS trend,
+       round(s.seasonal_c / 100.0, 6) AS seasonal,
+       round((d.resid - s.seasonal_c) / 100.0, 6) AS remainder
+FROM detr d JOIN seas s ON s.dow = d.dow
+ORDER BY day
+"""
+
+
+@query("seasonal_decompose_daily", _DECOMP_ORACLE)
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of daily revenue: trend = the
+    centered 7-day moving average (full windows only), weekday
+    seasonal = mean detrended residual per day-of-week, remainder =
+    what neither explains — the STL-lite every ops dashboard runs.
+    Everything after the daily aggregation is days-sized; the trend
+    average is rounded once so residual arithmetic starts from the
+    same double on both engines.
+
+    dow comes from the DATE (not the raw ts) so both engines label
+    weekdays off the identical calendar value."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day"),
+        F.dayofweek(F.to_date("o_orderdate")).alias("dow"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("rev")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    trend = daily.select(
+        "day",
+        "dow",
+        "rev",
+        F.count(F.lit(1)).over(w).alias("n_win"),
+        F.sum("rev").over(w).cast("bigint").alias("s_win"),
+    )
+    detr = (
+        trend.filter(F.col("n_win") == 7)
+        .select(
+            "day",
+            "dow",
+            "rev",
+            F.round(F.col("s_win").cast("double") / F.col("n_win"), 6).alias(
+                "trend_c"
+            ),
+        )
+        .withColumn("resid", F.col("rev") - F.col("trend_c"))
+        .localCheckpoint(eager=False)  # feeds seasonal means AND output
+    )
+    seas = detr.groupBy("dow").agg(
+        F.round(F.avg("resid"), 6).alias("seasonal_c")
+    )
+    return (
+        detr.join(F.broadcast(seas), "dow")
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            F.round(F.col("rev") / 100.0, 6).alias("revenue"),
+            F.round(F.col("trend_c") / 100.0, 6).alias("trend"),
+            F.round(F.col("seasonal_c") / 100.0, 6).alias("seasonal"),
+            F.round(
+                (F.col("resid") - F.col("seasonal_c")) / 100.0, 6
+            ).alias("remainder"),
+        )
+        .orderBy("day")
+    )
+
+
+# --- Holt linear-trend forecast ---------------------------------------------
+
+_HOLT_ORACLE = """
+WITH RECURSIVE daily AS (
+    SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS rev
+    FROM orders GROUP BY 1
+),
+idx AS (
+    SELECT CAST(rev AS DOUBLE) AS x,
+           row_number() OVER (ORDER BY day) AS i
+    FROM daily
+),
+meta AS (SELECT count(*) AS n_days, CAST(max(day) AS TIMESTAMP) AS last_day
+         FROM daily),
+st(i, l, b) AS (
+    SELECT 2,
+           (SELECT x FROM idx WHERE i = 1),
+           (SELECT x FROM idx WHERE i = 2) - (SELECT x FROM idx WHERE i = 1)
+    UNION ALL
+    SELECT st.i + 1,
+           (e.x + st.l + st.b) / 2,
+           ((e.x + st.l + st.b) / 2 - st.l + st.b) / 2
+    FROM st JOIN idx e ON e.i = st.i + 1
+),
+fin AS (
+    SELECT l, b FROM st
+    WHERE i = (SELECT max(i) FROM idx)
+)
+SELECT meta.n_days, meta.last_day,
+       round(fin.l / 100, 6) AS level,
+       round(fin.b / 100, 6) AS trend,
+       round((fin.l + fin.b) / 100, 6) AS forecast_1d,
+       round((fin.l + fin.b + fin.b + fin.b + fin.b + fin.b + fin.b + fin.b)
+             / 100, 6) AS forecast_7d
+FROM fin, meta
+"""
+
+
+@query("holt_forecast_daily", _HOLT_ORACLE)
+def holt_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend exponential smoothing over daily revenue with
+    α = β = ½ — the next-step forecaster above EWMA. The coupled
+    (level, trend) recurrence folds as a row-local aggregate with a
+    STRUCT accumulator; with half-weights every update is adds and
+    halvings — single IEEE ops with no fusable shape, so the whole
+    recurrence is bit-identical cross-engine (the EWMA discipline
+    extended to vector state). Forecasts extend by repeated addition
+    (no h·b multiply) to stay in exact-op territory."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("rev")
+    )
+    series = daily.groupBy().agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.max("day").cast("timestamp").alias("last_day"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("day"), F.col("rev")))
+            ),
+            lambda s: s["rev"].cast("double"),
+        ).alias("xs"),
+    )
+    xs = F.col("xs")
+    init = F.struct(
+        F.element_at(xs, 1).alias("l"),
+        (F.element_at(xs, 2) - F.element_at(xs, 1)).alias("b"),
+    )
+    st = F.aggregate(
+        F.slice(xs, 3, F.size(xs) - 2),
+        init,
+        lambda a, x: F.struct(
+            ((x + a["l"] + a["b"]) / 2).alias("l"),
+            (((x + a["l"] + a["b"]) / 2 - a["l"] + a["b"]) / 2).alias("b"),
+        ),
+    )
+    out = series.withColumn("st", st)
+    l, b = F.col("st.l"), F.col("st.b")
+    return out.select(
+        "n_days",
+        "last_day",
+        F.round(l / 100, 6).alias("level"),
+        F.round(b / 100, 6).alias("trend"),
+        F.round((l + b) / 100, 6).alias("forecast_1d"),
+        F.round((l + b + b + b + b + b + b + b) / 100, 6).alias(
+            "forecast_7d"
+        ),
+    )
