@@ -127,6 +127,7 @@ HEADLINE = [
     "attribution_linear",
     "seasonal_decompose_daily",
     "holt_forecast_daily",
+    "gradient_boost_stumps",
 ]
 
 

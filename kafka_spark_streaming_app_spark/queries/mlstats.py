@@ -1524,3 +1524,185 @@ def holt_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_7d"
         ),
     )
+
+
+# --- two-round gradient boosting (regression stumps) ------------------------
+
+_GB_ORACLE = """
+WITH t AS (
+    SELECT CAST(l_quantity AS BIGINT) AS x,
+           CAST(round(l_extendedprice * 100, 0) AS BIGINT) * 1000000 AS y
+    FROM lineitem
+),
+h1 AS (
+    SELECT x, count(*) AS n, CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy_d
+    FROM t GROUP BY x
+),
+tot1 AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+                CAST(sum(sy_d) AS DECIMAL(38,0)) AS ts FROM h1),
+cum1 AS (
+    SELECT x AS thr, CAST(sum(n) OVER w AS BIGINT) AS nl,
+           CAST(sum(sy_d) OVER w AS DECIMAL(38,0)) AS sl
+    FROM h1 WINDOW w AS (ORDER BY x ROWS UNBOUNDED PRECEDING)
+),
+scored1 AS (
+    SELECT thr, nl, sl, tot1.tn - nl AS nr,
+           CAST(tot1.ts - sl AS DECIMAL(38,0)) AS sr,
+           round(CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / nl
+                 + CAST(tot1.ts - sl AS DOUBLE)
+                   * CAST(tot1.ts - sl AS DOUBLE) / (tot1.tn - nl), 3)
+               AS crit
+    FROM cum1, tot1 WHERE nl < tot1.tn
+),
+best1 AS (
+    SELECT * FROM scored1
+    ORDER BY crit DESC, thr LIMIT 1
+),
+pred1 AS (
+    SELECT thr,
+           sl // nl AS pl,
+           sr // nr AS pr
+    FROM best1
+),
+resid AS (
+    SELECT t.x,
+           t.y - (CASE WHEN t.x <= p.thr THEN p.pl ELSE p.pr END) AS r
+    FROM t, pred1 p
+),
+h2 AS (
+    SELECT x, count(*) AS n,
+           CAST(sum(CAST(r AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sr_d
+    FROM resid GROUP BY x
+),
+tot2 AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+                CAST(sum(sr_d) AS DECIMAL(38,0)) AS ts FROM h2),
+cum2 AS (
+    SELECT x AS thr, CAST(sum(n) OVER w AS BIGINT) AS nl,
+           CAST(sum(sr_d) OVER w AS DECIMAL(38,0)) AS sl
+    FROM h2 WINDOW w AS (ORDER BY x ROWS UNBOUNDED PRECEDING)
+),
+scored2 AS (
+    SELECT thr, nl, sl, tot2.tn - nl AS nr,
+           CAST(tot2.ts - sl AS DECIMAL(38,0)) AS sr,
+           round(CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / nl
+                 + CAST(tot2.ts - sl AS DOUBLE)
+                   * CAST(tot2.ts - sl AS DOUBLE) / (tot2.tn - nl), 3)
+               AS crit
+    FROM cum2, tot2 WHERE nl < tot2.tn
+),
+best2 AS (
+    SELECT * FROM scored2 ORDER BY crit DESC, thr LIMIT 1
+)
+SELECT
+    b1.thr AS thr_round1,
+    round(CAST(p.pl AS DOUBLE) / 1e8, 6) AS pred_left_1,
+    round(CAST(p.pr AS DOUBLE) / 1e8, 6) AS pred_right_1,
+    b2.thr AS thr_round2,
+    round(CAST(b2.sl AS DOUBLE) / b2.nl / 1e8, 6) AS resid_left_2,
+    round(CAST(b2.sr AS DOUBLE) / b2.nr / 1e8, 6) AS resid_right_2
+FROM best1 b1, pred1 p, best2 b2
+"""
+
+
+@query("gradient_boost_stumps", _GB_ORACLE)
+def gradient_boost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO rounds of gradient boosting with regression stumps — the
+    smallest real boosting loop: round 1 fits a variance-reducing
+    split on price-vs-quantity (histogram → cumulative criterion scan,
+    the `decision_stump_train` machinery with the regression
+    criterion SL²/nL + SR²/nR), leaf predictions are EXACT integer
+    divisions in micro-units, residuals y − pred stay exact int64, and
+    round 2 re-fits a stump on those residuals. Each round touches raw
+    rows once (histogram + residual projection); split search is
+    histogram-sized. The fixed-point residual hand-off is what keeps a
+    multi-round boosting loop hash-checkable cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        (
+            F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+            * 1000000
+        ).alias("y"),
+    ).localCheckpoint(eager=False)  # feeds round-1 hist AND residuals
+
+    def fit_stump(vals: DataFrame, val_col: str):
+        """(thr, nl, sl, nr, sr) of the best variance-reducing split."""
+        h = (
+            vals.groupBy("x")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col(val_col).cast("decimal(38,0)"))
+                .cast("decimal(38,0)")
+                .alias("s_d"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        tot = h.agg(
+            F.sum("n").cast("bigint").alias("tn"),
+            F.sum("s_d").cast("decimal(38,0)").alias("ts"),
+        )
+        w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+        cum = h.select(
+            F.col("x").alias("thr"),
+            F.sum("n").over(w).cast("bigint").alias("nl"),
+            F.sum("s_d").over(w).cast("decimal(38,0)").alias("sl"),
+        )
+        g = cum.crossJoin(F.broadcast(tot)).filter(F.col("nl") < F.col("tn"))
+        srD = F.col("ts").cast("double") - F.col("sl").cast("double")
+        crit = F.round(
+            F.col("sl").cast("double") * F.col("sl").cast("double")
+            / F.col("nl")
+            + (F.col("ts").cast("double") - F.col("sl").cast("double"))
+            * (F.col("ts").cast("double") - F.col("sl").cast("double"))
+            / (F.col("tn") - F.col("nl")),
+            3,
+        )
+        return (
+            g.select(
+                "thr",
+                "nl",
+                "sl",
+                (F.col("tn") - F.col("nl")).cast("bigint").alias("nr"),
+                (F.col("ts") - F.col("sl")).cast("decimal(38,0)").alias("sr"),
+                crit.alias("crit"),
+            )
+            .orderBy(F.desc("crit"), F.asc("thr"))
+            .limit(1)
+        )
+
+    best1 = fit_stump(t, "y")
+    pred1 = best1.select(
+        "thr",
+        F.expr("CAST(sl div nl AS BIGINT)").alias("pl"),
+        F.expr("CAST(sr div nr AS BIGINT)").alias("pr"),
+    )
+    resid = t.crossJoin(F.broadcast(pred1)).select(
+        "x",
+        (
+            F.col("y")
+            - F.when(F.col("x") <= F.col("thr"), F.col("pl")).otherwise(
+                F.col("pr")
+            )
+        ).alias("r"),
+    )
+    best2 = fit_stump(resid, "r")
+    b1 = pred1.select(
+        F.col("thr").alias("thr_round1"),
+        F.round(F.col("pl").cast("double") / 1e8, 6).alias("pred_left_1"),
+        F.round(F.col("pr").cast("double") / 1e8, 6).alias("pred_right_1"),
+    )
+    # round-2 leaves are OUTPUT only (nothing downstream consumes
+    # them), so plain double division suffices; integer div is avoided
+    # because residual sums can be negative and Spark's div truncates
+    # while DuckDB's // floors
+    b2 = best2.select(
+        F.col("thr").alias("thr_round2"),
+        F.round(F.col("sl").cast("double") / F.col("nl") / 1e8, 6).alias(
+            "resid_left_2"
+        ),
+        F.round(F.col("sr").cast("double") / F.col("nr") / 1e8, 6).alias(
+            "resid_right_2"
+        ),
+    )
+    return b1.crossJoin(F.broadcast(b2))
