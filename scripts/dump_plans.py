@@ -88,6 +88,9 @@ NOTES = {
     "link_prediction_aa": "Shared edge builder barriered; wedge join anti-joined against edges; 1/ln(deg) terms floor-quantized to exact int64 sums.",
     "cohort_ltv_curve": "First-order cohort table barriered and broadcast; cumulative LTV window runs over the cohorts x 12 grid only.",
     "attribution_linear": "User-keyed equi join + time-range residual bounds fan-out by per-user activity; credit is exact integer division in micro-cents.",
+    "seasonal_decompose_daily": "Days-sized after the daily agg: centered 7-day MA window, weekday-mean seasonal broadcast back onto the barriered detrended series.",
+    "holt_forecast_daily": "Coupled (level, trend) smoothing as a row-local struct-state fold over the day-ordered series — adds and halvings only, bit-exact cross-engine.",
+    "gradient_boost_stumps": "Per round: one histogram aggregation over raw rows, criterion scan over the 50-row histogram, 1-row model broadcast back for exact integer residuals.",
 }
 
 
