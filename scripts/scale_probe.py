@@ -56,6 +56,13 @@ PROBES = (
     "correlation_matrix",
     "ewma_daily_revenue",
     "rfm_segmentation",
+    # statistics/forecasting close (duplication-linear: scan-agg,
+    # histogram-first scans, calendar-bounded series; bootstrap
+    # weights are pure key functions so duplicates just scale counts)
+    "bootstrap_ci_mean",
+    "ks_test_two_sample",
+    "seasonal_decompose_daily",
+    "gradient_boost_stumps",
 )
 
 
