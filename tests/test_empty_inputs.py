@@ -159,3 +159,99 @@ def test_null_text_documents_are_retained_not_dropped(spark):
 
     qs = {r["doc_id"]: r for r in quality_score(df).collect()}
     assert qs[2]["keep"] is False and qs[2]["n_tokens"] == 1
+
+
+def test_label_propagation_on_empty_edges(spark):
+    from kafka_spark_streaming_app_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("u", T.LongType()),
+            T.StructField("v", T.LongType()),
+        ])
+    )
+    assert label_propagation(edges).count() == 0
+
+
+def test_content_chunks_on_empty_and_short_docs(spark):
+    """Empty corpus → empty; a doc shorter than the 3-gram window has
+    no boundaries and must come back as ONE chunk covering it all."""
+    from kafka_spark_streaming_app_spark.operators.text import content_chunks
+
+    assert content_chunks(_empty_docs(spark)).count() == 0
+    short = spark.createDataFrame([(1, "two words")], "doc_id long, text string")
+    rows = content_chunks(short).collect()
+    assert len(rows) == 1 and rows[0]["n_words"] == 2
+
+
+def test_prefix_filter_on_empty_and_singleton(spark):
+    """Empty shingle table → no candidates; one document → no pairs."""
+    from kafka_spark_streaming_app_spark.operators.dedup import (
+        hashed_shingle_sets,
+        prefix_filter_candidates,
+    )
+
+    empty = hashed_shingle_sets(_empty_docs(spark))
+    assert prefix_filter_candidates(empty).count() == 0
+    one = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    assert prefix_filter_candidates(hashed_shingle_sets(one)).count() == 0
+
+
+def test_ewma_and_holt_on_degenerate_series(spark):
+    """A 1-element series must fold to that element (EWMA) and a
+    2-element series must give Holt level=x1, trend=x2−x1 with no
+    nulls or errors from the slice/element_at machinery."""
+    from pyspark.sql import functions as F
+
+    one = spark.createDataFrame([([5.0],)], "xs array<double>")
+    got = one.select(
+        F.aggregate(
+            F.slice(F.col("xs"), 2, F.size(F.col("xs")) - 1),
+            F.element_at(F.col("xs"), 1),
+            lambda acc, x: (acc + x) * F.lit(0.5),
+        ).alias("e")
+    ).collect()[0]["e"]
+    assert got == 5.0
+
+    two = spark.createDataFrame([([4.0, 10.0],)], "xs array<double>")
+    init = F.struct(
+        F.element_at(F.col("xs"), 1).alias("l"),
+        (F.element_at(F.col("xs"), 2) - F.element_at(F.col("xs"), 1)).alias(
+            "b"
+        ),
+    )
+    st = F.aggregate(
+        F.slice(F.col("xs"), 3, F.size(F.col("xs")) - 2),
+        init,
+        lambda a, x: F.struct(
+            ((x + a["l"] + a["b"]) / 2).alias("l"),
+            (((x + a["l"] + a["b"]) / 2 - a["l"] + a["b"]) / 2).alias("b"),
+        ),
+    )
+    row = two.select(st.alias("st")).collect()[0]["st"]
+    assert row["l"] == 4.0 and row["b"] == 6.0
+
+
+def test_cdc_merge_on_empty_change_feed(spark):
+    """No changes → every snapshot row comes back 'kept' untouched."""
+    from kafka_spark_streaming_app_spark.queries.cdc import _apply_latest
+
+    base = spark.createDataFrame(
+        [(1, 10.0, "SEG"), (2, 20.0, "SEG")],
+        "c_custkey long, c_acctbal double, c_mktsegment string",
+    )
+    latest = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("new_bal", T.DoubleType()),
+        ])
+    )
+    rows = _apply_latest(base, latest).collect()
+    assert len(rows) == 2
+    assert all(r["change_type"] == "kept" for r in rows)
+    assert {r["c_acctbal"] for r in rows} == {10.0, 20.0}
