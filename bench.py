@@ -128,6 +128,8 @@ HEADLINE = [
     "seasonal_decompose_daily",
     "holt_forecast_daily",
     "gradient_boost_stumps",
+    "mann_whitney_u",
+    "kfold_ols_cv",
 ]
 
 

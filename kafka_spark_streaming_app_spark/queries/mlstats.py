@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import h60_sql
 from ..registry import query
 from ..sources.batch import load_table
 
@@ -1706,3 +1707,213 @@ def gradient_boost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return b1.crossJoin(F.broadcast(b2))
+
+
+# --- Mann-Whitney U (rank-sum) ----------------------------------------------
+
+_MWU_ORACLE = """
+WITH t AS (
+    SELECT CAST(round(value * 100, 0) AS BIGINT) AS vc,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp_a
+    FROM events
+    WHERE event_type IN ('purchase', 'view')
+),
+hist AS (
+    SELECT vc, CAST(sum(grp_a) AS BIGINT) AS ca,
+           CAST(count(*) AS BIGINT) AS c
+    FROM t GROUP BY vc
+),
+ranked AS (
+    SELECT vc, ca, c,
+           CAST(coalesce(sum(c) OVER (ORDER BY vc
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS below
+    FROM hist
+),
+sums AS (
+    SELECT CAST(sum(ca) AS BIGINT) AS na,
+           CAST(sum(c - ca) AS BIGINT) AS nb,
+           -- midrank of a tie group = below + (c+1)/2; doubling keeps
+           -- every term integral: 2*ranksum_a = sum ca*(2*below+c+1)
+           CAST(sum(ca * (2 * below + c + 1)) AS BIGINT) AS two_ranksum_a
+    FROM ranked
+)
+SELECT na, nb, two_ranksum_a,
+       round((two_ranksum_a / 2.0) - na * (na + 1) / 2.0, 6) AS u_a,
+       round(((two_ranksum_a / 2.0) - na * (na + 1) / 2.0)
+             / (CAST(na AS DOUBLE) * nb), 6) AS effect_cles
+FROM sums
+"""
+
+
+@query("mann_whitney_u", _MWU_ORACLE)
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (purchase vs view values) — the
+    rank-based companion to KS, with the common-language effect size
+    U/(na·nb). Histogram-first: midranks come from cumulative counts
+    over the distinct-value histogram, and DOUBLED rank sums keep
+    every intermediate an exact integer (midranks live on the .5
+    grid), so the statistic is exact until the two display
+    divisions."""
+    events = load_table(spark, sf_dir, "events")
+    t = events.filter(
+        F.col("event_type").isin("purchase", "view")
+    ).select(
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("vc"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "grp_a"
+        ),
+    )
+    hist = t.groupBy("vc").agg(
+        F.sum("grp_a").cast("bigint").alias("ca"),
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+    )
+    w = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = hist.select(
+        "vc",
+        "ca",
+        "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).cast("bigint").alias(
+            "below"
+        ),
+    )
+    sums = ranked.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum(F.col("c") - F.col("ca")).cast("bigint").alias("nb"),
+        F.sum(F.col("ca") * (2 * F.col("below") + F.col("c") + 1))
+        .cast("bigint")
+        .alias("two_ranksum_a"),
+    )
+    u_a = F.col("two_ranksum_a") / 2.0 - F.col("na") * (F.col("na") + 1) / 2.0
+    return sums.select(
+        "na",
+        "nb",
+        "two_ranksum_a",
+        F.round(u_a, 6).alias("u_a"),
+        F.round(
+            u_a / (F.col("na").cast("double") * F.col("nb")), 6
+        ).alias("effect_cles"),
+    )
+
+
+# --- k-fold cross-validated OLS ---------------------------------------------
+
+_KFOLD = 5
+
+_CV_ORACLE = f"""
+WITH t AS (
+    SELECT CAST(l_quantity AS BIGINT) AS x,
+           CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS yc,
+           {h60_sql("('fold|' || CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR))")} % {_KFOLD}
+               AS fold
+    FROM lineitem
+),
+f AS (
+    SELECT fold, count(*) AS n,
+           CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(yc AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(x * yc AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+           CAST(sum(CAST(yc * yc AS DECIMAL(38,0))) AS DOUBLE) AS syy
+    FROM t GROUP BY fold
+),
+tot AS (
+    SELECT CAST(sum(n) AS BIGINT) AS tn, sum(sx) AS tsx, sum(sy) AS tsy,
+           sum(sxx) AS tsxx, sum(sxy) AS tsxy, sum(syy) AS tsyy
+    FROM f
+),
+cv AS (
+    SELECT f.fold, f.n,
+           -- out-of-fold (train) sums = total − fold
+           tot.tn - f.n AS trn,
+           tot.tsx - f.sx AS trx, tot.tsy - f.sy AS try_,
+           tot.tsxx - f.sxx AS trxx, tot.tsxy - f.sxy AS trxy,
+           f.sx, f.sy, f.sxx, f.sxy, f.syy
+    FROM f, tot
+),
+fit AS (
+    SELECT *,
+           ((trn * trxy) - (trx * try_)) / ((trn * trxx) - (trx * trx))
+               AS b,
+           (try_ - ((trn * trxy) - (trx * try_))
+                    / ((trn * trxx) - (trx * trx)) * trx) / trn AS a
+    FROM cv
+)
+SELECT fold, n,
+       round(b / 100, 6) AS slope,
+       round(a / 100, 6) AS intercept,
+       round((syy - 2 * a * sy - 2 * b * sxy + 2 * a * b * sx
+              + a * a * n + b * b * sxx) / n / 10000, 6) AS fold_mse
+FROM fit
+ORDER BY fold
+"""
+
+
+@query("kfold_ols_cv", _CV_ORACLE)
+def kfold_ols_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validated OLS in ONE scan: per-fold sufficient
+    statistics aggregate once, each fold's TRAINING sums are just
+    total − fold (sufficient statistics subtract exactly), and the
+    held-out MSE expands algebraically over the fold's own power sums
+    — so the complete train-k-models-score-k-folds loop costs one
+    pass over the data and k rows of arithmetic. This is the
+    distributed CV pattern: no data ever re-partitions by fold.
+    Fold assignment is a pure h60 function of the row key."""
+    from ..functions.hashing import h60 as _h60
+
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("yc"),
+        (
+            _h60(
+                F.concat(
+                    F.lit("fold|"),
+                    F.col("l_orderkey").cast("string"),
+                    F.lit("|"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            )
+            % _KFOLD
+        ).alias("fold"),
+    )
+    x, yc = F.col("x"), F.col("yc")
+    f = t.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dec_sum(x).cast("double").alias("sx"),
+        _dec_sum(yc).cast("double").alias("sy"),
+        _dec_sum(x * x).cast("double").alias("sxx"),
+        _dec_sum(x * yc).cast("double").alias("sxy"),
+        _dec_sum(yc * yc).cast("double").alias("syy"),
+    ).localCheckpoint(eager=False)  # feeds totals AND per-fold fits
+    tot = f.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"),
+        F.sum("sxx").alias("tsxx"),
+        F.sum("sxy").alias("tsxy"),
+        F.sum("syy").alias("tsyy"),
+    )
+    cv = f.crossJoin(F.broadcast(tot))
+    trn = F.col("tn") - F.col("n")
+    trx = F.col("tsx") - F.col("sx")
+    try_ = F.col("tsy") - F.col("sy")
+    trxx = F.col("tsxx") - F.col("sxx")
+    trxy = F.col("tsxy") - F.col("sxy")
+    b = (trn * trxy - trx * try_) / (trn * trxx - trx * trx)
+    a = (try_ - b * trx) / trn
+    mse = (
+        F.col("syy")
+        - 2 * a * F.col("sy")
+        - 2 * b * F.col("sxy")
+        + 2 * a * b * F.col("sx")
+        + a * a * F.col("n")
+        + b * b * F.col("sxx")
+    ) / F.col("n") / 10000
+    return cv.select(
+        "fold",
+        "n",
+        F.round(b / 100, 6).alias("slope"),
+        F.round(a / 100, 6).alias("intercept"),
+        F.round(mse, 6).alias("fold_mse"),
+    ).orderBy("fold")
