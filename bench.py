@@ -130,6 +130,8 @@ HEADLINE = [
     "gradient_boost_stumps",
     "mann_whitney_u",
     "kfold_ols_cv",
+    "dedup_simhash_hamming",
+    "pareto_skyline_parts",
 ]
 
 

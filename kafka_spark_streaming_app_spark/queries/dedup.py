@@ -561,3 +561,89 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles = hashed_shingle_sets(docs, n=3)
     cands = prefix_filter_candidates(shingles, threshold=0.5)
     return jaccard_verify_candidates(docs, cands, shingle_n=3, threshold=0.5)
+
+
+# --- SimHash hamming-band near-dup join -------------------------------------
+
+_HAM_K = 3  # pairs with hamming distance <= 3
+_HAM_BANDS = 4  # 4 bands x 8 bits: pigeonhole — some band must be equal
+
+_HAM_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest({{toks}}) AS token FROM documents
+),
+th AS (SELECT doc_id, {{h60tok}} AS th FROM tok),
+votes AS (SELECT doc_id, {_VOTE_TERMS} FROM th GROUP BY doc_id),
+sigs AS (SELECT doc_id, CAST({_SIG_TERMS} AS BIGINT) AS simhash FROM votes)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAM_K}
+ORDER BY id_a, id_b
+"""
+
+
+@query(
+    "dedup_simhash_hamming",
+    _HAM_ORACLE.format(
+        toks=TOKENS_SQL.format(x="text"), h60tok=h60_sql("token")
+    ),
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash NEAR-DUP JOIN: pairs whose 32-bit signatures differ in
+    ≤3 bits, found WITHOUT an all-pairs comparison — the signature
+    splits into 4 bands of 8 bits and by pigeonhole any pair within
+    hamming 3 must agree on ≥1 whole band, so a band-value equi-join
+    generates a complete candidate set and bit_count(xor) verifies
+    exactly. The oracle is the brute-force all-pairs hamming join, so
+    the driver hash PROVES the banding completeness (the same
+    pigeonhole argument as prefix filtering, applied to hamming
+    space). One signature scan + 4 band-keyed shuffles at any corpus
+    size."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = simhash_signatures(docs, bits=32).localCheckpoint(eager=False)
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        (
+                            F.shiftright(F.col("simhash"), i * 8)
+                            % 256
+                        ).alias("bval"),
+                    )
+                    for i in range(_HAM_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "simhash", "bv.band", "bv.bval")
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.select(
+            "id_a",
+            "id_b",
+            F.bit_count(
+                F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _HAM_K)
+        .orderBy("id_a", "id_b")
+    )

@@ -1233,3 +1233,70 @@ def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total"),
     )
+
+
+# --- skyline / Pareto frontier ----------------------------------------------
+
+_SKYLINE_ORACLE = """
+WITH p AS (
+    SELECT l_partkey,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           CAST(min(round(l_extendedprice * 100, 0)) AS BIGINT) AS min_price_c
+    FROM lineitem GROUP BY l_partkey
+),
+ranked AS (
+    SELECT *,
+           min(min_price_c) OVER (ORDER BY total_qty DESC, min_price_c ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS best_price_so_far
+    FROM p
+)
+SELECT l_partkey, total_qty,
+       round(min_price_c / 100.0, 6) AS min_price
+FROM ranked
+WHERE best_price_so_far IS NULL OR min_price_c < best_price_so_far
+ORDER BY l_partkey
+"""
+
+
+@query("pareto_skyline_parts", _SKYLINE_ORACLE)
+def pareto_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline query (the classic Pareto-frontier operator): parts not
+    DOMINATED on (maximize total quantity sold, minimize best price) —
+    a part survives iff no other part is at least as good on both and
+    strictly better on one. After the per-part aggregation the
+    sort-based sweep does it in one pass: ordered by quantity
+    descending (price ascending as the deterministic tie-break), a
+    part is on the frontier iff its price strictly beats every
+    earlier (≥ quantity) part's running minimum. The window runs over
+    the aggregated parts relation, not raw rows; production skylines
+    over huge dimension sets range-partition by the sort key and
+    merge per-partition frontiers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias(
+            "total_qty"
+        ),
+        F.min(F.round(F.col("l_extendedprice") * 100, 0))
+        .cast("bigint")
+        .alias("min_price_c"),
+    )
+    w = (
+        Window.orderBy(F.desc("total_qty"), F.asc("min_price_c"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = p.withColumn(
+        "best_price_so_far", F.min("min_price_c").over(w)
+    )
+    return (
+        ranked.filter(
+            F.col("best_price_so_far").isNull()
+            | (F.col("min_price_c") < F.col("best_price_so_far"))
+        )
+        .select(
+            "l_partkey",
+            "total_qty",
+            F.round(F.col("min_price_c") / 100.0, 6).alias("min_price"),
+        )
+        .orderBy("l_partkey")
+    )
