@@ -91,6 +91,10 @@ NOTES = {
     "seasonal_decompose_daily": "Days-sized after the daily agg: centered 7-day MA window, weekday-mean seasonal broadcast back onto the barriered detrended series.",
     "holt_forecast_daily": "Coupled (level, trend) smoothing as a row-local struct-state fold over the day-ordered series — adds and halvings only, bit-exact cross-engine.",
     "gradient_boost_stumps": "Per round: one histogram aggregation over raw rows, criterion scan over the 50-row histogram, 1-row model broadcast back for exact integer residuals.",
+    "mann_whitney_u": "Histogram-first midranks; doubled rank sums keep every intermediate an exact integer until the two display divisions.",
+    "kfold_ols_cv": "One scan builds per-fold sufficient statistics; training sums = total − fold; 5 models + 5 held-out MSEs are arithmetic over a 5-row table.",
+    "dedup_simhash_hamming": "Signature scan barriered; 4 band-keyed equi-joins replace the all-pairs hamming comparison; bit_count(xor) verifies row-locally.",
+    "pareto_skyline_parts": "Per-part aggregation is the data pass; the dominance sweep is one window over the aggregated parts relation.",
 }
 
 
