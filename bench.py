@@ -132,6 +132,8 @@ HEADLINE = [
     "kfold_ols_cv",
     "dedup_simhash_hamming",
     "pareto_skyline_parts",
+    "dynamic_gap_sessions",
+    "streaming_dynamic_gap_sessions",
 ]
 
 

@@ -210,3 +210,79 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# --- dynamic-gap session windows --------------------------------------------
+
+_DYN_SESSION_ORACLE = """
+WITH e AS (
+    SELECT user_id, ts, value,
+           CASE WHEN event_type = 'purchase'
+                THEN INTERVAL 60 MINUTE ELSE INTERVAL 30 MINUTE END AS gap
+    FROM events
+),
+ordered AS (
+    SELECT *,
+           ts + gap AS endt,
+           max(ts + gap) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS prev_end
+    FROM e
+),
+flagged AS (
+    SELECT *,
+           CASE WHEN prev_end IS NULL OR ts >= prev_end THEN 1 ELSE 0 END
+               AS new_session
+    FROM ordered
+),
+sess AS (
+    SELECT *,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(endt) AS session_end,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS total_value
+FROM sess
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
+@query("dynamic_gap_sessions", _DYN_SESSION_ORACLE)
+def dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a PER-EVENT gap (Spark's dynamic-gap
+    ``session_window``): purchases hold the session open for an hour,
+    everything else for 30 minutes — the engagement-weighted
+    sessionization a commerce funnel wants. The oracle reconstructs
+    the merge as interval union: a session breaks where the event's
+    time reaches the running max of all previous events' (ts + gap)
+    ends — which is exactly what the engine's session merging must
+    converge to. Same single keyed aggregation as fixed-gap
+    sessionize; the gap expression is row-local."""
+    events = load_table(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("60 minutes")
+    ).otherwise(F.lit("30 minutes"))
+    return (
+        events.groupBy(
+            "user_id", F.session_window(F.col("ts"), gap).alias("sw")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )

@@ -549,3 +549,41 @@ def streaming_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(
         spark, sessions, output_mode="append", shuffle_partitions=8
     )
+
+
+from .sessions import _DYN_SESSION_ORACLE as _DYN_GAP_ORACLE
+
+@query("streaming_dynamic_gap_sessions", _DYN_GAP_ORACLE)
+def streaming_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap session_window run BY THE STREAMING ENGINE
+    (complete mode) over the wire replay: per-event gaps (purchases
+    60 min, others 30) make session MERGING data-dependent — an
+    incremental merge across micro-batches must still converge to the
+    batch interval-union fixpoint, which is exactly what the shared
+    oracle states."""
+    from pyspark.sql import functions as F
+
+    stream = _events_as_wire_stream(spark, sf_dir)
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("60 minutes")
+    ).otherwise(F.lit("30 minutes"))
+    sessions = (
+        stream.groupBy(
+            "user_id",
+            F.session_window(F.col("event_timestamp"), gap).alias("sw"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("amount").cast("decimal(25,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_to_table(spark, sessions, output_mode="complete")
