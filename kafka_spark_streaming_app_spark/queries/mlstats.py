@@ -338,9 +338,11 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles on both engines with NO rounding step, so even the
     threshold comparison ``dev > 4.4478·mad`` is cross-engine exact.
 
-    Scale: the canonical two-pass MAD — pass 1 group medians (broadcast
-    back, 3-row table), pass 2 deviation medians + counts. At 100 TB
-    the same dataflow runs on ``percentile_approx``.
+    Scale: pass 1 group medians (broadcast back, 3-row table), pass 2
+    deviation medians, pass 3 the thresholded count — three scans,
+    the price of exact robust statistics. At 100 TB the same dataflow
+    runs on ``percentile_approx``, and the approximate variant can
+    fuse the passes.
     """
     orders = load_table(spark, sf_dir, "orders")
     t = orders.select(
