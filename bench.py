@@ -134,6 +134,7 @@ HEADLINE = [
     "pareto_skyline_parts",
     "dynamic_gap_sessions",
     "streaming_dynamic_gap_sessions",
+    "target_encode_loo",
 ]
 
 

@@ -1919,3 +1919,84 @@ def kfold_ols_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(a / 100, 6).alias("intercept"),
         F.round(mse, 6).alias("fold_mse"),
     ).orderBy("fold")
+
+
+# --- leave-one-out target encoding ------------------------------------------
+
+_TE_M = 100  # smoothing pseudo-count
+
+_TE_ORACLE = f"""
+WITH t AS (
+    SELECT l_orderkey, l_linenumber, l_suppkey,
+           CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS yc
+    FROM lineitem
+),
+g AS (
+    SELECT l_suppkey, count(*) AS n,
+           CAST(sum(CAST(yc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s
+    FROM t GROUP BY l_suppkey
+),
+tot AS (
+    SELECT CAST(sum(n) AS BIGINT) AS tn,
+           CAST(sum(s) AS DECIMAL(38,0)) AS ts
+    FROM g
+)
+SELECT t.l_orderkey, t.l_linenumber, t.l_suppkey,
+       round(
+           (CAST(g.s AS DOUBLE) - t.yc
+            + {_TE_M} * (CAST(tot.ts AS DOUBLE) / tot.tn))
+           / (g.n - 1 + {_TE_M}) / 100, 6) AS te_price
+FROM t
+JOIN g ON g.l_suppkey = t.l_suppkey
+CROSS JOIN tot
+ORDER BY t.l_orderkey, t.l_linenumber
+"""
+
+
+@query("target_encode_loo", _TE_ORACLE)
+def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of supplier → mean line price
+    (the categorical-feature trick gradient-boosted models feed on):
+    each row's encoding is its category's target sum MINUS ITS OWN
+    target (so the feature never leaks the row's label) smoothed
+    toward the global prior with m=100 pseudo-counts. One scan builds
+    per-category sums; the global prior folds from those (barriered)
+    and broadcasts; the per-row encoding is then scan-local arithmetic
+    against the broadcast category table — the same shape at any
+    scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("yc"),
+    )
+    g = (
+        t.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum(F.col("yc")).alias("s"),
+        )
+        .localCheckpoint(eager=False)  # feeds the prior AND the join
+    )
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("s").cast("decimal(38,0)").alias("ts"),
+    )
+    prior = F.col("ts").cast("double") / F.col("tn")
+    return (
+        t.join(F.broadcast(g), "l_suppkey")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_suppkey",
+            F.round(
+                (F.col("s").cast("double") - F.col("yc") + _TE_M * prior)
+                / (F.col("n") - 1 + _TE_M)
+                / 100,
+                6,
+            ).alias("te_price"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
