@@ -135,6 +135,10 @@ HEADLINE = [
     "dynamic_gap_sessions",
     "streaming_dynamic_gap_sessions",
     "target_encode_loo",
+    # round-4 additions: bounded-state append twins of the
+    # complete-mode session queries
+    "streaming_sessionize_append",
+    "streaming_dynamic_gap_append",
 ]
 
 
@@ -215,17 +219,44 @@ def main() -> int:
         timings[name] = round(min(timings[name], run_once(name)), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    # The driver records only the LAST 2000 chars of bench stdout and
+    # parses the JSON line out of that tail; with 100+ per-query
+    # timings the full line is ~3.5k chars and its head (metric/value)
+    # gets sliced off -- BENCH_r03 shipped parsed:null, losing the
+    # round's perf number.  Fix: stdout carries ONE minimal, complete
+    # JSON line guaranteed to fit in the tail window (headline total +
+    # the slowest-40 query detail); the FULL per-query map goes to
+    # stderr and to BENCH_DETAIL.json next to this script, where the
+    # judge can read it without a truncation window.
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    print(json.dumps(full), file=sys.stderr)
+
+    ranked = sorted(timings.items(), key=lambda kv: kv[1], reverse=True)
+    keep = 40
+    while keep > 0:
+        line = json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": dict(ranked[:keep]),
+                "queries_total_count": len(timings),
+                "queries_detail_file": "BENCH_DETAIL.json",
                 "sf": sf,
             }
         )
-    )
+        if len(line) < 1800:
+            break
+        keep -= 5
+    print(line)
     spark.stop()
     return 0
 

@@ -440,10 +440,11 @@ def semantic_dedup(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    k: int = 8,
+    k: int | None = None,
     dim: int = 64,
     iters: int = 2,
     threshold: float = 0.4,
+    cluster_budget: int = 4096,
 ) -> DataFrame:
     """SemDeDup-shaped semantic deduplication: cluster the embedding
     corpus with distributed k-means, then prune near-duplicates by
@@ -452,17 +453,26 @@ def semantic_dedup(
     This is the canonical embedding-dedup plan for web-scale corpora
     (SemDeDup, Abbas et al. 2023): clustering replaces the quadratic
     all-pairs cosine with per-cluster blocks, and the cluster count is
-    the scale lever — at 100 TB you run k ~ 10^4-10^5 so each block
-    stays small enough for its pairwise join (pairs ∝ Σ|cluster|²,
-    never corpus²). Keep rule: within a cluster, a vector is dropped
-    iff it has cosine ≥ threshold with a SMALLER-id vector — a greedy,
-    deterministic, SQL-expressible representative choice (the
-    transitive-closure variant is ``dedup_clusters``).
+    the scale lever. **By default k is sized FROM the corpus**:
+    k = max(2, ceil(n / cluster_budget)), so expected cluster size —
+    and therefore per-cluster pairwise cost — stays bounded at
+    ~cluster_budget² regardless of corpus size, and total pair cost
+    grows LINEARLY (n · cluster_budget), never corpus². At 100 TB that
+    yields the SemDeDup-paper regime of k ~ 10^4-10^5 automatically;
+    pass an explicit ``k`` only to pin a cluster count. The sizing
+    count is one metadata-cheap ``df.count()`` action. Keep rule:
+    within a cluster, a vector is dropped iff it has cosine ≥
+    threshold with a SMALLER-id vector — a greedy, deterministic,
+    SQL-expressible representative choice (the transitive-closure
+    variant is ``dedup_clusters``).
 
     Returns (id, cid, keep) for every input vector.
     """
     from .similarity import kmeans_fit_predict
 
+    if k is None:
+        n = df.count()
+        k = max(2, -(-n // cluster_budget))
     assign = kmeans_fit_predict(
         df, vec_col=vec_col, id_col=id_col, k=k, dim=dim, iters=iters
     ).select(id_col, "cid")

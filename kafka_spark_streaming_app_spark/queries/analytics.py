@@ -1259,7 +1259,10 @@ def link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
     family on the shared edge builder. Wedge enumeration is the
     triangle join reused with an anti-join against existing edges;
     per-neighbor terms are floor-quantized (1e9/ln d) so the score
-    sum is exact int64 cross-engine."""
+    sum is exact int64 cross-engine (libm assumption: both engines'
+    ln must agree to the last ulp on the same double — true on this
+    platform; a last-ulp divergence landing on a floor boundary
+    would flip one quantum, see km_survival_gaps)."""
     edges = _copurchase_edges(spark, sf_dir).select("u", "v").localCheckpoint(
         eager=False
     )

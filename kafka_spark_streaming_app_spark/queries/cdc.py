@@ -211,7 +211,14 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        q.awaitTermination(300)
+        finished = q.awaitTermination(300)
+        if not finished:
+            # Partial CDC state is a silently-wrong merge result; fail
+            # loudly rather than let a caller read a half-applied feed.
+            raise RuntimeError(
+                "streaming_cdc_upsert: availableNow run did not finish "
+                "within 300s; refusing to return partially-merged state"
+            )
     finally:
         if q.isActive:
             q.stop()

@@ -231,7 +231,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semantic_oracle() -> str:
-    from .similarity import _KM_K, _km_iter_sql
+    from .similarity import _km_iter_sql
 
     return f"""
 WITH v AS (
@@ -239,7 +239,8 @@ WITH v AS (
 ),
 c0 AS (
     SELECT CAST(vec_id AS INTEGER) AS cid, x AS c FROM v
-    WHERE vec_id < {_KM_K}
+    WHERE vec_id < (SELECT greatest(2, CAST(ceil(count(*) / {_SEM_CLUSTER_BUDGET}.0) AS BIGINT))
+                    FROM embeddings)
 ),
 {_km_iter_sql("c0", "a1", "c1")},
 {_km_iter_sql("c1", "a2", "c2")},
@@ -279,20 +280,34 @@ def _km_dist_sql() -> str:
 
 
 _SEM_THRESHOLD = 0.4
+# Test-scale cluster budget: k = ceil(n/50) gives a NON-trivial,
+# corpus-proportional cluster count at every test sf (10 at sf0.01's
+# 500 vectors, 40 at sf0.1's 2000) so the driver gate exercises the
+# same k ∝ n sizing rule that holds the 100 TB pair cost linear; the
+# operator's production default budget is 4096.
+_SEM_CLUSTER_BUDGET = 50
 
 
 @query("semantic_dedup", _semantic_oracle())
 def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup pipeline end-to-end: distributed k-means (k=8, 2
-    Lloyd iterations, deterministic init — bit-exact vs the unrolled
-    SQL twin) blocks the corpus, then cosine ≥ 0.4 within blocks
-    greedily drops the larger id of each near-dup pair. The cluster
-    count is the 100 TB lever: pairs cost Σ|cluster|², never corpus²
+    """SemDeDup pipeline end-to-end: distributed k-means (2 Lloyd
+    iterations, deterministic init — bit-exact vs the unrolled SQL
+    twin) blocks the corpus, then cosine ≥ 0.4 within blocks greedily
+    drops the larger id of each near-dup pair. k is sized FROM the
+    corpus (k = ceil(n/budget), the oracle computes the same k via a
+    scalar subquery), so per-cluster pair cost is bounded and total
+    cost is linear in n — the SemDeDup 100 TB regime by default
     (operators/dedup.py:semantic_dedup)."""
     from ..operators.dedup import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, k=8, dim=64, iters=2, threshold=_SEM_THRESHOLD)
+    return semantic_dedup(
+        emb,
+        dim=64,
+        iters=2,
+        threshold=_SEM_THRESHOLD,
+        cluster_budget=_SEM_CLUSTER_BUDGET,
+    )
 
 
 # --- incremental dedup (new batch vs historical corpus) ---------------------

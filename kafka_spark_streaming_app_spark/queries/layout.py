@@ -19,6 +19,7 @@ temp directories (the wire-stream cache pattern,
 from __future__ import annotations
 
 import atexit
+import hashlib
 import os
 import shutil
 import tempfile
@@ -98,7 +99,11 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         spark.catalog.tableExists(t) for t in names
     ):
         return names
-    tag = abs(hash(key)) % 10**8
+    # Deterministic digest, not Python's PYTHONHASHSEED-randomized
+    # hash(): catalog table names stay reproducible across runs.
+    tag = int.from_bytes(
+        hashlib.md5("|".join(key).encode()).digest()[:4], "big"
+    )
     orders_t, cust_t = f"orders_bkt_{tag}", f"customer_bkt_{tag}"
     for tbl, src, col in (
         (orders_t, "orders", "o_custkey"),

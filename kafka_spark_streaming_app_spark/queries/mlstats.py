@@ -674,38 +674,68 @@ _POIS_CDF = [
     0.9994058151824183,
     0.9999167588507119,
 ]
-_H60_SCALE = float(2**60)
+# Per-(row, replicate) uniforms via Carter-Wegman multiply-mod-prime
+# universal hashing: u_b = ((key*A_b + C_b) mod p) / p with p the
+# Mersenne prime 2^31-1 and per-replicate odd multipliers.  Pure int64
+# arithmetic — key ≤ 6e11 (TPC-H orderkey at sf100000) times A_b ≤
+# 1.3e6 stays under 8e17, well inside int64 — so both engines compute
+# bit-identical uniforms with ZERO hashing cost (the previous 4 md5 +
+# 32 conv(substring) per row was the entire 5.4 s bench wall of this
+# query; xxhash64 is not available in DuckDB 1.0 so arithmetic is the
+# cross-engine-exact fast path).  Pairwise independence of the family
+# is sufficient for bootstrap replicate weights.
+_BOOT_P = 2147483647
+# Integer thresholds floor(thr * p): x > T_i is EXACTLY equivalent to
+# u = x/p > thr (no threshold lands on an integer), and pure int64
+# comparisons sidestep any float-division boundary question.
+_POIS_THR = [int(t * _BOOT_P) for t in _POIS_CDF]
 
 
-# Each md5 yields 10 replicate uniforms (12 hex-bit slices), so 32
-# replicates cost 4 hashes per row instead of 32. 12-bit uniforms
-# truncate the Poisson tail at weight 5 (P ≈ 6e-4) — immaterial to the
-# CI, and identical on both engines by construction.
-def _u_sql(b: int) -> str:
-    g, off = b // 10, (b % 10) * 3
-    return (
-        f"(('0x' || substr(md5('bootg{g}|' || CAST(o_orderkey AS VARCHAR)),"
-        f" {off + 1}, 3))::BIGINT / 4096.0)"
-    )
+def _boot_ac(b: int) -> tuple[int, int]:
+    return 1000003 + 7919 * b, 7207 * (b + 1)
+
+
+def _x_sql(b: int) -> str:
+    a, c = _boot_ac(b)
+    return f"((o_orderkey * {a} + {c}) % {_BOOT_P})"
 
 
 def _w_sql(b: int) -> str:
-    u = _u_sql(b)
-    cases = " + ".join(f"CASE WHEN {u} > {t!r} THEN 1 ELSE 0 END" for t in _POIS_CDF)
+    x = _x_sql(b)
+    cases = " + ".join(
+        f"CASE WHEN {x} > {t} THEN 1 ELSE 0 END" for t in _POIS_THR
+    )
     return f"({cases})"
 
 
 # replicate sums accumulate as BIGINT, not decimal: w·pc ≤ 7·5e7 per
 # row keeps the per-status sums inside int64 headroom past sf10000,
-# and 64 long aggregates codegen ~3x faster than decimal ones
-_BOOT_SUMS = ", ".join(
-    f"CAST(sum({_w_sql(b)} * pc) AS BIGINT) AS s{b}, "
-    f"CAST(sum({_w_sql(b)}) AS BIGINT) AS n{b}"
+# and 64 long aggregates codegen ~3x faster than decimal ones.
+# Kept as a LIST of per-aggregate expression strings: the Spark side
+# feeds each through F.expr (one JVM parse per aggregate instead of
+# ~1500 py4j Column-builder round-trips — driver-side DataFrame
+# CONSTRUCTION was 4.3 s of this query's 5.4 s bench wall), and the
+# oracle joins them into its SQL text, so both engines share the
+# exact same expression source.
+_BOOT_SUM_EXPRS = [
+    e
     for b in range(_B)
-)
+    for e in (
+        f"CAST(sum({_w_sql(b)} * pc) AS BIGINT) AS s{b}",
+        f"CAST(sum({_w_sql(b)}) AS BIGINT) AS n{b}",
+    )
+]
+_BOOT_SUMS = ", ".join(_BOOT_SUM_EXPRS)
 
+# Replicate-mean guard (ADVICE): a group small enough that every
+# Poisson weight in a replicate is 0 would yield a NULL mean, and the
+# engines' array sorts place nulls at opposite ends — substitute the
+# overall group mean (a zero-information replicate) as the sentinel.
 _BOOT_MEANS = ", ".join(
-    f"round(CAST(s{b} AS DOUBLE) / 100.0 / n{b}, 6)" for b in range(_B)
+    f"CASE WHEN n{b} > 0"
+    f" THEN round(CAST(s{b} AS DOUBLE) / 100.0 / n{b}, 6)"
+    f" ELSE round(CAST(s AS DOUBLE) / 100.0 / n, 6) END"
+    for b in range(_B)
 )
 
 _BOOT_ORACLE = f"""
@@ -744,79 +774,34 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions). Replicate means sort row-locally and order
     statistics 2/31 of 32 give a ~90% CI for the mean order value per
     status. Weights are the Poisson inverse-CDF of per-(row,
-    replicate) h60 uniforms against literal CDF thresholds —
-    deterministic and identical cross-engine; sums are exact decimal;
+    replicate) multiply-mod-prime uniforms (Carter-Wegman; see
+    ``_u_sql``) against literal CDF thresholds — pure int64 arithmetic,
+    deterministic and bit-identical cross-engine, and ~10x cheaper per
+    row than the md5-slicing it replaced; sums are exact decimal;
     means round to 6."""
     orders = load_table(spark, sf_dir, "orders")
-    # the 4 md5s are materialized as projection columns so each is
-    # hashed once per row — per-replicate expressions only slice them
-    t = orders.select(
+    t = orders.selectExpr(
         "o_orderstatus",
-        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("pc"),
-        *[
-            F.md5(
-                F.concat(
-                    F.lit(f"bootg{g}|"), F.col("o_orderkey").cast("string")
-                )
-            ).alias(f"h{g}")
-            for g in range(4)
-        ],
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS pc",
+        "CAST(o_orderkey AS BIGINT) AS o_orderkey",
     )
-
-    def w(b: int) -> Column:
-        g, off = b // 10, (b % 10) * 3
-        u = (
-            F.conv(F.substring(F.col(f"h{g}"), off + 1, 3), 16, 10).cast(
-                "bigint"
-            )
-            / 4096.0
-        )
-        expr = F.lit(0)
-        for thr in _POIS_CDF:
-            expr = expr + F.when(u > thr, 1).otherwise(0)
-        return expr
-
-    aggs = [
-        F.count(F.lit(1)).alias("n"),
-        _dec_sum(F.col("pc")).alias("s"),
-    ]
-    for b in range(_B):
-        wb = w(b)
-        aggs.append(
-            F.sum((wb * F.col("pc")).cast("bigint"))
-            .cast("bigint")
-            .alias(f"s{b}")
-        )
-        aggs.append(F.sum(wb).cast("bigint").alias(f"n{b}"))
-    sums = t.groupBy("o_orderstatus").agg(*aggs)
-    means = F.array_sort(
-        F.array(
-            *[
-                F.round(
-                    F.col(f"s{b}").cast("double") / 100.0 / F.col(f"n{b}"), 6
-                )
-                for b in range(_B)
-            ]
-        )
+    sums = t.groupBy("o_orderstatus").agg(
+        F.expr("count(1) AS n"),
+        F.expr("CAST(sum(CAST(pc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s"),
+        *[F.expr(e) for e in _BOOT_SUM_EXPRS],
     )
-    return (
-        sums.select(
-            "o_orderstatus",
-            "n",
-            F.round(F.col("s").cast("double") / 100.0 / F.col("n"), 6).alias(
-                "mean_price"
-            ),
-            means.alias("bm"),
-        )
-        .select(
-            "o_orderstatus",
-            "n",
-            "mean_price",
-            F.element_at("bm", 2).alias("boot_lo"),
-            F.element_at("bm", _B - 1).alias("boot_hi"),
-        )
-        .orderBy("o_orderstatus")
-    )
+    return sums.selectExpr(
+        "o_orderstatus",
+        "n",
+        "round(CAST(s AS DOUBLE) / 100.0 / n, 6) AS mean_price",
+        f"array_sort(array({_BOOT_MEANS})) AS bm",
+    ).selectExpr(
+        "o_orderstatus",
+        "n",
+        "mean_price",
+        "element_at(bm, 2) AS boot_lo",
+        f"element_at(bm, {_B - 1}) AS boot_hi",
+    ).orderBy("o_orderstatus")
 
 
 # --- two-sample Kolmogorov-Smirnov ------------------------------------------
@@ -1026,7 +1011,14 @@ def km_survival_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative float products are summation-order-sensitive. Gaps
     collapse to a day-level histogram first, so the cumulative scans
     run over distinct gap values, not rows; the last event time (where
-    everything "dies") is excluded as S would hit 0."""
+    everything "dies") is excluded as S would hit 0.
+
+    libm assumption: floor-quantizing ln() at 1e-9 presumes both
+    engines' ln agree to the last ulp on the same double input (true
+    here — both call the platform libm on IEEE doubles); a divergent
+    libm whose error lands exactly on a floor boundary would flip one
+    quantum and break the hash gate, so a port to a different
+    platform should re-verify or coarsen the grid."""
     orders = load_table(spark, sf_dir, "orders")
     wg = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     gaps = orders.select(

@@ -140,7 +140,15 @@ def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship sliding-window aggregation executed BY THE STREAMING
     ENGINE (complete output mode) over the JSON wire replay of
     ``events``. Exact-distinct is not streamable, so the streaming
-    variant omits unique_customers (the production twin uses HLL++)."""
+    variant omits unique_customers (the production twin uses HLL++).
+
+    SCALE BOUNDARY — parity demonstrator only: complete mode rewrites
+    the full result every trigger and holds every window ever seen in
+    state, which is unbounded on a real stream. The production shape
+    is `streaming_windowed_append` (watermark + append finalization,
+    bounded state); this query exists to hash-check the engine's
+    arithmetic against the batch oracle over ALL windows, including
+    ones append mode would not have finalized yet."""
     stream = _events_as_wire_stream(spark, sf_dir)
     agg = windowed_aggregation(
         stream,
@@ -333,7 +341,13 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (complete mode) over the JSON wire replay — the streaming twin of
     `sessionize_users`, checked against the same lag-gap-cumsum oracle:
     the engine's incremental session MERGING (sessions extend and fuse
-    across micro-batches) must converge to the batch fixpoint."""
+    across micro-batches) must converge to the batch fixpoint.
+
+    SCALE BOUNDARY — parity demonstrator only: complete mode holds
+    every session ever closed in state. The production shape is
+    `streaming_sessionize_append` (watermarked append with session
+    eviction, bounded by OPEN sessions only); this query exists to
+    check the merge fixpoint over the full session set."""
     from ..operators.sessions import sessionize
 
     stream = _events_as_wire_stream(spark, sf_dir)
@@ -560,7 +574,13 @@ def streaming_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFram
     60 min, others 30) make session MERGING data-dependent — an
     incremental merge across micro-batches must still converge to the
     batch interval-union fixpoint, which is exactly what the shared
-    oracle states."""
+    oracle states.
+
+    SCALE BOUNDARY — parity demonstrator only: complete mode holds
+    unbounded state. The production shape is
+    `streaming_dynamic_gap_append` (watermarked append, state bounded
+    by open sessions); this query checks the fixpoint over ALL
+    sessions including not-yet-finalized ones."""
     from pyspark.sql import functions as F
 
     stream = _events_as_wire_stream(spark, sf_dir)
@@ -587,3 +607,155 @@ def streaming_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
     return _run_to_table(spark, sessions, output_mode="complete")
+
+
+# --- bounded-state APPEND twins of the complete-mode session queries --------
+# The complete-mode queries above prove batch/stream duality but hold
+# unbounded state (complete mode rewrites the full result every
+# trigger). These twins are the PRODUCTION shapes: watermarked
+# session_window in append mode — state is evicted as the watermark
+# passes each session's end, so state size is bounded by the number of
+# OPEN sessions. The oracle appends the finalization predicate to the
+# batch session oracle: a session is emitted iff its end (last event +
+# gap) is at or before the final watermark (ms-granular: the engine
+# floors event-time watermarks to milliseconds; max event time − 30 s
+# from the ingestion watermark). µs-grain test data never lands a
+# session end exactly on the ms boundary, so <= vs < is empirically
+# indistinguishable here — <= matches the verified windowed-append
+# boundary (a window ending exactly at the watermark IS emitted).
+
+_SESSION_APPEND_ORACLE = """
+WITH wm AS (
+    SELECT epoch_us(max(ts)) // 1000 - 30000 AS w_ms FROM events
+),
+ordered AS (
+    SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1
+                ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+    SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM ordered
+),
+agg AS (
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS total_value
+    FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id, session_start, session_end, n_events, total_value
+FROM agg
+WHERE epoch_us(session_end) // 1000 <= (SELECT w_ms FROM wm)
+"""
+
+
+@query("streaming_sessionize_append", _SESSION_APPEND_ORACLE)
+def streaming_sessionize_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode watermarked sessionization through the real
+    streaming engine — the bounded-state production twin of
+    `streaming_sessionize`: only sessions FINALIZED under the final
+    watermark are emitted and their state is evicted, so state holds
+    open sessions only. The oracle is the batch lag-gap-cumsum
+    session build restricted to sessions whose end ≤ the final
+    ms-granular watermark — the driver hash check covers the engine's
+    session finalization/eviction semantics."""
+    from ..operators.sessions import sessionize
+
+    stream = _events_as_wire_stream(spark, sf_dir)
+    sessions = sessionize(
+        stream,
+        ts_col="event_timestamp",
+        keys=("user_id",),
+        gap="30 minutes",
+        amount_col="amount",
+    )
+    return _run_to_table(
+        spark, sessions, output_mode="append", shuffle_partitions=8
+    )
+
+
+_DYN_GAP_APPEND_ORACLE = """
+WITH wm AS (
+    SELECT epoch_us(max(ts)) // 1000 - 30000 AS w_ms FROM events
+),
+e AS (
+    SELECT user_id, ts, value,
+           CASE WHEN event_type = 'purchase'
+                THEN INTERVAL 60 MINUTE ELSE INTERVAL 30 MINUTE END AS gap
+    FROM events
+),
+ordered AS (
+    SELECT *,
+           ts + gap AS endt,
+           max(ts + gap) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS prev_end
+    FROM e
+),
+flagged AS (
+    SELECT *,
+           CASE WHEN prev_end IS NULL OR ts >= prev_end THEN 1 ELSE 0 END
+               AS new_session
+    FROM ordered
+),
+sess AS (
+    SELECT *,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+),
+agg AS (
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(endt) AS session_end,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS total_value
+    FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id, session_start, session_end, n_events, total_value
+FROM agg
+WHERE epoch_us(session_end) // 1000 <= (SELECT w_ms FROM wm)
+"""
+
+
+@query("streaming_dynamic_gap_append", _DYN_GAP_APPEND_ORACLE)
+def streaming_dynamic_gap_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode dynamic-gap session_window through the real
+    streaming engine — the bounded-state production twin of
+    `streaming_dynamic_gap_sessions`: per-event gaps (purchases 60
+    min, others 30) with watermark finalization, so the engine's
+    data-dependent incremental session merge AND its eviction rule
+    must both converge to the batch interval-union fixpoint
+    restricted to sessions ending at or before the final watermark."""
+    stream = _events_as_wire_stream(spark, sf_dir)
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("60 minutes")
+    ).otherwise(F.lit("30 minutes"))
+    sessions = (
+        stream.groupBy(
+            "user_id",
+            F.session_window(F.col("event_timestamp"), gap).alias("sw"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("amount").cast("decimal(25,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_to_table(
+        spark, sessions, output_mode="append", shuffle_partitions=8
+    )

@@ -17,6 +17,23 @@ without touching any downstream operator — reference
   rate stream for soak runs.
 - **File (JSON-lines)** — replayable micro-batches for deterministic
   streaming tests (one file per micro-batch with maxFilesPerTrigger=1).
+
+Kafka transport caveat
+----------------------
+Option parity with the reference reader/writer is oracle- and
+test-proven (every downstream operator hash-matches an independent
+DuckDB oracle via the file/rate sources, and the option dicts are
+asserted verbatim), but the Kafka *transport* itself has never carried
+a message in this environment: no broker runs here and the
+``spark-sql-kafka-0-10`` connector jar ships separately from pip
+pyspark. When a broker exists, validate end-to-end with::
+
+    spark-submit --packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version> \
+        app.py --source kafka --bootstrap <host:9092> --topic ecommerce-events
+
+Everything downstream of the source boundary is identical across the
+three sources by construction, so the remaining risk is connector
+configuration (auth, offsets, topic ACLs), not query semantics.
 """
 
 from __future__ import annotations

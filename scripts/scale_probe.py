@@ -93,6 +93,32 @@ def build_scaled_dir(src_sf: str, n: int) -> str:
     return out
 
 
+def build_jittered_embeddings(src_sf: str, n: int) -> str:
+    """An Nx embeddings corpus of NEAR-duplicates: copy i gets
+    vec_id + i*n_vec (ids stay dense from 0, preserving the
+    first-k-ids k-means init convention) and +i*1e-3 on dimension
+    (i mod 64) — distinct vectors, realistic near-dup structure."""
+    import duckdb
+
+    out = tempfile.mkdtemp(prefix=f"jitter{n}x_")
+    src = os.path.join(src_sf, "embeddings.parquet")
+    con = duckdb.connect()
+    n_vec = con.sql(f"SELECT count(*) FROM '{src}'").fetchone()[0]
+    selects = " UNION ALL ".join(
+        f"SELECT vec_id + {i * n_vec} AS vec_id, "
+        f"CAST(list_transform(embedding, (x, j) -> "
+        f"CASE WHEN j = {(i % 64) + 1} THEN x + {i}*0.001 ELSE x END) "
+        f"AS FLOAT[]) AS embedding, label FROM '{src}'"
+        for i in range(n)
+    )
+    con.sql(
+        f"COPY ({selects}) TO "
+        f"'{os.path.join(out, 'embeddings.parquet')}' (FORMAT PARQUET)"
+    )
+    con.close()
+    return out
+
+
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -105,6 +131,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     scaled = build_scaled_dir(src, n)
+    jittered = build_jittered_embeddings(src, n)
     try:
         results = {}
         for name in PROBES:
@@ -122,9 +149,32 @@ def main() -> int:
             times["ratio"] = round(times["tN"] / times["t1"], 2)
             results[name] = times
             print(f"\n# {name}: {times}", file=sys.stderr, flush=True)
+        # semantic_dedup probes against JITTERED copies (exact
+        # hardlink duplication would hand every vector N-1 exact
+        # twins and distort dedup semantics): copy i shifts vec_id by
+        # i*n_vec and perturbs one dimension, so the corpus is N x
+        # larger with only near-dup structure.  k = ceil(n/budget)
+        # grows N x with it, holding expected cluster size constant —
+        # this probe measures the linear-total-pair-cost claim of the
+        # k ∝ n sizing rule directly.
+        fn = registry.QUERIES["semantic_dedup"]
+        times = {}
+        for label, sf_dir in (("t1", src), ("tN", jittered)):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            times[label] = round(best, 3)
+        times["ratio"] = round(times["tN"] / times["t1"], 2)
+        results["semantic_dedup"] = times
+        print(f"\n# semantic_dedup: {times}", file=sys.stderr, flush=True)
         print(json.dumps({"scale": n, "queries": results}))
     finally:
         shutil.rmtree(scaled, ignore_errors=True)
+        shutil.rmtree(jittered, ignore_errors=True)
     return 0
 
 
