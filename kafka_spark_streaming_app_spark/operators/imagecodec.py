@@ -165,21 +165,95 @@ def decode_png(data: bytes):
 _SOF_MARKERS = {0xC0, 0xC1, 0xC2}  # baseline, extended sequential, progressive
 
 
-def make_jpeg_header_bytes(width: int, height: int, channels: int = 3) -> bytes:
+def make_jpeg_header_bytes(
+    width: int,
+    height: int,
+    channels: int = 3,
+    quant_tables: int = 0,
+    quant_seed: int = 0,
+) -> bytes:
     """Minimal syntactically-valid JPEG container (SOI + JFIF APP0 +
-    SOF0 + EOI) carrying real frame dimensions — a header-only fixture
-    for the marker-scan parser (full entropy-coded scan data would need
-    a DCT pipeline; header metadata extraction doesn't)."""
+    [DQT...] + SOF0 + EOI) carrying real frame dimensions — a
+    header-only fixture for the marker-scan parser (full entropy-coded
+    scan data would need a DCT pipeline; header metadata extraction
+    doesn't). ``quant_tables`` > 0 inserts that many real DQT
+    segments (8-bit precision, table id t) with deterministic entries
+    ``(quant_seed + 17*t + j) % 255 + 1`` so a SQL oracle can
+    recompute every table value."""
     app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    dqt = b""
+    for t in range(quant_tables):
+        body = bytes([t]) + bytes(
+            (quant_seed + 17 * t + j) % 255 + 1 for j in range(64)
+        )
+        dqt += b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
     sof_body = struct.pack(">BHHB", 8, height, width, channels)
     for i in range(channels):
         sof_body += struct.pack(">BBB", i + 1, 0x11, 0)
     return (
         _JPEG_MAGIC
         + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+        + dqt
         + b"\xff\xc0" + struct.pack(">H", len(sof_body) + 2) + sof_body
         + b"\xff\xd9"
     )
+
+
+def parse_jpeg_quant(data: bytes) -> dict:
+    """Full marker walk collecting DQT quantization tables (the
+    compression-quality fingerprint a curation pipeline keys on) plus
+    the SOF dimensions: returns n_tables and the sum/min/max over all
+    table entries. 16-bit-precision tables (Pq=1) are supported; the
+    fixture writes 8-bit."""
+    if not data.startswith(_JPEG_MAGIC):
+        raise ValueError("not a JPEG")
+    pos = 2
+    n_tables = 0
+    qsum = 0
+    qmin: int | None = None
+    qmax: int | None = None
+    hdr: dict | None = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # standalone
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        if marker == 0xDB:  # DQT — may hold several tables per segment
+            body = data[pos + 4 : pos + 2 + seglen]
+            off = 0
+            while off < len(body):
+                prec, _tid = body[off] >> 4, body[off] & 0x0F
+                off += 1
+                n = 64
+                vals = (
+                    [v for (v,) in struct.iter_unpack(">H", body[off : off + 2 * n])]
+                    if prec
+                    else list(body[off : off + n])
+                )
+                off += 2 * n if prec else n
+                n_tables += 1
+                qsum += sum(vals)
+                lo, hi = min(vals), max(vals)
+                qmin = lo if qmin is None else min(qmin, lo)
+                qmax = hi if qmax is None else max(qmax, hi)
+        elif marker in _SOF_MARKERS:
+            depth, h, w, ncomp = struct.unpack_from(">BHHB", data, pos + 4)
+            hdr = {"width": w, "height": h, "channels": ncomp}
+        pos += 2 + seglen
+    if hdr is None:
+        raise ValueError("JPEG missing SOF marker")
+    return {
+        **hdr,
+        "n_tables": n_tables,
+        "quant_sum": qsum,
+        "quant_min": qmin if qmin is not None else 0,
+        "quant_max": qmax if qmax is not None else 0,
+    }
 
 
 def parse_jpeg_header(data: bytes) -> dict:

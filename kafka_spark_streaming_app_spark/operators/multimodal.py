@@ -257,6 +257,78 @@ def image_header_metadata(media: DataFrame) -> DataFrame:
     )
 
 
+JPEG_QUANT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("n_tables", T.IntegerType(), True),
+        T.StructField("quant_sum", T.LongType(), True),
+        T.StructField("quant_min", T.IntegerType(), True),
+        T.StructField("quant_max", T.IntegerType(), True),
+    ]
+)
+
+
+def synthesize_jpeg_quant_media(documents: DataFrame) -> DataFrame:
+    """JPEG fixture WITH real DQT quantization segments: every doc_id
+    becomes a header-only JPEG carrying n = doc_id % 3 + 1 tables of
+    64 deterministic 8-bit entries ``(doc_id + 17*t + j) % 255 + 1``
+    (seeded by doc_id), dims W = doc_id % 640 + 16,
+    H = doc_id % 480 + 16, channels = doc_id % 3 + 1."""
+    from .imagecodec import make_jpeg_header_bytes
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                {
+                    "media_id": int(d),
+                    "codec": "jpeg",
+                    "payload": make_jpeg_header_bytes(
+                        int(d) % 640 + 16,
+                        int(d) % 480 + 16,
+                        int(d) % 3 + 1,
+                        quant_tables=int(d) % 3 + 1,
+                        quant_seed=int(d),
+                    ),
+                }
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "codec", "payload"])
+
+    return documents.select("doc_id").mapInPandas(
+        render, schema=IMAGE_MEDIA_SCHEMA
+    )
+
+
+def jpeg_quant_metadata(media: DataFrame) -> DataFrame:
+    """Parse DQT quantization tables + SOF dims from real JPEG bytes
+    (operators/imagecodec.py:parse_jpeg_quant) — the compression-
+    quality fingerprint stage of a media-curation pipeline; still
+    O(header) per row, no entropy decode."""
+    from .imagecodec import parse_jpeg_quant
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                meta = parse_jpeg_quant(bytes(payload))
+                meta["media_id"] = int(media_id)
+                rows.append(meta)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "channels",
+                    "n_tables", "quant_sum", "quant_min", "quant_max",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        parse, schema=JPEG_QUANT_SCHEMA
+    )
+
+
 DECODED_STATS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), True),

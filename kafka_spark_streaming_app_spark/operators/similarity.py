@@ -334,15 +334,33 @@ def ann_topk_ivf(
 KM_SCALE = float(2**48)
 
 
-def _km_assign(v: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
+def _km_assign(
+    v: DataFrame, centroids: DataFrame, id_col: str, dim: int | None = None
+) -> DataFrame:
     """(id, x, cid, dist): nearest centroid per vector, ties broken by
     centroid id. dist is a left-to-right fold over dims — both engines
-    produce bit-identical doubles, so the argmin agrees."""
-    dist = F.aggregate(
-        F.zip_with(F.col("x"), F.col("c"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, y: acc + y,
-    )
+    produce bit-identical doubles, so the argmin agrees.
+
+    When ``dim`` is known the fold is UNROLLED into a plain
+    ``(((0.0 + d0²) + d1²) + ...)`` expression chain: identical
+    addition order (hence identical doubles) to the
+    zip_with/aggregate lambda, but whole-stage-codegen'd instead of
+    interpreted per element — on the O(n·k) assignment stage, the
+    engine's hottest loop, that is roughly an order of magnitude per
+    row. The lambda fold remains as the unknown-length fallback."""
+    if dim is not None:
+        expr = "CAST(0.0 AS DOUBLE)"
+        for i in range(dim):
+            expr = f"({expr} + (x[{i}] - c[{i}]) * (x[{i}] - c[{i}]))"
+        dist = F.expr(expr)
+    else:
+        dist = F.aggregate(
+            F.zip_with(
+                F.col("x"), F.col("c"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, y: acc + y,
+        )
     scored = v.crossJoin(F.broadcast(centroids)).select(
         id_col, "x", "cid", dist.alias("dist")
     )
@@ -379,6 +397,50 @@ def _km_update(assigned: DataFrame, dim: int) -> DataFrame:
     )
 
 
+def _km_prep(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """(id, x) vector table, hash-repartitioned on id and materialized
+    once for the whole Lloyd loop. The repartition matters: the O(n·k)
+    assignment projection runs in whatever stage precedes the argmin
+    window's hash(id) exchange, and a single-file parquet input would
+    otherwise pin that entire distance computation to ONE task.
+    Pre-partitioning on id spreads it across the cluster AND is
+    exactly the distribution the window needs, so no extra shuffle is
+    added; the lazy checkpoint keeps iterations 2..N from re-scanning
+    and re-shuffling the input. The partition count is EXPLICIT
+    (defaultParallelism) because AQE sizes coalescing by shuffle
+    BYTES — a few MB of vectors looks tiny to it, but each row fans
+    out k distance folds downstream, so letting AQE collapse this
+    exchange re-serializes the O(n·k) stage onto a handful of cores
+    (measured: 5.1M folds on 1 task). Explicit repartition counts are
+    exempt from AQE coalescing."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "x"
+            ),
+        )
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+def _km_loop(
+    v: DataFrame, k: int, dim: int, iters: int, id_col: str
+) -> DataFrame:
+    centroids = (
+        v.filter(F.col(id_col) < k)
+        .select(F.col(id_col).cast("int").alias("cid"), F.col("x").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(iters):
+        assigned = _km_assign(v, centroids, id_col, dim=dim)
+        centroids = _km_update(assigned, dim)
+    return centroids
+
+
 def kmeans_centroids(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -389,19 +451,7 @@ def kmeans_centroids(
 ) -> DataFrame:
     """Trained (cid, c) centroid table after ``iters`` Lloyd
     iterations — feed to :func:`ann_topk_ivf` as ``centroid_table``."""
-    v = df.select(
-        F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("x"),
-    )
-    centroids = (
-        v.filter(F.col(id_col) < k)
-        .select(F.col(id_col).cast("int").alias("cid"), F.col("x").alias("c"))
-        .localCheckpoint(eager=False)
-    )
-    for _ in range(iters):
-        assigned = _km_assign(v, centroids, id_col)
-        centroids = _km_update(assigned, dim)
-    return centroids
+    return _km_loop(_km_prep(df, vec_col, id_col), k, dim, iters, id_col)
 
 
 def kmeans_fit_predict(
@@ -418,21 +468,18 @@ def kmeans_fit_predict(
     (shuffle ∝ corpus × k distance rows, never corpus²), update =
     one explode + two aggregations (per-dim fixed-point means).
 
-    Each iteration is 2 jobs; centroids (k rows) sit behind a lazy
-    checkpoint barrier so the iterative lineage stays shallow. This is
-    the production-quality centroid source for IVF (`ann_topk_ivf`
-    documents its first-N init as the shortcut this replaces).
+    Each iteration is 2 jobs over the once-materialized,
+    id-partitioned vector table (see :func:`_km_prep`); centroids
+    (k rows) sit behind a lazy checkpoint barrier so the iterative
+    lineage stays shallow. This is the production-quality centroid
+    source for IVF (`ann_topk_ivf` documents its first-N init as the
+    shortcut this replaces).
 
     Returns the final assignment (id, cid, dist).
     """
-    v = df.select(
-        F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("x"),
-    )
-    centroids = kmeans_centroids(
-        df, vec_col=vec_col, id_col=id_col, k=k, dim=dim, iters=iters
-    )
-    return _km_assign(v, centroids, id_col).select(
+    v = _km_prep(df, vec_col, id_col)
+    centroids = _km_loop(v, k, dim, iters, id_col)
+    return _km_assign(v, centroids, id_col, dim=dim).select(
         id_col, "cid", F.round("dist", 6).alias("dist")
     )
 

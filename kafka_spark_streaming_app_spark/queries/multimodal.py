@@ -200,6 +200,53 @@ def multimodal_image_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_header_metadata(media)
 
 
+# DQT oracle: the fixture plants n = doc_id % 3 + 1 real quantization
+# tables with entries (doc_id + 17*t + j) % 255 + 1; the oracle
+# re-enumerates every (table, entry) pair and aggregates — a wrong
+# segment-length walk, a missed multi-table DQT body, or an 8/16-bit
+# precision slip in the parser breaks the hash.
+_JPEG_QUANT_ORACLE = """
+WITH d AS (
+    SELECT doc_id, doc_id % 3 + 1 AS nt FROM documents
+),
+e AS (
+    SELECT d.doc_id, d.nt,
+           ((d.doc_id + 17 * t.t + x.j) % 255 + 1) AS q
+    FROM d,
+         LATERAL (SELECT unnest(range(0, d.nt)) AS t) t,
+         LATERAL (SELECT unnest(range(0, 64)) AS j) x
+)
+SELECT
+    doc_id AS media_id,
+    CAST(doc_id % 640 + 16 AS INTEGER) AS width,
+    CAST(doc_id % 480 + 16 AS INTEGER) AS height,
+    CAST(doc_id % 3 + 1 AS INTEGER) AS channels,
+    CAST(nt AS INTEGER) AS n_tables,
+    CAST(sum(q) AS BIGINT) AS quant_sum,
+    CAST(min(q) AS INTEGER) AS quant_min,
+    CAST(max(q) AS INTEGER) AS quant_max
+FROM e
+GROUP BY doc_id, nt
+"""
+
+
+@query("multimodal_jpeg_quant", _JPEG_QUANT_ORACLE)
+def multimodal_jpeg_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG quantization-table metadata through the full marker walk
+    (operators/imagecodec.py:parse_jpeg_quant): real DQT segments are
+    planted per document and the parser must recover table count and
+    exact entry sum/min/max alongside the SOF dimensions — the
+    compression-quality fingerprint a media-curation pipeline filters
+    on, without any entropy decode."""
+    from ..operators.multimodal import (
+        jpeg_quant_metadata,
+        synthesize_jpeg_quant_media,
+    )
+
+    media = synthesize_jpeg_quant_media(load_table(spark, sf_dir, "documents"))
+    return jpeg_quant_metadata(media)
+
+
 # The decode oracle recomputes every pixel of every even-doc PNG from
 # the fixture formula pixel(y,x) = (doc_id + 31*y + x) % 256 — if the
 # encoder wrote wrong bytes OR the decoder (inflate + unfilter)

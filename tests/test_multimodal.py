@@ -461,3 +461,44 @@ def test_y4m_header_counts_frames_with_per_frame_params():
     assert parse_y4m_header(data)["n_frames"] == 3
     truncated = data + b"FRAME\n" + bytes(2)
     assert parse_y4m_header(truncated)["n_frames"] == 3
+
+
+def test_jpeg_quant_parse_8_and_16_bit():
+    """DQT walk: the fixture writes one table per segment (8-bit), but
+    real encoders pack multiple tables per DQT segment and may use
+    16-bit precision (Pq=1) — the parser must handle all three."""
+    import struct
+
+    from kafka_spark_streaming_app_spark.operators.imagecodec import (
+        make_jpeg_header_bytes,
+        parse_jpeg_quant,
+    )
+
+    # fixture path: 2 tables, seed 7 -> entries (7 + 17t + j) % 255 + 1
+    data = make_jpeg_header_bytes(32, 16, 1, quant_tables=2, quant_seed=7)
+    meta = parse_jpeg_quant(data)
+    expect = [(7 + 17 * t + j) % 255 + 1 for t in range(2) for j in range(64)]
+    assert meta["width"] == 32 and meta["height"] == 16
+    assert meta["n_tables"] == 2
+    assert meta["quant_sum"] == sum(expect)
+    assert meta["quant_min"] == min(expect)
+    assert meta["quant_max"] == max(expect)
+
+    # hand-built: ONE DQT segment holding an 8-bit and a 16-bit table
+    t8 = bytes([0x00]) + bytes(range(1, 65))
+    t16 = bytes([0x11]) + b"".join(
+        struct.pack(">H", 300 + j) for j in range(64)
+    )
+    body = t8 + t16
+    sof = struct.pack(">BHHB", 8, 2, 3, 1) + struct.pack(">BBB", 1, 0x11, 0)
+    data = (
+        b"\xff\xd8"
+        + b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+        + b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+        + b"\xff\xd9"
+    )
+    meta = parse_jpeg_quant(data)
+    assert meta["n_tables"] == 2
+    assert meta["quant_sum"] == sum(range(1, 65)) + sum(300 + j for j in range(64))
+    assert meta["quant_min"] == 1
+    assert meta["quant_max"] == 363
