@@ -136,9 +136,11 @@ HEADLINE = [
     "streaming_dynamic_gap_sessions",
     "target_encode_loo",
     # round-4 additions: bounded-state append twins of the
-    # complete-mode session queries
+    # complete-mode session queries; perceptual-hash image dedup
+    # through the real PNG codec
     "streaming_sessionize_append",
     "streaming_dynamic_gap_append",
+    "multimodal_ahash_dedup",
 ]
 
 

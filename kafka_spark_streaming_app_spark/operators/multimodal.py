@@ -754,3 +754,111 @@ def resize_images(
     )
     return imgs.mapInPandas(resize, schema=RESIZED_SCHEMA)
 
+
+
+AHASH_BANDS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("b0", T.IntegerType(), True),
+        T.StructField("b1", T.IntegerType(), True),
+        T.StructField("b2", T.IntegerType(), True),
+        T.StructField("b3", T.IntegerType(), True),
+    ]
+)
+
+
+def synthesize_ahash_media(documents: DataFrame) -> DataFrame:
+    """Paired near-duplicate PNG fixture for perceptual-hash dedup:
+    doc_ids 2m and 2m+1 render the SAME closed-form image
+
+        pair = doc_id // 2,
+        W = pair % 24 + 8,  H = pair % 16 + 8,
+        pixel(y, x) = (pair + 31*y + x) % 256
+
+    except the odd member brightens every pixel with (y+x) % 17 == 0
+    by +1 (clamped at 255) — the 'same photo, light retouch' case a
+    perceptual hash must still match. Real encode_png bytes, so the
+    downstream hash stage exercises the real decoder."""
+    from .imagecodec import encode_png
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                pair = d // 2
+                w, h = pair % 24 + 8, pair % 16 + 8
+                yy, xx = np.mgrid[0:h, 0:w]
+                pixels = ((pair + 31 * yy + xx) % 256).astype(np.int64)
+                if d % 2 == 1:
+                    pixels = np.minimum(
+                        pixels + ((yy + xx) % 17 == 0), 255
+                    )
+                rows.append(
+                    {
+                        "media_id": d,
+                        "codec": "png",
+                        "payload": encode_png(pixels.astype(np.uint8)),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "codec", "payload"])
+
+    return documents.select("doc_id").mapInPandas(
+        render, schema=IMAGE_MEDIA_SCHEMA
+    )
+
+
+def ahash_bands(media: DataFrame) -> DataFrame:
+    """64-bit average-hash (aHash) per image, REAL decode path:
+    inflate + unfilter the PNG, partition into an 8x8 block grid
+    (pixel (y, x) -> block (y*8//H, x*8//W)), and set bit i*8+j iff
+    block (i, j)'s mean exceeds the global mean — compared by exact
+    integer cross-multiplication block_sum * N > total_sum * n_block,
+    so any engine reproduces the bits bit-for-bit. The hash is
+    returned as four 16-bit bands (b0..b3, bit index 16k+r -> band k
+    bit r): with Hamming radius 3, the pigeonhole principle
+    guarantees near-dup pairs agree exactly on >= 1 band, so a
+    band-equality equi-join is a COMPLETE candidate generator — the
+    same banding contract as SimHash/LSH, here over decoded pixel
+    content rather than tokens. Brightness shifts barely move bits
+    (both sides of the comparison shift together), which is the
+    perceptual-invariance aHash is chosen for."""
+    from .imagecodec import decode_png
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_png(bytes(payload)).astype(np.int64)
+                h, w = px.shape
+                total = int(px.sum())
+                n = h * w
+                by = (np.arange(h) * 8) // h
+                bx = (np.arange(w) * 8) // w
+                blk = by[:, None] * 8 + bx[None, :]
+                sums = np.bincount(blk.ravel(), weights=px.ravel(), minlength=64)
+                cnts = np.bincount(blk.ravel(), minlength=64)
+                bits = (sums * n) > (total * cnts)
+                bands = [0, 0, 0, 0]
+                for idx in np.nonzero(bits)[0]:
+                    bands[idx // 16] |= 1 << (int(idx) % 16)
+                rows.append(
+                    {
+                        "media_id": int(media_id),
+                        "b0": bands[0],
+                        "b1": bands[1],
+                        "b2": bands[2],
+                        "b3": bands[3],
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "b0", "b1", "b2", "b3"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        hash_batch, schema=AHASH_BANDS_SCHEMA
+    )

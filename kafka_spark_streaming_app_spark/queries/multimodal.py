@@ -382,3 +382,106 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         F.octet_length("frame_payload").cast("bigint").alias("frame_bytes"),
     )
+
+
+# Perceptual-hash image dedup: the oracle recomputes every pixel of
+# every fixture PNG from the closed form (pair formula + the odd
+# member's +1 retouch), derives the 64-bit aHash with the same exact
+# integer comparison block_sum*N > total_sum*n_block, and enumerates
+# the full Hamming<=3 pair set. A decoder bug, a block-grid
+# off-by-one, or an incomplete banding join all break the hash.
+_AHASH_ORACLE = """
+WITH d AS (
+    SELECT doc_id,
+           doc_id // 2 AS pair,
+           (doc_id // 2) % 24 + 8 AS w,
+           (doc_id // 2) % 16 + 8 AS h
+    FROM documents
+),
+px AS (
+    SELECT doc_id, w, h, y.y AS y, x.x AS x,
+           LEAST((pair + 31 * y.y + x.x) % 256
+                 + CASE WHEN doc_id % 2 = 1 AND (y.y + x.x) % 17 = 0
+                        THEN 1 ELSE 0 END, 255) AS p
+    FROM d,
+         LATERAL (SELECT unnest(range(0, h)) AS y) y,
+         LATERAL (SELECT unnest(range(0, w)) AS x) x
+),
+blk AS (
+    SELECT doc_id, (y * 8) // h * 8 + (x * 8) // w AS idx, p FROM px
+),
+tot AS (SELECT doc_id, sum(p) AS s, count(*) AS n FROM blk GROUP BY doc_id),
+bsum AS (
+    SELECT doc_id, idx, sum(p) AS bs, count(*) AS bc
+    FROM blk GROUP BY doc_id, idx
+),
+bits AS (
+    SELECT b.doc_id, b.idx,
+           CASE WHEN b.bs * t.n > t.s * b.bc THEN 1 ELSE 0 END AS bit
+    FROM bsum b JOIN tot t USING (doc_id)
+),
+bands AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN idx // 16 = 0 THEN bit * (1 << (idx % 16)) ELSE 0 END) AS BIGINT) AS b0,
+           CAST(sum(CASE WHEN idx // 16 = 1 THEN bit * (1 << (idx % 16)) ELSE 0 END) AS BIGINT) AS b1,
+           CAST(sum(CASE WHEN idx // 16 = 2 THEN bit * (1 << (idx % 16)) ELSE 0 END) AS BIGINT) AS b2,
+           CAST(sum(CASE WHEN idx // 16 = 3 THEN bit * (1 << (idx % 16)) ELSE 0 END) AS BIGINT) AS b3
+    FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+          + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+            AS INTEGER) AS hamming
+FROM bands a JOIN bands b
+  ON a.doc_id < b.doc_id
+ AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+"""
+
+
+@query("multimodal_ahash_dedup", _AHASH_ORACLE)
+def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate image detection end-to-end through
+    the REAL PNG codec: decode -> 8x8 block-mean aHash (exact integer
+    threshold, operators/multimodal.py:ahash_bands) -> Hamming-banded
+    self-join. The hash is split into four 16-bit bands; at radius 3
+    the pigeonhole principle makes the four band-equality equi-joins a
+    COMPLETE candidate generator (same contract as the SimHash query),
+    and the exact Hamming verify runs on candidates only — never
+    all-pairs. At 100 TB the band key space is 2^16, so production
+    adds the hot-bucket cap used by the LSH family (an all-dark-band
+    key is the analogue of a stopword shingle); the fixture's quasi-
+    random blocks don't need it. Planted pairs: docs 2m / 2m+1 are the
+    same image up to a +1 retouch on every 17th diagonal."""
+    from ..operators.multimodal import ahash_bands, synthesize_ahash_media
+
+    bands = ahash_bands(
+        synthesize_ahash_media(load_table(spark, sf_dir, "documents"))
+    ).localCheckpoint(eager=False)
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = None
+    for k in range(4):
+        c = a.join(
+            b,
+            (F.col(f"a.b{k}") == F.col(f"b.b{k}"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        ).select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            *[F.col(f"a.b{j}").alias(f"ab{j}") for j in range(4)],
+            *[F.col(f"b.b{j}").alias(f"bb{j}") for j in range(4)],
+        )
+        cands = c if cands is None else cands.unionAll(c)
+    cands = cands.distinct()
+    hamming = sum(
+        F.bit_count(
+            F.col(f"ab{j}").cast("long").bitwiseXOR(F.col(f"bb{j}").cast("long"))
+        )
+        for j in range(4)
+    )
+    return (
+        cands.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )

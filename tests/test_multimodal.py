@@ -502,3 +502,55 @@ def test_jpeg_quant_parse_8_and_16_bit():
     assert meta["quant_sum"] == sum(range(1, 65)) + sum(300 + j for j in range(64))
     assert meta["quant_min"] == 1
     assert meta["quant_max"] == 363
+
+
+def test_ahash_banding_is_complete_vs_brute_force(spark, sf_smoke):
+    """The 4x16-bit band join must be a COMPLETE candidate generator
+    at Hamming radius 3 (pigeonhole: 4 bands, <=3 differing bits =>
+    some band identical). Compare the banded query's pair set against
+    brute-force all-pairs Hamming over the same signature table."""
+    from itertools import combinations
+
+    from kafka_spark_streaming_app_spark import registry
+    from kafka_spark_streaming_app_spark.operators.multimodal import (
+        ahash_bands,
+        synthesize_ahash_media,
+    )
+    from kafka_spark_streaming_app_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").limit(120)
+    bands = {
+        r["media_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+        for r in ahash_bands(synthesize_ahash_media(docs)).collect()
+    }
+    expected = set()
+    for a, b in combinations(sorted(bands), 2):
+        ham = sum(
+            bin(x ^ y).count("1") for x, y in zip(bands[a], bands[b])
+        )
+        if ham <= 3:
+            expected.add((a, b, ham))
+
+    registry.load_all()
+    # restrict the query to the same 120 docs via a temp parquet dir
+    import os
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="ahash_subset_")
+    try:
+        docs.write.mode("overwrite").parquet(
+            os.path.join(tmp, "documents.parquet")
+        )
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in registry.QUERIES["multimodal_ahash_dedup"](
+                spark, tmp
+            ).collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert got == expected
+    # non-vacuous: the planted 2m/2m+1 retouch pairs must mostly match
+    planted = {p for p in expected if p[1] == p[0] + 1 and p[0] % 2 == 0}
+    assert len(planted) >= 30
