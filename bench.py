@@ -141,6 +141,11 @@ HEADLINE = [
     "streaming_sessionize_append",
     "streaming_dynamic_gap_append",
     "multimodal_ahash_dedup",
+    # round-4 continuation: mergeable sketches (batch + through the
+    # streaming engine) and the PSI drift monitor
+    "quantile_mergeable_rollup",
+    "streaming_quantile_rollup",
+    "psi_value_drift",
 ]
 
 

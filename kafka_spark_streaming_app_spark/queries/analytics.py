@@ -1493,3 +1493,102 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- mergeable quantile rollup ----------------------------------------------
+
+# Fixed-width integer binning makes quantiles EXACT-to-bin and
+# mergeable with plain addition: the per-(day, bin) count table is the
+# stored sketch, day->week rollup sums counts without touching raw
+# rows, and the week's p50/p90/p99 is the smallest bin whose running
+# count reaches ceil(q*n). Everything is integer arithmetic, so unlike
+# GK/t-digest (whose state is merge-order-dependent) the result is
+# bit-identical on any engine and any partitioning — this is the
+# histogram-sketch face of the quantile family (`equidepth_histogram`
+# is the exactness anchor, `quantiles_order_price_approx` the
+# engine-native sketch).
+_QROLL_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(floor(o_totalprice / 100) AS BIGINT) AS bin,
+           count(*) AS c
+    FROM orders
+    GROUP BY 1, 2
+),
+weekly AS (
+    SELECT CAST(date_trunc('week', day) AS TIMESTAMP) AS week_start,
+           bin, sum(c) AS c
+    FROM daily GROUP BY 1, 2
+),
+cum AS (
+    SELECT week_start, bin, c,
+           sum(c) OVER (PARTITION BY week_start ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(c) OVER (PARTITION BY week_start) AS n
+    FROM weekly
+)
+SELECT week_start,
+       CAST(max(n) AS BIGINT) AS n_orders,
+       CAST(min(CASE WHEN cum >= CAST(ceil(0.5 * n) AS BIGINT)
+                     THEN bin END) AS BIGINT) AS p50_bin,
+       CAST(min(CASE WHEN cum >= CAST(ceil(0.9 * n) AS BIGINT)
+                     THEN bin END) AS BIGINT) AS p90_bin,
+       CAST(min(CASE WHEN cum >= CAST(ceil(0.99 * n) AS BIGINT)
+                     THEN bin END) AS BIGINT) AS p99_bin
+FROM cum
+GROUP BY week_start
+ORDER BY week_start
+"""
+
+
+@query("quantile_mergeable_rollup", _QROLL_ORACLE)
+def quantile_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile rollup: per-(day, $100-bin) counts are the
+    stored sketch; week-level p50/p90/p99 come from summing bin counts
+    (pure addition — merge-order-free, unlike GK/t-digest state) and
+    reading the smallest bin whose running count reaches ceil(q*n).
+    Exact to bin resolution, bit-identical cross-engine, and the
+    production shape for 100 TB percentile dashboards: any ad-hoc
+    date range merges in O(bins), never O(rows). Shuffles: one to
+    (day, bin), one to (week, bin), one bin-ordered window per week —
+    all on sketch-sized relations after the first."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.floor(F.col("o_totalprice") / 100).cast("bigint").alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    weekly = daily.groupBy(
+        F.date_trunc("week", F.col("day").cast("timestamp")).alias(
+            "week_start"
+        ),
+        "bin",
+    ).agg(F.sum("c").alias("c"))
+    w_cum = (
+        Window.partitionBy("week_start")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("week_start")
+    cum = weekly.select(
+        "week_start",
+        "bin",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+
+    def pick(q: float) -> Column:
+        target = F.ceil(F.lit(q) * F.col("n")).cast("bigint")
+        return F.min(
+            F.when(F.col("cum") >= target, F.col("bin"))
+        ).cast("bigint")
+
+    return (
+        cum.groupBy("week_start")
+        .agg(
+            F.max("n").cast("bigint").alias("n_orders"),
+            pick(0.5).alias("p50_bin"),
+            pick(0.9).alias("p90_bin"),
+            pick(0.99).alias("p99_bin"),
+        )
+        .orderBy("week_start")
+    )

@@ -46,8 +46,16 @@ WIRE_SCHEMA = T.StructType(
 _WIRE_DIRS: dict[tuple[int, str], str] = {}
 
 
-def _events_as_wire_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events → JSON-lines files → text stream → parsed/cleaned stream."""
+def _events_as_wire_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """events → JSON-lines files → text stream → parsed/cleaned stream.
+
+    ``max_files_per_trigger`` splits the replay into several
+    micro-batches (the wire dir holds one file per core) — needed by
+    queries that prove batch-boundary independence of a merge."""
     # keyed on applicationId (stable per context), not id() (recyclable)
     key = (spark.sparkContext.applicationId, sf_dir)
     src_dir = _WIRE_DIRS.get(key)
@@ -77,7 +85,10 @@ def _events_as_wire_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_files = spark.sparkContext.defaultParallelism
         wire.repartition(n_files).write.mode("overwrite").text(src_dir)
         _WIRE_DIRS[key] = src_dir
-    raw = spark.readStream.text(src_dir)
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.text(src_dir)
     return parse_and_clean(raw, WIRE_SCHEMA, ts_field="timestamp")
 
 
@@ -758,4 +769,144 @@ def streaming_dynamic_gap_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _run_to_table(
         spark, sessions, output_mode="append", shuffle_partitions=8
+    )
+
+
+# --- streaming mergeable-sketch rollup --------------------------------------
+
+# The streaming face of `quantile_mergeable_rollup`: the (day, bin)
+# count table is the SKETCH STATE, maintained incrementally by
+# foreachBatch over a multi-micro-batch replay. Because bin-count
+# merge is plain addition (associative + commutative), the final state
+# is independent of batch boundaries and the day-level quantiles read
+# from it must hash-match the from-scratch batch oracle — the
+# continuous-aggregate maintenance pattern a 100 TB percentile
+# dashboard runs: each trigger touches only new rows plus a
+# sketch-sized state table.
+_STREAM_QROLL_ORACLE = """
+WITH b AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(floor(value / 50) AS BIGINT) AS bin,
+           count(*) AS c
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1, 2
+),
+cum AS (
+    SELECT day, bin,
+           sum(c) OVER (PARTITION BY day ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(c) OVER (PARTITION BY day) AS n
+    FROM b
+)
+SELECT CAST(day AS TIMESTAMP) AS day,
+       CAST(max(n) AS BIGINT) AS n_events,
+       CAST(min(CASE WHEN cum >= CAST(ceil(0.5 * n) AS BIGINT)
+                     THEN bin END) AS BIGINT) AS p50_bin,
+       CAST(min(CASE WHEN cum >= CAST(ceil(0.9 * n) AS BIGINT)
+                     THEN bin END) AS BIGINT) AS p90_bin
+FROM cum
+GROUP BY day
+ORDER BY day
+"""
+
+
+@query("streaming_quantile_rollup", _STREAM_QROLL_ORACLE)
+def streaming_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch maintained THROUGH the streaming
+    engine: the events wire replay runs in multiple micro-batches
+    (maxFilesPerTrigger=8), each foreachBatch folds the batch's
+    (day, $50-bin) counts into a persistent state table by addition,
+    and day-level p50/p90 are read from the final state. Merge
+    associativity makes the result batch-boundary independent, so the
+    driver's hash gate proves streaming maintenance == from-scratch
+    batch recompute — the sketch-as-state production shape (compare
+    `streaming_cdc_upsert`, whose state is argmax rather than sum)."""
+    import atexit
+    import shutil
+
+    from pyspark.sql import Window
+
+    stream = _events_as_wire_stream(spark, sf_dir, max_files_per_trigger=8)
+    binned = stream.filter(F.col("amount").isNotNull()).select(
+        F.to_date("event_timestamp").alias("day"),
+        F.floor(F.col("amount") / 50).cast("bigint").alias("bin"),
+    )
+    state_root = tempfile.mkdtemp(prefix="qroll_state_")
+    ckpt = tempfile.mkdtemp(prefix="qroll_ckpt_")
+    for d in (state_root, ckpt):
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    state_dir = os.path.join(state_root, "sketch")
+
+    def merge_state(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_df.groupBy("day", "bin").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        try:
+            existing = batch_df.sparkSession.read.parquet(state_dir)
+        except Exception:
+            existing = None
+        merged = (
+            part
+            if existing is None
+            else existing.unionByName(part)
+            .groupBy("day", "bin")
+            .agg(F.sum("c").alias("c"))
+        )
+        # barrier before overwriting the directory the plan reads from
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            state_dir
+        )
+
+    q = (
+        binned.writeStream.foreachBatch(merge_state)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(300)
+        if not finished:
+            raise RuntimeError(
+                "streaming_quantile_rollup: availableNow run did not "
+                "finish within 300s; refusing to read partial sketch state"
+            )
+    finally:
+        if q.isActive:
+            q.stop()
+
+    sketch = spark.read.parquet(state_dir)
+    w_cum = (
+        Window.partitionBy("day")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("day")
+    cum = sketch.select(
+        "day",
+        "bin",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+
+    def pick(q_: float):
+        target = F.ceil(F.lit(q_) * F.col("n")).cast("bigint")
+        return F.min(F.when(F.col("cum") >= target, F.col("bin"))).cast(
+            "bigint"
+        )
+
+    return (
+        cum.groupBy("day")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            pick(0.5).alias("p50_bin"),
+            pick(0.9).alias("p90_bin"),
+        )
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "n_events",
+            "p50_bin",
+            "p90_bin",
+        )
+        .orderBy("day")
     )
