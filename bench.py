@@ -146,6 +146,7 @@ HEADLINE = [
     "quantile_mergeable_rollup",
     "streaming_quantile_rollup",
     "psi_value_drift",
+    "multimodal_audio_fingerprint_dedup",
 ]
 
 

@@ -862,3 +862,93 @@ def ahash_bands(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         hash_batch, schema=AHASH_BANDS_SCHEMA
     )
+
+
+def synthesize_afp_media(documents: DataFrame) -> DataFrame:
+    """Paired near-duplicate WAV fixture for audio-fingerprint dedup:
+    doc_ids 2m and 2m+1 carry the SAME closed-form waveform
+
+        pair = doc_id // 2,
+        n = pair % 480 + 64 samples,
+        sample(i) = (pair * 7919 + i * 131) % 65536 - 32768
+
+    except the odd member nudges every 13th sample by +3 (clamped at
+    32767) — the 're-encoded with tiny noise' case a robust audio
+    fingerprint must still match. Real encode_wav bytes (RIFF/fmt/
+    data), so the hash stage exercises the real PCM decoder."""
+    from .avcodec import encode_wav
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                pair = d // 2
+                n = pair % 480 + 64
+                i = np.arange(n, dtype=np.int64)
+                v = (pair * 7919 + i * 131) % 65536 - 32768
+                if d % 2 == 1:
+                    v = np.minimum(v + 3 * (i % 13 == 0), 32767)
+                rows.append(
+                    {
+                        "media_id": d,
+                        "payload": encode_wav(v.astype(np.int16), 16000),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return documents.select("doc_id").mapInPandas(
+        render, schema=AUDIO_MEDIA_SCHEMA
+    )
+
+
+def audio_fingerprint_bands(media: DataFrame) -> DataFrame:
+    """64-bit energy fingerprint per clip through the REAL WAV decoder:
+    samples are partitioned into 64 contiguous frames (sample i ->
+    frame i*64//n), and bit f is set iff frame f's energy Σv² exceeds
+    the clip's mean frame energy — by exact integer cross-
+    multiplication e_f * n > E_total * n_f, so any engine reproduces
+    the bits. Returned as four 16-bit bands for the same
+    pigeonhole-complete Hamming-3 band join as :func:`ahash_bands`;
+    small additive noise barely moves frame energies relative to the
+    mean, which is the robustness an energy fingerprint buys (a
+    production system adds spectral bands on top — FFT-free energy
+    framing is the exactly-checkable core of the shape)."""
+    from .avcodec import decode_wav
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                v = decode_wav(bytes(payload))[0].astype(np.int64)
+                n = v.size
+                f = (np.arange(n) * 64) // n
+                ef = np.bincount(f, weights=v * v, minlength=64).astype(
+                    np.int64
+                )
+                nf = np.bincount(f, minlength=64)
+                total = int(ef.sum())
+                bits = (ef * n) > (total * nf)
+                bands = [0, 0, 0, 0]
+                for idx in np.nonzero(bits)[0]:
+                    bands[idx // 16] |= 1 << (int(idx) % 16)
+                rows.append(
+                    {
+                        "media_id": int(media_id),
+                        "b0": bands[0],
+                        "b1": bands[1],
+                        "b2": bands[2],
+                        "b3": bands[3],
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "b0", "b1", "b2", "b3"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        fp, schema=AHASH_BANDS_SCHEMA
+    )

@@ -485,3 +485,101 @@ def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# Audio-fingerprint oracle: recompute every PCM sample of every
+# fixture WAV from the closed form (pair waveform + the odd member's
+# +3 nudge on every 13th sample), derive the 64-frame energy
+# fingerprint with the same exact integer comparison, and enumerate
+# the Hamming<=3 pair set through the identical band join.
+_AFP_ORACLE = """
+WITH p AS (
+    SELECT doc_id,
+           doc_id // 2 AS pair,
+           (doc_id // 2) % 480 + 64 AS n
+    FROM documents
+),
+s AS (
+    SELECT doc_id, n, i.i AS i,
+           LEAST((pair * 7919 + i.i * 131) % 65536 - 32768
+                 + CASE WHEN doc_id % 2 = 1 AND i.i % 13 = 0
+                        THEN 3 ELSE 0 END, 32767) AS v
+    FROM p, LATERAL (SELECT unnest(range(0, n)) AS i) i
+),
+e AS (
+    SELECT doc_id, n, (i * 64) // n AS f,
+           sum(v * v) AS ef, count(*) AS nf
+    FROM s GROUP BY doc_id, n, (i * 64) // n
+),
+tot AS (SELECT doc_id, sum(ef) AS E FROM e GROUP BY doc_id),
+bits AS (
+    SELECT e.doc_id, e.f,
+           CASE WHEN e.ef * e.n > t.E * e.nf THEN 1 ELSE 0 END AS bit
+    FROM e JOIN tot t USING (doc_id)
+),
+bands AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN f // 16 = 0 THEN bit * (1 << (f % 16)) ELSE 0 END) AS BIGINT) AS b0,
+           CAST(sum(CASE WHEN f // 16 = 1 THEN bit * (1 << (f % 16)) ELSE 0 END) AS BIGINT) AS b1,
+           CAST(sum(CASE WHEN f // 16 = 2 THEN bit * (1 << (f % 16)) ELSE 0 END) AS BIGINT) AS b2,
+           CAST(sum(CASE WHEN f // 16 = 3 THEN bit * (1 << (f % 16)) ELSE 0 END) AS BIGINT) AS b3
+    FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+          + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+            AS INTEGER) AS hamming
+FROM bands a JOIN bands b
+  ON a.doc_id < b.doc_id
+ AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+"""
+
+
+@query("multimodal_audio_fingerprint_dedup", _AFP_ORACLE)
+def multimodal_audio_fingerprint_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-duplicate audio detection end-to-end through the REAL WAV
+    codec: decode -> 64-frame energy fingerprint (exact integer
+    threshold, operators/multimodal.py:audio_fingerprint_bands) ->
+    the same pigeonhole-complete 4x16-bit Hamming-band join as the
+    image aHash query — the dedup family now covers text (shingles),
+    embeddings (cosine/SemDeDup), images (aHash), and audio. Planted
+    pairs: docs 2m / 2m+1 are the same waveform up to a +3 nudge on
+    every 13th sample."""
+    from ..operators.multimodal import (
+        audio_fingerprint_bands,
+        synthesize_afp_media,
+    )
+
+    bands = audio_fingerprint_bands(
+        synthesize_afp_media(load_table(spark, sf_dir, "documents"))
+    ).localCheckpoint(eager=False)
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = None
+    for k in range(4):
+        c = a.join(
+            b,
+            (F.col(f"a.b{k}") == F.col(f"b.b{k}"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        ).select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            *[F.col(f"a.b{j}").alias(f"ab{j}") for j in range(4)],
+            *[F.col(f"b.b{j}").alias(f"bb{j}") for j in range(4)],
+        )
+        cands = c if cands is None else cands.unionAll(c)
+    cands = cands.distinct()
+    hamming = sum(
+        F.bit_count(
+            F.col(f"ab{j}").cast("long").bitwiseXOR(F.col(f"bb{j}").cast("long"))
+        )
+        for j in range(4)
+    )
+    return (
+        cands.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )

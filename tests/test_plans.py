@@ -618,3 +618,35 @@ def test_bucketed_join_segments_joins_without_exchange(spark, sf_smoke):
         "bucketed join still shuffles its inputs:\n" + plan
     )
     assert plan.count("Bucketed: true") == 2, plan
+
+
+def test_ahash_dedup_band_joins_are_hash_not_cartesian(spark, sf_smoke):
+    """The perceptual-hash candidate generator must be four band
+    equi-joins (hash/SMJ), never a cartesian over the image corpus;
+    the exact Hamming verify runs post-join on candidates only."""
+    plan = plan_str(registry.QUERIES["multimodal_ahash_dedup"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("mapInPandas") <= 2 * 4 + 2, (
+        "decode/hash stage fanned out unexpectedly"
+    )
+
+
+def test_quantile_rollup_is_sketch_sized_after_first_agg(spark, sf_smoke):
+    """First aggregation reads only (o_orderdate, o_totalprice); the
+    week merge and quantile pick run on the bin sketch."""
+    plan = plan_str(registry.QUERIES["quantile_mergeable_rollup"](spark, sf_smoke))
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "o_custkey" not in read_schema and "o_comment" not in read_schema
+    assert plan.count("HashAggregate") >= 2, "missing partial aggregation"
+
+
+def test_psi_drift_broadcasts_reference_and_bins(spark, sf_smoke):
+    """The reference histogram and the bin dimension are broadcast —
+    the fact table shuffles once into (yr, bin) counts and everything
+    downstream is dimension-sized."""
+    plan = plan_str(registry.QUERIES["psi_value_drift"](spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "o_comment" not in read_schema
