@@ -147,6 +147,8 @@ HEADLINE = [
     "streaming_quantile_rollup",
     "psi_value_drift",
     "multimodal_audio_fingerprint_dedup",
+    "embedding_centroid_drift",
+    "rolling_quantile_window",
 ]
 
 

@@ -1592,3 +1592,117 @@ def quantile_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week_start")
     )
+
+
+# --- rolling-window quantiles over the bin sketch ---------------------------
+
+# Trailing 4-week p50/p90: the sliding-window face of
+# `quantile_mergeable_rollup`. The weekly (week, bin) sketch rows feed
+# a RANGE frame over week index partitioned by bin, so every week's
+# sketch participates in four overlapping windows WITHOUT rescanning
+# raw rows — the overlapping-window trick mergeable sketches buy. A
+# (week x bin) grid materializes zero-count cells first: a bin with
+# mass earlier in the window but none this week must still contribute
+# to this week's trailing histogram.
+_ROLLQ_ORACLE = """
+WITH b AS (
+    SELECT CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week_start,
+           CAST(floor(o_totalprice / 1000) AS BIGINT) AS bin,
+           count(*) AS c
+    FROM orders GROUP BY 1, 2
+),
+weeks AS (SELECT DISTINCT week_start FROM b),
+bins AS (SELECT DISTINCT bin FROM b),
+grid AS (
+    SELECT w.week_start,
+           CAST(floor(epoch(w.week_start) / 604800) AS BIGINT) AS wk_idx,
+           bins.bin, coalesce(b.c, 0) AS c
+    FROM weeks w CROSS JOIN bins
+    LEFT JOIN b ON b.week_start = w.week_start AND b.bin = bins.bin
+),
+roll AS (
+    SELECT week_start, bin,
+           sum(c) OVER (PARTITION BY bin ORDER BY wk_idx
+                        RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS rc
+    FROM grid
+),
+cum AS (
+    SELECT week_start, bin, rc,
+           sum(rc) OVER (PARTITION BY week_start ORDER BY bin
+                         ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(rc) OVER (PARTITION BY week_start) AS n
+    FROM roll
+)
+SELECT week_start,
+       CAST(max(n) AS BIGINT) AS n_4w,
+       CAST(min(CASE WHEN cum >= CAST(ceil(0.5 * n) AS BIGINT)
+                     THEN bin END) AS BIGINT) AS p50_bin,
+       CAST(min(CASE WHEN cum >= CAST(ceil(0.9 * n) AS BIGINT)
+                     THEN bin END) AS BIGINT) AS p90_bin
+FROM cum
+GROUP BY week_start
+ORDER BY week_start
+"""
+
+
+@query("rolling_quantile_window", _ROLLQ_ORACLE)
+def rolling_quantile_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 4-week p50/p90 of order value from the mergeable bin
+    sketch: weekly (week, bin) counts -> zero-filled (week x bin) grid
+    -> RANGE-frame rolling sum per bin -> per-week cumulative pick.
+    Raw rows are touched once; all windows run on the sketch-sized
+    grid (weeks x ~bins rows), which is the only way a 100 TB rolling
+    percentile dashboard stays cheap."""
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.groupBy(
+        F.date_trunc("week", "o_orderdate").alias("week_start"),
+        F.floor(F.col("o_totalprice") / 1000).cast("bigint").alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    weeks = b.select("week_start").distinct()
+    bins = b.select("bin").distinct()
+    grid = (
+        weeks.crossJoin(F.broadcast(bins))
+        .join(b, ["week_start", "bin"], "left")
+        .select(
+            "week_start",
+            F.floor(F.unix_timestamp("week_start") / 604800)
+            .cast("bigint")
+            .alias("wk_idx"),
+            "bin",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    w_roll = (
+        Window.partitionBy("bin").orderBy("wk_idx").rangeBetween(-3, 0)
+    )
+    roll = grid.select(
+        "week_start", "bin", F.sum("c").over(w_roll).alias("rc")
+    )
+    w_cum = (
+        Window.partitionBy("week_start")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("week_start")
+    cum = roll.select(
+        "week_start",
+        "bin",
+        F.sum("rc").over(w_cum).alias("cum"),
+        F.sum("rc").over(w_all).alias("n"),
+    )
+
+    def pick(q: float) -> Column:
+        target = F.ceil(F.lit(q) * F.col("n")).cast("bigint")
+        return F.min(
+            F.when(F.col("cum") >= target, F.col("bin"))
+        ).cast("bigint")
+
+    return (
+        cum.groupBy("week_start")
+        .agg(
+            F.max("n").cast("bigint").alias("n_4w"),
+            pick(0.5).alias("p50_bin"),
+            pick(0.9).alias("p90_bin"),
+        )
+        .orderBy("week_start")
+    )

@@ -640,3 +640,112 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --- embedding-space drift monitor ------------------------------------------
+
+# Vector-space drift: each label cohort's centroid vs the corpus
+# centroid — the embedding-side analogue of psi_value_drift for a
+# training pipeline (a new crawl/source whose centroid swings away
+# from the reference is the first sign the mixture shifted). Centroids
+# are exact fixed-point per-dim means (the k-means discipline:
+# order-free integer sums), and the cosine / L2 shift are
+# left-to-right folds rounded to 6 — the established cross-engine
+# contract for vector scoring.
+_EDRIFT_ORACLE = f"""
+WITH v AS (SELECT label, embedding::DOUBLE[] AS x FROM embeddings),
+d AS (
+    SELECT label, i, CAST(x[i] * {_KM_SCALE_SQL} AS BIGINT) AS xs
+    FROM v, range(1, {_KM_DIM} + 1) t(i)
+),
+lab AS (
+    SELECT label, i,
+           CAST(sum(xs) AS DOUBLE) / {_KM_SCALE_SQL} / count(*) AS m
+    FROM d GROUP BY label, i
+),
+labc AS (SELECT label, list(m ORDER BY i) AS c FROM lab GROUP BY label),
+ln_ AS (SELECT label, count(*) AS n FROM v GROUP BY label),
+g AS (
+    SELECT i, CAST(sum(xs) AS DOUBLE) / {_KM_SCALE_SQL} / count(*) AS m
+    FROM d GROUP BY i
+),
+gc AS (SELECT list(m ORDER BY i) AS cg FROM g)
+SELECT l.label,
+       ln_.n AS n_vectors,
+       round(list_inner_product(l.c, gc.cg)
+             / (sqrt(list_sum(list_transform(l.c, e -> e * e)))
+                * sqrt(list_sum(list_transform(gc.cg, e -> e * e)))),
+             6) AS cosine_to_global,
+       round(sqrt(list_sum(list_transform(range(1, {_KM_DIM} + 1),
+                  i -> (l.c[i] - gc.cg[i]) * (l.c[i] - gc.cg[i])))),
+             6) AS l2_shift
+FROM labc l
+JOIN ln_ ON ln_.label = l.label
+CROSS JOIN gc
+ORDER BY l.label
+"""
+
+
+@query("embedding_centroid_drift", _EDRIFT_ORACLE)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift: per-label cohort centroid vs the corpus
+    centroid (cosine + L2 shift) — the vector-space face of the drift
+    family. One explode + two aggregations produce dimension-count-
+    sized tables; the global centroid (one row) broadcasts; scoring is
+    codegen'd folds. Exactness: fixed-point integer centroid sums
+    (order-free), double means, folds rounded at the boundary."""
+    from ..functions.vectors import dot, l2_norm
+    from ..operators.similarity import KM_SCALE
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label",
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("d", "xd"),
+    ).select(
+        "label", "d", (F.col("xd") * F.lit(KM_SCALE)).cast("bigint").alias("xs")
+    )
+    lab = dims.groupBy("label", "d").agg(
+        (
+            F.sum("xs").cast("double") / F.lit(KM_SCALE) / F.count(F.lit(1))
+        ).alias("m")
+    )
+    labc = lab.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "m"))), lambda s: s.m
+        ).alias("c")
+    )
+    n = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
+    glob = (
+        dims.groupBy("d")
+        .agg(
+            (
+                F.sum("xs").cast("double")
+                / F.lit(KM_SCALE)
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "m"))),
+                lambda s: s.m,
+            ).alias("cg")
+        )
+    )
+    diff = F.zip_with(F.col("c"), F.col("cg"), lambda a, b: a - b)
+    return (
+        labc.join(n, "label")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "label",
+            "n_vectors",
+            F.round(
+                dot(F.col("c"), F.col("cg"))
+                / (l2_norm(F.col("c")) * l2_norm(F.col("cg"))),
+                6,
+            ).alias("cosine_to_global"),
+            F.round(l2_norm(diff), 6).alias("l2_shift"),
+        )
+        .orderBy("label")
+    )
