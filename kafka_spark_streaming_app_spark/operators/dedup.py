@@ -526,6 +526,11 @@ def embedding_near_dup_pairs(
                 F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x
             )
         ),
+    ).filter(
+        # a zero-norm vector (empty doc under some embedding models)
+        # has no defined cosine and can never be a near-dup; excluding
+        # it up front keeps the division ANSI-safe on both engines
+        F.col("norm") > 0
     )
     a = withnorm.alias("a")
     b = withnorm.alias("b")

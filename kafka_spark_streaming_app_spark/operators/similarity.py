@@ -48,8 +48,17 @@ def srp_planes(num_planes: int, dim: int) -> list[list[float]]:
 def with_vector_norm(
     df: DataFrame, vec_col: str = "embedding", out_vec: str = "v", out_norm: str = "norm"
 ) -> DataFrame:
-    return df.withColumn(out_vec, as_double_array(vec_col)).withColumn(
-        out_norm, l2_norm(F.col(out_vec))
+    """Double-cast vector + L2 norm, with zero-norm vectors DROPPED:
+    they have no defined cosine, and under ANSI mode the division
+    would raise rather than return NULL. Real embedding models emit
+    unit-norm vectors, so this is a no-op on healthy data (the SQL
+    oracles assume a zero-norm-free corpus on that basis); on a dirty
+    corpus it is the difference between a skipped row and a crashed
+    1000-executor scoring job."""
+    return (
+        df.withColumn(out_vec, as_double_array(vec_col))
+        .withColumn(out_norm, l2_norm(F.col(out_vec)))
+        .filter(F.col(out_norm) > 0)
     )
 
 

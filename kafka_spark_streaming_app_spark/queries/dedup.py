@@ -199,14 +199,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- embedding near-dup ----------------------------------------------------
 
 _EMB_ORACLE = """
-WITH n AS (
+WITH n0 AS (
     SELECT
         vec_id,
         label,
         embedding::DOUBLE[] AS v,
         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
     FROM embeddings
-)
+),
+-- zero-norm vectors have no defined cosine and are excluded on both
+-- engines (the operator filters norm > 0 for ANSI safety)
+n AS (SELECT * FROM n0 WHERE norm > 0)
 SELECT
     a.vec_id AS id_a,
     b.vec_id AS id_b,
@@ -256,11 +259,12 @@ asg AS (
         FROM final_s
     ) WHERE rn = 1
 ),
-n AS (
+n_all AS (
     SELECT vec_id, cid, x AS vv,
            sqrt(list_sum(list_transform(x, e -> e * e))) AS norm
     FROM asg
 ),
+n AS (SELECT * FROM n_all WHERE norm > 0),
 dropped AS (
     SELECT DISTINCT b.vec_id
     FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id
@@ -269,7 +273,7 @@ dropped AS (
 )
 SELECT vec_id, cid,
        vec_id NOT IN (SELECT vec_id FROM dropped) AS keep
-FROM n
+FROM n_all
 """
 
 

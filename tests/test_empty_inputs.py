@@ -255,3 +255,45 @@ def test_cdc_merge_on_empty_change_feed(spark):
     assert len(rows) == 2
     assert all(r["change_type"] == "kept" for r in rows)
     assert {r["c_acctbal"] for r in rows} == {10.0, 20.0}
+
+
+def test_perceptual_hash_stages_on_empty_corpus(spark):
+    from kafka_spark_streaming_app_spark.operators.multimodal import (
+        ahash_bands,
+        audio_fingerprint_bands,
+        synthesize_afp_media,
+        synthesize_ahash_media,
+    )
+
+    docs = _empty_docs(spark)
+    img = synthesize_ahash_media(docs)
+    assert img.count() == 0
+    assert ahash_bands(img).count() == 0
+    wav = synthesize_afp_media(docs)
+    assert wav.count() == 0
+    assert audio_fingerprint_bands(wav).count() == 0
+
+
+def test_semantic_dedup_corpus_sized_k_on_tiny_corpus(spark):
+    """k = max(2, ceil(n/budget)) must stay valid when n < budget and
+    when n == 2 (the floor): no empty-centroid crash, every vector
+    keeps or drops deterministically."""
+    import pyspark.sql.types as T
+
+    from kafka_spark_streaming_app_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    rows = [(i, [float(i)] * 4) for i in range(3)]
+    emb = spark.createDataFrame(
+        rows,
+        T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField(
+                "embedding", T.ArrayType(T.FloatType())
+            ),
+        ]),
+    )
+    out = semantic_dedup(emb, dim=4, iters=1, cluster_budget=1000)
+    assert out.count() == 3
+    assert out.filter("keep").count() >= 1
