@@ -821,11 +821,23 @@ def streaming_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     associativity makes the result batch-boundary independent, so the
     driver's hash gate proves streaming maintenance == from-scratch
     batch recompute — the sketch-as-state production shape (compare
-    `streaming_cdc_upsert`, whose state is argmax rather than sum)."""
+    `streaming_cdc_upsert`, whose state is argmax rather than sum).
+
+    The sketch state is partitioned by ``day`` and maintained through
+    ``merge_into_partitioned_state``: a micro-batch reads and
+    rewrites only the day partitions it has events for (partition
+    pruning + dynamic partition overwrite), so a trigger carrying one
+    hour of late-arriving data touches one day's sketch, not the
+    whole retention window; and replayed batch ids skip via the
+    applied-batch marker, so at-least-once foreachBatch retries
+    cannot double-add counts (additive merge is NOT idempotent — the
+    guard is what makes it safe)."""
     import atexit
     import shutil
 
     from pyspark.sql import Window
+
+    from ..streaming.state import merge_into_partitioned_state
 
     stream = _events_as_wire_stream(spark, sf_dir, max_files_per_trigger=8)
     binned = stream.filter(F.col("amount").isNotNull()).select(
@@ -838,24 +850,24 @@ def streaming_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         atexit.register(shutil.rmtree, d, ignore_errors=True)
     state_dir = os.path.join(state_root, "sketch")
 
+    def _merge_sketch(
+        existing: DataFrame | None, part: DataFrame
+    ) -> DataFrame:
+        if existing is None:
+            return part
+        return (
+            existing.withColumn("day", F.col("day").cast("date"))
+            .unionByName(part)
+            .groupBy("day", "bin")
+            .agg(F.sum("c").alias("c"))
+        )
+
     def merge_state(batch_df: DataFrame, batch_id: int) -> None:
         part = batch_df.groupBy("day", "bin").agg(
             F.count(F.lit(1)).alias("c")
         )
-        try:
-            existing = batch_df.sparkSession.read.parquet(state_dir)
-        except Exception:
-            existing = None
-        merged = (
-            part
-            if existing is None
-            else existing.unionByName(part)
-            .groupBy("day", "bin")
-            .agg(F.sum("c").alias("c"))
-        )
-        # barrier before overwriting the directory the plan reads from
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            state_dir
+        merge_into_partitioned_state(
+            state_dir, batch_id, part, _merge_sketch, "day"
         )
 
     q = (
