@@ -952,3 +952,70 @@ def audio_fingerprint_bands(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         fp, schema=AHASH_BANDS_SCHEMA
     )
+
+
+def hamming_band_pairs(
+    bands: DataFrame,
+    id_col: str = "media_id",
+    radius: int = 3,
+    n_bands: int = 4,
+    max_band_bucket: int | None = None,
+) -> DataFrame:
+    """Distinct (id_a, id_b, hamming) pairs within Hamming ``radius``
+    over an ``n_bands`` x 16-bit banded fingerprint (columns b0..bN):
+    one band-equality equi-join per band, unioned, deduped, then the
+    exact popcount verify on candidates ONLY — never all-pairs. With
+    radius < n_bands the pigeonhole principle makes the candidate set
+    COMPLETE (a pair within radius must agree exactly on >= 1 band).
+
+    ``max_band_bucket`` is the hot-band cap the LSH family already
+    carries (operators/dedup.py:lsh_candidate_pairs): a degenerate
+    corpus (all-dark thumbnails, digital-silence clips) collapses a
+    16-bit band value into one bucket, and pairing inside it is
+    quadratic. Band values with more than ``max_band_bucket`` members
+    are boilerplate by definition and are dropped from THAT band's
+    join via a semi-join against the small-value list (one tiny
+    aggregation per band — one row per distinct band value), bounding
+    the worst-case candidate count at N * n_bands * cap instead of
+    N^2. A capped-out pair can still surface through its other bands;
+    pairs identical on ONLY hot bands are the recall price, exactly
+    as in LSH (uncapped keeps the completeness guarantee — the
+    driver-facing queries run uncapped on the quasi-random fixtures
+    and the cap is regression-pinned by the planted-skew test)."""
+    bands = bands.localCheckpoint(eager=False)
+    band_cols = [f"b{k}" for k in range(n_bands)]
+    cands = None
+    for k in range(n_bands):
+        side = bands
+        if max_band_bucket is not None:
+            small = (
+                bands.groupBy(band_cols[k])
+                .agg(F.count(F.lit(1)).alias("_bsz"))
+                .filter(F.col("_bsz") <= max_band_bucket)
+                .select(band_cols[k])
+            )
+            side = bands.join(small, [band_cols[k]], "left_semi")
+        a, b = side.alias("a"), side.alias("b")
+        c = a.join(
+            b,
+            (F.col(f"a.{band_cols[k]}") == F.col(f"b.{band_cols[k]}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            *[F.col(f"a.{bc}").alias(f"a{bc}") for bc in band_cols],
+            *[F.col(f"b.{bc}").alias(f"b{bc}") for bc in band_cols],
+        )
+        cands = c if cands is None else cands.unionAll(c)
+    hamming = sum(
+        F.bit_count(
+            F.col(f"a{bc}").cast("long").bitwiseXOR(F.col(f"b{bc}").cast("long"))
+        )
+        for bc in band_cols
+    )
+    return (
+        cands.distinct()
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= radius)
+        .select("id_a", "id_b", "hamming")
+    )

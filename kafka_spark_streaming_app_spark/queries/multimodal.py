@@ -449,42 +449,24 @@ def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pigeonhole principle makes the four band-equality equi-joins a
     COMPLETE candidate generator (same contract as the SimHash query),
     and the exact Hamming verify runs on candidates only — never
-    all-pairs. At 100 TB the band key space is 2^16, so production
-    adds the hot-bucket cap used by the LSH family (an all-dark-band
-    key is the analogue of a stopword shingle); the fixture's quasi-
-    random blocks don't need it. Planted pairs: docs 2m / 2m+1 are the
-    same image up to a +1 retouch on every 17th diagonal."""
-    from ..operators.multimodal import ahash_bands, synthesize_ahash_media
+    all-pairs (operators/multimodal.py:hamming_band_pairs). At 100 TB
+    the band key space is 2^16, so production passes
+    ``max_band_bucket`` — the hot-band cap ported from the LSH family
+    (an all-dark-band key is the analogue of a stopword shingle; see
+    the planted-skew regression test); the fixture's quasi-random
+    blocks run uncapped, keeping the completeness guarantee the
+    oracle checks. Planted pairs: docs 2m / 2m+1 are the same image
+    up to a +1 retouch on every 17th diagonal."""
+    from ..operators.multimodal import (
+        ahash_bands,
+        hamming_band_pairs,
+        synthesize_ahash_media,
+    )
 
     bands = ahash_bands(
         synthesize_ahash_media(load_table(spark, sf_dir, "documents"))
-    ).localCheckpoint(eager=False)
-    a, b = bands.alias("a"), bands.alias("b")
-    cands = None
-    for k in range(4):
-        c = a.join(
-            b,
-            (F.col(f"a.b{k}") == F.col(f"b.b{k}"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
-        ).select(
-            F.col("a.media_id").alias("id_a"),
-            F.col("b.media_id").alias("id_b"),
-            *[F.col(f"a.b{j}").alias(f"ab{j}") for j in range(4)],
-            *[F.col(f"b.b{j}").alias(f"bb{j}") for j in range(4)],
-        )
-        cands = c if cands is None else cands.unionAll(c)
-    cands = cands.distinct()
-    hamming = sum(
-        F.bit_count(
-            F.col(f"ab{j}").cast("long").bitwiseXOR(F.col(f"bb{j}").cast("long"))
-        )
-        for j in range(4)
     )
-    return (
-        cands.withColumn("hamming", hamming.cast("int"))
-        .filter(F.col("hamming") <= 3)
-        .select("id_a", "id_b", "hamming")
-    )
+    return hamming_band_pairs(bands, radius=3)
 
 
 # Audio-fingerprint oracle: recompute every PCM sample of every
@@ -545,41 +527,19 @@ def multimodal_audio_fingerprint_dedup(
     codec: decode -> 64-frame energy fingerprint (exact integer
     threshold, operators/multimodal.py:audio_fingerprint_bands) ->
     the same pigeonhole-complete 4x16-bit Hamming-band join as the
-    image aHash query — the dedup family now covers text (shingles),
-    embeddings (cosine/SemDeDup), images (aHash), and audio. Planted
-    pairs: docs 2m / 2m+1 are the same waveform up to a +3 nudge on
-    every 13th sample."""
+    image aHash query (operators/multimodal.py:hamming_band_pairs,
+    which also carries the production hot-band cap — digital-silence
+    clips are this family's stopword analogue) — the dedup family now
+    covers text (shingles), embeddings (cosine/SemDeDup), images
+    (aHash), and audio. Planted pairs: docs 2m / 2m+1 are the same
+    waveform up to a +3 nudge on every 13th sample."""
     from ..operators.multimodal import (
         audio_fingerprint_bands,
+        hamming_band_pairs,
         synthesize_afp_media,
     )
 
     bands = audio_fingerprint_bands(
         synthesize_afp_media(load_table(spark, sf_dir, "documents"))
-    ).localCheckpoint(eager=False)
-    a, b = bands.alias("a"), bands.alias("b")
-    cands = None
-    for k in range(4):
-        c = a.join(
-            b,
-            (F.col(f"a.b{k}") == F.col(f"b.b{k}"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
-        ).select(
-            F.col("a.media_id").alias("id_a"),
-            F.col("b.media_id").alias("id_b"),
-            *[F.col(f"a.b{j}").alias(f"ab{j}") for j in range(4)],
-            *[F.col(f"b.b{j}").alias(f"bb{j}") for j in range(4)],
-        )
-        cands = c if cands is None else cands.unionAll(c)
-    cands = cands.distinct()
-    hamming = sum(
-        F.bit_count(
-            F.col(f"ab{j}").cast("long").bitwiseXOR(F.col(f"bb{j}").cast("long"))
-        )
-        for j in range(4)
     )
-    return (
-        cands.withColumn("hamming", hamming.cast("int"))
-        .filter(F.col("hamming") <= 3)
-        .select("id_a", "id_b", "hamming")
-    )
+    return hamming_band_pairs(bands, radius=3)

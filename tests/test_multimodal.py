@@ -554,3 +554,40 @@ def test_ahash_banding_is_complete_vs_brute_force(spark, sf_smoke):
     # non-vacuous: the planted 2m/2m+1 retouch pairs must mostly match
     planted = {p for p in expected if p[1] == p[0] + 1 and p[0] % 2 == 0}
     assert len(planted) >= 30
+
+
+def test_hamming_band_cap_bounds_planted_skew(spark):
+    """Regression for the documented perceptual-dedup hazard: an
+    all-dark / digital-silence corpus collapses a 16-bit band value
+    into ONE bucket and the band join degrades toward all-pairs.
+    Plant a 200-copy identical-fingerprint cluster (every band hot)
+    beside healthy data and assert the hot-band cap (ported from
+    lsh_candidate_pairs) drops the cluster's quadratic pair mass
+    while small-bucket near-dup pairs are still found."""
+    from kafka_spark_streaming_app_spark.operators.multimodal import (
+        hamming_band_pairs,
+    )
+
+    cols = ["media_id", "b0", "b1", "b2", "b3"]
+    boiler = [(1_000_000 + i, 0, 0, 0, 0) for i in range(200)]
+    near_dup = [(1, 10, 20, 30, 40), (2, 11, 20, 30, 40)]  # hamming 1
+    # unique spread-out fingerprints: no band value repeats
+    healthy = [
+        (100 + i, 1000 + i, 17000 + i, 33000 + i, 49000 + i)
+        for i in range(200)
+    ]
+    bands = spark.createDataFrame(boiler + near_dup + healthy, cols)
+
+    capped = hamming_band_pairs(bands, radius=3, max_band_bucket=8)
+    rows = capped.collect()
+    planted = [
+        r for r in rows if r.id_a >= 1_000_000 and r.id_b >= 1_000_000
+    ]
+    assert planted == []  # C(200,2)=19900 pairs uncapped — all dropped
+    assert any(r.id_a == 1 and r.id_b == 2 for r in rows)  # recall kept
+    n = len(boiler + near_dup + healthy)
+    assert len(rows) <= n * 4 * 8 // 2  # N * n_bands * cap bound
+
+    # contrast: uncapped, the hot cluster is quadratic
+    uncapped = hamming_band_pairs(bands, radius=3)
+    assert uncapped.count() >= 19900
