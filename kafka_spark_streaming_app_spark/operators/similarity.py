@@ -356,11 +356,24 @@ def _km_assign(
     zip_with/aggregate lambda, but whole-stage-codegen'd instead of
     interpreted per element — on the O(n·k) assignment stage, the
     engine's hottest loop, that is roughly an order of magnitude per
-    row. The lambda fold remains as the unknown-length fallback."""
+    row. The lambda fold remains as the unknown-length fallback.
+
+    The unrolled path carries a FIXED-DIM CONTRACT: ``x[i]`` on a
+    ragged/short vector throws an opaque INVALID_ARRAY_INDEX under
+    ANSI mode, so the expression guards with a per-row size check
+    (O(1) — arrays store their length) and raises a named error
+    instead. Silent truncation (the lambda fold's behavior on ragged
+    input) is NOT a fallback here: a 100 TB clustering job that
+    quietly scores half-vectors is worse than one that stops."""
     if dim is not None:
         expr = "CAST(0.0 AS DOUBLE)"
         for i in range(dim):
             expr = f"({expr} + (x[{i}] - c[{i}]) * (x[{i}] - c[{i}]))"
+        expr = (
+            f"CASE WHEN size(x) = {dim} THEN {expr} ELSE "
+            f"CAST(raise_error('k-means fixed-dim contract violated: "
+            f"size(x) <> {dim}') AS DOUBLE) END"
+        )
         dist = F.expr(expr)
     else:
         dist = F.aggregate(

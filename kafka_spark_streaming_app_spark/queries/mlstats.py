@@ -676,14 +676,20 @@ _POIS_CDF = [
 ]
 # Per-(row, replicate) uniforms via Carter-Wegman multiply-mod-prime
 # universal hashing: u_b = ((key*A_b + C_b) mod p) / p with p the
-# Mersenne prime 2^31-1 and per-replicate odd multipliers.  Pure int64
-# arithmetic — key ≤ 6e11 (TPC-H orderkey at sf100000) times A_b ≤
-# 1.3e6 stays under 8e17, well inside int64 — so both engines compute
-# bit-identical uniforms with ZERO hashing cost (the previous 4 md5 +
-# 32 conv(substring) per row was the entire 5.4 s bench wall of this
-# query; xxhash64 is not available in DuckDB 1.0 so arithmetic is the
-# cross-engine-exact fast path).  Pairwise independence of the family
-# is sufficient for bootstrap replicate weights.
+# Mersenne prime 2^31-1.  Pure int64 arithmetic — key ≤ 6e11 (TPC-H
+# orderkey at sf100000) times A_b ≤ 1.3e7 stays under 8e18, well
+# inside int64 — so both engines compute bit-identical uniforms with
+# ZERO hashing cost (the previous 4 md5 + 32 conv(substring) per row
+# was the entire 5.4 s bench wall of this query; xxhash64 is not
+# available in DuckDB 1.0 so arithmetic is the cross-engine-exact
+# fast path).  The per-replicate (A_b, C_b) are a PRECOMPUTED
+# pseudorandom table (md5-derived module constants, literals in both
+# engines' SQL), deliberately NOT affine in the replicate index b: an
+# earlier a_b = 1000003 + 7919·b made x_b an arithmetic progression
+# mod p for each fixed key — structurally correlated replicate
+# weights, flagged in review. With independent-looking table entries,
+# each replicate draws from its own universal-hash family and
+# cross-replicate correlation has no arithmetic structure.
 _BOOT_P = 2147483647
 # Integer thresholds floor(thr * p): x > T_i is EXACTLY equivalent to
 # u = x/p > thr (no threshold lands on an integer), and pure int64
@@ -691,8 +697,25 @@ _BOOT_P = 2147483647
 _POIS_THR = [int(t * _BOOT_P) for t in _POIS_CDF]
 
 
+def _boot_table() -> list[tuple[int, int]]:
+    import hashlib
+
+    out = []
+    for b in range(_B):
+        h = int(
+            hashlib.md5(f"bootstrap-replicate:{b}".encode()).hexdigest(), 16
+        )
+        a = 1_000_001 + 2 * (h % 6_000_000)  # odd, ≤ 1.3e7 (int64 bound)
+        c = (h >> 64) % _BOOT_P
+        out.append((a, c))
+    return out
+
+
+_BOOT_AC = _boot_table()
+
+
 def _boot_ac(b: int) -> tuple[int, int]:
-    return 1000003 + 7919 * b, 7207 * (b + 1)
+    return _BOOT_AC[b]
 
 
 def _x_sql(b: int) -> str:

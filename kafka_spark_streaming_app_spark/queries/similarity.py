@@ -26,6 +26,9 @@ WITH n AS (
         embedding::DOUBLE[] AS v,
         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
     FROM embeddings
+    -- mirror with_vector_norm's zero-norm DROP (cosine undefined;
+    -- parity must not rest on the fixture never containing one)
+    WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0
 ),
 q AS (
     SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM n
@@ -82,6 +85,9 @@ WITH n AS (
         embedding::DOUBLE[] AS v,
         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
     FROM embeddings
+    -- mirror with_vector_norm's zero-norm DROP (cosine undefined;
+    -- parity must not rest on the fixture never containing one)
+    WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0
 ),
 b AS (
     SELECT *, CAST({_BUCKET_TERMS} AS INTEGER) AS bucket FROM n
@@ -127,6 +133,9 @@ WITH n AS (
         embedding::DOUBLE[] AS v,
         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
     FROM embeddings
+    -- mirror with_vector_norm's zero-norm DROP (cosine undefined;
+    -- parity must not rest on the fixture never containing one)
+    WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0
 ),
 cent AS (
     SELECT vec_id AS centroid_id, v AS cv, norm AS cnorm FROM n
@@ -340,6 +349,9 @@ WITH n AS (
         embedding::DOUBLE[] AS v,
         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
     FROM embeddings
+    -- mirror with_vector_norm's zero-norm DROP (cosine undefined;
+    -- parity must not rest on the fixture never containing one)
+    WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0
 ),
 b AS (
     SELECT *, CAST({_BUCKET_TERMS} AS INTEGER) AS bucket FROM n
@@ -434,6 +446,9 @@ WITH n AS (
         embedding::DOUBLE[] AS v,
         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
     FROM embeddings
+    -- mirror with_vector_norm's zero-norm DROP (cosine undefined;
+    -- parity must not rest on the fixture never containing one)
+    WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0
 ),
 un AS (
     SELECT vec_id, v, norm, list_transform(v, x -> x / norm) AS u FROM n
@@ -564,6 +579,9 @@ WITH n AS (
         embedding::DOUBLE[] AS v,
         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
     FROM embeddings
+    -- mirror with_vector_norm's zero-norm DROP (cosine undefined;
+    -- parity must not rest on the fixture never containing one)
+    WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0
 ),
 q AS (
     SELECT vec_id AS query_id, label AS true_label, v AS qv, norm AS qnorm

@@ -89,3 +89,22 @@ def test_brute_force_pandas_query_cap(spark, sf_smoke):
     emb = load_table(spark, sf_smoke, "embeddings")
     with pytest.raises(ValueError, match="max_query_rows"):
         brute_force_topk_pandas(emb, emb, k=3, max_query_rows=10).collect()
+
+
+def test_kmeans_ragged_vector_raises_named_error(spark):
+    """The unrolled codegen distance path indexes x[0..dim-1]; a
+    ragged vector must surface the FIXED-DIM CONTRACT as a named
+    error, not an opaque ANSI INVALID_ARRAY_INDEX (and never silent
+    truncation)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_app_spark.operators.similarity import (
+        kmeans_fit_predict,
+    )
+
+    rows = [(i, [float(i + d) for d in range(4)]) for i in range(8)]
+    rows.append((8, [1.0, 2.0]))  # ragged
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    with pytest.raises(Exception, match="fixed-dim contract"):
+        kmeans_fit_predict(df, k=2, dim=4, iters=1).collect()
