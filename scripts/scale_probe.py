@@ -63,6 +63,17 @@ PROBES = (
     "ks_test_two_sample",
     "seasonal_decompose_daily",
     "gradient_boost_stumps",
+    # streaming family (round-5): the wire replay fixture writes a
+    # FIXED file count (one per core), so at Nx input the micro-batch
+    # COUNT stays constant and each batch carries Nx the data — the
+    # probe measures per-trigger scaling (does a batch with 8x rows
+    # cost <= 8x?), the production question for a stream whose volume
+    # grows at fixed trigger cadence. Duplication-linear: windowed
+    # counts, (day,bin) sketch counts, and latest-wins merges over
+    # exact-duplicate (key,seq) change rows all just scale.
+    "streaming_windowed_append",
+    "streaming_cdc_upsert",
+    "streaming_quantile_rollup",
 )
 
 
@@ -120,7 +131,12 @@ def build_jittered_embeddings(src_sf: str, n: int) -> str:
 
 
 def main() -> int:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+    n = int(args[0]) if args else 8
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     from kafka_spark_streaming_app_spark import registry
@@ -135,6 +151,8 @@ def main() -> int:
     try:
         results = {}
         for name in PROBES:
+            if only is not None and name not in only:
+                continue
             fn = registry.QUERIES[name]
             times = {}
             for label, sf_dir in (("t1", src), ("tN", scaled)):
@@ -157,6 +175,9 @@ def main() -> int:
         # grows N x with it, holding expected cluster size constant —
         # this probe measures the linear-total-pair-cost claim of the
         # k ∝ n sizing rule directly.
+        if only is not None and "semantic_dedup" not in only:
+            print(json.dumps({"scale": n, "queries": results}), flush=True)
+            return 0
         fn = registry.QUERIES["semantic_dedup"]
         times = {}
         for label, sf_dir in (("t1", src), ("tN", jittered)):
