@@ -42,4 +42,5 @@ from . import (  # noqa: F401
     mlstats,
     layout,
     cdc,
+    sampling,
 )

@@ -190,10 +190,18 @@ def stratified_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_key = Window.partitionBy("lang").orderBy(
         F.expr(_KEY_SQL), F.col("doc_id")
     )
+    # the literal rn <= k conjunct is redundant (n_alloc <= k by
+    # construction) but it is what lets Catalyst insert a
+    # WindowGroupLimit: per-partition top-k per stratum BEFORE the
+    # stratum window's sort — the column-valued n_alloc bound alone
+    # cannot be pushed
     ranked = (
         docs.join(F.broadcast(alloc), "lang")
         .withColumn("rn", F.row_number().over(w_key))
-        .filter(F.col("rn") <= F.col("n_alloc"))
+        .filter(
+            (F.col("rn") <= F.lit(_STRAT_K))
+            & (F.col("rn") <= F.col("n_alloc"))
+        )
     )
     return ranked.select(
         "doc_id", "lang", "n_chars", F.col("n_alloc").cast("bigint")

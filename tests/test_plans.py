@@ -650,3 +650,24 @@ def test_psi_drift_broadcasts_reference_and_bins(spark, sf_smoke):
     assert "CartesianProduct" not in plan
     read_schema = plan.split("ReadSchema")[1].splitlines()[0]
     assert "o_comment" not in read_schema
+
+
+def test_reservoir_sample_is_take_ordered_not_global_sort(spark, sf_smoke):
+    """Exact-k sampling must compile to TakeOrderedAndProject
+    (per-partition top-k heaps, k-row driver merge) — a global Sort
+    would shuffle the whole corpus to sample 100 rows."""
+    plan = plan_str(registry.QUERIES["reservoir_sample_exact"](spark, sf_smoke))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_stratified_sample_uses_window_group_limit(spark, sf_smoke):
+    """The per-stratum rank<=n_alloc filter must run as
+    WindowGroupLimit (partial top-k per partition before the stratum
+    window) and the stratum-count-sized allocation table must
+    broadcast — never a full-stratum sort feeding a shuffle join."""
+    plan = plan_str(
+        registry.QUERIES["stratified_sample_neyman"](spark, sf_smoke)
+    )
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
