@@ -767,3 +767,147 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- ranked-retrieval quality metrics (MRR / NDCG@5) -------------------------
+
+# Rank discounts 1/log2(r+1) floor-scaled to 1e9 integers, computed
+# ONCE in Python and embedded as literals in BOTH plans — log2 never
+# executes inside either engine, so DCG accumulates in exact int64
+# and the single final division is the same IEEE op on both sides
+# (the copurchase_pagerank fixed-point discipline applied to ranking
+# metrics).
+_NDCG_DISC = [1000000000, 630929753, 500000000, 430676558, 386852807]
+_NDCG_CUM = [1000000000, 1630929753, 2130929753, 2561606311, 2948459118]
+
+_DISC_CASE = (
+    "CASE rank "
+    + " ".join(f"WHEN {r + 1} THEN {d}" for r, d in enumerate(_NDCG_DISC))
+    + " ELSE 0 END"
+)
+_IDCG_CASE = (
+    "CASE n_truth "
+    + " ".join(f"WHEN {i + 1} THEN {c}" for i, c in enumerate(_NDCG_CUM))
+    + f" ELSE {_NDCG_CUM[-1]} END"
+)
+
+_RANKMET_ORACLE = (
+    "WITH brute_full AS (" + _BRUTE_ORACLE + "),\n"
+    "ann_srp AS (" + _ANN_ORACLE + "),\n"
+    "ann_ivf AS (" + _IVF_ORACLE + "),\n"
+    + f"""
+ann AS (
+    SELECT 'srp_lsh' AS idx, query_id, corpus_id, rank FROM ann_srp
+    UNION ALL
+    SELECT 'ivf' AS idx, query_id, corpus_id, rank FROM ann_ivf
+),
+truth AS (SELECT query_id, corpus_id FROM brute_full WHERE rank <= 5),
+t_n AS (SELECT query_id, count(*) AS n_truth FROM truth GROUP BY query_id),
+idxes AS (SELECT 'srp_lsh' AS idx UNION ALL SELECT 'ivf'),
+marked AS (
+    SELECT a.idx, a.query_id, a.rank,
+           CASE WHEN t.corpus_id IS NOT NULL THEN 1 ELSE 0 END AS rel,
+           {_DISC_CASE} AS disc
+    FROM ann a LEFT JOIN truth t
+      ON t.query_id = a.query_id AND t.corpus_id = a.corpus_id
+),
+per_q AS (
+    SELECT idx, query_id,
+           count(*) AS n_retrieved,
+           sum(rel) AS n_rel,
+           sum(rel * disc) AS dcg_i,
+           min(CASE WHEN rel = 1 THEN rank END) AS first_rel
+    FROM marked GROUP BY idx, query_id
+)
+SELECT x.idx, t.query_id,
+       CAST(COALESCE(p.n_retrieved, 0) AS BIGINT) AS n_retrieved,
+       CAST(COALESCE(p.n_rel, 0) AS BIGINT) AS n_rel,
+       CASE WHEN p.first_rel IS NULL THEN 0.0
+            ELSE round(1.0 / p.first_rel, 6) END AS mrr,
+       round(CAST(COALESCE(p.dcg_i, 0) AS DOUBLE)
+             / CAST({_IDCG_CASE} AS DOUBLE), 6) AS ndcg_at_5
+FROM t_n t CROSS JOIN idxes x
+LEFT JOIN per_q p ON p.query_id = t.query_id AND p.idx = x.idx
+ORDER BY x.idx, t.query_id
+"""
+)
+
+
+@query("ranking_metrics_eval", _RANKMET_ORACLE)
+def ranking_metrics_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR and NDCG@5 of the SRP-LSH index against the exact top-5
+    baseline — the rank-sensitive half of the retrieval eval harness
+    (`ann_recall_eval` checks set membership; these check ORDER:
+    MRR rewards the first relevant hit's position, NDCG the whole
+    ranking's discounted gain). Queries the index returns nothing for
+    score 0 rather than vanishing — an eval that silently drops its
+    failures overstates the index. One dataflow over the two existing
+    pipelines; metric arithmetic is exact int64 (floor-scaled
+    discount literals) up to one final division. At 100 TB the eval
+    runs over a sampled query set; both underlying pipelines keep
+    their own scale postures."""
+    brute = similarity_topk_brute(spark, sf_dir).filter(F.col("rank") <= 5)
+    truth = brute.select("query_id", "corpus_id")
+    t_n = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_truth"))
+    ann = (
+        similarity_ann_srp_lsh(spark, sf_dir)
+        .select(
+            F.lit("srp_lsh").alias("idx"),
+            F.col("query_id").alias("a_query_id"),
+            F.col("corpus_id").alias("a_corpus_id"),
+            "rank",
+        )
+        .unionAll(
+            similarity_ann_ivf(spark, sf_dir).select(
+                F.lit("ivf").alias("idx"),
+                F.col("query_id").alias("a_query_id"),
+                F.col("corpus_id").alias("a_corpus_id"),
+                "rank",
+            )
+        )
+    )
+    marked = ann.join(
+        truth,
+        (F.col("query_id") == F.col("a_query_id"))
+        & (F.col("corpus_id") == F.col("a_corpus_id")),
+        "left",
+    ).select(
+        "idx",
+        F.col("a_query_id").alias("query_id"),
+        "rank",
+        F.when(F.col("corpus_id").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("rel"),
+        F.expr(_DISC_CASE).alias("disc"),
+    )
+    per_q = marked.groupBy("idx", "query_id").agg(
+        F.count(F.lit(1)).alias("n_retrieved"),
+        F.sum("rel").alias("n_rel"),
+        F.sum(F.col("rel") * F.col("disc")).alias("dcg_i"),
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("first_rel"),
+    )
+    idxes = spark.createDataFrame([("srp_lsh",), ("ivf",)], ["idx"])
+    out = t_n.crossJoin(F.broadcast(idxes)).join(
+        per_q.withColumnRenamed("query_id", "p_query_id").withColumnRenamed(
+            "idx", "p_idx"
+        ),
+        (F.col("query_id") == F.col("p_query_id"))
+        & (F.col("idx") == F.col("p_idx")),
+        "left",
+    )
+    return out.select(
+        "idx",
+        "query_id",
+        F.coalesce(F.col("n_retrieved"), F.lit(0))
+        .cast("bigint")
+        .alias("n_retrieved"),
+        F.coalesce(F.col("n_rel"), F.lit(0)).cast("bigint").alias("n_rel"),
+        F.when(F.col("first_rel").isNull(), F.lit(0.0))
+        .otherwise(F.round(F.lit(1.0) / F.col("first_rel"), 6))
+        .alias("mrr"),
+        F.round(
+            F.coalesce(F.col("dcg_i"), F.lit(0)).cast("double")
+            / F.expr(_IDCG_CASE).cast("double"),
+            6,
+        ).alias("ndcg_at_5"),
+    ).orderBy("idx", "query_id")

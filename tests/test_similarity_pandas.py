@@ -108,3 +108,48 @@ def test_kmeans_ragged_vector_raises_named_error(spark):
     df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
     with pytest.raises(Exception, match="fixed-dim contract"):
         kmeans_fit_predict(df, k=2, dim=4, iters=1).collect()
+
+
+def test_ranking_metrics_match_independent_recompute(spark, sf_smoke):
+    """Recompute MRR/NDCG@5 in plain Python from the two underlying
+    pipelines' outputs — catches a formula slip that a same-formula
+    cross-engine oracle cannot (the Welch-t test discipline)."""
+    import math
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    sf = sf_smoke
+    truth = {
+        (r.query_id, r.corpus_id)
+        for r in registry.QUERIES["similarity_topk_brute"](spark, sf)
+        .filter("rank <= 5")
+        .collect()
+    }
+    n_truth = {}
+    for q, _ in truth:
+        n_truth[q] = n_truth.get(q, 0) + 1
+    retrieved = {}
+    for idx, qname in (("srp_lsh", "similarity_ann_srp_lsh"), ("ivf", "similarity_ann_ivf")):
+        for r in registry.QUERIES[qname](spark, sf).collect():
+            retrieved.setdefault((idx, r.query_id), []).append(
+                (r.rank, r.corpus_id)
+            )
+    got = {
+        (r.idx, r.query_id): (r.mrr, r.ndcg_at_5)
+        for r in registry.QUERIES["ranking_metrics_eval"](spark, sf).collect()
+    }
+    disc = [1000000000, 630929753, 500000000, 430676558, 386852807]
+    for key, (mrr, ndcg) in got.items():
+        idx, q = key
+        ranked = sorted(retrieved.get(key, []))
+        rels = [(q, c) in truth for _, c in ranked]
+        exp_mrr = 0.0
+        for i, rel in enumerate(rels):
+            if rel:
+                exp_mrr = round(1.0 / (i + 1), 6)
+                break
+        dcg = sum(d for d, rel in zip(disc, rels) if rel)
+        idcg = sum(disc[: min(5, n_truth[q])])
+        assert mrr == exp_mrr
+        assert ndcg == round(dcg / idcg, 6)
