@@ -1706,3 +1706,87 @@ def rolling_quantile_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week_start")
     )
+
+
+# --- k-core decomposition (bounded peel) ------------------------------------
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 4
+
+_KCORE_ORACLE = f"""
+WITH {_EDGE_CTE},
+sym AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+n1 AS (SELECT u FROM sym GROUP BY u HAVING count(*) >= {_KCORE_K}),
+s2 AS (SELECT s.u, s.v FROM sym s JOIN n1 a ON s.u = a.u
+                                  JOIN n1 b ON s.v = b.u),
+n2 AS (SELECT u FROM s2 GROUP BY u HAVING count(*) >= {_KCORE_K}),
+s3 AS (SELECT s.u, s.v FROM sym s JOIN n2 a ON s.u = a.u
+                                  JOIN n2 b ON s.v = b.u),
+n3 AS (SELECT u FROM s3 GROUP BY u HAVING count(*) >= {_KCORE_K}),
+s4 AS (SELECT s.u, s.v FROM sym s JOIN n3 a ON s.u = a.u
+                                  JOIN n3 b ON s.v = b.u),
+n4 AS (SELECT u, count(*) AS core_deg FROM s4
+       GROUP BY u HAVING count(*) >= {_KCORE_K}),
+conv AS (
+    SELECT (SELECT count(*) FROM n4) = (SELECT count(*) FROM n3) AS converged
+)
+SELECT n4.u AS part_key, CAST(n4.core_deg AS BIGINT) AS core_deg,
+       conv.converged
+FROM n4, conv
+ORDER BY part_key
+"""
+
+
+@query("kcore_membership", _KCORE_ORACLE)
+def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the co-purchase graph by iterative peeling: each
+    round drops nodes whose degree within the surviving set falls
+    below k, a fixed 4 rounds (seventh member of the graph family
+    on the shared edge builder — the density-subgraph primitive
+    behind community seeding and graph-cleaning). The ``converged``
+    flag (|V_t| = |V_(t-1)|) is part of the hashed output, so the
+    driver gate PROVES the peel reached its fixpoint at this SF
+    rather than assuming it; production loops to convergence with the
+    `connected_components` max-iter guard, and each round is one
+    semi-join-restricted degree count — shuffle ∝ surviving edges,
+    never materializing anything super-linear. (k=2 fixpoint is 3
+    peels on this graph; the 4th round is the proof round.)"""
+    edges = _copurchase_edges(spark, sf_dir).select("u", "v")
+    sym = (
+        edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint(eager=False)
+    )
+    cur = None  # None = all nodes (round 1 unrestricted)
+    deg = None
+    for _ in range(_KCORE_ROUNDS):
+        prev = cur
+        e = sym
+        if cur is not None:
+            e = (
+                e.join(cur.select(F.col("u").alias("_a")),
+                       F.col("u") == F.col("_a"), "left_semi")
+                .join(cur.select(F.col("u").alias("_b")),
+                      F.col("v") == F.col("_b"), "left_semi")
+            )
+        deg = (
+            e.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("core_deg"))
+            .filter(F.col("core_deg") >= _KCORE_K)
+            .localCheckpoint(eager=False)
+        )
+        cur = deg.select("u")
+    n_last = deg.agg(F.count(F.lit(1)).alias("n_t"))
+    n_prev = prev.agg(F.count(F.lit(1)).alias("n_p"))
+    conv = (
+        n_last.crossJoin(F.broadcast(n_prev))
+        .select((F.col("n_t") == F.col("n_p")).alias("converged"))
+    )
+    return (
+        deg.crossJoin(F.broadcast(conv))
+        .select(
+            F.col("u").alias("part_key"),
+            F.col("core_deg").cast("bigint"),
+            "converged",
+        )
+        .orderBy("part_key")
+    )

@@ -160,3 +160,48 @@ def test_label_propagation_forms_multimember_communities(spark, sf_smoke):
     sizes = Counter(r["community"] for r in rows)
     assert len(sizes) > 1
     assert max(sizes.values()) > 1
+
+
+def test_kcore_peel_semantics_on_crafted_graph(spark, sf_smoke):
+    """On a triangle with a pendant chain, the 2-core is exactly the
+    triangle: the chain peels away even though its inner node starts
+    at degree 2 (degree within the SURVIVING set is what counts —
+    the property a single degree-filter pass gets wrong)."""
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    # reuse the query's peel by monkey-free construction: run the same
+    # rounds inline on a toy edge set
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], ["u", "v"]
+    )
+    sym = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    cur = None
+    for _ in range(4):
+        e = sym
+        if cur is not None:
+            e = e.join(
+                cur.select(F.col("u").alias("_a")),
+                F.col("u") == F.col("_a"),
+                "left_semi",
+            ).join(
+                cur.select(F.col("u").alias("_b")),
+                F.col("v") == F.col("_b"),
+                "left_semi",
+            )
+        deg = (
+            e.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= 2)
+        )
+        cur = deg.select("u")
+    assert {r.u for r in cur.collect()} == {1, 2, 3}
+
+    # and the registered query's converged flag is TRUE at this SF
+    rows = registry.QUERIES["kcore_membership"](spark, sf_smoke).collect()
+    assert rows and all(r.converged for r in rows)
+    assert all(r.core_deg >= 2 for r in rows)
