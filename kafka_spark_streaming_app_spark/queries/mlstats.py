@@ -2119,3 +2119,94 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+# --- inter-rater agreement (Cohen's kappa) ----------------------------------
+
+# Two deterministic "raters" over documents — a length-based and a
+# word-count-based quality judgment (stand-ins for two labeling
+# models): agreement beyond chance is what kappa measures, the
+# standard acceptance gate before trusting synthetic labels.
+_KAPPA_A = "n_chars >= 300"
+_KAPPA_B = "(length(text) - length(replace(text, ' ', ''))) >= 50"
+
+_KAPPA_ORACLE = f"""
+WITH r AS (
+    SELECT CASE WHEN {_KAPPA_A} THEN 1 ELSE 0 END AS a,
+           CASE WHEN {_KAPPA_B} THEN 1 ELSE 0 END AS b
+    FROM documents
+),
+c AS (
+    SELECT count(*) AS n,
+           sum(a * b) AS n11,
+           sum((1 - a) * (1 - b)) AS n00,
+           sum(a * (1 - b)) AS n10,
+           sum((1 - a) * b) AS n01,
+           sum(a) AS na, sum(b) AS nb
+    FROM r
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(n11 AS BIGINT) AS n_both_pos,
+       CAST(n00 AS BIGINT) AS n_both_neg,
+       CAST(n10 AS BIGINT) AS n_a_only,
+       CAST(n01 AS BIGINT) AS n_b_only,
+       round((CAST(n11 AS DOUBLE) + CAST(n00 AS DOUBLE))
+             / CAST(n AS DOUBLE), 6) AS po,
+       round((CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+              + (CAST(n AS DOUBLE) - CAST(na AS DOUBLE))
+                * (CAST(n AS DOUBLE) - CAST(nb AS DOUBLE)))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+       round(((CAST(n11 AS DOUBLE) + CAST(n00 AS DOUBLE))
+                  * CAST(n AS DOUBLE)
+              - (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                 + (CAST(n AS DOUBLE) - CAST(na AS DOUBLE))
+                   * (CAST(n AS DOUBLE) - CAST(nb AS DOUBLE))))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                - (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                   + (CAST(n AS DOUBLE) - CAST(na AS DOUBLE))
+                     * (CAST(n AS DOUBLE) - CAST(nb AS DOUBLE)))),
+             6) AS kappa
+FROM c
+"""
+
+
+@query("cohens_kappa", _KAPPA_ORACLE)
+def cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic raters (length-based
+    vs word-count-based quality judgments) — chance-corrected
+    agreement, the gate a labeling pipeline runs before trusting a
+    second annotator/model. ONE scan accumulates the full 2x2
+    confusion table as exact int64 sums; po/pe/kappa derive from
+    those counts with the identical double expression on both engines
+    (kappa algebraically rearranged to a single division:
+    (po·n² − pe·n²)/(n² − pe·n²) — every operand an exact integer
+    product cast to double, so no intermediate-rounding divergence).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    r = docs.select(
+        F.when(F.expr(_KAPPA_A), F.lit(1)).otherwise(F.lit(0)).alias("a"),
+        F.when(F.expr(_KAPPA_B), F.lit(1)).otherwise(F.lit(0)).alias("b"),
+    )
+    c = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("a") * F.col("b")).alias("n11"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).alias("n00"),
+        F.sum(F.col("a") * (1 - F.col("b"))).alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).alias("n01"),
+        F.sum("a").alias("na"),
+        F.sum("b").alias("nb"),
+    )
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    agree = d("n11") + d("n00")
+    chance = d("na") * d("nb") + (d("n") - d("na")) * (d("n") - d("nb"))
+    nn = d("n") * d("n")
+    return c.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n11").cast("bigint").alias("n_both_pos"),
+        F.col("n00").cast("bigint").alias("n_both_neg"),
+        F.col("n10").cast("bigint").alias("n_a_only"),
+        F.col("n01").cast("bigint").alias("n_b_only"),
+        F.round(agree / d("n"), 6).alias("po"),
+        F.round(chance / nn, 6).alias("pe"),
+        F.round((agree * d("n") - chance) / (nn - chance), 6).alias("kappa"),
+    )

@@ -137,3 +137,32 @@ def test_bootstrap_ci_brackets_the_mean(spark, sf_correctness):
     ).collect():
         assert r["boot_lo"] < r["boot_hi"], r
         assert r["boot_lo"] <= r["mean_price"] <= r["boot_hi"], r
+
+
+def test_cohens_kappa_matches_textbook_form(spark, sf_correctness):
+    """The query computes kappa in a single-division rearrangement
+    ((po - pe)·n²-scaled); it must agree with the textbook
+    (po − pe)/(1 − pe) computed independently from the confusion
+    counts — and with a direct recompute of the two raters in Python
+    over the raw fixture."""
+    import duckdb
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    [r] = registry.QUERIES["cohens_kappa"](spark, sf_correctness).collect()
+    n, n11, n00 = r.n, r.n_both_pos, r.n_both_neg
+    na = r.n_both_pos + r.n_a_only
+    nb = r.n_both_pos + r.n_b_only
+    po = (n11 + n00) / n
+    pe = (na * nb + (n - na) * (n - nb)) / (n * n)
+    assert abs(r.kappa - (po - pe) / (1 - pe)) < 1e-9
+    # independent rater recompute straight off the parquet
+    con = duckdb.connect()
+    df = con.sql(
+        f"SELECT text, n_chars FROM '{sf_correctness}/documents.parquet'"
+    ).df()
+    a = (df.n_chars >= 300).astype(int)
+    b = ((df.text.str.len() - df.text.str.replace(" ", "").str.len()) >= 50).astype(int)
+    assert int((a & b).sum()) == n11
+    assert int(((1 - a) & (1 - b)).sum()) == n00
