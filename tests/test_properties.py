@@ -156,7 +156,9 @@ def test_cohens_kappa_matches_textbook_form(spark, sf_correctness):
     nb = r.n_both_pos + r.n_b_only
     po = (n11 + n00) / n
     pe = (na * nb + (n - na) * (n - nb)) / (n * n)
-    assert abs(r.kappa - (po - pe) / (1 - pe)) < 1e-9
+    # query output is rounded to 6 decimals; the rearranged and
+    # textbook forms agree to well under that grain
+    assert abs(r.kappa - (po - pe) / (1 - pe)) < 1e-6
     # independent rater recompute straight off the parquet
     con = duckdb.connect()
     df = con.sql(
