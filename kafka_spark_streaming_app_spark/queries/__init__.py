@@ -43,4 +43,5 @@ from . import (  # noqa: F401
     layout,
     cdc,
     sampling,
+    evalmetrics,
 )

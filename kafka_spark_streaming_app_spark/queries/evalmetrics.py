@@ -1,0 +1,225 @@
+"""Classifier-evaluation metrics over the corpus quality filter —
+the acceptance harness a data pipeline runs before trusting a filter
+model to gate a 100 TB crawl: ROC-AUC (threshold-free ranking power),
+confusion/precision/recall/F1 at the deployed threshold, and a
+calibration table (does the score mean what it claims per bin).
+
+Joins the existing eval family (`ann_recall_eval`,
+`ranking_metrics_eval`, `cohens_kappa`): every metric reduces to
+exact integer sufficient statistics in ONE scan — AUC via doubled
+midranks (the `mann_whitney_u` trick: AUC = U/(n₁n₀)), F1 as a single
+division of counts — so the driver hash checks the metric arithmetic
+itself, not a tolerance band.
+
+Gold labels are the deterministic length-based judgment also used by
+`cohens_kappa` (n_chars >= 300): a stand-in for human labels that
+both engines derive identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.text import quality_score
+from ..registry import query
+from ..sources.batch import load_table
+from .corpus_prep import _QUALITY_ORACLE
+
+_GOLD = "n_chars >= 300"
+
+# quality_logit is the same double on both engines (linear expression
+# over identical operands); floor-scaling to 1e9 integers makes the
+# rank domain integer so midranks are exact
+_SCORE_INT = "CAST(floor(quality_logit * 1e9) AS BIGINT)"
+
+_AUC_ORACLE = (
+    "WITH q AS (" + _QUALITY_ORACLE + "),\n"
+    + f"""
+lab AS (
+    SELECT {_SCORE_INT} AS s,
+           CASE WHEN d.{_GOLD} THEN 1 ELSE 0 END AS y
+    FROM q JOIN documents d USING (doc_id)
+),
+h AS (
+    SELECT s, count(*) AS c, sum(y) AS c1
+    FROM lab GROUP BY s
+),
+cum AS (
+    SELECT s, c, c1,
+           sum(c) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum_c
+    FROM h
+),
+agg AS (
+    SELECT sum(c1 * (2 * cum_c - c + 1)) AS r1_doubled,
+           sum(c1) AS n1,
+           sum(c - c1) AS n0
+    FROM cum
+)
+SELECT CAST(n1 AS BIGINT) AS n_pos,
+       CAST(n0 AS BIGINT) AS n_neg,
+       CAST(r1_doubled - n1 * (n1 + 1) AS BIGINT) AS u_doubled,
+       round(CAST(r1_doubled - n1 * (n1 + 1) AS DOUBLE)
+             / CAST(2 * n1 * n0 AS DOUBLE), 6) AS auc
+FROM agg
+"""
+)
+
+
+@query("roc_auc_quality", _AUC_ORACLE)
+def roc_auc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the quality classifier's score against the gold
+    length label, computed as the Mann-Whitney statistic over a SCORE
+    HISTOGRAM: group by (floor-scaled integer) score once, cumulative
+    counts give every tied group its doubled midrank, and
+    AUC = (R₁ − n₁(n₁+1)/2)/(n₁n₀) emerges from pure int64 sums with
+    one final division. Never ranks row-by-row: the shuffle is
+    distinct-score-sized, so a 100 TB corpus with a few million
+    distinct quantized scores costs one small-key aggregation —
+    the `mann_whitney_u` histogram discipline applied to classifier
+    eval. Doubled midrank of a tied block ending at cumulative
+    position cum with c members is (2·cum − c + 1). (The fixture's
+    quality score is strongly ANTI-correlated with the length label —
+    AUC ≈ 0.08 at sf0.01; the direction is a property of the label
+    stand-in, the exact metric arithmetic is the deliverable.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score(docs).select("doc_id", "quality_logit")
+    lab = q.join(docs.select("doc_id", "n_chars"), "doc_id").select(
+        F.expr(_SCORE_INT).alias("s"),
+        F.when(F.expr(_GOLD), F.lit(1)).otherwise(F.lit(0)).alias("y"),
+    )
+    h = lab.groupBy("s").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("y").alias("c1")
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    cum = h.select(
+        "c", "c1", F.sum("c").over(w).alias("cum_c")
+    )
+    agg = cum.agg(
+        F.sum(F.col("c1") * (2 * F.col("cum_c") - F.col("c") + 1)).alias(
+            "r1_doubled"
+        ),
+        F.sum("c1").alias("n1"),
+        F.sum(F.col("c") - F.col("c1")).alias("n0"),
+    )
+    u = F.col("r1_doubled") - F.col("n1") * (F.col("n1") + 1)
+    return agg.select(
+        F.col("n1").cast("bigint").alias("n_pos"),
+        F.col("n0").cast("bigint").alias("n_neg"),
+        u.cast("bigint").alias("u_doubled"),
+        F.round(
+            u.cast("double")
+            / (2 * F.col("n1") * F.col("n0")).cast("double"),
+            6,
+        ).alias("auc"),
+    )
+
+
+_CONF_ORACLE = (
+    "WITH q AS (" + _QUALITY_ORACLE + "),\n"
+    + f"""
+lab AS (
+    SELECT CASE WHEN q.keep THEN 1 ELSE 0 END AS p,
+           CASE WHEN d.{_GOLD} THEN 1 ELSE 0 END AS y
+    FROM q JOIN documents d USING (doc_id)
+),
+c AS (
+    SELECT sum(p * y) AS tp, sum(p * (1 - y)) AS fp,
+           sum((1 - p) * y) AS fn, sum((1 - p) * (1 - y)) AS tn
+    FROM lab
+)
+SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+       round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6)
+           AS precision_,
+       round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) AS recall_,
+       round(CAST(2 * tp AS DOUBLE)
+             / CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f1
+FROM c
+"""
+)
+
+
+@query("classifier_confusion_f1", _CONF_ORACLE)
+def classifier_confusion_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix + precision/recall/F1 of the deployed
+    keep-threshold against the gold label: four int64 sums in one
+    scan, each metric one division (F1 in its 2TP/(2TP+FP+FN) form —
+    no intermediate precision·recall product to round)."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score(docs).select("doc_id", "keep")
+    lab = q.join(docs.select("doc_id", "n_chars"), "doc_id").select(
+        F.when(F.col("keep"), F.lit(1)).otherwise(F.lit(0)).alias("p"),
+        F.when(F.expr(_GOLD), F.lit(1)).otherwise(F.lit(0)).alias("y"),
+    )
+    c = lab.agg(
+        F.sum(F.col("p") * F.col("y")).alias("tp"),
+        F.sum(F.col("p") * (1 - F.col("y"))).alias("fp"),
+        F.sum((1 - F.col("p")) * F.col("y")).alias("fn"),
+        F.sum((1 - F.col("p")) * (1 - F.col("y"))).alias("tn"),
+    )
+    d = lambda c_: F.col(c_).cast("double")  # noqa: E731
+    return c.select(
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        F.col("tn").cast("bigint").alias("tn"),
+        F.round(d("tp") / (d("tp") + d("fp")), 6).alias("precision_"),
+        F.round(d("tp") / (d("tp") + d("fn")), 6).alias("recall_"),
+        F.round(
+            (2 * d("tp")) / (2 * d("tp") + d("fp") + d("fn")), 6
+        ).alias("f1"),
+    )
+
+
+# calibration: fixed-width logit bins (quarter-logit), per-bin
+# positive rate vs mean score — integer bin keys, exact counts, two
+# final divisions
+_CAL_ORACLE = (
+    "WITH q AS (" + _QUALITY_ORACLE + "),\n"
+    + f"""
+lab AS (
+    SELECT CAST(floor(q.quality_logit * 4) AS BIGINT) AS bin,
+           {_SCORE_INT} AS s,
+           CASE WHEN d.{_GOLD} THEN 1 ELSE 0 END AS y
+    FROM q JOIN documents d USING (doc_id)
+)
+SELECT bin,
+       count(*) AS n,
+       CAST(sum(y) AS BIGINT) AS n_pos,
+       round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS frac_pos,
+       round(CAST(sum(s) AS DOUBLE) / 1e9 / count(*), 6)
+           AS mean_score
+FROM lab GROUP BY bin ORDER BY bin
+"""
+)
+
+
+@query("calibration_bins", _CAL_ORACLE)
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table: quarter-logit score bins × (empirical
+    positive rate, mean score) — the calibration check run before a
+    score threshold is treated as a probability. Bin keys and score
+    sums are exact integers; the two ratios are final divisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score(docs).select("doc_id", "quality_logit")
+    lab = q.join(docs.select("doc_id", "n_chars"), "doc_id").select(
+        F.floor(F.col("quality_logit") * 4).cast("bigint").alias("bin"),
+        F.expr(_SCORE_INT).alias("s"),
+        F.when(F.expr(_GOLD), F.lit(1)).otherwise(F.lit(0)).alias("y"),
+    )
+    return (
+        lab.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+            F.round(
+                F.sum("y").cast("double") / F.count(F.lit(1)), 6
+            ).alias("frac_pos"),
+            F.round(
+                F.sum("s").cast("double") / F.lit(1e9) / F.count(F.lit(1)),
+                6,
+            ).alias("mean_score"),
+        )
+        .orderBy("bin")
+    )

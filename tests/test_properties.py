@@ -168,3 +168,32 @@ def test_cohens_kappa_matches_textbook_form(spark, sf_correctness):
     b = ((df.text.str.len() - df.text.str.replace(" ", "").str.len()) >= 50).astype(int)
     assert int((a & b).sum()) == n11
     assert int(((1 - a) & (1 - b)).sum()) == n00
+
+
+def test_roc_auc_matches_pairwise_definition(spark, sf_smoke):
+    """AUC from the histogram/midrank dataflow must equal the
+    pairwise definition P(score_pos > score_neg) + 0.5·P(tie),
+    computed directly in Python over the collected scores."""
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    [r] = registry.QUERIES["roc_auc_quality"](spark, sf_smoke).collect()
+    from kafka_spark_streaming_app_spark.operators.text import quality_score
+    from kafka_spark_streaming_app_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    rows = (
+        quality_score(docs)
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .select("quality_logit", "n_chars")
+        .collect()
+    )
+    import math
+
+    pos = [math.floor(x.quality_logit * 1e9) for x in rows if x.n_chars >= 300]
+    neg = [math.floor(x.quality_logit * 1e9) for x in rows if x.n_chars < 300]
+    num = sum(
+        2 if p > n_ else (1 if p == n_ else 0) for p in pos for n_ in neg
+    )
+    assert r.n_pos == len(pos) and r.n_neg == len(neg)
+    assert r.auc == round(num / (2 * len(pos) * len(neg)), 6)
