@@ -2210,3 +2210,116 @@ def cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chance / nn, 6).alias("pe"),
         F.round((agree * d("n") - chance) / (nn - chance), 6).alias("kappa"),
     )
+
+
+# --- Spearman rank correlation ----------------------------------------------
+
+# Midranks come from VALUE HISTOGRAMS (the mann_whitney_u discipline):
+# group by value, cumulative counts assign every tied block its exact
+# doubled midrank (2·cum − c + 1), rows join their value's midrank
+# back — never a per-row global rank. Quantity has 50 distinct values
+# (broadcast); price ranks join on exact integer cents. Power sums
+# accumulate in DECIMAL(38,0) (doubled midranks reach ~2n, their
+# products overflow int64 past sf0.01) and the Pearson-over-ranks
+# formula combines them in DOUBLE with one division — identical
+# IEEE ops from identical exact operands on both engines.
+_SPEARMAN_ORACLE = """
+WITH t AS (
+    SELECT l_quantity AS qv,
+           CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS pc
+    FROM lineitem
+),
+qh AS (SELECT qv, count(*) AS c FROM t GROUP BY qv),
+qr AS (
+    SELECT qv, 2 * sum(c) OVER (ORDER BY qv ROWS UNBOUNDED PRECEDING)
+               - c + 1 AS dmr_q
+    FROM qh
+),
+ph AS (SELECT pc, count(*) AS c FROM t GROUP BY pc),
+pr AS (
+    SELECT pc, 2 * sum(c) OVER (ORDER BY pc ROWS UNBOUNDED PRECEDING)
+               - c + 1 AS dmr_p
+    FROM ph
+),
+rr AS (
+    SELECT qr.dmr_q AS x, pr.dmr_p AS y
+    FROM t JOIN qr USING (qv) JOIN pr USING (pc)
+),
+s AS (
+    SELECT count(*) AS n,
+           CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(x AS DECIMAL(38,0))
+                    * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS sxy,
+           CAST(sum(CAST(x AS DECIMAL(38,0))
+                    * CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(y AS DECIMAL(38,0))
+                    * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS syy
+    FROM rr
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+             6) AS spearman_rho
+FROM s
+"""
+
+
+@query("spearman_correlation", _SPEARMAN_ORACLE)
+def spearman_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and extended price
+    over lineitem — the robust, tie-aware sibling of
+    `correlation_matrix`'s Pearson entries. Ranks are exact doubled
+    midranks from two value histograms (50-value quantity histogram
+    broadcasts; price ranks equi-join on integer cents), so no global
+    per-row sort exists anywhere in the plan; the five power sums
+    accumulate in one scan over the rank-joined rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.col("l_quantity").alias("qv"),
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("bigint")
+        .alias("pc"),
+    )
+    w_q = Window.orderBy("qv").rowsBetween(Window.unboundedPreceding, 0)
+    qr = (
+        t.groupBy("qv")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "qv",
+            (2 * F.sum("c").over(w_q) - F.col("c") + 1).alias("dmr_q"),
+        )
+    )
+    w_p = Window.orderBy("pc").rowsBetween(Window.unboundedPreceding, 0)
+    pr = (
+        t.groupBy("pc")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "pc",
+            (2 * F.sum("c").over(w_p) - F.col("c") + 1).alias("dmr_p"),
+        )
+    )
+    rr = (
+        t.join(F.broadcast(qr), "qv")
+        .join(pr, "pc")
+        .select(F.col("dmr_q").alias("x"), F.col("dmr_p").alias("y"))
+    )
+    dec38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    dec19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    s = rr.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec38("x")).cast("double").alias("sx"),
+        F.sum(dec38("y")).cast("double").alias("sy"),
+        F.sum(dec38("x") * dec19("y")).cast("double").alias("sxy"),
+        F.sum(dec38("x") * dec19("x")).cast("double").alias("sxx"),
+        F.sum(dec38("y") * dec19("y")).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        n * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(num / den, 6).alias("spearman_rho"),
+    )

@@ -197,3 +197,28 @@ def test_roc_auc_matches_pairwise_definition(spark, sf_smoke):
     )
     assert r.n_pos == len(pos) and r.n_neg == len(neg)
     assert r.auc == round(num / (2 * len(pos) * len(neg)), 6)
+
+
+def test_spearman_matches_pandas(spark, sf_smoke):
+    """spearman_correlation must match pandas' tie-aware Spearman on
+    the same (quantity, integer-cents price) pairs to the query's
+    6-decimal grain — an independent implementation, not a
+    same-formula mirror."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    [r] = registry.QUERIES["spearman_correlation"](spark, sf_smoke).collect()
+    li = pd.read_parquet(f"{sf_smoke}/lineitem.parquet")
+    q = li["l_quantity"]
+    p = np.round(li["l_extendedprice"] * 100).astype("int64")
+    # pandas .corr(method='spearman') needs scipy (absent here);
+    # pandas' tie-aware midrank + numpy Pearson is the same statistic
+    # through an independent implementation
+    rq = q.rank(method="average").to_numpy()
+    rp = p.rank(method="average").to_numpy()
+    want = np.corrcoef(rq, rp)[0, 1]
+    assert r.n == len(li)
+    assert abs(r.spearman_rho - want) < 1e-6
