@@ -1790,3 +1790,88 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part_key")
     )
+
+
+# --- item-item collaborative filtering (cosine over co-occurrence) ----------
+
+_ITEMSIM_ORACLE = f"""
+WITH {_EDGE_CTE},
+deg AS (
+    SELECT l_partkey AS item, count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem GROUP BY l_partkey
+),
+sym AS (
+    SELECT u AS item, v AS other, support FROM e0
+    UNION ALL
+    SELECT v AS item, u AS other, support FROM e0
+),
+scored AS (
+    SELECT s.item, s.other, s.support,
+           round(CAST(s.support AS DOUBLE)
+                 / sqrt(CAST(a.n_orders * b.n_orders AS DOUBLE)), 6)
+               AS cosine
+    FROM sym s
+    JOIN deg a ON s.item = a.item
+    JOIN deg b ON s.other = b.item
+)
+SELECT item, other, CAST(support AS BIGINT) AS support, cosine, rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY item
+                                 ORDER BY cosine DESC, other) AS rank
+    FROM scored
+) WHERE rank <= 3
+ORDER BY item, rank
+"""
+
+
+@query("item_item_cosine", _ITEMSIM_ORACLE)
+def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: cosine similarity over the
+    order/item co-occurrence matrix — sim(i,j) = c_ij/√(c_i·c_j) with
+    c_ij the co-purchase support (shared edge builder, fan-out
+    bounded by order size) and c_i each item's distinct-order count —
+    then top-3 neighbors per item, the precomputed neighbor table a
+    'customers also bought' service serves. Exact: integer support,
+    one IEEE sqrt of an integer product, one division; the rank<=3
+    literal runs as WindowGroupLimit so no full per-item sort of the
+    neighbor lists. At 100 TB the co-occurrence matrix is the bounded
+    object (order-size² per order), the degree table joins by item
+    key, and hot boilerplate items get the same upstream cap as every
+    pairing family here."""
+    li = load_table(spark, sf_dir, "lineitem")
+    deg = li.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count_distinct("l_orderkey").alias("n_orders")
+    )
+    e0 = _copurchase_edges(spark, sf_dir)
+    sym = e0.select(
+        F.col("u").alias("item"), F.col("v").alias("other"), "support"
+    ).unionAll(
+        e0.select(
+            F.col("v").alias("item"), F.col("u").alias("other"), "support"
+        )
+    )
+    a = deg.select(F.col("item").alias("a_item"), F.col("n_orders").alias("a_n"))
+    b = deg.select(F.col("item").alias("b_item"), F.col("n_orders").alias("b_n"))
+    scored = (
+        sym.join(a, F.col("item") == F.col("a_item"))
+        .join(b, F.col("other") == F.col("b_item"))
+        .select(
+            "item",
+            "other",
+            "support",
+            F.round(
+                F.col("support").cast("double")
+                / F.sqrt((F.col("a_n") * F.col("b_n")).cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.desc("cosine"), F.asc("other"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "item", "other", F.col("support").cast("bigint"), "cosine", "rank"
+        )
+        .orderBy("item", "rank")
+    )

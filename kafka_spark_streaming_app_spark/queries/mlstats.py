@@ -2323,3 +2323,102 @@ def spearman_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.round(num / den, 6).alias("spearman_rho"),
     )
+
+
+# --- CUSUM changepoint detection --------------------------------------------
+
+# Division-free CUSUM: the classic statistic S_t = Σ_{i<=t}(x_i − x̄)
+# scaled by n becomes S'_t = n·(Σ_{i<=t} x_i) − t·(Σ x) — pure int64
+# over integer cents (n·prefix ≤ 3e3·1e13 at sf100, far inside
+# int64 for day-level series), so argmax |S'_t| is engine-exact with
+# no mean rounding anywhere. Day-level cardinality: the ordered
+# window and the argmax run over ~2.4k rows regardless of fact size.
+_CUSUM_ORACLE = """
+WITH daily AS (
+    SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+    FROM orders
+    GROUP BY date_trunc('day', o_orderdate)
+),
+tot AS (SELECT count(*) AS n, sum(rev_cents) AS s FROM daily),
+cum AS (
+    SELECT day, rev_cents,
+           row_number() OVER (ORDER BY day) AS t,
+           sum(rev_cents) OVER (ORDER BY day
+                                ROWS UNBOUNDED PRECEDING) AS pref
+    FROM daily
+),
+scored AS (
+    SELECT day, rev_cents, t,
+           CAST(tot.n * cum.pref - cum.t * tot.s AS BIGINT)
+               AS cusum_scaled
+    FROM cum, tot
+),
+best AS (
+    SELECT day AS cp_day FROM scored
+    ORDER BY abs(cusum_scaled) DESC, day ASC LIMIT 1
+)
+SELECT CAST(s.day AS TIMESTAMP) AS day,
+       s.rev_cents,
+       s.cusum_scaled,
+       s.day = best.cp_day AS is_changepoint
+FROM scored s, best
+ORDER BY s.day
+"""
+
+
+@query("cusum_changepoint", _CUSUM_ORACLE)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM changepoint over daily revenue: the day where
+    the cumulative deviation from the series mean peaks — the
+    level-shift detector a data-quality monitor runs over ingestion
+    volume (the drift-monitor family's time-domain member, beside
+    PSI's distribution-domain shift). The statistic is rescaled by n
+    to stay in pure int64 (n·prefix − t·total), so the argmax is
+    exact — no mean division, no float accumulation; at any fact
+    scale the series is day-cardinality and the heavy work is the
+    one groupBy producing it."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("rev_cents").alias("s")
+    )
+    w_ord = Window.orderBy("day")
+    cum = daily.select(
+        "day",
+        "rev_cents",
+        F.row_number().over(w_ord).alias("t"),
+        F.sum("rev_cents")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("pref"),
+    )
+    scored = cum.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "rev_cents",
+        "t",
+        (F.col("n") * F.col("pref") - F.col("t") * F.col("s"))
+        .cast("bigint")
+        .alias("cusum_scaled"),
+    )
+    best = (
+        scored.orderBy(F.abs(F.col("cusum_scaled")).desc(), F.col("day").asc())
+        .limit(1)
+        .select(F.col("day").alias("cp_day"))
+    )
+    return (
+        scored.crossJoin(F.broadcast(best))
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "rev_cents",
+            "cusum_scaled",
+            (F.col("day") == F.col("cp_day")).alias("is_changepoint"),
+        )
+        .orderBy("day")
+    )
