@@ -2422,3 +2422,144 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --- log-rank test (two-group survival comparison) --------------------------
+
+# Per-event-time terms E1_t = d_t·n1_t/n_t and the hypergeometric
+# variance are rationals with per-time denominators; they go through
+# the KM floor-quantized discipline (identical expression TEXT on
+# both engines → identical doubles → identical floor quanta), summed
+# exactly in DECIMAL(38,0). Group = the earlier order's priority
+# (urgent/high vs rest), event = the inter-order gap.
+_LOGRANK_E1 = "CAST(floor(1e9 * d * n1 / n) AS BIGINT)"
+_LOGRANK_V = (
+    "CAST(floor(1e9 * d * n1 * (n - n1) * (n - d)"
+    " / (n * n * (n - 1))) AS BIGINT)"
+)
+
+_LOGRANK_ORACLE = f"""
+WITH gaps AS (
+    SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END AS grp,
+           date_diff('day', o_orderdate,
+                     lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                             ORDER BY o_orderdate, o_orderkey))
+               AS gap_days
+    FROM orders
+),
+ev AS (
+    SELECT grp, CAST(gap_days AS BIGINT) AS t
+    FROM gaps WHERE gap_days IS NOT NULL
+),
+hist AS (
+    SELECT t, count(*) AS d, sum(grp) AS d1
+    FROM ev GROUP BY t
+),
+tot AS (
+    SELECT CAST(sum(d) AS BIGINT) AS n_all,
+           CAST(sum(d1) AS BIGINT) AS n1_all
+    FROM hist
+),
+risk AS (
+    SELECT t, d, d1,
+           tot.n_all - CAST(coalesce(sum(d) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS n,
+           tot.n1_all - CAST(coalesce(sum(d1) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS n1
+    FROM hist, tot
+),
+terms AS (
+    SELECT d, d1, n, n1,
+           {_LOGRANK_E1} AS e1_q,
+           CASE WHEN n > 1 THEN {_LOGRANK_V} ELSE 0 END AS v_q
+    FROM risk
+),
+s AS (
+    SELECT CAST(sum(CAST(d1 AS DECIMAL(38,0))) AS BIGINT) AS o1,
+           CAST(sum(CAST(e1_q AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS e1_qs,
+           CAST(sum(CAST(v_q AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS v_qs
+    FROM terms
+)
+SELECT o1 AS observed_1,
+       CAST(e1_qs AS BIGINT) AS expected_1_q,
+       CAST(v_qs AS BIGINT) AS variance_q,
+       round((CAST(o1 AS DOUBLE) - CAST(e1_qs AS DOUBLE) / 1e9)
+             * (CAST(o1 AS DOUBLE) - CAST(e1_qs AS DOUBLE) / 1e9)
+             / (CAST(v_qs AS DOUBLE) / 1e9), 6) AS chi2
+FROM s
+"""
+
+
+@query("logrank_test", _LOGRANK_ORACLE)
+def logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test: do urgent-priority customers reorder on a
+    different time curve than the rest? Completes the survival family
+    (`km_survival_gaps` estimates ONE curve; this compares TWO): at
+    each distinct gap length, observed group-1 events vs the
+    hypergeometric expectation given the at-risk split, χ² =
+    (O₁−E₁)²/V. Event times collapse to a day-level histogram first
+    (cumulative at-risk scans run over distinct gap values, not
+    rows); per-time rational terms are floor-quantized at 1e-9
+    through expression text shared verbatim with the oracle and
+    summed in DECIMAL(38,0). Same libm-free guarantee as KM: the only
+    nonexact steps are IEEE divisions on identical doubles."""
+    orders = load_table(spark, sf_dir, "orders")
+    wg = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("grp"),
+        F.datediff(F.lead("o_orderdate").over(wg), F.col("o_orderdate"))
+        .cast("bigint")
+        .alias("t"),
+    ).filter(F.col("t").isNotNull())
+    hist = (
+        gaps.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("d"), F.sum("grp").alias("d1"))
+        .localCheckpoint(eager=False)
+    )
+    tot = hist.agg(
+        F.sum("d").cast("bigint").alias("n_all"),
+        F.sum("d1").cast("bigint").alias("n1_all"),
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = hist.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        "d1",
+        (
+            F.col("n_all")
+            - F.coalesce(F.sum("d").over(w_prev), F.lit(0)).cast("bigint")
+        ).alias("n"),
+        (
+            F.col("n1_all")
+            - F.coalesce(F.sum("d1").over(w_prev), F.lit(0)).cast("bigint")
+        ).alias("n1"),
+    )
+    terms = risk.select(
+        "d",
+        "d1",
+        F.expr(_LOGRANK_E1).alias("e1_q"),
+        F.when(F.col("n") > 1, F.expr(_LOGRANK_V))
+        .otherwise(F.lit(0))
+        .alias("v_q"),
+    )
+    s = terms.agg(
+        F.sum(F.col("d1").cast("decimal(38,0)")).cast("bigint").alias("o1"),
+        F.sum(F.col("e1_q").cast("decimal(38,0)")).alias("e1_qs"),
+        F.sum(F.col("v_q").cast("decimal(38,0)")).alias("v_qs"),
+    )
+    diff = F.col("o1").cast("double") - F.col("e1_qs").cast("double") / 1e9
+    return s.select(
+        F.col("o1").alias("observed_1"),
+        F.col("e1_qs").cast("bigint").alias("expected_1_q"),
+        F.col("v_qs").cast("bigint").alias("variance_q"),
+        F.round(
+            diff * diff / (F.col("v_qs").cast("double") / 1e9), 6
+        ).alias("chi2"),
+    )
