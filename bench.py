@@ -149,6 +149,18 @@ HEADLINE = [
     "multimodal_audio_fingerprint_dedup",
     "embedding_centroid_drift",
     "rolling_quantile_window",
+    # round-5: sampling, eval metrics, graph/survival/recommender
+    # additions, and the bucket-partitioned streaming materialized view
+    "reservoir_sample_exact",
+    "stratified_sample_neyman",
+    "ranking_metrics_eval",
+    "roc_auc_quality",
+    "spearman_correlation",
+    "kcore_membership",
+    "item_item_cosine",
+    "logrank_test",
+    "cusum_changepoint",
+    "streaming_matview_join",
 ]
 
 
