@@ -1019,3 +1019,96 @@ def hamming_band_pairs(
         .filter(F.col("hamming") <= radius)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def synthesize_vfp_media(documents: DataFrame) -> DataFrame:
+    """Paired near-duplicate Y4M fixture for video-fingerprint dedup:
+    doc_ids 2m and 2m+1 carry the SAME closed-form 8x8 mono clip
+
+        pair = doc_id // 2,
+        n_frames = pair % 24 + 40,
+        luma(f, y, x) = (pair * 31 + f * 7 + y * 3 + x) % 254
+
+    except the odd member brightens every 11th frame by +1 — the
+    're-encoded with a flash frame' case a temporal fingerprint must
+    still match (modulus 254 keeps the +1 below the uint8 clamp, so
+    the closed form needs no LEAST). Real encode_y4m bytes, so the
+    hash stage exercises the real Cmono decoder."""
+    from .avcodec import encode_y4m
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                pair = d // 2
+                n = pair % 24 + 40
+                f = np.arange(n)[:, None, None]
+                y = np.arange(8)[None, :, None]
+                x = np.arange(8)[None, None, :]
+                luma = (pair * 31 + f * 7 + y * 3 + x) % 254
+                if d % 2 == 1:
+                    luma = luma + (f % 11 == 0).astype(np.int64)
+                rows.append(
+                    {
+                        "media_id": d,
+                        "payload": encode_y4m(luma.astype(np.uint8)),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return documents.select("doc_id").mapInPandas(
+        render, schema=AUDIO_MEDIA_SCHEMA
+    )
+
+
+def video_fingerprint_bands(media: DataFrame) -> DataFrame:
+    """64-bit temporal-luminance fingerprint per clip through the
+    REAL Y4M decoder: frames are partitioned into 64 contiguous
+    temporal buckets (frame f -> bucket f*64//n), and bit b is set
+    iff bucket b's total luminance exceeds the clip's mean bucket
+    luminance — exact integer cross-multiplication lum_b * n_buckets'
+    ... same comparison discipline as :func:`ahash_bands` /
+    :func:`audio_fingerprint_bands` (lum_b * n > total * nf), so any
+    engine reproduces the bits. Returned as four 16-bit bands for the
+    pigeonhole-complete Hamming-3 band join — the dedup family's
+    fifth modality (text, embeddings, image, audio, video)."""
+    from .avcodec import decode_y4m
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames, _ = decode_y4m(bytes(payload))
+                n = frames.shape[0]
+                fsum = frames.reshape(n, -1).sum(axis=1).astype(np.int64)
+                b = (np.arange(n) * 64) // n
+                lb = np.bincount(b, weights=fsum, minlength=64).astype(
+                    np.int64
+                )
+                nb = np.bincount(b, minlength=64)
+                total = int(lb.sum())
+                bits = (lb * n) > (total * nb)
+                bands = [0, 0, 0, 0]
+                for idx in np.nonzero(bits)[0]:
+                    bands[idx // 16] |= 1 << (int(idx) % 16)
+                rows.append(
+                    {
+                        "media_id": int(media_id),
+                        "b0": bands[0],
+                        "b1": bands[1],
+                        "b2": bands[2],
+                        "b3": bands[3],
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "b0", "b1", "b2", "b3"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        fp, schema=AHASH_BANDS_SCHEMA
+    )

@@ -543,3 +543,82 @@ def multimodal_audio_fingerprint_dedup(
         synthesize_afp_media(load_table(spark, sf_dir, "documents"))
     )
     return hamming_band_pairs(bands, radius=3)
+
+
+# Video-fingerprint oracle: recompute every frame's total luminance
+# from the closed form (8x8 mono, modulus 254 so the odd member's +1
+# flash-frame nudge never clamps), derive the 64-bucket temporal
+# fingerprint with the same exact integer comparison, and enumerate
+# the Hamming<=3 pair set through the identical band join.
+_VFP_ORACLE = """
+WITH p AS (
+    SELECT doc_id,
+           doc_id // 2 AS pair,
+           (doc_id // 2) % 24 + 40 AS n
+    FROM documents
+),
+fs AS (
+    SELECT doc_id, n, f.f AS f,
+           sum((pair * 31 + f.f * 7 + y.y * 3 + x.x) % 254
+               + CASE WHEN doc_id % 2 = 1 AND f.f % 11 = 0
+                      THEN 1 ELSE 0 END) AS fsum
+    FROM p,
+         LATERAL (SELECT unnest(range(0, n)) AS f) f,
+         LATERAL (SELECT unnest(range(0, 8)) AS y) y,
+         LATERAL (SELECT unnest(range(0, 8)) AS x) x
+    GROUP BY doc_id, n, f.f
+),
+b AS (
+    SELECT doc_id, n, (f * 64) // n AS bkt,
+           sum(fsum) AS lb, count(*) AS nb
+    FROM fs GROUP BY doc_id, n, (f * 64) // n
+),
+tot AS (SELECT doc_id, sum(lb) AS total FROM b GROUP BY doc_id),
+bits AS (
+    SELECT b.doc_id, b.bkt,
+           CASE WHEN b.lb * b.n > t.total * b.nb THEN 1 ELSE 0 END AS bit
+    FROM b JOIN tot t USING (doc_id)
+),
+bands AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN bkt // 16 = 0 THEN bit * (1 << (bkt % 16)) ELSE 0 END) AS BIGINT) AS b0,
+           CAST(sum(CASE WHEN bkt // 16 = 1 THEN bit * (1 << (bkt % 16)) ELSE 0 END) AS BIGINT) AS b1,
+           CAST(sum(CASE WHEN bkt // 16 = 2 THEN bit * (1 << (bkt % 16)) ELSE 0 END) AS BIGINT) AS b2,
+           CAST(sum(CASE WHEN bkt // 16 = 3 THEN bit * (1 << (bkt % 16)) ELSE 0 END) AS BIGINT) AS b3
+    FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+          + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+            AS INTEGER) AS hamming
+FROM bands a JOIN bands b
+  ON a.doc_id < b.doc_id
+ AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+"""
+
+
+@query("multimodal_video_fingerprint_dedup", _VFP_ORACLE)
+def multimodal_video_fingerprint_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-duplicate video detection end-to-end through the REAL Y4M
+    decoder: decode -> 64-bucket temporal-luminance fingerprint
+    (exact integer threshold,
+    operators/multimodal.py:video_fingerprint_bands) -> the shared
+    pigeonhole-complete Hamming-band join (with its hot-band cap
+    available for degenerate corpora) — the dedup family's FIFTH
+    modality: text shingles, embeddings, images, audio, and now
+    video. Planted pairs: docs 2m / 2m+1 are the same clip up to a
+    +1 flash on every 11th frame."""
+    from ..operators.multimodal import (
+        hamming_band_pairs,
+        synthesize_vfp_media,
+        video_fingerprint_bands,
+    )
+
+    bands = video_fingerprint_bands(
+        synthesize_vfp_media(load_table(spark, sf_dir, "documents"))
+    )
+    return hamming_band_pairs(bands, radius=3)

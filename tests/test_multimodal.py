@@ -591,3 +591,38 @@ def test_hamming_band_cap_bounds_planted_skew(spark):
     # contrast: uncapped, the hot cluster is quadratic
     uncapped = hamming_band_pairs(bands, radius=3)
     assert uncapped.count() >= 19900
+
+
+def test_video_fingerprint_banding_complete_and_pairs_planted(spark, sf_smoke):
+    """Video fingerprint: the band join must equal brute-force
+    all-pairs Hamming<=3 over the same fingerprint table, and the
+    planted (2m, 2m+1) near-dup pairs must be found (the +1 flash on
+    every 11th frame barely moves bucket luminance vs the mean)."""
+    from itertools import combinations
+
+    from kafka_spark_streaming_app_spark.operators.multimodal import (
+        hamming_band_pairs,
+        synthesize_vfp_media,
+        video_fingerprint_bands,
+    )
+    from kafka_spark_streaming_app_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").limit(80)
+    bands_df = video_fingerprint_bands(synthesize_vfp_media(docs))
+    bands = {
+        r["media_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+        for r in bands_df.collect()
+    }
+    expected = set()
+    for a, b in combinations(sorted(bands), 2):
+        ham = sum(bin(x ^ y).count("1") for x, y in zip(bands[a], bands[b]))
+        if ham <= 3:
+            expected.add((a, b, ham))
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_band_pairs(bands_df, radius=3).collect()
+    }
+    assert got == expected
+    planted = {(2 * m, 2 * m + 1) for m in range(40) if 2 * m + 1 in bands}
+    found = {(a, b) for a, b, _ in got}
+    assert planted <= found
