@@ -1839,10 +1839,15 @@ def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, and hot boilerplate items get the same upstream cap as every
     pairing family here."""
     li = load_table(spark, sf_dir, "lineitem")
-    deg = li.groupBy(F.col("l_partkey").alias("item")).agg(
-        F.count_distinct("l_orderkey").alias("n_orders")
+    # deg feeds both sides of the similarity join and e0 both halves
+    # of sym — barrier each so the scan+agg subtrees run once (the
+    # measured N-references = N-scans hazard)
+    deg = (
+        li.groupBy(F.col("l_partkey").alias("item"))
+        .agg(F.count_distinct("l_orderkey").alias("n_orders"))
+        .localCheckpoint(eager=False)
     )
-    e0 = _copurchase_edges(spark, sf_dir)
+    e0 = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     sym = e0.select(
         F.col("u").alias("item"), F.col("v").alias("other"), "support"
     ).unionAll(

@@ -2275,12 +2275,14 @@ def spearman_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row sort exists anywhere in the plan; the five power sums
     accumulate in one scan over the rank-joined rows."""
     li = load_table(spark, sf_dir, "lineitem")
+    # t feeds both histograms and the rank join — barrier it so the
+    # fact scan runs once instead of three times
     t = li.select(
         F.col("l_quantity").alias("qv"),
         F.round(F.col("l_extendedprice") * 100, 0)
         .cast("bigint")
         .alias("pc"),
-    )
+    ).localCheckpoint(eager=False)
     w_q = Window.orderBy("qv").rowsBetween(Window.unboundedPreceding, 0)
     qr = (
         t.groupBy("qv")
@@ -2386,7 +2388,7 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
         .cast("bigint")
         .alias("rev_cents")
-    )
+    ).localCheckpoint(eager=False)  # feeds tot AND cum: one scan+agg
     tot = daily.agg(
         F.count(F.lit(1)).alias("n"), F.sum("rev_cents").alias("s")
     )

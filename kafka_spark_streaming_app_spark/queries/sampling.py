@@ -72,7 +72,6 @@ def reservoir_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STRAT_K = 200
-_NCHARS_CAP = 100_000  # n_chars ≤ 1e5 keeps n·Σx² ≤ 6e17·n inside int64
 
 # Neyman allocation n_h ∝ N_h·σ_h, integer-exact largest-remainder
 # rounding. σ_h uses the exact integer power sums (Σx, Σx²) per
@@ -157,13 +156,15 @@ def stratified_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         - (F.col("sx") / F.col("n_h")) * (F.col("sx") / F.col("n_h")),
         F.lit(0.0),
     )
+    # w is stratum-cardinality-sized but feeds tot, base, leftover and
+    # alloc — barrier it so the corpus power-sum aggregation runs once
     w = s.select(
         "lang",
         "n_h",
         F.floor(F.col("n_h") * F.sqrt(var) * F.lit(1e6))
         .cast("bigint")
         .alias("wt"),
-    )
+    ).localCheckpoint(eager=False)
     tot = w.agg(F.sum("wt").alias("wsum"))
     base = w.crossJoin(F.broadcast(tot)).select(
         "lang",

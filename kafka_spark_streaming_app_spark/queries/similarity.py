@@ -847,7 +847,12 @@ def ranking_metrics_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs over a sampled query set; both underlying pipelines keep
     their own scale postures."""
     brute = similarity_topk_brute(spark, sf_dir).filter(F.col("rank") <= 5)
-    truth = brute.select("query_id", "corpus_id")
+    # truth feeds both the per-query totals and the relevance join —
+    # barrier it so the brute-force pipeline (corpus x queries scoring)
+    # runs once
+    truth = brute.select("query_id", "corpus_id").localCheckpoint(
+        eager=False
+    )
     t_n = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_truth"))
     ann = (
         similarity_ann_srp_lsh(spark, sf_dir)

@@ -297,3 +297,37 @@ def test_semantic_dedup_corpus_sized_k_on_tiny_corpus(spark):
     out = semantic_dedup(emb, dim=4, iters=1, cluster_budget=1000)
     assert out.count() == 3
     assert out.filter("keep").count() >= 1
+
+
+def test_round5_operators_on_degenerate_inputs(spark):
+    """Round-5 additions on empty / singleton inputs: no crash, sane
+    results — a sampler on an empty corpus returns 0 rows, a peel on
+    an empty edge set returns an empty core, band helpers accept an
+    empty fingerprint table."""
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_app_spark.operators.multimodal import (
+        hamming_band_pairs,
+        synthesize_vfp_media,
+        video_fingerprint_bands,
+    )
+
+    empty_bands = spark.createDataFrame(
+        [], "media_id bigint, b0 bigint, b1 bigint, b2 bigint, b3 bigint"
+    )
+    assert hamming_band_pairs(empty_bands, radius=3).count() == 0
+    assert (
+        hamming_band_pairs(empty_bands, radius=3, max_band_bucket=4).count()
+        == 0
+    )
+    # singleton: no self-pairs
+    one = spark.createDataFrame(
+        [(1, 2, 3, 4, 5)],
+        "media_id bigint, b0 bigint, b1 bigint, b2 bigint, b3 bigint",
+    )
+    assert hamming_band_pairs(one, radius=3).count() == 0
+
+    empty_docs = spark.createDataFrame([], "doc_id bigint")
+    vid = synthesize_vfp_media(empty_docs)
+    assert vid.count() == 0
+    assert video_fingerprint_bands(vid).count() == 0

@@ -671,3 +671,28 @@ def test_stratified_sample_uses_window_group_limit(spark, sf_smoke):
     )
     assert "WindowGroupLimit" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_roc_auc_has_no_per_row_rank(spark, sf_smoke):
+    """AUC must come from the score HISTOGRAM: exactly one ordered
+    Window in the plan, fed by the single-partition exchange of the
+    group-by-score aggregate (distinct-score cardinality) — never a
+    row-level rank over the corpus (no row_number anywhere)."""
+    plan = plan_str(registry.QUERIES["roc_auc_quality"](spark, sf_smoke))
+    assert plan.count("(") and plan.count("Window") >= 1
+    assert "row_number" not in plan
+    assert "SinglePartition" in plan  # ordered window over the histogram
+
+
+def test_item_item_topk_uses_window_group_limit(spark, sf_smoke):
+    plan = plan_str(registry.QUERIES["item_item_cosine"](spark, sf_smoke))
+    assert "WindowGroupLimit" in plan
+
+
+def test_cusum_totals_are_broadcast(spark, sf_smoke):
+    """The day-level totals and the argmax row must attach by
+    broadcast — a shuffle join against a 1-row table would be wrong
+    at any scale."""
+    plan = plan_str(registry.QUERIES["cusum_changepoint"](spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
