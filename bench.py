@@ -161,6 +161,8 @@ HEADLINE = [
     "logrank_test",
     "cusum_changepoint",
     "streaming_matview_join",
+    "multimodal_video_fingerprint_dedup",
+    "benford_digit_audit",
 ]
 
 

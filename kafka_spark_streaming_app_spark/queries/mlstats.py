@@ -2565,3 +2565,82 @@ def logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             diff * diff / (F.col("v_qs").cast("double") / 1e9), 6
         ).alias("chi2"),
     )
+
+
+# --- Benford first-digit audit ----------------------------------------------
+
+# log10(1 + 1/d) floor-scaled to 1e9 integers, computed once in
+# Python and embedded as literals in both plans (the NDCG-discount
+# discipline) — no log executes inside either engine.
+_BENFORD_Q = [
+    301029995, 176091259, 124938736, 96910013, 79181246,
+    66946789, 57991946, 51152522, 45757490,
+]
+_BENFORD_CASE = (
+    "CASE d "
+    + " ".join(f"WHEN {i + 1} THEN {q}" for i, q in enumerate(_BENFORD_Q))
+    + " END"
+)
+
+_BENFORD_ORACLE = f"""
+WITH v AS (
+    SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                            AS VARCHAR), 1, 1) AS BIGINT) AS d
+    FROM orders WHERE o_totalprice > 0
+),
+h AS (SELECT d, count(*) AS n_d FROM v GROUP BY d),
+tot AS (SELECT sum(n_d) AS n FROM h)
+SELECT h.d,
+       CAST(h.n_d AS BIGINT) AS n_d,
+       round(CAST(h.n_d AS DOUBLE) / tot.n, 6) AS frac,
+       round(CAST({_BENFORD_CASE} AS DOUBLE) / 1e9, 6) AS benford_frac,
+       round((CAST(h.n_d AS DOUBLE) - tot.n * ({_BENFORD_CASE}) / 1e9)
+             * (CAST(h.n_d AS DOUBLE) - tot.n * ({_BENFORD_CASE}) / 1e9)
+             / (tot.n * ({_BENFORD_CASE}) / 1e9), 6) AS chi2_term
+FROM h, tot
+ORDER BY h.d
+"""
+
+
+@query("benford_digit_audit", _BENFORD_ORACLE)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order amounts — the
+    forensic data-quality screen for fabricated or truncated numeric
+    feeds. The leading digit comes from the DECIMAL STRING of exact
+    integer cents (no log10 on data — a float log near a power of 10
+    could flip the digit), Benford expectations are 1e9-scaled
+    integer literals computed once in Python, and each χ² term
+    combines exact counts with one literal in identical IEEE ops.
+    One scan + a 9-row digit histogram at any fact scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.filter(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("bigint")
+        .alias("d")
+    )
+    h = v.groupBy("d").agg(F.count(F.lit(1)).alias("n_d"))
+    tot = h.agg(F.sum("n_d").alias("n"))
+    bf = F.expr(_BENFORD_CASE)
+    expected = F.col("n") * bf / F.lit(1e9)
+    dev = F.col("n_d").cast("double") - expected
+    return (
+        h.crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            F.col("n_d").cast("bigint").alias("n_d"),
+            F.round(F.col("n_d").cast("double") / F.col("n"), 6).alias(
+                "frac"
+            ),
+            F.round(bf.cast("double") / F.lit(1e9), 6).alias(
+                "benford_frac"
+            ),
+            F.round(dev * dev / expected, 6).alias("chi2_term"),
+        )
+        .orderBy("d")
+    )

@@ -95,6 +95,19 @@ NOTES = {
     "kfold_ols_cv": "One scan builds per-fold sufficient statistics; training sums = total − fold; 5 models + 5 held-out MSEs are arithmetic over a 5-row table.",
     "dedup_simhash_hamming": "Signature scan barriered; 4 band-keyed equi-joins replace the all-pairs hamming comparison; bit_count(xor) verifies row-locally.",
     "pareto_skyline_parts": "Per-part aggregation is the data pass; the dominance sweep is one window over the aggregated parts relation.",
+    # round-5 additions
+    "reservoir_sample_exact": "Exact-k sample = TakeOrderedAndProject over Carter-Wegman keys: per-partition k-row heaps, k-row driver merge — no global sort, no corpus shuffle.",
+    "stratified_sample_neyman": "One corpus scan for stratum power sums (barriered, broadcast back); allocation arithmetic on the stratum-count table; per-stratum WindowGroupLimit partial top-k — never a full stratum sort.",
+    "ranking_metrics_eval": "Truth set barriered (brute pipeline runs once); both index outputs union, relevance attaches by left join on the pair key; metric sums are exact int64 with literal discount weights.",
+    "roc_auc_quality": "Score histogram agg is the only data-sized stage; the midrank cumulative window runs over distinct quantized scores (SinglePartition by design, histogram cardinality); no row_number anywhere.",
+    "spearman_correlation": "Two value-histogram windows (50-row quantity / distinct-cents price); rank join back to rows (quantity side broadcast); DECIMAL(38,0) power sums in one aggregation.",
+    "kcore_membership": "4 peel rounds, each a semi-join-restricted degree count over the barriered symmetric edge list; convergence flag = two 1-row counts broadcast.",
+    "item_item_cosine": "Degree table + edge list barriered (each feeds two branches); similarity join keyed by item; top-3 via WindowGroupLimit.",
+    "logrank_test": "Gap histogram barriered; cumulative at-risk windows over distinct gap values; quantized hypergeometric terms sum in DECIMAL(38,0) in one aggregation.",
+    "cusum_changepoint": "Daily integer-cents agg barriered (feeds totals and the cumulative scan); day-ordered window over ~2.4k rows; totals and argmax row attach by broadcast.",
+    "streaming_matview_join": "foreachBatch: batch rows broadcast-join the dim, merge latest-wins into bucket-partitioned state (partition-pruned read, dynamic partition overwrite, replay markers); final read is the serving view.",
+    "multimodal_video_fingerprint_dedup": "Real Y4M decode in Arrow-batched mapInPandas; 4x16-bit band equi-joins on the barriered fingerprint table; exact popcount verify on candidates only (hot-band cap available).",
+    "cohens_kappa": "Single codegen scan-aggregation: the whole 2x2 confusion table as four int64 sums; kappa is one division of exact operands.",
 }
 
 

@@ -74,6 +74,7 @@ PROBES = (
     "streaming_windowed_append",
     "streaming_cdc_upsert",
     "streaming_quantile_rollup",
+    "streaming_matview_join",
 )
 
 
