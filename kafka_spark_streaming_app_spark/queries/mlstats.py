@@ -2644,3 +2644,159 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+# --- multinomial naive Bayes (train + eval in one dataflow) -----------------
+
+# Laplace-smoothed log-likelihoods floor-quantized at 1e-9 through
+# expression text shared verbatim with the oracle (the KM/log-rank
+# libm discipline): per-(doc, class) scores are exact int64 sums of
+# identical quanta, so the argmax is engine-exact.
+_NB_QLP = "CAST(floor(1e9 * ln((c + 1.0) / (n_tok + v))) AS BIGINT)"
+_NB_QPRIOR = "CAST(floor(1e9 * ln(CAST(n_docs AS DOUBLE) / n_all)) AS BIGINT)"
+
+from ..functions.hashing import TOKENS_SQL as _NB_TOKENS_SQL  # noqa: E402
+
+_NB_WORDS = _NB_TOKENS_SQL.format(x="text")
+
+_NB_ORACLE = f"""
+WITH train AS (
+    SELECT lang, text FROM documents WHERE doc_id % 7 <> 0
+),
+test AS (
+    SELECT doc_id, lang AS true_lang, text FROM documents
+    WHERE doc_id % 7 = 0
+),
+ttok AS (SELECT lang, unnest({_NB_WORDS}) AS token FROM train),
+counts AS (SELECT lang, token, count(*) AS c FROM ttok GROUP BY lang, token),
+ltot AS (SELECT lang, count(*) AS n_tok FROM ttok GROUP BY lang),
+ldocs AS (SELECT lang, count(*) AS n_docs FROM train GROUP BY lang),
+nall AS (SELECT count(*) AS n_all FROM train),
+vocab AS (SELECT DISTINCT token FROM ttok),
+vsz AS (SELECT count(*) AS v FROM vocab),
+dense AS (
+    SELECT vocab.token, ltot.lang,
+           {_NB_QLP.replace("c +", "coalesce(counts.c, 0) +")} AS qlp
+    FROM vocab CROSS JOIN ltot CROSS JOIN vsz
+    LEFT JOIN counts
+      ON counts.token = vocab.token AND counts.lang = ltot.lang
+),
+prior AS (
+    SELECT ldocs.lang, {_NB_QPRIOR} AS qprior
+    FROM ldocs CROSS JOIN nall
+),
+stok AS (SELECT doc_id, true_lang, unnest({_NB_WORDS}) AS token FROM test),
+scored AS (
+    SELECT s.doc_id, s.true_lang, d.lang,
+           sum(d.qlp) AS qsum
+    FROM stok s JOIN dense d ON d.token = s.token
+    GROUP BY s.doc_id, s.true_lang, d.lang
+),
+full_score AS (
+    SELECT sc.doc_id, sc.true_lang, sc.lang,
+           -- sum(BIGINT) is HUGEINT in DuckDB -> object dtype; cast
+           -- back to BIGINT (the q12 lesson)
+           CAST(sc.qsum + p.qprior AS BIGINT) AS score_q
+    FROM scored sc JOIN prior p ON p.lang = sc.lang
+)
+SELECT doc_id, true_lang,
+       lang AS pred_lang, score_q,
+       pred_lang = true_lang AS correct
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score_q DESC, lang) AS rn
+    FROM full_score
+) WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+@query("naive_bayes_language", _NB_ORACLE)
+def naive_bayes_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes trained and evaluated IN the engine:
+    deterministic 6/7-train 1/7-test split, Laplace-smoothed
+    per-(class, token) log-likelihoods over the train tokens, dense
+    (vocab × class) probability table (so every class scores every
+    known token — unknown test tokens drop on both engines), argmax
+    with ties to the smaller class label. Joins the trained-model
+    family (OLS/CV, boosted stumps, k-means/kNN): count-based
+    training is two aggregations; scoring is one token-keyed join +
+    one (doc, class) aggregation — everything shuffles on token or
+    doc keys, never all-pairs. Log terms are 1e-9 floor-quantized
+    int64 (KM libm discipline), so scores and the argmax are
+    engine-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..functions.hashing import tokens as _tokens
+
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    test = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.col("lang").alias("true_lang"), "text"
+    )
+    ttok = train.select(
+        "lang", F.explode(_tokens("text")).alias("token")
+    ).localCheckpoint(eager=False)
+    counts = ttok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("c"))
+    ltot = ttok.groupBy("lang").agg(F.count(F.lit(1)).alias("n_tok"))
+    ldocs = train.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    nall = train.agg(F.count(F.lit(1)).alias("n_all"))
+    vocab = ttok.select("token").distinct()
+    vsz = vocab.agg(F.count(F.lit(1)).alias("v"))
+    dense = (
+        vocab.crossJoin(F.broadcast(ltot))
+        .crossJoin(F.broadcast(vsz))
+        .join(
+            counts.select(
+                F.col("token").alias("c_token"),
+                F.col("lang").alias("c_lang"),
+                "c",
+            ),
+            (F.col("token") == F.col("c_token"))
+            & (F.col("lang") == F.col("c_lang")),
+            "left",
+        )
+        .select(
+            "token",
+            "lang",
+            F.expr(
+                _NB_QLP.replace("c +", "coalesce(c, 0) +")
+            ).alias("qlp"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    prior = ldocs.crossJoin(F.broadcast(nall)).select(
+        "lang", F.expr(_NB_QPRIOR).alias("qprior")
+    )
+    stok = test.select(
+        "doc_id", "true_lang", F.explode(_tokens("text")).alias("token")
+    )
+    scored = (
+        stok.join(
+            dense.select(
+                F.col("token").alias("d_token"), "lang", "qlp"
+            ),
+            F.col("token") == F.col("d_token"),
+        )
+        .groupBy("doc_id", "true_lang", "lang")
+        .agg(F.sum("qlp").alias("qsum"))
+    )
+    full_score = scored.join(F.broadcast(prior), "lang").select(
+        "doc_id",
+        "true_lang",
+        "lang",
+        (F.col("qsum") + F.col("qprior")).alias("score_q"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_q"), F.asc("lang")
+    )
+    return (
+        full_score.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "true_lang",
+            F.col("lang").alias("pred_lang"),
+            "score_q",
+            (F.col("lang") == F.col("true_lang")).alias("correct"),
+        )
+        .orderBy("doc_id")
+    )
