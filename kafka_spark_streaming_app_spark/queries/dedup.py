@@ -11,7 +11,7 @@ at the planted similarity level, not just determinism.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import NORMALIZE_SQL, TOKENS_SQL, h60_sql, shingles_sql
@@ -665,4 +665,131 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= _HAM_K)
         .orderBy("id_a", "id_b")
+    )
+
+
+# --- exact duplicate-substring span removal (Lee et al. shape) --------------
+
+_SPAN_W = 20
+
+_SPAN_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id, i AS start, i + {_SPAN_W} - 1 AS fin,
+           list_aggregate(words[i : i + {_SPAN_W} - 1], 'string_agg', ' ')
+               AS gram
+    FROM (SELECT doc_id,
+                 {{words}} AS words
+          FROM documents),
+         LATERAL (SELECT unnest(range(1, len(words) - {_SPAN_W} + 2)) AS i) t
+    WHERE len(words) >= {_SPAN_W}
+),
+hot AS (SELECT gram FROM w GROUP BY gram HAVING count(*) >= 2),
+occ AS (
+    SELECT w.doc_id, w.start, w.fin
+    FROM w SEMI JOIN hot ON w.gram = hot.gram
+),
+isl AS (
+    SELECT doc_id, start, fin,
+           CASE WHEN max(fin) OVER (PARTITION BY doc_id ORDER BY start, fin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    >= start
+                THEN 0 ELSE 1 END AS new_island
+    FROM occ
+),
+grp AS (
+    SELECT doc_id, start, fin,
+           sum(new_island) OVER (PARTITION BY doc_id ORDER BY start, fin
+                ROWS UNBOUNDED PRECEDING) AS island
+    FROM isl
+)
+SELECT doc_id,
+       CAST(min(start) AS BIGINT) AS span_start,
+       CAST(max(fin) AS BIGINT) AS span_end,
+       CAST(max(fin) - min(start) + 1 AS BIGINT) AS span_words,
+       count(*) AS n_windows
+FROM grp GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+"""
+
+
+@query(
+    "span_dedup_exact",
+    _SPAN_ORACLE.format(
+        words="string_split(regexp_replace(lower(trim(coalesce(text, ''))),"
+        " '\\s+', ' ', 'g'), ' ')"
+    ),
+)
+def span_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT duplicate-substring spans (the 'deduplicating training
+    data' primitive): every 20-word window occurring ≥2 times
+    corpus-wide marks its span, and overlapping spans merge per doc
+    (gaps-and-islands: a window opens a new island only when it
+    starts past the running max end). Output = the merged duplicated
+    regions a span-level dedup pass would excise — the surgical
+    complement to document-level MinHash (which drops whole docs)
+    and line_dedup_clean (whole lines). Spark side groups windows by
+    xxhash64 of the 20-gram (the corpus-op key convention: the
+    oracle joins raw strings, hash values never cross engines);
+    shuffles are gram-keyed (hot-gram count) and doc-keyed (island
+    merge) — never all-pairs. At 100 TB the hot-gram table gets the
+    LSH-style frequency cap and windows explode behind the opt-in
+    rebalance, exactly like `boilerplate_ngrams`."""
+    from ..functions.hashing import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        docs.select("doc_id", _tokens("text").alias("words"))
+        .filter(F.size("words") >= _SPAN_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(words) - {_SPAN_W} + 1),"
+                    f" i -> struct(i AS start,"
+                    f" i + {_SPAN_W} - 1 AS fin,"
+                    f" xxhash64(concat_ws(' ', slice(words, i, {_SPAN_W})))"
+                    f" AS gkey))"
+                )
+            ).alias("win"),
+        )
+        .select("doc_id", "win.start", "win.fin", "win.gkey")
+        .localCheckpoint(eager=False)
+    )
+    hot = (
+        w.groupBy("gkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("gkey")
+    )
+    occ = w.join(hot, "gkey", "left_semi").select("doc_id", "start", "fin")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("start", "fin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = occ.withColumn(
+        "new_island",
+        F.when(F.max("fin").over(w_prev) >= F.col("start"), F.lit(0))
+        .otherwise(F.lit(1)),
+    )
+    w_cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("start", "fin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grp = isl.withColumn("island", F.sum("new_island").over(w_cum))
+    return (
+        grp.groupBy("doc_id", "island")
+        .agg(
+            F.min("start").cast("bigint").alias("span_start"),
+            F.max("fin").cast("bigint").alias("span_end"),
+            (F.max("fin") - F.min("start") + 1)
+            .cast("bigint")
+            .alias("span_words"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            "doc_id", "span_start", "span_end", "span_words", "n_windows"
+        )
+        .orderBy("doc_id", "span_start")
     )

@@ -205,3 +205,38 @@ def test_kcore_peel_semantics_on_crafted_graph(spark, sf_smoke):
     rows = registry.QUERIES["kcore_membership"](spark, sf_smoke).collect()
     assert rows and all(r.converged for r in rows)
     assert all(r.core_deg >= 2 for r in rows)
+
+
+def test_span_dedup_merges_overlapping_windows(spark, tmp_path):
+    """Two docs sharing one contiguous 30-word paragraph: every
+    20-word window inside it is duplicated, and the island merge must
+    collapse the 11 overlapping windows into ONE span of exactly the
+    paragraph's extent in each doc."""
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    para = " ".join(f"shared{i}" for i in range(30))
+    uniq_a = " ".join(f"lead{i}" for i in range(10))
+    uniq_b = " ".join(f"tail{i}" for i in range(7))
+    docs = spark.createDataFrame(
+        [
+            (1, uniq_a + " " + para),
+            (2, para + " " + uniq_b),
+            (3, " ".join(f"only{i}" for i in range(40))),
+        ],
+        "doc_id bigint, text string",
+    )
+    out_dir = str(tmp_path / "docs")
+    docs.selectExpr(
+        "doc_id", "text", "'en' AS lang", "'t' AS source",
+        "length(text) AS n_chars",
+    ).write.parquet(out_dir + "/documents.parquet")
+    rows = registry.QUERIES["span_dedup_exact"](spark, out_dir).collect()
+    spans = {(r.doc_id, r.span_start, r.span_end, r.n_windows) for r in rows}
+    # doc 1: paragraph occupies words 11..40 -> one span, 11 windows
+    assert (1, 11, 40, 11) in spans
+    # doc 2: paragraph occupies words 1..30
+    assert (2, 1, 30, 11) in spans
+    assert not any(r.doc_id == 3 for r in rows)
