@@ -163,6 +163,8 @@ HEADLINE = [
     "streaming_matview_join",
     "multimodal_video_fingerprint_dedup",
     "benford_digit_audit",
+    "naive_bayes_language",
+    "span_dedup_exact",
 ]
 
 

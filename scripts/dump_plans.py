@@ -108,6 +108,9 @@ NOTES = {
     "streaming_matview_join": "foreachBatch: batch rows broadcast-join the dim, merge latest-wins into bucket-partitioned state (partition-pruned read, dynamic partition overwrite, replay markers); final read is the serving view.",
     "multimodal_video_fingerprint_dedup": "Real Y4M decode in Arrow-batched mapInPandas; 4x16-bit band equi-joins on the barriered fingerprint table; exact popcount verify on candidates only (hot-band cap available).",
     "cohens_kappa": "Single codegen scan-aggregation: the whole 2x2 confusion table as four int64 sums; kappa is one division of exact operands.",
+    "benford_digit_audit": "Leading digit from the decimal string of exact cents (no float log); one scan to a 9-row histogram; literal Benford expectations; totals broadcast.",
+    "naive_bayes_language": "Training = two aggregations over the barriered train-token explode; dense vocab x class table broadcast-assembled; scoring joins on token, aggregates on (doc, class); quantized int64 scores make the argmax exact.",
+    "span_dedup_exact": "Window explode barriered; hot 20-grams by xxhash64 key count; occurrences semi-join the hot set; island merge is one doc-keyed window pair — gram- and doc-keyed shuffles only.",
 }
 
 
