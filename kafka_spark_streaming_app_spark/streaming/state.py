@@ -99,8 +99,11 @@ def merge_into_partitioned_state(
     spark = part.sparkSession
     # The batch contribution is referenced twice (touched-bucket list
     # + merge input); barrier it so the upstream micro-batch plan runs
-    # once.
-    part = part.localCheckpoint(eager=True)
+    # once. The checkpoint is LAZY and the touched-bucket collect is
+    # its materializing job — one job instead of checkpoint+collect
+    # (per-trigger fixed costs are the whole price of this design at
+    # small batch sizes, so every job counts).
+    part = part.localCheckpoint(eager=False)
     touched = [
         r[0] for r in part.select(bucket_col).distinct().collect()
     ]  # ≤ n_buckets partition VALUES — pruning metadata, not data
