@@ -2800,3 +2800,209 @@ def naive_bayes_language(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- robust trend: Theil-Sen slope + Mann-Kendall test ----------------------
+
+# Both statistics run over the SAME day-pair table of the daily
+# revenue series (pairs of a ~2.4k-row series — ~3M rows at any fact
+# scale, since the series is day-cardinality). Theil-Sen's slope is
+# the exact median (type-1 low order statistic of the even case and
+# the true middle of the odd case, deterministic on both engines
+# because every pairwise slope is one IEEE division of exact cents by
+# an exact day count); Mann-Kendall's S is a pure integer sign sum
+# with the tie-corrected variance from exact value-histogram counts.
+_TREND_DAILY = """
+    SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+    FROM orders
+    GROUP BY date_trunc('day', o_orderdate)
+"""
+
+_THEIL_ORACLE = f"""
+WITH daily AS ({_TREND_DAILY}),
+idx AS (
+    SELECT row_number() OVER (ORDER BY day) AS t, rev_cents
+    FROM daily
+),
+pairs AS (
+    SELECT (CAST(b.rev_cents - a.rev_cents AS DOUBLE) / (b.t - a.t))
+               AS slope
+    FROM idx a JOIN idx b ON b.t > a.t
+),
+ranked AS (
+    SELECT slope,
+           row_number() OVER (ORDER BY slope) AS r,
+           count(*) OVER () AS m
+    FROM pairs
+)
+SELECT CAST(max(m) AS BIGINT) AS n_pairs,
+       round(avg(slope), 6) AS theil_sen_slope_cents_per_day
+FROM ranked
+WHERE r IN ((m + 1) // 2, (m + 2) // 2)
+"""
+
+
+@query("theil_sen_trend", _THEIL_ORACLE)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily revenue: the median of all
+    pairwise slopes — up to ~29% contamination cannot move it, which
+    is why it is the monitoring-grade alternative to OLS on dirty
+    feeds. The pair table is day-cardinality² (bounded by the
+    calendar, not the fact table); each slope is ONE IEEE division of
+    exact integer cents by an exact day distance, and the median
+    picks the (m+1)//2 and (m+2)//2 order statistics (identical rows
+    on both engines) so even-m averaging is a single half-sum of
+    identical doubles."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    w_ord = Window.orderBy("day")
+    idx = daily.select(
+        F.row_number().over(w_ord).alias("t"), "rev_cents"
+    ).localCheckpoint(eager=False)
+    a = idx.select(F.col("t").alias("ta"), F.col("rev_cents").alias("ra"))
+    b = idx.select(F.col("t").alias("tb"), F.col("rev_cents").alias("rb"))
+    pairs = a.join(b, F.col("tb") > F.col("ta")).select(
+        (
+            (F.col("rb") - F.col("ra")).cast("double")
+            / (F.col("tb") - F.col("ta"))
+        ).alias("slope")
+    )
+    w_rank = Window.orderBy("slope")
+    ranked = pairs.select(
+        "slope",
+        F.row_number().over(w_rank).alias("r"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("m"),
+    )
+    return (
+        ranked.filter(
+            (F.col("r") == F.expr("(m + 1) div 2"))
+            | (F.col("r") == F.expr("(m + 2) div 2"))
+        )
+        .agg(
+            F.max("m").cast("bigint").alias("n_pairs"),
+            F.round(F.avg("slope"), 6).alias(
+                "theil_sen_slope_cents_per_day"
+            ),
+        )
+    )
+
+
+_MK_ORACLE = f"""
+WITH daily AS ({_TREND_DAILY}),
+idx AS (
+    SELECT row_number() OVER (ORDER BY day) AS t, rev_cents
+    FROM daily
+),
+s AS (
+    SELECT CAST(sum(CASE WHEN b.rev_cents > a.rev_cents THEN 1
+                         WHEN b.rev_cents < a.rev_cents THEN -1
+                         ELSE 0 END) AS BIGINT) AS s_stat,
+           count(*) AS n_pairs
+    FROM idx a JOIN idx b ON b.t > a.t
+),
+n_t AS (SELECT count(*) AS n FROM idx),
+ties AS (
+    SELECT CAST(coalesce(sum(c * (c - 1) * (2 * c + 5)), 0) AS BIGINT)
+               AS tie_term
+    FROM (SELECT rev_cents, count(*) AS c FROM idx
+          GROUP BY rev_cents HAVING count(*) > 1)
+)
+SELECT s.s_stat,
+       CAST(s.n_pairs AS BIGINT) AS n_pairs,
+       CAST((n.n * (n.n - 1) * (2 * n.n + 5) - t.tie_term) AS BIGINT)
+           AS var_times_18,
+       round((CASE WHEN s.s_stat > 0 THEN s.s_stat - 1
+                   WHEN s.s_stat < 0 THEN s.s_stat + 1
+                   ELSE 0 END)
+             / sqrt(CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tie_term
+                         AS DOUBLE) / 18.0), 6) AS z
+FROM s, n_t n, ties t
+"""
+
+
+@query("mann_kendall_trend", _MK_ORACLE)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test over the same day-pair table
+    as Theil-Sen: S = Σ sign(x_j − x_i) is a pure integer sum, the
+    tie-corrected variance 18·Var = n(n−1)(2n+5) − Σ c(c−1)(2c+5)
+    comes from exact value-histogram counts, and the
+    continuity-corrected z is one sqrt + one division of exact
+    operands. The nonparametric yes/no companion to Theil-Sen's
+    how-much."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    w_ord = Window.orderBy("day")
+    idx = daily.select(
+        F.row_number().over(w_ord).alias("t"), "rev_cents"
+    ).localCheckpoint(eager=False)
+    a = idx.select(F.col("t").alias("ta"), F.col("rev_cents").alias("ra"))
+    b = idx.select(F.col("t").alias("tb"), F.col("rev_cents").alias("rb"))
+    s = a.join(b, F.col("tb") > F.col("ta")).agg(
+        F.sum(
+            F.when(F.col("rb") > F.col("ra"), 1)
+            .when(F.col("rb") < F.col("ra"), -1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("s_stat"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    n_t = idx.agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        idx.groupBy("rev_cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("c") * (F.col("c") - 1) * (2 * F.col("c") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tie_term")
+    )
+    corrected = (
+        F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+        .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+        .otherwise(F.lit(0))
+    )
+    return (
+        s.crossJoin(F.broadcast(n_t))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "s_stat",
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            var18.cast("bigint").alias("var_times_18"),
+            F.round(
+                corrected / F.sqrt(var18.cast("double") / 18.0), 6
+            ).alias("z"),
+        )
+    )

@@ -222,3 +222,42 @@ def test_spearman_matches_pandas(spark, sf_smoke):
     want = np.corrcoef(rq, rp)[0, 1]
     assert r.n == len(li)
     assert abs(r.spearman_rho - want) < 1e-6
+
+
+def test_theil_sen_and_mann_kendall_match_numpy(spark, sf_smoke):
+    """Both trend statistics recomputed independently in numpy from
+    the same daily-cents series."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    od = pd.read_parquet(f"{sf_smoke}/orders.parquet")
+    cents = np.round(od["o_totalprice"] * 100).astype("int64")
+    daily = (
+        pd.DataFrame(
+            {"day": od["o_orderdate"].dt.floor("D"), "c": cents}
+        )
+        .groupby("day")["c"]
+        .sum()
+        .sort_index()
+        .to_numpy()
+    )
+    n = len(daily)
+    i, j = np.triu_indices(n, k=1)
+    slopes = (daily[j] - daily[i]) / (j - i)
+    want_slope = np.median(slopes)
+    [r] = registry.QUERIES["theil_sen_trend"](spark, sf_smoke).collect()
+    assert r.n_pairs == len(slopes)
+    assert abs(r.theil_sen_slope_cents_per_day - want_slope) < 1e-6
+
+    s = int(np.sign(daily[j] - daily[i]).sum())
+    vals, counts = np.unique(daily, return_counts=True)
+    tie = int(sum(c * (c - 1) * (2 * c + 5) for c in counts if c > 1))
+    var18 = n * (n - 1) * (2 * n + 5) - tie
+    corr = s - 1 if s > 0 else (s + 1 if s < 0 else 0)
+    want_z = corr / np.sqrt(var18 / 18.0)
+    [m] = registry.QUERIES["mann_kendall_trend"](spark, sf_smoke).collect()
+    assert m.s_stat == s and m.var_times_18 == var18
+    assert abs(m.z - want_z) < 1e-6
