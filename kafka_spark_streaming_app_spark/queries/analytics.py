@@ -1880,3 +1880,120 @@ def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("item", "rank")
     )
+
+
+# --- bounded weighted shortest paths (Bellman-Ford) -------------------------
+
+_SSSP_ROUNDS = 12  # settles in 10 at sf0.01; +2 proof margin
+# integer edge cost: strong co-purchase ties are cheap; support >= 2
+# by edge-builder contract so cost in [1, 9]
+_SSSP_COST = "GREATEST(11 - support, 1)"
+
+
+def _sssp_round_cte(i: int) -> str:
+    # AS MATERIALIZED is load-bearing: each round references its
+    # predecessor twice, so inlined CTEs would expand 2^rounds copies
+    # of the whole chain (observed as a fd-exhaustion blowup at 12
+    # rounds)
+    prev = f"d{i - 1}"
+    return f"""d{i} AS MATERIALIZED (
+    SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM {prev}
+        UNION ALL
+        SELECT w.v AS node, d.dist + w.cost AS dist
+        FROM {prev} d JOIN wsym w ON w.u = d.node
+    ) GROUP BY node
+)"""
+
+
+_SSSP_LAST = f"d{_SSSP_ROUNDS}"
+_SSSP_PREV = f"d{_SSSP_ROUNDS - 1}"
+
+_SSSP_ORACLE = (
+    f"""WITH {_EDGE_CTE},
+wsym AS MATERIALIZED (
+    SELECT u, v, CAST({_SSSP_COST} AS BIGINT) AS cost FROM e0
+    UNION ALL
+    SELECT v AS u, u AS v, CAST({_SSSP_COST} AS BIGINT) AS cost FROM e0
+),
+src AS (SELECT min(u) AS s FROM wsym),
+d0 AS (SELECT s AS node, CAST(0 AS BIGINT) AS dist FROM src),
+"""
+    + ",\n".join(_sssp_round_cte(i) for i in range(1, _SSSP_ROUNDS + 1))
+    + f""",
+conv AS (
+    SELECT (SELECT count(*) FROM {_SSSP_LAST})
+               = (SELECT count(*) FROM {_SSSP_PREV})
+           AND NOT EXISTS (
+               SELECT 1 FROM {_SSSP_LAST} l JOIN {_SSSP_PREV} p USING (node)
+               WHERE l.dist < p.dist
+           ) AS settled
+)
+SELECT {_SSSP_LAST}.node, {_SSSP_LAST}.dist, conv.settled
+FROM {_SSSP_LAST}, conv
+ORDER BY {_SSSP_LAST}.node
+"""
+)
+
+
+@query("sssp_weighted_bounded", _SSSP_ORACLE)
+def sssp_weighted_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded Bellman-Ford: integer-cost shortest paths from the
+    smallest part key over the co-purchase graph (cost = 11 −
+    support, strong ties cheap), 4 relaxation rounds — the weighted
+    companion to `graph_khop_reach` and the 8th member of the graph
+    family on the shared edge builder. Each round is one
+    frontier ⋈ edges join + a per-node min (shuffles ∝ reached
+    edges); distances are pure int64 so every min is engine-exact.
+    The hashed ``settled`` flag proves no distance improved in the
+    proof round at this SF — the bounded-iteration honesty contract
+    shared with `kcore_membership` (production loops with the
+    `connected_components` max-iter guard)."""
+    e0 = _copurchase_edges(spark, sf_dir)
+    wsym = (
+        e0.select("u", "v", F.expr(_SSSP_COST).cast("bigint").alias("cost"))
+        .unionAll(
+            e0.select(
+                F.col("v").alias("u"),
+                F.col("u").alias("v"),
+                F.expr(_SSSP_COST).cast("bigint").alias("cost"),
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    src = wsym.agg(F.min("u").alias("s"))
+    d = src.select(F.col("s").alias("node"), F.lit(0).cast("bigint").alias("dist"))
+    prev = None
+    for _ in range(_SSSP_ROUNDS):
+        prev = d
+        relaxed = d.join(wsym, d.node == wsym.u).select(
+            F.col("v").alias("node"), (F.col("dist") + F.col("cost")).alias("dist")
+        )
+        d = (
+            d.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    improved = (
+        d.join(
+            prev.select(F.col("node").alias("p_node"), F.col("dist").alias("p_dist")),
+            F.col("node") == F.col("p_node"),
+        )
+        .filter(F.col("dist") < F.col("p_dist"))
+        .agg(F.count(F.lit(1)).alias("n_improved"))
+    )
+    counts = d.agg(F.count(F.lit(1)).alias("n_now")).crossJoin(
+        F.broadcast(prev.agg(F.count(F.lit(1)).alias("n_prev")))
+    )
+    conv = counts.crossJoin(F.broadcast(improved)).select(
+        (
+            (F.col("n_now") == F.col("n_prev"))
+            & (F.col("n_improved") == 0)
+        ).alias("settled")
+    )
+    return (
+        d.crossJoin(F.broadcast(conv))
+        .select("node", "dist", "settled")
+        .orderBy("node")
+    )

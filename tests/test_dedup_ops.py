@@ -240,3 +240,34 @@ def test_span_dedup_merges_overlapping_windows(spark, tmp_path):
     # doc 2: paragraph occupies words 1..30
     assert (2, 1, 30, 11) in spans
     assert not any(r.doc_id == 3 for r in rows)
+
+
+def test_sssp_weighted_prefers_cheap_long_path(spark):
+    """The property separating weighted SSSP from BFS: a 3-edge path
+    of cost 1 each must beat a direct edge of cost 9. Runs the same
+    relaxation rounds as the registered query on a crafted graph."""
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        # (u, v, cost): direct 1->5 costs 9; 1->2->3->5 costs 3
+        [(1, 5, 9), (1, 2, 1), (2, 3, 1), (3, 5, 1)],
+        "u bigint, v bigint, cost bigint",
+    )
+    wsym = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"), "cost")
+    ).localCheckpoint(eager=False)
+    d = spark.createDataFrame([(1, 0)], "node bigint, dist bigint")
+    for _ in range(4):
+        relaxed = d.join(wsym, d.node == wsym.u).select(
+            F.col("v").alias("node"),
+            (F.col("dist") + F.col("cost")).alias("dist"),
+        )
+        d = (
+            d.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    dist = {r.node: r.dist for r in d.collect()}
+    assert dist[5] == 3  # via the cheap long path, not the direct 9
+    assert dist == {1: 0, 2: 1, 3: 2, 5: 3}
