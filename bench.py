@@ -165,6 +165,8 @@ HEADLINE = [
     "benford_digit_audit",
     "naive_bayes_language",
     "span_dedup_exact",
+    "theil_sen_trend",
+    "sssp_weighted_bounded",
 ]
 
 

@@ -111,6 +111,9 @@ NOTES = {
     "benford_digit_audit": "Leading digit from the decimal string of exact cents (no float log); one scan to a 9-row histogram; literal Benford expectations; totals broadcast.",
     "naive_bayes_language": "Training = two aggregations over the barriered train-token explode; dense vocab x class table broadcast-assembled; scoring joins on token, aggregates on (doc, class); quantized int64 scores make the argmax exact.",
     "span_dedup_exact": "Window explode barriered; hot 20-grams by xxhash64 key count; occurrences semi-join the hot set; island merge is one doc-keyed window pair — gram- and doc-keyed shuffles only.",
+    "theil_sen_trend": "Day-pair table is calendar-squared (bounded at any fact scale); each slope one IEEE division of exact cents; exact median via the two middle order statistics.",
+    "mann_kendall_trend": "Same day-pair table; S is a pure integer sign sum; tie-corrected variance from exact value-histogram counts; z = one sqrt + one division.",
+    "sssp_weighted_bounded": "12 Bellman-Ford rounds, each frontier-join + per-node min with lazy-checkpoint barriers; integer distances engine-exact; hashed settled flag proves the fixpoint.",
 }
 
 
