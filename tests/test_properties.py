@@ -261,3 +261,109 @@ def test_theil_sen_and_mann_kendall_match_numpy(spark, sf_smoke):
     [m] = registry.QUERIES["mann_kendall_trend"](spark, sf_smoke).collect()
     assert m.s_stat == s and m.var_times_18 == var18
     assert abs(m.z - want_z) < 1e-6
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_hamming_band_pairs_complete_for_random_tables(spark, data):
+    """For ANY fingerprint table and radius < n_bands, the band join
+    must return exactly the brute-force Hamming pair set — the
+    pigeonhole completeness contract, checked beyond the fixtures."""
+    from itertools import combinations
+
+    from kafka_spark_streaming_app_spark.operators.multimodal import (
+        hamming_band_pairs,
+    )
+
+    n = data.draw(st.integers(min_value=2, max_value=14))
+    radius = data.draw(st.integers(min_value=0, max_value=3))
+    rows = []
+    for i in range(n):
+        bands = [
+            data.draw(st.integers(min_value=0, max_value=(1 << 16) - 1))
+            for _ in range(4)
+        ]
+        rows.append((i, *bands))
+    df = spark.createDataFrame(
+        rows, "media_id bigint, b0 bigint, b1 bigint, b2 bigint, b3 bigint"
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_band_pairs(df, radius=radius).collect()
+    }
+    want = set()
+    table = {r[0]: r[1:] for r in rows}
+    for a, b in combinations(sorted(table), 2):
+        ham = sum(
+            bin(x ^ y).count("1") for x, y in zip(table[a], table[b])
+        )
+        if ham <= radius:
+            want.add((a, b, ham))
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_partitioned_state_equals_from_scratch_fold(spark, tmp_path_factory, data):
+    """For ANY sequence of batches (including replayed batch ids), the
+    bucket-partitioned incremental state must equal the from-scratch
+    additive fold of the DEDUPLICATED batch sequence."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_app_spark.streaming.state import (
+        merge_into_partitioned_state,
+    )
+
+    def merge(existing, part):
+        if existing is None:
+            return part
+        return (
+            existing.unionByName(part)
+            .groupBy("bucket", "k")
+            .agg(F.sum("c").alias("c"))
+        )
+
+    n_batches = data.draw(st.integers(min_value=1, max_value=4))
+    # batch ids with possible replays
+    ids = [data.draw(st.integers(min_value=0, max_value=2)) for _ in range(n_batches)]
+    state_dir = str(tmp_path_factory.mktemp("hstate") / "s" / "counts")
+    expected = Counter()
+    applied_ids = set()
+    for bid in ids:
+        rows = [
+            (
+                data.draw(st.integers(min_value=0, max_value=2)),
+                data.draw(st.sampled_from(["a", "b", "c"])),
+                data.draw(st.integers(min_value=1, max_value=5)),
+            )
+            for _ in range(data.draw(st.integers(min_value=0, max_value=4)))
+        ]
+        part = (
+            spark.createDataFrame(rows, "bucket int, k string, c bigint")
+            # the helper's contract: part arrives PRE-AGGREGATED
+            .groupBy("bucket", "k")
+            .agg(F.sum("c").alias("c"))
+        )
+        merge_into_partitioned_state(state_dir, bid, part, merge, "bucket")
+        if bid not in applied_ids:  # replays must be no-ops
+            applied_ids.add(bid)
+            for b, k, c in rows:
+                expected[(b, k)] += c
+    if expected:
+        got = Counter(
+            {
+                (r.bucket, r.k): r.c
+                for r in spark.read.parquet(state_dir).collect()
+            }
+        )
+        assert got == expected
