@@ -922,3 +922,150 @@ def streaming_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --- streaming count-min sketch (heavy-hitter users) ------------------------
+
+_SCMS_W = 1024
+_SCMS_D = 4
+
+
+def _scms_bucket_sql(r: int) -> str:
+    from ..functions.hashing import h60_sql
+
+    return (
+        h60_sql(f"concat('scms{r}|', CAST(user_id AS VARCHAR))")
+        + f" % {_SCMS_W}"
+    )
+
+
+_SCMS_SKETCH = " UNION ALL ".join(
+    f"SELECT {r} AS row_id, {_scms_bucket_sql(r)} AS bucket, count(*) AS cnt"
+    f" FROM ev GROUP BY bucket"
+    for r in range(_SCMS_D)
+)
+_SCMS_PROBES = ", ".join(
+    f"(SELECT cnt FROM sk WHERE row_id = {r}"
+    f" AND bucket = {_scms_bucket_sql(r)})"
+    for r in range(_SCMS_D)
+)
+
+_SCMS_ORACLE = f"""
+WITH ev AS (SELECT user_id FROM events),
+sk AS ({_SCMS_SKETCH}),
+counts AS (SELECT user_id, count(*) AS true_n FROM ev GROUP BY user_id),
+mx AS (SELECT max(true_n) AS m FROM counts),
+heavy AS (
+    SELECT user_id, true_n FROM counts, mx WHERE 2 * true_n > m
+)
+SELECT user_id, CAST(true_n AS BIGINT) AS true_n,
+       CAST(least({_SCMS_PROBES}) AS BIGINT) AS cms_estimate
+FROM heavy
+ORDER BY user_id
+"""
+
+
+@query("streaming_cms_heavy_hitters", _SCMS_ORACLE)
+def streaming_cms_heavy_hitters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Count-min sketch maintained THROUGH the streaming engine — the
+    fourth state shape on ``merge_into_partitioned_state`` (argmax
+    CDC, additive bins, join view, and now a fixed-size probabilistic
+    sketch): each micro-batch folds its (row, bucket) counts into the
+    persistent d=4 x w=1024 sketch by addition, state partitioned by
+    sketch row. Because CMS merge is plain addition, the streamed
+    sketch is batch-boundary independent and must EQUAL the
+    from-scratch batch sketch — so the heavy-hitter estimates read
+    from it hash-match the batch oracle exactly (the
+    `cms_heavy_hitters` guarantee, now proven for the continuously
+    maintained sketch). Heavy set = users with 2*count > max count
+    (scale-free, exact); the sketch stays 4096 counters at any
+    volume — the bounded-memory answer to streaming top-k."""
+    import atexit
+    import shutil
+
+    from ..functions.hashing import h60
+    from ..streaming.state import merge_into_partitioned_state
+
+    stream = _events_as_wire_stream(spark, sf_dir, max_files_per_trigger=8)
+    users = stream.select(F.col("user_id"))
+    state_root = tempfile.mkdtemp(prefix="scms_state_")
+    ckpt = tempfile.mkdtemp(prefix="scms_ckpt_")
+    for d in (state_root, ckpt):
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    state_dir = os.path.join(state_root, "sketch")
+
+    def bucket_col(r: int):
+        return (
+            h60(
+                F.concat(
+                    F.lit(f"scms{r}|"), F.col("user_id").cast("string")
+                )
+            )
+            % _SCMS_W
+        )
+
+    def _merge(existing: DataFrame | None, part: DataFrame) -> DataFrame:
+        if existing is None:
+            return part
+        return (
+            existing.unionByName(part)
+            .groupBy("row_id", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+
+    def merge_state(batch_df: DataFrame, batch_id: int) -> None:
+        part = None
+        for r in range(_SCMS_D):
+            p = (
+                batch_df.groupBy(bucket_col(r).alias("bucket"))
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .select(F.lit(r).alias("row_id"), "bucket", "cnt")
+            )
+            part = p if part is None else part.unionByName(p)
+        merge_into_partitioned_state(
+            state_dir, batch_id, part, _merge, "row_id"
+        )
+
+    q = (
+        users.writeStream.foreachBatch(merge_state)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(300)
+        if not finished:
+            raise RuntimeError(
+                "streaming_cms_heavy_hitters: availableNow run did not "
+                "finish within 300s; refusing to read a partial sketch"
+            )
+    finally:
+        if q.isActive:
+            q.stop()
+
+    sketch = spark.read.parquet(state_dir).localCheckpoint(eager=False)
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_n"))
+    mx = counts.agg(F.max("true_n").alias("m"))
+    heavy = (
+        counts.crossJoin(F.broadcast(mx))
+        .filter(2 * F.col("true_n") > F.col("m"))
+        .select("user_id", "true_n")
+    )
+    est = heavy
+    for r in range(_SCMS_D):
+        sr = sketch.filter(F.col("row_id") == r).select(
+            F.col("bucket").alias(f"b{r}"), F.col("cnt").alias(f"c{r}")
+        )
+        est = est.join(
+            F.broadcast(sr), bucket_col(r) == F.col(f"b{r}")
+        ).drop(f"b{r}")
+    return est.select(
+        "user_id",
+        F.col("true_n").cast("bigint").alias("true_n"),
+        F.least(*[F.col(f"c{r}") for r in range(_SCMS_D)])
+        .cast("bigint")
+        .alias("cms_estimate"),
+    ).orderBy("user_id")
