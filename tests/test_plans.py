@@ -696,3 +696,44 @@ def test_cusum_totals_are_broadcast(spark, sf_smoke):
     plan = plan_str(registry.QUERIES["cusum_changepoint"](spark, sf_smoke))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_join_strategy_hints_are_honored(spark, sf_smoke):
+    """The engine's join-strategy surface: MERGE, SHUFFLE_HASH and
+    BROADCAST hints on the same orders x customer join must each
+    produce their named physical operator (a hint Catalyst ignores
+    is a silent perf cliff at scale)."""
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_app_spark.sources.batch import load_table
+
+    orders = load_table(spark, sf_smoke, "orders")
+    cust = load_table(spark, sf_smoke, "customer")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try:
+        for hint, op in (
+            ("merge", "SortMergeJoin"),
+            ("shuffle_hash", "ShuffledHashJoin"),
+            ("broadcast", "BroadcastHashJoin"),
+        ):
+            plan = plan_str(
+                orders.join(
+                    cust.hint(hint),
+                    orders.o_custkey == cust.c_custkey,
+                )
+            )
+            assert op in plan, f"{hint} hint did not produce {op}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_streaming_cms_state_is_sketch_sized(spark, sf_smoke):
+    """The CMS probe joins must broadcast sketch-row slices (<= 1024
+    rows each) — a shuffle join against the 4096-counter sketch would
+    be absurd at any scale."""
+    plan = plan_str(
+        registry.QUERIES["streaming_cms_heavy_hitters"](spark, sf_smoke)
+    )
+    assert plan.count("BroadcastHashJoin") >= 4  # one per sketch row
+    assert "SortMergeJoin" not in plan
