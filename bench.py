@@ -167,6 +167,7 @@ HEADLINE = [
     "span_dedup_exact",
     "theil_sen_trend",
     "sssp_weighted_bounded",
+    "streaming_cms_heavy_hitters",
 ]
 
 

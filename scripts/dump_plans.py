@@ -113,7 +113,8 @@ NOTES = {
     "span_dedup_exact": "Window explode barriered; hot 20-grams by xxhash64 key count; occurrences semi-join the hot set; island merge is one doc-keyed window pair — gram- and doc-keyed shuffles only.",
     "theil_sen_trend": "Day-pair table is calendar-squared (bounded at any fact scale); each slope one IEEE division of exact cents; exact median via the two middle order statistics.",
     "mann_kendall_trend": "Same day-pair table; S is a pure integer sign sum; tie-corrected variance from exact value-histogram counts; z = one sqrt + one division.",
-    "sssp_weighted_bounded": "12 Bellman-Ford rounds, each frontier-join + per-node min with lazy-checkpoint barriers; integer distances engine-exact; hashed settled flag proves the fixpoint.",
+    "sssp_weighted_bounded": "12 delta-frontier Bellman-Ford rounds (only improved nodes re-propose), each a frontier-join + per-node min with lazy-checkpoint barriers; integer distances engine-exact; hashed settled flag proves the fixpoint.",
+    "streaming_cms_heavy_hitters": "foreachBatch folds (row, bucket) counts into the row-partitioned 4x1024 sketch (additive merge, replay markers); probes broadcast sketch-row slices; heavy set exact and scale-free.",
 }
 
 
