@@ -225,7 +225,10 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(src)
     )
 
-    from ..streaming.state import merge_into_partitioned_state
+    from ..streaming.state import (
+        merge_into_partitioned_state,
+        read_state,
+    )
 
     def merge_state(batch_df: DataFrame, batch_id: int) -> None:
         part = _with_cdc_bucket(_latest_changes(batch_df))
@@ -255,7 +258,7 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_acctbal", "c_mktsegment"
     )
-    latest = spark.read.parquet(state_dir).drop("seq", "bucket")
+    latest = read_state(spark, state_dir).drop("seq", "bucket")
     return _apply_latest(base, latest)
 
 
@@ -396,7 +399,10 @@ def streaming_matview_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from ..streaming.state import merge_into_partitioned_state
+    from ..streaming.state import (
+        merge_into_partitioned_state,
+        read_state,
+    )
 
     src = _matview_feed_files(spark, sf_dir)
     state_root = tempfile.mkdtemp(prefix="mv_state_")
@@ -466,7 +472,7 @@ def streaming_matview_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
 
     return (
-        spark.read.parquet(state_dir)
+        read_state(spark, state_dir)
         .select(
             "o_orderkey",
             F.col("rev").cast("bigint").alias("rev"),

@@ -837,7 +837,10 @@ def streaming_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
-    from ..streaming.state import merge_into_partitioned_state
+    from ..streaming.state import (
+        merge_into_partitioned_state,
+        read_state,
+    )
 
     stream = _events_as_wire_stream(spark, sf_dir, max_files_per_trigger=8)
     binned = stream.filter(F.col("amount").isNotNull()).select(
@@ -887,7 +890,7 @@ def streaming_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         if q.isActive:
             q.stop()
 
-    sketch = spark.read.parquet(state_dir)
+    sketch = read_state(spark, state_dir)
     w_cum = (
         Window.partitionBy("day")
         .orderBy("bin")
@@ -986,7 +989,10 @@ def streaming_cms_heavy_hitters(
     import shutil
 
     from ..functions.hashing import h60
-    from ..streaming.state import merge_into_partitioned_state
+    from ..streaming.state import (
+        merge_into_partitioned_state,
+        read_state,
+    )
 
     stream = _events_as_wire_stream(spark, sf_dir, max_files_per_trigger=8)
     users = stream.select(F.col("user_id"))
@@ -1045,7 +1051,7 @@ def streaming_cms_heavy_hitters(
         if q.isActive:
             q.stop()
 
-    sketch = spark.read.parquet(state_dir).localCheckpoint(eager=False)
+    sketch = read_state(spark, state_dir).localCheckpoint(eager=False)
     ev = load_table(spark, sf_dir, "events").select("user_id")
     counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_n"))
     mx = counts.agg(F.max("true_n").alias("m"))

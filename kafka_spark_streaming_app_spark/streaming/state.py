@@ -24,17 +24,42 @@ This module fixes both problems flagged in review:
 
 * **At-least-once replays don't double-apply.** foreachBatch may
   re-invoke a batch after a failure. Each successful merge records a
-  ``batch-<id>`` marker under ``<state_root>/_applied``; a replayed
-  batch id returns without touching state. (The marker lands after
-  the state commit, so the at-least-once window narrows to a crash
-  between commit and marker — for idempotent merges such as
-  latest-wins argmax even that window is harmless; for additive
-  merges closing it entirely requires a transactional table format
-  (Delta/Iceberg txn ids), which is exactly what those formats'
-  ``txnAppId``/``txnVersion`` options exist for. The marker is
-  written with plain ``os`` calls because foreachBatch runs on the
-  driver; against object storage the same two calls go through the
-  Hadoop FileSystem client.)
+  ``batch-<id>`` done-marker under ``<state_root>/_applied``; a
+  replayed batch id returns without touching state.
+
+* **Partial commits are reconciled per partition, not assumed away.**
+  A dynamic partition overwrite is NOT atomic across partition
+  directories: a crash mid-write can leave SOME touched partitions
+  already containing the batch while others don't, and a markerless
+  retry of an additive merge would double-add to the committed ones.
+  Two mechanisms close this window exactly:
+
+  - every state row carries an internal ``_applied_batch`` column
+    stamped with the batch id that last rewrote its partition — the
+    stamp commits atomically WITH the data, per partition;
+  - an ``batch-<id>.intent`` marker is written immediately before the
+    Spark write and promoted to the done-marker after it.
+
+  A retry that finds the intent marker but no done-marker knows the
+  previous attempt may have partially committed; it reads the touched
+  partitions and EXCLUDES every bucket whose ``_applied_batch``
+  already equals this batch id (those partitions hold the batch —
+  rewriting them would double-apply an additive merge), merging only
+  into the buckets the crashed attempt never committed. The clean
+  path (no intent marker) pays no extra job for this. Readers use
+  :func:`read_state`, which drops the internal column.
+
+* **Non-local state roots fail fast.** Existence checks and markers
+  use driver-local ``os`` calls (foreachBatch runs on the driver).
+  Given an ``hdfs://``/``s3a://`` URI those calls would not error —
+  they would silently report "no state", making ``merge_fn`` replace
+  accumulated state with the batch contribution alone (data loss for
+  additive merges) and replay markers would never fire. We therefore
+  reject any URI-schemed path up front; routing markers through the
+  Hadoop FileSystem client (``spark._jvm.org.apache.hadoop.fs``) is
+  the documented extension point for object-store deployments, and a
+  transactional table format (Delta/Iceberg ``txnAppId``/
+  ``txnVersion``) replaces this module wholesale where available.
 
 * **Missing state is detected, not inferred from an exception.** The
   first batch sees "no state yet" via an explicit existence check
@@ -47,15 +72,45 @@ from __future__ import annotations
 
 import os
 from typing import Callable, Optional
+from urllib.parse import urlsplit
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["merge_into_partitioned_state", "applied_marker_dir"]
+__all__ = [
+    "merge_into_partitioned_state",
+    "applied_marker_dir",
+    "read_state",
+    "APPLIED_BATCH_COL",
+]
+
+# Internal provenance column: the batch id that last rewrote the row's
+# partition. Stamped on write, stripped by read_state() before state is
+# handed back to query logic.
+APPLIED_BATCH_COL = "_applied_batch"
 
 
 def applied_marker_dir(state_root: str) -> str:
     return os.path.join(state_root, "_applied")
+
+
+def _require_local(path: str, what: str) -> None:
+    """Fail fast on URI-schemed paths: the marker/existence logic uses
+    driver-local os calls, which silently see "nothing there" for
+    hdfs://, s3a://, file:// etc. — turning a remote state root into
+    data loss instead of an error."""
+    scheme = urlsplit(path).scheme
+    if scheme:
+        raise ValueError(
+            f"merge_into_partitioned_state: {what} {path!r} has URI "
+            f"scheme {scheme!r}, but state existence checks and replay "
+            "markers use driver-local filesystem calls; a remote root "
+            "would silently read as empty (losing accumulated state) "
+            "and markers would never fire. Use a driver-local path, or "
+            "route the marker/existence checks through the Hadoop "
+            "FileSystem client / a transactional table format for "
+            "object-store state."
+        )
 
 
 def _state_exists(state_dir: str) -> bool:
@@ -68,6 +123,17 @@ def _state_exists(state_dir: str) -> bool:
     return any(
         e for e in os.listdir(state_dir) if not e.startswith(("_", "."))
     )
+
+
+def read_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Read the persistent state table, stripping the internal
+    provenance column. All query-level readers of state maintained by
+    :func:`merge_into_partitioned_state` should use this instead of a
+    raw ``spark.read.parquet``."""
+    df = spark.read.parquet(state_dir)
+    if APPLIED_BATCH_COL in df.columns:
+        df = df.drop(APPLIED_BATCH_COL)
+    return df
 
 
 def merge_into_partitioned_state(
@@ -84,15 +150,20 @@ def merge_into_partitioned_state(
     ``part`` must already carry ``bucket_col`` (the partition column)
     and be pre-aggregated so that ``merge_fn(existing, part)`` yields
     the new state restricted to the touched buckets. ``merge_fn``
-    receives ``None`` for ``existing`` on the first batch.
+    receives ``None`` for ``existing`` on the first batch; when it
+    receives a DataFrame, the internal provenance column has already
+    been stripped.
 
     Returns True when the batch was applied, False when it was skipped
     as an already-applied replay.
     """
+    _require_local(state_dir, "state_dir")
     marker_root = applied_dir or applied_marker_dir(
         os.path.dirname(state_dir)
     )
+    _require_local(marker_root, "applied marker dir")
     marker = os.path.join(marker_root, f"batch-{batch_id}")
+    intent = marker + ".intent"
     if os.path.exists(marker):
         return False
 
@@ -107,8 +178,8 @@ def merge_into_partitioned_state(
     touched = [
         r[0] for r in part.select(bucket_col).distinct().collect()
     ]  # ≤ n_buckets partition VALUES — pruning metadata, not data
+    os.makedirs(marker_root, exist_ok=True)
     if not touched:
-        os.makedirs(marker_root, exist_ok=True)
         open(marker, "w").close()
         return True
 
@@ -118,10 +189,47 @@ def merge_into_partitioned_state(
         )
     else:
         existing = None
-    merged = merge_fn(existing, part)
-    # Barrier before overwriting partitions the merge read from, then
+
+    if (
+        existing is not None
+        and os.path.exists(intent)
+        and APPLIED_BATCH_COL in existing.columns
+    ):
+        # A previous attempt at THIS batch declared intent but never
+        # reached the done-marker: its dynamic partition overwrite may
+        # have committed a subset of the touched partitions. Partitions
+        # whose rows are stamped with this batch id already contain the
+        # batch — exclude them so the retry cannot double-apply an
+        # additive merge; merge only into the rest.
+        committed = {
+            r[0]
+            for r in existing.filter(
+                F.col(APPLIED_BATCH_COL) == batch_id
+            )
+            .select(bucket_col)
+            .distinct()
+            .collect()
+        }
+        if committed:
+            touched = [b for b in touched if b not in committed]
+            if not touched:
+                open(marker, "w").close()
+                os.remove(intent)
+                return True
+            part = part.filter(F.col(bucket_col).isin(touched))
+            existing = existing.filter(F.col(bucket_col).isin(touched))
+
+    if existing is not None and APPLIED_BATCH_COL in existing.columns:
+        existing = existing.drop(APPLIED_BATCH_COL)
+    merged = merge_fn(existing, part).withColumn(
+        APPLIED_BATCH_COL, F.lit(batch_id)
+    )
+    # Declare intent BEFORE the non-atomic multi-partition commit so a
+    # crashed attempt is distinguishable from a never-started one, then
+    # barrier before overwriting partitions the merge read from, and
     # replace ONLY the touched partitions. One output file per bucket:
     # the state is compact by construction.
+    open(intent, "w").close()
     (
         merged.repartition(bucket_col)
         .localCheckpoint(eager=True)
@@ -130,6 +238,6 @@ def merge_into_partitioned_state(
         .partitionBy(bucket_col)
         .parquet(state_dir)
     )
-    os.makedirs(marker_root, exist_ok=True)
     open(marker, "w").close()
+    os.remove(intent)
     return True

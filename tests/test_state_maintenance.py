@@ -109,6 +109,86 @@ def test_empty_batch_marks_applied_without_state_write(spark, tmp_path):
     )
 
 
+def test_non_local_state_root_fails_fast(spark, tmp_path):
+    """Driver-local os calls silently see 'nothing there' for remote
+    URIs — hdfs://... must raise, not quietly replace accumulated
+    state with one batch's contribution (round-5 advice)."""
+    part = _part(spark, [(0, "a", 1)])
+    with pytest.raises(ValueError, match="URI scheme"):
+        merge_into_partitioned_state(
+            "hdfs://nn:8020/state/counts", 0, part, _additive_merge, "bucket"
+        )
+    with pytest.raises(ValueError, match="URI scheme"):
+        merge_into_partitioned_state(
+            "s3a://bucket/state", 0, part, _additive_merge, "bucket"
+        )
+    # explicit applied_dir is validated too
+    with pytest.raises(ValueError, match="URI scheme"):
+        merge_into_partitioned_state(
+            str(tmp_path / "state"),
+            0,
+            part,
+            _additive_merge,
+            "bucket",
+            applied_dir="s3a://bucket/_applied",
+        )
+
+
+def test_partial_commit_retry_does_not_double_apply(spark, tmp_path):
+    """A dynamic partition overwrite is not atomic across partition
+    dirs: a crash mid-write can commit SOME touched buckets. The retry
+    must detect the per-partition _applied_batch stamp and skip the
+    already-committed buckets (round-5 advice: the at-least-once
+    window is wider than commit→marker for additive merges)."""
+    from kafka_spark_streaming_app_spark.streaming.state import (
+        APPLIED_BATCH_COL,
+        applied_marker_dir,
+        read_state,
+    )
+
+    state_dir = str(tmp_path / "state" / "counts")
+    assert merge_into_partitioned_state(
+        state_dir,
+        0,
+        _part(spark, [(0, "a", 1), (1, "b", 2)]),
+        _additive_merge,
+        "bucket",
+    )
+
+    # Simulate a crashed batch 1 (+10 to bucket 0, +20 to bucket 1)
+    # whose overwrite committed ONLY bucket 0: declare intent, then
+    # replace bucket 0's partition with the merged, stamped rows the
+    # crashed attempt would have written.
+    marker_root = applied_marker_dir(os.path.dirname(state_dir))
+    os.makedirs(marker_root, exist_ok=True)
+    open(os.path.join(marker_root, "batch-1.intent"), "w").close()
+    (
+        _part(spark, [(0, "a", 11)])
+        .withColumn(APPLIED_BATCH_COL, F.lit(1))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(state_dir)
+    )
+
+    # The foreachBatch retry of batch 1 delivers the full contribution.
+    assert merge_into_partitioned_state(
+        state_dir,
+        1,
+        _part(spark, [(0, "a", 10), (1, "b", 20)]),
+        _additive_merge,
+        "bucket",
+    )
+    got = {
+        (r.bucket, r.k): r.c
+        for r in read_state(spark, state_dir).collect()
+    }
+    # bucket 0 NOT double-applied (11, not 21); bucket 1 caught up
+    assert got == {(0, "a"): 11, (1, "b"): 22}
+    assert os.path.exists(os.path.join(marker_root, "batch-1"))
+    assert not os.path.exists(os.path.join(marker_root, "batch-1.intent"))
+
+
 def test_corrupt_state_fails_loudly_instead_of_resetting(spark, tmp_path):
     """The old bare `except Exception` treated ANY read failure as
     'no state yet', silently discarding accumulated state. A corrupt
