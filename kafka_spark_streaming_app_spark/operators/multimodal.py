@@ -1087,9 +1087,12 @@ def video_fingerprint_bands(media: DataFrame) -> DataFrame:
                 n = frames.shape[0]
                 fsum = frames.reshape(n, -1).sum(axis=1).astype(np.int64)
                 b = (np.arange(n) * 64) // n
-                lb = np.bincount(b, weights=fsum, minlength=64).astype(
-                    np.int64
-                )
+                # Accumulate bucket luminance in int64: bincount with
+                # float weights sums in float64, which would round past
+                # 2^53 on real-resolution clips and break the exact
+                # integer threshold contract the oracle relies on.
+                lb = np.zeros(64, dtype=np.int64)
+                np.add.at(lb, b, fsum)
                 nb = np.bincount(b, minlength=64)
                 total = int(lb.sum())
                 bits = (lb * n) > (total * nb)

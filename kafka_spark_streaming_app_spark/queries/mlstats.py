@@ -2435,9 +2435,15 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exactly in DECIMAL(38,0). Group = the earlier order's priority
 # (urgent/high vs rest), event = the inter-order gap.
 _LOGRANK_E1 = "CAST(floor(1e9 * d * n1 / n) AS BIGINT)"
+# Denominator forced to DOUBLE before multiplying: n is the at-risk
+# count, and a pure-int64 n*n*(n-1) wraps silently past n≈2.1M events
+# (Spark's non-ANSI multiply), yielding garbage variance terms. The
+# numerator chain is already double via the leading 1e9 literal. For
+# n³ < 2^53 the double product is exact, so small-SF hashes are
+# unchanged.
 _LOGRANK_V = (
     "CAST(floor(1e9 * d * n1 * (n - n1) * (n - d)"
-    " / (n * n * (n - 1))) AS BIGINT)"
+    " / (CAST(n AS DOUBLE) * n * (n - 1))) AS BIGINT)"
 )
 
 _LOGRANK_ORACLE = f"""
