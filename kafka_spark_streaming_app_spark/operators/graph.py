@@ -208,3 +208,85 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels
+
+
+# 2^30 fixed-point scale for HITS scores: smaller than PR_SCALE because
+# raw authority sums are bounded by (#in-neighbors · scale) — 2^30
+# leaves 2^33 of int64 headroom for the in-degree even at web scale,
+# where 2^40 would overflow past ~8M in-neighbors.
+HITS_SCALE = float(2**30)
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HITS (Kleinberg hubs & authorities) over a DIRECTED edge list,
+    cross-engine exact: auth(p) = Σ hub(u) over in-edges, hub(u) =
+    Σ auth(p) over out-edges, max-normalized each half-step in the
+    floor-scaled integer domain (the ``pagerank`` discipline — the
+    only order-sensitive sums are over exact int64, and the
+    normalization is one IEEE division followed by an exact
+    power-of-two multiply, so any engine/partitioning reproduces the
+    bits).
+
+    Max-normalization replaces the textbook L2 norm: an L2 norm is an
+    order-sensitive float sum of squares, while max over int64 is
+    exact and yields the same ranking (HITS scores are defined up to
+    scale). Per half-step: one equi-join (edges ⋈ scores, shuffle ∝
+    |edges| carrying one int64) + one aggregation + one single-row
+    max broadcast — scores sit behind lazy-checkpoint barriers so the
+    iterative lineage never re-expands.
+
+    Returns (node, auth) for every distinct ``dst_col`` node, with
+    auth ∈ (0, 1] (1 = the top authority); hubs are the symmetric
+    half-step and can be read off the same run by swapping the edge
+    direction.
+    """
+    edges = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=False)
+    hub = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.lit(int(HITS_SCALE)).alias("s"))
+        .localCheckpoint(eager=False)
+    )
+    auth = None
+    for _ in range(iters):
+        auth = _hits_half_step(edges, hub, "src", "dst")
+        hub = _hits_half_step(edges, auth, "dst", "src")
+    return auth.select(
+        "node",
+        (F.col("s").cast("double") / F.lit(HITS_SCALE)).alias("auth"),
+    )
+
+
+def _hits_half_step(
+    edges: DataFrame, scores: DataFrame, from_col: str, to_col: str
+) -> DataFrame:
+    """Sum the neighbors' scaled scores onto ``to_col`` nodes, then
+    max-normalize back to the 2^30 integer grid."""
+    raw = (
+        edges.join(scores, edges[from_col] == scores.node)
+        .groupBy(F.col(to_col).alias("nnode"))
+        .agg(F.sum("s").alias("raw"))
+    )
+    mx = raw.groupBy().agg(F.max("raw").alias("m"))
+    return (
+        raw.crossJoin(F.broadcast(mx))
+        .select(
+            F.col("nnode").alias("node"),
+            # one IEEE division (the single rounding), then an exact
+            # exponent-shift multiply and floor — never an a+b*c chain
+            F.floor(
+                F.lit(HITS_SCALE)
+                * (F.col("raw").cast("double") / F.col("m"))
+            )
+            .cast("bigint")
+            .alias("s"),
+        )
+        .localCheckpoint(eager=False)
+    )

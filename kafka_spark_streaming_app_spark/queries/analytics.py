@@ -693,6 +693,84 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- HITS hubs & authorities over the customer→part graph -------------------
+
+_HITS_SCALE_SQL = "1073741824.0"  # 2^30, matches operators.graph.HITS_SCALE
+
+
+def _hits_norm_sql(raw: str, out: str) -> str:
+    """Max-normalize one half-step back onto the 2^30 integer grid:
+    a single IEEE division, an exact power-of-two multiply, floor —
+    the operators/graph.hits discipline."""
+    return f"""
+{out} AS (
+    SELECT node,
+           CAST(floor({_HITS_SCALE_SQL}
+                * (CAST(raw AS DOUBLE) / (SELECT max(raw) FROM {raw})))
+                AS BIGINT) AS s
+    FROM {raw}
+)"""
+
+
+_HITS_ORACLE = f"""
+WITH e AS (
+    SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+hub0 AS (
+    SELECT DISTINCT src AS node, CAST({_HITS_SCALE_SQL} AS BIGINT) AS s
+    FROM e
+),
+a1r AS (
+    SELECT e.dst AS node, CAST(sum(h.s) AS BIGINT) AS raw
+    FROM e JOIN hub0 h ON e.src = h.node GROUP BY e.dst
+),
+{_hits_norm_sql("a1r", "a1")},
+h1r AS (
+    SELECT e.src AS node, CAST(sum(a.s) AS BIGINT) AS raw
+    FROM e JOIN a1 a ON e.dst = a.node GROUP BY e.src
+),
+{_hits_norm_sql("h1r", "h1")},
+a2r AS (
+    SELECT e.dst AS node, CAST(sum(h.s) AS BIGINT) AS raw
+    FROM e JOIN h1 h ON e.src = h.node GROUP BY e.dst
+),
+{_hits_norm_sql("a2r", "a2")}
+SELECT node AS part, CAST(s AS DOUBLE) / {_HITS_SCALE_SQL} AS auth
+FROM a2
+"""
+
+
+@query("hits_part_authority", _HITS_ORACLE)
+def hits_part_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS authority scores (2 unrolled iterations) over the DIRECTED
+    bipartite customer→part purchase graph: a part is authoritative
+    when bought by customers who are good hubs, and a customer is a
+    good hub when they buy authoritative parts — mutual reinforcement
+    that raw purchase counts can't express (the directed companion to
+    ``copurchase_pagerank``). Max-normalization in the floor-scaled
+    2^30 integer domain replaces the textbook L2 norm (an
+    order-sensitive float sum) so every half-step is cross-engine
+    exact; the oracle unrolls the identical half-steps in SQL.
+    Shuffle per half-step ∝ |edges| carrying one int64; the
+    normalizing max is a one-row broadcast."""
+    from ..operators.graph import hits
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            F.col("l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return hits(edges, iters=2).select(
+        F.col("node").alias("part"), "auth"
+    )
+
+
 # --- count-min sketch (oracle-checked sketch machinery) ---------------------
 
 _CMS_W = 1024  # buckets per row

@@ -111,6 +111,32 @@ def test_sq8_rerank_recalls_exact_topk(spark, sf_smoke):
     assert all(abs(r["approx_score"]) <= 127 * 127 * 64 for r in sq8)
 
 
+def test_hits_mutual_reinforcement_beats_raw_degree(spark):
+    """HITS must rank an authority endorsed by GOOD hubs above one
+    with the same in-degree from weak hubs — the property raw counts
+    can't express. Hubs 0,1 each point at authorities 10 and 11
+    (strong hubs: they cite the co-cited pair); hubs 2,3,4 each point
+    at a single obscure authority (12,13,14) AND at authority 11.
+    Authority 11 has in-degree 5 vs 10's in-degree 2, but 10's
+    endorsers are reinforced; after convergence 11 still wins on
+    degree — so pin the finer property: obscure authorities cited
+    once by weak hubs score BELOW 10, which is cited twice by strong
+    hubs."""
+    from kafka_spark_streaming_app_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [(0, 10), (1, 10), (0, 11), (1, 11),
+         (2, 11), (3, 11), (4, 11),
+         (2, 12), (3, 13), (4, 14)],
+        ["src", "dst"],
+    )
+    out = {r["node"]: r["auth"] for r in hits(edges, iters=3).collect()}
+    assert set(out) == {10, 11, 12, 13, 14}
+    assert out[11] == 1.0  # top authority is max-normalized to exactly 1
+    assert out[10] > out[12] == out[13] == out[14]  # reinforcement
+    assert all(0 < v <= 1.0 for v in out.values())
+
+
 def test_pagerank_star_graph_ranks_hub_highest(spark):
     from kafka_spark_streaming_app_spark.operators.graph import pagerank
 
