@@ -3012,3 +3012,98 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("z"),
         )
     )
+
+
+# --- Kruskal-Wallis H (k-group rank test) -----------------------------------
+
+# The k-group extension of mann_whitney_u, same histogram-midrank
+# discipline: doubled rank sums stay integral on the .5 midrank grid
+# and are summed exactly in DECIMAL(38,0); the tie term Σ(c³-c) is
+# accumulated as per-row floor-quantized RELATIVE cubes (c/N)³ at
+# 1e15 — each quantum is deterministic, the int64 sum is exact, the
+# total is ≤ 1e15 at ANY corpus size (Σ(c/N)³ ≤ 1), so the tie
+# correction scales to 100 TB where raw Σc³ overflows int64 past
+# tie-group sizes of ~2M. Five fixed group labels pivot into named
+# columns, so the H arithmetic is one fixed-text scalar expression
+# over exact aggregates (the ols_regression display discipline).
+_KW_SQL = """
+WITH t AS (
+    SELECT CAST(round(value * 100, 0) AS BIGINT) AS vc, event_type AS grp
+    FROM events WHERE value IS NOT NULL
+),
+hist AS (
+    SELECT vc, CAST(count(*) AS BIGINT) AS c,
+           CAST(sum(CASE WHEN grp = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+           CAST(sum(CASE WHEN grp = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+           CAST(sum(CASE WHEN grp = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+           CAST(sum(CASE WHEN grp = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+           CAST(sum(CASE WHEN grp = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS c5
+    FROM t GROUP BY vc
+),
+ranked AS (
+    SELECT hist.*,
+           CAST(coalesce(sum(c) OVER (ORDER BY vc
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS below
+    FROM hist
+),
+agg AS (
+    SELECT
+        CAST(sum(c) AS BIGINT) AS n,
+        CAST(sum(c1) AS BIGINT) AS n1,
+        CAST(sum(c2) AS BIGINT) AS n2,
+        CAST(sum(c3) AS BIGINT) AS n3,
+        CAST(sum(c4) AS BIGINT) AS n4,
+        CAST(sum(c5) AS BIGINT) AS n5,
+        CAST(sum(CAST(c1 AS DECIMAL(38,0)) * (2 * below + c + 1)) AS DECIMAL(38,0)) AS two1,
+        CAST(sum(CAST(c2 AS DECIMAL(38,0)) * (2 * below + c + 1)) AS DECIMAL(38,0)) AS two2,
+        CAST(sum(CAST(c3 AS DECIMAL(38,0)) * (2 * below + c + 1)) AS DECIMAL(38,0)) AS two3,
+        CAST(sum(CAST(c4 AS DECIMAL(38,0)) * (2 * below + c + 1)) AS DECIMAL(38,0)) AS two4,
+        CAST(sum(CAST(c5 AS DECIMAL(38,0)) * (2 * below + c + 1)) AS DECIMAL(38,0)) AS two5
+    FROM ranked
+),
+tie AS (
+    SELECT CAST(sum(CAST(floor(1e15
+               * (CAST(c AS DOUBLE) / a.n)
+               * (CAST(c AS DOUBLE) / a.n)
+               * (CAST(c AS DOUBLE) / a.n)) AS BIGINT)) AS BIGINT) AS s3q
+    FROM ranked, agg a
+),
+stat AS (
+    SELECT a.n, a.n1, a.n2, a.n3, a.n4, a.n5,
+           12.0 / (CAST(a.n AS DOUBLE) * (a.n + 1.0))
+             * (CAST(a.two1 AS DOUBLE) * CAST(a.two1 AS DOUBLE) / (4.0 * a.n1)
+              + CAST(a.two2 AS DOUBLE) * CAST(a.two2 AS DOUBLE) / (4.0 * a.n2)
+              + CAST(a.two3 AS DOUBLE) * CAST(a.two3 AS DOUBLE) / (4.0 * a.n3)
+              + CAST(a.two4 AS DOUBLE) * CAST(a.two4 AS DOUBLE) / (4.0 * a.n4)
+              + CAST(a.two5 AS DOUBLE) * CAST(a.two5 AS DOUBLE) / (4.0 * a.n5))
+             - 3.0 * (a.n + 1.0) AS h_raw,
+           1.0 - (CAST(s.s3q AS DOUBLE) / 1e15
+                  - (1.0 / a.n) / a.n)
+               / (1.0 - (1.0 / a.n) / a.n) AS tie_d
+    FROM agg a, tie s
+)
+SELECT n, n1, n2, n3, n4, n5,
+       4 AS df,
+       round(h_raw, 6) AS h,
+       round(tie_d, 6) AS tie_correction,
+       round(h_raw / tie_d, 6) AS h_corrected
+FROM stat
+"""
+
+
+@query("kruskal_wallis_test", _KW_SQL)
+def kruskal_wallis_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H: do the five event types draw their ``value``
+    from the same distribution? Nonparametric one-way ANOVA on ranks
+    — the k-group companion to ``mann_whitney_u``, sharing its
+    histogram-first shape: one shuffle builds the distinct-value
+    histogram with per-group counts, one ordered window produces
+    midranks, and the H statistic is a fixed-text scalar over exact
+    integer/decimal aggregates (identical SQL runs on both engines).
+    The tie correction uses relative-cube quantization so it neither
+    overflows nor loses determinism at any scale."""
+    from ..sources.batch import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_KW_SQL)

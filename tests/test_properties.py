@@ -224,6 +224,41 @@ def test_spearman_matches_pandas(spark, sf_smoke):
     assert abs(r.spearman_rho - want) < 1e-6
 
 
+def test_kruskal_wallis_matches_pandas(spark, sf_smoke):
+    """kruskal_wallis_test recomputed independently with pandas
+    midranks (the SQL is shared text across both engines, so the
+    oracle gate alone can't catch a formula bug — this pin can)."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet")
+    ev = ev[ev["value"].notna()]
+    vc = np.round(ev["value"] * 100).astype("int64")
+    grp = ev["event_type"]
+    ranks = vc.rank(method="average").to_numpy()
+    n = len(vc)
+    groups = ["click", "error", "purchase", "signup", "view"]
+    s = sum(
+        ranks[(grp == g).to_numpy()].sum() ** 2
+        / (grp == g).sum()
+        for g in groups
+    )
+    h_raw = 12.0 / (n * (n + 1)) * s - 3 * (n + 1)
+    counts = vc.value_counts().to_numpy()
+    d = 1.0 - (np.sum(counts**3) - n) / (n**3 - n)
+    [r] = registry.QUERIES["kruskal_wallis_test"](spark, sf_smoke).collect()
+    assert r.n == n and r.df == 4
+    assert [r.n1, r.n2, r.n3, r.n4, r.n5] == [
+        int((grp == g).sum()) for g in groups
+    ]
+    assert abs(r.h - h_raw) < 1e-5
+    assert abs(r.tie_correction - d) < 1e-6
+    assert abs(r.h_corrected - h_raw / d) < 1e-5
+
+
 def test_theil_sen_and_mann_kendall_match_numpy(spark, sf_smoke):
     """Both trend statistics recomputed independently in numpy from
     the same daily-cents series."""
