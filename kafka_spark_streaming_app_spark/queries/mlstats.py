@@ -3107,3 +3107,159 @@ def kruskal_wallis_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_KW_SQL)
+
+
+# --- logistic regression via IRLS (2 Newton steps) --------------------------
+
+
+def _cramer3(m11, m12, m13, m22, m23, m33, r1, r2, r3, scale="1.0"):
+    """Cramer's-rule solutions of the symmetric 3x3 system M·δ = r as
+    SQL expression text — generated, not transcribed, so the Spark and
+    DuckDB sides can never drift. Fixed parse trees make the double
+    arithmetic deterministic cross-engine (the ols_regression display
+    discipline applied to a solve)."""
+    det = (
+        f"({m11} * ({m22} * {m33} - {m23} * {m23})"
+        f" - {m12} * ({m12} * {m33} - {m23} * {m13})"
+        f" + {m13} * ({m12} * {m23} - {m22} * {m13}))"
+    )
+    n0 = (
+        f"({r1} * ({m22} * {m33} - {m23} * {m23})"
+        f" - {m12} * ({r2} * {m33} - {m23} * {r3})"
+        f" + {m13} * ({r2} * {m23} - {m22} * {r3}))"
+    )
+    n1 = (
+        f"({m11} * ({r2} * {m33} - {r3} * {m23})"
+        f" - {r1} * ({m12} * {m33} - {m13} * {m23})"
+        f" + {m13} * ({m12} * {r3} - {r2} * {m13}))"
+    )
+    n2 = (
+        f"({m11} * ({m22} * {r3} - {m23} * {r2})"
+        f" - {m12} * ({m12} * {r3} - {m13} * {r2})"
+        f" + {r1} * ({m12} * {m23} - {m22} * {m13}))"
+    )
+    return tuple(f"({scale} * {n} / {det})" for n in (n0, n1, n2))
+
+
+def _dsum(expr: str, alias: str) -> str:
+    """Exact decimal sum of an integer expression, surfaced as DOUBLE."""
+    return (
+        f"CAST(sum(CAST({expr} AS DECIMAL(38,0))) AS DOUBLE) AS {alias}"
+    )
+
+
+# Step 1 (β = 0): μ = 1/2 and W = I/4 EXACTLY, so the Newton step is
+# δ = 4·(X'X/n)⁻¹·(X'r/n) over sufficient statistics that are exact
+# integers (quantity is integral, discount is exact cents). Step 2
+# re-weights per row with μ = σ(η): η is assembled from per-term
+# floor(1e9·β·x) quanta (β doubles are identical cross-engine from the
+# fixed-text Cramer solve), and every step-2 contribution is
+# floor(1e8·expr) summed in DECIMAL(38,0) (1e8 keeps the floor bias on the
+# small-magnitude discount entries below 1e-5 relative; per-row quanta max
+# ~6e10 so the exact decimal sum has headroom past 1e12 rows) — the km_survival libm
+# discipline (exp is assumed correctly rounded; a last-ulp difference
+# only matters on the measure-zero event that 1e6·w straddles an
+# integer).
+_LOGIT_B1 = _cramer3(
+    "1.0", "(sq / n)", "(sdc / n / 100.0)",
+    "(sqq / n)", "(sqdc / n / 100.0)", "(sdcdc / n / 10000.0)",
+    "(sy / n - 0.5)",
+    "(syq / n - 0.5 * (sq / n))",
+    "(sydc / n / 100.0 - 0.5 * (sdc / n / 100.0))",
+    scale="4.0",
+)
+
+_LOGIT_B2 = _cramer3(
+    "(t11 / n2)", "(t12 / n2)", "(t13 / n2)",
+    "(t22 / n2)", "(t23 / n2)", "(t33 / n2)",
+    "(u1 / n2)", "(u2 / n2)", "(u3 / n2)",
+)
+
+_LOGISTIC_SQL = f"""
+WITH t AS (
+    SELECT CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS BIGINT) AS y,
+           CAST(l_quantity AS BIGINT) AS q,
+           CAST(round(l_discount * 100, 0) AS BIGINT) AS dc
+    FROM lineitem
+),
+s1 AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+           {_dsum("q", "sq")},
+           {_dsum("dc", "sdc")},
+           {_dsum("q * q", "sqq")},
+           {_dsum("q * dc", "sqdc")},
+           {_dsum("dc * dc", "sdcdc")},
+           {_dsum("y", "sy")},
+           {_dsum("y * q", "syq")},
+           {_dsum("y * dc", "sydc")}
+    FROM t
+),
+b1 AS (
+    SELECT n,
+           {_LOGIT_B1[0]} AS bb0,
+           {_LOGIT_B1[1]} AS bb1,
+           {_LOGIT_B1[2]} AS bb2
+    FROM s1
+),
+p2 AS (
+    SELECT t.y, t.q, t.dc,
+           CAST(floor(1e9 * b.bb0) AS BIGINT)
+           + CAST(floor(1e9 * (b.bb1 * t.q)) AS BIGINT)
+           + CAST(floor(1e9 * (b.bb2 * (t.dc / 100.0))) AS BIGINT) AS etaq
+    FROM t, b1 b
+),
+p4 AS (
+    SELECT y, q, dc, mu,
+           mu * (1.0 - mu) AS w,
+           CAST(y AS DOUBLE) - mu AS r
+    FROM (
+        SELECT y, q, dc,
+               1.0 / (1.0 + exp(0.0 - CAST(etaq AS DOUBLE) / 1e9)) AS mu
+        FROM p2
+    ) sub
+),
+s2 AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+           {_dsum("floor(1e8 * w)", "t11")},
+           {_dsum("floor(1e8 * (w * q))", "t12")},
+           {_dsum("floor(1e8 * (w * (dc / 100.0)))", "t13")},
+           {_dsum("floor(1e8 * (w * q * q))", "t22")},
+           {_dsum("floor(1e8 * (w * q * (dc / 100.0)))", "t23")},
+           {_dsum("floor(1e8 * (w * (dc / 100.0) * (dc / 100.0)))", "t33")},
+           {_dsum("floor(1e8 * r)", "u1")},
+           {_dsum("floor(1e8 * (r * q))", "u2")},
+           {_dsum("floor(1e8 * (r * (dc / 100.0)))", "u3")}
+    FROM p4
+)
+SELECT CAST(b.n AS BIGINT) AS n,
+       round(b.bb0, 6) AS beta0_step1,
+       round(b.bb1, 6) AS beta1_step1,
+       round(b.bb2, 6) AS beta2_step1,
+       round(b.bb0 + {_LOGIT_B2[0]}, 6) AS beta0,
+       round(b.bb1 + {_LOGIT_B2[1]}, 6) AS beta1,
+       round(b.bb2 + {_LOGIT_B2[2]}, 6) AS beta2
+FROM b1 b, (
+    SELECT n AS n2, t11 / 1e8 AS t11, t12 / 1e8 AS t12, t13 / 1e8 AS t13,
+           t22 / 1e8 AS t22, t23 / 1e8 AS t23, t33 / 1e8 AS t33,
+           u1 / 1e8 AS u1, u2 / 1e8 AS u2, u3 / 1e8 AS u3
+    FROM s2
+) s
+"""
+
+
+@query("logistic_irls", _LOGISTIC_SQL)
+def logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression trained IN the engine: 2 Newton/IRLS steps
+    for P(l_returnflag = 'R' | quantity, discount). Each step is ONE
+    aggregation over lineitem producing the 9 sufficient statistics
+    (X'WX, X'r) as exact DECIMAL(38,0) sums of quantized per-row
+    contributions, followed by a generated fixed-text Cramer solve of
+    the 3x3 normal equations — so training cost is two scans with
+    map-side partial aggregation, no per-iteration shuffle growth, at
+    any corpus size. Step 1 exploits β=0 ⇒ W=I/4 exactly (integer
+    statistics); step 2 re-weights with μ=σ(η) under the documented
+    libm-exp assumption. Identical SQL text runs on both engines."""
+    from ..sources.batch import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_LOGISTIC_SQL)

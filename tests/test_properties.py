@@ -259,6 +259,44 @@ def test_kruskal_wallis_matches_pandas(spark, sf_smoke):
     assert abs(r.h_corrected - h_raw / d) < 1e-5
 
 
+def test_logistic_irls_matches_numpy(spark, sf_smoke):
+    """logistic_irls recomputed with an UNQUANTIZED 2-step Newton in
+    numpy: the engine quantizes η at 1e-9 and contributions at 1e-6,
+    so betas agree to ~1e-4, and step 1 (exact rational statistics)
+    to 1e-6. Shared-text SQL means the oracle gate can't catch a
+    formula bug — this independent implementation can."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    li = pd.read_parquet(f"{sf_smoke}/lineitem.parquet")
+    y = (li["l_returnflag"] == "R").to_numpy(dtype=np.float64)
+    X = np.column_stack(
+        [
+            np.ones(len(li)),
+            li["l_quantity"].to_numpy(dtype=np.float64),
+            np.round(li["l_discount"] * 100).to_numpy() / 100.0,
+        ]
+    )
+    beta = np.zeros(3)
+    for _ in range(2):
+        mu = 1.0 / (1.0 + np.exp(-X @ beta))
+        w = mu * (1.0 - mu)
+        beta = beta + np.linalg.solve(
+            (X * w[:, None]).T @ X, X.T @ (y - mu)
+        )
+        if _ == 0:
+            step1 = beta.copy()
+    [r] = registry.QUERIES["logistic_irls"](spark, sf_smoke).collect()
+    assert r.n == len(li)
+    got1 = [r.beta0_step1, r.beta1_step1, r.beta2_step1]
+    got2 = [r.beta0, r.beta1, r.beta2]
+    assert np.allclose(got1, step1, atol=1e-6), (got1, step1)
+    assert np.allclose(got2, beta, atol=1e-4), (got2, beta)
+
+
 def test_theil_sen_and_mann_kendall_match_numpy(spark, sf_smoke):
     """Both trend statistics recomputed independently in numpy from
     the same daily-cents series."""
