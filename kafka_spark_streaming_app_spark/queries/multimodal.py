@@ -622,3 +622,65 @@ def multimodal_video_fingerprint_dedup(
         synthesize_vfp_media(load_table(spark, sf_dir, "documents"))
     )
     return hamming_band_pairs(bands, radius=3)
+
+
+# --- video scene-cut detection ----------------------------------------------
+
+# Closed-form twin of operators/multimodal.synthesize_scene_video_media
+# + scene_cut_frames: recompute every pixel of every frame pair in SQL
+# and apply the identical integer cross-multiplied threshold. Exactness
+# needs no quantization anywhere — luma is uint8, diff sums are int64.
+_SCENE_CUT_ORACLE = """
+WITH p AS (
+    SELECT doc_id AS d,
+           doc_id % 16 + 8 AS w,
+           doc_id % 8 + 8 AS h,
+           doc_id % 10 + 12 AS nf,
+           doc_id % 4 + 3 AS seg
+    FROM documents
+),
+fd AS (
+    SELECT d, w, h, f.f AS f,
+           CAST(sum(abs(
+               (d*17 + ((f.f + 1) // seg)*53 + ((f.f + 1) % 2)*2
+                + 3*y.y + x.x) % 240
+             - (d*17 + (f.f // seg)*53 + (f.f % 2)*2
+                + 3*y.y + x.x) % 240
+           )) AS BIGINT) AS diff_sum
+    FROM p,
+         LATERAL (SELECT unnest(range(0, nf - 1)) AS f) f,
+         LATERAL (SELECT unnest(range(0, h)) AS y) y,
+         LATERAL (SELECT unnest(range(0, w)) AS x) x
+    GROUP BY d, w, h, f.f
+)
+SELECT d AS media_id,
+       CAST(f + 1 AS BIGINT) AS cut_frame,
+       diff_sum,
+       CAST(w * h AS BIGINT) AS n_pixels
+FROM fd
+WHERE 100 * diff_sum > 2000 * w * h
+"""
+
+
+@query("multimodal_scene_cuts", _SCENE_CUT_ORACLE)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection end-to-end through the REAL Y4M codec:
+    every document becomes a scene-structured clip (piecewise-constant
+    luma base + ±2 flicker), and a cut fires at frame f+1 when the
+    mean |Δluma| vs frame f exceeds 20 — evaluated as the exact
+    integer cross-multiplication 100·Σ|Δ| > 2000·n_pixels, so the cut
+    set is engine-independent with no float thresholds. The oracle
+    recomputes every pixel of every frame pair from the closed form.
+    This is the segmentation primitive that precedes per-scene frame
+    sampling / dedup in a video curation pipeline; the Spark plan is
+    decode + one vectorized frame-pair scan per clip inside
+    ``mapInPandas`` — zero shuffles."""
+    from ..operators.multimodal import (
+        scene_cut_frames,
+        synthesize_scene_video_media,
+    )
+
+    media = synthesize_scene_video_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return scene_cut_frames(media, mean_diff_x100=2000)

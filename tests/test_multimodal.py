@@ -626,3 +626,32 @@ def test_video_fingerprint_banding_complete_and_pairs_planted(spark, sf_smoke):
     planted = {(2 * m, 2 * m + 1) for m in range(40) if 2 * m + 1 in bands}
     found = {(a, b) for a, b, _ in got}
     assert planted <= found
+
+
+def test_scene_cuts_fire_exactly_at_scene_boundaries(spark):
+    """A crafted clip with a hard luma jump every `seg` frames must
+    cut at exactly the multiples of seg and nowhere else — through
+    the real Y4M encode/decode round trip."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark.operators.multimodal import (
+        scene_cut_frames,
+    )
+    from kafka_spark_streaming_app_spark.operators.avcodec import encode_y4m
+
+    seg, nf, h, w = 4, 13, 6, 9
+    ff, yy, xx = np.mgrid[0:nf, 0:h, 0:w]
+    # base jump 60 per scene, flicker +/-1 within a scene
+    luma = ((ff // seg) * 60 + (ff % 2) + yy + xx) % 250
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            [{"media_id": 1, "payload": encode_y4m(luma.astype(np.uint8))}]
+        )
+    )
+    out = scene_cut_frames(media, mean_diff_x100=2000).collect()
+    assert {r.cut_frame for r in out} == {seg, 2 * seg, 3 * seg}
+    for r in out:
+        assert r.n_pixels == h * w
+        # boundary diff ~= 60 + flicker per pixel, far above 20
+        assert 100 * r.diff_sum > 2000 * r.n_pixels
