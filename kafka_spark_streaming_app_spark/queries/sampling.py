@@ -207,3 +207,60 @@ def stratified_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "doc_id", "lang", "n_chars", F.col("n_alloc").cast("bigint")
     ).orderBy("lang", "doc_id")
+
+
+# --- weighted sampling without replacement (Efraimidis–Spirakis) ------------
+
+_WES_K = 100
+# Distinct CW multiplier so the weighted sample is independent of the
+# uniform reservoir's keys (same convention: md5("weighted")-derived
+# odd A ≤ 1.3e7 keeps doc_id·A in int64).
+_WES_A = 11_698_327
+_WES_C = 2_773_480_762 % _P
+_WES_KEY_SQL = f"((doc_id * {_WES_A} + {_WES_C}) % {_P})"
+# Efraimidis–Spirakis: select the k largest u^(1/w). Ranking by the
+# monotone transform ln(u)/w avoids pow() entirely; ln is floor-
+# quantized at 1e-12 (the km_survival libm discipline) so the ORDER BY
+# key is an exact int64 on both engines, ties broken by doc_id.
+# u = (cw_key + 1)/P ∈ (0, 1] — ln never sees 0.
+_WES_RANK_SQL = (
+    f"CAST(floor(1e12 * (ln((CAST({_WES_KEY_SQL} AS DOUBLE) + 1.0)"
+    f" / {_P}) / n_chars)) AS BIGINT)"
+)
+
+_WES_ORACLE = f"""
+SELECT doc_id, lang, source, n_chars,
+       {_WES_RANK_SQL} AS es_key_q
+FROM documents
+WHERE n_chars > 0
+ORDER BY es_key_q DESC, doc_id
+LIMIT {_WES_K}
+"""
+
+
+@query("weighted_sample_es", _WES_ORACLE)
+def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k sample WITHOUT replacement with probability ∝ weight
+    (n_chars — longer documents carry more training tokens, so
+    token-proportional selection is the natural corpus subsample):
+    Efraimidis–Spirakis one-pass keys u^(1/w), ranked by the monotone
+    transform ln(u)/w so no pow() is needed, with the ln
+    floor-quantized to an exact int64 ORDER BY key. Spark compiles
+    the orderBy+limit into TakeOrderedAndProject (per-partition k-row
+    heap + driver merge of n_tasks·k rows — no global sort), the same
+    distributed shape as `reservoir_sample_exact`, which this
+    generalizes from uniform to weighted. The SAMPLE ITSELF
+    hash-checks cross-engine, not just its size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            F.expr(_WES_RANK_SQL).alias("es_key_q"),
+        )
+        .orderBy(F.desc("es_key_q"), "doc_id")
+        .limit(_WES_K)
+    )
