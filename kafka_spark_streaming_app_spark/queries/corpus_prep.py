@@ -498,3 +498,120 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- trigram Jelinek-Mercer perplexity (statistical LM) ----------------------
+
+# Shared per-position log-prob fragment: every count is an exact
+# integer from the trigram table itself (c12 = rows sharing (w1,w2)
+# etc., so the model is self-consistent without sentence-boundary
+# bookkeeping), the interpolated probability is a fixed-text rational
+# of those counts, and ln is floor-quantized at 1e-9 (the km_survival
+# libm discipline) so per-document sums are exact int64.
+_TRI_LP_SQL = (
+    "CAST(floor(1e9 * ln("
+    "0.6 * (CAST(c123 AS DOUBLE) / c12)"
+    " + 0.3 * (CAST(c23 AS DOUBLE) / c2)"
+    " + 0.1 * (CAST(c3w AS DOUBLE) / tt))) AS BIGINT)"
+)
+
+_TRI_PPL_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id, {_WORDS} AS ws FROM documents
+),
+tri AS (
+    SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3
+    FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) r
+    WHERE len(ws) >= 3
+),
+cnt AS (
+    SELECT doc_id,
+           count(*) OVER (PARTITION BY w1, w2, w3) AS c123,
+           count(*) OVER (PARTITION BY w1, w2) AS c12,
+           count(*) OVER (PARTITION BY w2, w3) AS c23,
+           count(*) OVER (PARTITION BY w2) AS c2,
+           count(*) OVER (PARTITION BY w3) AS c3w,
+           count(*) OVER () AS tt
+    FROM tri
+),
+lp AS (
+    SELECT doc_id, {_TRI_LP_SQL} AS lp_q FROM cnt
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_trigrams,
+       CAST(sum(lp_q) AS BIGINT) AS logprob_q,
+       round(exp(0.0 - (CAST(sum(lp_q) AS DOUBLE) / 1e9) / count(*)), 6)
+           AS perplexity
+FROM lp GROUP BY doc_id
+"""
+
+
+@query("trigram_perplexity", _TRI_PPL_ORACLE)
+def trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under a corpus-trained Jelinek-Mercer
+    interpolated trigram LM (λ = 0.6/0.3/0.1 over trigram/bigram/
+    unigram relative frequencies) — the CCNet/KenLM-style fluency
+    filter, upgraded from ``bigram_fluency_score``'s mean-frequency
+    proxy to a real language-model score: low perplexity = common
+    word transitions, high = gibberish/atypical text.
+
+    Every count (trigram, its (w1,w2) context, the (w2,w3) suffix,
+    the w2 and w3 marginals, and the total) is a window count over
+    the SAME trigram relation, so the model is self-consistent with
+    no boundary bookkeeping and all counts are exact integers; the
+    only floats are the fixed-text interpolation and a 1e-9-quantized
+    ln whose per-doc sums are exact int64. Grams shuffle as xxhash64
+    keys, never strings (the bigram convention; the oracle partitions
+    by raw strings and stays hash-agnostic). Scale shape: the lag
+    window is one doc-keyed shuffle, the five count windows are five
+    gram-keyed shuffles of (doc_id, 5×int64) — linear, skew-bounded
+    by the hottest gram, with map-side-combinable final per-doc
+    aggregation."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "w")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    tri = (
+        toks.select(
+            "doc_id",
+            F.lag("w", 2).over(wdoc).alias("w1"),
+            F.lag("w", 1).over(wdoc).alias("w2"),
+            F.col("w").alias("w3"),
+        )
+        .filter(F.col("w1").isNotNull())
+        .select(
+            "doc_id",
+            F.xxhash64("w1", "w2", "w3").alias("k123"),
+            F.xxhash64("w1", "w2").alias("k12"),
+            F.xxhash64("w2", "w3").alias("k23"),
+            F.xxhash64("w2").alias("k2"),
+            F.xxhash64("w3").alias("k3"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    total = tri.agg(F.count(F.lit(1)).alias("tt"))
+    cnt = tri.select(
+        "doc_id",
+        F.count(F.lit(1)).over(Window.partitionBy("k123")).alias("c123"),
+        F.count(F.lit(1)).over(Window.partitionBy("k12")).alias("c12"),
+        F.count(F.lit(1)).over(Window.partitionBy("k23")).alias("c23"),
+        F.count(F.lit(1)).over(Window.partitionBy("k2")).alias("c2"),
+        F.count(F.lit(1)).over(Window.partitionBy("k3")).alias("c3w"),
+    ).crossJoin(F.broadcast(total))
+    lp = cnt.select("doc_id", F.expr(_TRI_LP_SQL).alias("lp_q"))
+    return lp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+        F.sum("lp_q").cast("bigint").alias("logprob_q"),
+        F.round(
+            F.exp(
+                -(F.sum("lp_q").cast("double") / F.lit(1e9))
+                / F.count(F.lit(1))
+            ),
+            6,
+        ).alias("perplexity"),
+    )

@@ -271,3 +271,60 @@ def test_quality_oracle_null_text_parity(spark, tmp_path):
     )
     for col in ("n_tokens", "quality_logit", "keep"):
         assert list(got[col]) == list(want[col]), col
+
+
+def test_trigram_perplexity_matches_pure_python(spark, sf_smoke):
+    """trigram_perplexity recomputed with an independent pure-Python
+    JM-interpolated trigram LM (same normalization, dict counts, no
+    SQL) — pins the model spec the shared ln-fragment can't
+    self-check. Quantization keeps sums within 1e-9·n of the float
+    reference, so round-6 perplexities must agree to 1e-5."""
+    import math
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    docs = pd.read_parquet(f"{sf_smoke}/documents.parquet")
+    tris = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        ws = re.sub(r"\s+", " ", (text or "").lower().strip()).split(" ")
+        tris[doc_id] = [tuple(ws[i : i + 3]) for i in range(len(ws) - 2)]
+    c123, c12, c23, c2, c3w = (Counter() for _ in range(5))
+    tt = 0
+    for ts in tris.values():
+        for w1, w2, w3 in ts:
+            c123[(w1, w2, w3)] += 1
+            c12[(w1, w2)] += 1
+            c23[(w2, w3)] += 1
+            c2[w2] += 1
+            c3w[w3] += 1
+            tt += 1
+    want = {}
+    for doc_id, ts in tris.items():
+        if not ts:
+            continue
+        s = sum(
+            math.floor(
+                1e9
+                * math.log(
+                    0.6 * c123[(w1, w2, w3)] / c12[(w1, w2)]
+                    + 0.3 * c23[(w2, w3)] / c2[w2]
+                    + 0.1 * c3w[w3] / tt
+                )
+            )
+            for w1, w2, w3 in ts
+        )
+        want[doc_id] = (len(ts), math.exp(-(s / 1e9) / len(ts)))
+    rows = registry.QUERIES["trigram_perplexity"](spark, sf_smoke).collect()
+    got = {r.doc_id: (r.n_trigrams, r.perplexity) for r in rows}
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][0] == want[d][0]
+        assert abs(got[d][1] - want[d][1]) < 1e-5, (d, got[d], want[d])
+    # sanity: a language model separates documents (non-degenerate)
+    ppls = [v for _, v in got.values()]
+    assert max(ppls) > 2 * min(ppls)
