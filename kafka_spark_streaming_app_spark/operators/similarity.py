@@ -682,3 +682,201 @@ def ann_topk_sq8(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "approx_score", "cosine", "rank")
     )
+
+
+# --- product quantization (PQ) ANN ------------------------------------------
+
+# 2^30 fixed-point scale for ADC lookup-table entries: per-subspace
+# squared distances are O(subspace-dim · value-range²); quantizing each
+# LUT entry to an int makes the per-candidate ADC sum (the ONLY
+# order-sensitive reduction in the ADC stage) exact int64 arithmetic.
+PQ_ADC_SCALE = float(2**30)
+
+
+def _sq_dist_expr(dim: int, a: str = "x", b: str = "c") -> "F.Column":
+    """Unrolled left-to-right squared-L2 fold (the _km_assign codegen
+    discipline): identical addition order on every engine."""
+    expr = "CAST(0.0 AS DOUBLE)"
+    for i in range(dim):
+        expr = f"({expr} + ({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}]))"
+    return F.expr(expr)
+
+
+def pq_subvectors(
+    df: DataFrame,
+    m: int,
+    sub_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, m, x): each vector split into ``m`` contiguous
+    ``sub_dim``-dim subvectors — subspace as a COLUMN, so one keyed
+    dataflow trains/encodes all codebooks at once instead of m
+    separate jobs."""
+    x = F.transform(F.col(vec_col), lambda e: e.cast("double"))
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("m"),
+                F.slice(x, j * sub_dim + 1, sub_dim).alias("x"),
+            )
+            for j in range(m)
+        ]
+    )
+    return df.select(F.col(id_col), F.explode(structs).alias("s")).select(
+        F.col(id_col), F.col("s.m").alias("m"), F.col("s.x").alias("x")
+    )
+
+
+def _pq_assign(
+    sub: DataFrame, cents: DataFrame, sub_dim: int, id_col: str
+) -> DataFrame:
+    """Nearest codebook entry per (vector, subspace); the centroid
+    table is (m, cid, c) and tiny (m·k rows) — always broadcast."""
+    scored = sub.join(F.broadcast(cents), "m").select(
+        id_col, "m", "x", "cid", _sq_dist_expr(sub_dim).alias("dist")
+    )
+    w = Window.partitionBy(id_col, "m").orderBy("dist", "cid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    sub_dim: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace codebooks (m, cid, c) via Lloyd iterations with
+    deterministic first-k init — the kmeans_centroids fixed-point
+    discipline (exact scaled-integer means, unrolled distance folds)
+    applied across all m subspaces in ONE keyed dataflow."""
+    sub = (
+        pq_subvectors(df, m, sub_dim, id_col, vec_col)
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+        )
+        .localCheckpoint(eager=False)
+    )
+    cents = (
+        sub.filter(F.col(id_col) < k)
+        .select(
+            "m", F.col(id_col).cast("int").alias("cid"), F.col("x").alias("c")
+        )
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(iters):
+        assigned = _pq_assign(sub, cents, sub_dim, id_col)
+        dims = assigned.select(
+            "m", "cid", F.posexplode("x").alias("d", "xd")
+        ).select(
+            "m",
+            "cid",
+            "d",
+            (F.col("xd") * F.lit(KM_SCALE)).cast("bigint").alias("xs"),
+        )
+        means = dims.groupBy("m", "cid", "d").agg(
+            (
+                F.sum("xs").cast("double") / F.lit(KM_SCALE) / F.count(F.lit(1))
+            ).alias("mu")
+        )
+        cents = (
+            means.groupBy("m", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "mu"))),
+                    lambda s: s.mu,
+                ).alias("c")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return cents
+
+
+def ann_topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    m: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 16,
+    k: int = 5,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC) and exact rerank — the Jégou-style memory lever for 100 TB
+    vector search: the hot corpus image is m small ints per vector
+    (4 bits/subspace here — a 32× reduction vs float32·64) plus a
+    broadcast codebook; exact vectors are touched only for ``rerank``
+    rows per query.
+
+    Stages: (1) train per-subspace codebooks (``pq_train``), (2)
+    encode the corpus — one broadcast join + per-(vector,subspace)
+    argmin, (3) per query, build the m×n_codes ADC lookup table
+    (tiny, broadcast) with entries floor-quantized at 2^30 so each
+    candidate's approximate distance is an EXACT int64 sum — the only
+    order-sensitive reduction — then (4) rerank the top candidates by
+    the exact unrolled 64-dim distance. Self-matches are kept (dist
+    0), mirroring the kmeans family's conventions."""
+    dim = m * sub_dim
+    cents = pq_train(
+        corpus, m=m, sub_dim=sub_dim, k=n_codes, iters=2,
+        id_col=id_col, vec_col=vec_col,
+    )
+    sub = pq_subvectors(corpus, m, sub_dim, id_col, vec_col)
+    codes = _pq_assign(sub, cents, sub_dim, id_col).select(
+        F.col(id_col).alias("corpus_id"), "m", F.col("cid").alias("code")
+    )
+    qsub = pq_subvectors(queries, m, sub_dim, id_col, vec_col)
+    lut = (
+        qsub.join(F.broadcast(cents), "m")
+        .select(
+            F.col(id_col).alias("query_id"),
+            "m",
+            F.col("cid").alias("code"),
+            F.floor(F.lit(PQ_ADC_SCALE) * _sq_dist_expr(sub_dim))
+            .cast("bigint")
+            .alias("dq"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .groupBy("query_id", "corpus_id")
+        .agg(F.sum("dq").alias("adc_q"))
+    )
+    wc = Window.partitionBy("query_id").orderBy("adc_q", "corpus_id")
+    cand = adc.withColumn("crank", F.row_number().over(wc)).filter(
+        F.col("crank") <= rerank
+    )
+    xv = F.transform(F.col(vec_col), lambda e: e.cast("double"))
+    cv = corpus.select(F.col(id_col).alias("corpus_id"), xv.alias("x"))
+    qv = queries.select(F.col(id_col).alias("query_id"), xv.alias("c"))
+    exact = (
+        cand.join(cv, "corpus_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "corpus_id",
+            "adc_q",
+            _sq_dist_expr(dim).alias("dist"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy("dist", "corpus_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "corpus_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.round("dist", 6).alias("dist"),
+            "adc_q",
+        )
+    )

@@ -916,3 +916,137 @@ def ranking_metrics_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ndcg_at_5"),
     ).orderBy("idx", "query_id")
+
+
+# --- product quantization ANN -----------------------------------------------
+
+_PQ_M, _PQ_SD, _PQ_K, _PQ_RERANK = 8, 8, 16, 50
+_PQ_ADC_SCALE_SQL = "1073741824.0"  # 2^30, operators.similarity.PQ_ADC_SCALE
+
+
+def _pq_dist_sql(n: int, va: str = "v", ca: str = "c") -> str:
+    return (
+        f"list_sum(list_transform(range(1, {n} + 1), "
+        f"i -> ({va}.x[i] - {ca}.c[i]) * ({va}.x[i] - {ca}.c[i])))"
+    )
+
+
+def _pq_iter_sql(cent: str, oa: str, oc: str) -> str:
+    """One per-subspace Lloyd iteration (assignment + exact fixed-point
+    update), subspace as a key column — the _km_iter_sql shape with m
+    threaded through every group."""
+    return f"""
+{oa}_s AS (
+    SELECT v.vec_id, v.m, v.x, c.cid, {_pq_dist_sql(_PQ_SD)} AS dist
+    FROM sub v JOIN {cent} c ON v.m = c.m
+),
+{oa} AS (
+    SELECT vec_id, m, x, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY dist, cid) AS rn
+        FROM {oa}_s
+    ) WHERE rn = 1
+),
+{oc}_d AS (
+    SELECT m, cid, i, CAST(x[i] * {_KM_SCALE_SQL} AS BIGINT) AS xs
+    FROM {oa}, range(1, {_PQ_SD} + 1) t(i)
+),
+{oc}_m AS (
+    SELECT m, cid, i,
+           CAST(sum(xs) AS DOUBLE) / {_KM_SCALE_SQL} / count(*) AS mu
+    FROM {oc}_d GROUP BY m, cid, i
+),
+{oc} AS (
+    SELECT m, cid, list(mu ORDER BY i) AS c FROM {oc}_m GROUP BY m, cid
+)"""
+
+
+_PQ_ORACLE = f"""
+WITH v0 AS (
+    SELECT vec_id, embedding::DOUBLE[] AS fv FROM embeddings
+),
+sub AS (
+    SELECT vec_id, j AS m,
+           fv[j * {_PQ_SD} + 1 : j * {_PQ_SD} + {_PQ_SD}] AS x
+    FROM v0, range(0, {_PQ_M}) t(j)
+),
+c0 AS (
+    SELECT m, CAST(vec_id AS INTEGER) AS cid, x AS c
+    FROM sub WHERE vec_id < {_PQ_K}
+),
+{_pq_iter_sql("c0", "a1", "c1")},
+{_pq_iter_sql("c1", "a2", "c2")},
+codes AS (
+    SELECT vec_id AS corpus_id, m, cid AS code FROM (
+        SELECT v.vec_id, v.m, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id, v.m
+                                  ORDER BY {_pq_dist_sql(_PQ_SD)}, c.cid)
+                   AS rn
+        FROM sub v JOIN c2 c ON v.m = c.m
+    ) WHERE rn = 1
+),
+lut AS (
+    SELECT v.vec_id AS query_id, v.m, c.cid AS code,
+           CAST(floor({_PQ_ADC_SCALE_SQL} * {_pq_dist_sql(_PQ_SD)})
+                AS BIGINT) AS dq
+    FROM sub v JOIN c2 c ON v.m = c.m
+    WHERE v.vec_id < {_NUM_QUERIES}
+),
+adc AS (
+    SELECT l.query_id, s.corpus_id, CAST(sum(l.dq) AS BIGINT) AS adc_q
+    FROM codes s JOIN lut l ON s.m = l.m AND s.code = l.code
+    GROUP BY l.query_id, s.corpus_id
+),
+cand AS (
+    SELECT query_id, corpus_id, adc_q FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_q, corpus_id) AS rn
+        FROM adc
+    ) WHERE rn <= {_PQ_RERANK}
+),
+ex AS (
+    SELECT cand.query_id, cand.corpus_id, cand.adc_q,
+           list_sum(list_transform(range(1, {_PQ_M * _PQ_SD} + 1),
+               i -> (cv.fv[i] - qv.fv[i]) * (cv.fv[i] - qv.fv[i])))
+               AS dist
+    FROM cand
+    JOIN v0 cv ON cand.corpus_id = cv.vec_id
+    JOIN v0 qv ON cand.query_id = qv.vec_id
+)
+SELECT query_id, corpus_id, CAST(rn AS BIGINT) AS rank,
+       round(dist, 6) AS dist, adc_q
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dist, corpus_id) AS rn
+    FROM ex
+) WHERE rn <= 5
+"""
+
+
+@query("similarity_ann_pq", _PQ_ORACLE)
+def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (m=8 subspaces × 16 codes, ADC +
+    exact rerank) — the third compression point in the family after
+    brute force (4 bytes/dim) and SQ8 (1 byte/dim): PQ stores HALF A
+    BYTE per dim (4-bit codes) plus a broadcast codebook, the standard
+    billion-vector memory layout. Codebooks are trained per subspace
+    with the kmeans fixed-point discipline in ONE keyed dataflow
+    (subspace as a column, not m jobs); ADC lookup entries are
+    floor-quantized at 2^30 so each candidate's approximate distance
+    is an exact int64 sum; the top-50 candidates per query are
+    reranked by the exact unrolled 64-dim distance. The oracle unrolls
+    the identical two Lloyd iterations, encoding, ADC, and rerank in
+    SQL."""
+    from ..operators.similarity import ann_topk_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < _NUM_QUERIES)
+    return ann_topk_pq(
+        emb,
+        queries_df,
+        m=_PQ_M,
+        sub_dim=_PQ_SD,
+        n_codes=_PQ_K,
+        k=5,
+        rerank=_PQ_RERANK,
+    )

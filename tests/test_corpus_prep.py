@@ -328,3 +328,49 @@ def test_trigram_perplexity_matches_pure_python(spark, sf_smoke):
     # sanity: a language model separates documents (non-degenerate)
     ppls = [v for _, v in got.values()]
     assert max(ppls) > 2 * min(ppls)
+
+
+def test_pq_adc_rerank_recalls_exact_topk(spark, sf_smoke):
+    """PQ with rerank=50 over a 500-vector corpus must recover most
+    of the exact top-5 per query (deterministic fixture, deterministic
+    assertion) and its output distances must equal the exact L2."""
+    import numpy as np
+
+    from kafka_spark_streaming_app_spark.operators.similarity import (
+        ann_topk_pq,
+    )
+    from kafka_spark_streaming_app_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    exact = {}
+    for q in range(5):
+        d = {
+            cid: float(((vecs[q] - v) ** 2).sum())
+            for cid, v in vecs.items()
+        }
+        exact[q] = (d, set(sorted(d, key=lambda c: (d[c], c))[:5]))
+
+    def recall(rerank):
+        got = ann_topk_pq(emb, queries, k=5, rerank=rerank).collect()
+        hits = 0
+        for q in range(5):
+            d, exact5 = exact[q]
+            mine = {r.corpus_id for r in got if r.query_id == q}
+            assert len(mine) == 5
+            hits += len(exact5 & mine)
+            for r in got:
+                if r.query_id == q:
+                    assert abs(r.dist - d[r.corpus_id]) < 1e-4
+        return hits
+
+    # i.i.d. random embeddings are PQ's adversarial case (no cluster
+    # structure for the codebooks to exploit); recall is governed by
+    # the rerank width, and widening it must recover the exact set —
+    # measured 19/24/25 at rerank 50/100/150 on this fixture.
+    assert recall(50) >= 18
+    assert recall(150) >= 24
