@@ -3263,3 +3263,115 @@ def logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("lineitem",))
     return spark.sql(_LOGISTIC_SQL)
+
+
+# --- Cox proportional hazards (binary covariate, Breslow ties) ---------------
+
+# With a BINARY covariate the risk-set sums have closed forms —
+# S0(t) = n0_t + e^β·n1_t, S1(t) = S2(t) = e^β·n1_t — so each Newton
+# step needs ONE exp of the scalar β, never a per-row exp: the score
+# U(β) = d1 − Σ_t d_t·S1/S0 and information I(β) = Σ_t d_t·s·(1−s)
+# (s = S1/S0) are per-event-time terms over the SAME at-risk histogram
+# km_survival and logrank_test use, floor-quantized at 1e-9 and summed
+# exactly. β=0 makes step 1 purely rational (e^0 = 1).
+_COX_TERM_S = "((d * (exp({b}) * n1)) / ((n - n1) + exp({b}) * n1))"
+_COX_TERM_I = (
+    "((d * ((exp({b}) * n1) / ((n - n1) + exp({b}) * n1)))"
+    " * (1.0 - (exp({b}) * n1) / ((n - n1) + exp({b}) * n1)))"
+)
+
+_COX_SQL = f"""
+WITH gaps AS (
+    SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END AS grp,
+           CAST(lead(epoch_days) OVER (PARTITION BY o_custkey
+                                       ORDER BY epoch_days, o_orderkey)
+                - epoch_days AS BIGINT) AS gap_days
+    FROM (
+        SELECT o_custkey, o_orderkey, o_orderpriority,
+               CAST(floor(CAST(CAST(o_orderdate AS DATE) - DATE '1990-01-01'
+                    AS BIGINT)) AS BIGINT) AS epoch_days
+        FROM orders
+    ) b
+),
+ev AS (
+    SELECT grp, gap_days AS t FROM gaps WHERE gap_days IS NOT NULL
+),
+hist AS (
+    SELECT t, CAST(count(*) AS BIGINT) AS d,
+           CAST(sum(grp) AS BIGINT) AS d1
+    FROM ev GROUP BY t
+),
+km AS (
+    SELECT t, d, d1,
+           CAST(sum(d) OVER (ORDER BY t DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n,
+           CAST(sum(d1) OVER (ORDER BY t DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n1
+    FROM hist
+),
+s0 AS (
+    SELECT CAST(sum(d) AS BIGINT) AS nev,
+           CAST(sum(d1) AS BIGINT) AS d1tot,
+           CAST(sum(CAST(floor(1e9 * (d * n1 / n)) AS BIGINT)) AS BIGINT)
+               AS e0_q,
+           CAST(sum(CAST(floor(1e9 * (d * n1 * (n - n1)
+                / (CAST(n AS DOUBLE) * n))) AS BIGINT)) AS BIGINT) AS i0_q
+    FROM km
+),
+b1 AS (
+    SELECT nev, d1tot,
+           (CAST(d1tot AS DOUBLE) - e0_q / 1e9) / (i0_q / 1e9) AS beta1
+    FROM s0
+),
+s2 AS (
+    SELECT b.nev, b.d1tot, b.beta1,
+           CAST(sum(CAST(floor(1e9 * {_COX_TERM_S.format(b="b.beta1")})
+                AS BIGINT)) AS BIGINT) AS e1_q,
+           CAST(sum(CAST(floor(1e9 * {_COX_TERM_I.format(b="b.beta1")})
+                AS BIGINT)) AS BIGINT) AS i1_q
+    FROM km, b1 b
+    GROUP BY b.nev, b.d1tot, b.beta1
+),
+b2 AS (
+    SELECT nev, d1tot, beta1,
+           beta1 + (CAST(d1tot AS DOUBLE) - e1_q / 1e9) / (i1_q / 1e9)
+               AS beta
+    FROM s2
+),
+s3 AS (
+    SELECT b.nev, b.d1tot, b.beta1, b.beta,
+           CAST(sum(CAST(floor(1e9 * {_COX_TERM_I.format(b="b.beta")})
+                AS BIGINT)) AS BIGINT) AS i2_q
+    FROM km, b2 b
+    GROUP BY b.nev, b.d1tot, b.beta1, b.beta
+)
+SELECT nev AS n_events, d1tot AS n_group1_events,
+       round(beta1, 6) AS beta_step1,
+       round(beta, 6) AS beta,
+       round(exp(beta), 6) AS hazard_ratio,
+       round(1.0 / sqrt(i2_q / 1e9), 6) AS se,
+       round(beta * sqrt(i2_q / 1e9), 6) AS z
+FROM s3
+"""
+
+
+@query("cox_proportional_hazards", _COX_SQL)
+def cox_proportional_hazards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox proportional-hazards regression (binary covariate: urgent/
+    high-priority vs rest, Breslow tie handling, 2 Newton steps on the
+    partial likelihood) over the inter-order-gap survival data —
+    completes the survival family: km_survival_gaps estimates S(t),
+    logrank_test tests group equality, Cox MEASURES the effect as a
+    hazard ratio with a standard error. The binary covariate gives the
+    risk-set sums closed forms (one scalar exp per step, no per-row
+    exp), so each Newton step is one scan of the at-risk histogram —
+    itself two window suffix sums over the event-time histogram.
+    Per-time terms are 1e-9-quantized and summed exactly (the logrank
+    discipline); identical SQL text runs on both engines."""
+    from ..sources.batch import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_COX_SQL)

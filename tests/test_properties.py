@@ -297,6 +297,59 @@ def test_logistic_irls_matches_numpy(spark, sf_smoke):
     assert np.allclose(got2, beta, atol=1e-4), (got2, beta)
 
 
+def test_cox_ph_matches_numpy(spark, sf_smoke):
+    """cox_proportional_hazards recomputed with an independent numpy
+    Breslow partial-likelihood Newton (explicit risk-set suffix sums,
+    no SQL) — the shared-text query needs an out-of-band formula
+    pin."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    od = pd.read_parquet(f"{sf_smoke}/orders.parquet")
+    od = od.assign(
+        grp=od["o_orderpriority"].isin(["1-URGENT", "2-HIGH"]).astype(int),
+        day=(od["o_orderdate"].dt.normalize()
+             - pd.Timestamp("1990-01-01")).dt.days,
+    ).sort_values(["o_custkey", "day", "o_orderkey"])
+    nxt = od.groupby("o_custkey")["day"].shift(-1)
+    ev = pd.DataFrame(
+        {"x": od["grp"], "t": (nxt - od["day"])}
+    ).dropna()
+    ev["t"] = ev["t"].astype(int)
+    hist = ev.groupby("t").agg(d=("x", "size"), d1=("x", "sum"))
+    hist = hist.sort_index(ascending=False)
+    hist["n"] = hist["d"].cumsum()
+    hist["n1"] = hist["d1"].cumsum()
+    d1tot = ev["x"].sum()
+
+    def step(beta):
+        eb = np.exp(beta)
+        s = (eb * hist["n1"]) / ((hist["n"] - hist["n1"]) + eb * hist["n1"])
+        u = d1tot - (hist["d"] * s).sum()
+        i = (hist["d"] * s * (1 - s)).sum()
+        return u / i, i
+
+    beta = 0.0
+    for k in range(2):
+        delta, _ = step(beta)
+        beta += delta
+        if k == 0:
+            beta1 = beta
+    _, i2 = step(beta)
+    [r] = registry.QUERIES["cox_proportional_hazards"](
+        spark, sf_smoke
+    ).collect()
+    assert r.n_events == len(ev) and r.n_group1_events == d1tot
+    assert abs(r.beta_step1 - beta1) < 1e-5
+    assert abs(r.beta - beta) < 1e-5
+    assert abs(r.hazard_ratio - np.exp(beta)) < 1e-5
+    assert abs(r.se - 1 / np.sqrt(i2)) < 1e-5
+    assert abs(r.z - beta * np.sqrt(i2)) < 1e-4
+
+
 def test_theil_sen_and_mann_kendall_match_numpy(spark, sf_smoke):
     """Both trend statistics recomputed independently in numpy from
     the same daily-cents series."""
