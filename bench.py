@@ -168,6 +168,16 @@ HEADLINE = [
     "theil_sen_trend",
     "sssp_weighted_bounded",
     "streaming_cms_heavy_hitters",
+    # round-6: graph authority, rank/survival/GLM statistics, weighted
+    # sampling, LM perplexity, PQ ANN, video scene segmentation
+    "hits_part_authority",
+    "kruskal_wallis_test",
+    "logistic_irls",
+    "cox_proportional_hazards",
+    "weighted_sample_es",
+    "trigram_perplexity",
+    "similarity_ann_pq",
+    "multimodal_scene_cuts",
 ]
 
 

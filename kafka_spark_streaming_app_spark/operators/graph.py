@@ -273,6 +273,9 @@ def _hits_half_step(
         edges.join(scores, edges[from_col] == scores.node)
         .groupBy(F.col(to_col).alias("nnode"))
         .agg(F.sum("s").alias("raw"))
+        # referenced twice (normalizing max + the rescale itself):
+        # barrier so the join+agg runs once per half-step, not twice
+        .localCheckpoint(eager=False)
     )
     mx = raw.groupBy().agg(F.max("raw").alias("m"))
     return (

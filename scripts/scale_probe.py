@@ -75,6 +75,15 @@ PROBES = (
     "streaming_cdc_upsert",
     "streaming_quantile_rollup",
     "streaming_matview_join",
+    # round-6 (duplication-linear: histogram/scan-agg statistics, gram
+    # window counts, and PQ whose argmin/group keys dedup by id — no
+    # fact-fact key-replicating joins; hits_part_authority is EXCLUDED
+    # for the same reason the other graph queries are: its orders ⋈
+    # lineitem edge build replicates join keys N² under file copying)
+    "kruskal_wallis_test",
+    "logistic_irls",
+    "trigram_perplexity",
+    "similarity_ann_pq",
 )
 
 
