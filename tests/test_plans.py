@@ -737,3 +737,56 @@ def test_streaming_cms_state_is_sketch_sized(spark, sf_smoke):
     )
     assert plan.count("BroadcastHashJoin") >= 4  # one per sketch row
     assert "SortMergeJoin" not in plan
+
+
+def test_weighted_es_sample_is_take_ordered_not_global_sort(spark, sf_smoke):
+    """Weighted exact-k sampling shares the reservoir's distributed
+    shape: TakeOrderedAndProject, never a whole-corpus range sort."""
+    plan = plan_str(registry.QUERIES["weighted_sample_es"](spark, sf_smoke))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_pq_codebook_and_lut_joins_are_broadcast(spark, sf_smoke):
+    """PQ's corpus-sized relations (subvectors, codes) must only ever
+    join BROADCAST tables (m x 16 codebook rows, m x 16 x n_queries
+    LUT rows) — a shuffle join against either would serialize the
+    encode/ADC stages at scale."""
+    plan = plan_str(registry.QUERIES["similarity_ann_pq"](spark, sf_smoke))
+    assert plan.count("BroadcastHashJoin") >= 4  # train x2, encode, ADC
+    assert "CartesianProduct" not in plan
+
+
+def test_hits_final_plan_is_barriered(spark, sf_smoke):
+    """HITS is iterative: the returned plan must hang off checkpoint
+    barriers (Scan ExistingRDD), not re-expand three half-steps of
+    joins into one tree — the same lineage discipline as pagerank /
+    k-means. (The per-half-step broadcast of the one-row max is
+    asserted behaviorally by the operator tests; barriers hide it
+    from this final plan by design.)"""
+    plan = plan_str(registry.QUERIES["hits_part_authority"](spark, sf_smoke))
+    assert "Scan ExistingRDD" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_logistic_and_cox_aggregate_with_partial_merge(spark, sf_smoke):
+    """GLM training must be scan + partial/final hash aggregation —
+    any Exchange carrying raw rows to a single reducer before the
+    partial agg would make training driver-bound. HashAggregate pairs
+    around each Exchange prove map-side combine."""
+    for q in ("logistic_irls", "cox_proportional_hazards"):
+        plan = plan_str(registry.QUERIES[q](spark, sf_smoke))
+        assert "HashAggregate" in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_trigram_counts_shuffle_hashes_not_strings(spark, sf_smoke):
+    """The five gram-count windows must partition on xxhash64 keys;
+    raw gram STRINGS never appear as exchange keys (they'd triple the
+    shuffle bytes)."""
+    plan = plan_str(registry.QUERIES["trigram_perplexity"](spark, sf_smoke))
+    # the hash columns are computed before the barrier, so the count
+    # windows' exchanges key on the int64 k-columns
+    for key in ("k123", "k12", "k23", "k2", "k3"):
+        assert f"hashpartitioning({key}" in plan, key
+    assert "CartesianProduct" not in plan
