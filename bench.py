@@ -178,6 +178,7 @@ HEADLINE = [
     "trigram_perplexity",
     "similarity_ann_pq",
     "multimodal_scene_cuts",
+    "isotonic_calibration",
 ]
 
 

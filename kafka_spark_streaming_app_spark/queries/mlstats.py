@@ -3375,3 +3375,75 @@ def cox_proportional_hazards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("orders",))
     return spark.sql(_COX_SQL)
+
+
+# --- isotonic regression (exact minimax closed form) -------------------------
+
+# PAVA without the sequential pooling loop: the weighted isotonic fit
+# has the closed form  ŷ(i) = max_{j≤i} min_{l≥i} avg(y over bins
+# j..l)  — evaluated exactly over the BINNED table (≤50 rows), so the
+# O(k²)-pair / O(k²)-window work is trivial while the corpus-sized
+# work is one histogram shuffle. Every interval average is a single
+# IEEE division of exact integer sums (deterministic), and min/max
+# are order-insensitive, so no quantization is needed anywhere.
+_ISOTONIC_SQL = """
+WITH t AS (
+    SELECT CAST(l_quantity AS BIGINT) AS bin,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+    FROM lineitem
+),
+b AS (
+    SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+    FROM t GROUP BY bin
+),
+c AS (
+    SELECT bin, n, pos,
+           CAST(sum(n) OVER (ORDER BY bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cn,
+           CAST(sum(pos) OVER (ORDER BY bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cp
+    FROM b
+),
+pairs AS (
+    SELECT j.bin AS jb, l.bin AS lb,
+           CAST(l.cp - (j.cp - j.pos) AS DOUBLE)
+               / (l.cn - (j.cn - j.n)) AS avg_jl
+    FROM c j JOIN c l ON j.bin <= l.bin
+),
+rm AS (
+    SELECT jb, lb,
+           min(avg_jl) OVER (PARTITION BY jb ORDER BY lb DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+    FROM pairs
+),
+iso AS (
+    SELECT lb AS bin, max(cm) AS fit FROM rm GROUP BY lb
+)
+SELECT b.bin, b.n, b.pos,
+       round(CAST(b.pos AS DOUBLE) / b.n, 6) AS raw_rate,
+       round(i.fit, 6) AS iso_rate
+FROM b JOIN iso i ON b.bin = i.bin
+ORDER BY b.bin
+"""
+
+
+@query("isotonic_calibration", _ISOTONIC_SQL)
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted isotonic regression of P(l_returnflag = 'R') on the
+    quantity bin — the monotone calibration step (Zadrozny-Elkan) a
+    scoring pipeline runs after a classifier: raw per-bin rates are
+    noisy and non-monotone; the isotonic fit is the least-squares
+    monotone curve. Computed by the EXACT minimax closed form over
+    the binned histogram instead of the sequential PAVA loop, so the
+    whole fit is one corpus scan + O(k²) tiny-table ops — no
+    iteration, no driver-side state, deterministic on both engines
+    with no quantization (interval averages are single divisions of
+    exact integer sums; min/max are order-insensitive). Identical SQL
+    text runs on both engines; an independent PAVA implementation
+    pins the equivalence in pytest."""
+    from ..sources.batch import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_ISOTONIC_SQL)

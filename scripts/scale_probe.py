@@ -84,6 +84,7 @@ PROBES = (
     "logistic_irls",
     "trigram_perplexity",
     "similarity_ann_pq",
+    "isotonic_calibration",
 )
 
 

@@ -297,6 +297,67 @@ def test_logistic_irls_matches_numpy(spark, sf_smoke):
     assert np.allclose(got2, beta, atol=1e-4), (got2, beta)
 
 
+def test_isotonic_minimax_equals_pava(spark, sf_smoke):
+    """isotonic_calibration uses the minimax closed form; an
+    independent sequential pool-adjacent-violators implementation
+    must produce the same monotone fit (the classic equivalence
+    theorem, checked numerically on real data)."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    li = pd.read_parquet(f"{sf_smoke}/lineitem.parquet")
+    g = (
+        pd.DataFrame(
+            {
+                "bin": li["l_quantity"].astype(int),
+                "y": (li["l_returnflag"] == "R").astype(int),
+            }
+        )
+        .groupby("bin")
+        .agg(n=("y", "size"), pos=("y", "sum"))
+        .sort_index()
+    )
+    # sequential PAVA over (value, weight) blocks
+    blocks = [
+        [p / n, n] for p, n in zip(g["pos"].astype(float), g["n"])
+    ]
+    i = 0
+    while i < len(blocks) - 1:
+        if blocks[i][0] > blocks[i + 1][0] + 1e-15:
+            v1, w1 = blocks[i]
+            v2, w2 = blocks[i + 1]
+            blocks[i] = [(v1 * w1 + v2 * w2) / (w1 + w2), w1 + w2]
+            del blocks[i + 1]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    # expand blocks back to bins: each block pooled w rows' worth of
+    # consecutive bins — walk bin widths until the block is consumed
+    fit = []
+    widths = list(g["n"])
+    bi = 0
+    for v, w in blocks:
+        acc = 0
+        while acc < w - 1e-9:
+            acc += widths[bi]
+            fit.append(v)
+            bi += 1
+    rows = registry.QUERIES["isotonic_calibration"](
+        spark, sf_smoke
+    ).collect()
+    rows.sort(key=lambda r: r.bin)
+    assert [r.bin for r in rows] == list(g.index)
+    got = np.array([r.iso_rate for r in rows])
+    assert np.all(np.diff(got) >= -1e-9)  # monotone
+    assert np.allclose(got, np.array(fit), atol=2e-6), (
+        list(got),
+        fit,
+    )
+
+
 def test_cox_ph_matches_numpy(spark, sf_smoke):
     """cox_proportional_hazards recomputed with an independent numpy
     Breslow partial-likelihood Newton (explicit risk-set suffix sums,
