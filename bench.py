@@ -179,6 +179,7 @@ HEADLINE = [
     "similarity_ann_pq",
     "multimodal_scene_cuts",
     "isotonic_calibration",
+    "streaming_hll_rollup",
 ]
 
 

@@ -1075,3 +1075,121 @@ def streaming_cms_heavy_hitters(
         .cast("bigint")
         .alias("cms_estimate"),
     ).orderBy("user_id")
+
+
+# --- streaming HLL distinct rollup (fifth state shape) ----------------------
+
+_STREAM_HLL_ORACLE = """
+SELECT
+    CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start,
+    event_type,
+    count(DISTINCT user_id) AS exact_users,
+    true AS sketch_within_tolerance
+FROM events
+GROUP BY date_trunc('week', ts), event_type
+ORDER BY week_start, event_type
+"""
+
+
+@query("streaming_hll_rollup", _STREAM_HLL_ORACLE)
+def streaming_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable DISTINCT-COUNT sketches maintained THROUGH the
+    streaming engine — the fifth state shape on the partitioned state
+    helper (argmax CDC, additive bins, join view, count-min counters,
+    and now DataSketches HLL union): each micro-batch builds
+    per-(day, event_type) HLL sketches from its rows alone and
+    hll_union_agg-merges them into the persistent day-partitioned
+    sketch table; per-batch I/O touches only the day partitions the
+    batch has events for. HLL union is associative and commutative,
+    so the final state is batch-boundary independent; weekly
+    estimates merged FROM THE STATE are checked against the exact
+    weekly distinct within 4 sigma of the sketch rsd (the
+    `hll_mergeable_rollup` tolerance oracle — sketch bytes are
+    engine-specific, the error contract is not). This is the
+    production continuous-unique-users rollup: state is
+    O(days × types) sketches, never O(users)."""
+    import atexit
+    import shutil
+
+    from ..streaming.state import merge_into_partitioned_state, read_state
+
+    stream = _events_as_wire_stream(spark, sf_dir, max_files_per_trigger=8)
+    keyed = stream.filter(F.col("user_id").isNotNull()).select(
+        F.to_date("event_timestamp").alias("day"),
+        F.col("event_type"),
+        F.col("user_id"),
+    )
+    state_root = tempfile.mkdtemp(prefix="hroll_state_")
+    ckpt = tempfile.mkdtemp(prefix="hroll_ckpt_")
+    for d in (state_root, ckpt):
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    state_dir = os.path.join(state_root, "sketch")
+
+    def _merge_hll(existing, part):
+        if existing is None:
+            return part
+        return (
+            existing.withColumn("day", F.col("day").cast("date"))
+            .unionByName(part)
+            .groupBy("day", "event_type")
+            .agg(F.hll_union_agg("sketch").alias("sketch"))
+        )
+
+    def merge_state(batch_df, batch_id: int) -> None:
+        part = batch_df.groupBy("day", "event_type").agg(
+            F.hll_sketch_agg("user_id").alias("sketch")
+        )
+        merge_into_partitioned_state(
+            state_dir, batch_id, part, _merge_hll, "day"
+        )
+
+    q = (
+        keyed.writeStream.foreachBatch(merge_state)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(300)
+        if not finished:
+            raise RuntimeError(
+                "streaming_hll_rollup: availableNow run did not finish "
+                "within 300s; refusing to read partial sketch state"
+            )
+    finally:
+        if q.isActive:
+            q.stop()
+
+    sketches = read_state(spark, state_dir)
+    weekly_est = (
+        sketches.groupBy(
+            F.date_trunc(
+                "week", F.col("day").cast("timestamp")
+            ).alias("week_start"),
+            "event_type",
+        )
+        .agg(F.hll_union_agg("sketch").alias("merged"))
+        .select(
+            "week_start",
+            "event_type",
+            F.hll_sketch_estimate("merged").alias("est_users"),
+        )
+    )
+    events = load_table(spark, sf_dir, "events")
+    weekly_exact = events.groupBy(
+        F.date_trunc("week", "ts").alias("week_start"), "event_type"
+    ).agg(F.count_distinct("user_id").alias("exact_users"))
+    rsd = 1.04 / (2**12) ** 0.5
+    tol = F.greatest(F.lit(4.0), F.lit(4 * rsd) * F.col("exact_users"))
+    return (
+        weekly_exact.join(weekly_est, ["week_start", "event_type"])
+        .select(
+            "week_start",
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("est_users") - F.col("exact_users")) <= tol
+            ).alias("sketch_within_tolerance"),
+        )
+        .orderBy("week_start", "event_type")
+    )
