@@ -180,6 +180,7 @@ HEADLINE = [
     "multimodal_scene_cuts",
     "isotonic_calibration",
     "streaming_hll_rollup",
+    "rrf_hybrid_retrieval",
 ]
 
 

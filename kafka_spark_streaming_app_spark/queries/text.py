@@ -218,8 +218,10 @@ def text_hashing_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # production path at 100 TB swaps the exact integers for plain doubles
 # (and this fixture's int64 headroom note goes away with them).
 
-_BM25_ORACLE = f"""
-WITH tok AS (
+# Shared BM25 scored-CTE block: the inverted-index dataflow up to
+# (query_id, corpus_id, score_u) — reused by the top-k query and the
+# reciprocal-rank-fusion hybrid retriever.
+_BM25_SCORED_CTES = f"""tok AS (
     SELECT doc_id, unnest({TOKENS_SQL.format(x="text")}) AS tok
     FROM documents
 ),
@@ -249,7 +251,10 @@ contrib AS (
 scored AS (
     SELECT query_id, corpus_id, sum(c) AS score_u
     FROM contrib GROUP BY query_id, corpus_id
-)
+)"""
+
+_BM25_ORACLE = f"""
+WITH {_BM25_SCORED_CTES}
 SELECT query_id, corpus_id,
        CAST(score_u AS DOUBLE) / 1000000.0 AS score,
        rank
@@ -262,15 +267,10 @@ FROM (
 """
 
 
-@query("text_bm25_topk", _BM25_ORACLE)
-def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-5 retrieval as the INVERTED-INDEX dataflow: the tf
-    table (one row per posting) is the index, queries fan out via a
-    term-keyed equi-join against it — never a doc×doc product; df and
-    dl attach by key, corpus-wide N/L constants by broadcast of a
-    1-row aggregate. Scoring is floor-scaled integer BM25 (k1=1.2,
-    b=0.75) so the ranking is an exact-integer sort cross-engine."""
-    from pyspark.sql import Window
+def _bm25_scored(spark: SparkSession, sf_dir: str):
+    """(query_id, corpus_id, score_u): the BM25 inverted-index
+    dataflow up to integer scores — shared by `text_bm25_topk` and
+    `rrf_hybrid_retrieval` (mirrors `_BM25_SCORED_CTES`)."""
     from pyspark.sql import functions as F
 
     from ..functions.hashing import tokens
@@ -320,9 +320,23 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "corpus_id", F.expr("num div den").alias("c")
         )
     )
-    scored = contrib.groupBy("query_id", "corpus_id").agg(
+    return contrib.groupBy("query_id", "corpus_id").agg(
         F.sum("c").alias("score_u")
     )
+
+
+@query("text_bm25_topk", _BM25_ORACLE)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 retrieval as the INVERTED-INDEX dataflow: the tf
+    table (one row per posting) is the index, queries fan out via a
+    term-keyed equi-join against it — never a doc×doc product; df and
+    dl attach by key, corpus-wide N/L constants by broadcast of a
+    1-row aggregate. Scoring is floor-scaled integer BM25 (k1=1.2,
+    b=0.75) so the ranking is an exact-integer sort cross-engine."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    scored = _bm25_scored(spark, sf_dir)
     w = Window.partitionBy("query_id").orderBy(
         F.col("score_u").desc(), "corpus_id"
     )
@@ -658,4 +672,116 @@ def content_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
         .orderBy("chunk_hash")
+    )
+
+
+# --- reciprocal-rank-fusion hybrid retrieval --------------------------------
+
+_RRF_K = 60  # the standard RRF damping constant (Cormack et al.)
+
+_RRF_ORACLE = f"""
+WITH {_BM25_SCORED_CTES},
+bmr AS (
+    SELECT query_id, corpus_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score_u DESC, corpus_id) AS bm25_rank
+    FROM scored
+),
+bm AS (SELECT * FROM bmr WHERE bm25_rank <= 20),
+n0 AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+               AS norm
+    FROM embeddings
+),
+n AS (SELECT * FROM n0 WHERE norm > 0),
+csr AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+           row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_inner_product(q.v, c.v) / (q.norm * c.norm)
+                            DESC, c.vec_id) AS cos_rank
+    FROM n q JOIN n c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < 3
+),
+cs AS (SELECT * FROM csr WHERE cos_rank <= 20),
+fused AS (
+    SELECT coalesce(bm.query_id, cs.query_id) AS query_id,
+           coalesce(bm.corpus_id, cs.corpus_id) AS corpus_id,
+           CAST(bm.bm25_rank AS BIGINT) AS bm25_rank,
+           CAST(cs.cos_rank AS BIGINT) AS cos_rank,
+           coalesce(1.0 / ({_RRF_K} + bm.bm25_rank), 0.0)
+           + coalesce(1.0 / ({_RRF_K} + cs.cos_rank), 0.0) AS rrf
+    FROM bm FULL OUTER JOIN cs
+      ON bm.query_id = cs.query_id AND bm.corpus_id = cs.corpus_id
+)
+SELECT query_id, corpus_id, bm25_rank, cos_rank,
+       round(rrf, 6) AS rrf, CAST(rn AS BIGINT) AS rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rrf DESC, corpus_id) AS rn
+    FROM fused
+) WHERE rn <= 10
+"""
+
+
+@query("rrf_hybrid_retrieval", _RRF_ORACLE)
+def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+dense retrieval fused with reciprocal-rank
+    fusion (RRF, k=60) — the standard RAG-stack merge of a BM25
+    inverted-index ranking and an embedding cosine ranking: score =
+    Σ 1/(k + rank_leg) over the legs that retrieved the document.
+    Rank-based fusion needs NO score normalization across legs, which
+    is exactly why production search stacks use it. Both legs'
+    rankings are exact-integer (BM25) or deterministic-double
+    (cosine) sorts; the fusion is a full-outer join of two
+    20-row-per-query lists, so the fused stage costs nothing at any
+    corpus size — scale lives in the legs (inverted index + ANN)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import brute_force_topk
+
+    scored = _bm25_scored(spark, sf_dir)
+    wb = Window.partitionBy("query_id").orderBy(
+        F.col("score_u").desc(), "corpus_id"
+    )
+    bm = (
+        scored.withColumn("bm25_rank", F.row_number().over(wb))
+        .filter(F.col("bm25_rank") <= 20)
+        .select(
+            "query_id",
+            "corpus_id",
+            F.col("bm25_rank").cast("bigint").alias("bm25_rank"),
+        )
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    cs = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 3), k=20
+    ).select(
+        "query_id",
+        "corpus_id",
+        F.col("rank").cast("bigint").alias("cos_rank"),
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("bm25_rank")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("cos_rank")), F.lit(0.0)
+    )
+    fused = bm.join(cs, ["query_id", "corpus_id"], "full_outer").select(
+        "query_id", "corpus_id", "bm25_rank", "cos_rank", rrf.alias("rrf")
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), "corpus_id"
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "corpus_id",
+            "bm25_rank",
+            "cos_rank",
+            F.round("rrf", 6).alias("rrf"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
     )

@@ -374,3 +374,36 @@ def test_pq_adc_rerank_recalls_exact_topk(spark, sf_smoke):
     # measured 19/24/25 at rerank 50/100/150 on this fixture.
     assert recall(50) >= 18
     assert recall(150) >= 24
+
+
+def test_rrf_fusion_scores_are_consistent_with_leg_ranks(spark, sf_smoke):
+    """Every fused row's RRF score must equal 1/(60+bm25_rank) +
+    1/(60+cos_rank) with absent legs contributing 0; output must be
+    rank-ordered per query; and a document retrieved by BOTH legs must
+    outscore one retrieved at the same single-leg rank."""
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["rrf_hybrid_retrieval"](
+        spark, sf_smoke
+    ).collect()
+    assert rows
+    byq = {}
+    for r in rows:
+        want = (1.0 / (60 + r.bm25_rank) if r.bm25_rank else 0.0) + (
+            1.0 / (60 + r.cos_rank) if r.cos_rank else 0.0
+        )
+        assert abs(r.rrf - want) < 1e-6
+        byq.setdefault(r.query_id, []).append(r)
+    for q, rs in byq.items():
+        rs.sort(key=lambda r: r.rank)
+        scores = [r.rrf for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        both = [r for r in rs if r.bm25_rank and r.cos_rank]
+        single = [r for r in rs if (r.bm25_rank is None) != (r.cos_rank is None)]
+        for b in both:
+            worst_leg = max(b.bm25_rank, b.cos_rank)
+            for s in single:
+                lone = s.bm25_rank or s.cos_rank
+                if lone >= worst_leg:
+                    assert b.rrf > s.rrf
