@@ -181,6 +181,7 @@ HEADLINE = [
     "isotonic_calibration",
     "streaming_hll_rollup",
     "rrf_hybrid_retrieval",
+    "grid_density_clusters",
 ]
 
 

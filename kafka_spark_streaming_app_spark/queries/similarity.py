@@ -1050,3 +1050,116 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         rerank=_PQ_RERANK,
     )
+
+
+# --- grid-density clustering (DBSCAN-lite) -----------------------------------
+
+_GRID_H = 0.5  # cell width in projection units
+_GRID_MINPTS = 6  # density threshold per cell
+
+_GRID_ORACLE = f"""
+WITH RECURSIVE p AS (
+    SELECT vec_id,
+           CAST(floor(list_inner_product(embedding::DOUBLE[],
+                {_plane_literal(_PROJ_PLANES[0])}) / {_GRID_H}) AS BIGINT)
+               AS cx,
+           CAST(floor(list_inner_product(embedding::DOUBLE[],
+                {_plane_literal(_PROJ_PLANES[1])}) / {_GRID_H}) AS BIGINT)
+               AS cy
+    FROM embeddings
+),
+cnt AS (SELECT cx, cy, count(*) AS c FROM p GROUP BY cx, cy),
+dense AS (
+    SELECT cx, cy, (cx + 1000) * 100000 + (cy + 1000) AS nid
+    FROM cnt WHERE c >= {_GRID_MINPTS}
+),
+edges AS (
+    SELECT a.nid AS src, b.nid AS dst
+    FROM dense a JOIN dense b
+      ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+),
+reach(node, r) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.src, rc.r FROM edges e JOIN reach rc ON e.dst = rc.node
+),
+cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT p.vec_id, p.cx, p.cy,
+       CAST(coalesce(cc.cluster_id, -1) AS BIGINT) AS cluster
+FROM p
+LEFT JOIN dense d ON p.cx = d.cx AND p.cy = d.cy
+LEFT JOIN cc ON d.nid = cc.node
+"""
+
+
+@query("grid_density_clusters", _GRID_ORACLE)
+def grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density clustering (the scalable DBSCAN reduction): project
+    embeddings to 2D with the deterministic SRP planes, bucket into
+    h=0.5 cells, keep cells with ≥6 points (density threshold), and
+    union adjacent dense cells (8-neighborhood) into clusters via the
+    same Pregel min-label components used for dedup; sparse-cell
+    points are noise (cluster = -1). This is how density clustering
+    survives 100 TB: the O(n²) ε-neighborhood graph of textbook DBSCAN
+    is replaced by ONE groupBy onto a bounded cell table, and the
+    graph algorithm runs on CELLS (thousands), never points
+    (billions). The oracle recomputes the grid and the true transitive
+    closure with a recursive CTE, proving the distributed label
+    propagation converged."""
+    from ..operators.graph import connected_components
+
+    proj = embedding_project(spark, sf_dir).select(
+        "vec_id", "proj0", "proj1"
+    )
+    cells = proj.select(
+        "vec_id",
+        F.floor(F.col("proj0") / _GRID_H).cast("bigint").alias("cx"),
+        F.floor(F.col("proj1") / _GRID_H).cast("bigint").alias("cy"),
+    )
+    counts = cells.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("c"))
+    dense = (
+        counts.filter(F.col("c") >= _GRID_MINPTS)
+        .select(
+            "cx",
+            "cy",
+            ((F.col("cx") + 1000) * 100000 + (F.col("cy") + 1000)).alias(
+                "nid"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    offsets = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    ).alias("o")
+    a = dense.select("cx", "cy", F.col("nid").alias("id_a"), offsets)
+    pairs = a.select(
+        "id_a",
+        (F.col("cx") + F.col("o.dx")).alias("ncx"),
+        (F.col("cy") + F.col("o.dy")).alias("ncy"),
+    ).join(
+        dense.select(
+            F.col("cx").alias("ncx"),
+            F.col("cy").alias("ncy"),
+            F.col("nid").alias("id_b"),
+        ),
+        ["ncx", "ncy"],
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs, "id_a", "id_b")
+    return (
+        cells.join(dense, ["cx", "cy"], "left")
+        .join(cc, F.col("nid") == F.col("node"), "left")
+        .select(
+            "vec_id",
+            "cx",
+            "cy",
+            F.coalesce(F.col("cluster_id"), F.lit(-1))
+            .cast("bigint")
+            .alias("cluster"),
+        )
+    )
