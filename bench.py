@@ -182,6 +182,7 @@ HEADLINE = [
     "streaming_hll_rollup",
     "rrf_hybrid_retrieval",
     "grid_density_clusters",
+    "pacf_daily_revenue",
 ]
 
 

@@ -3447,3 +3447,105 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("lineitem",))
     return spark.sql(_ISOTONIC_SQL)
+
+
+# --- partial autocorrelation (Durbin-Levinson) -------------------------------
+
+
+def _pacf_levels_sql(kmax: int) -> str:
+    """Generated Durbin-Levinson CTE chain: level k adds φ_{k,k}
+    (the PACF at lag k) and the reflected coefficients
+    φ_{k,j} = φ_{k-1,j} − φ_{k,k}·φ_{k-1,k−j} as named columns —
+    fixed-text scalar recursion over the 1-row ρ table, no
+    transcription (the _cramer3 convention)."""
+    ctes = ["l1 AS (SELECT *, r1 AS p1_1 FROM piv)"]
+    prev = "l1"
+    for k in range(2, kmax + 1):
+        num = " + ".join(
+            f"p{k - 1}_{j} * r{k - j}" for j in range(1, k)
+        )
+        den = " + ".join(f"p{k - 1}_{j} * r{j}" for j in range(1, k))
+        ctes.append(
+            f"l{k} AS (SELECT *, (r{k} - ({num})) / (1.0 - ({den}))"
+            f" AS p{k}_{k} FROM {prev})"
+        )
+        if k < kmax:
+            refl = ", ".join(
+                f"p{k - 1}_{j} - p{k}_{k} * p{k - 1}_{k - j} AS p{k}_{j}"
+                for j in range(1, k)
+            )
+            ctes.append(f"l{k}b AS (SELECT *, {refl} FROM l{k})")
+            prev = f"l{k}b"
+        else:
+            prev = f"l{k}"
+    return ",\n".join(ctes)
+
+
+_PACF_KMAX = 5
+
+_PACF_SQL = f"""
+WITH daily AS (
+    SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS rev
+    FROM orders GROUP BY date_trunc('day', o_orderdate)
+),
+idx AS (
+    SELECT rev, row_number() OVER (ORDER BY day) AS i FROM daily
+),
+tot AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(CAST(rev AS DECIMAL(38,0))) AS DOUBLE) AS s,
+           CAST(sum(CAST(rev * rev AS DECIMAL(38,0))) AS DOUBLE) AS sxx
+    FROM idx
+),
+lags AS (
+    {" UNION ALL ".join(f"SELECT {k} AS lag" for k in range(1, _PACF_KMAX + 1))}
+),
+lagsums AS (
+    SELECT l.lag, CAST(count(*) AS DOUBLE) AS m,
+           CAST(sum(CAST(a.rev * b.rev AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+           CAST(sum(CAST(a.rev AS DECIMAL(38,0))) AS DOUBLE) AS sh,
+           CAST(sum(CAST(b.rev AS DECIMAL(38,0))) AS DOUBLE) AS st
+    FROM idx a
+    JOIN lags l ON 1 = 1
+    JOIN idx b ON b.i = a.i + l.lag
+    GROUP BY l.lag
+),
+-- standard stationary ACF: global mean μ = s/n, full-series variance
+-- denominator; numerator expands (x−μ)(y−μ) into exact-sum terms
+rho AS (
+    SELECT lag,
+           (sxy - (t.s / t.n) * (sh + st) + m * (t.s / t.n) * (t.s / t.n))
+           / (t.sxx - t.s * (t.s / t.n)) AS rho
+    FROM lagsums, tot t
+),
+piv AS (
+    SELECT
+        {", ".join(f"max(CASE WHEN lag = {k} THEN rho END) AS r{k}" for k in range(1, _PACF_KMAX + 1))}
+    FROM rho
+),
+{_pacf_levels_sql(_PACF_KMAX)}
+SELECT
+    {", ".join(f"round(r{k}, 6) AS rho{k}" for k in range(1, _PACF_KMAX + 1))},
+    {", ".join(f"round(p{k}_{k}, 6) AS pacf{k}" for k in range(1, _PACF_KMAX + 1))}
+FROM l{_PACF_KMAX}
+"""
+
+
+@query("pacf_daily_revenue", _PACF_SQL)
+def pacf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of daily revenue at lags 1–5 — the AR
+    order-selection diagnostic that complements `acf_daily_revenue`
+    (ACF says WHICH lags correlate; PACF says which correlate
+    DIRECTLY, net of shorter lags — the AR(p) cutoff signal). The
+    stationary ACF ρ₁..ρ₅ comes from exact DECIMAL power sums with
+    the global mean expanded analytically, pivoted to one row; the
+    Durbin-Levinson recursion is then a GENERATED fixed-text CTE
+    chain of scalar levels over that row, so both engines walk
+    identical expressions. Everything after the daily collapse is
+    calendar-bounded regardless of corpus size."""
+    from ..sources.batch import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_PACF_SQL)

@@ -297,6 +297,50 @@ def test_logistic_irls_matches_numpy(spark, sf_smoke):
     assert np.allclose(got2, beta, atol=1e-4), (got2, beta)
 
 
+def test_pacf_matches_yule_walker_solve(spark, sf_smoke):
+    """pacf_daily_revenue's Durbin-Levinson recursion checked against
+    the DEFINITION: pacf(k) is the last coefficient of the k×k
+    Toeplitz Yule-Walker solve — a different algorithm for the same
+    quantity, solved with numpy.linalg. Also pins ρ against a direct
+    global-mean autocovariance recompute."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    od = pd.read_parquet(f"{sf_smoke}/orders.parquet")
+    cents = np.round(od["o_totalprice"] * 100).astype("int64")
+    daily = (
+        pd.DataFrame({"day": od["o_orderdate"].dt.normalize(), "c": cents})
+        .groupby("day")["c"]
+        .sum()
+        .sort_index()
+        .to_numpy()
+        .astype(np.float64)
+    )
+    n = len(daily)
+    mu = daily.mean()
+    den = ((daily - mu) ** 2).sum()
+    rho = np.array(
+        [
+            ((daily[:-k] - mu) * (daily[k:] - mu)).sum() / den
+            for k in range(1, 6)
+        ]
+    )
+    [r] = registry.QUERIES["pacf_daily_revenue"](spark, sf_smoke).collect()
+    got_rho = [r.rho1, r.rho2, r.rho3, r.rho4, r.rho5]
+    assert np.allclose(got_rho, rho, atol=1e-6), (got_rho, rho)
+    got_pacf = [r.pacf1, r.pacf2, r.pacf3, r.pacf4, r.pacf5]
+    full = np.concatenate([[1.0], rho])
+    for k in range(1, 6):
+        toep = np.array(
+            [[full[abs(i - j)] for j in range(k)] for i in range(k)]
+        )
+        phi = np.linalg.solve(toep, rho[:k])
+        assert abs(got_pacf[k - 1] - phi[-1]) < 1e-5, (k, got_pacf, phi)
+
+
 def test_isotonic_minimax_equals_pava(spark, sf_smoke):
     """isotonic_calibration uses the minimax closed form; an
     independent sequential pool-adjacent-violators implementation
