@@ -115,6 +115,15 @@ NOTES = {
     "mann_kendall_trend": "Same day-pair table; S is a pure integer sign sum; tie-corrected variance from exact value-histogram counts; z = one sqrt + one division.",
     "sssp_weighted_bounded": "12 delta-frontier Bellman-Ford rounds (only improved nodes re-propose), each a frontier-join + per-node min with lazy-checkpoint barriers; integer distances engine-exact; hashed settled flag proves the fixpoint.",
     "streaming_cms_heavy_hitters": "foreachBatch folds (row, bucket) counts into the row-partitioned 4x1024 sketch (additive merge, replay markers); probes broadcast sketch-row slices; heavy set exact and scale-free.",
+    "weighted_sample_es": "Weighted exact-k sampling compiles to TakeOrderedAndProject: per-partition k-row heaps, n_tasks*k-row driver merge, no global sort.",
+    "kruskal_wallis_test": "Histogram-first rank test: one vc-keyed shuffle + one ordered window over the distinct-value histogram; H is a scalar over exact aggregates.",
+    "logistic_irls": "Two lineitem scans, each a partial+final HashAggregate of 9 quantized DECIMAL sums; the Cramer solves are 1-row projections.",
+    "isotonic_calibration": "One corpus scan to the 50-bin histogram; the O(k^2) minimax pair/window work runs on the tiny binned table.",
+    "trigram_perplexity": "One doc-keyed lag window + five gram-count windows exchanging int64 hash keys; final per-doc agg is map-side combinable.",
+    "similarity_ann_pq": "Codebook and ADC LUT enter every join as broadcasts; corpus-sized relations never shuffle for the encode/ADC stages.",
+    "rrf_hybrid_retrieval": "Two 20-row-per-query rank lists full-outer-joined; fusion cost is independent of corpus size (scale lives in the legs).",
+    "grid_density_clusters": "One groupBy onto the bounded cell table; components run on cells, never points; final labels attach by cell equi-join.",
+
 }
 
 
