@@ -183,6 +183,7 @@ HEADLINE = [
     "rrf_hybrid_retrieval",
     "grid_density_clusters",
     "pacf_daily_revenue",
+    "conformal_interval_coverage",
 ]
 
 

@@ -3549,3 +3549,89 @@ def pacf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("orders",))
     return spark.sql(_PACF_SQL)
+
+
+# --- split-conformal prediction intervals ------------------------------------
+
+# Deterministic 3-way split on the (orderkey, linenumber) row key
+# via a Carter-Wegman integer hash (portable fixed-text arithmetic);
+# model = closed-form OLS price~quantity on TRAIN (exact DECIMAL power
+# sums); conformal radius = the ceil((n+1)·0.9)-th smallest absolute
+# calibration residual (an exact order statistic over deterministic
+# doubles); coverage measured on TEST. The split-conformal guarantee
+# (coverage ≥ 0.9 in expectation, distribution-free) is pinned in
+# pytest.
+# Carter-Wegman split on the unique row key (the reservoir-sampling
+# convention: pure int64 arithmetic, portable to both engines)
+_CONF_SPLIT = (
+    "(((l_orderkey * 8 + l_linenumber) * 10460353 + 1779033703)"
+    " % 2147483647 % 3)"
+)
+
+_CONFORMAL_SQL = f"""
+WITH t AS (
+    SELECT CAST(l_quantity AS BIGINT) AS x,
+           CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS yc,
+           {_CONF_SPLIT} AS split
+    FROM lineitem
+),
+s AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(yc AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(x * yc AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+    FROM t WHERE split = 0
+),
+fit AS (
+    SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS a,
+           CAST(n AS BIGINT) AS n_train
+    FROM s
+),
+cal AS (
+    SELECT abs((CAST(t.yc AS DOUBLE) - f.a) - f.b * t.x) AS r
+    FROM t, fit f WHERE t.split = 1
+),
+caln AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+q AS (
+    SELECT r AS radius FROM (
+        SELECT r, row_number() OVER (ORDER BY r, r) AS rn FROM cal
+    ) ranked, caln
+    WHERE rn = CAST(ceil((caln.n_cal + 1) * 0.9) AS BIGINT)
+),
+test AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN abs((CAST(t.yc AS DOUBLE) - f.a) - f.b * t.x)
+                              <= q.radius
+                         THEN 1 ELSE 0 END) AS BIGINT) AS covered
+    FROM t, fit f, q WHERE t.split = 2
+)
+SELECT f.n_train, c.n_cal, e.n_test,
+       round(f.a / 100.0, 6) AS intercept,
+       round(f.b / 100.0, 6) AS slope,
+       round(q.radius / 100.0, 6) AS radius,
+       round(CAST(e.covered AS DOUBLE) / e.n_test, 6) AS coverage,
+       CAST(0.9 AS DOUBLE) AS nominal
+FROM fit f, caln c, q, test e
+"""
+
+
+@query("conformal_interval_coverage", _CONFORMAL_SQL)
+def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals — distribution-free
+    uncertainty quantification for ANY point model (here closed-form
+    OLS price~quantity): fit on a deterministic third of the data,
+    take the ceil((n+1)·0.9)-th smallest absolute residual on a
+    disjoint calibration third as the interval radius, and measure
+    empirical coverage on the held-out third. The split-conformal
+    theorem guarantees ≥90% coverage in expectation with NO
+    distributional assumptions — the production recipe for putting
+    honest error bars on a regression score column. One scan builds
+    all three splits' statistics (exact DECIMAL sums for the fit, an
+    exact order statistic for the radius); identical SQL text on both
+    engines."""
+    from ..sources.batch import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_CONFORMAL_SQL)

@@ -297,6 +297,49 @@ def test_logistic_irls_matches_numpy(spark, sf_smoke):
     assert np.allclose(got2, beta, atol=1e-4), (got2, beta)
 
 
+def test_conformal_coverage_matches_numpy_and_guarantee(spark, sf_smoke):
+    """conformal_interval_coverage recomputed independently in numpy
+    (hash split, lstsq fit, order-statistic radius) AND checked
+    against the split-conformal guarantee: held-out coverage must sit
+    near the nominal 90% (finite-sample band)."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    li = pd.read_parquet(f"{sf_smoke}/lineitem.parquet")
+    key = (
+        li["l_orderkey"].to_numpy() * 8 + li["l_linenumber"].to_numpy()
+    )
+    split = (key * 10460353 + 1779033703) % 2147483647 % 3
+    x = li["l_quantity"].to_numpy(dtype=np.float64)
+    y = np.round(li["l_extendedprice"] * 100).astype("int64").astype(
+        np.float64
+    )
+    xt, yt = x[split == 0], y[split == 0]
+    A = np.column_stack([np.ones(len(xt)), xt])
+    coef, *_ = np.linalg.lstsq(A, yt, rcond=None)
+    a, b = coef
+    rc = np.sort(np.abs(y[split == 1] - a - b * x[split == 1]))
+    k = int(np.ceil((len(rc) + 1) * 0.9))
+    radius = rc[k - 1]
+    rt = np.abs(y[split == 2] - a - b * x[split == 2])
+    cov = float((rt <= radius).mean())
+
+    [r] = registry.QUERIES["conformal_interval_coverage"](
+        spark, sf_smoke
+    ).collect()
+    assert r.n_train == (split == 0).sum()
+    assert r.n_cal == len(rc) and r.n_test == len(rt)
+    assert abs(r.intercept - a / 100) < 1e-4
+    assert abs(r.slope - b / 100) < 1e-6
+    assert abs(r.radius - radius / 100) < 1e-4
+    assert abs(r.coverage - cov) < 1e-6
+    # the distribution-free guarantee, with finite-sample slack
+    assert 0.85 <= r.coverage <= 0.97, r.coverage
+
+
 def test_pacf_matches_yule_walker_solve(spark, sf_smoke):
     """pacf_daily_revenue's Durbin-Levinson recursion checked against
     the DEFINITION: pacf(k) is the last coefficient of the k×k
