@@ -184,6 +184,7 @@ HEADLINE = [
     "grid_density_clusters",
     "pacf_daily_revenue",
     "conformal_interval_coverage",
+    "quantile_normalize_sources",
 ]
 
 

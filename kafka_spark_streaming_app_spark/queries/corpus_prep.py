@@ -615,3 +615,65 @@ def trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("perplexity"),
     )
+
+
+# --- cross-source quantile normalization ------------------------------------
+
+# Map every source's length distribution onto the POOLED distribution
+# by rank: doc at within-source rank r (of n_s) takes the pooled value
+# at index floor((2r−1)·N / (2·n_s)) + 1 (midpoint quantile). The
+# quotient is a correctly-rounded double of exact-int operands: when
+# the true quotient IS an integer the double equals it exactly, and
+# when it isn't, it sits ≥ 1/(2·n_s) away from any integer — so the
+# floor is deterministic with no boundary hazard. (A bare integer
+# `/` is NOT portable: both engines return DOUBLE, and a fractional
+# target would silently drop rows from the index equi-join — caught
+# by the uneven-source regression test.) Ties break by doc_id.
+_QNORM_SQL = """
+WITH d AS (
+    SELECT doc_id, source, n_chars FROM documents
+),
+ranked AS (
+    SELECT doc_id, source, n_chars,
+           CAST(row_number() OVER (PARTITION BY source
+                                   ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+           CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS ns
+    FROM d
+),
+pooled AS (
+    SELECT n_chars AS pooled_value,
+           CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+               AS idx,
+           CAST(count(*) OVER () AS BIGINT) AS n
+    FROM d
+)
+SELECT k.doc_id, k.source, k.n_chars,
+       p.pooled_value AS normalized_chars
+FROM (
+    SELECT doc_id, source, n_chars,
+           CAST(floor((2.0 * r - 1.0) * (SELECT max(n) FROM pooled)
+                      / (2.0 * ns)) AS BIGINT) + 1 AS target_idx
+    FROM ranked
+) k
+JOIN pooled p ON p.idx = k.target_idx
+"""
+
+
+@query("quantile_normalize_sources", _QNORM_SQL)
+def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization (the batch-effect
+    correction step a multi-source corpus needs before
+    length/quality thresholds can be shared): each document's
+    n_chars is replaced by the POOLED distribution's value at the
+    same midpoint quantile, so every source ends up with an
+    identically-shaped length distribution and one global threshold
+    means the same thing everywhere — scikit-learn's
+    quantile_transform / limma's normalizeQuantiles, distributed.
+    Two rank windows (per-source, pooled) + one equi-join on the
+    EXACT integer target index floor((2r−1)N / 2n_s)+1; no float rank
+    fractions anywhere, so determinism needs no quantization.
+    Identical SQL text on both engines."""
+    from ..sources.batch import register_views
+
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_QNORM_SQL)

@@ -407,3 +407,46 @@ def test_rrf_fusion_scores_are_consistent_with_leg_ranks(spark, sf_smoke):
                 lone = s.bm25_rank or s.cos_rank
                 if lone >= worst_leg:
                     assert b.rrf > s.rrf
+
+
+def test_quantile_normalize_handles_uneven_sources(spark):
+    """Regression: with UNEVEN source sizes the midpoint-quantile
+    target index is fractional before the floor — a bare integer `/`
+    (DOUBLE in both engines) silently dropped those rows from the
+    index equi-join. Every doc must survive, every source must end up
+    with pooled values, and within each source the mapping must be
+    monotone in n_chars."""
+    import duckdb
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark.queries.corpus_prep import (
+        _QNORM_SQL,
+    )
+
+    rows = [(i, "big", 100 + i) for i in range(7)] + [
+        (100 + i, "small", 500 + 7 * i) for i in range(3)
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "source", "n_chars"])
+    spark.createDataFrame(pdf).createOrReplaceTempView("documents")
+    got = spark.sql(_QNORM_SQL).collect()
+    assert len(got) == len(rows)  # nothing dropped
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r.source, []).append(r)
+    assert set(by_src) == {"big", "small"}
+    pooled = sorted(pdf["n_chars"])
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.n_chars)
+        vals = [r.normalized_chars for r in rs]
+        assert vals == sorted(vals)  # monotone mapping
+        assert all(v in pooled for v in vals)
+    # the same text produces the same rows on DuckDB (the oracle engine)
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    oracle = con.execute(_QNORM_SQL).fetchdf()
+    assert len(oracle) == len(rows)
+    want = {(r.doc_id, r.normalized_chars) for r in got}
+    have = set(
+        zip(oracle["doc_id"], oracle["normalized_chars"])
+    )
+    assert want == have
