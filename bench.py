@@ -185,6 +185,7 @@ HEADLINE = [
     "pacf_daily_revenue",
     "conformal_interval_coverage",
     "quantile_normalize_sources",
+    "similarity_ann_ivfpq",
 ]
 
 

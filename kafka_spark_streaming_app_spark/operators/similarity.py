@@ -880,3 +880,123 @@ def ann_topk_pq(
             "adc_q",
         )
     )
+
+
+def ann_topk_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    num_centroids: int = 16,
+    n_probe: int = 2,
+    m: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 16,
+    k: int = 5,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the two ANN levers COMPOSED, which is the canonical
+    billion-vector index layout (FAISS IVFPQ) — IVF routing cuts the
+    SCAN (only ~n_probe/num_centroids of the corpus is considered per
+    query) while PQ codes cut the MEMORY (4-bit codes instead of
+    float32), and the exact rerank restores precision on the
+    surviving candidates. Routing is the ann_topk_ivf cosine argmax
+    against broadcast centroids; candidate ADC is the ann_topk_pq
+    exact-int64 sum restricted to the probed lists' members; both
+    levers' artifacts (centroid table, codebook, LUT) are broadcast,
+    so the only corpus-sized relations are the code table and the
+    list assignment — each a few ints per vector."""
+    c = with_vector_norm(corpus, vec_col).select(
+        F.col(id_col).alias("corpus_id"), "v", "norm"
+    )
+    centroids = with_vector_norm(
+        corpus.filter(F.col(id_col) < num_centroids), vec_col
+    ).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+
+    def nearest_lists(side, side_id, n_lists):
+        scored = side.join(F.broadcast(centroids), F.lit(True)).select(
+            side_id,
+            "centroid_id",
+            cosine(
+                F.col("v"), F.col("cv"), F.col("norm"), F.col("cnorm")
+            ).alias("c_sim"),
+        )
+        w = Window.partitionBy(side_id).orderBy(
+            F.desc("c_sim"), F.asc("centroid_id")
+        )
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= n_lists)
+            .select(side_id, "centroid_id")
+        )
+
+    assignment = nearest_lists(c, "corpus_id", 1)
+    q = with_vector_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v"),
+        F.col("norm"),
+    )
+    q_probes = nearest_lists(q, "query_id", n_probe)
+    cand = (
+        assignment.join(F.broadcast(q_probes), "centroid_id")
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .select("query_id", "corpus_id")
+        .distinct()
+    )
+
+    cents_pq = pq_train(
+        corpus, m=m, sub_dim=sub_dim, k=n_codes, iters=2,
+        id_col=id_col, vec_col=vec_col,
+    )
+    sub = pq_subvectors(corpus, m, sub_dim, id_col, vec_col)
+    codes = _pq_assign(sub, cents_pq, sub_dim, id_col).select(
+        F.col(id_col).alias("corpus_id"), "m", F.col("cid").alias("code")
+    )
+    qsub = pq_subvectors(queries, m, sub_dim, id_col, vec_col)
+    lut = qsub.join(F.broadcast(cents_pq), "m").select(
+        F.col(id_col).alias("query_id"),
+        "m",
+        F.col("cid").alias("code"),
+        F.floor(F.lit(PQ_ADC_SCALE) * _sq_dist_expr(sub_dim))
+        .cast("bigint")
+        .alias("dq"),
+    )
+    adc = (
+        cand.join(codes, "corpus_id")
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", "corpus_id")
+        .agg(F.sum("dq").alias("adc_q"))
+    )
+    wc = Window.partitionBy("query_id").orderBy("adc_q", "corpus_id")
+    shortlist = adc.withColumn("crank", F.row_number().over(wc)).filter(
+        F.col("crank") <= rerank
+    )
+    xv = F.transform(F.col(vec_col), lambda e: e.cast("double"))
+    cv = corpus.select(F.col(id_col).alias("corpus_id"), xv.alias("x"))
+    qv = queries.select(F.col(id_col).alias("query_id"), xv.alias("c"))
+    exact = (
+        shortlist.join(cv, "corpus_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "corpus_id",
+            "adc_q",
+            _sq_dist_expr(m * sub_dim).alias("dist"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy("dist", "corpus_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "corpus_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.round("dist", 6).alias("dist"),
+            "adc_q",
+        )
+    )

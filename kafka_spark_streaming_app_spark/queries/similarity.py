@@ -1163,3 +1163,133 @@ def grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cluster"),
         )
     )
+
+
+# --- IVF-PQ composed ANN -----------------------------------------------------
+
+_IVFPQ_ORACLE = f"""
+WITH n AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+               AS norm
+    FROM embeddings
+    WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0
+),
+cent AS (
+    SELECT vec_id AS centroid_id, v AS cv, norm AS cnorm FROM n
+    WHERE vec_id < {_CENTROIDS}
+),
+assign AS (
+    SELECT corpus_id, centroid_id FROM (
+        SELECT c.vec_id AS corpus_id, cent.centroid_id,
+               row_number() OVER (PARTITION BY c.vec_id
+                   ORDER BY round(list_inner_product(c.v, cent.cv)
+                                  / (c.norm * cent.cnorm), 6) DESC,
+                            cent.centroid_id) AS crank
+        FROM n c, cent
+    ) WHERE crank = 1
+),
+qprobe AS (
+    SELECT query_id, centroid_id FROM (
+        SELECT q.vec_id AS query_id, cent.centroid_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY round(list_inner_product(q.v, cent.cv)
+                                  / (q.norm * cent.cnorm), 6) DESC,
+                            cent.centroid_id) AS crank
+        FROM n q, cent
+        WHERE q.vec_id < {_NUM_QUERIES}
+    ) WHERE crank <= {_PROBES}
+),
+cand AS (
+    SELECT DISTINCT qp.query_id, a.corpus_id
+    FROM assign a JOIN qprobe qp ON a.centroid_id = qp.centroid_id
+    WHERE a.corpus_id <> qp.query_id
+),
+v0 AS (
+    SELECT vec_id, embedding::DOUBLE[] AS fv FROM embeddings
+),
+sub AS (
+    SELECT vec_id, j AS m,
+           fv[j * {_PQ_SD} + 1 : j * {_PQ_SD} + {_PQ_SD}] AS x
+    FROM v0, range(0, {_PQ_M}) t(j)
+),
+c0 AS (
+    SELECT m, CAST(vec_id AS INTEGER) AS cid, x AS c
+    FROM sub WHERE vec_id < {_PQ_K}
+),
+{_pq_iter_sql("c0", "a1", "c1")},
+{_pq_iter_sql("c1", "a2", "c2")},
+codes AS (
+    SELECT vec_id AS corpus_id, m, cid AS code FROM (
+        SELECT v.vec_id, v.m, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id, v.m
+                                  ORDER BY {_pq_dist_sql(_PQ_SD)}, c.cid)
+                   AS rn
+        FROM sub v JOIN c2 c ON v.m = c.m
+    ) WHERE rn = 1
+),
+lut AS (
+    SELECT v.vec_id AS query_id, v.m, c.cid AS code,
+           CAST(floor({_PQ_ADC_SCALE_SQL} * {_pq_dist_sql(_PQ_SD)})
+                AS BIGINT) AS dq
+    FROM sub v JOIN c2 c ON v.m = c.m
+    WHERE v.vec_id < {_NUM_QUERIES}
+),
+adc AS (
+    SELECT l.query_id, s.corpus_id, CAST(sum(l.dq) AS BIGINT) AS adc_q
+    FROM cand
+    JOIN codes s ON cand.corpus_id = s.corpus_id
+    JOIN lut l ON l.query_id = cand.query_id
+              AND s.m = l.m AND s.code = l.code
+    GROUP BY l.query_id, s.corpus_id
+),
+shortlist AS (
+    SELECT query_id, corpus_id, adc_q FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_q, corpus_id) AS rn
+        FROM adc
+    ) WHERE rn <= {_PQ_RERANK}
+),
+ex AS (
+    SELECT shortlist.query_id, shortlist.corpus_id, shortlist.adc_q,
+           list_sum(list_transform(range(1, {_PQ_M * _PQ_SD} + 1),
+               i -> (cv.fv[i] - qv.fv[i]) * (cv.fv[i] - qv.fv[i])))
+               AS dist
+    FROM shortlist
+    JOIN v0 cv ON shortlist.corpus_id = cv.vec_id
+    JOIN v0 qv ON shortlist.query_id = qv.vec_id
+)
+SELECT query_id, corpus_id, CAST(rn AS BIGINT) AS rank,
+       round(dist, 6) AS dist, adc_q
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dist, corpus_id) AS rn
+    FROM ex
+) WHERE rn <= 5
+"""
+
+
+@query("similarity_ann_ivfpq", _IVFPQ_ORACLE)
+def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the canonical billion-vector index layout (FAISS
+    IVFPQ shape) — IVF routing cuts the SCAN to ~n_probe/num_centroids
+    of the corpus per query, PQ codes cut the candidate MEMORY to
+    4 bits/dim, and the exact rerank restores precision on the
+    survivors. Composes the engine's existing levers end-to-end:
+    cosine-argmax routing against broadcast centroids
+    (`similarity_ann_ivf`), per-subspace codebooks and exact-int64
+    ADC (`similarity_ann_pq`), unrolled identically in the oracle."""
+    from ..operators.similarity import ann_topk_ivfpq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_topk_ivfpq(
+        emb,
+        emb.filter(F.col("vec_id") < _NUM_QUERIES),
+        num_centroids=_CENTROIDS,
+        n_probe=_PROBES,
+        m=_PQ_M,
+        sub_dim=_PQ_SD,
+        n_codes=_PQ_K,
+        k=5,
+        rerank=_PQ_RERANK,
+    )

@@ -450,3 +450,47 @@ def test_quantile_normalize_handles_uneven_sources(spark):
         zip(oracle["doc_id"], oracle["normalized_chars"])
     )
     assert want == have
+
+
+def test_ivfpq_candidates_respect_probed_lists(spark, sf_smoke):
+    """IVF-PQ: every returned neighbor must belong to one of the
+    query's probed IVF lists (the scan-cut contract), and the exact
+    reranked distances must equal the true L2."""
+    import numpy as np
+
+    from kafka_spark_streaming_app_spark.operators.similarity import (
+        ann_topk_ivfpq,
+    )
+    from kafka_spark_streaming_app_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = ann_topk_ivfpq(emb, queries, k=5, rerank=50).collect()
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+
+    def unit(v):
+        return v / np.linalg.norm(v)
+
+    cents = {i: unit(vecs[i]) for i in range(16)}
+
+    def probe_lists(v, n):
+        sims = {
+            ci: round(float(unit(v) @ cv), 6) for ci, cv in cents.items()
+        }
+        return [
+            ci
+            for ci, _ in sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))
+        ][:n]
+
+    member = {cid: probe_lists(v, 1)[0] for cid, v in vecs.items()}
+    for r in got:
+        probed = set(probe_lists(vecs[r.query_id], 2))
+        assert member[r.corpus_id] in probed, r
+        true_d = float(((vecs[r.query_id] - vecs[r.corpus_id]) ** 2).sum())
+        assert abs(r.dist - true_d) < 1e-4
+    # per-query result sizes: k unless the probed lists run dry
+    for q in range(5):
+        assert 1 <= sum(1 for r in got if r.query_id == q) <= 5
