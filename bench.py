@@ -186,6 +186,7 @@ HEADLINE = [
     "conformal_interval_coverage",
     "quantile_normalize_sources",
     "similarity_ann_ivfpq",
+    "mutual_information_features",
 ]
 
 

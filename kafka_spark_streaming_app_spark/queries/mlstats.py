@@ -3635,3 +3635,72 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("lineitem",))
     return spark.sql(_CONFORMAL_SQL)
+
+
+# --- mutual information (feature relevance diagnostics) ----------------------
+
+# MI(X;Y) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) over the discretized joint
+# histogram. Each cell term is computed from exact integer counts in
+# one fixed-text expression — ln of a ratio of counts times n (so the
+# probabilities never appear as intermediate floats) — floor-quantized
+# at 1e-9 and summed exactly; cells are bounded by the bucket grid, so
+# the post-histogram work is O(buckets) at any corpus size.
+_MI_CELL = (
+    "CAST(floor(1e9 * ((CAST(c AS DOUBLE) / n)"
+    " * ln((CAST(c AS DOUBLE) * n) / (CAST(cx AS DOUBLE) * cy))))"
+    " AS BIGINT)"
+)
+
+_MI_SQL = f"""
+WITH t AS (
+    SELECT CAST(floor(l_quantity / 10.0) AS BIGINT) AS xq,
+           CAST(floor(round(l_discount * 100, 0) / 3.0) AS BIGINT) AS xd,
+           l_returnflag AS y
+    FROM lineitem
+),
+n_tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+qj AS (SELECT xq AS x, y, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY xq, y),
+qx AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM qj GROUP BY x),
+qy AS (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM qj GROUP BY y),
+qmi AS (
+    SELECT CAST(sum({_MI_CELL}) AS BIGINT) AS mi_q
+    FROM qj JOIN qx USING (x) JOIN qy USING (y), n_tot
+),
+dj AS (SELECT xd AS x, y, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY xd, y),
+dx AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM dj GROUP BY x),
+dy AS (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM dj GROUP BY y),
+dmi AS (
+    SELECT CAST(sum({_MI_CELL}) AS BIGINT) AS mi_q
+    FROM dj JOIN dx USING (x) JOIN dy USING (y), n_tot
+),
+hy AS (
+    SELECT CAST(sum(CAST(floor(1e9 * ((CAST(cy AS DOUBLE) / n)
+               * ln(CAST(n AS DOUBLE) / cy))) AS BIGINT)) AS BIGINT) AS h_q
+    FROM qy, n_tot
+)
+SELECT n_tot.n,
+       round(qmi.mi_q / 1e9, 6) AS mi_quantity,
+       round(dmi.mi_q / 1e9, 6) AS mi_discount,
+       round(hy.h_q / 1e9, 6) AS target_entropy,
+       round((qmi.mi_q / 1e9) / (hy.h_q / 1e9), 6) AS mi_quantity_norm,
+       round((dmi.mi_q / 1e9) / (hy.h_q / 1e9), 6) AS mi_discount_norm
+FROM n_tot, qmi, dmi, hy
+"""
+
+
+@query("mutual_information_features", _MI_SQL)
+def mutual_information_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between bucketed features (quantity deciles,
+    discount terciles) and the return flag — the model-free feature
+    relevance / leakage screen run before training: MI near the
+    target entropy means the feature (or a join key leaking through
+    it) essentially determines the label. Each feature is one joint
+    histogram (single shuffle, map-side combinable), the MI sum is
+    over the bounded bucket grid with 1e-9-quantized xlogx terms, and
+    the normalized variant divides by the target entropy computed the
+    same way. Identical SQL text on both engines; a scipy-free sklearn
+    -style recompute pins the statistic in pytest."""
+    from ..sources.batch import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_MI_SQL)

@@ -297,6 +297,43 @@ def test_logistic_irls_matches_numpy(spark, sf_smoke):
     assert np.allclose(got2, beta, atol=1e-4), (got2, beta)
 
 
+def test_mutual_information_matches_numpy(spark, sf_smoke):
+    """mutual_information_features recomputed with a scipy-free
+    contingency-table MI in numpy — pins the xlogx quantization and
+    the bucket definitions."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    li = pd.read_parquet(f"{sf_smoke}/lineitem.parquet")
+    y = li["l_returnflag"]
+
+    def mi(x):
+        tab = pd.crosstab(x, y).to_numpy().astype(np.float64)
+        n = tab.sum()
+        px = tab.sum(1, keepdims=True)
+        py = tab.sum(0, keepdims=True)
+        nz = tab > 0
+        return float(
+            (tab[nz] / n * np.log(tab[nz] * n / (px @ py)[nz])).sum()
+        )
+
+    xq = np.floor(li["l_quantity"] / 10.0).astype(int)
+    xd = np.floor(np.round(li["l_discount"] * 100) / 3.0).astype(int)
+    py = y.value_counts(normalize=True).to_numpy()
+    hy = float(-(py * np.log(py)).sum())
+    [r] = registry.QUERIES["mutual_information_features"](
+        spark, sf_smoke
+    ).collect()
+    assert r.n == len(li)
+    assert abs(r.mi_quantity - mi(xq)) < 1e-5
+    assert abs(r.mi_discount - mi(xd)) < 1e-5
+    assert abs(r.target_entropy - hy) < 1e-5
+    assert 0 <= r.mi_quantity_norm <= 1 and 0 <= r.mi_discount_norm <= 1
+
+
 def test_conformal_coverage_matches_numpy_and_guarantee(spark, sf_smoke):
     """conformal_interval_coverage recomputed independently in numpy
     (hash split, lstsq fit, order-statistic radius) AND checked
