@@ -75,6 +75,7 @@ PROBES = (
     "streaming_cdc_upsert",
     "streaming_quantile_rollup",
     "streaming_matview_join",
+    "streaming_hll_rollup",
     # round-6 (duplication-linear: histogram/scan-agg statistics, gram
     # window counts, and PQ whose argmin/group keys dedup by id — no
     # fact-fact key-replicating joins; hits_part_authority is EXCLUDED
