@@ -187,6 +187,7 @@ HEADLINE = [
     "quantile_normalize_sources",
     "similarity_ann_ivfpq",
     "mutual_information_features",
+    "ridge_regression_path",
 ]
 
 

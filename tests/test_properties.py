@@ -297,6 +297,37 @@ def test_logistic_irls_matches_numpy(spark, sf_smoke):
     assert np.allclose(got2, beta, atol=1e-4), (got2, beta)
 
 
+def test_ridge_path_matches_numpy_and_shrinks(spark, sf_smoke):
+    """ridge_regression_path recomputed with numpy.linalg.solve on
+    (X'X/n + λI); λ=0 must equal OLS and coefficients must shrink as
+    λ grows."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    li = pd.read_parquet(f"{sf_smoke}/lineitem.parquet")
+    q = li["l_quantity"].to_numpy(dtype=np.float64)
+    d = np.round(li["l_discount"] * 100).to_numpy() / 100.0
+    y = np.round(li["l_extendedprice"] * 100).to_numpy(dtype=np.float64)
+    X = np.column_stack([np.ones(len(q)), q, d])
+    n = len(q)
+    M = X.T @ X / n
+    r = X.T @ y / n
+    rows = registry.QUERIES["ridge_regression_path"](
+        spark, sf_smoke
+    ).collect()
+    got = {row["lambda"]: (row.beta0, row.beta1, row.beta2) for row in rows}
+    assert set(got) == {0.0, 1.0, 100.0}
+    for lam, betas in got.items():
+        want = np.linalg.solve(M + lam * np.eye(3), r)
+        assert np.allclose(betas, want, atol=1e-4), (lam, betas, want)
+    # shrinkage: coefficient L2 norm decreases along the path
+    norms = [np.linalg.norm(got[lam]) for lam in (0.0, 1.0, 100.0)]
+    assert norms[0] >= norms[1] >= norms[2]
+
+
 def test_mutual_information_matches_numpy(spark, sf_smoke):
     """mutual_information_features recomputed with a scipy-free
     contingency-table MI in numpy — pins the xlogx quantization and
