@@ -188,6 +188,7 @@ HEADLINE = [
     "similarity_ann_ivfpq",
     "mutual_information_features",
     "ridge_regression_path",
+    "pmi_collocations",
 ]
 
 

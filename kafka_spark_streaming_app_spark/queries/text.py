@@ -785,3 +785,103 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+# --- PMI collocations --------------------------------------------------------
+
+_PMI_MIN_COUNT = 10
+_PMI_TOPK = 20
+
+# Shared scalar text: PMI = ln(c12·T / (c1·c2)) from exact integer
+# counts (probabilities never materialize), floor-quantized at 1e-9 so
+# the ranking is an exact-integer sort.
+_PMI_Q = (
+    "CAST(floor(1e9 * ln((CAST(c12 AS DOUBLE) * tt)"
+    " / (CAST(c1 AS DOUBLE) * c2))) AS BIGINT)"
+)
+
+_PMI_ORACLE = f"""
+WITH w AS (
+    SELECT {TOKENS_SQL.format(x="text")} AS ws FROM documents
+),
+bg AS (
+    SELECT ws[i] AS w1, ws[i + 1] AS w2
+    FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) r
+    WHERE len(ws) >= 2
+),
+p AS (
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+    FROM bg GROUP BY w1, w2
+),
+c AS (
+    SELECT w1, w2, c12,
+           CAST(sum(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+           CAST(sum(c12) OVER (PARTITION BY w2) AS BIGINT) AS c2,
+           CAST(sum(c12) OVER () AS BIGINT) AS tt
+    FROM p
+)
+SELECT w1, w2, c12, {_PMI_Q} AS pmi_q,
+       round({_PMI_Q} / 1e9, 6) AS pmi
+FROM c
+WHERE c12 >= {_PMI_MIN_COUNT}
+ORDER BY pmi_q DESC, w1, w2
+LIMIT {_PMI_TOPK}
+"""
+
+
+@query("pmi_collocations", _PMI_ORACLE)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: the top-{_PMI_TOPK} adjacent bigrams by
+    pointwise mutual information (min count {_PMI_MIN_COUNT}) — the
+    classic corpus-linguistics tool for finding multiword expressions
+    ("new york"-style units) that tokenizers and phrase-aware dedup
+    want to treat atomically. All three marginals are window sums over
+    the AGGREGATED bigram table (one gram-keyed shuffle for the
+    counts; the window passes run on distinct bigrams, not
+    occurrences), PMI is 1e-9-quantized ln of exact integer counts so
+    the ranking is an exact-integer sort, and the top-k compiles to
+    TakeOrderedAndProject."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import tokens
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "w")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.select(
+            F.lag("w", 1).over(wdoc).alias("w1"), F.col("w").alias("w2")
+        )
+        .filter(F.col("w1").isNotNull())
+    )
+    p = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    c = p.select(
+        "w1",
+        "w2",
+        "c12",
+        F.sum("c12").over(Window.partitionBy("w1")).cast("bigint").alias("c1"),
+        F.sum("c12").over(Window.partitionBy("w2")).cast("bigint").alias("c2"),
+        F.sum("c12")
+        .over(Window.partitionBy(F.lit(1)))
+        .cast("bigint")
+        .alias("tt"),
+    )
+    return (
+        c.filter(F.col("c12") >= _PMI_MIN_COUNT)
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.expr(_PMI_Q).alias("pmi_q"),
+            F.round(F.expr(_PMI_Q) / F.lit(1e9), 6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi_q"), "w1", "w2")
+        .limit(_PMI_TOPK)
+    )

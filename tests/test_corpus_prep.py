@@ -494,3 +494,33 @@ def test_ivfpq_candidates_respect_probed_lists(spark, sf_smoke):
     # per-query result sizes: k unless the probed lists run dry
     for q in range(5):
         assert 1 <= sum(1 for r in got if r.query_id == q) <= 5
+
+
+def test_pmi_ranks_fixed_collocation_above_frequent_pairs(spark):
+    """PMI spec pin on a crafted corpus (via the oracle text, to
+    which the Spark side is hash-locked): 'neural network' always
+    co-occurs and must out-PMI 'the cat'/'the dog' pairs whose parts
+    are frequent but independent."""
+    import duckdb
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark.queries.text import _PMI_ORACLE
+
+    docs = []
+    for i in range(30):
+        docs.append((i, "neural network models need data"))
+        docs.append((100 + i, "the cat sat and the dog ran quickly"))
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    out = con.execute(_PMI_ORACLE).fetchdf()
+    assert len(out) > 0
+    top = (out.iloc[0]["w1"], out.iloc[0]["w2"])
+    pairs = list(zip(out["w1"], out["w2"]))
+    assert ("neural", "network") in pairs
+    nn_pmi = out[(out["w1"] == "neural") & (out["w2"] == "network")][
+        "pmi"
+    ].iloc[0]
+    the_rows = out[out["w1"] == "the"]
+    assert (the_rows["pmi"] < nn_pmi).all()
+    assert top != ("the", "cat") and top != ("the", "dog")
