@@ -189,6 +189,7 @@ HEADLINE = [
     "mutual_information_features",
     "ridge_regression_path",
     "pmi_collocations",
+    "brier_decomposition",
 ]
 
 

@@ -223,3 +223,172 @@ def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --- Brier score decomposition (Murphy) --------------------------------------
+
+# Per-row forecast probability p = σ(quality_logit), quantized to an
+# exact 1e-9 integer (the libm-exp discipline); every downstream sum
+# is exact DECIMAL/int64, and the per-bin float terms of the Murphy
+# decomposition are re-quantized before the (bins-bounded) final sum.
+_BRIER_P_Q = (
+    "CAST(floor(1e9 * (1.0 / (1.0 + exp(0.0 - quality_logit))))"
+    " AS BIGINT)"
+)
+_BRIER_REL_T = (
+    "CAST(floor(1e9 * (n_k * ((CAST(sp AS DOUBLE) / n_k / 1e9)"
+    " - CAST(sy AS DOUBLE) / n_k)"
+    " * ((CAST(sp AS DOUBLE) / n_k / 1e9) - CAST(sy AS DOUBLE) / n_k)))"
+    " AS BIGINT)"
+)
+_BRIER_RES_T = (
+    "CAST(floor(1e9 * (n_k * ((CAST(sy AS DOUBLE) / n_k)"
+    " - CAST(gy AS DOUBLE) / gn)"
+    " * ((CAST(sy AS DOUBLE) / n_k) - CAST(gy AS DOUBLE) / gn)))"
+    " AS BIGINT)"
+)
+_BRIER_WB_T = (
+    "CAST(floor(1e9 * ((CAST(spp AS DOUBLE) / 1e18)"
+    " - n_k * (CAST(sp AS DOUBLE) / n_k / 1e9)"
+    " * (CAST(sp AS DOUBLE) / n_k / 1e9))) AS BIGINT)"
+)
+# within-bin forecast-label covariance: the term the textbook Murphy
+# decomposition drops by assuming constant forecasts per bin; with
+# varying p it completes the EXACT identity
+# Brier = REL − RES + UNC + WB − 2·WCOV.
+_BRIER_WC_T = (
+    "CAST(floor(1e9 * ((CAST(spy AS DOUBLE) / 1e9)"
+    " - n_k * (CAST(sp AS DOUBLE) / n_k / 1e9)"
+    " * (CAST(sy AS DOUBLE) / n_k))) AS BIGINT)"
+)
+
+_BRIER_ORACLE = (
+    "WITH q AS (" + _QUALITY_ORACLE + "),\n"
+    + f"""
+lab AS (
+    SELECT CAST(floor(q.quality_logit * 4) AS BIGINT) AS bin,
+           {_BRIER_P_Q} AS pq,
+           CASE WHEN d.{_GOLD} THEN 1 ELSE 0 END AS y
+    FROM q JOIN documents d USING (doc_id)
+),
+b AS (
+    SELECT bin, CAST(count(*) AS BIGINT) AS n_k,
+           CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(CAST(pq AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sp,
+           CAST(sum(CAST(pq * pq AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS spp,
+           CAST(sum(CAST(pq * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS spy
+    FROM lab GROUP BY bin
+),
+tot AS (
+    SELECT CAST(sum(n_k) AS BIGINT) AS gn,
+           CAST(sum(sy) AS BIGINT) AS gy,
+           CAST(sum(sp) AS DECIMAL(38,0)) AS gp,
+           CAST(sum(spp) AS DECIMAL(38,0)) AS gpp,
+           CAST(sum(spy) AS DECIMAL(38,0)) AS gpy
+    FROM b
+),
+terms AS (
+    SELECT CAST(sum({_BRIER_REL_T}) AS BIGINT) AS rel_q,
+           CAST(sum({_BRIER_RES_T}) AS BIGINT) AS res_q,
+           CAST(sum({_BRIER_WB_T}) AS BIGINT) AS wb_q,
+           CAST(sum({_BRIER_WC_T}) AS BIGINT) AS wc_q
+    FROM b, tot
+)
+SELECT t.gn AS n,
+       round((CAST(t.gpp AS DOUBLE) / 1e18
+              - 2.0 * (CAST(t.gpy AS DOUBLE) / 1e9)
+              + CAST(t.gy AS DOUBLE)) / t.gn, 6) AS brier,
+       round(CAST(x.rel_q AS DOUBLE) / 1e9 / t.gn, 6) AS reliability,
+       round(CAST(x.res_q AS DOUBLE) / 1e9 / t.gn, 6) AS resolution,
+       round((CAST(t.gy AS DOUBLE) / t.gn)
+             * (1.0 - CAST(t.gy AS DOUBLE) / t.gn), 6) AS uncertainty,
+       round(CAST(x.wb_q AS DOUBLE) / 1e9 / t.gn, 6) AS within_bin,
+       round(CAST(x.wc_q AS DOUBLE) / 1e9 / t.gn, 6) AS within_cov
+FROM tot t, terms x
+"""
+)
+
+
+@query("brier_decomposition", _BRIER_ORACLE)
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score for the calibrated
+    quality forecast p = σ(quality_logit) against the length gold
+    label: Brier = reliability − resolution + uncertainty +
+    within-bin variance − 2·within-bin covariance (the EXACT identity
+    when forecasts vary inside bins — the textbook three-term form
+    assumes constant per-bin forecasts; pinned in pytest). Reliability isolates miscalibration,
+    resolution the forecast's discriminative power, uncertainty the
+    label's irreducible variance — the standard forecast-quality
+    triptych beyond a single AUC number. One scan to the bin
+    statistics (exact DECIMAL sums of 1e-9-quantized probabilities);
+    the decomposition itself runs over the bounded bin table."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score(docs).select("doc_id", "quality_logit")
+    lab = q.join(docs.select("doc_id", "n_chars"), "doc_id").select(
+        F.floor(F.col("quality_logit") * 4).cast("bigint").alias("bin"),
+        F.expr(_BRIER_P_Q).alias("pq"),
+        F.when(F.expr(_GOLD), F.lit(1)).otherwise(F.lit(0)).alias("y"),
+    )
+    b = lab.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_k"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.expr(
+            "CAST(sum(CAST(pq AS DECIMAL(38,0))) AS DECIMAL(38,0))"
+        ).alias("sp"),
+        F.expr(
+            "CAST(sum(CAST(pq * pq AS DECIMAL(38,0))) AS DECIMAL(38,0))"
+        ).alias("spp"),
+        F.expr(
+            "CAST(sum(CAST(pq * y AS DECIMAL(38,0))) AS DECIMAL(38,0))"
+        ).alias("spy"),
+    )
+    b = b.localCheckpoint(eager=False)
+    tot = b.agg(
+        F.sum("n_k").cast("bigint").alias("gn"),
+        F.sum("sy").cast("bigint").alias("gy"),
+        F.expr("CAST(sum(sp) AS DECIMAL(38,0))").alias("gp"),
+        F.expr("CAST(sum(spp) AS DECIMAL(38,0))").alias("gpp"),
+        F.expr("CAST(sum(spy) AS DECIMAL(38,0))").alias("gpy"),
+    )
+    terms = (
+        b.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(F.expr(_BRIER_REL_T)).cast("bigint").alias("rel_q"),
+            F.sum(F.expr(_BRIER_RES_T)).cast("bigint").alias("res_q"),
+            F.sum(F.expr(_BRIER_WB_T)).cast("bigint").alias("wb_q"),
+            F.sum(F.expr(_BRIER_WC_T)).cast("bigint").alias("wc_q"),
+        )
+    )
+    gn = F.col("gn").cast("double")
+    return (
+        tot.crossJoin(F.broadcast(terms))
+        .select(
+            F.col("gn").alias("n"),
+            F.round(
+                (
+                    F.col("gpp").cast("double") / F.lit(1e18)
+                    - F.lit(2.0) * (F.col("gpy").cast("double") / F.lit(1e9))
+                    + F.col("gy").cast("double")
+                )
+                / gn,
+                6,
+            ).alias("brier"),
+            F.round(
+                F.col("rel_q").cast("double") / F.lit(1e9) / gn, 6
+            ).alias("reliability"),
+            F.round(
+                F.col("res_q").cast("double") / F.lit(1e9) / gn, 6
+            ).alias("resolution"),
+            F.round(
+                (F.col("gy").cast("double") / gn)
+                * (F.lit(1.0) - F.col("gy").cast("double") / gn),
+                6,
+            ).alias("uncertainty"),
+            F.round(
+                F.col("wb_q").cast("double") / F.lit(1e9) / gn, 6
+            ).alias("within_bin"),
+            F.round(
+                F.col("wc_q").cast("double") / F.lit(1e9) / gn, 6
+            ).alias("within_cov"),
+        )
+    )

@@ -297,6 +297,70 @@ def test_logistic_irls_matches_numpy(spark, sf_smoke):
     assert np.allclose(got2, beta, atol=1e-4), (got2, beta)
 
 
+def test_brier_decomposition_identity_and_numpy(spark, sf_smoke):
+    """Murphy identity: Brier = reliability − resolution +
+    uncertainty + within-bin variance − 2·within-bin covariance
+    (exact up to the 1e-9 quanta and round-6 display — the covariance
+    term is what the textbook constant-per-bin form drops); every
+    component recomputed independently in numpy."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+    from kafka_spark_streaming_app_spark.operators.text import (
+        quality_score,
+    )
+
+    registry.load_all()
+    docs = pd.read_parquet(f"{sf_smoke}/documents.parquet")
+    q = (
+        quality_score(
+            registry.QUERIES["text_stats"](spark, sf_smoke).sparkSession
+            .createDataFrame(docs[["doc_id", "text"]])
+        )
+        .select("doc_id", "quality_logit")
+        .toPandas()
+        .merge(docs[["doc_id", "n_chars"]], on="doc_id")
+    )
+    p = np.floor(1e9 / (1.0 + np.exp(-q["quality_logit"]))) / 1e9
+    y = (q["n_chars"] >= 300).astype(float).to_numpy()
+    bins = np.floor(q["quality_logit"] * 4).astype(int)
+    n = len(p)
+    brier = float(((p - y) ** 2).mean())
+    rel = res = wb = 0.0
+    ybar = y.mean()
+    for bv in np.unique(bins):
+        m = bins == bv
+        rel += m.sum() * (p[m].mean() - y[m].mean()) ** 2
+        res += m.sum() * (y[m].mean() - ybar) ** 2
+        wb += ((p[m] - p[m].mean()) ** 2).sum()
+    rel, res, wb = rel / n, res / n, wb / n
+    wcov = 0.0
+    for bv in np.unique(bins):
+        m = bins == bv
+        wcov += ((p[m] - p[m].mean()) * (y[m] - y[m].mean())).sum()
+    wcov /= n
+    unc = ybar * (1 - ybar)
+    [r] = registry.QUERIES["brier_decomposition"](spark, sf_smoke).collect()
+    assert r.n == n
+    assert abs(r.brier - brier) < 1e-5
+    assert abs(r.reliability - rel) < 1e-5
+    assert abs(r.resolution - res) < 1e-5
+    assert abs(r.uncertainty - unc) < 1e-5
+    assert abs(r.within_bin - wb) < 1e-5
+    assert abs(r.within_cov - wcov) < 1e-5
+    assert abs(
+        r.brier
+        - (
+            r.reliability
+            - r.resolution
+            + r.uncertainty
+            + r.within_bin
+            - 2 * r.within_cov
+        )
+    ) < 5e-6
+
+
 def test_ridge_path_matches_numpy_and_shrinks(spark, sf_smoke):
     """ridge_regression_path recomputed with numpy.linalg.solve on
     (X'X/n + λI); λ=0 must equal OLS and coefficients must shrink as
