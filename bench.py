@@ -190,6 +190,7 @@ HEADLINE = [
     "ridge_regression_path",
     "pmi_collocations",
     "brier_decomposition",
+    "t5_span_corruption",
 ]
 
 

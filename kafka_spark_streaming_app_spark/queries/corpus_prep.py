@@ -677,3 +677,176 @@ def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("documents",))
     return spark.sql(_QNORM_SQL)
+
+
+# --- T5-style span corruption (masked-LM training pairs) ---------------------
+
+# Deterministic span masking: position p STARTS a span when
+# h60('t5|'doc'|'p) % 7 == 0 (≈14% of positions), with span length
+# h60('t5len|'doc'|'p) % 3 + 1; a position is masked when any start
+# within the previous two positions reaches it (pure window lags — no
+# self-join). Sentinels <extra_id_k> are numbered per doc in position
+# order, so (input, target) reassemble deterministically on both
+# engines.
+_T5_START = h60_sql(
+    "('t5|' || CAST(doc_id AS VARCHAR) || '|' || CAST(pos AS VARCHAR))"
+)
+_T5_LEN = h60_sql(
+    "('t5len|' || CAST(doc_id AS VARCHAR) || '|' || CAST(pos AS VARCHAR))"
+)
+
+_T5_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id, {_WORDS} AS ws FROM documents
+),
+tok AS (
+    SELECT doc_id, i AS pos, ws[i + 1] AS tok
+    FROM w, LATERAL (SELECT unnest(range(0, len(ws))) AS i) r
+),
+h AS (
+    SELECT doc_id, pos, tok,
+           ({_T5_START} % 7 = 0) AS st,
+           ({_T5_LEN} % 3 + 1) AS ln
+    FROM tok
+),
+m AS (
+    SELECT doc_id, pos, tok, st,
+           (st
+            OR coalesce(lag(st, 1) OVER dw
+                        AND lag(ln, 1) OVER dw >= 2, false)
+            OR coalesce(lag(st, 2) OVER dw
+                        AND lag(ln, 2) OVER dw >= 3, false)) AS masked
+    FROM h
+    WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)
+),
+s0 AS (
+    SELECT doc_id, pos, tok, masked,
+           (masked AND NOT coalesce(lag(masked, 1) OVER dw, false))
+               AS span_start
+    FROM m
+    WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)
+),
+sp AS (
+    SELECT doc_id, pos, tok, masked, span_start,
+           CAST(sum(CASE WHEN span_start THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS sid
+    FROM s0
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       coalesce(string_agg(
+           CASE WHEN NOT masked THEN tok
+                WHEN span_start THEN '<extra_id_' || sid || '>'
+           END, ' ' ORDER BY pos), '') AS input_text,
+       coalesce(string_agg(
+           CASE WHEN span_start THEN '<extra_id_' || sid || '> ' || tok
+                WHEN masked THEN tok
+           END, ' ' ORDER BY pos), '') AS target_text
+FROM sp GROUP BY doc_id
+"""
+
+
+@query("t5_span_corruption", _T5_ORACLE)
+def t5_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption: every document becomes a
+    (input, target) denoising training pair — ~14% of token positions
+    start a masked span of 1-3 tokens (deterministic h60 decisions,
+    so the corpus regenerates identically on any engine/partitioning),
+    masked spans collapse to <extra_id_k> sentinels in the input and
+    expand after their sentinel in the target. Span membership is
+    pure window lags over (doc, pos) — one doc-keyed shuffle, no
+    self-join — and the pair strings reassemble with order-stable
+    aggregation, so the generated TRAINING TEXT ITSELF hash-checks
+    cross-engine. The span-corruption objective is the core data
+    transform of encoder-decoder LLM pretraining (Raffel et al.)."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import h60, tokens
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+    )
+    hs = h60(
+        F.concat(
+            F.lit("t5|"), F.col("doc_id").cast("string"),
+            F.lit("|"), F.col("pos").cast("string"),
+        )
+    )
+    hl = h60(
+        F.concat(
+            F.lit("t5len|"), F.col("doc_id").cast("string"),
+            F.lit("|"), F.col("pos").cast("string"),
+        )
+    )
+    h = tok.select(
+        "doc_id", "pos", "tok",
+        (hs % 7 == 0).alias("st"),
+        (hl % 3 + 1).alias("ln"),
+    )
+    dw = Window.partitionBy("doc_id").orderBy("pos")
+    m = h.select(
+        "doc_id", "pos", "tok", "st",
+        (
+            F.col("st")
+            | F.coalesce(
+                F.lag("st", 1).over(dw) & (F.lag("ln", 1).over(dw) >= 2),
+                F.lit(False),
+            )
+            | F.coalesce(
+                F.lag("st", 2).over(dw) & (F.lag("ln", 2).over(dw) >= 3),
+                F.lit(False),
+            )
+        ).alias("masked"),
+    )
+    span_start = F.col("masked") & ~F.coalesce(
+        F.lag("masked", 1).over(dw), F.lit(False)
+    )
+    cw = dw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sp = m.select(
+        "doc_id", "pos", "tok", "masked",
+        span_start.alias("span_start"),
+    ).select(
+        "doc_id", "pos", "tok", "masked", "span_start",
+        (
+            F.sum(F.when(F.col("span_start"), 1).otherwise(0)).over(cw) - 1
+        ).cast("bigint").alias("sid"),
+    )
+    sentinel = F.concat(
+        F.lit("<extra_id_"), F.col("sid").cast("string"), F.lit(">")
+    )
+    piece_in = F.when(~F.col("masked"), F.col("tok")).when(
+        F.col("span_start"), sentinel
+    )
+    piece_tgt = F.when(
+        F.col("span_start"), F.concat(sentinel, F.lit(" "), F.col("tok"))
+    ).when(F.col("masked"), F.col("tok"))
+
+    def assemble(piece):
+        return F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            piece.isNotNull(),
+                            F.struct(F.col("pos"), piece.alias("p")),
+                        )
+                    )
+                ),
+                lambda s: s["p"],
+            ),
+            " ",
+        )
+
+    return sp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("masked"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_masked"),
+        assemble(piece_in).alias("input_text"),
+        assemble(piece_tgt).alias("target_text"),
+    )

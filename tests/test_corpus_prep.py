@@ -524,3 +524,48 @@ def test_pmi_ranks_fixed_collocation_above_frequent_pairs(spark):
     the_rows = out[out["w1"] == "the"]
     assert (the_rows["pmi"] < nn_pmi).all()
     assert top != ("the", "cat") and top != ("the", "dog")
+
+
+def test_t5_span_corruption_reconstructs_original(spark, sf_smoke):
+    """The denoising pair must be LOSSLESS: substituting each
+    <extra_id_k> in the input with target span k's tokens
+    reconstructs the original normalized token sequence exactly, for
+    every document; and the mask rate lands near the designed ~14%
+    start rate."""
+    import re
+
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["t5_span_corruption"](spark, sf_smoke).collect()
+    docs = pd.read_parquet(f"{sf_smoke}/documents.parquet")
+    orig = {
+        d: re.sub(r"\s+", " ", (t or "").lower().strip())
+        for d, t in zip(docs["doc_id"], docs["text"])
+    }
+    total = masked = 0
+    for r in rows:
+        spans = {}
+        cur = None
+        for tokn in r.target_text.split(" ") if r.target_text else []:
+            mm = re.fullmatch(r"<extra_id_(\d+)>", tokn)
+            if mm:
+                cur = int(mm.group(1))
+                spans[cur] = []
+            else:
+                spans[cur].append(tokn)
+        out = []
+        for tokn in r.input_text.split(" ") if r.input_text else []:
+            mm = re.fullmatch(r"<extra_id_(\d+)>", tokn)
+            if mm:
+                out.extend(spans.pop(int(mm.group(1))))
+            else:
+                out.append(tokn)
+        assert not spans  # every target span consumed exactly once
+        assert " ".join(out) == orig[r.doc_id], r.doc_id
+        total += r.n_tokens
+        masked += r.n_masked
+    rate = masked / total
+    assert 0.08 <= rate <= 0.35, rate  # ~14% starts x 1-3 token spans
