@@ -191,6 +191,7 @@ HEADLINE = [
     "pmi_collocations",
     "brier_decomposition",
     "t5_span_corruption",
+    "preference_pairs",
 ]
 
 

@@ -850,3 +850,87 @@ def t5_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         assemble(piece_in).alias("input_text"),
         assemble(piece_tgt).alias("target_text"),
     )
+
+
+# --- preference-pair construction (DPO/RLHF data shape) -----------------------
+
+_PREF_ORACLE = (
+    "WITH q AS (" + _QUALITY_ORACLE + """),
+ranked AS (
+    SELECT d.source, d.doc_id, q.quality_logit,
+           row_number() OVER (PARTITION BY d.source
+               ORDER BY q.quality_logit DESC, d.doc_id) AS rbest,
+           row_number() OVER (PARTITION BY d.source
+               ORDER BY q.quality_logit ASC, d.doc_id) AS rworst
+    FROM q JOIN documents d USING (doc_id)
+),
+best AS (
+    SELECT source, doc_id AS chosen_doc,
+           quality_logit AS chosen_logit
+    FROM ranked WHERE rbest = 1
+),
+worst AS (
+    SELECT source, doc_id AS rejected_doc,
+           quality_logit AS rejected_logit
+    FROM ranked WHERE rworst = 1
+)
+SELECT b.source, b.chosen_doc, w.rejected_doc,
+       round(b.chosen_logit, 6) AS chosen_logit,
+       round(w.rejected_logit, 6) AS rejected_logit,
+       round(b.chosen_logit - w.rejected_logit, 6) AS margin
+FROM best b JOIN worst w USING (source)
+WHERE b.chosen_doc <> w.rejected_doc
+"""
+)
+
+
+@query("preference_pairs", _PREF_ORACLE)
+def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction — the DPO/RLHF data shape: within
+    every source (the grouping a labeling pipeline would call a
+    prompt/topic bucket), pair the highest-quality document (chosen)
+    with the lowest (rejected) plus the preference margin;
+    deterministic argmax/argmin via rank windows with doc_id
+    tie-breaks. Degenerate single-document groups drop (chosen ==
+    rejected teaches nothing). Two window passes over one scan —
+    per-group state is two rows regardless of corpus size."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score(docs).select("doc_id", "quality_logit")
+    j = q.join(docs.select("doc_id", "source"), "doc_id")
+    wb = Window.partitionBy("source").orderBy(
+        F.desc("quality_logit"), F.asc("doc_id")
+    )
+    ww = Window.partitionBy("source").orderBy(
+        F.asc("quality_logit"), F.asc("doc_id")
+    )
+    ranked = j.select(
+        "source", "doc_id", "quality_logit",
+        F.row_number().over(wb).alias("rbest"),
+        F.row_number().over(ww).alias("rworst"),
+    )
+    best = ranked.filter(F.col("rbest") == 1).select(
+        "source",
+        F.col("doc_id").alias("chosen_doc"),
+        F.col("quality_logit").alias("chosen_logit"),
+    )
+    worst = ranked.filter(F.col("rworst") == 1).select(
+        "source",
+        F.col("doc_id").alias("rejected_doc"),
+        F.col("quality_logit").alias("rejected_logit"),
+    )
+    return (
+        best.join(worst, "source")
+        .filter(F.col("chosen_doc") != F.col("rejected_doc"))
+        .select(
+            "source",
+            "chosen_doc",
+            "rejected_doc",
+            F.round("chosen_logit", 6).alias("chosen_logit"),
+            F.round("rejected_logit", 6).alias("rejected_logit"),
+            F.round(
+                F.col("chosen_logit") - F.col("rejected_logit"), 6
+            ).alias("margin"),
+        )
+    )

@@ -569,3 +569,39 @@ def test_t5_span_corruption_reconstructs_original(spark, sf_smoke):
         masked += r.n_masked
     rate = masked / total
     assert 0.08 <= rate <= 0.35, rate  # ~14% starts x 1-3 token spans
+
+
+def test_preference_pairs_semantics(spark, sf_smoke):
+    """Every source yields one pair of DISTINCT docs; chosen/rejected
+    must be the true per-source quality argmax/argmin (verified
+    against a pandas recompute of the same fixed-weight logit), and
+    margins are non-negative."""
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+    from kafka_spark_streaming_app_spark.operators.text import quality_score
+    from kafka_spark_streaming_app_spark.sources.batch import load_table
+
+    registry.load_all()
+    rows = registry.QUERIES["preference_pairs"](spark, sf_smoke).collect()
+    docs = load_table(spark, sf_smoke, "documents")
+    scored = (
+        quality_score(docs)
+        .select("doc_id", "quality_logit")
+        .toPandas()
+        .merge(
+            pd.read_parquet(f"{sf_smoke}/documents.parquet")[
+                ["doc_id", "source"]
+            ],
+            on="doc_id",
+        )
+    )
+    for r in rows:
+        g = scored[scored["source"] == r.source].sort_values(
+            ["quality_logit", "doc_id"], ascending=[False, True]
+        )
+        assert r.chosen_doc == g.iloc[0]["doc_id"]
+        g2 = g.sort_values(["quality_logit", "doc_id"], ascending=[True, True])
+        assert r.rejected_doc == g2.iloc[0]["doc_id"]
+        assert r.chosen_doc != r.rejected_doc
+        assert r.margin >= 0
