@@ -192,6 +192,10 @@ HEADLINE = [
     "brier_decomposition",
     "t5_span_corruption",
     "preference_pairs",
+    # round-6 third wave: classical-stats completion + concentration
+    "anova_oneway",
+    "jarque_bera_test",
+    "gini_concentration",
 ]
 
 

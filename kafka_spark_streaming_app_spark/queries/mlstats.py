@@ -3778,3 +3778,239 @@ def ridge_regression_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("lineitem",))
     return spark.sql(_RIDGE_SQL)
+
+
+# --- One-way ANOVA: F-test across the five event types ----------------------
+
+# The five event types are pivoted into ONE row of exact integer-cents
+# sufficient statistics (the kruskal_wallis conditional-aggregation
+# shape), so every double-precision combination below is a FIXED
+# expression order — no engine-specific aggregate merge order can
+# perturb the 6-decimal rounding.
+_ANOVA_GROUPS = ["click", "error", "purchase", "signup", "view"]
+
+_ANOVA_STATS = ",\n    ".join(
+    f"CAST(sum(CASE WHEN event_type = '{g}' THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS n{i + 1},\n    "
+    f"CAST(sum(CASE WHEN event_type = '{g}' THEN CAST(vc AS DECIMAL(38,0))"
+    f" ELSE 0 END) AS DECIMAL(38,0)) AS s{i + 1},\n    "
+    f"CAST(sum(CASE WHEN event_type = '{g}' THEN CAST(vc * vc AS"
+    f" DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0)) AS ss{i + 1}"
+    for i, g in enumerate(_ANOVA_GROUPS)
+)
+
+_ANOVA_N = " + ".join(f"n{i + 1}" for i in range(5))
+_ANOVA_S = " + ".join(f"s{i + 1}" for i in range(5))
+_ANOVA_SS = " + ".join(f"ss{i + 1}" for i in range(5))
+# between-group raw term Σ s_g²/n_g, written term-by-term so the
+# floating-point addition order is pinned left-to-right on both engines
+_ANOVA_SB = " + ".join(
+    f"(CAST(s{i + 1} AS DOUBLE) * CAST(s{i + 1} AS DOUBLE)"
+    f" / CAST(n{i + 1} AS DOUBLE))"
+    for i in range(5)
+)
+
+_ANOVA_ORACLE = f"""
+WITH t AS (
+    SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS vc
+    FROM events WHERE value IS NOT NULL
+),
+p AS (
+    SELECT
+    {_ANOVA_STATS}
+    FROM t
+),
+d AS (
+    SELECT
+        CAST({_ANOVA_N} AS BIGINT) AS n,
+        n1, n2, n3, n4, n5,
+        (({_ANOVA_SB})
+         - CAST({_ANOVA_S} AS DOUBLE) * CAST({_ANOVA_S} AS DOUBLE)
+           / CAST({_ANOVA_N} AS DOUBLE)) / 10000.0 AS ssb,
+        (CAST({_ANOVA_SS} AS DOUBLE)
+         - ({_ANOVA_SB})) / 10000.0 AS ssw
+    FROM p
+)
+SELECT
+    n, n1, n2, n3, n4, n5,
+    CAST(5 AS BIGINT) AS k,
+    round(ssb, 6) AS ssb,
+    round(ssw, 6) AS ssw,
+    round((ssb / 4.0) / (ssw / CAST(n - 5 AS DOUBLE)), 6) AS f_stat,
+    round(ssb / (ssb + ssw), 6) AS eta_sq
+FROM d
+"""
+
+
+@query("anova_oneway", _ANOVA_ORACLE)
+def anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-test of ``events.value`` across the five event
+    types — the k-group parametric complement to kruskal_wallis_test
+    (rank-based) and welch_ttest (two-group): does the mean value
+    differ across types, and how much variance does the grouping
+    explain (η²)?
+
+    One scan produces exact integer-cents (n, Σv, Σv²) per group via
+    conditional aggregation pivoted into a single row, so SSB/SSW/F
+    derive in a FIXED left-to-right double expression — deterministic
+    at any partitioning. F = (SSB/(k−1))/(SSW/(N−k)); η² = SSB/SST.
+    At 100 TB this is one map-side-combined scan with a single-row
+    shuffle; the group list is static (the CASE pivot), which is the
+    production shape for a bounded category set. Identical SQL text on
+    both engines; an independent numpy implementation pins the formula
+    (tests/test_properties.py)."""
+    from ..sources.batch import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_ANOVA_ORACLE)
+
+
+# --- Jarque-Bera normality test per event type ------------------------------
+
+# Raw power sums stay exact integers (cents^k in DECIMAL(38,0) —
+# vc ≤ 1e5 cents ⇒ vc⁴ ≤ 1e20/term, 1e9 rows ⇒ 1e29 < 1e38); central
+# moments and the JB statistic derive per group in one fixed
+# expression. Skewness/kurtosis are scale-invariant, so the cents
+# scaling cancels and no /100 normalization is needed.
+_JB_ORACLE = """
+WITH t AS (
+    SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS vc
+    FROM events WHERE value IS NOT NULL
+),
+g AS (
+    SELECT
+        event_type,
+        count(*) AS n,
+        CAST(sum(CAST(vc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+        CAST(sum(CAST(vc AS DECIMAL(38,0)) * vc) AS DECIMAL(38,0)) AS s2,
+        CAST(sum(CAST(vc AS DECIMAL(38,0)) * vc * vc) AS DECIMAL(38,0)) AS s3,
+        CAST(sum(CAST(vc AS DECIMAL(38,0)) * vc * vc * vc)
+             AS DECIMAL(38,0)) AS s4
+    FROM t GROUP BY event_type
+),
+m AS (
+    SELECT
+        event_type, n,
+        CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+        CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+        CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+    FROM g
+),
+c AS (
+    SELECT
+        event_type, n, mu,
+        r2 - mu * mu AS m2,
+        r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+        r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+           - 3.0 * mu * mu * mu * mu AS m4
+    FROM m
+),
+k AS (
+    SELECT
+        event_type, n,
+        m3 / (m2 * sqrt(m2)) AS skewness,
+        m4 / (m2 * m2) - 3.0 AS excess_kurtosis
+    FROM c
+)
+SELECT
+    event_type,
+    CAST(n AS BIGINT) AS n,
+    round(skewness, 6) AS skewness,
+    round(excess_kurtosis, 6) AS excess_kurtosis,
+    round(CAST(n AS DOUBLE) / 6.0
+          * (skewness * skewness
+             + excess_kurtosis * excess_kurtosis / 4.0), 6) AS jb_stat,
+    (CAST(n AS DOUBLE) / 6.0
+     * (skewness * skewness + excess_kurtosis * excess_kurtosis / 4.0)
+     > 5.991464547107979) AS reject_normal_5pct
+FROM k
+ORDER BY event_type
+"""
+
+
+@query("jarque_bera_test", _JB_ORACLE)
+def jarque_bera_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test of ``value`` per event type: skewness
+    g₁ = m₃/m₂^1.5 and excess kurtosis g₂ = m₄/m₂²−3 from one scan of
+    exact integer power sums (Σv..Σv⁴ in DECIMAL(38,0) cents — the
+    raw-moment route keeps partial aggregation exact where a streaming
+    central-moment update would be order-dependent), then
+    JB = n/6·(g₁² + g₂²/4) compared against the χ²₂ 5% critical value
+    (5.9915, a literature constant). The drift-monitoring use: a
+    quality-score or latency column whose JB explodes between
+    snapshots changed shape, not just mean — psi_value_drift's
+    distribution-free complement. One map-side-combined scan, 5-row
+    shuffle; skew/kurtosis are scale-invariant so cents cancel.
+    Identical SQL text on both engines; numpy pin in
+    tests/test_properties.py."""
+    from ..sources.batch import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_JB_ORACLE)
+
+
+# --- Gini / HHI revenue concentration per nation ----------------------------
+
+_GINI_ORACLE = """
+WITH r AS (
+    SELECT
+        c.c_nationkey,
+        c.c_custkey,
+        CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS DECIMAL(38,0)))
+             AS DECIMAL(38,0)) AS rev
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey, c.c_custkey
+),
+ranked AS (
+    SELECT
+        c_nationkey, rev,
+        CAST(row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY rev, c_custkey) AS BIGINT) AS i
+    FROM r
+),
+agg AS (
+    SELECT
+        c_nationkey,
+        CAST(count(*) AS BIGINT) AS n_customers,
+        CAST(sum(rev) AS DECIMAL(38,0)) AS total,
+        CAST(sum(CAST(i AS DECIMAL(38,0)) * rev) AS DECIMAL(38,0)) AS iwsum,
+        CAST(sum(rev * rev) AS DECIMAL(38,0)) AS sqsum
+    FROM ranked GROUP BY c_nationkey
+)
+SELECT
+    n.n_name AS nation,
+    a.n_customers,
+    round(CAST(a.total AS DOUBLE) / 100.0, 2) AS total_revenue,
+    round(2.0 * CAST(a.iwsum AS DOUBLE)
+          / (CAST(a.n_customers AS DOUBLE) * CAST(a.total AS DOUBLE))
+          - (CAST(a.n_customers AS DOUBLE) + 1.0)
+            / CAST(a.n_customers AS DOUBLE), 6) AS gini,
+    round(CAST(a.sqsum AS DOUBLE)
+          / (CAST(a.total AS DOUBLE) * CAST(a.total AS DOUBLE)), 6) AS hhi
+FROM agg a JOIN nation n ON n.n_nationkey = a.c_nationkey
+ORDER BY nation
+"""
+
+
+@query("gini_concentration", _GINI_ORACLE)
+def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration audit per nation: the exact Gini
+    coefficient G = 2·Σᵢ i·x₍ᵢ₎/(n·Σx) − (n+1)/n over each nation's
+    per-customer order revenue, plus the Herfindahl–Hirschman index
+    Σ(xᵢ/Σx)². The corpus-curation use is direct: run it on
+    tokens-per-source and G→1 means a handful of sources dominate the
+    training mix (the language_rebalance / source_cap_sample
+    trigger); here it runs on the warehouse's revenue skew. All
+    sufficient statistics (Σx, Σi·x, Σx²) are exact DECIMAL(38,0)
+    cents — the i·x rank-weighted sum is the repo's round-2 "Gini
+    lesson" done right. Ranks come from one per-nation window (ties
+    broken by custkey; equal values make Σi·x tie-order invariant).
+    At 100 TB the rank window is a per-key sort — for an unbounded
+    single group swap in the llmprep two-level prefix-sum rank; the
+    formula and exactness are unchanged. Identical SQL text on both
+    engines; numpy pin in tests/test_properties.py."""
+    from ..sources.batch import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders", "nation"))
+    return spark.sql(_GINI_ORACLE)

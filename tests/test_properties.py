@@ -773,3 +773,118 @@ def test_partitioned_state_equals_from_scratch_fold(spark, tmp_path_factory, dat
             }
         )
         assert got == expected
+
+
+def test_anova_oneway_matches_numpy(spark, sf_smoke):
+    """anova_oneway recomputed with a direct numpy SSB/SSW split (the
+    SQL is shared text across both engines, so the oracle gate alone
+    can't catch a formula bug — this pin can)."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet")
+    ev = ev[ev["value"].notna()]
+    v = np.round(ev["value"].to_numpy() * 100) / 100.0
+    grp = ev["event_type"].to_numpy()
+    groups = ["click", "error", "purchase", "signup", "view"]
+    grand = v.mean()
+    ssb = sum(
+        (grp == g).sum() * (v[grp == g].mean() - grand) ** 2 for g in groups
+    )
+    ssw = sum(((v[grp == g] - v[grp == g].mean()) ** 2).sum() for g in groups)
+    n, k = len(v), len(groups)
+    f_stat = (ssb / (k - 1)) / (ssw / (n - k))
+    [r] = registry.QUERIES["anova_oneway"](spark, sf_smoke).collect()
+    assert r.n == n and r.k == k
+    assert [r.n1, r.n2, r.n3, r.n4, r.n5] == [
+        int((grp == g).sum()) for g in groups
+    ]
+    assert abs(r.ssb - ssb) < 1e-3 * max(1.0, abs(ssb))
+    assert abs(r.ssw - ssw) < 1e-3 * max(1.0, abs(ssw))
+    assert abs(r.f_stat - f_stat) < 1e-4 * max(1.0, abs(f_stat))
+    assert abs(r.eta_sq - ssb / (ssb + ssw)) < 1e-6
+
+
+def test_jarque_bera_matches_numpy(spark, sf_smoke):
+    """jarque_bera_test recomputed with numpy central moments; also
+    pins scale-invariance (cents vs units must cancel)."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet")
+    ev = ev[ev["value"].notna()]
+    rows = {
+        r.event_type: r
+        for r in registry.QUERIES["jarque_bera_test"](
+            spark, sf_smoke
+        ).collect()
+    }
+    for g, sub in ev.groupby("event_type"):
+        v = np.round(sub["value"].to_numpy() * 100)  # cents, exact ints
+        n = len(v)
+        m = v.mean()
+        m2 = ((v - m) ** 2).mean()
+        m3 = ((v - m) ** 3).mean()
+        m4 = ((v - m) ** 4).mean()
+        skew = m3 / m2**1.5
+        kurt = m4 / m2**2 - 3.0
+        jb = n / 6.0 * (skew**2 + kurt**2 / 4.0)
+        r = rows[g]
+        assert r.n == n
+        assert abs(r.skewness - skew) < 1e-5
+        assert abs(r.excess_kurtosis - kurt) < 1e-5
+        assert abs(r.jb_stat - jb) < 1e-3 * max(1.0, jb)
+        assert r.reject_normal_5pct == (jb > 5.991464547107979)
+
+
+def test_gini_concentration_matches_numpy(spark, sf_smoke):
+    """gini_concentration recomputed with the mean-absolute-difference
+    definition of Gini (a DIFFERENT formula than the engine's
+    rank-weighted sum — same quantity) and a direct share-squared HHI."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    cust = pd.read_parquet(f"{sf_smoke}/customer.parquet")
+    orders = pd.read_parquet(f"{sf_smoke}/orders.parquet")
+    nation = pd.read_parquet(f"{sf_smoke}/nation.parquet")
+    rev = (
+        orders.assign(cents=np.round(orders["o_totalprice"] * 100))
+        .groupby("o_custkey")["cents"]
+        .sum()
+        .rename("rev")
+        .reset_index()
+    )
+    j = rev.merge(
+        cust[["c_custkey", "c_nationkey"]],
+        left_on="o_custkey",
+        right_on="c_custkey",
+    ).merge(nation[["n_nationkey", "n_name"]], left_on="c_nationkey",
+            right_on="n_nationkey")
+    got = {
+        r.nation: r
+        for r in registry.QUERIES["gini_concentration"](
+            spark, sf_smoke
+        ).collect()
+    }
+    assert set(got) == set(j["n_name"].unique())
+    for name, sub in j.groupby("n_name"):
+        x = sub["rev"].to_numpy(dtype=np.float64)
+        n = len(x)
+        # mean absolute difference form: G = Σ|xi−xj| / (2 n² μ̄)
+        mad = np.abs(x[:, None] - x[None, :]).sum()
+        gini = mad / (2.0 * n * x.sum())
+        hhi = ((x / x.sum()) ** 2).sum()
+        r = got[name]
+        assert r.n_customers == n
+        assert abs(r.total_revenue - x.sum() / 100.0) < 0.5
+        assert abs(r.gini - gini) < 1e-6, (name, r.gini, gini)
+        assert abs(r.hhi - hhi) < 1e-6
