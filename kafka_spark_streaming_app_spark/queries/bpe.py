@@ -264,3 +264,82 @@ def bpe_tokenize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registration happens after the oracle builders above exist
 query("bpe_train_merges", _BPE_ORACLE)(bpe_train_merges)
 query("bpe_tokenize_counts", _BPE_TOKENIZE_ORACLE)(bpe_tokenize_counts)
+
+
+_FERTILITY_ORACLE = (
+    _chain_sql(_ITERS)
+    + f""",
+wc AS (
+    SELECT word,
+           len(list_filter(string_split(seq, chr(31)), x -> x <> ''))
+               AS n_sym
+    FROM v{_ITERS}
+),
+tok AS (
+    SELECT lang, unnest({TOKENS_SQL.format(x="text")}) AS tok
+    FROM documents
+),
+g AS (
+    SELECT lang,
+           count(*) AS n_words,
+           CAST(sum(wc.n_sym) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(strlen(tok.tok)) AS BIGINT) AS n_bytes,
+           CAST(sum(length(tok.tok)) AS BIGINT) AS n_chars
+    FROM tok JOIN wc ON wc.word = tok.tok
+    GROUP BY lang
+)
+SELECT lang, n_words, n_bpe_tokens, n_bytes, n_chars,
+       round(CAST(n_bpe_tokens AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+           AS fertility,
+       round(CAST(n_bytes AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE), 6)
+           AS bytes_per_token,
+       round(CAST(n_chars AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE), 6)
+           AS chars_per_token
+FROM g
+ORDER BY lang
+"""
+)
+
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per language: subword tokens per word
+    (fertility), UTF-8 bytes per token, and characters per token under
+    the corpus-trained BPE merges. This is the standard multilingual-
+    tokenizer equity metric (mBERT/XLM-R literature): a language with
+    fertility ≫ 1 pays more sequence length per sentence, so a
+    training-mix designer re-balances either the tokenizer corpus or
+    the sampling weights. Fertility here is exactly
+    Σ n_sym(word)/Σ 1 over word OCCURRENCES (not vocabulary types),
+    via the same broadcast word→symbol-count join as
+    bpe_tokenize_counts — one explode + one tiny-key shuffle after the
+    vocabulary-sized training dataflow; byte counts use octet_length
+    (Spark) / strlen (DuckDB), both UTF-8 byte semantics."""
+    _, final_vocab = _train(_initial_vocab(spark, sf_dir), _ITERS)
+    syms = F.filter(
+        F.split(F.col("seq"), _SEP), lambda x: x != F.lit("")
+    )
+    wc = final_vocab.select("word", F.size(syms).alias("n_sym"))
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(tokens("text")).alias("word"))
+    g = (
+        tok.join(F.broadcast(wc), "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").cast("bigint").alias("n_bpe_tokens"),
+            F.sum(F.octet_length("word")).cast("bigint").alias("n_bytes"),
+            F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+        )
+    )
+    toks = F.col("n_bpe_tokens").cast("double")
+    return g.select(
+        "lang", "n_words", "n_bpe_tokens", "n_bytes", "n_chars",
+        F.round(toks / F.col("n_words").cast("double"), 6).alias("fertility"),
+        F.round(F.col("n_bytes").cast("double") / toks, 6)
+            .alias("bytes_per_token"),
+        F.round(F.col("n_chars").cast("double") / toks, 6)
+            .alias("chars_per_token"),
+    ).orderBy("lang")
+
+
+query("tokenizer_fertility", _FERTILITY_ORACLE)(tokenizer_fertility)

@@ -888,3 +888,79 @@ def test_gini_concentration_matches_numpy(spark, sf_smoke):
         assert abs(r.total_revenue - x.sum() / 100.0) < 0.5
         assert abs(r.gini - gini) < 1e-6, (name, r.gini, gini)
         assert abs(r.hhi - hhi) < 1e-6
+
+
+def test_tokenizer_fertility_matches_pure_python(spark, sf_smoke):
+    """tokenizer_fertility recomputed with a from-scratch pure-Python
+    BPE (Sennrich train loop + greedy merge application) — an
+    INDEPENDENT algorithm (list-based merging, not string replace), so
+    it pins both the merge semantics and the fertility arithmetic."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    docs = pd.read_parquet(f"{sf_smoke}/documents.parquet")
+
+    def norm_tokens(t):
+        t = re.sub(r"\s+", " ", (t or "").lower().strip())
+        return t.split(" ")
+
+    # vocabulary as symbol TUPLES (not delimiter strings)
+    vocab = Counter()
+    for t in docs["text"]:
+        for w in norm_tokens(t):
+            if w and "\x1f" not in w:
+                vocab[tuple(w)] += 1
+    merges = []
+    for _ in range(3):
+        pairs = Counter()
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += f
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        new_vocab = Counter()
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and (syms[i], syms[i + 1]) == best
+                ):
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] += f
+        vocab = new_vocab
+    n_sym = {"".join(syms): len(syms) for syms in vocab}
+    want = {}
+    for lang, sub in docs.groupby("lang"):
+        words = tokens_n = nbytes = nchars = 0
+        for t in sub["text"]:
+            for w in norm_tokens(t):
+                if w in n_sym:
+                    words += 1
+                    tokens_n += n_sym[w]
+                    nbytes += len(w.encode("utf-8"))
+                    nchars += len(w)
+        want[lang] = (words, tokens_n, nbytes, nchars)
+    got = {
+        r.lang: r
+        for r in registry.QUERIES["tokenizer_fertility"](
+            spark, sf_smoke
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for lang, (words, tokens_n, nbytes, nchars) in want.items():
+        r = got[lang]
+        assert (r.n_words, r.n_bpe_tokens, r.n_bytes, r.n_chars) == (
+            words, tokens_n, nbytes, nchars,
+        ), lang
+        assert abs(r.fertility - tokens_n / words) < 1e-6
+        assert abs(r.bytes_per_token - nbytes / tokens_n) < 1e-6
