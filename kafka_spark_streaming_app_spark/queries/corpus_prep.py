@@ -934,3 +934,104 @@ def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("margin"),
         )
     )
+
+
+# --- Fill-in-the-middle (FIM) transform --------------------------------------
+
+# Deterministic cut points: two h60 draws mod (n+1) give positions
+# lo ≤ hi in [0, n]; prefix = w[1..lo], middle = w[lo+1..hi],
+# suffix = w[hi+1..n]. PSM serialization (prefix, suffix, middle) is
+# the training layout; SPM is the alternate sentinel order.
+_FIM_A = h60_sql("('fim_a|' || CAST(doc_id AS VARCHAR))")
+_FIM_B = h60_sql("('fim_b|' || CAST(doc_id AS VARCHAR))")
+
+_FIM_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id, {_WORDS} AS ws FROM documents
+),
+c AS (
+    SELECT doc_id, ws, len(ws) AS n,
+           {_FIM_A} % (len(ws) + 1) AS a,
+           {_FIM_B} % (len(ws) + 1) AS b
+    FROM w
+),
+k AS (
+    SELECT doc_id, ws, n,
+           least(a, b) AS lo, greatest(a, b) AS hi
+    FROM c
+),
+p AS (
+    SELECT doc_id, n, lo, hi,
+           -- DuckDB: array_to_string([]) is NULL, not '' — coalesce
+           -- or every boundary cut nullifies the whole serialization
+           coalesce(array_to_string(ws[1:lo], ' '), '') AS prefix,
+           coalesce(array_to_string(ws[lo + 1:hi], ' '), '') AS middle,
+           coalesce(array_to_string(ws[hi + 1:n], ' '), '') AS suffix
+    FROM k
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(lo AS BIGINT) AS cut_lo,
+       CAST(hi AS BIGINT) AS cut_hi,
+       CAST(hi - lo AS BIGINT) AS middle_len,
+       '<fim_prefix>' || prefix || '<fim_suffix>' || suffix
+           || '<fim_middle>' || middle AS psm_text,
+       '<fim_prefix><fim_suffix>' || suffix || '<fim_middle>' || prefix
+           || middle AS spm_text
+FROM p
+"""
+
+
+@query("fim_transform", _FIM_ORACLE)
+def fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle transform (Bavarian et al. / StarCoder data
+    pipeline): each document is split at two deterministic h60 cut
+    points into (prefix, middle, suffix) and re-serialized in BOTH
+    standard sentinel layouts — PSM (<fim_prefix>P<fim_suffix>S
+    <fim_middle>M) and the joined SPM variant the FIM paper recommends
+    for inference-matched training. The cuts are pure per-row
+    arithmetic over the token array (higher-order functions only — no
+    explode, no shuffle at all: the plan is scan → project), so the
+    transform streams at input bandwidth at any scale; determinism by
+    h60 makes the corpus reproducible across engines/runs, which the
+    DuckDB twin proves byte-for-byte on the serialized training text.
+    Spark side slices with F.slice/concat_ws (a genuinely different
+    implementation than the oracle's list slicing)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..functions.hashing import h60
+
+    ws = tokens("text")
+    n = F.size(ws)
+    a = h60(F.concat(F.lit("fim_a|"), F.col("doc_id").cast("string"))) % (
+        n + 1
+    )
+    b = h60(F.concat(F.lit("fim_b|"), F.col("doc_id").cast("string"))) % (
+        n + 1
+    )
+    c = docs.select(
+        "doc_id",
+        ws.alias("ws"),
+        n.alias("n"),
+        F.least(a, b).alias("lo"),
+        F.greatest(a, b).alias("hi"),
+    )
+    lo, hi, nn = F.col("lo"), F.col("hi"), F.col("n")
+    prefix = F.concat_ws(" ", F.slice("ws", 1, lo))
+    middle = F.concat_ws(" ", F.slice("ws", lo + 1, hi - lo))
+    suffix = F.concat_ws(" ", F.slice("ws", hi + 1, nn - hi))
+    return c.select(
+        "doc_id",
+        nn.cast("bigint").alias("n_tokens"),
+        lo.cast("bigint").alias("cut_lo"),
+        hi.cast("bigint").alias("cut_hi"),
+        (hi - lo).cast("bigint").alias("middle_len"),
+        F.concat(
+            F.lit("<fim_prefix>"), prefix,
+            F.lit("<fim_suffix>"), suffix,
+            F.lit("<fim_middle>"), middle,
+        ).alias("psm_text"),
+        F.concat(
+            F.lit("<fim_prefix><fim_suffix>"), suffix,
+            F.lit("<fim_middle>"), prefix, middle,
+        ).alias("spm_text"),
+    )

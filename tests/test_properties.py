@@ -964,3 +964,47 @@ def test_tokenizer_fertility_matches_pure_python(spark, sf_smoke):
         ), lang
         assert abs(r.fertility - tokens_n / words) < 1e-6
         assert abs(r.bytes_per_token - nbytes / tokens_n) < 1e-6
+
+
+def test_fim_transform_reassembles_and_cuts_match_md5(spark, sf_smoke):
+    """fim_transform pinned two independent ways: (1) the PSM pieces
+    reassemble EXACTLY to the normalized document (no token lost or
+    duplicated at any boundary), (2) the cut points recompute from
+    first principles (hashlib md5, not Spark's md5)."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    docs = pd.read_parquet(f"{sf_smoke}/documents.parquet").set_index(
+        "doc_id"
+    )
+    out = registry.QUERIES["fim_transform"](spark, sf_smoke).toPandas()
+    assert len(out) == len(docs)
+    pat = re.compile(
+        r"<fim_prefix>(.*)<fim_suffix>(.*)<fim_middle>(.*)", re.S
+    )
+
+    def h60py(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    for r in out.itertuples():
+        text = docs.loc[r.doc_id, "text"]
+        norm = re.sub(r"\s+", " ", (text or "").lower().strip())
+        toks = norm.split(" ")
+        n = len(toks)
+        assert r.n_tokens == n
+        a = h60py(f"fim_a|{r.doc_id}") % (n + 1)
+        b = h60py(f"fim_b|{r.doc_id}") % (n + 1)
+        assert (r.cut_lo, r.cut_hi) == (min(a, b), max(a, b))
+        m = pat.fullmatch(r.psm_text)
+        assert m, r.psm_text[:80]
+        prefix, suffix, middle = m.group(1), m.group(2), m.group(3)
+        pieces = [p for p in (prefix, middle, suffix) if p != ""]
+        assert " ".join(pieces) == norm, r.doc_id
+        assert prefix == " ".join(toks[: r.cut_lo])
+        assert middle == " ".join(toks[r.cut_lo : r.cut_hi])
+        assert suffix == " ".join(toks[r.cut_hi :])
