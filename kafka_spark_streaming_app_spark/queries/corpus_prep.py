@@ -1035,3 +1035,107 @@ def fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("<fim_middle>"), prefix, middle,
         ).alias("spm_text"),
     )
+
+
+# --- Temperature-scaled mixture sampling weights -----------------------------
+
+_MIX_Q = ",\n           ".join(
+    f"CAST(floor(1000000000.0 * exp({a} * ln(CAST(n_tokens AS DOUBLE)"
+    f" / CAST(tn AS DOUBLE)))) AS BIGINT) AS q{tag}"
+    for a, tag in (("0.3", "03"), ("0.7", "07"), ("1.0", "10"))
+)
+
+_MIX_ORACLE = f"""
+WITH t AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len({_WORDS})) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+),
+tot AS (
+    SELECT CAST(sum(n_tokens) AS BIGINT) AS tn FROM t
+),
+q AS (
+    SELECT source, n_docs, n_tokens, tn,
+           {_MIX_Q}
+    FROM t, tot
+),
+d AS (
+    SELECT CAST(sum(q03) AS BIGINT) AS d03,
+           CAST(sum(q07) AS BIGINT) AS d07,
+           CAST(sum(q10) AS BIGINT) AS d10
+    FROM q
+)
+SELECT q.source, q.n_docs, q.n_tokens,
+       round(CAST(q.n_tokens AS DOUBLE) / CAST(q.tn AS DOUBLE), 6)
+           AS token_share,
+       round(CAST(q.q03 AS DOUBLE) / CAST(d.d03 AS DOUBLE), 6) AS w_alpha_03,
+       round(CAST(q.q07 AS DOUBLE) / CAST(d.d07 AS DOUBLE), 6) AS w_alpha_07,
+       round(CAST(q.q10 AS DOUBLE) / CAST(d.d10 AS DOUBLE), 6) AS w_alpha_10,
+       round(10000000.0 * (CAST(q.q03 AS DOUBLE) / CAST(d.d03 AS DOUBLE))
+             / CAST(q.n_tokens AS DOUBLE), 6) AS epochs_alpha_03
+FROM q, d
+ORDER BY q.source
+"""
+
+
+@query("mixture_sampling_weights", _MIX_ORACLE)
+def mixture_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source-mixture sampling weights — the
+    multilingual/multi-source rebalancing rule (mT5's α-sampling,
+    p_s ∝ (n_s/N)^α): α=1 reproduces proportional sampling, smaller α
+    flattens the mix toward rare sources. Emits the weight per source
+    at α ∈ {0.3, 0.7, 1.0} plus the expected EPOCHS each source's
+    tokens are consumed at a 10M-token budget — epochs ≫ 1 on a rare
+    source is the overfitting/memorization alarm the data-mix designer
+    watches (and the reason α is capped in practice). Token counts are
+    row-local array sizes (no explode); each (n_s/N)^α is
+    floor-quantized at 1e-9 so the normalizing sum is EXACT integer
+    arithmetic — determinism rests only on the documented shared-libm
+    exp/ln assumption (mlstats.py), never on float sum order.
+    Spark side is a separate DataFrame implementation (the oracle's
+    tokenizer is DuckDB-specific); numpy pin in
+    tests/test_properties.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(tokens("text"))).cast("bigint").alias("n_tokens"),
+    )
+    tot = t.agg(F.sum("n_tokens").cast("bigint").alias("tn"))
+    share = F.col("n_tokens").cast("double") / F.col("tn").cast("double")
+
+    def quant(alpha: float) -> F.Column:
+        return F.floor(
+            F.lit(1000000000.0) * F.exp(F.lit(alpha) * F.log(share))
+        ).cast("bigint")
+
+    q = t.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", "n_tokens", "tn",
+        quant(0.3).alias("q03"),
+        quant(0.7).alias("q07"),
+        quant(1.0).alias("q10"),
+    ).localCheckpoint(eager=False)
+    d = q.agg(
+        F.sum("q03").cast("bigint").alias("d03"),
+        F.sum("q07").cast("bigint").alias("d07"),
+        F.sum("q10").cast("bigint").alias("d10"),
+    )
+    w03 = F.col("q03").cast("double") / F.col("d03").cast("double")
+    return (
+        q.crossJoin(F.broadcast(d))
+        .select(
+            "source", "n_docs", "n_tokens",
+            F.round(share, 6).alias("token_share"),
+            F.round(w03, 6).alias("w_alpha_03"),
+            F.round(
+                F.col("q07").cast("double") / F.col("d07").cast("double"), 6
+            ).alias("w_alpha_07"),
+            F.round(
+                F.col("q10").cast("double") / F.col("d10").cast("double"), 6
+            ).alias("w_alpha_10"),
+            F.round(
+                F.lit(10000000.0) * w03 / F.col("n_tokens").cast("double"), 6
+            ).alias("epochs_alpha_03"),
+        )
+        .orderBy("source")
+    )

@@ -1008,3 +1008,45 @@ def test_fim_transform_reassembles_and_cuts_match_md5(spark, sf_smoke):
         assert prefix == " ".join(toks[: r.cut_lo])
         assert middle == " ".join(toks[r.cut_lo : r.cut_hi])
         assert suffix == " ".join(toks[r.cut_hi :])
+
+
+def test_mixture_sampling_weights_matches_numpy(spark, sf_smoke):
+    """mixture_sampling_weights recomputed unquantized in numpy; also
+    pins the flattening property (α<1 raises rare-source weights and
+    lowers dominant ones) and Σw = 1."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    docs = pd.read_parquet(f"{sf_smoke}/documents.parquet")
+
+    def ntok(t):
+        return len(re.sub(r"\s+", " ", (t or "").lower().strip()).split(" "))
+
+    counts = docs.assign(nt=docs["text"].map(ntok)).groupby("source")[
+        "nt"
+    ].sum()
+    out = registry.QUERIES["mixture_sampling_weights"](
+        spark, sf_smoke
+    ).toPandas().set_index("source")
+    assert (out["n_tokens"] == counts.reindex(out.index)).all()
+    share = counts / counts.sum()
+    for alpha, col in ((0.3, "w_alpha_03"), (0.7, "w_alpha_07"),
+                       (1.0, "w_alpha_10")):
+        w = share**alpha / (share**alpha).sum()
+        assert np.allclose(
+            out[col], w.reindex(out.index), atol=1e-5
+        ), col
+        assert abs(out[col].sum() - 1.0) < 1e-4
+    # flattening: the dominant source loses weight as α shrinks,
+    # the rarest gains
+    big, small = share.idxmax(), share.idxmin()
+    assert out.loc[big, "w_alpha_03"] < out.loc[big, "w_alpha_10"]
+    assert out.loc[small, "w_alpha_03"] > out.loc[small, "w_alpha_10"]
+    # epochs at the 10M budget
+    want_ep = 1e7 * out["w_alpha_03"] / out["n_tokens"]
+    assert np.allclose(out["epochs_alpha_03"], want_ep, atol=1e-3)
