@@ -252,3 +252,97 @@ def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("term_u").alias("kl_nano"),
         (F.sum("term_u").cast("double") / F.lit(1e9)).alias("kl_nats"),
     )
+
+
+# --- n-gram novelty / memorization risk --------------------------------------
+
+_NOVELTY_N = 5
+
+_NOVELTY_ORACLE = f"""
+WITH ds AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest({shingles_sql("text", _NOVELTY_N)}) AS shingle
+        FROM documents
+    )
+),
+freq AS (
+    SELECT shingle, count(*) AS nd FROM ds GROUP BY shingle
+),
+per_doc AS (
+    SELECT ds.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(CASE WHEN freq.nd > 1 THEN 1 END) AS BIGINT)
+               AS n_shared
+    FROM ds JOIN freq USING (shingle)
+    GROUP BY ds.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_shingles, 0) AS n_shingles,
+       coalesce(p.n_shared, 0) AS n_shared,
+       CASE WHEN p.n_shingles > 0
+            THEN round(1.0 - CAST(p.n_shared AS DOUBLE)
+                           / CAST(p.n_shingles AS DOUBLE), 6)
+       END AS novelty,
+       coalesce(p.n_shared, 0) >= 5 AS dup_risk
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+"""
+
+
+@query("ngram_novelty", _NOVELTY_ORACLE)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty (the memorization-risk screen from
+    the dedup literature — Lee et al.'s observation that repeated
+    50-grams drive verbatim memorization, here at n=5 for the
+    fixture's doc lengths): the fraction of a document's DISTINCT
+    5-gram shingles that appear in no other document. novelty → 0
+    flags heavily-duplicated boilerplate the exact/MinHash family
+    then removes; ``dup_risk`` is the ≥5-shared-shingles triage flag.
+
+    Dataflow: distinct (doc, shingle-of-doc) pairs, one shuffle on the
+    shingle to count document frequency, one shuffle back on doc_id —
+    the inverted-index shape shared with the BM25/winnowing family.
+    Documents too short to have a 5-gram stay in the output (LEFT join
+    from the corpus; novelty NULL, not silently dropped — the same
+    no-implicit-data-loss rule as normalize_text). At 100 TB the
+    shingle shuffle key would be h60(shingle) instead of the string
+    (identical dataflow; string kept here so the oracle reads
+    plainly), and the freq side is exactly the boilerplate_ngrams
+    relation — the two queries share one scan in a fused pipeline."""
+    from ..functions.hashing import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    ds = (
+        docs.select(
+            "doc_id",
+            F.explode(word_shingles("text", _NOVELTY_N)).alias("shingle"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    freq = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("nd"))
+    per_doc = (
+        ds.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.count(F.when(F.col("nd") > 1, 1)).cast("bigint")
+                .alias("n_shared"),
+        )
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+        F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+        F.when(
+            F.col("n_shingles") > 0,
+            F.round(
+                1.0
+                - F.col("n_shared").cast("double")
+                / F.col("n_shingles").cast("double"),
+                6,
+            ),
+        ).alias("novelty"),
+        (F.coalesce("n_shared", F.lit(0)) >= 5).alias("dup_risk"),
+    )

@@ -1050,3 +1050,39 @@ def test_mixture_sampling_weights_matches_numpy(spark, sf_smoke):
     # epochs at the 10M budget
     want_ep = 1e7 * out["w_alpha_03"] / out["n_tokens"]
     assert np.allclose(out["epochs_alpha_03"], want_ep, atol=1e-3)
+
+
+def test_ngram_novelty_matches_pure_python(spark, sf_smoke):
+    """ngram_novelty recomputed with plain Python set arithmetic."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    docs = pd.read_parquet(f"{sf_smoke}/documents.parquet")
+    sets = {}
+    for r in docs.itertuples():
+        toks = re.sub(
+            r"\s+", " ", (r.text or "").lower().strip()
+        ).split(" ")
+        sets[r.doc_id] = {
+            " ".join(toks[i : i + 5]) for i in range(len(toks) - 4)
+        }
+    df = Counter()
+    for s in sets.values():
+        df.update(s)
+    out = registry.QUERIES["ngram_novelty"](spark, sf_smoke).toPandas()
+    assert len(out) == len(docs)
+    for r in out.itertuples():
+        s = sets[r.doc_id]
+        shared = sum(1 for g in s if df[g] > 1)
+        assert r.n_shingles == len(s)
+        assert r.n_shared == shared
+        if len(s) > 0:
+            assert abs(r.novelty - (1.0 - shared / len(s))) < 1e-6
+        else:
+            assert r.novelty is None or pd.isna(r.novelty)
+        assert r.dup_risk == (shared >= 5)
