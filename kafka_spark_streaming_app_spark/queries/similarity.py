@@ -1293,3 +1293,130 @@ def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         rerank=_PQ_RERANK,
     )
+
+
+# --- ColBERT-style late-interaction (MaxSim) retrieval -----------------------
+
+_LI_CHUNKS = 8   # token vectors per doc
+_LI_SUBDIM = 8   # dims per token vector (8 × 8 = 64)
+
+_MAXSIM_ORACLE = f"""
+WITH n AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+tok AS (
+    SELECT vec_id, c AS tok_idx,
+           (v[c * {_LI_SUBDIM} + 1 : c * {_LI_SUBDIM} + {_LI_SUBDIM}]) AS sv
+    FROM n, LATERAL (SELECT unnest(range(0, {_LI_CHUNKS})) AS c) r
+),
+nt AS (
+    SELECT vec_id, tok_idx, sv,
+           sqrt(list_sum(list_transform(sv, x -> x * x))) AS nrm
+    FROM tok
+    WHERE list_sum(list_transform(sv, x -> x * x)) > 0
+),
+q AS (
+    SELECT vec_id AS query_id, tok_idx AS q_tok, sv AS qv, nrm AS qn
+    FROM nt WHERE vec_id < {_NUM_QUERIES}
+),
+cs AS (
+    SELECT q.query_id, c.vec_id AS corpus_id, q.q_tok,
+           max(round(list_inner_product(q.qv, c.sv) / (q.qn * c.nrm), 6))
+               AS mx
+    FROM q JOIN nt c ON c.vec_id <> q.query_id
+    GROUP BY 1, 2, 3
+),
+sc AS (
+    SELECT query_id, corpus_id,
+           CAST(sum(CAST(round(mx * 1000000, 0) AS BIGINT)) AS BIGINT)
+               AS ssum,
+           CAST(count(*) AS BIGINT) AS n_q_tokens
+    FROM cs GROUP BY 1, 2
+)
+SELECT query_id, corpus_id,
+       round(CAST(ssum AS DOUBLE) / 1000000.0, 6) AS maxsim,
+       n_q_tokens, rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY ssum DESC, corpus_id) AS rank
+    FROM sc
+) WHERE rank <= 10
+"""
+
+
+@query("colbert_maxsim_topk", _MAXSIM_ORACLE)
+def colbert_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval: each vector is treated
+    as 8 token-vectors of 8 dims (the multi-vector document
+    representation), and a document scores
+    MaxSim(q,d) = Σᵢ maxⱼ cos(qᵢ, dⱼ) — every query token finds its
+    best-matching document token, so partial/phrase matches score
+    where a single pooled cosine would wash out.
+
+    Dataflow: the corpus token table is an 8× explode of the scan (the
+    inherent ColBERT cost); the 40 query token-vectors broadcast onto
+    it, per-(query, doc, q_token) max then per-(query, doc) sum. Each
+    cosine is a fixed-order F.aggregate fold rounded at 6, and the
+    8-term MaxSim sum goes through 1e-6-quantized int64 so no
+    aggregation order can drift the hash. Zero-norm token vectors are
+    dropped up front on both engines (cosine undefined — the
+    brute-force discipline). Top-10 per query by (score, corpus_id)
+    window; at 100 TB swap the final window for per-partition top-k +
+    TakeOrderedAndProject exactly as brute_force_topk documents."""
+    from ..functions.vectors import as_double_array, dot, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tok = emb.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_LI_CHUNKS - 1))).alias(
+            "tok_idx"
+        ),
+        as_double_array("embedding").alias("v"),
+    ).select(
+        "vec_id",
+        "tok_idx",
+        F.slice(
+            "v", F.col("tok_idx") * _LI_SUBDIM + 1, _LI_SUBDIM
+        ).alias("sv"),
+    )
+    sq = F.aggregate(
+        F.col("sv"), F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    nt = tok.withColumn("sq", sq).filter(F.col("sq") > 0).select(
+        "vec_id", "tok_idx", "sv", F.sqrt("sq").alias("nrm")
+    )
+    q = nt.filter(F.col("vec_id") < _NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("tok_idx").alias("q_tok"),
+        F.col("sv").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cos = F.round(
+        dot(F.col("qv"), F.col("sv")) / (F.col("qn") * F.col("nrm")), 6
+    )
+    cs = (
+        nt.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("corpus_id"), "q_tok")
+        .agg(F.max(cos).alias("mx"))
+    )
+    sc = cs.groupBy("query_id", "corpus_id").agg(
+        F.sum(F.round(F.col("mx") * 1000000, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("ssum"),
+        F.count(F.lit(1)).cast("bigint").alias("n_q_tokens"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("ssum"), F.asc("corpus_id")
+    )
+    return (
+        sc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id", "corpus_id",
+            F.round(F.col("ssum").cast("double") / 1000000.0, 6)
+            .alias("maxsim"),
+            "n_q_tokens", "rank",
+        )
+    )

@@ -1086,3 +1086,45 @@ def test_ngram_novelty_matches_pure_python(spark, sf_smoke):
         else:
             assert r.novelty is None or pd.isna(r.novelty)
         assert r.dup_risk == (shared >= 5)
+
+
+def test_colbert_maxsim_matches_numpy(spark, sf_smoke):
+    """colbert_maxsim_topk recomputed with dense numpy matrices
+    (reshape to (8,8) token vectors, full cosine matrix, max-per-row
+    then sum) — no quantization, so agreement to ~1e-5 pins both the
+    chunking and the MaxSim algebra."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    emb = pd.read_parquet(f"{sf_smoke}/embeddings.parquet")
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64).reshape(8, 8)
+        for r in emb.itertuples()
+    }
+    out = registry.QUERIES["colbert_maxsim_topk"](
+        spark, sf_smoke
+    ).toPandas()
+    for qid in range(5):
+        qm = vecs[qid]
+        qn = np.linalg.norm(qm, axis=1)
+        qkeep = qn > 0
+        scores = {}
+        for cid, cm in vecs.items():
+            if cid == qid:
+                continue
+            cn = np.linalg.norm(cm, axis=1)
+            ckeep = cn > 0
+            if not qkeep.any() or not ckeep.any():
+                continue
+            cosm = (qm[qkeep] @ cm[ckeep].T) / np.outer(
+                qn[qkeep], cn[ckeep]
+            )
+            scores[cid] = cosm.max(axis=1).sum()
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        sub = out[out["query_id"] == qid].sort_values("rank")
+        assert list(sub["corpus_id"]) == [cid for cid, _ in top], qid
+        for (cid, s), got in zip(top, sub["maxsim"]):
+            assert abs(got - s) < 1e-4, (qid, cid, got, s)
