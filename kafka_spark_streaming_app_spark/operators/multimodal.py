@@ -1208,3 +1208,85 @@ def scene_cut_frames(media: DataFrame, mean_diff_x100: int = 2000) -> DataFrame:
             )
 
     return media.mapInPandas(cuts, schema=SCENE_CUT_SCHEMA)
+
+
+# Low-sequency Walsh-Hadamard coefficient set for the spectral hash:
+# the 20 (u, v) frequency pairs with 1 <= u+v <= 5, enumerated in
+# (u+v, u) order. Shared by the operator and the SQL oracle so both
+# engines walk the identical coefficient order (bit k of the hash is
+# coefficient WHT_COEFFS[k]).
+WHT_COEFFS: list[tuple[int, int]] = [
+    (u, s - u) for s in range(1, 6) for u in range(s + 1)
+]
+
+_WHT_SCALE = 1 << 20  # block-mean fixed point: m = (sum << 20) // count
+
+
+def wht_spectral_bands(media: DataFrame) -> DataFrame:
+    """20-bit spectral perceptual hash per image through the REAL PNG
+    decoder — the pHash construction with the DCT replaced by the
+    integer Walsh-Hadamard transform so the whole pipeline stays in
+    EXACT int64 arithmetic (pHash's float DCT cannot be bit-pinned
+    across engines; WHT signs can, and low-sequency WHT coefficients
+    capture the same coarse spatial structure the DCT's low
+    frequencies do).
+
+    Stages: decode -> 8x8 block grid (the aHash grid) -> fixed-point
+    block means m = (block_sum << 20) // count (exact integer floor) ->
+    c(u,v) = Σ_{i,j} m[i,j]·(−1)^{popcount(i&u)+popcount(j&v)} for the
+    20 low-sequency (u,v) in :data:`WHT_COEFFS` -> bit k = [c_k > 0].
+    Sign bits of AC coefficients are brightness-invariant (a constant
+    offset only moves the (0,0) DC term, which is excluded), the
+    invariance pHash is chosen for. Bits pack into four 5-bit bands
+    (b0..b3) for the same pigeonhole-complete radius-3
+    :func:`hamming_band_pairs` join as aHash — same cap note for
+    degenerate corpora."""
+    from .imagecodec import decode_png
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        sign_tables = []
+        for u, v in WHT_COEFFS:
+            si = np.array(
+                [(-1) ** bin(i & u).count("1") for i in range(8)],
+                dtype=np.int64,
+            )
+            sj = np.array(
+                [(-1) ** bin(j & v).count("1") for j in range(8)],
+                dtype=np.int64,
+            )
+            sign_tables.append(np.outer(si, sj))
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_png(bytes(payload)).astype(np.int64)
+                h, w = px.shape
+                by = (np.arange(h) * 8) // h
+                bx = (np.arange(w) * 8) // w
+                blk = by[:, None] * 8 + bx[None, :]
+                sums = np.zeros(64, dtype=np.int64)
+                np.add.at(sums, blk.ravel(), px.ravel())
+                cnts = np.bincount(blk.ravel(), minlength=64)
+                m = (sums * _WHT_SCALE) // cnts  # exact int64 floor
+                mm = m.reshape(8, 8)
+                bands = [0, 0, 0, 0]
+                for k, st in enumerate(sign_tables):
+                    if int((mm * st).sum()) > 0:
+                        bands[k // 5] |= 1 << (k % 5)
+                rows.append(
+                    {
+                        "media_id": int(media_id),
+                        "b0": bands[0],
+                        "b1": bands[1],
+                        "b2": bands[2],
+                        "b3": bands[3],
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "b0", "b1", "b2", "b3"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        fp, schema=AHASH_BANDS_SCHEMA
+    )

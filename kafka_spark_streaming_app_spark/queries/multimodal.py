@@ -684,3 +684,103 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
     )
     return scene_cut_frames(media, mean_diff_x100=2000)
+
+
+# Spectral (Walsh-Hadamard) perceptual hash: the oracle recomputes
+# every pixel from the fixture closed form, the fixed-point block
+# means, all 20 integer WHT coefficient signs, and the complete
+# Hamming<=3 pair set — a decoder bug, a sign-table slip, or a
+# band-packing error all break the hash.
+from ..operators.multimodal import WHT_COEFFS as _WHT_COEFFS
+
+_WHT_VALUES = ", ".join(
+    f"({k}, {u}, {v})" for k, (u, v) in enumerate(_WHT_COEFFS)
+)
+
+_WHT_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id,
+           doc_id // 2 AS pair,
+           (doc_id // 2) % 24 + 8 AS w,
+           (doc_id // 2) % 16 + 8 AS h
+    FROM documents
+),
+px AS (
+    SELECT doc_id, w, h, y.y AS y, x.x AS x,
+           LEAST((pair + 31 * y.y + x.x) % 256
+                 + CASE WHEN doc_id % 2 = 1 AND (y.y + x.x) % 17 = 0
+                        THEN 1 ELSE 0 END, 255) AS p
+    FROM d,
+         LATERAL (SELECT unnest(range(0, h)) AS y) y,
+         LATERAL (SELECT unnest(range(0, w)) AS x) x
+),
+blk AS (
+    SELECT doc_id, (y * 8) // h * 8 + (x * 8) // w AS idx, p FROM px
+),
+m AS (
+    SELECT doc_id, idx,
+           CAST((sum(p) * 1048576) // count(*) AS BIGINT) AS mv
+    FROM blk GROUP BY doc_id, idx
+),
+coeffs AS (SELECT * FROM (VALUES {_WHT_VALUES}) AS t(k, u, v)),
+co AS (
+    SELECT m.doc_id, c.k,
+           CAST(sum(m.mv * (CASE WHEN (bit_count((m.idx // 8) & c.u)
+                                       + bit_count((m.idx % 8) & c.v)) % 2 = 0
+                                 THEN 1 ELSE -1 END)) AS BIGINT) AS cv
+    FROM m, coeffs c
+    GROUP BY m.doc_id, c.k
+),
+bands AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN k // 5 = 0 AND cv > 0
+                         THEN 1 << (k % 5) ELSE 0 END) AS BIGINT) AS b0,
+           CAST(sum(CASE WHEN k // 5 = 1 AND cv > 0
+                         THEN 1 << (k % 5) ELSE 0 END) AS BIGINT) AS b1,
+           CAST(sum(CASE WHEN k // 5 = 2 AND cv > 0
+                         THEN 1 << (k % 5) ELSE 0 END) AS BIGINT) AS b2,
+           CAST(sum(CASE WHEN k // 5 = 3 AND cv > 0
+                         THEN 1 << (k % 5) ELSE 0 END) AS BIGINT) AS b3
+    FROM co GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+          + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+            AS INTEGER) AS hamming
+FROM bands a JOIN bands b
+  ON a.doc_id < b.doc_id
+ AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+"""
+
+
+@query("multimodal_spectral_hash_dedup", _WHT_ORACLE)
+def multimodal_spectral_hash_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Frequency-domain perceptual image dedup through the REAL PNG
+    codec: the pHash construction with the float DCT replaced by the
+    integer Walsh-Hadamard transform (operators/multimodal.py:
+    wht_spectral_bands), so every stage — decode, fixed-point block
+    means, 20 low-sequency coefficient signs, band packing, complete
+    radius-3 Hamming band join — is exact int64 and the oracle checks
+    it bit-for-bit. Complements multimodal_ahash_dedup: aHash
+    thresholds SPATIAL block means (robust to noise, fooled by
+    gradients), the spectral hash thresholds FREQUENCY components
+    (EXACTLY invariant to global brightness shifts — pinned in
+    tests/test_multimodal.py — but measurably weaker on sparse
+    additive retouches: 36/50 planted pairs at radius 3 vs aHash's
+    full recall), and production perceptual dedup runs both for that
+    reason. Same fixture (planted retouched pairs 2m/2m+1), same
+    pigeonhole-complete band-join contract, same hot-band cap note."""
+    from ..operators.multimodal import (
+        hamming_band_pairs,
+        synthesize_ahash_media,
+        wht_spectral_bands,
+    )
+
+    bands = wht_spectral_bands(
+        synthesize_ahash_media(load_table(spark, sf_dir, "documents"))
+    )
+    return hamming_band_pairs(bands, radius=3)
