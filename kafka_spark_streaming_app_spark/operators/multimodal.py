@@ -1290,3 +1290,98 @@ def wht_spectral_bands(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         fp, schema=AHASH_BANDS_SCHEMA
     )
+
+
+VAD_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("energy", T.LongType(), True),
+    ]
+)
+
+VAD_FRAME_SAMPLES = 32
+
+
+def synthesize_vad_media(documents: DataFrame) -> DataFrame:
+    """Speech/silence WAV fixture for voice-activity detection: each
+    clip alternates planted VOICED and quiet frames by the closed form
+
+        n = doc_id % 480 + 96 samples @ 16 kHz, frame = 32 samples,
+        frame f voiced iff (doc_id + f) % 3 == 0,
+        voiced sample:  v(i) = (doc_id*37 + i*7) % 2048 - 1024
+        quiet sample:   v(i) = (doc_id + i) % 8 - 4
+
+    (~1/3 of frames carry ~30 dB more energy than the noise floor).
+    Real encode_wav bytes, so the VAD stage exercises the real RIFF/
+    PCM decoder."""
+    from .avcodec import encode_wav
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = d % 480 + 96
+                i = np.arange(n, dtype=np.int64)
+                voiced = (d + i // VAD_FRAME_SAMPLES) % 3 == 0
+                loud = (d * 37 + i * 7) % 2048 - 1024
+                quiet = (d + i) % 8 - 4
+                v = np.where(voiced, loud, quiet)
+                rows.append(
+                    {
+                        "media_id": d,
+                        "payload": encode_wav(v.astype(np.int16), 16000),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return documents.select("doc_id").mapInPandas(
+        render, schema=AUDIO_MEDIA_SCHEMA
+    )
+
+
+def vad_frames(media: DataFrame) -> DataFrame:
+    """Fixed-size 32-sample frame energies per clip through the REAL
+    WAV decoder: frame f covers samples [32f, 32f+32) (the last frame
+    may be partial — kept, with its true n_samples, so the
+    cross-multiplied threshold downstream stays exact), energy is the
+    exact int64 Σv² accumulated via np.add.at (never float bincount
+    weights). This is the decode half of VAD; the voiced/segment logic
+    is a downstream DataFrame dataflow, keeping Python at the codec
+    boundary only."""
+    from .avcodec import decode_wav
+
+    def fr(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                v = decode_wav(bytes(payload))[0].astype(np.int64)
+                n = v.size
+                f = np.arange(n) // VAD_FRAME_SAMPLES
+                nf = int(f[-1]) + 1 if n else 0
+                e = np.zeros(nf, dtype=np.int64)
+                np.add.at(e, f, v * v)
+                cnt = np.bincount(f, minlength=nf)
+                for k in range(nf):
+                    rows.append(
+                        {
+                            "media_id": int(media_id),
+                            "frame_idx": k,
+                            "n_samples": int(cnt[k]),
+                            "energy": int(e[k]),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "n_samples", "energy"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        fr, schema=VAD_FRAME_SCHEMA
+    )

@@ -784,3 +784,152 @@ def multimodal_spectral_hash_dedup(
         synthesize_ahash_media(load_table(spark, sf_dir, "documents"))
     )
     return hamming_band_pairs(bands, radius=3)
+
+
+# VAD oracle: recompute every PCM sample from the fixture closed form,
+# the exact int64 frame energies, the cross-multiplied above-average
+# threshold, and the run-length segmentation — a decoder bug, a frame
+# off-by-one, or a wrong lag in the segment merge all break the hash.
+_VAD_ORACLE = """
+WITH d AS (
+    SELECT doc_id, doc_id % 480 + 96 AS n FROM documents
+),
+s AS (
+    SELECT doc_id, i.i AS i,
+           CASE WHEN (doc_id + i.i // 32) % 3 = 0
+                THEN (doc_id * 37 + i.i * 7) % 2048 - 1024
+                ELSE (doc_id + i.i) % 8 - 4 END AS v
+    FROM d, LATERAL (SELECT unnest(range(0, n)) AS i) i
+),
+fr AS (
+    SELECT doc_id, i // 32 AS f,
+           CAST(count(*) AS BIGINT) AS nf,
+           CAST(sum(v * v) AS BIGINT) AS e
+    FROM s GROUP BY 1, 2
+),
+tot AS (
+    SELECT doc_id, CAST(sum(e) AS BIGINT) AS te,
+           CAST(sum(nf) AS BIGINT) AS tn,
+           CAST(count(*) AS BIGINT) AS n_frames
+    FROM fr GROUP BY 1
+),
+vo AS (
+    SELECT fr.doc_id, f, nf, e, (e * tn > te * nf) AS voiced
+    FROM fr JOIN tot USING (doc_id)
+),
+seg AS (
+    SELECT doc_id, f, nf, voiced,
+           CASE WHEN voiced AND NOT coalesce(
+                    lag(voiced) OVER (PARTITION BY doc_id ORDER BY f),
+                    false)
+                THEN 1 ELSE 0 END AS seg_start
+    FROM vo
+),
+runid AS (
+    SELECT doc_id, f, nf, voiced, seg_start,
+           sum(seg_start) OVER (PARTITION BY doc_id ORDER BY f
+                                ROWS UNBOUNDED PRECEDING) AS rid
+    FROM seg
+),
+runs AS (
+    SELECT doc_id, rid, CAST(count(*) AS BIGINT) AS run_len
+    FROM runid WHERE voiced GROUP BY 1, 2
+),
+per_clip AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN voiced THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_voiced_frames,
+           CAST(sum(seg_start) AS BIGINT) AS n_segments,
+           CAST(sum(CASE WHEN voiced THEN nf ELSE 0 END) AS BIGINT)
+               AS voiced_samples
+    FROM runid GROUP BY doc_id
+)
+SELECT t.doc_id AS media_id,
+       t.n_frames,
+       p.n_voiced_frames,
+       p.n_segments,
+       coalesce((SELECT max(run_len) FROM runs r WHERE r.doc_id = t.doc_id),
+                0) AS longest_run_frames,
+       CAST(p.voiced_samples * 1000 // 16000 AS BIGINT) AS voiced_ms
+FROM tot t JOIN per_clip p USING (doc_id)
+"""
+
+
+@query("multimodal_audio_vad", _VAD_ORACLE)
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-threshold voice-activity detection through the REAL WAV
+    codec — the silence-trimming / speech-segmentation step an audio
+    training pipeline runs before transcription or chunking: decode →
+    exact int64 energies over fixed 32-sample frames
+    (operators/multimodal.py:vad_frames — Python stops at the codec
+    boundary) → a frame is VOICED iff its per-sample energy exceeds
+    the clip average by exact cross-multiplication e_f·N > E·n_f →
+    consecutive voiced frames merge into segments via the sessionize
+    lag/cumsum pattern (one media-keyed window, no self-join). Emits
+    per clip: frame/voiced counts, segment count, longest voiced run,
+    and voiced milliseconds. The planted fixture alternates ~30 dB
+    loud/quiet frames by a closed form, so the oracle recomputes every
+    sample, energy, threshold decision, and run boundary exactly. At
+    100 TB the frame table shards by media_id (windows stay per-key);
+    partial last frames keep true sample counts so thresholds never
+    assume equal frames."""
+    from pyspark.sql import Window
+
+    from ..operators.multimodal import synthesize_vad_media, vad_frames
+
+    frames = vad_frames(
+        synthesize_vad_media(load_table(spark, sf_dir, "documents"))
+    ).localCheckpoint(eager=False)
+    tot = frames.groupBy("media_id").agg(
+        F.sum("energy").cast("bigint").alias("te"),
+        F.sum("n_samples").cast("bigint").alias("tn"),
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+    )
+    vo = frames.join(tot, "media_id").withColumn(
+        "voiced",
+        F.col("energy") * F.col("tn") > F.col("te") * F.col("n_samples"),
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    seg = vo.withColumn(
+        "seg_start",
+        F.when(
+            F.col("voiced")
+            & ~F.coalesce(F.lag("voiced").over(w), F.lit(False)),
+            1,
+        ).otherwise(0),
+    )
+    cw = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    runid = seg.withColumn("rid", F.sum("seg_start").over(cw))
+    runs = (
+        runid.filter("voiced")
+        .groupBy("media_id", "rid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("run_len"))
+        .groupBy("media_id")
+        .agg(F.max("run_len").alias("longest_run_frames"))
+    )
+    per_clip = runid.groupBy("media_id").agg(
+        F.sum(F.when(F.col("voiced"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_voiced_frames"),
+        F.sum("seg_start").cast("bigint").alias("n_segments"),
+        F.sum(F.when(F.col("voiced"), F.col("n_samples")).otherwise(0))
+        .cast("bigint")
+        .alias("voiced_samples"),
+    )
+    return (
+        tot.select("media_id", "n_frames")
+        .join(per_clip, "media_id")
+        .join(runs, "media_id", "left")
+        .select(
+            "media_id",
+            "n_frames",
+            "n_voiced_frames",
+            "n_segments",
+            F.coalesce("longest_run_frames", F.lit(0))
+            .cast("bigint")
+            .alias("longest_run_frames"),
+            F.expr("CAST(voiced_samples * 1000 div 16000 AS BIGINT)").alias(
+                "voiced_ms"
+            ),
+        )
+    )

@@ -748,3 +748,58 @@ def test_wht_spectral_hash_matches_pure_python_and_finds_planted(
                 base = tuple(bands)
             else:
                 assert tuple(bands) == base, d
+
+
+def test_audio_vad_matches_pure_python(spark, sf_smoke):
+    """multimodal_audio_vad recomputed with a direct pure-Python pass
+    over the closed-form samples (no SQL, no numpy) — pins frame
+    energies, the cross-multiplied threshold, and the run-length
+    merge; also checks the planted structure is actually detected
+    (~1/3 of frames voiced, segments > 0 for every clip)."""
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    out = {
+        r.media_id: r
+        for r in registry.QUERIES["multimodal_audio_vad"](
+            spark, sf_smoke
+        ).collect()
+    }
+    assert len(out) == 500
+    for d in list(out)[:80]:
+        n = d % 480 + 96
+        frames = {}
+        for i in range(n):
+            f = i // 32
+            if (d + f) % 3 == 0:
+                v = (d * 37 + i * 7) % 2048 - 1024
+            else:
+                v = (d + i) % 8 - 4
+            e, c = frames.get(f, (0, 0))
+            frames[f] = (e + v * v, c + 1)
+        te = sum(e for e, _ in frames.values())
+        tn = sum(c for _, c in frames.values())
+        voiced = {
+            f: e * tn > te * c for f, (e, c) in sorted(frames.items())
+        }
+        runs, cur = [], 0
+        for f in sorted(voiced):
+            if voiced[f]:
+                cur += 1
+            elif cur:
+                runs.append(cur)
+                cur = 0
+        if cur:
+            runs.append(cur)
+        r = out[d]
+        assert r.n_frames == len(frames)
+        assert r.n_voiced_frames == sum(voiced.values())
+        assert r.n_segments == len(runs)
+        assert r.longest_run_frames == (max(runs) if runs else 0)
+        vs = sum(
+            c for f, (e, c) in frames.items() if voiced[f]
+        )
+        assert r.voiced_ms == vs * 1000 // 16000
+        assert r.n_segments > 0, d
+        frac = r.n_voiced_frames / r.n_frames
+        assert 0.15 < frac < 0.55, (d, frac)
