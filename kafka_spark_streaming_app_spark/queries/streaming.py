@@ -1193,3 +1193,142 @@ def streaming_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week_start", "event_type")
     )
+
+
+# --- streaming weighted reservoir (Efraimidis-Spirakis state) ---------------
+
+# SIXTH partitioned-state shape: per-day exactly-k weighted sample.
+# The ES key u^(1/w) (ranked by the monotone ln(u)/w, floor-quantized
+# to exact int64 — the weighted_sample_es discipline, distinct CW
+# multiplier) is computed PER EVENT from a deterministic counter hash,
+# so "merge two reservoirs" = "top-k of the union by key" — an
+# associative, commutative AND idempotent merge (re-merging the same
+# rows cannot change a max), the strongest merge class the state
+# framework carries: replays are harmless even before the
+# applied-batch marker fires.
+_SRES_K = 20
+_SRES_P = 2147483647
+_SRES_A = 9_436_571  # odd, ≤1.3e7: event_id * A stays in int64 at any sf
+_SRES_C = 1_987_654_321 % _SRES_P
+
+_SRES_KEY = f"((event_id * {_SRES_A} + {_SRES_C}) % {_SRES_P})"
+_SRES_RANK = (
+    f"CAST(floor(1e12 * (ln((CAST({_SRES_KEY} AS DOUBLE) + 1.0)"
+    f" / {_SRES_P}) / {{w}})) AS BIGINT)"
+)
+
+_STREAM_RESERVOIR_ORACLE = f"""
+WITH e AS (
+    SELECT CAST(ts AS DATE) AS day, event_id, event_type,
+           {_SRES_RANK.format(w="value")} AS es_key_q
+    FROM events WHERE value > 0
+)
+SELECT CAST(day AS TIMESTAMP) AS day,
+       CAST(sample_rank AS BIGINT) AS sample_rank,
+       event_id, event_type, es_key_q
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY day
+                                 ORDER BY es_key_q DESC, event_id)
+               AS sample_rank
+    FROM e
+) WHERE sample_rank <= {_SRES_K}
+ORDER BY day, sample_rank
+"""
+
+
+@query("streaming_reservoir_sample", _STREAM_RESERVOIR_ORACLE)
+def streaming_reservoir_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-day exactly-20 weighted event sample (probability ∝ amount)
+    maintained THROUGH the streaming engine — the always-fresh debug/
+    eval sample a pipeline keeps next to its aggregates: the events
+    wire replay runs in micro-batches (maxFilesPerTrigger=8), each
+    foreachBatch reduces the batch to its per-day top-20
+    Efraimidis-Spirakis keys (batch-local TakeOrdered — state
+    contribution is k-bounded BEFORE it touches storage) and merges
+    into day-partitioned persistent state by "top-k of the union".
+    Unlike the additive sketch state (`streaming_quantile_rollup`)
+    this merge is IDEMPOTENT, so at-least-once replays are safe by
+    algebra and the applied-batch marker is belt-and-braces. The
+    driver's hash gate proves the multi-batch maintained reservoir ==
+    the from-scratch batch window — Efraimidis-Spirakis's
+    batch-boundary independence, demonstrated through the real
+    engine."""
+    import atexit
+    import shutil
+
+    from pyspark.sql import Window
+
+    from ..streaming.state import (
+        merge_into_partitioned_state,
+        read_state,
+    )
+
+    stream = _events_as_wire_stream(spark, sf_dir, max_files_per_trigger=8)
+    keyed = stream.filter(F.col("amount") > 0).select(
+        F.to_date("event_timestamp").alias("day"),
+        "event_id",
+        "event_type",
+        F.expr(_SRES_RANK.format(w="amount")).alias("es_key_q"),
+    )
+    state_root = tempfile.mkdtemp(prefix="sres_state_")
+    ckpt = tempfile.mkdtemp(prefix="sres_ckpt_")
+    for d in (state_root, ckpt):
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    state_dir = os.path.join(state_root, "reservoir")
+    w_day = Window.partitionBy("day").orderBy(
+        F.desc("es_key_q"), F.asc("event_id")
+    )
+
+    def _topk(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w_day))
+            .filter(F.col("rn") <= _SRES_K)
+            .drop("rn")
+        )
+
+    def _merge_reservoir(
+        existing: DataFrame | None, part: DataFrame
+    ) -> DataFrame:
+        if existing is None:
+            return part
+        return _topk(
+            existing.withColumn("day", F.col("day").cast("date"))
+            .unionByName(part)
+        )
+
+    def merge_state(batch_df: DataFrame, batch_id: int) -> None:
+        merge_into_partitioned_state(
+            state_dir, batch_id, _topk(batch_df), _merge_reservoir, "day"
+        )
+
+    q = (
+        keyed.writeStream.foreachBatch(merge_state)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(300)
+        if not finished:
+            raise RuntimeError(
+                "streaming_reservoir_sample: availableNow run did not "
+                "finish within 300s; refusing to read partial state"
+            )
+    finally:
+        if q.isActive:
+            q.stop()
+
+    return (
+        read_state(spark, state_dir)
+        .withColumn("sample_rank", F.row_number().over(w_day).cast("bigint"))
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "sample_rank",
+            "event_id",
+            "event_type",
+            "es_key_q",
+        )
+        .orderBy("day", "sample_rank")
+    )

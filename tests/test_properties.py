@@ -1128,3 +1128,36 @@ def test_colbert_maxsim_matches_numpy(spark, sf_smoke):
         assert list(sub["corpus_id"]) == [cid for cid, _ in top], qid
         for (cid, s), got in zip(top, sub["maxsim"]):
             assert abs(got - s) < 1e-4, (qid, cid, got, s)
+
+
+def test_streaming_reservoir_matches_pure_python(spark, sf_smoke):
+    """streaming_reservoir_sample recomputed from the events parquet
+    with math.log (no Spark, no SQL): the per-day top-20 by the
+    quantized ES key must match what the multi-batch streaming
+    maintenance produced — batch-boundary independence pinned against
+    a from-first-principles implementation."""
+    import math
+
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet")
+    ev = ev[ev["value"] > 0]
+    P, A, C = 2147483647, 9_436_571, 1_987_654_321 % 2147483647
+    want = {}
+    for r in ev.itertuples():
+        u = ((r.event_id * A + C) % P + 1.0) / P
+        key = math.floor(1e12 * (math.log(u) / r.value))
+        day = pd.Timestamp(r.ts).date()
+        want.setdefault(day, []).append((-key, r.event_id, r.event_type))
+    out = registry.QUERIES["streaming_reservoir_sample"](
+        spark, sf_smoke
+    ).toPandas()
+    for day, rows in want.items():
+        top = sorted(rows)[:20]
+        sub = out[out["day"].dt.date == day].sort_values("sample_rank")
+        assert len(sub) == min(20, len(rows)), day
+        assert [eid for _, eid, _ in top] == list(sub["event_id"]), day
+        assert [(-k) for k, _, _ in top] == list(sub["es_key_q"]), day
