@@ -196,6 +196,15 @@ HEADLINE = [
     "anova_oneway",
     "jarque_bera_test",
     "gini_concentration",
+    # round-6 fourth wave: LLM-pipeline + multimodal + streaming state
+    "tokenizer_fertility",
+    "fim_transform",
+    "mixture_sampling_weights",
+    "ngram_novelty",
+    "colbert_maxsim_topk",
+    "multimodal_spectral_hash_dedup",
+    "multimodal_audio_vad",
+    "streaming_reservoir_sample",
 ]
 
 

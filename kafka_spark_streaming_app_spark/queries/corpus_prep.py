@@ -1139,3 +1139,68 @@ def mixture_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- Corpus datasheet (datasheet-for-datasets rollup) ------------------------
+
+# The aggregation half is ENGINE-PORTABLE SQL shared verbatim by both
+# sides (Spark runs it over a temp view of the DataFrame-computed
+# base; DuckDB over its own tokenizer CTE) — the grouping-set algebra
+# is literally the same text.
+_DATASHEET_AGG = """
+SELECT
+    coalesce(lang, 'ALL') AS lang,
+    coalesce(source, 'ALL') AS source,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+    CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+    CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+    round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 6) AS mean_tokens,
+    round(CAST(sum(n_chars) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE), 6)
+        AS chars_per_token,
+    round(CAST(sum(n_distinct) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE),
+          6) AS mean_ttr
+FROM {base}
+GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+"""
+
+_DATASHEET_ORACLE = f"""
+WITH base AS (
+    SELECT lang, source,
+           len({_WORDS}) AS n_tokens,
+           n_chars,
+           len(list_distinct({_WORDS})) AS n_distinct
+    FROM documents
+)
+{_DATASHEET_AGG.format(base="base")}
+"""
+
+
+@query("dataset_datasheet", _DATASHEET_ORACLE)
+def dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus datasheet (the 'datasheet for datasets' / dataset-card
+    summary a released training corpus ships with): doc counts, token
+    and char totals, token-length min/mean/max, chars-per-token, and
+    mean type-token ratio at EVERY reporting granularity — per
+    (lang × source), per lang, per source, and the corpus total — in
+    ONE scan via GROUPING SETS (four aggregation levels share the
+    partial aggregates; a naive version runs four scans). NULL
+    grouping keys render as 'ALL' so the sheet is directly
+    publishable. The datasheet is the artifact every mix decision in
+    mixture_sampling_weights / language_rebalance reads first.
+    The Spark base is DataFrame ops (tokens/array_distinct); the
+    grouping-set aggregation is the identical SQL text on both
+    engines, and a pandas pivot pin covers the algebra
+    (tests/test_properties.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        "source",
+        F.size(tokens("text")).alias("n_tokens"),
+        "n_chars",
+        F.size(F.array_distinct(tokens("text"))).alias("n_distinct"),
+    )
+    view = "datasheet_base_tmp"
+    base.createOrReplaceTempView(view)
+    return spark.sql(_DATASHEET_AGG.format(base=view))

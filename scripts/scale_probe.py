@@ -86,6 +86,19 @@ PROBES = (
     "trigram_perplexity",
     "similarity_ann_pq",
     "isotonic_calibration",
+    # round-6 fourth wave (duplication-linear: scan-project FIM, rank
+    # windows over collapsing keys, BPE's vocab-sized dataflow, the
+    # broadcast MaxSim fan-out, per-media frame windows, and the
+    # fixed-trigger reservoir replay; ngram_novelty and the spectral
+    # band join are EXCLUDED — duplicated doc_ids collapse their
+    # distinct() or blow up their band join N², both artifacts of the
+    # file-copy fixture, not the plan)
+    "fim_transform",
+    "gini_concentration",
+    "tokenizer_fertility",
+    "colbert_maxsim_topk",
+    "multimodal_audio_vad",
+    "streaming_reservoir_sample",
 )
 
 

@@ -1161,3 +1161,50 @@ def test_streaming_reservoir_matches_pure_python(spark, sf_smoke):
         assert len(sub) == min(20, len(rows)), day
         assert [eid for _, eid, _ in top] == list(sub["event_id"]), day
         assert [(-k) for k, _, _ in top] == list(sub["es_key_q"]), day
+
+
+def test_dataset_datasheet_matches_pandas_pivot(spark, sf_smoke):
+    """dataset_datasheet's grouping-set algebra recomputed with pandas
+    groupbys at each granularity; spot-checks totals consistency
+    (the () row equals the sum over (lang, source) cells)."""
+    import re
+
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    docs = pd.read_parquet(f"{sf_smoke}/documents.parquet")
+
+    def stats(t):
+        toks = re.sub(r"\s+", " ", (t or "").lower().strip()).split(" ")
+        return len(toks), len(set(toks))
+
+    docs[["n_tokens", "n_distinct"]] = [
+        stats(t) for t in docs["text"]
+    ]
+    out = registry.QUERIES["dataset_datasheet"](spark, sf_smoke).toPandas()
+    nl = docs["lang"].nunique()
+    ns = docs["source"].nunique()
+    ncell = docs.groupby(["lang", "source"]).ngroups
+    assert len(out) == ncell + nl + ns + 1
+    # per-lang rows
+    for lang, sub in docs.groupby("lang"):
+        r = out[(out["lang"] == lang) & (out["source"] == "ALL")]
+        assert len(r) == 1
+        r = r.iloc[0]
+        assert r["n_docs"] == len(sub)
+        assert r["total_tokens"] == sub["n_tokens"].sum()
+        assert abs(r["mean_ttr"]
+                   - sub["n_distinct"].sum() / sub["n_tokens"].sum()) < 1e-6
+    # grand total row
+    tot = out[(out["lang"] == "ALL") & (out["source"] == "ALL")].iloc[0]
+    assert tot["n_docs"] == len(docs)
+    assert tot["total_tokens"] == docs["n_tokens"].sum()
+    assert tot["total_chars"] == docs["n_chars"].sum()
+    assert tot["min_tokens"] == docs["n_tokens"].min()
+    assert tot["max_tokens"] == docs["n_tokens"].max()
+    # cell rows sum to the total
+    cells = out[(out["lang"] != "ALL") & (out["source"] != "ALL")]
+    assert cells["n_docs"].sum() == len(docs)
+    assert cells["total_tokens"].sum() == docs["n_tokens"].sum()
