@@ -16,7 +16,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import NORMALIZE_SQL, TOKENS_SQL, h60_sql, tokens
+from ..functions.hashing import (
+    NORMALIZE_SQL,
+    TOKENS_SQL,
+    h60_sql,
+    shingles_sql,
+    tokens,
+)
 from ..operators.corpus import line_dedup
 from ..operators.llmprep import global_shuffle, per_key_cap
 from ..operators.text import QUALITY_WEIGHTS, quality_score
@@ -1204,3 +1210,140 @@ def dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = "datasheet_base_tmp"
     base.createOrReplaceTempView(view)
     return spark.sql(_DATASHEET_AGG.format(base=view))
+
+
+# --- Contrastive training pairs (SimCSE-style views + hard negatives) --------
+
+_CONTRAST_SH_N = 3
+
+_CONTRAST_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id, {_WORDS} AS ws FROM documents
+),
+crops AS (
+    SELECT doc_id, len(ws) AS n,
+           coalesce(array_to_string(
+               ws[1:CAST(ceil(2.0 * len(ws) / 3.0) AS BIGINT)], ' '), '')
+               AS anchor_text,
+           coalesce(array_to_string(
+               ws[(len(ws) // 3) + 1:len(ws)], ' '), '') AS positive_text
+    FROM w
+),
+ds AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest({{shingles}}) AS shingle
+        FROM documents
+    )
+),
+shared AS (
+    SELECT a.doc_id AS doc_id, b.doc_id AS other_id,
+           CAST(count(*) AS BIGINT) AS shared_shingles
+    FROM ds a JOIN ds b
+      ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+    GROUP BY 1, 2
+),
+best AS (
+    SELECT doc_id, other_id AS hard_negative_id, shared_shingles
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY shared_shingles DESC, other_id) AS rn
+        FROM shared
+    ) WHERE rn = 1
+)
+SELECT c.doc_id,
+       CAST(c.n AS BIGINT) AS n_tokens,
+       c.anchor_text, c.positive_text,
+       b.hard_negative_id,
+       coalesce(b.shared_shingles, 0) AS shared_shingles
+FROM crops c LEFT JOIN best b USING (doc_id)
+""".format(shingles="{SHINGLES}")
+
+
+@query(
+    "contrastive_pairs",
+    _CONTRAST_ORACLE.replace(
+        "{SHINGLES}", shingles_sql("text", _CONTRAST_SH_N)
+    ),
+)
+def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-learning training pairs (the SimCSE / dense-
+    retriever data shape): each document yields two overlapping
+    deterministic crops — anchor = first ⌈2n/3⌉ tokens, positive =
+    last ⌈2n/3⌉ tokens (≥1/3 overlap keeps them semantically tied) —
+    plus a mined HARD NEGATIVE: the other document sharing the most
+    distinct 3-gram shingles (ties to the smallest id). Hard negatives
+    are what make contrastive embedding training work (random
+    negatives are too easy); lexical-overlap mining is the standard
+    BM25-negative recipe in its exactly-checkable form. Dataflow:
+    crops are scan-local slice arithmetic; mining reuses the inverted
+    -index shape (distinct (doc, shingle) → shingle-keyed pair counts
+    → per-doc rank-1 window). At 100 TB the pair space is restricted
+    by the MinHash-LSH candidate generator first (dedup_minhash_lsh)
+    and the argmax runs on candidates — identical downstream algebra.
+    Documents sharing no shingle keep NULL negatives (LEFT join — no
+    silent drops)."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    ws = tokens("text")
+    n = F.size(ws)
+    crops = docs.select(
+        "doc_id",
+        n.alias("n"),
+        F.concat_ws(
+            " ", F.slice(ws, 1, F.ceil(2.0 * n / 3.0).cast("int"))
+        ).alias("anchor_text"),
+        F.concat_ws(
+            " ",
+            F.slice(ws, (n / 3).cast("int") + 1, n - (n / 3).cast("int")),
+        ).alias("positive_text"),
+    )
+    ds = (
+        docs.select(
+            "doc_id",
+            F.explode(word_shingles("text", _CONTRAST_SH_N)).alias(
+                "shingle"
+            ),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a, b = ds.alias("a"), ds.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("other_id"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_shingles"))
+    )
+    w_best = Window.partitionBy("doc_id").orderBy(
+        F.desc("shared_shingles"), F.asc("other_id")
+    )
+    best = (
+        shared.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("other_id").alias("hard_negative_id"),
+            "shared_shingles",
+        )
+    )
+    return crops.join(best, "doc_id", "left").select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        "anchor_text",
+        "positive_text",
+        "hard_negative_id",
+        F.coalesce("shared_shingles", F.lit(0)).alias("shared_shingles"),
+    )

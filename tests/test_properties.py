@@ -1208,3 +1208,54 @@ def test_dataset_datasheet_matches_pandas_pivot(spark, sf_smoke):
     cells = out[(out["lang"] != "ALL") & (out["source"] != "ALL")]
     assert cells["n_docs"].sum() == len(docs)
     assert cells["total_tokens"].sum() == docs["n_tokens"].sum()
+
+
+def test_contrastive_pairs_matches_pure_python(spark, sf_smoke):
+    """contrastive_pairs pinned by plain-Python crop arithmetic and
+    set-based hard-negative mining; also checks the contrastive
+    contract (anchor/positive overlap is at least n/3 tokens, and the
+    hard negative genuinely maximizes shared shingles)."""
+    import math
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    docs = pd.read_parquet(f"{sf_smoke}/documents.parquet")
+    toks = {}
+    sets = {}
+    for r in docs.itertuples():
+        t = re.sub(r"\s+", " ", (r.text or "").lower().strip()).split(" ")
+        toks[r.doc_id] = t
+        sets[r.doc_id] = {
+            " ".join(t[i : i + 3]) for i in range(len(t) - 2)
+        }
+    out = registry.QUERIES["contrastive_pairs"](spark, sf_smoke).toPandas()
+    assert len(out) == len(docs)
+    # shingle -> docs inverted index for fast shared counts
+    inv = {}
+    for d, s in sets.items():
+        for g in s:
+            inv.setdefault(g, []).append(d)
+    for r in out.sample(n=60, random_state=7).itertuples():
+        t = toks[r.doc_id]
+        n = len(t)
+        assert r.n_tokens == n
+        assert r.anchor_text == " ".join(t[: math.ceil(2 * n / 3)])
+        assert r.positive_text == " ".join(t[n // 3 :])
+        shared = Counter()
+        for g in sets[r.doc_id]:
+            for d in inv[g]:
+                if d != r.doc_id:
+                    shared[d] += 1
+        if not shared:
+            assert pd.isna(r.hard_negative_id)
+            assert r.shared_shingles == 0
+            continue
+        best = min(
+            shared.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        assert (r.hard_negative_id, r.shared_shingles) == best, r.doc_id
