@@ -205,6 +205,8 @@ HEADLINE = [
     "multimodal_spectral_hash_dedup",
     "multimodal_audio_vad",
     "streaming_reservoir_sample",
+    "dataset_datasheet",
+    "contrastive_pairs",
 ]
 
 
