@@ -392,3 +392,230 @@ def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_cov"),
         )
     )
+
+
+# --- corpus BLEU + ROUGE-N (generation-eval metrics) -------------------------
+
+# Deterministic candidate: the reference with ~20% of token positions
+# deleted (h60('bleu|'doc'|'pos) % 5 == 0, 0-based pos) — a synthetic
+# "model output" both engines derive identically, short enough that
+# the brevity-penalty branch is genuinely exercised.
+from ..functions.hashing import TOKENS_SQL, h60_sql
+
+_BLEU_WORDS = TOKENS_SQL.format(x="text")
+_BLEU_DROP = h60_sql(
+    "('bleu|' || CAST(doc_id AS VARCHAR) || '|' || CAST(i - 1 AS VARCHAR))"
+)
+
+
+def _duck_grams(arr: str, n: int) -> str:
+    """DuckDB fragment: multiset of n-grams of a token list."""
+    return (
+        f"CASE WHEN len({arr}) >= {n} THEN "
+        f"list_transform(range(1, len({arr}) - {n} + 2), "
+        f"i -> array_to_string(({arr})[i:i + {n - 1}], ' ')) "
+        f"ELSE [] END"
+    )
+
+
+def _bleu_oracle() -> str:
+    parts = [
+        f"""w AS (
+    SELECT doc_id, source, {_BLEU_WORDS} AS ref FROM documents
+)""",
+        f"""c AS (
+    SELECT doc_id, source, ref,
+           list_filter(ref, (x, i) -> ({_BLEU_DROP} % 5) <> 0) AS cand
+    FROM w
+)""",
+        """lens AS (
+    SELECT source,
+           CAST(sum(len(ref)) AS BIGINT) AS r_tokens,
+           CAST(sum(len(cand)) AS BIGINT) AS c_tokens,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM c GROUP BY source
+)""",
+    ]
+    for n in range(1, 5):
+        parts.append(f"""cg{n} AS (
+    SELECT source, doc_id, g, count(*) AS cc FROM (
+        SELECT source, doc_id, unnest({_duck_grams("cand", n)}) AS g
+        FROM c
+    ) GROUP BY 1, 2, 3
+)""")
+        parts.append(f"""rg{n} AS (
+    SELECT source, doc_id, g, count(*) AS rc FROM (
+        SELECT source, doc_id, unnest({_duck_grams("ref", n)}) AS g
+        FROM c
+    ) GROUP BY 1, 2, 3
+)""")
+        parts.append(f"""m{n} AS (
+    SELECT source, CAST(sum(least(cc, rc)) AS BIGINT) AS matched
+    FROM cg{n} JOIN rg{n} USING (source, doc_id, g) GROUP BY source
+)""")
+        parts.append(f"""t{n} AS (
+    SELECT source,
+           CAST(sum(greatest(len(cand) - {n} + 1, 0)) AS BIGINT) AS total_c,
+           CAST(sum(greatest(len(ref) - {n} + 1, 0)) AS BIGINT) AS total_r
+    FROM c GROUP BY source
+)""")
+    sel_p = ",\n       ".join(
+        f"round(CAST(m{n}.matched AS DOUBLE) / t{n}.total_c, 6) AS p{n}"
+        for n in range(1, 5)
+    )
+    lnsum = " + ".join(
+        f"CAST(floor(1e9 * ln(CAST(m{n}.matched AS DOUBLE)"
+        f" / t{n}.total_c)) AS BIGINT)"
+        for n in range(1, 5)
+    )
+    joins = "\n".join(
+        f"JOIN m{n} USING (source) JOIN t{n} USING (source)"
+        for n in range(1, 5)
+    )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT source, n_docs, c_tokens, r_tokens,
+       {sel_p},
+       round(CAST(m1.matched AS DOUBLE) / t1.total_r, 6) AS rouge1_recall,
+       round(CAST(m2.matched AS DOUBLE) / t2.total_r, 6) AS rouge2_recall,
+       round(CASE WHEN c_tokens < r_tokens
+                  THEN exp(1.0 - CAST(r_tokens AS DOUBLE) / c_tokens)
+                  ELSE 1.0 END
+             * exp(CAST({lnsum} AS DOUBLE) / 4e9), 6) AS bleu
+FROM lens
+{joins}
+ORDER BY source
+"""
+    )
+
+
+_BLEU_ORACLE = _bleu_oracle()
+
+
+@query("bleu_rouge_eval", _BLEU_ORACLE)
+def bleu_rouge_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus BLEU-4 (clipped n-gram precisions + brevity penalty,
+    Papineni et al.) and ROUGE-1/2 recall per source — the
+    generation-eval metrics a data pipeline computes when scoring a
+    model's outputs against references at corpus scale. References
+    are the documents; candidates are a deterministic ~20%-deletion
+    corruption (so the brevity-penalty branch is real: c < r in every
+    source). All sufficient statistics are exact integers — clipped
+    matches Σ min(count_cand, count_ref) per (doc, n-gram) via an
+    inner join of the two multiset-count relations (min with an
+    absent side is 0, so no outer join), candidate/reference n-gram
+    totals from lengths — and BLEU's geometric mean goes through
+    1e-9 floor-quantized ln (the trigram_perplexity libm discipline)
+    so both engines combine identical integers. Dataflow: one scan
+    builds both token arrays row-locally; each n is a gram-keyed
+    count + join + per-source fold (map-side combined); nothing
+    quadratic. numpy-free pure-Python corpus-BLEU pin in
+    tests/test_properties.py."""
+    from ..functions.hashing import h60, tokens
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    ref = tokens("text")
+    drop = lambda x, i: (  # noqa: E731
+        h60(
+            F.concat(
+                F.lit("bleu|"),
+                F.col("doc_id").cast("string"),
+                F.lit("|"),
+                i.cast("string"),
+            )
+        )
+        % 5
+        != 0
+    )
+    c = docs.select(
+        "doc_id",
+        "source",
+        ref.alias("ref"),
+        F.filter(ref, drop).alias("cand"),
+    ).localCheckpoint(eager=False)
+
+    def grams(arr: str, n: int):
+        cnt = F.size(F.col(arr)) - F.lit(n - 1)
+        make = F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.concat_ws(" ", F.slice(F.col(arr), i, n)),
+        )
+        return F.when(cnt >= 1, make).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    lens = c.groupBy("source").agg(
+        F.sum(F.size("ref")).cast("bigint").alias("r_tokens"),
+        F.sum(F.size("cand")).cast("bigint").alias("c_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    out = lens
+    ln_terms = []
+    for n in range(1, 5):
+        cg = (
+            c.select(
+                "source", "doc_id", F.explode(grams("cand", n)).alias("g")
+            )
+            .groupBy("source", "doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("cc"))
+        )
+        rg = (
+            c.select(
+                "source", "doc_id", F.explode(grams("ref", n)).alias("g")
+            )
+            .groupBy("source", "doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("rc"))
+        )
+        m = (
+            cg.join(rg, ["source", "doc_id", "g"])
+            .groupBy("source")
+            .agg(
+                F.sum(F.least("cc", "rc")).cast("bigint").alias(f"matched{n}")
+            )
+        )
+        t = c.groupBy("source").agg(
+            F.sum(F.greatest(F.size("cand") - (n - 1), F.lit(0)))
+            .cast("bigint")
+            .alias(f"total_c{n}"),
+            F.sum(F.greatest(F.size("ref") - (n - 1), F.lit(0)))
+            .cast("bigint")
+            .alias(f"total_r{n}"),
+        )
+        out = out.join(m, "source").join(t, "source")
+        ln_terms.append(
+            F.floor(
+                F.lit(1e9)
+                * F.log(
+                    F.col(f"matched{n}").cast("double")
+                    / F.col(f"total_c{n}")
+                )
+            ).cast("bigint")
+        )
+    lnsum = ln_terms[0] + ln_terms[1] + ln_terms[2] + ln_terms[3]
+    bp = F.when(
+        F.col("c_tokens") < F.col("r_tokens"),
+        F.exp(
+            1.0 - F.col("r_tokens").cast("double") / F.col("c_tokens")
+        ),
+    ).otherwise(F.lit(1.0))
+    sel = ["source", "n_docs", "c_tokens", "r_tokens"]
+    sel += [
+        F.round(
+            F.col(f"matched{n}").cast("double") / F.col(f"total_c{n}"), 6
+        ).alias(f"p{n}")
+        for n in range(1, 5)
+    ]
+    sel += [
+        F.round(
+            F.col("matched1").cast("double") / F.col("total_r1"), 6
+        ).alias("rouge1_recall"),
+        F.round(
+            F.col("matched2").cast("double") / F.col("total_r2"), 6
+        ).alias("rouge2_recall"),
+        F.round(
+            bp * F.exp(lnsum.cast("double") / F.lit(4e9)), 6
+        ).alias("bleu"),
+    ]
+    return out.select(*sel).orderBy("source")

@@ -1259,3 +1259,69 @@ def test_contrastive_pairs_matches_pure_python(spark, sf_smoke):
             shared.items(), key=lambda kv: (-kv[1], kv[0])
         )
         assert (r.hard_negative_id, r.shared_shingles) == best, r.doc_id
+
+
+def test_bleu_rouge_matches_pure_python(spark, sf_smoke):
+    """bleu_rouge_eval recomputed with a from-scratch pure-Python
+    corpus BLEU (Counter-clipped matches, unquantized math.log/exp)
+    and ROUGE-N recall — independent of both engines' SQL."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    docs = pd.read_parquet(f"{sf_smoke}/documents.parquet")
+
+    def h60py(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    per_source = {}
+    for r in docs.itertuples():
+        ref = re.sub(
+            r"\s+", " ", (r.text or "").lower().strip()
+        ).split(" ")
+        cand = [
+            t
+            for p, t in enumerate(ref)
+            if h60py(f"bleu|{r.doc_id}|{p}") % 5 != 0
+        ]
+        per_source.setdefault(r.source, []).append((cand, ref))
+    out = registry.QUERIES["bleu_rouge_eval"](spark, sf_smoke).toPandas()
+    assert len(out) == len(per_source)
+    for row in out.itertuples():
+        pairs = per_source[row.source]
+        c_tok = sum(len(c) for c, _ in pairs)
+        r_tok = sum(len(r_) for _, r_ in pairs)
+        assert (row.c_tokens, row.r_tokens) == (c_tok, r_tok)
+        assert row.n_docs == len(pairs)
+        logs = 0.0
+        for n in range(1, 5):
+            matched = total_c = total_r = 0
+            for cand, ref in pairs:
+                cg = Counter(
+                    tuple(cand[i : i + n])
+                    for i in range(len(cand) - n + 1)
+                )
+                rg = Counter(
+                    tuple(ref[i : i + n]) for i in range(len(ref) - n + 1)
+                )
+                matched += sum(
+                    min(cnt, rg[g]) for g, cnt in cg.items()
+                )
+                total_c += max(len(cand) - n + 1, 0)
+                total_r += max(len(ref) - n + 1, 0)
+            p = matched / total_c
+            assert abs(getattr(row, f"p{n}") - p) < 1e-6, (row.source, n)
+            if n == 1:
+                assert abs(row.rouge1_recall - matched / total_r) < 1e-6
+            if n == 2:
+                assert abs(row.rouge2_recall - matched / total_r) < 1e-6
+            logs += math.log(p) / 4.0
+        bp = math.exp(1.0 - r_tok / c_tok) if c_tok < r_tok else 1.0
+        assert abs(row.bleu - bp * math.exp(logs)) < 1e-5, row.source
+        assert 0.0 < row.bleu < 1.0  # deletion corruption: nontrivial
