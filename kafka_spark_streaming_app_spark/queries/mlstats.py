@@ -4014,3 +4014,88 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("customer", "orders", "nation"))
     return spark.sql(_GINI_ORACLE)
+
+
+# --- 1-D Wasserstein (earth-mover) drift per source -------------------------
+
+# W1(F,G) = ∫|F−G|dx over the merged support grid. Everything stays
+# integer until ONE final division: at grid value v with gap to the
+# next value, the term is |cum_s·(N−n_s) − (cumAll−cum_s)·n_s| · gap,
+# summed in DECIMAL(38,0) (cum·N products reach ~1e18 at 1e9 docs —
+# the int64 edge the Gini lesson taught), then divided by n_s(N−n_s).
+_W1_ORACLE = """
+WITH v AS (
+    SELECT DISTINCT n_chars AS val FROM documents
+),
+s AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS ns
+    FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+cnt AS (
+    SELECT source, n_chars AS val, CAST(count(*) AS BIGINT) AS c
+    FROM documents GROUP BY 1, 2
+),
+gtot AS (
+    SELECT val,
+           CAST(sum(c) AS BIGINT) AS cv
+    FROM cnt GROUP BY val
+),
+gcum AS (
+    SELECT val,
+           CAST(sum(cv) OVER (ORDER BY val
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ct
+    FROM gtot
+),
+grid AS (SELECT s.source, s.ns, v.val FROM s CROSS JOIN v),
+cum AS (
+    SELECT g.source, g.ns, g.val,
+           CAST(sum(coalesce(c.c, 0))
+                OVER (PARTITION BY g.source ORDER BY g.val
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs
+    FROM grid g
+    LEFT JOIN cnt c ON c.source = g.source AND c.val = g.val
+),
+gaps AS (
+    SELECT val,
+           lead(val) OVER (ORDER BY val) - val AS gap
+    FROM v
+)
+SELECT cum.source,
+       max(cum.ns) AS n_docs,
+       round(CAST(sum(CAST(abs(cs * (tot.n - cum.ns)
+                               - (gcum.ct - cs) * cum.ns)
+                           AS DECIMAL(38,0)) * gaps.gap) AS DOUBLE)
+             / (CAST(max(cum.ns) AS DOUBLE) * (max(tot.n) - max(cum.ns))),
+             6) AS w1_vs_rest
+FROM cum
+JOIN gcum ON gcum.val = cum.val
+JOIN gaps ON gaps.val = cum.val
+CROSS JOIN tot
+WHERE gaps.gap IS NOT NULL
+GROUP BY cum.source
+ORDER BY cum.source
+"""
+
+
+@query("wasserstein_length_drift", _W1_ORACLE)
+def wasserstein_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source 1-D Wasserstein-1 (earth-mover) distance between the
+    source's document-length distribution and the REST of the corpus —
+    the drift metric that, unlike KS (max deviation) or PSI (binned),
+    weights BOTH how far and how much probability mass moved, in the
+    data's own units (characters here). A source whose W1 explodes
+    between crawls changed its length profile materially even if no
+    single CDF point crossed KS's radar. Exact CDF-area form: one
+    merged support grid (distinct lengths — histogram-bounded, never
+    row-bounded), per-source cumulative counts vs the pooled
+    cumulative via cross-multiplication, |·|·gap summed in
+    DECIMAL(38,0), ONE final division. Completes the drift family:
+    psi_value_drift (binned), ks_test_two_sample (sup-norm),
+    embedding_centroid_drift (mean shift), W1 (transport cost).
+    Identical SQL text on both engines; scipy-reference numpy pin in
+    tests/test_properties.py."""
+    from ..sources.batch import register_views
+
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_W1_ORACLE)

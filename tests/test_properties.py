@@ -1325,3 +1325,31 @@ def test_bleu_rouge_matches_pure_python(spark, sf_smoke):
         bp = math.exp(1.0 - r_tok / c_tok) if c_tok < r_tok else 1.0
         assert abs(row.bleu - bp * math.exp(logs)) < 1e-5, row.source
         assert 0.0 < row.bleu < 1.0  # deletion corruption: nontrivial
+
+
+def test_wasserstein_drift_matches_numpy(spark, sf_smoke):
+    """wasserstein_length_drift recomputed with the QUANTILE-function
+    definition of W1 (mean |sorted-sample interpolation| via the
+    pooled-grid CDF integral in numpy) — a different formulation of
+    the same quantity than the engine's cross-multiplied CDF area."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    docs = pd.read_parquet(f"{sf_smoke}/documents.parquet")
+    out = registry.QUERIES["wasserstein_length_drift"](
+        spark, sf_smoke
+    ).toPandas().set_index("source")
+    all_vals = np.sort(docs["n_chars"].unique())
+    for source, sub in docs.groupby("source"):
+        a = np.sort(sub["n_chars"].to_numpy())
+        b = np.sort(docs.loc[docs["source"] != source, "n_chars"].to_numpy())
+        # CDF-integral W1 on the merged grid
+        fa = np.searchsorted(a, all_vals, side="right") / len(a)
+        fb = np.searchsorted(b, all_vals, side="right") / len(b)
+        w1 = float(np.sum(np.abs(fa - fb)[:-1] * np.diff(all_vals)))
+        r = out.loc[source]
+        assert r["n_docs"] == len(a)
+        assert abs(r["w1_vs_rest"] - w1) < 1e-6, (source, r["w1_vs_rest"], w1)
