@@ -4099,3 +4099,107 @@ def wasserstein_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("documents",))
     return spark.sql(_W1_ORACLE)
+
+
+# --- CUPED variance reduction (pre-period covariate adjustment) -------------
+
+# One scan -> per-user pre/post sums (exact cents) -> one pivoted row
+# of per-arm sufficient statistics -> every derived double is a fixed
+# expression. Arm assignment user_id % 2 is the deterministic
+# synthetic experiment (the kappa/gold-label convention).
+_CUPED_STATS = ",\n           ".join(
+    f"CAST(sum(CASE WHEN arm = {a} THEN 1 ELSE 0 END) AS BIGINT) AS n{a},\n"
+    f"           CAST(sum(CASE WHEN arm = {a} THEN x ELSE 0 END)"
+    f" AS DECIMAL(38,0)) AS sx{a},\n"
+    f"           CAST(sum(CASE WHEN arm = {a} THEN y ELSE 0 END)"
+    f" AS DECIMAL(38,0)) AS sy{a},\n"
+    f"           CAST(sum(CASE WHEN arm = {a} THEN x * x ELSE 0 END)"
+    f" AS DECIMAL(38,0)) AS sxx{a},\n"
+    f"           CAST(sum(CASE WHEN arm = {a} THEN y * y ELSE 0 END)"
+    f" AS DECIMAL(38,0)) AS syy{a},\n"
+    f"           CAST(sum(CASE WHEN arm = {a} THEN x * y ELSE 0 END)"
+    f" AS DECIMAL(38,0)) AS sxy{a}"
+    for a in (0, 1)
+)
+
+_CUPED_ORACLE = f"""
+WITH u AS (
+    SELECT user_id, CAST(user_id % 2 AS INTEGER) AS arm,
+           CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                         THEN CAST(round(value * 100, 0) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS x,
+           CAST(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                         THEN CAST(round(value * 100, 0) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS y
+    FROM events WHERE value IS NOT NULL
+    GROUP BY user_id
+),
+p AS (
+    SELECT
+           {_CUPED_STATS}
+    FROM u
+),
+d AS (
+    SELECT n0, n1,
+           CAST(n0 + n1 AS BIGINT) AS n,
+           CAST(sx0 AS DOUBLE) AS sx0d, CAST(sy0 AS DOUBLE) AS sy0d,
+           CAST(sxx0 AS DOUBLE) AS sxx0d, CAST(syy0 AS DOUBLE) AS syy0d,
+           CAST(sxy0 AS DOUBLE) AS sxy0d,
+           CAST(sx1 AS DOUBLE) AS sx1d, CAST(sy1 AS DOUBLE) AS sy1d,
+           CAST(sxx1 AS DOUBLE) AS sxx1d, CAST(syy1 AS DOUBLE) AS syy1d,
+           CAST(sxy1 AS DOUBLE) AS sxy1d
+    FROM p
+),
+t AS (
+    SELECT *,
+           (sx0d + sx1d) / n AS mx,
+           ((sxy0d + sxy1d) / n
+            - ((sx0d + sx1d) / n) * ((sy0d + sy1d) / n))
+           / ((sxx0d + sxx1d) / n
+              - ((sx0d + sx1d) / n) * ((sx0d + sx1d) / n)) AS theta
+    FROM d
+)
+SELECT n0, n1,
+       round(theta / 1.0, 6) AS theta,
+       round((sy1d / n1 - sy0d / n0) / 100.0, 6) AS mean_diff_raw,
+       round(((sy1d / n1 - theta * (sx1d / n1 - mx))
+              - (sy0d / n0 - theta * (sx0d / n0 - mx))) / 100.0, 6)
+           AS mean_diff_cuped,
+       round(((syy0d + syy1d) / n
+              - ((sy0d + sy1d) / n) * ((sy0d + sy1d) / n)) / 10000.0, 6)
+           AS var_y_pooled,
+       round((((syy0d + syy1d) / n
+               - ((sy0d + sy1d) / n) * ((sy0d + sy1d) / n))
+              - theta * theta
+                * ((sxx0d + sxx1d) / n - mx * mx)) / 10000.0, 6)
+           AS var_y_cuped,
+       round(theta * theta
+             * ((sxx0d + sxx1d) / n - mx * mx)
+             / ((syy0d + syy1d) / n
+                - ((sy0d + sy1d) / n) * ((sy0d + sy1d) / n)), 6)
+           AS variance_reduction
+FROM t
+"""
+
+
+@query("cuped_variance_reduction", _CUPED_ORACLE)
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data, Deng et
+    al.): adjust each user's experiment-period metric Y by their
+    pre-period covariate X — Y_adj = Y − θ(X − X̄), θ = cov(X,Y)/var(X)
+    — shrinking metric variance by exactly ρ²·var(Y) and making A/B
+    tests correspondingly more sensitive at the same sample size; the
+    single highest-leverage trick in industrial experimentation.
+    Pre/post split at Jan 16 over the 30-day fixture, arms by
+    user_id % 2. One scan builds per-user exact-cents (X, Y); a
+    second aggregation pivots per-arm sufficient statistics into ONE
+    row (fixed-order expressions — the anova_oneway discipline);
+    θ, adjusted means, pooled variances, and the variance-reduction
+    ratio all derive from those exact sums. At 100 TB: two shuffles
+    (user key, then 1 row), map-side combined. Identical SQL text on
+    both engines; numpy pin verifies var(Y_adj) = var(Y)(1−ρ²) to
+    first order in tests/test_properties.py."""
+    from ..sources.batch import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_CUPED_ORACLE)

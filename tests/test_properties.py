@@ -1353,3 +1353,54 @@ def test_wasserstein_drift_matches_numpy(spark, sf_smoke):
         r = out.loc[source]
         assert r["n_docs"] == len(a)
         assert abs(r["w1_vs_rest"] - w1) < 1e-6, (source, r["w1_vs_rest"], w1)
+
+
+def test_cuped_matches_numpy(spark, sf_smoke):
+    """cuped_variance_reduction recomputed with numpy per-user arrays
+    (population-moment θ, direct variance of the adjusted metric) —
+    pins θ, both mean differences, and that the variance-reduction
+    ratio equals ρ²(X,Y)."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet")
+    ev = ev[ev["value"].notna()].copy()
+    ev["cents"] = np.round(ev["value"] * 100).astype("int64")
+    ev["pre"] = ev["ts"].dt.date < pd.Timestamp("2024-01-16").date()
+    per_user = ev.groupby("user_id").apply(
+        lambda g: pd.Series(
+            {
+                "x": g.loc[g["pre"], "cents"].sum(),
+                "y": g.loc[~g["pre"], "cents"].sum(),
+            }
+        ),
+        include_groups=False,
+    )
+    x = per_user["x"].to_numpy(dtype=np.float64)
+    y = per_user["y"].to_numpy(dtype=np.float64)
+    arm = (per_user.index.to_numpy() % 2).astype(int)
+    theta = np.cov(x, y, bias=True)[0, 1] / x.var()
+    y_adj = y - theta * (x - x.mean())
+    [r] = registry.QUERIES["cuped_variance_reduction"](
+        spark, sf_smoke
+    ).collect()
+    assert (r.n0, r.n1) == (int((arm == 0).sum()), int((arm == 1).sum()))
+    assert abs(r.theta - theta) < 1e-5
+    assert abs(
+        r.mean_diff_raw - (y[arm == 1].mean() - y[arm == 0].mean()) / 100
+    ) < 1e-4
+    assert abs(
+        r.mean_diff_cuped
+        - (y_adj[arm == 1].mean() - y_adj[arm == 0].mean()) / 100
+    ) < 1e-4
+    assert abs(r.var_y_pooled - y.var() / 1e4) < 1e-2 * max(1, y.var() / 1e4)
+    assert abs(r.var_y_cuped - y_adj.var() / 1e4) < 1e-2 * max(
+        1, y_adj.var() / 1e4
+    )
+    rho2 = np.corrcoef(x, y)[0, 1] ** 2
+    assert abs(r.variance_reduction - rho2) < 1e-5
+    # CUPED must actually help on this fixture
+    assert r.var_y_cuped < r.var_y_pooled
