@@ -4203,3 +4203,102 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_CUPED_ORACLE)
+
+
+# --- mSPRT always-valid sequential A/B test ---------------------------------
+
+# Mixture-SPRT with a normal mixture prior (Johari et al., the
+# always-valid p-value behind modern experimentation platforms).
+# Day-cumulative sufficient statistics are exact integers; every
+# per-day double (delta, se², Λ, p) is a fixed expression over them.
+_MSPRT_TAU2 = 25.0  # mixture prior variance, dollars²
+
+_MSPRT_ARM = ",\n           ".join(
+    f"CAST(sum(CASE WHEN user_id % 2 = {a} THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS n{a},\n"
+    f"           CAST(sum(CASE WHEN user_id % 2 = {a}"
+    f" THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)"
+    f" AS DECIMAL(38,0)) AS s{a},\n"
+    f"           CAST(sum(CASE WHEN user_id % 2 = {a}"
+    f" THEN CAST(round(value * 100, 0) AS BIGINT)"
+    f" * CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)"
+    f" AS DECIMAL(38,0)) AS ss{a}"
+    for a in (0, 1)
+)
+
+_MSPRT_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           {_MSPRT_ARM}
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1
+),
+cum AS (
+    SELECT day,
+           CAST(sum(n0) OVER w AS BIGINT) AS n0,
+           CAST(sum(n1) OVER w AS BIGINT) AS n1,
+           CAST(sum(s0) OVER w AS DECIMAL(38,0)) AS s0,
+           CAST(sum(s1) OVER w AS DECIMAL(38,0)) AS s1,
+           CAST(sum(ss0) OVER w AS DECIMAL(38,0)) AS ss0,
+           CAST(sum(ss1) OVER w AS DECIMAL(38,0)) AS ss1
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+),
+z AS (
+    SELECT day, n0, n1,
+           (CAST(s1 AS DOUBLE) / 100.0 / n1
+            - CAST(s0 AS DOUBLE) / 100.0 / n0) AS delta,
+           ((CAST(ss0 AS DOUBLE) / 10000.0
+             - (CAST(s0 AS DOUBLE) / 100.0) * (CAST(s0 AS DOUBLE) / 100.0)
+               / n0) / (n0 - 1)) / n0
+           + ((CAST(ss1 AS DOUBLE) / 10000.0
+               - (CAST(s1 AS DOUBLE) / 100.0) * (CAST(s1 AS DOUBLE) / 100.0)
+                 / n1) / (n1 - 1)) / n1 AS se2
+    FROM cum WHERE n0 > 1 AND n1 > 1
+),
+lam AS (
+    SELECT day, n0, n1, delta, se2,
+           sqrt(se2 / (se2 + {_MSPRT_TAU2}))
+           * exp(delta * delta * {_MSPRT_TAU2}
+                 / (2.0 * se2 * (se2 + {_MSPRT_TAU2}))) AS lambda_t
+    FROM z
+),
+avp AS (
+    SELECT day, n0, n1, delta, se2, lambda_t,
+           least(1.0, 1.0 / max(lambda_t)
+                          OVER (ORDER BY day ROWS UNBOUNDED PRECEDING))
+               AS p_always_valid
+    FROM lam
+)
+SELECT CAST(day AS TIMESTAMP) AS day, n0, n1,
+       round(delta, 6) AS delta,
+       round(sqrt(se2), 6) AS se,
+       round(lambda_t, 6) AS lambda_t,
+       round(p_always_valid, 6) AS p_always_valid,
+       p_always_valid < 0.05 AS significant_5pct
+FROM avp
+ORDER BY day
+"""
+
+
+@query("msprt_always_valid", _MSPRT_ORACLE)
+def msprt_always_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-SPRT always-valid p-value sequence (Johari/Pekelis/
+    Walsh — the 'peeking-safe' sequential test modern A/B platforms
+    run): for the user_id%2 synthetic experiment on event value, each
+    day d emits the cumulative treatment-effect estimate δ_d, its
+    Welch-style standard error, the normal-mixture likelihood ratio
+    Λ_d = √(se²/(se²+τ²))·exp(δ²τ²/(2se²(se²+τ²))) at τ²=25, and
+    p_d = min(1, 1/max_{d'≤d} Λ_{d'}) — monotone by construction, so
+    an experimenter may stop ANY day the flag fires without inflating
+    false positives (the fixed-n welch_ttest cannot be peeked at).
+    Day-cumulative sufficient statistics are exact integer window
+    sums; each day's doubles are fixed expressions (libm discipline);
+    the running max runs over Λ doubles both engines compute
+    identically. One scan + one day-keyed window — at 100 TB days are
+    the only window rows. numpy pin incl. the monotonicity contract
+    in tests/test_properties.py."""
+    from ..sources.batch import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_MSPRT_ORACLE)

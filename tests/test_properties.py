@@ -1404,3 +1404,48 @@ def test_cuped_matches_numpy(spark, sf_smoke):
     assert abs(r.variance_reduction - rho2) < 1e-5
     # CUPED must actually help on this fixture
     assert r.var_y_cuped < r.var_y_pooled
+
+
+def test_msprt_matches_numpy_and_is_monotone(spark, sf_smoke):
+    """msprt_always_valid recomputed day-by-day in numpy (unquantized
+    Λ path); pins the likelihood-ratio formula, the running-max
+    inversion, and the always-valid contract (p non-increasing)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet")
+    ev = ev[ev["value"].notna()].copy()
+    ev["cents"] = np.round(ev["value"] * 100).astype("int64")
+    ev["day"] = ev["ts"].dt.normalize()
+    ev["arm"] = (ev["user_id"] % 2).astype(int)
+    out = registry.QUERIES["msprt_always_valid"](
+        spark, sf_smoke
+    ).toPandas().sort_values("day").reset_index(drop=True)
+    tau2 = 25.0
+    best_lam = 0.0
+    prev_p = 1.0
+    for i, day in enumerate(sorted(ev["day"].unique())):
+        sub = ev[ev["day"] <= day]
+        a = sub.loc[sub["arm"] == 0, "cents"].to_numpy() / 100.0
+        b = sub.loc[sub["arm"] == 1, "cents"].to_numpy() / 100.0
+        delta = b.mean() - a.mean()
+        se2 = a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+        lam = math.sqrt(se2 / (se2 + tau2)) * math.exp(
+            delta * delta * tau2 / (2 * se2 * (se2 + tau2))
+        )
+        best_lam = max(best_lam, lam)
+        p = min(1.0, 1.0 / best_lam)
+        r = out.iloc[i]
+        assert (r["n0"], r["n1"]) == (len(a), len(b))
+        assert abs(r["delta"] - delta) < 1e-5
+        assert abs(r["se"] - math.sqrt(se2)) < 1e-5
+        assert abs(r["lambda_t"] - lam) < 1e-4 * max(1, lam)
+        assert abs(r["p_always_valid"] - p) < 1e-4
+        assert r["p_always_valid"] <= prev_p + 1e-9  # monotone
+        prev_p = r["p_always_valid"]
+        assert r["significant_5pct"] == (r["p_always_valid"] < 0.05)
