@@ -207,6 +207,12 @@ HEADLINE = [
     "streaming_reservoir_sample",
     "dataset_datasheet",
     "contrastive_pairs",
+    "bleu_rouge_eval",
+    "wasserstein_length_drift",
+    "cuped_variance_reduction",
+    "msprt_always_valid",
+    "srm_check",
+    "quantile_treatment_effect",
 ]
 
 

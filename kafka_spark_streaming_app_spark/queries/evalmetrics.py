@@ -550,49 +550,84 @@ def bleu_rouge_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size("ref")).cast("bigint").alias("r_tokens"),
         F.sum(F.size("cand")).cast("bigint").alias("c_tokens"),
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        # n-gram denominators are pure length arithmetic — fold them
+        # into the same pass instead of four extra aggregations
+        *[
+            F.sum(F.greatest(F.size(side) - (n - 1), F.lit(0)))
+            .cast("bigint")
+            .alias(f"total_{tag}{n}")
+            for n in range(1, 5)
+            for side, tag in (("cand", "c"), ("ref", "r"))
+        ],
     )
-    out = lens
-    ln_terms = []
+
+    # ONE explode + ONE (source, doc, gram) shuffle for all four n and
+    # both sides: every gram rides tagged with its n ("3|a b c"), the
+    # candidate side counts in cc and the reference side in rc, and the
+    # clipped match Σ min(cc, rc) collapses per (source, n). The naive
+    # shape (8 explodes, 8 aggregations, 4 joins) benched 5.3 s at
+    # sf0.1; this is the same algebra in one pass.
+    def tag_fn(n: int):
+        # NOT `lambda x, n=n`: F.transform passes the array INDEX as a
+        # second lambda argument, which would silently clobber the
+        # default and stringify a Column into the tag
+        return lambda x: F.concat(F.lit(f"{n}|"), x)
+
+    def tagged(arr: str):
+        return F.concat(
+            *[F.transform(grams(arr, n), tag_fn(n)) for n in range(1, 5)]
+        )
+
+    ex = c.select(
+        "source",
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.transform(
+                    tagged("cand"),
+                    lambda x: F.struct(
+                        x.alias("g"),
+                        F.lit(1).alias("cc"),
+                        F.lit(0).alias("rc"),
+                    ),
+                ),
+                F.transform(
+                    tagged("ref"),
+                    lambda x: F.struct(
+                        x.alias("g"),
+                        F.lit(0).alias("cc"),
+                        F.lit(1).alias("rc"),
+                    ),
+                ),
+            )
+        ).alias("e"),
+    )
+    per_gram = ex.groupBy(
+        "source", "doc_id", F.col("e.g").alias("g")
+    ).agg(
+        F.sum("e.cc").alias("cc"),
+        F.sum("e.rc").alias("rc"),
+    )
+    matched = (
+        per_gram.withColumn(
+            "n", F.substring("g", 1, 1).cast("int")
+        )
+        .groupBy("source")
+        .pivot("n", [1, 2, 3, 4])
+        .agg(F.sum(F.least("cc", "rc")).cast("bigint"))
+    )
     for n in range(1, 5):
-        cg = (
-            c.select(
-                "source", "doc_id", F.explode(grams("cand", n)).alias("g")
+        matched = matched.withColumnRenamed(str(n), f"matched{n}")
+    out = lens.join(matched, "source")
+    ln_terms = [
+        F.floor(
+            F.lit(1e9)
+            * F.log(
+                F.col(f"matched{n}").cast("double") / F.col(f"total_c{n}")
             )
-            .groupBy("source", "doc_id", "g")
-            .agg(F.count(F.lit(1)).alias("cc"))
-        )
-        rg = (
-            c.select(
-                "source", "doc_id", F.explode(grams("ref", n)).alias("g")
-            )
-            .groupBy("source", "doc_id", "g")
-            .agg(F.count(F.lit(1)).alias("rc"))
-        )
-        m = (
-            cg.join(rg, ["source", "doc_id", "g"])
-            .groupBy("source")
-            .agg(
-                F.sum(F.least("cc", "rc")).cast("bigint").alias(f"matched{n}")
-            )
-        )
-        t = c.groupBy("source").agg(
-            F.sum(F.greatest(F.size("cand") - (n - 1), F.lit(0)))
-            .cast("bigint")
-            .alias(f"total_c{n}"),
-            F.sum(F.greatest(F.size("ref") - (n - 1), F.lit(0)))
-            .cast("bigint")
-            .alias(f"total_r{n}"),
-        )
-        out = out.join(m, "source").join(t, "source")
-        ln_terms.append(
-            F.floor(
-                F.lit(1e9)
-                * F.log(
-                    F.col(f"matched{n}").cast("double")
-                    / F.col(f"total_c{n}")
-                )
-            ).cast("bigint")
-        )
+        ).cast("bigint")
+        for n in range(1, 5)
+    ]
     lnsum = ln_terms[0] + ln_terms[1] + ln_terms[2] + ln_terms[3]
     bp = F.when(
         F.col("c_tokens") < F.col("r_tokens"),

@@ -4302,3 +4302,148 @@ def msprt_always_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_MSPRT_ORACLE)
+
+
+# --- Sample-ratio-mismatch check (experiment sanity gate) -------------------
+
+_SRM_ORACLE = """
+WITH u AS (
+    SELECT user_id, CAST(user_id % 2 AS INTEGER) AS arm
+    FROM events GROUP BY user_id
+),
+c AS (
+    SELECT
+        CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+    FROM u
+)
+SELECT n0, n1,
+       CAST(n0 + n1 AS BIGINT) AS n,
+       round((CAST(n0 AS DOUBLE) - (n0 + n1) / 2.0)
+             * (CAST(n0 AS DOUBLE) - (n0 + n1) / 2.0)
+             / ((n0 + n1) / 2.0)
+             + (CAST(n1 AS DOUBLE) - (n0 + n1) / 2.0)
+             * (CAST(n1 AS DOUBLE) - (n0 + n1) / 2.0)
+             / ((n0 + n1) / 2.0), 6) AS chi2,
+       ((CAST(n0 AS DOUBLE) - (n0 + n1) / 2.0)
+        * (CAST(n0 AS DOUBLE) - (n0 + n1) / 2.0) / ((n0 + n1) / 2.0)
+        + (CAST(n1 AS DOUBLE) - (n0 + n1) / 2.0)
+        * (CAST(n1 AS DOUBLE) - (n0 + n1) / 2.0) / ((n0 + n1) / 2.0))
+       > 3.841458820694124 AS srm_detected_5pct
+FROM c
+"""
+
+
+@query("srm_check", _SRM_ORACLE)
+def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check — the first sanity gate every A/B
+    platform runs before reading ANY metric: a χ² goodness-of-fit of
+    observed arm sizes against the designed 50/50 split (χ²₁ 5%
+    critical value 3.8415, a literature constant). An SRM means the
+    assignment or logging pipeline is biased and every downstream
+    metric (welch_ttest, cuped, msprt) is untrustworthy — which is
+    why it belongs IN the engine next to them, not in a notebook.
+    Unit of analysis is the USER (one row per user_id — assignment
+    granularity), not the event. One scan, two tiny shuffles.
+    Identical SQL text on both engines; scipy-reference pin in
+    tests/test_properties.py."""
+    from ..sources.batch import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_SRM_ORACLE)
+
+
+# --- Quantile treatment effects ---------------------------------------------
+
+# Exact percentiles on the integer-cents grid (the mad_outliers
+# discipline: every 0.25-grid interpolation point is exactly
+# representable, so both engines' interpolation formulas agree
+# bit-for-bit), per arm, differenced.
+_QTE_QS = (0.1, 0.25, 0.5, 0.75, 0.9)
+
+_QTE_COLS = ",\n       ".join(
+    f"round((q1[{i + 1}] - q0[{i + 1}]) / 100.0, 6) AS qte_p{int(q * 100)}"
+    for i, q in enumerate(_QTE_QS)
+)
+_QTE_ARM_COLS = ",\n       ".join(
+    f"round(q{a}[{i + 1}] / 100.0, 6) AS p{int(q * 100)}_arm{a}"
+    for a in (0, 1)
+    for i, q in enumerate(_QTE_QS)
+)
+
+_QTE_ORACLE = f"""
+WITH t AS (
+    SELECT CAST(user_id % 2 AS INTEGER) AS arm,
+           CAST(round(value * 100, 0) AS BIGINT) AS vc
+    FROM events WHERE value IS NOT NULL
+),
+q AS (
+    SELECT
+        quantile_cont(CASE WHEN arm = 0 THEN vc END,
+                      [0.1, 0.25, 0.5, 0.75, 0.9]) AS q0,
+        quantile_cont(CASE WHEN arm = 1 THEN vc END,
+                      [0.1, 0.25, 0.5, 0.75, 0.9]) AS q1,
+        CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+    FROM t
+)
+SELECT n0, n1,
+       {_QTE_ARM_COLS},
+       {_QTE_COLS}
+FROM q
+"""
+
+
+@query("quantile_treatment_effect", _QTE_ORACLE)
+def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects for the user_id%2 experiment: the
+    per-arm p10/p25/p50/p75/p90 of event value and their differences —
+    the distributional view a mean-only test (welch_ttest) hides: a
+    treatment that moves the p90 while leaving the median alone is a
+    tail effect, not a level effect, and pricing/latency experiments
+    are routinely judged on exactly this. Exact percentiles on the
+    integer-cents grid (every interpolation lands on an exactly-
+    representable 0.25 grid — the mad_outliers determinism argument);
+    at 100 TB swap percentile for percentile_approx with identical
+    dataflow. Spark side uses percentile() per arm; the oracle
+    DuckDB's quantile_cont — DIFFERENT implementations of the same
+    definition, so the hash gate genuinely cross-checks the
+    interpolation. numpy pin in tests/test_properties.py."""
+    t = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("vc"),
+    )
+    qs = list(_QTE_QS)
+    q = t.groupBy().agg(
+        F.expr(
+            f"percentile(CASE WHEN arm = 0 THEN vc END, array({', '.join(map(str, qs))}))"
+        ).alias("q0"),
+        F.expr(
+            f"percentile(CASE WHEN arm = 1 THEN vc END, array({', '.join(map(str, qs))}))"
+        ).alias("q1"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+    )
+    sel = ["n0", "n1"]
+    for a in (0, 1):
+        for i, qq in enumerate(_QTE_QS):
+            sel.append(
+                F.round(
+                    F.element_at(f"q{a}", i + 1) / 100.0, 6
+                ).alias(f"p{int(qq * 100)}_arm{a}")
+            )
+    for i, qq in enumerate(_QTE_QS):
+        sel.append(
+            F.round(
+                (F.element_at("q1", i + 1) - F.element_at("q0", i + 1))
+                / 100.0,
+                6,
+            ).alias(f"qte_p{int(qq * 100)}")
+        )
+    return q.select(*sel)

@@ -1449,3 +1449,55 @@ def test_msprt_matches_numpy_and_is_monotone(spark, sf_smoke):
         assert r["p_always_valid"] <= prev_p + 1e-9  # monotone
         prev_p = r["p_always_valid"]
         assert r["significant_5pct"] == (r["p_always_valid"] < 0.05)
+
+
+def test_srm_check_matches_scipy_reference(spark, sf_smoke):
+    """srm_check recomputed with the direct χ² GOF formula over
+    per-user arm counts (scipy-free reference)."""
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet")
+    arms = (ev.groupby("user_id").size().index % 2).astype(int)
+    n0 = int((arms == 0).sum())
+    n1 = int((arms == 1).sum())
+    e = (n0 + n1) / 2.0
+    chi2 = (n0 - e) ** 2 / e + (n1 - e) ** 2 / e
+    [r] = registry.QUERIES["srm_check"](spark, sf_smoke).collect()
+    assert (r.n0, r.n1, r.n) == (n0, n1, n0 + n1)
+    assert abs(r.chi2 - chi2) < 1e-6
+    assert r.srm_detected_5pct == (chi2 > 3.841458820694124)
+
+
+def test_qte_matches_numpy(spark, sf_smoke):
+    """quantile_treatment_effect recomputed with numpy linear-
+    interpolation percentiles on the cents grid — a THIRD
+    implementation vs Spark's percentile() and DuckDB's
+    quantile_cont."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet")
+    ev = ev[ev["value"].notna()]
+    cents = np.round(ev["value"].to_numpy() * 100).astype("int64")
+    arm = (ev["user_id"].to_numpy() % 2).astype(int)
+    [r] = registry.QUERIES["quantile_treatment_effect"](
+        spark, sf_smoke
+    ).collect()
+    assert (r.n0, r.n1) == (int((arm == 0).sum()), int((arm == 1).sum()))
+    for a in (0, 1):
+        v = cents[arm == a]
+        for q in (10, 25, 50, 75, 90):
+            want = float(np.percentile(v, q)) / 100.0
+            got = getattr(r, f"p{q}_arm{a}")
+            assert abs(got - want) < 1e-9, (a, q, got, want)
+    for q in (10, 25, 50, 75, 90):
+        assert abs(
+            getattr(r, f"qte_p{q}")
+            - (getattr(r, f"p{q}_arm1") - getattr(r, f"p{q}_arm0"))
+        ) < 1e-6
