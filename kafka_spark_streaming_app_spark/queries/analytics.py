@@ -2108,3 +2108,195 @@ def sssp_weighted_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", "dist", "settled")
         .orderBy("node")
     )
+
+
+# --- LSA: top singular direction of the TF-IDF matrix -----------------------
+
+# Matrix-free power iteration, fully quantized: the TF-IDF weight is a
+# 1e-6-floored int64, the iterate is re-normalized to a 1e6 integer
+# grid by its max-|·| after EVERY multiply (keeps all products inside
+# int64 at any corpus size: Σ w·u ≤ n_docs · max_w · 1e6), and the
+# deterministic ±1 seed comes from h60 parity — so both engines walk
+# the identical integer sequence and the ORDER of the final loadings
+# is exact, not a tolerance band.
+_LSA_SEED = h60_sql("('lsa|' || token)")
+_LSA_TOPK = 20
+
+_LSA_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest({TOKENS_SQL.format(x="text")}) AS token
+    FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+dfr AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM documents),
+w AS (
+    SELECT tf.doc_id, tf.token, dfr.df,
+           CAST(floor(1e6 * tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfr.df))
+                AS BIGINT) AS wq
+    FROM tf JOIN dfr ON tf.token = dfr.token CROSS JOIN n
+    WHERE dfr.df < 400
+),
+v0 AS (
+    SELECT DISTINCT token,
+           CASE WHEN {_LSA_SEED} % 2 = 0 THEN 1 ELSE -1 END AS v
+    FROM w
+),
+u1 AS (
+    SELECT doc_id, CAST(sum(wq * v) AS BIGINT) AS u
+    FROM w JOIN v0 USING (token) GROUP BY doc_id
+),
+mu1 AS (SELECT max(abs(u)) AS m FROM u1),
+u1n AS (
+    SELECT doc_id,
+           CAST(floor(1e6 * CAST(u AS DOUBLE) / m) AS BIGINT) AS u
+    FROM u1, mu1
+),
+v1 AS (
+    SELECT token, CAST(sum(wq * u) AS BIGINT) AS v
+    FROM w JOIN u1n USING (doc_id) GROUP BY token
+),
+mv1 AS (SELECT max(abs(v)) AS m FROM v1),
+v1n AS (
+    SELECT token,
+           CAST(floor(1e6 * CAST(v AS DOUBLE) / m) AS BIGINT) AS v
+    FROM v1, mv1
+),
+u2 AS (
+    SELECT doc_id, CAST(sum(wq * v) AS BIGINT) AS u
+    FROM w JOIN v1n USING (token) GROUP BY doc_id
+),
+mu2 AS (SELECT max(abs(u)) AS m FROM u2),
+u2n AS (
+    SELECT doc_id,
+           CAST(floor(1e6 * CAST(u AS DOUBLE) / m) AS BIGINT) AS u
+    FROM u2, mu2
+),
+v2 AS (
+    SELECT token, CAST(sum(wq * u) AS BIGINT) AS v
+    FROM w JOIN u2n USING (doc_id) GROUP BY token
+),
+mv2 AS (SELECT max(abs(v)) AS m FROM v2)
+SELECT CAST(r.rank AS BIGINT) AS rank, r.token, d.df,
+       round(CAST(r.v AS DOUBLE) / mv2.m, 6) AS loading
+FROM (
+    SELECT v2.token, v2.v,
+           row_number() OVER (ORDER BY abs(v2.v) DESC, v2.token) AS rank
+    FROM v2
+) r
+CROSS JOIN mv2
+JOIN (SELECT DISTINCT token, df FROM w) d ON d.token = r.token
+WHERE r.rank <= {_LSA_TOPK}
+ORDER BY r.rank
+"""
+
+
+@query("lsa_top_terms", _LSA_ORACLE)
+def lsa_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latent-semantic-analysis topic axis: the top singular direction
+    of the (doc × term) TF-IDF matrix by TWO matrix-free power
+    iterations (v ← AᵀA v), emitting the 20 strongest term loadings —
+    the classic 'what one theme explains the most corpus variance'
+    primitive, here as pure dataflow: each half-multiply is one
+    equi-join of the weight relation with the current iterate plus one
+    aggregation (the pagerank/HITS shape on the BIPARTITE doc-term
+    graph with real-valued weights). Determinism is total, not
+    approximate: quantized int64 weights, a max-|·|-normalized 1e6
+    integer grid after every multiply (products stay inside int64 at
+    ANY corpus size), and an h60-parity ±1 seed — so the final
+    ranking hash-checks cross-engine. At 100 TB both join sides
+    shuffle on their natural keys and the normalizing max is a 1-row
+    broadcast; iterations cost O(nnz) each, and more iterations or
+    deflation for further components reuse the same dataflow. numpy
+    pin replays the integer iteration exactly AND checks the
+    direction approaches numpy's true top singular vector
+    (tests/test_properties.py)."""
+    from ..functions.hashing import h60
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfr = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    w = (
+        tf.join(dfr, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") < 400)
+        .select(
+            "doc_id",
+            "token",
+            "df",
+            F.floor(
+                F.lit(1e6)
+                * F.col("tf")
+                * F.log(F.col("n_docs") / F.col("df"))
+            )
+            .cast("bigint")
+            .alias("wq"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    v = w.select("token").distinct().select(
+        "token",
+        F.when(
+            h60(F.concat(F.lit("lsa|"), F.col("token"))) % 2 == 0, 1
+        )
+        .otherwise(-1)
+        .cast("bigint")
+        .alias("v"),
+    )
+
+    def half_step(iterate: DataFrame, key_in: str, key_out: str, col: str):
+        """One A (or Aᵀ) multiply + max-normalize to the 1e6 grid."""
+        prod = (
+            w.join(iterate, key_in)
+            .groupBy(key_out)
+            .agg(F.sum(F.col("wq") * F.col(col)).cast("bigint").alias("raw"))
+        )
+        m = prod.agg(F.max(F.abs("raw")).alias("m"))
+        return (
+            prod.crossJoin(F.broadcast(m))
+            .select(
+                key_out,
+                F.floor(
+                    F.lit(1e6) * F.col("raw").cast("double") / F.col("m")
+                )
+                .cast("bigint")
+                .alias(col),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    u = half_step(v, "token", "doc_id", "v").withColumnRenamed("v", "u")
+    v = half_step(u, "doc_id", "token", "u").withColumnRenamed("u", "v")
+    u = half_step(v, "token", "doc_id", "v").withColumnRenamed("v", "u")
+    v2 = (
+        w.join(u.withColumnRenamed("u", "uu"), "doc_id")
+        .groupBy("token")
+        .agg(F.sum(F.col("wq") * F.col("uu")).cast("bigint").alias("v"))
+    )
+    m2 = v2.agg(F.max(F.abs("v")).alias("m"))
+    ranked = (
+        v2.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.abs(F.col("v")).desc(), F.asc("token"))
+            ),
+        )
+        .filter(F.col("rank") <= _LSA_TOPK)
+    )
+    return (
+        ranked.crossJoin(F.broadcast(m2))
+        .join(w.select("token", "df").distinct(), "token")
+        .select(
+            F.col("rank").cast("bigint").alias("rank"),
+            "token",
+            "df",
+            F.round(
+                F.col("v").cast("double") / F.col("m"), 6
+            ).alias("loading"),
+        )
+        .orderBy("rank")
+    )

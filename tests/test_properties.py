@@ -1501,3 +1501,82 @@ def test_qte_matches_numpy(spark, sf_smoke):
             getattr(r, f"qte_p{q}")
             - (getattr(r, f"p{q}_arm1") - getattr(r, f"p{q}_arm0"))
         ) < 1e-6
+
+
+def test_lsa_top_terms_matches_numpy_iteration_and_svd(spark, sf_smoke):
+    """lsa_top_terms pinned two ways: (1) exact replay of the
+    quantized integer power iteration in numpy (bit-identical
+    loadings/ranking), (2) the resulting direction must align with
+    numpy's TRUE top right-singular vector of the unquantized TF-IDF
+    matrix (|cos| — two power iterations from a random seed should
+    already be strongly aligned)."""
+    import hashlib
+    import math
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    docs = pd.read_parquet(f"{sf_smoke}/documents.parquet")
+    n_docs = len(docs)
+    tf = {}
+    dfc = {}
+    for r in docs.itertuples():
+        toks = re.sub(
+            r"\s+", " ", (r.text or "").lower().strip()
+        ).split(" ")
+        row = {}
+        for t in toks:
+            row[t] = row.get(t, 0) + 1
+        tf[r.doc_id] = row
+        for t in row:
+            dfc[t] = dfc.get(t, 0) + 1
+    terms = sorted(t for t, d in dfc.items() if d < 400)
+    tidx = {t: i for i, t in enumerate(terms)}
+    dids = sorted(tf)
+    A = np.zeros((len(dids), len(terms)))
+    Wq = np.zeros_like(A, dtype=np.int64)
+    for di, d in enumerate(dids):
+        for t, c in tf[d].items():
+            if t in tidx:
+                w = c * math.log(n_docs / dfc[t])
+                A[di, tidx[t]] = w
+                Wq[di, tidx[t]] = math.floor(1e6 * w)
+
+    def h60py(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    v = np.array(
+        [1 if h60py(f"lsa|{t}") % 2 == 0 else -1 for t in terms],
+        dtype=np.int64,
+    )
+
+    def norm_grid(x):
+        m = np.abs(x).max()
+        return np.floor(1e6 * x.astype(np.float64) / m).astype(np.int64)
+
+    u = norm_grid(Wq @ v)
+    v = norm_grid(Wq.T @ u)
+    u = norm_grid(Wq @ v)
+    v2 = Wq.T @ u
+    m = np.abs(v2).max()
+    order = sorted(
+        range(len(terms)), key=lambda i: (-abs(int(v2[i])), terms[i])
+    )[:20]
+    out = registry.QUERIES["lsa_top_terms"](spark, sf_smoke).toPandas()
+    assert list(out["token"]) == [terms[i] for i in order]
+    for rank, i in enumerate(order):
+        assert abs(
+            out["loading"].iloc[rank] - round(float(v2[i]) / m, 6)
+        ) < 1e-9
+        assert out["df"].iloc[rank] == dfc[terms[i]]
+    # alignment with the true top singular direction
+    _, _, vt = np.linalg.svd(A, full_matrices=False)
+    true_v = vt[0]
+    cos = abs(
+        float(v2 @ true_v) / (np.linalg.norm(v2) * np.linalg.norm(true_v))
+    )
+    assert cos > 0.9, cos
