@@ -1347,3 +1347,159 @@ def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hard_negative_id",
         F.coalesce("shared_shingles", F.lit(0)).alias("shared_shingles"),
     )
+
+
+# --- Kneser-Ney bigram LM perplexity (per-language models) -------------------
+
+# Absolute discount D = 0.75 (exactly representable in binary — the
+# arithmetic below has no rounding surprises). All model quantities
+# are exact integer counts over the bigram relation; each bigram
+# TYPE's log-prob is 1e-9 floor-quantized, weighted by its occurrence
+# count (exact int64), and only the final exp/divide is float.
+_KN_D = 0.75
+
+_KN_LP = (
+    "CAST(floor(1e9 * ln("
+    "(CAST(c12 AS DOUBLE) - 0.75) / c1"
+    " + 0.75 * nfw / CAST(c1 AS DOUBLE)"
+    "   * (CAST(nbw AS DOUBLE) / b)"
+    ")) AS BIGINT)"
+)
+_MLE_LP = "CAST(floor(1e9 * ln(CAST(c12 AS DOUBLE) / c1)) AS BIGINT)"
+
+_KN_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id, lang, {_WORDS} AS ws FROM documents
+),
+bg AS (
+    SELECT lang, ws[i] AS w1, ws[i + 1] AS w2
+    FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) r
+    WHERE len(ws) >= 2
+),
+t12 AS (
+    SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS c12
+    FROM bg GROUP BY 1, 2, 3
+),
+t1 AS (
+    SELECT lang, w1,
+           CAST(sum(c12) AS BIGINT) AS c1,
+           CAST(count(*) AS BIGINT) AS nfw
+    FROM t12 GROUP BY 1, 2
+),
+tbw AS (
+    SELECT lang, w2, CAST(count(*) AS BIGINT) AS nbw
+    FROM t12 GROUP BY 1, 2
+),
+tot AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS b FROM t12 GROUP BY 1
+),
+lp AS (
+    SELECT t12.lang, t12.c12,
+           {_KN_LP} AS lp_kn_q,
+           {_MLE_LP} AS lp_mle_q
+    FROM t12
+    JOIN t1 ON t1.lang = t12.lang AND t1.w1 = t12.w1
+    JOIN tbw ON tbw.lang = t12.lang AND tbw.w2 = t12.w2
+    JOIN tot ON tot.lang = t12.lang
+)
+SELECT lang,
+       CAST(sum(c12) AS BIGINT) AS n_bigrams,
+       CAST(count(*) AS BIGINT) AS bigram_types,
+       round(exp(0.0 - CAST(sum(c12 * lp_kn_q) AS DOUBLE) / 1e9
+                       / sum(c12)), 6) AS pp_kneser_ney,
+       round(exp(0.0 - CAST(sum(c12 * lp_mle_q) AS DOUBLE) / 1e9
+                       / sum(c12)), 6) AS pp_mle
+FROM lp GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query("kneser_ney_perplexity", _KN_ORACLE)
+def kneser_ney_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LANGUAGE bigram language models with Kneser-Ney smoothing —
+    the modern n-gram smoother (Chen & Goodman's winner, the KenLM
+    default) whose continuation probability P_cont(w) ∝ "how many
+    distinct contexts does w follow" famously fixes the
+    'san francisco' pathology: frequent-but-context-bound words stop
+    leaking probability into unseen contexts. Completes the LM family:
+    bigram_fluency (mean frequency), trigram_perplexity (Jelinek-
+    Mercer interpolation), KN (absolute discounting + continuation).
+
+    P(w₂|w₁) = (c₁₂−D)/c₁ + D·N₁₊(w₁·)/c₁ · N₁₊(·w₂)/B at D = 0.75
+    (exact binary fraction). Every count is an aggregation over the
+    bigram-type relation (types, not positions — the log-prob is
+    computed once per TYPE and weighted by its exact count, so the
+    expensive ln runs |types| times, not |corpus| times: the standard
+    LM-scoring optimization, visible in the plan). One explode + four
+    type-keyed aggregations + three joins back; per-language grouping
+    keeps every relation lang-sharded. pp_mle rides along as the
+    unsmoothed contrast (KN > MLE perplexity on self-evaluation, the
+    discount's held-out insurance premium — pinned). Pure-Python KN
+    pin in tests/test_properties.py."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = docs.select(
+        "doc_id", "lang", F.posexplode(tokens("text")).alias("pos", "w")
+    )
+    from pyspark.sql import Window
+
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.select(
+            "lang",
+            F.lag("w", 1).over(wdoc).alias("w1"),
+            F.col("w").alias("w2"),
+        )
+        .filter(F.col("w1").isNotNull())
+    )
+    t12 = (
+        bg.groupBy("lang", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+        .localCheckpoint(eager=False)
+    )
+    t1 = t12.groupBy("lang", "w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("nfw"),
+    )
+    tbw = t12.groupBy("lang", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nbw")
+    )
+    tot = t12.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("b")
+    )
+    c12d = F.col("c12").cast("double")
+    c1d = F.col("c1").cast("double")
+    p_kn = (c12d - _KN_D) / c1d + _KN_D * F.col("nfw") / c1d * (
+        F.col("nbw").cast("double") / F.col("b")
+    )
+    lp = (
+        t12.join(t1, ["lang", "w1"])
+        .join(tbw, ["lang", "w2"])
+        .join(tot, ["lang"])
+        .select(
+            "lang",
+            "c12",
+            F.floor(F.lit(1e9) * F.log(p_kn)).cast("bigint").alias(
+                "lp_kn_q"
+            ),
+            F.floor(F.lit(1e9) * F.log(c12d / c1d))
+            .cast("bigint")
+            .alias("lp_mle_q"),
+        )
+    )
+    s_kn = F.sum(F.col("c12") * F.col("lp_kn_q")).cast("double")
+    s_mle = F.sum(F.col("c12") * F.col("lp_mle_q")).cast("double")
+    nb = F.sum("c12")
+    return (
+        lp.groupBy("lang")
+        .agg(
+            nb.cast("bigint").alias("n_bigrams"),
+            F.count(F.lit(1)).cast("bigint").alias("bigram_types"),
+            F.round(F.exp(-s_kn / F.lit(1e9) / nb), 6).alias(
+                "pp_kneser_ney"
+            ),
+            F.round(F.exp(-s_mle / F.lit(1e9) / nb), 6).alias("pp_mle"),
+        )
+        .orderBy("lang")
+    )

@@ -1580,3 +1580,56 @@ def test_lsa_top_terms_matches_numpy_iteration_and_svd(spark, sf_smoke):
         float(v2 @ true_v) / (np.linalg.norm(v2) * np.linalg.norm(true_v))
     )
     assert cos > 0.9, cos
+
+
+def test_kneser_ney_matches_pure_python(spark, sf_smoke):
+    """kneser_ney_perplexity recomputed with a from-scratch pure-
+    Python KN bigram model (dict counts, unquantized math.log); also
+    pins KN > MLE perplexity on self-evaluation (the discount's
+    held-out insurance premium)."""
+    import math
+    import re
+    from collections import Counter, defaultdict
+
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    docs = pd.read_parquet(f"{sf_smoke}/documents.parquet")
+    out = registry.QUERIES["kneser_ney_perplexity"](
+        spark, sf_smoke
+    ).toPandas().set_index("lang")
+    D = 0.75
+    for lang, sub in docs.groupby("lang"):
+        c12 = Counter()
+        for t in sub["text"]:
+            toks = re.sub(
+                r"\s+", " ", (t or "").lower().strip()
+            ).split(" ")
+            for a, b in zip(toks, toks[1:]):
+                c12[(a, b)] += 1
+        c1 = Counter()
+        nfw = defaultdict(set)
+        nbw = defaultdict(set)
+        for (a, b), c in c12.items():
+            c1[a] += c
+            nfw[a].add(b)
+            nbw[b].add(a)
+        B = len(c12)
+        n = sum(c12.values())
+        lp_kn = lp_mle = 0.0
+        for (a, b), c in c12.items():
+            p = (c - D) / c1[a] + D * len(nfw[a]) / c1[a] * (
+                len(nbw[b]) / B
+            )
+            lp_kn += c * math.log(p)
+            lp_mle += c * math.log(c / c1[a])
+        pp_kn = math.exp(-lp_kn / n)
+        pp_mle = math.exp(-lp_mle / n)
+        r = out.loc[lang]
+        assert r["n_bigrams"] == n
+        assert r["bigram_types"] == B
+        assert abs(r["pp_kneser_ney"] - pp_kn) < 1e-3 * pp_kn, lang
+        assert abs(r["pp_mle"] - pp_mle) < 1e-3 * pp_mle, lang
+        assert r["pp_kneser_ney"] > r["pp_mle"], lang
