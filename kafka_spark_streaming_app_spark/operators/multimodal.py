@@ -1385,3 +1385,65 @@ def vad_frames(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         fr, schema=VAD_FRAME_SCHEMA
     )
+
+
+RESIZE_PIXELS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("src_w", T.IntegerType(), True),
+        T.StructField("src_h", T.IntegerType(), True),
+        T.StructField("pixels_csv", T.StringType(), True),
+        T.StructField("pixel_sum", T.LongType(), True),
+        T.StructField("pixel_min", T.IntegerType(), True),
+        T.StructField("pixel_max", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_png_pixels(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize through the REAL PNG decoder to a fixed
+    (out_w × out_h) thumbnail — the normalize-before-featurize step
+    every image training pipeline runs (CLIP-style preprocessing, with
+    the interpolation kernel swapped for the exactly-checkable
+    nearest-neighbor map src(y·H/out_h, x·W/out_w), integer floor
+    indices). The ENTIRE resized pixel grid is serialized
+    (comma-joined) so the oracle pins every output pixel, not a
+    summary; exact int64 sum/min/max ride along for cheap downstream
+    filters. Arrow-batched mapInPandas, zero shuffle."""
+    from .imagecodec import decode_png
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_png(bytes(payload)).astype(np.int64)
+                h, w = px.shape
+                yi = (np.arange(out_h) * h) // out_h
+                xi = (np.arange(out_w) * w) // out_w
+                out = px[yi[:, None], xi[None, :]]
+                rows.append(
+                    {
+                        "media_id": int(media_id),
+                        "src_w": w,
+                        "src_h": h,
+                        "pixels_csv": ",".join(
+                            str(int(v)) for v in out.ravel()
+                        ),
+                        "pixel_sum": int(out.sum()),
+                        "pixel_min": int(out.min()),
+                        "pixel_max": int(out.max()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "src_w", "src_h", "pixels_csv",
+                    "pixel_sum", "pixel_min", "pixel_max",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        rs, schema=RESIZE_PIXELS_SCHEMA
+    )

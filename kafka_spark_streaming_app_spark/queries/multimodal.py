@@ -933,3 +933,58 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Resize oracle: recompute every source pixel from the fixture closed
+# form, apply the same integer nearest-neighbor index map, and
+# serialize the full 8x6 output grid — any decoder, index-map, or
+# serialization slip breaks the hash on the pixel level.
+_RESIZE_W, _RESIZE_H = 8, 6
+
+_RESIZE_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h
+    FROM documents WHERE doc_id % 2 = 0
+),
+grid AS (
+    SELECT doc_id, w, h, y.y AS oy, x.x AS ox,
+           (doc_id + 31 * ((y.y * h) // {_RESIZE_H})
+            + ((x.x * w) // {_RESIZE_W})) % 256 AS p
+    FROM d,
+         LATERAL (SELECT unnest(range(0, {_RESIZE_H})) AS y) y,
+         LATERAL (SELECT unnest(range(0, {_RESIZE_W})) AS x) x
+)
+SELECT doc_id AS media_id,
+       CAST(max(w) AS INTEGER) AS src_w,
+       CAST(max(h) AS INTEGER) AS src_h,
+       string_agg(CAST(p AS VARCHAR), ','
+                  ORDER BY oy, ox) AS pixels_csv,
+       CAST(sum(p) AS BIGINT) AS pixel_sum,
+       CAST(min(p) AS INTEGER) AS pixel_min,
+       CAST(max(p) AS INTEGER) AS pixel_max
+FROM grid GROUP BY doc_id
+"""
+
+
+@query("multimodal_image_resize", _RESIZE_ORACLE)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor thumbnail resize (8×6) through the REAL PNG
+    codec — decode, integer index-map resample, full-grid
+    serialization (operators/multimodal.py:resize_png_pixels). The
+    oracle recomputes every OUTPUT pixel from the fixture's closed
+    form through the same index map, so the hash pins the resample
+    itself pixel-for-pixel — the strongest check the multimodal
+    family carries (decode stats summarize; this serializes). The
+    production shape for higher-order kernels (bilinear/bicubic) is
+    identical — only the per-batch numpy kernel changes; nearest-
+    neighbor is the variant whose integer arithmetic both engines
+    reproduce exactly."""
+    from ..operators.multimodal import (
+        resize_png_pixels,
+        synthesize_image_media,
+    )
+
+    media = synthesize_image_media(
+        load_table(spark, sf_dir, "documents")
+    ).filter(F.col("media_id") % 2 == 0)
+    return resize_png_pixels(media, _RESIZE_W, _RESIZE_H)

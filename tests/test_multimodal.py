@@ -803,3 +803,47 @@ def test_audio_vad_matches_pure_python(spark, sf_smoke):
         assert r.n_segments > 0, d
         frac = r.n_voiced_frames / r.n_frames
         assert 0.15 < frac < 0.55, (d, frac)
+
+
+def test_image_resize_identity_and_pure_python(spark, sf_smoke):
+    """resize_png_pixels pinned by (1) the identity property — resizing
+    an 8x6 image to 8x6 must reproduce it exactly — and (2) a direct
+    pure-Python nearest-neighbor recompute for non-trivial ratios."""
+    import numpy as np
+
+    from kafka_spark_streaming_app_spark.operators.imagecodec import (
+        encode_png,
+    )
+    from kafka_spark_streaming_app_spark.operators.multimodal import (
+        resize_png_pixels,
+    )
+
+    imgs = {
+        1: ((np.arange(6 * 8).reshape(6, 8) * 37 + 5) % 256).astype(
+            np.uint8
+        ),
+        2: ((np.arange(13 * 21).reshape(13, 21) * 7 + 3) % 256).astype(
+            np.uint8
+        ),
+    }
+    media = spark.createDataFrame(
+        [(k, bytearray(encode_png(v))) for k, v in imgs.items()],
+        "media_id long, payload binary",
+    )
+    rows = {
+        r.media_id: r for r in resize_png_pixels(media, 8, 6).collect()
+    }
+    # identity: already 8x6
+    assert rows[1].pixels_csv == ",".join(
+        str(int(v)) for v in imgs[1].ravel()
+    )
+    # non-trivial ratio: direct recompute
+    src = imgs[2].astype(int)
+    want = [
+        src[(y * 13) // 6][(x * 21) // 8]
+        for y in range(6)
+        for x in range(8)
+    ]
+    assert rows[2].pixels_csv == ",".join(str(v) for v in want)
+    assert rows[2].pixel_sum == sum(want)
+    assert (rows[2].src_w, rows[2].src_h) == (21, 13)
