@@ -213,6 +213,9 @@ HEADLINE = [
     "msprt_always_valid",
     "srm_check",
     "quantile_treatment_effect",
+    "lsa_top_terms",
+    "kneser_ney_perplexity",
+    "multimodal_image_resize",
 ]
 
 

@@ -78,3 +78,62 @@ def grouped_wavg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         wavg("cents", "qty").alias("wavg_price")
     )
+
+
+# --- grouped-map applyInArrow (the Arrow-native grouped face) ---------------
+
+_ARROW_CENTER_ORACLE = """
+WITH t AS (
+    SELECT event_type, event_id,
+           CAST(round(value * 100, 0) AS BIGINT) AS vc
+    FROM events WHERE value IS NOT NULL
+),
+o AS (
+    SELECT event_type,
+           min(CASE WHEN rn = (n - 1) // 2 + 1 THEN vc END) AS m_lo,
+           min(CASE WHEN rn = n // 2 + 1 THEN vc END) AS m_hi
+    FROM (
+        SELECT event_type, vc,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY vc, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM t
+    ) GROUP BY event_type
+)
+SELECT t.event_type, t.event_id, t.vc,
+       CAST(2 * t.vc - (o.m_lo + o.m_hi) AS BIGINT) AS dev2_from_median
+FROM t JOIN o USING (event_type)
+"""
+
+
+@query("grouped_median_center_arrow", _ARROW_CENTER_ORACLE)
+def grouped_median_center_arrow_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-group median-centering computed INSIDE pyarrow
+    (grouped-map ``applyInArrow`` — the Arrow-native grouped face,
+    completing the UDF matrix: scalar pandas_udf, GROUPED_AGG,
+    applyInPandas, mapInPandas, mapInArrow, applyInPandasWithState,
+    and now grouped applyInArrow). Exact contract: the output is
+    2·v − (m_lo + m_hi) over the two middle order statistics in
+    integer cents, so the Python/Arrow path is hash-identical to the
+    SQL window-rank oracle with no interpolation-formula exposure.
+    (The oracle ranks by (vc, event_id) for a deterministic window,
+    but m_lo/m_hi depend only on the sorted VALUES — ties make the
+    order-statistic value unique even when ranks aren't — so the
+    Arrow side's value-only sort provably agrees.)"""
+    from ..operators.grouped import grouped_median_center_arrow
+
+    events = load_table(spark, sf_dir, "events").filter(
+        "value IS NOT NULL"
+    )
+    import pyspark.sql.functions as F
+
+    t = events.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("vc"),
+    )
+    return grouped_median_center_arrow(
+        t, group_col="event_type", id_col="event_id", cents_col="vc"
+    )

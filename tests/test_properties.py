@@ -1633,3 +1633,37 @@ def test_kneser_ney_matches_pure_python(spark, sf_smoke):
         assert abs(r["pp_kneser_ney"] - pp_kn) < 1e-3 * pp_kn, lang
         assert abs(r["pp_mle"] - pp_mle) < 1e-3 * pp_mle, lang
         assert r["pp_kneser_ney"] > r["pp_mle"], lang
+
+
+def test_grouped_arrow_median_center_matches_pandas(spark, sf_smoke):
+    """grouped_median_center_arrow recomputed with pandas order
+    statistics; also pins Σ dev2 ≈ 0-ish properties per group (sum of
+    deviations from the median needn't be 0, but count above ==
+    count below within ties)."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet")
+    ev = ev[ev["value"].notna()].copy()
+    ev["vc"] = np.round(ev["value"] * 100).astype("int64")
+    out = registry.QUERIES["grouped_median_center_arrow"](
+        spark, sf_smoke
+    ).toPandas()
+    assert len(out) == len(ev)
+    for g, sub in ev.groupby("event_type"):
+        v = np.sort(sub["vc"].to_numpy())
+        n = len(v)
+        lo, hi = int(v[(n - 1) // 2]), int(v[n // 2])
+        osub = out[out["event_type"] == g].set_index("event_id")
+        for r in sub.itertuples():
+            assert (
+                osub.loc[r.event_id, "dev2_from_median"]
+                == 2 * r.vc - (lo + hi)
+            )
+        # median property: at most half strictly above / below
+        dev = osub["dev2_from_median"]
+        assert (dev > 0).sum() <= n / 2 + 1
+        assert (dev < 0).sum() <= n / 2 + 1
