@@ -123,7 +123,30 @@ NOTES = {
     "similarity_ann_pq": "Codebook and ADC LUT enter every join as broadcasts; corpus-sized relations never shuffle for the encode/ADC stages.",
     "rrf_hybrid_retrieval": "Two 20-row-per-query rank lists full-outer-joined; fusion cost is independent of corpus size (scale lives in the legs).",
     "grid_density_clusters": "One groupBy onto the bounded cell table; components run on cells, never points; final labels attach by cell equi-join.",
-
+    # round-6 continuation waves
+    "anova_oneway": "Single codegen scan-aggregation: 15 pivoted integer-cents sufficient statistics in ONE row; SSB/SSW/F are fixed-order scalar expressions — no second pass, no window.",
+    "jarque_bera_test": "One scan to 5 groups x 4 exact DECIMAL power sums (map-side combined); central moments and JB are per-row scalar math.",
+    "gini_concentration": "Per-customer revenue agg (one fact shuffle), per-nation rank window, DECIMAL(38,0) rank-weighted sums; nation dim broadcast at the end.",
+    "tokenizer_fertility": "BPE train collapses to the vocab-sized (word,freq) table; corpus cost is one explode + one BROADCAST word-join + a 5-row lang agg.",
+    "fim_transform": "Scan -> project only (higher-order slice/concat): zero Exchange in the plan — streams at input bandwidth.",
+    "mixture_sampling_weights": "Row-local token counts (no explode), 20-row source agg, two 1-row broadcast folds for the exact integer normalizers.",
+    "ngram_novelty": "Inverted-index shape: distinct (doc,shingle) -> one shingle-keyed count + one doc-keyed fold; LEFT join keeps short docs.",
+    "colbert_maxsim_topk": "8x token explode, 40-row query side BROADCAST onto it; two shuffles on collapsing keys (max then sum); top-10 window per query.",
+    "multimodal_spectral_hash_dedup": "Real PNG decode in Arrow mapInPandas; integer WHT signs per image; four 5-bit band equi-joins, popcount verify on candidates only.",
+    "multimodal_audio_vad": "Codec-boundary mapInPandas to frame energies; totals join back per media; voiced/segment logic is one media-keyed window chain.",
+    "streaming_reservoir_sample": "foreachBatch: batch-local per-day top-20 (TakeOrdered bounds state writes to k rows/day) merged into day-partitioned state by idempotent top-k union.",
+    "dataset_datasheet": "ONE scan expanded to four grouping sets sharing partial aggregates (Expand + HashAggregate) — four reporting levels, one pass.",
+    "contrastive_pairs": "Crops are scan-local slice arithmetic; hard negatives via the shingle inverted index (shingle-keyed pair counts, per-doc rank-1 window).",
+    "bleu_rouge_eval": "ONE tagged explode (4 n-gram sizes x both sides) -> one (source,doc,gram) shuffle -> per-source pivot; denominators fold into the lengths scan.",
+    "wasserstein_length_drift": "Distinct-length grid (histogram-bounded) cross sources; two cumulative windows; DECIMAL |area| sums with one final division.",
+    "cuped_variance_reduction": "Two shuffles total: per-user exact-cents (X,Y), then ONE pivoted row of per-arm sufficient statistics; theta and variances are scalar expressions.",
+    "msprt_always_valid": "One scan to day x arm integer sums, day-ordered cumulative window (30 rows), scalar likelihood-ratio math + running max.",
+    "srm_check": "Per-user arm table (one shuffle), 2-count pivot, scalar chi-square — the cheapest query in the registry by design.",
+    "quantile_treatment_effect": "Single scan into two percentile aggregates on the integer-cents grid; QTEs are scalar differences of the two arrays.",
+    "lsa_top_terms": "Matrix-free power iteration: each half-multiply is one equi-join of the barriered weight relation with the current iterate + one agg; normalizing maxes are 1-row broadcasts.",
+    "kneser_ney_perplexity": "Bigram TYPE relation (one explode + lag window), four type-keyed aggs, three joins back; ln runs |types| times, weighted by exact counts.",
+    "multimodal_image_resize": "Real PNG decode + integer index-map resample in Arrow mapInPandas; zero shuffle; output serializes every pixel.",
+    "grouped_median_center_arrow": "Grouped applyInArrow: one event_type shuffle, whole group as a pyarrow Table, exact 2v-(m_lo+m_hi) integer contract.",
 }
 
 
