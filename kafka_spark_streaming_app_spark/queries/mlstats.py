@@ -4447,3 +4447,163 @@ def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"qte_p{int(qq * 100)}")
         )
     return q.select(*sel)
+
+
+# --- Off-policy evaluation: IPS / SNIPS ------------------------------------
+
+# Both policies are deterministic softmax-free categorical
+# distributions over the 5 action types: weight(a|u) = 1 + h60(salt|
+# u|a) % 5 (integer 1..5), probability = weight / Σ weights — exact
+# rationals of small integers, so the importance ratio
+# π'(a|u)/p_log(a|u) = (wt·Wl)/(wl·Wt) is a ratio of exact int64
+# products and every per-row quantity quantizes cleanly.
+_OPE_ACTIONS = ["click", "error", "purchase", "signup", "view"]
+
+
+def _ope_w(salt: str, action_expr: str) -> str:
+    # STRING, not VARCHAR: Spark rejects bare VARCHAR in CAST, DuckDB
+    # accepts STRING as a VARCHAR alias — the portable spelling
+    h = h60_sql(
+        f"('{salt}|' || CAST(user_id AS STRING) || '|' || {action_expr})"
+    )
+    return f"(1 + {h} % 5)"
+
+
+_OPE_WSUM_LOG = " + ".join(
+    _ope_w("logp", f"'{a}'") for a in _OPE_ACTIONS
+)
+_OPE_WSUM_TGT = " + ".join(
+    _ope_w("tgtp", f"'{a}'") for a in _OPE_ACTIONS
+)
+
+_OPE_ORACLE = f"""
+WITH t AS (
+    SELECT user_id, event_type,
+           CAST(round(value * 100, 0) AS BIGINT) AS rc,
+           {_ope_w("logp", "event_type")} AS wl,
+           {_ope_w("tgtp", "event_type")} AS wt,
+           {_OPE_WSUM_LOG} AS wl_sum,
+           {_OPE_WSUM_TGT} AS wt_sum
+    FROM events WHERE value IS NOT NULL
+),
+r AS (
+    SELECT rc,
+           CAST(wt AS BIGINT) * wl_sum AS num,
+           CAST(wl AS BIGINT) * wt_sum AS den
+    FROM t
+),
+q AS (
+    SELECT rc,
+           CAST(floor(1e6 * CAST(num AS DOUBLE) / den) AS BIGINT) AS rho_q
+    FROM r
+),
+agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(rc) AS DECIMAL(38,0)) AS sum_r,
+           CAST(sum(rho_q) AS DECIMAL(38,0)) AS sum_rho,
+           CAST(sum(rc * rho_q) AS DECIMAL(38,0)) AS sum_r_rho,
+           CAST(sum(rho_q * rho_q) AS DECIMAL(38,0)) AS sum_rho2,
+           CAST(max(rho_q) AS BIGINT) AS max_rho_q
+    FROM q
+)
+SELECT n,
+       round(CAST(sum_r AS DOUBLE) / 100.0 / n, 6) AS v_logged,
+       round(CAST(sum_r_rho AS DOUBLE) / 1e6 / 100.0 / n, 6) AS v_ips,
+       round(CAST(sum_r_rho AS DOUBLE) / CAST(sum_rho AS DOUBLE) / 100.0,
+             6) AS v_snips,
+       round(CAST(sum_rho AS DOUBLE) * CAST(sum_rho AS DOUBLE)
+             / CAST(sum_rho2 AS DOUBLE), 6) AS ess,
+       round(CAST(max_rho_q AS DOUBLE) / 1e6, 6) AS max_weight
+FROM agg
+"""
+
+
+@query("ips_offline_eval", _OPE_ORACLE)
+def ips_offline_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy (counterfactual) evaluation — the ML-platform
+    primitive that answers "what reward WOULD the new policy have
+    earned on the old policy's logs" without an experiment: IPS
+    V̂ = 1/n Σ r·ρ and the self-normalized SNIPS Σr·ρ/Σρ (lower
+    variance, small bias), with the two standard trust diagnostics —
+    effective sample size (Σρ)²/Σρ² and the max importance weight
+    (an ESS ≪ n or one huge weight means the policies barely overlap
+    and the estimate is noise; every OPE paper's first figure).
+    Logging and target policies are deterministic integer-rational
+    categoricals over the 5 event types (h60-derived weights 1..5),
+    so the importance ratio is a ratio of exact int64 products,
+    1e-6-floor-quantized per row; all sums are exact DECIMAL(38,0).
+    One scan, one aggregation row. Spark side is DataFrame ops (h60's
+    DuckDB spelling isn't portable SQL); pure-Python hashlib pin in
+    tests/test_properties.py."""
+    from ..functions.hashing import h60
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+
+    def w(salt: str, action) -> Column:
+        return 1 + h60(
+            F.concat(
+                F.lit(f"{salt}|"),
+                F.col("user_id").cast("string"),
+                F.lit("|"),
+                action,
+            )
+        ) % 5
+
+    wl_sum = sum(w("logp", F.lit(a)) for a in _OPE_ACTIONS)
+    wt_sum = sum(w("tgtp", F.lit(a)) for a in _OPE_ACTIONS)
+    t = ev.select(
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("rc"),
+        (
+            w("tgtp", F.col("event_type")).cast("bigint") * wl_sum
+        ).alias("num"),
+        (
+            w("logp", F.col("event_type")).cast("bigint") * wt_sum
+        ).alias("den"),
+    )
+    q = t.select(
+        "rc",
+        F.floor(
+            F.lit(1e6) * F.col("num").cast("double") / F.col("den")
+        )
+        .cast("bigint")
+        .alias("rho_q"),
+    )
+    agg = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rc").cast("decimal(38,0)").alias("sum_r"),
+        F.sum("rho_q").cast("decimal(38,0)").alias("sum_rho"),
+        F.sum(F.col("rc") * F.col("rho_q"))
+        .cast("decimal(38,0)")
+        .alias("sum_r_rho"),
+        F.sum(F.col("rho_q") * F.col("rho_q"))
+        .cast("decimal(38,0)")
+        .alias("sum_rho2"),
+        F.max("rho_q").cast("bigint").alias("max_rho_q"),
+    )
+    nD = F.col("n").cast("double")
+    return agg.select(
+        "n",
+        F.round(F.col("sum_r").cast("double") / 100.0 / nD, 6).alias(
+            "v_logged"
+        ),
+        F.round(
+            F.col("sum_r_rho").cast("double") / 1e6 / 100.0 / nD, 6
+        ).alias("v_ips"),
+        F.round(
+            F.col("sum_r_rho").cast("double")
+            / F.col("sum_rho").cast("double")
+            / 100.0,
+            6,
+        ).alias("v_snips"),
+        F.round(
+            F.col("sum_rho").cast("double")
+            * F.col("sum_rho").cast("double")
+            / F.col("sum_rho2").cast("double"),
+            6,
+        ).alias("ess"),
+        F.round(F.col("max_rho_q").cast("double") / 1e6, 6).alias(
+            "max_weight"
+        ),
+    )

@@ -1667,3 +1667,55 @@ def test_grouped_arrow_median_center_matches_pandas(spark, sf_smoke):
         dev = osub["dev2_from_median"]
         assert (dev > 0).sum() <= n / 2 + 1
         assert (dev < 0).sum() <= n / 2 + 1
+
+
+def test_ips_offline_eval_matches_pure_python(spark, sf_smoke):
+    """ips_offline_eval recomputed from first principles with hashlib
+    h60 and plain floats; also pins the OPE sanity relations
+    (ESS ≤ n, max_weight ≥ 1 impossible to assert in general but
+    SNIPS must lie within the reward range)."""
+    import hashlib
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet")
+    ev = ev[ev["value"].notna()]
+    acts = ["click", "error", "purchase", "signup", "view"]
+
+    def h60py(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def wgt(salt, u, a):
+        return 1 + h60py(f"{salt}|{u}|{a}") % 5
+
+    rho_q = []
+    rc = []
+    for r in ev.itertuples():
+        wl = wgt("logp", r.user_id, r.event_type)
+        wt = wgt("tgtp", r.user_id, r.event_type)
+        wls = sum(wgt("logp", r.user_id, a) for a in acts)
+        wts = sum(wgt("tgtp", r.user_id, a) for a in acts)
+        rho_q.append(math.floor(1e6 * (wt * wls) / (wl * wts)))
+        rc.append(round(r.value * 100))
+    rho_q = np.array(rho_q, dtype=np.int64)
+    rc = np.array(rc, dtype=np.int64)
+    n = len(rc)
+    [r] = registry.QUERIES["ips_offline_eval"](spark, sf_smoke).collect()
+    assert r.n == n
+    assert abs(r.v_logged - rc.sum() / 100 / n) < 1e-5
+    assert abs(r.v_ips - float((rc * rho_q).sum()) / 1e6 / 100 / n) < 1e-5
+    assert abs(
+        r.v_snips - float((rc * rho_q).sum()) / float(rho_q.sum()) / 100
+    ) < 1e-5
+    assert abs(
+        r.ess - float(rho_q.sum()) ** 2 / float((rho_q**2).sum())
+    ) < 1e-3
+    assert abs(r.max_weight - rho_q.max() / 1e6) < 1e-9
+    # diagnostics behave: ESS cannot exceed n; SNIPS within range
+    assert r.ess <= n
+    assert 0 <= r.v_snips <= rc.max() / 100
