@@ -4607,3 +4607,112 @@ def ips_offline_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_weight"
         ),
     )
+
+
+# --- Fellegi-Sunter probabilistic record linkage ----------------------------
+
+# A "dirty second source" B is synthesized from customer by pure
+# modular corruption (portable SQL — no hash functions needed):
+#   f1  (id-derived code 0..96):     +1 mod 97 when ck % 7 == 0
+#   seg (market segment):            rotated when ck % 10 == 0
+#   balb (acctbal to nearest $100):  +100 when ck % 4 == 0
+# Ground truth: A.ck == B.ck. m/u probabilities are ESTIMATED from
+# the labeled blocked pairs with add-one smoothing (keeps every
+# ln(m/u) finite even in degenerate blocks), field weights are
+# 1e9-quantized lns, and the pair score is an exact int64 sum.
+_FS_ORACLE = """
+WITH a AS (
+    SELECT c_custkey AS ck,
+           c_custkey % 97 AS f1,
+           c_mktsegment AS seg,
+           c_nationkey AS nat,
+           CAST(round(c_acctbal / 100.0, 0) AS BIGINT) AS balb
+    FROM customer
+),
+b AS (
+    SELECT c_custkey AS ck,
+           CASE WHEN c_custkey % 7 = 0 THEN (c_custkey % 97 + 1) % 97
+                ELSE c_custkey % 97 END AS f1,
+           CASE WHEN c_custkey % 10 = 0
+                THEN CASE c_mktsegment
+                     WHEN 'AUTOMOBILE' THEN 'BUILDING'
+                     WHEN 'BUILDING' THEN 'FURNITURE'
+                     WHEN 'FURNITURE' THEN 'HOUSEHOLD'
+                     WHEN 'HOUSEHOLD' THEN 'MACHINERY'
+                     ELSE 'AUTOMOBILE' END
+                ELSE c_mktsegment END AS seg,
+           c_nationkey AS nat,
+           CAST(round(c_acctbal / 100.0, 0) AS BIGINT)
+           + CASE WHEN c_custkey % 4 = 0 THEN 1 ELSE 0 END AS balb
+    FROM customer
+),
+pairs AS (
+    SELECT a.ck AS ck_a, b.ck AS ck_b,
+           CASE WHEN a.ck = b.ck THEN 1 ELSE 0 END AS is_match,
+           CASE WHEN a.f1 = b.f1 THEN 1 ELSE 0 END AS g1,
+           CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS g2,
+           CASE WHEN a.balb = b.balb THEN 1 ELSE 0 END AS g3
+    FROM a JOIN b ON a.nat = b.nat
+),
+est AS (
+    SELECT
+        CAST(sum(is_match) AS BIGINT) AS nm,
+        CAST(sum(1 - is_match) AS BIGINT) AS nu,
+        CAST(sum(CASE WHEN is_match = 1 THEN g1 ELSE 0 END) AS BIGINT) AS m1c,
+        CAST(sum(CASE WHEN is_match = 0 THEN g1 ELSE 0 END) AS BIGINT) AS u1c,
+        CAST(sum(CASE WHEN is_match = 1 THEN g2 ELSE 0 END) AS BIGINT) AS m2c,
+        CAST(sum(CASE WHEN is_match = 0 THEN g2 ELSE 0 END) AS BIGINT) AS u2c,
+        CAST(sum(CASE WHEN is_match = 1 THEN g3 ELSE 0 END) AS BIGINT) AS m3c,
+        CAST(sum(CASE WHEN is_match = 0 THEN g3 ELSE 0 END) AS BIGINT) AS u3c
+    FROM pairs
+),
+wts AS (
+    -- integer-product ratios with one DOUBLE cast each: x.y
+    -- literals parse as DECIMAL in Spark but DOUBLE in DuckDB, so
+    -- the arithmetic must never touch a bare float literal
+    SELECT
+        CAST(floor(1e9 * ln((CAST((m1c + 1) AS DOUBLE) * (nu + 2)) / (CAST((u1c + 1) AS DOUBLE) * (nm + 2)))) AS BIGINT) AS w1a,
+        CAST(floor(1e9 * ln((CAST((nm + 1 - m1c) AS DOUBLE) * (nu + 2)) / (CAST((nu + 1 - u1c) AS DOUBLE) * (nm + 2)))) AS BIGINT) AS w1d,
+        CAST(floor(1e9 * ln((CAST((m2c + 1) AS DOUBLE) * (nu + 2)) / (CAST((u2c + 1) AS DOUBLE) * (nm + 2)))) AS BIGINT) AS w2a,
+        CAST(floor(1e9 * ln((CAST((nm + 1 - m2c) AS DOUBLE) * (nu + 2)) / (CAST((nu + 1 - u2c) AS DOUBLE) * (nm + 2)))) AS BIGINT) AS w2d,
+        CAST(floor(1e9 * ln((CAST((m3c + 1) AS DOUBLE) * (nu + 2)) / (CAST((u3c + 1) AS DOUBLE) * (nm + 2)))) AS BIGINT) AS w3a,
+        CAST(floor(1e9 * ln((CAST((nm + 1 - m3c) AS DOUBLE) * (nu + 2)) / (CAST((nu + 1 - u3c) AS DOUBLE) * (nm + 2)))) AS BIGINT) AS w3d
+    FROM est
+),
+scored AS (
+    SELECT p.ck_a, p.ck_b, p.is_match,
+           p.g1 * 4 + p.g2 * 2 + p.g3 AS agree_pattern,
+           CAST((CASE WHEN p.g1 = 1 THEN w.w1a ELSE w.w1d END)
+              + (CASE WHEN p.g2 = 1 THEN w.w2a ELSE w.w2d END)
+              + (CASE WHEN p.g3 = 1 THEN w.w3a ELSE w.w3d END)
+                AS BIGINT) AS score_q
+    FROM pairs p CROSS JOIN wts w
+)
+SELECT ck_a, ck_b, agree_pattern, score_q,
+       CAST(is_match AS BOOLEAN) AS is_true_match
+FROM scored
+WHERE score_q > 0
+"""
+
+
+@query("fellegi_sunter_linkage", _FS_ORACLE)
+def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage — the statistical
+    upgrade over entity_match_fuzzy's fixed edit-distance threshold:
+    per-field agreement weights ln(m/u) (agree) and ln((1−m)/(1−u))
+    (disagree) learned from labeled pairs, summed into a pair score,
+    thresholded at 0 — the Splink/industry-standard formulation in
+    its exactly-checkable supervised form. A corrupted twin source is
+    planted by modular arithmetic (field typo rates 1/7, 1/10, 1/4);
+    blocking on nation kills the quadratic (the entity_match
+    convention); m/u estimate with add-one smoothing so every weight
+    stays finite; weights are 1e9-quantized lns and scores exact
+    int64 sums. The emitted relation is the score>0 classification
+    itself WITH ground truth riding along, so the driver hash pins
+    the linkage quality, not just the arithmetic. Identical SQL text
+    on both engines; pure-Python pin incl. precision/recall bounds in
+    tests/test_properties.py."""
+    from ..sources.batch import register_views
+
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(_FS_ORACLE)

@@ -1719,3 +1719,90 @@ def test_ips_offline_eval_matches_pure_python(spark, sf_smoke):
     # diagnostics behave: ESS cannot exceed n; SNIPS within range
     assert r.ess <= n
     assert 0 <= r.v_snips <= rc.max() / 100
+
+
+def test_fellegi_sunter_matches_pure_python(spark, sf_smoke):
+    """fellegi_sunter_linkage recomputed from first principles in
+    Python (dict counts, math.log weights); also pins linkage QUALITY:
+    precision and recall of the score>0 rule on the planted truth."""
+    import math
+
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    cust = pd.read_parquet(f"{sf_smoke}/customer.parquet")
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+            "MACHINERY"]
+    rot = dict(zip(segs, segs[1:] + segs[:1]))
+    A, B = {}, {}
+    for r in cust.itertuples():
+        ck = r.c_custkey
+        balb = round(r.c_acctbal / 100.0)
+        A[ck] = (ck % 97, r.c_mktsegment, r.c_nationkey, balb)
+        B[ck] = (
+            (ck % 97 + 1) % 97 if ck % 7 == 0 else ck % 97,
+            rot.get(r.c_mktsegment, "AUTOMOBILE")
+            if ck % 10 == 0
+            else r.c_mktsegment,
+            r.c_nationkey,
+            balb + (1 if ck % 4 == 0 else 0),
+        )
+    by_nat = {}
+    for ck, (f1, seg, nat, bal) in A.items():
+        by_nat.setdefault(nat, []).append(ck)
+    nm = nu = 0
+    mc = [0, 0, 0]
+    uc = [0, 0, 0]
+    pairs = []
+    for nat, members in by_nat.items():
+        for ca in members:
+            for cb in members:
+                g = (
+                    A[ca][0] == B[cb][0],
+                    A[ca][1] == B[cb][1],
+                    A[ca][3] == B[cb][3],
+                )
+                m = ca == cb
+                pairs.append((ca, cb, g, m))
+                if m:
+                    nm += 1
+                    for i in range(3):
+                        mc[i] += g[i]
+                else:
+                    nu += 1
+                    for i in range(3):
+                        uc[i] += g[i]
+    wa = [
+        math.floor(1e9 * math.log(
+            ((mc[i] + 1) * (nu + 2)) / ((uc[i] + 1) * (nm + 2))
+        ))
+        for i in range(3)
+    ]
+    wd = [
+        math.floor(1e9 * math.log(
+            ((nm + 1 - mc[i]) * (nu + 2)) / ((nu + 1 - uc[i]) * (nm + 2))
+        ))
+        for i in range(3)
+    ]
+    want = {}
+    for ca, cb, g, m in pairs:
+        s = sum(wa[i] if g[i] else wd[i] for i in range(3))
+        if s > 0:
+            want[(ca, cb)] = (s, m)
+    out = registry.QUERIES["fellegi_sunter_linkage"](
+        spark, sf_smoke
+    ).toPandas()
+    got = {
+        (r.ck_a, r.ck_b): (r.score_q, r.is_true_match)
+        for r in out.itertuples()
+    }
+    assert got == want
+    # linkage quality on the planted truth
+    tp = sum(1 for s, m in got.values() if m)
+    fp = len(got) - tp
+    recall = tp / nm
+    precision = tp / (tp + fp)
+    assert recall > 0.85, recall
+    assert precision > 0.3, precision
