@@ -4716,3 +4716,85 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("customer",))
     return spark.sql(_FS_ORACLE)
+
+
+# --- Rolling-origin forecast backtest ---------------------------------------
+
+# Three closed-form forecasters backtested per origin day with pure
+# window functions: naive (yesterday), seasonal-naive (7 days ago),
+# and the trailing-7-day mean. Errors are exact integer cents
+# (|forecast_cents - actual_cents|); only the final MAE/MAPE divide.
+_BACKTEST_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS DECIMAL(38,0)))
+                AS BIGINT) AS rev
+    FROM orders GROUP BY 1
+),
+f AS (
+    SELECT day, rev,
+           lag(rev, 1) OVER w AS f_naive,
+           lag(rev, 7) OVER w AS f_seasonal,
+           CAST(floor(CAST(sum(rev) OVER (ORDER BY day
+                               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+                           AS DOUBLE)
+                      / count(rev) OVER (ORDER BY day
+                               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+                AS BIGINT) AS f_mean7
+    FROM daily
+    WINDOW w AS (ORDER BY day)
+),
+e AS (
+    SELECT day, rev, f_naive, f_seasonal, f_mean7,
+           abs(rev - f_naive) AS e_naive,
+           abs(rev - f_seasonal) AS e_seasonal,
+           abs(rev - f_mean7) AS e_mean7
+    FROM f WHERE f_seasonal IS NOT NULL
+)
+SELECT
+    CAST(count(*) AS BIGINT) AS n_origins,
+    round(CAST(sum(e_naive) AS DOUBLE) / 100.0 / count(*), 6)
+        AS mae_naive,
+    round(CAST(sum(e_seasonal) AS DOUBLE) / 100.0 / count(*), 6)
+        AS mae_seasonal,
+    round(CAST(sum(e_mean7) AS DOUBLE) / 100.0 / count(*), 6)
+        AS mae_mean7,
+    round(CAST(sum(CAST(floor(CAST(e_naive AS DOUBLE) * 1e6 / rev)
+                        AS BIGINT))
+               AS DOUBLE) / 1e6 / count(*), 6) AS mape_naive,
+    round(CAST(sum(CAST(floor(CAST(e_seasonal AS DOUBLE) * 1e6 / rev)
+                        AS BIGINT))
+               AS DOUBLE) / 1e6 / count(*), 6) AS mape_seasonal,
+    round(CAST(sum(CAST(floor(CAST(e_mean7 AS DOUBLE) * 1e6 / rev)
+                        AS BIGINT))
+               AS DOUBLE) / 1e6 / count(*), 6) AS mape_mean7,
+    CASE
+        WHEN sum(e_mean7) <= sum(e_naive)
+         AND sum(e_mean7) <= sum(e_seasonal) THEN 'mean7'
+        WHEN sum(e_naive) <= sum(e_seasonal) THEN 'naive'
+        ELSE 'seasonal' END AS best_by_mae
+FROM e
+"""
+
+
+@query("forecast_backtest_rolling", _BACKTEST_ORACLE)
+def forecast_backtest_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast backtest — the model-selection harness
+    the forecasting family (ewma/holt/seasonal_decompose) feeds into:
+    for EVERY origin day, forecast the next day with three closed-form
+    baselines (naive last-value, 7-day seasonal naive, trailing-7
+    mean) using only data strictly before the origin (the rolling-
+    origin protocol that makes backtest honest — no lookahead by
+    construction of the window frames), then score MAE and MAPE over
+    all origins and name the winner. Every forecast and error is
+    exact integer cents (the trailing mean floors to a cent; MAPE
+    ratios go through 1e-6-floor integer division), so the whole
+    backtest — including the argmin winner — hash-checks
+    cross-engine. One scan to the day table; three lag/frame windows
+    over ~rows=days; a 1-row verdict. At 100 TB the day table IS the
+    bottleneck's ceiling (calendar-bounded). Identical SQL text on
+    both engines; pandas pin in tests/test_properties.py."""
+    from ..sources.batch import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_BACKTEST_ORACLE)

@@ -1806,3 +1806,54 @@ def test_fellegi_sunter_matches_pure_python(spark, sf_smoke):
     precision = tp / (tp + fp)
     assert recall > 0.85, recall
     assert precision > 0.3, precision
+
+
+def test_forecast_backtest_matches_pandas(spark, sf_smoke):
+    """forecast_backtest_rolling recomputed with pandas shifts/rolling
+    — pins the no-lookahead frames, the exact cent errors, and the
+    winner verdict."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    orders = pd.read_parquet(f"{sf_smoke}/orders.parquet")
+    daily = (
+        orders.assign(
+            day=pd.to_datetime(orders["o_orderdate"]).dt.normalize(),
+            cents=np.round(orders["o_totalprice"] * 100).astype("int64"),
+        )
+        .groupby("day")["cents"]
+        .sum()
+        .sort_index()
+    )
+    f_naive = daily.shift(1)
+    f_seasonal = daily.shift(7)
+    f_mean7 = (
+        daily.rolling(7, min_periods=1).sum().shift(1)
+        / daily.rolling(7, min_periods=1).count().shift(1)
+    ).apply(np.floor)
+    mask = f_seasonal.notna()
+    [r] = registry.QUERIES["forecast_backtest_rolling"](
+        spark, sf_smoke
+    ).collect()
+    assert r.n_origins == int(mask.sum())
+    maes = {}
+    for name, fc in (
+        ("naive", f_naive),
+        ("seasonal", f_seasonal),
+        ("mean7", f_mean7),
+    ):
+        e = (daily[mask] - fc[mask]).abs()
+        mae = e.sum() / 100.0 / mask.sum()
+        maes[name] = e.sum()
+        assert abs(getattr(r, f"mae_{name}") - mae) < 1e-4, name
+        mape = (
+            np.floor(e * 1e6 / daily[mask]).sum() / 1e6 / mask.sum()
+        )
+        assert abs(getattr(r, f"mape_{name}") - mape) < 1e-5, name
+    best = min(
+        ["mean7", "naive", "seasonal"], key=lambda k: maes[k]
+    )
+    assert r.best_by_mae == best
