@@ -4798,3 +4798,74 @@ def forecast_backtest_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("orders",))
     return spark.sql(_BACKTEST_ORACLE)
+
+
+# --- Qini uplift curve (targeting-policy evaluation) ------------------------
+
+_QINI_ORACLE = """
+WITH u AS (
+    SELECT user_id,
+           CAST(user_id % 2 AS INTEGER) AS arm,
+           CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                         THEN CAST(round(value * 100, 0) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS x,
+           CAST(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                         THEN CAST(round(value * 100, 0) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS y
+    FROM events WHERE value IS NOT NULL
+    GROUP BY user_id
+),
+d AS (
+    SELECT user_id, arm, x, y,
+           ntile(10) OVER (ORDER BY x DESC, user_id) AS decile
+    FROM u
+),
+per AS (
+    SELECT decile,
+           CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+           CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+           CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS yt,
+           CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS yc
+    FROM d GROUP BY decile
+),
+cum AS (
+    SELECT decile, nt, nc, yt, yc,
+           CAST(sum(nt) OVER w AS BIGINT) AS nt_c,
+           CAST(sum(nc) OVER w AS BIGINT) AS nc_c,
+           CAST(sum(yt) OVER w AS BIGINT) AS yt_c,
+           CAST(sum(yc) OVER w AS BIGINT) AS yc_c
+    FROM per
+    WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+)
+SELECT CAST(decile AS BIGINT) AS decile, nt, nc, yt, yc,
+       round((CAST(yt_c AS DOUBLE)
+              - CAST(yc_c AS DOUBLE) * nt_c / nc_c) / 100.0, 6)
+           AS qini_value,
+       round(CAST(yt_c AS DOUBLE) / nt_c / 100.0
+             - CAST(yc_c AS DOUBLE) / nc_c / 100.0, 6)
+           AS cum_uplift_per_user
+FROM cum
+ORDER BY decile
+"""
+
+
+@query("uplift_qini_deciles", _QINI_ORACLE)
+def uplift_qini_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini uplift curve — the evaluation every targeting/uplift model
+    gets judged on (who should receive the treatment, not who will
+    respond anyway): users ranked into deciles by the deterministic
+    targeting score (pre-period spend — the CUPED covariate doing a
+    second job), and each cumulative prefix scored with the Qini
+    increment Ytᶜ − Ycᶜ·Ntᶜ/Ncᶜ (incremental response over the
+    control-scaled counterfactual) plus the per-user cumulative
+    uplift. A score with real signal bends the curve above the
+    diagonal in the top deciles. One user-keyed shuffle for (X, Y),
+    one global ntile over USERS (swap in the equidepth-histogram rank
+    at 100 TB — documented on quality_percentile_filter), a 10-row
+    cumulative window. All counts/sums exact int64; the two final
+    ratios are fixed expressions. Identical SQL text on both engines;
+    pandas pin in tests/test_properties.py."""
+    from ..sources.batch import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_QINI_ORACLE)

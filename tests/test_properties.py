@@ -1857,3 +1857,60 @@ def test_forecast_backtest_matches_pandas(spark, sf_smoke):
         ["mean7", "naive", "seasonal"], key=lambda k: maes[k]
     )
     assert r.best_by_mae == best
+
+
+def test_uplift_qini_matches_pandas(spark, sf_smoke):
+    """uplift_qini_deciles recomputed with pandas qcut-free explicit
+    ntile (rank arithmetic) and direct cumulative Qini increments."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet")
+    ev = ev[ev["value"].notna()].copy()
+    ev["cents"] = np.round(ev["value"] * 100).astype("int64")
+    ev["pre"] = ev["ts"].dt.date < pd.Timestamp("2024-01-16").date()
+    per_user = pd.DataFrame(
+        {
+            "x": ev[ev["pre"]].groupby("user_id")["cents"].sum(),
+            "y": ev[~ev["pre"]].groupby("user_id")["cents"].sum(),
+        }
+    ).fillna(0).astype("int64")
+    per_user["arm"] = (per_user.index % 2).astype(int)
+    pu = per_user.sort_values(
+        ["x"], ascending=False, kind="mergesort"
+    )
+    # deterministic tie-break by user_id within equal x
+    pu = per_user.reset_index().sort_values(
+        ["x", "user_id"], ascending=[False, True]
+    )
+    n = len(pu)
+    # SQL ntile: first (n % 10) buckets get ceil(n/10)
+    base, extra = divmod(n, 10)
+    sizes = [base + 1 if i < extra else base for i in range(10)]
+    deciles = np.repeat(np.arange(1, 11), sizes)
+    pu["decile"] = deciles
+    out = registry.QUERIES["uplift_qini_deciles"](
+        spark, sf_smoke
+    ).toPandas().sort_values("decile")
+    nt_c = nc_c = yt_c = yc_c = 0
+    for i, dec in enumerate(range(1, 11)):
+        sub = pu[pu["decile"] == dec]
+        nt = int((sub["arm"] == 1).sum())
+        nc = int((sub["arm"] == 0).sum())
+        yt = int(sub.loc[sub["arm"] == 1, "y"].sum())
+        yc = int(sub.loc[sub["arm"] == 0, "y"].sum())
+        r = out.iloc[i]
+        assert (r["nt"], r["nc"], r["yt"], r["yc"]) == (nt, nc, yt, yc)
+        nt_c += nt
+        nc_c += nc
+        yt_c += yt
+        yc_c += yc
+        qini = (yt_c - yc_c * nt_c / nc_c) / 100.0
+        assert abs(r["qini_value"] - qini) < 1e-4, dec
+        assert abs(
+            r["cum_uplift_per_user"]
+            - (yt_c / nt_c / 100.0 - yc_c / nc_c / 100.0)
+        ) < 1e-4, dec
