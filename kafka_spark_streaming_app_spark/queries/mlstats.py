@@ -4838,12 +4838,17 @@ cum AS (
     WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
 )
 SELECT CAST(decile AS BIGINT) AS decile, nt, nc, yt, yc,
-       round((CAST(yt_c AS DOUBLE)
-              - CAST(yc_c AS DOUBLE) * nt_c / nc_c) / 100.0, 6)
-           AS qini_value,
-       round(CAST(yt_c AS DOUBLE) / nt_c / 100.0
-             - CAST(yc_c AS DOUBLE) / nc_c / 100.0, 6)
-           AS cum_uplift_per_user
+       -- a prefix with no control (or no treated) users yet has no
+       -- counterfactual: NULL, never a division error (ANSI-safe at
+       -- tiny SFs where a decile can be single-arm)
+       CASE WHEN nc_c > 0 THEN
+           round((CAST(yt_c AS DOUBLE)
+                  - CAST(yc_c AS DOUBLE) * nt_c / nc_c) / 100.0, 6)
+       END AS qini_value,
+       CASE WHEN nc_c > 0 AND nt_c > 0 THEN
+           round(CAST(yt_c AS DOUBLE) / nt_c / 100.0
+                 - CAST(yc_c AS DOUBLE) / nc_c / 100.0, 6)
+       END AS cum_uplift_per_user
 FROM cum
 ORDER BY decile
 """

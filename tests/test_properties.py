@@ -1908,9 +1908,13 @@ def test_uplift_qini_matches_pandas(spark, sf_smoke):
         nc_c += nc
         yt_c += yt
         yc_c += yc
+        if nc_c == 0:
+            assert pd.isna(r["qini_value"])
+            continue
         qini = (yt_c - yc_c * nt_c / nc_c) / 100.0
         assert abs(r["qini_value"] - qini) < 1e-4, dec
-        assert abs(
-            r["cum_uplift_per_user"]
-            - (yt_c / nt_c / 100.0 - yc_c / nc_c / 100.0)
-        ) < 1e-4, dec
+        if nt_c > 0:
+            assert abs(
+                r["cum_uplift_per_user"]
+                - (yt_c / nt_c / 100.0 - yc_c / nc_c / 100.0)
+            ) < 1e-4, dec
