@@ -4874,3 +4874,103 @@ def uplift_qini_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_QINI_ORACLE)
+
+
+# --- Shapley attribution for the linear pricing model -----------------------
+
+# For a linear model with feature-independence, the Shapley value has
+# the exact closed form φ_j(x) = β_j (x_j − x̄_j) — no sampling, no
+# approximation. β comes from the centered-covariance closed form of
+# the 2-feature OLS (price ~ quantity + discount, the ridge feature
+# set at λ=0), every covariance an exact DECIMAL(38,0) sum; each
+# row's |φ| is 1e-6-floor-quantized so group means are exact-int
+# ratios.
+_SHAP_ORACLE = """
+WITH t AS (
+    SELECT l_returnflag,
+           CAST(l_quantity AS BIGINT) AS q,
+           CAST(round(l_discount * 100, 0) AS BIGINT) AS d,
+           CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS yc
+    FROM lineitem
+),
+s AS (
+    SELECT
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(q AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sq,
+        CAST(sum(CAST(d AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sd,
+        CAST(sum(CAST(yc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+        CAST(sum(CAST(q AS DECIMAL(38,0)) * q) AS DECIMAL(38,0)) AS sqq,
+        CAST(sum(CAST(d AS DECIMAL(38,0)) * d) AS DECIMAL(38,0)) AS sdd,
+        CAST(sum(CAST(q AS DECIMAL(38,0)) * d) AS DECIMAL(38,0)) AS sqd,
+        CAST(sum(CAST(q AS DECIMAL(38,0)) * yc) AS DECIMAL(38,0)) AS sqy,
+        CAST(sum(CAST(d AS DECIMAL(38,0)) * yc) AS DECIMAL(38,0)) AS sdy
+    FROM t
+),
+b AS (
+    SELECT n,
+        CAST(sq AS DOUBLE) / n AS mq,
+        CAST(sd AS DOUBLE) / n AS md,
+        ((CAST(sqy AS DOUBLE) - CAST(sq AS DOUBLE) * sy / n)
+         * (CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * sd / n)
+         - (CAST(sdy AS DOUBLE) - CAST(sd AS DOUBLE) * sy / n)
+         * (CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE) * sd / n))
+        / ((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / n)
+           * (CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * sd / n)
+           - (CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE) * sd / n)
+           * (CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE) * sd / n))
+            AS beta_q,
+        ((CAST(sdy AS DOUBLE) - CAST(sd AS DOUBLE) * sy / n)
+         * (CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / n)
+         - (CAST(sqy AS DOUBLE) - CAST(sq AS DOUBLE) * sy / n)
+         * (CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE) * sd / n))
+        / ((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / n)
+           * (CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * sd / n)
+           - (CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE) * sd / n)
+           * (CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE) * sd / n))
+            AS beta_d
+    FROM s
+),
+phi AS (
+    SELECT t.l_returnflag,
+           CAST(floor(1e6 * abs(b.beta_q * (t.q - b.mq))) AS BIGINT)
+               AS aq,
+           CAST(floor(1e6 * abs(b.beta_d * (t.d - b.md))) AS BIGINT)
+               AS ad,
+           b.beta_q AS beta_q, b.beta_d AS beta_d
+    FROM t CROSS JOIN b
+)
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(max(beta_q) / 100.0, 6) AS beta_qty,
+       round(max(beta_d) / 100.0, 6) AS beta_disc,
+       round(CAST(sum(aq) AS DOUBLE) / 1e6 / 100.0 / count(*), 6)
+           AS mean_abs_shap_qty,
+       round(CAST(sum(ad) AS DOUBLE) / 1e6 / 100.0 / count(*), 6)
+           AS mean_abs_shap_disc,
+       CAST(sum(aq) AS DOUBLE) > CAST(sum(ad) AS DOUBLE)
+           AS qty_dominates
+FROM phi GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("shapley_ols_attribution", _SHAP_ORACLE)
+def shapley_ols_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley attribution for the linear pricing model — the
+    explainability primitive in the one case it needs no sampling: for
+    a linear model with the independence convention, φⱼ(x) =
+    βⱼ(xⱼ − x̄ⱼ) EXACTLY (the Shapley axioms collapse to this closed
+    form), so global feature importance mean|φⱼ| is computable at
+    corpus scale in two scans: one for the centered-covariance OLS
+    closed form (exact DECIMAL sufficient statistics, Cramer 2×2),
+    one for the per-row attributions (1e-6-quantized |φ| so group
+    means are exact-integer ratios; β broadcast as a 1-row cross
+    join). Per return-flag output answers 'which feature drives
+    price, and does that differ by segment' — mean|φ_qty| vs
+    mean|φ_disc| with the dominance verdict hash-pinned. Identical
+    SQL text on both engines; numpy/sklearn-free pin with the
+    lstsq cross-check in tests/test_properties.py."""
+    from ..sources.batch import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_SHAP_ORACLE)

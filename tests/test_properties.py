@@ -1918,3 +1918,45 @@ def test_uplift_qini_matches_pandas(spark, sf_smoke):
                 r["cum_uplift_per_user"]
                 - (yt_c / nt_c / 100.0 - yc_c / nc_c / 100.0)
             ) < 1e-4, dec
+
+
+def test_shapley_ols_matches_numpy_lstsq(spark, sf_smoke):
+    """shapley_ols_attribution pinned against numpy lstsq betas (a
+    different solver than the Cramer closed form) and direct
+    mean|beta*(x-mean)| attribution."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    li = pd.read_parquet(f"{sf_smoke}/lineitem.parquet")
+    q = li["l_quantity"].to_numpy(dtype=np.float64)
+    d = np.round(li["l_discount"] * 100).astype("int64").to_numpy(
+        dtype=np.float64
+    )
+    y = np.round(li["l_extendedprice"] * 100).astype("int64").to_numpy(
+        dtype=np.float64
+    )
+    X = np.column_stack([np.ones(len(q)), q, d])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    out = registry.QUERIES["shapley_ols_attribution"](
+        spark, sf_smoke
+    ).toPandas().set_index("l_returnflag")
+    phi_q = np.abs(beta[1] * (q - q.mean()))
+    phi_d = np.abs(beta[2] * (d - d.mean()))
+    flags = li["l_returnflag"].to_numpy()
+    assert len(out) == len(set(flags))
+    for f in set(flags):
+        m = flags == f
+        r = out.loc[f]
+        assert r["n"] == int(m.sum())
+        assert abs(r["beta_qty"] - beta[1] / 100) < 1e-4
+        assert abs(r["beta_disc"] - beta[2] / 100) < 1e-4
+        assert abs(
+            r["mean_abs_shap_qty"] - phi_q[m].mean() / 100
+        ) < 1e-3 * max(1, phi_q[m].mean() / 100)
+        assert abs(
+            r["mean_abs_shap_disc"] - phi_d[m].mean() / 100
+        ) < 1e-3 * max(1, phi_d[m].mean() / 100)
+        assert r["qty_dominates"] == (phi_q[m].sum() > phi_d[m].sum())
