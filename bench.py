@@ -216,6 +216,12 @@ HEADLINE = [
     "lsa_top_terms",
     "kneser_ney_perplexity",
     "multimodal_image_resize",
+    "grouped_median_center_arrow",
+    "ips_offline_eval",
+    "fellegi_sunter_linkage",
+    "forecast_backtest_rolling",
+    "uplift_qini_deciles",
+    "shapley_ols_attribution",
 ]
 
 

@@ -147,6 +147,11 @@ NOTES = {
     "kneser_ney_perplexity": "Bigram TYPE relation (one explode + lag window), four type-keyed aggs, three joins back; ln runs |types| times, weighted by exact counts.",
     "multimodal_image_resize": "Real PNG decode + integer index-map resample in Arrow mapInPandas; zero shuffle; output serializes every pixel.",
     "grouped_median_center_arrow": "Grouped applyInArrow: one event_type shuffle, whole group as a pyarrow Table, exact 2v-(m_lo+m_hi) integer contract.",
+    "ips_offline_eval": "One scan, one aggregation row: per-row importance ratios are exact int64 products quantized once; no joins at all.",
+    "fellegi_sunter_linkage": "Nation-blocked pair join (the quadratic-killer), 1-row m/u estimate broadcast back as weights; score>0 filter before output.",
+    "forecast_backtest_rolling": "One scan to the calendar-bounded day table; three lag/frame windows; 1-row verdict with the argmin winner in-plan.",
+    "uplift_qini_deciles": "User-keyed (X,Y) agg, one global ntile over users (equidepth-histogram rank at 100 TB), 10-row cumulative window.",
+    "shapley_ols_attribution": "Two scans: exact DECIMAL covariance row (broadcast), then per-row quantized |phi| folded per flag — explainability at scan cost.",
 }
 
 
