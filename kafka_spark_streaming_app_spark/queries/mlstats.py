@@ -4974,3 +4974,83 @@ def shapley_ols_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("lineitem",))
     return spark.sql(_SHAP_ORACLE)
+
+
+# --- Difference-in-differences --------------------------------------------
+
+_DID_CELL = ",\n        ".join(
+    f"CAST(sum(CASE WHEN arm = {a} AND post = {p} THEN 1 ELSE 0 END)"
+    f" AS BIGINT) AS n{a}{p},\n        "
+    f"CAST(sum(CASE WHEN arm = {a} AND post = {p} THEN vc ELSE 0 END)"
+    f" AS DECIMAL(38,0)) AS s{a}{p},\n        "
+    f"CAST(sum(CASE WHEN arm = {a} AND post = {p}"
+    f" THEN CAST(vc AS DECIMAL(38,0)) * vc ELSE 0 END)"
+    f" AS DECIMAL(38,0)) AS ss{a}{p}"
+    for a in (0, 1)
+    for p in (0, 1)
+)
+
+_DID_ORACLE = f"""
+WITH t AS (
+    SELECT CAST(user_id % 2 AS INTEGER) AS arm,
+           CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                THEN 1 ELSE 0 END AS post,
+           CAST(round(value * 100, 0) AS BIGINT) AS vc
+    FROM events WHERE value IS NOT NULL
+),
+p AS (
+    SELECT
+        {_DID_CELL}
+    FROM t
+),
+m AS (
+    SELECT *,
+        CAST(s00 AS DOUBLE) / 100.0 / n00 AS m00,
+        CAST(s01 AS DOUBLE) / 100.0 / n01 AS m01,
+        CAST(s10 AS DOUBLE) / 100.0 / n10 AS m10,
+        CAST(s11 AS DOUBLE) / 100.0 / n11 AS m11,
+        (CAST(ss00 AS DOUBLE) / 10000.0
+         - (CAST(s00 AS DOUBLE) / 100.0) * (CAST(s00 AS DOUBLE) / 100.0)
+           / n00) / (n00 - 1) / n00
+        + (CAST(ss01 AS DOUBLE) / 10000.0
+         - (CAST(s01 AS DOUBLE) / 100.0) * (CAST(s01 AS DOUBLE) / 100.0)
+           / n01) / (n01 - 1) / n01
+        + (CAST(ss10 AS DOUBLE) / 10000.0
+         - (CAST(s10 AS DOUBLE) / 100.0) * (CAST(s10 AS DOUBLE) / 100.0)
+           / n10) / (n10 - 1) / n10
+        + (CAST(ss11 AS DOUBLE) / 10000.0
+         - (CAST(s11 AS DOUBLE) / 100.0) * (CAST(s11 AS DOUBLE) / 100.0)
+           / n11) / (n11 - 1) / n11 AS var_did
+    FROM p
+)
+SELECT n00, n01, n10, n11,
+       round(m00, 6) AS mean_ctrl_pre,
+       round(m01, 6) AS mean_ctrl_post,
+       round(m10, 6) AS mean_treat_pre,
+       round(m11, 6) AS mean_treat_post,
+       round((m11 - m10) - (m01 - m00), 6) AS did_estimate,
+       round(sqrt(var_did), 6) AS did_se,
+       round(((m11 - m10) - (m01 - m00)) / sqrt(var_did), 6) AS did_z,
+       abs(((m11 - m10) - (m01 - m00)) / sqrt(var_did))
+           > 1.959963984540054 AS significant_5pct
+FROM m
+"""
+
+
+@query("did_estimator", _DID_ORACLE)
+def did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the workhorse causal estimator when
+    only observational before/after data exists: the treatment effect
+    is (ΔY_treated) − (ΔY_control), which cancels both the permanent
+    group difference and the common time trend (the parallel-trends
+    identification). Cells: arm × pre/post on the fixture's Jan-16
+    split; the SE is the four-cell independent-means form
+    √(Σ var/n), z against the literature 1.96. One scan pivots all
+    four cells' exact integer-cents (n, Σv, Σv²) into ONE row; every
+    derived double is a fixed expression (the anova/cuped
+    discipline). Identical SQL text on both engines; numpy pin in
+    tests/test_properties.py."""
+    from ..sources.batch import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_DID_ORACLE)

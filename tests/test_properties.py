@@ -1960,3 +1960,37 @@ def test_shapley_ols_matches_numpy_lstsq(spark, sf_smoke):
             r["mean_abs_shap_disc"] - phi_d[m].mean() / 100
         ) < 1e-3 * max(1, phi_d[m].mean() / 100)
         assert r["qty_dominates"] == (phi_q[m].sum() > phi_d[m].sum())
+
+
+def test_did_estimator_matches_numpy(spark, sf_smoke):
+    """did_estimator recomputed with numpy cell arrays."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet")
+    ev = ev[ev["value"].notna()].copy()
+    ev["v"] = np.round(ev["value"] * 100) / 100.0
+    ev["arm"] = (ev["user_id"] % 2).astype(int)
+    ev["post"] = (
+        ev["ts"].dt.date >= pd.Timestamp("2024-01-16").date()
+    ).astype(int)
+    cells = {
+        (a, p): ev.loc[(ev["arm"] == a) & (ev["post"] == p), "v"]
+        for a in (0, 1)
+        for p in (0, 1)
+    }
+    [r] = registry.QUERIES["did_estimator"](spark, sf_smoke).collect()
+    for (a, p), v in cells.items():
+        assert getattr(r, f"n{a}{p}") == len(v)
+    m = {k: v.mean() for k, v in cells.items()}
+    did = (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])
+    var = sum(v.var(ddof=1) / len(v) for v in cells.values())
+    assert abs(r.did_estimate - did) < 1e-4
+    assert abs(r.did_se - math.sqrt(var)) < 1e-4
+    assert abs(r.did_z - did / math.sqrt(var)) < 1e-3
+    assert r.significant_5pct == (abs(did / math.sqrt(var)) > 1.96)
