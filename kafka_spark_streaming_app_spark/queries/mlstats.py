@@ -5054,3 +5054,112 @@ def did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_DID_ORACLE)
+
+
+# --- Exact Shapley channel attribution (marketing coalition game) -----------
+
+# 4 touchpoint channels -> 16 coalitions, so the Shapley sum is EXACT
+# enumeration, no sampling: weights |S|!(3-|S|)!/4! scale to integers
+# {6,2,2,6}/24. Coalition value v(S) = conversions reachable with the
+# channels of S alone (converted users whose touchpoint set ⊆ S).
+_SHAPCH_COALITIONS = (
+    "(0, 0), (1, 1), (2, 1), (3, 2), (4, 1), (5, 2), (6, 2), (7, 3), "
+    "(8, 1), (9, 2), (10, 2), (11, 3), (12, 2), (13, 3), (14, 3), (15, 4)"
+)
+_SHAPCH_CHANNELS = "(1, 'click'), (2, 'error'), (4, 'signup'), (8, 'view')"
+
+_SHAPCH_ORACLE = f"""
+WITH fp AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_p
+    FROM events GROUP BY user_id
+),
+um AS (
+    SELECT e.user_id,
+           CAST(max(CASE WHEN e.event_type = 'click'
+                          AND (fp.first_p IS NULL OR e.ts < fp.first_p)
+                         THEN 1 ELSE 0 END) * 1
+              + max(CASE WHEN e.event_type = 'error'
+                          AND (fp.first_p IS NULL OR e.ts < fp.first_p)
+                         THEN 1 ELSE 0 END) * 2
+              + max(CASE WHEN e.event_type = 'signup'
+                          AND (fp.first_p IS NULL OR e.ts < fp.first_p)
+                         THEN 1 ELSE 0 END) * 4
+              + max(CASE WHEN e.event_type = 'view'
+                          AND (fp.first_p IS NULL OR e.ts < fp.first_p)
+                         THEN 1 ELSE 0 END) * 8 AS INTEGER) AS mask,
+           CAST(max(CASE WHEN fp.first_p IS NOT NULL THEN 1 ELSE 0 END)
+                AS INTEGER) AS conv
+    FROM events e JOIN fp ON fp.user_id = e.user_id
+    GROUP BY e.user_id
+),
+cnt AS (
+    SELECT mask, CAST(sum(conv) AS BIGINT) AS conv,
+           CAST(count(*) AS BIGINT) AS users
+    FROM um GROUP BY mask
+),
+coalitions AS (
+    SELECT * FROM (VALUES {_SHAPCH_COALITIONS}) AS t(s, card)
+),
+channels AS (
+    SELECT * FROM (VALUES {_SHAPCH_CHANNELS}) AS t(bit, channel)
+),
+cv AS (
+    SELECT c.s, c.card,
+           CAST(sum(CASE WHEN (m.mask & (15 - c.s)) = 0 THEN m.conv
+                         ELSE 0 END) AS BIGINT) AS conv
+    FROM coalitions c CROSS JOIN cnt m
+    GROUP BY c.s, c.card
+),
+phi AS (
+    SELECT ch.channel,
+           CAST(sum(CASE c.card WHEN 0 THEN 6 WHEN 1 THEN 2
+                                WHEN 2 THEN 2 ELSE 6 END
+                    * (cvj.conv - cv.conv)) AS BIGINT) AS phi24
+    FROM channels ch
+    JOIN coalitions c ON (c.s & ch.bit) = 0
+    JOIN cv ON cv.s = c.s
+    JOIN cv cvj ON cvj.s = c.s + ch.bit
+    GROUP BY ch.channel
+),
+tot AS (
+    SELECT max(CASE WHEN s = 15 THEN conv END) AS v_full,
+           max(CASE WHEN s = 0 THEN conv END) AS v_empty
+    FROM cv
+)
+SELECT p.channel,
+       round(CAST(p.phi24 AS DOUBLE) / 24.0, 6) AS shapley_conversions,
+       round(CAST(p.phi24 AS DOUBLE)
+             / (24.0 * (t.v_full - t.v_empty)), 6) AS share,
+       t.v_full AS conversions_with_all,
+       t.v_empty AS conversions_direct
+FROM phi p CROSS JOIN tot t
+ORDER BY p.channel
+"""
+
+
+@query("shapley_channel_attribution", _SHAPCH_ORACLE)
+def shapley_channel_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shapley-value marketing attribution — the game-theoretic
+    upgrade over attribution_linear's positional rules: each
+    conversion is a coalition game over the touchpoint channels the
+    user saw before first purchase, v(S) = conversions reachable with
+    the channels of S alone, and channel j earns
+    φⱼ = Σ_{S∌j} |S|!(n−1−|S|)!/n!·(v(S∪j)−v(S)). With 4 channels
+    the 16 coalitions enumerate EXACTLY (weights scale to integers
+    {6,2,2,6}/24 — no sampling, the reason Shapley attribution is
+    tractable for marketing's handful of channels while model
+    explainability needs approximations). The corpus-sized work is
+    two user-keyed aggregations (first-purchase timestamp, then the
+    4-bit touchpoint mask + conversion flag); everything after runs
+    on the 16-row mask-count table — coalition values by subset test
+    (mask & ~S) = 0, φ as exact int64 sums. Efficiency axiom
+    Σφⱼ = v(full) − v(∅) rides in the output and is pinned. Identical
+    SQL text on both engines; pure-Python coalition pin in
+    tests/test_properties.py."""
+    from ..sources.batch import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_SHAPCH_ORACLE)

@@ -1994,3 +1994,64 @@ def test_did_estimator_matches_numpy(spark, sf_smoke):
     assert abs(r.did_se - math.sqrt(var)) < 1e-4
     assert abs(r.did_z - did / math.sqrt(var)) < 1e-3
     assert r.significant_5pct == (abs(did / math.sqrt(var)) > 1.96)
+
+
+def test_shapley_channel_attribution_matches_pure_python(spark, sf_smoke):
+    """shapley_channel_attribution recomputed with itertools coalition
+    enumeration and factorial weights; pins the efficiency axiom
+    Σφ = v(full) − v(∅) exactly."""
+    from itertools import combinations
+    from math import factorial
+
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet")
+    channels = {"click": 1, "error": 2, "signup": 4, "view": 8}
+    masks = {}
+    conv = {}
+    for uid, sub in ev.groupby("user_id"):
+        purchases = sub.loc[sub["event_type"] == "purchase", "ts"]
+        fp = purchases.min() if len(purchases) else None
+        m = 0
+        for ch, bit in channels.items():
+            rows = sub[sub["event_type"] == ch]
+            if fp is not None:
+                rows = rows[rows["ts"] < fp]
+            if len(rows):
+                m |= bit
+        masks[uid] = m
+        conv[uid] = fp is not None
+
+    def v(S):
+        return sum(
+            1 for u, m in masks.items() if conv[u] and (m & ~S & 15) == 0
+        )
+
+    n = 4
+    phi = {}
+    for ch, bit in channels.items():
+        total = 0.0
+        others = [b for b in channels.values() if b != bit]
+        for k in range(len(others) + 1):
+            for combo in combinations(others, k):
+                S = sum(combo)
+                w = (
+                    factorial(k) * factorial(n - 1 - k) / factorial(n)
+                )
+                total += w * (v(S | bit) - v(S))
+        phi[ch] = total
+    out = registry.QUERIES["shapley_channel_attribution"](
+        spark, sf_smoke
+    ).toPandas().set_index("channel")
+    for ch in channels:
+        assert abs(out.loc[ch, "shapley_conversions"] - phi[ch]) < 1e-5
+        assert out.loc[ch, "conversions_with_all"] == v(15)
+        assert out.loc[ch, "conversions_direct"] == v(0)
+    # efficiency axiom
+    assert abs(sum(phi.values()) - (v(15) - v(0))) < 1e-9
+    assert abs(
+        out["shapley_conversions"].sum() - (v(15) - v(0))
+    ) < 1e-4
