@@ -222,6 +222,8 @@ HEADLINE = [
     "forecast_backtest_rolling",
     "uplift_qini_deciles",
     "shapley_ols_attribution",
+    "did_estimator",
+    "shapley_channel_attribution",
 ]
 
 

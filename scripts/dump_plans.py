@@ -152,6 +152,8 @@ NOTES = {
     "forecast_backtest_rolling": "One scan to the calendar-bounded day table; three lag/frame windows; 1-row verdict with the argmin winner in-plan.",
     "uplift_qini_deciles": "User-keyed (X,Y) agg, one global ntile over users (equidepth-histogram rank at 100 TB), 10-row cumulative window.",
     "shapley_ols_attribution": "Two scans: exact DECIMAL covariance row (broadcast), then per-row quantized |phi| folded per flag — explainability at scan cost.",
+    "did_estimator": "Single codegen scan-aggregation: all four arm x period cells' exact sufficient statistics in ONE row; estimate/SE/z are scalar expressions.",
+    "shapley_channel_attribution": "Two user-keyed aggs (first purchase, 4-bit mask); ALL coalition work runs on the 16-row mask table — exact enumeration, no sampling.",
 }
 
 
