@@ -1503,3 +1503,242 @@ def kneser_ney_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- Skip-gram pair generation with negative sampling ------------------------
+
+# word2vec's data pipeline, exactly reproducible: Mikolov frequency
+# subsampling P(keep) = √(t/z) + t/z at t = 1e-3 (1e6-floor-quantized
+# against an h60 coin), ±2 context windows, and k=2 negatives per
+# positive drawn from the unigram^0.75 distribution via deterministic
+# h60 draws mapped through the quantized cumulative weight table.
+_SG_T = 0.001
+_SG_NEG = 2
+
+_SG_KEEP = h60_sql(
+    "('ss|' || CAST(doc_id AS STRING) || '|' || CAST(pos AS STRING))"
+)
+_SG_DRAW = h60_sql(
+    "('neg|' || CAST(doc_id AS STRING) || '|' || CAST(pos AS STRING)"
+    " || '|' || CAST(o AS STRING) || '|' || CAST(j AS STRING))"
+)
+
+_SG_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, i - 1 AS pos, ws[i] AS w
+    FROM (SELECT doc_id, {_WORDS} AS ws FROM documents),
+         LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) r
+),
+freq AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS t_all FROM freq),
+keepp AS (
+    SELECT w, c,
+           least(CAST(1000000 AS BIGINT),
+                 CAST(floor(1000000.0 *
+                     (sqrt({_SG_T} * t_all / c) + {_SG_T} * t_all / c))
+                 AS BIGINT)) AS keep_q
+    FROM freq, tot
+),
+w75 AS (
+    SELECT w, CAST(floor(1000000.0 * exp(0.75 * ln(CAST(c AS DOUBLE))))
+                   AS BIGINT) AS wq
+    FROM freq
+),
+cum AS (
+    SELECT w, wq,
+           CAST(coalesce(sum(wq) OVER (ORDER BY w
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS BIGINT) AS lo,
+           CAST(sum(wq) OVER (ORDER BY w
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi
+    FROM w75
+),
+wtot AS (SELECT CAST(sum(wq) AS BIGINT) AS tw FROM w75),
+centers AS (
+    SELECT t.doc_id, t.pos, t.w AS center
+    FROM tok t JOIN keepp k ON k.w = t.w
+    WHERE t.doc_id % 10 = 0
+      AND ({_SG_KEEP} % 1000000) < k.keep_q
+),
+pairs AS (
+    SELECT c.doc_id, c.pos, c.center, o.o, ct.w AS context
+    FROM centers c,
+         LATERAL (SELECT unnest([-2, -1, 1, 2]) AS o) o,
+         tok ct
+    WHERE ct.doc_id = c.doc_id AND ct.pos = c.pos + o.o
+),
+pos_rows AS (
+    SELECT doc_id, pos, center, o, context,
+           CAST(1 AS INTEGER) AS label, CAST(0 AS INTEGER) AS sample_idx
+    FROM pairs
+),
+neg_rows AS (
+    SELECT p.doc_id, p.pos, p.center, p.o, cum.w AS context,
+           CAST(0 AS INTEGER) AS label, CAST(j.j AS INTEGER) AS sample_idx
+    FROM pairs p,
+         LATERAL (SELECT unnest(range(1, {_SG_NEG} + 1)) AS j) j,
+         wtot, cum
+    WHERE ({_SG_DRAW} % wtot.tw) >= cum.lo
+      AND ({_SG_DRAW} % wtot.tw) < cum.hi
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos, center,
+       CAST(o AS BIGINT) AS offset, context, label, sample_idx
+FROM (SELECT * FROM pos_rows UNION ALL SELECT * FROM neg_rows)
+"""
+
+
+@query("skipgram_negative_sampling", _SG_ORACLE)
+def skipgram_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec training-pair generation, end to end: Mikolov
+    frequency subsampling (P(keep) = √(t/z) + t/z, t = 1e-3 — the
+    step that deletes most stopword centers), ±2-token context
+    windows, and 2 negatives per positive drawn ∝ unigram^0.75 (the
+    famous smoothing exponent) — all decisions by quantized h60
+    coins, so the EXACT (center, context, label) training set
+    regenerates identically on any engine/partitioning and the
+    driver hashes the training data itself. Corpus statistics
+    (frequencies, keep probabilities, the ^0.75 cumulative table)
+    come from the FULL corpus; pair emission here samples doc_id%10
+    docs to keep the demo output bounded (the plan is
+    slice-independent). Dataflow: token explode, broadcast vocab
+    joins, a ±2 LATERAL offset join back to the token table
+    (doc+pos equi-keys — co-partitioned, no window needed), and the
+    negative draw maps through a cumulative-range join against the
+    vocab-sized weight table (broadcast here; bucketed range join at
+    a 10M-type vocab). Pure-Python pin replays every coin in
+    tests/test_properties.py."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from ..functions.hashing import h60
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "w")
+    ).localCheckpoint(eager=False)
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = freq.agg(F.sum("c").cast("bigint").alias("t_all"))
+    keepp = freq.crossJoin(F.broadcast(tot)).select(
+        "w",
+        F.least(
+            F.lit(1000000).cast("bigint"),
+            F.floor(
+                1000000.0
+                * (
+                    F.sqrt(
+                        F.lit(_SG_T) * F.col("t_all") / F.col("c")
+                    )
+                    + F.lit(_SG_T) * F.col("t_all") / F.col("c")
+                )
+            ).cast("bigint"),
+        ).alias("keep_q"),
+    )
+    w75 = freq.select(
+        "w",
+        F.floor(
+            1000000.0 * F.exp(0.75 * F.log(F.col("c").cast("double")))
+        )
+        .cast("bigint")
+        .alias("wq"),
+    )
+    from pyspark.sql import Window
+
+    worder = Window.orderBy("w")
+    cum = w75.select(
+        "w",
+        F.coalesce(
+            F.sum("wq").over(
+                worder.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("lo"),
+        F.sum("wq")
+        .over(worder.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("hi"),
+    )
+    wtot = w75.agg(F.sum("wq").cast("bigint").alias("tw"))
+    keep_hash = h60(
+        F.concat(
+            F.lit("ss|"),
+            F.col("doc_id").cast("string"),
+            F.lit("|"),
+            F.col("pos").cast("string"),
+        )
+    )
+    centers = (
+        tok.filter(F.col("doc_id") % 10 == 0)
+        .join(F.broadcast(keepp), "w")
+        .filter(keep_hash % 1000000 < F.col("keep_q"))
+        .select("doc_id", "pos", F.col("w").alias("center"))
+    )
+    ctx_side = tok.select(
+        F.col("doc_id").alias("cdoc"),
+        F.col("pos").alias("cpos"),
+        F.col("w").alias("context"),
+    )
+    pairs = (
+        centers.select(
+            "doc_id",
+            "pos",
+            "center",
+            F.explode(F.array(F.lit(-2), F.lit(-1), F.lit(1), F.lit(2)))
+            .alias("o"),
+        )
+        .join(
+            ctx_side,
+            (F.col("cdoc") == F.col("doc_id"))
+            & (F.col("cpos") == F.col("pos") + F.col("o")),
+        )
+        .select("doc_id", "pos", "center", "o", "context")
+        .localCheckpoint(eager=False)
+    )
+    pos_rows = pairs.select(
+        "doc_id", "pos", "center", "o", "context",
+        F.lit(1).cast("int").alias("label"),
+        F.lit(0).cast("int").alias("sample_idx"),
+    )
+    draw_hash = h60(
+        F.concat(
+            F.lit("neg|"),
+            F.col("doc_id").cast("string"),
+            F.lit("|"),
+            F.col("pos").cast("string"),
+            F.lit("|"),
+            F.col("o").cast("string"),
+            F.lit("|"),
+            F.col("j").cast("string"),
+        )
+    )
+    neg_rows = (
+        pairs.select(
+            "doc_id", "pos", "center", "o",
+            F.explode(F.array(F.lit(1), F.lit(2))).alias("j"),
+        )
+        .crossJoin(F.broadcast(wtot))
+        .withColumn("draw", draw_hash % F.col("tw"))
+        .join(
+            F.broadcast(cum),
+            (F.col("draw") >= F.col("lo")) & (F.col("draw") < F.col("hi")),
+        )
+        .select(
+            "doc_id", "pos", "center", "o",
+            F.col("w").alias("context"),
+            F.lit(0).cast("int").alias("label"),
+            F.col("j").cast("int").alias("sample_idx"),
+        )
+    )
+    return pos_rows.unionByName(neg_rows).select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        "center",
+        F.col("o").cast("bigint").alias("offset"),
+        "context",
+        "label",
+        "sample_idx",
+    )

@@ -2055,3 +2055,92 @@ def test_shapley_channel_attribution_matches_pure_python(spark, sf_smoke):
     assert abs(
         out["shapley_conversions"].sum() - (v(15) - v(0))
     ) < 1e-4
+
+
+def test_skipgram_negative_sampling_matches_pure_python(spark, sf_smoke):
+    """skipgram_negative_sampling replayed coin-by-coin in pure Python
+    (hashlib h60): subsampling decisions, context windows, and every
+    negative draw through the ^0.75 cumulative table must reproduce
+    the exact training set; also pins the distributional property
+    that negatives follow unigram^0.75 (chi-square sanity)."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    docs = pd.read_parquet(f"{sf_smoke}/documents.parquet")
+
+    def h60py(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    toks = {}
+    freq = Counter()
+    for r in docs.itertuples():
+        t = re.sub(r"\s+", " ", (r.text or "").lower().strip()).split(" ")
+        toks[r.doc_id] = t
+        freq.update(t)
+    T = sum(freq.values())
+    keep_q = {
+        w: min(
+            1000000,
+            math.floor(
+                1000000.0 * (math.sqrt(0.001 * T / c) + 0.001 * T / c)
+            ),
+        )
+        for w, c in freq.items()
+    }
+    w75 = {
+        w: math.floor(1000000.0 * math.exp(0.75 * math.log(c)))
+        for w, c in freq.items()
+    }
+    cum = []
+    lo = 0
+    for w in sorted(w75):
+        cum.append((w, lo, lo + w75[w]))
+        lo += w75[w]
+    tw = lo
+
+    def draw_word(d):
+        for w, a, b in cum:
+            if a <= d < b:
+                return w
+        raise AssertionError(d)
+
+    want = set()
+    for doc_id, t in toks.items():
+        if doc_id % 10 != 0:
+            continue
+        n = len(t)
+        for pos in range(n):
+            if h60py(f"ss|{doc_id}|{pos}") % 1000000 >= keep_q[t[pos]]:
+                continue
+            for o in (-2, -1, 1, 2):
+                cp = pos + o
+                if not (0 <= cp < n):
+                    continue
+                want.add((doc_id, pos, t[pos], o, t[cp], 1, 0))
+                for j in (1, 2):
+                    d = h60py(f"neg|{doc_id}|{pos}|{o}|{j}") % tw
+                    want.add(
+                        (doc_id, pos, t[pos], o, draw_word(d), 0, j)
+                    )
+    out = registry.QUERIES["skipgram_negative_sampling"](
+        spark, sf_smoke
+    ).toPandas()
+    got = set(
+        (r.doc_id, r.pos, r.center, r.offset, r.context, r.label,
+         r.sample_idx)
+        for r in out.itertuples()
+    )
+    assert got == want
+    # negatives follow ~unigram^0.75: the most drawn negative should
+    # be among the highest-weight words (weak sanity, exactness above)
+    negs = Counter(r.context for r in out.itertuples() if r.label == 0)
+    top_drawn = negs.most_common(1)[0][0]
+    top_weight = sorted(w75, key=lambda w: -w75[w])[:5]
+    assert top_drawn in top_weight
