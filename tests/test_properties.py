@@ -2138,9 +2138,13 @@ def test_skipgram_negative_sampling_matches_pure_python(spark, sf_smoke):
         for r in out.itertuples()
     )
     assert got == want
-    # negatives follow ~unigram^0.75: the most drawn negative should
-    # be among the highest-weight words (weak sanity, exactness above)
+    # negatives follow ~unigram^0.75: the heavier half of the vocab
+    # must receive more total draws than the lighter half (aggregate
+    # check — robust at tiny SFs where single-word ranks are noisy;
+    # the exact-set equality above already pins every draw)
     negs = Counter(r.context for r in out.itertuples() if r.label == 0)
-    top_drawn = negs.most_common(1)[0][0]
-    top_weight = sorted(w75, key=lambda w: -w75[w])[:5]
-    assert top_drawn in top_weight
+    by_weight = sorted(w75, key=lambda w: -w75[w])
+    half = len(by_weight) // 2
+    heavy = sum(negs.get(w, 0) for w in by_weight[:half])
+    light = sum(negs.get(w, 0) for w in by_weight[half:])
+    assert heavy > light, (heavy, light)
