@@ -224,6 +224,7 @@ HEADLINE = [
     "shapley_ols_attribution",
     "did_estimator",
     "shapley_channel_attribution",
+    "skipgram_negative_sampling",
 ]
 
 

@@ -154,6 +154,7 @@ NOTES = {
     "shapley_ols_attribution": "Two scans: exact DECIMAL covariance row (broadcast), then per-row quantized |phi| folded per flag — explainability at scan cost.",
     "did_estimator": "Single codegen scan-aggregation: all four arm x period cells' exact sufficient statistics in ONE row; estimate/SE/z are scalar expressions.",
     "shapley_channel_attribution": "Two user-keyed aggs (first purchase, 4-bit mask); ALL coalition work runs on the 16-row mask table — exact enumeration, no sampling.",
+    "skipgram_negative_sampling": "Token explode + broadcast vocab joins; context pairs by (doc,pos) equi-join; negatives map through a broadcast cumulative-range join — bucketed range join at web-scale vocab.",
 }
 
 
