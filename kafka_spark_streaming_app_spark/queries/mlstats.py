@@ -5163,3 +5163,77 @@ def shapley_channel_attribution(
 
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_SHAPCH_ORACLE)
+
+
+# --- Instrumental variables (2SLS, one instrument) --------------------------
+
+# Wald/2SLS closed form with a single instrument: β_IV = cov(z,y)/
+# cov(z,x), first stage π = cov(z,x)/var(z) with its F statistic —
+# all from one scan of exact integer sufficient statistics. The
+# synthetic encouragement design: z = [user_id % 3 = 0] (random
+# "encouragement"), x = user's event count (the endogenous exposure),
+# y = user's total value in cents.
+_IV_ORACLE = """
+WITH u AS (
+    SELECT user_id,
+           CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS z,
+           CAST(count(*) AS BIGINT) AS x,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+    FROM events WHERE value IS NOT NULL
+    GROUP BY user_id
+),
+s AS (
+    SELECT
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(z) AS BIGINT) AS sz,
+        CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+        CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+        CAST(sum(CAST(z AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS szx,
+        CAST(sum(CAST(z AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS szy,
+        CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+        CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy
+    FROM u
+),
+c AS (
+    SELECT n, sz,
+        CAST(szx AS DOUBLE) / n - CAST(sz AS DOUBLE) * sx / n / n AS czx,
+        CAST(szy AS DOUBLE) / n - CAST(sz AS DOUBLE) * sy / n / n AS czy,
+        CAST(sz AS DOUBLE) / n
+            - (CAST(sz AS DOUBLE) / n) * (CAST(sz AS DOUBLE) / n) AS vz,
+        CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n)
+            * (CAST(sx AS DOUBLE) / n) AS vx,
+        CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n)
+            * (CAST(sy AS DOUBLE) / n) AS cxy
+    FROM s
+)
+SELECT n, sz AS n_encouraged,
+       round(czx / vz, 6) AS first_stage_pi,
+       round(CAST(n AS DOUBLE) * (czx / vz) * (czx / vz) * vz
+             / (vx - (czx / vz) * czx), 6) AS first_stage_f,
+       round(czy / czx / 100.0, 6) AS beta_iv,
+       round(cxy / vx / 100.0, 6) AS beta_ols_naive,
+       (CAST(n AS DOUBLE) * (czx / vz) * (czx / vz) * vz
+        / (vx - (czx / vz) * czx)) > 10.0 AS instrument_strong
+FROM c
+"""
+
+
+@query("iv_2sls_wald", _IV_ORACLE)
+def iv_2sls_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instrumental-variables estimation (2SLS/Wald with one
+    instrument) — the causal tool when the exposure is endogenous:
+    β_IV = cov(z,y)/cov(z,x) uses only the variation in exposure
+    INDUCED by the random encouragement z, discarding the confounded
+    rest. Emits the first-stage coefficient and its F statistic with
+    the textbook F>10 weak-instrument gate (an IV with a weak first
+    stage is worse than useless — the diagnostic IS the product), and
+    the naive OLS slope for contrast. One user-keyed scan + one
+    pivoted sufficient-statistics row; every derived double a fixed
+    expression. Completes the causal suite: DiD (parallel trends),
+    IV (encouragement), Qini/CUPED/SRM (experimentation). Identical
+    SQL text on both engines; numpy pin in
+    tests/test_properties.py."""
+    from ..sources.batch import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_IV_ORACLE)

@@ -2148,3 +2148,47 @@ def test_skipgram_negative_sampling_matches_pure_python(spark, sf_smoke):
     heavy = sum(negs.get(w, 0) for w in by_weight[:half])
     light = sum(negs.get(w, 0) for w in by_weight[half:])
     assert heavy > light, (heavy, light)
+
+
+def test_iv_2sls_matches_numpy(spark, sf_smoke):
+    """iv_2sls_wald recomputed with numpy covariances and the explicit
+    TWO-STAGE formulation (regress x on z, then y on x̂) — a different
+    route to the same estimator than the Wald ratio."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet")
+    ev = ev[ev["value"].notna()].copy()
+    ev["cents"] = np.round(ev["value"] * 100).astype("int64")
+    per = ev.groupby("user_id").agg(
+        x=("event_id", "size"), y=("cents", "sum")
+    )
+    z = (per.index.to_numpy() % 3 == 0).astype(float)
+    x = per["x"].to_numpy(dtype=float)
+    y = per["y"].to_numpy(dtype=float)
+    [r] = registry.QUERIES["iv_2sls_wald"](spark, sf_smoke).collect()
+    assert r.n == len(per) and r.n_encouraged == int(z.sum())
+    czx = np.cov(z, x, bias=True)[0, 1]
+    czy = np.cov(z, y, bias=True)[0, 1]
+    pi = czx / z.var()
+    assert abs(r.first_stage_pi - pi) < 1e-4 * max(1, abs(pi))
+    # two-stage route: x_hat from stage 1, beta from y ~ x_hat
+    xhat = z * pi
+    beta_2sls = np.cov(xhat, y, bias=True)[0, 1] / xhat.var()
+    assert abs(r.beta_iv - beta_2sls / 100) < 1e-3 * max(
+        1, abs(beta_2sls / 100)
+    )
+    assert abs(r.beta_iv - czy / czx / 100) < 1e-6 * max(
+        1, abs(czy / czx / 100)
+    )
+    beta_ols = np.cov(x, y, bias=True)[0, 1] / x.var()
+    assert abs(r.beta_ols_naive - beta_ols / 100) < 1e-4 * max(
+        1, abs(beta_ols / 100)
+    )
+    # F statistic: n * pi^2 var(z) / (var(x) - pi*cov(z,x))
+    f = len(x) * pi * pi * z.var() / (x.var() - pi * czx)
+    assert abs(r.first_stage_f - f) < 1e-2 * max(1, abs(f))
+    assert r.instrument_strong == (f > 10.0)
