@@ -5237,3 +5237,109 @@ def iv_2sls_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_IV_ORACLE)
+
+
+# --- Regression discontinuity (sharp, local linear) -------------------------
+
+_RDD_CUTOFF = 160000  # running variable: pre-period spend cents
+_RDD_BW = 60000
+
+_RDD_SIDE = ",\n        ".join(
+    f"CAST(sum(CASE WHEN side = {sd} THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS n{tag},\n        "
+    f"CAST(sum(CASE WHEN side = {sd} THEN rc ELSE 0 END)"
+    f" AS DECIMAL(38,0)) AS sr{tag},\n        "
+    f"CAST(sum(CASE WHEN side = {sd} THEN y ELSE 0 END)"
+    f" AS DECIMAL(38,0)) AS sy{tag},\n        "
+    f"CAST(sum(CASE WHEN side = {sd} THEN CAST(rc AS DECIMAL(38,0)) * rc"
+    f" ELSE 0 END) AS DECIMAL(38,0)) AS srr{tag},\n        "
+    f"CAST(sum(CASE WHEN side = {sd} THEN CAST(rc AS DECIMAL(38,0)) * y"
+    f" ELSE 0 END) AS DECIMAL(38,0)) AS sry{tag}"
+    for sd, tag in ((0, "l"), (1, "r"))
+)
+
+
+def _rdd_fit(tag: str) -> str:
+    """Closed-form OLS of y on centered running var for one side:
+    slope and intercept AT THE CUTOFF (r = 0 after centering)."""
+    n, sr, sy, srr, sry = (
+        f"n{tag}", f"sr{tag}", f"sy{tag}", f"srr{tag}", f"sry{tag}"
+    )
+    den = (
+        f"(CAST({n} AS DOUBLE) * CAST({srr} AS DOUBLE)"
+        f" - CAST({sr} AS DOUBLE) * CAST({sr} AS DOUBLE))"
+    )
+    slope = (
+        f"((CAST({n} AS DOUBLE) * CAST({sry} AS DOUBLE)"
+        f" - CAST({sr} AS DOUBLE) * CAST({sy} AS DOUBLE)) / {den})"
+    )
+    icept = (
+        f"((CAST({sy} AS DOUBLE) - {slope} * CAST({sr} AS DOUBLE))"
+        f" / CAST({n} AS DOUBLE))"
+    )
+    return den, slope, icept
+
+
+_RDD_DEN_L, _RDD_SLOPE_L, _RDD_ICEPT_L = _rdd_fit("l")
+_RDD_DEN_R, _RDD_SLOPE_R, _RDD_ICEPT_R = _rdd_fit("r")
+
+_RDD_ORACLE = f"""
+WITH u AS (
+    SELECT user_id,
+           CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                         THEN CAST(round(value * 100, 0) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) - {_RDD_CUTOFF} AS rc,
+           CAST(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                         THEN CAST(round(value * 100, 0) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS y
+    FROM events WHERE value IS NOT NULL
+    GROUP BY user_id
+),
+w AS (
+    SELECT rc, y, CASE WHEN rc >= 0 THEN 1 ELSE 0 END AS side
+    FROM u WHERE rc >= -{_RDD_BW} AND rc < {_RDD_BW}
+),
+p AS (
+    SELECT
+        {_RDD_SIDE}
+    FROM w
+)
+SELECT nl AS n_left, nr AS n_right,
+       CASE WHEN nl > 1 AND {_RDD_DEN_L} <> 0
+            THEN round({_RDD_SLOPE_L}, 6) END AS slope_left,
+       CASE WHEN nr > 1 AND {_RDD_DEN_R} <> 0
+            THEN round({_RDD_SLOPE_R}, 6) END AS slope_right,
+       CASE WHEN nl > 1 AND {_RDD_DEN_L} <> 0
+            THEN round({_RDD_ICEPT_L} / 100.0, 6) END AS limit_left,
+       CASE WHEN nr > 1 AND {_RDD_DEN_R} <> 0
+            THEN round({_RDD_ICEPT_R} / 100.0, 6) END AS limit_right,
+       CASE WHEN nl > 1 AND nr > 1
+             AND {_RDD_DEN_L} <> 0 AND {_RDD_DEN_R} <> 0
+            THEN round(({_RDD_ICEPT_R} - {_RDD_ICEPT_L}) / 100.0, 6)
+       END AS rdd_estimate
+FROM p
+"""
+
+
+@query("rdd_sharp_local_linear", _RDD_ORACLE)
+def rdd_sharp_local_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression discontinuity — the causal design when
+    treatment switches at a known policy threshold of a running
+    variable: fit a LOCAL LINEAR regression of the outcome
+    (post-period spend) on the centered running variable (pre-period
+    spend − $1600) separately on each side inside a ±$600 bandwidth,
+    and read the treatment effect as the jump between the two
+    intercepts AT the cutoff (Imbens-Lemieux; the separate slopes are
+    what makes it local-linear rather than a naive mean difference,
+    killing the regression bias a sloped outcome would inject). The
+    fixture plants no discontinuity, so the estimate hovers near
+    zero — the OPERATOR is the product. One user-keyed scan, one
+    pivoted two-side sufficient-statistics row, closed-form fits;
+    degenerate sides (n≤1 or zero variance at tiny SFs) yield NULL,
+    never a division error. Completes the causal suite: DiD, IV,
+    RDD. Identical SQL text on both engines; numpy polyfit pin in
+    tests/test_properties.py."""
+    from ..sources.batch import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_RDD_ORACLE)

@@ -2192,3 +2192,56 @@ def test_iv_2sls_matches_numpy(spark, sf_smoke):
     f = len(x) * pi * pi * z.var() / (x.var() - pi * czx)
     assert abs(r.first_stage_f - f) < 1e-2 * max(1, abs(f))
     assert r.instrument_strong == (f > 10.0)
+
+
+def test_rdd_matches_numpy_polyfit(spark, sf_smoke):
+    """rdd_sharp_local_linear recomputed with numpy polyfit on each
+    side — a different solver (QR) than the closed form."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet")
+    ev = ev[ev["value"].notna()].copy()
+    ev["cents"] = np.round(ev["value"] * 100).astype("int64")
+    ev["pre"] = ev["ts"].dt.date < pd.Timestamp("2024-01-16").date()
+    per = pd.DataFrame(
+        {
+            "r": ev[ev["pre"]].groupby("user_id")["cents"].sum(),
+            "y": ev[~ev["pre"]].groupby("user_id")["cents"].sum(),
+        }
+    ).fillna(0)
+    per["rc"] = per["r"] - 160000
+    w = per[(per["rc"] >= -60000) & (per["rc"] < 60000)]
+    left = w[w["rc"] < 0]
+    right = w[w["rc"] >= 0]
+    [row] = registry.QUERIES["rdd_sharp_local_linear"](
+        spark, sf_smoke
+    ).collect()
+    assert (row.n_left, row.n_right) == (len(left), len(right))
+
+    def fit(sub):
+        if len(sub) <= 1 or sub["rc"].nunique() <= 1:
+            return None
+        slope, icept = np.polyfit(
+            sub["rc"].to_numpy(float), sub["y"].to_numpy(float), 1
+        )
+        return slope, icept
+
+    fl, fr = fit(left), fit(right)
+    if fl is None:
+        assert row.limit_left is None
+    else:
+        assert abs(row.slope_left - fl[0]) < 1e-4 * max(1, abs(fl[0]))
+        assert abs(row.limit_left - fl[1] / 100) < 1e-2
+    if fr is None:
+        assert row.limit_right is None
+    else:
+        assert abs(row.slope_right - fr[0]) < 1e-4 * max(1, abs(fr[0]))
+        assert abs(row.limit_right - fr[1] / 100) < 1e-2
+    if fl is not None and fr is not None:
+        assert abs(
+            row.rdd_estimate - (fr[1] - fl[1]) / 100
+        ) < 2e-2, (row.rdd_estimate, (fr[1] - fl[1]) / 100)
