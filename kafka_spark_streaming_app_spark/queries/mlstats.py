@@ -5343,3 +5343,88 @@ def rdd_sharp_local_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_RDD_ORACLE)
+
+
+# --- Propensity-score matching (1:1 nearest, with replacement) --------------
+
+_PSM_CALIPER = 20000  # cents
+
+_PSM_ORACLE = f"""
+WITH u AS (
+    SELECT user_id,
+           CAST(user_id % 2 AS INTEGER) AS arm,
+           CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                         THEN CAST(round(value * 100, 0) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS s,
+           CAST(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                         THEN CAST(round(value * 100, 0) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS y
+    FROM events WHERE value IS NOT NULL
+    GROUP BY user_id
+),
+t AS (SELECT user_id, s, y FROM u WHERE arm = 1),
+c AS (SELECT user_id, s, y FROM u WHERE arm = 0),
+cand AS (
+    SELECT t.user_id AS tid, t.s AS ts_, t.y AS ty,
+           c.user_id AS cid, c.s AS cs, c.y AS cy,
+           abs(t.s - c.s) AS d
+    FROM t JOIN c ON abs(t.s - c.s) <= {_PSM_CALIPER}
+),
+best AS (
+    SELECT tid, ts_, ty, cid, cs, cy, d
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY tid
+                                     ORDER BY d, cid) AS rn
+        FROM cand
+    ) WHERE rn = 1
+),
+pre AS (
+    SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM t) AS n_treated,
+        (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_control,
+        (SELECT CAST(sum(s) AS DECIMAL(38,0)) FROM t) AS st_all,
+        (SELECT CAST(sum(s) AS DECIMAL(38,0)) FROM c) AS sc_all
+),
+m AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_matched,
+           CAST(sum(ty - cy) AS DECIMAL(38,0)) AS diff_y,
+           CAST(sum(ts_) AS DECIMAL(38,0)) AS st_m,
+           CAST(sum(cs) AS DECIMAL(38,0)) AS sc_m,
+           CAST(sum(d) AS DECIMAL(38,0)) AS sum_d
+    FROM best
+)
+SELECT pre.n_treated, pre.n_control, m.n_matched,
+       round(CAST(m.diff_y AS DOUBLE) / 100.0 / m.n_matched, 6) AS att,
+       round(abs(CAST(pre.st_all AS DOUBLE) / pre.n_treated
+                 - CAST(pre.sc_all AS DOUBLE) / pre.n_control)
+             / 100.0, 6) AS score_gap_before,
+       round(abs(CAST(m.st_m AS DOUBLE) / m.n_matched
+                 - CAST(m.sc_m AS DOUBLE) / m.n_matched) / 100.0, 6)
+           AS score_gap_after,
+       round(CAST(m.sum_d AS DOUBLE) / 100.0 / m.n_matched, 6)
+           AS mean_match_distance
+FROM pre, m
+"""
+
+
+@query("propensity_matching_att", _PSM_ORACLE)
+def propensity_matching_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Propensity-score matching: every treated user pairs with the
+    NEAREST control by score (pre-period spend, the deterministic
+    propensity proxy) inside a $200 caliper, matching WITH
+    replacement — the variant whose matches are independent per
+    treated unit, hence exactly parallelizable and
+    order-deterministic (greedy without-replacement is inherently
+    sequential; with-replacement is also the lower-bias textbook
+    choice). Emits the ATT on matched pairs and the diagnostic that
+    justifies it: the mean-score gap BEFORE vs AFTER matching
+    (balance — the first table of every PSM paper) plus the mean
+    match distance. Dataflow: per-user scan, caliper band join
+    (bucketed-range join at scale — the range_join_bucketed pattern),
+    rank-1 window per treated. Identical SQL text on both engines;
+    numpy pin pins ATT, balance, and that matching shrinks the gap in
+    tests/test_properties.py."""
+    from ..sources.batch import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_PSM_ORACLE)

@@ -2245,3 +2245,58 @@ def test_rdd_matches_numpy_polyfit(spark, sf_smoke):
         assert abs(
             row.rdd_estimate - (fr[1] - fl[1]) / 100
         ) < 2e-2, (row.rdd_estimate, (fr[1] - fl[1]) / 100)
+
+
+def test_propensity_matching_matches_numpy(spark, sf_smoke):
+    """propensity_matching_att recomputed with a direct argmin loop;
+    pins ATT, both balance gaps, and that matching SHRINKS the score
+    gap (the reason PSM exists)."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet")
+    ev = ev[ev["value"].notna()].copy()
+    ev["cents"] = np.round(ev["value"] * 100).astype("int64")
+    ev["pre"] = ev["ts"].dt.date < pd.Timestamp("2024-01-16").date()
+    per = pd.DataFrame(
+        {
+            "s": ev[ev["pre"]].groupby("user_id")["cents"].sum(),
+            "y": ev[~ev["pre"]].groupby("user_id")["cents"].sum(),
+        }
+    ).fillna(0).astype("int64")
+    per["arm"] = (per.index % 2).astype(int)
+    t = per[per["arm"] == 1]
+    c = per[per["arm"] == 0]
+    matches = []
+    for uid, row in t.iterrows():
+        d = (c["s"] - row["s"]).abs()
+        dmin = d.min()
+        if dmin > 20000:
+            continue
+        cands = sorted(d[d == dmin].index)
+        cid = cands[0]
+        matches.append(
+            (row["s"], row["y"], c.loc[cid, "s"], c.loc[cid, "y"], dmin)
+        )
+    [r] = registry.QUERIES["propensity_matching_att"](
+        spark, sf_smoke
+    ).collect()
+    assert (r.n_treated, r.n_control) == (len(t), len(c))
+    assert r.n_matched == len(matches)
+    ty = np.array([m[1] for m in matches], dtype=float)
+    cy = np.array([m[3] for m in matches], dtype=float)
+    assert abs(r.att - (ty - cy).mean() / 100) < 1e-4
+    gap_before = abs(t["s"].mean() - c["s"].mean()) / 100
+    ts_ = np.array([m[0] for m in matches], dtype=float)
+    cs = np.array([m[2] for m in matches], dtype=float)
+    gap_after = abs(ts_.mean() - cs.mean()) / 100
+    assert abs(r.score_gap_before - gap_before) < 1e-3
+    assert abs(r.score_gap_after - gap_after) < 1e-3
+    assert r.score_gap_after < r.score_gap_before
+    assert abs(
+        r.mean_match_distance
+        - np.array([m[4] for m in matches]).mean() / 100
+    ) < 1e-3
