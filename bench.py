@@ -225,6 +225,9 @@ HEADLINE = [
     "did_estimator",
     "shapley_channel_attribution",
     "skipgram_negative_sampling",
+    "iv_2sls_wald",
+    "rdd_sharp_local_linear",
+    "propensity_matching_att",
 ]
 
 

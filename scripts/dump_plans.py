@@ -155,6 +155,9 @@ NOTES = {
     "did_estimator": "Single codegen scan-aggregation: all four arm x period cells' exact sufficient statistics in ONE row; estimate/SE/z are scalar expressions.",
     "shapley_channel_attribution": "Two user-keyed aggs (first purchase, 4-bit mask); ALL coalition work runs on the 16-row mask table — exact enumeration, no sampling.",
     "skipgram_negative_sampling": "Token explode + broadcast vocab joins; context pairs by (doc,pos) equi-join; negatives map through a broadcast cumulative-range join — bucketed range join at web-scale vocab.",
+    "iv_2sls_wald": "User-keyed agg + ONE pivoted sufficient-statistics row; Wald ratio, first-stage F, and the naive OLS contrast are scalar expressions.",
+    "rdd_sharp_local_linear": "Bandwidth filter on the user-keyed scan, two-side pivoted statistics in one row, closed-form local-linear fits; NULL guards for degenerate sides.",
+    "propensity_matching_att": "Caliper band join treated x control (bucketed-range join at scale), rank-1 window per treated, 1-row ATT + balance diagnostics.",
 }
 
 
