@@ -5428,3 +5428,99 @@ def propensity_matching_att(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_PSM_ORACLE)
+
+
+# --- Benjamini-Hochberg FDR over a family of daily mean-shift tests ---------
+
+# One z-test per (event_type, day): is that day's mean value shifted
+# against the type's overall mean? m ≈ 150 simultaneous hypotheses —
+# exactly the "metrics platform fires hundreds of tests every
+# morning" setting FDR control exists for. p-values use the logistic
+# approximation Φ(z) ≈ 1/(1+e^(−1.702 z)) (Bowling et al.'s constant
+# — a fixed published formula, not a libm CDF, so both engines
+# compute the identical expression), floor-quantized at 1e-9; the BH
+# step-up is a pure window computation over the quantized p's.
+_BH_ALPHA = 0.05
+
+_BH_ORACLE = """
+WITH t AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(round(value * 100, 0) AS BIGINT) AS vc
+    FROM events WHERE value IS NOT NULL
+),
+g AS (
+    SELECT event_type, day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(vc) AS DECIMAL(38,0)) AS s,
+           CAST(sum(CAST(vc AS DECIMAL(38,0)) * vc) AS DECIMAL(38,0)) AS ss
+    FROM t GROUP BY 1, 2
+),
+tot AS (
+    SELECT event_type,
+           CAST(sum(n) AS BIGINT) AS tn,
+           CAST(sum(s) AS DECIMAL(38,0)) AS ts_,
+           CAST(sum(ss) AS DECIMAL(38,0)) AS tss
+    FROM g GROUP BY event_type
+),
+z AS (
+    SELECT g.event_type, g.day, g.n,
+           (CAST(g.s AS DOUBLE) / g.n - CAST(tot.ts_ AS DOUBLE) / tot.tn)
+           / sqrt(((CAST(tot.tss AS DOUBLE) / tot.tn
+                    - (CAST(tot.ts_ AS DOUBLE) / tot.tn)
+                      * (CAST(tot.ts_ AS DOUBLE) / tot.tn))) / g.n)
+               AS zstat
+    FROM g JOIN tot ON tot.event_type = g.event_type
+),
+p AS (
+    SELECT event_type, day, n, zstat,
+           CAST(floor(1e9 * (CAST(2 AS DOUBLE)
+                / (CAST(1 AS DOUBLE)
+                   + exp(CAST(1702 AS DOUBLE) / 1000 * abs(zstat)))))
+                AS BIGINT) AS p_q
+    FROM z
+),
+ranked AS (
+    SELECT *,
+           CAST(row_number() OVER (ORDER BY p_q, event_type, day)
+                AS BIGINT) AS k,
+           CAST(count(*) OVER () AS BIGINT) AS m
+    FROM p
+),
+cutoff AS (
+    SELECT coalesce(max(CASE WHEN CAST(p_q AS DOUBLE) / 1e9
+                              <= CAST(k AS DOUBLE) * 0.05 / m
+                             THEN k END), 0) AS k_max
+    FROM ranked
+)
+SELECT r.event_type, CAST(r.day AS TIMESTAMP) AS day, r.n,
+       round(r.zstat, 6) AS z,
+       round(CAST(r.p_q AS DOUBLE) / 1e9, 6) AS p_approx,
+       r.k AS p_rank, r.m AS n_tests,
+       r.k <= c.k_max AS discovery_bh,
+       CAST(r.p_q AS DOUBLE) / 1e9 <= 0.05 AS naive_significant
+FROM ranked r CROSS JOIN cutoff c
+ORDER BY r.k
+"""
+
+
+@query("bh_fdr_daily_shifts", _BH_ORACLE)
+def bh_fdr_daily_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over ~150 simultaneous daily
+    mean-shift z-tests (every event_type × day against the type's
+    pooled mean) — the multiple-testing correction a metrics platform
+    applies before paging anyone: the step-up rule finds the largest
+    k with p₍ₖ₎ ≤ k·α/m and flags exactly the first k ordered
+    hypotheses, controlling the expected false-discovery fraction at
+    α = 0.05 where the naive per-test threshold (emitted alongside
+    for contrast) fires spuriously ~α·m times. Determinism end to
+    end: exact integer sufficient statistics, a FIXED published
+    logistic CDF approximation (Φ(z) ≈ 1/(1+e^{−1.702z}) — an
+    expression, not a libm CDF) floor-quantized at 1e-9, and a
+    deterministic tie-ordered rank. The ordered-p window runs over
+    the HYPOTHESIS table (m rows — tests, not data). Identical SQL
+    text on both engines; scipy-free numpy pin incl. the step-up
+    property in tests/test_properties.py."""
+    from ..sources.batch import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_BH_ORACLE)

@@ -2300,3 +2300,56 @@ def test_propensity_matching_matches_numpy(spark, sf_smoke):
         r.mean_match_distance
         - np.array([m[4] for m in matches]).mean() / 100
     ) < 1e-3
+
+
+def test_bh_fdr_matches_numpy(spark, sf_smoke):
+    """bh_fdr_daily_shifts recomputed in numpy; pins the z stats, the
+    logistic-approx p's, and the BH step-up property (the discovery
+    set is exactly the first k_max ordered hypotheses, and every
+    BH discovery is also naive-significant at the same α)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet")
+    ev = ev[ev["value"].notna()].copy()
+    ev["vc"] = np.round(ev["value"] * 100).astype("int64")
+    ev["day"] = ev["ts"].dt.date
+    out = registry.QUERIES["bh_fdr_daily_shifts"](
+        spark, sf_smoke
+    ).toPandas().sort_values("p_rank").reset_index(drop=True)
+    rows = []
+    for et, sub in ev.groupby("event_type"):
+        mu = sub["vc"].mean()
+        var = sub["vc"].var(ddof=0)
+        for day, dsub in sub.groupby("day"):
+            z = (dsub["vc"].mean() - mu) / math.sqrt(var / len(dsub))
+            p = math.floor(
+                1e9 * (2.0 / (1.0 + math.exp(1.702 * abs(z))))
+            ) / 1e9
+            rows.append((et, day, len(dsub), z, p))
+    assert len(out) == len(rows)
+    rows.sort(key=lambda r: (r[4], r[0], r[1]))
+    m = len(rows)
+    k_max = 0
+    for k, r in enumerate(rows, 1):
+        if r[4] <= k * 0.05 / m:
+            k_max = k
+    for i, (et, day, n, z, p) in enumerate(rows):
+        o = out.iloc[i]
+        assert (o["event_type"], o["n"]) == (et, n)
+        assert abs(o["z"] - z) < 1e-4
+        assert abs(o["p_approx"] - p) < 1e-6
+        assert o["discovery_bh"] == (i + 1 <= k_max)
+    # step-up sanity: BH discoveries are a PREFIX and a subset of the
+    # naive-significant set
+    assert list(out["discovery_bh"]) == [
+        i < k_max for i in range(m)
+    ]
+    assert (
+        out.loc[out["discovery_bh"], "naive_significant"]
+    ).all()
