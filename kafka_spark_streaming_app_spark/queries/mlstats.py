@@ -5524,3 +5524,95 @@ def bh_fdr_daily_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_BH_ORACLE)
+
+
+# --- Empirical-Bayes (James-Stein) shrinkage of cell means ------------------
+
+_EB_ORACLE = """
+WITH t AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(round(value * 100, 0) AS BIGINT) AS vc
+    FROM events WHERE value IS NOT NULL
+),
+g AS (
+    SELECT event_type, day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(vc) AS DECIMAL(38,0)) AS s,
+           CAST(sum(CAST(vc AS DECIMAL(38,0)) * vc) AS DECIMAL(38,0)) AS ss
+    FROM t GROUP BY 1, 2
+),
+tot AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(n) AS BIGINT) AS tn,
+           CAST(sum(s) AS DECIMAL(38,0)) AS ts_,
+           -- pooled WITHIN variance: Σ(ss − s²/n) / (N − G), each
+           -- cell's contribution floor-quantized to 1e-3 cents² so
+           -- this group-count-sized sum is exact integer arithmetic
+           CAST(sum(CAST(floor(1000.0 * (CAST(ss AS DOUBLE)
+                         - CAST(s AS DOUBLE) * s / n)) AS BIGINT))
+                AS DECIMAL(38,0)) AS within_q,
+           CAST(sum(CAST(floor(1000000.0 / n) AS BIGINT))
+                AS DECIMAL(38,0)) AS invn_q
+    FROM g GROUP BY event_type
+),
+mu AS (
+    SELECT event_type, n_cells, tn,
+           CAST(ts_ AS DOUBLE) / tn AS grand,
+           CAST(within_q AS DOUBLE) / 1000.0 / (tn - n_cells) AS sig2,
+           CAST(invn_q AS DOUBLE) / 1e6 / n_cells AS mean_invn
+    FROM tot
+),
+btw AS (
+    SELECT g.event_type,
+           CAST(sum(CAST(floor(1000.0
+                 * (CAST(g.s AS DOUBLE) / g.n - mu.grand)
+                 * (CAST(g.s AS DOUBLE) / g.n - mu.grand)) AS BIGINT))
+                AS DECIMAL(38,0)) AS btw_q
+    FROM g JOIN mu ON mu.event_type = g.event_type
+    GROUP BY g.event_type
+),
+tau AS (
+    SELECT mu.event_type, mu.grand, mu.sig2, mu.n_cells,
+           greatest(CAST(0 AS DOUBLE),
+                    CAST(btw.btw_q AS DOUBLE) / 1000.0 / (mu.n_cells - 1)
+                    - mu.sig2 * mu.mean_invn) AS tau2
+    FROM mu JOIN btw ON btw.event_type = mu.event_type
+)
+SELECT g.event_type, CAST(g.day AS TIMESTAMP) AS day, g.n,
+       round(CAST(g.s AS DOUBLE) / g.n / 100.0, 6) AS raw_mean,
+       round((tau.sig2 / g.n / (tau.sig2 / g.n + tau.tau2)) / 1.0, 6)
+           AS shrinkage_b,
+       round(((tau.sig2 / g.n / (tau.sig2 / g.n + tau.tau2)) * tau.grand
+              + (CAST(1 AS DOUBLE)
+                 - tau.sig2 / g.n / (tau.sig2 / g.n + tau.tau2))
+                * (CAST(g.s AS DOUBLE) / g.n)) / 100.0, 6)
+           AS shrunk_mean,
+       round(tau.grand / 100.0, 6) AS grand_mean,
+       round(tau.tau2 / 10000.0, 6) AS tau2_dollars2
+FROM g JOIN tau ON tau.event_type = g.event_type
+ORDER BY g.event_type, g.day
+"""
+
+
+@query("empirical_bayes_shrinkage", _EB_ORACLE)
+def empirical_bayes_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes (James-Stein / normal-normal) shrinkage of the
+    daily per-type mean toward the type's grand mean — the estimator
+    every ratings/CTR/small-cell dashboard actually ships: a cell
+    with few observations borrows strength from the ensemble
+    (B → 1), a well-measured cell keeps its own mean (B → 0), and
+    the prior variance τ² is estimated from the data itself by
+    method of moments (between-cell variance minus the sampling
+    share, clipped at 0). All ensemble statistics are group-
+    count-sized sums of floor-quantized per-cell terms — exact
+    integers, no float merge-order exposure (the anova discipline
+    extended to the two-level hierarchy). Emits raw vs shrunk means,
+    per-cell B, and τ². Identical SQL text on both engines; numpy
+    pin incl. the betweenness property (shrunk strictly between raw
+    and grand) and small-n-shrinks-more in
+    tests/test_properties.py."""
+    from ..sources.batch import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_EB_ORACLE)

@@ -2353,3 +2353,53 @@ def test_bh_fdr_matches_numpy(spark, sf_smoke):
     assert (
         out.loc[out["discovery_bh"], "naive_significant"]
     ).all()
+
+
+def test_empirical_bayes_shrinkage_matches_numpy(spark, sf_smoke):
+    """empirical_bayes_shrinkage recomputed in numpy (unquantized MoM
+    τ²); pins shrinkage values plus the structural properties: shrunk
+    means lie between raw and grand, and within a type, smaller cells
+    have (weakly) larger B."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet")
+    ev = ev[ev["value"].notna()].copy()
+    ev["vc"] = np.round(ev["value"] * 100).astype("int64")
+    ev["day"] = ev["ts"].dt.date
+    out = registry.QUERIES["empirical_bayes_shrinkage"](
+        spark, sf_smoke
+    ).toPandas()
+    for et, sub in ev.groupby("event_type"):
+        cells = sub.groupby("day")["vc"]
+        n = cells.size()
+        m = cells.mean()
+        grand = sub["vc"].mean()
+        G = len(n)
+        within = (
+            (cells.apply(lambda v: ((v - v.mean()) ** 2).sum())).sum()
+            / (len(sub) - G)
+        )
+        btw = ((m - grand) ** 2).sum() / (G - 1)
+        tau2 = max(0.0, btw - within * (1.0 / n).mean())
+        o = out[out["event_type"] == et].set_index(
+            out.loc[out["event_type"] == et, "day"].dt.date
+        )
+        for day in n.index:
+            B = (within / n[day]) / (within / n[day] + tau2)
+            shrunk = B * grand + (1 - B) * m[day]
+            r = o.loc[day]
+            assert r["n"] == n[day]
+            assert abs(r["raw_mean"] - m[day] / 100) < 1e-4
+            assert abs(r["shrinkage_b"] - B) < 1e-3, (et, day)
+            assert abs(r["shrunk_mean"] - shrunk / 100) < 1e-3
+            lo, hi = sorted([m[day] / 100, grand / 100])
+            assert lo - 1e-6 <= r["shrunk_mean"] <= hi + 1e-6
+        # monotonicity: bigger cells shrink (weakly) less
+        ob = o.sort_values("n")
+        assert (
+            ob["shrinkage_b"].diff().dropna() <= 1e-9
+        ).all() or tau2 == 0
