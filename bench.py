@@ -228,6 +228,8 @@ HEADLINE = [
     "iv_2sls_wald",
     "rdd_sharp_local_linear",
     "propensity_matching_att",
+    "bh_fdr_daily_shifts",
+    "empirical_bayes_shrinkage",
 ]
 
 

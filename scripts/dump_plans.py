@@ -158,6 +158,8 @@ NOTES = {
     "iv_2sls_wald": "User-keyed agg + ONE pivoted sufficient-statistics row; Wald ratio, first-stage F, and the naive OLS contrast are scalar expressions.",
     "rdd_sharp_local_linear": "Bandwidth filter on the user-keyed scan, two-side pivoted statistics in one row, closed-form local-linear fits; NULL guards for degenerate sides.",
     "propensity_matching_att": "Caliper band join treated x control (bucketed-range join at scale), rank-1 window per treated, 1-row ATT + balance diagnostics.",
+    "bh_fdr_daily_shifts": "Cell sufficient statistics (one shuffle), pooled stats broadcast back; the ordered-p BH window runs over the m-row HYPOTHESIS table, never data.",
+    "empirical_bayes_shrinkage": "Two-level hierarchy in two aggregations; ensemble stats are integer sums of quantized per-cell terms; shrinkage applies row-locally on the join back.",
 }
 
 
