@@ -885,3 +885,245 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi_q"), "w1", "w2")
         .limit(_PMI_TOPK)
     )
+
+
+# --- TextTiling topic segmentation ------------------------------------------
+
+# Hearst's TextTiling, exactly: consecutive 10-token blocks, lexical
+# cosine at each internal gap (exact integer dot/norms, 1e6-floor
+# quantized cosine), depth score = (left-peak − sim) + (right-peak −
+# sim) via two directional running-max windows, and a boundary
+# wherever depth exceeds the doc's μ_depth − σ_depth/2 (the paper's
+# threshold). Every per-doc reduction is over quantized int64 terms.
+_TILE_BLOCK = 10
+
+_TILE_ORACLE_NOTE = "oracle is DuckDB-specific (tokenizer); see below"
+
+from ..functions.hashing import TOKENS_SQL as _TT_TOKENS_SQL
+
+_TILE_WORDS = _TT_TOKENS_SQL.format(x="text")
+
+_TEXTTILE_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, (i - 1) // {_TILE_BLOCK} AS blk, ws[i] AS w
+    FROM (SELECT doc_id, {_TILE_WORDS} AS ws FROM documents),
+         LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) r
+),
+cnt AS (
+    SELECT doc_id, blk, w, CAST(count(*) AS BIGINT) AS c
+    FROM tok GROUP BY 1, 2, 3
+),
+norms AS (
+    SELECT doc_id, blk, CAST(sum(c * c) AS BIGINT) AS nn
+    FROM cnt GROUP BY 1, 2
+),
+dots AS (
+    SELECT a.doc_id, a.blk AS gap,
+           CAST(sum(a.c * b.c) AS BIGINT) AS dot
+    FROM cnt a JOIN cnt b
+      ON b.doc_id = a.doc_id AND b.blk = a.blk + 1 AND b.w = a.w
+    GROUP BY 1, 2
+),
+gaps AS (
+    SELECT n1.doc_id, n1.blk AS gap,
+           CAST(floor(1000000.0 * coalesce(d.dot, 0)
+                      / sqrt(CAST(n1.nn AS DOUBLE) * n2.nn))
+                AS BIGINT) AS sim_q
+    FROM norms n1
+    JOIN norms n2 ON n2.doc_id = n1.doc_id AND n2.blk = n1.blk + 1
+    LEFT JOIN dots d ON d.doc_id = n1.doc_id AND d.gap = n1.blk
+),
+depth AS (
+    SELECT doc_id, gap, sim_q,
+           (max(sim_q) OVER (PARTITION BY doc_id ORDER BY gap
+                             ROWS UNBOUNDED PRECEDING) - sim_q)
+           + (max(sim_q) OVER (PARTITION BY doc_id ORDER BY gap
+                               ROWS BETWEEN CURRENT ROW
+                               AND UNBOUNDED FOLLOWING) - sim_q)
+               AS depth_q
+    FROM gaps
+),
+stats AS (
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(sum(depth_q) AS DECIMAL(38,0)) AS sd,
+           CAST(sum(CAST(depth_q AS DECIMAL(38,0)) * depth_q)
+                AS DECIMAL(38,0)) AS sdd,
+           CAST(sum(sim_q) AS DECIMAL(38,0)) AS ssim
+    FROM depth GROUP BY doc_id
+),
+marks AS (
+    SELECT d.doc_id, d.gap, d.depth_q,
+           CAST(d.depth_q AS DOUBLE) >
+               (CAST(s.sd AS DOUBLE) / s.n_gaps
+                - sqrt(greatest(CAST(0 AS DOUBLE),
+                       CAST(s.sdd AS DOUBLE) / s.n_gaps
+                       - (CAST(s.sd AS DOUBLE) / s.n_gaps)
+                         * (CAST(s.sd AS DOUBLE) / s.n_gaps))) / 2)
+               AS is_boundary
+    FROM depth d JOIN stats s ON s.doc_id = d.doc_id
+)
+SELECT s.doc_id,
+       s.n_gaps + 1 AS n_blocks,
+       s.n_gaps,
+       -- exact integer micro-units: round() here can land on a .5
+       -- boundary (Spark HALF_UP vs DuckDB half-even flipped a hash)
+       CAST(CAST(s.ssim AS BIGINT) // s.n_gaps AS BIGINT) AS mean_sim_micro,
+       CAST(coalesce(sum(CASE WHEN m.is_boundary THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_boundaries,
+       coalesce(string_agg(CASE WHEN m.is_boundary
+                                THEN CAST(m.gap AS STRING) END,
+                           ',' ORDER BY m.gap), '') AS boundaries_csv
+FROM stats s LEFT JOIN marks m ON m.doc_id = s.doc_id
+GROUP BY s.doc_id, s.n_gaps, s.ssim
+"""
+
+
+@query("texttiling_segmentation", _TEXTTILE_ORACLE)
+def texttiling_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextTiling topic segmentation (Hearst 1997) — the classic
+    unsupervised document segmenter a chunking pipeline upgrades to
+    when fixed-width chunks cut topics in half: lexical cosine
+    between consecutive 10-token blocks, a DEPTH score per gap (how
+    far similarity dips below its running peaks on both sides — two
+    directional cummax windows, no self-join), and boundaries where
+    depth exceeds the document's μ − σ/2 (the paper's threshold).
+    The emitted boundary LIST is hash-checked, not just counts.
+    Exactness: integer dot/norm arithmetic, 1e6-quantized cosines,
+    per-doc moments as exact integer sums. Dataflow: one explode,
+    one (doc, block, token) count, the adjacent-block join on
+    (doc, blk+1, token) equi-keys, and doc-keyed windows — every
+    stage sharded by doc_id. The Spark side is an independent
+    DataFrame implementation of the same algebra."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import tokens
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "w")
+    ).select(
+        "doc_id", (F.col("pos") / _TILE_BLOCK).cast("int").alias("blk"), "w"
+    )
+    cnt = tok.groupBy("doc_id", "blk", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).localCheckpoint(eager=False)
+    norms = cnt.groupBy("doc_id", "blk").agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("nn")
+    )
+    b = cnt.select(
+        F.col("doc_id").alias("bdoc"),
+        F.col("blk").alias("bblk"),
+        F.col("w").alias("bw"),
+        F.col("c").alias("bc"),
+    )
+    dots = (
+        cnt.join(
+            b,
+            (F.col("bdoc") == F.col("doc_id"))
+            & (F.col("bblk") == F.col("blk") + 1)
+            & (F.col("bw") == F.col("w")),
+        )
+        .groupBy("doc_id", F.col("blk").alias("gap"))
+        .agg(F.sum(F.col("c") * F.col("bc")).cast("bigint").alias("dot"))
+    )
+    n2 = norms.select(
+        F.col("doc_id").alias("ndoc"),
+        F.col("blk").alias("nblk"),
+        F.col("nn").alias("nn2"),
+    )
+    gaps = (
+        norms.join(
+            n2,
+            (F.col("ndoc") == F.col("doc_id"))
+            & (F.col("nblk") == F.col("blk") + 1),
+        )
+        .join(
+            dots,
+            (dots["doc_id"] == norms["doc_id"])
+            & (dots["gap"] == norms["blk"]),
+            "left",
+        )
+        .select(
+            norms["doc_id"].alias("doc_id"),
+            norms["blk"].alias("gap"),
+            F.floor(
+                F.lit(1000000.0)
+                * F.coalesce(F.col("dot"), F.lit(0))
+                / F.sqrt(F.col("nn").cast("double") * F.col("nn2"))
+            )
+            .cast("bigint")
+            .alias("sim_q"),
+        )
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("gap")
+    left_peak = F.max("sim_q").over(
+        wdoc.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    right_peak = F.max("sim_q").over(
+        wdoc.rowsBetween(0, Window.unboundedFollowing)
+    )
+    depth = gaps.withColumn(
+        "depth_q",
+        (left_peak - F.col("sim_q")) + (right_peak - F.col("sim_q")),
+    ).localCheckpoint(eager=False)
+    stats = depth.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum("depth_q").cast("decimal(38,0)").alias("sd"),
+        F.sum(F.col("depth_q").cast("decimal(38,0)") * F.col("depth_q"))
+        .cast("decimal(38,0)")
+        .alias("sdd"),
+        F.sum("sim_q").cast("decimal(38,0)").alias("ssim"),
+    )
+    mean_d = F.col("sd").cast("double") / F.col("n_gaps")
+    var_d = F.greatest(
+        F.lit(0.0),
+        F.col("sdd").cast("double") / F.col("n_gaps") - mean_d * mean_d,
+    )
+    marks = depth.join(stats, "doc_id").withColumn(
+        "is_boundary",
+        F.col("depth_q").cast("double") > mean_d - F.sqrt(var_d) / 2,
+    )
+    return (
+        marks.groupBy("doc_id", "n_gaps", "ssim")
+        .agg(
+            F.sum(F.when(F.col("is_boundary"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_boundaries"),
+            F.coalesce(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("is_boundary"),
+                                    F.struct(
+                                        F.col("gap"),
+                                        F.col("gap")
+                                        .cast("string")
+                                        .alias("g"),
+                                    ),
+                                )
+                            )
+                        ),
+                        lambda s: s["g"],
+                    ),
+                ),
+                F.lit(""),
+            ).alias("boundaries_csv"),
+        )
+        .select(
+            "doc_id",
+            (F.col("n_gaps") + 1).cast("bigint").alias("n_blocks"),
+            "n_gaps",
+            F.expr("CAST(CAST(ssim AS BIGINT) div n_gaps AS BIGINT)").alias(
+                "mean_sim_micro"
+            ),
+            "n_boundaries",
+            "boundaries_csv",
+        )
+    )

@@ -2403,3 +2403,58 @@ def test_empirical_bayes_shrinkage_matches_numpy(spark, sf_smoke):
         assert (
             ob["shrinkage_b"].diff().dropna() <= 1e-9
         ).all() or tau2 == 0
+
+
+def test_texttiling_matches_pure_python(spark, sf_smoke):
+    """texttiling_segmentation recomputed from scratch in Python
+    (Counter block vectors, float cosines re-quantized, explicit
+    peak scan) — pins similarities, depth scores, the μ−σ/2
+    threshold, and the exact boundary lists."""
+    import math
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    docs = pd.read_parquet(f"{sf_smoke}/documents.parquet")
+    out = registry.QUERIES["texttiling_segmentation"](
+        spark, sf_smoke
+    ).toPandas().set_index("doc_id")
+    n_checked = 0
+    for r in docs.itertuples():
+        toks = re.sub(
+            r"\s+", " ", (r.text or "").lower().strip()
+        ).split(" ")
+        blocks = [
+            Counter(toks[i : i + 10]) for i in range(0, len(toks), 10)
+        ]
+        if len(blocks) < 2:
+            assert r.doc_id not in out.index
+            continue
+        sims = []
+        for a, b in zip(blocks, blocks[1:]):
+            dot = sum(c * b[w] for w, c in a.items())
+            na = sum(c * c for c in a.values())
+            nb = sum(c * c for c in b.values())
+            sims.append(math.floor(1e6 * dot / math.sqrt(na * nb)))
+        depths = []
+        for i, s in enumerate(sims):
+            lp = max(sims[: i + 1])
+            rp = max(sims[i:])
+            depths.append((lp - s) + (rp - s))
+        g = len(depths)
+        mu = sum(depths) / g
+        var = max(0.0, sum(d * d for d in depths) / g - mu * mu)
+        thr = mu - math.sqrt(var) / 2
+        bounds = [str(i) for i, d in enumerate(depths) if d > thr]
+        row = out.loc[r.doc_id]
+        assert row["n_blocks"] == len(blocks)
+        assert row["n_gaps"] == g
+        assert row["mean_sim_micro"] == sum(sims) // g
+        assert row["n_boundaries"] == len(bounds), r.doc_id
+        assert row["boundaries_csv"] == ",".join(bounds), r.doc_id
+        n_checked += 1
+    assert n_checked > 100
