@@ -230,6 +230,7 @@ HEADLINE = [
     "propensity_matching_att",
     "bh_fdr_daily_shifts",
     "empirical_bayes_shrinkage",
+    "texttiling_segmentation",
 ]
 
 

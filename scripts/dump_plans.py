@@ -160,6 +160,7 @@ NOTES = {
     "propensity_matching_att": "Caliper band join treated x control (bucketed-range join at scale), rank-1 window per treated, 1-row ATT + balance diagnostics.",
     "bh_fdr_daily_shifts": "Cell sufficient statistics (one shuffle), pooled stats broadcast back; the ordered-p BH window runs over the m-row HYPOTHESIS table, never data.",
     "empirical_bayes_shrinkage": "Two-level hierarchy in two aggregations; ensemble stats are integer sums of quantized per-cell terms; shrinkage applies row-locally on the join back.",
+    "texttiling_segmentation": "One explode -> (doc,block,token) counts -> adjacent-block equi-join -> doc-keyed cummax windows; every stage sharded by doc_id.",
 }
 
 
