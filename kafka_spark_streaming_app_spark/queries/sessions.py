@@ -286,3 +286,92 @@ def dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+# --- Markov stationary distribution (power iteration) -----------------------
+
+# π ← πP unrolled 3 steps from uniform, every iterate floor-quantized
+# to a 1e9 integer grid (probabilities in ppb) PER TERM before the
+# sum — the sum itself is then exact integer arithmetic, so no
+# aggregation order can drift it (a floor AROUND the sum would sum
+# doubles in engine order first — the exact trap this repo avoids). Exact EMPIRICAL state frequencies ride along —
+# at stationarity the two columns converge, visible in the output.
+_STATIONARY_ORACLE = """
+WITH ordered AS (
+    SELECT user_id, event_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM events
+),
+pairs AS (
+    SELECT event_type AS cur, next_type AS nxt,
+           CAST(count(*) AS BIGINT) AS n
+    FROM ordered WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+),
+tot AS (
+    SELECT cur, CAST(sum(n) AS BIGINT) AS rt FROM pairs GROUP BY cur
+),
+p0 AS (
+    SELECT cur AS state, CAST(200000000 AS BIGINT) AS pi FROM tot
+),
+p1 AS (
+    SELECT pr.nxt AS state,
+           CAST(sum(CAST(floor(CAST(p0.pi AS DOUBLE) * pr.n / t.rt)
+                         AS BIGINT)) AS BIGINT) AS pi
+    FROM p0 JOIN pairs pr ON pr.cur = p0.state
+    JOIN tot t ON t.cur = pr.cur
+    GROUP BY pr.nxt
+),
+p2 AS (
+    SELECT pr.nxt AS state,
+           CAST(sum(CAST(floor(CAST(p1.pi AS DOUBLE) * pr.n / t.rt)
+                         AS BIGINT)) AS BIGINT) AS pi
+    FROM p1 JOIN pairs pr ON pr.cur = p1.state
+    JOIN tot t ON t.cur = pr.cur
+    GROUP BY pr.nxt
+),
+p3 AS (
+    SELECT pr.nxt AS state,
+           CAST(sum(CAST(floor(CAST(p2.pi AS DOUBLE) * pr.n / t.rt)
+                         AS BIGINT)) AS BIGINT) AS pi
+    FROM p2 JOIN pairs pr ON pr.cur = p2.state
+    JOIN tot t ON t.cur = pr.cur
+    GROUP BY pr.nxt
+),
+emp AS (
+    SELECT event_type AS state, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(count(*)) OVER () AS BIGINT) AS total
+    FROM events GROUP BY event_type
+)
+SELECT e.state,
+       round(CAST(p3.pi AS DOUBLE) / 1e9, 6) AS pi_stationary_3step,
+       round(CAST(e.cnt AS DOUBLE) / e.total, 6) AS empirical_freq,
+       e.cnt AS n_events
+FROM p3 JOIN emp e ON e.state = p3.state
+ORDER BY e.state
+"""
+
+
+@query("markov_stationary_distribution", _STATIONARY_ORACLE)
+def markov_stationary_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stationary distribution of the user-behavior Markov chain —
+    the long-run fraction of time the event stream spends in each
+    state, read off three unrolled π ← πP power-iteration steps from
+    uniform (the pagerank/HITS/LSA dataflow on the 5-state behavior
+    chain: each step is one join of the iterate with the
+    transition-pair relation plus one aggregation; the iterate is
+    floor-quantized to exact ppb integers between steps so both
+    engines walk the identical sequence). The exact empirical state
+    frequencies ride alongside — for an ergodic chain the two columns
+    agree closely, which the output makes visible and the pin
+    asserts. The corpus-sized work is the lead() window building
+    transitions; everything after runs on the 25-entry pair table.
+    Identical SQL text on both engines; numpy matrix-power pin in
+    tests/test_properties.py."""
+    from ..sources.batch import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_STATIONARY_ORACLE)

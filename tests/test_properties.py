@@ -2458,3 +2458,59 @@ def test_texttiling_matches_pure_python(spark, sf_smoke):
         assert row["boundaries_csv"] == ",".join(bounds), r.doc_id
         n_checked += 1
     assert n_checked > 100
+
+
+def test_markov_stationary_matches_numpy(spark, sf_smoke):
+    """markov_stationary_distribution replayed with the quantized
+    integer iteration in numpy AND sanity-checked against the true
+    stationary distribution (eigenvector) and empirical
+    frequencies."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    states = sorted(ev["event_type"].unique())
+    idx = {s: i for i, s in enumerate(states)}
+    C = np.zeros((len(states), len(states)), dtype=np.int64)
+    for _, sub in ev.groupby("user_id"):
+        seq = sub["event_type"].tolist()
+        for a, b in zip(seq, seq[1:]):
+            C[idx[a], idx[b]] += 1
+    rt = C.sum(axis=1)
+    pi = np.full(len(states), 200000000, dtype=np.int64)
+    for _ in range(3):
+        nxt = np.zeros(len(states), dtype=np.int64)
+        for i in range(len(states)):
+            for j in range(len(states)):
+                if C[i, j]:
+                    nxt[j] += math.floor(
+                        float(pi[i]) * C[i, j] / rt[i]
+                    )
+        pi = nxt
+    out = registry.QUERIES["markov_stationary_distribution"](
+        spark, sf_smoke
+    ).toPandas().set_index("state")
+    for s in states:
+        assert abs(
+            out.loc[s, "pi_stationary_3step"] - pi[idx[s]] / 1e9
+        ) < 2e-6, s
+        assert out.loc[s, "n_events"] == int(
+            (ev["event_type"] == s).sum()
+        )
+    # convergence sanity: 3 steps land near the true eigenvector
+    P = C / rt[:, None]
+    vals, vecs = np.linalg.eig(P.T)
+    k = np.argmin(np.abs(vals - 1))
+    true_pi = np.real(vecs[:, k])
+    true_pi = true_pi / true_pi.sum()
+    got = np.array(
+        [out.loc[s, "pi_stationary_3step"] for s in states]
+    )
+    assert np.abs(got - true_pi).max() < 0.02
