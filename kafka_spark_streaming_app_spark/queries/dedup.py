@@ -793,3 +793,173 @@ def span_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "span_start")
     )
+
+
+# --- LSH candidate-quality sweep (precision/recall vs threshold) ------------
+
+# The md5 hash family is cross-engine reproducible, so the oracle can
+# recompute the SIGNATURES and the banded candidate set itself —
+# unlike the main LSH queries (whose oracle is the exact pair set,
+# proving recall), this one measures candidate QUALITY: per Jaccard
+# threshold, how many true pairs the 6x2 banding catches (recall) and
+# what fraction of generated candidates are true at that bar
+# (precision). The engineering dial this informs: more bands -> more
+# recall, longer bands -> more precision.
+_PRS_P = (1 << 56) - 5  # DH_PRIME
+_PRS_HASHES = 12
+_PRS_BAND = 2
+_PRS_THRESHOLDS = "0.3, 0.4, 0.5, 0.6, 0.7"
+
+_PRS_H1 = h60_sql("shingle") + f" % {_PRS_P}"
+_PRS_H2 = h60_sql("('x|' || shingle)") + f" % {_PRS_P}"
+
+_PRS_MINS = ",\n           ".join(
+    f"CAST(min((h1 + {i} * h2) % {_PRS_P}) AS BIGINT) AS mh{i}"
+    for i in range(_PRS_HASHES)
+)
+_PRS_BANDS = " OR ".join(
+    f"(a.mh{2 * b} = b.mh{2 * b} AND a.mh{2 * b + 1} = b.mh{2 * b + 1})"
+    for b in range(_PRS_HASHES // _PRS_BAND)
+)
+
+_PRS_ORACLE = f"""
+WITH ds AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest({shingles_sql("text", 3)}) AS shingle
+        FROM documents
+    )
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+    FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+exact AS (
+    SELECT id_a, id_b,
+           CAST(c AS DOUBLE) / (s1.sz + s2.sz - c) AS jac
+    FROM common
+    JOIN sizes s1 ON s1.doc_id = id_a
+    JOIN sizes s2 ON s2.doc_id = id_b
+),
+hashes AS (
+    SELECT doc_id, {_PRS_H1} AS h1, {_PRS_H2} AS h2 FROM ds
+),
+sigs AS (
+    SELECT doc_id,
+           {_PRS_MINS}
+    FROM hashes GROUP BY doc_id
+),
+cand AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sigs a JOIN sigs b
+      ON a.doc_id < b.doc_id AND ({_PRS_BANDS})
+),
+joined AS (
+    SELECT c.id_a, c.id_b, coalesce(e.jac, 0.0) AS jac
+    FROM cand c LEFT JOIN exact e
+      ON e.id_a = c.id_a AND e.id_b = c.id_b
+),
+th AS (SELECT unnest([{_PRS_THRESHOLDS}]) AS t)
+SELECT th.t AS threshold,
+       (SELECT CAST(count(*) AS BIGINT) FROM exact
+        WHERE jac >= th.t) AS n_true_pairs,
+       (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+       (SELECT CAST(count(*) AS BIGINT) FROM joined
+        WHERE jac >= th.t) AS n_found,
+       round((SELECT CAST(count(*) AS DOUBLE) FROM joined
+              WHERE jac >= th.t)
+             / greatest((SELECT count(*) FROM exact WHERE jac >= th.t),
+                        1), 6) AS recall,
+       round((SELECT CAST(count(*) AS DOUBLE) FROM joined
+              WHERE jac >= th.t)
+             / greatest((SELECT count(*) FROM cand), 1), 6) AS precision
+FROM th
+ORDER BY th.t
+"""
+
+
+@query("dedup_pr_threshold_sweep", _PRS_ORACLE)
+def dedup_pr_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-quality sweep for MinHash-LSH dedup: precision and
+    recall of the 12-hash / 6×2-band candidate generator against the
+    exact 3-gram Jaccard pair set at thresholds 0.3–0.7 — the
+    tuning curve that justifies a banding scheme before a 100 TB run
+    (more bands buy recall at low thresholds, longer bands buy
+    precision; S-curve theory says recall ≈ 1−(1−J²)⁶, and this
+    measures it on real data). Uses the md5 hash family so the ORACLE
+    RECOMPUTES the signatures and band join itself — the one LSH
+    query where the candidate set, not just the verified output, is
+    cross-engine pinned. Dataflow: the exact relation is the
+    jaccard-pairs shape; signatures partial-aggregate map-side; the
+    sweep explodes 5 threshold literals over the tiny pair tables.
+    Spark side composes the production operators
+    (minhash_signatures(md5) + lsh_candidate_pairs); pure-Python pin
+    + the S-curve sanity (recall non-decreasing in J) in
+    tests/test_properties.py."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from ..operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_sets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    exact = jaccard_pairs(
+        shingle_sets(docs, n=3), threshold=0.0
+    ).localCheckpoint(eager=False)
+    sigs = minhash_signatures(
+        docs, num_hashes=_PRS_HASHES, shingle_n=3, hash_family="md5"
+    )
+    cand = lsh_candidate_pairs(
+        sigs, num_hashes=_PRS_HASHES, band_size=_PRS_BAND
+    ).localCheckpoint(eager=False)
+    joined = cand.join(exact, ["id_a", "id_b"], "left").select(
+        "id_a", "id_b", F.coalesce("jaccard", F.lit(0.0)).alias("jac")
+    ).localCheckpoint(eager=False)
+    th = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(t) for t in (0.3, 0.4, 0.5, 0.6, 0.7)])
+        ).alias("threshold")
+    )
+    n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    ex_t = (
+        th.crossJoin(exact)
+        .filter(F.col("jaccard") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"))
+    )
+    fd_t = (
+        th.crossJoin(joined)
+        .filter(F.col("jac") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_found"))
+    )
+    return (
+        th.join(ex_t, "threshold", "left")
+        .join(fd_t, "threshold", "left")
+        .crossJoin(F.broadcast(n_cand))
+        .select(
+            "threshold",
+            F.coalesce("n_true_pairs", F.lit(0)).alias("n_true_pairs"),
+            "n_candidates",
+            F.coalesce("n_found", F.lit(0)).alias("n_found"),
+            F.round(
+                F.coalesce("n_found", F.lit(0)).cast("double")
+                / F.greatest(
+                    F.coalesce("n_true_pairs", F.lit(0)), F.lit(1)
+                ),
+                6,
+            ).alias("recall"),
+            F.round(
+                F.coalesce("n_found", F.lit(0)).cast("double")
+                / F.greatest(F.col("n_candidates"), F.lit(1)),
+                6,
+            ).alias("precision"),
+        )
+        .orderBy("threshold")
+    )

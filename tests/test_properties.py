@@ -2514,3 +2514,77 @@ def test_markov_stationary_matches_numpy(spark, sf_smoke):
         [out.loc[s, "pi_stationary_3step"] for s in states]
     )
     assert np.abs(got - true_pi).max() < 0.02
+
+
+def test_dedup_pr_sweep_matches_pure_python(spark, sf_smoke):
+    """dedup_pr_threshold_sweep recomputed from scratch: pure-Python
+    MinHash (KM double hashing over hashlib h60), banding, exact
+    Jaccard, and the PR table; plus the S-curve sanity that recall is
+    non-decreasing in the threshold's implied similarity."""
+    import hashlib
+    import re
+    from itertools import combinations
+
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    docs = pd.read_parquet(f"{sf_smoke}/documents.parquet")
+    P = (1 << 56) - 5
+
+    def h60py(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    sets = {}
+    for r in docs.itertuples():
+        toks = re.sub(
+            r"\s+", " ", (r.text or "").lower().strip()
+        ).split(" ")
+        sh = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+        if sh:
+            sets[r.doc_id] = sh
+    sigs = {}
+    for d, sh in sets.items():
+        hs = [(h60py(s) % P, h60py("x|" + s) % P) for s in sh]
+        sigs[d] = [
+            min((h1 + i * h2) % P for h1, h2 in hs) for i in range(12)
+        ]
+    cand = set()
+    for a, b in combinations(sorted(sigs), 2):
+        for k in range(6):
+            if (
+                sigs[a][2 * k] == sigs[b][2 * k]
+                and sigs[a][2 * k + 1] == sigs[b][2 * k + 1]
+            ):
+                cand.add((a, b))
+                break
+    jac = {}
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter:
+            jac[(a, b)] = inter / len(sets[a] | sets[b])
+    out = registry.QUERIES["dedup_pr_threshold_sweep"](
+        spark, sf_smoke
+    ).toPandas().sort_values("threshold").reset_index(drop=True)
+    prev_recall = None
+    for i, t in enumerate((0.3, 0.4, 0.5, 0.6, 0.7)):
+        true_pairs = {p for p, j in jac.items() if j >= t}
+        found = {p for p in cand if jac.get(p, 0.0) >= t}
+        r = out.iloc[i]
+        assert r["threshold"] == t
+        assert r["n_true_pairs"] == len(true_pairs)
+        assert r["n_candidates"] == len(cand)
+        assert r["n_found"] == len(found)
+        recall = len(found) / max(len(true_pairs), 1)
+        assert abs(r["recall"] - recall) < 1e-6
+        assert abs(
+            r["precision"] - len(found) / max(len(cand), 1)
+        ) < 1e-6
+        # S-curve: recall at higher thresholds is >= (easier pairs)
+        if prev_recall is not None and len(true_pairs) > 0:
+            assert r["recall"] >= prev_recall - 1e-9
+        if len(true_pairs) > 0:
+            prev_recall = r["recall"]
