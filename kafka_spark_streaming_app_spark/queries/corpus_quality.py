@@ -346,3 +346,87 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("novelty"),
         (F.coalesce("n_shared", F.lit(0)) >= 5).alias("dup_risk"),
     )
+
+
+# --- Vocabulary richness / coverage estimation ------------------------------
+
+_VOCAB_ORACLE = f"""
+WITH tok AS (
+    SELECT lang, unnest({_WORDS}) AS w
+    FROM documents
+),
+wc AS (
+    SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+    FROM tok GROUP BY 1, 2
+),
+g AS (
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS d_observed,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+           CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+    FROM wc GROUP BY lang
+)
+SELECT lang, n_tokens, d_observed, f1, f2,
+       round(d_observed
+             + CAST(f1 AS DOUBLE) * (f1 - 1) / (2.0 * (f2 + 1)), 6)
+           AS chao1_estimate,
+       round(CAST(f1 AS DOUBLE) / n_tokens, 6) AS good_turing_unseen_mass,
+       round(CAST(d_observed AS DOUBLE)
+             / (d_observed
+                + CAST(f1 AS DOUBLE) * (f1 - 1) / (2.0 * (f2 + 1))), 6)
+           AS vocab_coverage
+FROM g
+ORDER BY lang
+"""
+
+
+@query("vocab_coverage_estimate", _VOCAB_ORACLE)
+def vocab_coverage_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary richness and coverage per language — the corpus-
+    growth question ('how much vocabulary is still unseen, and is
+    more crawling worth it?') answered with the two classical
+    nonparametric estimators: bias-corrected Chao1 richness
+    D + f₁(f₁−1)/(2(f₂+1)) (a lower bound on true vocabulary size
+    from singleton/doubleton counts alone) and the Good-Turing
+    unseen-probability mass f₁/N (the probability the NEXT token is
+    a brand-new word — the quantity Good-Turing smoothing
+    redistributes). vocab_coverage = D/Chao1 is the tokenizer-
+    corpus sufficiency gauge: low coverage on a language says its
+    vocabulary is undersampled and tokenizer_fertility there will
+    degrade on real data. One scan, one (lang, word) count, a 5-row
+    fold — exact integers, two final divisions; the bias-corrected
+    form keeps f₂ = 0 finite. Identical SQL text on both engines
+    aside from the tokenizer (DataFrame twin below); pure-Python
+    Counter pin in tests/test_properties.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..functions.hashing import tokens
+
+    wc = (
+        docs.select("lang", F.explode(tokens("text")).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    g = wc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d_observed"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f2"),
+    )
+    chao1 = F.col("d_observed") + F.col("f1").cast("double") * (
+        F.col("f1") - 1
+    ) / (2.0 * (F.col("f2") + 1))
+    return g.select(
+        "lang", "n_tokens", "d_observed", "f1", "f2",
+        F.round(chao1, 6).alias("chao1_estimate"),
+        F.round(
+            F.col("f1").cast("double") / F.col("n_tokens"), 6
+        ).alias("good_turing_unseen_mass"),
+        F.round(
+            F.col("d_observed").cast("double") / chao1, 6
+        ).alias("vocab_coverage"),
+    ).orderBy("lang")

@@ -2588,3 +2588,40 @@ def test_dedup_pr_sweep_matches_pure_python(spark, sf_smoke):
             assert r["recall"] >= prev_recall - 1e-9
         if len(true_pairs) > 0:
             prev_recall = r["recall"]
+
+
+def test_vocab_coverage_matches_pure_python(spark, sf_smoke):
+    """vocab_coverage_estimate recomputed with Counter arithmetic;
+    pins Chao1 >= observed richness and unseen mass in [0, 1]."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    docs = pd.read_parquet(f"{sf_smoke}/documents.parquet")
+    out = registry.QUERIES["vocab_coverage_estimate"](
+        spark, sf_smoke
+    ).toPandas().set_index("lang")
+    for lang, sub in docs.groupby("lang"):
+        c = Counter()
+        for t in sub["text"]:
+            c.update(
+                re.sub(r"\s+", " ", (t or "").lower().strip()).split(" ")
+            )
+        d = len(c)
+        n = sum(c.values())
+        f1 = sum(1 for v in c.values() if v == 1)
+        f2 = sum(1 for v in c.values() if v == 2)
+        chao1 = d + f1 * (f1 - 1) / (2 * (f2 + 1))
+        r = out.loc[lang]
+        assert (r["d_observed"], r["n_tokens"], r["f1"], r["f2"]) == (
+            d, n, f1, f2,
+        )
+        assert abs(r["chao1_estimate"] - chao1) < 1e-4
+        assert abs(r["good_turing_unseen_mass"] - f1 / n) < 1e-6
+        assert abs(r["vocab_coverage"] - d / chao1) < 1e-6
+        assert r["chao1_estimate"] >= d
+        assert 0.0 <= r["good_turing_unseen_mass"] <= 1.0
