@@ -231,6 +231,9 @@ HEADLINE = [
     "bh_fdr_daily_shifts",
     "empirical_bayes_shrinkage",
     "texttiling_segmentation",
+    "markov_stationary_distribution",
+    "dedup_pr_threshold_sweep",
+    "vocab_coverage_estimate",
 ]
 
 

@@ -161,6 +161,9 @@ NOTES = {
     "bh_fdr_daily_shifts": "Cell sufficient statistics (one shuffle), pooled stats broadcast back; the ordered-p BH window runs over the m-row HYPOTHESIS table, never data.",
     "empirical_bayes_shrinkage": "Two-level hierarchy in two aggregations; ensemble stats are integer sums of quantized per-cell terms; shrinkage applies row-locally on the join back.",
     "texttiling_segmentation": "One explode -> (doc,block,token) counts -> adjacent-block equi-join -> doc-keyed cummax windows; every stage sharded by doc_id.",
+    "markov_stationary_distribution": "lead() window builds transitions once; all three power steps run on the 25-entry pair table with per-term-quantized integer sums.",
+    "dedup_pr_threshold_sweep": "Exact relation + md5 signatures + band join all barriered; the 5-threshold sweep explodes literals over tiny pair tables.",
+    "vocab_coverage_estimate": "One explode, one (lang,word) count, a 5-row fold — the cheapest corpus-wide estimator family in the registry.",
 }
 
 

@@ -99,6 +99,14 @@ PROBES = (
     "colbert_maxsim_topk",
     "multimodal_audio_vad",
     "streaming_reservoir_sample",
+    # round-6 fifth/sixth waves (duplication-linear: gram-keyed counts
+    # and scan-agg statistics whose keys collapse under file copying;
+    # fellegi/skipgram/PR-sweep are EXCLUDED — duplicated ids multiply
+    # their pair joins N², the dedup-family fixture artifact)
+    "bleu_rouge_eval",
+    "kneser_ney_perplexity",
+    "bh_fdr_daily_shifts",
+    "empirical_bayes_shrinkage",
 )
 
 
