@@ -1332,3 +1332,164 @@ def streaming_reservoir_sample(
         )
         .orderBy("day", "sample_rank")
     )
+
+
+# --- streaming SRM guardrail (cumulative experiment monitor) -----------------
+
+# Additive day-partitioned state (the quantile-rollup merge class)
+# whose READ side is the experimentation guardrail: cumulative arm
+# counts by day -> day-by-day chi-square against the designed 50/50
+# split. An SRM firing mid-experiment means assignment/logging broke
+# THAT day — the batch srm_check only says it broke eventually.
+_SRM_MON_ORACLE = """
+WITH u AS (
+    SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+    FROM events GROUP BY user_id
+),
+daily AS (
+    SELECT first_day AS day,
+           CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n0,
+           CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n1
+    FROM u GROUP BY first_day
+),
+cum AS (
+    SELECT day,
+           CAST(sum(n0) OVER w AS BIGINT) AS n0,
+           CAST(sum(n1) OVER w AS BIGINT) AS n1
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+)
+SELECT CAST(day AS TIMESTAMP) AS day, n0, n1,
+       round((CAST(n0 AS DOUBLE) - (n0 + n1) / CAST(2 AS DOUBLE))
+             * (CAST(n0 AS DOUBLE) - (n0 + n1) / CAST(2 AS DOUBLE))
+             / ((n0 + n1) / CAST(2 AS DOUBLE))
+             + (CAST(n1 AS DOUBLE) - (n0 + n1) / CAST(2 AS DOUBLE))
+             * (CAST(n1 AS DOUBLE) - (n0 + n1) / CAST(2 AS DOUBLE))
+             / ((n0 + n1) / CAST(2 AS DOUBLE)), 6) AS chi2_cumulative,
+       ((CAST(n0 AS DOUBLE) - (n0 + n1) / CAST(2 AS DOUBLE))
+        * (CAST(n0 AS DOUBLE) - (n0 + n1) / CAST(2 AS DOUBLE))
+        / ((n0 + n1) / CAST(2 AS DOUBLE))
+        + (CAST(n1 AS DOUBLE) - (n0 + n1) / CAST(2 AS DOUBLE))
+        * (CAST(n1 AS DOUBLE) - (n0 + n1) / CAST(2 AS DOUBLE))
+        / ((n0 + n1) / CAST(2 AS DOUBLE))) > 3.841458820694124
+           AS srm_alarm
+FROM cum
+ORDER BY day
+"""
+
+
+@query("streaming_srm_monitor", _SRM_MON_ORACLE)
+def streaming_srm_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SRM guardrail run THROUGH the streaming engine: the
+    per-user enrollment day (first event ever) is maintained as
+    user-bucket-partitioned persistent state under a MIN merge —
+    idempotent AND batch-order independent, which matters because
+    the wire replay's micro-batches are NOT time-ordered (the files
+    are hash-repartitioned): a user's earliest event may arrive in a
+    later batch, so any "first-seen-this-batch" additive design
+    would silently disagree with the true enrollment day under some
+    batch orders (this exact hazard was caught during construction —
+    min-merge is the fix, not an assumption about replay order). The
+    serving read derives daily enrollment counts per arm from the
+    state and emits the CUMULATIVE day-by-day χ² against the
+    designed 50/50 split with the 3.8415 alarm — the
+    page-someone-today version of the batch srm_check."""
+    import atexit
+    import shutil
+
+    from pyspark.sql import Window
+
+    from ..streaming.state import (
+        merge_into_partitioned_state,
+        read_state,
+    )
+
+    stream = _events_as_wire_stream(spark, sf_dir, max_files_per_trigger=8)
+    state_root = tempfile.mkdtemp(prefix="srmmon_state_")
+    ckpt = tempfile.mkdtemp(prefix="srmmon_ckpt_")
+    for d in (state_root, ckpt):
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    seen_dir = os.path.join(state_root, "seen")
+
+    def _merge_seen(existing, part):
+        # per-user MIN enrollment day: idempotent and batch-order
+        # independent (the replay is NOT time-ordered)
+        if existing is None:
+            return part
+        return (
+            existing.withColumn(
+                "first_day", F.col("first_day").cast("date")
+            )
+            .unionByName(part)
+            .groupBy("bucket", "user_id")
+            .agg(F.min("first_day").alias("first_day"))
+        )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        batch_first = (
+            batch_df.groupBy("user_id")
+            .agg(F.min(F.to_date("event_timestamp")).alias("first_day"))
+            .withColumn("bucket", F.pmod(F.col("user_id"), F.lit(16)))
+        )
+        merge_into_partitioned_state(
+            seen_dir, batch_id, batch_first, _merge_seen, "bucket"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(300)
+        if not finished:
+            raise RuntimeError(
+                "streaming_srm_monitor: availableNow run did not finish "
+                "within 300s; refusing to read partial state"
+            )
+    finally:
+        if q.isActive:
+            q.stop()
+
+    daily = (
+        read_state(spark, seen_dir)
+        .groupBy(F.col("first_day").alias("day"))
+        .agg(
+            F.sum(
+                F.when(F.pmod(F.col("user_id"), F.lit(2)) == 0, 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n0"),
+            F.sum(
+                F.when(F.pmod(F.col("user_id"), F.lit(2)) == 1, 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n1"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "day",
+        F.sum("n0").over(w).cast("bigint").alias("n0"),
+        F.sum("n1").over(w).cast("bigint").alias("n1"),
+    )
+    e = (F.col("n0") + F.col("n1")) / F.lit(2.0)
+    chi2 = (
+        (F.col("n0").cast("double") - e) * (F.col("n0").cast("double") - e)
+        / e
+        + (F.col("n1").cast("double") - e)
+        * (F.col("n1").cast("double") - e)
+        / e
+    )
+    return cum.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "n0",
+        "n1",
+        F.round(chi2, 6).alias("chi2_cumulative"),
+        (chi2 > 3.841458820694124).alias("srm_alarm"),
+    ).orderBy("day")

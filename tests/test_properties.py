@@ -2625,3 +2625,38 @@ def test_vocab_coverage_matches_pure_python(spark, sf_smoke):
         assert abs(r["vocab_coverage"] - d / chao1) < 1e-6
         assert r["chao1_estimate"] >= d
         assert 0.0 <= r["good_turing_unseen_mass"] <= 1.0
+
+
+def test_streaming_srm_monitor_matches_pandas(spark, sf_smoke):
+    """streaming_srm_monitor recomputed from the parquet with pandas
+    (global per-user min day — the quantity the min-merge state must
+    reproduce regardless of micro-batch order)."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet")
+    first = ev.groupby("user_id")["ts"].min().dt.date
+    daily = pd.DataFrame(
+        {
+            "day": first.values,
+            "arm": (first.index % 2).astype(int),
+        }
+    ).groupby(["day", "arm"]).size().unstack(fill_value=0)
+    out = registry.QUERIES["streaming_srm_monitor"](
+        spark, sf_smoke
+    ).toPandas().sort_values("day").reset_index(drop=True)
+    assert len(out) == len(daily)
+    n0 = n1 = 0
+    for i, (day, row) in enumerate(daily.sort_index().iterrows()):
+        n0 += int(row.get(0, 0))
+        n1 += int(row.get(1, 0))
+        r = out.iloc[i]
+        assert r["day"].date() == day
+        assert (r["n0"], r["n1"]) == (n0, n1)
+        e = (n0 + n1) / 2.0
+        chi2 = (n0 - e) ** 2 / e + (n1 - e) ** 2 / e
+        assert abs(r["chi2_cumulative"] - chi2) < 1e-6
+        assert r["srm_alarm"] == (chi2 > 3.841458820694124)
