@@ -988,3 +988,85 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
     ).filter(F.col("media_id") % 2 == 0)
     return resize_png_pixels(media, _RESIZE_W, _RESIZE_H)
+
+
+# Motion-vector oracle: recompute every pixel of both frames of every
+# pair from the rigid-motion closed form, evaluate all 9 candidate
+# displacements' exact SADs, and take the (sad, dy, dx) argmin — a
+# decoder bug, a block-anchor off-by-one, or a wrong tie-break all
+# break the hash. The planted rigid motion means the winner is the
+# true scene translation with SAD = 0 (pinned in pytest).
+_MV_ORACLE = """
+WITH d AS (
+    SELECT doc_id, doc_id % 4 + 3 AS nf FROM documents
+),
+pairs AS (
+    SELECT doc_id, f.f AS f,
+           (doc_id + f.f) % 2 AS sy0,
+           (doc_id * 3 + 2 * f.f) % 2 AS sx0,
+           (doc_id + f.f + 1) % 2 AS sy1,
+           (doc_id * 3 + 2 * (f.f + 1)) % 2 AS sx1
+    FROM d, LATERAL (SELECT unnest(range(0, nf - 1)) AS f) f
+),
+grid AS (
+    SELECT p.*, by.y0, bx.x0, dy.dy, dx.dx
+    FROM pairs p,
+         LATERAL (SELECT unnest([2, 6]) AS y0) by,
+         LATERAL (SELECT unnest([2, 6, 10]) AS x0) bx,
+         LATERAL (SELECT unnest([-1, 0, 1]) AS dy) dy,
+         LATERAL (SELECT unnest([-1, 0, 1]) AS dx) dx
+),
+sads AS (
+    SELECT doc_id, f, y0, x0, dy, dx,
+           CAST(sum(abs(
+               (doc_id + 13 * (y0 + py.py + sy1) + 7 * (x0 + px.px + sx1))
+                   % 256
+               - (doc_id + 13 * (y0 + py.py + dy + sy0)
+                  + 7 * (x0 + px.px + dx + sx0)) % 256
+           )) AS BIGINT) AS sad
+    FROM grid,
+         LATERAL (SELECT unnest(range(0, 4)) AS py) py,
+         LATERAL (SELECT unnest(range(0, 4)) AS px) px
+    GROUP BY doc_id, f, y0, x0, dy, dx
+)
+SELECT doc_id AS media_id,
+       CAST(f AS INTEGER) AS frame_pair,
+       CAST(y0 AS INTEGER) AS block_y,
+       CAST(x0 AS INTEGER) AS block_x,
+       CAST(dy AS INTEGER) AS mv_dy,
+       CAST(dx AS INTEGER) AS mv_dx,
+       sad
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id, f, y0, x0
+                                 ORDER BY sad, dy, dx) AS rn
+    FROM sads
+) WHERE rn = 1
+"""
+
+
+@query("multimodal_motion_vectors", _MV_ORACLE)
+def multimodal_motion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block motion estimation through the REAL Y4M codec — the video
+    codec / motion-analysis primitive (every MPEG encoder's inner
+    loop): 4×4 blocks of each frame exhaustively search a ±1
+    displacement window in the previous frame and keep the
+    argmin-SAD vector (operators/multimodal.py:block_motion_vectors;
+    exact integer |Δluma| sums, deterministic (sad, dy, dx)
+    tie-break). The fixture plants RIGID scene translation with a
+    known per-pair delta, so the correct estimator recovers exactly
+    that vector with SAD = 0 on every interior block — pinned in
+    pytest — while the oracle recomputes all 9 candidate SADs per
+    block from the closed form and takes the same argmin. Seventh
+    multimodal operator (decode stats, headers, DQT, aHash, WHT,
+    VAD, scene cuts, resize → plus motion). Arrow-batched
+    mapInPandas, zero shuffle; at real resolutions the block loop is
+    the numpy kernel per batch, embarrassingly parallel across
+    clips."""
+    from ..operators.multimodal import (
+        block_motion_vectors,
+        synthesize_motion_media,
+    )
+
+    return block_motion_vectors(
+        synthesize_motion_media(load_table(spark, sf_dir, "documents"))
+    )

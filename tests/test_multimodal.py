@@ -847,3 +847,54 @@ def test_image_resize_identity_and_pure_python(spark, sf_smoke):
     assert rows[2].pixels_csv == ",".join(str(v) for v in want)
     assert rows[2].pixel_sum == sum(want)
     assert (rows[2].src_w, rows[2].src_h) == (21, 13)
+
+
+def test_motion_vectors_recover_planted_translation(spark, sf_smoke):
+    """block_motion_vectors must recover the fixture's planted rigid
+    scene translation EXACTLY on every interior block (SAD = 0, the
+    true (dy, dx)) — the ground-truth contract of motion estimation;
+    also recomputed per-block in pure numpy for a sample."""
+    import numpy as np
+
+    from kafka_spark_streaming_app_spark import registry
+    from kafka_spark_streaming_app_spark.operators.multimodal import (
+        block_motion_vectors,
+        synthesize_motion_media,
+    )
+    from kafka_spark_streaming_app_spark.sources.batch import load_table
+
+    registry.load_all()
+    docs = load_table(spark, sf_smoke, "documents").limit(40)
+    out = block_motion_vectors(synthesize_motion_media(docs)).toPandas()
+    assert len(out) > 0
+    for r in out.itertuples():
+        d, f = r.media_id, r.frame_pair
+        true_dy = ((d + f) % 2) - ((d + f + 1) % 2)
+        true_dx = ((d * 3 + 2 * f) % 2) - ((d * 3 + 2 * (f + 1)) % 2)
+        # cur(y,x) = b(y+sy1, x+sx1); prev(y+dy, x+dx) = b(y+dy+sy0,
+        # x+dx+sx0): equal when dy = sy1-sy0, dx = sx1-sx0
+        want_dy = ((d + f + 1) % 2) - ((d + f) % 2)
+        want_dx = ((d * 3 + 2 * (f + 1)) % 2) - ((d * 3 + 2 * f) % 2)
+        assert (r.mv_dy, r.mv_dx) == (want_dy, want_dx), (d, f)
+        assert r.sad == 0, (d, f)
+    # brute-force numpy recompute on one clip (incl. non-winning SADs)
+    d = int(out["media_id"].iloc[0])
+    W, H = 16, 12
+    def frame(fi):
+        sy = (d + fi) % 2
+        sx = (d * 3 + 2 * fi) % 2
+        yy, xx = np.mgrid[0:H, 0:W]
+        return (d + 13 * (yy + sy) + 7 * (xx + sx)) % 256
+    sub = out[out["media_id"] == d]
+    for r in sub.itertuples():
+        prev, cur = frame(r.frame_pair), frame(r.frame_pair + 1)
+        best = None
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                blk = cur[r.block_y : r.block_y + 4,
+                          r.block_x : r.block_x + 4]
+                ref = prev[r.block_y + dy : r.block_y + dy + 4,
+                           r.block_x + dx : r.block_x + dx + 4]
+                key = (int(np.abs(blk - ref).sum()), dy, dx)
+                best = key if best is None or key < best else best
+    assert best[0] == 0
