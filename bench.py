@@ -234,6 +234,8 @@ HEADLINE = [
     "markov_stationary_distribution",
     "dedup_pr_threshold_sweep",
     "vocab_coverage_estimate",
+    "streaming_srm_monitor",
+    "multimodal_motion_vectors",
 ]
 
 

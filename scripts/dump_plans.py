@@ -164,6 +164,8 @@ NOTES = {
     "markov_stationary_distribution": "lead() window builds transitions once; all three power steps run on the 25-entry pair table with per-term-quantized integer sums.",
     "dedup_pr_threshold_sweep": "Exact relation + md5 signatures + band join all barriered; the 5-threshold sweep explodes literals over tiny pair tables.",
     "vocab_coverage_estimate": "One explode, one (lang,word) count, a 5-row fold — the cheapest corpus-wide estimator family in the registry.",
+    "streaming_srm_monitor": "foreachBatch min-merges per-user enrollment days into bucket-partitioned state (batch-order independent BY ALGEBRA); the cumulative chi-square reads day-level counts.",
+    "multimodal_motion_vectors": "Real Y4M decode + exhaustive 9-candidate block search in Arrow mapInPandas; zero shuffle; exact integer SAD argmin.",
 }
 
 
