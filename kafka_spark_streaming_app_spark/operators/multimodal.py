@@ -1522,37 +1522,52 @@ def block_motion_vectors(media: DataFrame) -> DataFrame:
     def mv(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        # vectorized kernel: per frame pair, ALL blocks' SADs for all 9
+        # candidates in 9 whole-frame array ops (|cur−shifted prev| →
+        # 4x4 box sums via a (by,4,bx,4) reshape of the strided block
+        # grid), then one argmin over the candidate axis with the
+        # (sad, dy, dx) tie order encoded in the candidate ordering —
+        # the per-block Python loop benched 4.3 s at sf0.1, this shape
+        # removes all interpreter work from the hot path
+        cands = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
         for pdf in batches:
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 planes, _hdr = decode_y4m(bytes(payload))
                 frames = [f.astype(np.int64) for f in planes]
                 h, w = frames[0].shape
+                ys = list(range(2, h - 4 - 1, 4))
+                xs = list(range(2, w - 4 - 1, 4))
+                ny, nx = len(ys), len(xs)
+                y_lo, y_hi = ys[0], ys[-1] + 4
+                x_lo, x_hi = xs[0], xs[-1] + 4
                 for f in range(len(frames) - 1):
                     prev, cur = frames[f], frames[f + 1]
-                    for y0 in range(2, h - 4 - 1, 4):
-                        for x0 in range(2, w - 4 - 1, 4):
-                            blk = cur[y0 : y0 + 4, x0 : x0 + 4]
-                            best = None
-                            for dy in (-1, 0, 1):
-                                for dx in (-1, 0, 1):
-                                    ref = prev[
-                                        y0 + dy : y0 + dy + 4,
-                                        x0 + dx : x0 + dx + 4,
-                                    ]
-                                    sad = int(np.abs(blk - ref).sum())
-                                    key = (sad, dy, dx)
-                                    if best is None or key < best:
-                                        best = key
+                    blk = cur[y_lo:y_hi, x_lo:x_hi]
+                    sads = np.empty((len(cands), ny, nx), dtype=np.int64)
+                    for ci, (dy, dx) in enumerate(cands):
+                        ref = prev[
+                            y_lo + dy : y_hi + dy, x_lo + dx : x_hi + dx
+                        ]
+                        diff = np.abs(blk - ref)
+                        sads[ci] = (
+                            diff.reshape(ny, 4, nx, 4).sum(axis=(1, 3))
+                        )
+                    # argmin over candidates; np.argmin takes the FIRST
+                    # minimum, and cands is already in (dy, dx) tie order
+                    win = np.argmin(sads, axis=0)
+                    for bi, y0 in enumerate(ys):
+                        for bj, x0 in enumerate(xs):
+                            ci = int(win[bi, bj])
                             rows.append(
                                 {
                                     "media_id": int(media_id),
                                     "frame_pair": f,
                                     "block_y": y0,
                                     "block_x": x0,
-                                    "mv_dy": best[1],
-                                    "mv_dx": best[2],
-                                    "sad": best[0],
+                                    "mv_dy": cands[ci][0],
+                                    "mv_dx": cands[ci][1],
+                                    "sad": int(sads[ci, bi, bj]),
                                 }
                             )
             yield pd.DataFrame(
