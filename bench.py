@@ -236,6 +236,7 @@ HEADLINE = [
     "vocab_coverage_estimate",
     "streaming_srm_monitor",
     "multimodal_motion_vectors",
+    "hll_audience_overlap",
 ]
 
 

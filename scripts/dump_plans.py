@@ -166,6 +166,7 @@ NOTES = {
     "vocab_coverage_estimate": "One explode, one (lang,word) count, a 5-row fold — the cheapest corpus-wide estimator family in the registry.",
     "streaming_srm_monitor": "foreachBatch min-merges per-user enrollment days into bucket-partitioned state (batch-order independent BY ALGEBRA); the cumulative chi-square reads day-level counts.",
     "multimodal_motion_vectors": "Real Y4M decode + exhaustive 9-candidate block search in Arrow mapInPandas; zero shuffle; exact integer SAD argmin.",
+    "hll_audience_overlap": "Per-type HLL sketches (one distinct agg); every pair overlap from hll_union at sketch cost; the exact self-join ground truth runs only for the tolerance contract.",
 }
 
 
