@@ -245,6 +245,8 @@ def hits(
     half-step and can be read off the same run by swapping the edge
     direction.
     """
+    if iters < 1:
+        raise ValueError(f"hits() requires iters >= 1, got {iters}")
     edges = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).localCheckpoint(eager=False)

@@ -233,7 +233,10 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     def merge_state(batch_df: DataFrame, batch_id: int) -> None:
         part = _with_cdc_bucket(_latest_changes(batch_df))
         merge_into_partitioned_state(
-            state_dir, batch_id, part, _merge_cdc_state, "bucket"
+            state_dir, batch_id, part, _merge_cdc_state, "bucket",
+            # local replay sizing (key-cardinality state, 16 buckets);
+            # a production key space sizes both by state volume
+            shuffle_partitions=8, write_partitions=1,
         )
 
     q = (
@@ -451,7 +454,8 @@ def streaming_matview_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         merge_into_partitioned_state(
-            state_dir, batch_id, enriched, _merge_view, "bucket"
+            state_dir, batch_id, enriched, _merge_view, "bucket",
+            shuffle_partitions=8, write_partitions=1,
         )
 
     q = (

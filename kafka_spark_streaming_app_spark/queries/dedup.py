@@ -892,72 +892,96 @@ def dedup_pr_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     query where the candidate set, not just the verified output, is
     cross-engine pinned. Dataflow: the exact relation is the
     jaccard-pairs shape; signatures partial-aggregate map-side; the
-    sweep explodes 5 threshold literals over the tiny pair tables.
-    Spark side composes the production operators
+    per-threshold counts come from ONE conditional-aggregation scan
+    over each pair table (``sum(when(jac >= t, 1))`` per threshold
+    literal — no threshold×pairs expansion anywhere), and the five
+    output rows are a struct-array explode of the two one-row
+    aggregates. n_candidates is read off the same joined-table scan
+    (the left join is key-preserving: the exact pair set is unique on
+    (id_a, id_b)). Spark side composes the production operators
     (minhash_signatures(md5) + lsh_candidate_pairs); pure-Python pin
     + the S-curve sanity (recall non-decreasing in J) in
     tests/test_properties.py."""
     from pyspark.sql import functions as F  # noqa: F811
 
     from ..operators.dedup import (
+        hashed_shingle_sets,
         jaccard_pairs,
         lsh_candidate_pairs,
         minhash_signatures,
-        shingle_sets,
     )
 
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
+    # hashed shingle identities (xxhash64 of the token window): exact
+    # Jaccard over these equals string-shingle Jaccard up to ~2^-64
+    # collisions, and the oracle pins only the per-threshold COUNTS —
+    # so the string shingle never needs to materialize on the Spark
+    # side (only the md5 SIGNATURES must be string-based for parity).
+    # threshold=0.3 == min(sweep thresholds): pairs below it are never
+    # counted on either axis (a candidate whose true jac < 0.3 fails
+    # every threshold exactly like the coalesced 0.0), so the exact
+    # relation only keeps what the sweep can see.
     exact = jaccard_pairs(
-        shingle_sets(docs, n=3), threshold=0.0
+        hashed_shingle_sets(docs, n=3), threshold=0.3
     ).localCheckpoint(eager=False)
     sigs = minhash_signatures(
         docs, num_hashes=_PRS_HASHES, shingle_n=3, hash_family="md5"
     )
     cand = lsh_candidate_pairs(
         sigs, num_hashes=_PRS_HASHES, band_size=_PRS_BAND
-    ).localCheckpoint(eager=False)
+    )
     joined = cand.join(exact, ["id_a", "id_b"], "left").select(
         "id_a", "id_b", F.coalesce("jaccard", F.lit(0.0)).alias("jac")
-    ).localCheckpoint(eager=False)
-    th = spark.range(1).select(
-        F.explode(
-            F.array(*[F.lit(t) for t in (0.3, 0.4, 0.5, 0.6, 0.7)])
-        ).alias("threshold")
     )
-    n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
-    ex_t = (
-        th.crossJoin(exact)
-        .filter(F.col("jaccard") >= F.col("threshold"))
-        .groupBy("threshold")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"))
+    ts = (0.3, 0.4, 0.5, 0.6, 0.7)
+
+    def _counts(col: str, prefix: str):
+        return [
+            F.coalesce(
+                F.sum(
+                    F.when(F.col(col) >= F.lit(t), 1).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias(f"{prefix}{i}")
+            for i, t in enumerate(ts)
+        ]
+
+    ex_row = exact.agg(*_counts("jaccard", "tp"))
+    fd_row = joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        *_counts("jac", "fd"),
     )
-    fd_t = (
-        th.crossJoin(joined)
-        .filter(F.col("jac") >= F.col("threshold"))
-        .groupBy("threshold")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_found"))
+    per_t = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("threshold"),
+                F.col(f"tp{i}").alias("n_true_pairs"),
+                F.col("n_candidates").alias("n_candidates"),
+                F.col(f"fd{i}").alias("n_found"),
+            )
+            for i, t in enumerate(ts)
+        ]
     )
     return (
-        th.join(ex_t, "threshold", "left")
-        .join(fd_t, "threshold", "left")
-        .crossJoin(F.broadcast(n_cand))
+        ex_row.crossJoin(F.broadcast(fd_row))
+        .select(F.explode(per_t).alias("r"))
         .select(
-            "threshold",
-            F.coalesce("n_true_pairs", F.lit(0)).alias("n_true_pairs"),
-            "n_candidates",
-            F.coalesce("n_found", F.lit(0)).alias("n_found"),
+            F.col("r.threshold").alias("threshold"),
+            F.col("r.n_true_pairs").alias("n_true_pairs"),
+            F.col("r.n_candidates").alias("n_candidates"),
+            F.col("r.n_found").alias("n_found"),
             F.round(
-                F.coalesce("n_found", F.lit(0)).cast("double")
-                / F.greatest(
-                    F.coalesce("n_true_pairs", F.lit(0)), F.lit(1)
-                ),
+                F.col("r.n_found").cast("double")
+                / F.greatest(F.col("r.n_true_pairs"), F.lit(1)),
                 6,
             ).alias("recall"),
             F.round(
-                F.coalesce("n_found", F.lit(0)).cast("double")
-                / F.greatest(F.col("n_candidates"), F.lit(1)),
+                F.col("r.n_found").cast("double")
+                / F.greatest(F.col("r.n_candidates"), F.lit(1)),
                 6,
             ).alias("precision"),
         )

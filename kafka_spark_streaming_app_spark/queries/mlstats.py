@@ -3765,7 +3765,7 @@ avgs AS (
 @query("ridge_regression_path", _RIDGE_SQL)
 def ridge_regression_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ridge regression path: price-cents ~ (1, quantity, discount)
-    solved in closed form at λ ∈ {{0, 1, 100}} from ONE statistics
+    solved in closed form at λ ∈ {0, 1, 100} from ONE statistics
     scan — (X'X/n + λI)⁻¹(X'y/n) via the generated Cramer text with λ
     added to the diagonal (all three coefficients penalized,
     intercept included — the documented spec the numpy pin

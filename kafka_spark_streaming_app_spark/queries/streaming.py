@@ -823,12 +823,14 @@ def streaming_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch recompute — the sketch-as-state production shape (compare
     `streaming_cdc_upsert`, whose state is argmax rather than sum).
 
-    The sketch state is partitioned by ``day`` and maintained through
-    ``merge_into_partitioned_state``: a micro-batch reads and
-    rewrites only the day partitions it has events for (partition
-    pruning + dynamic partition overwrite), so a trigger carrying one
-    hour of late-arriving data touches one day's sketch, not the
-    whole retention window; and replayed batch ids skip via the
+    The sketch state is maintained through
+    ``merge_into_compact_state``: the (day, bin) count table is
+    sketch-sized — bounded by days × 20 bins regardless of stream
+    volume — so each micro-batch folds into it with ONE Spark job and
+    an atomic whole-state swap (per-bucket partition pruning would
+    optimize nothing here while paying a parquet writer per day per
+    trigger; contrast ``streaming_cdc_upsert``, whose per-key state
+    IS bucket-partitioned). Replayed batch ids skip via the
     applied-batch marker, so at-least-once foreachBatch retries
     cannot double-add counts (additive merge is NOT idempotent — the
     guard is what makes it safe)."""
@@ -838,7 +840,7 @@ def streaming_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from ..streaming.state import (
-        merge_into_partitioned_state,
+        merge_into_compact_state,
         read_state,
     )
 
@@ -869,8 +871,10 @@ def streaming_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         part = batch_df.groupBy("day", "bin").agg(
             F.count(F.lit(1)).alias("c")
         )
-        merge_into_partitioned_state(
-            state_dir, batch_id, part, _merge_sketch, "day"
+        merge_into_compact_state(
+            state_dir, batch_id, part, _merge_sketch,
+            # local replay sizing; production sizes by state volume
+            shuffle_partitions=4,
         )
 
     q = (
@@ -972,12 +976,16 @@ ORDER BY user_id
 def streaming_cms_heavy_hitters(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Count-min sketch maintained THROUGH the streaming engine — the
-    fourth state shape on ``merge_into_partitioned_state`` (argmax
-    CDC, additive bins, join view, and now a fixed-size probabilistic
-    sketch): each micro-batch folds its (row, bucket) counts into the
-    persistent d=4 x w=1024 sketch by addition, state partitioned by
-    sketch row. Because CMS merge is plain addition, the streamed
+    """Count-min sketch maintained THROUGH the streaming engine — a
+    fixed-size probabilistic sketch alongside the argmax CDC, additive
+    bins, and join-view state shapes: each micro-batch folds its
+    (row, bucket) counts into the persistent d=4 x w=1024 sketch by
+    addition via ``merge_into_compact_state`` (4096 counters is the
+    textbook sketch-sized state — whole-state swap in one Spark job
+    beats per-row-partition writers every trigger). The batch's d
+    row-counts come from ONE scan: the d hash functions explode
+    per-event rather than re-aggregating the batch d times.
+    Because CMS merge is plain addition, the streamed
     sketch is batch-boundary independent and must EQUAL the
     from-scratch batch sketch — so the heavy-hitter estimates read
     from it hash-match the batch oracle exactly (the
@@ -990,7 +998,7 @@ def streaming_cms_heavy_hitters(
 
     from ..functions.hashing import h60
     from ..streaming.state import (
-        merge_into_partitioned_state,
+        merge_into_compact_state,
         read_state,
     )
 
@@ -1022,16 +1030,30 @@ def streaming_cms_heavy_hitters(
         )
 
     def merge_state(batch_df: DataFrame, batch_id: int) -> None:
-        part = None
-        for r in range(_SCMS_D):
-            p = (
-                batch_df.groupBy(bucket_col(r).alias("bucket"))
-                .agg(F.count(F.lit(1)).alias("cnt"))
-                .select(F.lit(r).alias("row_id"), "bucket", "cnt")
+        # one scan: explode the d (row, bucket) hashes per event, then
+        # a single groupBy — not d separate aggregations of the batch
+        part = (
+            batch_df.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(r).alias("row_id"),
+                                bucket_col(r).alias("bucket"),
+                            )
+                            for r in range(_SCMS_D)
+                        ]
+                    )
+                ).alias("rb")
             )
-            part = p if part is None else part.unionByName(p)
-        merge_into_partitioned_state(
-            state_dir, batch_id, part, _merge, "row_id"
+            .groupBy(
+                F.col("rb.row_id").alias("row_id"),
+                F.col("rb.bucket").alias("bucket"),
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        merge_into_compact_state(
+            state_dir, batch_id, part, _merge, shuffle_partitions=4
         )
 
     q = (
@@ -1094,13 +1116,13 @@ ORDER BY week_start, event_type
 @query("streaming_hll_rollup", _STREAM_HLL_ORACLE)
 def streaming_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable DISTINCT-COUNT sketches maintained THROUGH the
-    streaming engine — the fifth state shape on the partitioned state
-    helper (argmax CDC, additive bins, join view, count-min counters,
-    and now DataSketches HLL union): each micro-batch builds
-    per-(day, event_type) HLL sketches from its rows alone and
-    hll_union_agg-merges them into the persistent day-partitioned
-    sketch table; per-batch I/O touches only the day partitions the
-    batch has events for. HLL union is associative and commutative,
+    streaming engine — DataSketches HLL union alongside the argmax
+    CDC, additive-bin, join-view, and count-min state shapes: each
+    micro-batch builds per-(day, event_type) HLL sketches from its
+    rows alone and hll_union_agg-merges them into the persistent
+    sketch table via ``merge_into_compact_state`` (O(days × types)
+    sketches is sketch-sized state — whole-state swap in one Spark
+    job per trigger). HLL union is associative and commutative,
     so the final state is batch-boundary independent; weekly
     estimates merged FROM THE STATE are checked against the exact
     weekly distinct within 4 sigma of the sketch rsd (the
@@ -1111,7 +1133,7 @@ def streaming_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import atexit
     import shutil
 
-    from ..streaming.state import merge_into_partitioned_state, read_state
+    from ..streaming.state import merge_into_compact_state, read_state
 
     stream = _events_as_wire_stream(spark, sf_dir, max_files_per_trigger=8)
     keyed = stream.filter(F.col("user_id").isNotNull()).select(
@@ -1139,8 +1161,8 @@ def streaming_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         part = batch_df.groupBy("day", "event_type").agg(
             F.hll_sketch_agg("user_id").alias("sketch")
         )
-        merge_into_partitioned_state(
-            state_dir, batch_id, part, _merge_hll, "day"
+        merge_into_compact_state(
+            state_dir, batch_id, part, _merge_hll, shuffle_partitions=4
         )
 
     q = (
@@ -1247,7 +1269,9 @@ def streaming_reservoir_sample(
     foreachBatch reduces the batch to its per-day top-20
     Efraimidis-Spirakis keys (batch-local TakeOrdered — state
     contribution is k-bounded BEFORE it touches storage) and merges
-    into day-partitioned persistent state by "top-k of the union".
+    into persistent state by "top-k of the union" via
+    ``merge_into_compact_state`` (days × 20 rows is sketch-sized —
+    one whole-state swap job per trigger).
     Unlike the additive sketch state (`streaming_quantile_rollup`)
     this merge is IDEMPOTENT, so at-least-once replays are safe by
     algebra and the applied-batch marker is belt-and-braces. The
@@ -1261,7 +1285,7 @@ def streaming_reservoir_sample(
     from pyspark.sql import Window
 
     from ..streaming.state import (
-        merge_into_partitioned_state,
+        merge_into_compact_state,
         read_state,
     )
 
@@ -1299,8 +1323,9 @@ def streaming_reservoir_sample(
         )
 
     def merge_state(batch_df: DataFrame, batch_id: int) -> None:
-        merge_into_partitioned_state(
-            state_dir, batch_id, _topk(batch_df), _merge_reservoir, "day"
+        merge_into_compact_state(
+            state_dir, batch_id, _topk(batch_df), _merge_reservoir,
+            shuffle_partitions=4,
         )
 
     q = (
@@ -1434,7 +1459,8 @@ def streaming_srm_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("bucket", F.pmod(F.col("user_id"), F.lit(16)))
         )
         merge_into_partitioned_state(
-            seen_dir, batch_id, batch_first, _merge_seen, "bucket"
+            seen_dir, batch_id, batch_first, _merge_seen, "bucket",
+            shuffle_partitions=4, write_partitions=1,
         )
 
     q = (

@@ -831,8 +831,8 @@ LIMIT {_PMI_TOPK}
 
 @query("pmi_collocations", _PMI_ORACLE)
 def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Collocation extraction: the top-{_PMI_TOPK} adjacent bigrams by
-    pointwise mutual information (min count {_PMI_MIN_COUNT}) — the
+    """Collocation extraction: the top-20 adjacent bigrams by
+    pointwise mutual information (min count 10) — the
     classic corpus-linguistics tool for finding multiword expressions
     ("new york"-style units) that tokenizers and phrase-aware dedup
     want to treat atomically. All three marginals are window sums over

@@ -136,6 +136,11 @@ def test_hits_mutual_reinforcement_beats_raw_degree(spark):
     assert out[10] > out[12] == out[13] == out[14]  # reinforcement
     assert all(0 < v <= 1.0 for v in out.values())
 
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="iters >= 1"):
+        hits(edges, iters=0)
+
 
 def test_pagerank_star_graph_ranks_hub_highest(spark):
     from kafka_spark_streaming_app_spark.operators.graph import pagerank

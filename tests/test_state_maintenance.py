@@ -189,6 +189,56 @@ def test_partial_commit_retry_does_not_double_apply(spark, tmp_path):
     assert not os.path.exists(os.path.join(marker_root, "batch-1.intent"))
 
 
+def test_retired_bucket_is_restored_on_retry(spark, tmp_path):
+    """The promotion commit retires a bucket (hidden rename) before
+    moving its staged replacement in. A crash between the two renames
+    leaves the bucket's live dir MISSING and its pre-batch state only
+    in the retired copy — the retry must restore it (else an additive
+    merge would rebuild the bucket from the batch contribution alone,
+    losing accumulated state)."""
+    from kafka_spark_streaming_app_spark.streaming.state import (
+        applied_marker_dir,
+        read_state,
+    )
+
+    state_dir = str(tmp_path / "state" / "counts")
+    assert merge_into_partitioned_state(
+        state_dir,
+        0,
+        _part(spark, [(0, "a", 1), (1, "b", 2)]),
+        _additive_merge,
+        "bucket",
+    )
+
+    # Simulate a crashed batch 1 that declared intent, retired bucket
+    # 0, and died before moving the staged replacement in.
+    marker_root = applied_marker_dir(os.path.dirname(state_dir))
+    os.makedirs(marker_root, exist_ok=True)
+    open(os.path.join(marker_root, "batch-1.intent"), "w").close()
+    os.rename(
+        os.path.join(state_dir, "bucket=0"),
+        os.path.join(state_dir, ".retired-batch-1-bucket=0"),
+    )
+
+    assert merge_into_partitioned_state(
+        state_dir,
+        1,
+        _part(spark, [(0, "a", 10), (1, "b", 20)]),
+        _additive_merge,
+        "bucket",
+    )
+    got = {
+        (r.bucket, r.k): r.c
+        for r in read_state(spark, state_dir).collect()
+    }
+    # bucket 0's pre-batch count (1) survived the crash window
+    assert got == {(0, "a"): 11, (1, "b"): 22}
+    assert not any(
+        e.startswith(".retired-") for e in os.listdir(state_dir)
+    )
+    assert os.path.exists(os.path.join(marker_root, "batch-1"))
+
+
 def test_corrupt_state_fails_loudly_instead_of_resetting(spark, tmp_path):
     """The old bare `except Exception` treated ANY read failure as
     'no state yet', silently discarding accumulated state. A corrupt
@@ -214,3 +264,110 @@ def test_corrupt_state_fails_loudly_instead_of_resetting(spark, tmp_path):
             _additive_merge,
             "bucket",
         )
+
+
+def _compact_merge(existing, part):
+    if existing is None:
+        return part
+    from pyspark.sql import functions as F  # noqa: F811
+
+    return (
+        existing.unionByName(part)
+        .groupBy("k")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def _cpart(spark, rows):
+    return spark.createDataFrame(rows, "k string, c bigint")
+
+
+def test_compact_state_merges_and_skips_replays(spark, tmp_path):
+    from kafka_spark_streaming_app_spark.streaming.state import (
+        merge_into_compact_state,
+        read_state,
+    )
+
+    state_dir = str(tmp_path / "state" / "sketch")
+    assert merge_into_compact_state(
+        state_dir, 0, _cpart(spark, [("a", 1), ("b", 2)]), _compact_merge
+    )
+    assert merge_into_compact_state(
+        state_dir, 1, _cpart(spark, [("a", 10)]), _compact_merge
+    )
+    # replay of batch 1 must be a no-op for the non-idempotent merge
+    assert not merge_into_compact_state(
+        state_dir, 1, _cpart(spark, [("a", 10)]), _compact_merge
+    )
+    got = {r.k: r.c for r in read_state(spark, state_dir).collect()}
+    assert got == {"a": 11, "b": 2}
+
+
+def test_compact_state_restores_retired_dir_on_retry(spark, tmp_path):
+    """Crash between retire and move-in: the live state dir is missing
+    and the pre-batch state survives only in the hidden retired copy —
+    the retry must restore it before merging."""
+    from kafka_spark_streaming_app_spark.streaming.state import (
+        applied_marker_dir,
+        merge_into_compact_state,
+        read_state,
+    )
+
+    state_dir = str(tmp_path / "state" / "sketch")
+    assert merge_into_compact_state(
+        state_dir, 0, _cpart(spark, [("a", 1), ("b", 2)]), _compact_merge
+    )
+    marker_root = applied_marker_dir(os.path.dirname(state_dir))
+    open(os.path.join(marker_root, "batch-1.intent"), "w").close()
+    os.rename(
+        state_dir, str(tmp_path / "state" / ".sketch.retired-batch-1")
+    )
+
+    assert merge_into_compact_state(
+        state_dir, 1, _cpart(spark, [("a", 10)]), _compact_merge
+    )
+    got = {r.k: r.c for r in read_state(spark, state_dir).collect()}
+    assert got == {"a": 11, "b": 2}
+    assert not os.path.exists(os.path.join(marker_root, "batch-1.intent"))
+
+
+def test_compact_state_detects_completed_swap_on_retry(spark, tmp_path):
+    """Crash after the swap but before the done-marker: the live state
+    carries this batch's _applied_batch stamp (the swap is
+    all-or-nothing), so the retry must NOT re-apply the additive
+    merge."""
+    from kafka_spark_streaming_app_spark.streaming.state import (
+        APPLIED_BATCH_COL,
+        applied_marker_dir,
+        merge_into_compact_state,
+        read_state,
+    )
+
+    state_dir = str(tmp_path / "state" / "sketch")
+    assert merge_into_compact_state(
+        state_dir, 0, _cpart(spark, [("a", 1), ("b", 2)]), _compact_merge
+    )
+    # Simulate: batch 1's swap landed (state fully rewritten + stamped)
+    # but the crash hit before marker promotion.
+    marker_root = applied_marker_dir(os.path.dirname(state_dir))
+    open(os.path.join(marker_root, "batch-1.intent"), "w").close()
+    import shutil as _sh
+
+    staged = str(tmp_path / "staged")
+    (
+        _cpart(spark, [("a", 11), ("b", 2)])
+        .withColumn(APPLIED_BATCH_COL, F.lit(1))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(staged)
+    )
+    _sh.rmtree(state_dir)
+    os.rename(staged, state_dir)
+
+    assert merge_into_compact_state(
+        state_dir, 1, _cpart(spark, [("a", 10)]), _compact_merge
+    )
+    got = {r.k: r.c for r in read_state(spark, state_dir).collect()}
+    assert got == {"a": 11, "b": 2}
+    assert os.path.exists(os.path.join(marker_root, "batch-1"))
+    assert not os.path.exists(os.path.join(marker_root, "batch-1.intent"))
