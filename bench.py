@@ -202,6 +202,7 @@ HEADLINE = [
     "mixture_sampling_weights",
     "ngram_novelty",
     "colbert_maxsim_topk",
+    "colbert_maxsim_ivf",
     "multimodal_spectral_hash_dedup",
     "multimodal_audio_vad",
     "streaming_reservoir_sample",
@@ -305,6 +306,17 @@ def main() -> int:
     for name in HEADLINE:
         timings[name] = round(min(run_once(name) for _ in range(N_RUNS)), 3)
 
+    # Full-registry coverage (round-7): every registered query gets a
+    # timing in BENCH_DETAIL.json so regressions in non-headline
+    # families (the causal/experimentation wave among them) are
+    # visible round-over-round. Single-run (plus a slowest-tail
+    # retry below) to bound added wall-time; the headline list keeps
+    # its min-of-2 protocol and r01-compatible stdout line.
+    extras = [q for q in sorted(registry.QUERIES) if q not in set(HEADLINE)]
+    extra_timings: dict[str, float] = {}
+    for name in extras:
+        extra_timings[name] = round(run_once(name), 3)
+
     # Contention shield: min-of-2 back-to-back runs shares one noise
     # window, so a neighbor burst mid-sequence can inflate a whole
     # stretch of queries at once (measured 0.7s->36s on this box with
@@ -315,6 +327,13 @@ def main() -> int:
     ]
     for name in retry:
         timings[name] = round(min(timings[name], run_once(name)), 3)
+    retry_extra = sorted(extra_timings, key=extra_timings.get, reverse=True)[
+        : max(4, len(extra_timings) // 4)
+    ]
+    for name in retry_extra:
+        extra_timings[name] = round(
+            min(extra_timings[name], run_once(name)), 3
+        )
 
     total = round(sum(timings.values()), 3)
     # The driver records only the LAST 2000 chars of bench stdout and
@@ -331,6 +350,10 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "extra_queries": extra_timings,
+        "extra_note": "non-headline registry queries, min-of-1 "
+        "(slowest quartile min-of-2); headline protocol is min-of-2 "
+        "+ tail retry",
         "sf": sf,
     }
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:

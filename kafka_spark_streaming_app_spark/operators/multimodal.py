@@ -962,47 +962,74 @@ def hamming_band_pairs(
     max_band_bucket: int | None = None,
 ) -> DataFrame:
     """Distinct (id_a, id_b, hamming) pairs within Hamming ``radius``
-    over an ``n_bands`` x 16-bit banded fingerprint (columns b0..bN):
-    one band-equality equi-join per band, unioned, deduped, then the
-    exact popcount verify on candidates ONLY — never all-pairs. With
+    over an ``n_bands`` x <=16-bit banded fingerprint (columns
+    b0..bN): band-equality candidate generation with the exact
+    popcount verify on candidates only — never all-pairs. With
     radius < n_bands the pigeonhole principle makes the candidate set
     COMPLETE (a pair within radius must agree exactly on >= 1 band).
 
+    The joins run over DISTINCT FINGERPRINT VALUES, not corpus rows:
+    media collapse to their fingerprint first, the per-band equi-join
+    + Hamming verify pairs up value tuples (a join whose bucket sizes
+    are bounded by HASH-SPACE diversity — for a 20-bit spectral hash,
+    at most 2^15 values share a 5-bit band — regardless of corpus
+    size), and member ids expand back through the value-pair table at
+    the end, so that stage's cost is proportional to the TRUE pair
+    output, not to corpus^2 (an 8x corpus probe on the row-level plan
+    measured 21x — every extra image landed in the same few 5-bit
+    band buckets). Identical-fingerprint pairs (hamming 0) come from
+    the per-value member self-join — quadratic only in genuine
+    duplicate-group sizes, which is the size of the answer itself.
+
     ``max_band_bucket`` is the hot-band cap the LSH family already
-    carries (operators/dedup.py:lsh_candidate_pairs): a degenerate
-    corpus (all-dark thumbnails, digital-silence clips) collapses a
-    16-bit band value into one bucket, and pairing inside it is
-    quadratic. Band values with more than ``max_band_bucket`` members
-    are boilerplate by definition and are dropped from THAT band's
-    join via a semi-join against the small-value list (one tiny
-    aggregation per band — one row per distinct band value), bounding
-    the worst-case candidate count at N * n_bands * cap instead of
-    N^2. A capped-out pair can still surface through its other bands;
-    pairs identical on ONLY hot bands are the recall price, exactly
-    as in LSH (uncapped keeps the completeness guarantee — the
-    driver-facing queries run uncapped on the quasi-random fixtures
-    and the cap is regression-pinned by the planted-skew test)."""
-    bands = bands.localCheckpoint(eager=False)
+    carries (operators/dedup.py:lsh_candidate_pairs): band values with
+    more than ``max_band_bucket`` MEMBERS (corpus rows, not distinct
+    values) are boilerplate by definition and are excluded from THAT
+    band's candidate generation; a capped-out pair can still surface
+    through its other bands — pairs identical on ONLY hot bands are
+    the recall price, exactly as in LSH (uncapped keeps the
+    completeness guarantee — the driver-facing queries run uncapped
+    on the quasi-random fixtures and the cap is regression-pinned by
+    the planted-skew test)."""
     band_cols = [f"b{k}" for k in range(n_bands)]
+    # the full band tuple as one comparable, joinable value key
+    # (struct equality/ordering — a 4x16-bit integer fold would
+    # overflow int64)
+    vk = F.struct(*[F.col(bc).cast("int").alias(bc) for bc in band_cols])
+    members = bands.select(
+        F.col(id_col).alias("_mid"), *band_cols
+    ).withColumn("_vk", vk).localCheckpoint(eager=False)
+    # one row per distinct fingerprint value, with its member count
+    # (the count drives the hot-band cap and the dup-group pairs)
+    vals = (
+        members.groupBy("_vk", *band_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .localCheckpoint(eager=False)
+    )
+
+    if max_band_bucket is not None:
+        # corpus member count per band value, per band (one tiny
+        # aggregation per band — one row per distinct band value)
+        band_small = [
+            vals.groupBy(band_cols[k])
+            .agg(F.sum("_n").alias("_bsz"))
+            .filter(F.col("_bsz") <= max_band_bucket)
+            .select(band_cols[k])
+            for k in range(n_bands)
+        ]
     cands = None
     for k in range(n_bands):
-        side = bands
+        side = vals
         if max_band_bucket is not None:
-            small = (
-                bands.groupBy(band_cols[k])
-                .agg(F.count(F.lit(1)).alias("_bsz"))
-                .filter(F.col("_bsz") <= max_band_bucket)
-                .select(band_cols[k])
-            )
-            side = bands.join(small, [band_cols[k]], "left_semi")
+            side = vals.join(band_small[k], [band_cols[k]], "left_semi")
         a, b = side.alias("a"), side.alias("b")
         c = a.join(
             b,
             (F.col(f"a.{band_cols[k]}") == F.col(f"b.{band_cols[k]}"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col("a._vk") < F.col("b._vk")),
         ).select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a._vk").alias("vk_a"),
+            F.col("b._vk").alias("vk_b"),
             *[F.col(f"a.{bc}").alias(f"a{bc}") for bc in band_cols],
             *[F.col(f"b.{bc}").alias(f"b{bc}") for bc in band_cols],
         )
@@ -1013,12 +1040,61 @@ def hamming_band_pairs(
         )
         for bc in band_cols
     )
-    return (
+    vpairs = (
         cands.distinct()
         .withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= radius)
-        .select("id_a", "id_b", "hamming")
+        .select("vk_a", "vk_b", "hamming")
     )
+    ma = members.select(
+        F.col("_vk").alias("vk_a"), F.col("_mid").alias("_ida")
+    )
+    mb = members.select(
+        F.col("_vk").alias("vk_b"), F.col("_mid").alias("_idb")
+    )
+    cross = (
+        vpairs.join(ma, "vk_a")
+        .join(mb, "vk_b")
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            "hamming",
+        )
+    )
+    # hamming-0 pairs: members sharing one fingerprint value. Under
+    # the cap, a value's pairs surface iff >= 1 of its bands is small
+    # (mirrors the row-level plan: identical fingerprints meet in any
+    # uncapped band they share).
+    dup_vals = vals.filter(F.col("_n") > 1).select("_vk", *band_cols)
+    if max_band_bucket is not None:
+        any_small = None
+        for k in range(n_bands):
+            flagged = dup_vals.join(
+                band_small[k], [band_cols[k]], "left_semi"
+            )
+            any_small = (
+                flagged
+                if any_small is None
+                else any_small.unionByName(flagged)
+            )
+        dup_vals = any_small.distinct()
+    da = members.join(
+        dup_vals.select("_vk"), "_vk"
+    ).select("_vk", "_mid")
+    same = (
+        da.alias("x")
+        .join(
+            da.alias("y"),
+            (F.col("x._vk") == F.col("y._vk"))
+            & (F.col("x._mid") < F.col("y._mid")),
+        )
+        .select(
+            F.col("x._mid").alias("id_a"),
+            F.col("y._mid").alias("id_b"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+    return cross.unionByName(same)
 
 
 def synthesize_vfp_media(documents: DataFrame) -> DataFrame:

@@ -1420,3 +1420,238 @@ def colbert_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_q_tokens", "rank",
         )
     )
+
+
+_MAXSIM_IVF_ORACLE = f"""
+WITH n AS (
+    SELECT
+        vec_id,
+        embedding::DOUBLE[] AS v,
+        sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
+    FROM embeddings
+    WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0
+),
+cent AS (
+    SELECT vec_id AS centroid_id, v AS cv, norm AS cnorm FROM n
+    WHERE vec_id < 16
+),
+assign AS (
+    SELECT corpus_id, centroid_id FROM (
+        SELECT
+            c.vec_id AS corpus_id,
+            cent.centroid_id,
+            row_number() OVER (
+                PARTITION BY c.vec_id
+                ORDER BY round(list_inner_product(c.v, cent.cv) / (c.norm * cent.cnorm), 6)
+                             DESC,
+                         cent.centroid_id
+            ) AS crank
+        FROM n c, cent
+    ) WHERE crank = 1
+),
+q64 AS (
+    SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM n
+    WHERE vec_id < {_NUM_QUERIES}
+),
+qprobe AS (
+    SELECT query_id, centroid_id FROM (
+        SELECT
+            q.query_id,
+            cent.centroid_id,
+            row_number() OVER (
+                PARTITION BY q.query_id
+                ORDER BY round(list_inner_product(q.qv, cent.cv) / (q.qnorm * cent.cnorm), 6)
+                             DESC,
+                         cent.centroid_id
+            ) AS crank
+        FROM q64 q, cent
+    ) WHERE crank <= 2
+),
+cand AS (
+    SELECT p.query_id, a.corpus_id
+    FROM qprobe p JOIN assign a ON a.centroid_id = p.centroid_id
+    WHERE a.corpus_id <> p.query_id
+),
+tokn AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+tok AS (
+    SELECT vec_id, c AS tok_idx,
+           (v[c * {_LI_SUBDIM} + 1 : c * {_LI_SUBDIM} + {_LI_SUBDIM}]) AS sv
+    FROM tokn, LATERAL (SELECT unnest(range(0, {_LI_CHUNKS})) AS c) r
+),
+nt AS (
+    SELECT vec_id, tok_idx, sv,
+           sqrt(list_sum(list_transform(sv, x -> x * x))) AS nrm
+    FROM tok
+    WHERE list_sum(list_transform(sv, x -> x * x)) > 0
+),
+qt AS (
+    SELECT vec_id AS query_id, tok_idx AS q_tok, sv AS qv, nrm AS qn
+    FROM nt WHERE vec_id < {_NUM_QUERIES}
+),
+cs AS (
+    SELECT cd.query_id, cd.corpus_id, qt.q_tok,
+           max(round(list_inner_product(qt.qv, c.sv) / (qt.qn * c.nrm), 6))
+               AS mx
+    FROM cand cd
+    JOIN nt c ON c.vec_id = cd.corpus_id
+    JOIN qt ON qt.query_id = cd.query_id
+    GROUP BY 1, 2, 3
+),
+sc AS (
+    SELECT query_id, corpus_id,
+           CAST(sum(CAST(round(mx * 1000000, 0) AS BIGINT)) AS BIGINT)
+               AS ssum,
+           CAST(count(*) AS BIGINT) AS n_q_tokens
+    FROM cs GROUP BY 1, 2
+)
+SELECT query_id, corpus_id,
+       round(CAST(ssum AS DOUBLE) / 1000000.0, 6) AS maxsim,
+       n_q_tokens, rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY ssum DESC, corpus_id) AS rank
+    FROM sc
+) WHERE rank <= 10
+"""
+
+
+@query("colbert_maxsim_ivf", _MAXSIM_IVF_ORACLE)
+def colbert_maxsim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-routed ColBERT late interaction — the 100 TB shape of
+    `colbert_maxsim_topk`, whose flat MaxSim rescans every corpus
+    token vector per query batch (its 8x probe ratio is the worst on
+    record for exactly that reason). Real late-interaction engines
+    (ColBERTv2/PLAID) never do that: a cheap doc-level candidate
+    stage routes each query to a small corpus subset, and the
+    token-level MaxSim runs only on the survivors.
+
+    Candidate stage == `similarity_ann_ivf`'s routing, reused
+    verbatim at the DOC level (full 64-d vectors): first-16
+    deterministic centroids, corpus docs assigned to their nearest
+    centroid by broadcast-argmax cosine, each query probing its 2
+    nearest cells. Token work then drops to ~n_probe/num_centroids of
+    the corpus BEFORE the 8x token explode — the explode itself is
+    candidate-restricted, which is what makes the plan scale: corpus
+    tokens are sliced only for docs in probed cells. Scoring is the
+    exact `colbert_maxsim_topk` arithmetic (fixed-order cosine folds
+    rounded at 6, 1e-6-quantized int64 MaxSim sums), so the oracle —
+    which replicates routing AND scoring — checks the whole
+    algorithm, per the IVF precedent."""
+    from ..functions.vectors import as_double_array, dot
+    from ..operators.similarity import with_vector_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # --- doc-level IVF routing (similarity_ann_ivf's exact shape) ---
+    n = with_vector_norm(emb).select("vec_id", "v", "norm")
+    centroids = n.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    c_sim = F.round(
+        dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm")), 6
+    )
+    from pyspark.sql import Window
+
+    def nearest(side: DataFrame, side_id: str, n_lists: int) -> DataFrame:
+        scored = side.join(F.broadcast(centroids), F.lit(True)).select(
+            side_id, "centroid_id", c_sim.alias("c_sim")
+        )
+        w = Window.partitionBy(side_id).orderBy(
+            F.desc("c_sim"), F.asc("centroid_id")
+        )
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= n_lists)
+            .select(side_id, "centroid_id")
+        )
+
+    assign = nearest(
+        n.select(F.col("vec_id").alias("corpus_id"), "v", "norm"),
+        "corpus_id",
+        1,
+    )
+    qprobe = nearest(
+        n.filter(F.col("vec_id") < _NUM_QUERIES).select(
+            F.col("vec_id").alias("query_id"), "v", "norm"
+        ),
+        "query_id",
+        2,
+    )
+    cand = (
+        qprobe.join(assign, "centroid_id")
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .select("query_id", "corpus_id")
+    )
+
+    # --- candidate-restricted token MaxSim (colbert_maxsim_topk
+    # arithmetic; the explode happens AFTER the doc-level pruning) ---
+    def tokens(df: DataFrame, id_out: str) -> DataFrame:
+        t = df.select(
+            F.col("vec_id").alias(id_out),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_LI_CHUNKS - 1))
+            ).alias("tok_idx"),
+            as_double_array("embedding").alias("fv"),
+        ).select(
+            id_out,
+            "tok_idx",
+            F.slice(
+                "fv", F.col("tok_idx") * _LI_SUBDIM + 1, _LI_SUBDIM
+            ).alias("sv"),
+        )
+        sq = F.aggregate(
+            F.col("sv"), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+        return (
+            t.withColumn("sq", sq)
+            .filter(F.col("sq") > 0)
+            .select(id_out, "tok_idx", "sv", F.sqrt("sq").alias("nrm"))
+        )
+
+    cand_docs = emb.join(
+        F.broadcast(cand.select("corpus_id").distinct()),
+        emb["vec_id"] == F.col("corpus_id"),
+        "left_semi",
+    )
+    ct = tokens(cand_docs, "corpus_id")
+    qt = tokens(emb.filter(F.col("vec_id") < _NUM_QUERIES), "query_id").select(
+        "query_id",
+        F.col("tok_idx").alias("q_tok"),
+        F.col("sv").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cos = F.round(
+        dot(F.col("qv"), F.col("sv")) / (F.col("qn") * F.col("nrm")), 6
+    )
+    cs = (
+        ct.join(F.broadcast(cand), "corpus_id")
+        .join(
+            F.broadcast(qt),
+            "query_id",
+        )
+        .groupBy("query_id", "corpus_id", "q_tok")
+        .agg(F.max(cos).alias("mx"))
+    )
+    sc = cs.groupBy("query_id", "corpus_id").agg(
+        F.sum(F.round(F.col("mx") * 1000000, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("ssum"),
+        F.count(F.lit(1)).cast("bigint").alias("n_q_tokens"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("ssum"), F.asc("corpus_id")
+    )
+    return (
+        sc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id", "corpus_id",
+            F.round(F.col("ssum").cast("double") / 1000000.0, 6)
+            .alias("maxsim"),
+            "n_q_tokens", "rank",
+        )
+    )

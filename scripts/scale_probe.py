@@ -97,6 +97,7 @@ PROBES = (
     "gini_concentration",
     "tokenizer_fertility",
     "colbert_maxsim_topk",
+    "colbert_maxsim_ivf",
     "multimodal_audio_vad",
     "streaming_reservoir_sample",
     # round-6 fifth/sixth waves (duplication-linear: gram-keyed counts
@@ -163,6 +164,45 @@ def build_jittered_embeddings(src_sf: str, n: int) -> str:
     return out
 
 
+def build_jittered_documents(src_sf: str, n: int) -> str:
+    """An Nx documents corpus with DISTINCT doc_ids (copy i shifts by
+    i*n_docs; n_docs is even at every SF, so the 2m/2m+1 planted-pair
+    convention of the perceptual-hash fixtures survives the shift) and
+    a per-copy suffix token on the text — an Nx corpus of realistic
+    near-duplicates. Needed by the queries the hardlink fixture
+    corrupts: duplicated doc_ids collapse ngram_novelty's distinct
+    (doc, shingle) pairs and hand multimodal_spectral_hash_dedup N-1
+    bit-identical hashes per image (an N^2 band join that no real
+    corpus exhibits)."""
+    import duckdb
+
+    out = tempfile.mkdtemp(prefix=f"jitterdoc{n}x_")
+    src = os.path.join(src_sf, "documents.parquet")
+    con = duckdb.connect()
+    n_docs = con.sql(f"SELECT count(*) FROM '{src}'").fetchone()[0]
+    selects = " UNION ALL ".join(
+        f"SELECT doc_id + {i * n_docs} AS doc_id, "
+        f"text || ' copytag{i}' AS text, lang, source, "
+        f"n_chars + {len(' copytagX') + len(str(i)) - 1} AS n_chars "
+        f"FROM '{src}'"
+        for i in range(n)
+    )
+    con.sql(
+        f"COPY ({selects}) TO "
+        f"'{os.path.join(out, 'documents.parquet')}' (FORMAT PARQUET)"
+    )
+    con.close()
+    return out
+
+
+# Probes that need the jittered-documents fixture instead of hardlink
+# duplication (see build_jittered_documents docstring).
+JITTER_DOC_PROBES = (
+    "ngram_novelty",
+    "multimodal_spectral_hash_dedup",
+)
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     only = None
@@ -181,8 +221,41 @@ def main() -> int:
 
     scaled = build_scaled_dir(src, n)
     jittered = build_jittered_embeddings(src, n)
+    jitterdoc_base = None
     try:
         results = {}
+        for name in JITTER_DOC_PROBES:
+            if only is not None and name not in only:
+                continue
+            if jitterdoc_base is None:
+                # other tables come from the hardlink fixture; only
+                # documents is replaced by the jittered build
+                jitterdoc_base = build_scaled_dir(src, 1)
+                jdocs = build_jittered_documents(src, n)
+                dst = os.path.join(jitterdoc_base, "documents.parquet")
+                shutil.rmtree(dst)
+                shutil.copytree(jdocs, dst.rsplit("/", 1)[0] + "/_jd")
+                os.rename(
+                    os.path.join(
+                        dst.rsplit("/", 1)[0], "_jd", "documents.parquet"
+                    ),
+                    dst,
+                )
+            fn = registry.QUERIES[name]
+            times = {}
+            for label, sf_dir in (("t1", src), ("tN", jitterdoc_base)):
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    best = min(best, time.perf_counter() - t0)
+                times[label] = round(best, 3)
+            times["ratio"] = round(times["tN"] / times["t1"], 2)
+            times["fixture"] = "jittered-documents"
+            results[name] = times
+            print(f"\n# {name}: {times}", file=sys.stderr, flush=True)
         for name in PROBES:
             if only is not None and name not in only:
                 continue

@@ -1130,6 +1130,69 @@ def test_colbert_maxsim_matches_numpy(spark, sf_smoke):
             assert abs(got - s) < 1e-4, (qid, cid, got, s)
 
 
+def test_colbert_maxsim_ivf_matches_numpy(spark, sf_smoke):
+    """colbert_maxsim_ivf recomputed end-to-end in numpy: doc-level
+    IVF routing (first-16 centroids, cosine argmax assignment, 2-probe
+    queries) then dense MaxSim over the candidates only — pins the
+    routing AND that scoring equals the flat MaxSim restricted to the
+    probed cells."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    emb = pd.read_parquet(f"{sf_smoke}/embeddings.parquet")
+    flat = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.itertuples()
+    }
+    # doc-level routing with the query's exact tie-break (rounded
+    # cosine desc, centroid_id asc)
+    cents = {i: flat[i] for i in range(16) if np.linalg.norm(flat[i]) > 0}
+
+    def ranked_cells(v):
+        nv = np.linalg.norm(v)
+        sims = [
+            (-round(float(v @ cv) / (nv * np.linalg.norm(cv)), 6), cid)
+            for cid, cv in cents.items()
+        ]
+        return [cid for _, cid in sorted(sims)]
+
+    assign = {
+        vid: ranked_cells(v)[0]
+        for vid, v in flat.items()
+        if np.linalg.norm(v) > 0
+    }
+    out = registry.QUERIES["colbert_maxsim_ivf"](spark, sf_smoke).toPandas()
+    vecs = {vid: v.reshape(8, 8) for vid, v in flat.items()}
+    for qid in range(5):
+        probes = set(ranked_cells(flat[qid])[:2])
+        cand = {
+            vid for vid, cell in assign.items()
+            if cell in probes and vid != qid
+        }
+        qm = vecs[qid]
+        qn = np.linalg.norm(qm, axis=1)
+        qkeep = qn > 0
+        scores = {}
+        for cid in cand:
+            cm = vecs[cid]
+            cn = np.linalg.norm(cm, axis=1)
+            ckeep = cn > 0
+            if not qkeep.any() or not ckeep.any():
+                continue
+            cosm = (qm[qkeep] @ cm[ckeep].T) / np.outer(
+                qn[qkeep], cn[ckeep]
+            )
+            scores[cid] = cosm.max(axis=1).sum()
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        sub = out[out["query_id"] == qid].sort_values("rank")
+        assert list(sub["corpus_id"]) == [cid for cid, _ in top], qid
+        for (cid, s), got in zip(top, sub["maxsim"]):
+            assert abs(got - s) < 1e-4, (qid, cid, got, s)
+
+
 def test_streaming_reservoir_matches_pure_python(spark, sf_smoke):
     """streaming_reservoir_sample recomputed from the events parquet
     with math.log (no Spark, no SQL): the per-day top-20 by the
