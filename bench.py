@@ -203,6 +203,7 @@ HEADLINE = [
     "ngram_novelty",
     "colbert_maxsim_topk",
     "colbert_maxsim_ivf",
+    "matryoshka_prefix_recall",
     "multimodal_spectral_hash_dedup",
     "multimodal_audio_vad",
     "streaming_reservoir_sample",

@@ -1655,3 +1655,143 @@ def colbert_maxsim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_q_tokens", "rank",
         )
     )
+
+
+_MRL_DIMS = (8, 16, 32, 64)
+
+_MRL_ORACLE = f"""
+WITH base AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+dims AS (SELECT unnest([8, 16, 32, 64]) AS dim),
+pre AS (
+    SELECT b.vec_id, d.dim, (b.v[1 : d.dim]) AS pv,
+           list_sum(list_transform(b.v[1 : d.dim], x -> x * x)) AS sq
+    FROM base b, dims d
+),
+np AS (
+    SELECT vec_id, dim, pv, sqrt(sq) AS nrm FROM pre WHERE sq > 0
+),
+qp AS (
+    SELECT vec_id AS query_id, dim, pv AS qv, nrm AS qn FROM np
+    WHERE vec_id < {_NUM_QUERIES}
+),
+ranked AS (
+    SELECT query_id, dim, corpus_id, rk FROM (
+        SELECT q.query_id, q.dim, c.vec_id AS corpus_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id, q.dim
+                   ORDER BY round(list_inner_product(q.qv, c.pv)
+                                  / (q.qn * c.nrm), 6) DESC,
+                            c.vec_id
+               ) AS rk
+        FROM qp q JOIN np c
+          ON c.dim = q.dim AND c.vec_id <> q.query_id
+    ) WHERE rk <= 10
+),
+full_top AS (
+    SELECT query_id, corpus_id FROM ranked WHERE dim = 64
+)
+SELECT r.query_id, CAST(r.dim AS BIGINT) AS dim,
+       CAST(count(f.corpus_id) AS BIGINT) AS n_overlap,
+       round(count(f.corpus_id) / 10.0, 6) AS recall_at_10
+FROM ranked r
+LEFT JOIN full_top f
+  ON f.query_id = r.query_id AND f.corpus_id = r.corpus_id
+GROUP BY r.query_id, r.dim
+ORDER BY r.query_id, r.dim
+"""
+
+
+@query("matryoshka_prefix_recall", _MRL_ORACLE)
+def matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-embedding truncation eval: retrieval recall@10 when
+    the 64-dim embedding is truncated to its first 8/16/32 dims — the
+    production question behind MRL-trained embeddings (Kusupati et
+    al.), where a prefix of the vector is served at a fraction of the
+    memory/compute and the engineering decision is which prefix
+    length keeps enough of the full-dimension ranking. recall@10 =
+    overlap of the prefix-cosine top-10 with the full-dimension
+    top-10, per query per dim (dim=64 rows are the 1.0 self-check).
+
+    Dataflow: one corpus scan explodes the 4 prefix lengths (4x rows,
+    each carrying only its slice — column pruning keeps the scan at
+    input width), prefix norms drop zero-norm slices on both engines
+    (a nonzero vector CAN have a zero prefix), the 20 query-side
+    slices broadcast onto it, and per-(query, dim) top-10 is the
+    brute_force_topk rank discipline (cosine rounded 6, corpus-id
+    tie-break). The overlap join is top-10-sized. At 100 TB the
+    per-dim rankings would come from the IVF/PQ index family instead
+    of brute force; this query is the EVAL that justifies the
+    truncation, not the serving path."""
+    from ..functions.vectors import as_double_array, dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", as_double_array("embedding").alias("v"))
+    pre = base.select(
+        "vec_id",
+        F.explode(F.array(*[F.lit(d) for d in _MRL_DIMS])).alias("dim"),
+        F.col("v"),
+    ).select(
+        "vec_id", "dim", F.slice("v", 1, F.col("dim")).alias("pv")
+    )
+    sq = F.aggregate(F.col("pv"), F.lit(0.0), lambda a, x: a + x * x)
+    np_ = (
+        pre.withColumn("sq", sq)
+        .filter(F.col("sq") > 0)
+        .select("vec_id", "dim", "pv", F.sqrt("sq").alias("nrm"))
+    )
+    qp = np_.filter(F.col("vec_id") < _NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("dim").alias("qdim"),
+        F.col("pv").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cos = F.round(
+        dot(F.col("qv"), F.col("pv")) / (F.col("qn") * F.col("nrm")), 6
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id", "dim").orderBy(
+        F.desc("cos"), F.asc("corpus_id")
+    )
+    ranked = (
+        np_.join(
+            F.broadcast(qp),
+            (F.col("dim") == F.col("qdim"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "dim",
+            F.col("vec_id").alias("corpus_id"),
+            cos.alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "dim", "corpus_id")
+        .localCheckpoint(eager=False)
+    )
+    full_top = ranked.filter(F.col("dim") == 64).select(
+        F.col("query_id").alias("f_query_id"),
+        F.col("corpus_id").alias("f_corpus_id"),
+    )
+    return (
+        ranked.join(
+            F.broadcast(full_top),
+            (F.col("query_id") == F.col("f_query_id"))
+            & (F.col("corpus_id") == F.col("f_corpus_id")),
+            "left",
+        )
+        .groupBy("query_id", "dim")
+        .agg(
+            F.count("f_corpus_id").cast("bigint").alias("n_overlap"),
+            F.round(F.count("f_corpus_id") / 10.0, 6).alias("recall_at_10"),
+        )
+        .select(
+            "query_id",
+            F.col("dim").cast("bigint").alias("dim"),
+            "n_overlap",
+            "recall_at_10",
+        )
+    )

@@ -1193,6 +1193,59 @@ def test_colbert_maxsim_ivf_matches_numpy(spark, sf_smoke):
             assert abs(got - s) < 1e-4, (qid, cid, got, s)
 
 
+def test_matryoshka_recall_matches_numpy(spark, sf_smoke):
+    """matryoshka_prefix_recall recomputed densely in numpy: per-dim
+    prefix-cosine top-10 with the (rounded-6 desc, id asc) tie-break,
+    overlap against the full-dim top-10 — pins slicing, norm
+    handling, and the recall arithmetic."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    emb = pd.read_parquet(f"{sf_smoke}/embeddings.parquet")
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.itertuples()
+    }
+    out = registry.QUERIES["matryoshka_prefix_recall"](
+        spark, sf_smoke
+    ).toPandas()
+
+    def topk(qid, d):
+        qv = vecs[qid][:d]
+        qn = np.linalg.norm(qv)
+        if qn == 0:
+            return []
+        scored = []
+        for cid, v in vecs.items():
+            if cid == qid:
+                continue
+            cv = v[:d]
+            cn = np.linalg.norm(cv)
+            if cn == 0:
+                continue
+            scored.append((-round(float(qv @ cv) / (qn * cn), 6), cid))
+        return [cid for _, cid in sorted(scored)[:10]]
+
+    for qid in range(5):
+        full = set(topk(qid, 64))
+        for d in (8, 16, 32, 64):
+            got = out[(out["query_id"] == qid) & (out["dim"] == d)]
+            assert len(got) == 1, (qid, d)
+            expect = len(set(topk(qid, d)) & full)
+            assert int(got["n_overlap"].iloc[0]) == expect, (qid, d)
+            assert abs(
+                float(got["recall_at_10"].iloc[0]) - expect / 10.0
+            ) < 1e-9
+        assert int(
+            out[(out["query_id"] == qid) & (out["dim"] == 64)][
+                "n_overlap"
+            ].iloc[0]
+        ) == 10  # the dim=64 self-check row
+
+
 def test_streaming_reservoir_matches_pure_python(spark, sf_smoke):
     """streaming_reservoir_sample recomputed from the events parquet
     with math.log (no Spark, no SQL): the per-day top-20 by the
