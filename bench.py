@@ -204,6 +204,7 @@ HEADLINE = [
     "colbert_maxsim_topk",
     "colbert_maxsim_ivf",
     "matryoshka_prefix_recall",
+    "hilbert_layout",
     "multimodal_spectral_hash_dedup",
     "multimodal_audio_vad",
     "streaming_reservoir_sample",

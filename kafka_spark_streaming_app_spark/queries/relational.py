@@ -1177,6 +1177,110 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HILBERT_STEPS_SQL = """h0 AS (SELECT x, y, x AS hx, y AS hy, CAST(0 AS BIGINT) AS hd FROM dims),
+h1 AS (SELECT x, y, CASE WHEN (CASE WHEN (hy & 512) > 0 THEN 1 ELSE 0 END) = 0 THEN (CASE WHEN (CASE WHEN (hx & 512) > 0 THEN 1 ELSE 0 END) = 1 THEN 512 - 1 - hy ELSE hy END) ELSE hx END AS hx, CASE WHEN (CASE WHEN (hy & 512) > 0 THEN 1 ELSE 0 END) = 0 THEN (CASE WHEN (CASE WHEN (hx & 512) > 0 THEN 1 ELSE 0 END) = 1 THEN 512 - 1 - hx ELSE hx END) ELSE hy END AS hy, hd + 262144 * (CASE WHEN (CASE WHEN (hx & 512) > 0 THEN 1 ELSE 0 END) = 0 AND (CASE WHEN (hy & 512) > 0 THEN 1 ELSE 0 END) = 0 THEN 0 WHEN (CASE WHEN (hx & 512) > 0 THEN 1 ELSE 0 END) = 0 THEN 1 WHEN (CASE WHEN (hy & 512) > 0 THEN 1 ELSE 0 END) = 1 THEN 2 ELSE 3 END) AS hd FROM h0),
+h2 AS (SELECT x, y, CASE WHEN (CASE WHEN (hy & 256) > 0 THEN 1 ELSE 0 END) = 0 THEN (CASE WHEN (CASE WHEN (hx & 256) > 0 THEN 1 ELSE 0 END) = 1 THEN 256 - 1 - hy ELSE hy END) ELSE hx END AS hx, CASE WHEN (CASE WHEN (hy & 256) > 0 THEN 1 ELSE 0 END) = 0 THEN (CASE WHEN (CASE WHEN (hx & 256) > 0 THEN 1 ELSE 0 END) = 1 THEN 256 - 1 - hx ELSE hx END) ELSE hy END AS hy, hd + 65536 * (CASE WHEN (CASE WHEN (hx & 256) > 0 THEN 1 ELSE 0 END) = 0 AND (CASE WHEN (hy & 256) > 0 THEN 1 ELSE 0 END) = 0 THEN 0 WHEN (CASE WHEN (hx & 256) > 0 THEN 1 ELSE 0 END) = 0 THEN 1 WHEN (CASE WHEN (hy & 256) > 0 THEN 1 ELSE 0 END) = 1 THEN 2 ELSE 3 END) AS hd FROM h1),
+h3 AS (SELECT x, y, CASE WHEN (CASE WHEN (hy & 128) > 0 THEN 1 ELSE 0 END) = 0 THEN (CASE WHEN (CASE WHEN (hx & 128) > 0 THEN 1 ELSE 0 END) = 1 THEN 128 - 1 - hy ELSE hy END) ELSE hx END AS hx, CASE WHEN (CASE WHEN (hy & 128) > 0 THEN 1 ELSE 0 END) = 0 THEN (CASE WHEN (CASE WHEN (hx & 128) > 0 THEN 1 ELSE 0 END) = 1 THEN 128 - 1 - hx ELSE hx END) ELSE hy END AS hy, hd + 16384 * (CASE WHEN (CASE WHEN (hx & 128) > 0 THEN 1 ELSE 0 END) = 0 AND (CASE WHEN (hy & 128) > 0 THEN 1 ELSE 0 END) = 0 THEN 0 WHEN (CASE WHEN (hx & 128) > 0 THEN 1 ELSE 0 END) = 0 THEN 1 WHEN (CASE WHEN (hy & 128) > 0 THEN 1 ELSE 0 END) = 1 THEN 2 ELSE 3 END) AS hd FROM h2),
+h4 AS (SELECT x, y, CASE WHEN (CASE WHEN (hy & 64) > 0 THEN 1 ELSE 0 END) = 0 THEN (CASE WHEN (CASE WHEN (hx & 64) > 0 THEN 1 ELSE 0 END) = 1 THEN 64 - 1 - hy ELSE hy END) ELSE hx END AS hx, CASE WHEN (CASE WHEN (hy & 64) > 0 THEN 1 ELSE 0 END) = 0 THEN (CASE WHEN (CASE WHEN (hx & 64) > 0 THEN 1 ELSE 0 END) = 1 THEN 64 - 1 - hx ELSE hx END) ELSE hy END AS hy, hd + 4096 * (CASE WHEN (CASE WHEN (hx & 64) > 0 THEN 1 ELSE 0 END) = 0 AND (CASE WHEN (hy & 64) > 0 THEN 1 ELSE 0 END) = 0 THEN 0 WHEN (CASE WHEN (hx & 64) > 0 THEN 1 ELSE 0 END) = 0 THEN 1 WHEN (CASE WHEN (hy & 64) > 0 THEN 1 ELSE 0 END) = 1 THEN 2 ELSE 3 END) AS hd FROM h3),
+h5 AS (SELECT x, y, CASE WHEN (CASE WHEN (hy & 32) > 0 THEN 1 ELSE 0 END) = 0 THEN (CASE WHEN (CASE WHEN (hx & 32) > 0 THEN 1 ELSE 0 END) = 1 THEN 32 - 1 - hy ELSE hy END) ELSE hx END AS hx, CASE WHEN (CASE WHEN (hy & 32) > 0 THEN 1 ELSE 0 END) = 0 THEN (CASE WHEN (CASE WHEN (hx & 32) > 0 THEN 1 ELSE 0 END) = 1 THEN 32 - 1 - hx ELSE hx END) ELSE hy END AS hy, hd + 1024 * (CASE WHEN (CASE WHEN (hx & 32) > 0 THEN 1 ELSE 0 END) = 0 AND (CASE WHEN (hy & 32) > 0 THEN 1 ELSE 0 END) = 0 THEN 0 WHEN (CASE WHEN (hx & 32) > 0 THEN 1 ELSE 0 END) = 0 THEN 1 WHEN (CASE WHEN (hy & 32) > 0 THEN 1 ELSE 0 END) = 1 THEN 2 ELSE 3 END) AS hd FROM h4),
+h6 AS (SELECT x, y, CASE WHEN (CASE WHEN (hy & 16) > 0 THEN 1 ELSE 0 END) = 0 THEN (CASE WHEN (CASE WHEN (hx & 16) > 0 THEN 1 ELSE 0 END) = 1 THEN 16 - 1 - hy ELSE hy END) ELSE hx END AS hx, CASE WHEN (CASE WHEN (hy & 16) > 0 THEN 1 ELSE 0 END) = 0 THEN (CASE WHEN (CASE WHEN (hx & 16) > 0 THEN 1 ELSE 0 END) = 1 THEN 16 - 1 - hx ELSE hx END) ELSE hy END AS hy, hd + 256 * (CASE WHEN (CASE WHEN (hx & 16) > 0 THEN 1 ELSE 0 END) = 0 AND (CASE WHEN (hy & 16) > 0 THEN 1 ELSE 0 END) = 0 THEN 0 WHEN (CASE WHEN (hx & 16) > 0 THEN 1 ELSE 0 END) = 0 THEN 1 WHEN (CASE WHEN (hy & 16) > 0 THEN 1 ELSE 0 END) = 1 THEN 2 ELSE 3 END) AS hd FROM h5),
+h7 AS (SELECT x, y, CASE WHEN (CASE WHEN (hy & 8) > 0 THEN 1 ELSE 0 END) = 0 THEN (CASE WHEN (CASE WHEN (hx & 8) > 0 THEN 1 ELSE 0 END) = 1 THEN 8 - 1 - hy ELSE hy END) ELSE hx END AS hx, CASE WHEN (CASE WHEN (hy & 8) > 0 THEN 1 ELSE 0 END) = 0 THEN (CASE WHEN (CASE WHEN (hx & 8) > 0 THEN 1 ELSE 0 END) = 1 THEN 8 - 1 - hx ELSE hx END) ELSE hy END AS hy, hd + 64 * (CASE WHEN (CASE WHEN (hx & 8) > 0 THEN 1 ELSE 0 END) = 0 AND (CASE WHEN (hy & 8) > 0 THEN 1 ELSE 0 END) = 0 THEN 0 WHEN (CASE WHEN (hx & 8) > 0 THEN 1 ELSE 0 END) = 0 THEN 1 WHEN (CASE WHEN (hy & 8) > 0 THEN 1 ELSE 0 END) = 1 THEN 2 ELSE 3 END) AS hd FROM h6),
+h8 AS (SELECT x, y, CASE WHEN (CASE WHEN (hy & 4) > 0 THEN 1 ELSE 0 END) = 0 THEN (CASE WHEN (CASE WHEN (hx & 4) > 0 THEN 1 ELSE 0 END) = 1 THEN 4 - 1 - hy ELSE hy END) ELSE hx END AS hx, CASE WHEN (CASE WHEN (hy & 4) > 0 THEN 1 ELSE 0 END) = 0 THEN (CASE WHEN (CASE WHEN (hx & 4) > 0 THEN 1 ELSE 0 END) = 1 THEN 4 - 1 - hx ELSE hx END) ELSE hy END AS hy, hd + 16 * (CASE WHEN (CASE WHEN (hx & 4) > 0 THEN 1 ELSE 0 END) = 0 AND (CASE WHEN (hy & 4) > 0 THEN 1 ELSE 0 END) = 0 THEN 0 WHEN (CASE WHEN (hx & 4) > 0 THEN 1 ELSE 0 END) = 0 THEN 1 WHEN (CASE WHEN (hy & 4) > 0 THEN 1 ELSE 0 END) = 1 THEN 2 ELSE 3 END) AS hd FROM h7),
+h9 AS (SELECT x, y, CASE WHEN (CASE WHEN (hy & 2) > 0 THEN 1 ELSE 0 END) = 0 THEN (CASE WHEN (CASE WHEN (hx & 2) > 0 THEN 1 ELSE 0 END) = 1 THEN 2 - 1 - hy ELSE hy END) ELSE hx END AS hx, CASE WHEN (CASE WHEN (hy & 2) > 0 THEN 1 ELSE 0 END) = 0 THEN (CASE WHEN (CASE WHEN (hx & 2) > 0 THEN 1 ELSE 0 END) = 1 THEN 2 - 1 - hx ELSE hx END) ELSE hy END AS hy, hd + 4 * (CASE WHEN (CASE WHEN (hx & 2) > 0 THEN 1 ELSE 0 END) = 0 AND (CASE WHEN (hy & 2) > 0 THEN 1 ELSE 0 END) = 0 THEN 0 WHEN (CASE WHEN (hx & 2) > 0 THEN 1 ELSE 0 END) = 0 THEN 1 WHEN (CASE WHEN (hy & 2) > 0 THEN 1 ELSE 0 END) = 1 THEN 2 ELSE 3 END) AS hd FROM h8),
+h10 AS (SELECT x, y, CASE WHEN (CASE WHEN (hy & 1) > 0 THEN 1 ELSE 0 END) = 0 THEN (CASE WHEN (CASE WHEN (hx & 1) > 0 THEN 1 ELSE 0 END) = 1 THEN 1 - 1 - hy ELSE hy END) ELSE hx END AS hx, CASE WHEN (CASE WHEN (hy & 1) > 0 THEN 1 ELSE 0 END) = 0 THEN (CASE WHEN (CASE WHEN (hx & 1) > 0 THEN 1 ELSE 0 END) = 1 THEN 1 - 1 - hx ELSE hx END) ELSE hy END AS hy, hd + 1 * (CASE WHEN (CASE WHEN (hx & 1) > 0 THEN 1 ELSE 0 END) = 0 AND (CASE WHEN (hy & 1) > 0 THEN 1 ELSE 0 END) = 0 THEN 0 WHEN (CASE WHEN (hx & 1) > 0 THEN 1 ELSE 0 END) = 0 THEN 1 WHEN (CASE WHEN (hy & 1) > 0 THEN 1 ELSE 0 END) = 1 THEN 2 ELSE 3 END) AS hd FROM h9)"""
+
+_HILBERT_ORACLE = f"""
+WITH dims AS (
+    SELECT
+        o_custkey % 1024 AS x,
+        CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             AS BIGINT) % 1024 AS y
+    FROM orders
+),
+{_HILBERT_STEPS_SQL}
+SELECT
+    hd >> 12 AS h_bucket,
+    count(*) AS n_rows,
+    CAST(min(x) AS BIGINT) AS min_x,
+    CAST(max(x) AS BIGINT) AS max_x,
+    CAST(min(y) AS BIGINT) AS min_y,
+    CAST(max(y) AS BIGINT) AS max_y
+FROM h10
+GROUP BY h_bucket
+"""
+
+
+@query("hilbert_layout", _HILBERT_ORACLE)
+def hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key over (customer, order-day) — the
+    zorder_layout twin on the curve Iceberg/Databricks reach for when
+    multi-dimensional locality matters: Hilbert never makes the long
+    diagonal jumps Morton interleaving does, so bucket min/max spans
+    (the ledger data skipping actually reads) are tighter for the
+    same bucket width. The standard xy2d walk (per bit: quadrant
+    digit d += s²·((3·rx) XOR ry), then reflect+swap rotation)
+    unrolls to 10 iterations of branch-free-joinable integer CASE
+    arithmetic — whole-stage codegen, zero Python, zero shuffle until
+    the one bucket aggregation; the XOR term is expressed as a CASE
+    over (rx, ry) so both engines evaluate byte-identical integer
+    expressions. Same ledger output shape as zorder_layout, so the
+    two layouts' pruning spans are directly comparable."""
+    o = load_table(spark, sf_dir, "orders")
+    df = o.select(
+        (F.col("o_custkey") % 1024).alias("x"),
+        (
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01")
+            ).cast("bigint")
+            % 1024
+        ).alias("y"),
+    ).select(
+        "x", "y",
+        F.col("x").alias("hx"),
+        F.col("y").alias("hy"),
+        F.lit(0).cast("bigint").alias("hd"),
+    )
+    for i in range(10):
+        sv = 512 >> i
+        rx = F.when((F.col("hx").bitwiseAND(F.lit(sv))) > 0, 1).otherwise(0)
+        ry = F.when((F.col("hy").bitwiseAND(F.lit(sv))) > 0, 1).otherwise(0)
+        inc = F.lit(sv * sv) * (
+            F.when((rx == 0) & (ry == 0), 0)
+            .when(rx == 0, 1)
+            .when(ry == 1, 2)
+            .otherwise(3)
+        )
+        newx = F.when(
+            ry == 0,
+            F.when(rx == 1, F.lit(sv) - 1 - F.col("hy")).otherwise(
+                F.col("hy")
+            ),
+        ).otherwise(F.col("hx"))
+        newy = F.when(
+            ry == 0,
+            F.when(rx == 1, F.lit(sv) - 1 - F.col("hx")).otherwise(
+                F.col("hx")
+            ),
+        ).otherwise(F.col("hy"))
+        df = df.select(
+            "x", "y",
+            newx.alias("hx"),
+            newy.alias("hy"),
+            (F.col("hd") + inc).alias("hd"),
+        )
+    return (
+        df.select(F.shiftright("hd", 12).alias("h_bucket"), "x", "y")
+        .groupBy("h_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+    )
+
+
 # --- schema evolution: union across drifted schemas -------------------------
 
 _SCHEMA_EVO_ORACLE = """

@@ -1246,6 +1246,60 @@ def test_matryoshka_recall_matches_numpy(spark, sf_smoke):
         ) == 10  # the dim=64 self-check row
 
 
+def test_hilbert_layout_matches_pure_python(spark, sf_smoke):
+    """hilbert_layout recomputed with the reference xy2d walk in pure
+    Python, plus the defining curve property checked directly: two
+    points at consecutive Hilbert indices are grid-adjacent (Manhattan
+    distance exactly 1) — true of Hilbert, false of Morton, so it pins
+    the rotation logic, not just agreement between two ports."""
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    def xy2d(n, x, y):
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x = s - 1 - x
+                    y = s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    # curve property on the full 32x32 grid
+    idx = {xy2d(32, x, y): (x, y) for x in range(32) for y in range(32)}
+    assert len(idx) == 1024  # bijective
+    for d in range(1023):
+        (x1, y1), (x2, y2) = idx[d], idx[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, d
+
+    registry.load_all()
+    orders = pd.read_parquet(f"{sf_smoke}/orders.parquet")
+    ledger = {}
+    for r in orders.itertuples():
+        x = int(r.o_custkey) % 1024
+        y = (pd.Timestamp(r.o_orderdate) - pd.Timestamp("1970-01-01")).days % 1024
+        b = xy2d(1024, x, y) >> 12
+        n, mnx, mxx, mny, mxy = ledger.get(
+            b, (0, 10**9, -1, 10**9, -1)
+        )
+        ledger[b] = (
+            n + 1, min(mnx, x), max(mxx, x), min(mny, y), max(mxy, y)
+        )
+    out = registry.QUERIES["hilbert_layout"](spark, sf_smoke).toPandas()
+    assert len(out) == len(ledger)
+    for r in out.itertuples():
+        n, mnx, mxx, mny, mxy = ledger[int(r.h_bucket)]
+        assert (
+            r.n_rows, r.min_x, r.max_x, r.min_y, r.max_y
+        ) == (n, mnx, mxx, mny, mxy), r.h_bucket
+
+
 def test_streaming_reservoir_matches_pure_python(spark, sf_smoke):
     """streaming_reservoir_sample recomputed from the events parquet
     with math.log (no Spark, no SQL): the per-day top-20 by the
