@@ -205,6 +205,7 @@ HEADLINE = [
     "colbert_maxsim_ivf",
     "matryoshka_prefix_recall",
     "hilbert_layout",
+    "dsir_importance_weights",
     "multimodal_spectral_hash_dedup",
     "multimodal_audio_vad",
     "streaming_reservoir_sample",

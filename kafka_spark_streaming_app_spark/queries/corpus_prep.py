@@ -1742,3 +1742,141 @@ def skipgram_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         "sample_idx",
     )
+
+
+# --- DSIR data selection ----------------------------------------------------
+
+_DSIR_B = 1024  # hashed-feature buckets
+
+_DSIR_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id, lang, {TOKENS_SQL.format(x="text")} AS ws FROM documents
+),
+bg AS (
+    SELECT doc_id, lang,
+           {h60_sql("ws[i] || '|' || ws[i + 1]")} % {_DSIR_B} AS feat
+    FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) r
+),
+tgt AS (
+    SELECT feat, count(*) AS ct FROM bg WHERE lang = 'en' GROUP BY feat
+),
+srcc AS (
+    SELECT feat, count(*) AS cs FROM bg GROUP BY feat
+),
+tot AS (
+    SELECT (SELECT count(*) FROM bg WHERE lang = 'en') AS nt,
+           (SELECT count(*) FROM bg) AS ns
+),
+term AS (
+    SELECT s.feat,
+           CAST(floor(1000000.0 * ln(
+               (CAST(coalesce(t.ct, 0) + 1 AS DOUBLE) * (ns + {_DSIR_B}))
+               / (CAST(s.cs + 1 AS DOUBLE) * (nt + {_DSIR_B}))
+           )) AS BIGINT) AS q
+    FROM srcc s LEFT JOIN tgt t ON t.feat = s.feat, tot
+),
+per_doc AS (
+    SELECT bg.doc_id, count(*) AS n_feats,
+           CAST(sum(term.q) AS BIGINT) AS qsum
+    FROM bg JOIN term ON term.feat = bg.feat
+    GROUP BY bg.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_feats, 0) AS BIGINT) AS n_feats,
+       round(CAST(p.qsum AS DOUBLE) / 1000000.0, 6) AS dsir_weight
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+"""
+
+
+@query("dsir_importance_weights", _DSIR_ORACLE)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al., "Data Selection for
+    Language Models via Importance Resampling"): per-document
+    importance weight = log-likelihood ratio of the document under
+    hashed-bigram unigram models of a TARGET distribution (here the
+    'en' slice — the curated corpus stand-in) vs the raw SOURCE pool.
+    Resampling the pool by these weights shifts it toward the target
+    domain — the standard pretraining-mix selection tool alongside the
+    quality-proportional `importance_sample_quality` (which scores
+    documents in isolation; DSIR scores them against a target
+    DISTRIBUTION).
+
+    Dataflow: word bigrams are scan-local zip_with slices hashed into
+    {_DSIR_B} buckets (the hashing trick — the model is two
+    {_DSIR_B}-row count tables at ANY corpus size); the add-1-smoothed
+    per-feature log ratio ln((ct+1)(Ns+B) / ((cs+1)(Nt+B))) is
+    computed ONCE per feature bucket (≤ {_DSIR_B} ln calls, each on an
+    exact integer-ratio double, floor-quantized at 1e-6 — the BM25/PMI
+    discipline) and broadcast-joined back to doc features, so the
+    per-doc weight is an exact int64 sum. Documents with no bigram
+    keep a NULL weight via LEFT join (no silent drops)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", "lang", tokens("text").alias("ws"))
+    nw = F.size("ws")
+    bigrams = F.when(
+        nw >= 2,
+        F.transform(
+            F.sequence(F.lit(1), nw - 1),
+            lambda i: F.concat(
+                F.element_at("ws", i), F.lit("|"), F.element_at("ws", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    from ..functions.hashing import h60
+
+    bg = w.select(
+        "doc_id", "lang", F.explode(bigrams).alias("bgram")
+    ).select(
+        "doc_id", "lang", (h60(F.col("bgram")) % _DSIR_B).alias("feat")
+    ).localCheckpoint(eager=False)
+    tgt = bg.filter(F.col("lang") == "en").groupBy("feat").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    srcc = bg.groupBy("feat").agg(F.count(F.lit(1)).alias("cs"))
+    tot = bg.agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("nt"),
+        F.count(F.lit(1)).alias("ns"),
+    )
+    term = (
+        srcc.join(tgt, "feat", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "feat",
+            F.floor(
+                1000000.0
+                * F.log(
+                    (
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast(
+                            "double"
+                        )
+                        * (F.col("ns") + _DSIR_B)
+                    )
+                    / (
+                        (F.col("cs") + 1).cast("double")
+                        * (F.col("nt") + _DSIR_B)
+                    )
+                )
+            )
+            .cast("bigint")
+            .alias("q"),
+        )
+    )
+    per_doc = (
+        bg.join(F.broadcast(term), "feat")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+            F.sum("q").cast("bigint").alias("qsum"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_feats", F.lit(0)).cast("bigint").alias("n_feats"),
+            F.round(F.col("qsum").cast("double") / 1000000.0, 6).alias(
+                "dsir_weight"
+            ),
+        )
+    )

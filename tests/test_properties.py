@@ -1300,6 +1300,64 @@ def test_hilbert_layout_matches_pure_python(spark, sf_smoke):
         ) == (n, mnx, mxx, mny, mxy), r.h_bucket
 
 
+def test_dsir_weights_match_pure_python(spark, sf_smoke):
+    """dsir_importance_weights recomputed with hashlib + math.log (no
+    Spark, no SQL): hashed-bigram counts for target ('en') and source
+    pools, add-1 smoothed per-feature log ratios floor-quantized at
+    1e-6, summed per doc."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    docs = pd.read_parquet(f"{sf_smoke}/documents.parquet")
+    B = 1024
+
+    def feats(text):
+        norm = re.sub(r"\s+", " ", (text or "").strip().lower())
+        ws = norm.split(" ")
+        return [
+            int(hashlib.md5(f"{a}|{b}".encode()).hexdigest()[:15], 16) % B
+            for a, b in zip(ws, ws[1:])
+        ]
+
+    per_doc = {r.doc_id: feats(r.text) for r in docs.itertuples()}
+    langs = dict(zip(docs.doc_id, docs.lang))
+    tgt, src = Counter(), Counter()
+    for did, fs in per_doc.items():
+        src.update(fs)
+        if langs[did] == "en":
+            tgt.update(fs)
+    nt, ns = sum(tgt.values()), sum(src.values())
+    q = {
+        f: math.floor(
+            1e6
+            * math.log(
+                ((tgt.get(f, 0) + 1) * (ns + B))
+                / ((src[f] + 1) * (nt + B))
+            )
+        )
+        for f in src
+    }
+    out = registry.QUERIES["dsir_importance_weights"](
+        spark, sf_smoke
+    ).toPandas()
+    assert len(out) == len(docs)
+    for r in out.itertuples():
+        fs = per_doc[r.doc_id]
+        assert r.n_feats == len(fs), r.doc_id
+        if not fs:
+            assert pd.isna(r.dsir_weight)
+        else:
+            expect = round(sum(q[f] for f in fs) / 1e6, 6)
+            assert abs(r.dsir_weight - expect) < 1e-9, r.doc_id
+
+
 def test_streaming_reservoir_matches_pure_python(spark, sf_smoke):
     """streaming_reservoir_sample recomputed from the events parquet
     with math.log (no Spark, no SQL): the per-day top-20 by the
