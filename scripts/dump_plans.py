@@ -105,8 +105,8 @@ NOTES = {
     "item_item_cosine": "Degree table + edge list barriered (each feeds two branches); similarity join keyed by item; top-3 via WindowGroupLimit.",
     "logrank_test": "Gap histogram barriered; cumulative at-risk windows over distinct gap values; quantized hypergeometric terms sum in DECIMAL(38,0) in one aggregation.",
     "cusum_changepoint": "Daily integer-cents agg barriered (feeds totals and the cumulative scan); day-ordered window over ~2.4k rows; totals and argmax row attach by broadcast.",
-    "streaming_matview_join": "foreachBatch: batch rows broadcast-join the dim, merge latest-wins into bucket-partitioned state (partition-pruned read, dynamic partition overwrite, replay markers); final read is the serving view.",
-    "multimodal_video_fingerprint_dedup": "Real Y4M decode in Arrow-batched mapInPandas; 4x16-bit band equi-joins on the barriered fingerprint table; exact popcount verify on candidates only (hot-band cap available).",
+    "streaming_matview_join": "foreachBatch: batch rows broadcast-join the dim, merge latest-wins into bucket-partitioned state (partition-pruned read, staged write + per-bucket rename promotion, replay markers); final read is the serving view.",
+    "multimodal_video_fingerprint_dedup": "Real Y4M decode in Arrow-batched mapInPandas; 4x16-bit band equi-joins over DISTINCT fingerprint values (bucket sizes bounded by hash diversity, not corpus), popcount verify on value pairs, member expansion output-proportional (hot-band cap available).",
     "cohens_kappa": "Single codegen scan-aggregation: the whole 2x2 confusion table as four int64 sums; kappa is one division of exact operands.",
     "benford_digit_audit": "Leading digit from the decimal string of exact cents (no float log); one scan to a 9-row histogram; literal Benford expectations; totals broadcast.",
     "naive_bayes_language": "Training = two aggregations over the barriered train-token explode; dense vocab x class table broadcast-assembled; scoring joins on token, aggregates on (doc, class); quantized int64 scores make the argmax exact.",
@@ -114,7 +114,7 @@ NOTES = {
     "theil_sen_trend": "Day-pair table is calendar-squared (bounded at any fact scale); each slope one IEEE division of exact cents; exact median via the two middle order statistics.",
     "mann_kendall_trend": "Same day-pair table; S is a pure integer sign sum; tie-corrected variance from exact value-histogram counts; z = one sqrt + one division.",
     "sssp_weighted_bounded": "12 delta-frontier Bellman-Ford rounds (only improved nodes re-propose), each a frontier-join + per-node min with lazy-checkpoint barriers; integer distances engine-exact; hashed settled flag proves the fixpoint.",
-    "streaming_cms_heavy_hitters": "foreachBatch folds (row, bucket) counts into the row-partitioned 4x1024 sketch (additive merge, replay markers); probes broadcast sketch-row slices; heavy set exact and scale-free.",
+    "streaming_cms_heavy_hitters": "foreachBatch folds single-scan (row, bucket) counts (explode d hashes per event) into the 4x1024 compact sketch state (one-job whole-state swap, replay markers); probes broadcast sketch-row slices; heavy set exact and scale-free.",
     "weighted_sample_es": "Weighted exact-k sampling compiles to TakeOrderedAndProject: per-partition k-row heaps, n_tasks*k-row driver merge, no global sort.",
     "kruskal_wallis_test": "Histogram-first rank test: one vc-keyed shuffle + one ordered window over the distinct-value histogram; H is a scalar over exact aggregates.",
     "logistic_irls": "Two lineitem scans, each a partial+final HashAggregate of 9 quantized DECIMAL sums; the Cramer solves are 1-row projections.",
@@ -132,9 +132,9 @@ NOTES = {
     "mixture_sampling_weights": "Row-local token counts (no explode), 20-row source agg, two 1-row broadcast folds for the exact integer normalizers.",
     "ngram_novelty": "Inverted-index shape: distinct (doc,shingle) -> one shingle-keyed count + one doc-keyed fold; LEFT join keeps short docs.",
     "colbert_maxsim_topk": "8x token explode, 40-row query side BROADCAST onto it; two shuffles on collapsing keys (max then sum); top-10 window per query.",
-    "multimodal_spectral_hash_dedup": "Real PNG decode in Arrow mapInPandas; integer WHT signs per image; four 5-bit band equi-joins, popcount verify on candidates only.",
+    "multimodal_spectral_hash_dedup": "Real PNG decode in Arrow mapInPandas; integer WHT signs per image; four 5-bit band equi-joins over DISTINCT hash values (<= 2^15 per band regardless of corpus), member expansion output-proportional.",
     "multimodal_audio_vad": "Codec-boundary mapInPandas to frame energies; totals join back per media; voiced/segment logic is one media-keyed window chain.",
-    "streaming_reservoir_sample": "foreachBatch: batch-local per-day top-20 (TakeOrdered bounds state writes to k rows/day) merged into day-partitioned state by idempotent top-k union.",
+    "streaming_reservoir_sample": "foreachBatch: batch-local per-day top-20 (TakeOrdered bounds state writes to k rows/day) merged into compact sketch state (one-job whole-state swap) by idempotent top-k union.",
     "dataset_datasheet": "ONE scan expanded to four grouping sets sharing partial aggregates (Expand + HashAggregate) — four reporting levels, one pass.",
     "contrastive_pairs": "Crops are scan-local slice arithmetic; hard negatives via the shingle inverted index (shingle-keyed pair counts, per-doc rank-1 window).",
     "bleu_rouge_eval": "ONE tagged explode (4 n-gram sizes x both sides) -> one (source,doc,gram) shuffle -> per-source pivot; denominators fold into the lengths scan.",
@@ -162,10 +162,15 @@ NOTES = {
     "empirical_bayes_shrinkage": "Two-level hierarchy in two aggregations; ensemble stats are integer sums of quantized per-cell terms; shrinkage applies row-locally on the join back.",
     "texttiling_segmentation": "One explode -> (doc,block,token) counts -> adjacent-block equi-join -> doc-keyed cummax windows; every stage sharded by doc_id.",
     "markov_stationary_distribution": "lead() window builds transitions once; all three power steps run on the 25-entry pair table with per-term-quantized integer sums.",
-    "dedup_pr_threshold_sweep": "Exact relation + md5 signatures + band join all barriered; the 5-threshold sweep explodes literals over tiny pair tables.",
+    "dedup_pr_threshold_sweep": "Exact relation (hashed shingles, floored at the sweep min) + md5 signatures + band join; per-threshold counts from ONE conditional-aggregation scan per pair table - zero threshold expansion.",
     "vocab_coverage_estimate": "One explode, one (lang,word) count, a 5-row fold — the cheapest corpus-wide estimator family in the registry.",
     "streaming_srm_monitor": "foreachBatch min-merges per-user enrollment days into bucket-partitioned state (batch-order independent BY ALGEBRA); the cumulative chi-square reads day-level counts.",
     "multimodal_motion_vectors": "Real Y4M decode + exhaustive 9-candidate block search in Arrow mapInPandas; zero shuffle; exact integer SAD argmin.",
+    # round-7 additions
+    "colbert_maxsim_ivf": "Doc-level IVF routing (broadcast centroids, argmax assignment, 2-probe) prunes the corpus BEFORE the 8x token explode; MaxSim shuffles only candidate tokens; exact colbert arithmetic.",
+    "matryoshka_prefix_recall": "One corpus scan explodes 4 prefix lengths; 20 query slices broadcast; per-(query,dim) top-10 windows; overlap join is top-10-sized.",
+    "hilbert_layout": "10 unrolled xy2d rotation steps fuse into the codegen'd scan projection (integer CASE arithmetic, no XOR operator divergence); single bucket-ledger aggregation is the only shuffle.",
+    "dsir_importance_weights": "Scan-local bigram slices hashed to 1024 buckets; per-feature smoothed log-ratio computed once per bucket and BROADCAST back; per-doc weights are exact int64 sums; LEFT join keeps no-bigram docs.",
     "hll_audience_overlap": "Per-type HLL sketches (one distinct agg); every pair overlap from hll_union at sketch cost; the exact self-join ground truth runs only for the tolerance contract.",
 }
 
