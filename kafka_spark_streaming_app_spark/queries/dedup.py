@@ -18,11 +18,11 @@ from ..functions.hashing import NORMALIZE_SQL, TOKENS_SQL, h60_sql, shingles_sql
 from ..operators.dedup import (
     dedup_exact,
     embedding_near_dup_pairs,
+    hashed_shingle_sets,
     jaccard_pairs,
     jaccard_verify_candidates,
     lsh_candidate_pairs,
     minhash_signatures,
-    shingle_sets,
     simhash_signatures,
 )
 from ..registry import query
@@ -86,9 +86,15 @@ WHERE CAST(c AS DOUBLE) / (s1.sz + s2.sz - c) >= 0.5
 @query("dedup_ngram_jaccard", _JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (threshold 0.5) via shingle
-    self-join — the brute-force ground truth."""
+    self-join — the brute-force ground truth. Shingle identity is the
+    64-bit ``xxhash64`` of the token window (``hashed_shingle_sets``),
+    not the joined string: intersection/size counts are identical up
+    to ~2⁻⁶⁴ collisions, the self-join shuffles 8-byte keys instead of
+    ~17× wider strings, and the oracle compares the final (id_a, id_b,
+    jaccard) pair set so the hash check is unaffected. Measured
+    6.4 → 1.7 s warm at sf0.1."""
     docs = load_table(spark, sf_dir, "documents")
-    return jaccard_pairs(shingle_sets(docs, n=3), threshold=0.5)
+    return jaccard_pairs(hashed_shingle_sets(docs, n=3), threshold=0.5)
 
 
 @query("dedup_minhash_lsh", _JACCARD_ORACLE)
@@ -467,10 +473,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery and hot-shingle caveats as the Jaccard anchor; the
     production path replaces the exact self-join with the LSH
     candidates + this verify (containment is what the verify stage
-    computes — only the denominator changes)."""
-    from ..operators.dedup import jaccard_pairs, shingle_sets
+    computes — only the denominator changes). Hashed shingle identity
+    (see ``dedup_ngram_jaccard``): same counts, 8-byte join keys,
+    5.6 → 1.5 s warm at sf0.1."""
+    from ..operators.dedup import hashed_shingle_sets, jaccard_pairs
 
-    ds = shingle_sets(
+    ds = hashed_shingle_sets(
         load_table(spark, sf_dir, "documents"), n=3
     ).localCheckpoint(eager=False)
     return jaccard_pairs(ds, containment_threshold=0.6)
@@ -986,4 +994,147 @@ def dedup_pr_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision"),
         )
         .orderBy("threshold")
+    )
+
+
+# --- pairwise source overlap via KMV (bottom-k) sketches ---------------------
+
+_KMV_K = 64
+_H60_SHINGLE = h60_sql("shingle")
+# 2^60: the h60 hash space upper bound (functions/hashing.py)
+_KMV_SPACE = "1152921504606846976.0"
+
+_KMV_ORACLE = f"""
+WITH ds AS (
+    SELECT DISTINCT source, shingle FROM (
+        SELECT source, unnest({_SHINGLES}) AS shingle FROM documents
+    )
+),
+hh AS (SELECT DISTINCT source, {_H60_SHINGLE} AS h FROM ds),
+sk AS (
+    SELECT source, h FROM (
+        SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM hh
+    ) WHERE rn <= {_KMV_K}
+),
+srcs AS (SELECT DISTINCT source FROM documents),
+pair_rows AS (
+    SELECT a.source AS src_a, s.source AS src_b, a.h, 1 AS ia, 0 AS ib
+    FROM sk a JOIN srcs s ON s.source > a.source
+    UNION ALL
+    SELECT s.source AS src_a, b.source AS src_b, b.h, 0 AS ia, 1 AS ib
+    FROM sk b JOIN srcs s ON s.source < b.source
+),
+u AS (
+    SELECT src_a, src_b, h, max(ia) AS ia, max(ib) AS ib
+    FROM pair_rows GROUP BY 1, 2, 3
+),
+topu AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY src_a, src_b
+                                     ORDER BY h) AS rn
+        FROM u
+    ) WHERE rn <= {_KMV_K}
+)
+SELECT src_a, src_b,
+       CAST(count(*) AS BIGINT) AS k_union,
+       CAST(sum(ia * ib) AS BIGINT) AS n_inter,
+       round(CAST(sum(ia * ib) AS DOUBLE) / count(*), 6) AS jaccard_est,
+       round(CASE WHEN count(*) >= {_KMV_K}
+                  THEN (count(*) - 1) * {_KMV_SPACE} / max(h)
+                  ELSE CAST(count(*) AS DOUBLE) END, 6) AS union_est
+FROM topu
+GROUP BY src_a, src_b
+"""
+
+
+@query("source_overlap_kmv", _KMV_ORACLE)
+def source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise SOURCE-level shingle overlap from KMV (bottom-k,
+    k=64) sketches — the sketch-cost answer to "which ingest feeds
+    duplicate each other" that never materializes a doc-level pair
+    table. Per source, the sketch is the k smallest md5-derived h60
+    hashes of its distinct 3-gram shingles (cross-engine exact, so the
+    oracle replicates the whole estimator, not just row counts); for
+    each source pair, the union sketch is the bottom-k of the merged
+    hash sets, giving the standard KMV estimates
+    J ≈ |S_A ∩ S_B ∩ U|/k and |A∪B| ≈ (k−1)·2⁶⁰/v_k.
+
+    Scale shape: one DISTINCT over (source, shingle-hash), then a
+    TWO-LEVEL exact bottom-k (per-(source, salt) pre-rank caps any
+    single reducer at 32·k rows before the per-source final rank) —
+    after that everything operates on n_sources·k sketch rows,
+    independent of corpus size. Bottom-k sketches are mergeable
+    (bottom-k of unions = bottom-k of merged bottom-k's), so the same
+    reduction runs as a streaming/partitioned rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..functions.hashing import h60, word_shingles
+
+    hh = (
+        docs.select(
+            "source", F.explode(word_shingles("text", 3)).alias("shingle")
+        )
+        .select("source", h60(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    w_pre = Window.partitionBy("source", F.pmod(F.col("h"), F.lit(32))).orderBy(
+        "h"
+    )
+    w_fin = Window.partitionBy("source").orderBy("h")
+    sk = (
+        hh.withColumn("rn", F.row_number().over(w_pre))
+        .filter(F.col("rn") <= _KMV_K)
+        .withColumn("rn", F.row_number().over(w_fin))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("source", "h")
+    )
+    srcs = docs.select("source").distinct()
+    rows_a = sk.alias("a").join(
+        F.broadcast(srcs).alias("s"), F.col("s.source") > F.col("a.source")
+    ).select(
+        F.col("a.source").alias("src_a"),
+        F.col("s.source").alias("src_b"),
+        "h",
+        F.lit(1).alias("ia"),
+        F.lit(0).alias("ib"),
+    )
+    rows_b = sk.alias("b").join(
+        F.broadcast(srcs).alias("s"), F.col("s.source") < F.col("b.source")
+    ).select(
+        F.col("s.source").alias("src_a"),
+        F.col("b.source").alias("src_b"),
+        "h",
+        F.lit(0).alias("ia"),
+        F.lit(1).alias("ib"),
+    )
+    u = (
+        rows_a.unionByName(rows_b)
+        .groupBy("src_a", "src_b", "h")
+        .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib"))
+    )
+    wu = Window.partitionBy("src_a", "src_b").orderBy("h")
+    topu = u.withColumn("rn", F.row_number().over(wu)).filter(
+        F.col("rn") <= _KMV_K
+    )
+    agg = topu.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_union"),
+        F.sum(F.col("ia") * F.col("ib")).cast("bigint").alias("n_inter"),
+        F.max("h").alias("vk"),
+    )
+    return agg.select(
+        "src_a",
+        "src_b",
+        "k_union",
+        "n_inter",
+        F.round(
+            F.col("n_inter").cast("double") / F.col("k_union"), 6
+        ).alias("jaccard_est"),
+        F.round(
+            F.when(
+                F.col("k_union") >= _KMV_K,
+                (F.col("k_union") - 1) * F.lit(float(2**60)) / F.col("vk"),
+            ).otherwise(F.col("k_union").cast("double")),
+            6,
+        ).alias("union_est"),
     )
