@@ -157,6 +157,78 @@ def pagerank(
     )
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    damping: float = 0.85,
+    iters: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Personalized PageRank: identical fixed-point machinery to
+    :func:`pagerank` (floor-scaled 2^40 integer rank mass, one
+    edge⋈rank equi-join + aggregation per iteration, lazy-checkpoint
+    barriers), except the teleport term restarts to the SEED set only
+    — ``floor(SCALE·(1−d)/|seeds|)`` on seed nodes, zero elsewhere —
+    so mass concentrates around the seeds' neighborhoods (the
+    recommendation / related-items primitive). ``seeds`` is a
+    one-column (``node``) DataFrame, broadcast onto the rank state as
+    a flag; nodes unreachable from any seed legitimately decay to 0.
+
+    Returns (node, ppr).
+    """
+    deg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("deg"))
+    n_seeds = seeds.groupBy().agg(F.count(F.lit(1)).alias("ns"))
+    seed_flag = seeds.select(
+        F.col("node").alias("snode"), F.lit(1).alias("iseed")
+    )
+    pr = (
+        deg.select(F.col(src_col).alias("node"), "deg")
+        .join(
+            F.broadcast(seed_flag), F.col("node") == F.col("snode"), "left"
+        )
+        .crossJoin(F.broadcast(n_seeds))
+        .select(
+            "node",
+            "deg",
+            "ns",
+            F.coalesce("iseed", F.lit(0)).alias("iseed"),
+            F.when(
+                F.coalesce("iseed", F.lit(0)) == 1,
+                F.floor(F.lit(PR_SCALE) / F.col("ns")).cast("bigint"),
+            )
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("prs"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(iters):
+        contrib = edges.join(pr, edges[src_col] == pr.node).select(
+            F.col(dst_col).alias("cnode"),
+            F.expr("prs div deg").alias("c"),
+        )
+        sums = contrib.groupBy("cnode").agg(F.sum("c").alias("sc"))
+        teleport = F.when(
+            F.col("iseed") == 1,
+            F.floor(
+                F.lit(PR_SCALE) * F.lit(1.0 - damping) / F.col("ns")
+            ).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        spread = F.floor(
+            F.lit(damping) * F.coalesce(F.col("sc"), F.lit(0)).cast("double")
+        ).cast("bigint")
+        pr = (
+            pr.join(sums, pr.node == sums.cnode, "left")
+            .select(
+                "node", "deg", "ns", "iseed", (teleport + spread).alias("prs")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pr.select(
+        "node", (F.col("prs").cast("double") / F.lit(PR_SCALE)).alias("ppr")
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     iterations: int = 2,

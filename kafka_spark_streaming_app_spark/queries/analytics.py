@@ -693,6 +693,81 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ppr_iter_sql(prev: str, out: str) -> str:
+    """One PERSONALIZED PageRank iteration: identical scaled-integer
+    discipline to :func:`_pr_iter_sql`, but the teleport term lands
+    only on seed nodes (restart distribution = uniform over seeds)."""
+    return f"""
+{out}_c AS (
+    SELECT e.dst AS node, CAST(sum(p.prs // p.deg) AS BIGINT) AS sc
+    FROM edges e JOIN {prev} p ON e.src = p.node
+    GROUP BY e.dst
+),
+{out} AS (
+    SELECT p.node, p.deg, p.s, p.iseed,
+           CASE WHEN p.iseed = 1
+                THEN CAST(floor({_PR_SCALE_SQL} * (1.0 - 0.85) / p.s)
+                          AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END
+           + CAST(floor(0.85 * CAST(coalesce(c.sc, 0) AS DOUBLE)) AS BIGINT)
+               AS prs
+    FROM {prev} p LEFT JOIN {out}_c c ON p.node = c.node
+)"""
+
+
+_PPR_ORACLE = f"""
+WITH {_EDGE_CTE},
+edges AS (
+    SELECT u AS src, v AS dst FROM e0
+    UNION ALL
+    SELECT v AS src, u AS dst FROM e0
+),
+deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+seeds AS (SELECT node FROM deg ORDER BY node LIMIT 5),
+ns AS (SELECT count(*) AS s FROM seeds),
+pr0 AS (
+    SELECT d.node, d.deg, ns.s,
+           CASE WHEN sd.node IS NOT NULL THEN 1 ELSE 0 END AS iseed,
+           CASE WHEN sd.node IS NOT NULL
+                THEN CAST(floor({_PR_SCALE_SQL} / ns.s) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS prs
+    FROM deg d LEFT JOIN seeds sd ON d.node = sd.node, ns
+),
+{_ppr_iter_sql("pr0", "pr1")},
+{_ppr_iter_sql("pr1", "pr2")}
+SELECT node AS part, CAST(prs AS DOUBLE) / {_PR_SCALE_SQL} AS ppr FROM pr2
+"""
+
+
+@query("pagerank_personalized", _PPR_ORACLE)
+def pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (2 unrolled iterations, damping 0.85)
+    over the symmetrized co-purchase graph, restarting to the 5
+    smallest part keys — 'products related to THESE products' rather
+    than global hubs, the related-items / graph-recommendation
+    primitive. Same 2^40 floor-scaled integer mass as
+    `copurchase_pagerank` (the only order-sensitive sums are exact
+    int64), seeds broadcast onto the rank state; the oracle unrolls
+    the identical seed-conditional teleport in SQL."""
+    from ..operators.graph import personalized_pagerank
+
+    pairs = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = pairs.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(5)
+    )
+    return personalized_pagerank(edges, seeds, damping=0.85, iters=2).select(
+        F.col("node").alias("part"), "ppr"
+    )
+
+
 # --- HITS hubs & authorities over the customer→part graph -------------------
 
 _HITS_SCALE_SQL = "1073741824.0"  # 2^30, matches operators.graph.HITS_SCALE

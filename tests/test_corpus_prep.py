@@ -159,6 +159,55 @@ def test_pagerank_star_graph_ranks_hub_highest(spark):
     assert len({out[s] for s in spokes}) == 1  # symmetric spokes tie
 
 
+def test_personalized_pagerank_matches_pure_python(spark):
+    """personalized_pagerank recomputed with the exact fixed-point
+    arithmetic in pure Python on a barbell graph (two triangles
+    bridged); seeds in one triangle keep the mass there."""
+    import math
+
+    from kafka_spark_streaming_app_spark.operators.graph import (
+        PR_SCALE,
+        personalized_pagerank,
+    )
+
+    pairs = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5), (3, 5)]
+    sym = pairs + [(b, a) for a, b in pairs]
+    edges = spark.createDataFrame(sym, ["src", "dst"])
+    seeds = spark.createDataFrame([(0,), (1,)], ["node"])
+    out = {
+        r["node"]: r["ppr"]
+        for r in personalized_pagerank(edges, seeds, iters=3).collect()
+    }
+
+    adj = {}
+    for a, b in sym:
+        adj.setdefault(a, []).append(b)
+    seed_set = {0, 1}
+    prs = {
+        n: int(PR_SCALE) // len(seed_set) if n in seed_set else 0
+        for n in adj
+    }
+    for _ in range(3):
+        sc = {n: 0 for n in adj}
+        for a, nbrs in adj.items():
+            c = prs[a] // len(nbrs)
+            for b in nbrs:
+                sc[b] += c
+        prs = {
+            n: (
+                int(math.floor(PR_SCALE * (1.0 - 0.85) / len(seed_set)))
+                if n in seed_set
+                else 0
+            )
+            + int(math.floor(0.85 * float(sc[n])))
+            for n in adj
+        }
+    expected = {n: v / PR_SCALE for n, v in prs.items()}
+    assert out == expected
+    # mass concentrates around the seeded triangle
+    assert min(out[0], out[1], out[2]) > max(out[4], out[5])
+
+
 def test_quality_score_runs_unchanged_on_a_stream(spark):
     """The engine's design rule — every transform is a pure
     DataFrame→DataFrame function usable in batch AND streaming — holds
