@@ -8,7 +8,7 @@ so the driver checks the bucketing logic itself, not merely row counts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.similarity import ann_topk_srp, brute_force_topk, srp_planes
@@ -1794,4 +1794,185 @@ def matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_overlap",
             "recall_at_10",
         )
+    )
+
+
+# --- MMR diversified reranking ----------------------------------------------
+
+_MMR_POOL = 12
+_MMR_K = 6
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR in SQL: sel1 = pure-relevance argmax, then
+    each step scores the remaining pool by (0.7·rel − 0.3·max-sim-to-
+    selected) and picks the per-query argmax (corpus_id tiebreak). All
+    inputs are round-6 quantized cosines, so the score arithmetic is
+    bit-identical cross-engine."""
+    steps = []
+    for i in range(2, _MMR_K + 1):
+        p = i - 1
+        steps.append(f""",
+pen{i} AS (
+    SELECT p.query_id, p.corpus_id, p.rel, max(cc.sim) AS ms
+    FROM pool p
+    JOIN sel{p} s ON s.query_id = p.query_id
+    JOIN cc ON cc.query_id = p.query_id
+           AND cc.id_a = p.corpus_id AND cc.id_b = s.corpus_id
+    WHERE NOT EXISTS (
+        SELECT 1 FROM sel{p} x
+        WHERE x.query_id = p.query_id AND x.corpus_id = p.corpus_id
+    )
+    GROUP BY p.query_id, p.corpus_id, p.rel
+),
+pick{i} AS (
+    SELECT query_id, corpus_id, {i} AS mmr_rank, rel FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY (0.7 * rel - 0.3 * ms) DESC, corpus_id) AS rk
+        FROM pen{i}
+    ) WHERE rk = 1
+),
+sel{i} AS (SELECT * FROM sel{p} UNION ALL SELECT * FROM pick{i})""")
+    return (
+        _NORMED
+        + f"""
+, scored AS (
+    SELECT q.query_id, c.vec_id AS corpus_id,
+           round(list_inner_product(q.qv, c.v) / (q.qnorm * c.norm), 6)
+               AS rel
+    FROM n c, q
+    WHERE c.vec_id <> q.query_id
+),
+pool AS (
+    SELECT query_id, corpus_id, rel FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rel DESC, corpus_id) AS rk
+        FROM scored
+    ) WHERE rk <= {_MMR_POOL}
+),
+cc AS (
+    SELECT p1.query_id, p1.corpus_id AS id_a, p2.corpus_id AS id_b,
+           round(list_inner_product(na.v, nb.v) / (na.norm * nb.norm), 6)
+               AS sim
+    FROM pool p1
+    JOIN pool p2 ON p1.query_id = p2.query_id
+                AND p1.corpus_id <> p2.corpus_id
+    JOIN n na ON na.vec_id = p1.corpus_id
+    JOIN n nb ON nb.vec_id = p2.corpus_id
+),
+sel1 AS (
+    SELECT query_id, corpus_id, 1 AS mmr_rank, rel FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rel DESC, corpus_id) AS rk
+        FROM pool
+    ) WHERE rk = 1
+)"""
+        + "".join(steps)
+        + f"""
+SELECT query_id, corpus_id, CAST(mmr_rank AS BIGINT) AS mmr_rank, rel
+FROM sel{_MMR_K}
+"""
+    )
+
+
+@query("similarity_mmr_rerank", _mmr_oracle())
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance reranking: from each query's top-12
+    relevance pool, greedily select 6 results maximizing
+    0.7·relevance − 0.3·(max cosine to already-selected) — the
+    diversity-aware retrieval stage between ANN candidate generation
+    and answer assembly. Scale shape: the expensive part (pool
+    generation) is the brute-force/ANN scan; the greedy loop runs on
+    pool-sized data only (queries × 12 rows, pairwise sims
+    candidate-restricted to the pool), as K−1 broadcast-joined
+    DataFrame steps — no collect, no per-row Python. Both cosines are
+    round-6 quantized, so the score arithmetic (identical literal
+    0.3, never 1−0.7) is bit-exact cross-engine; the oracle unrolls
+    the same greedy selection in SQL."""
+    from ..operators.similarity import brute_force_topk, with_vector_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < _NUM_QUERIES)
+    pool = (
+        brute_force_topk(emb, qs, k=_MMR_POOL)
+        .select("query_id", "corpus_id", F.col("cosine").alias("rel"))
+        .localCheckpoint(eager=False)
+    )
+    nv = with_vector_norm(emb).select("vec_id", "v", "norm")
+    p1 = pool.select("query_id", F.col("corpus_id").alias("id_a"))
+    p2 = pool.select("query_id", F.col("corpus_id").alias("id_b"))
+    from ..functions.vectors import cosine as _cos
+
+    cc = (
+        p1.join(p2, "query_id")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .join(
+            nv.select(
+                F.col("vec_id").alias("id_a"),
+                F.col("v").alias("va"),
+                F.col("norm").alias("na"),
+            ),
+            "id_a",
+        )
+        .join(
+            nv.select(
+                F.col("vec_id").alias("id_b"),
+                F.col("v").alias("vb"),
+                F.col("norm").alias("nb"),
+            ),
+            "id_b",
+        )
+        .select(
+            "query_id",
+            "id_a",
+            "id_b",
+            _cos(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")).alias(
+                "sim"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.asc("corpus_id")
+    )
+    sel = (
+        pool.withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") == 1)
+        .select(
+            "query_id", "corpus_id", F.lit(1).alias("mmr_rank"), "rel"
+        )
+    )
+    for i in range(2, _MMR_K + 1):
+        cand = pool.join(
+            sel.select("query_id", "corpus_id"),
+            ["query_id", "corpus_id"],
+            "left_anti",
+        )
+        ms = (
+            cc.join(
+                sel.select("query_id", F.col("corpus_id").alias("id_b")),
+                ["query_id", "id_b"],
+            )
+            .groupBy("query_id", F.col("id_a").alias("corpus_id"))
+            .agg(F.max("sim").alias("ms"))
+        )
+        score = F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.col("ms")
+        wi = Window.partitionBy("query_id").orderBy(
+            score.desc(), F.asc("corpus_id")
+        )
+        pick = (
+            cand.join(ms, ["query_id", "corpus_id"])
+            .withColumn("rk", F.row_number().over(wi))
+            .filter(F.col("rk") == 1)
+            .select(
+                "query_id", "corpus_id", F.lit(i).alias("mmr_rank"), "rel"
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=False)
+    return sel.select(
+        "query_id",
+        "corpus_id",
+        F.col("mmr_rank").cast("bigint").alias("mmr_rank"),
+        "rel",
     )

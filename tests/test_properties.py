@@ -2971,3 +2971,56 @@ def test_source_overlap_kmv_matches_pure_python(spark, sf_smoke):
             assert abs(r.union_est - true_union) / true_union < 0.6
         else:
             assert r.union_est == ku
+
+
+def test_similarity_mmr_rerank_matches_numpy(spark, sf_smoke):
+    """similarity_mmr_rerank recomputed with numpy: round-6 cosines,
+    top-12 relevance pool, greedy 0.7/0.3 MMR selection of 6; plus the
+    diversity sanity that rank-1 is the pure relevance argmax."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    emb = pd.read_parquet(f"{sf_smoke}/embeddings.parquet")
+    vecs = {
+        int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.itertuples()
+    }
+    norms = {i: float(np.sqrt((v * v).sum())) for i, v in vecs.items()}
+
+    def cos(a, b):
+        return round(float(vecs[a] @ vecs[b]) / (norms[a] * norms[b]), 6)
+
+    expected = {}
+    for q in range(5):
+        scored = sorted(
+            ((cos(q, c), c) for c in vecs if c != q),
+            key=lambda t: (-t[0], t[1]),
+        )
+        pool = [(c, rel) for rel, c in scored[:12]]
+        sel = [min(pool, key=lambda t: (-t[1], t[0]))]
+        while len(sel) < 6:
+            rest = [p for p in pool if p not in sel]
+            best = min(
+                rest,
+                key=lambda t: (
+                    -(0.7 * t[1] - 0.3 * max(cos(t[0], s[0]) for s in sel)),
+                    t[0],
+                ),
+            )
+            sel.append(best)
+        expected[q] = sel
+
+    out = (
+        registry.QUERIES["similarity_mmr_rerank"](spark, sf_smoke)
+        .toPandas()
+        .sort_values(["query_id", "mmr_rank"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 30
+    for r in out.itertuples():
+        c, rel = expected[int(r.query_id)][int(r.mmr_rank) - 1]
+        assert int(r.corpus_id) == c, (r.query_id, r.mmr_rank)
+        assert abs(r.rel - rel) < 1e-9
