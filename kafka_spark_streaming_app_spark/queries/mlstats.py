@@ -5616,3 +5616,94 @@ def empirical_bayes_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_EB_ORACLE)
+
+
+# --- 1-D Gaussian mixture EM (2 components) ----------------------------------
+
+
+def _gmm_cycle(pin: str, out: str) -> str:
+    """One EM cycle in SQL: per-row responsibility r = w1·phi1 /
+    (w1·phi1 + w2·phi2) written as a single fixed-order expression
+    (one exp per row — the km_survival libm discipline), then
+    floor(1e8·…) quantized sufficient statistics summed exactly in
+    DECIMAL(38,0) for BOTH components (never n−sum: floor(1e8·(1−r))
+    ≠ 1e8 − floor(1e8·r)), then closed-form M-step."""
+    r = (
+        "1.0 / (1.0 + ((p.w2 * p.s1) / (p.w1 * p.s2)) * "
+        "exp(0.5 * ((((x.u - p.m1) / p.s1) * ((x.u - p.m1) / p.s1))"
+        " - (((x.u - p.m2) / p.s2) * ((x.u - p.m2) / p.s2)))))"
+    )
+    return f"""
+{out}_r AS (
+    SELECT x.u, {r} AS r FROM x, {pin} p
+),
+{out}_s AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+           {_dsum("floor(1e8 * r)", "sr1")},
+           {_dsum("floor(1e8 * (r * u))", "sx1")},
+           {_dsum("floor(1e8 * (r * u * u))", "sxx1")},
+           {_dsum("floor(1e8 * (1.0 - r))", "sr2")},
+           {_dsum("floor(1e8 * ((1.0 - r) * u))", "sx2")},
+           {_dsum("floor(1e8 * ((1.0 - r) * u * u))", "sxx2")}
+    FROM {out}_r
+),
+{out} AS (
+    SELECT n,
+           (sr1 / 1e8) / n AS w1, (sr2 / 1e8) / n AS w2,
+           sx1 / sr1 AS m1, sx2 / sr2 AS m2,
+           sqrt(greatest(sxx1 / sr1 - (sx1 / sr1) * (sx1 / sr1), 1e-12))
+               AS s1,
+           sqrt(greatest(sxx2 / sr2 - (sx2 / sr2) * (sx2 / sr2), 1e-12))
+               AS s2
+    FROM {out}_s
+)"""
+
+
+_GMM_SQL = f"""
+WITH t AS (
+    SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c FROM orders
+),
+x AS (SELECT CAST(c AS DOUBLE) / 100000.0 AS u FROM t),
+s0 AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n, min(u) AS mn, max(u) AS mx,
+           {_dsum("floor(1e8 * u)", "su")},
+           {_dsum("floor(1e8 * (u * u))", "suu")}
+    FROM x
+),
+p0 AS (
+    SELECT n, 0.5 AS w1, 0.5 AS w2,
+           mn + (mx - mn) / 4.0 AS m1,
+           mn + 3.0 * ((mx - mn) / 4.0) AS m2,
+           sqrt(greatest((suu / 1e8) / n
+                         - ((su / 1e8) / n) * ((su / 1e8) / n), 1e-12)) AS s1,
+           sqrt(greatest((suu / 1e8) / n
+                         - ((su / 1e8) / n) * ((su / 1e8) / n), 1e-12)) AS s2
+    FROM s0
+),
+{_gmm_cycle("p0", "p1")},
+{_gmm_cycle("p1", "p2")}
+SELECT CAST(n AS BIGINT) AS n,
+       round(w1, 6) AS weight1, round(m1, 6) AS mu1_k, round(s1, 6) AS sigma1_k,
+       round(w2, 6) AS weight2, round(m2, 6) AS mu2_k, round(s2, 6) AS sigma2_k
+FROM p2
+"""
+
+
+@query("gmm_em_1d", _GMM_SQL)
+def gmm_em_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-component 1-D Gaussian mixture trained IN the engine: 2 EM
+    cycles over order totals (in thousands — the `_k` suffix), from a
+    deterministic quartile-of-range init (equal weights, pooled
+    variance). Each cycle is ONE aggregation over orders producing 6
+    quantized sufficient statistics per component (exact
+    DECIMAL(38,0) sums of floor(1e8·…) per-row quanta — the
+    logistic_irls discipline) followed by the closed-form M-step, so
+    training cost is two scans with map-side partial aggregation at
+    any data size — the unsupervised-EM companion to `logistic_irls`
+    (supervised IRLS) and `similarity_kmeans` (hard assignment).
+    Identical SQL text runs on both engines; an independent numpy EM
+    recompute pins the algorithm in tests/test_properties.py."""
+    from ..sources.batch import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_GMM_SQL)

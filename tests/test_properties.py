@@ -3024,3 +3024,66 @@ def test_similarity_mmr_rerank_matches_numpy(spark, sf_smoke):
         c, rel = expected[int(r.query_id)][int(r.mmr_rank) - 1]
         assert int(r.corpus_id) == c, (r.query_id, r.mmr_rank)
         assert abs(r.rel - rel) < 1e-9
+
+
+def test_gmm_em_1d_matches_numpy(spark, sf_smoke):
+    """gmm_em_1d recomputed with numpy: same quantized EM (floor-1e8
+    sufficient statistics, quartile-of-range init, 2 cycles); plus the
+    mixture sanities (weights sum to 1, mu1 < mu2 under this init)."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    orders = pd.read_parquet(f"{sf_smoke}/orders.parquet")
+    c = np.round(orders["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    u = c.astype(np.float64) / 100000.0
+    n = float(len(u))
+
+    def dsum(arr):
+        return float(np.floor(arr).sum())
+
+    su, suu = dsum(1e8 * u), dsum(1e8 * (u * u))
+    mn, mx = float(u.min()), float(u.max())
+    var0 = max((suu / 1e8) / n - ((su / 1e8) / n) * ((su / 1e8) / n), 1e-12)
+    w1, w2 = 0.5, 0.5
+    m1, m2 = mn + (mx - mn) / 4.0, mn + 3.0 * ((mx - mn) / 4.0)
+    s1 = s2 = np.sqrt(var0)
+    for _ in range(2):
+        r = 1.0 / (
+            1.0
+            + ((w2 * s1) / (w1 * s2))
+            * np.exp(
+                0.5
+                * (
+                    ((u - m1) / s1) * ((u - m1) / s1)
+                    - ((u - m2) / s2) * ((u - m2) / s2)
+                )
+            )
+        )
+        sr1, sx1, sxx1 = (
+            dsum(1e8 * r),
+            dsum(1e8 * (r * u)),
+            dsum(1e8 * (r * u * u)),
+        )
+        q = 1.0 - r
+        sr2, sx2, sxx2 = (
+            dsum(1e8 * q),
+            dsum(1e8 * (q * u)),
+            dsum(1e8 * (q * u * u)),
+        )
+        w1, w2 = (sr1 / 1e8) / n, (sr2 / 1e8) / n
+        m1, m2 = sx1 / sr1, sx2 / sr2
+        s1 = np.sqrt(max(sxx1 / sr1 - (sx1 / sr1) ** 2, 1e-12))
+        s2 = np.sqrt(max(sxx2 / sr2 - (sx2 / sr2) ** 2, 1e-12))
+
+    out = registry.QUERIES["gmm_em_1d"](spark, sf_smoke).toPandas().iloc[0]
+    assert out["n"] == len(u)
+    for col, val in [
+        ("weight1", w1), ("mu1_k", m1), ("sigma1_k", s1),
+        ("weight2", w2), ("mu2_k", m2), ("sigma2_k", s2),
+    ]:
+        assert abs(out[col] - round(val, 6)) < 2e-6, (col, out[col], val)
+    assert abs(out["weight1"] + out["weight2"] - 1.0) < 1e-4
+    assert out["mu1_k"] < out["mu2_k"]
