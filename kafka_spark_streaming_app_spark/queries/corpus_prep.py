@@ -412,10 +412,18 @@ def importance_sample_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DOC_STREAM_DIRS: dict = {}
 
 
-def _documents_as_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _documents_as_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    schema: str = "doc_id long, text string",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """documents → JSON-lines files → schema'd file stream (one file
     per core so micro-batch parallelism isn't capped by file count —
-    same convention as the events wire replay)."""
+    same convention as the events wire replay). The wire files carry
+    (doc_id, text, source); ``schema`` picks which fields a query
+    parses, and ``max_files_per_trigger`` splits the replay into
+    several micro-batches for merge-independence proofs."""
     import atexit
     import os
     import shutil
@@ -427,14 +435,21 @@ def _documents_as_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     src = _DOC_STREAM_DIRS.get(key)
     if src is None or not os.path.isdir(src):
-        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "source"
+        )
         src = tempfile.mkdtemp(prefix="doc_stream_")
         atexit.register(shutil.rmtree, src, ignore_errors=True)
         docs.repartition(spark.sparkContext.defaultParallelism).write.mode(
             "overwrite"
         ).json(src)
         _DOC_STREAM_DIRS[key] = src
-    return spark.readStream.schema("doc_id long, text string").json(src)
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    return reader.schema(schema).json(src)
 
 
 @query("streaming_quality_filter", _QUALITY_ORACLE)

@@ -1519,3 +1519,134 @@ def streaming_srm_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("chi2_cumulative"),
         (chi2 > 3.841458820694124).alias("srm_alarm"),
     ).orderBy("day")
+
+
+# --- streaming KMV distinct-shingle sketch rollup (eighth state shape) -------
+
+_SKMV_K = 64
+_SKMV_SPACE = "1152921504606846976.0"  # 2^60, the h60 hash space
+
+
+def _skmv_oracle() -> str:
+    from ..functions.hashing import h60_sql, shingles_sql
+
+    sh = shingles_sql("text", 3)
+    return f"""
+WITH ds AS (
+    SELECT DISTINCT source, shingle FROM (
+        SELECT source, unnest({sh}) AS shingle FROM documents
+    )
+),
+hh AS (SELECT DISTINCT source, {h60_sql("shingle")} AS h FROM ds),
+sk AS (
+    SELECT source, h FROM (
+        SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM hh
+    ) WHERE rn <= {_SKMV_K}
+)
+SELECT source, CAST(count(*) AS BIGINT) AS k_used, max(h) AS kth_hash,
+       round(CASE WHEN count(*) >= {_SKMV_K}
+                  THEN (count(*) - 1) * {_SKMV_SPACE} / max(h)
+                  ELSE CAST(count(*) AS DOUBLE) END, 6) AS est_distinct
+FROM sk
+GROUP BY source
+"""
+
+
+@query("streaming_kmv_sketch_rollup", _skmv_oracle())
+def streaming_kmv_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KMV (bottom-64) distinct-shingle sketches maintained
+    THROUGH the streaming engine — the eighth persistent-state shape,
+    and the streaming face of `source_overlap_kmv`: each micro-batch
+    hashes its documents' 3-gram shingles (md5-derived h60, stateless
+    scan work), keeps the batch-local bottom-k per source, and merges
+    into the persistent sketch via ``merge_into_compact_state``
+    (sources × 64 rows — sketch-sized at any corpus scale). Bottom-k
+    merge (distinct-union then re-rank) is associative, commutative
+    AND idempotent — the reservoir-class merge algebra, so replays
+    are harmless and the final state is batch-boundary independent,
+    which is why a FULL hash oracle applies: unlike HLL (engine-
+    specific sketch bytes, tolerance contract), the KMV sketch itself
+    is cross-engine exact, so the oracle recomputes the entire sketch
+    and the estimator from the batch table."""
+    import atexit
+    import shutil
+
+    from pyspark.sql import Window
+
+    from ..functions.hashing import h60, word_shingles
+    from ..streaming.state import merge_into_compact_state, read_state
+    from .corpus_prep import _documents_as_stream
+
+    stream = _documents_as_stream(
+        spark,
+        sf_dir,
+        schema="doc_id long, text string, source string",
+        max_files_per_trigger=8,
+    )
+    hashed = stream.select(
+        "source", F.explode(word_shingles("text", 3)).alias("shingle")
+    ).select("source", h60(F.col("shingle")).alias("h"))
+
+    state_root = tempfile.mkdtemp(prefix="kmv_state_")
+    ckpt = tempfile.mkdtemp(prefix="kmv_ckpt_")
+    for d in (state_root, ckpt):
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    state_dir = os.path.join(state_root, "sketch")
+
+    def _bottom_k(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("source").orderBy("h")
+        return (
+            df.select("source", "h")
+            .distinct()
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _SKMV_K)
+            .select("source", "h")
+        )
+
+    def _merge_kmv(existing, part):
+        if existing is None:
+            return _bottom_k(part)
+        return _bottom_k(existing.unionByName(part))
+
+    def merge_state(batch_df, batch_id: int) -> None:
+        merge_into_compact_state(
+            state_dir,
+            batch_id,
+            _bottom_k(batch_df),
+            _merge_kmv,
+            shuffle_partitions=4,
+        )
+
+    q = (
+        hashed.writeStream.foreachBatch(merge_state)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(300)
+        if not finished:
+            raise RuntimeError(
+                "streaming_kmv_sketch_rollup: availableNow run did not "
+                "finish within 300s; refusing to read partial sketch state"
+            )
+    finally:
+        if q.isActive:
+            q.stop()
+
+    sk = read_state(spark, state_dir)
+    return sk.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_used"),
+        F.max("h").alias("kth_hash"),
+        F.round(
+            F.when(
+                F.count(F.lit(1)) >= _SKMV_K,
+                (F.count(F.lit(1)) - 1)
+                * F.lit(float(2**60))
+                / F.max("h"),
+            ).otherwise(F.count(F.lit(1)).cast("double")),
+            6,
+        ).alias("est_distinct"),
+    )

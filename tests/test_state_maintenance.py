@@ -371,3 +371,70 @@ def test_compact_state_detects_completed_swap_on_retry(spark, tmp_path):
     assert got == {"a": 11, "b": 2}
     assert os.path.exists(os.path.join(marker_root, "batch-1"))
     assert not os.path.exists(os.path.join(marker_root, "batch-1.intent"))
+
+
+def test_kmv_bottom_k_merge_is_order_independent_and_idempotent(
+    spark, tmp_path
+):
+    """The streaming KMV sketch's merge algebra: bottom-k of merged
+    bottom-k's equals bottom-k of the full set, for ANY batch split,
+    and re-merging an already-merged batch changes nothing."""
+    import random
+
+    from kafka_spark_streaming_app_spark.streaming.state import (
+        merge_into_compact_state,
+        read_state,
+    )
+
+    rng = random.Random(7)
+    rows = [("s1", rng.randrange(1, 10**9)) for _ in range(300)] + [
+        ("s2", rng.randrange(1, 10**9)) for _ in range(40)
+    ]
+    K = 64
+
+    def bottom_k(df):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        w = Window.partitionBy("source").orderBy("h")
+        return (
+            df.select("source", "h")
+            .distinct()
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= K)
+            .select("source", "h")
+        )
+
+    def merge(existing, part):
+        if existing is None:
+            return bottom_k(part)
+        return bottom_k(existing.unionByName(part))
+
+    def run(split_at, root):
+        state = str(tmp_path / root / "sk")
+        for bid, chunk in enumerate(
+            (rows[:split_at], rows[split_at:])
+        ):
+            part = spark.createDataFrame(chunk, ["source", "h"])
+            merge_into_compact_state(state, bid, bottom_k(part), merge)
+        return {
+            (r.source, r.h)
+            for r in read_state(spark, state).collect()
+        }
+
+    a = run(50, "a")
+    b = run(250, "b")
+    expected = set()
+    for src in ("s1", "s2"):
+        hs = sorted({h for s, h in rows if s == src})[:K]
+        expected |= {(src, h) for h in hs}
+    assert a == expected
+    assert b == expected
+    # idempotence: re-merging the full set into final state is a no-op
+    state = str(tmp_path / "a" / "sk")
+    part = spark.createDataFrame(rows, ["source", "h"])
+    merge_into_compact_state(state, 99, bottom_k(part), merge)
+    again = {
+        (r.source, r.h) for r in read_state(spark, state).collect()
+    }
+    assert again == expected
