@@ -108,6 +108,16 @@ PROBES = (
     "kneser_ney_perplexity",
     "bh_fdr_daily_shifts",
     "empirical_bayes_shrinkage",
+    # round-7 wave (duplication-linear: per-source distinct-shingle
+    # sets collapse duplicates exactly as real dup data would while
+    # the explode/scan grows Nx; gmm is a pure scan-agg; the KMV
+    # stream replays Nx rows through the same fixed trigger count
+    # into a bounded sketch; pagerank_personalized is EXCLUDED like
+    # the rest of the graph family — its lineitem self-join edge
+    # build replicates join keys N^2 under file copying)
+    "source_overlap_kmv",
+    "gmm_em_1d",
+    "streaming_kmv_sketch_rollup",
 )
 
 
@@ -202,6 +212,13 @@ JITTER_DOC_PROBES = (
     "multimodal_spectral_hash_dedup",
 )
 
+# Probes that need the jittered-embeddings fixture (see the comment at
+# the call site).
+JITTER_EMB_PROBES = (
+    "semantic_dedup",
+    "similarity_mmr_rerank",
+)
+
 
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -273,31 +290,34 @@ def main() -> int:
             times["ratio"] = round(times["tN"] / times["t1"], 2)
             results[name] = times
             print(f"\n# {name}: {times}", file=sys.stderr, flush=True)
-        # semantic_dedup probes against JITTERED copies (exact
+        # The embedding probes run against JITTERED copies (exact
         # hardlink duplication would hand every vector N-1 exact
-        # twins and distort dedup semantics): copy i shifts vec_id by
-        # i*n_vec and perturbs one dimension, so the corpus is N x
-        # larger with only near-dup structure.  k = ceil(n/budget)
-        # grows N x with it, holding expected cluster size constant —
-        # this probe measures the linear-total-pair-cost claim of the
-        # k ∝ n sizing rule directly.
-        if only is not None and "semantic_dedup" not in only:
-            print(json.dumps({"scale": n, "queries": results}), flush=True)
-            return 0
-        fn = registry.QUERIES["semantic_dedup"]
-        times = {}
-        for label, sf_dir in (("t1", src), ("tN", jittered)):
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                best = min(best, time.perf_counter() - t0)
-            times[label] = round(best, 3)
-        times["ratio"] = round(times["tN"] / times["t1"], 2)
-        results["semantic_dedup"] = times
-        print(f"\n# semantic_dedup: {times}", file=sys.stderr, flush=True)
+        # twins and distort dedup/ranking semantics): copy i shifts
+        # vec_id by i*n_vec and perturbs one dimension, so the corpus
+        # is N x larger with only near-dup structure. For
+        # semantic_dedup, k = ceil(n/budget) grows N x with it,
+        # holding expected cluster size constant — the probe measures
+        # the linear-total-pair-cost claim of the k ∝ n sizing rule
+        # directly. For similarity_mmr_rerank the pool stays
+        # queries x 12, so the probe isolates the corpus-scan stage.
+        for name in JITTER_EMB_PROBES:
+            if only is not None and name not in only:
+                continue
+            fn = registry.QUERIES[name]
+            times = {}
+            for label, sf_dir in (("t1", src), ("tN", jittered)):
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    best = min(best, time.perf_counter() - t0)
+                times[label] = round(best, 3)
+            times["ratio"] = round(times["tN"] / times["t1"], 2)
+            times["fixture"] = "jittered-embeddings"
+            results[name] = times
+            print(f"\n# {name}: {times}", file=sys.stderr, flush=True)
         print(json.dumps({"scale": n, "queries": results}))
     finally:
         shutil.rmtree(scaled, ignore_errors=True)
