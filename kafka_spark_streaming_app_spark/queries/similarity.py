@@ -1976,3 +1976,259 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mmr_rank").cast("bigint").alias("mmr_rank"),
         "rel",
     )
+
+
+# --- hard-negative mining ---------------------------------------------------
+
+_HN_ANCHORS = 20
+_HN_K = 5
+
+_HN_ORACLE = f"""
+WITH n AS (
+    SELECT
+        vec_id, label,
+        embedding::DOUBLE[] AS v,
+        sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+            AS norm
+    FROM embeddings
+    WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0
+),
+a AS (
+    SELECT vec_id AS anchor_id, label AS anchor_label,
+           v AS av, norm AS anorm
+    FROM n WHERE vec_id < {_HN_ANCHORS}
+),
+scored AS (
+    SELECT a.anchor_id, a.anchor_label,
+           c.vec_id AS negative_id, c.label AS negative_label,
+           round(list_inner_product(a.av, c.v) / (a.anorm * c.norm), 6)
+               AS cosine
+    FROM n c, a
+    WHERE c.vec_id <> a.anchor_id AND c.label <> a.anchor_label
+)
+SELECT anchor_id, anchor_label, negative_id, negative_label, cosine, rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                 ORDER BY cosine DESC, negative_id) AS rank
+    FROM scored
+) WHERE rank <= {_HN_K}
+"""
+
+
+@query("embedding_hard_negatives", _HN_ORACLE)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor
+    (vec_id < 20), the top-5 most-cosine-similar vectors with a
+    DIFFERENT label — the negatives that sit closest to the decision
+    boundary and carry the most gradient signal. Same broadcast-
+    anchors corpus-scan shape as `similarity_topk_brute` (anchor
+    batches are small by construction; per-partition top-k so only k
+    rows per anchor leave each partition); at 100 TB the corpus scan
+    swaps for ANN candidate generation (`similarity_ann_ivf`) with
+    this exact label-filtered rerank on the candidates."""
+    from ..functions.vectors import cosine as _cos
+    from ..operators.similarity import with_vector_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nv = with_vector_norm(emb).select("vec_id", "label", "v", "norm")
+    anchors = nv.filter(F.col("vec_id") < _HN_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("v").alias("av"),
+        F.col("norm").alias("anorm"),
+    )
+    scored = nv.join(
+        F.broadcast(anchors),
+        (F.col("vec_id") != F.col("anchor_id"))
+        & (F.col("label") != F.col("anchor_label")),
+    ).select(
+        "anchor_id",
+        "anchor_label",
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        _cos(
+            F.col("av"), F.col("v"), F.col("anorm"), F.col("norm")
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.asc("negative_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _HN_K)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "negative_id",
+            "negative_label",
+            "cosine",
+            "rank",
+        )
+    )
+
+
+# --- Rocchio pseudo-relevance feedback --------------------------------------
+
+_PRF_M = 5     # feedback depth: top-m first-pass hits
+_PRF_K = 10    # final depth
+# alpha = 1.0 (original query), beta = 0.5 / m (feedback centroid)
+
+_PRF_FEEDBACK_COLS = " + ".join(f"v{i}" for i in range(1, _PRF_M + 1))
+_PRF_PIVOT_COLS = ",\n           ".join(
+    f"max(CASE WHEN rank = {i} THEN vd END) AS v{i}"
+    for i in range(1, _PRF_M + 1)
+)
+
+_PRF_ORACLE = f"""
+WITH n AS (
+    SELECT
+        vec_id,
+        embedding::DOUBLE[] AS v,
+        sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+            AS norm
+    FROM embeddings
+    WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0
+),
+q AS (
+    SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM n
+    WHERE vec_id < 5
+),
+pass1 AS (
+    SELECT * FROM (
+        SELECT q.query_id, c.vec_id AS corpus_id, c.v AS cv,
+               round(list_inner_product(q.qv, c.v) / (q.qnorm * c.norm), 6)
+                   AS cosine,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(list_inner_product(q.qv, c.v)
+                                  / (q.qnorm * c.norm), 6) DESC,
+                            c.vec_id) AS rank
+        FROM n c, q
+        WHERE c.vec_id <> q.query_id
+    ) WHERE rank <= {_PRF_M}
+),
+fb_pivot AS (
+    SELECT query_id, dim,
+           {_PRF_PIVOT_COLS}
+    FROM (
+        SELECT query_id, rank, unnest(cv) AS vd,
+               generate_subscripts(cv, 1) AS dim
+        FROM pass1
+    ) f
+    GROUP BY query_id, dim
+),
+qdims AS (
+    SELECT query_id, generate_subscripts(qv, 1) AS dim, unnest(qv) AS qd
+    FROM q
+),
+prf_dims AS (
+    SELECT qd.query_id, qd.dim,
+           1.0 * qd.qd + (0.5 / {_PRF_M}.0)
+               * ({_PRF_FEEDBACK_COLS}) AS pd
+    FROM qdims qd
+    JOIN fb_pivot fp ON fp.query_id = qd.query_id AND fp.dim = qd.dim
+),
+prf_q AS (
+    SELECT query_id,
+           list(pd ORDER BY dim) AS pv,
+           sqrt(list_sum(list_transform(list(pd ORDER BY dim),
+                                        x -> x * x))) AS pnorm
+    FROM prf_dims
+    GROUP BY query_id
+)
+SELECT query_id, corpus_id, prf_cosine, rank FROM (
+    SELECT p.query_id, c.vec_id AS corpus_id,
+           round(list_inner_product(p.pv, c.v) / (p.pnorm * c.norm), 6)
+               AS prf_cosine,
+           row_number() OVER (
+               PARTITION BY p.query_id
+               ORDER BY round(list_inner_product(p.pv, c.v)
+                              / (p.pnorm * c.norm), 6) DESC,
+                        c.vec_id) AS rank
+    FROM n c, prf_q p
+    WHERE c.vec_id <> p.query_id
+) WHERE rank <= {_PRF_K}
+"""
+
+
+@query("rocchio_prf_rerank", _PRF_ORACLE)
+def rocchio_prf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio pseudo-relevance feedback: first-pass top-5 per query,
+    expanded query q' = q + (0.5/5)·Σ(top-5 vectors), second-pass
+    top-10 under q' — the classic zero-supervision recall booster
+    between retrieval passes. Cross-engine exactness: the feedback
+    sum is pivoted into rank-1..5 columns and added as the FIXED
+    expression v1+v2+..+v5 (never an unordered SUM over doubles),
+    per exploded dimension; q' is reassembled in dim order. Two
+    corpus scans (the first-pass rank and the rerank) + dim-exploded
+    arithmetic on queries×5 rows — scan-bound at any corpus size,
+    with ANN swappable for either pass."""
+    from ..functions.vectors import cosine as _cos, l2_norm
+    from ..operators.similarity import brute_force_topk, with_vector_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < _NUM_QUERIES)
+    nv = with_vector_norm(emb).select("vec_id", "v", "norm")
+    pass1 = brute_force_topk(emb, qs, k=_PRF_M).join(
+        nv.select(F.col("vec_id").alias("corpus_id"), F.col("v").alias("cv")),
+        "corpus_id",
+    )
+    fb = pass1.select(
+        "query_id",
+        "rank",
+        F.posexplode("cv").alias("dim0", "vd"),
+    ).select(
+        "query_id", "rank", (F.col("dim0") + 1).alias("dim"), "vd"
+    )
+    pivot_cols = [
+        F.max(F.when(F.col("rank") == i, F.col("vd"))).alias(f"v{i}")
+        for i in range(1, _PRF_M + 1)
+    ]
+    fb_pivot = fb.groupBy("query_id", "dim").agg(*pivot_cols)
+    qdims = (
+        nv.filter(F.col("vec_id") < _NUM_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.posexplode("v").alias("dim0", "qd"),
+        )
+        .select("query_id", (F.col("dim0") + 1).alias("dim"), "qd")
+    )
+    fb_sum = None
+    for i in range(1, _PRF_M + 1):
+        c = F.col(f"v{i}")
+        fb_sum = c if fb_sum is None else fb_sum + c
+    prf_dims = qdims.join(fb_pivot, ["query_id", "dim"]).select(
+        "query_id",
+        "dim",
+        (
+            F.lit(1.0) * F.col("qd")
+            + (F.lit(0.5) / F.lit(float(_PRF_M))) * fb_sum
+        ).alias("pd"),
+    )
+    prf_q = (
+        prf_dims.groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "pd"))),
+                lambda s: s["pd"],
+            ).alias("pv")
+        )
+        .select("query_id", "pv", l2_norm(F.col("pv")).alias("pnorm"))
+    )
+    scored = nv.join(
+        F.broadcast(prf_q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("corpus_id"),
+        _cos(F.col("pv"), F.col("v"), F.col("pnorm"), F.col("norm")).alias(
+            "prf_cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("prf_cosine"), F.asc("corpus_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PRF_K)
+        .select("query_id", "corpus_id", "prf_cosine", "rank")
+    )

@@ -3087,3 +3087,95 @@ def test_gmm_em_1d_matches_numpy(spark, sf_smoke):
         assert abs(out[col] - round(val, 6)) < 2e-6, (col, out[col], val)
     assert abs(out["weight1"] + out["weight2"] - 1.0) < 1e-4
     assert out["mu1_k"] < out["mu2_k"]
+
+
+def test_embedding_hard_negatives_matches_numpy(spark, sf_smoke):
+    """embedding_hard_negatives recomputed with numpy; pins that every
+    mined negative has a different label than its anchor and is the
+    cosine-argmax among different-label vectors."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    emb = pd.read_parquet(f"{sf_smoke}/embeddings.parquet")
+    vecs = {
+        int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.itertuples()
+    }
+    labels = {int(r.vec_id): int(r.label) for r in emb.itertuples()}
+    norms = {i: float(np.sqrt((v * v).sum())) for i, v in vecs.items()}
+
+    out = (
+        registry.QUERIES["embedding_hard_negatives"](spark, sf_smoke)
+        .toPandas()
+        .sort_values(["anchor_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 20 * 5
+    for a in range(20):
+        cands = sorted(
+            (
+                (
+                    -round(
+                        float(vecs[a] @ vecs[c]) / (norms[a] * norms[c]), 6
+                    ),
+                    c,
+                )
+                for c in vecs
+                if c != a and labels[c] != labels[a]
+            )
+        )[:5]
+        got = out[out.anchor_id == a]
+        assert list(got.negative_id) == [c for _, c in cands]
+        assert all(got.negative_label != labels[a])
+        assert list(got["cosine"]) == [-s for s, _ in cands]
+
+
+def test_rocchio_prf_rerank_matches_numpy(spark, sf_smoke):
+    """rocchio_prf_rerank recomputed with numpy (same fixed-order
+    feedback sum); pins that feedback docs themselves rank highly
+    under the expanded query (PRF pulls the neighborhood in)."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    emb = pd.read_parquet(f"{sf_smoke}/embeddings.parquet")
+    vecs = {
+        int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.itertuples()
+    }
+    norms = {i: float(np.sqrt((v * v).sum())) for i, v in vecs.items()}
+
+    def cos(qv, qn, c):
+        return round(float(qv @ vecs[c]) / (qn * norms[c]), 6)
+
+    out = (
+        registry.QUERIES["rocchio_prf_rerank"](spark, sf_smoke)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 5 * 10
+    for q in range(5):
+        first = sorted(
+            ((-cos(vecs[q], norms[q], c), c) for c in vecs if c != q)
+        )[:5]
+        fb_ids = [c for _, c in first]
+        # fixed-order feedback sum: rank 1..5
+        fsum = np.zeros_like(vecs[q])
+        for c in fb_ids:
+            fsum = fsum + vecs[c]
+        pv = 1.0 * vecs[q] + (0.5 / 5) * fsum
+        pn = float(np.sqrt((pv * pv).sum()))
+        second = sorted(((-cos(pv, pn, c), c) for c in vecs if c != q))[:10]
+        got = out[out.query_id == q]
+        assert list(got.corpus_id) == [c for _, c in second]
+        assert np.allclose(
+            got.prf_cosine, [-s for s, _ in second], atol=1e-9
+        )
+        # PRF sanity: most feedback docs stay in the top-10
+        assert len(set(fb_ids) & set(got.corpus_id)) >= 3
