@@ -343,3 +343,208 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 query("tokenizer_fertility", _FERTILITY_ORACLE)(tokenizer_fertility)
+
+
+# --- WordPiece-style greedy longest-match tokenizer --------------------------
+
+_WP_MAXLEN = 4   # piece length cap
+_WP_TOPV = 40    # multi-char vocab budget
+_WP_STEPS = 8    # >= max word length in the corpus (guarded in Spark)
+
+
+def _wp_oracle() -> str:
+    steps = []
+    for i in range(1, _WP_STEPS + 1):
+        p = i - 1
+        steps.append(f""",
+m{i} AS (
+    SELECT word, freq, pos, piece, form, len(piece) AS pl FROM (
+        SELECT f.word, f.freq, f.pos, v.piece, v.form,
+               row_number() OVER (PARTITION BY f.word, f.pos
+                                  ORDER BY len(v.piece) DESC) AS rk
+        FROM f{p} f JOIN vocab v
+          ON v.form = (CASE WHEN f.pos = 1 THEN 'start' ELSE 'cont' END)
+         AND v.piece = substr(f.word, f.pos, len(v.piece))
+    ) WHERE rk = 1
+),
+f{i} AS (
+    SELECT word, freq, pos + pl AS pos FROM m{i}
+    WHERE pos + pl <= len(word)
+)""")
+    emits = "\nUNION ALL\n".join(
+        f"SELECT word, freq, form, piece FROM m{i}"
+        for i in range(1, _WP_STEPS + 1)
+    )
+    return f"""
+WITH words AS (
+    SELECT w AS word, count(*) AS freq FROM (
+        SELECT unnest({TOKENS_SQL.format(x="text")}) AS w FROM documents
+    ) WHERE w <> ''
+    GROUP BY w
+),
+cand AS (
+    SELECT form, piece, sum(freq) AS wt FROM (
+        SELECT CASE WHEN p = 1 THEN 'start' ELSE 'cont' END AS form,
+               substr(word, CAST(p AS INTEGER), CAST(l AS INTEGER)) AS piece,
+               freq
+        FROM words,
+             unnest(range(1, len(word) + 1)) AS t1(p),
+             unnest(range(1, {_WP_MAXLEN + 1})) AS t2(l)
+        WHERE p + l - 1 <= len(word)
+    ) GROUP BY form, piece
+),
+multi AS (
+    SELECT form, piece FROM (
+        SELECT *, row_number() OVER (
+            ORDER BY wt DESC, len(piece) DESC, form, piece) AS rk
+        FROM cand WHERE len(piece) >= 2
+    ) WHERE rk <= {_WP_TOPV}
+),
+vocab AS (
+    SELECT form, piece FROM cand WHERE len(piece) = 1
+    UNION
+    SELECT form, piece FROM multi
+),
+f0 AS (SELECT word, freq, 1 AS pos FROM words){"".join(steps)},
+emits AS (
+{emits}
+)
+SELECT form, piece,
+       CAST(count(DISTINCT word) AS BIGINT) AS n_words,
+       CAST(sum(freq) AS BIGINT) AS total_uses
+FROM emits
+GROUP BY form, piece
+"""
+
+
+@query("wordpiece_greedy_tokenize", _wp_oracle())
+def wordpiece_greedy_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece-style tokenizer trained and applied IN the engine:
+    vocab = every observed single character (in word-start and
+    continuation forms — guarantees greedy always consumes, no UNK)
+    plus the top-40 multi-char substrings (length 2-4) by
+    corpus-frequency weight; tokenization is greedy LONGEST-MATCH
+    from the left, the WordPiece/BERT inference rule (vs BPE's
+    merge-order rule — `bpe_tokenize_counts` — the two production
+    tokenizer families side by side). Output: per (form, piece) the
+    distinct words using it and its freq-weighted total uses.
+
+    Scale shape: the corpus collapses to (word, freq) first (the BPE
+    trick — everything after is vocabulary-sized, not corpus-sized);
+    candidate pieces are one explode+aggregate; the greedy loop is
+    max-word-length broadcast-join steps over the shrinking (word,
+    pos) frontier. The global vocab-ranking window operates on piece
+    cardinality (the documented vocabulary-sized exemption). The
+    unroll depth is guarded: words longer than 8 chars (_WP_STEPS)
+    raise loudly rather than truncate silently."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy(F.col("w").alias("word"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=False)
+    )
+    max_len = words.agg(F.max(F.length("word"))).first()[0]
+    if max_len is not None and max_len > _WP_STEPS:
+        raise ValueError(
+            f"wordpiece_greedy_tokenize: corpus has a {max_len}-char "
+            f"word but the greedy unroll covers {_WP_STEPS} steps — "
+            "raise _WP_STEPS (and the oracle unroll) rather than "
+            "truncating words silently"
+        )
+    cand = (
+        words.select(
+            "word",
+            "freq",
+            F.posexplode(
+                F.sequence(F.lit(1), F.length("word"))
+            ).alias("_i", "p"),
+        )
+        .select(
+            "word",
+            "freq",
+            "p",
+            F.explode(F.sequence(F.lit(1), F.lit(_WP_MAXLEN))).alias("l"),
+        )
+        .filter(F.col("p") + F.col("l") - 1 <= F.length("word"))
+        .select(
+            F.when(F.col("p") == 1, F.lit("start"))
+            .otherwise(F.lit("cont"))
+            .alias("form"),
+            F.substring(F.col("word"), F.col("p"), F.col("l")).alias(
+                "piece"
+            ),
+            "freq",
+        )
+        .groupBy("form", "piece")
+        .agg(F.sum("freq").alias("wt"))
+    )
+    wv = Window.orderBy(
+        F.desc("wt"),
+        F.desc(F.length("piece")),
+        F.asc("form"),
+        F.asc("piece"),
+    )
+    multi = (
+        cand.filter(F.length("piece") >= 2)
+        .withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") <= _WP_TOPV)
+        .select("form", "piece")
+    )
+    vocab = (
+        cand.filter(F.length("piece") == 1)
+        .select("form", "piece")
+        .union(multi)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    frontier = words.select("word", "freq", F.lit(1).alias("pos"))
+    emits = []
+    wm = Window.partitionBy("word", "pos").orderBy(
+        F.desc(F.length("piece"))
+    )
+    for _ in range(_WP_STEPS):
+        matched = (
+            frontier.join(
+                F.broadcast(vocab),
+                (
+                    F.col("form")
+                    == F.when(F.col("pos") == 1, F.lit("start")).otherwise(
+                        F.lit("cont")
+                    )
+                )
+                & (
+                    F.col("piece")
+                    == F.substring(
+                        F.col("word"), F.col("pos"), F.length("piece")
+                    )
+                ),
+            )
+            .withColumn("rk", F.row_number().over(wm))
+            .filter(F.col("rk") == 1)
+            .select(
+                "word",
+                "freq",
+                "pos",
+                "form",
+                "piece",
+                F.length("piece").alias("pl"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        emits.append(matched.select("word", "freq", "form", "piece"))
+        frontier = matched.filter(
+            F.col("pos") + F.col("pl") <= F.length("word")
+        ).select(
+            "word", "freq", (F.col("pos") + F.col("pl")).alias("pos")
+        )
+    all_emits = emits[0]
+    for e in emits[1:]:
+        all_emits = all_emits.unionByName(e)
+    return all_emits.groupBy("form", "piece").agg(
+        F.count_distinct("word").cast("bigint").alias("n_words"),
+        F.sum("freq").cast("bigint").alias("total_uses"),
+    )

@@ -3179,3 +3179,72 @@ def test_rocchio_prf_rerank_matches_numpy(spark, sf_smoke):
         )
         # PRF sanity: most feedback docs stay in the top-10
         assert len(set(fb_ids) & set(got.corpus_id)) >= 3
+
+
+def test_wordpiece_greedy_tokenize_matches_pure_python(spark, sf_smoke):
+    """wordpiece_greedy_tokenize recomputed from scratch in pure
+    Python: vocab derivation (all single chars + top-40 multi-char by
+    weight with the deterministic tiebreak) and greedy longest-match
+    segmentation; pins that every word round-trips (pieces
+    concatenate back to the word)."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    docs = pd.read_parquet(f"{sf_smoke}/documents.parquet")
+    freq = Counter()
+    for t in docs["text"]:
+        for w in re.sub(r"\s+", " ", (t or "").lower().strip()).split(" "):
+            if w:
+                freq[w] += 1
+
+    wt = Counter()
+    for w, f in freq.items():
+        for p in range(len(w)):
+            for l in range(1, 5):
+                if p + l <= len(w):
+                    form = "start" if p == 0 else "cont"
+                    wt[(form, w[p : p + l])] += f
+    multi = sorted(
+        ((k, v) for k, v in wt.items() if len(k[1]) >= 2),
+        key=lambda kv: (-kv[1], -len(kv[0][1]), kv[0][0], kv[0][1]),
+    )[:40]
+    vocab = {k for k, _ in wt.items() if len(k[1]) == 1} | {
+        k for k, _ in multi
+    }
+
+    n_words = Counter()
+    total_uses = Counter()
+    for w, f in freq.items():
+        pos, pieces = 0, []
+        while pos < len(w):
+            for l in range(4, 0, -1):
+                form = "start" if pos == 0 else "cont"
+                cand = w[pos : pos + l]
+                if len(cand) == l and (form, cand) in vocab:
+                    pieces.append((form, cand))
+                    pos += l
+                    break
+            else:
+                raise AssertionError(f"no match in {w} at {pos}")
+        assert "".join(p for _, p in pieces) == w  # round-trip
+        for k in set(pieces):
+            n_words[k] += 1
+        for k in pieces:
+            total_uses[k] += f
+
+    out = registry.QUERIES["wordpiece_greedy_tokenize"](
+        spark, sf_smoke
+    ).toPandas()
+    got = {
+        (r.form, r.piece): (int(r.n_words), int(r.total_uses))
+        for r in out.itertuples()
+    }
+    expected = {
+        k: (n_words[k], total_uses[k]) for k in total_uses
+    }
+    assert got == expected
