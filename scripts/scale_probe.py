@@ -118,6 +118,10 @@ PROBES = (
     "source_overlap_kmv",
     "gmm_em_1d",
     "streaming_kmv_sketch_rollup",
+    # wordpiece: word freqs scale Nx while distinct words stay
+    # constant — exactly what real duplication does; everything past
+    # the (word, freq) collapse is vocabulary-sized
+    "wordpiece_greedy_tokenize",
 )
 
 
@@ -217,6 +221,8 @@ JITTER_DOC_PROBES = (
 JITTER_EMB_PROBES = (
     "semantic_dedup",
     "similarity_mmr_rerank",
+    "embedding_hard_negatives",
+    "rocchio_prf_rerank",
 )
 
 
