@@ -241,6 +241,17 @@ HEADLINE = [
     "streaming_srm_monitor",
     "multimodal_motion_vectors",
     "hll_audience_overlap",
+    # round-7 continuation wave: sketch overlap, retrieval-stack
+    # completion, unsupervised EM, PPR, the WordPiece tokenizer, and
+    # the KMV streaming state shape
+    "source_overlap_kmv",
+    "similarity_mmr_rerank",
+    "rocchio_prf_rerank",
+    "embedding_hard_negatives",
+    "pagerank_personalized",
+    "gmm_em_1d",
+    "wordpiece_greedy_tokenize",
+    "streaming_kmv_sketch_rollup",
 ]
 
 

@@ -40,6 +40,7 @@ from . import (  # noqa: F401
     profile,
     bpe,
     mlstats,
+    privacy,
     layout,
     cdc,
     sampling,

@@ -3248,3 +3248,56 @@ def test_wordpiece_greedy_tokenize_matches_pure_python(spark, sf_smoke):
         k: (n_words[k], total_uses[k]) for k in total_uses
     }
     assert got == expected
+
+
+def test_privacy_release_matches_pure_python(spark, sf_smoke):
+    """dp_noisy_release and k_anonymity_audit recomputed with
+    pandas/pure-Python: the derived-Laplace noise (inverse CDF of the
+    md5 uniform, floor(x+0.5) integerization) and the cell audit."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+
+    orders = pd.read_parquet(f"{sf_smoke}/orders.parquet")
+    counts = orders.groupby("o_orderpriority").size()
+    out = (
+        registry.QUERIES["dp_noisy_release"](spark, sf_smoke)
+        .toPandas()
+        .set_index("o_orderpriority")
+    )
+    assert set(out.index) == set(counts.index)
+    for key, n in counts.items():
+        h = int(hashlib.md5(f"dp|{key}".encode()).hexdigest()[:15], 16)
+        u = (h + 0.5) / 2**60
+        sign = -1.0 if u < 0.5 else 1.0
+        x = -(1.0 / 1.0) * sign * math.log(1.0 - 2.0 * abs(u - 0.5))
+        noise = math.floor(x + 0.5)
+        r = out.loc[key]
+        assert r["noise"] == noise
+        assert r["noisy_count"] == n + noise
+
+    cust = pd.read_parquet(f"{sf_smoke}/customer.parquet")
+    cust["band"] = (cust["c_acctbal"] / 1000.0).apply(math.floor)
+    cells = cust.groupby(["c_nationkey", "c_mktsegment"]).agg(
+        n=("c_custkey", "size"), bands=("band", "nunique")
+    )
+    ka = (
+        registry.QUERIES["k_anonymity_audit"](spark, sf_smoke)
+        .toPandas()
+        .set_index(["c_nationkey", "c_mktsegment"])
+    )
+    assert len(ka) == len(cells)
+    for idx, row in cells.iterrows():
+        r = ka.loc[idx]
+        assert r["n"] == row["n"]
+        assert r["n_sensitive_bands"] == row["bands"]
+        assert r["k_anonymous"] == (row["n"] >= 5)
+        assert r["l_diverse"] == (row["bands"] >= 3)
+        assert r["must_suppress"] == (
+            row["n"] < 5 or row["bands"] < 3
+        )
