@@ -430,3 +430,123 @@ def vocab_coverage_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d_observed").cast("double") / chao1, 6
         ).alias("vocab_coverage"),
     ).orderBy("lang")
+
+
+# --- group fairness audit of the quality filter ------------------------------
+
+_FAIR_LONG = 300  # n_chars threshold for the proxy "substantive" label
+
+
+def _fairness_oracle() -> str:
+    from .corpus_prep import _QUALITY_ORACLE
+
+    return f"""
+WITH q AS (
+    SELECT doc_id, keep FROM ({_QUALITY_ORACLE})
+),
+j AS (
+    SELECT d.lang, q.keep, d.n_chars >= {_FAIR_LONG} AS is_long
+    FROM documents d JOIN q ON q.doc_id = d.doc_id
+),
+overall AS (
+    SELECT CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS rate_all
+    FROM j
+),
+per AS (
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(sum(CASE WHEN is_long THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_long,
+           CAST(sum(CASE WHEN keep AND is_long THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_keep_long,
+           CAST(sum(CASE WHEN keep AND NOT is_long THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_keep_short
+    FROM j
+    GROUP BY lang
+)
+SELECT lang, n, n_keep,
+       round(CAST(n_keep AS DOUBLE) / n, 6) AS keep_rate,
+       round(CAST(n_keep AS DOUBLE) / n - overall.rate_all, 6)
+           AS parity_gap,
+       round(CASE WHEN n_long > 0
+                  THEN CAST(n_keep_long AS DOUBLE) / n_long END, 6)
+           AS tpr_proxy,
+       round(CASE WHEN n - n_long > 0
+                  THEN CAST(n_keep_short AS DOUBLE) / (n - n_long) END, 6)
+           AS fpr_proxy
+FROM per, overall
+"""
+
+
+@query("group_fairness_metrics", _fairness_oracle())
+def group_fairness_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-fairness audit of the quality filter across languages:
+    per-language keep rate, demographic-parity gap vs the overall
+    rate, and equalized-odds proxies (TPR/FPR against the
+    length-based 'substantive document' proxy label, n_chars >= 300)
+    — the release gate that catches a quality classifier silently
+    de-selecting a language before the corpus ships. One scan through
+    the (already codegen'd) quality logit + one cells-proportional
+    aggregation; the overall rate is a broadcast one-row join."""
+    from .corpus_prep import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    j = quality_score(docs).select("doc_id", "keep").join(
+        docs.select(
+            "doc_id", "lang", (F.col("n_chars") >= _FAIR_LONG).alias(
+                "is_long"
+            )
+        ),
+        "doc_id",
+    )
+    overall = j.agg(
+        (
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("rate_all")
+    )
+    per = j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_keep"),
+        F.sum(F.when(F.col("is_long"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_long"),
+        F.sum(F.when(F.col("keep") & F.col("is_long"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_keep_long"),
+        F.sum(F.when(F.col("keep") & ~F.col("is_long"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_keep_short"),
+    )
+    return per.crossJoin(F.broadcast(overall)).select(
+        "lang",
+        "n",
+        "n_keep",
+        F.round(F.col("n_keep").cast("double") / F.col("n"), 6).alias(
+            "keep_rate"
+        ),
+        F.round(
+            F.col("n_keep").cast("double") / F.col("n")
+            - F.col("rate_all"),
+            6,
+        ).alias("parity_gap"),
+        F.round(
+            F.when(
+                F.col("n_long") > 0,
+                F.col("n_keep_long").cast("double") / F.col("n_long"),
+            ),
+            6,
+        ).alias("tpr_proxy"),
+        F.round(
+            F.when(
+                F.col("n") - F.col("n_long") > 0,
+                F.col("n_keep_short").cast("double")
+                / (F.col("n") - F.col("n_long")),
+            ),
+            6,
+        ).alias("fpr_proxy"),
+    )

@@ -3301,3 +3301,47 @@ def test_privacy_release_matches_pure_python(spark, sf_smoke):
         assert r["must_suppress"] == (
             row["n"] < 5 or row["bands"] < 3
         )
+
+
+def test_group_fairness_metrics_matches_pandas(spark, sf_smoke):
+    """group_fairness_metrics recomputed with pandas from the quality
+    query's own output; pins the parity-gap identity (weighted gaps
+    sum to ~0) and rate bounds."""
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    q = (
+        registry.QUERIES["quality_classifier"](spark, sf_smoke)
+        .toPandas()[["doc_id", "keep"]]
+    )
+    docs = pd.read_parquet(f"{sf_smoke}/documents.parquet")[
+        ["doc_id", "lang", "n_chars"]
+    ]
+    j = q.merge(docs, on="doc_id")
+    j["is_long"] = j.n_chars >= 300
+    rate_all = j.keep.mean()
+
+    out = (
+        registry.QUERIES["group_fairness_metrics"](spark, sf_smoke)
+        .toPandas()
+        .set_index("lang")
+    )
+    assert set(out.index) == set(j.lang)
+    for lang, g in j.groupby("lang"):
+        r = out.loc[lang]
+        assert r["n"] == len(g)
+        assert r["n_keep"] == int(g.keep.sum())
+        assert abs(r["keep_rate"] - g.keep.mean()) < 1e-6
+        assert abs(r["parity_gap"] - (g.keep.mean() - rate_all)) < 1e-6
+        long_g = g[g.is_long]
+        short_g = g[~g.is_long]
+        if len(long_g):
+            assert abs(r["tpr_proxy"] - long_g.keep.mean()) < 1e-6
+        if len(short_g):
+            assert abs(r["fpr_proxy"] - short_g.keep.mean()) < 1e-6
+    # weighted parity gaps sum to zero by construction
+    w = sum(out.loc[lang, "parity_gap"] * out.loc[lang, "n"]
+            for lang in out.index)
+    assert abs(w) < 1e-3 * len(j)
