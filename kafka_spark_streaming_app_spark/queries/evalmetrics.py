@@ -654,3 +654,333 @@ def bleu_rouge_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bleu"),
     ]
     return out.select(*sel).orderBy("source")
+
+
+# --- team-draft interleaving (online ranker A/B evaluation) ------------------
+
+_IL_DEPTH = 10   # per-ranker candidate depth
+_IL_ROUNDS = 5   # interleaved depth = 2 * rounds
+
+
+def _interleave_oracle() -> str:
+    from ..functions.hashing import h60_sql
+
+    coin = h60_sql(
+        "('il|' || CAST(query_id AS VARCHAR) || '|' || CAST(r AS VARCHAR))"
+    )
+    rounds = []
+    for r in range(1, _IL_ROUNDS + 1):
+        p = r - 1
+        rounds.append(f""",
+avA{r} AS MATERIALIZED (
+    SELECT la.* FROM la WHERE NOT EXISTS (
+        SELECT 1 FROM sel{p} s
+        WHERE s.query_id = la.query_id AND s.corpus_id = la.corpus_id)
+),
+avB{r} AS MATERIALIZED (
+    SELECT lb.* FROM lb WHERE NOT EXISTS (
+        SELECT 1 FROM sel{p} s
+        WHERE s.query_id = lb.query_id AND s.corpus_id = lb.corpus_id)
+),
+bA{r} AS MATERIALIZED (
+    SELECT query_id, corpus_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rank_a) AS rn
+        FROM avA{r}) WHERE rn = 1
+),
+bB{r} AS MATERIALIZED (
+    SELECT query_id, corpus_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rank_b) AS rn
+        FROM avB{r}) WHERE rn = 1
+),
+first{r} AS MATERIALIZED (
+    SELECT c.query_id,
+           CASE WHEN c.c = 0 THEN a.corpus_id ELSE b.corpus_id END
+               AS corpus_id,
+           CASE WHEN c.c = 0 THEN 'A' ELSE 'B' END AS team
+    FROM (SELECT query_id, c FROM coins WHERE r = {r}) c
+    JOIN bA{r} a ON a.query_id = c.query_id
+    JOIN bB{r} b ON b.query_id = c.query_id
+),
+sA{r} AS MATERIALIZED (
+    SELECT query_id, corpus_id FROM (
+        SELECT v.query_id, v.corpus_id,
+               row_number() OVER (PARTITION BY v.query_id
+                                  ORDER BY v.rank_a) AS rn
+        FROM avA{r} v JOIN first{r} f
+          ON f.query_id = v.query_id AND v.corpus_id <> f.corpus_id
+    ) WHERE rn = 1
+),
+sB{r} AS MATERIALIZED (
+    SELECT query_id, corpus_id FROM (
+        SELECT v.query_id, v.corpus_id,
+               row_number() OVER (PARTITION BY v.query_id
+                                  ORDER BY v.rank_b) AS rn
+        FROM avB{r} v JOIN first{r} f
+          ON f.query_id = v.query_id AND v.corpus_id <> f.corpus_id
+    ) WHERE rn = 1
+),
+second{r} AS (
+    SELECT f.query_id,
+           CASE WHEN f.team = 'A' THEN sb.corpus_id
+                ELSE sa.corpus_id END AS corpus_id,
+           CASE WHEN f.team = 'A' THEN 'B' ELSE 'A' END AS team
+    FROM first{r} f
+    JOIN sA{r} sa ON sa.query_id = f.query_id
+    JOIN sB{r} sb ON sb.query_id = f.query_id
+),
+sel{r} AS MATERIALIZED (
+    SELECT * FROM sel{p}
+    UNION ALL SELECT query_id, corpus_id, team FROM first{r}
+    UNION ALL SELECT query_id, corpus_id, team FROM second{r}
+)""")
+    return f"""
+WITH n AS MATERIALIZED (
+    SELECT
+        vec_id, label,
+        embedding::DOUBLE[] AS v,
+        sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+            AS norm
+    FROM embeddings
+    WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0
+),
+q AS MATERIALIZED (
+    SELECT vec_id AS query_id, label AS qlabel, v AS qv, norm AS qnorm
+    FROM n WHERE vec_id < 5
+),
+la AS MATERIALIZED (
+    SELECT query_id, corpus_id, rank_a FROM (
+        SELECT q.query_id, c.vec_id AS corpus_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(list_inner_product(q.qv, c.v)
+                                  / (q.qnorm * c.norm), 6) DESC,
+                            c.vec_id) AS rank_a
+        FROM n c, q WHERE c.vec_id <> q.query_id
+    ) WHERE rank_a <= {_IL_DEPTH}
+),
+lb AS MATERIALIZED (
+    SELECT query_id, corpus_id, rank_b FROM (
+        SELECT q.query_id, c.vec_id AS corpus_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(list_inner_product(q.qv, c.v), 6) DESC,
+                            c.vec_id) AS rank_b
+        FROM n c, q WHERE c.vec_id <> q.query_id
+    ) WHERE rank_b <= {_IL_DEPTH}
+),
+coins AS MATERIALIZED (
+    SELECT query_id, r, {coin} % 2 AS c
+    FROM q, unnest(range(1, {_IL_ROUNDS + 1})) AS t(r)
+),
+sel0 AS MATERIALIZED (
+    SELECT CAST(NULL AS BIGINT) AS query_id,
+           CAST(NULL AS BIGINT) AS corpus_id,
+           CAST(NULL AS VARCHAR) AS team
+    WHERE false
+){"".join(rounds)}
+SELECT s.query_id,
+       CAST(sum(CASE WHEN s.team = 'A' AND cn.label = cq.qlabel
+                     THEN 1 ELSE 0 END) AS BIGINT) AS clicks_a,
+       CAST(sum(CASE WHEN s.team = 'B' AND cn.label = cq.qlabel
+                     THEN 1 ELSE 0 END) AS BIGINT) AS clicks_b,
+       CASE WHEN sum(CASE WHEN s.team = 'A' AND cn.label = cq.qlabel
+                          THEN 1 ELSE 0 END)
+               > sum(CASE WHEN s.team = 'B' AND cn.label = cq.qlabel
+                          THEN 1 ELSE 0 END) THEN 'A'
+            WHEN sum(CASE WHEN s.team = 'A' AND cn.label = cq.qlabel
+                          THEN 1 ELSE 0 END)
+               < sum(CASE WHEN s.team = 'B' AND cn.label = cq.qlabel
+                          THEN 1 ELSE 0 END) THEN 'B'
+            ELSE 'tie' END AS winner
+FROM sel{_IL_ROUNDS} s
+JOIN n cn ON cn.vec_id = s.corpus_id
+JOIN q cq ON cq.query_id = s.query_id
+GROUP BY s.query_id
+"""
+
+
+@query("ab_interleaving_eval", _interleave_oracle())
+def ab_interleaving_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Team-draft interleaving (Radlinski et al.): ranker A (cosine)
+    vs ranker B (raw dot product) merged per query by alternating
+    team picks — the per-round first-picker coin is md5-derived, so
+    both engines draft the identical list — then a deterministic
+    click model (clicked iff corpus label == query label) credits
+    each team and declares the per-query winner. This is the ONLINE
+    ranker-comparison harness (sensitivity ~10-100x a separate A/B
+    split) beside `ips_offline_eval`'s logged-bandit estimator and
+    `ranking_metrics_eval`'s offline metrics. Construction cost is
+    rounds × (anti-join + top-1 window) over candidate-depth rows per
+    query — candidate-bounded, independent of corpus size once the
+    two top-10 lists exist (one corpus scan each)."""
+    from ..functions.hashing import h60
+    from ..functions.vectors import cosine as _cos, dot as _dot
+    from ..operators.similarity import with_vector_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nv = with_vector_norm(emb).select("vec_id", "label", "v", "norm")
+    qs = nv.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = nv.join(
+        F.broadcast(qs), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("corpus_id"),
+        _cos(F.col("qv"), F.col("v"), F.col("qnorm"), F.col("norm")).alias(
+            "cos_s"
+        ),
+        F.round(_dot(F.col("qv"), F.col("v")), 6).alias("dot_s"),
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_s"), F.asc("corpus_id")
+    )
+    wb = Window.partitionBy("query_id").orderBy(
+        F.desc("dot_s"), F.asc("corpus_id")
+    )
+    la = (
+        scored.withColumn("rank_a", F.row_number().over(wa))
+        .filter(F.col("rank_a") <= _IL_DEPTH)
+        .select("query_id", "corpus_id", "rank_a")
+        .localCheckpoint(eager=False)
+    )
+    lb = (
+        scored.withColumn("rank_b", F.row_number().over(wb))
+        .filter(F.col("rank_b") <= _IL_DEPTH)
+        .select("query_id", "corpus_id", "rank_b")
+        .localCheckpoint(eager=False)
+    )
+    coins = qs.select(
+        "query_id",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(_IL_ROUNDS))
+        ).alias("r"),
+    ).select(
+        "query_id",
+        "r",
+        F.pmod(
+            h60(
+                F.concat(
+                    F.lit("il|"),
+                    F.col("query_id").cast("string"),
+                    F.lit("|"),
+                    F.col("r").cast("string"),
+                )
+            ),
+            F.lit(2),
+        ).alias("c"),
+    )
+    sel = None  # (query_id, corpus_id, team)
+    for r in range(1, _IL_ROUNDS + 1):
+        if sel is None:
+            av_a, av_b = la, lb
+        else:
+            key = ["query_id", "corpus_id"]
+            av_a = la.join(sel.select(*key), key, "left_anti")
+            av_b = lb.join(sel.select(*key), key, "left_anti")
+        w1a = Window.partitionBy("query_id").orderBy("rank_a")
+        w1b = Window.partitionBy("query_id").orderBy("rank_b")
+        best_a = (
+            av_a.withColumn("rn", F.row_number().over(w1a))
+            .filter(F.col("rn") == 1)
+            .select("query_id", F.col("corpus_id").alias("a_id"))
+        )
+        best_b = (
+            av_b.withColumn("rn", F.row_number().over(w1b))
+            .filter(F.col("rn") == 1)
+            .select("query_id", F.col("corpus_id").alias("b_id"))
+        )
+        first = (
+            coins.filter(F.col("r") == r)
+            .join(best_a, "query_id")
+            .join(best_b, "query_id")
+            .select(
+                "query_id",
+                F.when(F.col("c") == 0, F.col("a_id"))
+                .otherwise(F.col("b_id"))
+                .alias("corpus_id"),
+                F.when(F.col("c") == 0, F.lit("A"))
+                .otherwise(F.lit("B"))
+                .alias("team"),
+            )
+        )
+        s_a = (
+            av_a.join(
+                first.select(
+                    "query_id", F.col("corpus_id").alias("f_id")
+                ),
+                "query_id",
+            )
+            .filter(F.col("corpus_id") != F.col("f_id"))
+            .withColumn("rn", F.row_number().over(w1a))
+            .filter(F.col("rn") == 1)
+            .select("query_id", F.col("corpus_id").alias("a2_id"))
+        )
+        s_b = (
+            av_b.join(
+                first.select(
+                    "query_id", F.col("corpus_id").alias("f_id")
+                ),
+                "query_id",
+            )
+            .filter(F.col("corpus_id") != F.col("f_id"))
+            .withColumn("rn", F.row_number().over(w1b))
+            .filter(F.col("rn") == 1)
+            .select("query_id", F.col("corpus_id").alias("b2_id"))
+        )
+        second = (
+            first.join(s_a, "query_id")
+            .join(s_b, "query_id")
+            .select(
+                "query_id",
+                F.when(F.col("team") == "A", F.col("b2_id"))
+                .otherwise(F.col("a2_id"))
+                .alias("corpus_id"),
+                F.when(F.col("team") == "A", F.lit("B"))
+                .otherwise(F.lit("A"))
+                .alias("team"),
+            )
+        )
+        picked = first.unionByName(second)
+        sel = (
+            picked
+            if sel is None
+            else sel.unionByName(picked)
+        ).localCheckpoint(eager=False)
+    labeled = (
+        sel.join(
+            nv.select(F.col("vec_id").alias("corpus_id"), "label"),
+            "corpus_id",
+        )
+        .join(
+            F.broadcast(qs.select("query_id", "qlabel")), "query_id"
+        )
+        .select(
+            "query_id",
+            "team",
+            (F.col("label") == F.col("qlabel")).alias("clicked"),
+        )
+    )
+    ca = F.sum(
+        F.when(F.col("team") == "A", F.col("clicked").cast("int")).otherwise(
+            0
+        )
+    )
+    cb = F.sum(
+        F.when(F.col("team") == "B", F.col("clicked").cast("int")).otherwise(
+            0
+        )
+    )
+    return labeled.groupBy("query_id").agg(
+        ca.cast("bigint").alias("clicks_a"),
+        cb.cast("bigint").alias("clicks_b"),
+        F.when(ca > cb, F.lit("A"))
+        .when(ca < cb, F.lit("B"))
+        .otherwise(F.lit("tie"))
+        .alias("winner"),
+    )

@@ -3345,3 +3345,95 @@ def test_group_fairness_metrics_matches_pandas(spark, sf_smoke):
     w = sum(out.loc[lang, "parity_gap"] * out.loc[lang, "n"]
             for lang in out.index)
     assert abs(w) < 1e-3 * len(j)
+
+
+def test_ab_interleaving_eval_matches_pure_python(spark, sf_smoke):
+    """ab_interleaving_eval recomputed from scratch: both rankings,
+    the md5 coins, the team-draft loop, and the label-click credit;
+    plus the draft invariant that each team contributes exactly 5 of
+    the 10 interleaved picks."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    emb = pd.read_parquet(f"{sf_smoke}/embeddings.parquet")
+    vecs = {
+        int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.itertuples()
+    }
+    labels = {int(r.vec_id): int(r.label) for r in emb.itertuples()}
+    norms = {i: float(np.sqrt((v * v).sum())) for i, v in vecs.items()}
+
+    def coin(q, r):
+        h = int(
+            hashlib.md5(f"il|{q}|{r}".encode()).hexdigest()[:15], 16
+        )
+        return h % 2
+
+    expected = {}
+    for q in range(5):
+        la = [
+            c
+            for _, c in sorted(
+                (
+                    (
+                        -round(
+                            float(vecs[q] @ vecs[c])
+                            / (norms[q] * norms[c]),
+                            6,
+                        ),
+                        c,
+                    )
+                    for c in vecs
+                    if c != q
+                )
+            )[:10]
+        ]
+        lb = [
+            c
+            for _, c in sorted(
+                (
+                    (-round(float(vecs[q] @ vecs[c]), 6), c)
+                    for c in vecs
+                    if c != q
+                )
+            )[:10]
+        ]
+        sel, teams = [], []
+        for r in range(1, 6):
+            order = ("A", "B") if coin(q, r) == 0 else ("B", "A")
+            for t in order:
+                lst = la if t == "A" else lb
+                pick = next(c for c in lst if c not in sel)
+                sel.append(pick)
+                teams.append(t)
+        assert teams.count("A") == 5 and teams.count("B") == 5
+        ca = sum(
+            1
+            for c, t in zip(sel, teams)
+            if t == "A" and labels[c] == labels[q]
+        )
+        cb = sum(
+            1
+            for c, t in zip(sel, teams)
+            if t == "B" and labels[c] == labels[q]
+        )
+        expected[q] = (
+            ca,
+            cb,
+            "A" if ca > cb else ("B" if ca < cb else "tie"),
+        )
+
+    out = (
+        registry.QUERIES["ab_interleaving_eval"](spark, sf_smoke)
+        .toPandas()
+        .set_index("query_id")
+    )
+    assert len(out) == 5
+    for q, (ca, cb, w) in expected.items():
+        r = out.loc[q]
+        assert (r["clicks_a"], r["clicks_b"], r["winner"]) == (ca, cb, w)
