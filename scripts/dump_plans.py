@@ -172,6 +172,17 @@ NOTES = {
     "hilbert_layout": "10 unrolled xy2d rotation steps fuse into the codegen'd scan projection (integer CASE arithmetic, no XOR operator divergence); single bucket-ledger aggregation is the only shuffle.",
     "dsir_importance_weights": "Scan-local bigram slices hashed to 1024 buckets; per-feature smoothed log-ratio computed once per bucket and BROADCAST back; per-doc weights are exact int64 sums; LEFT join keeps no-bigram docs.",
     "hll_audience_overlap": "Per-type HLL sketches (one distinct agg); every pair overlap from hll_union at sketch cost; the exact self-join ground truth runs only for the tolerance contract.",
+    "source_overlap_kmv": "One (source, shingle-hash) DISTINCT, then two-level exact bottom-k (salted pre-rank caps any reducer at 32k rows); all pair logic on n_sources*k sketch rows — corpus-size-independent after the scan.",
+    "pagerank_personalized": "Per iteration one edges-ranks equi-join + aggregation; seed flag broadcast onto the rank state; teleport mass only on seeds; 2^40 fixed-point integer sums.",
+    "similarity_mmr_rerank": "Pool generation is the broadcast-query corpus scan; the K-1 greedy steps and the pairwise-sim table are pool-sized (queries x 12) — no collect, no corpus re-scan.",
+    "gmm_em_1d": "Two scans total: each EM cycle is ONE partial+final aggregation of quantized sufficient statistics; M-step arithmetic on a 1-row table.",
+    "wordpiece_greedy_tokenize": "Corpus collapses to (word, freq) first; candidate pieces one explode+agg; vocab broadcast into max-word-length frontier join steps; the vocab-ranking window is piece-cardinality-sized.",
+    "embedding_hard_negatives": "Broadcast anchors against the corpus scan with the label-mismatch predicate fused into the join; per-partition top-k so only k rows per anchor leave each partition.",
+    "rocchio_prf_rerank": "Two corpus scans (first-pass rank, rerank); feedback centroid pivoted to rank columns and summed as a fixed expression on queries x dims rows; expanded queries broadcast into pass 2.",
+    "dp_noisy_release": "One aggregation to cells, then per-cell scalar noise arithmetic — release cost proportional to released cells, not table size.",
+    "k_anonymity_audit": "Single groupBy over the quasi-identifier cell computing size and distinct sensitive bands together — one shuffle.",
+    "group_fairness_metrics": "Quality logit stays a codegen scan projection; one cells aggregation per language; the overall rate is a broadcast one-row cross join.",
+    "ab_interleaving_eval": "Two ranking scans produce top-10 lists; the 5 draft rounds are anti-join + top-1 windows over candidate-depth rows per query — corpus-size-independent after the scans.",
 }
 
 
