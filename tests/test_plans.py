@@ -790,3 +790,30 @@ def test_trigram_counts_shuffle_hashes_not_strings(spark, sf_smoke):
     for key in ("k123", "k12", "k23", "k2", "k3"):
         assert f"hashpartitioning({key}" in plan, key
     assert "CartesianProduct" not in plan
+
+
+def test_hard_negatives_broadcast_anchors_no_cartesian(spark, sf_smoke):
+    """embedding_hard_negatives must broadcast the anchor batch (the
+    corpus never shuffles for the join) and never cross-join."""
+    plan = plan_str(
+        registry.QUERIES["embedding_hard_negatives"](spark, sf_smoke)
+    )
+    assert (
+        "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_exact_jaccard_anchors_shuffle_hashes_not_strings(spark, sf_smoke):
+    """The exact-Jaccard ground-truth anchors join on xxhash64
+    shingle identities — concat_ws shingle STRINGS must never appear
+    anywhere in the plan (the round-7 8-byte-key rework).
+    dedup_containment's shingle stage sits behind its lazy checkpoint
+    barrier (Scan ExistingRDD), so the xxhash64 projection is only
+    visible in the uncheckpointed jaccard plan."""
+    plan = plan_str(registry.QUERIES["dedup_ngram_jaccard"](spark, sf_smoke))
+    assert "xxhash64" in plan
+    assert "concat_ws" not in plan
+    cplan = plan_str(registry.QUERIES["dedup_containment"](spark, sf_smoke))
+    assert "concat_ws" not in cplan
+    assert "CartesianProduct" not in cplan
