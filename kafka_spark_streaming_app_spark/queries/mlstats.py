@@ -5707,3 +5707,105 @@ def gmm_em_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("orders",))
     return spark.sql(_GMM_SQL)
+
+
+# --- Huber robust regression (2-step IRLS) -----------------------------------
+
+# Step 0 is plain OLS over EXACT integer sufficient statistics
+# (quantity integral, extendedprice exact cents); the residual scale is
+# the closed-form sqrt(SSR/n) from those same statistics (no median /
+# MAD — quantile interpolation differs across engines, the documented
+# reason the approx-quantile family is tolerance-checked instead).
+# Step 1 reweights per row with the Huber psi (w = min(1, c/|r|),
+# c = 1.345*sigma) and re-solves; every step-1 contribution is
+# floor(1e6*expr) summed exactly in DECIMAL(38,0) — the logistic_irls
+# quantization discipline.
+_HUBER_C = "1.345"
+
+_HUBER_SQL = f"""
+WITH t AS (
+    SELECT CAST(l_quantity AS BIGINT) AS x,
+           CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS yc
+    FROM lineitem
+),
+s0 AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+           {_dsum("x", "sx")},
+           {_dsum("yc", "sy")},
+           {_dsum("x * x", "sxx")},
+           {_dsum("x * yc", "sxy")},
+           {_dsum("yc * yc", "syy")}
+    FROM t
+),
+ols AS (
+    SELECT n, sx, sy, sxx, sxy, syy,
+           ((sxy / n) - (sx / n) * (sy / n))
+               / ((sxx / n) - (sx / n) * (sx / n)) AS b0
+    FROM s0
+),
+ols2 AS (
+    SELECT n, sx, sy, sxx, sxy, syy, b0,
+           (sy / n) - b0 * (sx / n) AS a0
+    FROM ols
+),
+sc AS (
+    SELECT n, b0, a0,
+           sqrt(greatest(
+               ((syy / n) - 2.0 * (a0 / 1.0) * (sy / n)
+                - 2.0 * b0 * (sxy / n)
+                + a0 * a0 + 2.0 * a0 * b0 * (sx / n)
+                + b0 * b0 * (sxx / n)), 1e-9)) AS sigma
+    FROM ols2
+),
+w AS (
+    SELECT t.x, t.yc,
+           CASE WHEN abs(CAST(t.yc AS DOUBLE) - s.a0 - s.b0 * t.x)
+                     <= {_HUBER_C} * s.sigma
+                THEN 1.0
+                ELSE ({_HUBER_C} * s.sigma)
+                     / abs(CAST(t.yc AS DOUBLE) - s.a0 - s.b0 * t.x)
+           END AS hw
+    FROM t, sc s
+),
+s1 AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n2,
+           {_dsum("floor(1e6 * hw)", "sw")},
+           {_dsum("floor(1e6 * (hw * x))", "swx")},
+           {_dsum("floor(1e6 * (hw * yc))", "swy")},
+           {_dsum("floor(1e6 * (hw * x * x))", "swxx")},
+           {_dsum("floor(1e6 * (hw * x * yc))", "swxy")}
+    FROM w
+)
+SELECT CAST(s0.n AS BIGINT) AS n,
+       round(sc.a0 / 100.0, 6) AS intercept_ols,
+       round(sc.b0 / 100.0, 6) AS slope_ols,
+       round(sc.sigma / 100.0, 6) AS sigma_ols,
+       round((((swxy / 1e6) * (sw / 1e6) - (swx / 1e6) * (swy / 1e6))
+              / ((swxx / 1e6) * (sw / 1e6) - (swx / 1e6) * (swx / 1e6)))
+             / 100.0, 6) AS slope_huber,
+       round((((swy / 1e6)
+               - (((swxy / 1e6) * (sw / 1e6) - (swx / 1e6) * (swy / 1e6))
+                  / ((swxx / 1e6) * (sw / 1e6)
+                     - (swx / 1e6) * (swx / 1e6))) * (swx / 1e6))
+              / (sw / 1e6)) / 100.0, 6) AS intercept_huber
+FROM s0, sc, s1
+"""
+
+
+@query("huber_irls_regression", _HUBER_SQL)
+def huber_irls_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber robust regression (extendedprice ~ quantity, 2 IRLS
+    steps): OLS from exact integer sufficient statistics, residual
+    scale in closed form from those SAME statistics (no
+    engine-divergent median), then one Huber-reweighted WLS whose
+    per-row contributions are floor-1e6 quantized and summed exactly
+    in DECIMAL(38,0). Training cost is two scans with map-side
+    partial aggregation at any table size — the robust member of the
+    in-engine regression family (ols_regression, ridge path,
+    logistic_irls, theil_sen_trend). Cents-domain arithmetic
+    converted to dollars only at the rounded output. Identical SQL
+    text on both engines; numpy IRLS pin in tests."""
+    from ..sources.batch import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_HUBER_SQL)

@@ -3437,3 +3437,70 @@ def test_ab_interleaving_eval_matches_pure_python(spark, sf_smoke):
     for q, (ca, cb, w) in expected.items():
         r = out.loc[q]
         assert (r["clicks_a"], r["clicks_b"], r["winner"]) == (ca, cb, w)
+
+
+def test_huber_irls_matches_numpy(spark, sf_smoke):
+    """huber_irls_regression recomputed with numpy using the same
+    quantized IRLS; pins that Huber downweights (weights < 1 exist)
+    and that the robust slope stays finite and near the OLS slope on
+    this clean fixture."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    li = pd.read_parquet(f"{sf_smoke}/lineitem.parquet")
+    x = li["l_quantity"].to_numpy().astype(np.int64).astype(np.float64)
+    yc = np.round(li["l_extendedprice"].to_numpy() * 100).astype(
+        np.int64
+    ).astype(np.float64)
+    n = float(len(x))
+    sx, sy = x.sum(), yc.sum()
+    sxx, sxy, syy = (x * x).sum(), (x * yc).sum(), (yc * yc).sum()
+    b0 = ((sxy / n) - (sx / n) * (sy / n)) / (
+        (sxx / n) - (sx / n) * (sx / n)
+    )
+    a0 = (sy / n) - b0 * (sx / n)
+    sigma = np.sqrt(
+        max(
+            (syy / n)
+            - 2.0 * a0 * (sy / n)
+            - 2.0 * b0 * (sxy / n)
+            + a0 * a0
+            + 2.0 * a0 * b0 * (sx / n)
+            + b0 * b0 * (sxx / n),
+            1e-9,
+        )
+    )
+    r = yc - a0 - b0 * x
+    c = 1.345 * sigma
+    hw = np.where(np.abs(r) <= c, 1.0, c / np.abs(r))
+    assert (hw < 1.0).any()  # Huber actually downweights something
+
+    def dsum(a):
+        return np.floor(a).sum()
+
+    sw = dsum(1e6 * hw)
+    swx = dsum(1e6 * (hw * x))
+    swy = dsum(1e6 * (hw * yc))
+    swxx = dsum(1e6 * (hw * x * x))
+    swxy = dsum(1e6 * (hw * x * yc))
+    b1 = ((swxy / 1e6) * (sw / 1e6) - (swx / 1e6) * (swy / 1e6)) / (
+        (swxx / 1e6) * (sw / 1e6) - (swx / 1e6) * (swx / 1e6)
+    )
+    a1 = ((swy / 1e6) - b1 * (swx / 1e6)) / (sw / 1e6)
+
+    out = registry.QUERIES["huber_irls_regression"](
+        spark, sf_smoke
+    ).toPandas().iloc[0]
+    assert out["n"] == len(x)
+    assert abs(out["slope_ols"] - round(b0 / 100.0, 6)) < 2e-6
+    assert abs(out["intercept_ols"] - round(a0 / 100.0, 6)) < 2e-6
+    assert abs(out["sigma_ols"] - round(sigma / 100.0, 6)) < 2e-6
+    assert abs(out["slope_huber"] - round(b1 / 100.0, 6)) < 2e-6
+    assert abs(out["intercept_huber"] - round(a1 / 100.0, 6)) < 2e-6
+    # clean synthetic data: robust fit close to OLS fit
+    assert abs(out["slope_huber"] - out["slope_ols"]) < 0.25 * abs(
+        out["slope_ols"]
+    )
