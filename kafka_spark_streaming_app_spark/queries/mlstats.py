@@ -5809,3 +5809,58 @@ def huber_irls_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("lineitem",))
     return spark.sql(_HUBER_SQL)
+
+
+# --- experiment power / minimum-detectable-effect planning -------------------
+
+# z_{0.025} and z_{0.2}: the two-sided alpha=0.05, power=0.8 normal
+# quantiles as 17-digit literals — embedded in BOTH plans, so there is
+# no inverse-CDF implementation to diverge.
+_Z_ALPHA = "1.9599639845400545"
+_Z_BETA = "0.8416212335729143"
+
+_POWER_SQL = f"""
+WITH t AS (
+    SELECT event_type,
+           CAST(floor(value * 100) AS BIGINT) AS vc
+    FROM events
+    WHERE value IS NOT NULL
+),
+s AS (
+    SELECT event_type,
+           CAST(count(*) AS DOUBLE) AS n,
+           {_dsum("vc", "sv")},
+           {_dsum("vc * vc", "svv")}
+    FROM t
+    GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       round((sv / n) / 100.0, 6) AS mean_value,
+       round(sqrt(greatest((svv / n) - (sv / n) * (sv / n), 0.0))
+             / 100.0, 6) AS sd_value,
+       round((({_Z_ALPHA} + {_Z_BETA})
+              * sqrt(2.0 * greatest((svv / n) - (sv / n) * (sv / n), 0.0)
+                     / (n / 2.0))) / 100.0, 6) AS mde_abs,
+       round((({_Z_ALPHA} + {_Z_BETA})
+              * sqrt(2.0 * greatest((svv / n) - (sv / n) * (sv / n), 0.0)
+                     / (n / 2.0))) / (sv / n), 6) AS mde_rel
+FROM s
+"""
+
+
+@query("ab_power_mde", _POWER_SQL)
+def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment-planning power analysis: per event type, the
+    minimum detectable effect of a 50/50 two-sample test at
+    alpha=0.05 / power=0.8 given this traffic — MDE = (z_a+z_b)·
+    sqrt(2·var/(n/2)) — the 'can this metric even move the needle'
+    gate run BEFORE an experiment ships, beside the post-hoc suite
+    (welch_ttest, cuped, msprt, srm). Variance from exact cents
+    sums (one aggregation, map-side partial); the normal quantiles
+    are shared 17-digit literals, so no inverse-CDF implementation
+    can diverge. Identical SQL text on both engines."""
+    from ..sources.batch import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_POWER_SQL)

@@ -3504,3 +3504,53 @@ def test_huber_irls_matches_numpy(spark, sf_smoke):
     assert abs(out["slope_huber"] - out["slope_ols"]) < 0.25 * abs(
         out["slope_ols"]
     )
+
+
+def test_ab_power_mde_matches_scipy_closed_form(spark, sf_smoke):
+    """ab_power_mde recomputed with numpy (same cents quantization)
+    and cross-checked against scipy's normal quantiles; pins the
+    power identity that the implied power at effect=MDE is 0.8."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet")
+    ev = ev[ev.value.notna()]
+    out = (
+        registry.QUERIES["ab_power_mde"](spark, sf_smoke)
+        .toPandas()
+        .set_index("event_type")
+    )
+    za, zb = 1.9599639845400545, 0.8416212335729143
+    try:
+        from scipy.stats import norm
+
+        assert abs(norm.ppf(0.975) - za) < 1e-12
+        assert abs(norm.ppf(0.8) - zb) < 1e-12
+    except ImportError:
+        pass
+    for et, g in ev.groupby("event_type"):
+        vc = np.floor(g.value.to_numpy() * 100)
+        n = float(len(vc))
+        var = max((vc * vc).sum() / n - (vc.sum() / n) ** 2, 0.0)
+        mde = (za + zb) * np.sqrt(2.0 * var / (n / 2.0))
+        r = out.loc[et]
+        assert r["n"] == len(vc)
+        assert abs(r["mean_value"] - round(vc.sum() / n / 100.0, 6)) < 2e-6
+        assert abs(r["sd_value"] - round(np.sqrt(var) / 100.0, 6)) < 2e-6
+        assert abs(r["mde_abs"] - round(mde / 100.0, 6)) < 2e-6
+        assert abs(
+            r["mde_rel"] - round(mde / (vc.sum() / n), 6)
+        ) < 2e-6
+        # power identity: at delta=MDE the z-test power is ~0.8
+        se = np.sqrt(2.0 * var / (n / 2.0))
+        if se > 0:
+            try:
+                from scipy.stats import norm
+
+                power = 1 - norm.cdf(za - mde / se)
+                assert abs(power - 0.8) < 1e-9
+            except ImportError:
+                pass
