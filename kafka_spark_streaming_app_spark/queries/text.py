@@ -4,6 +4,7 @@ scope): quality stats, token counting, language ID, fingerprints."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..functions.hashing import NORMALIZE_SQL, TOKENS_SQL, h60_sql, shingles_sql
 from ..operators.text import (
@@ -1126,4 +1127,90 @@ def texttiling_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_boundaries",
             "boundaries_csv",
         )
+    )
+
+
+# --- TextRank keyword scores -------------------------------------------------
+
+
+def _textrank_oracle() -> str:
+    from ..functions.hashing import TOKENS_SQL as _TOK
+    from .analytics import _PR_SCALE_SQL, _pr_iter_sql
+
+    return f"""
+WITH toks AS (
+    SELECT {_TOK.format(x="text")} AS w FROM documents
+),
+adj AS (
+    SELECT w[i] AS a, w[i + 1] AS b
+    FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+    WHERE w[i] <> '' AND w[i + 1] <> '' AND w[i] <> w[i + 1]
+),
+e0 AS (
+    SELECT CASE WHEN a < b THEN a ELSE b END AS u,
+           CASE WHEN a < b THEN b ELSE a END AS v
+    FROM adj GROUP BY 1, 2
+),
+edges AS (
+    SELECT u AS src, v AS dst FROM e0
+    UNION ALL
+    SELECT v AS src, u AS dst FROM e0
+),
+deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+nn AS (SELECT count(*) AS n FROM deg),
+pr0 AS (SELECT node, deg, n,
+        CAST(floor({_PR_SCALE_SQL} / n) AS BIGINT) AS prs FROM deg, nn),
+{_pr_iter_sql("pr0", "pr1")},
+{_pr_iter_sql("pr1", "pr2")}
+SELECT node AS word, CAST(prs AS DOUBLE) / {_PR_SCALE_SQL} AS textrank
+FROM pr2
+"""
+
+
+@query("textrank_keywords", _textrank_oracle())
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword scoring (Mihalcea & Tarau): PageRank over the
+    word co-occurrence graph (adjacent normalized tokens, symmetrized,
+    unweighted) — corpus keywords by graph centrality rather than raw
+    frequency, the unsupervised keyword-extraction standard. Reuses
+    the exact fixed-point `pagerank` operator (2^40 floor-scaled
+    integer mass, one edge⋈rank join + aggregation per iteration);
+    the co-occurrence edge build is one scan + one distinct-pair
+    aggregation (row-local zip of adjacent tokens, no shuffle before
+    the pair groupBy). The oracle unrolls the identical iterations
+    over the identical edge CTE."""
+    from ..functions.hashing import tokens
+    from ..operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = tokens("text")
+    pairs = docs.select(
+        F.explode(
+            F.when(
+                F.size(w) >= 2,
+                F.zip_with(
+                    F.slice(w, 1, F.size(w) - 1),
+                    F.slice(w, 2, F.size(w) - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<a:string,b:string>>")
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    e0 = (
+        pairs.filter(
+            (F.col("a") != "") & (F.col("b") != "") & (F.col("a") != F.col("b"))
+        )
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    edges = e0.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionByName(e0.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    return pagerank(edges, damping=0.85, iters=2).select(
+        F.col("node").alias("word"), F.col("pr").alias("textrank")
     )

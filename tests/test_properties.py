@@ -3554,3 +3554,59 @@ def test_ab_power_mde_matches_scipy_closed_form(spark, sf_smoke):
                 assert abs(power - 0.8) < 1e-9
             except ImportError:
                 pass
+
+
+def test_textrank_keywords_matches_pure_python(spark, sf_smoke):
+    """textrank_keywords recomputed with the exact fixed-point
+    arithmetic in pure Python over the same co-occurrence graph; pins
+    that scores sum to ~1 and high-degree words outrank leaf words."""
+    import math
+    import re
+
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+    from kafka_spark_streaming_app_spark.operators.graph import PR_SCALE
+
+    registry.load_all()
+    docs = pd.read_parquet(f"{sf_smoke}/documents.parquet")
+    und = set()
+    for t in docs["text"]:
+        ws = [
+            w
+            for w in re.sub(
+                r"\s+", " ", (t or "").lower().strip()
+            ).split(" ")
+            if w
+        ]
+        for a, b in zip(ws, ws[1:]):
+            if a != b:
+                und.add((min(a, b), max(a, b)))
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {n: len(v) for n, v in adj.items()}
+    n_nodes = len(deg)
+    prs = {n: int(PR_SCALE) // n_nodes for n in deg}
+    for _ in range(2):
+        sc = {n: 0 for n in deg}
+        for a, nbrs in adj.items():
+            c = prs[a] // deg[a]
+            for b in nbrs:
+                sc[b] += c
+        prs = {
+            n: int(math.floor(PR_SCALE * (1.0 - 0.85) / n_nodes))
+            + int(math.floor(0.85 * float(sc[n])))
+            for n in deg
+        }
+    expected = {n: v / PR_SCALE for n, v in prs.items()}
+
+    out = registry.QUERIES["textrank_keywords"](spark, sf_smoke).toPandas()
+    got = dict(zip(out.word, out.textrank))
+    assert got == expected
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+    hi = max(deg, key=lambda n: (deg[n], n))
+    lo = min(deg, key=lambda n: (deg[n], n))
+    if deg[hi] > deg[lo]:
+        assert got[hi] > got[lo]
