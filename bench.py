@@ -252,6 +252,10 @@ HEADLINE = [
     "gmm_em_1d",
     "wordpiece_greedy_tokenize",
     "streaming_kmv_sketch_rollup",
+    "huber_irls_regression",
+    "textrank_keywords",
+    "ab_interleaving_eval",
+    "group_fairness_metrics",
 ]
 
 

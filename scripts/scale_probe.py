@@ -122,6 +122,14 @@ PROBES = (
     # constant — exactly what real duplication does; everything past
     # the (word, freq) collapse is vocabulary-sized
     "wordpiece_greedy_tokenize",
+    # second round-7-continuation wave (duplication-linear: huber and
+    # power are pure scan-agg sufficient statistics; fairness is a
+    # scan + cells agg; textrank's distinct co-occurrence pairs
+    # collapse under duplication exactly as real dup text would)
+    "huber_irls_regression",
+    "ab_power_mde",
+    "group_fairness_metrics",
+    "textrank_keywords",
 )
 
 
@@ -223,6 +231,7 @@ JITTER_EMB_PROBES = (
     "similarity_mmr_rerank",
     "embedding_hard_negatives",
     "rocchio_prf_rerank",
+    "ab_interleaving_eval",
 )
 
 
