@@ -1650,3 +1650,116 @@ def streaming_kmv_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("est_distinct"),
     )
+
+
+# --- streaming exact-dedup ledger (ninth state shape) ------------------------
+
+_LEDGER_BUCKETS = 16
+
+_LEDGER_ORACLE = """
+WITH all_docs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents
+),
+hashed AS (
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(coalesce(text, ''))),
+                              '\\s+', ' ', 'g')) AS content_hash
+    FROM all_docs
+)
+SELECT content_hash, min(doc_id) AS canonical_id, count(*) AS n_dups
+FROM hashed
+GROUP BY content_hash
+"""
+
+
+@query("streaming_dedup_ledger", _LEDGER_ORACLE)
+def streaming_dedup_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion exact-dedup LEDGER — the ninth persistent-
+    state shape, and the streaming face of `dedup_exact`: the corpus
+    plus its id-shifted twin replayed as micro-batches, each batch
+    pre-aggregated to (bucket, content_hash, min doc_id, count) and
+    merged into hash-bucket-partitioned state under a MIXED merge —
+    MIN on the canonical id (idempotent, batch-order independent: the
+    replay's batches are NOT time-ordered, the streaming_srm_monitor
+    hazard) and ADD on the duplicate count (replay-safe via the
+    applied-batch markers). This is the production shape for deduping
+    a continuously-arriving crawl against everything ever ingested:
+    per-trigger I/O touches only the hash buckets the batch lands in,
+    state size tracks DISTINCT content (key cardinality — the
+    partitioned path, not compact, per the state-module rule). The
+    oracle is `dedup_exact`'s batch oracle verbatim — the ledger must
+    agree with the one-shot batch answer exactly."""
+    import atexit
+    import shutil
+
+    from ..functions.hashing import normalize_text
+    from ..streaming.state import merge_into_partitioned_state, read_state
+    from .corpus_prep import _documents_as_stream
+
+    stream = _documents_as_stream(
+        spark, sf_dir, max_files_per_trigger=8
+    ).select("doc_id", "text")
+    both = stream.unionByName(
+        stream.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    hashed = both.select(
+        "doc_id", F.md5(normalize_text("text")).alias("content_hash")
+    ).withColumn(
+        "bucket",
+        F.pmod(F.xxhash64("content_hash"), F.lit(_LEDGER_BUCKETS)),
+    )
+
+    state_root = tempfile.mkdtemp(prefix="ledger_state_")
+    ckpt = tempfile.mkdtemp(prefix="ledger_ckpt_")
+    for d in (state_root, ckpt):
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    state_dir = os.path.join(state_root, "ledger")
+
+    def _merge(existing, part):
+        if existing is None:
+            return part
+        return (
+            existing.unionByName(part)
+            .groupBy("bucket", "content_hash")
+            .agg(
+                F.min("canonical_id").alias("canonical_id"),
+                F.sum("n_dups").alias("n_dups"),
+            )
+        )
+
+    def merge_state(batch_df, batch_id: int) -> None:
+        part = batch_df.groupBy("bucket", "content_hash").agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        merge_into_partitioned_state(
+            state_dir, batch_id, part, _merge, "bucket",
+            shuffle_partitions=4,
+        )
+
+    q = (
+        hashed.writeStream.foreachBatch(merge_state)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(300)
+        if not finished:
+            raise RuntimeError(
+                "streaming_dedup_ledger: availableNow run did not finish "
+                "within 300s; refusing to read partial ledger state"
+            )
+    finally:
+        if q.isActive:
+            q.stop()
+
+    return read_state(spark, state_dir).select(
+        "content_hash",
+        "canonical_id",
+        F.col("n_dups").cast("bigint").alias("n_dups"),
+    )

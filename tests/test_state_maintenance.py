@@ -438,3 +438,60 @@ def test_kmv_bottom_k_merge_is_order_independent_and_idempotent(
         (r.source, r.h) for r in read_state(spark, state).collect()
     }
     assert again == expected
+
+
+def test_dedup_ledger_merge_is_batch_order_independent(spark, tmp_path):
+    """The streaming dedup ledger's mixed merge (MIN canonical id +
+    additive count): any batch split and any arrival ORDER must yield
+    the same final ledger — a doc's smallest id may arrive in a later
+    batch (the wire replay is not time-ordered)."""
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_app_spark.streaming.state import (
+        merge_into_partitioned_state,
+        read_state,
+    )
+
+    rows = [  # (bucket, content_hash, doc_id)
+        (0, "h1", 7), (0, "h1", 3), (1, "h2", 5),
+        (0, "h1", 9), (1, "h2", 1), (1, "h3", 4),
+    ]
+
+    def _merge(existing, part):
+        if existing is None:
+            return part
+        return (
+            existing.unionByName(part)
+            .groupBy("bucket", "content_hash")
+            .agg(
+                F.min("canonical_id").alias("canonical_id"),
+                F.sum("n_dups").alias("n_dups"),
+            )
+        )
+
+    def run(batches, root):
+        state = str(tmp_path / root / "ledger")
+        for bid, chunk in enumerate(batches):
+            part = (
+                spark.createDataFrame(
+                    chunk, "bucket int, content_hash string, doc_id long"
+                )
+                .groupBy("bucket", "content_hash")
+                .agg(
+                    F.min("doc_id").alias("canonical_id"),
+                    F.count(F.lit(1)).alias("n_dups"),
+                )
+            )
+            merge_into_partitioned_state(
+                state, bid, part, _merge, "bucket"
+            )
+        return {
+            (r.content_hash): (r.canonical_id, r.n_dups)
+            for r in read_state(spark, state).collect()
+        }
+
+    a = run([rows[:2], rows[2:]], "a")
+    b = run([rows[4:], rows[:4]], "b")          # reversed arrival
+    c = run([rows], "c")                        # single batch
+    expected = {"h1": (3, 3), "h2": (1, 2), "h3": (4, 1)}
+    assert a == expected and b == expected and c == expected
