@@ -2232,3 +2232,62 @@ def rocchio_prf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _PRF_K)
         .select("query_id", "corpus_id", "prf_cosine", "rank")
     )
+
+
+# --- semantic (embedding-level) benchmark contamination ----------------------
+
+_SCONT_THRESHOLD = "0.98"
+
+_SCONT_ORACLE = f"""
+WITH n AS (
+    SELECT
+        vec_id,
+        embedding::DOUBLE[] AS v,
+        sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+            AS norm
+    FROM embeddings
+    WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0
+),
+q AS (
+    SELECT vec_id AS benchmark_id, v AS qv, norm AS qnorm FROM n
+    WHERE vec_id < 5
+)
+SELECT benchmark_id, top_match_id, max_cosine,
+       max_cosine >= {_SCONT_THRESHOLD} AS contaminated
+FROM (
+    SELECT q.benchmark_id, c.vec_id AS top_match_id,
+           round(list_inner_product(q.qv, c.v) / (q.qnorm * c.norm), 6)
+               AS max_cosine,
+           row_number() OVER (
+               PARTITION BY q.benchmark_id
+               ORDER BY round(list_inner_product(q.qv, c.v)
+                              / (q.qnorm * c.norm), 6) DESC,
+                        c.vec_id) AS rk
+    FROM n c, q
+    WHERE c.vec_id <> q.benchmark_id
+) WHERE rk = 1
+"""
+
+
+@query("semantic_contamination", _SCONT_ORACLE)
+def semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level benchmark decontamination: for each held-out
+    benchmark item (vec_id < 5), the single nearest corpus item by
+    cosine and a contaminated flag at 0.98 — the SEMANTIC sibling of
+    the n-gram `contamination_check` (paraphrased or re-encoded test
+    items that shingle overlap misses). One broadcast-benchmark
+    corpus scan with per-partition top-1; the production corpus side
+    swaps in ANN candidates exactly as the topk family documents."""
+    from ..operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < _NUM_QUERIES)
+    top1 = brute_force_topk(emb, qs, k=1)
+    return top1.select(
+        F.col("query_id").alias("benchmark_id"),
+        F.col("corpus_id").alias("top_match_id"),
+        F.col("cosine").alias("max_cosine"),
+        (F.col("cosine") >= F.lit(float(_SCONT_THRESHOLD))).alias(
+            "contaminated"
+        ),
+    )

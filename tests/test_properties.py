@@ -3642,3 +3642,44 @@ def test_hill_tail_index_matches_numpy(spark, sf_smoke):
     thr2 = par[k]
     h2 = np.log(par[:k] / thr2).sum() / k
     assert abs(1.0 / h2 - 2.0) < 3.0 / np.sqrt(k) * 2.0
+
+
+def test_semantic_contamination_matches_numpy(spark, sf_smoke):
+    """semantic_contamination recomputed with numpy argmax; pins that
+    the flag fires exactly at max_cosine >= 0.98."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    emb = pd.read_parquet(f"{sf_smoke}/embeddings.parquet")
+    vecs = {
+        int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.itertuples()
+    }
+    norms = {i: float(np.sqrt((v * v).sum())) for i, v in vecs.items()}
+    out = (
+        registry.QUERIES["semantic_contamination"](spark, sf_smoke)
+        .toPandas()
+        .set_index("benchmark_id")
+    )
+    assert len(out) == 5
+    for q in range(5):
+        best = min(
+            (
+                (
+                    -round(
+                        float(vecs[q] @ vecs[c]) / (norms[q] * norms[c]),
+                        6,
+                    ),
+                    c,
+                )
+                for c in vecs
+                if c != q
+            )
+        )
+        r = out.loc[q]
+        assert r["top_match_id"] == best[1]
+        assert abs(r["max_cosine"] - (-best[0])) < 1e-9
+        assert r["contaminated"] == (-best[0] >= 0.98)
