@@ -2375,3 +2375,263 @@ def lsa_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# --- Markov removal-effect attribution ---------------------------------------
+
+_MRA_ITERS = 20
+_MRA_SCALE = "1000000000"  # 1e9 fixed-point for conversion probabilities
+
+
+def _mra_oracle() -> str:
+    steps = []
+    for k in range(1, _MRA_ITERS + 1):
+        p = k - 1
+        steps.append(f""",
+v{k} AS MATERIALIZED (
+    SELECT t.var, t.s AS state, ns.ns,
+           CAST(floor(CAST(sum(t.n * CASE WHEN t.t = 'CONV'
+                                          THEN {_MRA_SCALE}
+                                          ELSE coalesce(pv.vq, 0) END)
+                           AS DOUBLE) / ns.ns) AS BIGINT) AS vq
+    FROM vt t
+    JOIN ns ON ns.var = t.var AND ns.s = t.s
+    LEFT JOIN v{p} pv ON pv.var = t.var AND pv.state = t.t
+    GROUP BY t.var, t.s, ns.ns
+)""")
+    return f"""
+WITH ev AS MATERIALIZED (
+    SELECT user_id, event_type, ts, event_id FROM events
+    WHERE user_id IS NOT NULL
+),
+numbered AS MATERIALIZED (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM ev
+),
+firstp AS MATERIALIZED (
+    SELECT user_id, min(rn) AS prn FROM numbered
+    WHERE event_type = 'purchase' GROUP BY user_id
+),
+j2 AS MATERIALIZED (
+    SELECT n.user_id, n.event_type, n.rn,
+           lead(n.event_type) OVER (PARTITION BY n.user_id
+                                    ORDER BY n.rn) AS nxt
+    FROM numbered n LEFT JOIN firstp f ON n.user_id = f.user_id
+    WHERE f.prn IS NULL OR n.rn <= f.prn
+),
+trans0 AS MATERIALIZED (
+    SELECT 'START' AS s, event_type AS t FROM j2
+    WHERE rn = 1 AND event_type <> 'purchase'
+    UNION ALL
+    SELECT 'START', 'CONV' FROM j2
+    WHERE rn = 1 AND event_type = 'purchase'
+    UNION ALL
+    SELECT event_type,
+           CASE WHEN nxt = 'purchase' THEN 'CONV' ELSE nxt END
+    FROM j2 WHERE event_type <> 'purchase' AND nxt IS NOT NULL
+    UNION ALL
+    SELECT event_type, 'NULL' FROM j2
+    WHERE event_type <> 'purchase' AND nxt IS NULL
+),
+tc AS MATERIALIZED (
+    SELECT s, t, CAST(count(*) AS BIGINT) AS n FROM trans0 GROUP BY s, t
+),
+ch AS MATERIALIZED (
+    SELECT DISTINCT event_type AS c FROM j2 WHERE event_type <> 'purchase'
+),
+var AS MATERIALIZED (
+    SELECT '__none__' AS var UNION ALL SELECT c FROM ch
+),
+vt AS MATERIALIZED (
+    SELECT v.var, tc.s, tc.t, tc.n FROM var v JOIN tc ON tc.s <> v.var
+),
+ns AS MATERIALIZED (
+    SELECT var, s, sum(n) AS ns FROM vt GROUP BY var, s
+),
+v0 AS MATERIALIZED (
+    SELECT var, s AS state, CAST(0 AS BIGINT) AS vq FROM ns
+){"".join(steps)},
+base AS (
+    SELECT vq FROM v{_MRA_ITERS}
+    WHERE var = '__none__' AND state = 'START'
+),
+rem AS (
+    SELECT var AS channel, vq FROM v{_MRA_ITERS}
+    WHERE var <> '__none__' AND state = 'START'
+),
+eff AS (
+    SELECT channel,
+           rem.vq AS rvq, base.vq AS bvq,
+           CAST(floor(1e6 * (1.0 - CAST(rem.vq AS DOUBLE) / base.vq))
+                AS BIGINT) AS eq
+    FROM rem, base
+)
+SELECT channel,
+       round(CAST(bvq AS DOUBLE) / {_MRA_SCALE}, 6) AS conv_prob_base,
+       round(CAST(rvq AS DOUBLE) / {_MRA_SCALE}, 6) AS conv_prob_removed,
+       round(CAST(eq AS DOUBLE) / 1e6, 6) AS removal_effect,
+       round(CAST(eq AS DOUBLE) / sum(eq) OVER (), 6) AS attribution_share
+FROM eff
+"""
+
+
+@query("markov_removal_attribution", _mra_oracle())
+def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain removal-effect attribution (Anderl et al.): user
+    journeys (events ordered per user, truncated at first purchase)
+    build a first-order chain START → channels → CONV/NULL; each
+    channel's value is the drop in absorption probability when its
+    node is removed (visits redirected to NULL), normalized into
+    attribution shares — the data-driven alternative to the
+    position-based `attribution_linear` and the cooperative-game
+    `shapley_channel_attribution`. Absorption probabilities come
+    from 20 unrolled value-iteration steps in 1e9 fixed point: each
+    per-state update is floor(Σ n_st·vq_t / n_s) where the products
+    and sums stay below 2^53, so every step is bit-identical
+    cross-engine. Journey construction is one window pass over
+    events; the chain and ALL removal variants together are a
+    (channels+1) × states table — a few dozen rows regardless of
+    corpus size, iterated with tiny barriered joins."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    numbered = ev.select(
+        "user_id", "event_type", F.row_number().over(wu).alias("rn")
+    )
+    firstp = (
+        numbered.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("prn"))
+    )
+    j = numbered.join(firstp, "user_id", "left").filter(
+        F.col("prn").isNull() | (F.col("rn") <= F.col("prn"))
+    )
+    wn = Window.partitionBy("user_id").orderBy("rn")
+    j2 = j.select(
+        "user_id",
+        "event_type",
+        "rn",
+        F.lead("event_type").over(wn).alias("nxt"),
+    ).localCheckpoint(eager=False)
+    np_ = F.col("event_type") != "purchase"
+    trans = (
+        j2.filter((F.col("rn") == 1) & np_)
+        .select(F.lit("START").alias("s"), F.col("event_type").alias("t"))
+        .unionByName(
+            j2.filter((F.col("rn") == 1) & ~np_).select(
+                F.lit("START").alias("s"), F.lit("CONV").alias("t")
+            )
+        )
+        .unionByName(
+            j2.filter(np_ & F.col("nxt").isNotNull()).select(
+                F.col("event_type").alias("s"),
+                F.when(F.col("nxt") == "purchase", F.lit("CONV"))
+                .otherwise(F.col("nxt"))
+                .alias("t"),
+            )
+        )
+        .unionByName(
+            j2.filter(np_ & F.col("nxt").isNull()).select(
+                F.col("event_type").alias("s"), F.lit("NULL").alias("t")
+            )
+        )
+    )
+    tc = trans.groupBy("s", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    ch = j2.filter(np_).select(
+        F.col("event_type").alias("c")
+    ).distinct()
+    var = ch.select(F.col("c").alias("var")).unionByName(
+        ch.limit(1).select(F.lit("__none__").alias("var"))
+    )
+    vt = (
+        F.broadcast(var)
+        .crossJoin(tc)
+        .filter(F.col("s") != F.col("var"))
+        .localCheckpoint(eager=False)
+    )
+    ns = vt.groupBy("var", "s").agg(F.sum("n").alias("ns"))
+    scale = int(_MRA_SCALE)
+    v = ns.select(
+        "var", F.col("s").alias("state"), F.lit(0).cast("bigint").alias("vq")
+    ).localCheckpoint(eager=False)
+    for _ in range(_MRA_ITERS):
+        pv = v.select(
+            F.col("var").alias("pvar"),
+            F.col("state").alias("pstate"),
+            F.col("vq").alias("pvq"),
+        )
+        v = (
+            vt.join(
+                pv,
+                (F.col("var") == F.col("pvar"))
+                & (F.col("t") == F.col("pstate")),
+                "left",
+            )
+            .select(
+                "var",
+                "s",
+                (
+                    F.col("n")
+                    * F.when(F.col("t") == "CONV", F.lit(scale)).otherwise(
+                        F.coalesce(F.col("pvq"), F.lit(0))
+                    )
+                ).alias("term"),
+            )
+            .groupBy("var", "s")
+            .agg(F.sum("term").alias("num"))
+            .join(ns, ["var", "s"])
+            .select(
+                "var",
+                F.col("s").alias("state"),
+                F.floor(
+                    F.col("num").cast("double") / F.col("ns")
+                )
+                .cast("bigint")
+                .alias("vq"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    start = v.filter(F.col("state") == "START")
+    base = start.filter(F.col("var") == "__none__").select(
+        F.col("vq").alias("bvq")
+    )
+    rem = start.filter(F.col("var") != "__none__").select(
+        F.col("var").alias("channel"), F.col("vq").alias("rvq")
+    )
+    eff = rem.crossJoin(F.broadcast(base)).select(
+        "channel",
+        "rvq",
+        "bvq",
+        F.floor(
+            F.lit(1e6)
+            * (
+                F.lit(1.0)
+                - F.col("rvq").cast("double") / F.col("bvq")
+            )
+        )
+        .cast("bigint")
+        .alias("eq"),
+    )
+    wall = Window.partitionBy()
+    return eff.select(
+        "channel",
+        F.round(F.col("bvq").cast("double") / F.lit(float(scale)), 6).alias(
+            "conv_prob_base"
+        ),
+        F.round(F.col("rvq").cast("double") / F.lit(float(scale)), 6).alias(
+            "conv_prob_removed"
+        ),
+        F.round(F.col("eq").cast("double") / F.lit(1e6), 6).alias(
+            "removal_effect"
+        ),
+        F.round(
+            F.col("eq").cast("double") / F.sum("eq").over(wall), 6
+        ).alias("attribution_share"),
+    )

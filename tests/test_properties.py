@@ -3683,3 +3683,96 @@ def test_semantic_contamination_matches_numpy(spark, sf_smoke):
         assert r["top_match_id"] == best[1]
         assert abs(r["max_cosine"] - (-best[0])) < 1e-9
         assert r["contaminated"] == (-best[0] >= 0.98)
+
+
+def test_markov_removal_attribution_matches_pure_python(spark, sf_smoke):
+    """markov_removal_attribution recomputed from scratch: journey
+    truncation at first purchase, transition counts, the exact
+    fixed-point value iteration, and removal effects; plus the
+    monotonicity pin that redirect-to-NULL removal can only lower
+    the conversion probability (effect >= 0)."""
+    import math
+
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet")
+    ev = ev[ev.user_id.notna()].sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    from collections import Counter, defaultdict
+
+    tc = Counter()
+    channels = set()
+    for _, g in ev.groupby("user_id"):
+        types = list(g.event_type)
+        path = []
+        for t in types:
+            path.append(t)
+            if t == "purchase":
+                break
+        prev = "START"
+        for t in path:
+            if t == "purchase":
+                tc[(prev, "CONV")] += 1
+                prev = None
+                break
+            channels.add(t)
+            tc[(prev, t)] += 1
+            prev = t
+        if prev is not None:
+            tc[(prev, "NULL")] += 1
+
+    SCALE = 10**9
+
+    def solve(removed):
+        trans = {
+            (s, t): n for (s, t), n in tc.items() if s != removed
+        }
+        ns = defaultdict(int)
+        for (s, t), n in trans.items():
+            ns[s] += n
+        vq = {s: 0 for s in ns}
+        for _ in range(20):
+            new = {}
+            for s in ns:
+                num = 0
+                for (a, t), n in trans.items():
+                    if a != s:
+                        continue
+                    if t == "CONV":
+                        num += n * SCALE
+                    else:
+                        num += n * vq.get(t, 0)
+                new[s] = int(math.floor(float(num) / ns[s]))
+            vq = new
+        return vq["START"]
+
+    bvq = solve(None)
+    expected = {}
+    for c in sorted(channels):
+        rvq = solve(c)
+        eq = int(math.floor(1e6 * (1.0 - float(rvq) / bvq)))
+        expected[c] = (bvq, rvq, eq)
+    tot = sum(e[2] for e in expected.values())
+
+    out = (
+        registry.QUERIES["markov_removal_attribution"](spark, sf_smoke)
+        .toPandas()
+        .set_index("channel")
+    )
+    assert set(out.index) == channels
+    for c, (b, r, eq) in expected.items():
+        row = out.loc[c]
+        assert abs(row["conv_prob_base"] - round(b / SCALE, 6)) < 1e-9
+        assert abs(
+            row["conv_prob_removed"] - round(r / SCALE, 6)
+        ) < 1e-9
+        assert abs(row["removal_effect"] - round(eq / 1e6, 6)) < 1e-9
+        assert abs(
+            row["attribution_share"] - round(eq / tot, 6)
+        ) < 1e-9
+        assert row["removal_effect"] >= 0  # removal can't help
+    assert abs(out["attribution_share"].sum() - 1.0) < 1e-4
