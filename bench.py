@@ -256,6 +256,10 @@ HEADLINE = [
     "textrank_keywords",
     "ab_interleaving_eval",
     "group_fairness_metrics",
+    "streaming_dedup_ledger",
+    "markov_removal_attribution",
+    "hill_tail_index",
+    "semantic_contamination",
 ]
 
 

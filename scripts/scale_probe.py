@@ -130,6 +130,15 @@ PROBES = (
     "ab_power_mde",
     "group_fairness_metrics",
     "textrank_keywords",
+    # final wave: hill is a top-k scan; the dedup ledger replays Nx
+    # rows through the fixed trigger count into key-cardinality state
+    # (duplicate content collapses exactly as real dup data); markov
+    # journeys are one window pass + a fixed-size chain iteration
+    # (time-only probe — duplicated events lengthen paths but the
+    # chain stays channels-sized)
+    "hill_tail_index",
+    "streaming_dedup_ledger",
+    "markov_removal_attribution",
 )
 
 
@@ -232,6 +241,7 @@ JITTER_EMB_PROBES = (
     "embedding_hard_negatives",
     "rocchio_prf_rerank",
     "ab_interleaving_eval",
+    "semantic_contamination",
 )
 
 
