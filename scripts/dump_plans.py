@@ -183,6 +183,11 @@ NOTES = {
     "k_anonymity_audit": "Single groupBy over the quasi-identifier cell computing size and distinct sensitive bands together — one shuffle.",
     "group_fairness_metrics": "Quality logit stays a codegen scan projection; one cells aggregation per language; the overall rate is a broadcast one-row cross join.",
     "ab_interleaving_eval": "Two ranking scans produce top-10 lists; the 5 draft rounds are anti-join + top-1 windows over candidate-depth rows per query — corpus-size-independent after the scans.",
+    "hill_tail_index": "Top-101 via TakeOrderedAndProject (per-partition top-k merge, never a global sort); rank window and quantized log sum on 101 rows.",
+    "semantic_contamination": "Broadcast-benchmark corpus scan with per-partition top-1; the contaminated flag is scan-local arithmetic.",
+    "markov_removal_attribution": "One window pass builds journeys; the chain + ALL removal variants form a channels-sized table iterated with tiny barriered joins — 20 fixed-point steps, corpus-size-independent.",
+    "huber_irls_regression": "Two partial+final aggregations of quantized sufficient statistics; both solves are 1-row arithmetic.",
+    "textrank_keywords": "Row-local adjacent-token zip, one distinct-pair aggregation, then the fixed-point pagerank iterations (edge-join + agg per step).",
 }
 
 
