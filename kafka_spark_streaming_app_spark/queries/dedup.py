@@ -931,15 +931,29 @@ def dedup_pr_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # counted on either axis (a candidate whose true jac < 0.3 fails
     # every threshold exactly like the coalesced 0.0), so the exact
     # relation only keeps what the sweep can see.
-    exact = jaccard_pairs(
-        hashed_shingle_sets(docs, n=3), threshold=0.3
-    ).localCheckpoint(eager=False)
-    sigs = minhash_signatures(
-        docs, num_hashes=_PRS_HASHES, shingle_n=3, hash_family="md5"
-    )
-    cand = lsh_candidate_pairs(
-        sigs, num_hashes=_PRS_HASHES, band_size=_PRS_BAND
-    )
+    # the exact-Jaccard pair set and the LSH candidate set are
+    # independent pipelines over the same docs — barrier each
+    # (pair-bounded) and materialize the barriers concurrently so the
+    # shingle self-join overlaps the md5 signature + band join instead
+    # of running back-to-back
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _exact():
+        return jaccard_pairs(
+            hashed_shingle_sets(docs, n=3), threshold=0.3
+        ).localCheckpoint()
+
+    def _cand():
+        sigs = minhash_signatures(
+            docs, num_hashes=_PRS_HASHES, shingle_n=3, hash_family="md5"
+        )
+        return lsh_candidate_pairs(
+            sigs, num_hashes=_PRS_HASHES, band_size=_PRS_BAND
+        ).localCheckpoint()
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        exact_f, cand_f = pool.submit(_exact), pool.submit(_cand)
+        exact, cand = exact_f.result(), cand_f.result()
     joined = cand.join(exact, ["id_a", "id_b"], "left").select(
         "id_a", "id_b", F.coalesce("jaccard", F.lit(0.0)).alias("jac")
     )

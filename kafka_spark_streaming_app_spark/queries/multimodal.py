@@ -773,7 +773,15 @@ def multimodal_spectral_hash_dedup(
     additive retouches: 36/50 planted pairs at radius 3 vs aHash's
     full recall), and production perceptual dedup runs both for that
     reason. Same fixture (planted retouched pairs 2m/2m+1), same
-    pigeonhole-complete band-join contract, same hot-band cap note."""
+    pigeonhole-complete band-join contract. Runs WITH the hot-band cap
+    (2000 members per band value — ~4x the largest real bucket at
+    sf0.1, so it never fires at oracle scales and the hash-pinned pair
+    set stays the complete one) because the 5-bit band saturates
+    fastest of the four perceptual hashes: every corpus doubling
+    doubles every band bucket, and the capped plan bounds candidate
+    generation at N*cap instead of N^2/32 — boilerplate-band
+    exclusion is the standard LSH recall price, pinned by the
+    planted-skew test."""
     from ..operators.multimodal import (
         hamming_band_pairs,
         synthesize_ahash_media,
@@ -783,7 +791,7 @@ def multimodal_spectral_hash_dedup(
     bands = wht_spectral_bands(
         synthesize_ahash_media(load_table(spark, sf_dir, "documents"))
     )
-    return hamming_band_pairs(bands, radius=3)
+    return hamming_band_pairs(bands, radius=3, max_band_bucket=2000)
 
 
 # VAD oracle: recompute every PCM sample from the fixture closed form,

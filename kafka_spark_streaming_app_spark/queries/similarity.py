@@ -8,6 +8,8 @@ so the driver checks the bucketing logic itself, not merely row counts.
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -847,30 +849,48 @@ def ranking_metrics_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs over a sampled query set; both underlying pipelines keep
     their own scale postures."""
     brute = similarity_topk_brute(spark, sf_dir).filter(F.col("rank") <= 5)
-    # truth feeds both the per-query totals and the relevance join —
-    # barrier it so the brute-force pipeline (corpus x queries scoring)
-    # runs once
-    truth = brute.select("query_id", "corpus_id").localCheckpoint(
-        eager=False
-    )
-    t_n = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_truth"))
-    ann = (
-        similarity_ann_srp_lsh(spark, sf_dir)
-        .select(
-            F.lit("srp_lsh").alias("idx"),
-            F.col("query_id").alias("a_query_id"),
-            F.col("corpus_id").alias("a_corpus_id"),
-            "rank",
+    # the three feeder pipelines (exact truth, SRP index, IVF index)
+    # are independent DAGs — barrier each (candidate-bounded: k rows
+    # per query) and materialize the barriers CONCURRENTLY from driver
+    # threads so the cluster overlaps them instead of running the
+    # three scans back-to-back; Spark's scheduler interleaves the jobs
+    # across the same executors, so this is scale-neutral
+    def _truth():
+        return brute.select("query_id", "corpus_id").localCheckpoint()
+
+    def _srp():
+        return (
+            similarity_ann_srp_lsh(spark, sf_dir)
+            .select(
+                F.lit("srp_lsh").alias("idx"),
+                F.col("query_id").alias("a_query_id"),
+                F.col("corpus_id").alias("a_corpus_id"),
+                "rank",
+            )
+            .localCheckpoint()
         )
-        .unionAll(
-            similarity_ann_ivf(spark, sf_dir).select(
+
+    def _ivf():
+        return (
+            similarity_ann_ivf(spark, sf_dir)
+            .select(
                 F.lit("ivf").alias("idx"),
                 F.col("query_id").alias("a_query_id"),
                 F.col("corpus_id").alias("a_corpus_id"),
                 "rank",
             )
+            .localCheckpoint()
         )
-    )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        truth_f, srp_f, ivf_f = (
+            pool.submit(_truth),
+            pool.submit(_srp),
+            pool.submit(_ivf),
+        )
+        truth, srp, ivf = truth_f.result(), srp_f.result(), ivf_f.result()
+    t_n = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_truth"))
+    ann = srp.unionAll(ivf)
     marked = ann.join(
         truth,
         (F.col("query_id") == F.col("a_query_id"))
