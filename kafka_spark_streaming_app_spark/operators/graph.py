@@ -175,10 +175,23 @@ def personalized_pagerank(
     one-column (``node``) DataFrame, broadcast onto the rank state as
     a flag; nodes unreachable from any seed legitimately decay to 0.
 
+    Seeds with NO out-edges cannot hold rank state (the state table
+    is keyed by out-degree nodes, the same isolated-vertex contract
+    as :func:`pagerank`), so the teleport denominator counts only
+    seeds that exist in the out-degree table — a dangling seed is
+    ignored rather than silently evaporating its share of the
+    teleport mass and under-summing the returned distribution.
+
     Returns (node, ppr).
     """
     deg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("deg"))
-    n_seeds = seeds.groupBy().agg(F.count(F.lit(1)).alias("ns"))
+    n_seeds = (
+        seeds.join(
+            deg.select(F.col(src_col).alias("node")).distinct(), "node"
+        )
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("ns"))
+    )
     seed_flag = seeds.select(
         F.col("node").alias("snode"), F.lit(1).alias("iseed")
     )

@@ -2464,15 +2464,19 @@ rem AS (
 eff AS (
     SELECT channel,
            rem.vq AS rvq, base.vq AS bvq,
-           CAST(floor(1e6 * (1.0 - CAST(rem.vq AS DOUBLE) / base.vq))
-                AS BIGINT) AS eq
+           CASE WHEN base.vq > 0
+                THEN CAST(floor(1e6 * (1.0 - CAST(rem.vq AS DOUBLE)
+                                             / base.vq)) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS eq
     FROM rem, base
 )
 SELECT channel,
        round(CAST(bvq AS DOUBLE) / {_MRA_SCALE}, 6) AS conv_prob_base,
        round(CAST(rvq AS DOUBLE) / {_MRA_SCALE}, 6) AS conv_prob_removed,
        round(CAST(eq AS DOUBLE) / 1e6, 6) AS removal_effect,
-       round(CAST(eq AS DOUBLE) / sum(eq) OVER (), 6) AS attribution_share
+       CASE WHEN sum(eq) OVER () <> 0
+            THEN round(CAST(eq AS DOUBLE) / sum(eq) OVER (), 6)
+            ELSE 0.0 END AS attribution_share
 FROM eff
 """
 
@@ -2605,18 +2609,26 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     rem = start.filter(F.col("var") != "__none__").select(
         F.col("var").alias("channel"), F.col("vq").alias("rvq")
     )
+    # degenerate-corpus guards (cross-engine contract: Spark yields
+    # Inf/NaN on x/0 where DuckDB may error or disagree — pin both
+    # sides to 0): bvq = 0 means no journey converts, so every
+    # removal effect is 0; sum(eq) = 0 means no channel has any
+    # effect, so every share is 0.
     eff = rem.crossJoin(F.broadcast(base)).select(
         "channel",
         "rvq",
         "bvq",
-        F.floor(
-            F.lit(1e6)
-            * (
-                F.lit(1.0)
-                - F.col("rvq").cast("double") / F.col("bvq")
-            )
+        F.when(
+            F.col("bvq") > 0,
+            F.floor(
+                F.lit(1e6)
+                * (
+                    F.lit(1.0)
+                    - F.col("rvq").cast("double") / F.col("bvq")
+                )
+            ).cast("bigint"),
         )
-        .cast("bigint")
+        .otherwise(F.lit(0).cast("bigint"))
         .alias("eq"),
     )
     wall = Window.partitionBy()
@@ -2631,7 +2643,12 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("eq").cast("double") / F.lit(1e6), 6).alias(
             "removal_effect"
         ),
-        F.round(
-            F.col("eq").cast("double") / F.sum("eq").over(wall), 6
-        ).alias("attribution_share"),
+        F.when(
+            F.sum("eq").over(wall) != 0,
+            F.round(
+                F.col("eq").cast("double") / F.sum("eq").over(wall), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("attribution_share"),
     )

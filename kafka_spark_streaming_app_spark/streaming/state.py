@@ -211,6 +211,36 @@ def _promote_staged(
     shutil.rmtree(staging, ignore_errors=True)
 
 
+def _gc_committed_leftovers(
+    state_dir: str, batch_id: int, intent: str
+) -> None:
+    """Garbage-collect debris a crash can leave AFTER this batch's
+    done-marker was written: the stale ``.intent`` file, the hidden
+    staging sibling, and retired copies (whole-state or per-bucket).
+    Safe precisely because the caller saw the done-marker — promotion
+    completed, so every one of these is obsolete by definition. Runs
+    on the replay short-circuit, which would otherwise preserve the
+    litter forever (each leftover is one crashed trigger's worth, but
+    a long-lived pipeline accumulates them)."""
+    import shutil
+
+    if os.path.exists(intent):
+        os.remove(intent)
+    staging = _staging_dir(state_dir, batch_id)
+    if os.path.isdir(staging):
+        shutil.rmtree(staging, ignore_errors=True)
+    retired = _compact_retired_dir(state_dir, batch_id)
+    if os.path.isdir(retired):
+        shutil.rmtree(retired, ignore_errors=True)
+    if os.path.isdir(state_dir):
+        prefix = _retired_name(batch_id, "")
+        for entry in os.listdir(state_dir):
+            if entry.startswith(prefix):
+                shutil.rmtree(
+                    os.path.join(state_dir, entry), ignore_errors=True
+                )
+
+
 def _state_exists(state_dir: str) -> bool:
     """True when a previous batch has committed state. Checks for the
     partition directories themselves (dynamic partition overwrite
@@ -254,6 +284,15 @@ def merge_into_partitioned_state(
     receives a DataFrame, the internal provenance column has already
     been stripped.
 
+    ``merge_fn`` contract: a touched bucket can be REPLACED or grown,
+    never emptied. Promotion moves exactly the partition directories
+    the merged output produced, so a touched bucket whose merged
+    result has zero rows writes no staged partition and its previous
+    live rows survive unchanged. Every in-repo state shape satisfies
+    this by construction (latest-wins, additive, bounded-sample — all
+    row-preserving); a shape that needs deletion must encode it as
+    tombstone rows, not as row removal.
+
     ``shuffle_partitions`` temporarily overrides the session shuffle
     width for this batch's jobs (the contribution's pre-aggregation
     plans lazily, so it is resolved here). State merges shuffle
@@ -282,6 +321,7 @@ def merge_into_partitioned_state(
     marker = os.path.join(marker_root, f"batch-{batch_id}")
     intent = marker + ".intent"
     if os.path.exists(marker):
+        _gc_committed_leftovers(state_dir, batch_id, intent)
         return False
 
     spark = part.sparkSession
@@ -402,6 +442,39 @@ def _merge_impl(
     return True
 
 
+# Name of the batch-id sidecar file written into a compact-mode staged
+# state dir (rides the atomic swap into the live dir). Underscore
+# prefix = invisible to Spark's parquet listing and _state_exists.
+_BATCH_SIDECAR = "_applied_batch"
+
+
+def _compact_swap_landed(
+    spark: SparkSession, state_dir: str, batch_id: int
+) -> bool:
+    """True when a crashed attempt's whole-state dir swap for THIS
+    batch completed. Primary signal: the ``_applied_batch`` sidecar
+    the staged write placed inside the dir — robust even when
+    ``merge_fn`` legitimately produced ZERO rows (no row stamps to
+    find). Fallback for state dirs written before the sidecar existed:
+    the per-row ``_applied_batch`` column stamp."""
+    if not os.path.isdir(state_dir):
+        return False
+    sidecar = os.path.join(state_dir, _BATCH_SIDECAR)
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            return f.read().strip() == str(batch_id)
+    if not _state_exists(state_dir):
+        return False
+    live = spark.read.parquet(state_dir)
+    return (
+        APPLIED_BATCH_COL in live.columns
+        and live.filter(F.col(APPLIED_BATCH_COL) == batch_id)
+        .limit(1)
+        .count()
+        > 0
+    )
+
+
 def _restore_compact(state_dir: str, batch_id: int) -> None:
     """Repair after a crash mid-swap of THIS batch (compact mode): if
     the whole-state dir was retired but its staged replacement never
@@ -469,6 +542,7 @@ def merge_into_compact_state(
     marker = os.path.join(marker_root, f"batch-{batch_id}")
     intent = marker + ".intent"
     if os.path.exists(marker):
+        _gc_committed_leftovers(state_dir, batch_id, intent)
         return False
 
     spark = part.sparkSession
@@ -505,20 +579,11 @@ def _compact_impl(
     os.makedirs(marker_root, exist_ok=True)
     if os.path.exists(intent):
         _restore_compact(state_dir, batch_id)
-        if _state_exists(state_dir):
-            live = spark.read.parquet(state_dir)
-            if (
-                APPLIED_BATCH_COL in live.columns
-                and live.filter(
-                    F.col(APPLIED_BATCH_COL) == batch_id
-                ).limit(1).count()
-                > 0
-            ):
-                # the crashed attempt's swap landed (all-or-nothing):
-                # the whole state is stamped with this batch id
-                open(marker, "w").close()
-                os.remove(intent)
-                return True
+        if _compact_swap_landed(spark, state_dir, batch_id):
+            # the crashed attempt's swap landed (all-or-nothing)
+            open(marker, "w").close()
+            os.remove(intent)
+            return True
 
     if _state_exists(state_dir):
         existing = spark.read.parquet(state_dir)
@@ -535,6 +600,16 @@ def _compact_impl(
     # is sketch-sized by contract, so one writer task is the fast AND
     # the scale-correct layout.
     merged.coalesce(1).write.mode("overwrite").parquet(staging)
+    # Batch-id sidecar INSIDE the staged dir: it rides the swap rename
+    # into the live state dir, so crash recovery can detect a landed
+    # swap without depending on row count — a merge_fn that
+    # legitimately yields ZERO rows leaves no row stamps, and without
+    # the sidecar a crash between swap and done-marker would make the
+    # retry re-apply the batch (double-apply for additive merges).
+    # The leading underscore keeps Spark's parquet reader (and
+    # _state_exists) from ever seeing it, the _SUCCESS convention.
+    with open(os.path.join(staging, _BATCH_SIDECAR), "w") as f:
+        f.write(str(batch_id))
     open(intent, "w").close()
     retired = _compact_retired_dir(state_dir, batch_id)
     if os.path.isdir(retired):  # leftover from a crashed attempt

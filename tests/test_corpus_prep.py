@@ -659,3 +659,31 @@ def test_preference_pairs_semantics(spark, sf_smoke):
         assert r.rejected_doc == g2.iloc[0]["doc_id"]
         assert r.chosen_doc != r.rejected_doc
         assert r.margin >= 0
+
+
+def test_personalized_pagerank_ignores_dangling_seeds(spark):
+    """A seed with no out-edges cannot hold rank state; the teleport
+    denominator must count only seeds present in the out-degree table,
+    so adding a dangling seed changes NOTHING (round-7 advice: the old
+    n_seeds counted it, evaporating its teleport mass)."""
+    from kafka_spark_streaming_app_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    pairs = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    sym = pairs + [(b, a) for a, b in pairs]
+    # node 9 is a pure sink: appears only as dst, has no out-edges
+    edges = spark.createDataFrame(sym + [(3, 9)], ["src", "dst"])
+    base = {
+        r["node"]: r["ppr"]
+        for r in personalized_pagerank(
+            edges, spark.createDataFrame([(0,)], ["node"]), iters=3
+        ).collect()
+    }
+    with_dangling = {
+        r["node"]: r["ppr"]
+        for r in personalized_pagerank(
+            edges, spark.createDataFrame([(0,), (9,)], ["node"]), iters=3
+        ).collect()
+    }
+    assert with_dangling == base

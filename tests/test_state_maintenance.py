@@ -495,3 +495,137 @@ def test_dedup_ledger_merge_is_batch_order_independent(spark, tmp_path):
     c = run([rows], "c")                        # single batch
     expected = {"h1": (3, 3), "h2": (1, 2), "h3": (4, 1)}
     assert a == expected and b == expected and c == expected
+
+
+def test_compact_state_writes_batch_sidecar(spark, tmp_path):
+    """Every committed compact state carries the _applied_batch
+    sidecar file (ridden in via the staged-dir swap), so crash
+    recovery never depends on row stamps."""
+    from kafka_spark_streaming_app_spark.streaming.state import (
+        merge_into_compact_state,
+    )
+
+    state_dir = str(tmp_path / "state" / "sketch")
+    assert merge_into_compact_state(
+        state_dir, 0, _cpart(spark, [("a", 1)]), _compact_merge
+    )
+    sidecar = os.path.join(state_dir, "_applied_batch")
+    assert os.path.exists(sidecar)
+    assert open(sidecar).read().strip() == "0"
+    assert merge_into_compact_state(
+        state_dir, 1, _cpart(spark, [("a", 10)]), _compact_merge
+    )
+    assert open(sidecar).read().strip() == "1"
+
+
+def test_compact_state_zero_row_swap_detected_via_sidecar(spark, tmp_path):
+    """Crash after the swap but before the done-marker when merge_fn
+    legitimately produced ZERO rows: there are no row stamps to find,
+    so only the _applied_batch sidecar can prove the swap landed — the
+    retry must skip, not double-apply (the latent double-apply the
+    round-7 advice flagged)."""
+    from kafka_spark_streaming_app_spark.streaming.state import (
+        APPLIED_BATCH_COL,
+        applied_marker_dir,
+        merge_into_compact_state,
+        read_state,
+    )
+
+    state_dir = str(tmp_path / "state" / "sketch")
+    assert merge_into_compact_state(
+        state_dir, 0, _cpart(spark, [("a", 1), ("b", 2)]), _compact_merge
+    )
+    # Simulate batch 1: swap landed with an EMPTY merged state (plus
+    # its sidecar, exactly what the staged write produces), crash
+    # before the done-marker.
+    marker_root = applied_marker_dir(os.path.dirname(state_dir))
+    open(os.path.join(marker_root, "batch-1.intent"), "w").close()
+    import shutil as _sh
+
+    staged = str(tmp_path / "staged")
+    (
+        _cpart(spark, [])
+        .withColumn(APPLIED_BATCH_COL, F.lit(1))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(staged)
+    )
+    with open(os.path.join(staged, "_applied_batch"), "w") as f:
+        f.write("1")
+    _sh.rmtree(state_dir)
+    os.rename(staged, state_dir)
+
+    assert merge_into_compact_state(
+        state_dir, 1, _cpart(spark, [("a", 10)]), _compact_merge
+    )
+    # the additive contribution must NOT have been re-applied
+    assert read_state(spark, state_dir).count() == 0
+    assert os.path.exists(os.path.join(marker_root, "batch-1"))
+    assert not os.path.exists(os.path.join(marker_root, "batch-1.intent"))
+
+
+def test_replay_garbage_collects_committed_leftovers(spark, tmp_path):
+    """A crash between the done-marker write and intent/staging
+    cleanup leaves litter that the replay short-circuit used to
+    preserve forever; the retry must remove it (partitioned mode)."""
+    from kafka_spark_streaming_app_spark.streaming.state import (
+        applied_marker_dir,
+        read_state,
+    )
+
+    state_dir = str(tmp_path / "state" / "counts")
+    part = _part(spark, [(0, "a", 1), (1, "b", 2)])
+    assert merge_into_partitioned_state(
+        state_dir, 0, part, _additive_merge, "bucket"
+    )
+    marker_root = applied_marker_dir(os.path.dirname(state_dir))
+    # plant the litter a post-commit crash leaves behind
+    intent = os.path.join(marker_root, "batch-0.intent")
+    open(intent, "w").close()
+    staging = str(tmp_path / "state" / ".counts.staging-batch-0")
+    os.makedirs(os.path.join(staging, "bucket=0"))
+    retired = os.path.join(state_dir, ".retired-batch-0-bucket=0")
+    os.makedirs(retired)
+
+    assert not merge_into_partitioned_state(
+        state_dir, 0, part, _additive_merge, "bucket"
+    )
+    assert not os.path.exists(intent)
+    assert not os.path.exists(staging)
+    assert not os.path.exists(retired)
+    got = {
+        (r.bucket, r.k): r.c for r in read_state(spark, state_dir).collect()
+    }
+    assert got == {(0, "a"): 1, (1, "b"): 2}
+
+
+def test_compact_replay_garbage_collects_committed_leftovers(
+    spark, tmp_path
+):
+    """Same post-commit-crash litter, compact mode: stale intent and
+    the whole-state retired dir are removed on the replay
+    short-circuit."""
+    from kafka_spark_streaming_app_spark.streaming.state import (
+        applied_marker_dir,
+        merge_into_compact_state,
+        read_state,
+    )
+
+    state_dir = str(tmp_path / "state" / "sketch")
+    assert merge_into_compact_state(
+        state_dir, 0, _cpart(spark, [("a", 1)]), _compact_merge
+    )
+    marker_root = applied_marker_dir(os.path.dirname(state_dir))
+    intent = os.path.join(marker_root, "batch-0.intent")
+    open(intent, "w").close()
+    retired = str(tmp_path / "state" / ".sketch.retired-batch-0")
+    os.makedirs(retired)
+
+    assert not merge_into_compact_state(
+        state_dir, 0, _cpart(spark, [("a", 1)]), _compact_merge
+    )
+    assert not os.path.exists(intent)
+    assert not os.path.exists(retired)
+    assert {r.k: r.c for r in read_state(spark, state_dir).collect()} == {
+        "a": 1
+    }
