@@ -318,6 +318,11 @@ def main() -> int:
     # reports the machine's capability, not the neighbor's interference
     N_RUNS = 2
     timings: dict[str, float] = {}
+    # per-entry sample count -> the "protocol" map in BENCH_DETAIL.json:
+    # three of round 7's apparent regressions straddled the
+    # headline/extra protocol split, so cross-round deltas must be
+    # self-interpreting about how many samples the min covers
+    samples: dict[str, int] = {}
 
     def run_once(name: str) -> float:
         fn = registry.QUERIES[name]
@@ -327,6 +332,7 @@ def main() -> int:
 
     for name in HEADLINE:
         timings[name] = round(min(run_once(name) for _ in range(N_RUNS)), 3)
+        samples[name] = N_RUNS
 
     # Full-registry coverage (round-7): every registered query gets a
     # timing in BENCH_DETAIL.json so regressions in non-headline
@@ -338,6 +344,7 @@ def main() -> int:
     extra_timings: dict[str, float] = {}
     for name in extras:
         extra_timings[name] = round(run_once(name), 3)
+        samples[name] = 1
 
     # Contention shield: min-of-2 back-to-back runs shares one noise
     # window, so a neighbor burst mid-sequence can inflate a whole
@@ -349,6 +356,7 @@ def main() -> int:
     ]
     for name in retry:
         timings[name] = round(min(timings[name], run_once(name)), 3)
+        samples[name] += 1
     retry_extra = sorted(extra_timings, key=extra_timings.get, reverse=True)[
         : max(4, len(extra_timings) // 4)
     ]
@@ -356,6 +364,7 @@ def main() -> int:
         extra_timings[name] = round(
             min(extra_timings[name], run_once(name)), 3
         )
+        samples[name] += 1
 
     total = round(sum(timings.values()), 3)
     # The driver records only the LAST 2000 chars of bench stdout and
@@ -376,6 +385,9 @@ def main() -> int:
         "extra_note": "non-headline registry queries, min-of-1 "
         "(slowest quartile min-of-2); headline protocol is min-of-2 "
         "+ tail retry",
+        "protocol": {
+            name: f"min-of-{n}" for name, n in sorted(samples.items())
+        },
         "sf": sf,
     }
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
