@@ -2652,3 +2652,130 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("attribution_share"),
     )
+
+
+# --- AMS second-frequency-moment sketch --------------------------------------
+#
+# F2 = Σ_u f_u² of the user_id frequency vector — the self-join-size /
+# repeat-rate statistic an optimizer wants before planning a fact-fact
+# equi-join. The AMS (Alon-Matias-Szegedy) sketch estimates it from R
+# sign-hash counters: X_j = Σ_i sign_j(x_i) with sign_j ∈ {±1}
+# 4-universal-ish per hash; E[X_j²] = F2. Median of G group means of
+# X_j² gives the standard accuracy boost. Every counter is an exact
+# int64 (fully mergeable: X_j sums are distributive across partitions
+# and across streams), so the whole sketch is bit-reproducible
+# cross-engine — the estimate itself is oracle-hashed, not just the
+# exact twin.
+
+_AMS_R = 60  # sign hashes
+_AMS_G = 5  # median-of-means groups (12 hashes each)
+
+
+def _ams_sign_sql(j: int) -> str:
+    h = h60_sql(f"'{j}:' || CAST(user_id AS VARCHAR)")
+    return f"sum(1 - 2 * ({h} % 2))"
+
+
+def _ams_oracle() -> str:
+    xs = ",\n           ".join(
+        f"CAST({_ams_sign_sql(j)} AS BIGINT) AS x{j}"
+        for j in range(_AMS_R)
+    )
+    per_g = _AMS_R // _AMS_G
+    means = ", ".join(
+        "(("
+        + " + ".join(
+            f"x{j} * x{j}" for j in range(g * per_g, (g + 1) * per_g)
+        )
+        + f") / {per_g}.0)"
+        for g in range(_AMS_G)
+    )
+    return f"""
+WITH e AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+x AS (
+    SELECT {xs}
+    FROM e
+),
+exact AS (
+    SELECT CAST(sum(n * n) AS BIGINT) AS f2_exact
+    FROM (SELECT count(*) AS n FROM e GROUP BY user_id)
+)
+SELECT exact.f2_exact,
+       list_sort([{means}])[{_AMS_G // 2 + 1}] AS f2_estimate,
+       round(abs(list_sort([{means}])[{_AMS_G // 2 + 1}] - exact.f2_exact)
+             / exact.f2_exact, 6) AS rel_error
+FROM x, exact
+"""
+
+
+@query("ams_f2_sketch", _ams_oracle())
+def ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS F2 (second frequency moment) sketch over ``events.user_id``
+    — 60 sign-hash counters, median of 5 means of X², checked against
+    the exact Σ f². ONE scan computes all 60 counters as conditional
+    sums (no per-hash passes, no explode — the aggregation is 60
+    int64 cells of map-side-combinable state), and the exact twin is
+    one groupBy. The estimate column itself hash-matches the oracle
+    because the sign hashes are the cross-engine h60.
+
+    100 TB posture: the sketch state is 60 integers regardless of
+    scale, distributive over any partitioning (each executor sums its
+    split, merge is vector addition) — the same contract the KMV/HLL/
+    CMS family rides; the exact twin's groupBy shuffles the key space
+    once and exists only as the oracle's accuracy anchor."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+    )
+    signs = [
+        F.sum(
+            F.lit(1)
+            - F.lit(2)
+            * (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"{j}:"),
+                                F.col("user_id").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2
+            )
+        )
+        .cast("bigint")
+        .alias(f"x{j}")
+        for j in range(_AMS_R)
+    ]
+    x = ev.agg(*signs)
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") * F.col("n")).cast("bigint").alias("f2_exact"))
+    )
+    per_g = _AMS_R // _AMS_G
+    means = [
+        (
+            sum(
+                (F.col(f"x{j}") * F.col(f"x{j}"))
+                for j in range(g * per_g, (g + 1) * per_g)
+            )
+            / F.lit(float(per_g))
+        )
+        for g in range(_AMS_G)
+    ]
+    est = F.array_sort(F.array(*means)).getItem(_AMS_G // 2)
+    return x.crossJoin(F.broadcast(exact)).select(
+        "f2_exact",
+        est.alias("f2_estimate"),
+        F.round(
+            F.abs(est - F.col("f2_exact")) / F.col("f2_exact"), 6
+        ).alias("rel_error"),
+    )

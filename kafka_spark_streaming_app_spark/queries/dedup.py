@@ -1152,3 +1152,137 @@ def source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("union_est"),
     )
+
+
+# --- FastSS deletion-neighborhood edit-distance join -------------------------
+#
+# Reference scope: the reference has no fuzzy matching at all; this is
+# north-star extension territory (training-data near-dup at the
+# character level — OCR noise, typo variants, mirror pages differing
+# by one edit). entity_match_fuzzy's prefix blocking is recall-LOSSY
+# (a first-character edit escapes the block); the FastSS / SymSpell
+# deletion-neighborhood scheme is recall-COMPLETE for a bounded edit
+# distance: if ed(s, t) <= k, the aligned unchanged characters form a
+# common string reachable from BOTH sides by <= k deletions, so the
+# variant equi-join cannot miss a true pair. False positives are
+# removed by one exact Levenshtein verify per candidate.
+
+_FASTSS_FIXTURE_SPARK = (
+    "substr(md5(cast(div(doc_id, 2) as string)), 1, 24)"
+)
+_FASTSS_FIXTURE_SQL = "substr(md5(CAST(doc_id // 2 AS VARCHAR)), 1, 24)"
+
+_FASTSS_ORACLE = f"""
+WITH fx AS (
+    SELECT doc_id,
+           {_FASTSS_FIXTURE_SQL} AS base,
+           doc_id % 6 AS m,
+           (doc_id % 11) + 1 AS p
+    FROM documents
+),
+strs AS (
+    SELECT doc_id,
+           CASE WHEN m = 1
+                THEN substr(base, 1, p - 1) || 'z' || substr(base, p + 1)
+                WHEN m = 3
+                THEN substr(base, 1, p - 1) || substr(base, p + 1)
+                WHEN m = 5
+                THEN substr(base, 1, p - 1) || 'z' || substr(base, p)
+                ELSE base END AS s
+    FROM fx
+),
+vars AS (
+    SELECT doc_id, s,
+           unnest(list_distinct(list_prepend(s,
+               list_transform(range(1, length(s) + 1),
+                   i -> substr(s, 1, i - 1) || substr(s, i + 1))))) AS v
+    FROM strs
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.s AS sa, b.s AS sb
+    FROM vars a JOIN vars b ON a.v = b.v AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(levenshtein(sa, sb) AS BIGINT) AS dist
+FROM cand
+WHERE levenshtein(sa, sb) = 1
+ORDER BY id_a, id_b
+"""
+
+
+@query("dedup_fastss_ed1", _FASTSS_ORACLE)
+def dedup_fastss_ed1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 similarity join via FastSS/SymSpell deletion
+    neighborhoods: every string emits itself plus its |s| one-deletion
+    variants; a single equi-join on the variant key yields a
+    recall-COMPLETE candidate set for ed <= 1 (pigeonhole on the edit
+    script's unchanged characters), verified by one exact Levenshtein
+    per candidate. The corpus has no planted character-level pairs, so
+    the fixture derives one deterministic 24-char md5-hex string per
+    doc with doc 2m+1 mutated from doc 2m's string by exactly one
+    substitution / deletion / insertion ('z' never collides with the
+    hex alphabet, so the planted distance is exactly 1) — the oracle
+    pins candidate generation, verification, AND the planted recall.
+
+    100 TB posture: candidate generation is a scan-explode (N·(L+1)
+    variants, L bounded by the key length — spell-dictionary scale);
+    the join shuffles on the variant key with bucket sizes bounded by
+    hash-space diversity of the deletion variants; there is no
+    all-pairs term anywhere. For larger thresholds k the same shape
+    emits C(L, <=k) deletion variants (SymSpell) or switches to the
+    PassJoin segment scheme; the verify stage stays
+    candidate-proportional."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    fx = docs.select(
+        "doc_id",
+        F.expr(_FASTSS_FIXTURE_SPARK).alias("base"),
+        (F.col("doc_id") % 6).alias("m"),
+        ((F.col("doc_id") % 11) + 1).alias("p"),
+    )
+    strs = fx.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN m = 1"
+            "     THEN concat(substr(base, 1, p - 1), 'z',"
+            "                 substr(base, p + 1))"
+            "     WHEN m = 3"
+            "     THEN concat(substr(base, 1, p - 1), substr(base, p + 1))"
+            "     WHEN m = 5"
+            "     THEN concat(substr(base, 1, p - 1), 'z', substr(base, p))"
+            "     ELSE base END"
+        ).alias("s"),
+    )
+    vars_ = strs.select(
+        "doc_id",
+        "s",
+        F.explode(
+            F.expr(
+                "array_distinct(concat(array(s),"
+                " transform(sequence(1, length(s)),"
+                "           i -> concat(substr(s, 1, i - 1),"
+                "                       substr(s, i + 1)))))"
+            )
+        ).alias("v"),
+    )
+    a = vars_.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("s").alias("sa"),
+        F.col("v").alias("v"),
+    )
+    b = vars_.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("s").alias("sb"),
+        F.col("v").alias("v"),
+    )
+    cand = (
+        a.join(b, ["v"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sa", "sb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("sa", "sb").cast("bigint"))
+        .filter(F.col("dist") == 1)
+        .select("id_a", "id_b", "dist")
+        .orderBy("id_a", "id_b")
+    )

@@ -5944,3 +5944,146 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tail_index_alpha"
         ),
     )
+
+
+# --- rank-1 implicit-feedback ALS --------------------------------------------
+#
+# The scalar skeleton of Spark MLlib's distributed ALS: user/item
+# factors fit by alternating closed-form least squares on the observed
+# (user, item, count) triples. Rank 1 keeps each half-step a pure
+# scan-aggregation (no Gram matrix inverse), which makes the WHOLE
+# fixed-point iteration expressible in both engines with the repo's
+# integer-quantization discipline: factors live on a 1e4 fixed-point
+# grid, every numerator/denominator is an exact int64 sum (bounded by
+# the count/factor caps documented below), and each update is ONE
+# IEEE division + one exact power-of-ten multiply + floor — so the
+# fitted factors, not just some projection of them, hash-match
+# cross-engine.
+
+_ALS_SCALE = 10_000  # factor fixed-point grid
+_ALS_ITERS = 2  # u,v half-step pairs (v0 = 1.0 for every item)
+
+
+def _als_oracle() -> str:
+    steps = []
+    prev_v = "v0"
+    for it in range(1, _ALS_ITERS + 1):
+        steps.append(f""",
+u{it} AS MATERIALIZED (
+    SELECT r.u,
+           CAST(floor({_ALS_SCALE}.0 * {_ALS_SCALE}.0
+                      * CAST(sum(r.r * pv.vq) AS DOUBLE)
+                      / CAST(sum(pv.vq * pv.vq) AS DOUBLE)) AS BIGINT)
+               AS uq
+    FROM r JOIN {prev_v} pv ON r.k = pv.k
+    GROUP BY r.u
+),
+v{it} AS MATERIALIZED (
+    SELECT r.k,
+           CAST(floor({_ALS_SCALE}.0 * {_ALS_SCALE}.0
+                      * CAST(sum(r.r * pu.uq) AS DOUBLE)
+                      / CAST(sum(pu.uq * pu.uq) AS DOUBLE)) AS BIGINT)
+               AS vq
+    FROM r JOIN u{it} pu ON r.u = pu.u
+    GROUP BY r.k
+)""")
+        prev_v = f"v{it}"
+    return f"""
+WITH r AS MATERIALIZED (
+    SELECT user_id AS u,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS r
+    FROM events
+    WHERE user_id IS NOT NULL
+      AND event_type IN ('view', 'click', 'purchase')
+    GROUP BY 1, 2
+),
+v0 AS MATERIALIZED (
+    SELECT DISTINCT k, CAST({_ALS_SCALE} AS BIGINT) AS vq FROM r
+){"".join(steps)}
+SELECT k AS item_k,
+       round(CAST(vq AS DOUBLE) / {_ALS_SCALE}.0, 4) AS factor,
+       CAST(rank() OVER (ORDER BY vq DESC, k) AS BIGINT) AS popularity_rank
+FROM v{_ALS_ITERS}
+ORDER BY item_k
+"""
+
+
+@query("als_rank1_implicit", _als_oracle())
+def als_rank1_implicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-1 implicit-feedback ALS over the (user, item) interaction
+    counts mined from ``events.props`` — 2 alternating closed-form
+    half-step pairs, factors on the 1e4 fixed-point grid. Each
+    half-step is one equi-join (ratings ⋈ current factors, shuffling
+    the OBSERVED triples only) + one keyed aggregation producing the
+    opposite side's factors; barriered per iteration so the plan never
+    re-expands (the pagerank/HITS iterative discipline). Exactness:
+    numerators (r·factor ≤ ~5e7 per row) and denominators (factor² ≤
+    ~1e13 per row) sum exactly in int64, each update is one IEEE
+    division of exact ints, one exact 1e8 multiply, one floor.
+
+    100 TB posture: identical to MLlib's ALS data flow at rank 1 —
+    factors partition by their own key, ratings shuffle once per
+    half-step on the join key, and all state is O(users + items), so
+    the iteration cost is edges-proportional with no driver-side
+    collect. Higher rank swaps the scalar update for the per-key
+    normal-equation solve inside the SAME join/agg shape."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    r = (
+        ev.filter(
+            F.col("user_id").isNotNull()
+            & F.col("event_type").isin("view", "click", "purchase")
+        )
+        .select(
+            F.col("user_id").alias("u"),
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+        .groupBy("u", "k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+        .localCheckpoint(eager=False)
+    )
+    scale = float(_ALS_SCALE)
+    v = r.select("k").distinct().select(
+        "k", F.lit(_ALS_SCALE).cast("bigint").alias("vq")
+    )
+    for _ in range(_ALS_ITERS):
+        u = (
+            r.join(v, "k")
+            .groupBy("u")
+            .agg(
+                F.floor(
+                    F.lit(scale)
+                    * F.lit(scale)
+                    * F.sum(F.col("r") * F.col("vq")).cast("double")
+                    / F.sum(F.col("vq") * F.col("vq")).cast("double")
+                )
+                .cast("bigint")
+                .alias("uq")
+            )
+            .localCheckpoint(eager=False)
+        )
+        v = (
+            r.join(u, "u")
+            .groupBy("k")
+            .agg(
+                F.floor(
+                    F.lit(scale)
+                    * F.lit(scale)
+                    * F.sum(F.col("r") * F.col("uq")).cast("double")
+                    / F.sum(F.col("uq") * F.col("uq")).cast("double")
+                )
+                .cast("bigint")
+                .alias("vq")
+            )
+            .localCheckpoint(eager=False)
+        )
+    w = Window.orderBy(F.desc("vq"), F.asc("k"))
+    return v.select(
+        F.col("k").alias("item_k"),
+        F.round(F.col("vq").cast("double") / F.lit(scale), 4).alias(
+            "factor"
+        ),
+        F.rank().over(w).cast("bigint").alias("popularity_rank"),
+    ).orderBy("item_k")

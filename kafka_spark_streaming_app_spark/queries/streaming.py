@@ -1763,3 +1763,161 @@ def streaming_dedup_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         "canonical_id",
         F.col("n_dups").cast("bigint").alias("n_dups"),
     )
+
+
+# --- streaming funnel rollup (tenth persistent state shape) ------------------
+#
+# Per-user funnel progression (view -> click -> purchase) maintained
+# through the streaming engine. The state row per user is the MINIMUM
+# event time of each stage — min is associative, commutative, and
+# idempotent, so the merged state is independent of batch boundaries
+# AND of replayed commits (the strongest of the state-merge algebra
+# classes this module maintains). Conversion requires the first view
+# to precede the first click to precede the first purchase — computed
+# at READ time from the mins, never stored, so late/out-of-order
+# events can only refine the state monotonically.
+
+_SFUNNEL_ORACLE = """
+WITH stage AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+           min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+    FROM events
+    WHERE user_id IS NOT NULL
+    GROUP BY user_id
+)
+SELECT
+    CAST(count(t_view) AS BIGINT) AS n_view,
+    CAST(coalesce(sum(CASE WHEN t_view < t_click THEN 1 ELSE 0 END), 0)
+         AS BIGINT) AS n_view_click,
+    CAST(coalesce(sum(CASE WHEN t_view < t_click AND t_click < t_purchase
+                           THEN 1 ELSE 0 END), 0)
+         AS BIGINT) AS n_full_funnel
+FROM stage
+"""
+
+_SFUNNEL_BUCKETS = 16
+
+
+@query("streaming_funnel_rollup", _SFUNNEL_ORACLE)
+def streaming_funnel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming funnel: per-user first-view/first-click/
+    first-purchase timestamps maintained as bucket-partitioned
+    persistent state over the wire replay (8 files per trigger), then
+    the ordered-conversion counts computed FROM the state and checked
+    against the batch funnel on the same events. min-per-stage is
+    associative + commutative + idempotent, so the state survives any
+    batch boundary placement and any at-least-once replay unchanged —
+    the oracle hash proves streaming/batch funnel duality through the
+    real engine.
+
+    100 TB posture: state is O(active users) keyed rows behind
+    ``merge_into_partitioned_state`` (per-trigger I/O proportional to
+    the batch's buckets, not the user space); each micro-batch
+    pre-collapses to one row per user BEFORE touching state, so the
+    merge shuffles batch-keys, not batch-events. The read-side
+    conversion scan is one pass over state."""
+    import atexit
+    import shutil
+
+    from ..streaming.state import (
+        merge_into_partitioned_state,
+        read_state,
+    )
+
+    stream = _events_as_wire_stream(spark, sf_dir, max_files_per_trigger=8)
+    keyed = stream.filter(F.col("user_id").isNotNull()).select(
+        "user_id", "event_type", "event_timestamp"
+    )
+    state_root = tempfile.mkdtemp(prefix="sfunnel_state_")
+    ckpt = tempfile.mkdtemp(prefix="sfunnel_ckpt_")
+    for d in (state_root, ckpt):
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    state_dir = os.path.join(state_root, "funnel")
+
+    def _stage_mins(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.min(
+                F.when(
+                    F.col("event_type") == "view", F.col("event_timestamp")
+                )
+            ).alias("t_view"),
+            F.min(
+                F.when(
+                    F.col("event_type") == "click", F.col("event_timestamp")
+                )
+            ).alias("t_click"),
+            F.min(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("event_timestamp"),
+                )
+            ).alias("t_purchase"),
+        )
+
+    def _with_bucket(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("user_id"), F.lit(_SFUNNEL_BUCKETS)),
+        )
+
+    def _merge(existing: DataFrame | None, part: DataFrame) -> DataFrame:
+        base = part.drop("bucket")
+        if existing is not None:
+            base = existing.drop("bucket").unionByName(base)
+        merged = base.groupBy("user_id").agg(
+            F.min("t_view").alias("t_view"),
+            F.min("t_click").alias("t_click"),
+            F.min("t_purchase").alias("t_purchase"),
+        )
+        return _with_bucket(merged)
+
+    def merge_state(batch_df: DataFrame, batch_id: int) -> None:
+        part = _with_bucket(_stage_mins(batch_df))
+        merge_into_partitioned_state(
+            state_dir, batch_id, part, _merge, "bucket",
+            shuffle_partitions=8, write_partitions=1,
+        )
+
+    q = (
+        keyed.writeStream.foreachBatch(merge_state)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(300)
+        if not finished:
+            raise RuntimeError(
+                "streaming_funnel_rollup: availableNow run did not finish "
+                "within 300s; refusing to read partial funnel state"
+            )
+    finally:
+        if q.isActive:
+            q.stop()
+
+    stage = read_state(spark, state_dir)
+    return stage.agg(
+        F.count("t_view").cast("bigint").alias("n_view"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("t_view") < F.col("t_click"), 1).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_view_click"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("t_view") < F.col("t_click"))
+                    & (F.col("t_click") < F.col("t_purchase")),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_full_funnel"),
+    )

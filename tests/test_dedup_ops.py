@@ -271,3 +271,75 @@ def test_sssp_weighted_prefers_cheap_long_path(spark):
     dist = {r.node: r.dist for r in d.collect()}
     assert dist[5] == 3  # via the cheap long path, not the direct 9
     assert dist == {1: 0, 2: 1, 3: 2, 5: 3}
+
+
+def test_fastss_ed1_matches_pure_python(spark, sf_smoke):
+    """dedup_fastss_ed1 recomputed in pure Python: same md5 fixture,
+    deletion neighborhoods, candidate join, and a textbook DP
+    Levenshtein — pair sets must match exactly, and every planted
+    (2m, 2m+1) pair must be recovered (recall completeness of the
+    deletion-neighborhood scheme)."""
+    import hashlib
+
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    doc_ids = pd.read_parquet(f"{sf_smoke}/documents.parquet")[
+        "doc_id"
+    ].tolist()
+
+    def fixture(doc_id: int) -> str:
+        base = hashlib.md5(str(doc_id // 2).encode()).hexdigest()[:24]
+        m, p = doc_id % 6, (doc_id % 11) + 1
+        if m == 1:
+            return base[: p - 1] + "z" + base[p:]
+        if m == 3:
+            return base[: p - 1] + base[p:]
+        if m == 5:
+            return base[: p - 1] + "z" + base[p - 1:]
+        return base
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb),
+                    )
+                )
+            prev = cur
+        return prev[-1]
+
+    strs = {d: fixture(d) for d in doc_ids}
+    index: dict[str, set[int]] = {}
+    for d, s in strs.items():
+        variants = {s} | {s[:i] + s[i + 1:] for i in range(len(s))}
+        for v in variants:
+            index.setdefault(v, set()).add(d)
+    cand = set()
+    for members in index.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                cand.add((ms[i], ms[j]))
+    expected = {
+        (a, b) for a, b in cand if lev(strs[a], strs[b]) == 1
+    }
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in registry.QUERIES["dedup_fastss_ed1"](
+            spark, sf_smoke
+        ).collect()
+    }
+    assert got == expected
+    planted = {
+        (d, d + 1) for d in doc_ids if d % 2 == 0 and d + 1 in strs
+    }
+    assert planted <= got  # recall-complete on the planted edits

@@ -3776,3 +3776,93 @@ def test_markov_removal_attribution_matches_pure_python(spark, sf_smoke):
         ) < 1e-9
         assert row["removal_effect"] >= 0  # removal can't help
     assert abs(out["attribution_share"].sum() - 1.0) < 1e-4
+
+
+def test_ams_f2_sketch_matches_pure_python(spark, sf_smoke):
+    """ams_f2_sketch recomputed in pure Python: same h60 sign hashes,
+    same median-of-means fold — estimate, exact F2, and rel_error must
+    all match bit-for-bit (the sketch is fully deterministic)."""
+    import hashlib
+
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet")
+    users = ev["user_id"].dropna().astype(int).tolist()
+
+    def sign(j: int, u: int) -> int:
+        h = int(
+            hashlib.md5(f"{j}:{u}".encode()).hexdigest()[:15], 16
+        )
+        return 1 - 2 * (h % 2)
+
+    xs = [sum(sign(j, u) for u in users) for j in range(60)]
+    means = [
+        sum(x * x for x in xs[g * 12:(g + 1) * 12]) / 12.0
+        for g in range(5)
+    ]
+    est = sorted(means)[2]
+    from collections import Counter
+
+    exact = sum(n * n for n in Counter(users).values())
+
+    row = registry.QUERIES["ams_f2_sketch"](spark, sf_smoke).collect()[0]
+    assert row.f2_exact == exact
+    assert row.f2_estimate == est
+    assert row.rel_error == round(abs(est - exact) / exact, 6)
+
+
+def test_als_rank1_matches_pure_python(spark, sf_smoke):
+    """als_rank1_implicit recomputed sequentially in pure Python with
+    the identical fixed-point schedule — every item factor must match
+    exactly (int64 sums + one IEEE division are order-free)."""
+    import json
+    import math
+
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet")
+    ev = ev[
+        ev["user_id"].notna()
+        & ev["event_type"].isin(["view", "click", "purchase"])
+    ]
+    r: dict[tuple[int, int], int] = {}
+    for u, props in zip(ev["user_id"].astype(int), ev["props"]):
+        k = int(json.loads(props)["k"])
+        r[(u, k)] = r.get((u, k), 0) + 1
+
+    SCALE = 10_000
+    items = sorted({k for _, k in r})
+    vq = {k: SCALE for k in items}
+    for _ in range(2):
+        num: dict[int, int] = {}
+        den: dict[int, int] = {}
+        for (u, k), cnt in r.items():
+            num[u] = num.get(u, 0) + cnt * vq[k]
+            den[u] = den.get(u, 0) + vq[k] * vq[k]
+        uq = {
+            u: math.floor(SCALE * float(SCALE) * num[u] / den[u])
+            for u in num
+        }
+        num, den = {}, {}
+        for (u, k), cnt in r.items():
+            num[k] = num.get(k, 0) + cnt * uq[u]
+            den[k] = den.get(k, 0) + uq[u] * uq[u]
+        vq = {
+            k: math.floor(SCALE * float(SCALE) * num[k] / den[k])
+            for k in num
+        }
+
+    got = {
+        row.item_k: row.factor
+        for row in registry.QUERIES["als_rank1_implicit"](
+            spark, sf_smoke
+        ).collect()
+    }
+    expected = {k: round(v / SCALE, 4) for k, v in vq.items()}
+    assert got == expected

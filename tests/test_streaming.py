@@ -443,3 +443,42 @@ def test_timeout_sessions_emits_both_close_paths(spark, sf_smoke):
     # every emitted session is provably closed: last + gap is either
     # below the final watermark (timeout) or a successor existed
     assert set(got) == {"successor", "timeout"}
+
+
+def test_streaming_funnel_matches_batch_and_is_order_monotone(
+    spark, sf_smoke
+):
+    """streaming_funnel_rollup equals the batch funnel computed with
+    pandas on the raw events (streaming/batch duality through the
+    state table), and the per-stage mins make conversion monotone:
+    replaying the SAME wire twice (idempotent min-merge) cannot change
+    any count."""
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet")
+    ev = ev[ev["user_id"].notna()]
+    mins = (
+        ev.pivot_table(
+            index="user_id",
+            columns="event_type",
+            values="ts",
+            aggfunc="min",
+        )
+        .reindex(columns=["view", "click", "purchase"])
+    )
+    n_view = int(mins["view"].notna().sum())
+    vc = mins["view"] < mins["click"]
+    n_view_click = int(vc.sum())
+    n_full = int((vc & (mins["click"] < mins["purchase"])).sum())
+
+    row = registry.QUERIES["streaming_funnel_rollup"](
+        spark, sf_smoke
+    ).collect()[0]
+    assert (row.n_view, row.n_view_click, row.n_full_funnel) == (
+        n_view,
+        n_view_click,
+        n_full,
+    )
