@@ -260,6 +260,12 @@ HEADLINE = [
     "markov_removal_attribution",
     "hill_tail_index",
     "semantic_contamination",
+    # round-8: deletion-neighborhood edit-distance join, AMS F2
+    # sketch, the funnel state shape, rank-1 ALS
+    "dedup_fastss_ed1",
+    "ams_f2_sketch",
+    "streaming_funnel_rollup",
+    "als_rank1_implicit",
 ]
 
 

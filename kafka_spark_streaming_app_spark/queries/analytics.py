@@ -2667,18 +2667,18 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cross-engine — the estimate itself is oracle-hashed, not just the
 # exact twin.
 
-_AMS_R = 60  # sign hashes
+_AMS_R = 60  # sign hashes = the 60 bits of ONE h60 per row
 _AMS_G = 5  # median-of-means groups (12 hashes each)
 
 
-def _ams_sign_sql(j: int) -> str:
-    h = h60_sql(f"'{j}:' || CAST(user_id AS VARCHAR)")
-    return f"sum(1 - 2 * ({h} % 2))"
-
-
 def _ams_oracle() -> str:
+    # All 60 signs come from the BITS of a single md5-derived h60 per
+    # row (one hash + 60 shift/mask ops, not 60 hashes): md5 output
+    # bits are independent well past the 4-wise independence AMS
+    # needs, and the hash is the dominant per-row cost at scale.
+    h = h60_sql("'u:' || CAST(user_id AS VARCHAR)")
     xs = ",\n           ".join(
-        f"CAST({_ams_sign_sql(j)} AS BIGINT) AS x{j}"
+        f"CAST(sum(1 - 2 * ((h >> {j}) & 1)) AS BIGINT) AS x{j}"
         for j in range(_AMS_R)
     )
     per_g = _AMS_R // _AMS_G
@@ -2691,7 +2691,10 @@ def _ams_oracle() -> str:
         for g in range(_AMS_G)
     )
     return f"""
-WITH e AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+WITH e AS (
+    SELECT user_id, {h} AS h
+    FROM events WHERE user_id IS NOT NULL
+),
 x AS (
     SELECT {xs}
     FROM e
@@ -2712,49 +2715,40 @@ FROM x, exact
 def ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AMS F2 (second frequency moment) sketch over ``events.user_id``
     — 60 sign-hash counters, median of 5 means of X², checked against
-    the exact Σ f². ONE scan computes all 60 counters as conditional
-    sums (no per-hash passes, no explode — the aggregation is 60
-    int64 cells of map-side-combinable state), and the exact twin is
-    one groupBy. The estimate column itself hash-matches the oracle
-    because the sign hashes are the cross-engine h60.
+    the exact Σ f². ONE scan computes ONE cross-engine h60 per row and
+    folds its 60 BITS into 60 sign sums (no per-hash md5 passes, no
+    explode — the aggregation is 60 int64 cells of map-side-combinable
+    state, and the hash is the only per-row cost). The estimate column
+    itself hash-matches the oracle, not just the exact twin.
 
     100 TB posture: the sketch state is 60 integers regardless of
     scale, distributive over any partitioning (each executor sums its
     split, merge is vector addition) — the same contract the KMV/HLL/
     CMS family rides; the exact twin's groupBy shuffles the key space
     once and exists only as the oracle's accuracy anchor."""
+    from ..functions.hashing import h60
+
     ev = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id").isNotNull())
         .select("user_id")
     )
+    hashed = ev.select(
+        "user_id",
+        h60(
+            F.concat(F.lit("u:"), F.col("user_id").cast("string"))
+        ).alias("h"),
+    )
     signs = [
         F.sum(
             F.lit(1)
-            - F.lit(2)
-            * (
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat(
-                                F.lit(f"{j}:"),
-                                F.col("user_id").cast("string"),
-                            )
-                        ),
-                        1,
-                        15,
-                    ),
-                    16,
-                    10,
-                ).cast("bigint")
-                % 2
-            )
+            - F.lit(2) * F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))
         )
         .cast("bigint")
         .alias(f"x{j}")
         for j in range(_AMS_R)
     ]
-    x = ev.agg(*signs)
+    x = hashed.agg(*signs)
     exact = (
         ev.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -139,6 +139,13 @@ PROBES = (
     "hill_tail_index",
     "streaming_dedup_ledger",
     "markov_removal_attribution",
+    # round-8: AMS is one conditional-sum scan; ALS scans Nx events
+    # into a fixed (user, item) key space then iterates edge-sized
+    # joins; the streaming funnel replays Nx rows into per-user
+    # min-merge state (user space constant under duplication)
+    "ams_f2_sketch",
+    "als_rank1_implicit",
+    "streaming_funnel_rollup",
 )
 
 
@@ -231,6 +238,10 @@ def build_jittered_documents(src_sf: str, n: int) -> str:
 JITTER_DOC_PROBES = (
     "ngram_novelty",
     "multimodal_spectral_hash_dedup",
+    # fixture strings derive from doc_id: hardlink duplication would
+    # replicate identical strings (pair-join N^2 artifact); jittered
+    # ids produce N distinct corpora of planted pairs
+    "dedup_fastss_ed1",
 )
 
 # Probes that need the jittered-embeddings fixture (see the comment at

@@ -3793,10 +3793,8 @@ def test_ams_f2_sketch_matches_pure_python(spark, sf_smoke):
     users = ev["user_id"].dropna().astype(int).tolist()
 
     def sign(j: int, u: int) -> int:
-        h = int(
-            hashlib.md5(f"{j}:{u}".encode()).hexdigest()[:15], 16
-        )
-        return 1 - 2 * (h % 2)
+        h = int(hashlib.md5(f"u:{u}".encode()).hexdigest()[:15], 16)
+        return 1 - 2 * ((h >> j) & 1)
 
     xs = [sum(sign(j, u) for u in users) for j in range(60)]
     means = [
