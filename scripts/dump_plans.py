@@ -188,6 +188,9 @@ NOTES = {
     "markov_removal_attribution": "One window pass builds journeys; the chain + ALL removal variants form a channels-sized table iterated with tiny barriered joins — 20 fixed-point steps, corpus-size-independent.",
     "huber_irls_regression": "Two partial+final aggregations of quantized sufficient statistics; both solves are 1-row arithmetic.",
     "textrank_keywords": "Row-local adjacent-token zip, one distinct-pair aggregation, then the fixed-point pagerank iterations (edge-join + agg per step).",
+    "dedup_fastss_ed1": "Variant explode (N*(L+1) rows) -> equi-join on the variant key -> distinct candidate pairs -> one Levenshtein verify per candidate; no all-pairs term anywhere.",
+    "ams_f2_sketch": "ONE h60 per row, 60 bit-derived sign sums in a single partial+final aggregation (60 int64 cells, map-side combinable); exact twin is one keyed groupBy.",
+    "als_rank1_implicit": "Ratings collapse to (u,k,count) once behind a barrier; each half-step is ratings-join-factors + keyed agg (shuffle = observed triples), barriered per iteration.",
 }
 
 

@@ -817,3 +817,34 @@ def test_exact_jaccard_anchors_shuffle_hashes_not_strings(spark, sf_smoke):
     cplan = plan_str(registry.QUERIES["dedup_containment"](spark, sf_smoke))
     assert "concat_ws" not in cplan
     assert "CartesianProduct" not in cplan
+
+
+def test_fastss_joins_variants_no_cartesian(spark, sf_smoke):
+    """dedup_fastss_ed1's candidate stage must be an equi-join on the
+    variant key (SortMergeJoin/ShuffledHashJoin on v) — never a
+    cartesian/broadcast-nested-loop pair enumeration."""
+    plan = plan_str(registry.QUERIES["dedup_fastss_ed1"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan  # verify runs post-join, in-plan
+
+
+def test_ams_is_single_scan_partial_final_agg(spark, sf_smoke):
+    """ams_f2_sketch's sketch arm must be one scan with partial+final
+    aggregation (60 int64 cells combine map-side) and exactly one md5
+    per row — no per-hash expansion, no explode."""
+    plan = plan_str(registry.QUERIES["ams_f2_sketch"](spark, sf_smoke))
+    assert plan.count("HashAggregate") >= 2
+    assert "Generate" not in plan  # no explode anywhere
+    # one hash projection: md5 appears in the scan-side project only
+    proj = [ln for ln in plan.splitlines() if "md5" in ln]
+    assert proj, "h60 hash projection missing"
+
+
+def test_als_iteration_is_barriered(spark, sf_smoke):
+    """als_rank1_implicit's final plan must read the previous factor
+    state through lazy-checkpoint barriers (Scan ExistingRDD), not
+    re-expand the whole iteration lineage."""
+    plan = plan_str(registry.QUERIES["als_rank1_implicit"](spark, sf_smoke))
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
