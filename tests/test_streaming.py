@@ -482,3 +482,45 @@ def test_streaming_funnel_matches_batch_and_is_order_monotone(
         n_view_click,
         n_full,
     )
+
+
+def test_streaming_ivm_agg_matches_pandas_latest_wins(spark, sf_smoke):
+    """streaming_ivm_agg's retraction-maintained view equals the
+    latest-wins aggregate recomputed with pandas from the raw change
+    feed — the IVM delta algebra never drifts from the batch truth."""
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    orders = pd.read_parquet(f"{sf_smoke}/orders.parquet")
+    cust = pd.read_parquet(f"{sf_smoke}/customer.parquet")
+    ch = orders[orders["o_orderkey"] % 3 == 0].copy()
+    ch["c_custkey"] = ch["o_custkey"] + (
+        ch["o_orderkey"] % 23 == 0
+    ).astype(int) * 1000000
+    ch["seq"] = ch["o_orderkey"]
+    ch["op"] = (ch["o_orderkey"] % 19 == 0).map({True: "D", False: "U"})
+    latest = (
+        ch.sort_values("seq")
+        .groupby("c_custkey")
+        .tail(1)
+    )
+    live = latest[latest["op"] == "U"].copy()
+    live["cents"] = (live["o_totalprice"] * 100).round().astype(int)
+    seg = live.merge(
+        cust[["c_custkey", "c_mktsegment"]], on="c_custkey", how="left"
+    )
+    seg["segment"] = seg["c_mktsegment"].fillna("NEW")
+    expected = {
+        s: (len(g), round(g["cents"].sum() / 100.0, 2))
+        for s, g in seg.groupby("segment")
+    }
+
+    got = {
+        r.segment: (r.n_live, r.sum_bal)
+        for r in registry.QUERIES["streaming_ivm_agg"](
+            spark, sf_smoke
+        ).collect()
+    }
+    assert got == expected
