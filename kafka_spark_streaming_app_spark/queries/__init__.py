@@ -45,4 +45,5 @@ from . import (  # noqa: F401
     cdc,
     sampling,
     evalmetrics,
+    formats,
 )

@@ -1,0 +1,199 @@
+"""Source/sink format breadth beyond parquet: ORC round-trip with
+partition pruning, CSV ingestion with PERMISSIVE corrupt-record audit.
+
+Both fixtures are derived deterministically from the parquet tables
+(once per session, temp dirs), so the DuckDB oracle replicates the
+round-trip's OBSERVABLE result from the registered views — the format
+codecs themselves are what the Spark side exercises.
+
+Float-to-string is never portable across engines, so every value that
+crosses a text format travels as integer cents.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.batch import load_table
+
+# one fixture materialization per (session, sf_dir, kind)
+_FIXTURE_DIRS: dict[tuple[str, str, str], str] = {}
+
+
+def _fixture_dir(spark: SparkSession, sf_dir: str, kind: str) -> str | None:
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    d = _FIXTURE_DIRS.get(key)
+    if d is not None and os.path.isdir(d):
+        return d
+    return None
+
+
+def _remember(spark: SparkSession, sf_dir: str, kind: str, d: str) -> None:
+    _FIXTURE_DIRS[(spark.sparkContext.applicationId, sf_dir, kind)] = d
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+
+
+# --- ORC round-trip with partition pruning -----------------------------------
+
+_ORC_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS DOUBLE) / 100.0, 2) AS revenue
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("orc_roundtrip_agg", _ORC_ORACLE)
+def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC as a first-class batch format: orders written once per
+    session as ORC partitioned by ``o_orderstatus`` (prices as exact
+    integer cents — text/binary round-trips never carry raw doubles),
+    read back through ``spark.read.orc`` with a partition filter, and
+    aggregated. The oracle recomputes the same aggregate from the
+    parquet view, so the hash proves the ORC writer+reader round-trip
+    is lossless AND the status filter prunes to the right partition.
+
+    100 TB posture: the partition filter resolves at file listing
+    (only the ``o_orderstatus=F`` directory is read — asserted in
+    tests/test_plans.py), ORC carries the same predicate-pushdown /
+    column-pruning contract as parquet, and the aggregate is one
+    partial+final pass over the pruned split set."""
+    d = _fixture_dir(spark, sf_dir, "orc")
+    if d is None:
+        d = tempfile.mkdtemp(prefix="orc_fixture_")
+        (
+            load_table(spark, sf_dir, "orders")
+            .select(
+                "o_orderkey",
+                "o_orderstatus",
+                "o_orderpriority",
+                F.round(F.col("o_totalprice") * 100, 0)
+                .cast("bigint")
+                .alias("cents"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("o_orderstatus")
+            .orc(d)
+        )
+        _remember(spark, sf_dir, "orc", d)
+    return (
+        spark.read.orc(d)
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("cents").cast("double") / 100.0, 2).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- CSV ingestion with corrupt-record audit ---------------------------------
+
+_CSV_ORACLE = """
+WITH t AS (
+    SELECT event_id, user_id, event_type,
+           CASE WHEN value IS NOT NULL
+                THEN CAST(round(value * 100, 0) AS BIGINT) END AS cents
+    FROM events
+),
+flagged AS (
+    SELECT *,
+           (event_id % 97 = 0 AND cents IS NOT NULL) AS is_corrupt
+    FROM t
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(coalesce(sum(CASE WHEN is_corrupt THEN 1 END), 0) AS BIGINT)
+           AS n_corrupt,
+       CAST(coalesce(sum(CASE WHEN NOT is_corrupt AND user_id IS NULL
+                               THEN 1 END), 0) AS BIGINT) AS n_null_user,
+       CAST(sum(CASE WHEN NOT is_corrupt THEN cents END) AS BIGINT)
+           AS sum_good_cents
+FROM flagged
+"""
+
+
+@query("csv_ingest_audit", _CSV_ORACLE)
+def csv_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingestion through the real Spark CSV reader in PERMISSIVE
+    mode with a corrupt-record audit — the landing-zone pattern every
+    pipeline needs before it trusts a text feed. The fixture renders
+    events as CSV lines (values as integer cents; every 97th event's
+    cents field is corrupted to a non-numeric token), the reader
+    parses with an explicit schema + ``_corrupt_record``, and the
+    audit counts rows / corrupt rows / null-key rows and sums the
+    cleanly-parsed cents. The oracle reproduces the same audit from
+    the parquet view, pinning the reader's PERMISSIVE semantics
+    (malformed field → row lands in _corrupt_record, typed columns
+    null) against an engine that never saw the CSV.
+
+    100 TB posture: schema-explicit single-pass parse (no
+    inferSchema scan), corrupt rows quarantined per-row instead of
+    failing the job, and the audit is one partial+final aggregate."""
+    d = _fixture_dir(spark, sf_dir, "csv")
+    if d is None:
+        d = tempfile.mkdtemp(prefix="csv_fixture_")
+        lines = load_table(spark, sf_dir, "events").select(
+            F.concat_ws(
+                ",",
+                F.col("event_id").cast("string"),
+                F.coalesce(F.col("user_id").cast("string"), F.lit("")),
+                F.col("event_type"),
+                F.when(
+                    F.col("value").isNotNull(),
+                    F.when(
+                        F.col("event_id") % 97 == 0,
+                        F.concat(
+                            F.lit("x"),
+                            F.round(F.col("value") * 100, 0)
+                            .cast("bigint")
+                            .cast("string"),
+                        ),
+                    ).otherwise(
+                        F.round(F.col("value") * 100, 0)
+                        .cast("bigint")
+                        .cast("string")
+                    ),
+                ).otherwise(F.lit("")),
+            ).alias("value")
+        )
+        lines.write.mode("overwrite").text(d)
+        _remember(spark, sf_dir, "csv", d)
+    parsed = (
+        spark.read.schema(
+            "event_id bigint, user_id bigint, event_type string, "
+            "cents bigint, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(d)
+    )
+    is_corrupt = F.col("_corrupt_record").isNotNull()
+    return parsed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.coalesce(F.sum(F.when(is_corrupt, 1)), F.lit(0))
+        .cast("bigint")
+        .alias("n_corrupt"),
+        F.coalesce(
+            F.sum(F.when(~is_corrupt & F.col("user_id").isNull(), 1)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_null_user"),
+        F.sum(F.when(~is_corrupt, F.col("cents")))
+        .cast("bigint")
+        .alias("sum_good_cents"),
+    )

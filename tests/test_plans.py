@@ -848,3 +848,14 @@ def test_als_iteration_is_barriered(spark, sf_smoke):
     plan = plan_str(registry.QUERIES["als_rank1_implicit"](spark, sf_smoke))
     assert "ExistingRDD" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_orc_scan_prunes_status_partition(spark, sf_smoke):
+    """orc_roundtrip_agg's ORC scan must resolve the o_orderstatus
+    filter as a PARTITION filter (directory pruning at listing time),
+    not a post-scan filter over all partitions."""
+    plan = plan_str(registry.QUERIES["orc_roundtrip_agg"](spark, sf_smoke))
+    assert "Scan orc" in plan
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "o_orderstatus" in seg

@@ -333,3 +333,71 @@ def test_wire_replay_sink_streaming_exactly_once(tmp_path, spark):
     import glob
 
     assert not glob.glob(f"{out}/_tmp_*")
+
+
+def test_csv_ingest_audit_matches_pandas(spark, sf_smoke):
+    """csv_ingest_audit recomputed with pandas from the parquet events
+    (same corruption rule): the Spark CSV reader's PERMISSIVE
+    semantics — malformed field => row quarantined in _corrupt_record
+    — must match the audit an engine that never saw the CSV derives.
+    Also guards against a vacuous pass: the fixture must actually
+    plant corrupt rows."""
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet")
+    cents = (ev["value"] * 100).round()
+    is_corrupt = (ev["event_id"] % 97 == 0) & ev["value"].notna()
+    good = ~is_corrupt
+    expected = (
+        len(ev),
+        int(is_corrupt.sum()),
+        int((good & ev["user_id"].isna()).sum()),
+        int(cents[good & ev["value"].notna()].sum()),
+    )
+    assert expected[1] > 0, "fixture planted no corrupt rows"
+
+    [r] = registry.QUERIES["csv_ingest_audit"](spark, sf_smoke).collect()
+    assert (r.n_rows, r.n_corrupt, r.n_null_user, r.sum_good_cents) == (
+        expected
+    )
+
+
+def test_orc_roundtrip_agg_matches_parquet_twin(spark, sf_smoke):
+    """The ORC round-trip aggregate equals the same aggregate computed
+    straight off the parquet orders table — writer+reader lossless."""
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_app_spark import registry
+    from kafka_spark_streaming_app_spark.sources.batch import load_table
+
+    registry.load_all()
+    got = {
+        r.o_orderpriority: (r.n_orders, r.revenue)
+        for r in registry.QUERIES["orc_roundtrip_agg"](
+            spark, sf_smoke
+        ).collect()
+    }
+    twin = {
+        r.o_orderpriority: (r.n, r.rev)
+        for r in (
+            load_table(spark, sf_smoke, "orders")
+            .filter(F.col("o_orderstatus") == "F")
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.round(
+                    F.sum(
+                        F.round(F.col("o_totalprice") * 100, 0).cast(
+                            "bigint"
+                        )
+                    ).cast("double")
+                    / 100.0,
+                    2,
+                ).alias("rev"),
+            )
+        ).collect()
+    }
+    assert got == twin
