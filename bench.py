@@ -266,6 +266,10 @@ HEADLINE = [
     "ams_f2_sketch",
     "streaming_funnel_rollup",
     "als_rank1_implicit",
+    "doubly_robust_eval",
+    "streaming_ivm_agg",
+    "orc_roundtrip_agg",
+    "csv_ingest_audit",
 ]
 
 

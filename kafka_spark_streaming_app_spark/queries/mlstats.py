@@ -4570,15 +4570,16 @@ def ips_offline_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rho_q"),
     )
+    # per-row cast BEFORE the sum: the r·ρ and ρ² running sums pass
+    # int64 range at large SFs even though every row fits (DuckDB's
+    # HUGEINT sum promotion hides this asymmetry — values identical)
     agg = q.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("rc").cast("decimal(38,0)").alias("sum_r"),
-        F.sum("rho_q").cast("decimal(38,0)").alias("sum_rho"),
-        F.sum(F.col("rc") * F.col("rho_q"))
-        .cast("decimal(38,0)")
+        F.sum(F.col("rc").cast("decimal(38,0)")).alias("sum_r"),
+        F.sum(F.col("rho_q").cast("decimal(38,0)")).alias("sum_rho"),
+        F.sum((F.col("rc") * F.col("rho_q")).cast("decimal(38,0)"))
         .alias("sum_r_rho"),
-        F.sum(F.col("rho_q") * F.col("rho_q"))
-        .cast("decimal(38,0)")
+        F.sum((F.col("rho_q") * F.col("rho_q")).cast("decimal(38,0)"))
         .alias("sum_rho2"),
         F.max("rho_q").cast("bigint").alias("max_rho_q"),
     )
@@ -4780,19 +4781,23 @@ def doubly_robust_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_log.alias("q_log"),
         )
     )
+    # per-row products fit int64 comfortably, but their RUNNING SUM
+    # does not at large SFs (the correction term is ~1e16/row) — cast
+    # each row to decimal(38,0) BEFORE summing, the stabilized_sum
+    # discipline (DuckDB's BIGINT sum auto-promotes to HUGEINT, so
+    # only the Spark side can overflow; values are identical).
     agg = evh.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("rc").cast("decimal(38,0)").alias("sum_r"),
-        F.sum(F.col("rc") * F.col("rho_q"))
-        .cast("decimal(38,0)")
+        F.sum(F.col("rc").cast("decimal(38,0)")).alias("sum_r"),
+        F.sum((F.col("rc") * F.col("rho_q")).cast("decimal(38,0)"))
         .alias("sum_r_rho"),
-        F.sum("dm_q").cast("decimal(38,0)").alias("sum_dm"),
+        F.sum(F.col("dm_q").cast("decimal(38,0)")).alias("sum_dm"),
         F.sum(
-            F.col("rho_q")
-            * (F.col("rc") * F.lit(1000000) - F.col("q_log"))
-        )
-        .cast("decimal(38,0)")
-        .alias("sum_cor"),
+            (
+                F.col("rho_q")
+                * (F.col("rc") * F.lit(1000000) - F.col("q_log"))
+            ).cast("decimal(38,0)")
+        ).alias("sum_cor"),
     )
     nD = F.col("n").cast("double")
     return agg.select(

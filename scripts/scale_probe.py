@@ -146,6 +146,13 @@ PROBES = (
     "ams_f2_sketch",
     "als_rank1_implicit",
     "streaming_funnel_rollup",
+    # DR eval is one scan + a 5-cell broadcast; IVM replays the Nx
+    # feed through retraction deltas into key-cardinality state; the
+    # format round-trips re-materialize and re-read Nx fixture bytes
+    "doubly_robust_eval",
+    "streaming_ivm_agg",
+    "orc_roundtrip_agg",
+    "csv_ingest_audit",
 )
 
 
