@@ -87,6 +87,92 @@ def connected_components(
     )
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — the 100 TB algorithm: converges in O(log² n) rounds on
+    ANY graph, where :func:`connected_components`'s min-label
+    propagation needs O(diameter) rounds (a path graph of chained
+    near-dups makes that linear). Both emit the identical
+    (node, cluster_id = component min) labeling, so they share the
+    transitive-closure oracle.
+
+    large-star(u): point every LARGER neighbor at min(N(u) ∪ {u}) —
+    strictly height-reducing. small-star(u): re-point every smaller
+    neighbor (and u) at the minimum smaller neighbor — flattens local
+    chains. Each half-round is one symmetrize/orient projection + one
+    keyed min + one join, all shuffling the CURRENT edge set only;
+    edges sit behind eager barriers so the iterative lineage never
+    re-expands. Convergence = exact edge-set fixpoint (two
+    ``exceptAll`` probes on edge-sized state per round).
+    """
+    e = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+            F.least(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # LARGE-STAR over the symmetrized edges: m(u) = min(N(u)∪{u});
+        # emit (v, m) for neighbors v > u.
+        sym = e.unionAll(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.min("u")).alias("m")
+        )
+        large = (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # SMALL-STAR: edges already oriented (u > v). m2(u) = min of
+        # the smaller neighborhood; re-point each smaller neighbor
+        # (except m2 itself) and u at m2.
+        m2 = large.groupBy("u").agg(F.min("v").alias("m2"))
+        small = (
+            large.join(m2, "u")
+            .select(
+                F.when(F.col("v") == F.col("m2"), F.col("u"))
+                .otherwise(F.col("v"))
+                .alias("u"),
+                F.col("m2").alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        changed = (
+            small.exceptAll(e).limit(1).count()
+            + e.exceptAll(small).limit(1).count()
+        )
+        e = small
+        if changed == 0:
+            return (
+                e.select(F.col("u").alias("node"), F.col("v").alias("l"))
+                .unionAll(
+                    e.select(
+                        F.col("v").alias("node"), F.col("v").alias("l")
+                    )
+                )
+                .groupBy("node")
+                .agg(F.min("l").alias("cluster_id"))
+            )
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_iter} "
+        "rounds (expected O(log^2 n) — raise max_iter)"
+    )
+
+
 # 2^40 fixed-point scale for PageRank contributions: floor-truncated
 # scaled integers sum exactly (order- and engine-independent), the
 # same discipline as similarity.KM_SCALE. floor() — not a bare bigint

@@ -1286,3 +1286,34 @@ def dedup_fastss_ed1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "dist")
         .orderBy("id_a", "id_b")
     )
+
+
+# --- star-algorithm connected components (the O(log n)-round twin) ----------
+
+
+@query("dedup_clusters_star", _CLUSTERS_ORACLE)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_clusters``'s exact twin computed with the LARGE-STAR /
+    SMALL-STAR algorithm (Kiveris et al.) instead of min-label
+    propagation — identical (doc_id, cluster_id) output against the
+    same recursive-CTE transitive-closure oracle. The point is the
+    round bound: min-label needs O(diameter) supersteps (a chain of
+    pairwise near-dups — common in scraped mirror farms — makes that
+    linear), star contraction needs O(log² n) on any topology, which
+    is the difference between a job that finishes and one that doesn't
+    when a 100 TB near-dup graph turns out to contain long chains.
+    Per half-round cost is one keyed min + one join over the CURRENT
+    edge set, barriered."""
+    from ..operators.graph import connected_components_star
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=12, shingle_n=3)
+    candidates = lsh_candidate_pairs(sigs, num_hashes=12, band_size=2)
+    pairs = jaccard_verify_candidates(
+        docs, candidates, shingle_n=3, threshold=0.5
+    ).select("id_a", "id_b")
+    cc = connected_components_star(pairs)
+    return docs.join(cc, docs.doc_id == cc.node, "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+    )

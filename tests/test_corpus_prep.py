@@ -687,3 +687,38 @@ def test_personalized_pagerank_ignores_dangling_seeds(spark):
         ).collect()
     }
     assert with_dangling == base
+
+
+def test_star_components_match_min_label_and_log_rounds(spark):
+    """connected_components_star equals connected_components on a
+    mixed fixture (chain + triangle + singletons-by-absence), and on a
+    255-node PATH graph it converges within the O(log^2 n) budget
+    where min-label propagation would need ~255 supersteps (the
+    round-bound claim that justifies the twin)."""
+    from kafka_spark_streaming_app_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    mixed = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)]
+    pairs = spark.createDataFrame(mixed, ["id_a", "id_b"])
+    a = {
+        r.node: r.cluster_id
+        for r in connected_components(pairs).collect()
+    }
+    b = {
+        r.node: r.cluster_id
+        for r in connected_components_star(pairs).collect()
+    }
+    assert a == b
+    assert b[4] == 1 and b[12] == 10 and b[21] == 20
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(255)], ["id_a", "id_b"]
+    )
+    got = {
+        r.node: r.cluster_id
+        for r in connected_components_star(chain, max_iter=14).collect()
+    }
+    assert set(got.values()) == {0}
+    assert len(got) == 256
