@@ -2773,3 +2773,122 @@ def ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(est - F.col("f2_exact")) / F.col("f2_exact"), 6
         ).alias("rel_error"),
     )
+
+
+# --- out-of-order arrival profile --------------------------------------------
+#
+# The watermark-sizing question every streaming deployment asks first:
+# HOW out-of-order is this source? Lateness of each event vs the
+# running maximum EVENT time in ARRIVAL order, per type — the
+# histogram that picks `withWatermark`'s delay. The stored events
+# table is perfectly event-time-ordered (zero lateness — vacuous), so
+# arrival order is simulated with the standard bounded transport
+# jitter: arrival_us = event_us + (h60(event_id) % 3600s) − 1800s, i.e.
+# each event arrives up to 30 minutes early or late, deterministically
+# on both engines. Micros ride unix_micros/epoch_us (exact int64);
+# lateness sums cast to DECIMAL(38,0) per row (micros × corpus
+# outgrows int64).
+
+_OOO_JITTER_SQL = (
+    "(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT"
+    " % 3600000000) - 1800000000"
+)
+
+_OOO_ORACLE = f"""
+WITH o AS (
+    SELECT event_type, epoch_us(ts) AS us,
+           max(epoch_us(ts)) OVER (
+               PARTITION BY event_type
+               ORDER BY epoch_us(ts) + ({_OOO_JITTER_SQL}), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS prev_max
+    FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(coalesce(sum(CASE WHEN us < prev_max THEN 1 END), 0) AS BIGINT)
+           AS n_late,
+       round(CAST(coalesce(max(CASE WHEN us < prev_max
+                                    THEN prev_max - us END), 0) AS DOUBLE)
+             / 1e6, 6) AS max_late_secs,
+       round(CAST(coalesce(sum(CASE WHEN us < prev_max
+                                    THEN prev_max - us END), 0) AS DOUBLE)
+             / greatest(coalesce(sum(CASE WHEN us < prev_max THEN 1 END),
+                                 0), 1)
+             / 1e6, 6) AS avg_late_secs
+FROM o
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("out_of_order_profile", _OOO_ORACLE)
+def out_of_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type out-of-orderness of the events source under a
+    deterministic ±30 min transport jitter (see module note): late-event
+    count, max and mean lateness vs the running event-time maximum in
+    arrival order — the measurement that sizes a watermark delay
+    before anyone picks one. One keyed window pass + one aggregation.
+
+    100 TB posture: the running max is a per-key window (5 keys here —
+    at production key skew this becomes the two-level time-bucketed
+    running max the llmprep prefix-sum uses: per-bucket max, one
+    bucket-boundary broadcast, row-local combine); lateness sums ride
+    per-row DECIMAL(38,0) casts since micros × corpus passes int64."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import h60
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        # ts arrives TIMESTAMP_NTZ; unix_micros needs TIMESTAMP. The
+        # session-tz offset the cast introduces cancels in every
+        # output (all are differences), so this is tz-safe.
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    jitter = (
+        h60(F.col("event_id").cast("string")) % 3600000000 - 1800000000
+    )
+    ev = ev.withColumn("arr_us", F.col("us") + jitter)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("arr_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = ev.select(
+        "event_type", "us", F.max("us").over(w).alias("prev_max")
+    )
+    late = F.col("us") < F.col("prev_max")
+    late_by = F.col("prev_max") - F.col("us")
+    return (
+        o.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.coalesce(F.sum(F.when(late, 1)), F.lit(0))
+            .cast("bigint")
+            .alias("n_late"),
+            F.round(
+                F.coalesce(F.max(F.when(late, late_by)), F.lit(0)).cast(
+                    "double"
+                )
+                / 1e6,
+                6,
+            ).alias("max_late_secs"),
+            F.round(
+                F.coalesce(
+                    F.sum(
+                        F.when(late, late_by).cast("decimal(38,0)")
+                    ),
+                    F.lit(0).cast("decimal(38,0)"),
+                ).cast("double")
+                / F.greatest(
+                    F.coalesce(F.sum(F.when(late, 1)), F.lit(0)),
+                    F.lit(1),
+                )
+                / 1e6,
+                6,
+            ).alias("avg_late_secs"),
+        )
+        .orderBy("event_type")
+    )

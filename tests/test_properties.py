@@ -3932,3 +3932,59 @@ def test_doubly_robust_eval_matches_pure_python(spark, sf_smoke):
     assert row.v_dr == round(
         (sum_dm / 1e6 + sum_cor / 1e12) / 100.0 / n, 6
     )
+
+
+def test_out_of_order_profile_matches_pandas(spark, sf_smoke):
+    """out_of_order_profile recomputed with pandas (running max per
+    type in event_id order); also asserts the fixture actually
+    contains late events, so the watermark-sizing metric is not a
+    vacuous zero."""
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    import hashlib
+
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet")
+    ev["us"] = ev["ts"].astype("int64")  # datetime64[us] -> us
+    ev["arr_us"] = ev["us"] + ev["event_id"].map(
+        lambda i: int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        % 3600000000
+        - 1800000000
+    )
+    expected = {}
+    for t, g in ev.groupby("event_type"):
+        g = g.sort_values(["arr_us", "event_id"])
+        us = g["us"].to_numpy()
+        prev_max = pd.Series(us).shift(1).cummax().to_numpy()
+        late = us < prev_max
+        late_by = (prev_max - us)[late]
+        n_late = int(late.sum())
+        expected[t] = (
+            len(g),
+            n_late,
+            round(float(late_by.max()) / 1e6, 6) if n_late else 0.0,
+            round(float(late_by.sum()) / max(n_late, 1) / 1e6, 6),
+        )
+    assert any(v[1] > 0 for v in expected.values())
+
+    got = {
+        r.event_type: (
+            r.n_events,
+            r.n_late,
+            r.max_late_secs,
+            r.avg_late_secs,
+        )
+        for r in registry.QUERIES["out_of_order_profile"](
+            spark, sf_smoke
+        ).collect()
+    }
+    assert set(got) == set(expected)
+    for t, (n, nl, mx, avg) in expected.items():
+        gn, gnl, gmx, gavg = got[t]
+        # counts exact; the two float columns within a rounding ulp
+        # (Spark/DuckDB round() vs Python round() can differ in the
+        # 6th decimal — the ENGINES agree bit-for-bit via the oracle)
+        assert (gn, gnl) == (n, nl)
+        assert abs(gmx - mx) < 1e-5 and abs(gavg - avg) < 1e-5
