@@ -270,6 +270,8 @@ HEADLINE = [
     "streaming_ivm_agg",
     "orc_roundtrip_agg",
     "csv_ingest_audit",
+    "dedup_clusters_star",
+    "out_of_order_profile",
 ]
 
 

@@ -191,6 +191,11 @@ NOTES = {
     "dedup_fastss_ed1": "Variant explode (N*(L+1) rows) -> equi-join on the variant key -> distinct candidate pairs -> one Levenshtein verify per candidate; no all-pairs term anywhere.",
     "ams_f2_sketch": "ONE h60 per row, 60 bit-derived sign sums in a single partial+final aggregation (60 int64 cells, map-side combinable); exact twin is one keyed groupBy.",
     "als_rank1_implicit": "Ratings collapse to (u,k,count) once behind a barrier; each half-step is ratings-join-factors + keyed agg (shuffle = observed triples), barriered per iteration.",
+    "doubly_robust_eval": "One scan; reward model is a 5-cell agg broadcast back as a 1-row pivot; every sum rides per-row decimal casts.",
+    "dedup_clusters_star": "Alternating large-star/small-star rounds: keyed min + join over the CURRENT edge set, barriered; O(log^2 n) rounds on any topology vs min-label's O(diameter).",
+    "out_of_order_profile": "One keyed window pass (running event-time max in jittered arrival order) + one aggregation; lateness sums per-row decimal-cast.",
+    "orc_roundtrip_agg": "Partition filter resolves at ORC file listing (one status directory read); partial+final agg over the pruned splits.",
+    "csv_ingest_audit": "Schema-explicit single-pass CSV parse (no inferSchema pre-scan); corrupt rows quarantined per-row; one partial+final agg.",
 }
 
 

@@ -153,6 +153,11 @@ PROBES = (
     "streaming_ivm_agg",
     "orc_roundtrip_agg",
     "csv_ingest_audit",
+    # star CC iterates keyed-min/join rounds over the near-dup edge
+    # set (jitter-free: the pair graph collapses under duplication, so
+    # probe via the jittered fixture); lateness profile is one keyed
+    # window pass
+    "out_of_order_profile",
 )
 
 
@@ -249,6 +254,7 @@ JITTER_DOC_PROBES = (
     # replicate identical strings (pair-join N^2 artifact); jittered
     # ids produce N distinct corpora of planted pairs
     "dedup_fastss_ed1",
+    "dedup_clusters_star",
 )
 
 # Probes that need the jittered-embeddings fixture (see the comment at
