@@ -2311,3 +2311,146 @@ def semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contaminated"
         ),
     )
+
+
+# --- binary (sign) quantization + Hamming retrieval ---------------------------
+#
+# The 1-bit extreme of the SQ8/PQ quantization family: each 64-dim
+# vector collapses to ONE int64 of sign bits, candidate generation is
+# xor+popcount over the packed column (SIMD-cheap at 100 TB — the
+# binary-embedding retrieval production stacks ship as the first
+# funnel stage), and only the top-H Hamming candidates pay the exact
+# float rerank. Bit 63 packs as the int64 sign bit (its term is the
+# literal -2^63; every per-row sum stays in range because the single
+# negative term follows at most 2^63-1 of positive mass).
+
+_BIN_H = 32  # Hamming candidates per query before exact rerank
+
+
+def _sign_terms(vec: str, idx: str = "{v}[{i}]") -> str:
+    """64 sign-bit terms. ``idx`` is the element-access template:
+    DuckDB lists index 1-based with ``v[i]``; Spark SQL's ``v[i]`` is
+    0-based, so the Spark side passes ``element_at({v}, {i})`` (also
+    1-based) to keep the generated text aligned with the oracle."""
+    terms = []
+    for d in range(_DIM):
+        lit = -(2**63) if d == 63 else (1 << d)
+        access = idx.format(v=vec, i=d + 1)
+        terms.append(
+            f"(CASE WHEN {access} > 0 THEN CAST({lit} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END)"
+        )
+    return " + ".join(terms)
+
+
+_BIN_ORACLE = (
+    _NORMED
+    + f"""
+, s AS (
+    SELECT vec_id, v, norm, {_sign_terms("v")} AS sig FROM n
+),
+sq AS (
+    SELECT vec_id AS query_id, v AS qv, norm AS qnorm, sig AS qsig
+    FROM s WHERE vec_id < {_NUM_QUERIES}
+),
+ham AS (
+    SELECT sq.query_id, c.vec_id AS corpus_id, c.v, c.norm,
+           sq.qv, sq.qnorm,
+           bit_count(xor(c.sig, sq.qsig)) AS hamming
+    FROM s c, sq
+    WHERE c.vec_id <> sq.query_id
+),
+cand AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY hamming, corpus_id) AS hrank
+        FROM ham
+    ) WHERE hrank <= {_BIN_H}
+)
+SELECT query_id, corpus_id, hamming, cosine, rank FROM (
+    SELECT query_id, corpus_id, CAST(hamming AS BIGINT) AS hamming,
+           round(list_inner_product(qv, v) / (qnorm * norm), 6) AS cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(list_inner_product(qv, v)
+                                             / (qnorm * norm), 6) DESC,
+                                       corpus_id) AS rank
+    FROM cand
+) WHERE rank <= 5
+"""
+)
+
+
+@query("similarity_binary_hamming", _BIN_ORACLE)
+def similarity_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized retrieval: sign-bit signatures (64 dims → one
+    int64), xor+popcount Hamming distance to the query batch, top-32
+    candidates per query, exact-cosine rerank to top-5. The oracle
+    replicates packing, Hamming ranking (ties by corpus_id), and the
+    rerank — so the hash pins the full two-stage funnel, and the
+    `similarity_topk_brute` twin measures its recall.
+
+    100 TB posture: the candidate stage reads ONE packed int64 per
+    vector (64× less than the float row) and is pure scan-local bit
+    math against a broadcast query batch — the cheapest possible
+    first funnel; the float vectors are touched only for the 32·Q
+    rerank rows. Signature packing itself is a one-time scan
+    projection co-located with ingestion."""
+    from ..functions.vectors import cosine
+    from ..operators.similarity import with_vector_norm
+
+    emb = with_vector_norm(
+        load_table(spark, sf_dir, "embeddings"), "embedding"
+    )
+    s = emb.select(
+        "vec_id",
+        "v",
+        "norm",
+        F.expr(
+            _sign_terms("v", idx="element_at({v}, {i})")
+        ).alias("sig"),
+    ).localCheckpoint(eager=False)
+    q = s.filter(F.col("vec_id") < _NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.col("sig").alias("qsig"),
+    )
+    ham = (
+        s.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("corpus_id"),
+            "v",
+            "norm",
+            "qv",
+            "qnorm",
+            F.bit_count(
+                F.col("sig").bitwiseXOR(F.col("qsig"))
+            ).alias("hamming"),
+        )
+    )
+    wh = Window.partitionBy("query_id").orderBy("hamming", "corpus_id")
+    cand = ham.withColumn("hrank", F.row_number().over(wh)).filter(
+        F.col("hrank") <= _BIN_H
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("corpus_id")
+    )
+    return (
+        cand.withColumn(
+            "cosine",
+            cosine(
+                F.col("qv"), F.col("v"), F.col("qnorm"), F.col("norm")
+            ),
+        )
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "corpus_id",
+            F.col("hamming").cast("bigint").alias("hamming"),
+            "cosine",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

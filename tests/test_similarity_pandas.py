@@ -153,3 +153,67 @@ def test_ranking_metrics_match_independent_recompute(spark, sf_smoke):
         idcg = sum(disc[: min(5, n_truth[q])])
         assert mrr == exp_mrr
         assert ndcg == round(dcg / idcg, 6)
+
+
+def test_binary_hamming_matches_numpy_and_measures_recall(spark, sf_smoke):
+    """similarity_binary_hamming recomputed with numpy (sign packing,
+    xor+popcount, top-32 Hamming, exact-cosine rerank) — exact match —
+    and its recall vs the brute-force top-5 must be non-trivial (the
+    1-bit funnel keeps most true neighbors at 64 dims)."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    emb = pd.read_parquet(f"{sf_smoke}/embeddings.parquet")
+    V = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    norms = np.sqrt((V * V).sum(axis=1))
+    keep = norms > 0
+    V, ids, norms = V[keep], ids[keep], norms[keep]
+    sig = np.zeros(len(V), dtype=np.uint64)
+    for d in range(64):
+        sig |= (V[:, d] > 0).astype(np.uint64) << np.uint64(d)
+
+    expected = {}
+    for qi in np.where(ids < 5)[0]:
+        mask = ids != ids[qi]
+        ham = np.array(
+            [bin(int(sig[qi] ^ s)).count("1") for s in sig[mask]]
+        )
+        cid = ids[mask]
+        order = np.lexsort((cid, ham))[:32]
+        cos = np.round(
+            (V[mask][order] @ V[qi]) / (norms[mask][order] * norms[qi]),
+            6,
+        )
+        rer = np.lexsort((cid[order], -cos))[:5]
+        expected[int(ids[qi])] = [
+            (int(cid[order][r]), float(cos[r])) for r in rer
+        ]
+
+    got = {}
+    for r in (
+        registry.QUERIES["similarity_binary_hamming"](spark, sf_smoke)
+        .orderBy("query_id", "rank")
+        .collect()
+    ):
+        got.setdefault(r.query_id, []).append((r.corpus_id, r.cosine))
+    assert set(got) == set(expected)
+    for k in got:
+        assert [c for c, _ in got[k]] == [c for c, _ in expected[k]]
+        for (_, a), (_, b) in zip(got[k], expected[k]):
+            assert abs(a - b) < 2e-6  # numpy fsum order vs engine
+    # recall vs exact top-5
+    brute = {}
+    for r in (
+        registry.QUERIES["similarity_topk_brute"](spark, sf_smoke)
+        .filter("rank <= 5")
+        .collect()
+    ):
+        brute.setdefault(r.query_id, set()).add(r.corpus_id)
+    hits = sum(
+        len(brute[q] & {c for c, _ in got[q]}) for q in brute
+    )
+    assert hits / (5 * len(brute)) >= 0.5
