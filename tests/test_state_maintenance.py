@@ -629,3 +629,96 @@ def test_compact_replay_garbage_collects_committed_leftovers(
     assert {r.k: r.c for r in read_state(spark, state_dir).collect()} == {
         "a": 1
     }
+
+
+def test_ivm_two_state_replay_is_exactly_once(spark, tmp_path):
+    """The streaming_ivm_agg ordering contract, pinned directly on the
+    state primitives: deltas are computed from the PRE-merge key
+    state, the additive aggregate commits FIRST, the keyed state
+    second. A replay after a crash between the two commits (aggregate
+    applied, keys not) must recompute identical deltas, skip the
+    aggregate via its marker, and complete the key merge — the view
+    stays exactly-once."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from kafka_spark_streaming_app_spark.streaming.state import (
+        merge_into_compact_state,
+        merge_into_partitioned_state,
+        read_state,
+    )
+
+    key_state = str(tmp_path / "keys" / "state")
+    agg_state = str(tmp_path / "agg" / "state")
+
+    def _key_merge(existing, part):
+        base = part
+        if existing is not None:
+            base = existing.unionByName(part)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("k").orderBy(F.desc("seq"))
+        return (
+            base.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    def _agg_merge(existing, part):
+        if existing is None:
+            return part
+        return (
+            existing.unionByName(part)
+            .groupBy("g")
+            .agg(F.sum("d").alias("d"))
+        )
+
+    def apply_batch(batch_id, rows, crash_between=False):
+        part = spark.createDataFrame(rows, "k bigint, seq bigint, c bigint")
+        part = part.withColumn("bucket", F.pmod(F.col("k"), F.lit(4)))
+        cur = None
+        import os as _os
+
+        if _os.path.isdir(key_state) and any(
+            not e.startswith(("_", ".")) for e in _os.listdir(key_state)
+        ):
+            cur = read_state(spark, key_state).select(
+                F.col("k").alias("sk"),
+                F.col("seq").alias("sseq"),
+                F.col("c").alias("sc"),
+            )
+        j = part.join(cur, part.k == cur.sk, "left") if cur is not None else (
+            part.withColumn("sseq", F.lit(None).cast("bigint"))
+            .withColumn("sc", F.lit(None).cast("bigint"))
+        )
+        j = j.filter(F.col("sseq").isNull() | (F.col("seq") > F.col("sseq")))
+        j = j.localCheckpoint()
+        deltas = (
+            j.filter(F.col("sc").isNotNull())
+            .select(F.lit("g0").alias("g"), (-F.col("sc")).alias("d"))
+            .unionByName(
+                j.select(F.lit("g0").alias("g"), F.col("c").alias("d"))
+            )
+            .groupBy("g")
+            .agg(F.sum("d").alias("d"))
+        )
+        merge_into_compact_state(agg_state, batch_id, deltas, _agg_merge)
+        if crash_between:
+            return  # crash window: aggregate committed, keys not
+        merge_into_partitioned_state(
+            key_state,
+            batch_id,
+            j.select("k", "seq", "c", "bucket"),
+            _key_merge,
+            "bucket",
+        )
+
+    apply_batch(0, [(1, 1, 10), (2, 1, 20)])
+    # batch 1 crashes after the aggregate commit
+    apply_batch(1, [(1, 2, 100)], crash_between=True)
+    # foreachBatch replays batch 1 in full
+    apply_batch(1, [(1, 2, 100)])
+
+    view = {r.g: r.d for r in read_state(spark, agg_state).collect()}
+    keys = {r.k: r.c for r in read_state(spark, key_state).collect()}
+    assert keys == {1: 100, 2: 20}
+    assert view == {"g0": 120}  # 10+20, then -10+100 applied ONCE
