@@ -2892,3 +2892,89 @@ def out_of_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- shuffle skew audit -------------------------------------------------------
+#
+# Pre-flight diagnostics for a planned shuffle: given the intended
+# key (events.user_id) and width (32), how unevenly do rows land
+# across hash partitions, and how dominant is the hottest key? The
+# answer decides between a plain groupBy, AQE skew handling, and
+# explicit salting BEFORE the job runs at 100 TB. Partitioning uses
+# the cross-engine h60 (Spark's own pmod(hash(),n) is
+# engine-private), which audits the same statistical question.
+
+_SKEW_P = 32
+
+_SKEW_ORACLE = f"""
+WITH keyed AS (
+    SELECT user_id,
+           {h60_sql("CAST(user_id AS VARCHAR)")} % {_SKEW_P} AS part
+    FROM events WHERE user_id IS NOT NULL
+),
+per_key AS (
+    SELECT user_id, count(*) AS kn FROM keyed GROUP BY user_id
+),
+per_part AS (
+    SELECT part, count(*) AS pn FROM keyed GROUP BY part
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM keyed)
+SELECT
+    tot.n AS n_rows,
+    CAST((SELECT count(*) FROM per_part) AS BIGINT) AS parts_hit,
+    CAST((SELECT max(pn) FROM per_part) AS BIGINT) AS max_part_rows,
+    round(CAST((SELECT max(pn) FROM per_part) AS DOUBLE)
+          / (CAST(tot.n AS DOUBLE) / {_SKEW_P}), 6) AS part_imbalance,
+    CAST((SELECT max(kn) FROM per_key) AS BIGINT) AS max_key_rows,
+    round(CAST((SELECT max(kn) FROM per_key) AS DOUBLE) / tot.n, 6)
+        AS top_key_share
+FROM tot
+"""
+
+
+@query("shuffle_skew_audit", _SKEW_ORACLE)
+def shuffle_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew audit for a planned shuffle on ``events.user_id`` at width
+    32: partition-level imbalance (max partition vs even share) and
+    key-level dominance (hottest key's row share). imbalance ≈ 1 →
+    plain shuffle; a few hot PARTITIONS with cold keys → widen or
+    re-hash; a hot KEY → salt or AQE skew-join, since no width fixes
+    a single key. Two keyed aggregations over one scan, folded to a
+    single row — audit cost is one pass regardless of scale."""
+    from ..functions.hashing import h60
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            (
+                h60(F.col("user_id").cast("string")) % _SKEW_P
+            ).alias("part"),
+        )
+    )
+    ev = ev.localCheckpoint(eager=False)
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("kn"))
+    per_part = ev.groupBy("part").agg(F.count(F.lit(1)).alias("pn"))
+    kk = per_key.agg(
+        F.sum("kn").cast("bigint").alias("n_rows"),
+        F.max("kn").cast("bigint").alias("max_key_rows"),
+    )
+    pp = per_part.agg(
+        F.count(F.lit(1)).cast("bigint").alias("parts_hit"),
+        F.max("pn").cast("bigint").alias("max_part_rows"),
+    )
+    return kk.crossJoin(F.broadcast(pp)).select(
+        "n_rows",
+        "parts_hit",
+        "max_part_rows",
+        F.round(
+            F.col("max_part_rows").cast("double")
+            / (F.col("n_rows").cast("double") / F.lit(float(_SKEW_P))),
+            6,
+        ).alias("part_imbalance"),
+        "max_key_rows",
+        F.round(
+            F.col("max_key_rows").cast("double") / F.col("n_rows"), 6
+        ).alias("top_key_share"),
+    )

@@ -3988,3 +3988,34 @@ def test_out_of_order_profile_matches_pandas(spark, sf_smoke):
         # 6th decimal — the ENGINES agree bit-for-bit via the oracle)
         assert (gn, gnl) == (n, nl)
         assert abs(gmx - mx) < 1e-5 and abs(gavg - avg) < 1e-5
+
+
+def test_shuffle_skew_audit_matches_pandas(spark, sf_smoke):
+    """shuffle_skew_audit recomputed with pandas + hashlib h60."""
+    import hashlib
+
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet")
+    u = ev["user_id"].dropna().astype(int)
+    part = u.map(
+        lambda x: int(
+            hashlib.md5(str(x).encode()).hexdigest()[:15], 16
+        )
+        % 32
+    )
+    n = len(u)
+    kn = u.value_counts()
+    pn = part.value_counts()
+    [r] = registry.QUERIES["shuffle_skew_audit"](
+        spark, sf_smoke
+    ).collect()
+    assert r.n_rows == n
+    assert r.parts_hit == pn.size
+    assert r.max_part_rows == int(pn.max())
+    assert r.max_key_rows == int(kn.max())
+    assert abs(r.part_imbalance - pn.max() / (n / 32)) < 1e-5
+    assert abs(r.top_key_share - kn.max() / n) < 1e-5
