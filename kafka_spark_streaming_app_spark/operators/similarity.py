@@ -506,6 +506,96 @@ def kmeans_fit_predict(
     )
 
 
+# 2^30 fixed-point scale for k-means|| D² masses: quantized BEFORE the
+# corpus-wide sum so the sampling denominator is an exact integer on
+# any engine/partitioning (a raw double Σd² is order-sensitive).
+KMPP_SCALE = float(2**30)
+# 2^60: h60's value range — h60(x)/2^60 is the uniform [0,1) coin.
+KMPP_H60_RANGE = float(2**60)
+
+
+def kmeans_parallel_init(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    rounds: int = 3,
+    oversample: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """k-means|| initialization (Bahmani et al., "Scalable k-means++")
+    — THE distributed seeding algorithm: instead of k-means++'s k
+    strictly sequential corpus scans, each of O(log n) rounds samples
+    ~l points in PARALLEL with probability l·d²(x, C)/φ, then the
+    oversampled set is weighted by how many points it attracts (the
+    weights feed the final small weighted clustering). Deterministic
+    cross-engine: the coin is h60('kmpp<r>:'||id)/2^60, d² masses are
+    2^30 fixed-point ints summed exactly, and the accept test compares
+    doubles derived from exact integers by identical expression trees.
+    A point already in C has d² = 0 and can never re-sample, so no
+    dedup pass is needed.
+
+    Per round: one broadcast-centers assignment scan (shuffle ∝
+    corpus argmin rows), one 1-row φ aggregate broadcast back, one
+    filter — all corpus-linear; C stays behind barriers and is
+    O(l·rounds) rows.
+
+    Returns (cid, added_round, weight): the sampled centers, the round
+    that added each, and its attracted-point count under the final C.
+    """
+    from ..functions.hashing import h60
+
+    v = _km_prep(df, vec_col, id_col)
+    centers = (
+        v.filter(F.col(id_col) == 0)
+        .select(
+            F.col(id_col).cast("bigint").alias("cid"),
+            F.col("x").alias("c"),
+            F.lit(0).alias("added_round"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    for r in range(1, rounds + 1):
+        a = _km_assign(v, centers.select("cid", "c"), id_col, dim=dim)
+        aq = a.select(
+            id_col,
+            "x",
+            F.floor(F.col("dist") * F.lit(KMPP_SCALE))
+            .cast("bigint")
+            .alias("d2q"),
+        ).localCheckpoint(eager=False)
+        phi = aq.agg(
+            F.sum(F.col("d2q").cast("decimal(38,0)")).alias("phiq")
+        )
+        coin = h60(
+            F.concat(F.lit(f"kmpp{r}:"), F.col(id_col).cast("string"))
+        ).cast("double")
+        sampled = (
+            aq.crossJoin(F.broadcast(phi))
+            .filter(
+                coin
+                < F.lit(float(oversample))
+                * F.col("d2q").cast("double")
+                / F.col("phiq").cast("double")
+                * F.lit(KMPP_H60_RANGE)
+            )
+            .select(
+                F.col(id_col).cast("bigint").alias("cid"),
+                F.col("x").alias("c"),
+                F.lit(r).alias("added_round"),
+            )
+        )
+        centers = centers.unionByName(sampled).localCheckpoint(
+            eager=False
+        )
+    final = _km_assign(v, centers.select("cid", "c"), id_col, dim=dim)
+    w = final.groupBy("cid").agg(F.count(F.lit(1)).alias("weight"))
+    return centers.join(w, "cid", "left").select(
+        "cid",
+        F.col("added_round").cast("bigint").alias("added_round"),
+        F.coalesce("weight", F.lit(0)).cast("bigint").alias("weight"),
+    )
+
+
 # --- multi-probe SRP ---------------------------------------------------------
 
 

@@ -13,6 +13,7 @@ from concurrent.futures import ThreadPoolExecutor
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import h60_sql
 from ..operators.similarity import ann_topk_srp, brute_force_topk, srp_planes
 from ..registry import query
 from ..sources.batch import load_table
@@ -2454,3 +2455,93 @@ def similarity_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+# --- k-means|| scalable seeding ------------------------------------------------
+
+_KMPP_ROUNDS, _KMPP_L = 3, 4
+_KMPP_SCALE_SQL = "1073741824.0"  # 2^30
+_KMPP_H60_SQL = "1152921504606846976.0"  # 2^60
+
+
+def _kmpp_round_sql(r: int, prev_c: str) -> str:
+    coin = h60_sql(f"'kmpp{r}:' || CAST(vec_id AS VARCHAR)")
+    return f""",
+a{r}_s AS (
+    SELECT v.vec_id, v.x, c.cid, {_KM_DIST} AS dist
+    FROM v CROSS JOIN {prev_c} c
+),
+a{r} AS (
+    SELECT vec_id, x,
+           CAST(floor(dist * {_KMPP_SCALE_SQL}) AS BIGINT) AS d2q
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cid) AS rn
+        FROM a{r}_s
+    ) WHERE rn = 1
+),
+phi{r} AS (SELECT sum(d2q) AS phiq FROM a{r}),
+s{r} AS (
+    SELECT CAST(vec_id AS BIGINT) AS cid, x AS c,
+           {r} AS added_round
+    FROM a{r}, phi{r}
+    WHERE CAST({coin} AS DOUBLE)
+          < {_KMPP_L}.0 * CAST(d2q AS DOUBLE) / CAST(phiq AS DOUBLE)
+            * {_KMPP_H60_SQL}
+),
+c{r} AS (SELECT * FROM c{r - 1} UNION ALL SELECT * FROM s{r})"""
+
+
+def _kmpp_oracle() -> str:
+    rounds = "".join(
+        _kmpp_round_sql(r, f"c{r - 1}")
+        for r in range(1, _KMPP_ROUNDS + 1)
+    )
+    last = f"c{_KMPP_ROUNDS}"
+    return f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+),
+c0 AS (
+    SELECT CAST(vec_id AS BIGINT) AS cid, x AS c, 0 AS added_round
+    FROM v WHERE vec_id = 0
+){rounds},
+af_s AS (
+    SELECT v.vec_id, c.cid, {_KM_DIST} AS dist
+    FROM v CROSS JOIN {last} c
+),
+af AS (
+    SELECT vec_id, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cid) AS rn
+        FROM af_s
+    ) WHERE rn = 1
+),
+w AS (SELECT cid, count(*) AS weight FROM af GROUP BY cid)
+SELECT c.cid,
+       CAST(c.added_round AS BIGINT) AS added_round,
+       CAST(coalesce(w.weight, 0) AS BIGINT) AS weight
+FROM {last} c LEFT JOIN w ON w.cid = c.cid
+ORDER BY c.cid
+"""
+
+
+@query("kmeans_parallel_init", _kmpp_oracle())
+def kmeans_parallel_init_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """k-means|| seeding over the embeddings corpus (3 rounds,
+    oversampling l=4, h60 coins): the oracle replays every round's
+    D²-proportional parallel sampling and the final attraction
+    weights, so the hash pins the full Bahmani et al. algorithm —
+    the O(log n)-round replacement for k-means++'s k sequential
+    scans, which is the difference between seeding in minutes and
+    days at 100 TB. Output feeds the small weighted clustering that
+    picks the final k (and `kmeans_centroids` / `ann_topk_ivf`
+    document the first-k shortcut this replaces)."""
+    from ..operators.similarity import kmeans_parallel_init
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_parallel_init(
+        emb, rounds=_KMPP_ROUNDS, oversample=_KMPP_L
+    ).orderBy("cid")

@@ -217,3 +217,62 @@ def test_binary_hamming_matches_numpy_and_measures_recall(spark, sf_smoke):
         len(brute[q] & {c for c, _ in got[q]}) for q in brute
     )
     assert hits / (5 * len(brute)) >= 0.5
+
+
+def test_kmeans_parallel_init_matches_pure_python(spark, sf_smoke):
+    """kmeans|| recomputed sequentially in pure Python (same h60
+    coins, same 2^30 D² quantization): identical center set, rounds,
+    and attraction weights; weights must partition the corpus."""
+    import hashlib
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    emb = pd.read_parquet(f"{sf_smoke}/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy()
+    V = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+
+    def d2(a, b):
+        # left-to-right fold like the engines' unrolled chain
+        acc = 0.0
+        for i in range(64):
+            acc += (a[i] - b[i]) * (a[i] - b[i])
+        return acc
+
+    def h60py(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    centers = {0: 0}  # vec_id -> round added
+    for r in (1, 2, 3):
+        cids = sorted(centers)
+        d2q = {}
+        for j, vid in enumerate(ids):
+            dists = [(d2(V[j], V[np.where(ids == c)[0][0]]), c) for c in cids]
+            dmin = min(dists)[0]
+            d2q[vid] = math.floor(dmin * (2**30))
+        phi = sum(d2q.values())
+        for vid in ids:
+            coin = float(h60py(f"kmpp{r}:{vid}"))
+            if coin < 4.0 * d2q[vid] / phi * float(2**60):
+                if vid not in centers:
+                    centers[int(vid)] = r
+    cids = sorted(centers)
+    weights = {c: 0 for c in cids}
+    for j, vid in enumerate(ids):
+        dists = sorted(
+            (d2(V[j], V[np.where(ids == c)[0][0]]), c) for c in cids
+        )
+        weights[dists[0][1]] += 1
+
+    got = {
+        r.cid: (r.added_round, r.weight)
+        for r in registry.QUERIES["kmeans_parallel_init"](
+            spark, sf_smoke
+        ).collect()
+    }
+    assert got == {c: (centers[c], weights[c]) for c in cids}
+    assert sum(w for _, w in got.values()) == len(ids)
