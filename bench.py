@@ -272,6 +272,9 @@ HEADLINE = [
     "csv_ingest_audit",
     "dedup_clusters_star",
     "out_of_order_profile",
+    "similarity_binary_hamming",
+    "shuffle_skew_audit",
+    "kmeans_parallel_init",
 ]
 
 

@@ -196,6 +196,9 @@ NOTES = {
     "out_of_order_profile": "One keyed window pass (running event-time max in jittered arrival order) + one aggregation; lateness sums per-row decimal-cast.",
     "orc_roundtrip_agg": "Partition filter resolves at ORC file listing (one status directory read); partial+final agg over the pruned splits.",
     "csv_ingest_audit": "Schema-explicit single-pass CSV parse (no inferSchema pre-scan); corrupt rows quarantined per-row; one partial+final agg.",
+    "similarity_binary_hamming": "Sign bits pack to ONE int64/vector; candidates via xor+bit_count against the broadcast query batch (scan-local); exact cosine only on the 32*Q rerank rows.",
+    "shuffle_skew_audit": "One scan barriered, two keyed aggregations folded to 1-row diagnostics; the audit itself is skew-free.",
+    "kmeans_parallel_init": "Per round: broadcast-centers assignment scan + 1-row phi broadcast + filter; center set O(l*rounds) behind barriers.",
 }
 
 

@@ -158,6 +158,13 @@ PROBES = (
     # probe via the jittered fixture); lateness profile is one keyed
     # window pass
     "out_of_order_profile",
+    # binary hamming is a packed-scan + broadcast-query funnel; skew
+    # audit is two keyed aggs over one scan; kmeans|| is per-round
+    # broadcast-assignment scans (duplicated vectors multiply masses
+    # and weights linearly, center set stays sample-sized)
+    "similarity_binary_hamming",
+    "shuffle_skew_audit",
+    "kmeans_parallel_init",
 )
 
 
