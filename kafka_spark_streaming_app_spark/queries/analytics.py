@@ -2978,3 +2978,198 @@ def shuffle_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_key_rows").cast("double") / F.col("n_rows"), 6
         ).alias("top_key_share"),
     )
+
+
+# --- event path mining --------------------------------------------------------
+
+_PATH_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           lead(event_type, 1) OVER w AS e2,
+           lead(event_type, 2) OVER w AS e3
+    FROM events WHERE user_id IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+paths AS (
+    SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path
+    FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n
+FROM paths
+GROUP BY path
+ORDER BY n DESC, path
+LIMIT 10
+"""
+
+
+@query("event_path_mining", _PATH_ORACLE)
+def event_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most common 3-step event paths across user journeys —
+    the product-analytics "path analysis" view (which flows dominate,
+    where do errors sit in them). One user-keyed window pass emits
+    consecutive triples row-locally (two leads — no self-joins), one
+    path-keyed count, TakeOrdered top-10. All shuffles are keyed;
+    paths are bounded by |event_types|³ so the count table is tiny at
+    any corpus size."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(" > ", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(10)
+    )
+
+
+# --- funnel time-to-convert ---------------------------------------------------
+
+_TTC_ORACLE = """
+WITH stage AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY user_id
+),
+conv AS (
+    SELECT CAST(floor(epoch_us(t_purchase) / 1000000) AS BIGINT)
+           - CAST(floor(epoch_us(t_view) / 1000000) AS BIGINT) AS secs
+    FROM stage WHERE t_view IS NOT NULL AND t_purchase > t_view
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converting,
+       CAST(min(secs) AS BIGINT) AS min_secs,
+       quantile_cont(secs, 0.5) AS p50_secs,
+       quantile_cont(secs, 0.9) AS p90_secs,
+       CAST(max(secs) AS BIGINT) AS max_secs
+FROM conv
+"""
+
+
+@query("funnel_time_to_convert", _TTC_ORACLE)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time from first view to first purchase across converting users
+    (count / min / exact p50 / p90 / max, whole seconds) — the number
+    a growth team reads next to the funnel counts. One user-keyed
+    aggregation + one exact percentile pass over integer seconds
+    (both engines interpolate on the exactly-representable 0.25/0.1
+    grid of integer operands — the mad_outliers discipline). At scale
+    the percentile swaps for the mergeable quantile sketch twin
+    (`quantile_mergeable_rollup`)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    stage = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_purchase"),
+    )
+    conv = stage.filter(
+        F.col("t_view").isNotNull()
+        & (F.col("t_purchase") > F.col("t_view"))
+    ).select(
+        (
+            F.floor(
+                F.unix_micros(F.col("t_purchase").cast("timestamp"))
+                / 1000000
+            )
+            - F.floor(
+                F.unix_micros(F.col("t_view").cast("timestamp"))
+                / 1000000
+            )
+        )
+        .cast("bigint")
+        .alias("secs")
+    )
+    return conv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converting"),
+        F.min("secs").cast("bigint").alias("min_secs"),
+        F.expr("percentile(secs, 0.5)").alias("p50_secs"),
+        F.expr("percentile(secs, 0.9)").alias("p90_secs"),
+        F.max("secs").cast("bigint").alias("max_secs"),
+    )
+
+
+# --- rolling distinct users ---------------------------------------------------
+#
+# count(DISTINCT) over a sliding frame is unsupported in both engines'
+# window functions; the scalable rewrite is the coverage explode:
+# distinct (user, day) pairs each cover days d..d+6, so the 7-day
+# rolling distinct is a plain per-day distinct count after a bounded
+# explode — work ∝ active pairs × window width, never day × corpus.
+
+_RDU_ORACLE = """
+WITH ud AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+    FROM events WHERE user_id IS NOT NULL
+),
+days AS (SELECT DISTINCT day FROM ud),
+cover AS (
+    SELECT DISTINCT ud.user_id, d.day
+    FROM ud JOIN days d
+      ON d.day >= ud.day AND d.day <= ud.day + INTERVAL 6 DAY
+)
+SELECT CAST(day AS TIMESTAMP) AS day,
+       CAST(count(*) AS BIGINT) AS users_7d
+FROM cover
+GROUP BY day
+ORDER BY day
+"""
+
+
+@query("rolling_distinct_users", _RDU_ORACLE)
+def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling distinct active users per day — the DAU/WAU
+    rollup. Implemented with the coverage explode (each distinct
+    (user, day) pair emits its 7 covered days row-locally, then one
+    distinct + one per-day count): no per-day corpus rescans, no
+    window-distinct workaround joins; cost ∝ active pairs × 7. Days
+    with activity only in their trailing window still appear
+    (coverage, not calendar, defines the axis — a calendar spine is
+    `time_spine_gap_fill`'s job)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    ud = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    days = ud.select("day").distinct()
+    cover = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("day"), F.date_add(F.col("day"), 6)
+                )
+            ).alias("day_c"),
+        )
+        .join(
+            F.broadcast(days),
+            F.col("day_c") == days.day,
+            "left_semi",
+        )
+        .select("user_id", F.col("day_c").alias("day"))
+        .distinct()
+    )
+    return (
+        cover.groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("users_7d"))
+        # date -> timestamp: the driver hashes dtype KINDS, and a raw
+        # DATE arrives as object from Spark vs datetime64 from DuckDB
+        .select(F.col("day").cast("timestamp").alias("day"), "users_7d")
+        .orderBy("day")
+    )

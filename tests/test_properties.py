@@ -4019,3 +4019,70 @@ def test_shuffle_skew_audit_matches_pandas(spark, sf_smoke):
     assert r.max_key_rows == int(kn.max())
     assert abs(r.part_imbalance - pn.max() / (n / 32)) < 1e-5
     assert abs(r.top_key_share - kn.max() / n) < 1e-5
+
+
+def test_product_analytics_trio_matches_pandas(spark, sf_smoke):
+    """event_path_mining / funnel_time_to_convert /
+    rolling_distinct_users recomputed with pandas."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet")
+    ev = ev[ev["user_id"].notna()].copy()
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+
+    # paths
+    paths = {}
+    for _, g in ev.groupby("user_id"):
+        ts = g["event_type"].tolist()
+        for i in range(len(ts) - 2):
+            p = " > ".join(ts[i : i + 3])
+            paths[p] = paths.get(p, 0) + 1
+    top = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [
+        (r.path, r.n)
+        for r in registry.QUERIES["event_path_mining"](
+            spark, sf_smoke
+        ).collect()
+    ]
+    assert got == top
+
+    # time to convert (Timestamp.value is always ns; the engines take
+    # floor-epoch-seconds per stamp, then diff)
+    secs = []
+    for _, g in ev.groupby("user_id"):
+        tv = g.loc[g["event_type"] == "view", "ts"].min()
+        tp = g.loc[g["event_type"] == "purchase", "ts"].min()
+        if pd.notna(tv) and pd.notna(tp) and tp > tv:
+            secs.append(tp.value // 10**9 - tv.value // 10**9)
+    secs = np.array(sorted(secs))
+    [r] = registry.QUERIES["funnel_time_to_convert"](
+        spark, sf_smoke
+    ).collect()
+    assert r.n_converting == len(secs)
+    assert r.min_secs == int(secs.min())
+    assert r.max_secs == int(secs.max())
+    assert abs(r.p50_secs - np.percentile(secs, 50)) < 1e-6
+    assert abs(r.p90_secs - np.percentile(secs, 90)) < 1e-6
+
+    # rolling distinct users
+    ud = ev.assign(day=ev["ts"].dt.floor("D")).drop_duplicates(
+        ["user_id", "day"]
+    )[["user_id", "day"]]
+    days = sorted(ud["day"].unique())
+    expected = {}
+    for d in days:
+        lo = d - pd.Timedelta(days=6)
+        expected[pd.Timestamp(d)] = ud.loc[
+            (ud["day"] >= lo) & (ud["day"] <= d), "user_id"
+        ].nunique()
+    got = {
+        pd.Timestamp(r.day): r.users_7d
+        for r in registry.QUERIES["rolling_distinct_users"](
+            spark, sf_smoke
+        ).collect()
+    }
+    assert got == expected
