@@ -275,6 +275,9 @@ HEADLINE = [
     "similarity_binary_hamming",
     "shuffle_skew_audit",
     "kmeans_parallel_init",
+    "event_path_mining",
+    "funnel_time_to_convert",
+    "rolling_distinct_users",
 ]
 
 

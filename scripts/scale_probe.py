@@ -165,6 +165,11 @@ PROBES = (
     "similarity_binary_hamming",
     "shuffle_skew_audit",
     "kmeans_parallel_init",
+    # product-analytics trio: user-keyed window pass; user-keyed agg +
+    # integer-seconds percentiles; coverage explode bounded by x7
+    "event_path_mining",
+    "funnel_time_to_convert",
+    "rolling_distinct_users",
 )
 
 
