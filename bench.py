@@ -278,6 +278,8 @@ HEADLINE = [
     "event_path_mining",
     "funnel_time_to_convert",
     "rolling_distinct_users",
+    "spatial_radius_join",
+    "max_concurrent_intervals",
 ]
 
 

@@ -3173,3 +3173,202 @@ def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("day").cast("timestamp").alias("day"), "users_7d")
         .orderBy("day")
     )
+
+
+# --- spatial radius join (grid-cell blocking) ----------------------------------
+#
+# A new family: spatial similarity join. Coordinates are synthesized
+# deterministically per customer inside a 10°x10° region (h60 micros
+# — exact integers /1e6, so both engines hold identical doubles), and
+# the "all pairs within radius R" join uses the canonical scale
+# pattern: bucket points into R-sized grid cells, equi-join each
+# point's 3x3 neighbor cells (pigeonhole-complete for euclidean
+# R <= cell), verify the exact distance on candidates only — the
+# spatial sibling of the LSH band join, and what geohash/S2/H3
+# bucketing does in production. Planar degrees, not haversine: trig
+# is libm-dependent and cross-engine parity would die in the last
+# ulp; the blocking/verify SHAPE is identical.
+
+_GEO_CELL = 0.5  # degrees; also the verify radius
+
+
+def _geo_pts_sql() -> str:
+    lat = h60_sql("'lat:' || CAST(c_custkey AS VARCHAR)")
+    lon = h60_sql("'lon:' || CAST(c_custkey AS VARCHAR)")
+    return f"""
+    SELECT c_custkey AS ck,
+           CAST({lat} % 10000000 AS DOUBLE) / 1e6 AS lat,
+           CAST({lon} % 10000000 AS DOUBLE) / 1e6 AS lon
+    FROM customer
+"""
+
+
+_GEO_ORACLE = f"""
+WITH pts AS ({_geo_pts_sql()}),
+cells AS (
+    SELECT *, CAST(floor(lat / {_GEO_CELL}) AS BIGINT) AS cx,
+              CAST(floor(lon / {_GEO_CELL}) AS BIGINT) AS cy
+    FROM pts
+),
+probe AS (
+    SELECT ck, lat, lon, cx + dx.d AS px, cy + dy.d AS py
+    FROM cells,
+         (SELECT unnest([-1, 0, 1]) AS d) dx,
+         (SELECT unnest([-1, 0, 1]) AS d) dy
+),
+cand AS (
+    SELECT a.ck AS ck_a, b.ck AS ck_b,
+           (a.lat - b.lat) * (a.lat - b.lat)
+           + (a.lon - b.lon) * (a.lon - b.lon) AS d2
+    FROM probe a JOIN cells b
+      ON a.px = b.cx AND a.py = b.cy AND a.ck < b.ck
+)
+SELECT DISTINCT ck_a, ck_b, round(d2, 6) AS dist2
+FROM cand
+WHERE d2 <= {_GEO_CELL} * {_GEO_CELL}
+ORDER BY ck_a, ck_b
+"""
+
+
+@query("spatial_radius_join", _GEO_ORACLE)
+def spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All customer pairs within 0.5° (planar) of each other: grid-cell
+    blocking (one 9-way neighbor-cell explode on the probe side, one
+    equi-join on the cell key) + exact distance verify on candidates.
+    Candidate cost is density-bounded (points per cell), never N² —
+    the spatial twin of the LSH band join; swap the synthetic
+    coordinates for real ones and the cell key for geohash/H3 and the
+    plan is unchanged."""
+    from ..functions.hashing import h60
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+
+    def coord(salt: str):
+        return (
+            h60(
+                F.concat(
+                    F.lit(f"{salt}:"), F.col("c_custkey").cast("string")
+                )
+            )
+            % 10000000
+        ).cast("double") / F.lit(1e6)
+
+    pts = cust.select(
+        F.col("c_custkey").alias("ck"),
+        coord("lat").alias("lat"),
+        coord("lon").alias("lon"),
+    )
+    cells = pts.select(
+        "*",
+        F.floor(F.col("lat") / _GEO_CELL).cast("bigint").alias("cx"),
+        F.floor(F.col("lon") / _GEO_CELL).cast("bigint").alias("cy"),
+    ).localCheckpoint(eager=False)
+    d = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    probe = (
+        cells.withColumn("dx", d)
+        .withColumn("dy", d)
+        .select(
+            F.col("ck").alias("ck_a"),
+            F.col("lat").alias("lat_a"),
+            F.col("lon").alias("lon_a"),
+            (F.col("cx") + F.col("dx")).alias("px"),
+            (F.col("cy") + F.col("dy")).alias("py"),
+        )
+    )
+    d2 = (F.col("lat_a") - F.col("lat")) * (
+        F.col("lat_a") - F.col("lat")
+    ) + (F.col("lon_a") - F.col("lon")) * (F.col("lon_a") - F.col("lon"))
+    return (
+        probe.join(
+            cells,
+            (F.col("px") == F.col("cx"))
+            & (F.col("py") == F.col("cy"))
+            & (F.col("ck_a") < F.col("ck")),
+        )
+        .select(
+            "ck_a",
+            F.col("ck").alias("ck_b"),
+            F.round(d2, 6).alias("dist2"),
+            d2.alias("_d2"),
+        )
+        .filter(F.col("_d2") <= _GEO_CELL * _GEO_CELL)
+        .select("ck_a", "ck_b", "dist2")
+        .distinct()
+        .orderBy("ck_a", "ck_b")
+    )
+
+
+# --- sweep-line peak concurrency ------------------------------------------------
+
+_PEAK_ORACLE = """
+WITH iv AS (
+    SELECT CAST(o_orderdate AS DATE) AS s,
+           CAST(o_orderdate AS DATE)
+           + to_days(CAST((o_orderkey % 30) + 1 AS INTEGER)) AS e
+    FROM orders
+),
+deltas AS (
+    SELECT s AS day, 1 AS d FROM iv
+    UNION ALL
+    SELECT e + to_days(1) AS day, -1 AS d FROM iv
+),
+net AS (SELECT day, CAST(sum(d) AS BIGINT) AS nd FROM deltas GROUP BY day),
+run AS (
+    SELECT day, sum(nd) OVER (ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS conc
+    FROM net
+)
+SELECT CAST((SELECT count(*) FROM iv) AS BIGINT) AS n_intervals,
+       CAST(max(conc) AS BIGINT) AS peak_concurrency,
+       CAST(min(CASE WHEN conc = (SELECT max(conc) FROM run)
+                     THEN day END) AS TIMESTAMP) AS first_peak_day
+FROM run
+"""
+
+
+@query("max_concurrent_intervals", _PEAK_ORACLE)
+def max_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak number of simultaneously-open intervals (orders with a
+    deterministic 1-30 day fulfillment window) and the first day it
+    occurs — the classic sweep line: ±1 boundary deltas, net per day,
+    running sum, max. The running sum's window runs over the
+    AGGREGATED day table (calendar-bounded — thousands of rows at any
+    corpus size), so the only corpus-sized work is one scan + one
+    day-keyed aggregation; an unbounded key domain would swap in the
+    llmprep two-level prefix sum."""
+    orders = load_table(spark, sf_dir, "orders")
+    iv = orders.select(
+        F.col("o_orderdate").cast("date").alias("s"),
+        F.expr(
+            "date_add(CAST(o_orderdate AS DATE),"
+            " CAST((o_orderkey % 30) + 1 AS INT))"
+        ).alias("e"),
+    ).localCheckpoint(eager=False)
+    deltas = iv.select(
+        F.col("s").alias("day"), F.lit(1).alias("d")
+    ).unionByName(
+        iv.select(F.date_add("e", 1).alias("day"), F.lit(-1).alias("d"))
+    )
+    net = deltas.groupBy("day").agg(F.sum("d").cast("bigint").alias("nd"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = net.select(
+        "day", F.sum("nd").over(w).alias("conc")
+    ).localCheckpoint(eager=False)
+    mx = run.agg(F.max("conc").alias("peak"))
+    n = iv.agg(F.count(F.lit(1)).cast("bigint").alias("n_intervals"))
+    first = (
+        run.crossJoin(F.broadcast(mx))
+        .filter(F.col("conc") == F.col("peak"))
+        .agg(
+            F.min("day").cast("timestamp").alias("first_peak_day"),
+            F.max("peak").cast("bigint").alias("peak_concurrency"),
+        )
+    )
+    return n.crossJoin(F.broadcast(first)).select(
+        "n_intervals", "peak_concurrency", "first_peak_day"
+    )

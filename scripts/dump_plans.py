@@ -199,6 +199,9 @@ NOTES = {
     "similarity_binary_hamming": "Sign bits pack to ONE int64/vector; candidates via xor+bit_count against the broadcast query batch (scan-local); exact cosine only on the 32*Q rerank rows.",
     "shuffle_skew_audit": "One scan barriered, two keyed aggregations folded to 1-row diagnostics; the audit itself is skew-free.",
     "kmeans_parallel_init": "Per round: broadcast-centers assignment scan + 1-row phi broadcast + filter; center set O(l*rounds) behind barriers.",
+    "spatial_radius_join": "Grid-cell blocking: 9-way neighbor explode on the probe side, ONE equi-join on the cell key, exact verify on candidates — density-bounded, never N^2.",
+    "max_concurrent_intervals": "Corpus scan -> +/-1 day deltas -> day-keyed net agg; the running-sum window runs over the calendar-bounded day table only.",
+    "rolling_distinct_users": "Coverage explode (x7, row-local) + distinct + per-day count; no window-distinct workaround joins.",
 }
 
 

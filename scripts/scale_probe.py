@@ -170,6 +170,10 @@ PROBES = (
     "event_path_mining",
     "funnel_time_to_convert",
     "rolling_distinct_users",
+    # spatial: duplicated customers collide at identical coordinates
+    # (cell-pair N^2 fixture artifact) -> EXCLUDED like the dedup
+    # family; sweep line: corpus scan + calendar-bounded day window
+    "max_concurrent_intervals",
 )
 
 

@@ -4086,3 +4086,68 @@ def test_product_analytics_trio_matches_pandas(spark, sf_smoke):
         ).collect()
     }
     assert got == expected
+
+
+def test_spatial_radius_join_is_blocking_complete(spark, sf_smoke):
+    """spatial_radius_join vs brute-force all-pairs in pandas — the
+    grid blocking must be COMPLETE (no pair within R missed), not
+    just deterministic."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    cust = pd.read_parquet(f"{sf_smoke}/customer.parquet")
+
+    def h60py(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    ck = cust["c_custkey"].astype(int).to_numpy()
+    lat = np.array([h60py(f"lat:{c}") % 10000000 / 1e6 for c in ck])
+    lon = np.array([h60py(f"lon:{c}") % 10000000 / 1e6 for c in ck])
+    expected = set()
+    for i in range(len(ck)):
+        d2 = (lat - lat[i]) ** 2 + (lon - lon[i]) ** 2
+        for j in np.where((d2 <= 0.25) & (ck > ck[i]))[0]:
+            expected.add((int(ck[i]), int(ck[j])))
+    assert expected, "fixture produced no close pairs"
+
+    got = {
+        (r.ck_a, r.ck_b)
+        for r in registry.QUERIES["spatial_radius_join"](
+            spark, sf_smoke
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_max_concurrent_intervals_matches_pandas_sweep(spark, sf_smoke):
+    """Sweep-line peak concurrency recomputed with pandas."""
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    o = pd.read_parquet(f"{sf_smoke}/orders.parquet")
+    s = pd.to_datetime(o["o_orderdate"]).dt.floor("D")
+    e = s + pd.to_timedelta((o["o_orderkey"] % 30) + 1, unit="D")
+    deltas = pd.concat(
+        [
+            pd.DataFrame({"day": s, "d": 1}),
+            pd.DataFrame({"day": e + pd.Timedelta(days=1), "d": -1}),
+        ]
+    )
+    net = deltas.groupby("day")["d"].sum().sort_index()
+    run = net.cumsum()
+    peak = int(run.max())
+    first = run[run == peak].index.min()
+
+    [r] = registry.QUERIES["max_concurrent_intervals"](
+        spark, sf_smoke
+    ).collect()
+    assert r.n_intervals == len(o)
+    assert r.peak_concurrency == peak
+    assert pd.Timestamp(r.first_peak_day) == first
