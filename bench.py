@@ -280,6 +280,8 @@ HEADLINE = [
     "rolling_distinct_users",
     "spatial_radius_join",
     "max_concurrent_intervals",
+    "user_erasure_audit",
+    "time_decay_popularity",
 ]
 
 

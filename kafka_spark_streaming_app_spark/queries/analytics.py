@@ -3372,3 +3372,80 @@ def max_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.crossJoin(F.broadcast(first)).select(
         "n_intervals", "peak_concurrency", "first_peak_day"
     )
+
+
+# --- time-decay popularity ------------------------------------------------------
+#
+# Trending score with a one-week half-life: each interaction
+# contributes 2^-(age_weeks). Powers of two — NOT exp()/pow() with a
+# fractional exponent — because libm implementations differ in the
+# last ulp across engines; dyadic weights quantize exactly. Weights
+# ride a 2^20 integer scale (age capped at 20 half-lives, below which
+# a contribution is 0 at the scale's resolution anyway), so the score
+# sum is an exact int64 on any partitioning.
+
+_TDP_ORACLE = """
+WITH mx AS (
+    SELECT max(CAST(ts AS DATE)) AS now FROM events
+),
+w AS (
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_k,
+           CAST(pow(2, 20 - least(CAST(date_diff('day', CAST(ts AS DATE),
+                                                 mx.now) AS BIGINT) // 7,
+                                  20)) AS BIGINT) AS wq
+    FROM events, mx
+    WHERE event_type IN ('view', 'click', 'purchase')
+),
+s AS (
+    SELECT item_k, CAST(sum(wq) AS BIGINT) AS sq,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM w GROUP BY item_k
+)
+SELECT item_k, n_events,
+       round(CAST(sq AS DOUBLE) / 1048576.0, 6) AS decay_score,
+       CAST(rank() OVER (ORDER BY sq DESC, item_k) AS BIGINT) AS trend_rank
+FROM s
+ORDER BY item_k
+"""
+
+
+@query("time_decay_popularity", _TDP_ORACLE)
+def time_decay_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-item trending score: Σ 2^-(age_weeks) over interactions
+    (one-week half-life, integer week buckets, capped at 20) — the
+    recsys "what's hot now" primitive, exact cross-engine because the
+    weights are dyadic integers on a 2^20 scale. One scan + one
+    item-keyed aggregation + a rank over the items-sized result; the
+    reference date is the corpus max (one 1-row broadcast)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    mx = ev.agg(F.max(F.to_date("ts")).alias("now"))
+    age_weeks = F.least(
+        (
+            F.datediff(F.col("now"), F.to_date("ts")).cast("bigint")
+            / F.lit(7)
+        ).cast("bigint"),
+        F.lit(20),
+    )
+    w = ev.crossJoin(F.broadcast(mx)).select(
+        F.get_json_object("props", "$.k").cast("bigint").alias("item_k"),
+        F.pow(F.lit(2.0), (F.lit(20) - age_weeks).cast("double"))
+        .cast("bigint")
+        .alias("wq"),
+    )
+    s = w.groupBy("item_k").agg(
+        F.sum("wq").cast("bigint").alias("sq"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    wr = Window.orderBy(F.desc("sq"), F.asc("item_k"))
+    return s.select(
+        "item_k",
+        "n_events",
+        F.round(F.col("sq").cast("double") / F.lit(1048576.0), 6).alias(
+            "decay_score"
+        ),
+        F.rank().over(wr).cast("bigint").alias("trend_rank"),
+    ).orderBy("item_k")

@@ -144,3 +144,90 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("n_sensitive_bands") < _LDIV_L)
         ).alias("must_suppress"),
     )
+
+
+# --- right-to-be-forgotten erasure audit --------------------------------------
+
+_ERASE_ORACLE = """
+WITH victims AS (
+    SELECT DISTINCT user_id FROM events
+    WHERE user_id IS NOT NULL AND user_id % 29 = 0
+),
+ev AS (
+    SELECT e.*, v.user_id IS NOT NULL AS erased
+    FROM events e LEFT JOIN victims v ON e.user_id = v.user_id
+)
+SELECT
+    CAST((SELECT count(*) FROM victims) AS BIGINT) AS n_subjects,
+    CAST(coalesce(sum(CASE WHEN erased THEN 1 END), 0) AS BIGINT)
+        AS n_rows_erased,
+    CAST(count(*) AS BIGINT) AS n_rows_before,
+    round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+          / 100.0, 2) AS value_before,
+    round(CAST(sum(CASE WHEN NOT erased
+                        THEN CAST(round(value * 100, 0) AS BIGINT)
+                        ELSE 0 END) AS DOUBLE) / 100.0, 2) AS value_after,
+    round(CAST(coalesce(sum(CASE WHEN erased
+                             THEN CAST(round(value * 100, 0) AS BIGINT)
+                             END), 0) AS DOUBLE)
+          / CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE),
+          6) AS value_share_erased
+FROM ev
+"""
+
+
+@query("user_erasure_audit", _ERASE_ORACLE)
+def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten impact audit: given a deterministic
+    erasure cohort (every 29th user), how many event rows would a
+    cascade delete remove and how much aggregate value drifts — the
+    report a privacy/compliance pipeline produces BEFORE executing a
+    GDPR/CCPA deletion, so downstream metric owners can sign off. One
+    broadcast semi-join flag + one pass of conditional aggregates
+    (exact integer cents throughout); at scale the victims table is
+    the broadcast side and the audit cost is one fact scan — the
+    delete itself then runs as partition-pruned anti-join rewrites."""
+    ev = load_table(spark, sf_dir, "events")
+    victims = (
+        ev.filter(
+            F.col("user_id").isNotNull() & (F.col("user_id") % 29 == 0)
+        )
+        .select("user_id")
+        .distinct()
+    )
+    flagged = ev.join(
+        F.broadcast(victims.withColumnRenamed("user_id", "vid")),
+        F.col("user_id") == F.col("vid"),
+        "left",
+    ).withColumn("erased", F.col("vid").isNotNull())
+    n_subjects = victims.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_subjects")
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    agg = flagged.agg(
+        F.coalesce(F.sum(F.when(F.col("erased"), 1)), F.lit(0))
+        .cast("bigint")
+        .alias("n_rows_erased"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows_before"),
+        F.sum(cents).alias("cb"),
+        F.sum(F.when(~F.col("erased"), cents).otherwise(F.lit(0))).alias(
+            "ca"
+        ),
+        F.coalesce(F.sum(F.when(F.col("erased"), cents)), F.lit(0)).alias(
+            "ce"
+        ),
+    )
+    return n_subjects.crossJoin(F.broadcast(agg)).select(
+        "n_subjects",
+        "n_rows_erased",
+        "n_rows_before",
+        F.round(F.col("cb").cast("double") / 100.0, 2).alias(
+            "value_before"
+        ),
+        F.round(F.col("ca").cast("double") / 100.0, 2).alias(
+            "value_after"
+        ),
+        F.round(
+            F.col("ce").cast("double") / F.col("cb").cast("double"), 6
+        ).alias("value_share_erased"),
+    )

@@ -174,6 +174,10 @@ PROBES = (
     # (cell-pair N^2 fixture artifact) -> EXCLUDED like the dedup
     # family; sweep line: corpus scan + calendar-bounded day window
     "max_concurrent_intervals",
+    # erasure: broadcast semi-flag + one conditional-agg scan; decay:
+    # one scan + item-keyed agg (items-sized rank)
+    "user_erasure_audit",
+    "time_decay_popularity",
 )
 
 

@@ -4151,3 +4151,55 @@ def test_max_concurrent_intervals_matches_pandas_sweep(spark, sf_smoke):
     assert r.n_intervals == len(o)
     assert r.peak_concurrency == peak
     assert pd.Timestamp(r.first_peak_day) == first
+
+
+def test_erasure_audit_and_decay_popularity_match_pandas(spark, sf_smoke):
+    """user_erasure_audit and time_decay_popularity recomputed with
+    pandas; the erasure fixture must actually select subjects."""
+    import json
+
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet")
+
+    # erasure audit
+    uid = ev["user_id"]
+    victims = set(uid[uid.notna() & (uid % 29 == 0)].astype(int))
+    assert victims
+    erased = uid.isin(victims)
+    cents = (ev["value"] * 100).round().fillna(0).astype("int64")
+    [r] = registry.QUERIES["user_erasure_audit"](
+        spark, sf_smoke
+    ).collect()
+    assert r.n_subjects == len(victims)
+    assert r.n_rows_erased == int(erased.sum())
+    assert r.n_rows_before == len(ev)
+    assert r.value_before == round(cents.sum() / 100.0, 2)
+    assert r.value_after == round(cents[~erased].sum() / 100.0, 2)
+    assert (
+        abs(r.value_share_erased - cents[erased].sum() / cents.sum())
+        < 1e-5
+    )
+
+    # time-decay popularity
+    e2 = ev[ev["event_type"].isin(["view", "click", "purchase"])].copy()
+    day = e2["ts"].dt.floor("D")
+    now = day.max()
+    age_w = np.minimum(((now - day).dt.days // 7).to_numpy(), 20)
+    e2["wq"] = (2.0 ** (20 - age_w)).astype("int64")
+    e2["item_k"] = e2["props"].map(lambda p: int(json.loads(p)["k"]))
+    g = e2.groupby("item_k").agg(sq=("wq", "sum"), n=("wq", "size"))
+    got = {
+        r.item_k: (r.n_events, r.decay_score)
+        for r in registry.QUERIES["time_decay_popularity"](
+            spark, sf_smoke
+        ).collect()
+    }
+    assert set(got) == set(g.index.astype(int))
+    for k, (n, score) in got.items():
+        assert n == int(g.loc[k, "n"])
+        assert score == round(int(g.loc[k, "sq"]) / 1048576.0, 6)
