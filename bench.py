@@ -282,6 +282,7 @@ HEADLINE = [
     "max_concurrent_intervals",
     "user_erasure_audit",
     "time_decay_popularity",
+    "kmv_set_difference",
 ]
 
 

@@ -1317,3 +1317,183 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
     )
+
+
+# --- KMV theta-sketch set difference (A-not-B) -------------------------------
+
+_KMVD_ORACLE = f"""
+WITH ds AS (
+    SELECT DISTINCT source, shingle FROM (
+        SELECT source, unnest({_SHINGLES}) AS shingle FROM documents
+    )
+),
+hh AS (SELECT DISTINCT source, {_H60_SHINGLE} AS h FROM ds),
+sk AS (
+    SELECT source, h FROM (
+        SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM hh
+    ) WHERE rn <= {_KMV_K}
+),
+srcs AS (SELECT DISTINCT source FROM documents),
+pair_rows AS (
+    SELECT a.source AS src_a, s.source AS src_b, a.h, 1 AS ia, 0 AS ib
+    FROM sk a JOIN srcs s ON s.source > a.source
+    UNION ALL
+    SELECT s.source AS src_a, b.source AS src_b, b.h, 0 AS ia, 1 AS ib
+    FROM sk b JOIN srcs s ON s.source < b.source
+),
+u AS (
+    SELECT src_a, src_b, h, max(ia) AS ia, max(ib) AS ib
+    FROM pair_rows GROUP BY 1, 2, 3
+),
+topu AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY src_a, src_b
+                                     ORDER BY h) AS rn
+        FROM u
+    ) WHERE rn <= {_KMV_K}
+),
+est AS (
+    SELECT src_a, src_b,
+           CAST(count(*) AS BIGINT) AS k_union,
+           CAST(sum(ia * (1 - ib)) AS BIGINT) AS n_a_only,
+           CASE WHEN count(*) >= {_KMV_K}
+                THEN (count(*) - 1) * {_KMV_SPACE} / max(h)
+                ELSE CAST(count(*) AS DOUBLE) END AS union_est
+    FROM topu GROUP BY src_a, src_b
+),
+sizes AS (SELECT source, count(*) AS sz FROM hh GROUP BY source),
+inter AS (
+    SELECT a.source AS src_a, b.source AS src_b, count(*) AS ni
+    FROM hh a JOIN hh b ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT e.src_a, e.src_b, e.k_union, e.n_a_only,
+       CAST(round(e.union_est * e.n_a_only / e.k_union, 0) AS BIGINT)
+           AS diff_est,
+       CAST(sa.sz - coalesce(i.ni, 0) AS BIGINT) AS diff_exact
+FROM est e
+JOIN sizes sa ON sa.source = e.src_a
+LEFT JOIN inter i ON i.src_a = e.src_a AND i.src_b = e.src_b
+ORDER BY e.src_a, e.src_b
+"""
+
+
+@query("kmv_set_difference", _KMVD_ORACLE)
+def kmv_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch A-not-B per source pair: from the same bottom-k
+    union sketch as `source_overlap_kmv`, |A\\\\B| ≈ |A∪B|_est ·
+    (union-sketch hashes seen only in A)/k — "how much of feed A is
+    NOT already covered by feed B", the question that prices adding a
+    new ingest source. The exact distinct-shingle difference rides
+    along as the accuracy anchor (|A| − |A∩B| from one hash-keyed
+    self-join — bounded per hash by source count, never corpus²), so
+    the oracle pins estimator AND truth. Sketch side scales exactly
+    like `source_overlap_kmv` (mergeable bottom-k; everything after
+    the distinct is n_sources·k rows)."""
+    from ..functions.hashing import h60, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    hh = (
+        docs.select(
+            "source", F.explode(word_shingles("text", 3)).alias("shingle")
+        )
+        .select("source", h60(F.col("shingle")).alias("h"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    w_pre = Window.partitionBy(
+        "source", F.pmod(F.col("h"), F.lit(32))
+    ).orderBy("h")
+    w_fin = Window.partitionBy("source").orderBy("h")
+    sk = (
+        hh.withColumn("rn", F.row_number().over(w_pre))
+        .filter(F.col("rn") <= _KMV_K)
+        .withColumn("rn", F.row_number().over(w_fin))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("source", "h")
+    )
+    srcs = docs.select("source").distinct()
+    rows_a = sk.alias("a").join(
+        F.broadcast(srcs).alias("s"), F.col("s.source") > F.col("a.source")
+    ).select(
+        F.col("a.source").alias("src_a"),
+        F.col("s.source").alias("src_b"),
+        "h",
+        F.lit(1).alias("ia"),
+        F.lit(0).alias("ib"),
+    )
+    rows_b = sk.alias("b").join(
+        F.broadcast(srcs).alias("s"), F.col("s.source") < F.col("b.source")
+    ).select(
+        F.col("s.source").alias("src_a"),
+        F.col("b.source").alias("src_b"),
+        "h",
+        F.lit(0).alias("ia"),
+        F.lit(1).alias("ib"),
+    )
+    u = (
+        rows_a.unionByName(rows_b)
+        .groupBy("src_a", "src_b", "h")
+        .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib"))
+    )
+    wu = Window.partitionBy("src_a", "src_b").orderBy("h")
+    topu = u.withColumn("rn", F.row_number().over(wu)).filter(
+        F.col("rn") <= _KMV_K
+    )
+    est = topu.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_union"),
+        F.sum(F.col("ia") * (1 - F.col("ib")))
+        .cast("bigint")
+        .alias("n_a_only"),
+        F.when(
+            F.count(F.lit(1)) >= _KMV_K,
+            (F.count(F.lit(1)) - 1)
+            * F.lit(float(2**60))
+            / F.max("h"),
+        )
+        .otherwise(F.count(F.lit(1)).cast("double"))
+        .alias("union_est"),
+    )
+    sizes = hh.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = hh.alias("ha"), hh.alias("hb")
+    inter = (
+        a.join(
+            b,
+            (F.col("ha.h") == F.col("hb.h"))
+            & (F.col("ha.source") < F.col("hb.source")),
+        )
+        .groupBy(
+            F.col("ha.source").alias("i_a"),
+            F.col("hb.source").alias("i_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    return (
+        est.join(
+            F.broadcast(sizes), F.col("source") == F.col("src_a")
+        )
+        .join(
+            F.broadcast(inter),
+            (F.col("i_a") == F.col("src_a"))
+            & (F.col("i_b") == F.col("src_b")),
+            "left",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "k_union",
+            "n_a_only",
+            F.round(
+                F.col("union_est") * F.col("n_a_only") / F.col("k_union"),
+                0,
+            )
+            .cast("bigint")
+            .alias("diff_est"),
+            (F.col("sz") - F.coalesce("ni", F.lit(0)))
+            .cast("bigint")
+            .alias("diff_exact"),
+        )
+        .orderBy("src_a", "src_b")
+    )

@@ -178,6 +178,10 @@ PROBES = (
     # one scan + item-keyed agg (items-sized rank)
     "user_erasure_audit",
     "time_decay_popularity",
+    # same sketch dataflow as source_overlap_kmv (already probed);
+    # the exact-diff anchor joins on the distinct hash key, bounded
+    # per hash by source count
+    "kmv_set_difference",
 )
 
 

@@ -343,3 +343,24 @@ def test_fastss_ed1_matches_pure_python(spark, sf_smoke):
         (d, d + 1) for d in doc_ids if d % 2 == 0 and d + 1 in strs
     }
     assert planted <= got  # recall-complete on the planted edits
+
+
+def test_kmv_set_difference_estimator_sane(spark, sf_smoke):
+    """kmv_set_difference: the estimate must be non-negative, bounded
+    by the union estimate, and within a loose KMV error band of the
+    exact difference on the real corpus (k=64 → rsd ≈ 1/√63 ≈ 13%;
+    allow 4σ plus small-count slack)."""
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["kmv_set_difference"](
+        spark, sf_smoke
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.n_a_only >= 0 and r.n_a_only <= r.k_union
+        assert r.diff_est >= 0
+        if r.diff_exact >= 200:  # enough mass for the error band
+            assert abs(r.diff_est - r.diff_exact) <= max(
+                0.55 * r.diff_exact, 50
+            ), (r.src_a, r.src_b, r.diff_est, r.diff_exact)
