@@ -795,7 +795,7 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey")
     )
     return (
-        c.crossJoin(avg_bal)
+        c.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("_avg"))
         .join(o, c.c_custkey == F.col("o_custkey"), "left_anti")
         .groupBy("c_nationkey")

@@ -859,3 +859,21 @@ def test_orc_scan_prunes_status_partition(spark, sf_smoke):
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters")[1].split("]")[0]
     assert "o_orderstatus" in seg
+
+
+def test_q22_scalar_average_is_explicit_broadcast(spark, sf_smoke):
+    """q22's 1-row global-average crossJoin must carry the explicit
+    broadcast hint (BroadcastNestedLoopJoin) like its 25 siblings —
+    plan-deterministic without relying on AQE to notice the 1-row
+    side. autoBroadcastJoinThreshold is disabled so the test sees the
+    hint, not a size estimate."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try:
+        plan = plan_str(
+            registry.QUERIES["q22_idle_rich_customers"](spark, sf_smoke)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
