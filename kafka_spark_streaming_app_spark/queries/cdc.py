@@ -588,9 +588,16 @@ def streaming_ivm_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_mktsegment"
     )
     schema = "c_custkey bigint, seq bigint, op string, new_bal double"
+    # 8 feed files / 4 per trigger = 2 micro-batches: still multi-batch
+    # (cross-batch retractions + the replay-ordering contract stay
+    # exercised — the two-state crash-window pytest pins them
+    # independently), but half the fixed per-trigger state-machinery
+    # cost of the old 4-trigger run. Batch-boundary independence of
+    # the merge means the served view (and its oracle hash) is
+    # unchanged.
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "2")
+        .option("maxFilesPerTrigger", "4")
         .json(src)
     )
 
