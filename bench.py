@@ -283,6 +283,10 @@ HEADLINE = [
     "user_erasure_audit",
     "time_decay_popularity",
     "kmv_set_difference",
+    # round-9: real baseline-JPEG entropy decode (the r8 verdict's
+    # top remaining LLM-pipeline gap)
+    "multimodal_jpeg_entropy_decode",
+    "multimodal_jpeg_decode_pixels",
 ]
 
 

@@ -18,7 +18,8 @@ The pattern for a 100 TB multimodal corpus:
 Codec coverage: every modality now has a REAL pure-stdlib codec for
 at least one container:
 
-- image: PNG encoder/decoder + PNG/JPEG header parsers
+- image: PNG encoder/decoder, baseline-JPEG entropy encoder/decoder
+  (Huffman + restarts + dequant + IDCT), and PNG/JPEG header parsers
   (``operators/imagecodec.py``);
 - audio: RIFF/WAV 16-bit PCM encoder/decoder
   (``operators/avcodec.py`` — cross-checked against stdlib ``wave``
@@ -124,9 +125,9 @@ def synthesize_media(documents: DataFrame) -> DataFrame:
 def decode_payload(payload: bytes, media_type: str, fake: bool = False):
     """Decode a media payload to a numpy array.
 
-    ``fake=False`` (the real path) decodes PNG images via the
-    pure-stdlib codec in ``operators/imagecodec.py`` → (H, W) uint8.
-    Audio/video (and non-PNG images) still need ffmpeg/torchaudio,
+    ``fake=False`` (the real path) decodes PNG and baseline-JPEG
+    images via the pure-stdlib codecs in ``operators/imagecodec.py``
+    → (H, W) uint8. Compressed audio/video still need ffmpeg,
     absent here, and raise ``NotImplementedError``.
 
     ``fake=True`` returns a deterministic numpy array derived from the
@@ -137,19 +138,27 @@ def decode_payload(payload: bytes, media_type: str, fake: bool = False):
 
     if not fake:
         from .avcodec import _RIFF_MAGIC, _Y4M_MAGIC, decode_wav, decode_y4m
-        from .imagecodec import _PNG_MAGIC, decode_png
+        from .imagecodec import (
+            _JPEG_MAGIC,
+            _PNG_MAGIC,
+            decode_jpeg_baseline,
+            decode_png,
+        )
 
         buf = payload or b""
         if media_type == "image" and buf.startswith(_PNG_MAGIC):
             return decode_png(buf)
+        if media_type == "image" and buf.startswith(_JPEG_MAGIC):
+            return decode_jpeg_baseline(buf)["pixels"]
         if media_type == "audio" and buf.startswith(_RIFF_MAGIC):
             return decode_wav(buf)[0]
         if media_type == "video" and buf.startswith(_Y4M_MAGIC):
             return decode_y4m(buf)[0]
         raise NotImplementedError(
-            "compressed media decoding requires codec libraries (PIL/ffmpeg) "
-            "that are not installed (real paths: PNG images, PCM WAV audio, "
-            "Y4M video); pass fake=True for the deterministic test fake"
+            "compressed media decoding requires codec libraries (ffmpeg) "
+            "that are not installed (real paths: PNG + baseline-JPEG "
+            "images, PCM WAV audio, Y4M video); pass fake=True for the "
+            "deterministic test fake"
         )
     seed = int.from_bytes(hashlib.md5(payload or b"").digest()[:4], "big")
     rng = np.random.default_rng(seed)
@@ -1656,4 +1665,194 @@ def block_motion_vectors(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         mv, schema=MOTION_VECTOR_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------------
+# Baseline JPEG: entropy-coded fixtures + decode stats
+# --------------------------------------------------------------------------
+
+JPEG_COEF_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_blocks", T.LongType(), True),
+        T.StructField("n_nonzero", T.LongType(), True),
+        T.StructField("coef_sum", T.LongType(), True),
+        T.StructField("coef_min", T.IntegerType(), True),
+        T.StructField("coef_max", T.IntegerType(), True),
+        T.StructField("dc_sum", T.LongType(), True),
+        T.StructField("posw_sum", T.LongType(), True),
+    ]
+)
+
+
+def _jpeg_scan_fixture(d: int):
+    """Closed-form planted scan for doc ``d``: (blocks-in-zigzag,
+    width, height, qtable, restart_interval). Every value is a pure
+    function of (d, block, position) so a SQL oracle re-derives the
+    exact dequantized coefficient multiset. AC positions use stride 5
+    mod 63 (injective for i <= 7) so positions never collide; AC
+    values skip 0. Restart interval cycles 0/1/2 so the DRI + RSTn +
+    DC-prediction-reset paths are exercised across the corpus."""
+    wb, hb = d % 3 + 1, d % 2 + 1
+    qtable = [(d * 7 + j) % 31 + 1 for j in range(64)]
+    blocks = []
+    for b in range(wb * hb):
+        blk = [0] * 64
+        blk[0] = (d + 11 * b) % 61 - 30
+        nac = (d + b) % 6 + 2
+        for i in range(1, nac + 1):
+            p = (5 * i + 3 * b) % 63 + 1
+            raw = (d + 13 * b + 29 * i) % 20 - 10
+            blk[p] = raw + 1 if raw >= 0 else raw
+        blocks.append(blk)
+    return blocks, wb * 8, hb * 8, qtable, d % 3
+
+
+def synthesize_jpeg_scan_media(documents: DataFrame) -> DataFrame:
+    """REAL baseline-JPEG fixture WITH entropy-coded scan data: every
+    doc becomes a genuine grayscale SOF0 JPEG (DQT/DHT/SOS + Huffman
+    scan, per ``imagecodec.encode_jpeg_baseline``) whose quantized
+    coefficients are the closed-form ``_jpeg_scan_fixture`` plants."""
+    from .imagecodec import encode_jpeg_baseline
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                blocks, w, h, qtable, ri = _jpeg_scan_fixture(d)
+                rows.append(
+                    {
+                        "media_id": d,
+                        "codec": "jpeg",
+                        "payload": encode_jpeg_baseline(
+                            blocks, w, h, qtable, restart_interval=ri
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "codec", "payload"])
+
+    return documents.select("doc_id").mapInPandas(
+        render, schema=IMAGE_MEDIA_SCHEMA
+    )
+
+
+def jpeg_coef_stats(media: DataFrame) -> DataFrame:
+    """REAL JPEG entropy decode (coefficient domain): Huffman + DC
+    prediction + EOB/ZRL + restart sync + dequant + dezigzag per
+    payload inside an Arrow-batched mapInPandas stage; emits exact
+    integer stats over the NONZERO dequantized coefficients.
+    ``posw_sum`` weights each coefficient by its natural (row*8+col)
+    index, so a transposed or mis-permuted zigzag cannot hash-match."""
+    from .imagecodec import decode_jpeg_baseline
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                out = decode_jpeg_baseline(bytes(payload), want_pixels=False)
+                nz = [
+                    (idx, v)
+                    for blk in out["blocks"]
+                    for idx, v in enumerate(blk)
+                    if v != 0
+                ]
+                rows.append(
+                    {
+                        "media_id": int(media_id),
+                        "width": out["width"],
+                        "height": out["height"],
+                        "n_blocks": len(out["blocks"]),
+                        "n_nonzero": len(nz),
+                        "coef_sum": sum(v for _, v in nz),
+                        "coef_min": min(v for _, v in nz),
+                        "coef_max": max(v for _, v in nz),
+                        "dc_sum": sum(blk[0] for blk in out["blocks"]),
+                        "posw_sum": sum(idx * v for idx, v in nz),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in JPEG_COEF_SCHEMA])
+
+    return media.select("media_id", "payload").mapInPandas(
+        stats, schema=JPEG_COEF_SCHEMA
+    )
+
+
+def synthesize_jpeg_flat_media(documents: DataFrame) -> DataFrame:
+    """DC-only baseline-JPEG fixture for PIXEL-exact decode: each
+    block carries only a DC coefficient, so the IDCT output is flat
+    per block with value clamp(dc * q0/8 + 128) — exactly
+    SQL-recomputable because q0 is planted as a multiple of 8 (the
+    /8 stays integral; no float rounding ties can occur). Dimensions
+    are non-multiples of 8 (w = wb*8 - d%5, h = hb*8 - d%3) so the
+    decoder's edge-block crop is on the oracle path too."""
+    from .imagecodec import encode_jpeg_baseline
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                wb, hb = d % 3 + 1, d % 2 + 1
+                w, h = wb * 8 - d % 5, hb * 8 - d % 3
+                qtable = [8 * (d % 16 + 1)] + [
+                    (d + j) % 255 + 1 for j in range(1, 64)
+                ]
+                blocks = []
+                for b in range(wb * hb):
+                    blk = [0] * 64
+                    blk[0] = (d + 11 * b) % 61 - 30
+                    blocks.append(blk)
+                rows.append(
+                    {
+                        "media_id": d,
+                        "codec": "jpeg",
+                        "payload": encode_jpeg_baseline(
+                            blocks, w, h, qtable, restart_interval=d % 4
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "codec", "payload"])
+
+    return documents.select("doc_id").mapInPandas(
+        render, schema=IMAGE_MEDIA_SCHEMA
+    )
+
+
+def jpeg_pixel_stats(media: DataFrame) -> DataFrame:
+    """REAL JPEG decode to PIXELS: the full pipeline (entropy decode,
+    dequant, dezigzag, 2-D IDCT, +128 level shift, clamp, edge crop)
+    per payload; emits exact integer pixel stats."""
+    from .imagecodec import decode_jpeg_baseline
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                out = decode_jpeg_baseline(bytes(payload), want_pixels=True)
+                img = out["pixels"]
+                rows.append(
+                    {
+                        "media_id": int(media_id),
+                        "width": out["width"],
+                        "height": out["height"],
+                        "n_pixels": int(img.size),
+                        "pixel_sum": int(img.sum(dtype="int64")),
+                        "pixel_min": int(img.min()),
+                        "pixel_max": int(img.max()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_pixels",
+                    "pixel_sum", "pixel_min", "pixel_max",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        stats, schema=DECODED_STATS_SCHEMA
     )

@@ -1078,3 +1078,149 @@ def multimodal_motion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return block_motion_vectors(
         synthesize_motion_media(load_table(spark, sf_dir, "documents"))
     )
+
+
+# --- baseline JPEG entropy decode --------------------------------------------
+#
+# The fixture plants closed-form QUANTIZED coefficients and
+# Huffman-encodes them into genuine SOF0 scans, so the oracle can
+# re-derive the exact dequantized coefficient multiset with SQL — a
+# wrong Huffman walk, missed byte-unstuffing, broken DC prediction
+# (incl. restart reset), bad EXTEND sign, or dequant slip breaks the
+# hash. posw_sum weights coefficients by their NATURAL index through
+# an independently-derived zigzag permutation (diagonal walk below,
+# not the codec's spec-table constant), so the two implementations
+# cross-check each other.
+
+
+def _zigzag_to_natural() -> list:
+    """zigzag index -> natural (row*8+col) index, derived by the
+    diagonal walk (odd diagonals run down-left, even up-right) rather
+    than copied from the codec's Annex-F table."""
+    nat = []
+    for s in range(15):
+        if s % 2:
+            rows = range(max(0, s - 7), min(s, 7) + 1)
+        else:
+            rows = range(min(s, 7), max(0, s - 7) - 1, -1)
+        nat.extend(r * 8 + (s - r) for r in rows)
+    return nat
+
+
+_NAT_LIST = "[" + ", ".join(str(v) for v in _zigzag_to_natural()) + "]"
+
+_JPEG_COEF_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, doc_id % 3 + 1 AS wb, doc_id % 2 + 1 AS hb
+    FROM documents
+),
+blk AS (
+    SELECT doc_id, wb, hb, unnest(range(0, wb * hb)) AS b FROM d
+),
+dc AS (
+    SELECT doc_id, wb, hb, b, 0 AS p,
+           (doc_id + 11 * b) % 61 - 30 AS v
+    FROM blk
+),
+ac AS (
+    SELECT doc_id, wb, hb, b,
+           (5 * i.i + 3 * b) % 63 + 1 AS p,
+           CASE WHEN (doc_id + 13 * b + 29 * i.i) % 20 - 10 >= 0
+                THEN (doc_id + 13 * b + 29 * i.i) % 20 - 9
+                ELSE (doc_id + 13 * b + 29 * i.i) % 20 - 10 END AS v
+    FROM blk,
+         LATERAL (SELECT unnest(range(1, (doc_id + b) % 6 + 3)) AS i) i
+),
+dq AS (
+    SELECT doc_id, wb, hb, p, v * ((doc_id * 7 + p) % 31 + 1) AS dv
+    FROM (SELECT * FROM dc UNION ALL SELECT * FROM ac)
+)
+SELECT doc_id AS media_id,
+       CAST(wb * 8 AS INTEGER) AS width,
+       CAST(hb * 8 AS INTEGER) AS height,
+       CAST(wb * hb AS BIGINT) AS n_blocks,
+       CAST(count(*) FILTER (dv != 0) AS BIGINT) AS n_nonzero,
+       CAST(sum(dv) AS BIGINT) AS coef_sum,
+       CAST(min(dv) FILTER (dv != 0) AS INTEGER) AS coef_min,
+       CAST(max(dv) FILTER (dv != 0) AS INTEGER) AS coef_max,
+       CAST(sum(CASE WHEN p = 0 THEN dv ELSE 0 END) AS BIGINT) AS dc_sum,
+       CAST(sum(dv * list_extract({_NAT_LIST}, CAST(p AS INTEGER) + 1))
+            AS BIGINT) AS posw_sum
+FROM dq
+GROUP BY doc_id, wb, hb
+"""
+
+
+@query("multimodal_jpeg_entropy_decode", _JPEG_COEF_ORACLE)
+def multimodal_jpeg_entropy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG ENTROPY decode (coefficient domain): genuine
+    SOF0 scans (standard Annex-K Huffman tables, byte stuffing,
+    DRI/RSTn restarts) are decoded — Huffman, DC prediction, EOB/ZRL,
+    EXTEND, dequant, dezigzag — inside an Arrow-batched mapInPandas
+    stage, and the exact integer stats over the nonzero dequantized
+    coefficients are hash-checked against the closed-form plant."""
+    from ..operators.multimodal import (
+        jpeg_coef_stats,
+        synthesize_jpeg_scan_media,
+    )
+
+    media = synthesize_jpeg_scan_media(load_table(spark, sf_dir, "documents"))
+    return jpeg_coef_stats(media)
+
+
+# Pixel-exact JPEG: DC-only blocks make the IDCT output flat per
+# block (value = clamp(dc*q0/8 + 128)), and q0 is a multiple of 8 so
+# the division is integral — the oracle recomputes every pixel of the
+# CROPPED image (dims are non-multiples of 8) from per-block overlap
+# counts.
+_JPEG_PIXEL_ORACLE = """
+WITH d AS (
+    SELECT doc_id, doc_id % 3 + 1 AS wb, doc_id % 2 + 1 AS hb,
+           doc_id % 16 + 1 AS s
+    FROM documents
+),
+dd AS (
+    SELECT doc_id, wb, hb, s,
+           wb * 8 - doc_id % 5 AS w,
+           hb * 8 - doc_id % 3 AS h
+    FROM d
+),
+blk AS (
+    SELECT doc_id, w, h, s, wb,
+           unnest(range(0, wb * hb)) AS b
+    FROM dd
+),
+px AS (
+    SELECT doc_id, w, h,
+           LEAST(255, GREATEST(0,
+               ((doc_id + 11 * b) % 61 - 30) * s + 128)) AS val,
+           LEAST(8, w - 8 * (b % wb)) AS nc,
+           LEAST(8, h - 8 * (b // wb)) AS nr
+    FROM blk
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(sum(val * nc * nr) AS BIGINT) AS pixel_sum,
+       CAST(min(val) AS INTEGER) AS pixel_min,
+       CAST(max(val) AS INTEGER) AS pixel_max
+FROM px
+GROUP BY doc_id, w, h
+"""
+
+
+@query("multimodal_jpeg_decode_pixels", _JPEG_PIXEL_ORACLE)
+def multimodal_jpeg_decode_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode to PIXELS: entropy decode + dequant +
+    dezigzag + 2-D IDCT + level shift + clamp + edge-block crop; the
+    DC-only fixture keeps every decoded pixel closed-form (flat
+    blocks; q0 a multiple of 8 kills rounding ties) so the stats are
+    exact-integer hash-checked, crop included."""
+    from ..operators.multimodal import (
+        jpeg_pixel_stats,
+        synthesize_jpeg_flat_media,
+    )
+
+    media = synthesize_jpeg_flat_media(load_table(spark, sf_dir, "documents"))
+    return jpeg_pixel_stats(media)

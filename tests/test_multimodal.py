@@ -898,3 +898,170 @@ def test_motion_vectors_recover_planted_translation(spark, sf_smoke):
                 key = (int(np.abs(blk - ref).sum()), dy, dx)
                 best = key if best is None or key < best else best
     assert best[0] == 0
+
+
+# --- baseline JPEG entropy codec ---------------------------------------------
+
+
+def test_jpeg_baseline_coef_roundtrip_exact():
+    """Entropy encode -> decode recovers every planted quantized
+    coefficient exactly (dequantized + dezigzagged), across block
+    counts, restart intervals, and AC run shapes incl. ZRL (run >= 16)
+    and EOB."""
+    import numpy as np
+
+    from kafka_spark_streaming_app_spark.operators.imagecodec import (
+        JPEG_ZIGZAG,
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    q = [(7 * j) % 31 + 1 for j in range(64)]
+    # block 0: long zero run (ZRL path) — DC, then nothing until zz 40
+    b0 = [0] * 64
+    b0[0], b0[40], b0[63] = -30, 5, -1
+    # block 1: dense low frequencies, EOB after zz 5
+    b1 = [0] * 64
+    b1[0], b1[1], b1[2], b1[5] = 30, -1, 1, 10
+    # block 2: all-zero ACs, zero DC (pure EOB after a 0-diff DC)
+    b2 = [0] * 64
+    for ri in (0, 1, 2, 5):
+        data = encode_jpeg_baseline([b0, b1, b2], 24, 8, q, restart_interval=ri)
+        out = decode_jpeg_baseline(data)
+        assert (out["width"], out["height"]) == (24, 8)
+        for blk_zz, nat in zip((b0, b1, b2), out["blocks"]):
+            exp = [0] * 64
+            for zz, v in enumerate(blk_zz):
+                exp[JPEG_ZIGZAG[zz]] = v * q[zz]
+            assert nat == exp
+        assert out["pixels"].shape == (8, 24)
+        assert out["pixels"].dtype == np.uint8
+
+
+def test_jpeg_byte_stuffing_survives_all_ff_bytes():
+    """Coefficients chosen to maximize 1-bits in the scan force 0xFF
+    bytes into the entropy stream; the stuffed 0x00s must round-trip
+    and never be mistaken for markers."""
+    from kafka_spark_streaming_app_spark.operators.imagecodec import (
+        JPEG_ZIGZAG,
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    q = [1] * 64
+    blocks = []
+    for b in range(4):
+        blk = [0] * 64
+        blk[0] = 1023 if b % 2 == 0 else -1024  # max-size DC swings
+        for k in range(1, 64):
+            blk[k] = 1 if (b + k) % 2 else -1
+        blocks.append(blk)
+    data = encode_jpeg_baseline(blocks, 32, 8, q)
+    out = decode_jpeg_baseline(data, want_pixels=False)
+    for blk_zz, nat in zip(blocks, out["blocks"]):
+        exp = [0] * 64
+        for zz, v in enumerate(blk_zz):
+            exp[JPEG_ZIGZAG[zz]] = v
+        assert nat == exp
+
+
+def test_jpeg_dc_prediction_resets_at_restart_markers():
+    """A decoder that carries DC prediction across RSTn decodes wrong
+    absolute DCs for every block after the first restart — this
+    fixture makes that diverge (all equal planted DCs, nonzero)."""
+    from kafka_spark_streaming_app_spark.operators.imagecodec import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    q = [8] + [1] * 63
+    blk = [0] * 64
+    blk[0] = 9
+    data = encode_jpeg_baseline([blk] * 6, 48, 8, q, restart_interval=2)
+    out = decode_jpeg_baseline(data)
+    assert [b[0] for b in out["blocks"]] == [72] * 6  # 9 * q0
+    assert set(out["pixels"].flatten().tolist()) == {9 + 128}
+
+
+def test_jpeg_full_dct_roundtrip_bounded_error():
+    """Forward DCT + quantize (test-side, independent numpy path) ->
+    encode -> decode must reproduce the source image within the
+    quantization error bound; with an all-ones qtable the error is
+    tiny (|e| <= 2 observed bound covers IDCT rounding)."""
+    import numpy as np
+
+    from kafka_spark_streaming_app_spark.operators.imagecodec import (
+        JPEG_ZIGZAG,
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    h, w = 16, 24
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = ((3 * yy + 7 * xx + yy * xx) % 256).astype(np.float64)
+    # forward DCT built from first principles (orthonormal DCT-II)
+    u = np.arange(8)
+    m = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16) / 2.0
+    m[0, :] /= np.sqrt(2.0)
+    blocks = []
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            tile = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coefs = m @ tile @ m.T
+            qzz = [int(round(coefs[z // 8][z % 8])) for z in JPEG_ZIGZAG]
+            # baseline AC range gate: clamp into 10-bit categories
+            qzz = [max(-1023, min(1023, v)) for v in qzz]
+            blocks.append(qzz)
+    data = encode_jpeg_baseline(blocks, w, h, [1] * 64)
+    out = decode_jpeg_baseline(data)
+    err = np.abs(out["pixels"].astype(np.int64) - img.astype(np.int64))
+    assert err.max() <= 2, f"max decode error {err.max()}"
+
+
+def test_jpeg_decode_rejects_non_baseline():
+    """Progressive/multi-component/subsampled inputs must fail loudly
+    (named gap), never decode garbage."""
+    import pytest as _pytest
+
+    from kafka_spark_streaming_app_spark.operators.imagecodec import (
+        decode_jpeg_baseline,
+        make_jpeg_header_bytes,
+    )
+
+    three_comp = make_jpeg_header_bytes(16, 16, 3)
+    with _pytest.raises(NotImplementedError, match="component"):
+        decode_jpeg_baseline(three_comp)
+
+
+def test_jpeg_scan_fixture_spark_path(spark, sf_smoke):
+    """End-to-end through Spark: the entropy fixture rows decode to
+    the closed-form coefficient stats for a spot-checked doc."""
+    from kafka_spark_streaming_app_spark.operators.multimodal import (
+        _jpeg_scan_fixture,
+        jpeg_coef_stats,
+        synthesize_jpeg_scan_media,
+    )
+    from kafka_spark_streaming_app_spark.operators.imagecodec import JPEG_ZIGZAG
+    from kafka_spark_streaming_app_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").filter(
+        F.col("doc_id") < 40
+    )
+    got = {
+        r["media_id"]: r
+        for r in jpeg_coef_stats(synthesize_jpeg_scan_media(docs)).collect()
+    }
+    assert len(got) == 40
+    for d in (0, 5, 17, 38):
+        blocks, w, h, qtable, _ri = _jpeg_scan_fixture(d)
+        dq = [
+            (JPEG_ZIGZAG[zz], v * qtable[zz])
+            for blk in blocks
+            for zz, v in enumerate(blk)
+            if v != 0
+        ]
+        row = got[d]
+        assert (row["width"], row["height"]) == (w, h)
+        assert row["n_nonzero"] == len(dq)
+        assert row["coef_sum"] == sum(v for _, v in dq)
+        assert row["posw_sum"] == sum(i * v for i, v in dq)
