@@ -287,6 +287,7 @@ HEADLINE = [
     # top remaining LLM-pipeline gap)
     "multimodal_jpeg_entropy_decode",
     "multimodal_jpeg_decode_pixels",
+    "multimodal_jpeg_color_decode",
 ]
 
 

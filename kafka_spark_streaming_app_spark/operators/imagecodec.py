@@ -599,23 +599,29 @@ def _idct_matrix():
 
 
 def decode_jpeg_baseline(data: bytes, want_pixels: bool = True) -> dict:
-    """REAL baseline JPEG decode (grayscale, no subsampling): full
-    marker walk, canonical-Huffman entropy decode of DC differences
-    and AC run-lengths (EOB/ZRL, EXTEND), 0xFF00 un-stuffing, restart
-    markers with DC-prediction reset, dequantization, dezigzag, and
-    (when ``want_pixels``) the 2-D IDCT + level shift + clamp + crop.
+    """REAL baseline JPEG decode, grayscale OR interleaved color
+    (e.g. 4:2:0 YCbCr): full marker walk, canonical-Huffman entropy
+    decode of DC differences and AC run-lengths (EOB/ZRL, EXTEND),
+    0xFF00 un-stuffing, restart markers with per-component
+    DC-prediction reset, the interleaved MCU walk with per-component
+    sampling factors and table selection, dequantization, dezigzag,
+    and (when ``want_pixels``) per-component 2-D IDCT + level shift +
+    chroma upsampling + YCbCr->RGB + clamp + crop.
 
     Huffman and quantization tables are read from the file's DHT/DQT
     segments — nothing is assumed from the encoder side. Returns
-    ``{"width", "height", "blocks", "pixels"}`` where ``blocks`` is
-    the list of dequantized coefficient blocks in NATURAL order (64
-    ints each, raster MCU order) and ``pixels`` an (H, W) uint8 array
-    (None if ``want_pixels`` is False).
+    ``{"width", "height", "ncomp", "components", "blocks",
+    "pixels"}``: ``components[c]["blocks"]`` is that component's
+    dequantized coefficient blocks in NATURAL order, SCAN order of
+    the interleaved walk; ``blocks`` aliases component 0 (the
+    grayscale contract is unchanged); ``pixels`` is (H, W) uint8 for
+    1 component, (H, W, 3) RGB uint8 for 3 (JFIF YCbCr), None if
+    ``want_pixels`` is False.
 
-    Color (multi-component) and progressive scans raise
-    NotImplementedError with the exact missing piece named — extend by
-    per-component table selection + chroma upsampling (SOF3/SOF2
-    decode trees are out of baseline scope)."""
+    Progressive scans (SOF2 etc.) raise NotImplementedError —
+    spectral-selection/successive-approximation scan merging is the
+    missing piece; 2- or 4-component pixel output likewise (no
+    defined color transform here) though their coefficients decode."""
     import numpy as np
 
     if not data.startswith(_JPEG_MAGIC):
@@ -625,7 +631,7 @@ def decode_jpeg_baseline(data: bytes, want_pixels: bool = True) -> dict:
     htables: dict[tuple[int, int], dict] = {}
     frame = None
     restart_interval = 0
-    scan_comp = None
+    scan = None
     scan_start = None
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -676,82 +682,302 @@ def decode_jpeg_baseline(data: bytes, want_pixels: bool = True) -> dict:
             depth, h, wd, ncomp = struct.unpack_from(">BHHB", body, 0)
             if depth != 8:
                 raise NotImplementedError("only 8-bit baseline JPEG")
-            if ncomp != 1:
-                raise NotImplementedError(
-                    f"{ncomp}-component JPEG decode not implemented: needs "
-                    "per-component Huffman/quant selection + chroma "
-                    "upsampling + YCbCr->RGB; grayscale (1 component) only"
+            comps = []
+            for c in range(ncomp):
+                cid, sampling, tq = struct.unpack_from(
+                    ">BBB", body, 6 + 3 * c
                 )
-            cid, sampling, tq = struct.unpack_from(">BBB", body, 6)
-            if sampling != 0x11:
-                raise NotImplementedError("subsampled JPEG not implemented")
-            frame = {"width": wd, "height": h, "cid": cid, "tq": tq}
+                comps.append(
+                    {
+                        "cid": cid,
+                        "h": sampling >> 4,
+                        "v": sampling & 0x0F,
+                        "tq": tq,
+                    }
+                )
+            frame = {"width": wd, "height": h, "comps": comps}
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:
             ns = body[0]
-            if ns != 1:
-                raise NotImplementedError("multi-component scan")
-            cs, tables = body[1], body[2]
-            scan_comp = {"cs": cs, "dc": tables >> 4, "ac": tables & 0x0F}
+            if frame is None:
+                raise ValueError("SOS before SOF0")
+            if ns != len(frame["comps"]):
+                raise NotImplementedError(
+                    "non-interleaved (multi-scan) baseline JPEG: each scan "
+                    "must cover all frame components here"
+                )
+            scan = {}
+            for i in range(ns):
+                cs, tables = body[1 + 2 * i], body[2 + 2 * i]
+                scan[cs] = {"dc": tables >> 4, "ac": tables & 0x0F}
             scan_start = pos + 2 + seglen
             break
         pos += 2 + seglen
-    if frame is None or scan_comp is None:
+    if frame is None or scan is None:
         raise ValueError("JPEG missing SOF0/SOS")
-    qt = qtables[frame["tq"]]
-    dc_tab = htables[(0, scan_comp["dc"])]
-    ac_tab = htables[(1, scan_comp["ac"])]
 
     w, h = frame["width"], frame["height"]
-    bx, by = (w + 7) // 8, (h + 7) // 8
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     reader = _JpegBitReader(data, scan_start)
-    pred = 0
+    preds = [0] * len(comps)
+    blocks_zz = [[] for _ in comps]
     rst = 0
-    blocks_zz = []
-    for i in range(bx * by):
-        if restart_interval and i and i % restart_interval == 0:
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
             reader.sync_restart(0xD0 + rst)
             rst = (rst + 1) % 8
-            pred = 0
-        blk = [0] * 64
-        size = _decode_huffman_symbol(reader, dc_tab)
-        diff = _extend(reader.read_bits(size), size) if size else 0
-        pred += diff
-        blk[0] = pred * qt[0]
-        k = 1
-        while k < 64:
-            sym = _decode_huffman_symbol(reader, ac_tab)
-            if sym == 0x00:  # EOB
-                break
-            if sym == 0xF0:  # ZRL
-                k += 16
-                continue
-            run, size = sym >> 4, sym & 0x0F
-            k += run
-            if k > 63:
-                raise ValueError("AC run overflows block")
-            blk[k] = _extend(reader.read_bits(size), size) * qt[k]
-            k += 1
-        blocks_zz.append(blk)
+            preds = [0] * len(comps)
+        for ci, comp in enumerate(comps):
+            sel = scan[comp["cid"]]
+            dc_tab = htables[(0, sel["dc"])]
+            ac_tab = htables[(1, sel["ac"])]
+            qt = qtables[comp["tq"]]
+            for _ in range(comp["h"] * comp["v"]):
+                blk = [0] * 64
+                size = _decode_huffman_symbol(reader, dc_tab)
+                diff = _extend(reader.read_bits(size), size) if size else 0
+                preds[ci] += diff
+                blk[0] = preds[ci] * qt[0]
+                k = 1
+                while k < 64:
+                    sym = _decode_huffman_symbol(reader, ac_tab)
+                    if sym == 0x00:
+                        break
+                    if sym == 0xF0:
+                        k += 16
+                        continue
+                    run, size = sym >> 4, sym & 0x0F
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run overflows block")
+                    blk[k] = _extend(reader.read_bits(size), size) * qt[k]
+                    k += 1
+                blocks_zz[ci].append(blk)
 
-    blocks = []
-    for blk in blocks_zz:
-        nat = [0] * 64
-        for zz, v in enumerate(blk):
-            nat[JPEG_ZIGZAG[zz]] = v
-        blocks.append(nat)
+    components = []
+    for ci, comp in enumerate(comps):
+        nat_blocks = []
+        for blk in blocks_zz[ci]:
+            nat = [0] * 64
+            for zz, v in enumerate(blk):
+                nat[JPEG_ZIGZAG[zz]] = v
+            nat_blocks.append(nat)
+        components.append(
+            {
+                "cid": comp["cid"],
+                "h": comp["h"],
+                "v": comp["v"],
+                "blocks": nat_blocks,
+            }
+        )
 
     pixels = None
     if want_pixels:
+        if len(comps) not in (1, 3):
+            raise NotImplementedError(
+                f"pixel output for {len(comps)}-component JPEG: no defined "
+                "color transform (coefficients decoded fine — use "
+                "want_pixels=False)"
+            )
         m = _idct_matrix()
-        arr = np.array(blocks, dtype=np.float64).reshape(-1, 8, 8)
-        # batched IDCT: out[b] = M.T @ F[b] @ M
-        out = np.einsum("ux,buv,vy->bxy", m, arr, m)
-        out = np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)
-        full = np.zeros((by * 8, bx * 8), dtype=np.uint8)
-        for i in range(by):
-            for j in range(bx):
-                full[i * 8 : i * 8 + 8, j * 8 : j * 8 + 8] = out[i * bx + j]
-        pixels = full[:h, :w]
-    return {"width": w, "height": h, "blocks": blocks, "pixels": pixels}
+        planes = []
+        for ci, comp in enumerate(comps):
+            bw, bh = mcux * comp["h"], mcuy * comp["v"]
+            arr = np.array(components[ci]["blocks"], dtype=np.float64)
+            arr = arr.reshape(-1, 8, 8)
+            out = np.einsum("ux,buv,vy->bxy", m, arr, m) + 128.0
+            out = np.clip(np.round(out), 0, 255)
+            plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+            # scan order: MCU raster, then Vi x Hi within the MCU
+            bi = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for v in range(comp["v"]):
+                        for hh in range(comp["h"]):
+                            py = (my * comp["v"] + v) * 8
+                            px = (mx * comp["h"] + hh) * 8
+                            plane[py : py + 8, px : px + 8] = out[bi]
+                            bi += 1
+            # upsample to full resolution by sample replication
+            ry, rx = vmax // comp["v"], hmax // comp["h"]
+            if ry > 1 or rx > 1:
+                plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+            planes.append(plane[:h, :w])
+        if len(planes) == 1:
+            pixels = planes[0].astype(np.uint8)
+        else:
+            y, cb, cr = planes
+            r = y + 1.402 * (cr - 128.0)
+            g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            b = y + 1.772 * (cb - 128.0)
+            rgb = np.stack([r, g, b], axis=-1)
+            pixels = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return {
+        "width": w,
+        "height": h,
+        "ncomp": len(comps),
+        "components": components,
+        "blocks": components[0]["blocks"],
+        "pixels": pixels,
+    }
+
+
+# --------------------------------------------------------------------------
+# Baseline JPEG, multi-component (interleaved color, e.g. 4:2:0)
+# --------------------------------------------------------------------------
+
+# Standard chrominance Huffman tables (Annex K.3, tables K.4/K.6).
+_DC_CHR_BITS = (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+_DC_CHR_VALS = tuple(range(12))
+_AC_CHR_BITS = (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+_AC_CHR_VALS = (
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+
+
+def _encode_block(w, blk, pred, dc_codes, ac_codes) -> int:
+    """Entropy-encode one zigzag block; returns the new DC pred."""
+    diff = blk[0] - pred
+    size = _csize(diff)
+    code, length = dc_codes[size]
+    w.write(code, length)
+    if size:
+        w.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    run = 0
+    for k in range(1, 64):
+        v = blk[k]
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            zc, zl = ac_codes[0xF0]
+            w.write(zc, zl)
+            run -= 16
+        size = _csize(v)
+        if size > 10:
+            raise ValueError(f"AC coefficient {v} out of baseline range")
+        code, length = ac_codes[(run << 4) | size]
+        w.write(code, length)
+        w.write(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    if run:
+        ec, el = ac_codes[0x00]
+        w.write(ec, el)
+    return blk[0]
+
+
+def encode_jpeg_baseline_color(
+    comp_blocks,
+    samplings,
+    width: int,
+    height: int,
+    qtables,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode a real INTERLEAVED multi-component baseline JPEG (e.g.
+    4:2:0 YCbCr) from QUANTIZED coefficients.
+
+    ``comp_blocks[c]``: that component's 64-int zigzag blocks in SCAN
+    order (the interleaved MCU walk consumes them sequentially);
+    ``samplings[c]``: (Hi, Vi) sampling factors; ``qtables[c]``: 64
+    zigzag entries (written as DQT id c). Component 0 uses the
+    standard luminance Huffman tables, components >= 1 the standard
+    chrominance tables — exactly the table assignment of every
+    real-world JFIF encoder. Blocks per component must equal
+    (mcux*Hi) * (mcuy*Vi) where mcux = ceil(width / (8*hmax)),
+    mcuy = ceil(height / (8*vmax))."""
+    ncomp = len(comp_blocks)
+    if ncomp != len(samplings) or ncomp != len(qtables) or ncomp > 4:
+        raise ValueError("need parallel comp_blocks/samplings/qtables, <= 4")
+    hmax = max(s[0] for s in samplings)
+    vmax = max(s[1] for s in samplings)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    for c, (blocks, (hi, vi)) in enumerate(zip(comp_blocks, samplings)):
+        need = (mcux * hi) * (mcuy * vi)
+        if len(blocks) != need:
+            raise ValueError(
+                f"component {c}: need {need} blocks, got {len(blocks)}"
+            )
+
+    out = bytearray(_JPEG_MAGIC)
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+    for c, qt in enumerate(qtables):
+        qt = list(qt)
+        if len(qt) != 64 or not all(1 <= q <= 255 for q in qt):
+            raise ValueError("qtable must be 64 entries in 1..255")
+        body = bytes([c]) + bytes(qt)
+        out += b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for c, (hi, vi) in enumerate(samplings):
+        sof += struct.pack(">BBB", c + 1, (hi << 4) | vi, c)
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    for cls, bits, vals in (
+        (0x00, _DC_LUM_BITS, _DC_LUM_VALS),
+        (0x10, _AC_LUM_BITS, _AC_LUM_VALS),
+        (0x01, _DC_CHR_BITS, _DC_CHR_VALS),
+        (0x11, _AC_CHR_BITS, _AC_CHR_VALS),
+    ):
+        body = bytes([cls]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        tid = 0 if c == 0 else 1
+        sos += bytes((c + 1, (tid << 4) | tid))
+    sos += bytes((0, 63, 0))
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    lum = (
+        _huffman_encode_table(_DC_LUM_BITS, _DC_LUM_VALS),
+        _huffman_encode_table(_AC_LUM_BITS, _AC_LUM_VALS),
+    )
+    chrm = (
+        _huffman_encode_table(_DC_CHR_BITS, _DC_CHR_VALS),
+        _huffman_encode_table(_AC_CHR_BITS, _AC_CHR_VALS),
+    )
+    w = _JpegBitWriter()
+    preds = [0] * ncomp
+    nexts = [0] * ncomp
+    rst = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            w.emit_marker(0xD0 + rst)
+            rst = (rst + 1) % 8
+            preds = [0] * ncomp
+        for c, (hi, vi) in enumerate(samplings):
+            dc_codes, ac_codes = lum if c == 0 else chrm
+            for _ in range(hi * vi):
+                blk = comp_blocks[c][nexts[c]]
+                nexts[c] += 1
+                preds[c] = _encode_block(w, blk, preds[c], dc_codes, ac_codes)
+    out += w.getvalue()
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -1856,3 +1856,128 @@ def jpeg_pixel_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         stats, schema=DECODED_STATS_SCHEMA
     )
+
+
+JPEG_COLOR_COEF_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("component", T.IntegerType(), True),
+        T.StructField("n_blocks", T.LongType(), True),
+        T.StructField("n_nonzero", T.LongType(), True),
+        T.StructField("coef_sum", T.LongType(), True),
+        T.StructField("coef_min", T.IntegerType(), True),
+        T.StructField("coef_max", T.IntegerType(), True),
+        T.StructField("dc_sum", T.LongType(), True),
+        T.StructField("posw_sum", T.LongType(), True),
+    ]
+)
+
+
+def _jpeg_color_fixture(d: int):
+    """Closed-form interleaved 4:2:0 plant for doc ``d``: returns
+    (comp_blocks, samplings, width, height, qtables, restart). Block
+    index b is SCAN order (MCU raster, Vi x Hi within MCU) — the
+    oracle never needs spatial layout, only per-component counts.
+    Dims are non-multiples of 16 so the MCU ceil is exercised."""
+    mx, my = d % 2 + 1, (d // 2) % 2 + 1
+    w, h = 16 * mx - d % 7, 16 * my - d % 5
+    qy = [(d * 7 + j) % 31 + 1 for j in range(64)]
+    qc = [(d * 5 + j) % 29 + 1 for j in range(64)]
+    comp_blocks = []
+    for ci, nb in ((0, 4 * mx * my), (1, mx * my), (2, mx * my)):
+        blocks = []
+        for b in range(nb):
+            blk = [0] * 64
+            blk[0] = (d + 11 * b + 7 * ci) % 61 - 30
+            nac = (d + b + ci) % 6 + 2
+            for i in range(1, nac + 1):
+                p = (5 * i + 3 * b + 2 * ci) % 63 + 1
+                raw = (d + 13 * b + 29 * i + 5 * ci) % 20 - 10
+                blk[p] = raw + 1 if raw >= 0 else raw
+            blocks.append(blk)
+        comp_blocks.append(blocks)
+    return (
+        comp_blocks,
+        [(2, 2), (1, 1), (1, 1)],
+        w,
+        h,
+        [qy, qc, qc],
+        d % 3,
+    )
+
+
+def synthesize_jpeg_color_media(documents: DataFrame) -> DataFrame:
+    """REAL interleaved-color baseline-JPEG fixture: every doc becomes
+    a genuine 3-component 4:2:0 YCbCr SOF0 JPEG (standard luminance +
+    chrominance Huffman tables, interleaved MCU scan, per-component
+    quant tables, DRI/RSTn) whose quantized coefficients are the
+    closed-form ``_jpeg_color_fixture`` plants."""
+    from .imagecodec import encode_jpeg_baseline_color
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                cb, samp, w, h, qts, ri = _jpeg_color_fixture(d)
+                rows.append(
+                    {
+                        "media_id": d,
+                        "codec": "jpeg",
+                        "payload": encode_jpeg_baseline_color(
+                            cb, samp, w, h, qts, restart_interval=ri
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "codec", "payload"])
+
+    return documents.select("doc_id").mapInPandas(
+        render, schema=IMAGE_MEDIA_SCHEMA
+    )
+
+
+def jpeg_color_coef_stats(media: DataFrame) -> DataFrame:
+    """REAL interleaved-color JPEG entropy decode: the full 4:2:0 MCU
+    walk (per-component Huffman/quant selection, per-component DC
+    prediction with restart reset) per payload; one stats row per
+    (media, component) over the nonzero dequantized coefficients. A
+    decoder that mixes components' predictions, tables, or block
+    ordering cannot hash-match."""
+    from .imagecodec import decode_jpeg_baseline
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                out = decode_jpeg_baseline(bytes(payload), want_pixels=False)
+                for ci, comp in enumerate(out["components"]):
+                    nz = [
+                        (idx, v)
+                        for blk in comp["blocks"]
+                        for idx, v in enumerate(blk)
+                        if v != 0
+                    ]
+                    rows.append(
+                        {
+                            "media_id": int(media_id),
+                            "width": out["width"],
+                            "height": out["height"],
+                            "component": ci,
+                            "n_blocks": len(comp["blocks"]),
+                            "n_nonzero": len(nz),
+                            "coef_sum": sum(v for _, v in nz),
+                            "coef_min": min(v for _, v in nz),
+                            "coef_max": max(v for _, v in nz),
+                            "dc_sum": sum(b[0] for b in comp["blocks"]),
+                            "posw_sum": sum(i * v for i, v in nz),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in JPEG_COLOR_COEF_SCHEMA]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        stats, schema=JPEG_COLOR_COEF_SCHEMA
+    )

@@ -1224,3 +1224,81 @@ def multimodal_jpeg_decode_pixels(spark: SparkSession, sf_dir: str) -> DataFrame
 
     media = synthesize_jpeg_flat_media(load_table(spark, sf_dir, "documents"))
     return jpeg_pixel_stats(media)
+
+
+# Interleaved color: one stats row per (media, component). The
+# per-component quant tables, per-component DC prediction chains, and
+# the interleaved block ordering are all load-bearing — swap any of
+# them and the per-component sums diverge.
+_JPEG_COLOR_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, doc_id % 2 + 1 AS mx, (doc_id // 2) % 2 + 1 AS my
+    FROM documents
+),
+c AS (
+    SELECT doc_id, mx, my, unnest([0, 1, 2]) AS ci FROM d
+),
+cb AS (
+    SELECT doc_id, mx, my, ci,
+           CASE WHEN ci = 0 THEN 4 * mx * my ELSE mx * my END AS nb
+    FROM c
+),
+blk AS (
+    SELECT doc_id, mx, my, ci, nb, unnest(range(0, nb)) AS b FROM cb
+),
+dc AS (
+    SELECT doc_id, mx, my, ci, nb, b, 0 AS p,
+           (doc_id + 11 * b + 7 * ci) % 61 - 30 AS v
+    FROM blk
+),
+ac AS (
+    SELECT doc_id, mx, my, ci, nb, b,
+           (5 * i.i + 3 * b + 2 * ci) % 63 + 1 AS p,
+           CASE WHEN (doc_id + 13 * b + 29 * i.i + 5 * ci) % 20 - 10 >= 0
+                THEN (doc_id + 13 * b + 29 * i.i + 5 * ci) % 20 - 9
+                ELSE (doc_id + 13 * b + 29 * i.i + 5 * ci) % 20 - 10
+           END AS v
+    FROM blk,
+         LATERAL (
+             SELECT unnest(range(1, (doc_id + b + ci) % 6 + 3)) AS i
+         ) i
+),
+dq AS (
+    SELECT doc_id, mx, my, ci, nb, p,
+           v * (CASE WHEN ci = 0 THEN (doc_id * 7 + p) % 31 + 1
+                     ELSE (doc_id * 5 + p) % 29 + 1 END) AS dv
+    FROM (SELECT * FROM dc UNION ALL SELECT * FROM ac)
+)
+SELECT doc_id AS media_id,
+       CAST(16 * mx - doc_id % 7 AS INTEGER) AS width,
+       CAST(16 * my - doc_id % 5 AS INTEGER) AS height,
+       CAST(ci AS INTEGER) AS component,
+       CAST(nb AS BIGINT) AS n_blocks,
+       CAST(count(*) FILTER (dv != 0) AS BIGINT) AS n_nonzero,
+       CAST(sum(dv) AS BIGINT) AS coef_sum,
+       CAST(min(dv) FILTER (dv != 0) AS INTEGER) AS coef_min,
+       CAST(max(dv) FILTER (dv != 0) AS INTEGER) AS coef_max,
+       CAST(sum(CASE WHEN p = 0 THEN dv ELSE 0 END) AS BIGINT) AS dc_sum,
+       CAST(sum(dv * list_extract({_NAT_LIST}, CAST(p AS INTEGER) + 1))
+            AS BIGINT) AS posw_sum
+FROM dq
+GROUP BY doc_id, mx, my, ci, nb
+"""
+
+
+@query("multimodal_jpeg_color_decode", _JPEG_COLOR_ORACLE)
+def multimodal_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL interleaved-COLOR baseline-JPEG entropy decode: genuine
+    4:2:0 YCbCr SOF0 scans (standard luminance AND chrominance
+    Annex-K tables, per-component quant tables, DRI/RSTn restarts
+    resetting all three DC predictions) decoded through the
+    interleaved MCU walk inside an Arrow-batched mapInPandas stage;
+    per-(media, component) exact integer coefficient stats are
+    hash-checked against the closed-form plant."""
+    from ..operators.multimodal import (
+        jpeg_color_coef_stats,
+        synthesize_jpeg_color_media,
+    )
+
+    media = synthesize_jpeg_color_media(load_table(spark, sf_dir, "documents"))
+    return jpeg_color_coef_stats(media)

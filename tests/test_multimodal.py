@@ -1019,8 +1019,8 @@ def test_jpeg_full_dct_roundtrip_bounded_error():
 
 
 def test_jpeg_decode_rejects_non_baseline():
-    """Progressive/multi-component/subsampled inputs must fail loudly
-    (named gap), never decode garbage."""
+    """Progressive frames must fail loudly (named gap), never decode
+    garbage; a scanless container is a plain malformed-input error."""
     import pytest as _pytest
 
     from kafka_spark_streaming_app_spark.operators.imagecodec import (
@@ -1028,9 +1028,13 @@ def test_jpeg_decode_rejects_non_baseline():
         make_jpeg_header_bytes,
     )
 
-    three_comp = make_jpeg_header_bytes(16, 16, 3)
-    with _pytest.raises(NotImplementedError, match="component"):
-        decode_jpeg_baseline(three_comp)
+    progressive = bytearray(make_jpeg_header_bytes(16, 16, 1))
+    sof_at = progressive.index(b"\xff\xc0")
+    progressive[sof_at + 1] = 0xC2  # rewrite SOF0 -> SOF2
+    with _pytest.raises(NotImplementedError, match="progressive|SOF2"):
+        decode_jpeg_baseline(bytes(progressive))
+    with _pytest.raises(ValueError, match="SOS"):
+        decode_jpeg_baseline(make_jpeg_header_bytes(16, 16, 3))
 
 
 def test_jpeg_scan_fixture_spark_path(spark, sf_smoke):
@@ -1065,3 +1069,120 @@ def test_jpeg_scan_fixture_spark_path(spark, sf_smoke):
         assert row["n_nonzero"] == len(dq)
         assert row["coef_sum"] == sum(v for _, v in dq)
         assert row["posw_sum"] == sum(i * v for i, v in dq)
+
+
+def test_jpeg_color_420_pixels_flat_regions():
+    """DC-only 4:2:0 color: each luma block is flat and chroma is
+    constant, so every RGB pixel is computable independently with the
+    JFIF matrix — pins IDCT + upsample + color transform end to end."""
+    import numpy as np
+
+    from kafka_spark_streaming_app_spark.operators.imagecodec import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline_color,
+    )
+
+    qy = [8] + [1] * 63
+    qc = [16] + [1] * 63
+    # 2x1 MCUs: 8 luma blocks (scan order: 4 per MCU), 2 chroma each
+    y_dcs = [5, -3, 9, 0, 12, -7, 2, 4]
+    cb_dcs = [3, -2]
+    cr_dcs = [-4, 6]
+
+    def dconly(dc):
+        blk = [0] * 64
+        blk[0] = dc
+        return blk
+
+    data = encode_jpeg_baseline_color(
+        [[dconly(v) for v in y_dcs],
+         [dconly(v) for v in cb_dcs],
+         [dconly(v) for v in cr_dcs]],
+        [(2, 2), (1, 1), (1, 1)],
+        32, 16, [qy, qc, qc], restart_interval=1,
+    )
+    out = decode_jpeg_baseline(data)
+    assert out["pixels"].shape == (16, 32, 3)
+    # luma block (mcu m, within-MCU v,h) covers rows v*8..+8, cols
+    # (2m+h)*8..+8; chroma block m covers cols m*16..+16 upsampled
+    for m in range(2):
+        for v in range(2):
+            for hh in range(2):
+                y = y_dcs[m * 4 + v * 2 + hh] * 8 / 8 + 128
+                cb = cb_dcs[m] * 16 / 8 + 128
+                cr = cr_dcs[m] * 16 / 8 + 128
+                exp = np.clip(np.round(np.array([
+                    y + 1.402 * (cr - 128),
+                    y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128),
+                    y + 1.772 * (cb - 128),
+                ])), 0, 255).astype(np.uint8)
+                tile = out["pixels"][
+                    v * 8 : v * 8 + 8, (2 * m + hh) * 8 : (2 * m + hh) * 8 + 8
+                ]
+                assert (tile == exp).all(), (m, v, hh, tile[0, 0], exp)
+
+
+def test_jpeg_color_restart_resets_all_component_predictions():
+    """After a restart the Y, Cb AND Cr DC predictors must all reset;
+    resetting only one (or carrying any across) breaks the planted
+    absolute DCs in MCU 2+."""
+    from kafka_spark_streaming_app_spark.operators.imagecodec import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline_color,
+    )
+
+    def dconly(dc):
+        blk = [0] * 64
+        blk[0] = dc
+        return blk
+
+    qt = [1] * 64
+    y = [dconly(v) for v in (10, 11, 12, 13, 20, 21, 22, 23, 30, 31, 32, 33)]
+    cb = [dconly(v) for v in (-1, -2, -3)]
+    cr = [dconly(v) for v in (7, 8, 9)]
+    data = encode_jpeg_baseline_color(
+        [y, cb, cr], [(2, 2), (1, 1), (1, 1)], 48, 16,
+        [qt, qt, qt], restart_interval=1,
+    )
+    out = decode_jpeg_baseline(data, want_pixels=False)
+    assert [b[0] for b in out["components"][0]["blocks"]] == [
+        10, 11, 12, 13, 20, 21, 22, 23, 30, 31, 32, 33
+    ]
+    assert [b[0] for b in out["components"][1]["blocks"]] == [-1, -2, -3]
+    assert [b[0] for b in out["components"][2]["blocks"]] == [7, 8, 9]
+
+
+def test_jpeg_color_fixture_spark_path(spark, sf_smoke):
+    """End-to-end through Spark: per-component stats for spot-checked
+    docs match the closed-form color plant."""
+    from kafka_spark_streaming_app_spark.operators.imagecodec import JPEG_ZIGZAG
+    from kafka_spark_streaming_app_spark.operators.multimodal import (
+        _jpeg_color_fixture,
+        jpeg_color_coef_stats,
+        synthesize_jpeg_color_media,
+    )
+    from kafka_spark_streaming_app_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").filter(F.col("doc_id") < 20)
+    got = {
+        (r["media_id"], r["component"]): r
+        for r in jpeg_color_coef_stats(
+            synthesize_jpeg_color_media(docs)
+        ).collect()
+    }
+    assert len(got) == 60
+    for d in (0, 7, 13):
+        comp_blocks, _samp, w, h, qts, _ri = _jpeg_color_fixture(d)
+        for ci, (blocks, qt) in enumerate(zip(comp_blocks, qts)):
+            dq = [
+                (JPEG_ZIGZAG[zz], v * qt[zz])
+                for blk in blocks
+                for zz, v in enumerate(blk)
+                if v != 0
+            ]
+            row = got[(d, ci)]
+            assert (row["width"], row["height"]) == (w, h)
+            assert row["n_blocks"] == len(blocks)
+            assert row["n_nonzero"] == len(dq)
+            assert row["coef_sum"] == sum(v for _, v in dq)
+            assert row["posw_sum"] == sum(i * v for i, v in dq)
