@@ -288,6 +288,7 @@ HEADLINE = [
     "multimodal_jpeg_entropy_decode",
     "multimodal_jpeg_decode_pixels",
     "multimodal_jpeg_color_decode",
+    "blocklist_multipattern_scan",
 ]
 
 

@@ -1214,3 +1214,66 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, damping=0.85, iters=2).select(
         F.col("node").alias("word"), F.col("pr").alias("textrank")
     )
+
+
+# --- blocklist-scale multi-pattern scan (Aho-Corasick) ------------------------
+#
+# Borderless patterns only (no proper prefix that is also a suffix):
+# self-overlap is then impossible, so DuckDB's non-overlapping
+# replace()-count provably equals the automaton's all-match count.
+# The set deliberately nests patterns ("scan" ends inside every
+# "scan slow" match; "fast" inside "fast key") — a scanner without
+# output/failure links undercounts those and cannot hash-match.
+_BLOCKLIST_PATTERNS = (
+    "scan",
+    "scan slow",
+    "table",
+    "fast",
+    "fast key",
+    "value",
+    "big",
+    "agg row",
+    "the line",
+    "merge",
+    "customer query",
+    "qq never occurs zz",
+)
+
+_BLOCKLIST_VALUES = ", ".join(f"('{p}')" for p in _BLOCKLIST_PATTERNS)
+
+_MULTIPATTERN_ORACLE = f"""
+WITH pats AS (SELECT * FROM (VALUES {_BLOCKLIST_VALUES}) AS t(pattern)),
+m AS (
+    SELECT d.source, p.pattern,
+           CAST((length(d.text) - length(replace(d.text, p.pattern, '')))
+                // length(p.pattern) AS BIGINT) AS c
+    FROM documents d, pats p
+)
+SELECT source, pattern,
+       CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_matched,
+       CAST(sum(c) AS BIGINT) AS total_matches
+FROM m
+GROUP BY source, pattern
+"""
+
+
+@query("blocklist_multipattern_scan", _MULTIPATTERN_ORACLE)
+def blocklist_multipattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist filtering at corpus scale: ONE Aho-Corasick automaton
+    over all patterns (size ∝ pattern bytes, shipped in the closure),
+    one pass per document (O(corpus + matches), independent of pattern
+    count) inside an Arrow-batched mapInPandas stage — vs the
+    O(patterns × corpus) per-pattern scan the oracle runs. Emits
+    per-(source, pattern) matched-doc and total ALL-match counts;
+    never-matching patterns keep their zero rows (the full grid is
+    emitted per doc, no re-join)."""
+    from ..operators.multipattern import multipattern_scan
+
+    docs = load_table(spark, sf_dir, "documents")
+    hits = multipattern_scan(docs, _BLOCKLIST_PATTERNS)
+    return hits.groupBy("source", "pattern").agg(
+        F.sum((F.col("n_matches") > 0).cast("bigint"))
+        .cast("bigint")
+        .alias("docs_matched"),
+        F.sum("n_matches").cast("bigint").alias("total_matches"),
+    )

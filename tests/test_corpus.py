@@ -98,3 +98,71 @@ def test_contamination_empty_benchmark(spark):
     got = {r["doc_id"]: r for r in out.collect()}
     assert set(got) == {1, 2}
     assert all(r["n_hit"] == 0 and not r["contaminated"] for r in got.values())
+
+
+# --- Aho-Corasick multi-pattern scan ------------------------------------------
+
+
+def test_aho_corasick_counts_nested_and_adjacent_matches():
+    """Nested patterns must fire through output links; adjacent and
+    repeated occurrences all count."""
+    from kafka_spark_streaming_app_spark.operators.multipattern import (
+        build_aho_corasick,
+        scan_counts,
+    )
+
+    pats = ["scan", "scan slow", "fast", "fast key", "an s"]
+    goto, fail, out = build_aho_corasick(pats)
+    text = "scan slow scan fast key fast scan slow"
+    got = dict(zip(pats, scan_counts(text, goto, fail, out, len(pats))))
+    assert got == {
+        "scan": 3,
+        "scan slow": 2,
+        "fast": 2,
+        "fast key": 1,
+        # "an s" fires where a scan is followed by " s": the first
+        # "scan slow" and the final "scan slow" (the middle scan is
+        # followed by " fast")
+        "an s": 2,
+    }
+
+
+def test_aho_corasick_self_overlapping_pattern_counts_all():
+    """ALL-match semantics: the bordered pattern 'aa' occurs 3 times
+    in 'aaaa' (positions 0,1,2) — the automaton must count overlaps,
+    which is exactly why the oracle query plants borderless patterns."""
+    from kafka_spark_streaming_app_spark.operators.multipattern import (
+        build_aho_corasick,
+        scan_counts,
+    )
+
+    goto, fail, out = build_aho_corasick(["aa"])
+    assert scan_counts("aaaa", goto, fail, out, 1) == [3]
+
+
+def test_blocklist_patterns_are_borderless():
+    """The oracle contract: every planted pattern must have NO proper
+    prefix that is also a suffix, making self-overlap impossible and
+    the SQL replace()-count exact."""
+    from kafka_spark_streaming_app_spark.queries.text import (
+        _BLOCKLIST_PATTERNS,
+    )
+
+    for p in _BLOCKLIST_PATTERNS:
+        for k in range(1, len(p)):
+            assert p[:k] != p[-k:], f"pattern {p!r} has border {p[:k]!r}"
+
+
+def test_multipattern_scan_emits_full_grid(spark, sf_smoke):
+    """Every (doc, pattern) pair appears, zero matches included."""
+    from kafka_spark_streaming_app_spark.operators.multipattern import (
+        multipattern_scan,
+    )
+    from kafka_spark_streaming_app_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").limit(25)
+    pats = ["scan", "zz never zz"]
+    rows = multipattern_scan(docs, pats).collect()
+    assert len(rows) == 50
+    zero = [r for r in rows if r["pattern"] == "zz never zz"]
+    assert all(r["n_matches"] == 0 for r in zero) and len(zero) == 25
