@@ -289,6 +289,7 @@ HEADLINE = [
     "multimodal_jpeg_decode_pixels",
     "multimodal_jpeg_color_decode",
     "blocklist_multipattern_scan",
+    "streaming_scd2_build",
 ]
 
 

@@ -722,3 +722,63 @@ def test_ivm_two_state_replay_is_exactly_once(spark, tmp_path):
     keys = {r.k: r.c for r in read_state(spark, key_state).collect()}
     assert keys == {1: 100, 2: 20}
     assert view == {"g0": 120}  # 10+20, then -10+100 applied ONCE
+
+
+def test_scd2_version_state_batch_order_independent(spark, tmp_path):
+    """The version-table merge (streaming_scd2_build's shape) must
+    produce the identical history regardless of how changes split
+    into batches or arrive out of seq order — the chain is re-derived
+    from the union per touched key, never blindly appended."""
+    from pyspark.sql import Window
+
+    def _bucket(df):
+        return df.withColumn("bucket", F.pmod(F.xxhash64("k"), F.lit(4)))
+
+    def _versioned(changes):
+        w = Window.partitionBy("k").orderBy("seq")
+        nxt = F.lead("seq").over(w)
+        return changes.select(
+            "k", "seq", "val",
+            (nxt - 1).alias("effective_to"),
+            nxt.isNull().alias("is_current"),
+            F.row_number().over(w).alias("version_n"),
+        )
+
+    def _merge(existing, part):
+        base = part.drop("bucket").select("k", "seq", "val")
+        if existing is not None:
+            base = existing.select("k", "seq", "val").unionByName(base)
+        return _bucket(_versioned(base))
+
+    changes = [
+        (1, 10, "a"), (1, 30, "c"), (1, 20, "b"),
+        (2, 5, "x"), (2, 50, "y"),
+        (3, 7, "q"),
+    ]
+
+    def run(splits, root):
+        state = str(tmp_path / root / "state")
+        for bid, rows in enumerate(splits):
+            part = _bucket(
+                spark.createDataFrame(rows, "k long, seq long, val string")
+            )
+            merge_into_partitioned_state(
+                state, bid, part, _merge, "bucket", shuffle_partitions=4
+            )
+        from kafka_spark_streaming_app_spark.streaming.state import read_state
+
+        return sorted(
+            (r["k"], r["seq"], r["effective_to"], r["is_current"],
+             r["version_n"])
+            for r in read_state(spark, state).collect()
+        )
+
+    # one batch; three batches; out-of-order (the 20-seq change for
+    # key 1 arrives LAST and must re-slot as version 2 of 3)
+    a = run([changes], "one")
+    b = run([changes[:2], changes[2:4], changes[4:]], "three")
+    c = run([[changes[1]], [changes[0], changes[3]],
+             [changes[4], changes[5]], [changes[2]]], "ooo")
+    assert a == b == c
+    assert (1, 20, 29, False, 2) in a  # re-slotted middle version
+    assert (1, 30, None, True, 3) in a
