@@ -290,6 +290,7 @@ HEADLINE = [
     "multimodal_jpeg_color_decode",
     "blocklist_multipattern_scan",
     "streaming_scd2_build",
+    "multimodal_jpeg_progressive_decode",
 ]
 
 

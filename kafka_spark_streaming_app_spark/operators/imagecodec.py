@@ -981,3 +981,456 @@ def encode_jpeg_baseline_color(
     out += w.getvalue()
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Progressive JPEG (SOF2): spectral selection + successive approximation
+# --------------------------------------------------------------------------
+#
+# Grayscale single-component progressive, the full coding model of
+# ITU-T T.81 Annex G: DC first scan (point-transformed diffs) + DC
+# refinement (raw bits), AC first scans per spectral band with EOBRUN
+# coding, and AC refinement scans with buffered correction bits. The
+# coefficient domain is lossless, so the same closed-form oracles that
+# pin the baseline scans pin these.
+
+# Progressive AC scans need EOBn symbols (0x10..0xE0), which the
+# sequential Annex-K tables do not contain — real progressive encoders
+# always ship custom Huffman tables in DHT (libjpeg generates optimal
+# ones). This one is a valid canonical table with every symbol a
+# progressive AC scan can emit (15 EOBn, ZRL, all (run, size) pairs
+# for size 1..10) at a flat 8-bit length: 176 codes of length 8
+# satisfies Kraft (176 < 256). The decoder builds its table from the
+# file's DHT, so nothing is assumed shared.
+_AC_PROG_VALS = tuple(
+    [r << 4 for r in range(15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_AC_PROG_BITS = (0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0)
+
+_DEFAULT_PROGRESSIVE_SCRIPT = (
+    # (Ss, Se, Ah, Al) — libjpeg-style: DC at Al=1 then refine; two
+    # spectral AC bands at Al=1 then their refinements
+    (0, 0, 0, 1),
+    (0, 0, 1, 0),
+    (1, 5, 0, 1),
+    (6, 63, 0, 1),
+    (1, 5, 1, 0),
+    (6, 63, 1, 0),
+)
+
+
+def _emit_eobrun(w, eobrun, be_bits, ac_codes):
+    """Flush a pending EOB run + the RUN's buffered correction bits
+    (libjpeg's BE pool — the current block's own correction bits are
+    a separate pool, emitted after its next symbol). No-op when no
+    run is pending."""
+    if eobrun > 0:
+        nbits = eobrun.bit_length() - 1
+        code, length = ac_codes[nbits << 4]
+        w.write(code, length)
+        if nbits:
+            w.write(eobrun - (1 << nbits), nbits)
+        for b in be_bits:
+            w.write(b, 1)
+        return 0, []
+    return eobrun, be_bits
+
+
+def encode_jpeg_progressive(
+    blocks,
+    width: int,
+    height: int,
+    qtable,
+    script=_DEFAULT_PROGRESSIVE_SCRIPT,
+) -> bytes:
+    """Encode a real PROGRESSIVE (SOF2) grayscale JPEG from QUANTIZED
+    zigzag coefficients: multiple SOS scans per the (Ss, Se, Ah, Al)
+    script — DC first/refinement, per-band AC first scans with EOBRUN
+    run-length coding, and AC refinement scans with the buffered
+    correction-bit algorithm (T.81 G.1.2.3 / the libjpeg
+    encode_mcu_AC_refine discipline)."""
+    blocks = [list(b) for b in blocks]
+    bx = (width + 7) // 8
+    by = (height + 7) // 8
+    if len(blocks) != bx * by:
+        raise ValueError(
+            f"need {bx * by} blocks for {width}x{height}, got {len(blocks)}"
+        )
+    qtable = list(qtable)
+    dc_codes = _huffman_encode_table(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_codes = _huffman_encode_table(_AC_PROG_BITS, _AC_PROG_VALS)
+
+    out = bytearray(_JPEG_MAGIC)
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+    dqt = bytes([0x00]) + bytes(qtable)
+    out += b"\xff\xdb" + struct.pack(">H", len(dqt) + 2) + dqt
+    sof = struct.pack(">BHHB", 8, height, width, 1) + bytes((1, 0x11, 0))
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof  # SOF2
+    for cls, bits, vals in (
+        (0x00, _DC_LUM_BITS, _DC_LUM_VALS),
+        (0x10, _AC_PROG_BITS, _AC_PROG_VALS),
+    ):
+        body = bytes([cls]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+    for ss, se, ah, al in script:
+        sos = bytes((1, 1, 0x00)) + bytes((ss, se, (ah << 4) | al))
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+        w = _JpegBitWriter()
+        if ss == 0:  # DC scan
+            if se != 0:
+                raise ValueError("DC scan must have Se = 0")
+            if ah == 0:  # first DC scan: point-transformed diffs
+                pred = 0
+                for blk in blocks:
+                    v = blk[0] >> al  # arithmetic shift (point transform)
+                    diff = v - pred
+                    pred = v
+                    size = _csize(diff)
+                    code, length = dc_codes[size]
+                    w.write(code, length)
+                    if size:
+                        w.write(
+                            diff if diff >= 0 else diff + (1 << size) - 1,
+                            size,
+                        )
+            else:  # DC refinement: one raw bit per block
+                for blk in blocks:
+                    w.write((blk[0] >> al) & 1, 1)
+        elif ah == 0:  # AC first scan for this band
+            eobrun = 0
+            for blk in blocks:
+                band = [blk[k] >> al if blk[k] >= 0 else -((-blk[k]) >> al)
+                        for k in range(ss, se + 1)]
+                if not any(band):
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        eobrun, _ = _emit_eobrun(w, eobrun, [], ac_codes)
+                    continue
+                eobrun, _ = _emit_eobrun(w, eobrun, [], ac_codes)
+                run = 0
+                last_nz = max(i for i, v in enumerate(band) if v)
+                for i, v in enumerate(band):
+                    if i > last_nz:
+                        break
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        zc, zl = ac_codes[0xF0]
+                        w.write(zc, zl)
+                        run -= 16
+                    size = _csize(v)
+                    code, length = ac_codes[(run << 4) | size]
+                    w.write(code, length)
+                    w.write(v if v >= 0 else v + (1 << size) - 1, size)
+                    run = 0
+                if last_nz < len(band) - 1:
+                    eobrun += 1
+            eobrun, _ = _emit_eobrun(w, eobrun, [], ac_codes)
+        else:  # AC refinement scan
+            if ah != al + 1:
+                raise ValueError("successive approximation must step by 1")
+            eobrun = 0
+            be: list[int] = []  # run-pool correction bits (libjpeg BE)
+            for blk in blocks:
+                absval = [abs(blk[k]) >> al for k in range(ss, se + 1)]
+                # EOB = last index newly significant at this bit
+                eob = -1
+                for i, t in enumerate(absval):
+                    if t == 1:
+                        eob = i
+                run = 0
+                br: list[int] = []  # current block's correction bits
+                for i, t in enumerate(absval):
+                    if t == 0:
+                        run += 1
+                        continue
+                    # ZRL check at EVERY nonzero-history position
+                    while run > 15 and i <= eob:
+                        eobrun, be = _emit_eobrun(w, eobrun, be, ac_codes)
+                        zc, zl = ac_codes[0xF0]
+                        w.write(zc, zl)
+                        run -= 16
+                        for bbit in br:
+                            w.write(bbit, 1)
+                        br = []
+                    if t > 1:  # already significant: buffer correction bit
+                        br.append(t & 1)
+                        continue
+                    # newly significant (t == 1)
+                    eobrun, be = _emit_eobrun(w, eobrun, be, ac_codes)
+                    code, length = ac_codes[(run << 4) | 1]
+                    w.write(code, length)
+                    w.write(1 if blk[ss + i] >= 0 else 0, 1)
+                    for bbit in br:
+                        w.write(bbit, 1)
+                    br = []
+                    run = 0
+                if run > 0 or br:
+                    eobrun += 1
+                    be.extend(br)  # fold into the run pool
+                    if eobrun == 0x7FFF:
+                        eobrun, be = _emit_eobrun(w, eobrun, be, ac_codes)
+            eobrun, be = _emit_eobrun(w, eobrun, be, ac_codes)
+        out += w.getvalue()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_jpeg_progressive(data: bytes, want_pixels: bool = True) -> dict:
+    """REAL progressive (SOF2) grayscale JPEG decode: accumulates
+    coefficients across every SOS scan — DC first (point-transformed
+    diffs) and DC refinement (raw bits), AC first scans per spectral
+    band with EOBRUN decoding, and AC refinement scans with the
+    correction-bit algorithm of T.81 G.1.2.3 — then dequantizes,
+    dezigzags and (optionally) runs the same IDCT/crop path as the
+    baseline decoder. Multi-component progressive raises a named
+    NotImplementedError (per-component band scans + interleaved DC
+    scans are the extension)."""
+    import numpy as np
+
+    if not data.startswith(_JPEG_MAGIC):
+        raise ValueError("not a JPEG")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    frame = None
+    coefs = None  # per-block UNQUANTIZED-domain zigzag coefficients
+    nblocks = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:
+            off = 0
+            while off < len(body):
+                prec, tid = body[off] >> 4, body[off] & 0x0F
+                off += 1
+                if prec:
+                    vals = [
+                        v
+                        for (v,) in struct.iter_unpack(
+                            ">H", body[off : off + 128]
+                        )
+                    ]
+                    off += 128
+                else:
+                    vals = list(body[off : off + 64])
+                    off += 64
+                qtables[tid] = vals
+        elif marker == 0xC4:
+            off = 0
+            while off < len(body):
+                cls, tid = body[off] >> 4, body[off] & 0x0F
+                bits = list(body[off + 1 : off + 17])
+                n = sum(bits)
+                vals = list(body[off + 17 : off + 17 + n])
+                htables[(cls, tid)] = _huffman_decode_table(bits, vals)
+                off += 17 + n
+        elif marker == 0xC0:
+            raise ValueError(
+                "baseline frame passed to the progressive decoder — use "
+                "decode_jpeg_baseline (or the decode_jpeg dispatcher)"
+            )
+        elif marker == 0xC2:
+            depth, h, wd, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if depth != 8:
+                raise NotImplementedError("only 8-bit progressive JPEG")
+            if ncomp != 1:
+                raise NotImplementedError(
+                    f"{ncomp}-component progressive decode not implemented: "
+                    "needs per-component band scans + interleaved DC scans; "
+                    "grayscale (1 component) only"
+                )
+            cid, sampling, tq = struct.unpack_from(">BBB", body, 6)
+            if sampling != 0x11:
+                raise NotImplementedError("subsampled progressive JPEG")
+            frame = {"width": wd, "height": h, "cid": cid, "tq": tq}
+            bx = (wd + 7) // 8
+            by = (h + 7) // 8
+            nblocks = bx * by
+            coefs = [[0] * 64 for _ in range(nblocks)]
+        elif marker == 0xDD:
+            (ri,) = struct.unpack_from(">H", body, 0)
+            if ri:
+                raise NotImplementedError(
+                    "restart markers in progressive scans not implemented "
+                    "(baseline decoder supports them); re-encode with DRI=0"
+                )
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("SOS before SOF2")
+            ns = body[0]
+            if ns != 1:
+                raise NotImplementedError("multi-component progressive scan")
+            _cs, tables = body[1], body[2]
+            ss, se = body[3], body[4]
+            ah, al = body[5] >> 4, body[5] & 0x0F
+            reader = _JpegBitReader(data, pos + 2 + seglen)
+            if ss == 0:  # DC scan (Se must be 0)
+                if se != 0:
+                    raise ValueError("DC progressive scan with Se != 0")
+                if ah == 0:
+                    dc_tab = htables[(0, tables >> 4)]
+                    pred = 0
+                    for b in range(nblocks):
+                        size = _decode_huffman_symbol(reader, dc_tab)
+                        diff = (
+                            _extend(reader.read_bits(size), size)
+                            if size
+                            else 0
+                        )
+                        pred += diff
+                        coefs[b][0] = pred << al
+                else:
+                    for b in range(nblocks):
+                        coefs[b][0] |= reader.read_bit() << al
+            elif ah == 0:  # AC first scan
+                ac_tab = htables[(1, tables & 0x0F)]
+                eobrun = 0
+                for b in range(nblocks):
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        sym = _decode_huffman_symbol(reader, ac_tab)
+                        r, s = sym >> 4, sym & 0x0F
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("AC run overflows band")
+                        v = _extend(reader.read_bits(s), s)
+                        coefs[b][k] = v << al
+                        k += 1
+            else:  # AC refinement scan
+                ac_tab = htables[(1, tables & 0x0F)]
+                p1, m1 = 1 << al, -1 << al
+                eobrun = 0
+                for b in range(nblocks):
+                    blk = coefs[b]
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            sym = _decode_huffman_symbol(reader, ac_tab)
+                            r, s = sym >> 4, sym & 0x0F
+                            newval = 0
+                            if s == 0:
+                                if r != 15:
+                                    # EOBn: the run INCLUDES this block
+                                    # — the post-loop sweep below still
+                                    # refines its remaining nonzero
+                                    # coefficients, then decrements
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += reader.read_bits(r)
+                                    break
+                                # ZRL: r = 15 skips 15 zero-history
+                                # coefficients (correction bits ride)
+                            else:
+                                if s != 1:
+                                    raise ValueError(
+                                        "refinement symbol with s != 1"
+                                    )
+                                newval = p1 if reader.read_bit() else m1
+                            while k <= se:
+                                if blk[k] != 0:
+                                    if reader.read_bit():
+                                        if (abs(blk[k]) & p1) == 0:
+                                            blk[k] += (
+                                                p1 if blk[k] > 0 else m1
+                                            )
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if newval and k <= se:
+                                blk[k] = newval
+                            k += 1
+                    if eobrun > 0:
+                        # inside an EOB run: refine this block's
+                        # remaining nonzero coefficients
+                        while k <= se:
+                            if blk[k] != 0:
+                                if reader.read_bit():
+                                    if (abs(blk[k]) & p1) == 0:
+                                        blk[k] += p1 if blk[k] > 0 else m1
+                            k += 1
+                        eobrun -= 1
+            # resync: pad bits then the next marker
+            pos = reader.pos
+            while pos + 1 < len(data) and (
+                data[pos] != 0xFF or data[pos + 1] == 0x00
+            ):
+                pos += 1
+            continue
+        pos += 2 + seglen
+    if frame is None or coefs is None:
+        raise ValueError("JPEG missing SOF2/SOS")
+
+    w, h = frame["width"], frame["height"]
+    qt = qtables[frame["tq"]]
+    blocks = []
+    for blk in coefs:
+        nat = [0] * 64
+        for zz, v in enumerate(blk):
+            nat[JPEG_ZIGZAG[zz]] = v * qt[zz]
+        blocks.append(nat)
+    pixels = None
+    if want_pixels:
+        bx, by = (w + 7) // 8, (h + 7) // 8
+        m = _idct_matrix()
+        arr = np.array(blocks, dtype=np.float64).reshape(-1, 8, 8)
+        out = np.einsum("ux,buv,vy->bxy", m, arr, m)
+        out = np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)
+        full = np.zeros((by * 8, bx * 8), dtype=np.uint8)
+        for i in range(by):
+            for j in range(bx):
+                full[i * 8 : i * 8 + 8, j * 8 : j * 8 + 8] = out[i * bx + j]
+        pixels = full[:h, :w]
+    return {
+        "width": w,
+        "height": h,
+        "ncomp": 1,
+        "blocks": blocks,
+        "pixels": pixels,
+    }
+
+
+def decode_jpeg(data: bytes, want_pixels: bool = True) -> dict:
+    """Dispatch on the frame marker: SOF0/1 -> baseline decoder,
+    SOF2 -> progressive decoder."""
+    hdr = parse_jpeg_header(data)
+    # parse_jpeg_header stops at the first SOF marker; re-scan for type
+    pos = 2
+    while pos + 4 <= len(data):
+        marker = data[pos + 1]
+        if marker in (0xC0, 0xC1):
+            return decode_jpeg_baseline(data, want_pixels)
+        if marker == 0xC2:
+            return decode_jpeg_progressive(data, want_pixels)
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        pos += 2 + seglen
+    raise ValueError(f"no SOF marker found (header said {hdr})")

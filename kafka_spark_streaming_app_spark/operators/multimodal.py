@@ -141,7 +141,7 @@ def decode_payload(payload: bytes, media_type: str, fake: bool = False):
         from .imagecodec import (
             _JPEG_MAGIC,
             _PNG_MAGIC,
-            decode_jpeg_baseline,
+            decode_jpeg,
             decode_png,
         )
 
@@ -149,7 +149,7 @@ def decode_payload(payload: bytes, media_type: str, fake: bool = False):
         if media_type == "image" and buf.startswith(_PNG_MAGIC):
             return decode_png(buf)
         if media_type == "image" and buf.startswith(_JPEG_MAGIC):
-            return decode_jpeg_baseline(buf)["pixels"]
+            return decode_jpeg(buf)["pixels"]
         if media_type == "audio" and buf.startswith(_RIFF_MAGIC):
             return decode_wav(buf)[0]
         if media_type == "video" and buf.startswith(_Y4M_MAGIC):
@@ -1980,4 +1980,77 @@ def jpeg_color_coef_stats(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         stats, schema=JPEG_COLOR_COEF_SCHEMA
+    )
+
+
+def synthesize_jpeg_progressive_media(documents: DataFrame) -> DataFrame:
+    """PROGRESSIVE (SOF2) JPEG fixture: the same closed-form
+    coefficient plants as ``synthesize_jpeg_scan_media`` (restart 0 —
+    restart markers in progressive scans are a named decoder gate),
+    encoded through the multi-scan progressive coder: DC first +
+    refinement, two spectral AC bands each with a successive-
+    approximation first pass and a correction-bit refinement pass,
+    EOBRUN coding throughout. The coefficient domain is lossless, so
+    the SAME SQL oracle pins both codecs."""
+    from .imagecodec import encode_jpeg_progressive
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                blocks, w, h, qtable, _ri = _jpeg_scan_fixture(d)
+                rows.append(
+                    {
+                        "media_id": d,
+                        "codec": "jpeg",
+                        "payload": encode_jpeg_progressive(
+                            blocks, w, h, qtable
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "codec", "payload"])
+
+    return documents.select("doc_id").mapInPandas(
+        render, schema=IMAGE_MEDIA_SCHEMA
+    )
+
+
+def jpeg_progressive_coef_stats(media: DataFrame) -> DataFrame:
+    """REAL progressive-JPEG decode (via the SOF-marker dispatcher):
+    accumulates every SOS scan's contribution — DC first/refinement,
+    per-band AC first scans with EOBRUN, AC refinement correction
+    bits — then emits the same exact integer coefficient stats as the
+    baseline path."""
+    from .imagecodec import decode_jpeg
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                out = decode_jpeg(bytes(payload), want_pixels=False)
+                nz = [
+                    (idx, v)
+                    for blk in out["blocks"]
+                    for idx, v in enumerate(blk)
+                    if v != 0
+                ]
+                rows.append(
+                    {
+                        "media_id": int(media_id),
+                        "width": out["width"],
+                        "height": out["height"],
+                        "n_blocks": len(out["blocks"]),
+                        "n_nonzero": len(nz),
+                        "coef_sum": sum(v for _, v in nz),
+                        "coef_min": min(v for _, v in nz),
+                        "coef_max": max(v for _, v in nz),
+                        "dc_sum": sum(blk[0] for blk in out["blocks"]),
+                        "posw_sum": sum(idx * v for idx, v in nz),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in JPEG_COEF_SCHEMA])
+
+    return media.select("media_id", "payload").mapInPandas(
+        stats, schema=JPEG_COEF_SCHEMA
     )

@@ -1302,3 +1302,26 @@ def multimodal_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_jpeg_color_media(load_table(spark, sf_dir, "documents"))
     return jpeg_color_coef_stats(media)
+
+
+@query("multimodal_jpeg_progressive_decode", _JPEG_COEF_ORACLE)
+def multimodal_jpeg_progressive_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL PROGRESSIVE (SOF2) JPEG decode: the same closed-form
+    plants as the baseline entropy fixture, re-encoded as genuine
+    multi-scan progressive streams (DC first + refinement, spectral-
+    selection AC bands with successive approximation and EOBRUN/
+    correction-bit refinement scans) and decoded through the
+    SOF-dispatching decoder — the coefficient domain is lossless, so
+    this registers the IDENTICAL oracle as the baseline query and
+    must produce the identical hash."""
+    from ..operators.multimodal import (
+        jpeg_progressive_coef_stats,
+        synthesize_jpeg_progressive_media,
+    )
+
+    media = synthesize_jpeg_progressive_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return jpeg_progressive_coef_stats(media)

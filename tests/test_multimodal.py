@@ -1186,3 +1186,110 @@ def test_jpeg_color_fixture_spark_path(spark, sf_smoke):
             assert row["n_nonzero"] == len(dq)
             assert row["coef_sum"] == sum(v for _, v in dq)
             assert row["posw_sum"] == sum(i * v for i, v in dq)
+
+
+def test_jpeg_progressive_equals_baseline_differential():
+    """Differential fuzz: 150 random coefficient sets encoded BOTH
+    ways must decode to identical dequantized blocks — progressive's
+    DC/AC successive approximation, EOBRUN, ZRL and correction-bit
+    paths against the already-oracle-pinned baseline decoder."""
+    import random
+
+    from kafka_spark_streaming_app_spark.operators import imagecodec as ic
+
+    rng = random.Random(1234)
+    for t in range(150):
+        nb = rng.randint(1, 8)
+        q = [rng.randint(1, 255) for _ in range(64)]
+        blocks = []
+        for _b in range(nb):
+            bb = [0] * 64
+            bb[0] = rng.randint(-1000, 1000)
+            for _ in range(rng.randint(0, 12)):
+                bb[rng.randint(1, 63)] = rng.choice(
+                    [v for v in range(-500, 501) if v]
+                )
+            blocks.append(bb)
+        d_b = ic.decode_jpeg_baseline(
+            ic.encode_jpeg_baseline(blocks, nb * 8, 8, q), want_pixels=False
+        )
+        d_p = ic.decode_jpeg_progressive(
+            ic.encode_jpeg_progressive(blocks, nb * 8, 8, q),
+            want_pixels=False,
+        )
+        assert d_p["blocks"] == d_b["blocks"], f"trial {t}"
+
+
+def test_jpeg_progressive_three_level_successive_approximation():
+    """A 3-level script (Al=2 -> 1 -> 0, Ah always the previous Al)
+    must still reconstruct exactly — two refinement rounds stack."""
+    import random
+
+    from kafka_spark_streaming_app_spark.operators import imagecodec as ic
+
+    script = (
+        (0, 0, 0, 2), (0, 0, 2, 1), (0, 0, 1, 0),
+        (1, 63, 0, 2), (1, 63, 2, 1), (1, 63, 1, 0),
+    )
+    rng = random.Random(7)
+    for t in range(60):
+        nb = rng.randint(1, 6)
+        q = [rng.randint(1, 255) for _ in range(64)]
+        blocks = []
+        for _b in range(nb):
+            bb = [0] * 64
+            bb[0] = rng.randint(-1000, 1000)
+            for _ in range(rng.randint(0, 10)):
+                bb[rng.randint(1, 63)] = rng.choice(
+                    [v for v in range(-300, 301) if v]
+                )
+            blocks.append(bb)
+        d_b = ic.decode_jpeg_baseline(
+            ic.encode_jpeg_baseline(blocks, nb * 8, 8, q), want_pixels=False
+        )
+        d_p = ic.decode_jpeg_progressive(
+            ic.encode_jpeg_progressive(blocks, nb * 8, 8, q, script=script),
+            want_pixels=False,
+        )
+        assert d_p["blocks"] == d_b["blocks"], f"trial {t}"
+
+
+def test_jpeg_progressive_eobrun_spans_many_blocks():
+    """A long run of empty-band blocks must collapse into one EOBn
+    symbol and decode back; the final dirty block pins the resync."""
+    from kafka_spark_streaming_app_spark.operators import imagecodec as ic
+
+    q = [1] * 64
+    empty = [0] * 64
+    dirty = [0] * 64
+    dirty[0], dirty[40] = 3, -5
+    blocks = [list(empty) for _ in range(37)] + [list(dirty)]
+    d_b = ic.decode_jpeg_baseline(
+        ic.encode_jpeg_baseline(blocks, 38 * 8, 8, q), want_pixels=False
+    )
+    d_p = ic.decode_jpeg_progressive(
+        ic.encode_jpeg_progressive(blocks, 38 * 8, 8, q), want_pixels=False
+    )
+    assert d_p["blocks"] == d_b["blocks"]
+
+
+def test_jpeg_dispatcher_and_payload_path():
+    """decode_jpeg dispatches SOF0 -> baseline and SOF2 ->
+    progressive; decode_payload's real image path accepts both."""
+    import numpy as np
+
+    from kafka_spark_streaming_app_spark.operators import imagecodec as ic
+    from kafka_spark_streaming_app_spark.operators.multimodal import (
+        decode_payload,
+    )
+
+    q = [8] + [1] * 63
+    blk = [0] * 64
+    blk[0] = 9
+    base = ic.encode_jpeg_baseline([blk], 8, 8, q)
+    prog = ic.encode_jpeg_progressive([blk], 8, 8, q)
+    pb = decode_payload(base, "image", fake=False)
+    pp = decode_payload(prog, "image", fake=False)
+    assert pb.shape == pp.shape == (8, 8)
+    assert (pb == pp).all()
+    assert np.unique(pb).tolist() == [9 + 128]
