@@ -431,3 +431,122 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# --- Luhn checksum PII audit --------------------------------------------------
+#
+# Pattern-based PII scans (pii_scrub) flag ANY 16-digit run; payment
+# PANs additionally satisfy the Luhn checksum, and a curation pipeline
+# that redacts on pattern alone floods reviewers with false positives.
+# This audit separates the two — entirely in JVM expressions
+# (sequence/transform/aggregate over the digit string; no UDF), so the
+# checksum runs inside whole-stage codegen at scan speed.
+
+_LUHN_EXPR = """
+aggregate(
+  transform(sequence(1, length(cand)),
+    p -> CASE WHEN (length(cand) - p) % 2 = 1
+              THEN IF(2 * CAST(substr(cand, p, 1) AS INT) > 9,
+                      2 * CAST(substr(cand, p, 1) AS INT) - 9,
+                      2 * CAST(substr(cand, p, 1) AS INT))
+              ELSE CAST(substr(cand, p, 1) AS INT) END),
+  0, (a, x) -> a + x)
+"""
+
+_LUHN_ORACLE = """
+WITH synth AS (
+    SELECT doc_id, source,
+           CASE WHEN doc_id % 5 = 4 THEN text
+                ELSE text || ' card '
+                     || lpad(CAST((doc_id * 7919 + 123456789) % 10000000000000000
+                                  AS VARCHAR), 16, '0') || ' on file'
+           END AS text
+    FROM documents
+),
+cand AS (
+    SELECT doc_id, source, regexp_extract(text, '[0-9]{16}') AS cand
+    FROM synth
+),
+pos AS (
+    SELECT doc_id, source, cand, unnest(range(1, 17)) AS p
+    FROM cand WHERE cand != ''
+),
+summed AS (
+    SELECT doc_id, source,
+           sum(CASE WHEN (16 - p) % 2 = 1
+                    THEN CASE WHEN 2 * CAST(substr(cand, CAST(p AS INTEGER), 1) AS INTEGER) > 9
+                              THEN 2 * CAST(substr(cand, CAST(p AS INTEGER), 1) AS INTEGER) - 9
+                              ELSE 2 * CAST(substr(cand, CAST(p AS INTEGER), 1) AS INTEGER) END
+                    ELSE CAST(substr(cand, CAST(p AS INTEGER), 1) AS INTEGER) END) AS s
+    FROM pos GROUP BY doc_id, source
+),
+docs AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+SELECT d.source,
+       CAST(d.n_docs AS BIGINT) AS n_docs,
+       CAST(count(s.doc_id) AS BIGINT) AS n_candidates,
+       CAST(coalesce(sum(CASE WHEN s.s % 10 = 0 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_luhn_valid,
+       CAST(coalesce(sum(s.s % 10), 0) AS BIGINT) AS checksum_residue_sum
+FROM docs d LEFT JOIN summed s ON s.source = d.source
+GROUP BY d.source, d.n_docs
+"""
+
+
+@query("pii_luhn_audit", _LUHN_ORACLE)
+def pii_luhn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-validated payment-card audit per source: 16-digit
+    candidates are regex-extracted (4/5 of docs carry a planted one)
+    and the Luhn checksum — computed as a pure Catalyst expression
+    chain (sequence → transform → aggregate), no Python — separates
+    real PANs from random digit runs. The residue sum pins every
+    per-digit double/fold, not just the valid/invalid verdict."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    synth = docs.select(
+        "doc_id",
+        "source",
+        F.when(did % 5 == 4, F.col("text"))
+        .otherwise(
+            F.concat(
+                F.col("text"),
+                F.lit(" card "),
+                F.lpad(
+                    ((did * 7919 + 123456789) % F.lit(10**16)).cast(
+                        "string"
+                    ),
+                    16,
+                    "0",
+                ),
+                F.lit(" on file"),
+            )
+        )
+        .alias("text"),
+    )
+    cand = synth.select(
+        "doc_id",
+        "source",
+        F.regexp_extract("text", "[0-9]{16}", 0).alias("cand"),
+    )
+    scored = cand.filter(F.col("cand") != "").select(
+        "doc_id",
+        "source",
+        F.expr(_LUHN_EXPR).alias("s"),
+    )
+    per_src = load_table(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    return (
+        per_src.join(scored, "source", "left")
+        .groupBy("source", "n_docs")
+        .agg(
+            F.count("doc_id").cast("bigint").alias("n_candidates"),
+            F.coalesce(
+                F.sum(((F.col("s") % 10) == 0).cast("int")), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_luhn_valid"),
+            F.coalesce(F.sum(F.col("s") % 10), F.lit(0))
+            .cast("bigint")
+            .alias("checksum_residue_sum"),
+        )
+    )

@@ -190,3 +190,43 @@ def test_split_leakage_audit_flags_both_populations(spark, sf_correctness):
     ).collect()
     leaks = {r["leak"] for r in rows}
     assert leaks == {True, False}, rows
+
+
+def test_luhn_expression_known_vectors(spark):
+    """The Catalyst Luhn chain must agree with the published test
+    vectors (4539578763621486 and 79927398713 valid; +1 invalid)."""
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_app_spark.queries.llmprep import _LUHN_EXPR
+
+    df = spark.createDataFrame(
+        [("4539578763621486",), ("4539578763621487",), ("79927398713",)],
+        "cand string",
+    )
+    got = {
+        r["cand"]: r["ok"]
+        for r in df.select(
+            "cand", (F.expr(_LUHN_EXPR) % 10 == 0).alias("ok")
+        ).collect()
+    }
+    assert got == {
+        "4539578763621486": True,
+        "4539578763621487": False,
+        "79927398713": True,
+    }
+
+
+def test_luhn_audit_zero_candidate_sources_keep_rows(spark, sf_smoke):
+    """Sources whose docs all skip the plant must still appear with
+    zeroed counters (the left-join + coalesce contract)."""
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["pii_luhn_audit"](spark, sf_smoke).collect()
+    assert len(rows) == 20
+    assert all(r["n_candidates"] <= r["n_docs"] for r in rows)
+    zero = [r for r in rows if r["n_candidates"] == 0]
+    assert all(
+        r["n_luhn_valid"] == 0 and r["checksum_residue_sum"] == 0
+        for r in zero
+    )
