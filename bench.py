@@ -291,6 +291,8 @@ HEADLINE = [
     "blocklist_multipattern_scan",
     "streaming_scd2_build",
     "multimodal_jpeg_progressive_decode",
+    "streaming_view_purchase_full_join",
+    "pii_luhn_audit",
 ]
 
 

@@ -22,10 +22,14 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
+from ..sources.batch import load_table
 from .streaming import _events_as_wire_stream, _run_to_table
 
 _DEDUP_ORACLE = """
@@ -210,6 +214,177 @@ def streaming_view_purchase_left_join(
         F.col("event_timestamp").alias("view_ts"),
         "purchase_ts",
         "amount",
+    )
+    return _run_to_table(
+        spark, joined, output_mode="append", shuffle_partitions=8
+    )
+
+
+# FULL OUTER exercises BOTH sides' state-expiry machinery: an
+# unmatched row on either side emits NULL-padded only when the
+# watermark proves no partner can still arrive. WHICH rows the finite
+# replay releases depends on the engine's per-side state-watermark
+# derivation AND on micro-batch layout (the purchase side's bound was
+# measured to be batch-sensitive), so instead of encoding a fragile
+# bound the query drives the watermark itself: a far-future SENTINEL
+# event (user_id -1, max(ts) + 10 h) is unioned into BOTH input
+# streams, the final no-data batch's watermark passes every real
+# row's join window, and ALL state drains. That is also the
+# production pattern for flushing outer-join state at stream
+# shutdown. The oracle is then the clean, bound-free batch full
+# outer join.
+_SS_FULL_ORACLE = """
+WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+matched AS (
+    SELECT v.user_id,
+           v.event_id AS view_event_id,
+           p.event_id AS purchase_event_id,
+           v.ts AS view_ts,
+           p.ts AS purchase_ts,
+           p.value AS amount
+    FROM v
+    JOIN p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 2 HOUR
+),
+unmatched_v AS (
+    SELECT v.user_id,
+           v.event_id AS view_event_id,
+           CAST(NULL AS BIGINT) AS purchase_event_id,
+           v.ts AS view_ts,
+           CAST(NULL AS TIMESTAMP) AS purchase_ts,
+           CAST(NULL AS DOUBLE) AS amount
+    FROM v
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.user_id = v.user_id
+          AND p.ts >= v.ts
+          AND p.ts <= v.ts + INTERVAL 2 HOUR
+    )
+),
+unmatched_p AS (
+    SELECT p.user_id,
+           CAST(NULL AS BIGINT) AS view_event_id,
+           p.event_id AS purchase_event_id,
+           CAST(NULL AS TIMESTAMP) AS view_ts,
+           p.ts AS purchase_ts,
+           p.value AS amount
+    FROM p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM v
+        WHERE v.user_id = p.user_id
+          AND p.ts >= v.ts
+          AND p.ts <= v.ts + INTERVAL 2 HOUR
+    )
+)
+SELECT * FROM matched
+UNION ALL
+SELECT * FROM unmatched_v
+UNION ALL
+SELECT * FROM unmatched_p
+"""
+
+_SENTINEL_DIRS: dict = {}
+
+
+def _events_with_flush_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wire replay PLUS a far-future flush sentinel (one 'view' +
+    one 'purchase' at max(events.ts) + 10 h, user_id -1), unioned at
+    the RAW text level so one watermark operator sees both sources —
+    a sentinel behind its own watermark node would be useless, since
+    the global watermark is the MIN across operators. The sentinel
+    lifts the final watermark past every real row's join window,
+    draining outer-join state (the shutdown-flush pattern)."""
+    import atexit
+    import shutil
+
+    from ..streaming.pipeline import parse_and_clean
+    from .streaming import _WIRE_DIRS, WIRE_SCHEMA
+
+    # ensure the shared wire dir exists, then address it directly
+    _events_as_wire_stream(spark, sf_dir)
+    wire_dir = _WIRE_DIRS[(spark.sparkContext.applicationId, sf_dir)]
+    key = (spark.sparkContext.applicationId, sf_dir)
+    sent_dir = _SENTINEL_DIRS.get(key)
+    if sent_dir is None or not os.path.isdir(sent_dir):
+        events = load_table(spark, sf_dir, "events")
+        flush_ts = F.date_format(
+            F.max("ts") + F.expr("INTERVAL 10 HOURS"),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS",
+        )
+        rows = events.agg(flush_ts.alias("t")).selectExpr(
+            """explode(array(
+                 to_json(named_struct(
+                   'event_id', -1L, 'user_id', -1L,
+                   'event_type', 'view', 'amount', 0.0d,
+                   'timestamp', t)),
+                 to_json(named_struct(
+                   'event_id', -2L, 'user_id', -1L,
+                   'event_type', 'purchase', 'amount', 0.0d,
+                   'timestamp', t)))) AS value"""
+        )
+        sent_dir = tempfile.mkdtemp(prefix="wire_sentinel_")
+        atexit.register(shutil.rmtree, sent_dir, ignore_errors=True)
+        rows.coalesce(1).write.mode("overwrite").text(sent_dir)
+        _SENTINEL_DIRS[key] = sent_dir
+    raw = spark.readStream.text(wire_dir).union(
+        spark.readStream.text(sent_dir)
+    )
+    return parse_and_clean(raw, WIRE_SCHEMA, ts_field="timestamp")
+
+
+@query("streaming_view_purchase_full_join", _SS_FULL_ORACLE)
+def streaming_view_purchase_full_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FULL OUTER stream-stream join through the real engine: matches
+    emit like the inner join; NULL-padded rows on BOTH sides emit
+    when the watermark proves no partner can arrive. A far-future
+    sentinel row unioned into each input stream advances the final
+    watermark past every real row's join window (the shutdown-flush
+    pattern), so the complete outer population emits and the oracle
+    is the bound-free batch full outer join — the driver hash checks
+    both sides' state eviction/release machinery end to end."""
+    views = (
+        _events_with_flush_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select("user_id", "event_id", "event_timestamp")
+    )
+    purchases = (
+        _events_with_flush_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("amount"),
+            F.col("event_timestamp").alias("purchase_ts"),
+        )
+    )
+    joined = (
+        views.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("event_timestamp"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("event_timestamp")
+                + F.expr(f"INTERVAL {_JOIN_WINDOW}")
+            ),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("user_id"), F.col("p_user_id")).alias(
+                "user_id"
+            ),
+            F.col("event_id").alias("view_event_id"),
+            "purchase_event_id",
+            F.col("event_timestamp").alias("view_ts"),
+            "purchase_ts",
+            "amount",
+        )
+        .filter(F.col("user_id") != -1)
     )
     return _run_to_table(
         spark, joined, output_mode="append", shuffle_partitions=8

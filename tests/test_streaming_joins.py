@@ -177,3 +177,34 @@ def test_drop_duplicates_within_watermark(spark):
         q.stop()
     got = sorted(r["order_id"] for r in spark.table(name).collect())
     assert got == ["a", "b"], f"within-watermark dedup failed: {got}"
+
+
+def test_full_outer_join_emits_complete_population(spark, sf_smoke):
+    """With the flush sentinel lifting the final watermark, the full
+    outer join must emit EVERY match, every unmatched view, and every
+    unmatched purchase — and no sentinel rows."""
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["streaming_view_purchase_full_join"](
+        spark, sf_smoke
+    ).collect()
+    assert all(r["user_id"] != -1 for r in rows)
+    views = {r["view_event_id"] for r in rows if r["view_event_id"] is not None}
+    purchases = {
+        r["purchase_event_id"]
+        for r in rows
+        if r["purchase_event_id"] is not None
+    }
+    from kafka_spark_streaming_app_spark.sources.batch import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_smoke, "events")
+    n_views = ev.filter(F.col("event_type") == "view").count()
+    n_purch = ev.filter(F.col("event_type") == "purchase").count()
+    # complete population: every view id and every purchase id appears
+    assert len(views) == n_views
+    assert len(purchases) == n_purch
+    # both NULL-padded populations are non-trivial
+    assert any(r["purchase_event_id"] is None for r in rows)
+    assert any(r["view_event_id"] is None for r in rows)
