@@ -1277,3 +1277,96 @@ def blocklist_multipattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("docs_matched"),
         F.sum("n_matches").cast("bigint").alias("total_matches"),
     )
+
+
+# --- phonetic blocking (Soundex) ----------------------------------------------
+#
+# Entity-resolution blocking by phonetic key: candidate pairs are
+# generated within soundex blocks instead of all-pairs — the classic
+# cheap blocking key for person/merchant name matching. Spark's
+# built-in ``soundex()`` implements full American Soundex INCLUDING
+# the H/W-transparency rule (verified: Ashcraft->A261, Pfister->P236,
+# Tymczak->T522, Hwang->H520); the oracle reimplements the whole
+# algorithm from scratch in SQL (per-character explode, H/W rows
+# dropped from the comparison sequence so lag() sees through them,
+# vowels resetting via code 0), so the two derivations cross-check
+# each other letter by letter.
+
+_SOUNDEX_ORACLE = """
+WITH w AS (
+    SELECT DISTINCT lower(word) AS w
+    FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+    WHERE regexp_matches(word, '^[A-Za-z]+$')
+),
+chars AS (
+    SELECT w, p, upper(substr(w, CAST(p AS INTEGER), 1)) AS ch
+    FROM (SELECT w, unnest(range(1, length(w) + 1)) AS p FROM w)
+),
+coded AS (
+    SELECT w, p,
+           CASE WHEN ch IN ('B','F','P','V') THEN 1
+                WHEN ch IN ('C','G','J','K','Q','S','X','Z') THEN 2
+                WHEN ch IN ('D','T') THEN 3
+                WHEN ch = 'L' THEN 4
+                WHEN ch IN ('M','N') THEN 5
+                WHEN ch = 'R' THEN 6
+                ELSE 0 END AS code,
+           ch IN ('H','W') AS is_hw
+    FROM chars
+),
+seq AS (
+    SELECT w, p, code,
+           lag(code) OVER (PARTITION BY w ORDER BY p) AS prev_code
+    FROM coded WHERE NOT is_hw
+),
+digits AS (
+    SELECT w, code,
+           row_number() OVER (PARTITION BY w ORDER BY p) AS rn
+    FROM seq
+    WHERE p > 1 AND code != 0
+      AND (prev_code IS NULL OR prev_code != code)
+),
+sdx AS (
+    SELECT w.w,
+           rpad(upper(substr(w.w, 1, 1)) ||
+                coalesce(string_agg(CAST(d.code AS VARCHAR), ''
+                                    ORDER BY d.rn), ''),
+                4, '0') AS code
+    FROM w LEFT JOIN (SELECT * FROM digits WHERE rn <= 3) d
+      ON d.w = w.w
+    GROUP BY w.w
+)
+SELECT code,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS n_candidate_pairs,
+       min(w) AS sample_word
+FROM sdx
+GROUP BY code
+"""
+
+
+@query("phonetic_blocking_soundex", _SOUNDEX_ORACLE)
+def phonetic_blocking_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soundex blocking over the part-name vocabulary: per phonetic
+    code, the block size and the within-block candidate-pair count an
+    ER pass would verify (vs n² all-pairs). Spark side is the
+    built-in ``soundex()`` (JVM, codegen); the oracle re-derives every
+    code from the raw algorithm — the H/W transparency, vowel resets,
+    adjacent-code collapse, and 4-char padding all hash-checked."""
+    part = load_table(spark, sf_dir, "part")
+    words = (
+        part.select(F.explode(F.split("p_name", " ")).alias("word"))
+        .filter(F.col("word").rlike("^[A-Za-z]+$"))
+        .select(F.lower(F.col("word")).alias("w"))
+        .distinct()
+    )
+    n = F.count(F.lit(1))
+    return (
+        words.select("w", F.soundex("w").alias("code"))
+        .groupBy("code")
+        .agg(
+            n.cast("bigint").alias("n_words"),
+            (n * (n - 1) / 2).cast("bigint").alias("n_candidate_pairs"),
+            F.min("w").alias("sample_word"),
+        )
+    )

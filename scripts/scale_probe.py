@@ -182,6 +182,21 @@ PROBES = (
     # the exact-diff anchor joins on the distinct hash key, bounded
     # per hash by source count
     "kmv_set_difference",
+    # round-9: the JPEG entropy decodes are per-payload mapInPandas
+    # stages (row-linear by construction — fixture encode + Huffman
+    # decode both per doc); the blocklist scan is one automaton pass
+    # per doc; the Luhn audit is a scan projection + per-source agg.
+    # EXCLUDED: streaming_scd2_build (duplicated (key, seq) change
+    # rows break version-chain semantics under file duplication, the
+    # dedup-family artifact) and streaming_view_purchase_full_join
+    # (fact-fact join keys fan out N^2 under duplication, same as the
+    # inner-join twin).
+    "multimodal_jpeg_entropy_decode",
+    "multimodal_jpeg_decode_pixels",
+    "multimodal_jpeg_color_decode",
+    "multimodal_jpeg_progressive_decode",
+    "blocklist_multipattern_scan",
+    "pii_luhn_audit",
 )
 
 

@@ -166,3 +166,33 @@ def test_multipattern_scan_emits_full_grid(spark, sf_smoke):
     assert len(rows) == 50
     zero = [r for r in rows if r["pattern"] == "zz never zz"]
     assert all(r["n_matches"] == 0 for r in zero) and len(zero) == 25
+
+
+def test_soundex_classic_vectors_and_blocking(spark, sf_smoke):
+    """Spark's soundex must produce the published American-Soundex
+    vectors (incl. the H/W transparency cases the oracle re-derives),
+    and the blocking query's pair counts must be n*(n-1)/2."""
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_app_spark import registry
+
+    df = spark.createDataFrame(
+        [(n,) for n in (
+            "Robert", "Rupert", "Ashcraft", "Ashcroft", "Tymczak",
+            "Pfister", "Honeyman", "Hwang", "Lee",
+        )],
+        "w string",
+    )
+    got = {r["w"]: r["s"] for r in df.select("w", F.soundex("w").alias("s")).collect()}
+    assert got == {
+        "Robert": "R163", "Rupert": "R163",
+        "Ashcraft": "A261", "Ashcroft": "A261",
+        "Tymczak": "T522", "Pfister": "P236",
+        "Honeyman": "H555", "Hwang": "H520", "Lee": "L000",
+    }
+    registry.load_all()
+    rows = registry.QUERIES["phonetic_blocking_soundex"](spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        n = r["n_words"]
+        assert r["n_candidate_pairs"] == n * (n - 1) // 2
