@@ -293,6 +293,8 @@ HEADLINE = [
     "multimodal_jpeg_progressive_decode",
     "streaming_view_purchase_full_join",
     "pii_luhn_audit",
+    "bitmap_distinct_rollup",
+    "table_integrity_digest",
 ]
 
 

@@ -3449,3 +3449,207 @@ def time_decay_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.rank().over(wr).cast("bigint").alias("trend_rank"),
     ).orderBy("item_k")
+
+
+# --- exact mergeable distinct via bitmap sketches ------------------------------
+#
+# The bitmap twin of hll_mergeable_rollup: Spark's bitmap functions
+# (bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg /
+# bitmap_or_agg / bitmap_count) partition the key space into 32k-bit
+# buckets and build one roaring-style bitmap per (group, bucket).
+# Unlike HLL this is EXACT, and unlike count(DISTINCT) it is
+# MERGEABLE: a precomputed per-segment bitmap table answers any
+# segment-combination distinct with bitmap_or_agg + bitmap_count —
+# no fact re-scan. That is the production pattern for exact distinct
+# rollups over 100 TB: materialize (segment, bucket, bitmap) once,
+# OR-merge at query time.
+
+_BITMAP_ORACLE = """
+SELECT o_orderpriority AS segment,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct_cust,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_orderpriority
+UNION ALL
+SELECT 'ALL' AS segment,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct_cust,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+"""
+
+
+@query("bitmap_distinct_rollup", _BITMAP_ORACLE)
+def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct customers per order priority AND overall, both
+    computed from ONE per-(segment, bucket) bitmap table: per-segment
+    counts sum bitmap_count over the segment's buckets; the ALL row
+    OR-merges the same bitmaps across segments before counting —
+    proving the cross-segment dedup happens in the merge (a customer
+    ordering under 3 priorities counts once), which is what makes the
+    materialized bitmap table reusable for any segment combination.
+    The oracle is plain count(DISTINCT) per segment + overall."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.selectExpr(
+        "o_orderpriority AS segment",
+        "bitmap_bucket_number(o_custkey) AS bkt",
+        "bitmap_bit_position(o_custkey) AS pos",
+    )
+    # materialize the (segment, bucket, bitmap) table ONCE (the
+    # production shape: it persists and serves every later rollup);
+    # the lazy barrier keeps the fact scan from running per branch
+    per_bucket = (
+        base.groupBy("segment", "bkt")
+        .agg(
+            F.expr("bitmap_construct_agg(pos)").alias("bm"),
+            F.count(F.lit(1)).alias("nr"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    per_segment = per_bucket.groupBy("segment").agg(
+        F.expr("sum(bitmap_count(bm))").cast("bigint").alias(
+            "n_distinct_cust"
+        ),
+        F.sum("nr").cast("bigint").alias("n_orders"),
+    )
+    merged = (
+        per_bucket.groupBy("bkt")
+        .agg(
+            F.expr("bitmap_or_agg(bm)").alias("bm"),
+            F.sum("nr").alias("nr"),
+        )
+        .agg(
+            F.expr("sum(bitmap_count(bm))").cast("bigint").alias(
+                "n_distinct_cust"
+            ),
+            F.sum("nr").cast("bigint").alias("n_orders"),
+        )
+        .select(
+            F.lit("ALL").alias("segment"), "n_distinct_cust", "n_orders"
+        )
+    )
+    return per_segment.unionByName(merged)
+
+
+# --- replica integrity digests (Merkle-style, order-independent) --------------
+#
+# Migration/replication verification: after copying 100 TB between
+# clusters or formats, prove content equality WITHOUT moving the data
+# again. Each row hashes to h60(canonical string); two
+# order-independent combiners (a modular sum and a bit_xor) give a
+# per-scope digest that any engine can recompute locally — equal
+# digests + equal counts ≈ equal content, and per-partition scopes
+# (orders by order year) localize a divergence to the partition that
+# needs re-copying. Doubles ride as exact integer cents; dates as ISO
+# strings — canonicalization is part of the contract, both engines
+# hash the identical bytes.
+
+_DIGEST_MOD = 1_000_000_007  # sum stays < 2^63 up to ~9e9 rows
+
+
+def _digest_sql(table: str, scope_expr: str, concat: str, group: str) -> str:
+    h = h60_sql(concat)
+    return f"""
+SELECT {scope_expr} AS scope,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum({h} % {_DIGEST_MOD}) AS BIGINT) AS digest_sum,
+       CAST(bit_xor({h}) AS BIGINT) AS digest_xor
+FROM {table}{group}"""
+
+
+_ORDERS_CONCAT = (
+    "concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), "
+    "o_orderstatus, CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) "
+    "AS VARCHAR), CAST(CAST(o_orderdate AS DATE) AS VARCHAR), "
+    "o_orderpriority)"
+)
+_CUST_CONCAT = (
+    "concat_ws('|', CAST(c_custkey AS VARCHAR), c_name, c_mktsegment, "
+    "CAST(c_nationkey AS VARCHAR), CAST(CAST(round(c_acctbal * 100, 0) "
+    "AS BIGINT) AS VARCHAR))"
+)
+_LINE_CONCAT = (
+    "concat_ws('|', CAST(l_orderkey AS VARCHAR), "
+    "CAST(l_linenumber AS VARCHAR), CAST(l_partkey AS VARCHAR), "
+    "CAST(CAST(l_quantity AS BIGINT) AS VARCHAR), l_returnflag)"
+)
+
+_INTEGRITY_ORACLE = (
+    _digest_sql(
+        "orders",
+        "concat('orders:', CAST(year(o_orderdate) AS VARCHAR))",
+        _ORDERS_CONCAT,
+        " GROUP BY year(o_orderdate)",
+    )
+    + "\nUNION ALL"
+    + _digest_sql("customer", "'customer:ALL'", _CUST_CONCAT, "")
+    + "\nUNION ALL"
+    + _digest_sql("lineitem", "'lineitem:ALL'", _LINE_CONCAT, "")
+)
+
+
+@query("table_integrity_digest", _INTEGRITY_ORACLE)
+def table_integrity_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content digests per scope: orders per order
+    year (divergence localizes to the partition to re-copy), customer
+    and lineitem whole-table. digest_sum (modular) and digest_xor
+    (bitwise) over h60 of the canonical row string — one scan per
+    table, partial-aggregated map-side, no shuffle wider than the
+    scope count."""
+    from ..functions.hashing import h60
+
+    def digest(df, scope_col, concat_col, group_cols):
+        h = h60(concat_col)
+        g = df.select(
+            scope_col.alias("scope"), (h % _DIGEST_MOD).alias("hm"), h.alias("h")
+        ).groupBy("scope")
+        return g.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("hm").cast("bigint").alias("digest_sum"),
+            F.expr("bit_xor(h)").cast("bigint").alias("digest_xor"),
+        )
+
+    orders = load_table(spark, sf_dir, "orders")
+    o = digest(
+        orders,
+        F.concat(F.lit("orders:"), F.year("o_orderdate").cast("string")),
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .cast("string"),
+            F.col("o_orderdate").cast("date").cast("string"),
+            F.col("o_orderpriority"),
+        ),
+        ["scope"],
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    c = digest(
+        customer,
+        F.lit("customer:ALL"),
+        F.concat_ws(
+            "|",
+            F.col("c_custkey").cast("string"),
+            F.col("c_name"),
+            F.col("c_mktsegment"),
+            F.col("c_nationkey").cast("string"),
+            F.round(F.col("c_acctbal") * 100, 0).cast("bigint").cast("string"),
+        ),
+        ["scope"],
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    li = digest(
+        lineitem,
+        F.lit("lineitem:ALL"),
+        F.concat_ws(
+            "|",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+            F.col("l_partkey").cast("string"),
+            F.col("l_quantity").cast("bigint").cast("string"),
+            F.col("l_returnflag"),
+        ),
+        ["scope"],
+    )
+    return o.unionByName(c).unionByName(li)

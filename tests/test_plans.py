@@ -877,3 +877,22 @@ def test_q22_scalar_average_is_explicit_broadcast(spark, sf_smoke):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bitmap_rollup_single_fact_scan(spark, sf_smoke):
+    """bitmap_distinct_rollup must materialize the (segment, bucket,
+    bitmap) table once behind a barrier — the per-segment and the
+    OR-merged ALL branches read ExistingRDD, not two fact scans."""
+    plan = plan_str(registry.QUERIES["bitmap_distinct_rollup"](spark, sf_smoke))
+    assert "ExistingRDD" in plan
+    assert plan.count("Scan parquet") == 0
+
+
+def test_integrity_digest_is_scan_plus_partial_agg(spark, sf_smoke):
+    """Each table's digest must be one scan with partial+final
+    aggregation (hash work combines map-side); no joins, no windows."""
+    plan = plan_str(registry.QUERIES["table_integrity_digest"](spark, sf_smoke))
+    for t in ("orders", "customer", "lineitem"):
+        assert plan.count(f"{t}.parquet") == 1, f"{t} scanned more than once"
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("HashAggregate") >= 6  # partial+final per table
