@@ -295,6 +295,8 @@ HEADLINE = [
     "pii_luhn_audit",
     "bitmap_distinct_rollup",
     "table_integrity_digest",
+    "hll_datasketches_rollup",
+    "phonetic_blocking_soundex",
 ]
 
 

@@ -3653,3 +3653,85 @@ def table_integrity_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["scope"],
     )
     return o.unionByName(c).unionByName(li)
+
+
+# --- built-in Apache DataSketches HLL rollup -----------------------------------
+#
+# The production counterpart of the repo's hand-built HLL rollups:
+# Spark ships Apache DataSketches HLL_4 as hll_sketch_agg /
+# hll_union_agg / hll_sketch_estimate — serialized sketch bytes that
+# any DataSketches runtime (Druid, Hive, Pinot, the Java/C++ libs)
+# can union, the lingua franca for cross-system distinct-count
+# exchange. Sketch estimates are engine-specific, so this is a
+# TOLERANCE-oracle query (the windowed_agg_approx pattern): the exact
+# distinct and a within-4σ flag are what hash-checks. lgK = 12 →
+# rsd ≈ 1.04/√4096 ≈ 1.6%, 4σ ≈ 6.5% with a small-cardinality floor.
+
+_DS_HLL_ORACLE = """
+SELECT event_type AS segment,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       true AS sketch_within_tolerance
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'ALL' AS segment,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       true AS sketch_within_tolerance
+FROM events
+"""
+
+
+@query("hll_datasketches_rollup", _DS_HLL_ORACLE)
+def hll_datasketches_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type AND overall from ONE pass of
+    built-in DataSketches HLL: per-segment sketches estimate locally;
+    the ALL row re-unions the SAME sketch bytes via hll_union_agg
+    (cross-segment dedup happens in the union, proving the
+    materialized sketch table is reusable for any segment
+    combination, and portable to any DataSketches runtime). The
+    oracle pins exact counts and the 4σ error contract of both the
+    per-segment estimates and the merged estimate."""
+    events = load_table(spark, sf_dir, "events")
+    sk = (
+        events.groupBy(F.col("event_type").alias("segment"))
+        .agg(
+            F.expr("hll_sketch_agg(user_id)").alias("sk"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tol = lambda exact: F.greatest(  # noqa: E731
+        F.lit(4.0), F.lit(4 * 0.0163) * exact
+    )
+    per = sk.select(
+        "segment",
+        F.col("exact_users").cast("bigint").alias("exact_users"),
+        (
+            F.abs(
+                F.expr("hll_sketch_estimate(sk)") - F.col("exact_users")
+            )
+            <= tol(F.col("exact_users"))
+        ).alias("sketch_within_tolerance"),
+    )
+    merged = (
+        sk.agg(
+            F.expr("hll_union_agg(sk)").alias("m"),
+        )
+        .crossJoin(
+            F.broadcast(
+                events.agg(
+                    F.count_distinct("user_id").alias("exact_users")
+                )
+            )
+        )
+        .select(
+            F.lit("ALL").alias("segment"),
+            F.col("exact_users").cast("bigint").alias("exact_users"),
+            (
+                F.abs(
+                    F.expr("hll_sketch_estimate(m)") - F.col("exact_users")
+                )
+                <= tol(F.col("exact_users"))
+            ).alias("sketch_within_tolerance"),
+        )
+    )
+    return per.unionByName(merged)
