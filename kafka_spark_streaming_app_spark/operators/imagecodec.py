@@ -406,8 +406,13 @@ class _JpegBitWriter:
 
 
 class _JpegBitReader:
-    """MSB-first bit reader over entropy-coded data: un-stuffs
-    0xFF00, byte-aligns at restart markers, stops at other markers."""
+    """MSB-first bit reader over entropy-coded data: un-stuffs 0xFF00,
+    byte-aligns at restart markers, and PADS with 1-bits at any other
+    marker (the libjpeg convention) instead of consuming it — padding
+    lets the 16-bit LUT peek work right up to the scan boundary while
+    ``pos`` stays exactly at the marker for resync."""
+
+    __slots__ = ("_d", "_pos", "_acc", "_nbits")
 
     def __init__(self, data: bytes, pos: int) -> None:
         self._d = data
@@ -415,31 +420,52 @@ class _JpegBitReader:
         self._acc = 0
         self._nbits = 0
 
-    def _fill(self) -> None:
-        b = self._d[self._pos]
-        if b == 0xFF:
-            nxt = self._d[self._pos + 1]
-            if nxt == 0x00:  # stuffed data byte
-                self._pos += 2
-            else:
-                raise ValueError(
-                    f"hit marker 0xFF{nxt:02X} inside entropy data"
-                )
-        else:
-            self._pos += 1
-        self._acc = (self._acc << 8) | b
+    def _fill8(self) -> None:
+        d = self._d
+        p = self._pos
+        if p < len(d):
+            b = d[p]
+            if b == 0xFF:
+                nxt = d[p + 1] if p + 1 < len(d) else 0xD9
+                if nxt == 0x00:  # stuffed data byte
+                    self._pos = p + 2
+                    self._acc = (self._acc << 8) | 0xFF
+                    self._nbits += 8
+                    return
+                # at a marker: pad, do not consume
+                self._acc = (self._acc << 8) | 0xFF
+                self._nbits += 8
+                return
+            self._pos = p + 1
+            self._acc = (self._acc << 8) | b
+            self._nbits += 8
+            return
+        self._acc = (self._acc << 8) | 0xFF
         self._nbits += 8
 
+    def peek16(self) -> int:
+        while self._nbits < 16:
+            self._fill8()
+        return (self._acc >> (self._nbits - 16)) & 0xFFFF
+
+    def skip(self, n: int) -> None:
+        self._nbits -= n
+        self._acc &= (1 << self._nbits) - 1
+
     def read_bit(self) -> int:
-        if self._nbits == 0:
-            self._fill()
+        if self._nbits < 1:
+            self._fill8()
         self._nbits -= 1
         return (self._acc >> self._nbits) & 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        while self._nbits < n:
+            self._fill8()
+        self._nbits -= n
+        v = (self._acc >> self._nbits) & ((1 << n) - 1)
+        self._acc &= (1 << self._nbits) - 1
         return v
 
     def sync_restart(self, expect: int) -> None:
@@ -458,14 +484,12 @@ class _JpegBitReader:
         return self._pos
 
 
-def _decode_huffman_symbol(reader: _JpegBitReader, table: dict) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | reader.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code (no symbol within 16 bits)")
+def _decode_huffman_symbol(reader: _JpegBitReader, lut: list) -> int:
+    ent = lut[reader.peek16()]
+    if ent is None:
+        raise ValueError("invalid Huffman code (no symbol within 16 bits)")
+    reader.skip(ent & 0x1F)
+    return ent >> 5
 
 
 def _extend(bits: int, size: int) -> int:
@@ -575,18 +599,34 @@ def encode_jpeg_baseline(
     return bytes(out)
 
 
-def _huffman_decode_table(bits, vals) -> dict:
-    """(length, code) -> symbol, from a DHT segment's BITS/HUFFVAL."""
-    out = {}
+_HUFF_LUT_CACHE: dict = {}
+
+
+def _huffman_decode_table(bits, vals) -> list:
+    """16-bit-prefix lookup table from a DHT segment's BITS/HUFFVAL:
+    lut[next16bits] = (symbol << 5) | code_length, or None for an
+    invalid prefix. One peek + one skip per symbol instead of
+    bit-by-bit tree walking — the decoder's hottest loop. Cached by
+    table content: a corpus encoded with one table set (the universal
+    case) builds each LUT once per worker process."""
+    key = (tuple(bits), tuple(vals))
+    lut = _HUFF_LUT_CACHE.get(key)
+    if lut is not None:
+        return lut
+    lut = [None] * 65536
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            out[(length, code)] = vals[k]
+            packed = (vals[k] << 5) | length
+            base = code << (16 - length)
+            for i in range(1 << (16 - length)):
+                lut[base + i] = packed
             code += 1
             k += 1
         code <<= 1
-    return out
+    _HUFF_LUT_CACHE[key] = lut
+    return lut
 
 
 def _idct_matrix():
