@@ -202,6 +202,15 @@ NOTES = {
     "spatial_radius_join": "Grid-cell blocking: 9-way neighbor explode on the probe side, ONE equi-join on the cell key, exact verify on candidates — density-bounded, never N^2.",
     "max_concurrent_intervals": "Corpus scan -> +/-1 day deltas -> day-keyed net agg; the running-sum window runs over the calendar-bounded day table only.",
     "rolling_distinct_users": "Coverage explode (x7, row-local) + distinct + per-day count; no window-distinct workaround joins.",
+    "multimodal_jpeg_entropy_decode": "Fixture encode + Huffman/dequant/dezigzag decode are two chained Arrow mapInPandas stages over doc_id only (ReadSchema pruned to 1 column); zero shuffle before the final agg-free emit.",
+    "multimodal_jpeg_color_decode": "Interleaved 4:2:0 MCU walk per payload inside one Arrow stage; per-(media, component) rows emit without exploding coefficients into Spark.",
+    "blocklist_multipattern_scan": "ONE automaton pass per doc (O(corpus + matches), pattern-count-independent) in a single mapInPandas stage; the (source, pattern) grid aggregates with partial+final hash agg.",
+    "streaming_scd2_build": "Version-table state: per trigger the touched buckets re-derive their keys' lead/row_number chains inside the bucket-pruned read; serving is a plain state scan, no window at query time.",
+    "pii_luhn_audit": "Checksum as a pure Catalyst sequence->transform->aggregate chain inside whole-stage codegen; one scan, per-source partial+final agg, zero-candidate sources kept by the broadcast-left grid join.",
+    "bitmap_distinct_rollup": "One fact scan materializes the (segment, bucket, bitmap) table behind a barrier; per-segment counts and the OR-merged ALL row both read ExistingRDD — the reusable exact-distinct rollup shape.",
+    "table_integrity_digest": "One scan per table, digest sums/xors combine map-side (partial+final agg); no joins, no windows — the replica-verification pass streams at scan speed.",
+    "hll_datasketches_rollup": "Per-segment DataSketches HLL sketches built in one barriered scan; the ALL row re-unions the same sketch bytes (hll_union_agg) — the cross-system mergeable-sketch interchange shape.",
+    "phonetic_blocking_soundex": "soundex() runs in the scan projection (codegen); block stats are one partial+final agg over the distinct word set.",
 }
 
 
