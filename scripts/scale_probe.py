@@ -197,6 +197,14 @@ PROBES = (
     "multimodal_jpeg_progressive_decode",
     "blocklist_multipattern_scan",
     "pii_luhn_audit",
+    # round-9 rollup/digest shapes: one scan + partial/final aggs;
+    # bitmap/HLL distinct counts are duplication-invariant but the
+    # scan work is row-linear (what the probe measures); the digest
+    # and soundex are scan projections + small-group aggs
+    "bitmap_distinct_rollup",
+    "table_integrity_digest",
+    "hll_datasketches_rollup",
+    "phonetic_blocking_soundex",
 )
 
 
