@@ -1084,13 +1084,17 @@ def encode_jpeg_progressive(
     height: int,
     qtable,
     script=_DEFAULT_PROGRESSIVE_SCRIPT,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode a real PROGRESSIVE (SOF2) grayscale JPEG from QUANTIZED
     zigzag coefficients: multiple SOS scans per the (Ss, Se, Ah, Al)
     script — DC first/refinement, per-band AC first scans with EOBRUN
     run-length coding, and AC refinement scans with the buffered
     correction-bit algorithm (T.81 G.1.2.3 / the libjpeg
-    encode_mcu_AC_refine discipline)."""
+    encode_mcu_AC_refine discipline). ``restart_interval`` > 0 emits
+    DRI + RSTn every that many MCUs WITHIN EACH SCAN (marker index
+    restarts at 0 per scan; DC prediction and EOB runs reset at every
+    marker, per T.81 Annex G restart semantics)."""
     blocks = [list(b) for b in blocks]
     bx = (width + 7) // 8
     by = (height + 7) // 8
@@ -1115,107 +1119,132 @@ def encode_jpeg_progressive(
     ):
         body = bytes([cls]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    r_iv = restart_interval or len(blocks) or 1
+    segments = [
+        blocks[i : i + r_iv] for i in range(0, len(blocks), r_iv)
+    ] or [[]]
+
+    def _enc_dc_first(w, seg, al):
+        pred = 0
+        for blk in seg:
+            v = blk[0] >> al  # arithmetic shift (point transform)
+            diff = v - pred
+            pred = v
+            size = _csize(diff)
+            code, length = dc_codes[size]
+            w.write(code, length)
+            if size:
+                w.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+
+    def _enc_dc_refine(w, seg, al):
+        for blk in seg:
+            w.write((blk[0] >> al) & 1, 1)
+
+    def _enc_ac_first(w, seg, ss, se, al):
+        eobrun = 0
+        for blk in seg:
+            band = [
+                blk[k] >> al if blk[k] >= 0 else -((-blk[k]) >> al)
+                for k in range(ss, se + 1)
+            ]
+            if not any(band):
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    eobrun, _ = _emit_eobrun(w, eobrun, [], ac_codes)
+                continue
+            eobrun, _ = _emit_eobrun(w, eobrun, [], ac_codes)
+            run = 0
+            last_nz = max(i for i, v in enumerate(band) if v)
+            for i, v in enumerate(band):
+                if i > last_nz:
+                    break
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    zc, zl = ac_codes[0xF0]
+                    w.write(zc, zl)
+                    run -= 16
+                size = _csize(v)
+                code, length = ac_codes[(run << 4) | size]
+                w.write(code, length)
+                w.write(v if v >= 0 else v + (1 << size) - 1, size)
+                run = 0
+            if last_nz < len(band) - 1:
+                eobrun += 1
+        _emit_eobrun(w, eobrun, [], ac_codes)
+
+    def _enc_ac_refine(w, seg, ss, se, al):
+        eobrun = 0
+        be: list[int] = []  # run-pool correction bits (libjpeg BE)
+        for blk in seg:
+            absval = [abs(blk[k]) >> al for k in range(ss, se + 1)]
+            # EOB = last index newly significant at this bit
+            eob = -1
+            for i, t in enumerate(absval):
+                if t == 1:
+                    eob = i
+            run = 0
+            br: list[int] = []  # current block's correction bits
+            for i, t in enumerate(absval):
+                if t == 0:
+                    run += 1
+                    continue
+                # ZRL check at EVERY nonzero-history position
+                while run > 15 and i <= eob:
+                    eobrun, be = _emit_eobrun(w, eobrun, be, ac_codes)
+                    zc, zl = ac_codes[0xF0]
+                    w.write(zc, zl)
+                    run -= 16
+                    for bbit in br:
+                        w.write(bbit, 1)
+                    br = []
+                if t > 1:  # already significant: buffer correction bit
+                    br.append(t & 1)
+                    continue
+                # newly significant (t == 1)
+                eobrun, be = _emit_eobrun(w, eobrun, be, ac_codes)
+                code, length = ac_codes[(run << 4) | 1]
+                w.write(code, length)
+                w.write(1 if blk[ss + i] >= 0 else 0, 1)
+                for bbit in br:
+                    w.write(bbit, 1)
+                br = []
+                run = 0
+            if run > 0 or br:
+                eobrun += 1
+                be.extend(br)  # fold into the run pool
+                if eobrun == 0x7FFF:
+                    eobrun, be = _emit_eobrun(w, eobrun, be, ac_codes)
+        _emit_eobrun(w, eobrun, be, ac_codes)
 
     for ss, se, ah, al in script:
         sos = bytes((1, 1, 0x00)) + bytes((ss, se, (ah << 4) | al))
         out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
         w = _JpegBitWriter()
-        if ss == 0:  # DC scan
-            if se != 0:
-                raise ValueError("DC scan must have Se = 0")
-            if ah == 0:  # first DC scan: point-transformed diffs
-                pred = 0
-                for blk in blocks:
-                    v = blk[0] >> al  # arithmetic shift (point transform)
-                    diff = v - pred
-                    pred = v
-                    size = _csize(diff)
-                    code, length = dc_codes[size]
-                    w.write(code, length)
-                    if size:
-                        w.write(
-                            diff if diff >= 0 else diff + (1 << size) - 1,
-                            size,
-                        )
-            else:  # DC refinement: one raw bit per block
-                for blk in blocks:
-                    w.write((blk[0] >> al) & 1, 1)
-        elif ah == 0:  # AC first scan for this band
-            eobrun = 0
-            for blk in blocks:
-                band = [blk[k] >> al if blk[k] >= 0 else -((-blk[k]) >> al)
-                        for k in range(ss, se + 1)]
-                if not any(band):
-                    eobrun += 1
-                    if eobrun == 0x7FFF:
-                        eobrun, _ = _emit_eobrun(w, eobrun, [], ac_codes)
-                    continue
-                eobrun, _ = _emit_eobrun(w, eobrun, [], ac_codes)
-                run = 0
-                last_nz = max(i for i, v in enumerate(band) if v)
-                for i, v in enumerate(band):
-                    if i > last_nz:
-                        break
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run >= 16:
-                        zc, zl = ac_codes[0xF0]
-                        w.write(zc, zl)
-                        run -= 16
-                    size = _csize(v)
-                    code, length = ac_codes[(run << 4) | size]
-                    w.write(code, length)
-                    w.write(v if v >= 0 else v + (1 << size) - 1, size)
-                    run = 0
-                if last_nz < len(band) - 1:
-                    eobrun += 1
-            eobrun, _ = _emit_eobrun(w, eobrun, [], ac_codes)
-        else:  # AC refinement scan
-            if ah != al + 1:
-                raise ValueError("successive approximation must step by 1")
-            eobrun = 0
-            be: list[int] = []  # run-pool correction bits (libjpeg BE)
-            for blk in blocks:
-                absval = [abs(blk[k]) >> al for k in range(ss, se + 1)]
-                # EOB = last index newly significant at this bit
-                eob = -1
-                for i, t in enumerate(absval):
-                    if t == 1:
-                        eob = i
-                run = 0
-                br: list[int] = []  # current block's correction bits
-                for i, t in enumerate(absval):
-                    if t == 0:
-                        run += 1
-                        continue
-                    # ZRL check at EVERY nonzero-history position
-                    while run > 15 and i <= eob:
-                        eobrun, be = _emit_eobrun(w, eobrun, be, ac_codes)
-                        zc, zl = ac_codes[0xF0]
-                        w.write(zc, zl)
-                        run -= 16
-                        for bbit in br:
-                            w.write(bbit, 1)
-                        br = []
-                    if t > 1:  # already significant: buffer correction bit
-                        br.append(t & 1)
-                        continue
-                    # newly significant (t == 1)
-                    eobrun, be = _emit_eobrun(w, eobrun, be, ac_codes)
-                    code, length = ac_codes[(run << 4) | 1]
-                    w.write(code, length)
-                    w.write(1 if blk[ss + i] >= 0 else 0, 1)
-                    for bbit in br:
-                        w.write(bbit, 1)
-                    br = []
-                    run = 0
-                if run > 0 or br:
-                    eobrun += 1
-                    be.extend(br)  # fold into the run pool
-                    if eobrun == 0x7FFF:
-                        eobrun, be = _emit_eobrun(w, eobrun, be, ac_codes)
-            eobrun, be = _emit_eobrun(w, eobrun, be, ac_codes)
+        rst = 0
+        for gi, seg in enumerate(segments):
+            if gi:
+                w.emit_marker(0xD0 + rst)
+                rst = (rst + 1) % 8
+            if ss == 0:
+                if se != 0:
+                    raise ValueError("DC scan must have Se = 0")
+                if ah == 0:
+                    _enc_dc_first(w, seg, al)
+                else:
+                    _enc_dc_refine(w, seg, al)
+            elif ah == 0:
+                _enc_ac_first(w, seg, ss, se, al)
+            else:
+                if ah != al + 1:
+                    raise ValueError(
+                        "successive approximation must step by 1"
+                    )
+                _enc_ac_refine(w, seg, ss, se, al)
         out += w.getvalue()
     out += b"\xff\xd9"
     return bytes(out)
@@ -1228,9 +1257,10 @@ def decode_jpeg_progressive(data: bytes, want_pixels: bool = True) -> dict:
     band with EOBRUN decoding, and AC refinement scans with the
     correction-bit algorithm of T.81 G.1.2.3 — then dequantizes,
     dezigzags and (optionally) runs the same IDCT/crop path as the
-    baseline decoder. Multi-component progressive raises a named
-    NotImplementedError (per-component band scans + interleaved DC
-    scans are the extension)."""
+    baseline decoder. Restart markers (DRI/RSTn) reset DC prediction
+    AND the pending EOB run per T.81 Annex G. Multi-component
+    progressive raises a named NotImplementedError (per-component
+    band scans + interleaved DC scans are the extension)."""
     import numpy as np
 
     if not data.startswith(_JPEG_MAGIC):
@@ -1239,6 +1269,7 @@ def decode_jpeg_progressive(data: bytes, want_pixels: bool = True) -> dict:
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict] = {}
     frame = None
+    restart_interval = 0
     coefs = None  # per-block UNQUANTIZED-domain zigzag coefficients
     nblocks = 0
     while pos + 4 <= len(data):
@@ -1302,12 +1333,7 @@ def decode_jpeg_progressive(data: bytes, want_pixels: bool = True) -> dict:
             nblocks = bx * by
             coefs = [[0] * 64 for _ in range(nblocks)]
         elif marker == 0xDD:
-            (ri,) = struct.unpack_from(">H", body, 0)
-            if ri:
-                raise NotImplementedError(
-                    "restart markers in progressive scans not implemented "
-                    "(baseline decoder supports them); re-encode with DRI=0"
-                )
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:
             if frame is None:
                 raise ValueError("SOS before SOF2")
@@ -1324,7 +1350,12 @@ def decode_jpeg_progressive(data: bytes, want_pixels: bool = True) -> dict:
                 if ah == 0:
                     dc_tab = htables[(0, tables >> 4)]
                     pred = 0
+                    rst = 0
                     for b in range(nblocks):
+                        if restart_interval and b and b % restart_interval == 0:
+                            reader.sync_restart(0xD0 + rst)
+                            rst = (rst + 1) % 8
+                            pred = 0
                         size = _decode_huffman_symbol(reader, dc_tab)
                         diff = (
                             _extend(reader.read_bits(size), size)
@@ -1334,12 +1365,21 @@ def decode_jpeg_progressive(data: bytes, want_pixels: bool = True) -> dict:
                         pred += diff
                         coefs[b][0] = pred << al
                 else:
+                    rst = 0
                     for b in range(nblocks):
+                        if restart_interval and b and b % restart_interval == 0:
+                            reader.sync_restart(0xD0 + rst)
+                            rst = (rst + 1) % 8
                         coefs[b][0] |= reader.read_bit() << al
             elif ah == 0:  # AC first scan
                 ac_tab = htables[(1, tables & 0x0F)]
                 eobrun = 0
+                rst = 0
                 for b in range(nblocks):
+                    if restart_interval and b and b % restart_interval == 0:
+                        reader.sync_restart(0xD0 + rst)
+                        rst = (rst + 1) % 8
+                        eobrun = 0
                     if eobrun > 0:
                         eobrun -= 1
                         continue
@@ -1365,7 +1405,12 @@ def decode_jpeg_progressive(data: bytes, want_pixels: bool = True) -> dict:
                 ac_tab = htables[(1, tables & 0x0F)]
                 p1, m1 = 1 << al, -1 << al
                 eobrun = 0
+                rst = 0
                 for b in range(nblocks):
+                    if restart_interval and b and b % restart_interval == 0:
+                        reader.sync_restart(0xD0 + rst)
+                        rst = (rst + 1) % 8
+                        eobrun = 0
                     blk = coefs[b]
                     k = ss
                     if eobrun == 0:

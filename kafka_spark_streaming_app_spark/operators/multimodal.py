@@ -1985,13 +1985,14 @@ def jpeg_color_coef_stats(media: DataFrame) -> DataFrame:
 
 def synthesize_jpeg_progressive_media(documents: DataFrame) -> DataFrame:
     """PROGRESSIVE (SOF2) JPEG fixture: the same closed-form
-    coefficient plants as ``synthesize_jpeg_scan_media`` (restart 0 —
-    restart markers in progressive scans are a named decoder gate),
-    encoded through the multi-scan progressive coder: DC first +
-    refinement, two spectral AC bands each with a successive-
-    approximation first pass and a correction-bit refinement pass,
-    EOBRUN coding throughout. The coefficient domain is lossless, so
-    the SAME SQL oracle pins both codecs."""
+    coefficient plants as ``synthesize_jpeg_scan_media`` — including
+    its per-doc restart interval (RSTn markers reset DC prediction
+    AND the pending EOB run within every scan) — encoded through the
+    multi-scan progressive coder: DC first + refinement, two spectral
+    AC bands each with a successive-approximation first pass and a
+    correction-bit refinement pass, EOBRUN coding throughout. The
+    coefficient domain is lossless, so the SAME SQL oracle pins both
+    codecs."""
     from .imagecodec import encode_jpeg_progressive
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1999,13 +2000,13 @@ def synthesize_jpeg_progressive_media(documents: DataFrame) -> DataFrame:
             rows = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                blocks, w, h, qtable, _ri = _jpeg_scan_fixture(d)
+                blocks, w, h, qtable, ri = _jpeg_scan_fixture(d)
                 rows.append(
                     {
                         "media_id": d,
                         "codec": "jpeg",
                         "payload": encode_jpeg_progressive(
-                            blocks, w, h, qtable
+                            blocks, w, h, qtable, restart_interval=ri
                         ),
                     }
                 )

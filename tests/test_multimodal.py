@@ -1293,3 +1293,38 @@ def test_jpeg_dispatcher_and_payload_path():
     assert pb.shape == pp.shape == (8, 8)
     assert (pb == pp).all()
     assert np.unique(pb).tolist() == [9 + 128]
+
+
+def test_jpeg_progressive_restart_markers_differential():
+    """Progressive scans with DRI/RSTn (per-scan marker cycle, DC
+    prediction + EOB-run reset) must decode identically to the
+    baseline encoding of the same coefficients, across intervals."""
+    import random
+
+    from kafka_spark_streaming_app_spark.operators import imagecodec as ic
+
+    rng = random.Random(99)
+    for t in range(40):
+        nb = rng.randint(2, 10)
+        ri = rng.choice([1, 2, 3, 5])
+        q = [rng.randint(1, 255) for _ in range(64)]
+        blocks = []
+        for _b in range(nb):
+            bb = [0] * 64
+            bb[0] = rng.randint(-1000, 1000)
+            for _ in range(rng.randint(0, 12)):
+                bb[rng.randint(1, 63)] = rng.choice(
+                    [v for v in range(-500, 501) if v]
+                )
+            blocks.append(bb)
+        d_b = ic.decode_jpeg_baseline(
+            ic.encode_jpeg_baseline(blocks, nb * 8, 8, q, restart_interval=ri),
+            want_pixels=False,
+        )
+        d_p = ic.decode_jpeg_progressive(
+            ic.encode_jpeg_progressive(
+                blocks, nb * 8, 8, q, restart_interval=ri
+            ),
+            want_pixels=False,
+        )
+        assert d_p["blocks"] == d_b["blocks"], f"trial {t} ri={ri}"
