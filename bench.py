@@ -297,6 +297,7 @@ HEADLINE = [
     "table_integrity_digest",
     "hll_datasketches_rollup",
     "phonetic_blocking_soundex",
+    "multimodal_jpeg_color_progressive",
 ]
 
 

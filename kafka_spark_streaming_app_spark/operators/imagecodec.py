@@ -1078,6 +1078,90 @@ def _emit_eobrun(w, eobrun, be_bits, ac_codes):
     return eobrun, be_bits
 
 
+def _encode_ac_first_scan(w, seg, ss, se, al, ac_codes) -> None:
+    """AC first scan (Ah=0) for one restart segment: point-transformed
+    magnitudes, run-length symbols with ZRL, EOBRUN accumulation
+    flushed at segment end (T.81 G.1.2.2)."""
+    eobrun = 0
+    for blk in seg:
+        band = [
+            blk[k] >> al if blk[k] >= 0 else -((-blk[k]) >> al)
+            for k in range(ss, se + 1)
+        ]
+        if not any(band):
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun, _ = _emit_eobrun(w, eobrun, [], ac_codes)
+            continue
+        eobrun, _ = _emit_eobrun(w, eobrun, [], ac_codes)
+        run = 0
+        last_nz = max(i for i, v in enumerate(band) if v)
+        for i, v in enumerate(band):
+            if i > last_nz:
+                break
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                zc, zl = ac_codes[0xF0]
+                w.write(zc, zl)
+                run -= 16
+            size = _csize(v)
+            code, length = ac_codes[(run << 4) | size]
+            w.write(code, length)
+            w.write(v if v >= 0 else v + (1 << size) - 1, size)
+            run = 0
+        if last_nz < len(band) - 1:
+            eobrun += 1
+    _emit_eobrun(w, eobrun, [], ac_codes)
+
+
+def _encode_ac_refine_scan(w, seg, ss, se, al, ac_codes) -> None:
+    """AC refinement scan (Ah=Al+1) for one restart segment: the
+    two-pool buffered correction-bit discipline (libjpeg BE/BR — the
+    run pool flushes with EOBn, the current block's pool after its
+    own symbol), flushed at segment end (T.81 G.1.2.3)."""
+    eobrun = 0
+    be: list[int] = []
+    for blk in seg:
+        absval = [abs(blk[k]) >> al for k in range(ss, se + 1)]
+        eob = -1
+        for i, t in enumerate(absval):
+            if t == 1:
+                eob = i
+        run = 0
+        br: list[int] = []
+        for i, t in enumerate(absval):
+            if t == 0:
+                run += 1
+                continue
+            while run > 15 and i <= eob:
+                eobrun, be = _emit_eobrun(w, eobrun, be, ac_codes)
+                zc, zl = ac_codes[0xF0]
+                w.write(zc, zl)
+                run -= 16
+                for bbit in br:
+                    w.write(bbit, 1)
+                br = []
+            if t > 1:
+                br.append(t & 1)
+                continue
+            eobrun, be = _emit_eobrun(w, eobrun, be, ac_codes)
+            code, length = ac_codes[(run << 4) | 1]
+            w.write(code, length)
+            w.write(1 if blk[ss + i] >= 0 else 0, 1)
+            for bbit in br:
+                w.write(bbit, 1)
+            br = []
+            run = 0
+        if run > 0 or br:
+            eobrun += 1
+            be.extend(br)
+            if eobrun == 0x7FFF:
+                eobrun, be = _emit_eobrun(w, eobrun, be, ac_codes)
+    _emit_eobrun(w, eobrun, be, ac_codes)
+
+
 def encode_jpeg_progressive(
     blocks,
     width: int,
@@ -1144,82 +1228,10 @@ def encode_jpeg_progressive(
             w.write((blk[0] >> al) & 1, 1)
 
     def _enc_ac_first(w, seg, ss, se, al):
-        eobrun = 0
-        for blk in seg:
-            band = [
-                blk[k] >> al if blk[k] >= 0 else -((-blk[k]) >> al)
-                for k in range(ss, se + 1)
-            ]
-            if not any(band):
-                eobrun += 1
-                if eobrun == 0x7FFF:
-                    eobrun, _ = _emit_eobrun(w, eobrun, [], ac_codes)
-                continue
-            eobrun, _ = _emit_eobrun(w, eobrun, [], ac_codes)
-            run = 0
-            last_nz = max(i for i, v in enumerate(band) if v)
-            for i, v in enumerate(band):
-                if i > last_nz:
-                    break
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    zc, zl = ac_codes[0xF0]
-                    w.write(zc, zl)
-                    run -= 16
-                size = _csize(v)
-                code, length = ac_codes[(run << 4) | size]
-                w.write(code, length)
-                w.write(v if v >= 0 else v + (1 << size) - 1, size)
-                run = 0
-            if last_nz < len(band) - 1:
-                eobrun += 1
-        _emit_eobrun(w, eobrun, [], ac_codes)
+        _encode_ac_first_scan(w, seg, ss, se, al, ac_codes)
 
     def _enc_ac_refine(w, seg, ss, se, al):
-        eobrun = 0
-        be: list[int] = []  # run-pool correction bits (libjpeg BE)
-        for blk in seg:
-            absval = [abs(blk[k]) >> al for k in range(ss, se + 1)]
-            # EOB = last index newly significant at this bit
-            eob = -1
-            for i, t in enumerate(absval):
-                if t == 1:
-                    eob = i
-            run = 0
-            br: list[int] = []  # current block's correction bits
-            for i, t in enumerate(absval):
-                if t == 0:
-                    run += 1
-                    continue
-                # ZRL check at EVERY nonzero-history position
-                while run > 15 and i <= eob:
-                    eobrun, be = _emit_eobrun(w, eobrun, be, ac_codes)
-                    zc, zl = ac_codes[0xF0]
-                    w.write(zc, zl)
-                    run -= 16
-                    for bbit in br:
-                        w.write(bbit, 1)
-                    br = []
-                if t > 1:  # already significant: buffer correction bit
-                    br.append(t & 1)
-                    continue
-                # newly significant (t == 1)
-                eobrun, be = _emit_eobrun(w, eobrun, be, ac_codes)
-                code, length = ac_codes[(run << 4) | 1]
-                w.write(code, length)
-                w.write(1 if blk[ss + i] >= 0 else 0, 1)
-                for bbit in br:
-                    w.write(bbit, 1)
-                br = []
-                run = 0
-            if run > 0 or br:
-                eobrun += 1
-                be.extend(br)  # fold into the run pool
-                if eobrun == 0x7FFF:
-                    eobrun, be = _emit_eobrun(w, eobrun, be, ac_codes)
-        _emit_eobrun(w, eobrun, be, ac_codes)
+        _encode_ac_refine_scan(w, seg, ss, se, al, ac_codes)
 
     for ss, se, ah, al in script:
         sos = bytes((1, 1, 0x00)) + bytes((ss, se, (ah << 4) | al))
@@ -1251,27 +1263,33 @@ def encode_jpeg_progressive(
 
 
 def decode_jpeg_progressive(data: bytes, want_pixels: bool = True) -> dict:
-    """REAL progressive (SOF2) grayscale JPEG decode: accumulates
-    coefficients across every SOS scan — DC first (point-transformed
-    diffs) and DC refinement (raw bits), AC first scans per spectral
-    band with EOBRUN decoding, and AC refinement scans with the
-    correction-bit algorithm of T.81 G.1.2.3 — then dequantizes,
-    dezigzags and (optionally) runs the same IDCT/crop path as the
-    baseline decoder. Restart markers (DRI/RSTn) reset DC prediction
-    AND the pending EOB run per T.81 Annex G. Multi-component
-    progressive raises a named NotImplementedError (per-component
-    band scans + interleaved DC scans are the extension)."""
+    """REAL progressive (SOF2) JPEG decode, grayscale OR color:
+    accumulates coefficients across every SOS scan — interleaved DC
+    scans (first: point-transformed diffs per component; refinement:
+    raw bits) over the MCU-padded grids, and per-component
+    non-interleaved AC scans (first with EOBRUN; refinement with the
+    correction-bit algorithm of T.81 G.1.2.3) over each component's
+    REAL ceil(dims/8) grid — edge-MCU dummy blocks exist only on the
+    interleaved wire and are stripped from the output. Restart
+    markers reset DC predictions and the pending EOB run. Then
+    dequantizes, dezigzags and (optionally) reconstructs pixels:
+    (H, W) uint8 for 1 component, (H, W, 3) JFIF RGB for 3.
+
+    Huffman/quant tables come from the file's DHT/DQT. Interleaved AC
+    progressive scans (illegal per T.81) and 2/4-component pixel
+    output raise; everything else decodes."""
     import numpy as np
 
     if not data.startswith(_JPEG_MAGIC):
         raise ValueError("not a JPEG")
     pos = 2
     qtables: dict[int, list[int]] = {}
-    htables: dict[tuple[int, int], dict] = {}
+    htables: dict[tuple[int, int], list] = {}
     frame = None
     restart_interval = 0
-    coefs = None  # per-block UNQUANTIZED-domain zigzag coefficients
-    nblocks = 0
+    geo = None
+    coefs = None  # per component: full INTERLEAVED-grid zigzag arrays
+    mcux = mcuy = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at {pos}")
@@ -1318,124 +1336,212 @@ def decode_jpeg_progressive(data: bytes, want_pixels: bool = True) -> dict:
             depth, h, wd, ncomp = struct.unpack_from(">BHHB", body, 0)
             if depth != 8:
                 raise NotImplementedError("only 8-bit progressive JPEG")
-            if ncomp != 1:
-                raise NotImplementedError(
-                    f"{ncomp}-component progressive decode not implemented: "
-                    "needs per-component band scans + interleaved DC scans; "
-                    "grayscale (1 component) only"
+            comps = []
+            for c in range(ncomp):
+                cid, sampling, tq = struct.unpack_from(
+                    ">BBB", body, 6 + 3 * c
                 )
-            cid, sampling, tq = struct.unpack_from(">BBB", body, 6)
-            if sampling != 0x11:
-                raise NotImplementedError("subsampled progressive JPEG")
-            frame = {"width": wd, "height": h, "cid": cid, "tq": tq}
-            bx = (wd + 7) // 8
-            by = (h + 7) // 8
-            nblocks = bx * by
-            coefs = [[0] * 64 for _ in range(nblocks)]
+                comps.append(
+                    {
+                        "cid": cid,
+                        "h": sampling >> 4,
+                        "v": sampling & 0x0F,
+                        "tq": tq,
+                    }
+                )
+            frame = {"width": wd, "height": h, "comps": comps}
+            _hm, _vm, mcux, mcuy, geo = _prog_color_geometry(
+                [(c["h"], c["v"]) for c in comps], wd, h
+            )
+            coefs = [
+                [[0] * 64 for _ in range(g["bwi"] * g["bhi"])] for g in geo
+            ]
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:
             if frame is None:
                 raise ValueError("SOS before SOF2")
+            comps = frame["comps"]
             ns = body[0]
-            if ns != 1:
-                raise NotImplementedError("multi-component progressive scan")
-            _cs, tables = body[1], body[2]
-            ss, se = body[3], body[4]
-            ah, al = body[5] >> 4, body[5] & 0x0F
+            sel = []
+            for i in range(ns):
+                cs, tables = body[1 + 2 * i], body[2 + 2 * i]
+                ci = next(
+                    i2 for i2, c in enumerate(comps) if c["cid"] == cs
+                )
+                sel.append((ci, tables >> 4, tables & 0x0F))
+            off = 1 + 2 * ns
+            ss, se = body[off], body[off + 1]
+            ah, al = body[off + 2] >> 4, body[off + 2] & 0x0F
             reader = _JpegBitReader(data, pos + 2 + seglen)
-            if ss == 0:  # DC scan (Se must be 0)
-                if se != 0:
-                    raise ValueError("DC progressive scan with Se != 0")
-                if ah == 0:
-                    dc_tab = htables[(0, tables >> 4)]
-                    pred = 0
-                    rst = 0
-                    for b in range(nblocks):
-                        if restart_interval and b and b % restart_interval == 0:
-                            reader.sync_restart(0xD0 + rst)
-                            rst = (rst + 1) % 8
-                            pred = 0
-                        size = _decode_huffman_symbol(reader, dc_tab)
-                        diff = (
-                            _extend(reader.read_bits(size), size)
-                            if size
-                            else 0
-                        )
-                        pred += diff
-                        coefs[b][0] = pred << al
-                else:
-                    rst = 0
-                    for b in range(nblocks):
-                        if restart_interval and b and b % restart_interval == 0:
-                            reader.sync_restart(0xD0 + rst)
-                            rst = (rst + 1) % 8
-                        coefs[b][0] |= reader.read_bit() << al
-            elif ah == 0:  # AC first scan
-                ac_tab = htables[(1, tables & 0x0F)]
-                eobrun = 0
+            if ns > 1:  # interleaved scan: must be DC
+                if ss != 0 or se != 0:
+                    raise ValueError(
+                        "interleaved AC scan is illegal in a progressive "
+                        "frame (T.81 G.1.1)"
+                    )
+                preds = [0] * len(sel)
                 rst = 0
-                for b in range(nblocks):
-                    if restart_interval and b and b % restart_interval == 0:
+                for m in range(mcux * mcuy):
+                    if restart_interval and m and m % restart_interval == 0:
                         reader.sync_restart(0xD0 + rst)
                         rst = (rst + 1) % 8
-                        eobrun = 0
-                    if eobrun > 0:
-                        eobrun -= 1
-                        continue
-                    k = ss
-                    while k <= se:
-                        sym = _decode_huffman_symbol(reader, ac_tab)
-                        r, s = sym >> 4, sym & 0x0F
-                        if s == 0:
-                            if r == 15:
-                                k += 16
-                                continue
-                            eobrun = (1 << r) - 1
-                            if r:
-                                eobrun += reader.read_bits(r)
-                            break
-                        k += r
-                        if k > se:
-                            raise ValueError("AC run overflows band")
-                        v = _extend(reader.read_bits(s), s)
-                        coefs[b][k] = v << al
-                        k += 1
-            else:  # AC refinement scan
-                ac_tab = htables[(1, tables & 0x0F)]
-                p1, m1 = 1 << al, -1 << al
-                eobrun = 0
-                rst = 0
-                for b in range(nblocks):
-                    if restart_interval and b and b % restart_interval == 0:
-                        reader.sync_restart(0xD0 + rst)
-                        rst = (rst + 1) % 8
-                        eobrun = 0
-                    blk = coefs[b]
-                    k = ss
-                    if eobrun == 0:
+                        preds = [0] * len(sel)
+                    mx, my = m % mcux, m // mcux
+                    for si, (ci, dtid, _atid) in enumerate(sel):
+                        g = geo[ci]
+                        for v in range(g["v"]):
+                            for hh in range(g["h"]):
+                                blk = coefs[ci][
+                                    (my * g["v"] + v) * g["bwi"]
+                                    + (mx * g["h"] + hh)
+                                ]
+                                if ah == 0:
+                                    dc_tab = htables[(0, dtid)]
+                                    size = _decode_huffman_symbol(
+                                        reader, dc_tab
+                                    )
+                                    diff = (
+                                        _extend(reader.read_bits(size), size)
+                                        if size
+                                        else 0
+                                    )
+                                    preds[si] += diff
+                                    blk[0] = preds[si] << al
+                                else:
+                                    blk[0] |= reader.read_bit() << al
+            else:
+                ci, dtid, atid = sel[0]
+                g = geo[ci]
+                real_idx = [
+                    r * g["bwi"] + cc
+                    for r in range(g["bhr"])
+                    for cc in range(g["bwr"])
+                ]
+                if ss == 0:  # single-component DC scan (real grid)
+                    if se != 0:
+                        raise ValueError("DC progressive scan with Se != 0")
+                    if ah == 0:
+                        dc_tab = htables[(0, dtid)]
+                        pred = 0
+                        rst = 0
+                        for b, idx in enumerate(real_idx):
+                            if (
+                                restart_interval
+                                and b
+                                and b % restart_interval == 0
+                            ):
+                                reader.sync_restart(0xD0 + rst)
+                                rst = (rst + 1) % 8
+                                pred = 0
+                            size = _decode_huffman_symbol(reader, dc_tab)
+                            diff = (
+                                _extend(reader.read_bits(size), size)
+                                if size
+                                else 0
+                            )
+                            pred += diff
+                            coefs[ci][idx][0] = pred << al
+                    else:
+                        rst = 0
+                        for b, idx in enumerate(real_idx):
+                            if (
+                                restart_interval
+                                and b
+                                and b % restart_interval == 0
+                            ):
+                                reader.sync_restart(0xD0 + rst)
+                                rst = (rst + 1) % 8
+                            coefs[ci][idx][0] |= reader.read_bit() << al
+                elif ah == 0:  # AC first scan
+                    ac_tab = htables[(1, atid)]
+                    eobrun = 0
+                    rst = 0
+                    for b, idx in enumerate(real_idx):
+                        if (
+                            restart_interval
+                            and b
+                            and b % restart_interval == 0
+                        ):
+                            reader.sync_restart(0xD0 + rst)
+                            rst = (rst + 1) % 8
+                            eobrun = 0
+                        if eobrun > 0:
+                            eobrun -= 1
+                            continue
+                        blk = coefs[ci][idx]
+                        k = ss
                         while k <= se:
                             sym = _decode_huffman_symbol(reader, ac_tab)
                             r, s = sym >> 4, sym & 0x0F
-                            newval = 0
                             if s == 0:
-                                if r != 15:
-                                    # EOBn: the run INCLUDES this block
-                                    # — the post-loop sweep below still
-                                    # refines its remaining nonzero
-                                    # coefficients, then decrements
-                                    eobrun = 1 << r
-                                    if r:
-                                        eobrun += reader.read_bits(r)
-                                    break
-                                # ZRL: r = 15 skips 15 zero-history
-                                # coefficients (correction bits ride)
-                            else:
-                                if s != 1:
-                                    raise ValueError(
-                                        "refinement symbol with s != 1"
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += reader.read_bits(r)
+                                break
+                            k += r
+                            if k > se:
+                                raise ValueError("AC run overflows band")
+                            v = _extend(reader.read_bits(s), s)
+                            blk[k] = v << al
+                            k += 1
+                else:  # AC refinement scan
+                    ac_tab = htables[(1, atid)]
+                    p1, m1 = 1 << al, -1 << al
+                    eobrun = 0
+                    rst = 0
+                    for b, idx in enumerate(real_idx):
+                        if (
+                            restart_interval
+                            and b
+                            and b % restart_interval == 0
+                        ):
+                            reader.sync_restart(0xD0 + rst)
+                            rst = (rst + 1) % 8
+                            eobrun = 0
+                        blk = coefs[ci][idx]
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                sym = _decode_huffman_symbol(reader, ac_tab)
+                                r, s = sym >> 4, sym & 0x0F
+                                newval = 0
+                                if s == 0:
+                                    if r != 15:
+                                        # EOBn: the run INCLUDES this
+                                        # block — the post-loop sweep
+                                        # still refines it
+                                        eobrun = 1 << r
+                                        if r:
+                                            eobrun += reader.read_bits(r)
+                                        break
+                                else:
+                                    if s != 1:
+                                        raise ValueError(
+                                            "refinement symbol with s != 1"
+                                        )
+                                    newval = (
+                                        p1 if reader.read_bit() else m1
                                     )
-                                newval = p1 if reader.read_bit() else m1
+                                while k <= se:
+                                    if blk[k] != 0:
+                                        if reader.read_bit():
+                                            if (abs(blk[k]) & p1) == 0:
+                                                blk[k] += (
+                                                    p1 if blk[k] > 0 else m1
+                                                )
+                                    else:
+                                        if r == 0:
+                                            break
+                                        r -= 1
+                                    k += 1
+                                if newval and k <= se:
+                                    blk[k] = newval
+                                k += 1
+                        if eobrun > 0:
                             while k <= se:
                                 if blk[k] != 0:
                                     if reader.read_bit():
@@ -1443,24 +1549,8 @@ def decode_jpeg_progressive(data: bytes, want_pixels: bool = True) -> dict:
                                             blk[k] += (
                                                 p1 if blk[k] > 0 else m1
                                             )
-                                else:
-                                    if r == 0:
-                                        break
-                                    r -= 1
                                 k += 1
-                            if newval and k <= se:
-                                blk[k] = newval
-                            k += 1
-                    if eobrun > 0:
-                        # inside an EOB run: refine this block's
-                        # remaining nonzero coefficients
-                        while k <= se:
-                            if blk[k] != 0:
-                                if reader.read_bit():
-                                    if (abs(blk[k]) & p1) == 0:
-                                        blk[k] += p1 if blk[k] > 0 else m1
-                            k += 1
-                        eobrun -= 1
+                            eobrun -= 1
             # resync: pad bits then the next marker
             pos = reader.pos
             while pos + 1 < len(data) and (
@@ -1473,30 +1563,73 @@ def decode_jpeg_progressive(data: bytes, want_pixels: bool = True) -> dict:
         raise ValueError("JPEG missing SOF2/SOS")
 
     w, h = frame["width"], frame["height"]
-    qt = qtables[frame["tq"]]
-    blocks = []
-    for blk in coefs:
-        nat = [0] * 64
-        for zz, v in enumerate(blk):
-            nat[JPEG_ZIGZAG[zz]] = v * qt[zz]
-        blocks.append(nat)
+    comps = frame["comps"]
+    components = []
+    for ci, comp in enumerate(comps):
+        g = geo[ci]
+        qt = qtables[comp["tq"]]
+        nat_blocks = []
+        for r in range(g["bhr"]):
+            for cc in range(g["bwr"]):
+                blk = coefs[ci][r * g["bwi"] + cc]
+                nat = [0] * 64
+                for zz, v in enumerate(blk):
+                    nat[JPEG_ZIGZAG[zz]] = v * qt[zz]
+                nat_blocks.append(nat)
+        components.append(
+            {
+                "cid": comp["cid"],
+                "h": comp["h"],
+                "v": comp["v"],
+                "blocks": nat_blocks,
+            }
+        )
+
     pixels = None
     if want_pixels:
-        bx, by = (w + 7) // 8, (h + 7) // 8
+        if len(comps) not in (1, 3):
+            raise NotImplementedError(
+                f"pixel output for {len(comps)}-component JPEG: no defined "
+                "color transform (coefficients decoded fine — use "
+                "want_pixels=False)"
+            )
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
         m = _idct_matrix()
-        arr = np.array(blocks, dtype=np.float64).reshape(-1, 8, 8)
-        out = np.einsum("ux,buv,vy->bxy", m, arr, m)
-        out = np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)
-        full = np.zeros((by * 8, bx * 8), dtype=np.uint8)
-        for i in range(by):
-            for j in range(bx):
-                full[i * 8 : i * 8 + 8, j * 8 : j * 8 + 8] = out[i * bx + j]
-        pixels = full[:h, :w]
+        planes = []
+        for ci, comp in enumerate(comps):
+            g = geo[ci]
+            arr = np.array(components[ci]["blocks"], dtype=np.float64)
+            arr = arr.reshape(-1, 8, 8)
+            out = np.einsum("ux,buv,vy->bxy", m, arr, m) + 128.0
+            out = np.clip(np.round(out), 0, 255)
+            plane = np.zeros((g["bhr"] * 8, g["bwr"] * 8), dtype=np.float64)
+            bi = 0
+            for r in range(g["bhr"]):
+                for cc in range(g["bwr"]):
+                    plane[
+                        r * 8 : r * 8 + 8, cc * 8 : cc * 8 + 8
+                    ] = out[bi]
+                    bi += 1
+            ry, rx = vmax // comp["v"], hmax // comp["h"]
+            if ry > 1 or rx > 1:
+                plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+            planes.append(plane[:h, :w])
+        if len(planes) == 1:
+            pixels = planes[0].astype(np.uint8)
+        else:
+            y, cb, cr = planes
+            r = y + 1.402 * (cr - 128.0)
+            gg = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            b = y + 1.772 * (cb - 128.0)
+            rgb = np.stack([r, gg, b], axis=-1)
+            pixels = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     return {
         "width": w,
         "height": h,
-        "ncomp": 1,
-        "blocks": blocks,
+        "ncomp": len(comps),
+        "components": components,
+        "blocks": components[0]["blocks"],
         "pixels": pixels,
     }
 
@@ -1519,3 +1652,195 @@ def decode_jpeg(data: bytes, want_pixels: bool = True) -> dict:
         (seglen,) = struct.unpack_from(">H", data, pos + 2)
         pos += 2 + seglen
     raise ValueError(f"no SOF marker found (header said {hdr})")
+
+
+# --------------------------------------------------------------------------
+# Progressive JPEG, multi-component (color): interleaved DC scans +
+# per-component non-interleaved AC scans (T.81 Annex G scan rules)
+# --------------------------------------------------------------------------
+
+
+def _prog_color_geometry(samplings, width, height):
+    """Per-component grids: the INTERLEAVED grid (MCU-padded, what DC
+    scans walk) vs the REAL grid (ceil(comp_dims/8), what
+    non-interleaved AC scans walk — T.81 A.2.2: edge MCUs' dummy
+    blocks exist only in interleaved scans)."""
+    hmax = max(s[0] for s in samplings)
+    vmax = max(s[1] for s in samplings)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    geo = []
+    for hi, vi in samplings:
+        cw = (width * hi + hmax - 1) // hmax
+        ch = (height * vi + vmax - 1) // vmax
+        geo.append(
+            {
+                "h": hi,
+                "v": vi,
+                "bwi": mcux * hi,
+                "bhi": mcuy * vi,
+                "bwr": (cw + 7) // 8,
+                "bhr": (ch + 7) // 8,
+            }
+        )
+    return hmax, vmax, mcux, mcuy, geo
+
+
+_DEFAULT_PROGRESSIVE_COLOR_SCRIPT = (
+    # (kind, comp, Ss, Se, Ah, Al): DC scans are interleaved (comp is
+    # None); AC scans are per-component (T.81 forbids interleaved AC
+    # in progressive frames)
+    ("dc", None, 0, 0, 0, 1),
+    ("dc", None, 0, 0, 1, 0),
+    ("ac", 0, 1, 5, 0, 1),
+    ("ac", 0, 6, 63, 0, 1),
+    ("ac", 1, 1, 63, 0, 1),
+    ("ac", 2, 1, 63, 0, 1),
+    ("ac", 0, 1, 5, 1, 0),
+    ("ac", 0, 6, 63, 1, 0),
+    ("ac", 1, 1, 63, 1, 0),
+    ("ac", 2, 1, 63, 1, 0),
+)
+
+
+def encode_jpeg_progressive_color(
+    comp_blocks,
+    samplings,
+    width: int,
+    height: int,
+    qtables,
+    script=_DEFAULT_PROGRESSIVE_COLOR_SCRIPT,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode a real multi-component PROGRESSIVE (SOF2) JPEG (e.g.
+    4:2:0 YCbCr) from QUANTIZED zigzag coefficients.
+
+    ``comp_blocks[c]``: that component's REAL-grid blocks in raster
+    order (ceil(comp_dims/8) grid). Interleaved DC scans pad edge
+    MCUs with all-zero dummy blocks (present on the wire, absent from
+    the AC scans and from the decode output — the T.81 geometry that
+    real-world edge-size color JPEGs exercise). DC uses the standard
+    luminance/chrominance tables; AC scans share the progressive
+    symbol table (id 0). ``restart_interval`` counts MCUs in
+    interleaved scans and blocks in AC scans, marker cycle per scan,
+    DC-prediction + EOB-run reset at every marker."""
+    ncomp = len(comp_blocks)
+    if ncomp != len(samplings) or ncomp != len(qtables) or ncomp > 4:
+        raise ValueError("need parallel comp_blocks/samplings/qtables, <= 4")
+    hmax, vmax, mcux, mcuy, geo = _prog_color_geometry(
+        samplings, width, height
+    )
+    grids = []
+    for c, g in enumerate(geo):
+        need = g["bwr"] * g["bhr"]
+        if len(comp_blocks[c]) != need:
+            raise ValueError(
+                f"component {c}: need {need} real-grid blocks, got "
+                f"{len(comp_blocks[c])}"
+            )
+        grid = []
+        for r in range(g["bhi"]):
+            for cc in range(g["bwi"]):
+                if r < g["bhr"] and cc < g["bwr"]:
+                    grid.append(list(comp_blocks[c][r * g["bwr"] + cc]))
+                else:
+                    grid.append([0] * 64)  # dummy edge block
+        grids.append(grid)
+
+    dc_lum = _huffman_encode_table(_DC_LUM_BITS, _DC_LUM_VALS)
+    dc_chr = _huffman_encode_table(_DC_CHR_BITS, _DC_CHR_VALS)
+    ac_codes = _huffman_encode_table(_AC_PROG_BITS, _AC_PROG_VALS)
+
+    out = bytearray(_JPEG_MAGIC)
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+    for c, qt in enumerate(qtables):
+        qt = list(qt)
+        if len(qt) != 64 or not all(1 <= q <= 255 for q in qt):
+            raise ValueError("qtable must be 64 entries in 1..255")
+        body = bytes([c]) + bytes(qt)
+        out += b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for c, (hi, vi) in enumerate(samplings):
+        sof += struct.pack(">BBB", c + 1, (hi << 4) | vi, c)
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof  # SOF2
+    for cls, bits, vals in (
+        (0x00, _DC_LUM_BITS, _DC_LUM_VALS),
+        (0x01, _DC_CHR_BITS, _DC_CHR_VALS),
+        (0x10, _AC_PROG_BITS, _AC_PROG_VALS),
+    ):
+        body = bytes([cls]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    for kind, comp, ss, se, ah, al in script:
+        if kind == "dc":
+            sos = bytes([ncomp])
+            for c in range(ncomp):
+                sos += bytes((c + 1, ((0 if c == 0 else 1) << 4) | 0))
+            sos += bytes((0, 0, (ah << 4) | al))
+            out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+            w = _JpegBitWriter()
+            preds = [0] * ncomp
+            rst = 0
+            for m in range(mcux * mcuy):
+                if restart_interval and m and m % restart_interval == 0:
+                    w.emit_marker(0xD0 + rst)
+                    rst = (rst + 1) % 8
+                    preds = [0] * ncomp
+                mx, my = m % mcux, m // mcux
+                for c, g in enumerate(geo):
+                    dc_codes = dc_lum if c == 0 else dc_chr
+                    for v in range(g["v"]):
+                        for hh in range(g["h"]):
+                            blk = grids[c][
+                                (my * g["v"] + v) * g["bwi"]
+                                + (mx * g["h"] + hh)
+                            ]
+                            if ah == 0:
+                                val = blk[0] >> al
+                                diff = val - preds[c]
+                                preds[c] = val
+                                size = _csize(diff)
+                                code, length = dc_codes[size]
+                                w.write(code, length)
+                                if size:
+                                    w.write(
+                                        diff
+                                        if diff >= 0
+                                        else diff + (1 << size) - 1,
+                                        size,
+                                    )
+                            else:
+                                w.write((blk[0] >> al) & 1, 1)
+            out += w.getvalue()
+        else:  # per-component AC scan over the REAL grid
+            g = geo[comp]
+            real = [
+                grids[comp][r * g["bwi"] + cc]
+                for r in range(g["bhr"])
+                for cc in range(g["bwr"])
+            ]
+            sos = bytes((1, comp + 1, 0x00))
+            sos += bytes((ss, se, (ah << 4) | al))
+            out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+            w = _JpegBitWriter()
+            r_iv = restart_interval or len(real) or 1
+            segs = [real[i : i + r_iv] for i in range(0, len(real), r_iv)]
+            rst = 0
+            for gi, seg in enumerate(segs):
+                if gi:
+                    w.emit_marker(0xD0 + rst)
+                    rst = (rst + 1) % 8
+                if ah == 0:
+                    _encode_ac_first_scan(w, seg, ss, se, al, ac_codes)
+                else:
+                    if ah != al + 1:
+                        raise ValueError(
+                            "successive approximation must step by 1"
+                        )
+                    _encode_ac_refine_scan(w, seg, ss, se, al, ac_codes)
+            out += w.getvalue()
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -2055,3 +2055,106 @@ def jpeg_progressive_coef_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         stats, schema=JPEG_COEF_SCHEMA
     )
+
+
+def _jpeg_color_prog_fixture(d: int):
+    """Closed-form COLOR PROGRESSIVE plant for doc ``d``: per
+    component, REAL-grid raster blocks (ceil(comp_dims/8) — the grid
+    AC scans walk; interleaved DC scans pad edge MCUs with dummy
+    blocks on the wire). Crops up to 11/9 make ~1/4 of docs carry
+    dummy luma rows/columns, so the skip geometry is exercised across
+    the corpus. Block counts are pure ceil-division functions of
+    (w, h), so the SQL oracle re-derives them."""
+    mx, my = d % 2 + 1, (d // 2) % 2 + 1
+    w, h = 16 * mx - d % 12, 16 * my - d % 10
+    qy = [(d * 7 + j) % 31 + 1 for j in range(64)]
+    qc = [(d * 5 + j) % 29 + 1 for j in range(64)]
+    nb_y = ((w + 7) // 8) * ((h + 7) // 8)
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    nb_c = ((cw + 7) // 8) * ((ch + 7) // 8)
+    comp_blocks = []
+    for ci, nb in ((0, nb_y), (1, nb_c), (2, nb_c)):
+        blocks = []
+        for b in range(nb):
+            blk = [0] * 64
+            blk[0] = (d + 11 * b + 7 * ci) % 61 - 30
+            nac = (d + b + ci) % 6 + 2
+            for i in range(1, nac + 1):
+                p = (5 * i + 3 * b + 2 * ci) % 63 + 1
+                raw = (d + 13 * b + 29 * i + 5 * ci) % 20 - 10
+                blk[p] = raw + 1 if raw >= 0 else raw
+            blocks.append(blk)
+        comp_blocks.append(blocks)
+    return comp_blocks, [(2, 2), (1, 1), (1, 1)], w, h, [qy, qc, qc], d % 3
+
+
+def synthesize_jpeg_color_progressive_media(documents: DataFrame) -> DataFrame:
+    """COLOR PROGRESSIVE (SOF2 4:2:0) JPEG fixture: interleaved DC
+    first/refinement scans + per-component spectral-band AC scans
+    with successive approximation, EOBRUN and restart markers; edge
+    crops plant dummy-block geometries."""
+    from .imagecodec import encode_jpeg_progressive_color
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                cb, samp, w, h, qts, ri = _jpeg_color_prog_fixture(d)
+                rows.append(
+                    {
+                        "media_id": d,
+                        "codec": "jpeg",
+                        "payload": encode_jpeg_progressive_color(
+                            cb, samp, w, h, qts, restart_interval=ri
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "codec", "payload"])
+
+    return documents.select("doc_id").mapInPandas(
+        render, schema=IMAGE_MEDIA_SCHEMA
+    )
+
+
+def jpeg_color_progressive_coef_stats(media: DataFrame) -> DataFrame:
+    """REAL color-progressive decode (via the SOF dispatcher): the
+    interleaved-DC / per-component-AC scan accumulation with dummy
+    blocks stripped; same per-(media, component) exact stats row as
+    the baseline color path."""
+    from .imagecodec import decode_jpeg
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                out = decode_jpeg(bytes(payload), want_pixels=False)
+                for ci, comp in enumerate(out["components"]):
+                    nz = [
+                        (idx, v)
+                        for blk in comp["blocks"]
+                        for idx, v in enumerate(blk)
+                        if v != 0
+                    ]
+                    rows.append(
+                        {
+                            "media_id": int(media_id),
+                            "width": out["width"],
+                            "height": out["height"],
+                            "component": ci,
+                            "n_blocks": len(comp["blocks"]),
+                            "n_nonzero": len(nz),
+                            "coef_sum": sum(v for _, v in nz),
+                            "coef_min": min(v for _, v in nz),
+                            "coef_max": max(v for _, v in nz),
+                            "dc_sum": sum(b[0] for b in comp["blocks"]),
+                            "posw_sum": sum(i * v for i, v in nz),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in JPEG_COLOR_COEF_SCHEMA]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        stats, schema=JPEG_COLOR_COEF_SCHEMA
+    )

@@ -1325,3 +1325,93 @@ def multimodal_jpeg_progressive_decode(
         load_table(spark, sf_dir, "documents")
     )
     return jpeg_progressive_coef_stats(media)
+
+
+# Color progressive: REAL-grid block counts are ceil-division
+# functions of the cropped dims (the interleaved DC scans' dummy
+# blocks never reach the output), so the oracle re-derives the whole
+# per-component multiset exactly — a decoder that misplaces dummy
+# blocks, mixes component predictions across the interleaved walk, or
+# mis-slots an AC band cannot hash-match.
+_JPEG_COLOR_PROG_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id,
+           16 * (doc_id % 2 + 1) - doc_id % 12 AS w,
+           16 * ((doc_id // 2) % 2 + 1) - doc_id % 10 AS h
+    FROM documents
+),
+c AS (
+    SELECT doc_id, w, h, unnest([0, 1, 2]) AS ci FROM d
+),
+cb AS (
+    SELECT doc_id, w, h, ci,
+           CASE WHEN ci = 0
+                THEN ((w + 7) // 8) * ((h + 7) // 8)
+                ELSE (((w + 1) // 2 + 7) // 8) * (((h + 1) // 2 + 7) // 8)
+           END AS nb
+    FROM c
+),
+blk AS (
+    SELECT doc_id, w, h, ci, nb, unnest(range(0, nb)) AS b FROM cb
+),
+dc AS (
+    SELECT doc_id, w, h, ci, nb, b, 0 AS p,
+           (doc_id + 11 * b + 7 * ci) % 61 - 30 AS v
+    FROM blk
+),
+ac AS (
+    SELECT doc_id, w, h, ci, nb, b,
+           (5 * i.i + 3 * b + 2 * ci) % 63 + 1 AS p,
+           CASE WHEN (doc_id + 13 * b + 29 * i.i + 5 * ci) % 20 - 10 >= 0
+                THEN (doc_id + 13 * b + 29 * i.i + 5 * ci) % 20 - 9
+                ELSE (doc_id + 13 * b + 29 * i.i + 5 * ci) % 20 - 10
+           END AS v
+    FROM blk,
+         LATERAL (
+             SELECT unnest(range(1, (doc_id + b + ci) % 6 + 3)) AS i
+         ) i
+),
+dq AS (
+    SELECT doc_id, w, h, ci, nb, p,
+           v * (CASE WHEN ci = 0 THEN (doc_id * 7 + p) % 31 + 1
+                     ELSE (doc_id * 5 + p) % 29 + 1 END) AS dv
+    FROM (SELECT * FROM dc UNION ALL SELECT * FROM ac)
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(ci AS INTEGER) AS component,
+       CAST(nb AS BIGINT) AS n_blocks,
+       CAST(count(*) FILTER (dv != 0) AS BIGINT) AS n_nonzero,
+       CAST(sum(dv) AS BIGINT) AS coef_sum,
+       CAST(min(dv) FILTER (dv != 0) AS INTEGER) AS coef_min,
+       CAST(max(dv) FILTER (dv != 0) AS INTEGER) AS coef_max,
+       CAST(sum(CASE WHEN p = 0 THEN dv ELSE 0 END) AS BIGINT) AS dc_sum,
+       CAST(sum(dv * list_extract({_NAT_LIST}, CAST(p AS INTEGER) + 1))
+            AS BIGINT) AS posw_sum
+FROM dq
+GROUP BY doc_id, w, h, ci, nb
+"""
+
+
+@query("multimodal_jpeg_color_progressive", _JPEG_COLOR_PROG_ORACLE)
+def multimodal_jpeg_color_progressive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL COLOR PROGRESSIVE (SOF2 4:2:0 YCbCr) JPEG decode:
+    interleaved DC first/refinement scans over the MCU-padded grids
+    (dummy edge blocks on the wire, stripped from the output) +
+    per-component spectral-band AC scans with successive
+    approximation, EOBRUN and restart markers — decoded through the
+    SOF-dispatching decoder in an Arrow-batched mapInPandas stage;
+    per-(media, component) exact coefficient stats hash-checked
+    against the closed-form plant."""
+    from ..operators.multimodal import (
+        jpeg_color_progressive_coef_stats,
+        synthesize_jpeg_color_progressive_media,
+    )
+
+    media = synthesize_jpeg_color_progressive_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return jpeg_color_progressive_coef_stats(media)

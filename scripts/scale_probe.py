@@ -205,6 +205,7 @@ PROBES = (
     "table_integrity_digest",
     "hll_datasketches_rollup",
     "phonetic_blocking_soundex",
+    "multimodal_jpeg_color_progressive",
 )
 
 

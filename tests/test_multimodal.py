@@ -1328,3 +1328,85 @@ def test_jpeg_progressive_restart_markers_differential():
             want_pixels=False,
         )
         assert d_p["blocks"] == d_b["blocks"], f"trial {t} ri={ri}"
+
+
+def test_jpeg_color_progressive_roundtrip_with_dummy_blocks():
+    """Color progressive: interleaved DC scans pad edge MCUs with
+    dummy blocks that per-component AC scans must skip; the decode
+    output strips them. Round-trip across dummy-producing crops and
+    restart intervals must recover every planted coefficient."""
+    import random
+
+    from kafka_spark_streaming_app_spark.operators import imagecodec as ic
+
+    rng = random.Random(77)
+
+    def plant(nblocks):
+        out = []
+        for _ in range(nblocks):
+            bb = [0] * 64
+            bb[0] = rng.randint(-500, 500)
+            for _ in range(rng.randint(0, 8)):
+                bb[rng.randint(1, 63)] = rng.choice(
+                    [v for v in range(-200, 201) if v]
+                )
+            out.append(bb)
+        return out
+
+    samp = [(2, 2), (1, 1), (1, 1)]
+    for t in range(30):
+        mx, my = rng.randint(1, 3), rng.randint(1, 2)
+        w = 16 * mx - rng.choice([0, 3, 9, 11])
+        h = 16 * my - rng.choice([0, 2, 9])
+        ri = rng.choice([0, 1, 2, 5])
+        geo = ic._prog_color_geometry(samp, w, h)[4]
+        comp_blocks = [plant(g["bwr"] * g["bhr"]) for g in geo]
+        qts = [[rng.randint(1, 255) for _ in range(64)] for _ in range(3)]
+        data = ic.encode_jpeg_progressive_color(
+            comp_blocks, samp, w, h, qts, restart_interval=ri
+        )
+        out = ic.decode_jpeg_progressive(data)
+        for ci, (blocks, qt) in enumerate(zip(comp_blocks, qts)):
+            for bp, nat in zip(blocks, out["components"][ci]["blocks"]):
+                exp = [0] * 64
+                for zz, v in enumerate(bp):
+                    exp[ic.JPEG_ZIGZAG[zz]] = v * qt[zz]
+                assert nat == exp, (t, ci)
+        assert out["pixels"].shape == (h, w, 3)
+
+
+def test_jpeg_color_progressive_matches_baseline_single_mcu():
+    """On a single-MCU image the interleaved scan order equals the
+    raster order, so baseline-color and progressive-color encodings
+    of the same plants must decode to identical coefficients AND
+    identical RGB pixels."""
+    from kafka_spark_streaming_app_spark.operators import imagecodec as ic
+
+    qy = [(7 * j) % 31 + 1 for j in range(64)]
+    qc = [(5 * j) % 29 + 1 for j in range(64)]
+
+    def mk(dc, ps):
+        blk = [0] * 64
+        blk[0] = dc
+        for p, v in ps:
+            blk[p] = v
+        return blk
+
+    y = [mk(10 + i, [(3, i - 2), (40, 5)]) for i in range(4)]
+    cb = [mk(-5, [(7, 4)])]
+    cr = [mk(6, [(2, -3)])]
+    samp = [(2, 2), (1, 1), (1, 1)]
+    base = ic.decode_jpeg_baseline(
+        ic.encode_jpeg_baseline_color([y, cb, cr], samp, 16, 16, [qy, qc, qc])
+    )
+    prog = ic.decode_jpeg_progressive(
+        ic.encode_jpeg_progressive_color(
+            [y, cb, cr], samp, 16, 16, [qy, qc, qc]
+        )
+    )
+    for ci in range(3):
+        assert (
+            prog["components"][ci]["blocks"]
+            == base["components"][ci]["blocks"]
+        )
+    assert (prog["pixels"] == base["pixels"]).all()
