@@ -298,6 +298,7 @@ HEADLINE = [
     "hll_datasketches_rollup",
     "phonetic_blocking_soundex",
     "multimodal_jpeg_color_progressive",
+    "streaming_bitmap_rollup",
 ]
 
 

@@ -1921,3 +1921,108 @@ def streaming_funnel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_full_funnel"),
     )
+
+
+# --- streaming EXACT distinct via mergeable bitmap state ---------------------
+#
+# The twelfth persistent state shape, and the only sketch-state whose
+# oracle is EXACT: per-(event_type, bucket) roaring-style bitmaps
+# (bitmap_construct_agg over bitmap_bit_position) maintained through
+# foreachBatch with bitmap_or_agg as the merge. OR is associative,
+# commutative AND idempotent, so the state is batch-boundary-proof
+# and even the marker-vs-commit crash window cannot corrupt it (a
+# replayed batch ORs in bits that are already set). Serving answers
+# exact distinct users per type — and the cross-type total by
+# OR-merging the SAME state rows — without ever storing user-level
+# rows: state is O(types x buckets) bitmaps, never O(users).
+
+_STREAM_BITMAP_ORACLE = """
+SELECT event_type AS segment,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'ALL' AS segment,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+FROM events
+"""
+
+
+@query("streaming_bitmap_rollup", _STREAM_BITMAP_ORACLE)
+def streaming_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per event type maintained THROUGH the
+    streaming engine: each micro-batch builds per-(type, bucket)
+    bitmaps from its own rows and OR-merges them into the persistent
+    bitmap table via ``merge_into_compact_state``. Unlike the HLL
+    twin this state serves exact answers (hash-checked, no tolerance
+    contract), and the idempotent OR makes replay safety an algebraic
+    property rather than a marker discipline. The ALL row OR-merges
+    the same state rows across types at read time — the
+    materialized-bitmap rollup pattern, kept continuously current."""
+    import atexit
+    import shutil
+
+    from ..streaming.state import merge_into_compact_state, read_state
+
+    stream = _events_as_wire_stream(spark, sf_dir, max_files_per_trigger=8)
+    keyed = stream.filter(F.col("user_id").isNotNull()).selectExpr(
+        "event_type",
+        "bitmap_bucket_number(user_id) AS bkt",
+        "bitmap_bit_position(user_id) AS pos",
+    )
+    state_root = tempfile.mkdtemp(prefix="bmroll_state_")
+    ckpt = tempfile.mkdtemp(prefix="bmroll_ckpt_")
+    for d in (state_root, ckpt):
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    state_dir = os.path.join(state_root, "bitmaps")
+
+    def _merge_bm(existing, part):
+        if existing is None:
+            return part
+        return (
+            existing.unionByName(part)
+            .groupBy("event_type", "bkt")
+            .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        )
+
+    def merge_state(batch_df, batch_id: int) -> None:
+        part = batch_df.groupBy("event_type", "bkt").agg(
+            F.expr("bitmap_construct_agg(pos)").alias("bm")
+        )
+        merge_into_compact_state(
+            state_dir, batch_id, part, _merge_bm, shuffle_partitions=4
+        )
+
+    q = (
+        keyed.writeStream.foreachBatch(merge_state)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(300)
+        if not finished:
+            raise RuntimeError(
+                "streaming_bitmap_rollup: availableNow run did not finish "
+                "within 300s; refusing to read partial bitmap state"
+            )
+    finally:
+        if q.isActive:
+            q.stop()
+
+    bitmaps = read_state(spark, state_dir)
+    per_type = bitmaps.groupBy(F.col("event_type").alias("segment")).agg(
+        F.expr("sum(bitmap_count(bm))").cast("bigint").alias(
+            "n_distinct_users"
+        )
+    )
+    merged = (
+        bitmaps.groupBy("bkt")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .agg(
+            F.expr("sum(bitmap_count(bm))")
+            .cast("bigint")
+            .alias("n_distinct_users")
+        )
+        .select(F.lit("ALL").alias("segment"), "n_distinct_users")
+    )
+    return per_type.unionByName(merged)

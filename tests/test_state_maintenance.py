@@ -782,3 +782,76 @@ def test_scd2_version_state_batch_order_independent(spark, tmp_path):
     assert a == b == c
     assert (1, 20, 29, False, 2) in a  # re-slotted middle version
     assert (1, 30, None, True, 3) in a
+
+
+def test_bitmap_state_merge_is_order_independent_and_idempotent(
+    spark, tmp_path
+):
+    """The bitmap rollup's OR-merge must give identical state under
+    any batch split AND under re-application of a batch's own
+    contribution (idempotence is what makes the crash window
+    algebraically safe, not just marker-guarded)."""
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_app_spark.streaming.state import (
+        merge_into_compact_state,
+        read_state,
+    )
+
+    def _merge(existing, part):
+        if existing is None:
+            return part
+        return (
+            existing.unionByName(part)
+            .groupBy("g", "bkt")
+            .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        )
+
+    rows = [(i % 3, i * 37 % 211) for i in range(300)]
+
+    def contribution(subset):
+        return (
+            spark.createDataFrame(subset, "g long, u long")
+            .selectExpr(
+                "g",
+                "bitmap_bucket_number(u) AS bkt",
+                "bitmap_bit_position(u) AS pos",
+            )
+            .groupBy("g", "bkt")
+            .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+        )
+
+    def run(splits, name):
+        # own parent dir per run: the applied-batch marker dir lives
+        # NEXT TO the state dir, and sharing it across runs would
+        # skip later runs' batch ids as replays
+        state = str(tmp_path / name / "state")
+        for bid, subset in enumerate(splits):
+            merge_into_compact_state(
+                state, bid, contribution(subset), _merge,
+                shuffle_partitions=2,
+            )
+        return {
+            (r["g"], r["bkt"]): bytes(r["bm"])
+            for r in read_state(spark, state).collect()
+        }
+
+    one = run([rows], "one")
+    three = run([rows[:100], rows[100:150], rows[150:]], "three")
+    # idempotence: re-apply the middle slice's contribution on top
+    dup = run(
+        [rows[:100], rows[100:150], rows[100:150], rows[150:]], "dup"
+    )
+    assert one == three == dup
+    # exact distinct per group from the state
+    got = (
+        spark.createDataFrame(
+            [(g, b, bm) for (g, b), bm in one.items()],
+            "g long, bkt long, bm binary",
+        )
+        .groupBy("g")
+        .agg(F.expr("sum(bitmap_count(bm))").alias("n"))
+        .collect()
+    )
+    exact = {g: len({u for gg, u in rows if gg == g}) for g in (0, 1, 2)}
+    assert {r["g"]: r["n"] for r in got} == exact
