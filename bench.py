@@ -299,6 +299,7 @@ HEADLINE = [
     "phonetic_blocking_soundex",
     "multimodal_jpeg_color_progressive",
     "streaming_bitmap_rollup",
+    "compaction_roundtrip_digest",
 ]
 
 

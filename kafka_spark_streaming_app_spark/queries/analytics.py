@@ -3735,3 +3735,95 @@ def hll_datasketches_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per.unionByName(merged)
+
+
+# --- small-file compaction with content-digest verification -------------------
+#
+# The table-maintenance job every streaming ingest needs: micro-batch
+# writers leave thousands of small files; compaction rewrites them
+# into target-sized files WITHOUT changing content. This query runs
+# the whole lifecycle — fragment orders into 64 small files, compact
+# to 4 (repartition write, the size-targeted rewrite), read the
+# compacted copy back — and serves the compacted copy's per-year
+# integrity digests. The oracle computes the SAME digests from the
+# ORIGINAL table: hash-match proves the rewrite preserved every row
+# bit-exactly, which is the invariant a production compactor must
+# certify before swapping files in.
+
+_COMPACTION_ORACLE = (
+    _digest_sql(
+        "orders",
+        "concat('orders:', CAST(year(o_orderdate) AS VARCHAR))",
+        _ORDERS_CONCAT,
+        " GROUP BY year(o_orderdate)",
+    )
+    + "\nUNION ALL\nSELECT 'files' AS scope, CAST(4 AS BIGINT) AS n_rows,"
+    + " CAST(0 AS BIGINT) AS digest_sum, CAST(0 AS BIGINT) AS digest_xor"
+)
+
+
+@query("compaction_roundtrip_digest", _COMPACTION_ORACLE)
+def compaction_roundtrip_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fragment -> compact -> verify: orders written as 64 small
+    parquet files, compacted to 4 (repartition rewrite), read back;
+    the served per-year digests come from the COMPACTED copy while
+    the oracle digests the original — equality certifies the rewrite
+    changed layout, not content. A 'files' row pins the compacted
+    file count (the thing compaction is FOR)."""
+    import atexit
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..functions.hashing import h60
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+    frag = tempfile.mkdtemp(prefix="compact_frag_")
+    compacted = tempfile.mkdtemp(prefix="compact_out_")
+    for d in (frag, compacted):
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    # the small-file problem, manufactured
+    orders.repartition(64).write.mode("overwrite").parquet(frag)
+    # the compaction rewrite (size-targeted: 4 writer tasks)
+    spark.read.parquet(frag).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(compacted)
+
+    n_files = len(glob.glob(os.path.join(compacted, "part-*")))
+    back = spark.read.parquet(compacted)
+    concat = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"),
+        F.col("o_orderdate").cast("date").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    h = h60(concat)
+    digests = (
+        back.select(
+            F.concat(
+                F.lit("orders:"), F.year("o_orderdate").cast("string")
+            ).alias("scope"),
+            (h % _DIGEST_MOD).alias("hm"),
+            h.alias("h"),
+        )
+        .groupBy("scope")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("hm").cast("bigint").alias("digest_sum"),
+            F.expr("bit_xor(h)").cast("bigint").alias("digest_xor"),
+        )
+    )
+    files_row = spark.range(1).select(
+        F.lit("files").alias("scope"),
+        F.lit(n_files).cast("bigint").alias("n_rows"),
+        F.lit(0).cast("bigint").alias("digest_sum"),
+        F.lit(0).cast("bigint").alias("digest_xor"),
+    )
+    return digests.unionByName(files_row)

@@ -206,6 +206,12 @@ PROBES = (
     "hll_datasketches_rollup",
     "phonetic_blocking_soundex",
     "multimodal_jpeg_color_progressive",
+    # streaming bitmap rollup: Nx rows replay through the fixed
+    # trigger count into types x buckets state (distinct counts are
+    # duplication-invariant; the probe measures the scan);
+    # compaction: Nx rows fragment + rewrite + digest, all row-linear
+    "streaming_bitmap_rollup",
+    "compaction_roundtrip_digest",
 )
 
 
