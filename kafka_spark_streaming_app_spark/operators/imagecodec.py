@@ -638,6 +638,54 @@ def _idct_matrix():
     return m  # M[u, x]; pixels = M.T @ F @ M
 
 
+def _parse_app14_transform(body: bytes) -> int | None:
+    """APP14 'Adobe' segment (Adobe TN #5116): 5-byte tag, 2-byte
+    version, 2x2-byte flags, then the 1-byte color-transform code
+    (0 = none, 1 = YCbCr, 2 = YCCK). Returns None for non-Adobe
+    APP14 payloads."""
+    if len(body) >= 12 and body[:5] == b"Adobe":
+        return body[11]
+    return None
+
+
+def _combine_planes(planes, adobe_transform=None):
+    """Combine full-resolution per-component planes (already
+    IDCT'd/rounded/clamped and cropped to the frame dims) into the
+    decoder's pixel array:
+
+    - 1 component -> (H, W) uint8 grayscale;
+    - 3 components -> JFIF YCbCr -> RGB (ITU-R BT.601 inverse, the
+      T.871 default for 3-component frames);
+    - 4 components with Adobe APP14 transform == 2 -> YCCK -> CMYK:
+      invert the YCbCr transform on the first three channels exactly
+      as for RGB, then C/M/Y = 255 - R/G/B with K passed through
+      (the libjpeg jdcolor.c convention for Adobe YCCK);
+    - any other 2- or 4-component frame: T.81 defines no color
+      transform, so the stored channel planes are stacked raw in
+      component order (last axis = component).
+    """
+    import numpy as np
+
+    if len(planes) == 1:
+        return planes[0].astype(np.uint8)
+    if len(planes) == 3:
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([r, g, b], axis=-1)
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    if len(planes) == 4 and adobe_transform == 2:
+        y, cb, cr, k = planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255)
+        cmyk = np.concatenate([255.0 - rgb, k[..., None]], axis=-1)
+        return cmyk.astype(np.uint8)
+    return np.stack(planes, axis=-1).astype(np.uint8)
+
+
 def decode_jpeg_baseline(data: bytes, want_pixels: bool = True) -> dict:
     """REAL baseline JPEG decode, grayscale OR interleaved color
     (e.g. 4:2:0 YCbCr): full marker walk, canonical-Huffman entropy
@@ -655,13 +703,14 @@ def decode_jpeg_baseline(data: bytes, want_pixels: bool = True) -> dict:
     dequantized coefficient blocks in NATURAL order, SCAN order of
     the interleaved walk; ``blocks`` aliases component 0 (the
     grayscale contract is unchanged); ``pixels`` is (H, W) uint8 for
-    1 component, (H, W, 3) RGB uint8 for 3 (JFIF YCbCr), None if
+    1 component, (H, W, 3) RGB uint8 for 3 (JFIF YCbCr), (H, W, 4)
+    CMYK uint8 for 4-component Adobe YCCK (APP14 transform 2), raw
+    stacked channels for other 2/4-component frames, None if
     ``want_pixels`` is False.
 
-    Progressive scans (SOF2 etc.) raise NotImplementedError —
-    spectral-selection/successive-approximation scan merging is the
-    missing piece; 2- or 4-component pixel output likewise (no
-    defined color transform here) though their coefficients decode."""
+    Progressive scans (SOF2 etc.) raise NotImplementedError here —
+    use ``decode_jpeg_progressive`` (or the ``decode_jpeg``
+    dispatcher) for those."""
     import numpy as np
 
     if not data.startswith(_JPEG_MAGIC):
@@ -671,6 +720,7 @@ def decode_jpeg_baseline(data: bytes, want_pixels: bool = True) -> dict:
     htables: dict[tuple[int, int], dict] = {}
     frame = None
     restart_interval = 0
+    adobe_transform = None
     scan = None
     scan_start = None
     while pos + 4 <= len(data):
@@ -738,6 +788,10 @@ def decode_jpeg_baseline(data: bytes, want_pixels: bool = True) -> dict:
             frame = {"width": wd, "height": h, "comps": comps}
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xEE:
+            t = _parse_app14_transform(body)
+            if t is not None:
+                adobe_transform = t
         elif marker == 0xDA:
             ns = body[0]
             if frame is None:
@@ -818,12 +872,6 @@ def decode_jpeg_baseline(data: bytes, want_pixels: bool = True) -> dict:
 
     pixels = None
     if want_pixels:
-        if len(comps) not in (1, 3):
-            raise NotImplementedError(
-                f"pixel output for {len(comps)}-component JPEG: no defined "
-                "color transform (coefficients decoded fine — use "
-                "want_pixels=False)"
-            )
         m = _idct_matrix()
         planes = []
         for ci, comp in enumerate(comps):
@@ -848,19 +896,12 @@ def decode_jpeg_baseline(data: bytes, want_pixels: bool = True) -> dict:
             if ry > 1 or rx > 1:
                 plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
             planes.append(plane[:h, :w])
-        if len(planes) == 1:
-            pixels = planes[0].astype(np.uint8)
-        else:
-            y, cb, cr = planes
-            r = y + 1.402 * (cr - 128.0)
-            g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-            b = y + 1.772 * (cb - 128.0)
-            rgb = np.stack([r, g, b], axis=-1)
-            pixels = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        pixels = _combine_planes(planes, adobe_transform)
     return {
         "width": w,
         "height": h,
         "ncomp": len(comps),
+        "adobe_transform": adobe_transform,
         "components": components,
         "blocks": components[0]["blocks"],
         "pixels": pixels,
@@ -938,6 +979,7 @@ def encode_jpeg_baseline_color(
     height: int,
     qtables,
     restart_interval: int = 0,
+    adobe_transform: int | None = None,
 ) -> bytes:
     """Encode a real INTERLEAVED multi-component baseline JPEG (e.g.
     4:2:0 YCbCr) from QUANTIZED coefficients.
@@ -966,8 +1008,16 @@ def encode_jpeg_baseline_color(
             )
 
     out = bytearray(_JPEG_MAGIC)
-    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    out += b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+    if ncomp != 4:
+        # JFIF (APP0) defines only 1- and 3-component frames; real
+        # 4-component (CMYK/YCCK) files carry Adobe APP14 instead.
+        app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        out += b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+    if adobe_transform is not None:
+        # Adobe TN #5116 APP14: tag, version 100, flags0/flags1 = 0,
+        # then the color-transform code (0 none, 1 YCbCr, 2 YCCK).
+        app14 = b"Adobe" + struct.pack(">HHHB", 100, 0, 0, adobe_transform)
+        out += b"\xff\xee" + struct.pack(">H", len(app14) + 2) + app14
     for c, qt in enumerate(qtables):
         qt = list(qt)
         if len(qt) != 64 or not all(1 <= q <= 255 for q in qt):
@@ -1273,11 +1323,13 @@ def decode_jpeg_progressive(data: bytes, want_pixels: bool = True) -> dict:
     interleaved wire and are stripped from the output. Restart
     markers reset DC predictions and the pending EOB run. Then
     dequantizes, dezigzags and (optionally) reconstructs pixels:
-    (H, W) uint8 for 1 component, (H, W, 3) JFIF RGB for 3.
+    (H, W) uint8 for 1 component, (H, W, 3) JFIF RGB for 3,
+    (H, W, 4) CMYK for Adobe YCCK (APP14 transform 2), raw stacked
+    channels for other 2/4-component frames.
 
     Huffman/quant tables come from the file's DHT/DQT. Interleaved AC
-    progressive scans (illegal per T.81) and 2/4-component pixel
-    output raise; everything else decodes."""
+    progressive scans (illegal per T.81) raise; everything else
+    decodes."""
     import numpy as np
 
     if not data.startswith(_JPEG_MAGIC):
@@ -1287,6 +1339,7 @@ def decode_jpeg_progressive(data: bytes, want_pixels: bool = True) -> dict:
     htables: dict[tuple[int, int], list] = {}
     frame = None
     restart_interval = 0
+    adobe_transform = None
     geo = None
     coefs = None  # per component: full INTERLEAVED-grid zigzag arrays
     mcux = mcuy = 0
@@ -1358,6 +1411,10 @@ def decode_jpeg_progressive(data: bytes, want_pixels: bool = True) -> dict:
             ]
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xEE:
+            t = _parse_app14_transform(body)
+            if t is not None:
+                adobe_transform = t
         elif marker == 0xDA:
             if frame is None:
                 raise ValueError("SOS before SOF2")
@@ -1587,12 +1644,6 @@ def decode_jpeg_progressive(data: bytes, want_pixels: bool = True) -> dict:
 
     pixels = None
     if want_pixels:
-        if len(comps) not in (1, 3):
-            raise NotImplementedError(
-                f"pixel output for {len(comps)}-component JPEG: no defined "
-                "color transform (coefficients decoded fine — use "
-                "want_pixels=False)"
-            )
         hmax = max(c["h"] for c in comps)
         vmax = max(c["v"] for c in comps)
         m = _idct_matrix()
@@ -1615,19 +1666,12 @@ def decode_jpeg_progressive(data: bytes, want_pixels: bool = True) -> dict:
             if ry > 1 or rx > 1:
                 plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
             planes.append(plane[:h, :w])
-        if len(planes) == 1:
-            pixels = planes[0].astype(np.uint8)
-        else:
-            y, cb, cr = planes
-            r = y + 1.402 * (cr - 128.0)
-            gg = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-            b = y + 1.772 * (cb - 128.0)
-            rgb = np.stack([r, gg, b], axis=-1)
-            pixels = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        pixels = _combine_planes(planes, adobe_transform)
     return {
         "width": w,
         "height": h,
         "ncomp": len(comps),
+        "adobe_transform": adobe_transform,
         "components": components,
         "blocks": components[0]["blocks"],
         "pixels": pixels,

@@ -2158,3 +2158,177 @@ def jpeg_color_progressive_coef_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         stats, schema=JPEG_COLOR_COEF_SCHEMA
     )
+
+
+def _jpeg_cmyk_fixture(d: int):
+    """Closed-form 4-component (Adobe YCCK) baseline plant for doc
+    ``d``: 1x1 sampling on all four components (the common layout for
+    CMYK scans — no subsampling), so every component carries the same
+    wb x hb block grid and the interleaved MCU is 4 blocks. Distinct
+    per-component quant tables and coefficient streams catch any
+    component/table mixup in the 4-way interleaved walk."""
+    wb, hb = d % 3 + 1, d % 2 + 1
+    w, h = wb * 8 - d % 5, hb * 8 - d % 3
+    qts = []
+    for ci in range(4):
+        if ci == 0:
+            qts.append([(d * 7 + j) % 31 + 1 for j in range(64)])
+        else:
+            qts.append([(d * 5 + 7 * ci + j) % 29 + 1 for j in range(64)])
+    comp_blocks = []
+    for ci in range(4):
+        blocks = []
+        for b in range(wb * hb):
+            blk = [0] * 64
+            blk[0] = (d + 11 * b + 7 * ci) % 61 - 30
+            nac = (d + b + ci) % 6 + 2
+            for i in range(1, nac + 1):
+                p = (5 * i + 3 * b + 2 * ci) % 63 + 1
+                raw = (d + 13 * b + 29 * i + 5 * ci) % 20 - 10
+                blk[p] = raw + 1 if raw >= 0 else raw
+            blocks.append(blk)
+        comp_blocks.append(blocks)
+    return comp_blocks, w, h, qts, d % 3
+
+
+def synthesize_jpeg_cmyk_media(documents: DataFrame) -> DataFrame:
+    """REAL 4-component baseline-JPEG fixture: every doc becomes a
+    genuine Adobe-style CMYK/YCCK SOF0 JPEG (APP14 transform 2, no
+    JFIF APP0 — T.871 defines only 1/3-component JFIF frames, so real
+    CMYK files signal through Adobe TN #5116), 4-way interleaved scan
+    with per-component quant tables and DRI/RSTn restarts."""
+    from .imagecodec import encode_jpeg_baseline_color
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                cb, w, h, qts, ri = _jpeg_cmyk_fixture(d)
+                rows.append(
+                    {
+                        "media_id": d,
+                        "codec": "jpeg",
+                        "payload": encode_jpeg_baseline_color(
+                            cb,
+                            [(1, 1)] * 4,
+                            w,
+                            h,
+                            qts,
+                            restart_interval=ri,
+                            adobe_transform=2,
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "codec", "payload"])
+
+    return documents.select("doc_id").mapInPandas(
+        render, schema=IMAGE_MEDIA_SCHEMA
+    )
+
+
+JPEG_CHANNEL_PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channel", T.IntegerType(), True),
+        T.StructField("n_pixels", T.LongType(), True),
+        T.StructField("pixel_sum", T.LongType(), True),
+        T.StructField("pixel_min", T.IntegerType(), True),
+        T.StructField("pixel_max", T.IntegerType(), True),
+    ]
+)
+
+
+def synthesize_jpeg_ycck_flat_media(documents: DataFrame) -> DataFrame:
+    """DC-only 4-component YCCK fixture for PIXEL-exact CMYK decode:
+    Y and K carry DC-only blocks with q0 a multiple of 8 (flat integer
+    planes, no rounding ties), the two chroma components are all-zero
+    (value 128 after level shift), so the YCCK->CMYK inverse is
+    closed-form: R = G = B = Y exactly at zero chroma, hence
+    C = M = Y-channel = 255 - y_val and K passes through. Dims are
+    non-multiples of 8 so the crop stays on the oracle path."""
+    from .imagecodec import encode_jpeg_baseline_color
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                wb, hb = d % 3 + 1, d % 2 + 1
+                w, h = wb * 8 - d % 5, hb * 8 - d % 3
+                qy = [8 * (d % 16 + 1)] + [
+                    (d + j) % 255 + 1 for j in range(1, 64)
+                ]
+                qk = [8 * ((d + 5) % 16 + 1)] + [
+                    (d + 3 * j) % 255 + 1 for j in range(1, 64)
+                ]
+                qc = [16] * 64
+                comp_blocks = []
+                for ci in range(4):
+                    blocks = []
+                    for b in range(wb * hb):
+                        blk = [0] * 64
+                        if ci == 0:
+                            blk[0] = (d + 11 * b) % 61 - 30
+                        elif ci == 3:
+                            blk[0] = (d + 13 * b + 7) % 61 - 30
+                        blocks.append(blk)
+                    comp_blocks.append(blocks)
+                rows.append(
+                    {
+                        "media_id": d,
+                        "codec": "jpeg",
+                        "payload": encode_jpeg_baseline_color(
+                            comp_blocks,
+                            [(1, 1)] * 4,
+                            w,
+                            h,
+                            [qy, qc, qc, qk],
+                            restart_interval=d % 4,
+                            adobe_transform=2,
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "codec", "payload"])
+
+    return documents.select("doc_id").mapInPandas(
+        render, schema=IMAGE_MEDIA_SCHEMA
+    )
+
+
+def jpeg_channel_pixel_stats(media: DataFrame) -> DataFrame:
+    """REAL JPEG decode to CMYK PIXELS: full pipeline (4-way
+    interleaved entropy decode, dequant, IDCT, level shift, clamp,
+    crop, APP14-driven YCCK->CMYK inverse transform); one exact
+    integer stats row per (media, channel)."""
+    from .imagecodec import decode_jpeg_baseline
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                out = decode_jpeg_baseline(bytes(payload), want_pixels=True)
+                img = out["pixels"]
+                for ch in range(img.shape[-1]):
+                    plane = img[..., ch]
+                    rows.append(
+                        {
+                            "media_id": int(media_id),
+                            "width": out["width"],
+                            "height": out["height"],
+                            "channel": ch,
+                            "n_pixels": int(plane.size),
+                            "pixel_sum": int(plane.sum(dtype="int64")),
+                            "pixel_min": int(plane.min()),
+                            "pixel_max": int(plane.max()),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in JPEG_CHANNEL_PIXEL_SCHEMA]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        stats, schema=JPEG_CHANNEL_PIXEL_SCHEMA
+    )

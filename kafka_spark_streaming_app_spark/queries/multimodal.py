@@ -1415,3 +1415,150 @@ def multimodal_jpeg_color_progressive(
         load_table(spark, sf_dir, "documents")
     )
     return jpeg_color_progressive_coef_stats(media)
+
+
+# 4-component (Adobe YCCK/CMYK) baseline: 1x1 sampling on all four
+# components, so nb = wb * hb for every component and the interleaved
+# MCU is 4 blocks wide. Distinct per-component quant tables and
+# coefficient streams make any component/table mixup in the 4-way
+# walk hash-visible.
+_JPEG_CMYK_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, doc_id % 3 + 1 AS wb, doc_id % 2 + 1 AS hb
+    FROM documents
+),
+c AS (
+    SELECT doc_id, wb, hb, unnest([0, 1, 2, 3]) AS ci FROM d
+),
+blk AS (
+    SELECT doc_id, wb, hb, ci, wb * hb AS nb,
+           unnest(range(0, wb * hb)) AS b
+    FROM c
+),
+dc AS (
+    SELECT doc_id, wb, hb, ci, nb, b, 0 AS p,
+           (doc_id + 11 * b + 7 * ci) % 61 - 30 AS v
+    FROM blk
+),
+ac AS (
+    SELECT doc_id, wb, hb, ci, nb, b,
+           (5 * i.i + 3 * b + 2 * ci) % 63 + 1 AS p,
+           CASE WHEN (doc_id + 13 * b + 29 * i.i + 5 * ci) % 20 - 10 >= 0
+                THEN (doc_id + 13 * b + 29 * i.i + 5 * ci) % 20 - 9
+                ELSE (doc_id + 13 * b + 29 * i.i + 5 * ci) % 20 - 10
+           END AS v
+    FROM blk,
+         LATERAL (
+             SELECT unnest(range(1, (doc_id + b + ci) % 6 + 3)) AS i
+         ) i
+),
+dq AS (
+    SELECT doc_id, wb, hb, ci, nb, p,
+           v * (CASE WHEN ci = 0 THEN (doc_id * 7 + p) % 31 + 1
+                     ELSE (doc_id * 5 + 7 * ci + p) % 29 + 1 END) AS dv
+    FROM (SELECT * FROM dc UNION ALL SELECT * FROM ac)
+)
+SELECT doc_id AS media_id,
+       CAST(wb * 8 - doc_id % 5 AS INTEGER) AS width,
+       CAST(hb * 8 - doc_id % 3 AS INTEGER) AS height,
+       CAST(ci AS INTEGER) AS component,
+       CAST(nb AS BIGINT) AS n_blocks,
+       CAST(count(*) FILTER (dv != 0) AS BIGINT) AS n_nonzero,
+       CAST(sum(dv) AS BIGINT) AS coef_sum,
+       CAST(min(dv) FILTER (dv != 0) AS INTEGER) AS coef_min,
+       CAST(max(dv) FILTER (dv != 0) AS INTEGER) AS coef_max,
+       CAST(sum(CASE WHEN p = 0 THEN dv ELSE 0 END) AS BIGINT) AS dc_sum,
+       CAST(sum(dv * list_extract({_NAT_LIST}, CAST(p AS INTEGER) + 1))
+            AS BIGINT) AS posw_sum
+FROM dq
+GROUP BY doc_id, wb, hb, ci, nb
+"""
+
+
+@query("multimodal_jpeg_cmyk_decode", _JPEG_CMYK_ORACLE)
+def multimodal_jpeg_cmyk_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 4-component (Adobe CMYK/YCCK) baseline-JPEG entropy
+    decode: genuine APP14-signaled SOF0 files with a 4-way
+    interleaved scan, per-component quant tables and DC prediction
+    chains, DRI/RSTn restarts resetting all four predictions —
+    decoded in an Arrow-batched mapInPandas stage; per-(media,
+    component) exact integer coefficient stats are hash-checked
+    against the closed-form plant. Closes the last JPEG frame-layout
+    gap: 1-, 3- and 4-component frames all decode to completion."""
+    from ..operators.multimodal import (
+        jpeg_color_coef_stats,
+        synthesize_jpeg_cmyk_media,
+    )
+
+    media = synthesize_jpeg_cmyk_media(load_table(spark, sf_dir, "documents"))
+    return jpeg_color_coef_stats(media)
+
+
+# Pixel-exact YCCK->CMYK: DC-only Y/K planes (q0 multiples of 8 keep
+# the flat values integral) and all-zero chroma make the Adobe
+# inverse transform closed-form — at zero chroma R = G = B = Y
+# exactly, so C = M = Y-channel = 255 - y_val and K passes through.
+_JPEG_YCCK_PIXEL_ORACLE = """
+WITH d AS (
+    SELECT doc_id, doc_id % 3 + 1 AS wb, doc_id % 2 + 1 AS hb,
+           doc_id % 16 + 1 AS sy, (doc_id + 5) % 16 + 1 AS sk
+    FROM documents
+),
+dd AS (
+    SELECT doc_id, wb, hb, sy, sk,
+           wb * 8 - doc_id % 5 AS w,
+           hb * 8 - doc_id % 3 AS h
+    FROM d
+),
+blk AS (
+    SELECT doc_id, w, h, wb, sy, sk,
+           unnest(range(0, wb * hb)) AS b
+    FROM dd
+),
+px AS (
+    SELECT doc_id, w, h,
+           LEAST(255, GREATEST(0,
+               ((doc_id + 11 * b) % 61 - 30) * sy + 128)) AS yv,
+           LEAST(255, GREATEST(0,
+               ((doc_id + 13 * b + 7) % 61 - 30) * sk + 128)) AS kv,
+           LEAST(8, w - 8 * (b % wb)) AS nc,
+           LEAST(8, h - 8 * (b // wb)) AS nr
+    FROM blk
+),
+ch AS (
+    SELECT doc_id, w, h, c.ch AS channel,
+           CASE WHEN c.ch <= 2 THEN 255 - yv ELSE kv END AS val,
+           nc, nr
+    FROM px, LATERAL (SELECT unnest([0, 1, 2, 3]) AS ch) c
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(channel AS INTEGER) AS channel,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(sum(val * nc * nr) AS BIGINT) AS pixel_sum,
+       CAST(min(val) AS INTEGER) AS pixel_min,
+       CAST(max(val) AS INTEGER) AS pixel_max
+FROM ch
+GROUP BY doc_id, w, h, channel
+"""
+
+
+@query("multimodal_jpeg_ycck_pixels", _JPEG_YCCK_PIXEL_ORACLE)
+def multimodal_jpeg_ycck_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Adobe YCCK JPEG decode to CMYK PIXELS: the full pipeline
+    (4-way interleaved entropy decode, dequant, IDCT, level shift,
+    clamp, crop, APP14 transform-2 YCCK->CMYK inverse) per payload;
+    the DC-only zero-chroma fixture keeps every decoded CMYK pixel
+    closed-form, so per-(media, channel) stats are exact-integer
+    hash-checked — the color transform itself is on the oracle
+    path, crop included."""
+    from ..operators.multimodal import (
+        jpeg_channel_pixel_stats,
+        synthesize_jpeg_ycck_flat_media,
+    )
+
+    media = synthesize_jpeg_ycck_flat_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return jpeg_channel_pixel_stats(media)

@@ -1410,3 +1410,171 @@ def test_jpeg_color_progressive_matches_baseline_single_mcu():
             == base["components"][ci]["blocks"]
         )
     assert (prog["pixels"] == base["pixels"]).all()
+
+
+def test_jpeg_cmyk_roundtrip_coefficients_exact():
+    """4-component (Adobe YCCK) baseline round-trip: the 4-way
+    interleaved scan with per-component quant tables and prediction
+    chains reproduces every dequantized coefficient exactly, and the
+    APP14 transform byte survives the trip."""
+    from kafka_spark_streaming_app_spark.operators.imagecodec import (
+        JPEG_ZIGZAG,
+        decode_jpeg_baseline,
+        encode_jpeg_baseline_color,
+    )
+    from kafka_spark_streaming_app_spark.operators.multimodal import (
+        _jpeg_cmyk_fixture,
+    )
+
+    for d in (0, 3, 7, 22, 41):
+        cb, w, h, qts, ri = _jpeg_cmyk_fixture(d)
+        data = encode_jpeg_baseline_color(
+            cb, [(1, 1)] * 4, w, h, qts,
+            restart_interval=ri, adobe_transform=2,
+        )
+        assert b"Adobe" in data and b"JFIF" not in data
+        out = decode_jpeg_baseline(data, want_pixels=False)
+        assert out["ncomp"] == 4
+        assert out["adobe_transform"] == 2
+        for ci in range(4):
+            want = []
+            for blk in cb[ci]:
+                nat = [0] * 64
+                for zz, v in enumerate(blk):
+                    nat[JPEG_ZIGZAG[zz]] = v * qts[ci][zz]
+                want.append(nat)
+            assert out["components"][ci]["blocks"] == want
+
+
+def test_jpeg_ycck_pixels_closed_form():
+    """DC-only zero-chroma YCCK: the decoded CMYK planes equal the
+    closed form (C = M = Y-channel = 255 - y_val, K passthrough),
+    per block, crop included."""
+    import numpy as np
+
+    from kafka_spark_streaming_app_spark.operators.imagecodec import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline_color,
+    )
+
+    d = 9
+    wb, hb = 2, 2
+    w, h = wb * 8 - 3, hb * 8 - 1
+    sy, sk = 5, 11
+    qy = [8 * sy] + [17] * 63
+    qk = [8 * sk] + [23] * 63
+    qc = [16] * 64
+    ydc = [10, -3, 0, 25]
+    kdc = [-8, 4, 12, -30]
+    cb = []
+    for ci in range(4):
+        blocks = []
+        for b in range(wb * hb):
+            blk = [0] * 64
+            if ci == 0:
+                blk[0] = ydc[b]
+            elif ci == 3:
+                blk[0] = kdc[b]
+            blocks.append(blk)
+        cb.append(blocks)
+    data = encode_jpeg_baseline_color(
+        cb, [(1, 1)] * 4, w, h, [qy, qc, qc, qk], adobe_transform=2
+    )
+    out = decode_jpeg_baseline(data)
+    img = out["pixels"]
+    assert img.shape == (h, w, 4)
+    for b in range(wb * hb):
+        r0, c0 = 8 * (b // wb), 8 * (b % wb)
+        tile = img[r0 : min(r0 + 8, h), c0 : min(c0 + 8, w)]
+        yval = min(255, max(0, ydc[b] * sy + 128))
+        kval = min(255, max(0, kdc[b] * sk + 128))
+        assert np.all(tile[..., :3] == 255 - yval)
+        assert np.all(tile[..., 3] == kval)
+
+
+def test_jpeg_multichannel_raw_without_adobe_transform():
+    """2-component frames and 4-component frames without an APP14
+    transform have no T.81-defined color transform: the decoder
+    stacks the stored channel planes raw, in component order."""
+    import numpy as np
+
+    from kafka_spark_streaming_app_spark.operators.imagecodec import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline_color,
+    )
+
+    qt = [8] + [13] * 63
+    def dc_blocks(dcs):
+        out = []
+        for dc in dcs:
+            blk = [0] * 64
+            blk[0] = dc
+            out.append(blk)
+        return out
+
+    two = encode_jpeg_baseline_color(
+        [dc_blocks([7]), dc_blocks([-5])], [(1, 1)] * 2, 6, 8, [qt, qt]
+    )
+    o2 = decode_jpeg_baseline(two)
+    assert o2["pixels"].shape == (8, 6, 2)
+    assert np.all(o2["pixels"][..., 0] == 135)
+    assert np.all(o2["pixels"][..., 1] == 123)
+
+    four = encode_jpeg_baseline_color(
+        [dc_blocks([7]), dc_blocks([-5]), dc_blocks([0]), dc_blocks([20])],
+        [(1, 1)] * 4, 6, 8, [qt] * 4,
+    )
+    o4 = decode_jpeg_baseline(four)
+    assert o4["adobe_transform"] is None
+    assert o4["pixels"].shape == (8, 6, 4)
+    assert [int(o4["pixels"][0, 0, c]) for c in range(4)] == [
+        135, 123, 128, 148,
+    ]
+    # transform=0 explicitly signaled: still raw (0 = no transform)
+    four0 = encode_jpeg_baseline_color(
+        [dc_blocks([7]), dc_blocks([-5]), dc_blocks([0]), dc_blocks([20])],
+        [(1, 1)] * 4, 6, 8, [qt] * 4, adobe_transform=0,
+    )
+    o40 = decode_jpeg_baseline(four0)
+    assert o40["adobe_transform"] == 0
+    assert np.array_equal(o40["pixels"], o4["pixels"])
+
+
+def test_jpeg_cmyk_fixture_spark_path(spark, sf_smoke):
+    """End-to-end through Spark: the 4-component fixture rows decode
+    to the closed-form per-component coefficient stats."""
+    from kafka_spark_streaming_app_spark.operators.imagecodec import (
+        JPEG_ZIGZAG,
+    )
+    from kafka_spark_streaming_app_spark.operators.multimodal import (
+        _jpeg_cmyk_fixture,
+        jpeg_color_coef_stats,
+        synthesize_jpeg_cmyk_media,
+    )
+    from kafka_spark_streaming_app_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").filter(
+        F.col("doc_id") < 20
+    )
+    got = {
+        (r["media_id"], r["component"]): r
+        for r in jpeg_color_coef_stats(
+            synthesize_jpeg_cmyk_media(docs)
+        ).collect()
+    }
+    assert len(got) == 80
+    for d in (0, 6, 13):
+        cb, w, h, qts, _ri = _jpeg_cmyk_fixture(d)
+        for ci in range(4):
+            dq = [
+                (JPEG_ZIGZAG[zz], v * qts[ci][zz])
+                for blk in cb[ci]
+                for zz, v in enumerate(blk)
+                if v != 0
+            ]
+            row = got[(d, ci)]
+            assert (row["width"], row["height"]) == (w, h)
+            assert row["n_blocks"] == len(cb[ci])
+            assert row["n_nonzero"] == len(dq)
+            assert row["coef_sum"] == sum(v for _, v in dq)
+            assert row["posw_sum"] == sum(i * v for i, v in dq)
