@@ -3827,3 +3827,242 @@ def compaction_roundtrip_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint").alias("digest_xor"),
     )
     return digests.unionByName(files_row)
+
+
+# Point-in-polygon: ALL-INTEGER geometry makes the ray-casting
+# crossing test exact in both engines (no float trig, no epsilon).
+# Convex integer vertex templates (4/5/6-gon) are scaled/translated
+# per nation; the crossing predicate is the standard half-open rule
+#   (y1 > py) != (y2 > py)  AND  sign(y2 - y1) * [(x1 - px)(y2 - y1)
+#                                + (py - y1)(x2 - x1)] > 0
+# evaluated in BIGINT, so parity is bit-identical cross-engine.
+_PIP_GRID = 4000
+_PIP_CELL = 256
+
+_PIP_TPL_SQL = """
+    CASE WHEN k = 4 THEN [2, 0, -2, 0]
+         WHEN k = 5 THEN [2, 1, -1, -2, 0]
+         ELSE [2, 1, -1, -2, -1, 1] END AS oxs,
+    CASE WHEN k = 4 THEN [0, 2, 0, -2]
+         WHEN k = 5 THEN [0, 2, 2, 0, -2]
+         ELSE [0, 2, 2, 0, -2, -2] END AS oys
+"""
+
+
+def _pip_oracle() -> str:
+    px = h60_sql("'px:' || CAST(c_custkey AS VARCHAR)")
+    py = h60_sql("'py:' || CAST(c_custkey AS VARCHAR)")
+    s = h60_sql("'ps:' || CAST(n_nationkey AS VARCHAR)")
+    cx = h60_sql("'pcx:' || CAST(n_nationkey AS VARCHAR)")
+    cy = h60_sql("'pcy:' || CAST(n_nationkey AS VARCHAR)")
+    return f"""
+WITH pts AS (
+    SELECT c_custkey AS ck,
+           {px} % {_PIP_GRID} AS px,
+           {py} % {_PIP_GRID} AS py
+    FROM customer
+),
+pcell AS (
+    SELECT *, px // {_PIP_CELL} AS gx, py // {_PIP_CELL} AS gy FROM pts
+),
+polys AS (
+    SELECT n_nationkey AS nk,
+           n_nationkey % 3 + 4 AS k,
+           {s} % 61 + 20 AS s,
+           {cx} % 3200 + 400 AS cx,
+           {cy} % 3200 + 400 AS cy
+    FROM nation
+),
+tpl AS (
+    SELECT nk, k, s, cx, cy, {_PIP_TPL_SQL}
+    FROM polys
+),
+verts AS (
+    SELECT nk, k, j.j AS j,
+           cx + list_extract(oxs, j.j + 1) * s AS x,
+           cy + list_extract(oys, j.j + 1) * s AS y
+    FROM tpl, LATERAL (SELECT unnest(range(0, k)) AS j) j
+),
+edges AS (
+    SELECT a.nk, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+    FROM verts a JOIN verts b
+      ON a.nk = b.nk AND b.j = (a.j + 1) % a.k
+),
+pgrid AS (
+    SELECT nk, gx.g AS gx, gy.g AS gy
+    FROM polys,
+         LATERAL (SELECT unnest(range((cx - 2 * s) // {_PIP_CELL},
+                                      (cx + 2 * s) // {_PIP_CELL} + 1))
+                         AS g) gx,
+         LATERAL (SELECT unnest(range((cy - 2 * s) // {_PIP_CELL},
+                                      (cy + 2 * s) // {_PIP_CELL} + 1))
+                         AS g) gy
+),
+cand AS (
+    SELECT g.nk, p.ck, p.px, p.py
+    FROM pcell p JOIN pgrid g ON p.gx = g.gx AND p.gy = g.gy
+),
+inside AS (
+    SELECT c.nk, c.ck
+    FROM cand c JOIN edges e ON e.nk = c.nk
+    GROUP BY c.nk, c.ck
+    HAVING sum(CASE WHEN (e.y1 > c.py) != (e.y2 > c.py)
+                     AND (CASE WHEN e.y2 > e.y1 THEN 1 ELSE -1 END)
+                         * ((e.x1 - c.px) * (e.y2 - e.y1)
+                            + (c.py - e.y1) * (e.x2 - e.x1)) > 0
+               THEN 1 ELSE 0 END) % 2 = 1
+)
+SELECT n.n_nationkey AS nationkey,
+       CAST(count(i.ck) AS BIGINT) AS n_inside,
+       CAST(coalesce(sum(i.ck), 0) AS BIGINT) AS sum_inside_keys
+FROM nation n LEFT JOIN inside i ON i.nk = n.n_nationkey
+GROUP BY n.n_nationkey
+"""
+
+
+@query("spatial_point_in_polygon", _pip_oracle())
+def spatial_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon containment join (the geofencing/region-assign
+    primitive): synthetic integer points (customers) against one
+    convex integer polygon per nation, via grid-cell blocking — the
+    polygon explodes over the cells its bounding box covers, points
+    carry their single cell key, candidates come from ONE equi-join
+    on the cell — then an exact BIGINT ray-casting parity test over
+    the candidate x edge pairs. Never all-pairs: candidate count is
+    (polygon area / cell area)-bounded, the spatial analog of the LSH
+    band join. Polygons and edges are broadcast (dimension-sized);
+    at a million polygons the same plan holds with the broadcast
+    dropped and the cell key carrying the join. Integer-exact
+    geometry means the oracle parity is provable, not
+    float-coincidental."""
+    from ..functions.hashing import h60
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+
+    def hcol(salt: str, col: str):
+        return h60(F.concat(F.lit(salt), F.col(col).cast("string")))
+
+    pts = cust.select(
+        F.col("c_custkey").alias("ck"),
+        (hcol("px:", "c_custkey") % _PIP_GRID).alias("px"),
+        (hcol("py:", "c_custkey") % _PIP_GRID).alias("py"),
+    ).withColumns(
+        {
+            "gx": F.expr(f"px DIV {_PIP_CELL}"),
+            "gy": F.expr(f"py DIV {_PIP_CELL}"),
+        }
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    polys = nation.select(
+        F.col("n_nationkey").alias("nk"),
+        (F.col("n_nationkey") % 3 + 4).alias("k"),
+        (hcol("ps:", "n_nationkey") % 61 + 20).alias("s"),
+        (hcol("pcx:", "n_nationkey") % 3200 + 400).alias("cx"),
+        (hcol("pcy:", "n_nationkey") % 3200 + 400).alias("cy"),
+    )
+    tpl = polys.selectExpr(
+        "*",
+        "CASE WHEN k = 4 THEN array(2, 0, -2, 0) "
+        "WHEN k = 5 THEN array(2, 1, -1, -2, 0) "
+        "ELSE array(2, 1, -1, -2, -1, 1) END AS oxs",
+        "CASE WHEN k = 4 THEN array(0, 2, 0, -2) "
+        "WHEN k = 5 THEN array(0, 2, 2, 0, -2) "
+        "ELSE array(0, 2, 2, 0, -2, -2) END AS oys",
+    )
+    verts = tpl.select(
+        "nk",
+        "k",
+        F.explode(F.expr("sequence(0, k - 1)")).alias("j"),
+        "cx",
+        "cy",
+        "oxs",
+        "oys",
+        "s",
+    ).select(
+        "nk",
+        "k",
+        "j",
+        (F.col("cx") + F.expr("element_at(oxs, j + 1)") * F.col("s")).alias(
+            "x"
+        ),
+        (F.col("cy") + F.expr("element_at(oys, j + 1)") * F.col("s")).alias(
+            "y"
+        ),
+    )
+    v2 = verts.select(
+        F.col("nk").alias("nk2"),
+        F.col("j").alias("j2"),
+        F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+    )
+    edges = verts.join(
+        v2,
+        (F.col("nk") == F.col("nk2"))
+        & (F.col("j2") == (F.col("j") + 1) % F.col("k")),
+    ).select(
+        "nk",
+        F.col("x").alias("x1"),
+        F.col("y").alias("y1"),
+        "x2",
+        "y2",
+    )
+    pgrid = polys.select(
+        "nk",
+        F.explode(
+            F.expr(
+                f"sequence((cx - 2 * s) DIV {_PIP_CELL},"
+                f" (cx + 2 * s) DIV {_PIP_CELL})"
+            )
+        ).alias("gx"),
+        "cy",
+        "s",
+    ).select(
+        "nk",
+        "gx",
+        F.explode(
+            F.expr(
+                f"sequence((cy - 2 * s) DIV {_PIP_CELL},"
+                f" (cy + 2 * s) DIV {_PIP_CELL})"
+            )
+        ).alias("gy"),
+    )
+    cand = pts.join(F.broadcast(pgrid), ["gx", "gy"]).select(
+        "nk", "ck", "px", "py"
+    )
+    crossed = (
+        (F.col("y1") > F.col("py")) != (F.col("y2") > F.col("py"))
+    ) & (
+        F.when(F.col("y2") > F.col("y1"), F.lit(1)).otherwise(F.lit(-1))
+        * (
+            (F.col("x1") - F.col("px")) * (F.col("y2") - F.col("y1"))
+            + (F.col("py") - F.col("y1")) * (F.col("x2") - F.col("x1"))
+        )
+        > 0
+    )
+    inside = (
+        cand.join(F.broadcast(edges), "nk")
+        .groupBy("nk", "ck")
+        .agg(
+            F.sum(F.when(crossed, F.lit(1)).otherwise(F.lit(0))).alias(
+                "n_cross"
+            )
+        )
+        .filter(F.col("n_cross") % 2 == 1)
+    )
+    return (
+        nation.join(
+            inside, nation["n_nationkey"] == inside["nk"], "left"
+        )
+        .groupBy("n_nationkey")
+        .agg(
+            F.count("ck").cast("bigint").alias("n_inside"),
+            F.coalesce(F.sum("ck"), F.lit(0))
+            .cast("bigint")
+            .alias("sum_inside_keys"),
+        )
+        .select(
+            F.col("n_nationkey").alias("nationkey"),
+            "n_inside",
+            "sum_inside_keys",
+        )
+    )

@@ -4203,3 +4203,69 @@ def test_erasure_audit_and_decay_popularity_match_pandas(spark, sf_smoke):
     for k, (n, score) in got.items():
         assert n == int(g.loc[k, "n"])
         assert score == round(int(g.loc[k, "sq"]) / 1048576.0, 6)
+
+
+def test_spatial_point_in_polygon_matches_halfplane_bruteforce(
+    spark, sf_smoke
+):
+    """spatial_point_in_polygon vs an INDEPENDENT containment method:
+    the polygons are convex by construction, so strict half-plane
+    tests (all edge cross products the same sign) decide membership
+    without ray casting — and brute force over every (point, polygon)
+    pair checks the grid blocking is complete, not just
+    deterministic."""
+    import hashlib
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    import pandas as pd
+
+    cust = pd.read_parquet(f"{sf_smoke}/customer.parquet")
+    nat = pd.read_parquet(f"{sf_smoke}/nation.parquet")
+
+    def h60py(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    TPL = {
+        4: [(2, 0), (0, 2), (-2, 0), (0, -2)],
+        5: [(2, 0), (1, 2), (-1, 2), (-2, 0), (0, -2)],
+        6: [(2, 0), (1, 2), (-1, 2), (-2, 0), (-1, -2), (1, -2)],
+    }
+    polys = {}
+    for nk in nat["n_nationkey"].astype(int):
+        k = nk % 3 + 4
+        s = h60py(f"ps:{nk}") % 61 + 20
+        cx = h60py(f"pcx:{nk}") % 3200 + 400
+        cy = h60py(f"pcy:{nk}") % 3200 + 400
+        polys[nk] = [(cx + ox * s, cy + oy * s) for ox, oy in TPL[k]]
+
+    def inside_convex(px, py, verts):
+        signs = set()
+        for i in range(len(verts)):
+            x1, y1 = verts[i]
+            x2, y2 = verts[(i + 1) % len(verts)]
+            cr = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+            if cr == 0:
+                return False  # boundary: excluded by the strict rule
+            signs.add(cr > 0)
+        return len(signs) == 1
+
+    expected = {nk: [] for nk in polys}
+    for ck in cust["c_custkey"].astype(int):
+        px = h60py(f"px:{ck}") % 4000
+        py = h60py(f"py:{ck}") % 4000
+        for nk, verts in polys.items():
+            if inside_convex(px, py, verts):
+                expected[nk].append(ck)
+    assert any(expected.values()), "fixture produced no contained points"
+
+    got = {
+        r.nationkey: (r.n_inside, r.sum_inside_keys)
+        for r in registry.QUERIES["spatial_point_in_polygon"](
+            spark, sf_smoke
+        ).collect()
+    }
+    assert got == {
+        nk: (len(cks), sum(cks)) for nk, cks in expected.items()
+    }
