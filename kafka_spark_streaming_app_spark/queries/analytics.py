@@ -4066,3 +4066,84 @@ def spatial_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_inside_keys",
         )
     )
+
+
+# 1-D Kalman filter (random-walk state, noisy observation): the
+# recursion is the textbook predict/update with Q = 0.25, R = 1.0,
+# x0 = first observation, P0 = 1.0. Both engines evaluate the SAME
+# IEEE-754 expression tree per step (each +, *, / is exactly
+# rounded), so the final state is bit-identical — no tolerance.
+_KALMAN_ORACLE = """
+WITH RECURSIVE obs AS (
+    SELECT user_id,
+           CAST(value AS DOUBLE) AS z,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS i
+    FROM events
+),
+kf AS (
+    SELECT user_id, i, z AS x, CAST(1.0 AS DOUBLE) AS p
+    FROM obs WHERE i = 1
+    UNION ALL
+    SELECT o.user_id, o.i,
+           kf.x + ((kf.p + 0.25) / (kf.p + 0.25 + 1.0)) * (o.z - kf.x),
+           (1.0 - (kf.p + 0.25) / (kf.p + 0.25 + 1.0)) * (kf.p + 0.25)
+    FROM kf JOIN obs o
+      ON o.user_id = kf.user_id AND o.i = kf.i + 1
+)
+SELECT user_id,
+       CAST(i AS BIGINT) AS n_obs,
+       x AS x_final,
+       p AS p_final
+FROM kf
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY i DESC) = 1
+"""
+
+
+@query("kalman_filter_1d", _KALMAN_ORACLE)
+def kalman_filter_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key 1-D Kalman filter (random-walk state + noisy
+    observation; Q = 0.25, R = 1.0) over each user's event-value
+    series — the classic sequential-state recursion that SQL window
+    functions cannot express (the state is a nonlinear function of
+    ALL priors). Runs ENTIRELY in Catalyst: the per-key series is
+    gathered with sort_array(collect_list(struct...)) and the
+    recursion folds through the higher-order ``aggregate`` lambda —
+    JVM codegen, zero Python. One shuffle on the key; per-key series
+    must fit an executor (the same contract as any per-key
+    sessionizer — for unbounded keys, window the series first). The
+    oracle replays the identical IEEE expression tree via a recursive
+    CTE, so the hash check is bit-exact, not tolerance-based."""
+    ev = load_table(spark, sf_dir, "events")
+    series = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts").alias("ts"),
+                F.col("event_id").alias("eid"),
+                F.col("value").cast("double").alias("z"),
+            ).alias("o"),
+        )
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("o")).alias("os"))
+        .select("user_id", F.expr("transform(os, s -> s.z)").alias("zs"))
+    )
+    state = F.expr(
+        "aggregate("
+        "  slice(zs, 2, size(zs) - 1),"
+        "  named_struct('x', element_at(zs, 1),"
+        "               'p', CAST(1.0 AS DOUBLE)),"
+        "  (acc, z) -> named_struct("
+        "    'x', acc.x + ((acc.p + 0.25D) / (acc.p + 0.25D + 1.0D))"
+        "         * (z - acc.x),"
+        "    'p', (1.0D - (acc.p + 0.25D) / (acc.p + 0.25D + 1.0D))"
+        "         * (acc.p + 0.25D)),"
+        "  acc -> acc)"
+    )
+    return series.select(
+        "user_id",
+        F.size("zs").cast("bigint").alias("n_obs"),
+        state.getField("x").alias("x_final"),
+        state.getField("p").alias("p_final"),
+    )

@@ -4269,3 +4269,41 @@ def test_spatial_point_in_polygon_matches_halfplane_bruteforce(
     assert got == {
         nk: (len(cks), sum(cks)) for nk, cks in expected.items()
     }
+
+
+def test_kalman_filter_1d_matches_numpy_replay(spark, sf_smoke):
+    """kalman_filter_1d vs a plain-Python replay of the predict/update
+    recursion, exact equality per user; and the posterior variance
+    must approach the steady-state Riccati fixed point
+    p* = (-Q + sqrt(Q^2 + 4*Q*R)) / 2 from above."""
+    import math
+
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    expected = {}
+    for uid, grp in ev.groupby("user_id"):
+        zs = [float(z) for z in grp["value"]]
+        x, p = zs[0], 1.0
+        for z in zs[1:]:
+            pp = p + 0.25
+            k = pp / (pp + 1.0)
+            x = x + k * (z - x)
+            p = (1.0 - k) * pp
+        expected[int(uid)] = (len(zs), x, p)
+
+    rows = registry.QUERIES["kalman_filter_1d"](spark, sf_smoke).collect()
+    assert len(rows) == len(expected)
+    p_star = (-0.25 + math.sqrt(0.25 * 0.25 + 4 * 0.25 * 1.0)) / 2
+    for r in rows:
+        n, x, p = expected[r.user_id]
+        assert r.n_obs == n
+        assert r.x_final == x  # bit-exact: same IEEE expression tree
+        assert r.p_final == p
+        if n >= 10:
+            assert p_star <= r.p_final < p_star + 1e-6
