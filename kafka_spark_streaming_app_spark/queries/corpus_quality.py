@@ -550,3 +550,93 @@ def group_fairness_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fpr_proxy"),
     )
+
+
+# Flesch readability: the classic vowel-group syllable heuristic
+# (maximal [aeiouy]+ runs per word, min 1) — deterministic and
+# regex-identical in Java and RE2, so the per-doc counts and the
+# derived scores (same IEEE expression tree) hash bit-exact.
+_READABILITY_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id, lang, {_WORDS} AS words,
+           greatest(1, len(regexp_extract_all(
+               lower(coalesce(text, '')), '[.!?]+'))) AS n_sentences
+    FROM documents
+),
+syl AS (
+    SELECT doc_id, lang, n_sentences,
+           len(words) AS n_words,
+           list_sum(list_transform(words,
+               w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+')))))
+               AS n_syllables
+    FROM base
+)
+SELECT doc_id, lang,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+               - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)
+           AS flesch_ease,
+       0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+           + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59
+           AS fk_grade
+FROM syl
+"""
+
+
+@query("readability_scores", _READABILITY_ORACLE)
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document readability scoring (Flesch reading ease +
+    Flesch-Kincaid grade) — a standard quality-filter feature for
+    training-corpus curation, next to the length/stopword heuristics
+    of `quality_classifier`. Syllables use the deterministic
+    vowel-group heuristic (maximal [aeiouy]+ runs per word, floor 1);
+    sentences count [.!?]+ runs (floor 1). Everything is a scan-side
+    projection — regexp counts and a higher-order sum fold, zero
+    shuffles, zero Python — so at 100 TB this is a single
+    map-partitions pass that pipelines with any downstream filter."""
+    from ..functions.hashing import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        tokens("text").alias("words"),
+        F.greatest(
+            F.lit(1),
+            F.size(
+                F.regexp_extract_all(
+                    F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                    F.lit("[.!?]+"),
+                    0,
+                )
+            ),
+        ).alias("n_sentences"),
+    )
+    syl = base.select(
+        "doc_id",
+        "lang",
+        "n_sentences",
+        F.size("words").alias("n_words"),
+        F.expr(
+            "aggregate(words, 0,"
+            " (acc, w) -> acc + greatest(1,"
+            "   size(regexp_extract_all(w, '[aeiouy]+', 0))))"
+        ).alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words")
+    return syl.select(
+        "doc_id",
+        "lang",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("n_sentences").cast("bigint").alias("n_sentences"),
+        F.col("n_syllables").cast("bigint").alias("n_syllables"),
+        (F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw).alias(
+            "flesch_ease"
+        ),
+        (F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)).alias(
+            "fk_grade"
+        ),
+    )
