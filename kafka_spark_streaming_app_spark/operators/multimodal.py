@@ -2332,3 +2332,209 @@ def jpeg_channel_pixel_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         stats, schema=JPEG_CHANNEL_PIXEL_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# GIF (LZW) media
+# --------------------------------------------------------------------------
+
+
+def _gif_fixture(d: int):
+    """Closed-form indexed-color plant for doc ``d``: dims, palette
+    and the pixel-index function mirrored exactly by the DuckDB
+    oracle. Palette sizes 2..201 cross every LZW minimum code size
+    (2..8 bits)."""
+    w, h = d % 19 + 4, d % 13 + 3
+    nc = d % 200 + 2
+    palette = [
+        ((d * 3 + 7 * j) % 256, (d * 5 + 11 * j) % 256, (d * 7 + 13 * j) % 256)
+        for j in range(nc)
+    ]
+    idx = [
+        (d + 3 * x + 5 * y + x * y) % nc
+        for y in range(h)
+        for x in range(w)
+    ]
+    return w, h, palette, idx
+
+
+def synthesize_gif_media(documents: DataFrame) -> DataFrame:
+    """REAL GIF fixture: every doc becomes a genuine GIF87a/89a file
+    (real LZW with variable code widths and mid-stream clear codes,
+    4-pass interlacing on even docs, a local color table with a decoy
+    global table on d%5==0 docs, comment/NETSCAPE extension blocks on
+    the 89a docs) encoded by the from-scratch coder in
+    ``operators/gifcodec.py``."""
+    from .gifcodec import encode_gif
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, palette, idx = _gif_fixture(d)
+                local = d % 5 == 0
+                rows.append(
+                    {
+                        "media_id": d,
+                        "codec": "gif",
+                        "payload": encode_gif(
+                            idx,
+                            w,
+                            h,
+                            palette,
+                            interlace=d % 2 == 0,
+                            local_palette=local,
+                            global_palette=[(1, 2, 3), (4, 5, 6)],
+                            clear_every=(d % 4) * 16,
+                            comment=b"gif-plant" if d % 3 == 0 else None,
+                            loop=d % 7 == 0,
+                            version87=(
+                                d % 11 == 0 and d % 3 != 0 and d % 7 != 0
+                            ),
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "codec", "payload"])
+
+    return documents.select("doc_id").mapInPandas(
+        render, schema=IMAGE_MEDIA_SCHEMA
+    )
+
+
+def gif_pixel_stats(media: DataFrame) -> DataFrame:
+    """REAL GIF decode to RGB pixels: LZW decompression (variable
+    widths, clear resets, KwKwK), de-interlacing, and color-table
+    selection (local beats global) per payload; one exact integer
+    stats row per (media, channel)."""
+    import numpy as np
+
+    from .gifcodec import decode_gif
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                g = decode_gif(bytes(payload))
+                fr = g["frames"][0]
+                pal = np.asarray(fr["palette"], dtype=np.int64)
+                rgb = pal[np.asarray(fr["indices"], dtype=np.int64)]
+                for ch in range(3):
+                    plane = rgb[:, ch]
+                    rows.append(
+                        {
+                            "media_id": int(media_id),
+                            "width": g["width"],
+                            "height": g["height"],
+                            "channel": ch,
+                            "n_pixels": int(plane.size),
+                            "pixel_sum": int(plane.sum()),
+                            "pixel_min": int(plane.min()),
+                            "pixel_max": int(plane.max()),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in JPEG_CHANNEL_PIXEL_SCHEMA]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        stats, schema=JPEG_CHANNEL_PIXEL_SCHEMA
+    )
+
+
+GIF_FRAME_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("frame", T.IntegerType(), True),
+        T.StructField("channel", T.IntegerType(), True),
+        T.StructField("delay_cs", T.IntegerType(), True),
+        T.StructField("disposal", T.IntegerType(), True),
+        T.StructField("n_pixels", T.LongType(), True),
+        T.StructField("pixel_sum", T.LongType(), True),
+        T.StructField("pixel_min", T.IntegerType(), True),
+        T.StructField("pixel_max", T.IntegerType(), True),
+    ]
+)
+
+
+def synthesize_gif_animation_media(documents: DataFrame) -> DataFrame:
+    """Animated-GIF fixture: 2..5 full-canvas frames per doc, each
+    with its own graphic-control block (delay, disposal method) and
+    per-frame interlace choice, all through the real LZW coder."""
+    from .gifcodec import encode_gif_animation
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, palette, _ = _gif_fixture(d)
+                nc = len(palette)
+                frames = []
+                for f in range(d % 4 + 2):
+                    frames.append(
+                        {
+                            "indices": [
+                                (d + 17 * f + 3 * x + 5 * y) % nc
+                                for y in range(h)
+                                for x in range(w)
+                            ],
+                            "interlace": (d + f) % 2 == 0,
+                            "delay_cs": 4 * f + 1,
+                            "disposal": f % 4,
+                        }
+                    )
+                rows.append(
+                    {
+                        "media_id": d,
+                        "codec": "gif",
+                        "payload": encode_gif_animation(
+                            frames, w, h, palette, loop=True
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "codec", "payload"])
+
+    return documents.select("doc_id").mapInPandas(
+        render, schema=IMAGE_MEDIA_SCHEMA
+    )
+
+
+def gif_frame_stats(media: DataFrame) -> DataFrame:
+    """Animated-GIF decode: every frame independently LZW-decoded and
+    de-interlaced, graphic-control metadata (delay, disposal) carried
+    through; one stats row per (media, frame, channel)."""
+    import numpy as np
+
+    from .gifcodec import decode_gif
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                g = decode_gif(bytes(payload))
+                for fi, fr in enumerate(g["frames"]):
+                    pal = np.asarray(fr["palette"], dtype=np.int64)
+                    rgb = pal[np.asarray(fr["indices"], dtype=np.int64)]
+                    for ch in range(3):
+                        plane = rgb[:, ch]
+                        rows.append(
+                            {
+                                "media_id": int(media_id),
+                                "frame": fi,
+                                "channel": ch,
+                                "delay_cs": fr["delay_cs"],
+                                "disposal": fr["disposal"],
+                                "n_pixels": int(plane.size),
+                                "pixel_sum": int(plane.sum()),
+                                "pixel_min": int(plane.min()),
+                                "pixel_max": int(plane.max()),
+                            }
+                        )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in GIF_FRAME_STATS_SCHEMA]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        stats, schema=GIF_FRAME_STATS_SCHEMA
+    )

@@ -1562,3 +1562,120 @@ def multimodal_jpeg_ycck_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
     )
     return jpeg_channel_pixel_stats(media)
+
+
+# GIF: the palette and pixel-index plants are closed-form functions of
+# (doc_id, x, y), so the oracle re-derives every decoded RGB value
+# without ever touching the wire format — LZW, interlacing and color
+# table selection all sit between the plant and the hash.
+_GIF_PIXEL_ORACLE = """
+WITH d AS (
+    SELECT doc_id, doc_id % 19 + 4 AS w, doc_id % 13 + 3 AS h,
+           doc_id % 200 + 2 AS nc
+    FROM documents
+),
+px AS (
+    SELECT doc_id, w, h, nc,
+           (doc_id + 3 * x.x + 5 * y.y + x.x * y.y) % nc AS idx
+    FROM d,
+         LATERAL (SELECT unnest(range(0, w)) AS x) x,
+         LATERAL (SELECT unnest(range(0, h)) AS y) y
+),
+ch AS (
+    SELECT doc_id, w, h, c.ch AS channel,
+           CASE c.ch
+               WHEN 0 THEN (doc_id * 3 + 7 * idx) % 256
+               WHEN 1 THEN (doc_id * 5 + 11 * idx) % 256
+               ELSE (doc_id * 7 + 13 * idx) % 256
+           END AS val
+    FROM px, LATERAL (SELECT unnest([0, 1, 2]) AS ch) c
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(channel AS INTEGER) AS channel,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(sum(val) AS BIGINT) AS pixel_sum,
+       CAST(min(val) AS INTEGER) AS pixel_min,
+       CAST(max(val) AS INTEGER) AS pixel_max
+FROM ch
+GROUP BY doc_id, w, h, channel
+"""
+
+
+@query("multimodal_gif_decode", _GIF_PIXEL_ORACLE)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode to RGB pixels: genuine GIF87a/89a files (real
+    LZW with variable code widths, mid-stream clear codes, KwKwK
+    strings; 4-pass interlacing; local-vs-global color table
+    selection with a decoy global table; 89a comment / NETSCAPE
+    extension skip paths) decoded by the from-scratch codec in an
+    Arrow-batched mapInPandas stage; per-(media, channel) exact
+    integer pixel stats hash-checked against the closed-form plant.
+    The LZW width-flip schedule is additionally pinned against
+    foreign-encoder GIFs in tests/test_gifcodec.py."""
+    from ..operators.multimodal import gif_pixel_stats, synthesize_gif_media
+
+    media = synthesize_gif_media(load_table(spark, sf_dir, "documents"))
+    return gif_pixel_stats(media)
+
+
+_GIF_FRAMES_ORACLE = """
+WITH d AS (
+    SELECT doc_id, doc_id % 19 + 4 AS w, doc_id % 13 + 3 AS h,
+           doc_id % 200 + 2 AS nc
+    FROM documents
+),
+fr AS (
+    SELECT doc_id, w, h, nc, f.f AS frame
+    FROM d, LATERAL (SELECT unnest(range(0, doc_id % 4 + 2)) AS f) f
+),
+px AS (
+    SELECT doc_id, w, h, nc, frame,
+           (doc_id + 17 * frame + 3 * x.x + 5 * y.y) % nc AS idx
+    FROM fr,
+         LATERAL (SELECT unnest(range(0, w)) AS x) x,
+         LATERAL (SELECT unnest(range(0, h)) AS y) y
+),
+ch AS (
+    SELECT doc_id, w, h, frame, c.ch AS channel,
+           CASE c.ch
+               WHEN 0 THEN (doc_id * 3 + 7 * idx) % 256
+               WHEN 1 THEN (doc_id * 5 + 11 * idx) % 256
+               ELSE (doc_id * 7 + 13 * idx) % 256
+           END AS val
+    FROM px, LATERAL (SELECT unnest([0, 1, 2]) AS ch) c
+)
+SELECT doc_id AS media_id,
+       CAST(frame AS INTEGER) AS frame,
+       CAST(channel AS INTEGER) AS channel,
+       CAST(4 * frame + 1 AS INTEGER) AS delay_cs,
+       CAST(frame % 4 AS INTEGER) AS disposal,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(sum(val) AS BIGINT) AS pixel_sum,
+       CAST(min(val) AS INTEGER) AS pixel_min,
+       CAST(max(val) AS INTEGER) AS pixel_max
+FROM ch
+GROUP BY doc_id, w, h, frame, channel
+"""
+
+
+@query("multimodal_gif_animation_frames", _GIF_FRAMES_ORACLE)
+def multimodal_gif_animation_frames(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Animated-GIF frame extraction: 2..5 full-canvas frames per
+    media, each behind its own graphic-control extension (delay,
+    disposal) and per-frame interlace choice; the decode carries the
+    control metadata through to one stats row per (media, frame,
+    channel). This is the GIF arm of the video-frame-sampling family
+    (multimodal_frame_sample covers Y4M)."""
+    from ..operators.multimodal import (
+        gif_frame_stats,
+        synthesize_gif_animation_media,
+    )
+
+    media = synthesize_gif_animation_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return gif_frame_stats(media)
