@@ -110,9 +110,19 @@ def decode_wav(data: bytes):
     import numpy as np
 
     hdr = parse_wav_header(data)
+    if hdr["audio_format"] in (6, 7) and hdr["bit_depth"] == 8:
+        # G.711 A-law / mu-law: expand to 16-bit linear. The data
+        # chunk may carry one padding byte (RIFF word alignment) —
+        # trust the declared frame count, not the chunk length.
+        law = "alaw" if hdr["audio_format"] == 6 else "ulaw"
+        n = hdr["n_frames"] * hdr["channels"]
+        for tag, body in _riff_chunks(data):
+            if tag == b"data":
+                return g711_decode(body[:n], law), hdr
+        raise ValueError("WAV missing data chunk")
     if hdr["audio_format"] != 1 or hdr["bit_depth"] != 16:
         raise NotImplementedError(
-            "decode_wav supports 16-bit PCM only "
+            "decode_wav supports 16-bit PCM and 8-bit G.711 only "
             f"(got format={hdr['audio_format']}, bits={hdr['bit_depth']})"
         )
     for tag, body in _riff_chunks(data):
@@ -232,3 +242,132 @@ def decode_y4m(data: bytes):
         if frames
         else np.zeros((0, h, w), dtype=np.uint8)
     ), hdr
+
+
+# --------------------------------------------------------------------------
+# G.711 companded audio (WAV format codes 6 = A-law, 7 = mu-law)
+# --------------------------------------------------------------------------
+# Telephony / call-center corpora ship as 8-bit G.711 WAV. Both laws
+# are stateless per-sample companders, so the decode is a pure
+# function of each byte — which keeps the full decode SQL-expressible
+# for the DuckDB oracle. The implementations below are bit-exact
+# against CPython's audioop module (a foreign implementation derived
+# from Sun's g711.c) across the entire domain: all 65536 encode
+# inputs and all 256 decode bytes (tests/test_avcodec_g711.py).
+
+_G711_BIAS = 0x84
+
+
+def ulaw_encode_sample(x: int) -> int:
+    """16-bit linear -> mu-law byte (the 14-bit variant with
+    shift-then-clip ordering that audioop/sox use)."""
+    x >>= 2
+    if x < 0:
+        x = -x
+        mask = 0x7F
+    else:
+        mask = 0xFF
+    if x > 8159:
+        x = 8159
+    x += _G711_BIAS >> 2
+    seg = max(0, x.bit_length() - 6)
+    if seg >= 8:
+        return 0x7F ^ mask
+    return ((seg << 4) | ((x >> (seg + 1)) & 0xF)) ^ mask
+
+
+def ulaw_decode_sample(u: int) -> int:
+    """mu-law byte -> 16-bit linear."""
+    u2 = ~u & 0xFF
+    t = (((u2 & 0x0F) << 3) + _G711_BIAS) << ((u2 & 0x70) >> 4)
+    return (_G711_BIAS - t) if u2 & 0x80 else (t - _G711_BIAS)
+
+
+def alaw_encode_sample(x: int) -> int:
+    """16-bit linear -> A-law byte (13-bit variant, even-bit
+    inversion mask 0x55/0xD5)."""
+    x >>= 3
+    if x >= 0:
+        mask = 0xD5
+    else:
+        mask = 0x55
+        x = -x - 1
+    if x >= 0x1000:
+        return 0x7F ^ mask
+    seg = max(0, x.bit_length() - 5)
+    if seg < 2:
+        aval = (seg << 4) | ((x >> 1) & 0xF)
+    else:
+        aval = (seg << 4) | ((x >> seg) & 0xF)
+    return aval ^ mask
+
+
+def alaw_decode_sample(a: int) -> int:
+    """A-law byte -> 16-bit linear."""
+    a ^= 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if a & 0x80 else -t
+
+
+def _g711_tables(law: str):
+    import numpy as np
+
+    if law == "ulaw":
+        dec = np.array([ulaw_decode_sample(u) for u in range(256)], np.int16)
+    elif law == "alaw":
+        dec = np.array([alaw_decode_sample(u) for u in range(256)], np.int16)
+    else:
+        raise ValueError("law must be 'ulaw' or 'alaw'")
+    return dec
+
+
+def g711_encode(samples, law: str) -> bytes:
+    """Vector encode int16 linear samples to G.711 bytes."""
+    import numpy as np
+
+    enc = ulaw_encode_sample if law == "ulaw" else alaw_encode_sample
+    if law not in ("ulaw", "alaw"):
+        raise ValueError("law must be 'ulaw' or 'alaw'")
+    lut = np.array([enc(x) for x in range(-32768, 32768)], np.uint8)
+    arr = np.asarray(samples, dtype=np.int16).astype(np.int32) + 32768
+    return lut[arr].tobytes()
+
+
+def g711_decode(data: bytes, law: str):
+    """Vector decode G.711 bytes to int16 linear samples."""
+    import numpy as np
+
+    return _g711_tables(law)[np.frombuffer(data, dtype=np.uint8)]
+
+
+def encode_wav_g711(
+    g711_bytes: bytes, sample_rate: int, channels: int = 1,
+    law: str = "ulaw",
+) -> bytes:
+    """Wrap already-companded G.711 bytes in a WAV container: format
+    code 7 (mu-law) or 6 (A-law), 8 bits/sample, plus the ``fact``
+    chunk the WAV spec requires for non-PCM streams."""
+    fmt_code = 7 if law == "ulaw" else 6
+    if law not in ("ulaw", "alaw"):
+        raise ValueError("law must be 'ulaw' or 'alaw'")
+    block_align = channels
+    fmt = struct.pack(
+        "<HHIIHH", fmt_code, channels, sample_rate,
+        sample_rate * block_align, block_align, 8,
+    )
+    n_frames = len(g711_bytes) // channels
+    pad = b"\x00" if len(g711_bytes) & 1 else b""
+    body = (
+        _WAVE_TAG
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n_frames)
+        + b"data" + struct.pack("<I", len(g711_bytes)) + g711_bytes + pad
+    )
+    return _RIFF_MAGIC + struct.pack("<I", len(body)) + body

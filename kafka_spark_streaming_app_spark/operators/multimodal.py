@@ -2538,3 +2538,90 @@ def gif_frame_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         stats, schema=GIF_FRAME_STATS_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# G.711 companded audio media
+# --------------------------------------------------------------------------
+
+G711_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("audio_format", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("linear_sum", T.LongType(), True),
+        T.StructField("linear_min", T.IntegerType(), True),
+        T.StructField("linear_max", T.IntegerType(), True),
+        T.StructField("abs_sum", T.LongType(), True),
+        T.StructField("posw_sum", T.LongType(), True),
+    ]
+)
+
+
+def synthesize_g711_media(documents: DataFrame) -> DataFrame:
+    """G.711 WAV fixture: every doc becomes a real 8-bit mu-law
+    (even doc_id, format code 7) or A-law (odd, code 6) WAV with a
+    ``fact`` chunk; the companded byte stream is the closed-form
+    plant (doc_id*7 + 31*i) % 256 — stride 31 is odd, so every doc
+    with >= 256 samples covers all 256 code points of its law."""
+    from .avcodec import encode_wav_g711
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = d % 400 + 40
+                payload = bytes((d * 7 + 31 * i) % 256 for i in range(n))
+                law = "ulaw" if d % 2 == 0 else "alaw"
+                rows.append(
+                    {
+                        "media_id": d,
+                        "codec": "wav",
+                        "payload": encode_wav_g711(payload, 8000, 1, law),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "codec", "payload"])
+
+    return documents.select("doc_id").mapInPandas(
+        render, schema=IMAGE_MEDIA_SCHEMA
+    )
+
+
+def g711_audio_stats(media: DataFrame) -> DataFrame:
+    """G.711 decode: the RIFF walk picks the format code off the fmt
+    chunk and expands every byte through the matching compander; one
+    exact integer stats row per media (positional weighted sum pins
+    sample order, abs-sum pins sign handling)."""
+    import numpy as np
+
+    from .avcodec import decode_wav
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples, hdr = decode_wav(bytes(payload))
+                v = samples.astype(np.int64)
+                i = np.arange(v.size, dtype=np.int64)
+                rows.append(
+                    {
+                        "media_id": int(media_id),
+                        "audio_format": hdr["audio_format"],
+                        "sample_rate": hdr["sample_rate"],
+                        "n_samples": int(v.size),
+                        "linear_sum": int(v.sum()),
+                        "linear_min": int(v.min()),
+                        "linear_max": int(v.max()),
+                        "abs_sum": int(np.abs(v).sum()),
+                        "posw_sum": int((v * (i % 17)).sum()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in G711_STATS_SCHEMA]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        stats, schema=G711_STATS_SCHEMA
+    )

@@ -1679,3 +1679,70 @@ def multimodal_gif_animation_frames(
         load_table(spark, sf_dir, "documents")
     )
     return gif_frame_stats(media)
+
+
+# G.711: both companders are stateless per-sample functions, so the
+# ENTIRE decode (not just stats over a lossless plant) is replayed in
+# SQL — the oracle expands every planted byte through the mu-law /
+# A-law expansion formulas with integer shifts and xor.
+_G711_ORACLE = """
+WITH d AS (
+    SELECT doc_id, doc_id % 400 + 40 AS n FROM documents
+),
+s AS (
+    SELECT doc_id, n, i.i AS i, (doc_id * 7 + 31 * i.i) % 256 AS u
+    FROM d, LATERAL (SELECT unnest(range(0, n)) AS i) i
+),
+dec AS (
+    SELECT doc_id, n, i,
+        CASE WHEN doc_id % 2 = 0 THEN
+            CASE WHEN (255 - u) >= 128
+                 THEN 132 - (((255 - u) % 16) * 8 + 132)
+                      * (1 << (((255 - u) // 16) % 8))
+                 ELSE (((255 - u) % 16) * 8 + 132)
+                      * (1 << (((255 - u) // 16) % 8)) - 132
+            END
+        ELSE
+            (CASE WHEN xor(u, 85) >= 128 THEN 1 ELSE -1 END) *
+            (CASE WHEN ((xor(u, 85) // 16) % 8) = 0
+                  THEN (xor(u, 85) % 16) * 16 + 8
+                  WHEN ((xor(u, 85) // 16) % 8) = 1
+                  THEN (xor(u, 85) % 16) * 16 + 264
+                  ELSE ((xor(u, 85) % 16) * 16 + 264)
+                       * (1 << (((xor(u, 85) // 16) % 8) - 1))
+             END)
+        END AS v
+    FROM s
+)
+SELECT doc_id AS media_id,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 7 ELSE 6 END AS INTEGER)
+           AS audio_format,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(sum(v) AS BIGINT) AS linear_sum,
+       CAST(min(v) AS INTEGER) AS linear_min,
+       CAST(max(v) AS INTEGER) AS linear_max,
+       CAST(sum(abs(v)) AS BIGINT) AS abs_sum,
+       CAST(sum(v * (i % 17)) AS BIGINT) AS posw_sum
+FROM dec
+GROUP BY doc_id, n
+"""
+
+
+@query("multimodal_audio_g711_decode", _G711_ORACLE)
+def multimodal_audio_g711_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL G.711 telephony-audio decode: 8-bit mu-law / A-law WAV
+    files (format codes 7/6, fact chunk present) expanded to 16-bit
+    linear PCM in an Arrow-batched mapInPandas stage. The companders
+    are bit-exact against CPython's audioop across the full domain
+    (tests/test_avcodec_g711.py) and the oracle replays the expansion
+    formulas in pure SQL — every decoded sample is on the hash path."""
+    from ..operators.multimodal import (
+        g711_audio_stats,
+        synthesize_g711_media,
+    )
+
+    media = synthesize_g711_media(load_table(spark, sf_dir, "documents"))
+    return g711_audio_stats(media)
