@@ -6301,3 +6301,133 @@ def als_rank1_implicit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.rank().over(w).cast("bigint").alias("popularity_rank"),
     ).orderBy("item_k")
+
+
+# --- hidden-periodicity scan (folded ANOVA periodogram) ---------------------
+# Period detection without cos/sin (libm trig is not identically
+# rounded across engines): for each candidate period p, fold the daily
+# series by i % p and measure the fraction of total variance explained
+# by the fold, SSB/SST. Group sizes take at most two values
+# (floor(N/p), ceil(N/p)), so SSB = sum_g S_g^2/n_g stays an exact
+# integer after multiplying through by n_lo*n_hi — the only floating
+# division is the final ratio, which IEEE rounds identically in both
+# engines.
+_PERIODICITY_ORACLE = """
+WITH daily AS (
+    SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS rev
+    FROM orders GROUP BY date_trunc('day', o_orderdate)
+),
+idx AS (
+    SELECT rev, row_number() OVER (ORDER BY day) - 1 AS i FROM daily
+),
+tot AS (
+    SELECT count(*) AS n,
+           sum(CAST(rev AS DECIMAL(38,0))) AS s,
+           sum(CAST(rev AS DECIMAL(38,0)) * CAST(rev AS DECIMAL(38,0))) AS q
+    FROM idx
+),
+periods AS (SELECT unnest(range(2, 31)) AS p),
+folded AS (
+    SELECT p, i % p AS residue,
+           count(*) AS ng,
+           sum(CAST(rev AS DECIMAL(38,0))) AS sg
+    FROM idx, periods
+    GROUP BY p, i % p
+),
+buckets AS (
+    SELECT p, ng, sum(sg * sg) AS ss
+    FROM folded GROUP BY p, ng
+),
+lims AS (
+    SELECT p, ng, ss,
+           min(ng) OVER (PARTITION BY p) AS n_lo,
+           max(ng) OVER (PARTITION BY p) AS n_hi
+    FROM buckets
+),
+pernum AS (
+    SELECT p, n_lo, n_hi,
+           sum(ss * CAST(n_lo * n_hi / ng AS DECIMAL(38,0))) AS ssb_scaled
+    FROM lims GROUP BY p, n_lo, n_hi
+)
+SELECT CAST(p AS INTEGER) AS period,
+       CAST(t.n AS BIGINT) AS n_days,
+       round(CAST(t.n * ssb_scaled - t.s * t.s * n_lo * n_hi AS DOUBLE)
+             / CAST((t.n * t.q - t.s * t.s) * n_lo * n_hi AS DOUBLE),
+             6) AS explained_ratio
+FROM pernum, tot t
+ORDER BY period
+"""
+
+
+@query("periodicity_scan_anova", _PERIODICITY_ORACLE)
+def periodicity_scan_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden-periodicity scan over daily revenue: fold the series by
+    every candidate period 2..30 and score each fold by the exact
+    variance-explained ratio SSB/SST (the ANOVA periodogram — the
+    trig-free analog of the DFT power spectrum, used for period
+    detection when libm cos/sin would break cross-engine hashes). The
+    series is calendar-bounded after the daily rollup, so the scan is
+    days x 29 rows regardless of input scale; the rollup itself is the
+    only shuffle that grows with data."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("rev")
+    )
+    idx = daily.select(
+        "rev", (F.row_number().over(Window.orderBy("day")) - 1).alias("i")
+    ).localCheckpoint(eager=False)
+    rev = F.col("rev").cast("decimal(38,0)")
+    tot = idx.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(rev).cast("decimal(38,0)").alias("s"),
+        F.sum(rev * rev).cast("decimal(38,0)").alias("q"),
+    )
+    periods = spark.range(2, 31).select(F.col("id").alias("p"))
+    folded = (
+        idx.crossJoin(F.broadcast(periods))
+        .groupBy("p", (F.col("i") % F.col("p")).alias("residue"))
+        .agg(
+            F.count(F.lit(1)).alias("ng"),
+            F.sum(rev).cast("decimal(38,0)").alias("sg"),
+        )
+    )
+    buckets = folded.groupBy("p", "ng").agg(
+        F.sum(F.col("sg") * F.col("sg")).alias("ss")
+    )
+    w = Window.partitionBy("p")
+    lims = buckets.select(
+        "p",
+        "ng",
+        "ss",
+        F.min("ng").over(w).alias("n_lo"),
+        F.max("ng").over(w).alias("n_hi"),
+    )
+    pernum = lims.groupBy("p", "n_lo", "n_hi").agg(
+        F.sum(
+            F.col("ss")
+            * (F.col("n_lo") * F.col("n_hi") / F.col("ng")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("ssb_scaled")
+    )
+    n, s, q = F.col("n"), F.col("s"), F.col("q")
+    return (
+        pernum.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("p").cast("int").alias("period"),
+            n.cast("bigint").alias("n_days"),
+            F.round(
+                (n * F.col("ssb_scaled") - s * s * F.col("n_lo") * F.col("n_hi"))
+                .cast("double")
+                / ((n * q - s * s) * F.col("n_lo") * F.col("n_hi")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("explained_ratio"),
+        )
+        .orderBy("period")
+    )

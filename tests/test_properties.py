@@ -4307,3 +4307,44 @@ def test_kalman_filter_1d_matches_numpy_replay(spark, sf_smoke):
         assert r.p_final == p
         if n >= 10:
             assert p_star <= r.p_final < p_star + 1e-6
+
+
+def test_periodicity_scan_anova_matches_pandas_replay(spark, sf_smoke):
+    """periodicity_scan_anova vs an independent pandas/numpy replay
+    that computes SSB/SST the direct way (group means, not the
+    multiplied-through exact-integer form the engine uses)."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    orders = pd.read_parquet(f"{sf_smoke}/orders.parquet")
+    daily = (
+        orders.assign(
+            day=pd.to_datetime(orders["o_orderdate"]).dt.floor("D"),
+            cents=(orders["o_totalprice"] * 100).round(0).astype("int64"),
+        )
+        .groupby("day")["cents"]
+        .sum()
+        .sort_index()
+        .to_numpy(dtype=np.float64)
+    )
+    n = daily.size
+    sst = ((daily - daily.mean()) ** 2).sum()
+    expected = {}
+    for p in range(2, 31):
+        ssb = 0.0
+        for r in range(p):
+            grp = daily[r::p]
+            ssb += grp.size * (grp.mean() - daily.mean()) ** 2
+        expected[p] = ssb / sst
+
+    rows = registry.QUERIES["periodicity_scan_anova"](
+        spark, sf_smoke
+    ).collect()
+    assert [r.period for r in rows] == list(range(2, 31))
+    for r in rows:
+        assert r.n_days == n
+        assert 0.0 <= r.explained_ratio <= 1.0
+        assert abs(r.explained_ratio - expected[r.period]) < 5e-6, r.period
