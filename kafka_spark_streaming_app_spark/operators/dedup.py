@@ -594,17 +594,28 @@ def prefix_filter_candidates(
     prefix = ranked.filter(
         F.col("r")
         <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    ).select(id_col, "shingle")
-    # NOTE measured tradeoff (sf0.1, shared-vocabulary fixture):
-    # prefix filtering generates ~500x more candidates than banded LSH
+    ).select(id_col, "shingle", "r")
+    # Candidate-volume note (sf0.1, shared-vocabulary fixture): the
+    # bare prefix join generates ~500x more candidates than banded LSH
     # (409k vs 766) because uniform shingle frequencies defeat the
-    # rare-first heuristic — completeness costs verification volume.
-    # Production PPJoin adds positional filters to close that gap; the
-    # LSH twin remains the default scale path, this operator the
-    # exact-complete alternative.
+    # rare-first heuristic. The PPJoin POSITIONAL filter below closes
+    # most of that gap while staying exactly complete: a pair with
+    # J >= t needs overlap alpha = ceil(t/(1+t) * (|A|+|B|)), and at
+    # the pair's FIRST common prefix shingle (positions r_a, r_b under
+    # the global order) no common shingle precedes either position, so
+    # overlap <= 1 + min(|A| - r_a, |B| - r_b). Filtering each matched
+    # occurrence by that bound keeps the first match of every true
+    # pair (OR-over-matches), so no false negatives; late-position
+    # collisions — the bulk of the uniform-frequency blowup — drop
+    # before the exact verify. The epsilon loosens alpha by <1e-9 so
+    # float roundoff can only relax the bound, never tighten it.
     prefix = prefix.join(sizes, id_col)
     a = prefix.alias("a")
     b = prefix.alias("b")
+    sz_a, sz_b = F.col("a.sz"), F.col("b.sz")
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (sz_a + sz_b) - F.lit(1e-9)
+    )
     # sound length filter: J ≥ t ⇒ min(|A|,|B|)/max(|A|,|B|) ≥ t
     return (
         a.join(
@@ -612,8 +623,13 @@ def prefix_filter_candidates(
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             & (
-                F.least(F.col("a.sz"), F.col("b.sz"))
-                >= threshold * F.greatest(F.col("a.sz"), F.col("b.sz"))
+                F.least(sz_a, sz_b)
+                >= threshold * F.greatest(sz_a, sz_b)
+            )
+            & (
+                F.lit(1)
+                + F.least(sz_a - F.col("a.r"), sz_b - F.col("b.r"))
+                >= alpha
             ),
         )
         .select(
