@@ -1504,3 +1504,55 @@ def kmv_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# --- Jaro-Winkler record linkage ---------------------------------------------
+# Spark ships levenshtein but no Jaro-Winkler; the engine implements
+# it from scratch (operators/text.py) and DuckDB's NATIVE
+# jaro_winkler_similarity is the independent oracle — a true
+# cross-engine differential test of the metric itself (greedy window
+# matching, half-transpositions, prefix boost), not just of plumbing.
+_JW_ORACLE = """
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+ AND a.p_partkey < b.p_partkey
+WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.88
+ORDER BY id_a, id_b
+"""
+
+
+@query("jaro_winkler_linkage", _JW_ORACLE)
+def jaro_winkler_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked Jaro-Winkler linkage join over part names: candidate
+    pairs come from an equi-join on the (p_brand, p_size) blocking
+    key — never all-pairs, the standard record-linkage discipline
+    (same blocking posture as fellegi_sunter_linkage) — then the
+    from-scratch Jaro-Winkler (Arrow-batched pandas_udf; Spark has no
+    builtin) scores each pair and keeps matches at >= 0.88. Verified
+    bit-exact against DuckDB's native implementation on every blocked
+    pair. Block sizes are bounded by the key's selectivity, so the
+    shuffle is blocking-key-proportional at any corpus size."""
+    from ..operators.text import jaro_winkler_col
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_size"
+    )
+    a = part.alias("a")
+    b = part.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_size") == F.col("b.p_size"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).select(
+        F.col("a.p_partkey").alias("id_a"),
+        F.col("b.p_partkey").alias("id_b"),
+        jaro_winkler_col(F.col("a.p_name"), F.col("b.p_name")).alias("jw_raw"),
+    )
+    return (
+        pairs.filter(F.col("jw_raw") >= 0.88)
+        .select("id_a", "id_b", F.round("jw_raw", 6).alias("jw"))
+        .orderBy("id_a", "id_b")
+    )
