@@ -548,3 +548,193 @@ def wordpiece_greedy_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("word").cast("bigint").alias("n_words"),
         F.sum("freq").cast("bigint").alias("total_uses"),
     )
+
+
+# --- Viterbi (DP-optimal) segmentation over the SAME WordPiece vocab ---------
+# The third production tokenizer family: BPE applies merge order,
+# WordPiece applies greedy longest-match, SentencePiece-style
+# inference applies dynamic programming over the whole word. Here the
+# DP minimizes piece count (uniform edge cost) with a deterministic
+# (np, path) tie-break, over exactly the vocab wordpiece_greedy builds
+# — so the two queries contrast greedy vs optimal on identical inputs
+# (greedy is provably suboptimal on e.g. vocab {ab,bcd,a}, word
+# "abcd": 3 pieces greedy vs 2 optimal).
+
+
+def _viterbi_oracle() -> str:
+    steps = []
+    for i in range(1, _WP_STEPS + 1):
+        p = i - 1
+        steps.append(f""",
+e{i} AS (
+    SELECT f.word, f.freq, f.pos + len(v.piece) AS pos, f.np + 1 AS np,
+           f.path || CASE WHEN f.pos = 0 THEN '' ELSE ' ' END ||
+           CASE WHEN f.pos = 0 THEN v.piece ELSE '##' || v.piece END AS path
+    FROM f{p} f JOIN vocab v
+      ON v.form = (CASE WHEN f.pos = 0 THEN 'start' ELSE 'cont' END)
+     AND v.piece = substr(f.word, f.pos + 1, len(v.piece))
+),
+f{i} AS (
+    SELECT word, freq, pos, np, path FROM (
+        SELECT *, row_number() OVER (PARTITION BY word, pos
+                                     ORDER BY np, path) AS rk
+        FROM (SELECT * FROM f{p} UNION ALL SELECT * FROM e{i})
+    ) WHERE rk = 1
+)""")
+    return f"""
+WITH words AS (
+    SELECT w AS word, count(*) AS freq FROM (
+        SELECT unnest({TOKENS_SQL.format(x="text")}) AS w FROM documents
+    ) WHERE w <> ''
+    GROUP BY w
+),
+cand AS (
+    SELECT form, piece, sum(freq) AS wt FROM (
+        SELECT CASE WHEN p = 1 THEN 'start' ELSE 'cont' END AS form,
+               substr(word, CAST(p AS INTEGER), CAST(l AS INTEGER)) AS piece,
+               freq
+        FROM words,
+             unnest(range(1, len(word) + 1)) AS t1(p),
+             unnest(range(1, {_WP_MAXLEN + 1})) AS t2(l)
+        WHERE p + l - 1 <= len(word)
+    ) GROUP BY form, piece
+),
+multi AS (
+    SELECT form, piece FROM (
+        SELECT *, row_number() OVER (
+            ORDER BY wt DESC, len(piece) DESC, form, piece) AS rk
+        FROM cand WHERE len(piece) >= 2
+    ) WHERE rk <= {_WP_TOPV}
+),
+vocab AS (
+    SELECT form, piece FROM cand WHERE len(piece) = 1
+    UNION
+    SELECT form, piece FROM multi
+),
+f0 AS (SELECT word, freq, 0 AS pos, 0 AS np, '' AS path
+       FROM words){"".join(steps)}
+SELECT word, CAST(freq AS BIGINT) AS freq,
+       CAST(np AS INTEGER) AS n_pieces, path AS segmentation
+FROM f{_WP_STEPS} WHERE pos = len(word)
+"""
+
+
+@query("viterbi_segmentation", _viterbi_oracle())
+def viterbi_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP-OPTIMAL subword segmentation (SentencePiece-style Viterbi
+    inference): per corpus word, the minimum-piece segmentation over
+    the same single-char + top-40-multi vocab wordpiece_greedy builds,
+    with a deterministic (piece-count, path) tie-break applied
+    identically at every DP state in both engines. The corpus
+    collapses to (word, freq) first, so the DP frontier is
+    vocabulary-sized x word positions regardless of corpus scale; each
+    of the max-word-length rounds is one broadcast join + one
+    per-(word, pos) min-reduce; the unroll depth guard raises loudly
+    on longer words rather than truncating."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy(F.col("w").alias("word"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=False)
+    )
+    max_len = words.agg(F.max(F.length("word"))).first()[0]
+    if max_len is not None and max_len > _WP_STEPS:
+        raise ValueError(
+            f"viterbi_segmentation: corpus has a {max_len}-char word "
+            f"but the DP unroll covers {_WP_STEPS} steps — raise "
+            "_WP_STEPS (and the oracle unroll) rather than truncating"
+        )
+    cand = (
+        words.select(
+            "word",
+            "freq",
+            F.posexplode(F.sequence(F.lit(1), F.length("word"))).alias(
+                "_i", "p"
+            ),
+        )
+        .select(
+            "word",
+            "freq",
+            "p",
+            F.explode(F.sequence(F.lit(1), F.lit(_WP_MAXLEN))).alias("l"),
+        )
+        .filter(F.col("p") + F.col("l") - 1 <= F.length("word"))
+        .select(
+            F.when(F.col("p") == 1, F.lit("start"))
+            .otherwise(F.lit("cont"))
+            .alias("form"),
+            F.substring(F.col("word"), F.col("p"), F.col("l")).alias("piece"),
+            "freq",
+        )
+        .groupBy("form", "piece")
+        .agg(F.sum("freq").alias("wt"))
+    )
+    wv = Window.orderBy(
+        F.desc("wt"), F.desc(F.length("piece")), F.asc("form"), F.asc("piece")
+    )
+    multi = (
+        cand.filter(F.length("piece") >= 2)
+        .withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") <= _WP_TOPV)
+        .select("form", "piece")
+    )
+    vocab = (
+        cand.filter(F.length("piece") == 1)
+        .select("form", "piece")
+        .union(multi)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    states = words.select(
+        "word",
+        "freq",
+        F.lit(0).alias("pos"),
+        F.lit(0).alias("np"),
+        F.lit("").alias("path"),
+    )
+    wm = Window.partitionBy("word", "pos").orderBy(F.asc("np"), F.asc("path"))
+    for _ in range(_WP_STEPS):
+        ext = states.join(
+            F.broadcast(vocab),
+            (
+                F.col("form")
+                == F.when(F.col("pos") == 0, F.lit("start")).otherwise(
+                    F.lit("cont")
+                )
+            )
+            & (
+                F.col("piece")
+                == F.substring(
+                    F.col("word"), F.col("pos") + 1, F.length("piece")
+                )
+            ),
+        ).select(
+            "word",
+            "freq",
+            (F.col("pos") + F.length("piece")).alias("pos"),
+            (F.col("np") + 1).alias("np"),
+            F.concat(
+                F.col("path"),
+                F.when(F.col("pos") == 0, F.lit("")).otherwise(F.lit(" ")),
+                F.when(F.col("pos") == 0, F.col("piece")).otherwise(
+                    F.concat(F.lit("##"), F.col("piece"))
+                ),
+            ).alias("path"),
+        )
+        states = (
+            states.unionByName(ext)
+            .withColumn("rk", F.row_number().over(wm))
+            .filter(F.col("rk") == 1)
+            .drop("rk")
+            .localCheckpoint(eager=False)
+        )
+    return states.filter(F.col("pos") == F.length("word")).select(
+        "word",
+        F.col("freq").cast("bigint").alias("freq"),
+        F.col("np").cast("int").alias("n_pieces"),
+        F.col("path").alias("segmentation"),
+    )

@@ -4348,3 +4348,60 @@ def test_periodicity_scan_anova_matches_pandas_replay(spark, sf_smoke):
         assert r.n_days == n
         assert 0.0 <= r.explained_ratio <= 1.0
         assert abs(r.explained_ratio - expected[r.period]) < 5e-6, r.period
+
+
+def test_viterbi_segmentation_is_optimal_vs_python_dp(spark, sf_smoke):
+    """viterbi_segmentation vs an independent pure-Python DP over an
+    independently-rebuilt vocab: piece counts must be exactly the
+    brute-force optimum, segmentations must re-concatenate to the
+    word, and no greedy longest-match result may beat the DP."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    docs = pd.read_parquet(f"{sf_smoke}/documents.parquet")
+    words = Counter()
+    for text in docs["text"]:
+        for w in re.findall(r"[a-z0-9]+", str(text).lower()):
+            words[w] += 1
+    # rebuild the vocab rule: all single chars + top-40 multi (2..4)
+    cand = Counter()
+    for w, f in words.items():
+        for p in range(len(w)):
+            for ln in range(1, 5):
+                if p + ln <= len(w):
+                    form = "start" if p == 0 else "cont"
+                    cand[(form, w[p : p + ln])] += f
+    multi = sorted(
+        ((wt, len(pc), form, pc) for (form, pc), wt in cand.items()
+         if len(pc) >= 2),
+        key=lambda t: (-t[0], -t[1], t[2], t[3]),
+    )[:40]
+    vocab = {(form, pc) for (form, pc), _ in cand.items() if len(pc) == 1}
+    vocab |= {(form, pc) for _, _, form, pc in multi}
+
+    def dp_min_pieces(w):
+        best = [None] * (len(w) + 1)
+        best[0] = 0
+        for pos in range(len(w)):
+            if best[pos] is None:
+                continue
+            form = "start" if pos == 0 else "cont"
+            for ln in range(1, 5):
+                if pos + ln <= len(w) and (form, w[pos : pos + ln]) in vocab:
+                    nxt = best[pos] + 1
+                    if best[pos + ln] is None or nxt < best[pos + ln]:
+                        best[pos + ln] = nxt
+        return best[len(w)]
+
+    rows = registry.QUERIES["viterbi_segmentation"](spark, sf_smoke).collect()
+    assert {r.word for r in rows} == set(words)
+    for r in rows:
+        assert r.n_pieces == dp_min_pieces(r.word), r.word
+        joined = r.segmentation.replace(" ##", "")
+        assert joined == r.word
+        assert r.freq == words[r.word]
