@@ -2625,3 +2625,138 @@ def g711_audio_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         stats, schema=G711_STATS_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# FLAC (compressed audio) media
+# --------------------------------------------------------------------------
+
+FLAC_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("channel", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("sample_sum", T.LongType(), True),
+        T.StructField("sample_min", T.IntegerType(), True),
+        T.StructField("sample_max", T.IntegerType(), True),
+        T.StructField("abs_sum", T.LongType(), True),
+        T.StructField("posw_sum", T.LongType(), True),
+    ]
+)
+
+
+def _flac_fixture(d: int):
+    """Closed-form PCM plant mirrored exactly by the DuckDB oracle:
+    1-2 channels, constant docs (d%13), wasted-bits docs (d%11 —
+    samples share two trailing zero bits), quadratic-residue noise
+    otherwise."""
+    n = d % 777 + 64
+    nch = 2 if d % 3 == 0 else 1
+    scale = 4 if d % 11 == 0 else 1
+    chans = []
+    for c in range(nch):
+        if d % 13 == 0:
+            v = (d % 201 - 100) if c == 0 else (d % 157 - 78)
+            chans.append([v] * n)
+        elif c == 0:
+            chans.append(
+                [
+                    ((d * 13 + 71 * i + (i * i * 7) % 97) % 2001 - 1000)
+                    * scale
+                    for i in range(n)
+                ]
+            )
+        else:
+            chans.append(
+                [
+                    ((d * 17 + 53 * i + (i * i * 11) % 89) % 2001 - 1000)
+                    * scale
+                    for i in range(n)
+                ]
+            )
+    return chans
+
+
+def synthesize_flac_media(documents: DataFrame) -> DataFrame:
+    """REAL FLAC fixture: every doc becomes a genuine FLAC file —
+    Rice-coded fixed-predictor subframes of every order plus VERBATIM
+    and auto-detected CONSTANT, escape partitions on d%7 docs, wasted
+    bits on d%11 docs, and the stereo docs rotate through all four
+    channel-decorrelation modes; CRC-8/CRC-16 and the STREAMINFO MD5
+    are live on every file."""
+    from .flaccodec import encode_flac
+
+    modes = ("independent", "left_side", "right_side", "mid_side")
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                chans = _flac_fixture(d)
+                mode = modes[d % 4] if len(chans) == 2 else "independent"
+                rows.append(
+                    {
+                        "media_id": d,
+                        "codec": "flac",
+                        "payload": encode_flac(
+                            chans,
+                            channel_mode=mode,
+                            subframe_plan=lambda f, c, d=d: (
+                                None
+                                if (f + c + d) % 6 == 0
+                                else (f + c + d) % 6 - 1
+                            ),
+                            escape_first=(d % 7 == 0),
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "codec", "payload"])
+
+    return documents.select("doc_id").mapInPandas(
+        render, schema=IMAGE_MEDIA_SCHEMA
+    )
+
+
+def flac_sample_stats(media: DataFrame) -> DataFrame:
+    """REAL FLAC decode: full bitstream walk (frame sync, CRC-8
+    header check, subframe dispatch, Rice/escape residual decode,
+    fixed-predictor reconstruction, wasted-bit restore, channel
+    de-decorrelation, CRC-16 and STREAMINFO-MD5 verification — any
+    mismatch raises rather than mis-decoding); one exact integer
+    stats row per (media, channel)."""
+    import numpy as np
+
+    from .flaccodec import decode_flac
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                out = decode_flac(bytes(payload))
+                for ch, samples in enumerate(out["samples"]):
+                    v = np.asarray(samples, dtype=np.int64)
+                    i = np.arange(v.size, dtype=np.int64)
+                    rows.append(
+                        {
+                            "media_id": int(media_id),
+                            "channel": ch,
+                            "sample_rate": out["sample_rate"],
+                            "n_channels": out["channels"],
+                            "n_samples": int(v.size),
+                            "sample_sum": int(v.sum()),
+                            "sample_min": int(v.min()),
+                            "sample_max": int(v.max()),
+                            "abs_sum": int(np.abs(v).sum()),
+                            "posw_sum": int((v * (i % 31)).sum()),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FLAC_STATS_SCHEMA]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        stats, schema=FLAC_STATS_SCHEMA
+    )

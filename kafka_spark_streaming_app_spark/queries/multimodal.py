@@ -1746,3 +1746,68 @@ def multimodal_audio_g711_decode(
 
     media = synthesize_g711_media(load_table(spark, sf_dir, "documents"))
     return g711_audio_stats(media)
+
+
+# FLAC: the codec is lossless, so the oracle re-derives every decoded
+# sample from the closed-form plant — the entire compressed path
+# (Rice words, fixed predictors, decorrelation modes, CRCs, MD5) sits
+# between the plant and the hash.
+_FLAC_ORACLE = """
+WITH d AS (
+    SELECT doc_id, doc_id % 777 + 64 AS n,
+           CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS nch,
+           CASE WHEN doc_id % 11 = 0 THEN 4 ELSE 1 END AS scale
+    FROM documents
+),
+ch AS (
+    SELECT doc_id, n, nch, scale, c.c AS channel
+    FROM d, LATERAL (SELECT unnest(range(0, nch)) AS c) c
+),
+s AS (
+    SELECT doc_id, n, nch, channel, i.i AS i,
+        CASE WHEN doc_id % 13 = 0 THEN
+                 CASE WHEN channel = 0 THEN doc_id % 201 - 100
+                      ELSE doc_id % 157 - 78 END
+             WHEN channel = 0 THEN
+                 ((doc_id * 13 + 71 * i.i + (i.i * i.i * 7) % 97) % 2001
+                  - 1000) * scale
+             ELSE
+                 ((doc_id * 17 + 53 * i.i + (i.i * i.i * 11) % 89) % 2001
+                  - 1000) * scale
+        END AS v
+    FROM ch, LATERAL (SELECT unnest(range(0, n)) AS i) i
+)
+SELECT doc_id AS media_id,
+       CAST(channel AS INTEGER) AS channel,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(nch AS INTEGER) AS n_channels,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(sum(v) AS BIGINT) AS sample_sum,
+       CAST(min(v) AS INTEGER) AS sample_min,
+       CAST(max(v) AS INTEGER) AS sample_max,
+       CAST(sum(abs(v)) AS BIGINT) AS abs_sum,
+       CAST(sum(v * (i % 31)) AS BIGINT) AS posw_sum
+FROM s
+GROUP BY doc_id, channel, nch, n
+"""
+
+
+@query("multimodal_flac_decode", _FLAC_ORACLE)
+def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED-AUDIO decode: genuine FLAC files (Rice-coded
+    residuals with escape partitions, fixed predictors 0-4, VERBATIM
+    and CONSTANT subframes, wasted bits, all four stereo
+    decorrelation modes, CRC-8/CRC-16, STREAMINFO MD5) decoded by the
+    from-scratch fixed-predictor-subset codec in an Arrow-batched
+    mapInPandas stage; the decoder self-verifies both CRCs and the
+    MD5 of its own output, and per-(media, channel) exact integer
+    stats hash-check every decoded sample against the closed-form
+    plant. The Rice/unary wire format is additionally pinned by
+    hand-derived bitstreams in tests/test_flaccodec.py."""
+    from ..operators.multimodal import (
+        flac_sample_stats,
+        synthesize_flac_media,
+    )
+
+    media = synthesize_flac_media(load_table(spark, sf_dir, "documents"))
+    return flac_sample_stats(media)
