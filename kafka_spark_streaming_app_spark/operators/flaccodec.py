@@ -260,6 +260,10 @@ def _write_subframe(
         w.write(0, 1)
         w.write_signed(samples[0], bps)
         return
+    if order is not None and order >= n:
+        # a FIXED subframe needs `order` warmup samples strictly inside
+        # the block; short final frames fall back to VERBATIM
+        order = None
     wasted = _common_trailing_zeros(samples)
     if wasted:
         samples = [s >> wasted for s in samples]

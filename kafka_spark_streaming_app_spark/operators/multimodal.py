@@ -2495,8 +2495,15 @@ def synthesize_gif_animation_media(documents: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "codec", "payload"])
 
-    return documents.select("doc_id").mapInPandas(
-        render, schema=IMAGE_MEDIA_SCHEMA
+    # explicit partition count for the same AQE-coalescing reason as
+    # synthesize_flac_media: per-row LZW work, not bytes, is the load.
+    return (
+        documents.select("doc_id")
+        .repartition(
+            documents.sparkSession.sparkContext.defaultParallelism,
+            "doc_id",
+        )
+        .mapInPandas(render, schema=IMAGE_MEDIA_SCHEMA)
     )
 
 
@@ -2715,8 +2722,18 @@ def synthesize_flac_media(documents: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "codec", "payload"])
 
-    return documents.select("doc_id").mapInPandas(
-        render, schema=IMAGE_MEDIA_SCHEMA
+    # explicit partition count: AQE sizes coalescing by shuffle BYTES,
+    # and a few MB of doc_ids would collapse onto one task — but each
+    # row fans out into a full Rice encode + decode downstream, so the
+    # Python codec stages need the row-count spread, not byte spread
+    # (same reasoning as similarity._prep_vectors).
+    return (
+        documents.select("doc_id")
+        .repartition(
+            documents.sparkSession.sparkContext.defaultParallelism,
+            "doc_id",
+        )
+        .mapInPandas(render, schema=IMAGE_MEDIA_SCHEMA)
     )
 
 
