@@ -212,6 +212,22 @@ PROBES = (
     # compaction: Nx rows fragment + rewrite + digest, all row-linear
     "streaming_bitmap_rollup",
     "compaction_roundtrip_digest",
+    # round-9 continuation: the GIF/G.711/FLAC decodes are per-payload
+    # mapInPandas stages (fixture encode + full decode both per doc,
+    # row-linear by construction); the periodicity scan collapses to
+    # the calendar-bounded daily series then does a 29-period fold;
+    # viterbi's (word, freq) collapse leaves a vocabulary-sized DP
+    # (freqs scale Nx, distinct words constant — exactly real
+    # duplication). EXCLUDED: jaro_winkler_linkage — duplicated
+    # p_partkeys multiply its blocked pairs N^2 under file copying,
+    # the dedup/linkage-family fixture artifact (same exclusion as
+    # fellegi_sunter_linkage).
+    "multimodal_gif_decode",
+    "multimodal_gif_animation_frames",
+    "multimodal_audio_g711_decode",
+    "multimodal_flac_decode",
+    "periodicity_scan_anova",
+    "viterbi_segmentation",
 )
 
 
