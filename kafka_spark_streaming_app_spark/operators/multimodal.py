@@ -2777,3 +2777,111 @@ def flac_sample_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         stats, schema=FLAC_STATS_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# TIFF media
+# --------------------------------------------------------------------------
+
+TIFF_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("compression", T.IntegerType(), True),
+        T.StructField("n_strips", T.IntegerType(), True),
+        T.StructField("n_pixels", T.LongType(), True),
+        T.StructField("pixel_sum", T.LongType(), True),
+        T.StructField("pixel_min", T.IntegerType(), True),
+        T.StructField("pixel_max", T.IntegerType(), True),
+    ]
+)
+
+
+def _tiff_fixture(d: int):
+    """Closed-form grayscale plant mirrored by the DuckDB oracle:
+    PackBits docs (d%3==0) get run-friendly rows, the rest
+    high-entropy pixels; strip heights 1..5 cross the multi-strip /
+    single-strip and inline/out-of-line IFD storage paths."""
+    w, h = d % 21 + 4, d % 15 + 3
+    rps = d % 5 + 1
+    if d % 3 == 0:
+        px = [
+            (d + y + (x // 6) * 11) % 256
+            for y in range(h)
+            for x in range(w)
+        ]
+    else:
+        px = [
+            (d * 5 + 3 * x + 7 * y + (x * y) % 13) % 256
+            for y in range(h)
+            for x in range(w)
+        ]
+    return w, h, rps, px
+
+
+def synthesize_tiff_media(documents: DataFrame) -> DataFrame:
+    """REAL TIFF fixture: genuine II/MM files (byte order by doc
+    parity), multi-strip layouts with out-of-line StripOffsets /
+    StripByteCounts arrays, PackBits RLE on every third doc."""
+    from .tiffcodec import encode_tiff
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, rps, px = _tiff_fixture(d)
+                rows.append(
+                    {
+                        "media_id": d,
+                        "codec": "tiff",
+                        "payload": encode_tiff(
+                            px,
+                            w,
+                            h,
+                            big_endian=d % 2 == 0,
+                            packbits=d % 3 == 0,
+                            rows_per_strip=rps,
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "codec", "payload"])
+
+    return documents.select("doc_id").mapInPandas(
+        render, schema=IMAGE_MEDIA_SCHEMA
+    )
+
+
+def tiff_pixel_stats(media: DataFrame) -> DataFrame:
+    """REAL TIFF decode: endian-aware IFD walk, inline-vs-offset tag
+    values, strip reassembly, PackBits expansion; one exact integer
+    stats row per media."""
+    from .tiffcodec import decode_tiff
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                out = decode_tiff(bytes(payload))
+                px = out["pixels"]
+                rows.append(
+                    {
+                        "media_id": int(media_id),
+                        "width": out["width"],
+                        "height": out["height"],
+                        "compression": out["compression"],
+                        "n_strips": out["n_strips"],
+                        "n_pixels": len(px),
+                        "pixel_sum": sum(px),
+                        "pixel_min": min(px),
+                        "pixel_max": max(px),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in TIFF_STATS_SCHEMA]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        stats, schema=TIFF_STATS_SCHEMA
+    )

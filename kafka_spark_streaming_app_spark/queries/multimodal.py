@@ -1811,3 +1811,56 @@ def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_flac_media(load_table(spark, sf_dir, "documents"))
     return flac_sample_stats(media)
+
+
+# TIFF: byte order, IFD storage classes, strip math and PackBits all
+# sit between the closed-form plant and the hash.
+_TIFF_ORACLE = """
+WITH d AS (
+    SELECT doc_id, doc_id % 21 + 4 AS w, doc_id % 15 + 3 AS h,
+           doc_id % 5 + 1 AS rps
+    FROM documents
+),
+px AS (
+    SELECT doc_id, w, h, rps,
+           CASE WHEN doc_id % 3 = 0
+                THEN (doc_id + y.y + (x.x // 6) * 11) % 256
+                ELSE (doc_id * 5 + 3 * x.x + 7 * y.y
+                      + (x.x * y.y) % 13) % 256
+           END AS v
+    FROM d,
+         LATERAL (SELECT unnest(range(0, w)) AS x) x,
+         LATERAL (SELECT unnest(range(0, h)) AS y) y
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 32773 ELSE 1 END AS INTEGER)
+           AS compression,
+       CAST((h + rps - 1) // rps AS INTEGER) AS n_strips,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(sum(v) AS BIGINT) AS pixel_sum,
+       CAST(min(v) AS INTEGER) AS pixel_min,
+       CAST(max(v) AS INTEGER) AS pixel_max
+FROM px
+GROUP BY doc_id, w, h, rps
+"""
+
+
+@query("multimodal_tiff_decode", _TIFF_ORACLE)
+def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF decode: genuine little- and big-endian files with
+    multi-strip layouts (out-of-line StripOffsets/StripByteCounts
+    arrays when they outgrow the 4-byte inline slot) and PackBits RLE
+    on every third doc, decoded by the from-scratch codec in an
+    Arrow-batched mapInPandas stage; per-media exact integer pixel
+    stats hash-checked against the closed-form plant. PackBits is
+    additionally pinned by the specification's worked example in
+    tests/test_tiffcodec.py."""
+    from ..operators.multimodal import (
+        synthesize_tiff_media,
+        tiff_pixel_stats,
+    )
+
+    media = synthesize_tiff_media(load_table(spark, sf_dir, "documents"))
+    return tiff_pixel_stats(media)
