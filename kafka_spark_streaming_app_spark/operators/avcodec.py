@@ -371,3 +371,157 @@ def encode_wav_g711(
         + b"data" + struct.pack("<I", len(g711_bytes)) + g711_bytes + pad
     )
     return _RIFF_MAGIC + struct.pack("<I", len(body)) + body
+
+
+# --------------------------------------------------------------------------
+# IMA ADPCM (WAV format code 0x11)
+# --------------------------------------------------------------------------
+# The classic 4-bit stateful compander: each nibble updates a
+# (predictor, step-index) state machine, blocks restart from a 4-byte
+# header whose predictor IS the block's first emitted sample (so
+# blocks decode independently). Unlike G.711 the decode is stateful,
+# so the DuckDB oracle replays the whole state machine with a
+# recursive CTE rather than a per-byte formula (queries/multimodal).
+# Mono only; stereo's interleaved 4-byte channel groups are outside
+# the subset and raise loudly.
+
+IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def ima_step(pred: int, idx: int, nib: int):
+    """One IMA ADPCM state transition: returns (new_pred, new_idx)."""
+    step = IMA_STEP_TABLE[idx]
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = -32768 if pred < -32768 else 32767 if pred > 32767 else pred
+    idx += IMA_INDEX_TABLE[nib & 7]
+    idx = 0 if idx < 0 else 88 if idx > 88 else idx
+    return pred, idx
+
+
+def ima_encode_sample(pred: int, idx: int, x: int) -> int:
+    """Standard IMA quantizer: pick the nibble whose decode lands
+    closest below the target difference."""
+    step = IMA_STEP_TABLE[idx]
+    diff = x - pred
+    nib = 0
+    if diff < 0:
+        nib = 8
+        diff = -diff
+    if diff >= step:
+        nib |= 4
+        diff -= step
+    if diff >= step >> 1:
+        nib |= 2
+        diff -= step >> 1
+    if diff >= step >> 2:
+        nib |= 1
+    return nib
+
+
+def encode_wav_ima(
+    nibbles, pred0: int, idx0: int, n_samples: int,
+    sample_rate: int = 8000, block_align: int = 36,
+) -> bytes:
+    """Write a mono IMA-ADPCM WAV from an explicit nibble stream and
+    initial state: block headers are produced by running the real
+    state machine (each block's header carries the decoder state at
+    its first sample), final block zero-padded to block_align with
+    the fact chunk capping the emitted count."""
+    spb = (block_align - 4) * 2 + 1
+    pred, idx = pred0, idx0
+    nit = iter(nibbles)
+    blocks = []
+    emitted = 0
+    while emitted < n_samples:
+        hdr = struct.pack("<hBB", pred, idx, 0)
+        emitted += 1  # the header predictor is a sample
+        payload = bytearray()
+        cur = 0
+        half = False
+        in_block = 0
+        while in_block < spb - 1 and emitted < n_samples:
+            nib = next(nit) & 0xF
+            pred, idx = ima_step(pred, idx, nib)
+            if half:
+                payload[-1] |= nib << 4
+            else:
+                payload.append(nib)
+            half = not half
+            in_block += 1
+            emitted += 1
+        payload += bytes(block_align - 4 - len(payload))
+        blocks.append(hdr + bytes(payload))
+    data = b"".join(blocks)
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate,
+        sample_rate * block_align // spb, block_align, 4, 2, spb,
+    )
+    body = (
+        _WAVE_TAG
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n_samples)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return _RIFF_MAGIC + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_ima(data: bytes):
+    """Decode a mono IMA-ADPCM WAV to (samples list, header dict)."""
+    hdr = parse_wav_header(data)
+    if hdr["audio_format"] != 0x11 or hdr["bit_depth"] != 4:
+        raise NotImplementedError(
+            "decode_wav_ima handles WAV format 0x11 at 4 bits only "
+            f"(got format={hdr['audio_format']}, bits={hdr['bit_depth']})"
+        )
+    if hdr["channels"] != 1:
+        raise NotImplementedError(
+            "stereo IMA ADPCM (interleaved 4-byte channel groups) is "
+            "outside the subset"
+        )
+    ba = hdr["block_align"] if "block_align" in hdr else None
+    n_total = None
+    raw = None
+    for tag, body in _riff_chunks(data):
+        if tag == b"fmt ":
+            _, _, _, _, ba, _ = struct.unpack_from("<HHIIHH", body, 0)
+        elif tag == b"fact":
+            (n_total,) = struct.unpack_from("<I", body, 0)
+        elif tag == b"data":
+            raw = body
+    if raw is None or ba is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if n_total is None:
+        raise ValueError("IMA ADPCM WAV requires a fact chunk")
+    out = []
+    pos = 0
+    while pos + 4 <= len(raw) and len(out) < n_total:
+        pred, idx, _ = struct.unpack_from("<hBB", raw, pos)
+        if idx > 88:
+            raise ValueError("step index out of range")
+        out.append(pred)
+        for b in raw[pos + 4 : pos + ba]:
+            for nib in (b & 0xF, b >> 4):
+                if len(out) >= n_total:
+                    break
+                pred, idx = ima_step(pred, idx, nib)
+                out.append(pred)
+        pos += ba
+    if len(out) != n_total:
+        raise ValueError("IMA ADPCM data ran out before fact count")
+    return out, hdr

@@ -2885,3 +2885,87 @@ def tiff_pixel_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         stats, schema=TIFF_STATS_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# IMA ADPCM media
+# --------------------------------------------------------------------------
+
+ADPCM_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("sample_sum", T.LongType(), True),
+        T.StructField("sample_min", T.IntegerType(), True),
+        T.StructField("sample_max", T.IntegerType(), True),
+        T.StructField("posw_sum", T.LongType(), True),
+    ]
+)
+
+
+def synthesize_adpcm_media(documents: DataFrame) -> DataFrame:
+    """IMA-ADPCM WAV fixture: a closed-form nibble stream per doc
+    ((d*3 + 5j + j²%11) % 16) from a closed-form initial state, run
+    through the real state machine so every 36-byte block carries a
+    correct header; the DuckDB oracle replays the same machine with a
+    recursive CTE."""
+    from .avcodec import encode_wav_ima
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = d % 600 + 50
+                nibs = (
+                    (d * 3 + 5 * j + (j * j) % 11) % 16 for j in range(n)
+                )
+                rows.append(
+                    {
+                        "media_id": d,
+                        "codec": "wav",
+                        "payload": encode_wav_ima(
+                            nibs, d % 2001 - 1000, d % 89, n,
+                            block_align=36,
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "codec", "payload"])
+
+    return documents.select("doc_id").mapInPandas(
+        render, schema=IMAGE_MEDIA_SCHEMA
+    )
+
+
+def adpcm_sample_stats(media: DataFrame) -> DataFrame:
+    """IMA-ADPCM decode: per-block header restart, low-nibble-first
+    expansion through the (predictor, step-index) machine, fact-chunk
+    sample cap; one exact integer stats row per media."""
+    from .avcodec import decode_wav_ima
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples, hdr = decode_wav_ima(bytes(payload))
+                rows.append(
+                    {
+                        "media_id": int(media_id),
+                        "sample_rate": hdr["sample_rate"],
+                        "n_samples": len(samples),
+                        "sample_sum": sum(samples),
+                        "sample_min": min(samples),
+                        "sample_max": max(samples),
+                        "posw_sum": sum(
+                            v * (i % 29) for i, v in enumerate(samples)
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in ADPCM_STATS_SCHEMA]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        stats, schema=ADPCM_STATS_SCHEMA
+    )

@@ -1864,3 +1864,94 @@ def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_tiff_media(load_table(spark, sf_dir, "documents"))
     return tiff_pixel_stats(media)
+
+
+# IMA ADPCM: the decode is STATEFUL (each nibble updates a
+# (predictor, step-index) machine), so no per-byte formula exists —
+# the oracle replays the entire state machine with a recursive CTE,
+# including the block-boundary samples where the decoder re-emits the
+# header predictor without consuming a nibble (emitted index i is a
+# header iff i % 65 == 0 at block_align 36; nibble index j trails i
+# by the number of headers seen).
+_IMA_STEP_SQL = "[" + ",".join(
+    "7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,66,"
+    "73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,371,"
+    "408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,"
+    "1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,"
+    "7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,"
+    "22385,24623,27086,29794,32767".split(",")
+) + "]"
+
+_ADPCM_ORACLE = f"""
+WITH RECURSIVE d AS (
+    SELECT doc_id, doc_id % 600 + 50 AS n,
+           doc_id % 2001 - 1000 AS pred0, doc_id % 89 AS idx0
+    FROM documents
+),
+st AS (
+    SELECT doc_id, n, 0 AS i, 0 AS j, CAST(pred0 AS INTEGER) AS pred,
+           CAST(idx0 AS INTEGER) AS idx, CAST(pred0 AS INTEGER) AS sample
+    FROM d
+    UNION ALL
+    SELECT doc_id, n, i + 1,
+           CASE WHEN (i + 1) % 65 = 0 THEN j ELSE j + 1 END,
+           new_pred, new_idx,
+           CASE WHEN (i + 1) % 65 = 0 THEN pred ELSE new_pred END
+    FROM (
+        SELECT doc_id, n, i, j, pred, idx,
+            CASE WHEN (i + 1) % 65 = 0 THEN pred ELSE
+                GREATEST(-32768, LEAST(32767,
+                    pred + CASE WHEN nib >= 8 THEN -diff ELSE diff END))
+            END AS new_pred,
+            CASE WHEN (i + 1) % 65 = 0 THEN idx ELSE
+                GREATEST(0, LEAST(88, idx + list_extract(
+                    [-1, -1, -1, -1, 2, 4, 6, 8], (nib % 8) + 1)))
+            END AS new_idx
+        FROM (
+            SELECT *, (step >> 3)
+                   + CASE WHEN nib % 2 = 1 THEN step >> 2 ELSE 0 END
+                   + CASE WHEN (nib // 2) % 2 = 1 THEN step >> 1 ELSE 0 END
+                   + CASE WHEN (nib // 4) % 2 = 1 THEN step ELSE 0 END
+                   AS diff
+            FROM (
+                SELECT *,
+                       (doc_id * 3 + 5 * j + (j * j) % 11) % 16 AS nib,
+                       list_extract({_IMA_STEP_SQL}, idx + 1) AS step
+                FROM st
+            )
+        )
+    )
+    WHERE i < n - 1
+)
+SELECT doc_id AS media_id,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(sample) AS BIGINT) AS sample_sum,
+       CAST(min(sample) AS INTEGER) AS sample_min,
+       CAST(max(sample) AS INTEGER) AS sample_max,
+       CAST(sum(sample * (i % 29)) AS BIGINT) AS posw_sum
+FROM st
+GROUP BY doc_id
+"""
+
+
+@query("multimodal_audio_adpcm_decode", _ADPCM_ORACLE)
+def multimodal_audio_adpcm_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STATEFUL audio codec decode: mono IMA-ADPCM WAV (format 0x11)
+    with real 36-byte blocks — each header restarts the (predictor,
+    step-index) machine and its predictor is the block's first
+    emitted sample — decoded in an Arrow-batched mapInPandas stage.
+    The oracle is a recursive-CTE replay of the complete state
+    machine (step table, conditional diff accumulation, clamps,
+    block-boundary header samples), so every one of the ~350 decoded
+    samples per media is on the hash path; the wire layout is pinned
+    by the 400-doc replay equality in tests/test_avcodec_g711.py."""
+    from ..operators.multimodal import (
+        adpcm_sample_stats,
+        synthesize_adpcm_media,
+    )
+
+    media = synthesize_adpcm_media(load_table(spark, sf_dir, "documents"))
+    return adpcm_sample_stats(media)

@@ -136,3 +136,94 @@ def test_synthesized_g711_media_decodes(spark, sf_smoke):
         assert r["linear_max"] == max(vals)
         assert r["abs_sum"] == sum(abs(v) for v in vals)
         assert r["posw_sum"] == sum(v * (i % 17) for i, v in enumerate(vals))
+
+
+# --------------------------------------------------------------------------
+# IMA ADPCM
+# --------------------------------------------------------------------------
+
+
+def test_ima_step_hand_pinned_transitions():
+    """State transitions worked out by hand from the IMA tables:
+    step[0]=7; nibble 0 -> diff = 7>>3 = 0 and index -1 clamps to 0;
+    nibble 7 -> diff = (7>>3) + (7>>2) + (7>>1) + 7 = 0+1+3+7 = 11 and
+    index 0+8; nibble 15 -> same magnitude, negative sign."""
+    from kafka_spark_streaming_app_spark.operators.avcodec import ima_step
+
+    assert ima_step(100, 0, 0) == (100, 0)        # +0, idx clamps at 0
+    assert ima_step(100, 0, 7) == (111, 8)        # +11, idx 0+8
+    assert ima_step(100, 0, 15) == (89, 8)        # -11
+    assert ima_step(32760, 20, 7) == (32767, 28)  # clamp high
+    assert ima_step(-32760, 20, 15) == (-32768, 28)  # clamp low
+    # index clamps at 88
+    assert ima_step(0, 88, 4)[1] == 88
+
+
+def test_ima_blocked_wire_equals_state_replay():
+    """400 planted docs: container decode (blocks, headers, nibble
+    order, fact cap) must equal the plain state-machine replay."""
+    from kafka_spark_streaming_app_spark.operators.avcodec import (
+        decode_wav_ima,
+        encode_wav_ima,
+        ima_step,
+    )
+
+    spb = (36 - 4) * 2 + 1
+    for d in range(0, 1200, 3):
+        n = d % 600 + 50
+        pred, idx = d % 2001 - 1000, d % 89
+        nibs = []
+        expect = []
+        j = 0
+        for i in range(n):
+            if i % spb == 0:
+                expect.append(pred)
+            else:
+                nib = (d * 3 + 5 * j + (j * j) % 11) % 16
+                nibs.append(nib)
+                pred, idx = ima_step(pred, idx, nib)
+                expect.append(pred)
+                j += 1
+        wav = encode_wav_ima(nibs, d % 2001 - 1000, d % 89, n, block_align=36)
+        out, hdr = decode_wav_ima(wav)
+        assert out == expect, d
+        assert hdr["audio_format"] == 0x11 and hdr["bit_depth"] == 4
+
+
+def test_ima_encoder_tracks_input_within_step_bound():
+    """The real quantizer must track a random walk: reconstruction
+    error stays within ~2x the largest per-sample move (measured 560
+    for a +-300/sample walk; the bound guards against sign or
+    step-adaptation regressions, not exact behavior)."""
+    import random
+
+    from kafka_spark_streaming_app_spark.operators.avcodec import (
+        ima_encode_sample,
+        ima_step,
+    )
+
+    rng = random.Random(2)
+    x = 0
+    pred, idx = 0, 0
+    worst = 0
+    for _ in range(3000):
+        x = max(-30000, min(30000, x + rng.randint(-300, 300)))
+        nib = ima_encode_sample(pred, idx, x)
+        pred, idx = ima_step(pred, idx, nib)
+        worst = max(worst, abs(pred - x))
+    assert worst < 700, worst
+
+
+def test_ima_rejects_stereo_and_missing_fact():
+    import struct as _s
+
+    from kafka_spark_streaming_app_spark.operators.avcodec import (
+        decode_wav_ima,
+        encode_wav_ima,
+    )
+
+    wav = bytearray(encode_wav_ima([1, 2, 3], 0, 0, 4, block_align=36))
+    pos = wav.index(b"fmt ") + 8
+    _s.pack_into("<H", wav, pos + 2, 2)  # claim stereo
+    with pytest.raises(NotImplementedError, match="stereo"):
+        decode_wav_ima(bytes(wav))
