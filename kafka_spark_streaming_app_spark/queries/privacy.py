@@ -231,3 +231,137 @@ def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ce").cast("double") / F.col("cb").cast("double"), 6
         ).alias("value_share_erased"),
     )
+
+
+# --- t-closeness (EMD over ordered sensitive bands) --------------------------
+# The third release gate: k-anonymity bounds cell size, l-diversity
+# bounds distinct sensitive values, t-closeness bounds how far a
+# cell's sensitive DISTRIBUTION drifts from the global one — the gate
+# that catches a 5-member cell whose members are all in the top
+# balance band. For ordered categories the Earth Mover's Distance is
+# sum_i |cum_p_i - cum_q_i| / (m - 1); cross-multiplying by
+# n_cell * N keeps every cumulative term an exact integer, so the
+# only float op is one final division (IEEE-identical both engines).
+_TCLOSE_T_NUM = 35  # threshold t = 0.35
+_TCLOSE_ORACLE = """
+WITH ident AS (
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band
+    FROM customer
+),
+gband AS (
+    SELECT band, count(*) AS gn FROM ident GROUP BY band
+),
+tot AS (SELECT count(*) AS n_total, count(DISTINCT band) AS m FROM ident),
+cells AS (
+    SELECT c_nationkey, c_mktsegment, count(*) AS n_cell
+    FROM ident GROUP BY c_nationkey, c_mktsegment
+),
+grid AS (
+    SELECT c.c_nationkey, c.c_mktsegment, c.n_cell, g.band, g.gn,
+           coalesce(x.cn, 0) AS cn
+    FROM cells c
+    CROSS JOIN gband g
+    LEFT JOIN (
+        SELECT c_nationkey, c_mktsegment, band, count(*) AS cn
+        FROM ident GROUP BY c_nationkey, c_mktsegment, band
+    ) x USING (c_nationkey, c_mktsegment, band)
+),
+cums AS (
+    SELECT c_nationkey, c_mktsegment, n_cell, band,
+           sum(cn) OVER (PARTITION BY c_nationkey, c_mktsegment
+                         ORDER BY band) AS cum_c,
+           sum(gn) OVER (PARTITION BY c_nationkey, c_mktsegment
+                         ORDER BY band) AS cum_g
+    FROM grid
+),
+emd AS (
+    SELECT c_nationkey, c_mktsegment, n_cell,
+           sum(abs(cum_c * t.n_total - cum_g * n_cell)) AS emd_num
+    FROM cums, tot t
+    GROUP BY c_nationkey, c_mktsegment, n_cell
+)
+SELECT e.c_nationkey, e.c_mktsegment,
+       CAST(e.n_cell AS BIGINT) AS n_cell,
+       round(CAST(e.emd_num AS DOUBLE)
+             / CAST(e.n_cell * t.n_total * (t.m - 1) AS DOUBLE), 6) AS t_emd,
+       (e.emd_num * 100 <= 35 * e.n_cell * t.n_total * (t.m - 1))
+           AS t_close
+FROM emd e, tot t
+ORDER BY c_nationkey, c_mktsegment
+"""
+
+
+@query("t_closeness_audit", _TCLOSE_ORACLE)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness release gate over the (nation, market segment)
+    quasi-identifier: per cell, the ordered-category Earth Mover's
+    Distance between the cell's account-balance-band distribution and
+    the global one, integer-exact via cross-multiplied cumulative
+    counts (the t <= 0.35 verdict is a pure integer comparison; the
+    reported t is the only float, one IEEE division). Cell and band
+    cardinalities bound everything after the two grouping passes, so
+    the audit is cells x bands regardless of table size."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    ident = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("band"),
+    )
+    glob = ident.groupBy("band").agg(F.count(F.lit(1)).alias("gn"))
+    tot = ident.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_distinct("band").alias("m"),
+    )
+    cells = ident.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cell")
+    )
+    cell_band = ident.groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count(F.lit(1)).alias("cn")
+    )
+    grid = (
+        cells.crossJoin(F.broadcast(glob))
+        .join(cell_band, ["c_nationkey", "c_mktsegment", "band"], "left")
+        .fillna(0, subset=["cn"])
+    )
+    w = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy("band")
+    cums = grid.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n_cell",
+        F.sum("cn").over(w).alias("cum_c"),
+        F.sum("gn").over(w).alias("cum_g"),
+    )
+    emd = (
+        cums.crossJoin(F.broadcast(tot))
+        .groupBy("c_nationkey", "c_mktsegment", "n_cell", "n_total", "m")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cum_c") * F.col("n_total")
+                    - F.col("cum_g") * F.col("n_cell")
+                )
+            ).alias("emd_num")
+        )
+    )
+    return emd.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("n_cell").cast("bigint").alias("n_cell"),
+        F.round(
+            F.col("emd_num").cast("double")
+            / (
+                F.col("n_cell") * F.col("n_total") * (F.col("m") - 1)
+            ).cast("double"),
+            6,
+        ).alias("t_emd"),
+        (
+            F.col("emd_num") * 100
+            <= F.lit(_TCLOSE_T_NUM)
+            * F.col("n_cell")
+            * F.col("n_total")
+            * (F.col("m") - 1)
+        ).alias("t_close"),
+    ).orderBy("c_nationkey", "c_mktsegment")

@@ -4405,3 +4405,40 @@ def test_viterbi_segmentation_is_optimal_vs_python_dp(spark, sf_smoke):
         joined = r.segmentation.replace(" ##", "")
         assert joined == r.word
         assert r.freq == words[r.word]
+
+
+def test_t_closeness_audit_matches_pandas_replay(spark, sf_smoke):
+    """t_closeness_audit vs an independent pandas replay computing the
+    ordered-category EMD the direct way (float cumulative probability
+    differences, not the engine's cross-multiplied integer form)."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    cust = pd.read_parquet(f"{sf_smoke}/customer.parquet")
+    cust["band"] = np.floor(cust["c_acctbal"] / 1000.0).astype("int64")
+    bands = np.sort(cust["band"].unique())
+    m = len(bands)
+    q = (
+        cust["band"].value_counts().reindex(bands, fill_value=0)
+        / len(cust)
+    ).to_numpy()
+    rows = registry.QUERIES["t_closeness_audit"](spark, sf_smoke).collect()
+    seen = 0
+    for (nat, seg), grp in cust.groupby(["c_nationkey", "c_mktsegment"]):
+        p = (
+            grp["band"].value_counts().reindex(bands, fill_value=0)
+            / len(grp)
+        ).to_numpy()
+        emd = np.abs(np.cumsum(p - q)).sum() / (m - 1)
+        row = next(
+            r for r in rows
+            if r.c_nationkey == nat and r.c_mktsegment == seg
+        )
+        assert row.n_cell == len(grp)
+        assert abs(row.t_emd - emd) < 5e-6, (nat, seg)
+        assert row.t_close == (emd <= 0.35 + 1e-12) or abs(emd - 0.35) < 1e-9
+        seen += 1
+    assert seen == len(rows)
