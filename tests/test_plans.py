@@ -896,3 +896,53 @@ def test_integrity_digest_is_scan_plus_partial_agg(spark, sf_smoke):
         assert plan.count(f"{t}.parquet") == 1, f"{t} scanned more than once"
     assert "Join" not in plan and "Window" not in plan
     assert plan.count("HashAggregate") >= 6  # partial+final per table
+
+
+def test_jaro_winkler_blocking_is_equi_join_not_cartesian(spark, sf_smoke):
+    """jaro_winkler_linkage's candidate generation must be a hash
+    equi-join on the blocking key — a cartesian product here would be
+    the all-pairs anti-pattern the blocking exists to avoid; the UDF
+    must sit above the join (ArrowEvalPython), not inside the
+    condition (BatchEvalPython row filter)."""
+    plan = plan_str(registry.QUERIES["jaro_winkler_linkage"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_flac_synth_spreads_rows_before_python_stage(spark, sf_smoke):
+    """multimodal_flac_decode must hash-repartition the doc ids with
+    an explicit partition count before the Python codec stages so AQE
+    cannot collapse the per-row Rice work onto one task."""
+    plan = plan_str(registry.QUERIES["multimodal_flac_decode"](spark, sf_smoke))
+    assert "REPARTITION_BY_NUM" in plan
+    # formatted explain lists each node in the tree AND the details
+    assert plan.count("MapInPandas") == 4  # synth + stats, no extras
+
+
+def test_periodicity_scan_is_daily_rollup_then_broadcast_folds(spark, sf_smoke):
+    """periodicity_scan_anova: one orders scan collapsing to the daily
+    series; the 29-period fold explodes off a BROADCAST of the period
+    range (never a shuffle join); the global sums ride a broadcast
+    1-row aggregate."""
+    plan = plan_str(
+        registry.QUERIES["periodicity_scan_anova"](spark, sf_smoke)
+    )
+    # (the orders scan appears under several branches at explain time
+    # because the daily-series checkpoint is lazy — materialization
+    # collapses them to one at run time, like the other *_checkpoint
+    # plans; what must hold statically is the join strategy)
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_t_closeness_grid_broadcasts_band_table(spark, sf_smoke):
+    """t_closeness_audit: the cells x bands grid must come from a
+    broadcast of the (bands-sized) global table, and the identified
+    table is scanned a bounded number of times (cells, cell-band and
+    global rollups), never joined to itself at row grain."""
+    plan = plan_str(registry.QUERIES["t_closeness_audit"](spark, sf_smoke))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
