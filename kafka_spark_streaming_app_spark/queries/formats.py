@@ -197,3 +197,117 @@ def csv_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_good_cents"),
     )
+
+
+# --- Avro object-container round-trip ---------------------------------------
+# The Kafka ecosystem's record format, carried natively by the
+# from-scratch codec in operators/avrocodec.py (the spark-avro jar is
+# absent here — same gating note as the lakehouse connectors). The
+# round-trip is fully distributed: each input partition serializes to
+# one real container (deflate on odd-leading partitions), a second
+# Python stage decodes against the schema EMBEDDED in each container,
+# and the aggregate must hash-match the parquet-derived oracle —
+# proving encode-decode losslessness, block framing, sync markers and
+# codec handling end to end.
+_AVRO_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS DOUBLE) / 100.0, 2) AS revenue
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "Order",
+    "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "status", "type": "string"},
+        {"name": "prio", "type": "string"},
+        {"name": "cents", "type": "long"},
+    ],
+}
+
+
+@query("avro_roundtrip_agg", _AVRO_ORACLE)
+def avro_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro as a first-class wire format: orders serialize per
+    partition into REAL Avro object-container files (zigzag-varint
+    longs, length-prefixed strings, file-metadata map with the JSON
+    schema, 16-byte sync markers, raw-deflate blocks on half the
+    containers), then a generic reader decodes against each
+    container's EMBEDDED schema and the F-status aggregate must match
+    the parquet oracle. Both codec stages are Arrow-batched
+    mapInPandas over an explicit hash repartition, so serialization
+    work scales with partitions; container sizes follow the Arrow
+    batch size, the production knob for Kafka-sized payload chunks."""
+    import hashlib as _hashlib
+
+    import pandas as pd
+
+    from ..operators.avrocodec import read_container, write_container
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias(
+            "cents"
+        ),
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            recs = pdf.to_dict("records")
+            first = int(pdf["k"].iloc[0])
+            sync = _hashlib.md5(str(first).encode()).digest()
+            codec = "deflate" if first % 2 else "null"
+            yield pd.DataFrame(
+                {
+                    "container": [
+                        write_container(
+                            recs,
+                            _AVRO_SCHEMA,
+                            sync,
+                            codec=codec,
+                            records_per_block=500,
+                        )
+                    ],
+                    "n_records": [len(recs)],
+                }
+            )
+
+    containers = (
+        orders.repartition(
+            orders.sparkSession.sparkContext.defaultParallelism, "k"
+        )
+        .mapInPandas(encode, schema="container binary, n_records long")
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            for blob, n in zip(pdf["container"], pdf["n_records"]):
+                out = read_container(bytes(blob))
+                if len(out["records"]) != int(n):
+                    raise ValueError("container record count drifted")
+                yield pd.DataFrame(out["records"])
+
+    decoded = containers.mapInPandas(
+        decode, schema="k long, status string, prio string, cents long"
+    )
+    return (
+        decoded.filter(F.col("status") == "F")
+        .groupBy(F.col("prio").alias("o_orderpriority"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("cents").cast("double") / 100.0, 2).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
