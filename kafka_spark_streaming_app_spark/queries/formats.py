@@ -311,3 +311,88 @@ def avro_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --- parquet footer audit ----------------------------------------------------
+# Metadata-only planning: the from-scratch Thrift-compact footer
+# reader (operators/parquetmeta.py, differential-tested chunk-by-chunk
+# against DuckDB's native parquet_metadata() in tests) walks each
+# table's footer WITHOUT touching data pages and reports per-leaf
+# value counts. The oracle derives the same counts from the table
+# CONTENT, so a hash match proves the parse recovered every row
+# group's per-chunk num_values and leaf names correctly. The flat
+# tables are audited (embeddings' list column nests its leaf under
+# list.element — the reader handles it, but the name mapping belongs
+# to the physical layout, not the logical view the oracle sees).
+_FOOTER_TABLES = (
+    ("orders", ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                "o_orderdate", "o_orderpriority")),
+    ("lineitem", ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                  "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                  "l_returnflag", "l_linestatus", "l_shipdate")),
+    ("customer", ("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                  "c_mktsegment")),
+    ("documents", ("doc_id", "text", "lang", "source", "n_chars")),
+    ("events", ("event_id", "ts", "user_id", "event_type", "value",
+                "props")),
+)
+
+_FOOTER_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{t}' AS table_name, u.column_name,
+       (SELECT CAST(count(*) AS BIGINT) FROM {t}) AS n_values
+FROM (SELECT unnest([{", ".join("'" + c + "'" for c in cols)}])
+      AS column_name) u"""
+    for t, cols in _FOOTER_TABLES
+) + "\nORDER BY table_name, column_name"
+
+
+@query("parquet_footer_audit", _FOOTER_ORACLE)
+def parquet_footer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planner-side metadata audit: each task seeks to its parquet
+    file's tail, parses the Thrift-compact footer from scratch, and
+    emits per-leaf value counts summed over row groups — data pages
+    are never read (the row-group pruning / scan-estimation access
+    pattern at 100 TB). The audit also cross-checks footer-internal
+    consistency (every leaf's total must equal the file's num_rows)
+    and raises rather than emitting a row that merely looks right."""
+    import pandas as pd
+
+    from ..operators.parquetmeta import read_parquet_footer_from_path
+
+    paths = spark.createDataFrame(
+        [(t, os.path.join(sf_dir, f"{t}.parquet"))
+         for t, _ in _FOOTER_TABLES],
+        "table_name string, path string",
+    ).repartition(len(_FOOTER_TABLES))
+
+    def audit(batches):
+        for pdf in batches:
+            rows = []
+            for t, path in zip(pdf["table_name"], pdf["path"]):
+                meta = read_parquet_footer_from_path(path)
+                totals: dict = {}
+                for rg in meta["row_groups"]:
+                    for c in rg["columns"]:
+                        totals[c["path"]] = (
+                            totals.get(c["path"], 0) + c["num_values"]
+                        )
+                for col, n in totals.items():
+                    if n != meta["num_rows"]:
+                        raise ValueError(
+                            f"{t}.{col}: footer num_values {n} != "
+                            f"num_rows {meta['num_rows']}"
+                        )
+                    rows.append(
+                        {"table_name": t, "column_name": col, "n_values": n}
+                    )
+            yield pd.DataFrame(
+                rows, columns=["table_name", "column_name", "n_values"]
+            )
+
+    return (
+        paths.mapInPandas(
+            audit, schema="table_name string, column_name string, "
+                          "n_values long"
+        )
+        .orderBy("table_name", "column_name")
+    )
