@@ -2969,3 +2969,97 @@ def adpcm_sample_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         stats, schema=ADPCM_STATS_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# Archive (ZIP/TAR) media
+# --------------------------------------------------------------------------
+
+ARCHIVE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("kind", T.StringType(), True),
+        T.StructField("member", T.IntegerType(), True),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("byte_sum", T.LongType(), True),
+    ]
+)
+
+
+def _archive_member(d: int, m: int) -> bytes:
+    """Closed-form member payload mirrored by the DuckDB oracle; odd
+    members are constant runs so real deflate entries appear on the
+    ZIP wire alongside stored ones."""
+    n = (d + m * 37) % 300 + 10
+    if m % 2:
+        return bytes([(d + m) % 256]) * n
+    return bytes((d * 7 + m * 13 + i) % 256 for i in range(n))
+
+
+def synthesize_archive_media(documents: DataFrame) -> DataFrame:
+    """Corpus-delivery fixture: even docs become real ZIP archives
+    (central directory, CRC-32, stored + deflate members), odd docs
+    ustar TAR archives (octal fields, header checksums), 1-4 members
+    each, written by the from-scratch coders in
+    operators/archivecodec.py."""
+    from .archivecodec import write_tar, write_zip
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                members = [
+                    (f"part-{m}.bin", _archive_member(d, m))
+                    for m in range(d % 4 + 1)
+                ]
+                payload = (
+                    write_zip(members) if d % 2 == 0 else write_tar(members)
+                )
+                rows.append(
+                    {"media_id": d, "codec": "zip" if d % 2 == 0 else "tar",
+                     "payload": payload}
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "codec", "payload"])
+
+    return documents.select("doc_id").mapInPandas(
+        render, schema=IMAGE_MEDIA_SCHEMA
+    )
+
+
+def archive_member_stats(media: DataFrame) -> DataFrame:
+    """Archive extraction: ZIP via the central directory with CRC-32
+    verification, TAR via checksum-validated ustar blocks; one exact
+    integer stats row per (media, member)."""
+    from .archivecodec import read_tar, read_zip
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, kind, payload in zip(
+                pdf["media_id"], pdf["codec"], pdf["payload"]
+            ):
+                members = (
+                    read_zip(bytes(payload))
+                    if kind == "zip"
+                    else read_tar(bytes(payload))
+                )
+                for m, (name, raw) in enumerate(members):
+                    rows.append(
+                        {
+                            "media_id": int(media_id),
+                            "kind": kind,
+                            "member": m,
+                            "name": name,
+                            "n_bytes": len(raw),
+                            "byte_sum": sum(raw),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in ARCHIVE_STATS_SCHEMA]
+            )
+
+    return media.select("media_id", "codec", "payload").mapInPandas(
+        stats, schema=ARCHIVE_STATS_SCHEMA
+    )

@@ -1955,3 +1955,56 @@ def multimodal_audio_adpcm_decode(
 
     media = synthesize_adpcm_media(load_table(spark, sf_dir, "documents"))
     return adpcm_sample_stats(media)
+
+
+# Archives: CRC-verified extraction sits between the closed-form
+# member plant and the hash; odd members are constant runs, so real
+# deflate entries ride the ZIP wire next to stored ones.
+_ARCHIVE_ORACLE = """
+WITH d AS (
+    SELECT doc_id, doc_id % 4 + 1 AS k FROM documents
+),
+m AS (
+    SELECT doc_id, k, mm.m AS member,
+           (doc_id + mm.m * 37) % 300 + 10 AS n
+    FROM d, LATERAL (SELECT unnest(range(0, k)) AS m) mm
+),
+b AS (
+    SELECT doc_id, member, n,
+           CASE WHEN member % 2 = 1
+                THEN n * ((doc_id + member) % 256)
+                ELSE (
+                    SELECT sum((doc_id * 7 + member * 13 + i.i) % 256)
+                    FROM (SELECT unnest(range(0, n)) AS i) i
+                )
+           END AS bsum
+    FROM m
+)
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'zip' ELSE 'tar' END AS kind,
+       CAST(member AS INTEGER) AS member,
+       'part-' || member || '.bin' AS name,
+       CAST(n AS BIGINT) AS n_bytes,
+       CAST(bsum AS BIGINT) AS byte_sum
+FROM b
+"""
+
+
+@query("archive_extract_audit", _ARCHIVE_ORACLE)
+def archive_extract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-delivery ingestion: genuine ZIP archives (central
+    directory walk, stored + raw-deflate members, CRC-32 verified)
+    and ustar TAR archives (octal fields, checksum-validated headers)
+    extracted by the from-scratch readers in an Arrow-batched
+    mapInPandas stage; per-(media, member) exact stats hash-checked
+    against the closed-form plant. The readers are additionally
+    differential-tested BOTH directions against stdlib
+    zipfile/tarfile as foreign implementations
+    (tests/test_archivecodec.py)."""
+    from ..operators.multimodal import (
+        archive_member_stats,
+        synthesize_archive_media,
+    )
+
+    media = synthesize_archive_media(load_table(spark, sf_dir, "documents"))
+    return archive_member_stats(media)
