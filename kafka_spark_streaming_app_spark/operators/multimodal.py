@@ -3063,3 +3063,122 @@ def archive_member_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "codec", "payload").mapInPandas(
         stats, schema=ARCHIVE_STATS_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# WARC (web-archive) media
+# --------------------------------------------------------------------------
+
+WARC_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("record", T.IntegerType(), True),
+        T.StructField("target_uri", T.StringType(), True),
+        T.StructField("status", T.IntegerType(), True),
+        T.StructField("gzipped", T.BooleanType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("char_sum", T.LongType(), True),
+    ]
+)
+
+
+def _warc_body(d: int, m: int) -> bytes:
+    n = (d + 41 * m) % 500 + 20
+    return bytes(97 + (d * 3 + m * 7 + i) % 26 for i in range(n))
+
+
+def synthesize_warc_media(documents: DataFrame) -> DataFrame:
+    """Web-crawl fixture: every doc becomes a real WARC file — a
+    warcinfo record, then request/response pairs with full HTTP/1.1
+    messages — in the Common Crawl one-gzip-member-per-record layout
+    on even docs and plain concatenation on odd ones."""
+    from .warccodec import http_response, write_warc
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                recs = [
+                    (
+                        "warcinfo",
+                        {"WARC-Record-ID": f"<urn:uuid:{d}-info>"},
+                        b"software: spark-graft-fixture\r\n",
+                    )
+                ]
+                for m in range(d % 3 + 1):
+                    uri = f"http://example.com/{d}/{m}"
+                    recs.append(
+                        (
+                            "request",
+                            {"WARC-Target-URI": uri,
+                             "WARC-Record-ID": f"<urn:uuid:{d}-{m}-q>"},
+                            b"GET / HTTP/1.1\r\nHost: example.com\r\n\r\n",
+                        )
+                    )
+                    recs.append(
+                        (
+                            "response",
+                            {"WARC-Target-URI": uri,
+                             "WARC-Record-ID": f"<urn:uuid:{d}-{m}-r>"},
+                            http_response(
+                                200,
+                                "OK",
+                                {"Content-Type": "text/plain"},
+                                _warc_body(d, m),
+                            ),
+                        )
+                    )
+                rows.append(
+                    {
+                        "media_id": d,
+                        "codec": "warc",
+                        "payload": write_warc(
+                            recs, gzip_per_record=d % 2 == 0
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "codec", "payload"])
+
+    return documents.select("doc_id").mapInPandas(
+        render, schema=IMAGE_MEDIA_SCHEMA
+    )
+
+
+def warc_response_stats(media: DataFrame) -> DataFrame:
+    """WARC extraction: gzip-member splitting (even docs), record
+    framing, response filtering, nested HTTP parse; one exact row per
+    (media, response record) — the web-corpus ingestion front door."""
+    from .warccodec import parse_http_response, read_warc
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                gz = raw[:2] == b"\x1f\x8b"
+                responses = [
+                    r for r in read_warc(raw) if r["type"] == "response"
+                ]
+                for m, rec in enumerate(responses):
+                    h = parse_http_response(rec["block"])
+                    rows.append(
+                        {
+                            "media_id": int(media_id),
+                            "record": m,
+                            "target_uri": rec["headers"][
+                                "WARC-Target-URI"
+                            ],
+                            "status": h["status"],
+                            "gzipped": gz,
+                            "n_bytes": len(h["body"]),
+                            "char_sum": sum(h["body"]),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WARC_STATS_SCHEMA]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        stats, schema=WARC_STATS_SCHEMA
+    )

@@ -2008,3 +2008,49 @@ def archive_extract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_archive_media(load_table(spark, sf_dir, "documents"))
     return archive_member_stats(media)
+
+
+# WARC: record framing, gzip-member splitting and the nested HTTP
+# parse sit between the closed-form body plant and the hash.
+_WARC_ORACLE = """
+WITH d AS (
+    SELECT doc_id, doc_id % 3 + 1 AS k FROM documents
+),
+m AS (
+    SELECT doc_id, mm.m AS record,
+           (doc_id + 41 * mm.m) % 500 + 20 AS n
+    FROM d, LATERAL (SELECT unnest(range(0, k)) AS m) mm
+),
+b AS (
+    SELECT doc_id, record, n,
+           (SELECT sum(97 + (doc_id * 3 + record * 7 + i.i) % 26)
+            FROM (SELECT unnest(range(0, n)) AS i) i) AS csum
+    FROM m
+)
+SELECT doc_id AS media_id,
+       CAST(record AS INTEGER) AS record,
+       'http://example.com/' || doc_id || '/' || record AS target_uri,
+       CAST(200 AS INTEGER) AS status,
+       doc_id % 2 = 0 AS gzipped,
+       CAST(n AS BIGINT) AS n_bytes,
+       CAST(csum AS BIGINT) AS char_sum
+FROM b
+"""
+
+
+@query("warc_extract_text", _WARC_ORACLE)
+def warc_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus ingestion front door: genuine WARC files (warcinfo
+    + request/response records, full HTTP/1.1 messages,
+    Content-Length framing, the Common Crawl per-record-gzip layout
+    on even docs) parsed by the from-scratch reader in an
+    Arrow-batched mapInPandas stage; request/warcinfo records are
+    filtered on type, responses HTTP-parsed, and per-(media, record)
+    exact stats hash-checked against the closed-form plant."""
+    from ..operators.multimodal import (
+        synthesize_warc_media,
+        warc_response_stats,
+    )
+
+    media = synthesize_warc_media(load_table(spark, sf_dir, "documents"))
+    return warc_response_stats(media)
