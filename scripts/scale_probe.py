@@ -228,6 +228,20 @@ PROBES = (
     "multimodal_flac_decode",
     "periodicity_scan_anova",
     "viterbi_segmentation",
+    # ingestion-format wave: TIFF/ADPCM/archive/WARC are per-payload
+    # mapInPandas codecs (row-linear by construction); Avro serializes
+    # and re-reads every partition's rows; t-closeness collapses to
+    # cells x bands after two grouping passes. EXCLUDED:
+    # parquet_footer_audit — the hardlink fixture turns each
+    # <table>.parquet FILE into a directory of N copies, breaking the
+    # query's single-file path contract (its cost is O(footer bytes)
+    # by construction, there is nothing row-linear to probe).
+    "multimodal_tiff_decode",
+    "multimodal_audio_adpcm_decode",
+    "archive_extract_audit",
+    "warc_extract_text",
+    "avro_roundtrip_agg",
+    "t_closeness_audit",
 )
 
 
