@@ -396,3 +396,89 @@ def parquet_footer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("table_name", "column_name")
     )
+
+
+# --- Delta transaction-log replay read ---------------------------------------
+# The delta-spark jar is absent, but a Delta TABLE is just parquet
+# files plus the JSON/checkpoint transaction log — and the LOG, not
+# the directory listing, defines the table (tombstoned files stay on
+# disk until vacuum). sources/deltalog.py implements the snapshot
+# contract from the public protocol spec; the fixture builds a real
+# multi-version table whose history includes a COMPACTION
+# (add + remove of the same rows) and a parquet checkpoint, so a
+# reader that listed *.parquet naively would double-count the F rows
+# and hash-mismatch.
+_DELTA_ORACLE = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS DOUBLE) / 100.0, 2) AS revenue
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@query("delta_log_replay_read", _DELTA_ORACLE)
+def delta_log_replay_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta Lake WITHOUT the connector jar: the snapshot is built by
+    replaying the real transaction log (versioned JSON commits, a
+    compaction whose remove tombstones a still-on-disk file, a
+    parquet checkpoint named by _last_checkpoint) and only the live
+    file set reaches spark.read.parquet — Catalyst then plans the
+    scan like any parquet relation (pushdown/pruning intact). The
+    aggregate must hash-match the source table, which fails if replay
+    double-counts the compacted file, misses the checkpoint handoff,
+    or drops a version. Time travel (version pin) and
+    checkpoint-after-log-truncation are pinned in
+    tests/test_deltalog.py."""
+    import pandas as pd
+
+    from ..sources.deltalog import DeltaFixtureWriter, read_delta_snapshot
+
+    d = _fixture_dir(spark, sf_dir, "delta")
+    if d is None:
+        d = tempfile.mkdtemp(prefix="delta_fixture_")
+        pdf = pd.read_parquet(os.path.join(sf_dir, "orders.parquet"))[
+            ["o_orderkey", "o_orderstatus", "o_orderpriority",
+             "o_totalprice"]
+        ]
+        pdf["cents"] = (
+            (pdf["o_totalprice"] * 100).round(0).astype("int64")
+        )
+        pdf = pdf.drop(columns=["o_totalprice"])
+        recs = {
+            s: g.to_dict("records")
+            for s, g in pdf.groupby("o_orderstatus")
+        }
+        statuses = sorted(recs)
+        w = DeltaFixtureWriter(
+            d,
+            [("o_orderkey", "long"), ("o_orderstatus", "string"),
+             ("o_orderpriority", "string"), ("cents", "long")],
+        )
+        first, rest = statuses[0], statuses[1:]
+        w.commit(
+            add_files=[("part-f0.parquet", recs[first])], first=True
+        )
+        # compaction: rewrite the same rows, tombstone the original —
+        # part-f0.parquet stays on disk
+        w.commit(
+            add_files=[("part-f1.parquet", recs[first])],
+            remove_paths=["part-f0.parquet"],
+        )
+        w.checkpoint()
+        for i, s in enumerate(rest):
+            w.commit(add_files=[(f"part-x{i}.parquet", recs[s])])
+        _remember(spark, sf_dir, "delta", d)
+    df = read_delta_snapshot(spark, d)
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("cents").cast("double") / 100.0, 2).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )

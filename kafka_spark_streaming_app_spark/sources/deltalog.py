@@ -1,0 +1,252 @@
+"""From-scratch Delta Lake TRANSACTION-LOG reader (and fixture
+writer): snapshot construction without the delta-spark jar.
+
+A Delta table is parquet data files plus ``_delta_log/`` — versioned
+JSON commits of actions (protocol / metaData / add / remove /
+commitInfo) with an optional parquet CHECKPOINT referenced by
+``_last_checkpoint``. A reader builds a snapshot by replaying
+actions in version order: the live file set is adds minus later
+removes, and tombstoned files REMAIN ON DISK until vacuum — so
+listing ``*.parquet`` naively double-counts rewritten data; only the
+log defines the table. This module implements exactly that contract
+(the protocol is public: Delta Transaction Log Protocol spec):
+
+  * ``snapshot_files``: replay ``NNNNNNNNNNNNNNNNNNNN.json`` commits
+    (and, when present and not bypassed, start from the parquet
+    checkpoint named by ``_last_checkpoint``) up to an optional
+    pinned version — time travel;
+  * ``read_delta_snapshot``: the live files handed to
+    ``spark.read.parquet`` with the schema from ``metaData`` —
+    Catalyst plans the scan exactly as it would any parquet relation;
+  * ``DeltaFixtureWriter``: writes REAL multi-version logs (appends,
+    a compaction that adds+removes, a parquet checkpoint via
+    pyarrow) for the oracle-checked query in ``queries/formats.py``.
+
+Unpartitioned tables, no deletion vectors / column mapping — those
+gate loudly (`sources/lakehouse.py` keeps the jar-backed path)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _commit_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, "_delta_log", f"{version:020d}.json")
+
+
+def snapshot_files(table_dir: str, version: int | None = None) -> dict:
+    """Replay the log; returns ``{"version", "files": [paths],
+    "schema_string", "from_checkpoint": bool}``."""
+    log_dir = os.path.join(table_dir, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise ValueError(f"{table_dir}: no _delta_log — not a Delta table")
+    versions = sorted(
+        int(f[:20])
+        for f in os.listdir(log_dir)
+        if f.endswith(".json") and f[:20].isdigit()
+    )
+    if not versions:
+        raise ValueError("empty _delta_log")
+    target = versions[-1] if version is None else version
+    if target not in versions:
+        raise ValueError(f"version {target} not in log (have {versions})")
+
+    adds: dict[str, dict] = {}
+    schema_string = None
+    start_after = -1
+    from_checkpoint = False
+    cp_meta = os.path.join(log_dir, "_last_checkpoint")
+    if os.path.exists(cp_meta):
+        cp = json.loads(open(cp_meta).read())
+        cp_version = int(cp["version"])
+        if cp_version <= target:
+            import pyarrow.parquet as pq
+
+            cp_file = os.path.join(
+                log_dir, f"{cp_version:020d}.checkpoint.parquet"
+            )
+            tbl = pq.read_table(cp_file).to_pylist()
+            for row in tbl:
+                if row.get("add") and row["add"].get("path"):
+                    adds[row["add"]["path"]] = row["add"]
+                if row.get("metaData") and row["metaData"].get(
+                    "schemaString"
+                ):
+                    schema_string = row["metaData"]["schemaString"]
+                if row.get("remove") and row["remove"].get("path"):
+                    adds.pop(row["remove"]["path"], None)
+            start_after = cp_version
+            from_checkpoint = True
+
+    for v in versions:
+        if v <= start_after or v > target:
+            continue
+        with open(_commit_path(table_dir, v)) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "metaData" in action:
+                    md = action["metaData"]
+                    if md.get("partitionColumns"):
+                        raise NotImplementedError(
+                            "partitioned Delta tables are outside the "
+                            "log-replay subset (use the jar-backed path)"
+                        )
+                    schema_string = md["schemaString"]
+                elif "add" in action:
+                    adds[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    adds.pop(action["remove"]["path"], None)
+                # protocol/commitInfo/txn carry no file state
+    if schema_string is None:
+        raise ValueError("log replay found no metaData action")
+    return {
+        "version": target,
+        "files": sorted(adds),
+        "schema_string": schema_string,
+        "from_checkpoint": from_checkpoint,
+    }
+
+
+def _schema_from_delta(schema_string: str):
+    from pyspark.sql import types as T
+
+    _MAP = {
+        "long": T.LongType(), "integer": T.IntegerType(),
+        "double": T.DoubleType(), "string": T.StringType(),
+        "boolean": T.BooleanType(), "date": T.DateType(),
+        "timestamp": T.TimestampType(),
+    }
+    fields = []
+    for f in json.loads(schema_string)["fields"]:
+        if not isinstance(f["type"], str) or f["type"] not in _MAP:
+            raise NotImplementedError(
+                f"delta type {f['type']!r} outside the replay subset"
+            )
+        fields.append(T.StructField(f["name"], _MAP[f["type"]], True))
+    return T.StructType(fields)
+
+
+def read_delta_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """The log-defined snapshot as a DataFrame: live files only,
+    schema from metaData — tombstoned files on disk are ignored."""
+    snap = snapshot_files(table_dir, version)
+    paths = [os.path.join(table_dir, p) for p in snap["files"]]
+    schema = _schema_from_delta(snap["schema_string"])
+    return spark.read.schema(schema).parquet(*paths)
+
+
+class DeltaFixtureWriter:
+    """Writes a REAL Delta log: pyarrow data files, versioned JSON
+    commits, and a spec-shaped parquet checkpoint."""
+
+    def __init__(self, table_dir: str, schema_fields):
+        # schema_fields: [(name, delta_type_string)]
+        self.table_dir = table_dir
+        os.makedirs(os.path.join(table_dir, "_delta_log"), exist_ok=True)
+        self.schema_string = json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    {"name": n, "type": t, "nullable": True, "metadata": {}}
+                    for n, t in schema_fields
+                ],
+            }
+        )
+        self.version = -1
+
+    def _write_data_file(self, name: str, rows: list) -> dict:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = os.path.join(self.table_dir, name)
+        pq.write_table(pa.Table.from_pylist(rows), path)
+        return {
+            "path": name,
+            "partitionValues": {},
+            "size": os.path.getsize(path),
+            "modificationTime": 0,
+            "dataChange": True,
+        }
+
+    def commit(self, add_files=(), remove_paths=(), first: bool = False):
+        """``add_files``: [(name, rows)]."""
+        self.version += 1
+        actions = []
+        if first:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
+            actions.append(
+                {
+                    "metaData": {
+                        "id": "fixture-table",
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": self.schema_string,
+                        "partitionColumns": [],
+                        "configuration": {},
+                        "createdTime": 0,
+                    }
+                }
+            )
+        for name, rows in add_files:
+            actions.append({"add": self._write_data_file(name, rows)})
+        for p in remove_paths:
+            actions.append(
+                {"remove": {"path": p, "deletionTimestamp": 0,
+                            "dataChange": True}}
+            )
+        actions.append({"commitInfo": {"operation": "FIXTURE"}})
+        with open(_commit_path(self.table_dir, self.version), "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+        return self.version
+
+    def checkpoint(self):
+        """Materialize the current snapshot as a parquet checkpoint
+        and point _last_checkpoint at it."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        snap = snapshot_files(self.table_dir)
+        # partitionValues (a map in real checkpoints) is omitted: the
+        # fixture is unpartitioned and parquet cannot write an empty
+        # struct; the reader keys on add.path only
+        rows = [
+            {
+                "add": {
+                    "path": p,
+                    "size": 0,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                },
+                "metaData": None,
+                "remove": None,
+            }
+            for p in snap["files"]
+        ]
+        rows.append(
+            {
+                "add": None,
+                "metaData": {"schemaString": snap["schema_string"]},
+                "remove": None,
+            }
+        )
+        cp_file = os.path.join(
+            self.table_dir,
+            "_delta_log",
+            f"{self.version:020d}.checkpoint.parquet",
+        )
+        pq.write_table(pa.Table.from_pylist(rows), cp_file)
+        with open(
+            os.path.join(self.table_dir, "_delta_log", "_last_checkpoint"),
+            "w",
+        ) as fh:
+            fh.write(json.dumps({"version": self.version, "size": len(rows)}))
