@@ -482,3 +482,87 @@ def delta_log_replay_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --- Iceberg metadata-tree read ---------------------------------------------
+# The Iceberg twin of delta_log_replay_read: hint -> metadata JSON ->
+# snapshot -> Avro manifest list -> Avro manifests -> live parquet
+# files, with the Avro layer carried by the engine's own
+# object-container codec. The fixture's second snapshot REWRITES the
+# first file (DELETED entry + replacement), so a reader that unions
+# every manifest entry regardless of status double-counts and fails
+# the hash.
+_ICEBERG_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS DOUBLE) / 100.0, 2) AS revenue
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("iceberg_metadata_read", _ICEBERG_ORACLE)
+def iceberg_metadata_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg WITHOUT the runtime jar: the live data-file set comes
+    from resolving the real metadata tree — version-hint.text,
+    versioned metadata JSON, an Avro MANIFEST LIST per snapshot and
+    Avro MANIFESTS whose entries carry EXISTING/ADDED/DELETED status
+    (all Avro read/written by operators/avrocodec.py) — and only live
+    files reach spark.read.parquet. Snapshot pinning (time travel)
+    and the rewrite semantics are pinned in tests/test_iceberglog.py."""
+    import pandas as pd
+
+    from ..sources.iceberglog import (
+        IcebergFixtureWriter,
+        STATUS_ADDED,
+        STATUS_DELETED,
+        STATUS_EXISTING,
+        read_iceberg_snapshot,
+    )
+
+    d = _fixture_dir(spark, sf_dir, "iceberg")
+    if d is None:
+        d = tempfile.mkdtemp(prefix="iceberg_fixture_")
+        pdf = pd.read_parquet(os.path.join(sf_dir, "orders.parquet"))[
+            ["o_orderkey", "o_orderpriority", "o_totalprice"]
+        ]
+        pdf["cents"] = (
+            (pdf["o_totalprice"] * 100).round(0).astype("int64")
+        )
+        pdf = pdf.drop(columns=["o_totalprice"])
+        recs = {
+            p: g.to_dict("records")
+            for p, g in pdf.groupby("o_orderpriority")
+        }
+        prios = sorted(recs)
+        w = IcebergFixtureWriter(
+            d,
+            [("o_orderkey", "long"), ("o_orderpriority", "string"),
+             ("cents", "long")],
+        )
+        f0 = w.write_data_file("d0.parquet", recs[prios[0]])
+        w.commit_snapshot([(STATUS_ADDED, f0)])
+        # rewrite snapshot: d0 deleted, d0r + the remaining priorities
+        f0r = w.write_data_file("d0r.parquet", recs[prios[0]])
+        rest = [
+            w.write_data_file(f"d{i + 1}.parquet", recs[p])
+            for i, p in enumerate(prios[1:])
+        ]
+        w.commit_snapshot(
+            [(STATUS_DELETED, f0), (STATUS_ADDED, f0r)]
+            + [(STATUS_ADDED, df) for df in rest]
+        )
+        _remember(spark, sf_dir, "iceberg", d)
+    df = read_iceberg_snapshot(spark, d)
+    return (
+        df.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("cents").cast("double") / 100.0, 2).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1,0 +1,269 @@
+"""From-scratch Apache Iceberg METADATA reader (and fixture writer):
+snapshot construction without the iceberg-spark runtime jar,
+pairing ``sources/deltalog.py``'s Delta replay.
+
+An Iceberg table is parquet data files plus a ``metadata/`` tree —
+versioned ``v<N>.metadata.json`` documents (found via
+``version-hint.text``) whose snapshots each point at a MANIFEST LIST
+(an Avro file of manifest descriptors), which points at MANIFEST
+FILES (Avro files of data-file entries with a status of EXISTING /
+ADDED / DELETED). A reader resolves: hint -> metadata JSON ->
+current (or pinned: time travel) snapshot -> manifest list ->
+manifests -> live data files. The Avro layer here is the engine's
+own object-container codec (``operators/avrocodec.py``) — the jar
+gap closes because the metadata formats are public specs, not
+connector internals.
+
+Subset: unpartitioned v1-shaped tables, parquet data files,
+core data_file fields (content/file_path/file_format/record_count/
+file_size_in_bytes). Anything else gates loudly toward the
+jar-backed path in ``sources/lakehouse.py``."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.avrocodec import read_container, write_container
+
+STATUS_EXISTING = 0
+STATUS_ADDED = 1
+STATUS_DELETED = 2
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "long"},
+        {"name": "added_snapshot_id", "type": "long"},
+    ],
+}
+
+_MANIFEST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "long"},
+        {"name": "snapshot_id", "type": "long"},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "data_file",
+                "fields": [
+                    {"name": "content", "type": "long"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ],
+            },
+        },
+    ],
+}
+
+
+def _metadata_path(table_dir: str) -> str:
+    hint = os.path.join(table_dir, "metadata", "version-hint.text")
+    if not os.path.exists(hint):
+        raise ValueError(
+            f"{table_dir}: no metadata/version-hint.text — not an "
+            "Iceberg table"
+        )
+    v = int(open(hint).read().strip())
+    return os.path.join(table_dir, "metadata", f"v{v}.metadata.json")
+
+
+def snapshot_data_files(
+    table_dir: str, snapshot_id: int | None = None
+) -> dict:
+    """Resolve the metadata tree to the live data-file set; returns
+    ``{"snapshot_id", "files": [paths], "schema_fields"}``."""
+    meta = json.loads(open(_metadata_path(table_dir)).read())
+    if meta.get("partition-specs") and any(
+        spec.get("fields") for spec in meta["partition-specs"]
+    ):
+        raise NotImplementedError(
+            "partitioned Iceberg tables are outside the metadata-replay "
+            "subset (use the jar-backed path)"
+        )
+    target = (
+        meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
+    )
+    snap = next(
+        (s for s in meta["snapshots"] if s["snapshot-id"] == target), None
+    )
+    if snap is None:
+        raise ValueError(
+            f"snapshot {target} not in table metadata "
+            f"(have {[s['snapshot-id'] for s in meta['snapshots']]})"
+        )
+    ml = read_container(open(snap["manifest-list"], "rb").read())
+    files = []
+    for mf in ml["records"]:
+        manifest = read_container(open(mf["manifest_path"], "rb").read())
+        for entry in manifest["records"]:
+            if entry["status"] == STATUS_DELETED:
+                continue
+            df = entry["data_file"]
+            if df["file_format"].lower() != "parquet":
+                raise NotImplementedError(
+                    f"data file format {df['file_format']!r} outside "
+                    "the subset"
+                )
+            files.append(df["file_path"])
+    return {
+        "snapshot_id": target,
+        "files": sorted(set(files)),
+        "schema_fields": meta["schemas"][0]["fields"],
+    }
+
+
+_TYPE_MAP = {
+    "long": "long", "int": "integer", "string": "string",
+    "double": "double", "boolean": "boolean",
+}
+
+
+def read_iceberg_snapshot(
+    spark: SparkSession, table_dir: str, snapshot_id: int | None = None
+) -> DataFrame:
+    from pyspark.sql import types as T
+
+    snap = snapshot_data_files(table_dir, snapshot_id)
+    fields = []
+    for f in snap["schema_fields"]:
+        if f["type"] not in _TYPE_MAP:
+            raise NotImplementedError(
+                f"iceberg type {f['type']!r} outside the subset"
+            )
+        fields.append(
+            T.StructField(
+                f["name"],
+                getattr(
+                    T,
+                    {
+                        "long": "LongType", "integer": "IntegerType",
+                        "string": "StringType", "double": "DoubleType",
+                        "boolean": "BooleanType",
+                    }[_TYPE_MAP[f["type"]]],
+                )(),
+                True,
+            )
+        )
+    return spark.read.schema(T.StructType(fields)).parquet(*snap["files"])
+
+
+class IcebergFixtureWriter:
+    """Writes a REAL Iceberg metadata tree: pyarrow data files, Avro
+    manifest lists / manifests via the engine's codec, versioned
+    metadata JSON and the version hint."""
+
+    def __init__(self, table_dir: str, schema_fields):
+        # schema_fields: [(name, iceberg_type_string)]
+        self.table_dir = table_dir
+        self.meta_dir = os.path.join(table_dir, "metadata")
+        self.data_dir = os.path.join(table_dir, "data")
+        os.makedirs(self.meta_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+        self.schema = {
+            "type": "struct",
+            "schema-id": 0,
+            "fields": [
+                {"id": i + 1, "name": n, "required": False, "type": t}
+                for i, (n, t) in enumerate(schema_fields)
+            ],
+        }
+        self.snapshots = []
+        self.version = 0
+        self._seq = 0
+
+    def write_data_file(self, name: str, rows: list) -> dict:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = os.path.join(self.data_dir, name)
+        pq.write_table(pa.Table.from_pylist(rows), path)
+        return {
+            "content": 0,
+            "file_path": path,
+            "file_format": "PARQUET",
+            "record_count": len(rows),
+            "file_size_in_bytes": os.path.getsize(path),
+        }
+
+    def commit_snapshot(self, entries) -> int:
+        """``entries``: [(status, data_file_dict)]; writes one
+        manifest + manifest list and a new metadata version."""
+        self._seq += 1
+        snap_id = 1000 + self._seq
+        manifest_path = os.path.join(
+            self.meta_dir, f"manifest-{self._seq}.avro"
+        )
+        with open(manifest_path, "wb") as fh:
+            fh.write(
+                write_container(
+                    [
+                        {"status": st, "snapshot_id": snap_id,
+                         "data_file": df}
+                        for st, df in entries
+                    ],
+                    _MANIFEST_SCHEMA,
+                    bytes(range(16)),
+                    codec="deflate",
+                )
+            )
+        ml_path = os.path.join(
+            self.meta_dir, f"snap-{snap_id}-manifest-list.avro"
+        )
+        with open(ml_path, "wb") as fh:
+            fh.write(
+                write_container(
+                    [
+                        {
+                            "manifest_path": manifest_path,
+                            "manifest_length": os.path.getsize(
+                                manifest_path
+                            ),
+                            "partition_spec_id": 0,
+                            "added_snapshot_id": snap_id,
+                        }
+                    ],
+                    _MANIFEST_LIST_SCHEMA,
+                    bytes(range(16)),
+                )
+            )
+        self.snapshots.append(
+            {
+                "snapshot-id": snap_id,
+                "timestamp-ms": 0,
+                "manifest-list": ml_path,
+                "summary": {"operation": "append"},
+            }
+        )
+        self.version += 1
+        meta = {
+            "format-version": 1,
+            "table-uuid": "fixture-table",
+            "location": self.table_dir,
+            "schemas": [self.schema],
+            "current-schema-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "default-spec-id": 0,
+            "snapshots": self.snapshots,
+            "current-snapshot-id": snap_id,
+        }
+        with open(
+            os.path.join(self.meta_dir, f"v{self.version}.metadata.json"),
+            "w",
+        ) as fh:
+            json.dump(meta, fh)
+        with open(
+            os.path.join(self.meta_dir, "version-hint.text"), "w"
+        ) as fh:
+            fh.write(str(self.version))
+        return snap_id
