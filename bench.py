@@ -300,6 +300,26 @@ HEADLINE = [
     "multimodal_jpeg_color_progressive",
     "streaming_bitmap_rollup",
     "compaction_roundtrip_digest",
+    # round-9 continuation: the codec/ingestion wave (GIF/TIFF/FLAC/
+    # G.711/ADPCM/Avro/ZIP-TAR/WARC/Delta/Iceberg/parquet-footer),
+    # the trig-free periodogram, JW linkage, DP segmentation and the
+    # t-closeness release gate
+    "multimodal_gif_decode",
+    "multimodal_gif_animation_frames",
+    "multimodal_audio_g711_decode",
+    "multimodal_audio_adpcm_decode",
+    "multimodal_flac_decode",
+    "multimodal_tiff_decode",
+    "periodicity_scan_anova",
+    "jaro_winkler_linkage",
+    "viterbi_segmentation",
+    "t_closeness_audit",
+    "avro_roundtrip_agg",
+    "parquet_footer_audit",
+    "archive_extract_audit",
+    "warc_extract_text",
+    "delta_log_replay_read",
+    "iceberg_metadata_read",
 ]
 
 
