@@ -15,24 +15,32 @@ The pattern for a 100 TB multimodal corpus:
 - partitioning: payload rows are large — repartition by byte budget
   (``spark.sql.files.maxPartitionBytes``), never by row count.
 
-Codec coverage: every modality now has a REAL pure-stdlib codec for
-at least one container:
+Codec coverage: every modality now has REAL pure-stdlib codecs for
+multiple containers:
 
-- image: PNG encoder/decoder, baseline-JPEG entropy encoder/decoder
-  (Huffman + restarts + dequant + IDCT), and PNG/JPEG header parsers
-  (``operators/imagecodec.py``);
-- audio: RIFF/WAV 16-bit PCM encoder/decoder
-  (``operators/avcodec.py`` — cross-checked against stdlib ``wave``
-  as a foreign encoder);
+- image: PNG, the full JPEG family (baseline/progressive, gray/
+  color/CMYK-YCCK, restarts) in ``operators/imagecodec.py``;
+  GIF87a/89a with real LZW and animations
+  (``operators/gifcodec.py``); baseline TIFF with PackBits
+  (``operators/tiffcodec.py``);
+- audio: RIFF/WAV 16-bit PCM (cross-checked against stdlib ``wave``)
+  plus G.711 mu-law/A-law (bit-exact vs ``audioop``) and blocked IMA
+  ADPCM in ``operators/avcodec.py``, and COMPRESSED audio via the
+  FLAC fixed-predictor subset (``operators/flaccodec.py`` — Rice
+  coding, stereo decorrelation, CRCs, MD5 self-check);
 - video: YUV4MPEG2 (.y4m) raw-video encoder/decoder
-  (``operators/avcodec.py``).
+  (``operators/avcodec.py``) and animated-GIF frame extraction;
+- delivery containers: ZIP/TAR archives
+  (``operators/archivecodec.py``, differential vs stdlib both
+  directions) and WARC web archives with per-record gzip members
+  (``operators/warccodec.py``).
 
 ``synthesize_image_media`` / ``synthesize_audio_media`` /
 ``synthesize_video_media`` plant genuine container bytes with
 closed-form content, and the ``multimodal_image_decode`` /
 ``multimodal_audio_decode`` / ``multimodal_video_decode`` queries are
-oracle-checked end-to-end through the real codecs.  COMPRESSED
-audio/video (MP3/AAC/H.264) still needs ffmpeg, absent here:
+oracle-checked end-to-end through the real codecs.  Perceptual
+codecs (MP3/AAC/H.264) still need ffmpeg, absent here:
 ``decode_payload`` raises ``NotImplementedError`` for those unless
 ``fake=True``, in which case a deterministic byte-derived fake (seeded
 by the payload itself) stands in. Everything around that remaining

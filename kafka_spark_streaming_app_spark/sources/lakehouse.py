@@ -1,9 +1,21 @@
-"""Lakehouse table formats (Delta / Iceberg) — gated stubs.
+"""Lakehouse table formats (Delta / Iceberg) — jar-backed paths,
+gated with remediation.
 
 The connector jars are not on this environment's classpath; these
 entry points keep the API surface present and fail with remediation
 instead of a raw ClassNotFoundException (same pattern as the Kafka
 source wrapper).
+
+The jar gap no longer blocks READING either format: the engine
+carries from-scratch metadata-layer readers built on the public
+protocol specs — ``sources/deltalog.py`` (transaction-log replay:
+JSON commits, parquet checkpoints, time travel) and
+``sources/iceberglog.py`` (version hint -> metadata JSON -> Avro
+manifest lists/manifests via ``operators/avrocodec.py``). Both hand
+the live file set to ``spark.read.parquet`` so Catalyst plans the
+scan normally; writers, partitioned tables, deletion vectors and
+row-level merges remain jar-backed behavior behind this module's
+gates.
 """
 
 from __future__ import annotations
