@@ -331,3 +331,57 @@ def test_round5_operators_on_degenerate_inputs(spark):
     vid = synthesize_vfp_media(empty_docs)
     assert vid.count() == 0
     assert video_fingerprint_bands(vid).count() == 0
+
+
+def test_codec_synth_stages_on_empty_corpus(spark):
+    """Every round-9-continuation media synthesis/stats pair must
+    yield an empty result with the right schema on an empty corpus
+    (the mapInPandas iterators see zero batches or empty frames)."""
+    from kafka_spark_streaming_app_spark.operators.multimodal import (
+        adpcm_sample_stats,
+        archive_member_stats,
+        flac_sample_stats,
+        g711_audio_stats,
+        gif_frame_stats,
+        gif_pixel_stats,
+        synthesize_adpcm_media,
+        synthesize_archive_media,
+        synthesize_flac_media,
+        synthesize_g711_media,
+        synthesize_gif_animation_media,
+        synthesize_gif_media,
+        synthesize_tiff_media,
+        synthesize_warc_media,
+        tiff_pixel_stats,
+        warc_response_stats,
+    )
+
+    docs = _empty_docs(spark)
+    pairs = [
+        (synthesize_gif_media, gif_pixel_stats),
+        (synthesize_gif_animation_media, gif_frame_stats),
+        (synthesize_g711_media, g711_audio_stats),
+        (synthesize_adpcm_media, adpcm_sample_stats),
+        (synthesize_flac_media, flac_sample_stats),
+        (synthesize_tiff_media, tiff_pixel_stats),
+        (synthesize_archive_media, archive_member_stats),
+        (synthesize_warc_media, warc_response_stats),
+    ]
+    for synth, stats in pairs:
+        out = stats(synth(docs))
+        assert out.count() == 0, synth.__name__
+        assert len(out.schema) >= 5
+
+
+def test_jaro_winkler_col_on_empty_frame(spark):
+    from kafka_spark_streaming_app_spark.operators.text import (
+        jaro_winkler_col,
+    )
+
+    df = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("a", T.StringType()),
+            T.StructField("b", T.StringType()),
+        ])
+    )
+    assert df.select(jaro_winkler_col(F.col("a"), F.col("b"))).count() == 0
