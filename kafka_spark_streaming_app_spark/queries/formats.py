@@ -566,3 +566,216 @@ def iceberg_metadata_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --- streaming Delta sink ----------------------------------------------------
+# Structured Streaming -> Delta without the jar: foreachBatch commits
+# every micro-batch as a REAL transaction (data file + JSON commit),
+# odd batches additionally compact their predecessor (add + remove in
+# one commit), and at-least-once replays are deduplicated by the txn
+# action exactly as the real Delta sink does (appId + batch version
+# checked before committing). The final table is read back through
+# the log replay, so the oracle hash proves batch framing, txn
+# idempotency, tombstone semantics and replay all at once.
+_DELTA_STREAM_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+_DELTA_STREAM_APP = "spark-graft-delta-sink"
+
+
+def _delta_stream_commit(table_dir: str, batch_pdf, batch_id: int) -> None:
+    """One streaming micro-batch -> one (or, for odd batches, one
+    compacting) Delta commit, idempotent under foreachBatch replay
+    via the txn action."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    log_dir = os.path.join(table_dir, "_delta_log")
+    os.makedirs(log_dir, exist_ok=True)
+    commits = sorted(
+        f for f in os.listdir(log_dir)
+        if f.endswith(".json") and f[:20].isdigit()
+    )
+    for f in commits:  # txn replay check: has this batch committed?
+        with open(os.path.join(log_dir, f)) as fh:
+            for line in fh:
+                a = _json.loads(line)
+                if (
+                    "txn" in a
+                    and a["txn"]["appId"] == _DELTA_STREAM_APP
+                    and a["txn"]["version"] >= batch_id
+                ):
+                    return
+    version = len(commits)
+    name = f"batch-{batch_id}.parquet"
+    path = os.path.join(table_dir, name)
+    pq.write_table(pa.Table.from_pylist(batch_pdf.to_dict("records")), path)
+    actions = []
+    if version == 0:
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        )
+        actions.append(
+            {
+                "metaData": {
+                    "id": "stream-table",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": _json.dumps(
+                        {
+                            "type": "struct",
+                            "fields": [
+                                {"name": n, "type": t, "nullable": True,
+                                 "metadata": {}}
+                                for n, t in (
+                                    ("o_orderkey", "long"),
+                                    ("o_orderstatus", "string"),
+                                    ("o_orderpriority", "string"),
+                                    ("cents", "long"),
+                                )
+                            ],
+                        }
+                    ),
+                    "partitionColumns": [],
+                    "configuration": {},
+                    "createdTime": 0,
+                }
+            }
+        )
+    actions.append(
+        {"txn": {"appId": _DELTA_STREAM_APP, "version": batch_id}}
+    )
+    actions.append(
+        {
+            "add": {
+                "path": name,
+                "partitionValues": {},
+                "size": os.path.getsize(path),
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        }
+    )
+    if batch_id % 2 == 1:
+        prev = f"batch-{batch_id - 1}.parquet"
+        prev_path = os.path.join(table_dir, prev)
+        if os.path.exists(prev_path):
+            import pandas as pd
+
+            rewritten = f"batch-{batch_id - 1}-compacted.parquet"
+            pq.write_table(
+                pa.Table.from_pylist(
+                    pd.read_parquet(prev_path).to_dict("records")
+                ),
+                os.path.join(table_dir, rewritten),
+            )
+            actions.append(
+                {"remove": {"path": prev, "deletionTimestamp": 0,
+                            "dataChange": False}}
+            )
+            actions.append(
+                {
+                    "add": {
+                        "path": rewritten,
+                        "partitionValues": {},
+                        "size": os.path.getsize(
+                            os.path.join(table_dir, rewritten)
+                        ),
+                        "modificationTime": 0,
+                        "dataChange": False,
+                    }
+                }
+            )
+    with open(
+        os.path.join(log_dir, f"{version:020d}.json"), "w"
+    ) as fh:
+        for a in actions:
+            fh.write(_json.dumps(a) + "\n")
+
+
+@query("streaming_delta_sink", _DELTA_STREAM_ORACLE)
+def streaming_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-into-lakehouse: the orders feed replays as a file
+    stream (2 files per trigger), foreachBatch commits each
+    micro-batch as a real Delta transaction — txn action for
+    at-least-once dedup, odd batches compacting their predecessor
+    (remove + rewritten add, tombstone left on disk) — and the final
+    aggregate reads the table back through the transaction-log
+    replay. Per-batch work is batch-sized (one data file + one
+    O(log) commit scan); the log, not the directory, defines what
+    the readback sees."""
+    import atexit as _atexit
+    import shutil as _shutil
+
+    feed_key = (spark.sparkContext.applicationId, sf_dir, "delta_feed")
+    src = _FIXTURE_DIRS.get(feed_key)
+    if src is None or not os.path.isdir(src):
+        src = tempfile.mkdtemp(prefix="delta_feed_")
+        _atexit.register(_shutil.rmtree, src, ignore_errors=True)
+        (
+            load_table(spark, sf_dir, "orders")
+            .select(
+                "o_orderkey",
+                "o_orderstatus",
+                "o_orderpriority",
+                F.round(F.col("o_totalprice") * 100, 0)
+                .cast("bigint")
+                .alias("cents"),
+            )
+            .repartition(8)
+            .write.mode("overwrite")
+            .json(src)
+        )
+        _FIXTURE_DIRS[feed_key] = src
+    table_dir = tempfile.mkdtemp(prefix="delta_sink_")
+    ckpt = tempfile.mkdtemp(prefix="delta_sink_ckpt_")
+    for d in (table_dir, ckpt):
+        _atexit.register(_shutil.rmtree, d, ignore_errors=True)
+    schema = (
+        "o_orderkey bigint, o_orderstatus string, "
+        "o_orderpriority string, cents bigint"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .json(src)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        _delta_stream_commit(table_dir, batch_df.toPandas(), batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise RuntimeError(
+                "streaming_delta_sink: availableNow run did not finish "
+                "within 300s; refusing to read a partial table"
+            )
+    finally:
+        if q.isActive:
+            q.stop()
+
+    from ..sources.deltalog import read_delta_snapshot
+
+    df = read_delta_snapshot(spark, table_dir)
+    return (
+        df.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )

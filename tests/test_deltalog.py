@@ -90,3 +90,33 @@ def test_guards(tmp_path):
     commit.write_text(json.dumps(md) + "\n")
     with pytest.raises(NotImplementedError, match="partitioned"):
         snapshot_files(str(tmp_path))
+
+
+def test_streaming_commit_is_idempotent_under_replay(tmp_path):
+    """foreachBatch is at-least-once: replaying a batch id must not
+    produce a second commit (the txn-action check, exactly the real
+    Delta sink's dedup)."""
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark.queries.formats import (
+        _delta_stream_commit,
+    )
+
+    pdf0 = pd.DataFrame(
+        {"o_orderkey": [1, 2], "o_orderstatus": ["F", "O"],
+         "o_orderpriority": ["1-URGENT"] * 2, "cents": [100, 200]}
+    )
+    _delta_stream_commit(str(tmp_path), pdf0, 0)
+    _delta_stream_commit(str(tmp_path), pdf0, 0)  # replay
+    log = sorted(os.listdir(tmp_path / "_delta_log"))
+    assert log == [f"{0:020d}.json"]
+    pdf1 = pdf0.assign(o_orderkey=[3, 4])
+    _delta_stream_commit(str(tmp_path), pdf1, 1)
+    _delta_stream_commit(str(tmp_path), pdf1, 1)  # replay of the compactor
+    snap = snapshot_files(str(tmp_path))
+    assert snap["files"] == [
+        "batch-0-compacted.parquet", "batch-1.parquet"
+    ]
+    # the compacted original is tombstoned but still on disk
+    assert os.path.exists(tmp_path / "batch-0.parquet")
+    assert len(sorted(os.listdir(tmp_path / "_delta_log"))) == 2
