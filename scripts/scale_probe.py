@@ -242,6 +242,13 @@ PROBES = (
     "warc_extract_text",
     "avro_roundtrip_agg",
     "t_closeness_audit",
+    # lakehouse wave: fixture build + snapshot replay are both
+    # row-linear (data files scale Nx, the log/metadata tree stays
+    # commit-sized); the streaming sink replays Nx rows through the
+    # fixed trigger count into per-batch commits
+    "delta_log_replay_read",
+    "iceberg_metadata_read",
+    "streaming_delta_sink",
 )
 
 
