@@ -1312,7 +1312,9 @@ def encode_jpeg_progressive(
     return bytes(out)
 
 
-def decode_jpeg_progressive(data: bytes, want_pixels: bool = True) -> dict:
+def decode_jpeg_progressive(
+    data: bytes, want_pixels: bool = True, dc_only: bool = False
+) -> dict:
     """REAL progressive (SOF2) JPEG decode, grayscale OR color:
     accumulates coefficients across every SOS scan — interleaved DC
     scans (first: point-transformed diffs per component; refinement:
@@ -1430,6 +1432,12 @@ def decode_jpeg_progressive(data: bytes, want_pixels: bool = True) -> dict:
             off = 1 + 2 * ns
             ss, se = body[off], body[off + 1]
             ah, al = body[off + 2] >> 4, body[off + 2] & 0x0F
+            if dc_only and ss > 0:
+                # THE progressive fast path: every DC scan (first +
+                # refinement) precedes the first AC scan, so the DC
+                # image is already complete and exact — stop consuming
+                # entropy data here; AC bytes are never parsed.
+                break
             reader = _JpegBitReader(data, pos + 2 + seglen)
             if ns > 1:  # interleaved scan: must be DC
                 if ss != 0 or se != 0:

@@ -3190,3 +3190,62 @@ def warc_response_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         stats, schema=WARC_STATS_SCHEMA
     )
+
+
+JPEG_THUMB_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("thumb_w", T.IntegerType(), True),
+        T.StructField("thumb_h", T.IntegerType(), True),
+        T.StructField("n_pixels", T.LongType(), True),
+        T.StructField("pixel_sum", T.LongType(), True),
+        T.StructField("pixel_min", T.IntegerType(), True),
+        T.StructField("pixel_max", T.IntegerType(), True),
+        T.StructField("posw_sum", T.LongType(), True),
+    ]
+)
+
+
+def jpeg_dc_thumbnail_stats(media: DataFrame) -> DataFrame:
+    """1/8-scale thumbnails from PROGRESSIVE JPEGs by decoding ONLY
+    the DC scans (every DC scan precedes the first AC scan, so the
+    decoder stops before any AC entropy data is parsed — the
+    production thumbnail fast path that reads a fraction of each
+    file). Thumb pixel per block = clamp(floor(dequant_dc / 8) + 128)
+    — exactly the DC-only IDCT; one exact stats row per media with a
+    block-order positional pin."""
+    from .imagecodec import decode_jpeg_progressive
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                out = decode_jpeg_progressive(
+                    bytes(payload), want_pixels=False, dc_only=True
+                )
+                comp = out["components"][0]
+                px = [
+                    min(255, max(0, (blk[0] // 8) + 128))
+                    for blk in comp["blocks"]
+                ]
+                rows.append(
+                    {
+                        "media_id": int(media_id),
+                        "thumb_w": (out["width"] + 7) // 8,
+                        "thumb_h": (out["height"] + 7) // 8,
+                        "n_pixels": len(px),
+                        "pixel_sum": sum(px),
+                        "pixel_min": min(px),
+                        "pixel_max": max(px),
+                        "posw_sum": sum(
+                            v * (b % 13) for b, v in enumerate(px)
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in JPEG_THUMB_SCHEMA]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        stats, schema=JPEG_THUMB_SCHEMA
+    )

@@ -2054,3 +2054,57 @@ def warc_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_warc_media(load_table(spark, sf_dir, "documents"))
     return warc_response_stats(media)
+
+
+# DC-only thumbnails: floor((dc*q0)/8) + 128 clamped — the DC-only
+# IDCT in closed form; the positional pin fixes the block walk order.
+_JPEG_THUMB_ORACLE = """
+WITH d AS (
+    SELECT doc_id, doc_id % 3 + 1 AS wb, doc_id % 2 + 1 AS hb,
+           (doc_id * 7) % 31 + 1 AS q0
+    FROM documents
+),
+blk AS (
+    SELECT doc_id, wb, hb, q0, b.b AS b
+    FROM d, LATERAL (SELECT unnest(range(0, wb * hb)) AS b) b
+),
+px AS (
+    SELECT doc_id, wb, hb, b,
+           LEAST(255, GREATEST(0,
+               CAST(floor(CAST(((doc_id + 11 * b) % 61 - 30) * q0
+                               AS DOUBLE) / 8) AS INTEGER) + 128)) AS v
+    FROM blk
+)
+SELECT doc_id AS media_id,
+       CAST(wb AS INTEGER) AS thumb_w,
+       CAST(hb AS INTEGER) AS thumb_h,
+       CAST(wb * hb AS BIGINT) AS n_pixels,
+       CAST(sum(v) AS BIGINT) AS pixel_sum,
+       CAST(min(v) AS INTEGER) AS pixel_min,
+       CAST(max(v) AS INTEGER) AS pixel_max,
+       CAST(sum(v * (b % 13)) AS BIGINT) AS posw_sum
+FROM px
+GROUP BY doc_id, wb, hb
+"""
+
+
+@query("multimodal_jpeg_thumbnail_dc", _JPEG_THUMB_ORACLE)
+def multimodal_jpeg_thumbnail_dc(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PROGRESSIVE-JPEG thumbnail fast path: 1/8-scale images decoded
+    from ONLY the DC scans — the decoder stops at the first AC scan,
+    so most of each file's entropy data is never parsed (the reason
+    image pipelines store progressive JPEGs: previews cost a fraction
+    of the bytes AND the compute). DC values are bit-exact vs the
+    full decode (asserted in tests), and the closed-form oracle pins
+    every thumbnail pixel including the block-order positional sum."""
+    from ..operators.multimodal import (
+        jpeg_dc_thumbnail_stats,
+        synthesize_jpeg_progressive_media,
+    )
+
+    media = synthesize_jpeg_progressive_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return jpeg_dc_thumbnail_stats(media)

@@ -1578,3 +1578,65 @@ def test_jpeg_cmyk_fixture_spark_path(spark, sf_smoke):
             assert row["n_nonzero"] == len(dq)
             assert row["coef_sum"] == sum(v for _, v in dq)
             assert row["posw_sum"] == sum(i * v for i, v in dq)
+
+
+def test_jpeg_dc_only_decode_is_exact_and_stops_early():
+    """dc_only must (a) reproduce the full decode's DC coefficients
+    bit-exactly, (b) decode zero AC, and (c) also hold on COLOR
+    progressive files where DC scans are interleaved."""
+    from kafka_spark_streaming_app_spark.operators.imagecodec import (
+        decode_jpeg_progressive,
+        encode_jpeg_progressive,
+    )
+    from kafka_spark_streaming_app_spark.operators.multimodal import (
+        _jpeg_scan_fixture,
+    )
+
+    for d in (0, 3, 17, 42, 101):
+        blocks, w, h, qtable, ri = _jpeg_scan_fixture(d)
+        data = encode_jpeg_progressive(
+            blocks, w, h, qtable, restart_interval=ri
+        )
+        full = decode_jpeg_progressive(data, want_pixels=False)
+        fast = decode_jpeg_progressive(
+            data, want_pixels=False, dc_only=True
+        )
+        for cf, cd in zip(full["components"], fast["components"]):
+            for bf, bd in zip(cf["blocks"], cd["blocks"]):
+                assert bd[0] == bf[0]
+                assert all(v == 0 for v in bd[1:])
+
+
+def test_jpeg_dc_thumbnail_color_progressive():
+    """Interleaved DC scans on a color progressive file: dc_only
+    keeps all three components' DC planes exact."""
+    from kafka_spark_streaming_app_spark.operators.imagecodec import (
+        decode_jpeg_progressive,
+        encode_jpeg_progressive_color,
+    )
+
+    comp_blocks = []
+    for ci, nblocks in ((0, 4), (1, 1), (2, 1)):
+        blocks = []
+        for b in range(nblocks):
+            blk = [0] * 64
+            blk[0] = 7 * (ci + 1) + b
+            blk[5] = 3  # AC that dc_only must NOT see
+            blocks.append(blk)
+        comp_blocks.append(blocks)
+    qt = [[4] * 64, [5] * 64, [5] * 64]
+    data = encode_jpeg_progressive_color(
+        comp_blocks, [(2, 2), (1, 1), (1, 1)], 16, 16, qt
+    )
+    full = decode_jpeg_progressive(data, want_pixels=False)
+    fast = decode_jpeg_progressive(data, want_pixels=False, dc_only=True)
+    for cf, cd in zip(full["components"], fast["components"]):
+        for bf, bd in zip(cf["blocks"], cd["blocks"]):
+            assert bd[0] == bf[0]
+            assert all(v == 0 for v in bd[1:])
+    # the planted AC really is on the wire (decoded blocks are in
+    # natural order, so check any non-DC position)
+    assert any(
+        any(v != 0 for b in c["blocks"] for v in b[1:])
+        for c in full["components"]
+    )
