@@ -4147,3 +4147,116 @@ def kalman_filter_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         state.getField("x").alias("x_final"),
         state.getField("p").alias("p_final"),
     )
+
+
+# --- HMM Viterbi decoding over user sessions --------------------------------
+# Discrete-state sequence inference: per user, the min-cost hidden
+# state path under integer emission/transition costs (3 activity
+# states, value-bucket emissions). Integer costs with a
+# smallest-index tie-break make the DP fully deterministic, and the
+# oracle replays it with a RECURSIVE CTE carrying the 3-state score
+# vector — the same state-machine-oracle pattern as the IMA ADPCM
+# decode, here over per-KEY sequences. Spark side: one
+# applyInPandas per user (the sequence family's idiomatic shape —
+# cross-user parallel, within-user sequential).
+_HMM_ORACLE = """
+WITH RECURSIVE ev AS (
+    SELECT user_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) - 1 AS i,
+           CAST(floor(value) AS INTEGER) % 5 AS vb
+    FROM events
+),
+n AS (SELECT user_id, count(*) AS n_events FROM ev GROUP BY user_id),
+st AS (
+    SELECT user_id, i,
+           ((7 * 0 + 3 * vb + 1) * 5) % 17 AS v0,
+           ((7 * 1 + 3 * vb + 1) * 5) % 17 AS v1,
+           ((7 * 2 + 3 * vb + 1) * 5) % 17 AS v2
+    FROM ev WHERE i = 0
+    UNION ALL
+    SELECT e.user_id, e.i,
+           LEAST(st.v0 + ((0 * 3 + 0) * 7) % 11,
+                 st.v1 + ((1 * 3 + 0) * 7) % 11,
+                 st.v2 + ((2 * 3 + 0) * 7) % 11)
+               + ((7 * 0 + 3 * e.vb + 1) * 5) % 17 AS v0,
+           LEAST(st.v0 + ((0 * 3 + 1) * 7) % 11,
+                 st.v1 + ((1 * 3 + 1) * 7) % 11,
+                 st.v2 + ((2 * 3 + 1) * 7) % 11)
+               + ((7 * 1 + 3 * e.vb + 1) * 5) % 17 AS v1,
+           LEAST(st.v0 + ((0 * 3 + 2) * 7) % 11,
+                 st.v1 + ((1 * 3 + 2) * 7) % 11,
+                 st.v2 + ((2 * 3 + 2) * 7) % 11)
+               + ((7 * 2 + 3 * e.vb + 1) * 5) % 17 AS v2
+    FROM st JOIN ev e ON e.user_id = st.user_id AND e.i = st.i + 1
+)
+SELECT s.user_id,
+       CAST(n.n_events AS BIGINT) AS n_events,
+       CAST(LEAST(v0, v1, v2) AS BIGINT) AS best_cost,
+       CAST(CASE WHEN v0 <= v1 AND v0 <= v2 THEN 0
+                 WHEN v1 <= v2 THEN 1 ELSE 2 END AS INTEGER)
+           AS best_state
+FROM st s JOIN n ON n.user_id = s.user_id AND s.i = n.n_events - 1
+ORDER BY s.user_id
+"""
+
+
+@query("hmm_viterbi_sessions", _HMM_ORACLE)
+def hmm_viterbi_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi decoding of a 3-state HMM over each user's event
+    sequence (integer emission costs by value bucket, integer
+    transition costs, smallest-state tie-break): per user the optimal
+    final cost and final state. One applyInPandas per user — users
+    decode in parallel, each sequence sequentially, the DP state a
+    3-vector regardless of sequence length; the oracle replays the
+    identical recursion as a recursive CTE. Grouping shuffles once on
+    user_id; nothing else grows with input."""
+    import pandas as pd
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+
+    def emis(s: int, vb) -> "pd.Series":
+        return ((7 * s + 3 * vb + 1) * 5) % 17
+
+    trans = [[((sp * 3 + s) * 7) % 11 for s in range(3)] for sp in range(3)]
+
+    def decode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        vb = (pdf["value"].astype("int64") % 5).tolist()
+        v = [int(emis(s, vb[0])) for s in range(3)]
+        for b in vb[1:]:
+            v = [
+                min(v[sp] + trans[sp][s] for sp in range(3))
+                + int(emis(s, b))
+                for s in range(3)
+            ]
+        best = min(v)
+        state = v.index(best)  # .index returns the SMALLEST index on ties
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(vb)],
+                "best_cost": [best],
+                "best_state": [state],
+            }
+        )
+
+    # explicit partition count: AQE sizes the group exchange by BYTES
+    # and coalesces the small event projection onto a couple of tasks,
+    # serializing the per-user Python DPs; the explicit hash
+    # repartition is AQE-exempt and is exactly the distribution the
+    # groupBy needs, so no second exchange appears.
+    return (
+        events.repartition(
+            events.sparkSession.sparkContext.defaultParallelism, "user_id"
+        )
+        .groupBy("user_id")
+        .applyInPandas(
+            decode,
+            schema="user_id bigint, n_events bigint, best_cost bigint, "
+                   "best_state int",
+        )
+        .orderBy("user_id")
+    )

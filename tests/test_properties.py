@@ -4442,3 +4442,63 @@ def test_t_closeness_audit_matches_pandas_replay(spark, sf_smoke):
         assert row.t_close == (emd <= 0.35 + 1e-12) or abs(emd - 0.35) < 1e-9
         seen += 1
     assert seen == len(rows)
+
+
+def test_hmm_viterbi_matches_exhaustive_enumeration(spark, tmp_path):
+    """hmm_viterbi_sessions vs brute-force path enumeration (3^n
+    paths) over a synthetic corpus of short sessions — proves the DP
+    recurrence and tie-break, not just cross-engine agreement (real
+    corpus sessions are 50+ events, far past the enumeration budget
+    — the real corpus is covered by the recursive-CTE oracle)."""
+    import itertools
+    import random
+
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    rng = random.Random(41)
+    rows_in = []
+    eid = 0
+    for uid in range(8):
+        for i in range(rng.randint(1, 8)):
+            rows_in.append(
+                {
+                    "event_id": eid,
+                    "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(
+                        minutes=10 * i + uid
+                    ),
+                    "user_id": uid,
+                    "event_type": "view",
+                    "value": float(rng.randint(0, 400)) + 0.25,
+                    "props": "{}",
+                }
+            )
+            eid += 1
+    pd.DataFrame(rows_in).to_parquet(tmp_path / "events.parquet")
+    out = {
+        r.user_id: r
+        for r in registry.QUERIES["hmm_viterbi_sessions"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    emis = lambda s, vb: ((7 * s + 3 * vb + 1) * 5) % 17  # noqa: E731
+    trans = [[((sp * 3 + s) * 7) % 11 for s in range(3)] for sp in range(3)]
+    ev = pd.DataFrame(rows_in).sort_values(["user_id", "ts", "event_id"])
+    for uid, grp in ev.groupby("user_id"):
+        vb = [int(v) % 5 for v in grp["value"]]
+        assert out[uid].n_events == len(vb)
+        best = None
+        best_final = None
+        for path in itertools.product(range(3), repeat=len(vb)):
+            c = emis(path[0], vb[0])
+            for i in range(1, len(vb)):
+                c += trans[path[i - 1]][path[i]] + emis(path[i], vb[i])
+            if best is None or c < best:
+                best, best_final = c, {path[-1]}
+            elif c == best:
+                best_final.add(path[-1])
+        assert out[uid].best_cost == best, uid
+        assert out[uid].best_state in best_final, uid
+    assert len(out) == 8
