@@ -320,6 +320,9 @@ HEADLINE = [
     "warc_extract_text",
     "delta_log_replay_read",
     "iceberg_metadata_read",
+    "streaming_delta_sink",
+    "multimodal_jpeg_thumbnail_dc",
+    "hmm_viterbi_sessions",
 ]
 
 

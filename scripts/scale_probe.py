@@ -249,6 +249,11 @@ PROBES = (
     "delta_log_replay_read",
     "iceberg_metadata_read",
     "streaming_delta_sink",
+    # DC-only thumbnails parse a bounded prefix of each payload
+    # (row-linear); HMM sessions: user-keyed DP, 3-vector state,
+    # duplicated events lengthen sequences linearly (time-only probe)
+    "multimodal_jpeg_thumbnail_dc",
+    "hmm_viterbi_sessions",
 )
 
 
