@@ -1640,3 +1640,106 @@ def test_jpeg_dc_thumbnail_color_progressive():
         any(v != 0 for b in c["blocks"] for v in b[1:])
         for c in full["components"]
     )
+
+
+
+# --------------------------------------------------------------------------
+# Foreign-encoder JPEG ground truth
+# --------------------------------------------------------------------------
+# Three real-world files produced by third-party encoders, embedded
+# with provenance: CPython's test-suite Python-logo JPEG in both its
+# JFIF and raw (headerless) variants (Lib/test/imghdrdata — PSF
+# licensed) and IPython's 2x2 test JPEG (BSD licensed). None were
+# produced by this repo's encoder, so they pin the DECODER against
+# the wider JPEG ecosystem the way the idlelib icons pin the GIF LZW
+# schedule.
+
+import base64
+
+_PYTHON_JPG = base64.b64decode(
+    "/9j/4AAQSkZJRgABAQEAAQABAAD/2wBDAAMCAgICAgMCAgIDAwMDBAYEBAQEBAgG"
+    "BgUGCQgKCgkICQkKDA8MCgsOCwkJDRENDg8QEBEQCgwSExIQEw8QEBD/2wBDAQMD"
+    "AwQDBAgEBAgQCwkLEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQ"
+    "EBAQEBAQEBAQEBAQEBD/wAARCAAQABADASIAAhEBAxEB/8QAFgABAQEAAAAAAAAA"
+    "AAAAAAAABwQF/8QAJBAAAQQBBAICAwAAAAAAAAAAAQIDBAYFBwgSExEiABQJMTL/"
+    "xAAVAQEBAAAAAAAAAAAAAAAAAAAABv/EACMRAAECBQMFAAAAAAAAAAAAAAECEQME"
+    "BQYhABIxFRZhgeH/2gAMAwEAAhEDEQA/ABSm0mobc8HmExLUlRzzEWPkJWW+ulrs"
+    "aUVAseUgslSlH9LKuPryIKuWPZdskzXmm3fX5m2nF4GlVxx/HOpx4ks51+MiU/Ia"
+    "ad7UcUo4tILoS4kqcWkezS0hO/HvuRp0rO6hWnWO1UisZVuFi4GFeyEpmGepa5S5"
+    "SWVPuciFKRFLgSrwetnyPIB+Vb4N9mKhQMzo5po9XLdDs9d6ZVix2VEhiL9kuNPx"
+    "w2gEKcDQ/rs8AuA8VAe0vdl7VOYn+27flGAUgmITjbhSmCg3BYlyeWDkMolvw4KO"
+    "p1KM6iCNvngZHwetf//Z"
+)
+
+_PYTHON_RAW_JPG = base64.b64decode(
+    "/9j/2wBDAAMCAgICAgMCAgIDAwMDBAYEBAQEBAgGBgUGCQgKCgkICQkKDA8MCgsO"
+    "CwkJDRENDg8QEBEQCgwSExIQEw8QEBD/2wBDAQMDAwQDBAgEBAgQCwkLEBAQEBAQ"
+    "EBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBD/wAAR"
+    "CAAQABADASIAAhEBAxEB/8QAFgABAQEAAAAAAAAAAAAAAAAABwQF/8QAJBAAAQQB"
+    "BAICAwAAAAAAAAAAAQIDBAYFBwgSExEiABQJMTL/xAAVAQEBAAAAAAAAAAAAAAAA"
+    "AAAABv/EACMRAAECBQMFAAAAAAAAAAAAAAECEQMEBQYhABIxFRZhgeH/2gAMAwEA"
+    "AhEDEQA/ABSm0mobc8HmExLUlRzzEWPkJWW+ulrsaUVAseUgslSlH9LKuPryIKuW"
+    "PZdskzXmm3fX5m2nF4GlVxx/HOpx4ks51+MiU/Iaad7UcUo4tILoS4kqcWkezS0h"
+    "O/HvuRp0rO6hWnWO1UisZVuFi4GFeyEpmGepa5S5SWVPuciFKRFLgSrwetnyPIB+"
+    "Vb4N9mKhQMzo5po9XLdDs9d6ZVix2VEhiL9kuNPxw2gEKcDQ/rs8AuA8VAe0vdl7"
+    "VOYn+27flGAUgmITjbhSmCg3BYlyeWDkMolvw4KOp1KM6iCNvngZHwetf//Z"
+)
+
+_GREY_2X2_JPG = base64.b64decode(
+    "/9j/4AAQSkZJRgABAQAAAQABAAD/2wBDAAgGBgcGBQgHBwcJCQgKDBQNDAsLDBkS"
+    "Ew8UHRofHh0aHBwgJC4nICIsIxwcKDcpLDAxNDQ0Hyc5PTgyPC4zNDL/wAALCAAC"
+    "AAIBAREA/8QAHwAAAQUBAQEBAQEAAAAAAAAAAAECAwQFBgcICQoL/8QAtRAAAgED"
+    "AwIEAwUFBAQAAAF9AQIDAAQRBRIhMUEGE1FhByJxFDKBkaEII0KxwRVS0fAkM2Jy"
+    "ggkKFhcYGRolJicoKSo0NTY3ODk6Q0RFRkdISUpTVFVWV1hZWmNkZWZnaGlqc3R1"
+    "dnd4eXqDhIWGh4iJipKTlJWWl5iZmqKjpKWmp6ipqrKztLW2t7i5usLDxMXGx8jJ"
+    "ytLT1NXW19jZ2uHi4+Tl5ufo6erx8vP09fb3+Pn6/9oACAEBAAA/ACv/2Q=="
+)
+
+
+def test_foreign_jpeg_python_logo_decodes_semantically():
+    import hashlib
+
+    import numpy as np
+
+    from kafka_spark_streaming_app_spark.operators.imagecodec import (
+        decode_jpeg,
+    )
+
+    a = np.asarray(decode_jpeg(_PYTHON_JPG)["pixels"])
+    assert a.shape == (16, 16, 3)
+    # the logo: blue-ish upper half, yellow-ish lower half
+    top = a[:8].reshape(-1, 3).mean(axis=0)
+    bot = a[8:].reshape(-1, 3).mean(axis=0)
+    assert top[2] > top[0] + 20  # blue dominates red up top
+    assert bot[0] > bot[2] + 50  # red/yellow dominates blue below
+    assert (
+        hashlib.md5(a.astype(np.uint8).tobytes()).hexdigest()
+        == "4587bf0311fa55408e534874b963e01f"
+    )
+
+
+def test_foreign_jpeg_jfif_and_raw_variants_decode_identically():
+    """The same image in two containers (JFIF APP0 vs bare SOI) must
+    decode to identical pixels — container parsing cannot leak into
+    pixel values."""
+    import numpy as np
+
+    from kafka_spark_streaming_app_spark.operators.imagecodec import (
+        decode_jpeg,
+    )
+
+    a = np.asarray(decode_jpeg(_PYTHON_JPG)["pixels"])
+    b = np.asarray(decode_jpeg(_PYTHON_RAW_JPG)["pixels"])
+    assert (a == b).all()
+
+
+def test_foreign_jpeg_flat_grey_2x2():
+    import numpy as np
+
+    from kafka_spark_streaming_app_spark.operators.imagecodec import (
+        decode_jpeg,
+    )
+
+    c = np.asarray(decode_jpeg(_GREY_2X2_JPG)["pixels"])
+    assert c.shape == (2, 2)
+    assert (c == 128).all()  # a flat mid-grey plane, exactly
