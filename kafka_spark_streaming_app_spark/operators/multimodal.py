@@ -3249,3 +3249,108 @@ def jpeg_dc_thumbnail_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         stats, schema=JPEG_THUMB_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# Compressed-text media (gzip / bz2 / xz)
+# --------------------------------------------------------------------------
+
+COMPRESSED_TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+        T.StructField("text_md5", T.StringType(), True),
+    ]
+)
+
+
+def synthesize_compressed_text_media(documents: DataFrame) -> DataFrame:
+    """Corpus-mirror fixture: each doc's real text compressed with
+    the stdlib codecs corpora actually ship in — gzip (Common Crawl),
+    bz2 (Wikipedia dumps), xz/LZMA (many mirrors) — cycling by
+    doc_id."""
+    import bz2
+    import gzip
+    import lzma
+
+    coders = (
+        ("gzip", lambda b: gzip.compress(b, 9, mtime=0)),
+        ("bz2", bz2.compress),
+        ("xz", lzma.compress),
+    )
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                name, fn = coders[d % 3]
+                rows.append(
+                    {
+                        "media_id": d,
+                        "codec": name,
+                        "payload": fn(str(text).encode("utf-8")),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "codec", "payload"])
+
+    return documents.select("doc_id", "text").mapInPandas(
+        render, schema=IMAGE_MEDIA_SCHEMA
+    )
+
+
+def compressed_text_stats(media: DataFrame) -> DataFrame:
+    """Decompress by MAGIC-BYTE sniffing (never trusting the label:
+    1f8b gzip, BZh bz2, FD 37 7A 58 5A xz — a mislabeled payload
+    raises), then exact text stats; decompression is lossless, so the
+    oracle derives the same stats from the source text column."""
+    import bz2
+    import gzip
+    import lzma
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, label, payload in zip(
+                pdf["media_id"], pdf["codec"], pdf["payload"]
+            ):
+                raw = bytes(payload)
+                if raw[:2] == b"\x1f\x8b":
+                    sniffed, text = "gzip", gzip.decompress(raw)
+                elif raw[:3] == b"BZh":
+                    sniffed, text = "bz2", bz2.decompress(raw)
+                elif raw[:6] == b"\xfd7zXZ\x00":
+                    sniffed, text = "xz", lzma.decompress(raw)
+                else:
+                    raise ValueError(
+                        f"media {media_id}: unknown compression magic "
+                        f"{raw[:6]!r}"
+                    )
+                if sniffed != label:
+                    raise ValueError(
+                        f"media {media_id}: payload magic {sniffed} != "
+                        f"label {label}"
+                    )
+                import hashlib as _hl
+
+                s = text.decode("utf-8")
+                rows.append(
+                    {
+                        "media_id": int(media_id),
+                        "codec": sniffed,
+                        "n_chars": len(s),
+                        # md5 of the decompressed bytes == oracle-side
+                        # md5(text): every decompressed byte is on the
+                        # hash path (compressed sizes are library-
+                        # version-dependent and stay out of the oracle)
+                        "text_md5": _hl.md5(text).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in COMPRESSED_TEXT_SCHEMA]
+            )
+
+    return media.select("media_id", "codec", "payload").mapInPandas(
+        stats, schema=COMPRESSED_TEXT_SCHEMA
+    )

@@ -2108,3 +2108,36 @@ def multimodal_jpeg_thumbnail_dc(
         load_table(spark, sf_dir, "documents")
     )
     return jpeg_dc_thumbnail_stats(media)
+
+
+# Compressed text: decompression is lossless, so md5(text) pins every
+# decompressed byte; compressed sizes are library-version-dependent
+# and deliberately stay out of the oracle.
+_COMPRESSED_TEXT_ORACLE = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'gzip' WHEN 1 THEN 'bz2'
+            ELSE 'xz' END AS codec,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       md5(text) AS text_md5
+FROM documents
+"""
+
+
+@query("compressed_text_ingest", _COMPRESSED_TEXT_ORACLE)
+def compressed_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-corpus ingestion across the three codecs text
+    corpora actually ship in — gzip (Common Crawl), bz2 (Wikipedia
+    dumps), xz/LZMA (mirrors) — with the format detected by MAGIC
+    BYTES, never the label (a mislabeled payload raises). The decode
+    emits md5 of the decompressed bytes, which must equal the
+    oracle's md5 over the source text column — every byte of every
+    decompressed document is on the hash path."""
+    from ..operators.multimodal import (
+        compressed_text_stats,
+        synthesize_compressed_text_media,
+    )
+
+    media = synthesize_compressed_text_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return compressed_text_stats(media)

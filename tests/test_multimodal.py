@@ -1743,3 +1743,39 @@ def test_foreign_jpeg_flat_grey_2x2():
     c = np.asarray(decode_jpeg(_GREY_2X2_JPG)["pixels"])
     assert c.shape == (2, 2)
     assert (c == 128).all()  # a flat mid-grey plane, exactly
+
+
+def test_compressed_text_magic_sniffing_and_mislabels(spark, sf_smoke):
+    import bz2
+
+    from kafka_spark_streaming_app_spark.operators.multimodal import (
+        compressed_text_stats,
+        synthesize_compressed_text_media,
+    )
+    from kafka_spark_streaming_app_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").limit(9)
+    rows = compressed_text_stats(
+        synthesize_compressed_text_media(docs)
+    ).collect()
+    assert len(rows) == 9
+    kinds = {r["media_id"] % 3: r["codec"] for r in rows}
+    assert kinds == {0: "gzip", 1: "bz2", 2: "xz"}
+    # a payload whose magic contradicts its label must raise
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    bad = spark.createDataFrame(
+        [(1, "gzip", bytearray(bz2.compress(b"text")))],
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("codec", T.StringType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="magic"):
+        compressed_text_stats(bad).collect()
