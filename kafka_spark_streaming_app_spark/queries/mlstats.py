@@ -6431,3 +6431,139 @@ def periodicity_scan_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("period")
     )
+
+
+# --- OLS influence diagnostics (leverage / studentized / Cook's) ------------
+# Per-row regression diagnostics from the same exact-power-sum
+# discipline as ols_regression: with one regressor, leverage is
+# h_i = 1/n + (n*x_i - sx)^2 / (n * (n*sxx - sx^2)), the studentized
+# residual divides by s*sqrt(1 - h_i), and Cook's distance
+# D_i = r_i^2 * h_i / (2 * (1 - h_i)). Every scalar comes from exact
+# DECIMAL sums cast once to double, and the per-row formulas are
+# written identically in both engines, so even the top-20 ORDERING by
+# D_i is deterministic (ties break on row id).
+_OLS_INFLUENCE_ORACLE = """
+WITH t AS (
+    SELECT l_orderkey * 10 + l_linenumber AS row_id,
+           CAST(l_quantity AS BIGINT) AS x,
+           CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS yc
+    FROM lineitem
+),
+s AS (
+    SELECT count(*) AS n,
+           CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(yc AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(x * yc AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+           CAST(sum(CAST(yc * yc AS DECIMAL(38,0))) AS DOUBLE) AS syy
+    FROM t
+),
+c AS (
+    SELECT *,
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n AS DOUBLE) * sxx - sx * sx) AS b1,
+           (sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+               / CAST(n AS DOUBLE) AS b0
+    FROM s
+),
+c2 AS (
+    SELECT *,
+           ((syy - sy * sy / CAST(n AS DOUBLE))
+            - b1 * b1 * (sxx - sx * sx / CAST(n AS DOUBLE)))
+               / (CAST(n AS DOUBLE) - 2) AS s2
+    FROM c
+),
+rows_d AS (
+    SELECT t.row_id, t.x, t.yc, c2.n,
+           1.0 / CAST(c2.n AS DOUBLE)
+               + (CAST(c2.n AS DOUBLE) * t.x - c2.sx)
+                 * (CAST(c2.n AS DOUBLE) * t.x - c2.sx)
+                 / (CAST(c2.n AS DOUBLE)
+                    * (CAST(c2.n AS DOUBLE) * c2.sxx - c2.sx * c2.sx))
+               AS h,
+           (t.yc - (c2.b0 + c2.b1 * t.x)) AS e,
+           c2.s2 AS s2
+    FROM t, c2
+),
+scored AS (
+    SELECT row_id, x, h,
+           e / sqrt(s2 * (1.0 - h)) AS rstud
+    FROM rows_d
+)
+SELECT row_id, CAST(x AS BIGINT) AS x,
+       round(h, 6) AS leverage,
+       round(rstud, 6) AS rstudent,
+       round(rstud * rstud * h / (2.0 * (1.0 - h)), 6) AS cooks_d
+FROM scored
+ORDER BY rstud * rstud * h / (2.0 * (1.0 - h)) DESC, row_id
+LIMIT 20
+"""
+
+
+@query("ols_influence_diagnostics", _OLS_INFLUENCE_ORACLE)
+def ols_influence_diagnostics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-row OLS influence: leverage, externally-comparable
+    studentized residuals and Cook's distance for the price~quantity
+    regression, top-20 most influential rows. One scan builds the
+    exact sufficient statistics, a broadcast 1-row join carries them
+    back, and the diagnostics are pure per-row expressions — the
+    influence audit costs a scan plus a top-k, at any table size."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("row_id"),
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("bigint")
+        .alias("yc"),
+    )
+    x, yc = F.col("x"), F.col("yc")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        _dec_sum(x).cast("double").alias("sx"),
+        _dec_sum(yc).cast("double").alias("sy"),
+        _dec_sum(x * x).cast("double").alias("sxx"),
+        _dec_sum(x * yc).cast("double").alias("sxy"),
+        _dec_sum(yc * yc).cast("double").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    b1 = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    s = s.withColumn("b1", b1).withColumn(
+        "b0", (F.col("sy") - F.col("b1") * F.col("sx")) / nd
+    )
+    s = s.withColumn(
+        "s2",
+        (
+            (F.col("syy") - F.col("sy") * F.col("sy") / nd)
+            - F.col("b1")
+            * F.col("b1")
+            * (F.col("sxx") - F.col("sx") * F.col("sx") / nd)
+        )
+        / (nd - F.lit(2.0)),
+    )
+    joined = li.crossJoin(F.broadcast(s))
+    h = (
+        F.lit(1.0) / nd
+        + (nd * x - F.col("sx"))
+        * (nd * x - F.col("sx"))
+        / (nd * (nd * F.col("sxx") - F.col("sx") * F.col("sx")))
+    )
+    e = yc - (F.col("b0") + F.col("b1") * x)
+    rstud = e / F.sqrt(F.col("s2") * (F.lit(1.0) - h))
+    cooks = rstud * rstud * h / (F.lit(2.0) * (F.lit(1.0) - h))
+    return (
+        joined.select(
+            "row_id",
+            x.alias("x"),
+            F.round(h, 6).alias("leverage"),
+            F.round(rstud, 6).alias("rstudent"),
+            F.round(cooks, 6).alias("cooks_d"),
+            cooks.alias("_order"),
+        )
+        .orderBy(F.desc("_order"), F.asc("row_id"))
+        .limit(20)
+        .drop("_order")
+    )

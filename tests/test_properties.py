@@ -4502,3 +4502,37 @@ def test_hmm_viterbi_matches_exhaustive_enumeration(spark, tmp_path):
         assert out[uid].best_cost == best, uid
         assert out[uid].best_state in best_final, uid
     assert len(out) == 8
+
+
+def test_ols_influence_matches_numpy_hat_matrix(spark, sf_smoke):
+    """ols_influence_diagnostics vs the textbook hat-matrix route:
+    H = X (X'X)^-1 X' via numpy lstsq machinery — an independent
+    formulation of leverage/studentized/Cook's."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    li = pd.read_parquet(f"{sf_smoke}/lineitem.parquet")
+    x = li["l_quantity"].to_numpy(dtype=np.float64)
+    y = (li["l_extendedprice"] * 100).round(0).to_numpy(dtype=np.float64)
+    rid = (li["l_orderkey"] * 10 + li["l_linenumber"]).to_numpy()
+    X = np.column_stack([np.ones_like(x), x])
+    XtX_inv = np.linalg.inv(X.T @ X)
+    beta = XtX_inv @ (X.T @ y)
+    e = y - X @ beta
+    h = np.einsum("ij,jk,ik->i", X, XtX_inv, X)
+    s2 = (e @ e) / (len(x) - 2)
+    rstud = e / np.sqrt(s2 * (1 - h))
+    cooks = rstud**2 * h / (2 * (1 - h))
+    order = np.lexsort((rid, -cooks))[:20]
+    rows = registry.QUERIES["ols_influence_diagnostics"](
+        spark, sf_smoke
+    ).collect()
+    assert len(rows) == 20
+    for r, i in zip(rows, order):
+        assert r.row_id == rid[i], (r.row_id, rid[i])
+        assert abs(r.leverage - h[i]) < 5e-6
+        assert abs(r.rstudent - rstud[i]) < 5e-5
+        assert abs(r.cooks_d - cooks[i]) < 5e-5
