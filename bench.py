@@ -323,6 +323,8 @@ HEADLINE = [
     "streaming_delta_sink",
     "multimodal_jpeg_thumbnail_dc",
     "hmm_viterbi_sessions",
+    "compressed_text_ingest",
+    "ols_influence_diagnostics",
 ]
 
 

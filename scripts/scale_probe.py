@@ -254,6 +254,10 @@ PROBES = (
     # duplicated events lengthen sequences linearly (time-only probe)
     "multimodal_jpeg_thumbnail_dc",
     "hmm_viterbi_sessions",
+    # compressed ingest is per-payload codec work; influence is one
+    # scan-agg + broadcast + per-row projection + top-k
+    "compressed_text_ingest",
+    "ols_influence_diagnostics",
 )
 
 
