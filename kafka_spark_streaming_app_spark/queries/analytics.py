@@ -4260,3 +4260,84 @@ def hmm_viterbi_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- time-weighted average per user (TWAP) ----------------------------------
+# The metrics/billing staple: each observation holds until the next
+# one, so the mean weights each value by its holding interval —
+# integer epoch-second deltas and integer value-cents keep the
+# numerator exact until one final IEEE division.
+_TWAP_ORACLE = """
+WITH e AS (
+    SELECT user_id,
+           epoch_us(ts) AS t,
+           CAST(round(value * 100, 0) AS BIGINT) AS vc,
+           lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS t_next
+    FROM events
+),
+w AS (
+    SELECT user_id,
+           sum(CAST(vc * (CAST(t_next AS BIGINT) - t) AS DECIMAL(38,0)))
+               AS num,
+           sum(CAST(CAST(t_next AS BIGINT) - t AS DECIMAL(38,0)))
+               AS dur
+    FROM e WHERE t_next IS NOT NULL
+    GROUP BY user_id
+)
+SELECT user_id,
+       CAST(dur AS BIGINT) AS span_micros,
+       round(CAST(num AS DOUBLE) / CAST(dur AS DOUBLE) / 100.0, 6)
+           AS twap
+FROM w
+WHERE dur > 0
+ORDER BY user_id
+"""
+
+
+@query("time_weighted_average", _TWAP_ORACLE)
+def time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of the event value series: each
+    observation is held until the next event (last-observation-
+    carried-forward), so the mean weights values by their holding
+    interval. One user-keyed window for the next-timestamp, one
+    grouped exact-decimal aggregation, one final division — the
+    weighting never materializes per-second rows, so cost is
+    event-proportional no matter how sparse or long the series."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = events.select(
+        "user_id",
+        # ts arrives TIMESTAMP_NTZ; unix_micros needs TIMESTAMP. The
+        # session-tz offset the cast introduces cancels in the deltas
+        # (the only thing TWAP consumes), so this is tz-safe.
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("vc"),
+        F.lead(F.unix_micros(F.col("ts").cast("timestamp")))
+        .over(w)
+        .alias("t_next"),
+    ).filter(F.col("t_next").isNotNull())
+    agg = e.groupBy("user_id").agg(
+        F.sum(
+            (F.col("vc") * (F.col("t_next") - F.col("t"))).cast(
+                "decimal(38,0)"
+            )
+        ).alias("num"),
+        F.sum((F.col("t_next") - F.col("t")).cast("decimal(38,0)")).alias(
+            "dur"
+        ),
+    )
+    return (
+        agg.filter(F.col("dur") > 0)
+        .select(
+            "user_id",
+            F.col("dur").cast("bigint").alias("span_micros"),
+            F.round(
+                F.col("num").cast("double")
+                / F.col("dur").cast("double")
+                / 100.0,
+                6,
+            ).alias("twap"),
+        )
+        .orderBy("user_id")
+    )

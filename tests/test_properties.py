@@ -4536,3 +4536,34 @@ def test_ols_influence_matches_numpy_hat_matrix(spark, sf_smoke):
         assert abs(r.leverage - h[i]) < 5e-6
         assert abs(r.rstudent - rstud[i]) < 5e-5
         assert abs(r.cooks_d - cooks[i]) < 5e-5
+
+
+def test_time_weighted_average_matches_pandas_replay(spark, sf_smoke):
+    """time_weighted_average vs a direct pandas replay of the
+    last-observation-carried-forward weighting."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    rows = {
+        r.user_id: r
+        for r in registry.QUERIES["time_weighted_average"](
+            spark, sf_smoke
+        ).collect()
+    }
+    for uid, grp in ev.groupby("user_id"):
+        t = grp["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        vc = (grp["value"] * 100).round(0).to_numpy(dtype=np.int64)
+        if len(t) < 2 or t[-1] == t[0]:
+            assert uid not in rows or rows[uid].span_micros > 0
+            continue
+        dt = np.diff(t)
+        twap = float((vc[:-1] * dt).sum()) / float(dt.sum()) / 100.0
+        r = rows[uid]
+        assert r.span_micros == int(dt.sum())
+        assert abs(r.twap - twap) < 5e-6, uid
