@@ -325,6 +325,8 @@ HEADLINE = [
     "hmm_viterbi_sessions",
     "compressed_text_ingest",
     "ols_influence_diagnostics",
+    "time_weighted_average",
+    "interval_union_coverage",
 ]
 
 

@@ -4341,3 +4341,82 @@ def time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- interval-union coverage per user ---------------------------------------
+# The sweep-merge twin of TWAP: each event opens a fixed 60 s
+# activity window; per user, the UNION length of those overlapping
+# intervals (distinct active time — the billing/engagement metric
+# where summing durations double-counts). Exact integer microseconds
+# end to end: the merge is one ordered window pass (running max of
+# interval ends), contribution = min(len, gap to previous covered
+# frontier), no per-second explode.
+_COVERAGE_ORACLE = """
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS t0, epoch_us(ts) + 60000000 AS t1
+    FROM events
+),
+m AS (
+    SELECT user_id, t0, t1,
+           max(t1) OVER (PARTITION BY user_id ORDER BY t0, t1
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS frontier
+    FROM e
+),
+c AS (
+    SELECT user_id,
+           CASE WHEN frontier IS NULL THEN t1 - t0
+                WHEN frontier >= t1 THEN 0
+                ELSE t1 - GREATEST(t0, frontier) END AS covered
+    FROM m
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(covered) AS BIGINT) AS covered_micros,
+       CAST(sum(CASE WHEN covered = 60000000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_isolated
+FROM c
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@query("interval_union_coverage", _COVERAGE_ORACLE)
+def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct active time per user: every event opens a 60 s
+    window and overlaps must not double-count, so the union length
+    comes from one ordered pass — the running max of prior interval
+    ends is the covered frontier, and each interval contributes only
+    its part beyond it. Exact integer microseconds; one user-keyed
+    window + one aggregation, never a per-second explode (the naive
+    materialization would be 60M rows per user-hour)."""
+    events = load_table(spark, sf_dir, "events")
+    t0 = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = events.select(
+        "user_id", t0.alias("t0"), (t0 + F.lit(60000000)).alias("t1")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t0", "t1")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = e.withColumn("frontier", F.max("t1").over(w))
+    covered = (
+        F.when(F.col("frontier").isNull(), F.col("t1") - F.col("t0"))
+        .when(F.col("frontier") >= F.col("t1"), F.lit(0))
+        .otherwise(F.col("t1") - F.greatest("t0", "frontier"))
+    )
+    return (
+        m.select("user_id", covered.alias("covered"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("covered").cast("bigint").alias("covered_micros"),
+            F.sum(
+                F.when(F.col("covered") == 60000000, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_isolated"),
+        )
+        .orderBy("user_id")
+    )

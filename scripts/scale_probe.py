@@ -258,6 +258,10 @@ PROBES = (
     # scan-agg + broadcast + per-row projection + top-k
     "compressed_text_ingest",
     "ols_influence_diagnostics",
+    # TWAP: one user-keyed window + grouped agg, row-linear
+    "time_weighted_average",
+    # interval union: one ordered frontier pass per user, row-linear
+    "interval_union_coverage",
 )
 
 

@@ -4567,3 +4567,36 @@ def test_time_weighted_average_matches_pandas_replay(spark, sf_smoke):
         r = rows[uid]
         assert r.span_micros == int(dt.sum())
         assert abs(r.twap - twap) < 5e-6, uid
+
+
+def test_interval_union_coverage_matches_merge_replay(spark, sf_smoke):
+    """interval_union_coverage vs the textbook sort-and-merge interval
+    union computed directly in pandas."""
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet")
+    ev["t0"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    ev["t1"] = ev["t0"] + 60_000_000
+    rows = {
+        r.user_id: r
+        for r in registry.QUERIES["interval_union_coverage"](
+            spark, sf_smoke
+        ).collect()
+    }
+    for uid, grp in ev.groupby("user_id"):
+        ivs = sorted(zip(grp["t0"], grp["t1"]))
+        total = 0
+        cur_s, cur_e = ivs[0]
+        for s, t in ivs[1:]:
+            if s > cur_e:
+                total += cur_e - cur_s
+                cur_s, cur_e = s, t
+            else:
+                cur_e = max(cur_e, t)
+        total += cur_e - cur_s
+        r = rows[uid]
+        assert r.n_events == len(ivs)
+        assert r.covered_micros == total, uid
