@@ -327,6 +327,7 @@ HEADLINE = [
     "ols_influence_diagnostics",
     "time_weighted_average",
     "interval_union_coverage",
+    "power_iteration_top_eigvec",
 ]
 
 

@@ -2545,3 +2545,142 @@ def kmeans_parallel_init_query(
     return kmeans_parallel_init(
         emb, rounds=_KMPP_ROUNDS, oversample=_KMPP_L
     ).orderBy("cid")
+
+
+# --- dominant eigenvector by deterministic integer power iteration ----------
+# Distributed spectral method with a cross-engine-exact contract: the
+# embedding matrix quantizes to integers (floor(x*1024 + 0.5), the
+# explicit half-up form — the engines' round() tie rules differ), the
+# recurrence v <- X'(Xv) runs entirely in integers, and each
+# iteration rescales by an exact DATA-DEPENDENT power of two: the
+# shift is found by comparing max|w| against a powers-of-two table
+# (pure integer comparisons), and the division by 1<<shift is exact
+# in doubles below 2^53 — so every iterate is bit-identical across
+# engines. The iterate after k rounds IS the contract (it equals
+# G^k v0 exactly, pinned by an independent big-int replay); eigen-
+# CONVERGENCE depends on the spectrum's gap and is pinned separately
+# on a spiked corpus in tests. Bounds: |x| <= 592, v rescaled to
+# ~2^14, so w sums stay exact through ~16k vectors; production swaps
+# the sums to DECIMAL(38,0) past that — same plan, same shuffles.
+_POWER_ITERS = 6
+_POWER_TARGET_BITS = 14
+
+# AS MATERIALIZED on every stage CTE: v{{i}} references w{{i}} twice
+# (through the shift subquery and directly), so DuckDB's default
+# inlining would re-evaluate the whole join chain ~2^iters times.
+_POWER_EIG_ORACLE = f"""
+WITH x AS MATERIALIZED (
+    SELECT vec_id, t.j - 1 AS j,
+           CAST(floor(t.v * 1024 + 0.5) AS BIGINT) AS xi
+    FROM (
+        SELECT vec_id, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS j
+        FROM embeddings
+    ) t(vec_id, v, j)
+),
+pw AS (SELECT p, CAST(1 AS BIGINT) << p AS tp
+       FROM (SELECT unnest(range(0, 55)) AS p)),
+v0 AS (SELECT j, CAST(16384 AS BIGINT) AS v
+       FROM (SELECT unnest(range(0, 64)) AS j))
+{"".join(f''',
+u{i} AS MATERIALIZED (
+    SELECT x.vec_id, sum(x.xi * v{i - 1}.v) AS u
+    FROM x JOIN v{i - 1} ON v{i - 1}.j = x.j GROUP BY x.vec_id
+),
+w{i} AS MATERIALIZED (
+    SELECT x.j, sum(x.xi * u{i}.u) AS w
+    FROM x JOIN u{i} ON u{i}.vec_id = x.vec_id GROUP BY x.j
+),
+s{i} AS (
+    SELECT GREATEST(0, max(p) - {_POWER_TARGET_BITS}) AS shift
+    FROM pw WHERE tp <= (SELECT max(abs(w)) FROM w{i})
+),
+v{i} AS MATERIALIZED (
+    SELECT w{i}.j,
+           CAST(floor(CAST(w{i}.w AS DOUBLE)
+                      / CAST(CAST(1 AS BIGINT) << s{i}.shift AS DOUBLE))
+                AS BIGINT) AS v
+    FROM w{i}, s{i}
+)''' for i in range(1, _POWER_ITERS + 1))}
+SELECT CAST(j AS INTEGER) AS dim, CAST(v AS BIGINT) AS component
+FROM v{_POWER_ITERS}
+ORDER BY dim
+"""
+
+
+@query("power_iteration_top_eigvec", _POWER_EIG_ORACLE)
+def power_iteration_top_eigvec(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dominant-eigenvector power iteration over the embedding Gram
+    matrix, fully deterministic: six rounds of u = Xv (row-local fold
+    over the broadcast 64-term v) and w = X'u (dim-keyed exact
+    integer aggregation), each rescaled by an exact bit-shift sized
+    off max|w| through a powers-of-two comparison table. The exploded
+    matrix materializes once behind a lazy checkpoint; per round the
+    only shuffles are the vec-keyed and dim-keyed aggregations, and v
+    and the shift ride broadcasts — the distributed-linear-algebra
+    shape at any row count."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = (
+        emb.select(
+            "vec_id",
+            F.posexplode(F.col("embedding")).alias("j", "val"),
+        )
+        .select(
+            "vec_id",
+            "j",
+            F.floor(F.col("val").cast("double") * 1024 + 0.5)
+            .cast("bigint")
+            .alias("xi"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    powers = spark.range(55).select(
+        F.col("id").cast("int").alias("p"),
+        F.expr("CAST(1 AS BIGINT) << CAST(id AS INT)").alias("tp"),
+    )
+    v = spark.range(64).select(
+        F.col("id").cast("int").alias("j"),
+        F.lit(16384).cast("bigint").alias("v"),
+    )
+    for _ in range(_POWER_ITERS):
+        u = (
+            x.join(F.broadcast(v), "j")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("xi") * F.col("v")).alias("u"))
+        )
+        w = (
+            x.join(u, "vec_id")
+            .groupBy("j")
+            .agg(F.sum(F.col("xi") * F.col("u")).alias("w"))
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        s = (
+            powers.crossJoin(F.broadcast(m))
+            .filter(F.col("tp") <= F.col("m"))
+            .agg(
+                F.greatest(
+                    F.lit(0), F.max("p") - F.lit(_POWER_TARGET_BITS)
+                ).alias("shift")
+            )
+        )
+        # 1 << shift with a column operand: resolve through the same
+        # powers table (pyspark's shiftleft wants a literal count)
+        div = s.join(powers, s["shift"] == powers["p"]).select(
+            F.col("tp").cast("double").alias("div")
+        )
+        v = (
+            w.crossJoin(F.broadcast(div))
+            .select(
+                "j",
+                F.floor(F.col("w").cast("double") / F.col("div"))
+                .cast("bigint")
+                .alias("v"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return v.select(
+        F.col("j").cast("int").alias("dim"),
+        F.col("v").cast("bigint").alias("component"),
+    ).orderBy("dim")

@@ -262,6 +262,9 @@ PROBES = (
     "time_weighted_average",
     # interval union: one ordered frontier pass per user, row-linear
     "interval_union_coverage",
+    # power iteration: per round one vec-keyed and one dim-keyed agg
+    # over the exploded matrix (row-linear); v rides broadcasts
+    "power_iteration_top_eigvec",
 )
 
 

@@ -4600,3 +4600,81 @@ def test_interval_union_coverage_matches_merge_replay(spark, sf_smoke):
         r = rows[uid]
         assert r.n_events == len(ivs)
         assert r.covered_micros == total, uid
+
+
+def _power_iter_replay(X, iters=6, target_bits=14):
+    """Independent big-int replay of the exact recurrence."""
+    import numpy as np
+
+    v = [16384] * X.shape[1]
+    for _ in range(iters):
+        u = [int(sum(int(x) * vv for x, vv in zip(row, v))) for row in X]
+        w = [
+            int(sum(int(X[i][j]) * u[i] for i in range(X.shape[0])))
+            for j in range(X.shape[1])
+        ]
+        m = max(abs(x) for x in w)
+        shift = max(0, m.bit_length() - 1 - target_bits)
+        # floor division by a power of two == arithmetic right shift
+        v = [x // (1 << shift) for x in w]
+    return v
+
+
+def test_power_iteration_iterate_is_exact_vs_bigint_replay(spark, sf_smoke):
+    """The iterate after 6 rounds IS the contract: the engine's
+    integer vector must equal an arbitrary-precision Python replay of
+    the identical recurrence (quantize, u=Xv, w=X'u, bit-shift
+    rescale) — no tolerance."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    emb = pd.read_parquet(f"{sf_smoke}/embeddings.parquet")
+    X = np.floor(
+        np.stack(emb["embedding"].to_numpy()) * 1024 + 0.5
+    ).astype(np.int64)
+    expect = _power_iter_replay(X)
+    rows = registry.QUERIES["power_iteration_top_eigvec"](
+        spark, sf_smoke
+    ).collect()
+    got = [r.component for r in sorted(rows, key=lambda r: r.dim)]
+    assert got == expect
+
+
+def test_power_iteration_converges_on_spiked_corpus(spark, tmp_path):
+    """On a spectrum WITH a real gap (a planted dominant direction),
+    six rounds must align with numpy's top eigenvector (|cos| >
+    0.999). The testdata embeddings are near-isotropic (top gap
+    ~1.07), so convergence is pinned here on a spiked corpus and the
+    real corpus is held to iterate-exactness instead."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    rng = np.random.default_rng(7)
+    d = rng.standard_normal(64)
+    d /= np.linalg.norm(d)
+    V = 0.5 * np.outer(rng.standard_normal(400), d)
+    V += 0.05 * rng.standard_normal((400, 64))
+    pd.DataFrame(
+        {
+            "vec_id": np.arange(400, dtype="int64"),
+            "embedding": [row.astype("float32") for row in V],
+            "label": ["x"] * 400,
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet")
+    rows = registry.QUERIES["power_iteration_top_eigvec"](
+        spark, str(tmp_path)
+    ).collect()
+    v = np.array(
+        [r.component for r in sorted(rows, key=lambda r: r.dim)],
+        dtype=np.float64,
+    )
+    X = np.floor(V * 1024 + 0.5)
+    top = np.linalg.eigh(X.T @ X)[1][:, -1]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.999, cos
