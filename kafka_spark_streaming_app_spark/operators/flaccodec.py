@@ -294,6 +294,25 @@ def _write_subframe(
     _write_residuals(w, residuals, order, n, po, escape_first)
 
 
+def _pcm_md5(channels, n: int, nch: int, bps: int):
+    """STREAMINFO MD5 per spec: interleaved raw PCM, little-endian
+    signed, (bps+7)//8 bytes per sample at the stream's bit depth —
+    NOT hardcoded 16-bit (an 8- or 24-bit stream hashes differently)."""
+    nbytes = (bps + 7) // 8
+    md5 = hashlib.md5()
+    buf = bytearray()
+    for i in range(n):
+        for ch in range(nch):
+            buf += int(channels[ch][i]).to_bytes(
+                nbytes, "little", signed=True
+            )
+        if len(buf) >= 1 << 16:
+            md5.update(bytes(buf))
+            buf.clear()
+    md5.update(bytes(buf))
+    return md5
+
+
 def encode_flac(
     channels_samples, sample_rate: int = 8000, bps: int = 16,
     blocksize: int = 256, channel_mode: str = "independent",
@@ -317,11 +336,9 @@ def encode_flac(
         raise ValueError("decorrelation modes are 2-channel only")
     if subframe_plan is None:
         subframe_plan = lambda f, c: 2  # noqa: E731
-    # STREAMINFO MD5: interleaved little-endian raw PCM
-    md5 = hashlib.md5()
-    for i in range(n):
-        for ch in range(nch):
-            md5.update(struct.pack("<h", channels_samples[ch][i]))
+    # STREAMINFO MD5: interleaved little-endian raw PCM at the
+    # stream's actual bit depth ((bps+7)//8 bytes/sample per spec)
+    md5 = _pcm_md5(channels_samples, n, nch, bps)
     frames = []
     frame_no = 0
     pos = 0
@@ -575,10 +592,7 @@ def decode_flac(data: bytes) -> dict:
         pos = body_end + 2
     if total and any(len(c) != total for c in channels):
         raise ValueError("decoded sample count != STREAMINFO total")
-    md5 = hashlib.md5()
-    for i in range(len(channels[0])):
-        for ch in range(nch):
-            md5.update(struct.pack("<h", channels[ch][i]))
+    md5 = _pcm_md5(channels, len(channels[0]), nch, bps)
     md5_ok = md5.digest() == md5_expected
     if not md5_ok:
         raise ValueError("STREAMINFO MD5 mismatch — decode is not lossless")

@@ -124,6 +124,8 @@ def read_warc(data: bytes) -> list:
             raise ValueError("WARC record missing header terminator")
         version_line, _, header_text = raw[pos:head_end].partition(_CRLF)
         headers = _parse_headers(header_text)
+        if "Content-Length" not in headers:
+            raise ValueError("WARC record missing Content-Length")
         n = int(headers["Content-Length"])
         block = raw[head_end + 4 : head_end + 4 + n]
         if len(block) != n:

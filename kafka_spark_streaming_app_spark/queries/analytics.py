@@ -4164,7 +4164,7 @@ WITH RECURSIVE ev AS (
     SELECT user_id,
            row_number() OVER (PARTITION BY user_id
                               ORDER BY ts, event_id) - 1 AS i,
-           CAST(floor(value) AS INTEGER) % 5 AS vb
+           ((CAST(floor(value) AS INTEGER) % 5) + 5) % 5 AS vb
     FROM events
 ),
 n AS (SELECT user_id, count(*) AS n_events FROM ev GROUP BY user_id),
@@ -4211,6 +4211,7 @@ def hmm_viterbi_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-vector regardless of sequence length; the oracle replays the
     identical recursion as a recursive CTE. Grouping shuffles once on
     user_id; nothing else grows with input."""
+    import numpy as np
     import pandas as pd
 
     events = load_table(spark, sf_dir, "events").select(
@@ -4224,7 +4225,11 @@ def hmm_viterbi_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def decode(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])
-        vb = (pdf["value"].astype("int64") % 5).tolist()
+        # same normalization as the SQL side: floor, then a
+        # double-mod so negative values bucket identically
+        # (C-style %% vs Python %% diverge on negatives)
+        vb = ((np.floor(pdf["value"].to_numpy()).astype("int64")
+               % 5 + 5) % 5).tolist()
         v = [int(emis(s, vb[0])) for s in range(3)]
         for b in vb[1:]:
             v = [

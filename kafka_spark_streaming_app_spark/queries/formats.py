@@ -590,14 +590,20 @@ ORDER BY o_orderstatus, o_orderpriority
 _DELTA_STREAM_APP = "spark-graft-delta-sink"
 
 
-def _delta_stream_commit(table_dir: str, batch_pdf, batch_id: int) -> None:
+def _delta_stream_commit(
+    table_dir: str, batch_df: DataFrame, batch_id: int
+) -> None:
     """One streaming micro-batch -> one (or, for odd batches, one
     compacting) Delta commit, idempotent under foreachBatch replay
-    via the txn action."""
-    import json as _json
+    via the txn action.
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    The micro-batch DATA never touches the driver: a distributed
+    ``batch_df.write.parquet`` job lands the files, and the driver
+    then lists what the job produced and writes only the O(KB)
+    commit JSON (one ``add`` per part file) — the real Delta sink's
+    division of labor, so a tens-of-GB batch on a 1000-executor
+    cluster commits without driver materialization."""
+    import json as _json
 
     log_dir = os.path.join(table_dir, "_delta_log")
     os.makedirs(log_dir, exist_ok=True)
@@ -616,9 +622,21 @@ def _delta_stream_commit(table_dir: str, batch_pdf, batch_id: int) -> None:
                 ):
                     return
     version = len(commits)
-    name = f"batch-{batch_id}.parquet"
-    path = os.path.join(table_dir, name)
-    pq.write_table(pa.Table.from_pylist(batch_pdf.to_dict("records")), path)
+
+    def _part_files(rel_dir: str) -> list:
+        d = os.path.join(table_dir, rel_dir)
+        return sorted(
+            f"{rel_dir}/{f}" for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    batch_rel = f"batch-{batch_id:05d}"
+    # distributed data write; overwrite makes a crashed half-written
+    # attempt of this same batch cleanly replaced on replay (files
+    # outside the log are invisible to readers regardless)
+    batch_df.write.mode("overwrite").parquet(
+        os.path.join(table_dir, batch_rel)
+    )
     actions = []
     if version == 0:
         actions.append(
@@ -653,47 +671,54 @@ def _delta_stream_commit(table_dir: str, batch_pdf, batch_id: int) -> None:
     actions.append(
         {"txn": {"appId": _DELTA_STREAM_APP, "version": batch_id}}
     )
-    actions.append(
-        {
-            "add": {
-                "path": name,
-                "partitionValues": {},
-                "size": os.path.getsize(path),
-                "modificationTime": 0,
-                "dataChange": True,
-            }
-        }
-    )
-    if batch_id % 2 == 1:
-        prev = f"batch-{batch_id - 1}.parquet"
-        prev_path = os.path.join(table_dir, prev)
-        if os.path.exists(prev_path):
-            import pandas as pd
-
-            rewritten = f"batch-{batch_id - 1}-compacted.parquet"
-            pq.write_table(
-                pa.Table.from_pylist(
-                    pd.read_parquet(prev_path).to_dict("records")
-                ),
-                os.path.join(table_dir, rewritten),
-            )
-            actions.append(
-                {"remove": {"path": prev, "deletionTimestamp": 0,
-                            "dataChange": False}}
-            )
-            actions.append(
-                {
-                    "add": {
-                        "path": rewritten,
-                        "partitionValues": {},
-                        "size": os.path.getsize(
-                            os.path.join(table_dir, rewritten)
-                        ),
-                        "modificationTime": 0,
-                        "dataChange": False,
-                    }
+    for rel in _part_files(batch_rel):
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": os.path.getsize(
+                        os.path.join(table_dir, rel)
+                    ),
+                    "modificationTime": 0,
+                    "dataChange": True,
                 }
+            }
+        )
+    if batch_id % 2 == 1:
+        prev_rel = f"batch-{batch_id - 1:05d}"
+        if os.path.isdir(os.path.join(table_dir, prev_rel)):
+            prev_files = _part_files(prev_rel)
+            rewritten = f"{prev_rel}-compacted"
+            # compaction is a distributed read->coalesce->write too:
+            # the driver only renames log state, never holds rows
+            (
+                batch_df.sparkSession.read.parquet(
+                    *[os.path.join(table_dir, p) for p in prev_files]
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(table_dir, rewritten))
             )
+            for p in prev_files:
+                actions.append(
+                    {"remove": {"path": p, "deletionTimestamp": 0,
+                                "dataChange": False}}
+                )
+            for rel in _part_files(rewritten):
+                actions.append(
+                    {
+                        "add": {
+                            "path": rel,
+                            "partitionValues": {},
+                            "size": os.path.getsize(
+                                os.path.join(table_dir, rel)
+                            ),
+                            "modificationTime": 0,
+                            "dataChange": False,
+                        }
+                    }
+                )
     with open(
         os.path.join(log_dir, f"{version:020d}.json"), "w"
     ) as fh:
@@ -709,9 +734,10 @@ def streaming_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     at-least-once dedup, odd batches compacting their predecessor
     (remove + rewritten add, tombstone left on disk) — and the final
     aggregate reads the table back through the transaction-log
-    replay. Per-batch work is batch-sized (one data file + one
-    O(log) commit scan); the log, not the directory, defines what
-    the readback sees."""
+    replay. The micro-batch data path is fully executor-side
+    (distributed parquet write, per-file add actions); the driver
+    writes only the O(KB) commit JSON after an O(log) replay scan —
+    the log, not the directory, defines what the readback sees."""
     import atexit as _atexit
     import shutil as _shutil
 
@@ -750,7 +776,7 @@ def streaming_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        _delta_stream_commit(table_dir, batch_df.toPandas(), batch_id)
+        _delta_stream_commit(table_dir, batch_df, batch_id)
 
     q = (
         stream.writeStream.foreachBatch(sink)

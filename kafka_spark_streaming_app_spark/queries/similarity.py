@@ -2564,6 +2564,11 @@ def kmeans_parallel_init_query(
 # the sums to DECIMAL(38,0) past that — same plan, same shuffles.
 _POWER_ITERS = 6
 _POWER_TARGET_BITS = 14
+# enforced at runtime: beyond this, Spark's non-ANSI bigint sum would
+# wrap silently while DuckDB promotes to HUGEINT — the engines would
+# diverge without an error. Production path past the bound: the same
+# plan with the two sums in DECIMAL(38,0).
+_POWER_MAX_VECS = 16384
 
 # AS MATERIALIZED on every stage CTE: v{{i}} references w{{i}} twice
 # (through the shift subquery and directly), so DuckDB's default
@@ -2622,6 +2627,14 @@ def power_iteration_top_eigvec(
     and the shift ride broadcasts — the distributed-linear-algebra
     shape at any row count."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # int64-exactness guard (see bound note above): limit-bounded
+    # count keeps the check O(_POWER_MAX_VECS) at any corpus size.
+    if emb.limit(_POWER_MAX_VECS + 1).count() > _POWER_MAX_VECS:
+        raise ValueError(
+            "power_iteration_top_eigvec: corpus exceeds the "
+            f"{_POWER_MAX_VECS}-vector int64-exact bound; run the "
+            "same plan with the u/w sums cast to DECIMAL(38,0)"
+        )
     x = (
         emb.select(
             "vec_id",

@@ -62,12 +62,27 @@ def snapshot_files(table_dir: str, version: int | None = None) -> dict:
     if os.path.exists(cp_meta):
         cp = json.loads(open(cp_meta).read())
         cp_version = int(cp["version"])
+        if int(cp.get("parts") or 1) != 1:
+            raise NotImplementedError(
+                "multi-part checkpoint "
+                f"({cp_version}.checkpoint.<part>.<of>.parquet) is "
+                "outside the log-replay subset (use the jar-backed "
+                "path in sources/lakehouse.py)"
+            )
         if cp_version <= target:
             import pyarrow.parquet as pq
 
             cp_file = os.path.join(
                 log_dir, f"{cp_version:020d}.checkpoint.parquet"
             )
+            if not os.path.exists(cp_file):
+                raise NotImplementedError(
+                    "_last_checkpoint names a checkpoint file this "
+                    "replay subset cannot find "
+                    f"({cp_version:020d}.checkpoint.parquet) — "
+                    "multi-part or V2 checkpoints need the "
+                    "jar-backed path in sources/lakehouse.py"
+                )
             tbl = pq.read_table(cp_file).to_pylist()
             for row in tbl:
                 if row.get("add") and row["add"].get("path"):
@@ -81,6 +96,20 @@ def snapshot_files(table_dir: str, version: int | None = None) -> dict:
             start_after = cp_version
             from_checkpoint = True
 
+    # contiguity gate: replay needs EVERY commit in (start_after,
+    # target]. Time travel to a version older than the checkpoint on
+    # a table whose pre-checkpoint commits were cleaned by log
+    # retention would otherwise silently replay a partial log.
+    need = set(range(start_after + 1, target + 1))
+    missing = sorted(need - set(versions))
+    if missing:
+        raise NotImplementedError(
+            f"commit versions {missing} are absent from _delta_log "
+            "(cleaned by log retention?) — a snapshot at version "
+            f"{target} cannot be replayed; time-travel past the "
+            "retained window needs the jar-backed path in "
+            "sources/lakehouse.py"
+        )
     for v in versions:
         if v <= start_after or v > target:
             continue

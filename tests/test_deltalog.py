@@ -92,31 +92,98 @@ def test_guards(tmp_path):
         snapshot_files(str(tmp_path))
 
 
-def test_streaming_commit_is_idempotent_under_replay(tmp_path):
+def test_missing_commit_versions_gate_loudly(tmp_path):
+    """A log with a hole (retention cleaned a commit the target
+    version needs) must refuse to replay, not silently skip it."""
+    w = DeltaFixtureWriter(str(tmp_path), _FIELDS)
+    w.commit(add_files=[("a.parquet", _rows(0, 5, "a"))], first=True)
+    w.commit(add_files=[("b.parquet", _rows(5, 10, "b"))])
+    w.commit(add_files=[("c.parquet", _rows(10, 15, "c"))])
+    os.remove(tmp_path / "_delta_log" / f"{1:020d}.json")
+    with pytest.raises(NotImplementedError, match=r"\[1\] are absent"):
+        snapshot_files(str(tmp_path))
+
+
+def test_checkpoint_shape_gates(tmp_path):
+    """Multi-part checkpoints and a dangling _last_checkpoint gate
+    with the explicit jar-backed-path message, never a raw
+    FileNotFoundError."""
+    w = DeltaFixtureWriter(str(tmp_path), _FIELDS)
+    w.commit(add_files=[("a.parquet", _rows(0, 5, "a"))], first=True)
+    cp_meta = tmp_path / "_delta_log" / "_last_checkpoint"
+    cp_meta.write_text(json.dumps({"version": 0, "size": 1, "parts": 2}))
+    with pytest.raises(NotImplementedError, match="multi-part"):
+        snapshot_files(str(tmp_path))
+    cp_meta.write_text(json.dumps({"version": 0, "size": 1}))
+    with pytest.raises(NotImplementedError, match="cannot find"):
+        snapshot_files(str(tmp_path))
+
+
+def _batch_df(spark, keys):
+    return spark.createDataFrame(
+        [(k, "F" if k % 2 else "O", "1-URGENT", k * 100) for k in keys],
+        "o_orderkey long, o_orderstatus string, "
+        "o_orderpriority string, cents long",
+    ).coalesce(1)
+
+
+def test_streaming_commit_is_idempotent_under_replay(tmp_path, spark):
     """foreachBatch is at-least-once: replaying a batch id must not
     produce a second commit (the txn-action check, exactly the real
     Delta sink's dedup)."""
-    import pandas as pd
+    from kafka_spark_streaming_app_spark.queries.formats import (
+        _delta_stream_commit,
+    )
+
+    df0 = _batch_df(spark, [1, 2])
+    _delta_stream_commit(str(tmp_path), df0, 0)
+    _delta_stream_commit(str(tmp_path), df0, 0)  # replay
+    log = sorted(os.listdir(tmp_path / "_delta_log"))
+    assert log == [f"{0:020d}.json"]
+    df1 = _batch_df(spark, [3, 4])
+    _delta_stream_commit(str(tmp_path), df1, 1)
+    _delta_stream_commit(str(tmp_path), df1, 1)  # replay of the compactor
+    snap = snapshot_files(str(tmp_path))
+    live = snap["files"]
+    assert all(f.startswith(("batch-00000-compacted/",
+                             "batch-00001/")) for f in live)
+    df = read_delta_snapshot(spark, str(tmp_path))
+    assert sorted(r.o_orderkey for r in df.collect()) == [1, 2, 3, 4]
+    # the compacted originals are tombstoned but still on disk
+    assert any(
+        f.endswith(".parquet")
+        for f in os.listdir(tmp_path / "batch-00000")
+    )
+    assert len(sorted(os.listdir(tmp_path / "_delta_log"))) == 2
+
+
+def test_streaming_commit_data_path_is_executor_side(tmp_path, spark):
+    """The micro-batch DATA must never be materialized on the driver
+    (no toPandas/collect/pyarrow conversion of the batch rows): the
+    commit's data files come from a distributed write job, the driver
+    handles only the log. Guards the 100 TB posture — a tens-of-GB
+    batch must not OOM the driver."""
+    from unittest import mock
+
+    from pyspark.sql import DataFrame as _DF
 
     from kafka_spark_streaming_app_spark.queries.formats import (
         _delta_stream_commit,
     )
 
-    pdf0 = pd.DataFrame(
-        {"o_orderkey": [1, 2], "o_orderstatus": ["F", "O"],
-         "o_orderpriority": ["1-URGENT"] * 2, "cents": [100, 200]}
-    )
-    _delta_stream_commit(str(tmp_path), pdf0, 0)
-    _delta_stream_commit(str(tmp_path), pdf0, 0)  # replay
-    log = sorted(os.listdir(tmp_path / "_delta_log"))
-    assert log == [f"{0:020d}.json"]
-    pdf1 = pdf0.assign(o_orderkey=[3, 4])
-    _delta_stream_commit(str(tmp_path), pdf1, 1)
-    _delta_stream_commit(str(tmp_path), pdf1, 1)  # replay of the compactor
-    snap = snapshot_files(str(tmp_path))
-    assert snap["files"] == [
-        "batch-0-compacted.parquet", "batch-1.parquet"
-    ]
-    # the compacted original is tombstoned but still on disk
-    assert os.path.exists(tmp_path / "batch-0.parquet")
-    assert len(sorted(os.listdir(tmp_path / "_delta_log"))) == 2
+    df = _batch_df(spark, [1, 2, 3])
+    forbidden = {}
+    for name in ("toPandas", "collect", "toLocalIterator"):
+        forbidden[name] = mock.patch.object(
+            _DF, name,
+            side_effect=AssertionError(
+                f"driver materialization via DataFrame.{name} on the "
+                "delta sink data path"
+            ),
+        )
+    with forbidden["toPandas"], forbidden["collect"], \
+            forbidden["toLocalIterator"]:
+        _delta_stream_commit(str(tmp_path), df, 0)
+        _delta_stream_commit(str(tmp_path), _batch_df(spark, [4]), 1)
+    df2 = read_delta_snapshot(spark, str(tmp_path))
+    assert df2.count() == 4

@@ -111,6 +111,25 @@ def test_streaminfo_md5_is_spec_hash_of_interleaved_pcm():
     assert out["md5_ok"] and out["samples"] == [left, right]
 
 
+def test_streaminfo_md5_respects_bit_depth():
+    """Spec MD5 is over raw PCM at the stream's ACTUAL bit depth
+    ((bps+7)//8 bytes/sample little-endian signed) — an 8-bit stream
+    hashes 1 byte/sample, a 24-bit one 3; hardcoding 16-bit would
+    reject a foreign-encoded 8-bit file with a spurious mismatch and
+    crash on 24-bit."""
+    for bps, nbytes, lo, hi in ((8, 1, -128, 127), (24, 3, -80000, 80000)):
+        samples = [lo, 0, 7, hi, -1]
+        data = encode_flac([samples], bps=bps, blocksize=256)
+        raw = b"".join(
+            v.to_bytes(nbytes, "little", signed=True) for v in samples
+        )
+        si = data[8 : 8 + int.from_bytes(data[5:8], "big")]
+        assert si[18:34] == hashlib.md5(raw).digest()
+        out = decode_flac(data)
+        assert out["md5_ok"] and out["bps"] == bps
+        assert out["samples"] == [samples]
+
+
 def test_roundtrip_matrix():
     rng = random.Random(5)
     for trial in range(40):

@@ -33,6 +33,20 @@ def test_hand_written_record_parses():
     assert rec["block"] == b"hello"
 
 
+def test_missing_content_length_is_a_framing_error():
+    """Content-Length is mandatory; its absence must raise the
+    module's ValueError framing error, not a KeyError."""
+    raw = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"\r\n"
+        b"hello"
+        b"\r\n\r\n"
+    )
+    with pytest.raises(ValueError, match="missing Content-Length"):
+        read_warc(raw)
+
+
 def test_writer_emits_the_same_layout():
     data = write_warc([("response", {"WARC-Target-URI": "http://h/"},
                         b"hello")])
