@@ -25,6 +25,7 @@ from . import (  # noqa: F401
     corpus_prep,
     streaming_joins,
     pyds,
+    minikafka,
     curation,
     pivots,
     text,

@@ -1,0 +1,279 @@
+"""Spark 4 Python DataSource over the from-scratch Kafka wire
+protocol (sources/minikafka.py): ``spark.read.format("minikafka")``
+/ ``readStream`` source and ``write``/``writeStream`` sink, schema-
+and option-compatible with the real ``kafka`` connector where the v0
+protocol subset allows.
+
+Column parity with the jar-backed source (reference
+`ecommerce_streaming.py:38-52` consumes exactly these): key binary,
+value binary, topic string, partition int, offset long, timestamp,
+timestampType. v0 messages carry no broker timestamp, so timestamp
+is NULL and timestampType -1 (NO_TIMESTAMP_TYPE), which is the real
+connector's value for magic-0 logs too.
+
+Options: ``bootstrap`` (host:port), ``topic``, ``minPartitions``
+(batch: split offset ranges finer than the topic's partition count).
+``maxOffsetsPerTrigger`` gates loudly — see ``_StreamReader``.
+
+Scale posture: every Spark task speaks its own socket to the broker
+and fetches exactly its own offset range (random access — no prefix
+replay, no driver relay); the sink produces from executor tasks. The
+driver only ever moves OFFSETS (O(partitions) integers per trigger).
+Producing is at-least-once under task retry, matching the real
+non-transactional Kafka sink; dedup downstream on a message key.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+
+from .minikafka import MiniKafkaClient
+
+_SCHEMA = (
+    "key binary, value binary, topic string, partition int, "
+    "offset bigint, timestamp timestamp, timestampType int"
+)
+
+
+class _OffsetRange(InputPartition):
+    def __init__(self, bootstrap, topic, pid, start, end):
+        self.bootstrap = bootstrap
+        self.topic = topic
+        self.pid = pid
+        self.start = start
+        self.end = end
+
+
+def _read_range(part: _OffsetRange) -> Iterator[tuple]:
+    with MiniKafkaClient(part.bootstrap) as c:
+        for off, k, v in c.fetch_range(
+            part.topic, part.pid, part.start, part.end
+        ):
+            yield (k, v, part.topic, part.pid, off, None, -1)
+
+
+def _require(options: dict, key: str) -> str:
+    v = options.get(key.lower()) or options.get(key)
+    if not v:
+        raise ValueError(f"minikafka requires the '{key}' option")
+    return v
+
+
+class _BatchReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.bootstrap = _require(options, "bootstrap")
+        self.topic = _require(options, "topic")
+        self.min_partitions = int(options.get("minpartitions", 0))
+
+    def partitions(self) -> list:
+        with MiniKafkaClient(self.bootstrap) as c:
+            pids = c.metadata([self.topic])["topics"][self.topic]
+            ranges = [
+                (p, c.offsets(self.topic, p, -2),
+                 c.offsets(self.topic, p, -1))
+                for p in pids
+            ]
+        total = sum(e - s for _, s, e in ranges)
+        out = []
+        for pid, start, end in ranges:
+            n = end - start
+            if n == 0:
+                continue
+            # honor minPartitions by splitting ranges proportionally
+            pieces = 1
+            if self.min_partitions > len(ranges) and total:
+                pieces = max(1, round(self.min_partitions * n / total))
+            step = -(-n // pieces)
+            for s in range(start, end, step):
+                out.append(
+                    _OffsetRange(
+                        self.bootstrap, self.topic, pid,
+                        s, min(s + step, end),
+                    )
+                )
+        return out
+
+    def read(self, partition: _OffsetRange) -> Iterator[tuple]:
+        return _read_range(partition)
+
+
+class _StreamReader(DataSourceStreamReader):
+    """Offsets are ``{str(pid): next_offset}`` — the same shape the
+    real source checkpoints.
+
+    ``latestOffset`` is PURE (always the broker's log-end): the
+    Python DataSource API gives offset hooks no single-stateful-
+    instance guarantee (initialOffset/latestOffset/commit interleave
+    across instantiations), so any pacing state here can hand the
+    engine a REGRESSING end offset — observed as both double-reads
+    and a premature "no new data" that ends a processAllAvailable
+    drain mid-topic. ``maxOffsetsPerTrigger`` therefore gates loudly:
+    the real connector implements it ENGINE-side (ReadLimit), which
+    this API does not expose; pace by produce cadence instead (each
+    produced wave becomes its own micro-batch — see
+    queries/minikafka.py)."""
+
+    def __init__(self, options: dict):
+        self.bootstrap = _require(options, "bootstrap")
+        self.topic = _require(options, "topic")
+        if options.get("maxoffsetspertrigger"):
+            raise NotImplementedError(
+                "maxOffsetsPerTrigger needs engine-side ReadLimit "
+                "support the Python DataSource API does not expose; "
+                "driver-side offset state corrupts batch planning "
+                "(regressing end offsets). Pace the producer, or use "
+                "the jar-backed kafka connector."
+            )
+
+    def initialOffset(self) -> dict:
+        with MiniKafkaClient(self.bootstrap) as c:
+            pids = c.metadata([self.topic])["topics"][self.topic]
+            return {str(p): c.offsets(self.topic, p, -2) for p in pids}
+
+    def latestOffset(self) -> dict:
+        with MiniKafkaClient(self.bootstrap) as c:
+            pids = c.metadata([self.topic])["topics"][self.topic]
+            return {str(p): c.offsets(self.topic, p, -1) for p in pids}
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def partitions(self, start: dict, end: dict) -> list:
+        return [
+            _OffsetRange(
+                self.bootstrap, self.topic, int(p),
+                start.get(p, 0), end[p],
+            )
+            for p in sorted(end, key=int)
+            if end[p] > start.get(p, 0)
+        ]
+
+    def read(self, partition: _OffsetRange) -> Iterator[tuple]:
+        return _read_range(partition)
+
+
+# --- sink --------------------------------------------------------------------
+
+
+class _ProduceCommit(WriterCommitMessage):
+    def __init__(self, n: int):
+        self.n = n
+
+
+def _as_bytes(v):
+    if v is None or isinstance(v, (bytes, bytearray)):
+        return None if v is None else bytes(v)
+    return str(v).encode()
+
+
+def _produce_rows(options: dict, iterator) -> _ProduceCommit:
+    bootstrap = _require(options, "bootstrap")
+    topic = _require(options, "topic")
+    chunk = int(options.get("batchsize", 500))
+    with MiniKafkaClient(bootstrap) as c:
+        nparts = len(c.metadata([topic])["topics"][topic])
+        buf: dict[int, list] = {}
+        n = 0
+        for row in iterator:
+            d = row.asDict()
+            if d.get("value") is None:
+                raise ValueError(
+                    "minikafka sink requires non-null value "
+                    "(v0 tombstones need a keyed compacted topic)"
+                )
+            key = _as_bytes(d.get("key"))
+            value = _as_bytes(d["value"])
+            pid = d.get("partition")
+            if pid is None:
+                pid = zlib.crc32(key if key is not None else value) % nparts
+            buf.setdefault(int(pid), []).append((key, value))
+            n += 1
+            if len(buf[int(pid)]) >= chunk:
+                c.produce(topic, int(pid), buf.pop(int(pid)))
+        for pid, msgs in sorted(buf.items()):
+            c.produce(topic, pid, msgs)
+    return _ProduceCommit(n)
+
+
+class _BatchWriter(DataSourceWriter):
+    def __init__(self, options: dict):
+        self.options = dict(options)
+
+    def write(self, iterator) -> _ProduceCommit:
+        return _produce_rows(self.options, iterator)
+
+    def commit(self, messages) -> None:
+        pass
+
+    def abort(self, messages) -> None:
+        # produced messages cannot be unwritten: at-least-once, the
+        # real non-transactional Kafka sink's contract
+        pass
+
+
+class _StreamWriter(DataSourceStreamWriter):
+    def __init__(self, options: dict):
+        self.options = dict(options)
+
+    def write(self, iterator) -> _ProduceCommit:
+        return _produce_rows(self.options, iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        pass
+
+    def abort(self, messages, batchId: int) -> None:
+        pass
+
+
+class MiniKafkaDataSource(DataSource):
+    """``minikafka``: batch + streaming source and sink over the
+    from-scratch Kafka v0 wire protocol."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "minikafka"
+
+    def schema(self) -> str:
+        return _SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return _BatchReader(self.options)
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return _StreamReader(self.options)
+
+    def _check_write_schema(self, schema):
+        names = [f.name for f in schema.fields]
+        if "value" not in names:
+            raise ValueError(
+                f"minikafka sink expects a 'value' column, got {names}"
+            )
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        if overwrite:
+            raise ValueError(
+                "minikafka sink is append-only (a Kafka log cannot "
+                "be overwritten)"
+            )
+        self._check_write_schema(schema)
+        return _BatchWriter(self.options)
+
+    def streamWriter(self, schema, overwrite) -> DataSourceStreamWriter:
+        self._check_write_schema(schema)
+        return _StreamWriter(self.options)
+
+
+def register_minikafka(spark) -> None:
+    """Idempotent registration of the minikafka source/sink."""
+    spark.dataSource.register(MiniKafkaDataSource)

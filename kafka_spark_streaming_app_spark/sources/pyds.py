@@ -18,7 +18,8 @@ two consequences that matter:
   from ``range(n)`` (see queries/pyds.py), so the connector is
   hash-checked end to end.
 
-Options: rows (total), numPartitions, rowsPerBatch (stream only).
+Options: rows (end index), startRow (batch only: start index,
+default 0), numPartitions, rowsPerBatch (stream only).
 """
 
 from __future__ import annotations
@@ -91,10 +92,13 @@ def _split(start: int, end: int, parts: int) -> list[_Range]:
 class _WireBatchReader(DataSourceReader):
     def __init__(self, options: dict):
         self.rows = int(options.get("rows", 1000))
+        self.start_row = int(options.get("startrow", 0))
         self.num_partitions = int(options.get("numpartitions", 8))
 
     def partitions(self) -> list[InputPartition]:
-        return _split(0, self.rows, self.num_partitions)
+        # [startRow, rows): a half-open index window, so a caller can
+        # produce the stream in staged waves (queries/minikafka.py)
+        return _split(self.start_row, self.rows, self.num_partitions)
 
     def read(self, partition: _Range) -> Iterator[tuple]:
         for i in range(partition.start, partition.end):
