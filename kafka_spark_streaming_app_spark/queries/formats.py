@@ -726,25 +726,23 @@ def _delta_stream_commit(
             fh.write(_json.dumps(a) + "\n")
 
 
-@query("streaming_delta_sink", _DELTA_STREAM_ORACLE)
-def streaming_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming-into-lakehouse: the orders feed replays as a file
-    stream (2 files per trigger), foreachBatch commits each
-    micro-batch as a real Delta transaction — txn action for
-    at-least-once dedup, odd batches compacting their predecessor
-    (remove + rewritten add, tombstone left on disk) — and the final
-    aggregate reads the table back through the transaction-log
-    replay. The micro-batch data path is fully executor-side
-    (distributed parquet write, per-file add actions); the driver
-    writes only the O(KB) commit JSON after an O(log) replay scan —
-    the log, not the directory, defines what the readback sees."""
+_ORDERS_FEED_SCHEMA = (
+    "o_orderkey bigint, o_orderstatus string, "
+    "o_orderpriority string, cents bigint"
+)
+
+
+def _orders_json_feed(spark: SparkSession, sf_dir: str) -> str:
+    """Shared orders-revision JSON feed for the lakehouse sinks —
+    materialized once per (session, sf_dir), every sink replays the
+    same files."""
     import atexit as _atexit
     import shutil as _shutil
 
-    feed_key = (spark.sparkContext.applicationId, sf_dir, "delta_feed")
+    feed_key = (spark.sparkContext.applicationId, sf_dir, "orders_feed")
     src = _FIXTURE_DIRS.get(feed_key)
     if src is None or not os.path.isdir(src):
-        src = tempfile.mkdtemp(prefix="delta_feed_")
+        src = tempfile.mkdtemp(prefix="orders_feed_")
         _atexit.register(_shutil.rmtree, src, ignore_errors=True)
         (
             load_table(spark, sf_dir, "orders")
@@ -761,19 +759,37 @@ def streaming_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             .json(src)
         )
         _FIXTURE_DIRS[feed_key] = src
+    return src
+
+
+def _orders_feed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(_ORDERS_FEED_SCHEMA)
+        .option("maxFilesPerTrigger", "2")
+        .json(_orders_json_feed(spark, sf_dir))
+    )
+
+
+@query("streaming_delta_sink", _DELTA_STREAM_ORACLE)
+def streaming_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-into-lakehouse: the orders feed replays as a file
+    stream (2 files per trigger), foreachBatch commits each
+    micro-batch as a real Delta transaction — txn action for
+    at-least-once dedup, odd batches compacting their predecessor
+    (remove + rewritten add, tombstone left on disk) — and the final
+    aggregate reads the table back through the transaction-log
+    replay. The micro-batch data path is fully executor-side
+    (distributed parquet write, per-file add actions); the driver
+    writes only the O(KB) commit JSON after an O(log) replay scan —
+    the log, not the directory, defines what the readback sees."""
+    import atexit as _atexit
+    import shutil as _shutil
+
     table_dir = tempfile.mkdtemp(prefix="delta_sink_")
     ckpt = tempfile.mkdtemp(prefix="delta_sink_ckpt_")
     for d in (table_dir, ckpt):
         _atexit.register(_shutil.rmtree, d, ignore_errors=True)
-    schema = (
-        "o_orderkey bigint, o_orderstatus string, "
-        "o_orderpriority string, cents bigint"
-    )
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "2")
-        .json(src)
-    )
+    stream = _orders_feed_stream(spark, sf_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         _delta_stream_commit(table_dir, batch_df, batch_id)
@@ -797,6 +813,127 @@ def streaming_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.deltalog import read_delta_snapshot
 
     df = read_delta_snapshot(spark, table_dir)
+    return (
+        df.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+# --- streaming Iceberg sink ---------------------------------------------------
+# The Delta sink's twin on the Iceberg metadata tree: foreachBatch
+# commits each micro-batch as a real snapshot (manifest + manifest
+# list + vN.metadata.json + version-hint bump) via the engine's own
+# Avro encoder, reusing sources/iceberglog.py's structures in
+# reverse. Odd batches compact their predecessor: the superseded
+# manifest is dropped from the list, the removed parquet stays on
+# disk as DELETED-entry tombstones — naive directory listing
+# double-counts by construction; only the metadata tree is truth.
+
+_ICEBERG_SINK_FIELDS = [
+    ("o_orderkey", "long"),
+    ("o_orderstatus", "string"),
+    ("o_orderpriority", "string"),
+    ("cents", "long"),
+]
+
+
+def _iceberg_stream_commit(
+    committer, table_dir: str, batch_df: DataFrame, batch_id: int
+) -> None:
+    """One micro-batch -> one Iceberg snapshot, idempotent under
+    foreachBatch replay via the batch id in the snapshot summary.
+    Micro-batch DATA is a distributed parquet write; the driver
+    reads only parquet FOOTERS (record counts for the manifest) and
+    writes the O(KB) metadata — the Delta sink's division of labor."""
+    if committer.committed_batch_id() >= batch_id:
+        return
+
+    def _parts(rel: str) -> list:
+        d = os.path.join(table_dir, "data", rel)
+        return sorted(
+            os.path.join(d, f) for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    batch_rel = f"batch-{batch_id:05d}"
+    batch_df.write.mode("overwrite").parquet(
+        os.path.join(table_dir, "data", batch_rel)
+    )
+    added = [committer.data_file_entry(p) for p in _parts(batch_rel)]
+    removed = []
+    drop = ()
+    if batch_id % 2 == 1:
+        prev_rel = f"batch-{batch_id - 1:05d}"
+        prev_dir = os.path.join(table_dir, "data", prev_rel)
+        if os.path.isdir(prev_dir):
+            prev_files = _parts(prev_rel)
+            compact_rel = f"{prev_rel}-compacted"
+            (
+                batch_df.sparkSession.read.parquet(*prev_files)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(table_dir, "data", compact_rel))
+            )
+            added += [
+                committer.data_file_entry(p) for p in _parts(compact_rel)
+            ]
+            removed = [committer.data_file_entry(p) for p in prev_files]
+            drop = (
+                os.path.join(
+                    table_dir, "metadata",
+                    f"manifest-b{batch_id - 1:05d}.avro",
+                ),
+            )
+    committer.commit(batch_id, added, removed, drop)
+
+
+@query("streaming_iceberg_sink", _DELTA_STREAM_ORACLE)
+def streaming_iceberg_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming into an Iceberg table without the runtime jar: the
+    shared orders feed replays 2 files per trigger, every micro-batch
+    commits a real snapshot (Avro manifest + manifest list + metadata
+    JSON, summary-keyed idempotence), odd batches compact their
+    predecessor leaving tombstone decoys, and the final aggregate
+    reads the table back through the metadata-tree replay
+    (sources/iceberglog.py) — so the oracle hash proves snapshot
+    framing, manifest carry-forward, DELETED-entry semantics, and
+    replay idempotence at once."""
+    import atexit as _atexit
+    import shutil as _shutil
+
+    from ..sources.iceberglog import IcebergCommitter, read_iceberg_snapshot
+
+    table_dir = tempfile.mkdtemp(prefix="iceberg_sink_")
+    ckpt = tempfile.mkdtemp(prefix="iceberg_sink_ckpt_")
+    for d in (table_dir, ckpt):
+        _atexit.register(_shutil.rmtree, d, ignore_errors=True)
+    committer = IcebergCommitter(table_dir, _ICEBERG_SINK_FIELDS)
+    stream = _orders_feed_stream(spark, sf_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        _iceberg_stream_commit(committer, table_dir, batch_df, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise RuntimeError(
+                "streaming_iceberg_sink: availableNow run did not "
+                "finish within 300s; refusing to read a partial table"
+            )
+    finally:
+        if q.isActive:
+            q.stop()
+
+    df = read_iceberg_snapshot(spark, table_dir)
     return (
         df.groupBy("o_orderstatus", "o_orderpriority")
         .agg(

@@ -267,3 +267,175 @@ class IcebergFixtureWriter:
         ) as fh:
             fh.write(str(self.version))
         return snap_id
+
+
+class IcebergCommitter:
+    """Stateless-from-disk APPEND/REWRITE committer — the write path
+    mirroring ``snapshot_data_files``'s read path, for streaming
+    sinks: every commit reloads the current metadata tree, so
+    foreachBatch replays and crash-restarts always see the
+    authoritative table state (the metadata tree IS the state; no
+    in-memory ledger to lose).
+
+    Incremental commit shape matches real Iceberg: a new snapshot
+    writes ONE new manifest and a manifest LIST that carries forward
+    the still-live prior manifests — O(batch) work per commit, not
+    O(table). A rewrite (compaction) commit drops the superseded
+    manifest from the list and records the removed files as DELETED
+    entries in the new manifest, leaving the parquet on disk as a
+    tombstone decoy exactly like the read fixtures."""
+
+    def __init__(self, table_dir: str, schema_fields):
+        self.table_dir = table_dir
+        self.meta_dir = os.path.join(table_dir, "metadata")
+        self.data_dir = os.path.join(table_dir, "data")
+        os.makedirs(self.meta_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+        self.schema = {
+            "type": "struct",
+            "schema-id": 0,
+            "fields": [
+                {"id": i + 1, "name": n, "required": False, "type": t}
+                for i, (n, t) in enumerate(schema_fields)
+            ],
+        }
+
+    def _current_meta(self) -> dict | None:
+        hint = os.path.join(self.meta_dir, "version-hint.text")
+        if not os.path.exists(hint):
+            return None
+        v = int(open(hint).read().strip())
+        return json.loads(
+            open(
+                os.path.join(self.meta_dir, f"v{v}.metadata.json")
+            ).read()
+        )
+
+    def committed_batch_id(self) -> int:
+        """Highest sink batch id recorded in any snapshot summary, or
+        -1 — the replay/idempotence check (Iceberg's analogue of the
+        Delta txn action)."""
+        meta = self._current_meta()
+        if meta is None:
+            return -1
+        return max(
+            (
+                int(s.get("summary", {}).get("spark-graft-batch-id", -1))
+                for s in meta["snapshots"]
+            ),
+            default=-1,
+        )
+
+    def data_file_entry(self, path: str) -> dict:
+        """data_file record from a parquet footer (metadata-only read
+        — O(KB) per file on the driver, never the data)."""
+        import pyarrow.parquet as pq
+
+        return {
+            "content": 0,
+            "file_path": path,
+            "file_format": "PARQUET",
+            "record_count": pq.ParquetFile(path).metadata.num_rows,
+            "file_size_in_bytes": os.path.getsize(path),
+        }
+
+    def commit(
+        self, batch_id: int, added: list, removed: list = (),
+        drop_manifests: tuple = (),
+    ) -> int:
+        """One snapshot: ``added``/``removed`` are data_file dicts
+        for the NEW manifest; ``drop_manifests`` names manifest paths
+        whose entries this commit supersedes (compaction)."""
+        meta = self._current_meta()
+        version = 0 if meta is None else (
+            int(open(
+                os.path.join(self.meta_dir, "version-hint.text")
+            ).read().strip()) + 1
+        )
+        snap_id = 1000 + version
+        name = f"manifest-b{batch_id:05d}"
+        if removed:
+            name += "c"  # compaction rewrite manifest
+        manifest_path = os.path.join(self.meta_dir, f"{name}.avro")
+        entries = [
+            {"status": STATUS_ADDED, "snapshot_id": snap_id,
+             "data_file": df}
+            for df in added
+        ] + [
+            {"status": STATUS_DELETED, "snapshot_id": snap_id,
+             "data_file": df}
+            for df in removed
+        ]
+        with open(manifest_path, "wb") as fh:
+            fh.write(
+                write_container(
+                    entries, _MANIFEST_SCHEMA, bytes(range(16)),
+                    codec="deflate",
+                )
+            )
+        carried = []
+        if meta is not None:
+            cur = next(
+                s for s in meta["snapshots"]
+                if s["snapshot-id"] == meta["current-snapshot-id"]
+            )
+            carried = [
+                r
+                for r in read_container(
+                    open(cur["manifest-list"], "rb").read()
+                )["records"]
+                if r["manifest_path"] not in set(drop_manifests)
+            ]
+        ml_path = os.path.join(
+            self.meta_dir, f"snap-{snap_id}-manifest-list.avro"
+        )
+        with open(ml_path, "wb") as fh:
+            fh.write(
+                write_container(
+                    carried
+                    + [
+                        {
+                            "manifest_path": manifest_path,
+                            "manifest_length": os.path.getsize(
+                                manifest_path
+                            ),
+                            "partition_spec_id": 0,
+                            "added_snapshot_id": snap_id,
+                        }
+                    ],
+                    _MANIFEST_LIST_SCHEMA,
+                    bytes(range(16)),
+                )
+            )
+        snapshots = [] if meta is None else list(meta["snapshots"])
+        snapshots.append(
+            {
+                "snapshot-id": snap_id,
+                "timestamp-ms": 0,
+                "manifest-list": ml_path,
+                "summary": {
+                    "operation": "overwrite" if removed else "append",
+                    "spark-graft-batch-id": str(batch_id),
+                },
+            }
+        )
+        new_meta = {
+            "format-version": 1,
+            "table-uuid": "stream-table",
+            "location": self.table_dir,
+            "schemas": [self.schema],
+            "current-schema-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "default-spec-id": 0,
+            "snapshots": snapshots,
+            "current-snapshot-id": snap_id,
+        }
+        with open(
+            os.path.join(self.meta_dir, f"v{version}.metadata.json"), "w"
+        ) as fh:
+            json.dump(new_meta, fh)
+        with open(
+            os.path.join(self.meta_dir, "version-hint.text"), "w"
+        ) as fh:
+            fh.write(str(version))
+        return snap_id

@@ -90,3 +90,122 @@ def test_partitioned_table_gates_loudly(tmp_path):
         snapshot_data_files(str(tmp_path))
     with pytest.raises(ValueError, match="not an Iceberg table"):
         snapshot_data_files(str(tmp_path / "nope"))
+
+
+# --- streaming committer (the write path) -----------------------------------
+
+
+def _batch_df(spark, keys):
+    return spark.createDataFrame(
+        [(k, "F" if k % 2 else "O", "1-URGENT", k * 100) for k in keys],
+        "o_orderkey long, o_orderstatus string, "
+        "o_orderpriority string, cents long",
+    ).coalesce(1)
+
+
+def _commit_batch(spark, tmp_path, committer, keys, batch_id):
+    from kafka_spark_streaming_app_spark.queries.formats import (
+        _iceberg_stream_commit,
+    )
+
+    _iceberg_stream_commit(
+        committer, str(tmp_path), _batch_df(spark, keys), batch_id
+    )
+
+
+def test_committer_is_idempotent_and_carries_manifests(tmp_path, spark):
+    """Replaying a batch id must not create a second snapshot; a new
+    snapshot's manifest list must carry the prior live manifests
+    forward (incremental commit, O(batch) not O(table))."""
+    from kafka_spark_streaming_app_spark.queries.formats import (
+        _ICEBERG_SINK_FIELDS,
+    )
+    from kafka_spark_streaming_app_spark.sources.iceberglog import (
+        IcebergCommitter,
+    )
+
+    c = IcebergCommitter(str(tmp_path), _ICEBERG_SINK_FIELDS)
+    _commit_batch(spark, tmp_path, c, [1, 2], 0)
+    v_after_0 = open(tmp_path / "metadata" / "version-hint.text").read()
+    _commit_batch(spark, tmp_path, c, [1, 2], 0)  # replay
+    assert open(tmp_path / "metadata" / "version-hint.text").read() == v_after_0
+    _commit_batch(spark, tmp_path, c, [3, 4], 2)  # even: plain append
+    snap = snapshot_data_files(str(tmp_path))
+    df = read_iceberg_snapshot(spark, str(tmp_path))
+    assert sorted(r.o_orderkey for r in df.collect()) == [1, 2, 3, 4]
+    # two manifests live: batch 0's carried forward + batch 2's
+    from kafka_spark_streaming_app_spark.operators.avrocodec import (
+        read_container,
+    )
+
+    v = open(tmp_path / "metadata" / "version-hint.text").read().strip()
+    meta = json.loads(
+        open(tmp_path / "metadata" / f"v{v}.metadata.json").read()
+    )
+    cur = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    ml = read_container(open(cur["manifest-list"], "rb").read())
+    names = sorted(
+        os.path.basename(r["manifest_path"]) for r in ml["records"]
+    )
+    assert names == ["manifest-b00000.avro", "manifest-b00002.avro"]
+
+
+def test_compaction_leaves_tombstone_decoys(tmp_path, spark):
+    """An odd batch compacts its predecessor: the removed parquet
+    stays ON DISK (naive listing double-counts) while the metadata
+    tree excludes it; the superseded manifest drops from the list."""
+    import glob
+
+    from kafka_spark_streaming_app_spark.queries.formats import (
+        _ICEBERG_SINK_FIELDS,
+    )
+    from kafka_spark_streaming_app_spark.sources.iceberglog import (
+        IcebergCommitter,
+    )
+
+    c = IcebergCommitter(str(tmp_path), _ICEBERG_SINK_FIELDS)
+    _commit_batch(spark, tmp_path, c, [1, 2], 0)
+    _commit_batch(spark, tmp_path, c, [3], 1)  # compacts batch 0
+    on_disk = glob.glob(str(tmp_path / "data" / "**" / "*.parquet"),
+                        recursive=True)
+    snap = snapshot_data_files(str(tmp_path))
+    assert len(on_disk) > len(snap["files"])  # decoys present
+    df = read_iceberg_snapshot(spark, str(tmp_path))
+    assert sorted(r.o_orderkey for r in df.collect()) == [1, 2, 3]
+    # batch 0's original files are all tombstoned
+    assert not any("batch-00000/" in f for f in snap["files"])
+    assert any("batch-00000-compacted/" in f for f in snap["files"])
+
+
+def test_committer_data_path_is_executor_side(tmp_path, spark):
+    """Micro-batch DATA must never be materialized on the driver:
+    footers only (record counts), never rows."""
+    from unittest import mock
+
+    from pyspark.sql import DataFrame as _DF
+
+    from kafka_spark_streaming_app_spark.queries.formats import (
+        _ICEBERG_SINK_FIELDS,
+    )
+    from kafka_spark_streaming_app_spark.sources.iceberglog import (
+        IcebergCommitter,
+    )
+
+    c = IcebergCommitter(str(tmp_path), _ICEBERG_SINK_FIELDS)
+    patches = [
+        mock.patch.object(
+            _DF, name,
+            side_effect=AssertionError(
+                f"driver materialization via DataFrame.{name} on the "
+                "iceberg sink data path"
+            ),
+        )
+        for name in ("toPandas", "collect", "toLocalIterator")
+    ]
+    with patches[0], patches[1], patches[2]:
+        _commit_batch(spark, tmp_path, c, [1, 2, 3], 0)
+        _commit_batch(spark, tmp_path, c, [4], 1)
+    assert read_iceberg_snapshot(spark, str(tmp_path)).count() == 4
