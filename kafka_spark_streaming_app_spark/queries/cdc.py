@@ -138,26 +138,16 @@ def cdc_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- streaming twin: foreachBatch snapshot maintenance ----------------------
 
-_FEED_DIRS: dict[tuple[str, str], str] = {}
-
-
 def _change_feed_files(spark: SparkSession, sf_dir: str) -> str:
-    """Materialize the change feed as JSON-lines files (8 files →
-    several micro-batches under maxFilesPerTrigger), once per
-    (session, sf_dir)."""
-    import atexit
-    import shutil
-    import tempfile
+    """Change feed as JSON-lines files (8 files → several
+    micro-batches under maxFilesPerTrigger), via the shared memoized
+    feeder."""
+    from .feeds import materialize_json_feed
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    src = _FEED_DIRS.get(key)
-    if src is None or not os.path.isdir(src):
-        src = tempfile.mkdtemp(prefix="cdc_feed_")
-        atexit.register(shutil.rmtree, src, ignore_errors=True)
-        feed = _change_feed(load_table(spark, sf_dir, "orders"))
-        feed.repartition(8).write.mode("overwrite").json(src)
-        _FEED_DIRS[key] = src
-    return src
+    return materialize_json_feed(
+        spark, sf_dir, "cdc",
+        lambda s, d: _change_feed(load_table(s, d, "orders")),
+    )
 
 
 _CDC_STATE_BUCKETS = 16  # 256+ at production key cardinality
@@ -345,41 +335,35 @@ ORDER BY l.o_orderkey
 """
 
 _MV_BUCKETS = 16
-_MV_FEED_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _matview_revision_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order revision feed: every order arrives once at rev 1; every
+    5th order later re-arrives at rev 2 with a 10% price correction."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return orders.withColumn("rev", F.lit(1)).unionByName(
+        orders.filter(F.col("o_orderkey") % 5 == 0).select(
+            "o_orderkey",
+            "o_custkey",
+            (
+                F.expr(
+                    "CAST(round(o_totalprice * 100, 0) AS BIGINT)"
+                    " * 11 div 10"
+                ).cast("double")
+                / 100
+            ).alias("o_totalprice"),
+        ).withColumn("rev", F.lit(2))
+    )
 
 
 def _matview_feed_files(spark: SparkSession, sf_dir: str) -> str:
-    """Order revision feed as JSON-lines files (8 files → several
-    micro-batches): every order arrives once at rev 1; every 5th
-    order later re-arrives at rev 2 with a 10% price correction."""
-    import atexit
-    import shutil
-    import tempfile
+    from .feeds import materialize_json_feed
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    src = _MV_FEED_DIRS.get(key)
-    if src is None or not os.path.isdir(src):
-        src = tempfile.mkdtemp(prefix="mv_feed_")
-        atexit.register(shutil.rmtree, src, ignore_errors=True)
-        orders = load_table(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_custkey", "o_totalprice"
-        )
-        feed = orders.withColumn("rev", F.lit(1)).unionByName(
-            orders.filter(F.col("o_orderkey") % 5 == 0).select(
-                "o_orderkey",
-                "o_custkey",
-                (
-                    F.expr(
-                        "CAST(round(o_totalprice * 100, 0) AS BIGINT)"
-                        " * 11 div 10"
-                    ).cast("double")
-                    / 100
-                ).alias("o_totalprice"),
-            ).withColumn("rev", F.lit(2))
-        )
-        feed.repartition(8).write.mode("overwrite").json(src)
-        _MV_FEED_DIRS[key] = src
-    return src
+    return materialize_json_feed(
+        spark, sf_dir, "mv", _matview_revision_feed
+    )
 
 
 @query("streaming_matview_join", _MATVIEW_ORACLE)

@@ -733,33 +733,22 @@ _ORDERS_FEED_SCHEMA = (
 
 
 def _orders_json_feed(spark: SparkSession, sf_dir: str) -> str:
-    """Shared orders-revision JSON feed for the lakehouse sinks —
-    materialized once per (session, sf_dir), every sink replays the
+    """Shared orders JSON feed for the lakehouse sinks — one
+    materialization per (session, sf_dir), every sink replays the
     same files."""
-    import atexit as _atexit
-    import shutil as _shutil
+    from .feeds import materialize_json_feed
 
-    feed_key = (spark.sparkContext.applicationId, sf_dir, "orders_feed")
-    src = _FIXTURE_DIRS.get(feed_key)
-    if src is None or not os.path.isdir(src):
-        src = tempfile.mkdtemp(prefix="orders_feed_")
-        _atexit.register(_shutil.rmtree, src, ignore_errors=True)
-        (
-            load_table(spark, sf_dir, "orders")
-            .select(
-                "o_orderkey",
-                "o_orderstatus",
-                "o_orderpriority",
-                F.round(F.col("o_totalprice") * 100, 0)
-                .cast("bigint")
-                .alias("cents"),
-            )
-            .repartition(8)
-            .write.mode("overwrite")
-            .json(src)
-        )
-        _FIXTURE_DIRS[feed_key] = src
-    return src
+    return materialize_json_feed(
+        spark, sf_dir, "orders",
+        lambda s, d: load_table(s, d, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .alias("cents"),
+        ),
+    )
 
 
 def _orders_feed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -41,9 +41,32 @@ WIRE_SCHEMA = T.StructType(
 )
 
 
-# one wire materialization per (session, sf_dir) — both streaming
-# queries replay the same files
-_WIRE_DIRS: dict[tuple[int, str], str] = {}
+def _events_wire_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select(
+        F.to_json(
+            F.struct(
+                F.col("event_id"),
+                F.col("user_id"),
+                F.col("event_type"),
+                F.col("value").alias("amount"),
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                    "timestamp"
+                ),
+            )
+        ).alias("value")
+    )
+
+
+def _events_wire_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The shared events wire materialization (one file per core: the
+    file-stream source assigns one task per file, so a 2-file wire
+    dir would cap micro-batch parallelism at 2 regardless of cluster
+    size) — all streaming queries replay the same files."""
+    from .feeds import materialize_feed
+
+    return materialize_feed(
+        spark, sf_dir, "wire", _events_wire_build, files=None, fmt="text"
+    )
 
 
 def _events_as_wire_stream(
@@ -56,35 +79,7 @@ def _events_as_wire_stream(
     ``max_files_per_trigger`` splits the replay into several
     micro-batches (the wire dir holds one file per core) — needed by
     queries that prove batch-boundary independence of a merge."""
-    # keyed on applicationId (stable per context), not id() (recyclable)
-    key = (spark.sparkContext.applicationId, sf_dir)
-    src_dir = _WIRE_DIRS.get(key)
-    if src_dir is None or not os.path.isdir(src_dir):
-        events = load_table(spark, sf_dir, "events")
-        wire = events.select(
-            F.to_json(
-                F.struct(
-                    F.col("event_id"),
-                    F.col("user_id"),
-                    F.col("event_type"),
-                    F.col("value").alias("amount"),
-                    F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
-                        "timestamp"
-                    ),
-                )
-            ).alias("value")
-        )
-        import atexit
-        import shutil
-
-        src_dir = tempfile.mkdtemp(prefix="wire_stream_")
-        atexit.register(shutil.rmtree, src_dir, ignore_errors=True)
-        # one file per core: the file-stream source assigns one task
-        # per file, so a 2-file wire dir would cap the micro-batch's
-        # parse/agg parallelism at 2 regardless of cluster size
-        n_files = spark.sparkContext.defaultParallelism
-        wire.repartition(n_files).write.mode("overwrite").text(src_dir)
-        _WIRE_DIRS[key] = src_dir
+    src_dir = _events_wire_dir(spark, sf_dir)
     reader = spark.readStream
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))

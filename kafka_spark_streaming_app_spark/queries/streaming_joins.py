@@ -301,11 +301,9 @@ def _events_with_flush_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from ..streaming.pipeline import parse_and_clean
-    from .streaming import _WIRE_DIRS, WIRE_SCHEMA
+    from .streaming import WIRE_SCHEMA, _events_wire_dir
 
-    # ensure the shared wire dir exists, then address it directly
-    _events_as_wire_stream(spark, sf_dir)
-    wire_dir = _WIRE_DIRS[(spark.sparkContext.applicationId, sf_dir)]
+    wire_dir = _events_wire_dir(spark, sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir)
     sent_dir = _SENTINEL_DIRS.get(key)
     if sent_dir is None or not os.path.isdir(sent_dir):
