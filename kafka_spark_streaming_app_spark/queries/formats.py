@@ -590,8 +590,140 @@ ORDER BY o_orderstatus, o_orderpriority
 _DELTA_STREAM_APP = "spark-graft-delta-sink"
 
 
+def _delta_next_version(log_dir: str, batch_id: int):
+    """O(log) scan: None if this sink batch already committed (txn
+    action replay dedup), else the next commit version number."""
+    import json as _json
+
+    os.makedirs(log_dir, exist_ok=True)
+    commits = sorted(
+        f for f in os.listdir(log_dir)
+        if f.endswith(".json") and f[:20].isdigit()
+    )
+    for f in commits:
+        with open(os.path.join(log_dir, f)) as fh:
+            for line in fh:
+                a = _json.loads(line)
+                if (
+                    "txn" in a
+                    and a["txn"]["appId"] == _DELTA_STREAM_APP
+                    and a["txn"]["version"] >= batch_id
+                ):
+                    return None
+    return len(commits)
+
+
+def _delta_part_files(table_dir: str, rel_dir: str) -> list:
+    d = os.path.join(table_dir, rel_dir)
+    return sorted(
+        f"{rel_dir}/{f}" for f in os.listdir(d)
+        if f.endswith(".parquet")
+    )
+
+
+def _delta_add_action(table_dir: str, rel: str, data_change=True) -> dict:
+    return {
+        "add": {
+            "path": rel,
+            "partitionValues": {},
+            "size": os.path.getsize(os.path.join(table_dir, rel)),
+            "modificationTime": 0,
+            "dataChange": data_change,
+        }
+    }
+
+
+def _delta_meta_actions(fields) -> list:
+    """protocol + metaData actions for a first commit;
+    ``fields`` = [(name, delta_type)]."""
+    import json as _json
+
+    return [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": "stream-table",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": _json.dumps(
+                    {
+                        "type": "struct",
+                        "fields": [
+                            {"name": n, "type": t, "nullable": True,
+                             "metadata": {}}
+                            for n, t in fields
+                        ],
+                    }
+                ),
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": 0,
+            }
+        },
+    ]
+
+
+def _delta_write_commit(
+    log_dir: str, version: int, actions: list,
+    table_dir: str, checkpoint_interval: int,
+) -> None:
+    import json as _json
+
+    with open(
+        os.path.join(log_dir, f"{version:020d}.json"), "w"
+    ) as fh:
+        for a in actions:
+            fh.write(_json.dumps(a) + "\n")
+    # write-side checkpoint parity (real Delta defaults to every 10
+    # commits): readers then replay O(commits-since-checkpoint)
+    if (version + 1) % max(checkpoint_interval, 1) == 0:
+        from ..sources.deltalog import write_checkpoint
+
+        write_checkpoint(table_dir)
+
+
+def _delta_overwrite_commit(
+    table_dir: str, batch_df: DataFrame, batch_id: int, fields,
+    checkpoint_interval: int = 10,
+) -> None:
+    """Full-refresh OVERWRITE transaction: one commit atomically
+    replaces the table's entire live file set (remove-all + add) —
+    the streaming materialized-view maintenance pattern (a
+    complete-mode aggregate lands each trigger's full state).
+    Data path is a distributed write; the driver replays the O(KB)
+    log for the removal set and writes the commit JSON. Idempotent
+    under foreachBatch replay via the txn action. Superseded files
+    stay on disk as tombstone decoys until vacuum, exactly like the
+    compaction shape."""
+    from ..sources.deltalog import snapshot_files
+
+    log_dir = os.path.join(table_dir, "_delta_log")
+    version = _delta_next_version(log_dir, batch_id)
+    if version is None:
+        return
+    refresh_rel = f"refresh-{batch_id:05d}"
+    batch_df.write.mode("overwrite").parquet(
+        os.path.join(table_dir, refresh_rel)
+    )
+    live = snapshot_files(table_dir)["files"] if version > 0 else []
+    actions = [] if version > 0 else _delta_meta_actions(fields)
+    actions.append(
+        {"txn": {"appId": _DELTA_STREAM_APP, "version": batch_id}}
+    )
+    for p in live:
+        actions.append(
+            {"remove": {"path": p, "deletionTimestamp": 0,
+                        "dataChange": True}}
+        )
+    for rel in _delta_part_files(table_dir, refresh_rel):
+        actions.append(_delta_add_action(table_dir, rel))
+    _delta_write_commit(
+        log_dir, version, actions, table_dir, checkpoint_interval
+    )
+
+
 def _delta_stream_commit(
-    table_dir: str, batch_df: DataFrame, batch_id: int
+    table_dir: str, batch_df: DataFrame, batch_id: int,
+    checkpoint_interval: int = 10,
 ) -> None:
     """One streaming micro-batch -> one (or, for odd batches, one
     compacting) Delta commit, idempotent under foreachBatch replay
@@ -603,32 +735,13 @@ def _delta_stream_commit(
     commit JSON (one ``add`` per part file) — the real Delta sink's
     division of labor, so a tens-of-GB batch on a 1000-executor
     cluster commits without driver materialization."""
-    import json as _json
-
     log_dir = os.path.join(table_dir, "_delta_log")
-    os.makedirs(log_dir, exist_ok=True)
-    commits = sorted(
-        f for f in os.listdir(log_dir)
-        if f.endswith(".json") and f[:20].isdigit()
-    )
-    for f in commits:  # txn replay check: has this batch committed?
-        with open(os.path.join(log_dir, f)) as fh:
-            for line in fh:
-                a = _json.loads(line)
-                if (
-                    "txn" in a
-                    and a["txn"]["appId"] == _DELTA_STREAM_APP
-                    and a["txn"]["version"] >= batch_id
-                ):
-                    return
-    version = len(commits)
+    version = _delta_next_version(log_dir, batch_id)
+    if version is None:  # txn replay check: batch already committed
+        return
 
     def _part_files(rel_dir: str) -> list:
-        d = os.path.join(table_dir, rel_dir)
-        return sorted(
-            f"{rel_dir}/{f}" for f in os.listdir(d)
-            if f.endswith(".parquet")
-        )
+        return _delta_part_files(table_dir, rel_dir)
 
     batch_rel = f"batch-{batch_id:05d}"
     # distributed data write; overwrite makes a crashed half-written
@@ -637,54 +750,19 @@ def _delta_stream_commit(
     batch_df.write.mode("overwrite").parquet(
         os.path.join(table_dir, batch_rel)
     )
-    actions = []
-    if version == 0:
-        actions.append(
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+    actions = [] if version > 0 else _delta_meta_actions(
+        (
+            ("o_orderkey", "long"),
+            ("o_orderstatus", "string"),
+            ("o_orderpriority", "string"),
+            ("cents", "long"),
         )
-        actions.append(
-            {
-                "metaData": {
-                    "id": "stream-table",
-                    "format": {"provider": "parquet", "options": {}},
-                    "schemaString": _json.dumps(
-                        {
-                            "type": "struct",
-                            "fields": [
-                                {"name": n, "type": t, "nullable": True,
-                                 "metadata": {}}
-                                for n, t in (
-                                    ("o_orderkey", "long"),
-                                    ("o_orderstatus", "string"),
-                                    ("o_orderpriority", "string"),
-                                    ("cents", "long"),
-                                )
-                            ],
-                        }
-                    ),
-                    "partitionColumns": [],
-                    "configuration": {},
-                    "createdTime": 0,
-                }
-            }
-        )
+    )
     actions.append(
         {"txn": {"appId": _DELTA_STREAM_APP, "version": batch_id}}
     )
     for rel in _part_files(batch_rel):
-        actions.append(
-            {
-                "add": {
-                    "path": rel,
-                    "partitionValues": {},
-                    "size": os.path.getsize(
-                        os.path.join(table_dir, rel)
-                    ),
-                    "modificationTime": 0,
-                    "dataChange": True,
-                }
-            }
-        )
+        actions.append(_delta_add_action(table_dir, rel))
     if batch_id % 2 == 1:
         prev_rel = f"batch-{batch_id - 1:05d}"
         if os.path.isdir(os.path.join(table_dir, prev_rel)):
@@ -707,23 +785,11 @@ def _delta_stream_commit(
                 )
             for rel in _part_files(rewritten):
                 actions.append(
-                    {
-                        "add": {
-                            "path": rel,
-                            "partitionValues": {},
-                            "size": os.path.getsize(
-                                os.path.join(table_dir, rel)
-                            ),
-                            "modificationTime": 0,
-                            "dataChange": False,
-                        }
-                    }
+                    _delta_add_action(table_dir, rel, data_change=False)
                 )
-    with open(
-        os.path.join(log_dir, f"{version:020d}.json"), "w"
-    ) as fh:
-        for a in actions:
-            fh.write(_json.dumps(a) + "\n")
+    _delta_write_commit(
+        log_dir, version, actions, table_dir, checkpoint_interval
+    )
 
 
 _ORDERS_FEED_SCHEMA = (
@@ -781,7 +847,12 @@ def streaming_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _orders_feed_stream(spark, sf_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        _delta_stream_commit(table_dir, batch_df, batch_id)
+        # interval 2 (vs Delta's default 10) so the sf0.01 oracle run
+        # actually transits the checkpoint handoff: the readback
+        # starts from a sink-written checkpoint plus tail commits
+        _delta_stream_commit(
+            table_dir, batch_df, batch_id, checkpoint_interval=2
+        )
 
     q = (
         stream.writeStream.foreachBatch(sink)

@@ -41,6 +41,7 @@ from .pyds import _case, _h, _LOC_CASE, _PYDS_ORACLE, _ROWS
 
 _TOPIC = "orders"
 _STREAM_TOPIC = "orders_live"
+_PIPELINE_TOPIC = "orders_pipeline"
 _N_PARTITIONS = 4
 _WAVES = 4
 
@@ -62,6 +63,7 @@ def _broker(spark: SparkSession):
     atexit.register(b.close)
     b.create_topic(_TOPIC, partitions=_N_PARTITIONS)
     b.create_topic(_STREAM_TOPIC, partitions=_N_PARTITIONS)
+    b.create_topic(_PIPELINE_TOPIC, partitions=_N_PARTITIONS)
     register_wire_replay(spark)
     register_minikafka(spark)
     _BROKERS[key] = b
@@ -120,6 +122,28 @@ def kafka_wire_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _windowed_location_agg(parsed: DataFrame) -> DataFrame:
+    """1-minute tumbling window × location: order count and exact
+    cents (decimal-stabilized double sum) — the reference's windowed
+    aggregation shape over the wire payloads."""
+    return (
+        parsed.groupBy(
+            F.window("event_timestamp", "1 minute").alias("w"),
+            "location",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(
+                F.round(F.col("total_amount") * 100, 0).cast("bigint")
+            ).cast("bigint").alias("cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "location", "n_orders", "cents",
+        )
+    )
+
+
 _ROUNDTRIP_ORACLE = f"""
 WITH payload AS (
     SELECT
@@ -164,22 +188,7 @@ def streaming_kafka_roundtrip(
         .load()
     )
     parsed = parse_and_clean(raw, ORDER_SCHEMA, watermark=None)
-    agg = (
-        parsed.groupBy(
-            F.window("event_timestamp", "1 minute").alias("w"),
-            "location",
-        )
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-            F.sum(
-                F.round(F.col("total_amount") * 100, 0).cast("bigint")
-            ).cast("bigint").alias("cents"),
-        )
-        .select(
-            F.col("w.start").alias("window_start"),
-            "location", "n_orders", "cents",
-        )
-    )
+    agg = _windowed_location_agg(parsed)
     name = "kafka_roundtrip_sink"
     q = write_memory_stream(agg, name, output_mode="complete")
     key = (spark.sparkContext.applicationId, _STREAM_TOPIC)
@@ -201,3 +210,87 @@ def streaming_kafka_roundtrip(
     finally:
         q.stop()
     return spark.table(name).orderBy("window_start", "location")
+
+
+@query("streaming_kafka_to_delta_pipeline", _ROUNDTRIP_ORACLE)
+def streaming_kafka_to_delta_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The reference's FULL architecture in one oracle-checked run
+    (producer -> Kafka -> Structured Streaming -> lakehouse sink,
+    `ecommerce_streaming.py:38-133` end to end): orders produced in
+    waves over the wire protocol while the query runs, the windowed
+    aggregate maintained in complete mode, and every micro-batch
+    landed as a real Delta OVERWRITE transaction (remove-all + add —
+    streaming materialized-view maintenance) with write-side
+    checkpoints. The result is read back through the transaction-log
+    replay, so the hash proves wire framing, streaming aggregation,
+    overwrite-transaction atomicity, checkpoint handoff, and replay
+    in a single check.
+
+    Scale posture: Kafka reads are offset-addressed per task; the
+    aggregate state is windows × locations (matview-sized, the one
+    thing that SHOULD flow whole per refresh); the Delta data path is
+    a distributed write with the driver holding only the O(KB) log."""
+    import tempfile as _tempfile
+
+    from ..queries.formats import _delta_overwrite_commit
+    from ..sources.deltalog import read_delta_snapshot
+
+    broker = _broker(spark)
+    raw = (
+        spark.readStream.format("minikafka")
+        .option("bootstrap", broker.bootstrap)
+        .option("topic", _PIPELINE_TOPIC)
+        .load()
+    )
+    agg = _windowed_location_agg(
+        parse_and_clean(raw, ORDER_SCHEMA, watermark=None)
+    )
+    import atexit as _atexit
+    import shutil as _shutil
+
+    table_dir = _tempfile.mkdtemp(prefix="kafka_delta_pipe_")
+    ckpt = _tempfile.mkdtemp(prefix="kafka_delta_pipe_ckpt_")
+    for d in (table_dir, ckpt):
+        _atexit.register(_shutil.rmtree, d, ignore_errors=True)
+    fields = (
+        ("window_start", "timestamp"),
+        ("location", "string"),
+        ("n_orders", "long"),
+        ("cents", "long"),
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # interval 2 so the sf0.01 run transits a sink-written
+        # checkpoint before the readback
+        _delta_overwrite_commit(
+            table_dir, batch_df, batch_id, fields, checkpoint_interval=2
+        )
+
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    key = (spark.sparkContext.applicationId, _PIPELINE_TOPIC)
+    try:
+        if key not in _PRODUCED:
+            per_wave = -(-_ROWS // _WAVES)
+            for w in range(_WAVES):
+                lo = w * per_wave
+                hi = min(lo + per_wave, _ROWS)
+                if lo < hi:
+                    _produce_rows(
+                        spark, broker, _PIPELINE_TOPIC, lo, hi
+                    )
+                q.processAllAvailable()
+            _PRODUCED.add(key)
+        else:
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_delta_snapshot(spark, table_dir).orderBy(
+        "window_start", "location"
+    )

@@ -48,16 +48,10 @@ def snapshot_files(table_dir: str, version: int | None = None) -> dict:
         for f in os.listdir(log_dir)
         if f.endswith(".json") and f[:20].isdigit()
     )
-    if not versions:
-        raise ValueError("empty _delta_log")
-    target = versions[-1] if version is None else version
-    if target not in versions:
-        raise ValueError(f"version {target} not in log (have {versions})")
-
-    adds: dict[str, dict] = {}
-    schema_string = None
-    start_after = -1
-    from_checkpoint = False
+    # a checkpointed version is as addressable as a JSON commit:
+    # standard retention may clean EVERY commit <= the checkpoint,
+    # leaving a valid table with zero commit files
+    cp_version = None
     cp_meta = os.path.join(log_dir, "_last_checkpoint")
     if os.path.exists(cp_meta):
         cp = json.loads(open(cp_meta).read())
@@ -69,6 +63,22 @@ def snapshot_files(table_dir: str, version: int | None = None) -> dict:
                 "outside the log-replay subset (use the jar-backed "
                 "path in sources/lakehouse.py)"
             )
+    addressable = sorted(
+        set(versions) | ({cp_version} if cp_version is not None else set())
+    )
+    if not addressable:
+        raise ValueError("empty _delta_log")
+    target = addressable[-1] if version is None else version
+    if target not in addressable:
+        raise ValueError(
+            f"version {target} not in log (have {addressable})"
+        )
+
+    adds: dict[str, dict] = {}
+    schema_string = None
+    start_after = -1
+    from_checkpoint = False
+    if cp_version is not None:
         if cp_version <= target:
             import pyarrow.parquet as pq
 
@@ -241,41 +251,50 @@ class DeltaFixtureWriter:
     def checkpoint(self):
         """Materialize the current snapshot as a parquet checkpoint
         and point _last_checkpoint at it."""
-        import pyarrow as pa
-        import pyarrow.parquet as pq
+        write_checkpoint(self.table_dir)
 
-        snap = snapshot_files(self.table_dir)
-        # partitionValues (a map in real checkpoints) is omitted: the
-        # fixture is unpartitioned and parquet cannot write an empty
-        # struct; the reader keys on add.path only
-        rows = [
-            {
-                "add": {
-                    "path": p,
-                    "size": 0,
-                    "modificationTime": 0,
-                    "dataChange": True,
-                },
-                "metaData": None,
-                "remove": None,
-            }
-            for p in snap["files"]
-        ]
-        rows.append(
-            {
-                "add": None,
-                "metaData": {"schemaString": snap["schema_string"]},
-                "remove": None,
-            }
-        )
-        cp_file = os.path.join(
-            self.table_dir,
-            "_delta_log",
-            f"{self.version:020d}.checkpoint.parquet",
-        )
-        pq.write_table(pa.Table.from_pylist(rows), cp_file)
-        with open(
-            os.path.join(self.table_dir, "_delta_log", "_last_checkpoint"),
-            "w",
-        ) as fh:
-            fh.write(json.dumps({"version": self.version, "size": len(rows)}))
+
+def write_checkpoint(table_dir: str) -> int:
+    """Materialize the table's CURRENT snapshot as a spec-shaped
+    parquet checkpoint (`NNNN.checkpoint.parquet` + `_last_checkpoint`)
+    so readers replay O(commits-since-checkpoint) instead of the full
+    log — the write-side half of the checkpoint contract this module's
+    reader already honors. Returns the checkpointed version.
+
+    partitionValues (a map in real checkpoints) is omitted: the subset
+    is unpartitioned and parquet cannot write an empty struct; the
+    reader keys on add.path only."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    snap = snapshot_files(table_dir)
+    rows = [
+        {
+            "add": {
+                "path": p,
+                "size": 0,
+                "modificationTime": 0,
+                "dataChange": True,
+            },
+            "metaData": None,
+            "remove": None,
+        }
+        for p in snap["files"]
+    ]
+    rows.append(
+        {
+            "add": None,
+            "metaData": {"schemaString": snap["schema_string"]},
+            "remove": None,
+        }
+    )
+    version = snap["version"]
+    cp_file = os.path.join(
+        table_dir, "_delta_log", f"{version:020d}.checkpoint.parquet"
+    )
+    pq.write_table(pa.Table.from_pylist(rows), cp_file)
+    with open(
+        os.path.join(table_dir, "_delta_log", "_last_checkpoint"), "w"
+    ) as fh:
+        fh.write(json.dumps({"version": version, "size": len(rows)}))
+    return version

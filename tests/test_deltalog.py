@@ -187,3 +187,50 @@ def test_streaming_commit_data_path_is_executor_side(tmp_path, spark):
         _delta_stream_commit(str(tmp_path), _batch_df(spark, [4]), 1)
     df2 = read_delta_snapshot(spark, str(tmp_path))
     assert df2.count() == 4
+
+
+def test_overwrite_commit_full_refresh_checkpoint_and_retention(
+    tmp_path, spark
+):
+    """The OVERWRITE transaction shape (streaming matview refresh):
+    each commit replaces the live set; replays dedup via txn; the
+    write-side checkpoint makes pre-checkpoint log retention safe
+    (and the contiguity gate still fires for holes AFTER it)."""
+    from kafka_spark_streaming_app_spark.queries.formats import (
+        _delta_overwrite_commit,
+    )
+
+    fields = (("k", "long"), ("v", "string"))
+
+    def refresh(rows, batch_id):
+        df = spark.createDataFrame(rows, "k long, v string").coalesce(1)
+        _delta_overwrite_commit(
+            str(tmp_path), df, batch_id, fields, checkpoint_interval=2
+        )
+
+    refresh([(1, "a"), (2, "b")], 0)
+    refresh([(3, "c")], 1)
+    refresh([(3, "c")], 1)  # foreachBatch replay: must be a no-op
+    log = [f for f in os.listdir(tmp_path / "_delta_log")
+           if f.endswith(".json")]
+    assert len(log) == 2
+    snap = snapshot_files(str(tmp_path))
+    assert all(f.startswith("refresh-00001/") for f in snap["files"])
+    df = read_delta_snapshot(spark, str(tmp_path))
+    assert [(r.k, r.v) for r in df.collect()] == [(3, "c")]
+    # superseded refresh-00000 parquet remains on disk as a decoy
+    assert any(
+        f.endswith(".parquet")
+        for f in os.listdir(tmp_path / "refresh-00000")
+    )
+    # checkpoint_interval=2 -> a checkpoint landed at version 1,
+    # and the reader starts from it even while commits remain
+    assert (tmp_path / "_delta_log" / "_last_checkpoint").exists()
+    assert snap["from_checkpoint"] is True
+    # standard retention: commits at/before the checkpoint may be
+    # cleaned; the snapshot must then START from the checkpoint
+    os.remove(tmp_path / "_delta_log" / f"{0:020d}.json")
+    os.remove(tmp_path / "_delta_log" / f"{1:020d}.json")
+    snap2 = snapshot_files(str(tmp_path))
+    assert snap2["from_checkpoint"] is True
+    assert snap2["files"] == snap["files"]
