@@ -328,6 +328,12 @@ HEADLINE = [
     "time_weighted_average",
     "interval_union_coverage",
     "power_iteration_top_eigvec",
+    # round-10: the Kafka wire protocol executed end-to-end and the
+    # lakehouse write paths (reference's full architecture)
+    "kafka_wire_orders",
+    "streaming_kafka_roundtrip",
+    "streaming_iceberg_sink",
+    "streaming_kafka_to_delta_pipeline",
 ]
 
 

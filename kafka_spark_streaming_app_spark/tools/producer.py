@@ -144,3 +144,53 @@ def produce_to_kafka(
         sent += 1
     producer.flush()
     return sent
+
+
+def produce_to_wire(
+    bootstrap_servers: str,
+    n: int = 100,
+    topic: str = "ecommerce-orders",
+    alert_topic: str = "ecommerce-alerts",
+    seed: int = 42,
+) -> int:
+    """The Kafka transport over the engine's OWN wire-protocol client
+    (sources/minikafka.py) — no kafka-python required, so the
+    reference's produce path (ecommerce_data_producer.py:90-111,
+    including the client-side high-value alert mirror) executes in a
+    broker-less sandbox against the in-process broker. Speaks
+    protocol v0; modern Kafka clusters have dropped v0 support, so
+    against a real cluster prefer :func:`produce_to_kafka`.
+
+    Messages are keyed by order_id and batched per partition
+    (crc32(key) % partitions, the same rule as the minikafka sink),
+    preserving per-key order exactly like the real producer."""
+    import zlib
+
+    from ..sources.minikafka import MiniKafkaClient
+
+    with MiniKafkaClient(bootstrap_servers) as c:
+        meta = c.metadata([topic, alert_topic])["topics"]
+        n_parts = len(meta[topic])
+        n_alert_parts = len(meta[alert_topic])
+        orders_by_pid: dict[int, list] = {}
+        alerts_by_pid: dict[int, list] = {}
+        sent = 0
+        for order in generate_orders(n, seed=seed):
+            key = order["order_id"].encode()
+            value = json.dumps(order).encode()
+            orders_by_pid.setdefault(
+                zlib.crc32(key) % n_parts, []
+            ).append((key, value))
+            if order["total_amount"] > 1000:
+                alert = json.dumps(
+                    {**order, "alert_type": "HIGH_VALUE_ORDER"}
+                ).encode()
+                alerts_by_pid.setdefault(
+                    zlib.crc32(key) % n_alert_parts, []
+                ).append((key, alert))
+            sent += 1
+        for pid, msgs in sorted(orders_by_pid.items()):
+            c.produce(topic, pid, msgs)
+        for pid, msgs in sorted(alerts_by_pid.items()):
+            c.produce(alert_topic, pid, msgs)
+    return sent

@@ -317,3 +317,45 @@ def test_sink_rejects_null_value_and_overwrite(spark, broker):
             .mode("overwrite")
             .save()
         )
+
+
+def test_producer_tool_wire_transport(spark, broker):
+    """The reference producer's Kafka path (dual-rule alert mirror
+    included) over the engine's own protocol client — executable
+    broker-less, consumed back through the Spark source."""
+    from kafka_spark_streaming_app_spark.tools.producer import (
+        produce_to_wire,
+    )
+
+    broker.create_topic("ecommerce-orders", partitions=2)
+    broker.create_topic("ecommerce-alerts", partitions=2)
+    sent = produce_to_wire(broker.bootstrap, n=60, seed=7)
+    assert sent == 60
+    _register(spark)
+
+    def read(topic):
+        return (
+            spark.read.format("minikafka")
+            .option("bootstrap", broker.bootstrap)
+            .option("topic", topic)
+            .load()
+        )
+
+    import json as _json
+
+    orders = [
+        _json.loads(bytes(r.value)) for r in read("ecommerce-orders").collect()
+    ]
+    alerts = [
+        _json.loads(bytes(r.value)) for r in read("ecommerce-alerts").collect()
+    ]
+    assert len(orders) == 60
+    high = {o["order_id"] for o in orders if o["total_amount"] > 1000}
+    assert {a["order_id"] for a in alerts} == high and high
+    assert all(a["alert_type"] == "HIGH_VALUE_ORDER" for a in alerts)
+    # per-key ordering: each order_id maps to exactly one partition
+    for topic_rows in (read("ecommerce-orders").collect(),):
+        by_key = {}
+        for r in topic_rows:
+            by_key.setdefault(bytes(r.key), set()).add(r.partition)
+        assert all(len(p) == 1 for p in by_key.values())

@@ -38,3 +38,29 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_driver_shard_rotation_is_deterministic_and_complete():
+    """The driver samples queries() head-first when capping at ~50:
+    the flagship head must stay fixed, the rotation must be stable
+    within a round (same CORRECTNESS file count -> same order), and
+    no query may be lost or duplicated by the rotation."""
+    import __spark_entry__ as e
+    from kafka_spark_streaming_app_spark import registry
+
+    a = list(e.queries())
+    b = list(e.queries())
+    assert a == b  # deterministic within a round
+    assert set(a) == set(registry.QUERIES)  # nothing lost, no dups
+    assert len(a) == len(registry.QUERIES)
+    assert a[: e._SHARD_HEAD] == list(registry.QUERIES)[: e._SHARD_HEAD]
+    # over rounds, consecutive offsets tile the tail: every tail query
+    # enters the first _SHARD_STEP rotated positions within
+    # ceil(len(tail)/_SHARD_STEP) rounds
+    tail = list(registry.QUERIES)[e._SHARD_HEAD:]
+    seen = set()
+    rounds = -(-len(tail) // e._SHARD_STEP)
+    for r in range(rounds + 1):
+        off = (r * e._SHARD_STEP) % len(tail)
+        seen.update((tail[off:] + tail[:off])[: e._SHARD_STEP])
+    assert seen == set(tail)
