@@ -48,8 +48,27 @@ from kafka_spark_streaming_app_spark.streaming.pipeline import (
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--source", choices=["rate", "kafka", "file"], default="rate")
+    p.add_argument(
+        "--source",
+        choices=["rate", "kafka", "file", "minikafka"],
+        default="rate",
+    )
     p.add_argument("--kafka-servers", default="localhost:9092")
+    p.add_argument(
+        "--start-broker",
+        action="store_true",
+        help=(
+            "--source minikafka only: start an in-process wire-protocol "
+            "broker, seed it with the demo producer, and consume it — "
+            "the reference's full topology with zero installation"
+        ),
+    )
+    p.add_argument(
+        "--seed-orders",
+        type=int,
+        default=200,
+        help="orders produced when --start-broker seeds the topic",
+    )
     p.add_argument("--input-topic", default="ecommerce-orders")
     p.add_argument("--alert-topic", default="ecommerce-alerts")
     p.add_argument("--input-dir", help="JSON-lines dir for --source file")
@@ -66,8 +85,57 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     spark = get_spark(app_name="ecommerce-analytics")
 
+    servers = args.kafka_servers
     if args.source == "kafka":
-        raw = read_kafka_stream(spark, args.kafka_servers, args.input_topic)
+        raw = read_kafka_stream(spark, servers, args.input_topic)
+        orders = parse_and_clean(raw, ORDER_SCHEMA)
+    elif args.source == "minikafka":
+        from kafka_spark_streaming_app_spark.sources.minikafka_ds import (
+            register_minikafka,
+        )
+
+        register_minikafka(spark)
+        if args.start_broker:
+            from kafka_spark_streaming_app_spark.sources.minikafka import (
+                MiniKafkaBroker,
+            )
+            from kafka_spark_streaming_app_spark.tools.producer import (
+                produce_to_wire,
+            )
+
+            broker = MiniKafkaBroker()
+            broker.create_topic(args.input_topic, partitions=4)
+            broker.create_topic(args.alert_topic, partitions=4)
+            servers = broker.bootstrap
+            print(f"in-process broker at {servers}")
+
+            # trickle the orders in waves with advancing event times,
+            # like the reference's continuous producer — append-mode
+            # windows only finalize once the watermark passes them,
+            # which needs data that keeps arriving
+            import threading
+
+            def _feed() -> None:
+                waves = 4
+                per = max(args.seed_orders // waves, 1)
+                for w in range(waves):
+                    produce_to_wire(
+                        servers,
+                        n=per,
+                        topic=args.input_topic,
+                        alert_topic=args.alert_topic,
+                        seed=w,
+                        start=f"2024-01-01 10:{w:02d}:00",
+                    )
+                    time.sleep(max(args.duration / (waves + 1), 1))
+
+            threading.Thread(target=_feed, daemon=True).start()
+        raw = (
+            spark.readStream.format("minikafka")
+            .option("bootstrap", servers)
+            .option("topic", args.input_topic)
+            .load()
+        )
         orders = parse_and_clean(raw, ORDER_SCHEMA)
     elif args.source == "file":
         if not args.input_dir:
@@ -106,27 +174,44 @@ def main(argv: list[str] | None = None) -> int:
         ),
         write_console_stream(aggregates, trigger_seconds=30),
     ]
-    try:
+    if args.source == "minikafka":
+        # the reference's alert sink over the engine's own wire
+        # protocol — Kafka-in AND Kafka-out with zero installation
+        from kafka_spark_streaming_app_spark.streaming.pipeline import (
+            write_minikafka_stream,
+        )
+
         queries.append(
-            write_kafka_stream(
+            write_minikafka_stream(
                 alerts,
-                kafka_servers=args.kafka_servers,
+                servers=servers,
                 topic=args.alert_topic,
                 checkpoint=f"{out}/checkpoints/alerts",
                 trigger_seconds=5,
             )
         )
-    except Exception:
-        # no broker / no connector jar: keep full topology with a
-        # parquet alert sink instead
-        queries.append(
-            write_parquet_stream(
-                alerts,
-                path=f"{out}/alerts",
-                checkpoint=f"{out}/checkpoints/alerts",
-                trigger_seconds=5,
+    else:
+        try:
+            queries.append(
+                write_kafka_stream(
+                    alerts,
+                    kafka_servers=args.kafka_servers,
+                    topic=args.alert_topic,
+                    checkpoint=f"{out}/checkpoints/alerts",
+                    trigger_seconds=5,
+                )
             )
-        )
+        except Exception:
+            # no broker / no connector jar: keep full topology with a
+            # parquet alert sink instead
+            queries.append(
+                write_parquet_stream(
+                    alerts,
+                    path=f"{out}/alerts",
+                    checkpoint=f"{out}/checkpoints/alerts",
+                    trigger_seconds=5,
+                )
+            )
 
     print(f"started {len(queries)} streaming queries; output under {out}")
     try:

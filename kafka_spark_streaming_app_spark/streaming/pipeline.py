@@ -102,6 +102,33 @@ def write_kafka_stream(
     )
 
 
+def write_minikafka_stream(
+    df: DataFrame,
+    servers: str,
+    topic: str,
+    checkpoint: str,
+    trigger_seconds: int = 5,
+) -> StreamingQuery:
+    """write_kafka_stream's jar-less twin over the engine's own wire
+    protocol (sources/minikafka_ds.py): identical
+    ``to_json(struct(*))`` serialization, executor-side Produce v0
+    transport — the reference alert sink executable with no broker
+    installation. Register the source first
+    (``register_minikafka(spark)``)."""
+    from ..operators.jsonpath import serialize_json
+
+    return (
+        serialize_json(df)
+        .writeStream.format("minikafka")
+        .option("bootstrap", servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
 def write_console_stream(
     df: DataFrame, trigger_seconds: int = 30
 ) -> StreamingQuery:

@@ -152,6 +152,7 @@ def produce_to_wire(
     topic: str = "ecommerce-orders",
     alert_topic: str = "ecommerce-alerts",
     seed: int = 42,
+    start: str = "2024-01-01 10:00:00",
 ) -> int:
     """The Kafka transport over the engine's OWN wire-protocol client
     (sources/minikafka.py) — no kafka-python required, so the
@@ -175,7 +176,7 @@ def produce_to_wire(
         orders_by_pid: dict[int, list] = {}
         alerts_by_pid: dict[int, list] = {}
         sent = 0
-        for order in generate_orders(n, seed=seed):
+        for order in generate_orders(n, seed=seed, start=start):
             key = order["order_id"].encode()
             value = json.dumps(order).encode()
             orders_by_pid.setdefault(

@@ -75,3 +75,40 @@ def test_app_file_source_end_to_end():
     got = dict(alerts)
     assert got.get("order_5") == "HIGH_VALUE_ORDER"
     assert got.get("order_11") == "FRAUD_SIMULATION"
+
+
+def test_app_minikafka_source_end_to_end():
+    """The reference's FULL live topology with zero installation:
+    in-process wire-protocol broker, trickled producer waves, Kafka
+    source -> windowed agg to parquet + alerts back to Kafka. The
+    run is wall-clock-sensitive, so retry once with a longer window."""
+    import glob
+
+    import duckdb
+
+    for duration in ("60", "120"):
+        out = tempfile.mkdtemp(prefix="app_mk_out_")
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(REPO, "app.py"),
+                "--source", "minikafka",
+                "--start-broker",
+                "--seed-orders", "200",
+                "--output-dir", out,
+                "--duration", duration,
+            ],
+            capture_output=True,
+            text=True,
+            timeout=int(duration) + 120,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "in-process broker at 127.0.0.1:" in proc.stdout
+        if glob.glob(f"{out}/windowed-aggregations/*.parquet"):
+            aggs = duckdb.sql(
+                f"SELECT sum(order_count) FROM "
+                f"'{out}/windowed-aggregations/*.parquet'"
+            ).fetchone()
+            if aggs and aggs[0]:
+                break
+    assert aggs and aggs[0] > 0, "no finalized windowed aggregates"
