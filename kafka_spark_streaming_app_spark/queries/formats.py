@@ -837,6 +837,16 @@ def streaming_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     (distributed parquet write, per-file add actions); the driver
     writes only the O(KB) commit JSON after an O(log) replay scan —
     the log, not the directory, defines what the readback sees."""
+    table_dir = _run_delta_sink_stream(spark, sf_dir)
+
+    from ..sources.deltalog import read_delta_snapshot
+
+    return _orders_sink_agg(read_delta_snapshot(spark, table_dir))
+
+
+def _run_delta_sink_stream(spark: SparkSession, sf_dir: str) -> str:
+    """Drive the orders feed through the foreachBatch Delta sink
+    (availableNow); returns the table dir."""
     import atexit as _atexit
     import shutil as _shutil
 
@@ -863,16 +873,16 @@ def streaming_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         if not q.awaitTermination(300):
             raise RuntimeError(
-                "streaming_delta_sink: availableNow run did not finish "
+                "delta sink: availableNow run did not finish "
                 "within 300s; refusing to read a partial table"
             )
     finally:
         if q.isActive:
             q.stop()
+    return table_dir
 
-    from ..sources.deltalog import read_delta_snapshot
 
-    df = read_delta_snapshot(spark, table_dir)
+def _orders_sink_agg(df: DataFrame) -> DataFrame:
     return (
         df.groupBy("o_orderstatus", "o_orderpriority")
         .agg(
@@ -881,6 +891,34 @@ def streaming_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus", "o_orderpriority")
     )
+
+
+@query("delta_maintenance_roundtrip", _DELTA_STREAM_ORACLE)
+def delta_maintenance_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full lakehouse MAINTENANCE cycle hash-proven lossless:
+    stream-sink the orders feed, then checkpoint -> cleanup_log
+    (drop every commit the checkpoint covers) -> VACUUM (physically
+    delete the compaction tombstones) -> read the snapshot back
+    through the replay. The oracle hash matches only if checkpoint
+    write-out, log retention, and vacuum's live-set computation are
+    all exactly right — deleting one live file or keeping one
+    tombstone in the live set breaks it.
+
+    Scale posture: checkpoint is O(live files) metadata, cleanup is
+    O(commits), vacuum is one directory walk against a hash set —
+    all driver-side METADATA work; no data moves at any size."""
+    from ..sources.deltalog import (
+        cleanup_log,
+        read_delta_snapshot,
+        vacuum,
+        write_checkpoint,
+    )
+
+    table_dir = _run_delta_sink_stream(spark, sf_dir)
+    write_checkpoint(table_dir)
+    cleanup_log(table_dir)
+    vacuum(table_dir, keep_versions=1)
+    return _orders_sink_agg(read_delta_snapshot(spark, table_dir))
 
 
 # --- streaming Iceberg sink ---------------------------------------------------
@@ -962,10 +1000,19 @@ def streaming_iceberg_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sources/iceberglog.py) — so the oracle hash proves snapshot
     framing, manifest carry-forward, DELETED-entry semantics, and
     replay idempotence at once."""
+    from ..sources.iceberglog import read_iceberg_snapshot
+
+    table_dir = _run_iceberg_sink_stream(spark, sf_dir)
+    return _orders_sink_agg(read_iceberg_snapshot(spark, table_dir))
+
+
+def _run_iceberg_sink_stream(spark: SparkSession, sf_dir: str) -> str:
+    """Drive the orders feed through the foreachBatch Iceberg sink
+    (availableNow); returns the table dir."""
     import atexit as _atexit
     import shutil as _shutil
 
-    from ..sources.iceberglog import IcebergCommitter, read_iceberg_snapshot
+    from ..sources.iceberglog import IcebergCommitter
 
     table_dir = tempfile.mkdtemp(prefix="iceberg_sink_")
     ckpt = tempfile.mkdtemp(prefix="iceberg_sink_ckpt_")
@@ -986,19 +1033,34 @@ def streaming_iceberg_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         if not q.awaitTermination(300):
             raise RuntimeError(
-                "streaming_iceberg_sink: availableNow run did not "
-                "finish within 300s; refusing to read a partial table"
+                "iceberg sink: availableNow run did not finish "
+                "within 300s; refusing to read a partial table"
             )
     finally:
         if q.isActive:
             q.stop()
+    return table_dir
 
-    df = read_iceberg_snapshot(spark, table_dir)
-    return (
-        df.groupBy("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-            F.sum("cents").cast("bigint").alias("cents"),
-        )
-        .orderBy("o_orderstatus", "o_orderpriority")
+
+@query("iceberg_maintenance_roundtrip", _DELTA_STREAM_ORACLE)
+def iceberg_maintenance_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """expire_snapshots hash-proven lossless: stream-sink the orders
+    feed (snapshots with carried-forward manifests + compaction
+    tombstones), expire everything but the newest snapshot (deleting
+    the manifest lists, superseded manifests, and every data file
+    not live in the retained snapshot), then read back through the
+    metadata replay. Deleting one live file — or treating a
+    carried-forward manifest as expired-only — breaks the hash.
+
+    Scale posture: reachability walks manifests (metadata-sized);
+    data files are only ever unlinked, never read."""
+    from ..sources.iceberglog import (
+        expire_snapshots,
+        read_iceberg_snapshot,
     )
+
+    table_dir = _run_iceberg_sink_stream(spark, sf_dir)
+    expire_snapshots(table_dir, keep=1)
+    return _orders_sink_agg(read_iceberg_snapshot(spark, table_dir))

@@ -298,3 +298,64 @@ def write_checkpoint(table_dir: str) -> int:
     ) as fh:
         fh.write(json.dumps({"version": version, "size": len(rows)}))
     return version
+
+
+def vacuum(table_dir: str, keep_versions: int = 1) -> dict:
+    """Delete data files unreferenced by the retained snapshots —
+    the VACUUM maintenance operation that finally removes compaction
+    tombstones from disk. ``keep_versions`` retains the newest N
+    addressable versions (version-based stand-in for Delta's
+    time-based retention; the semantics are identical: vacuumed
+    versions stop being time-travelable).
+
+    Returns ``{"deleted": [paths], "retained_versions": [...]}``.
+    Only parquet files under the table root (outside ``_delta_log``)
+    are candidates — exactly Delta's contract that any unreferenced
+    file under the table dir is vacuum-able."""
+    log_dir = os.path.join(table_dir, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise ValueError(f"{table_dir}: no _delta_log — not a Delta table")
+    latest = snapshot_files(table_dir)["version"]
+    retained = []
+    live: set[str] = set()
+    for v in range(max(latest - keep_versions + 1, 0), latest + 1):
+        try:
+            snap = snapshot_files(table_dir, v)
+        except (ValueError, NotImplementedError):
+            continue  # version not addressable (already cleaned)
+        retained.append(v)
+        live.update(snap["files"])
+    if not retained:
+        raise ValueError("vacuum found no addressable snapshot to retain")
+    deleted = []
+    for root, dirs, files in os.walk(table_dir):
+        if os.path.basename(root) == "_delta_log":
+            dirs[:] = []
+            continue
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(root, f), table_dir)
+            if rel not in live:
+                os.remove(os.path.join(root, f))
+                deleted.append(rel)
+    return {"deleted": sorted(deleted), "retained_versions": retained}
+
+
+def cleanup_log(table_dir: str) -> list:
+    """Remove JSON commits at or before the checkpoint — Delta's log
+    retention. Safe by construction here: ``snapshot_files`` starts
+    from the checkpoint, and the contiguity gate turns any
+    over-eager cleanup into a loud error instead of a silent partial
+    replay. Returns the removed commit file names."""
+    log_dir = os.path.join(table_dir, "_delta_log")
+    cp_meta = os.path.join(log_dir, "_last_checkpoint")
+    if not os.path.exists(cp_meta):
+        return []
+    cp_version = int(json.loads(open(cp_meta).read())["version"])
+    removed = []
+    for f in sorted(os.listdir(log_dir)):
+        if f.endswith(".json") and f[:20].isdigit() and int(f[:20]) <= cp_version:
+            os.remove(os.path.join(log_dir, f))
+            removed.append(f)
+    return removed

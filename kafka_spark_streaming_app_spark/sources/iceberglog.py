@@ -439,3 +439,77 @@ class IcebergCommitter:
         ) as fh:
             fh.write(str(version))
         return snap_id
+
+
+def expire_snapshots(table_dir: str, keep: int = 1) -> dict:
+    """Iceberg's expire_snapshots maintenance action: drop all but
+    the newest ``keep`` snapshots from the metadata and delete every
+    file reachable ONLY through expired snapshots — manifest lists,
+    manifests, and data files no longer live in any retained
+    snapshot (which is what finally removes compaction tombstones
+    from disk). Time travel to an expired snapshot id then gates
+    loudly, exactly like the real action.
+
+    Returns ``{"deleted": [...], "retained_snapshot_ids": [...]}``."""
+    meta_path = _metadata_path(table_dir)
+    meta = json.loads(open(meta_path).read())
+    snaps = meta["snapshots"]
+    if keep < 1:
+        raise ValueError("expire_snapshots keeps at least 1 snapshot")
+    retained, expired = snaps[-keep:], snaps[:-keep]
+    if meta["current-snapshot-id"] not in {
+        s["snapshot-id"] for s in retained
+    }:
+        raise ValueError("cannot expire the current snapshot")
+    if not expired:
+        return {
+            "deleted": [],
+            "retained_snapshot_ids": [s["snapshot-id"] for s in retained],
+        }
+
+    def reachable(snapshot_list):
+        """(manifest_lists, manifests, live_data, all_data)."""
+        mls, mans, live, alldata = set(), set(), set(), set()
+        for s in snapshot_list:
+            mls.add(s["manifest-list"])
+            for mf in read_container(
+                open(s["manifest-list"], "rb").read()
+            )["records"]:
+                mans.add(mf["manifest_path"])
+                for entry in read_container(
+                    open(mf["manifest_path"], "rb").read()
+                )["records"]:
+                    p = entry["data_file"]["file_path"]
+                    alldata.add(p)
+                    if entry["status"] != STATUS_DELETED:
+                        live.add(p)
+        return mls, mans, live, alldata
+
+    r_mls, r_mans, r_live, _ = reachable(retained)
+    e_mls, e_mans, _, e_all = reachable(expired)
+    deleted = []
+    for path in sorted(
+        (e_mls - r_mls) | (e_mans - r_mans) | (e_all - r_live)
+    ):
+        if os.path.exists(path):
+            os.remove(path)
+            deleted.append(path)
+    version = int(
+        open(
+            os.path.join(table_dir, "metadata", "version-hint.text")
+        ).read().strip()
+    ) + 1
+    meta["snapshots"] = retained
+    with open(
+        os.path.join(table_dir, "metadata", f"v{version}.metadata.json"),
+        "w",
+    ) as fh:
+        json.dump(meta, fh)
+    with open(
+        os.path.join(table_dir, "metadata", "version-hint.text"), "w"
+    ) as fh:
+        fh.write(str(version))
+    return {
+        "deleted": deleted,
+        "retained_snapshot_ids": [s["snapshot-id"] for s in retained],
+    }

@@ -234,3 +234,48 @@ def test_overwrite_commit_full_refresh_checkpoint_and_retention(
     snap2 = snapshot_files(str(tmp_path))
     assert snap2["from_checkpoint"] is True
     assert snap2["files"] == snap["files"]
+
+
+def test_vacuum_and_log_cleanup(tmp_path, spark):
+    """VACUUM removes tombstone decoys (files unreferenced by the
+    retained snapshots) and cleanup_log drops commits covered by the
+    checkpoint; the current snapshot reads back identically after
+    both, and time travel to vacuumed/cleaned versions gates."""
+    from kafka_spark_streaming_app_spark.queries.formats import (
+        _delta_stream_commit,
+    )
+    from kafka_spark_streaming_app_spark.sources.deltalog import (
+        cleanup_log,
+        vacuum,
+        write_checkpoint,
+    )
+
+    _delta_stream_commit(str(tmp_path), _batch_df(spark, [1, 2]), 0)
+    _delta_stream_commit(str(tmp_path), _batch_df(spark, [3, 4]), 1)
+    _delta_stream_commit(str(tmp_path), _batch_df(spark, [5]), 2)
+    before = sorted(
+        r.o_orderkey for r in
+        read_delta_snapshot(spark, str(tmp_path)).collect()
+    )
+    res = vacuum(str(tmp_path), keep_versions=1)
+    # batch 1 compacted batch 0: the originals were decoys until now
+    assert any("batch-00000/" in p for p in res["deleted"])
+    after = sorted(
+        r.o_orderkey for r in
+        read_delta_snapshot(spark, str(tmp_path)).collect()
+    )
+    assert after == before == [1, 2, 3, 4, 5]
+    # vacuumed old versions still replay (log intact) but reference
+    # deleted files — that is exactly why retention pairs vacuum with
+    # checkpoint + cleanup_log:
+    write_checkpoint(str(tmp_path))
+    removed = cleanup_log(str(tmp_path))
+    assert removed == [f"{v:020d}.json" for v in (0, 1, 2)]
+    snap = snapshot_files(str(tmp_path))
+    assert snap["from_checkpoint"] and snap["version"] == 2
+    assert sorted(
+        r.o_orderkey for r in
+        read_delta_snapshot(spark, str(tmp_path)).collect()
+    ) == before
+    with pytest.raises(ValueError, match="not in log"):
+        snapshot_files(str(tmp_path), 1)

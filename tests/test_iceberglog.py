@@ -209,3 +209,50 @@ def test_committer_data_path_is_executor_side(tmp_path, spark):
         _commit_batch(spark, tmp_path, c, [1, 2, 3], 0)
         _commit_batch(spark, tmp_path, c, [4], 1)
     assert read_iceberg_snapshot(spark, str(tmp_path)).count() == 4
+
+
+def test_expire_snapshots_removes_only_unreachable(tmp_path, spark):
+    """expire_snapshots drops expired snapshots' manifest lists,
+    superseded manifests, and data files not live in any retained
+    snapshot (tombstone decoys included); the current snapshot reads
+    back identically, expired ids gate loudly, and files carried
+    forward survive."""
+    from kafka_spark_streaming_app_spark.queries.formats import (
+        _ICEBERG_SINK_FIELDS,
+    )
+    from kafka_spark_streaming_app_spark.sources.iceberglog import (
+        IcebergCommitter,
+        expire_snapshots,
+    )
+
+    c = IcebergCommitter(str(tmp_path), _ICEBERG_SINK_FIELDS)
+    _commit_batch(spark, tmp_path, c, [1, 2], 0)
+    _commit_batch(spark, tmp_path, c, [3], 1)   # compacts batch 0
+    _commit_batch(spark, tmp_path, c, [4], 2)
+    ids_before = [
+        s["snapshot-id"]
+        for s in json.loads(
+            open(_vhint_meta(tmp_path)).read()
+        )["snapshots"]
+    ]
+    before = sorted(
+        r.o_orderkey for r in
+        read_iceberg_snapshot(spark, str(tmp_path)).collect()
+    )
+    res = expire_snapshots(str(tmp_path), keep=1)
+    # batch 0's original files were only live in expired snapshots
+    assert any("batch-00000/" in p for p in res["deleted"])
+    after = sorted(
+        r.o_orderkey for r in
+        read_iceberg_snapshot(spark, str(tmp_path)).collect()
+    )
+    assert after == before == [1, 2, 3, 4]
+    with pytest.raises(ValueError, match="not in table metadata"):
+        snapshot_data_files(str(tmp_path), ids_before[0])
+    # idempotent second run deletes nothing further
+    assert expire_snapshots(str(tmp_path), keep=1)["deleted"] == []
+
+
+def _vhint_meta(tmp_path):
+    v = open(tmp_path / "metadata" / "version-hint.text").read().strip()
+    return tmp_path / "metadata" / f"v{v}.metadata.json"
