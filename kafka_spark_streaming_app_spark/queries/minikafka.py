@@ -45,9 +45,17 @@ _PIPELINE_TOPIC = "orders_pipeline"
 _N_PARTITIONS = 4
 _WAVES = 4
 
-# one broker per SparkSession; topics produced at most once each
+# one broker per SparkSession
 _BROKERS: dict = {}
-_PRODUCED: set = set()
+
+
+def _produced_through(broker, topic: str) -> int:
+    """Total messages on the topic — the produce-progress ledger.
+    Deterministic produce means expected counts are exact, so this
+    replaces an in-memory flag: idempotent across reruns in the same
+    session, and LOUD if a crashed produce left a partial
+    (append-only) topic instead of silently double-producing."""
+    return sum(broker.end_offsets(topic))
 
 
 def _broker(spark: SparkSession):
@@ -103,10 +111,15 @@ def kafka_wire_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload reconstruction from range(n) — identical rows to
     pyds_wire_orders, but having transited the wire protocol."""
     broker = _broker(spark)
-    key = (spark.sparkContext.applicationId, _TOPIC)
-    if key not in _PRODUCED:
+    total = _produced_through(broker, _TOPIC)
+    if total == 0:
         _produce_rows(spark, broker, _TOPIC, 0, _ROWS)
-        _PRODUCED.add(key)
+    elif total != _ROWS:
+        raise RuntimeError(
+            f"topic {_TOPIC} holds {total} of {_ROWS} messages — a "
+            "prior produce died mid-write; the log is append-only, "
+            "use a fresh session/topic"
+        )
     raw = (
         spark.read.format("minikafka")
         .option("bootstrap", broker.bootstrap)
@@ -142,6 +155,31 @@ def _windowed_location_agg(parsed: DataFrame) -> DataFrame:
             "location", "n_orders", "cents",
         )
     )
+
+
+def _drain_waves(spark: SparkSession, broker, topic: str, q) -> None:
+    """Produce the deterministic stream in waves WHILE query ``q``
+    runs, draining each wave into its own micro-batch. Progress is
+    read from the broker's own end offsets (not an in-memory flag):
+    a replayed query in the same session just drains the complete
+    topic, and a partial prior produce raises instead of silently
+    appending duplicates."""
+    per_wave = -(-_ROWS // _WAVES)
+    for w in range(_WAVES):
+        lo = w * per_wave
+        hi = min(lo + per_wave, _ROWS)
+        total = _produced_through(broker, topic)
+        if total < hi:
+            if total != lo:
+                raise RuntimeError(
+                    f"topic {topic} holds {total} messages, wave "
+                    f"{w} expects {lo} — a prior produce died "
+                    "mid-write; the log is append-only, use a fresh "
+                    "session/topic"
+                )
+            if lo < hi:
+                _produce_rows(spark, broker, topic, lo, hi)
+        q.processAllAvailable()
 
 
 _ROUNDTRIP_ORACLE = f"""
@@ -191,22 +229,8 @@ def streaming_kafka_roundtrip(
     agg = _windowed_location_agg(parsed)
     name = "kafka_roundtrip_sink"
     q = write_memory_stream(agg, name, output_mode="complete")
-    key = (spark.sparkContext.applicationId, _STREAM_TOPIC)
     try:
-        if key not in _PRODUCED:
-            # live arrival: each wave lands on the broker while the
-            # query runs and is drained into its own micro-batch
-            per_wave = -(-_ROWS // _WAVES)
-            for w in range(_WAVES):
-                lo = w * per_wave
-                hi = min(lo + per_wave, _ROWS)
-                if lo < hi:
-                    _produce_rows(spark, broker, _STREAM_TOPIC, lo, hi)
-                q.processAllAvailable()
-            _PRODUCED.add(key)
-        else:
-            # replayed in-session: topic already complete, one drain
-            q.processAllAvailable()
+        _drain_waves(spark, broker, _STREAM_TOPIC, q)
     finally:
         q.stop()
     return spark.table(name).orderBy("window_start", "location")
@@ -274,21 +298,8 @@ def streaming_kafka_to_delta_pipeline(
         .option("checkpointLocation", ckpt)
         .start()
     )
-    key = (spark.sparkContext.applicationId, _PIPELINE_TOPIC)
     try:
-        if key not in _PRODUCED:
-            per_wave = -(-_ROWS // _WAVES)
-            for w in range(_WAVES):
-                lo = w * per_wave
-                hi = min(lo + per_wave, _ROWS)
-                if lo < hi:
-                    _produce_rows(
-                        spark, broker, _PIPELINE_TOPIC, lo, hi
-                    )
-                q.processAllAvailable()
-            _PRODUCED.add(key)
-        else:
-            q.processAllAvailable()
+        _drain_waves(spark, broker, _PIPELINE_TOPIC, q)
     finally:
         q.stop()
     return read_delta_snapshot(spark, table_dir).orderBy(
