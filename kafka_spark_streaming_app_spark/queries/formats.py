@@ -614,18 +614,41 @@ def _delta_next_version(log_dir: str, batch_id: int):
 
 
 def _delta_part_files(table_dir: str, rel_dir: str) -> list:
-    d = os.path.join(table_dir, rel_dir)
-    return sorted(
-        f"{rel_dir}/{f}" for f in os.listdir(d)
-        if f.endswith(".parquet")
-    )
+    """Parquet files under rel_dir, recursive (hive partition layout
+    nests col=value directories)."""
+    base = os.path.join(table_dir, rel_dir)
+    out = []
+    for root, _, fs in os.walk(base):
+        for f in fs:
+            if f.endswith(".parquet"):
+                out.append(
+                    os.path.relpath(os.path.join(root, f), table_dir)
+                )
+    return sorted(out)
 
 
-def _delta_add_action(table_dir: str, rel: str, data_change=True) -> dict:
+def _partition_values_from_path(rel: str, partition_by) -> dict:
+    """{col: value} parsed from hive path segments (col=value)."""
+    from urllib.parse import unquote
+
+    vals = {}
+    for seg in rel.split("/")[:-1]:
+        if "=" in seg:
+            c, v = seg.split("=", 1)
+            if c in partition_by:
+                vals[c] = unquote(v)
+    return vals
+
+
+def _delta_add_action(
+    table_dir: str, rel: str, data_change=True, partition_by=()
+) -> dict:
     return {
         "add": {
             "path": rel,
-            "partitionValues": {},
+            "partitionValues": _partition_values_from_path(
+                rel, partition_by
+            ),
             "size": os.path.getsize(os.path.join(table_dir, rel)),
             "modificationTime": 0,
             "dataChange": data_change,
@@ -633,9 +656,10 @@ def _delta_add_action(table_dir: str, rel: str, data_change=True) -> dict:
     }
 
 
-def _delta_meta_actions(fields) -> list:
+def _delta_meta_actions(fields, partition_by=()) -> list:
     """protocol + metaData actions for a first commit;
-    ``fields`` = [(name, delta_type)]."""
+    ``fields`` = [(name, delta_type)] covering ALL columns (the
+    Delta spec keeps partition columns in schemaString too)."""
     import json as _json
 
     return [
@@ -654,7 +678,7 @@ def _delta_meta_actions(fields) -> list:
                         ],
                     }
                 ),
-                "partitionColumns": [],
+                "partitionColumns": list(partition_by),
                 "configuration": {},
                 "createdTime": 0,
             }
@@ -723,7 +747,7 @@ def _delta_overwrite_commit(
 
 def _delta_stream_commit(
     table_dir: str, batch_df: DataFrame, batch_id: int,
-    checkpoint_interval: int = 10,
+    checkpoint_interval: int = 10, partition_by: tuple = (),
 ) -> None:
     """One streaming micro-batch -> one (or, for odd batches, one
     compacting) Delta commit, idempotent under foreachBatch replay
@@ -747,23 +771,57 @@ def _delta_stream_commit(
     # distributed data write; overwrite makes a crashed half-written
     # attempt of this same batch cleanly replaced on replay (files
     # outside the log are invisible to readers regardless)
-    batch_df.write.mode("overwrite").parquet(
-        os.path.join(table_dir, batch_rel)
-    )
+    writer = batch_df.write.mode("overwrite")
+    if partition_by:
+        # real Delta layout: hive partition dirs at the TABLE ROOT
+        # (readers basePath the table dir; a per-batch subdir would
+        # read as conflicting partition roots). The job stages into a
+        # _staging dir (underscore: invisible to Spark listings),
+        # then the driver RENAMES each part file into its partition
+        # dir — O(files) metadata ops, never data; an object-store
+        # writer lands executor output on the final paths directly.
+        staging = os.path.join(table_dir, f"_staging-{batch_rel}")
+        writer.partitionBy(*partition_by).parquet(staging)
+        rels = []
+        for root, _, fs in os.walk(staging):
+            for f in sorted(fs):
+                if not f.endswith(".parquet"):
+                    continue
+                part_dir = os.path.relpath(root, staging)
+                os.makedirs(
+                    os.path.join(table_dir, part_dir), exist_ok=True
+                )
+                final = os.path.join(part_dir, f"b{batch_id:05d}-{f}")
+                os.replace(
+                    os.path.join(root, f),
+                    os.path.join(table_dir, final),
+                )
+                rels.append(final)
+        import shutil as _shutil
+
+        _shutil.rmtree(staging, ignore_errors=True)
+    else:
+        writer.parquet(os.path.join(table_dir, batch_rel))
+        rels = _part_files(batch_rel)
     actions = [] if version > 0 else _delta_meta_actions(
         (
             ("o_orderkey", "long"),
             ("o_orderstatus", "string"),
             ("o_orderpriority", "string"),
             ("cents", "long"),
-        )
+        ),
+        partition_by,
     )
     actions.append(
         {"txn": {"appId": _DELTA_STREAM_APP, "version": batch_id}}
     )
-    for rel in _part_files(batch_rel):
-        actions.append(_delta_add_action(table_dir, rel))
-    if batch_id % 2 == 1:
+    for rel in sorted(rels):
+        actions.append(
+            _delta_add_action(table_dir, rel, partition_by=partition_by)
+        )
+    # compaction stays in the unpartitioned sink (per-partition-dir
+    # compaction is the identical shape, one directory deeper)
+    if batch_id % 2 == 1 and not partition_by:
         prev_rel = f"batch-{batch_id - 1:05d}"
         if os.path.isdir(os.path.join(table_dir, prev_rel)):
             prev_files = _part_files(prev_rel)
@@ -844,7 +902,9 @@ def streaming_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _orders_sink_agg(read_delta_snapshot(spark, table_dir))
 
 
-def _run_delta_sink_stream(spark: SparkSession, sf_dir: str) -> str:
+def _run_delta_sink_stream(
+    spark: SparkSession, sf_dir: str, partition_by: tuple = ()
+) -> str:
     """Drive the orders feed through the foreachBatch Delta sink
     (availableNow); returns the table dir."""
     import atexit as _atexit
@@ -861,7 +921,8 @@ def _run_delta_sink_stream(spark: SparkSession, sf_dir: str) -> str:
         # actually transits the checkpoint handoff: the readback
         # starts from a sink-written checkpoint plus tail commits
         _delta_stream_commit(
-            table_dir, batch_df, batch_id, checkpoint_interval=2
+            table_dir, batch_df, batch_id, checkpoint_interval=2,
+            partition_by=partition_by,
         )
 
     q = (
@@ -890,6 +951,77 @@ def _orders_sink_agg(df: DataFrame) -> DataFrame:
             F.sum("cents").cast("bigint").alias("cents"),
         )
         .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+def _partitioned_orders_table(spark: SparkSession, sf_dir: str) -> str:
+    """The PARTITIONED Delta sink's table, built once per session —
+    shared by the read-only partitioned queries (the maintenance
+    queries build their own tables because they mutate them)."""
+    d = _fixture_dir(spark, sf_dir, "delta_part_table")
+    if d is None:
+        d = _run_delta_sink_stream(
+            spark, sf_dir, partition_by=("o_orderstatus",)
+        )
+        _remember(spark, sf_dir, "delta_part_table", d)
+    return d
+
+
+@query("streaming_delta_sink_partitioned", _DELTA_STREAM_ORACLE)
+def streaming_delta_sink_partitioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Delta sink on a HIVE-PARTITIONED table: micro-batches land
+    with ``partitionBy(o_orderstatus)``, every add action carries its
+    partitionValues (parsed from the hive path), metaData declares
+    partitionColumns, and checkpoints ride the partitionValues map.
+    Readback recovers the partition column from directory names via
+    basePath — data files do not store it — so the oracle hash proves
+    the full partitioned-write contract end to end."""
+    from ..sources.deltalog import read_delta_snapshot
+
+    table_dir = _partitioned_orders_table(spark, sf_dir)
+    return _orders_sink_agg(read_delta_snapshot(spark, table_dir))
+
+
+_DELTA_PRUNED_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("delta_partition_pruned_read", _DELTA_PRUNED_ORACLE)
+def delta_partition_pruned_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LOG-LEVEL partition pruning: the o_orderstatus='F' filter is
+    applied to the transaction log's partitionValues BEFORE Spark
+    ever lists a path — the file list itself shrinks to the F
+    partition (asserted in tests via inputFiles), which is the
+    pruning that matters at 100 TB where even listing every
+    partition's files is too expensive. The oracle recomputes the
+    same aggregate with a WHERE clause, so the hash also proves the
+    pruned set is exactly complete — one extra or missing file
+    breaks it."""
+    from ..sources.deltalog import read_delta_snapshot
+
+    table_dir = _partitioned_orders_table(spark, sf_dir)
+    df = read_delta_snapshot(
+        spark, table_dir, partition_filter={"o_orderstatus": "F"}
+    )
+    return (
+        df.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .orderBy("o_orderpriority")
     )
 
 

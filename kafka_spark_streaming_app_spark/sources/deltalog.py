@@ -22,8 +22,12 @@ log defines the table. This module implements exactly that contract
     a compaction that adds+removes, a parquet checkpoint via
     pyarrow) for the oracle-checked query in ``queries/formats.py``.
 
-Unpartitioned tables, no deletion vectors / column mapping — those
-gate loudly (`sources/lakehouse.py` keeps the jar-backed path)."""
+Partitioned tables are first-class: metaData.partitionColumns +
+per-add partitionValues replay into LOG-LEVEL partition pruning
+(``partition_filter`` shrinks the file list before Spark lists a
+path), and hive-layout reads recover partition columns via
+``basePath``. No deletion vectors / column mapping — those gate
+loudly (`sources/lakehouse.py` keeps the jar-backed path)."""
 
 from __future__ import annotations
 
@@ -37,9 +41,18 @@ def _commit_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, "_delta_log", f"{version:020d}.json")
 
 
-def snapshot_files(table_dir: str, version: int | None = None) -> dict:
+def snapshot_files(
+    table_dir: str, version: int | None = None,
+    partition_filter: dict | None = None,
+) -> dict:
     """Replay the log; returns ``{"version", "files": [paths],
-    "schema_string", "from_checkpoint": bool}``."""
+    "schema_string", "from_checkpoint": bool, "partition_columns",
+    "partition_values": {path: {col: val}}}``.
+
+    ``partition_filter`` ({col: value}) prunes the live set AT THE
+    LOG LEVEL from each add action's partitionValues — the real Delta
+    reader's first pruning pass: at 100 TB a filter on the partition
+    column must shrink the FILE LIST, not just the row scan."""
     log_dir = os.path.join(table_dir, "_delta_log")
     if not os.path.isdir(log_dir):
         raise ValueError(f"{table_dir}: no _delta_log — not a Delta table")
@@ -76,6 +89,7 @@ def snapshot_files(table_dir: str, version: int | None = None) -> dict:
 
     adds: dict[str, dict] = {}
     schema_string = None
+    partition_columns: list = []
     start_after = -1
     from_checkpoint = False
     if cp_version is not None:
@@ -97,10 +111,12 @@ def snapshot_files(table_dir: str, version: int | None = None) -> dict:
             for row in tbl:
                 if row.get("add") and row["add"].get("path"):
                     adds[row["add"]["path"]] = row["add"]
-                if row.get("metaData") and row["metaData"].get(
-                    "schemaString"
-                ):
-                    schema_string = row["metaData"]["schemaString"]
+                md = row.get("metaData")
+                if md and md.get("schemaString"):
+                    schema_string = md["schemaString"]
+                    partition_columns = list(
+                        md.get("partitionColumns") or []
+                    )
                 if row.get("remove") and row["remove"].get("path"):
                     adds.pop(row["remove"]["path"], None)
             start_after = cp_version
@@ -131,12 +147,10 @@ def snapshot_files(table_dir: str, version: int | None = None) -> dict:
                 action = json.loads(line)
                 if "metaData" in action:
                     md = action["metaData"]
-                    if md.get("partitionColumns"):
-                        raise NotImplementedError(
-                            "partitioned Delta tables are outside the "
-                            "log-replay subset (use the jar-backed path)"
-                        )
                     schema_string = md["schemaString"]
+                    partition_columns = list(
+                        md.get("partitionColumns") or []
+                    )
                 elif "add" in action:
                     adds[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
@@ -144,11 +158,30 @@ def snapshot_files(table_dir: str, version: int | None = None) -> dict:
                 # protocol/commitInfo/txn carry no file state
     if schema_string is None:
         raise ValueError("log replay found no metaData action")
+    if partition_filter:
+        unknown = set(partition_filter) - set(partition_columns)
+        if unknown:
+            raise ValueError(
+                f"partition filter on non-partition columns {sorted(unknown)}"
+                f" (partitions: {partition_columns})"
+            )
+        adds = {
+            p: a
+            for p, a in adds.items()
+            if all(
+                (a.get("partitionValues") or {}).get(c) == v
+                for c, v in partition_filter.items()
+            )
+        }
     return {
         "version": target,
         "files": sorted(adds),
         "schema_string": schema_string,
         "from_checkpoint": from_checkpoint,
+        "partition_columns": partition_columns,
+        "partition_values": {
+            p: dict(a.get("partitionValues") or {}) for p, a in adds.items()
+        },
     }
 
 
@@ -172,14 +205,35 @@ def _schema_from_delta(schema_string: str):
 
 
 def read_delta_snapshot(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession, table_dir: str, version: int | None = None,
+    partition_filter: dict | None = None,
 ) -> DataFrame:
     """The log-defined snapshot as a DataFrame: live files only,
-    schema from metaData — tombstoned files on disk are ignored."""
-    snap = snapshot_files(table_dir, version)
+    schema from metaData — tombstoned files on disk are ignored.
+
+    Partitioned tables read hive-layout files against ``basePath``:
+    partition columns come from the directory names (data files do
+    not store them), and ``partition_filter`` prunes the FILE LIST
+    from the log's partitionValues before Spark ever lists a path."""
+    snap = snapshot_files(table_dir, version, partition_filter)
     paths = [os.path.join(table_dir, p) for p in snap["files"]]
     schema = _schema_from_delta(snap["schema_string"])
-    return spark.read.schema(schema).parquet(*paths)
+    pcols = snap["partition_columns"]
+    if not pcols:
+        return spark.read.schema(schema).parquet(*paths)
+    if not paths:
+        return spark.createDataFrame([], schema)
+    from pyspark.sql import types as T
+
+    ordered = T.StructType(
+        [f for f in schema.fields if f.name not in set(pcols)]
+        + [schema[c] for c in pcols]
+    )
+    return (
+        spark.read.schema(ordered)
+        .option("basePath", table_dir)
+        .parquet(*paths)
+    )
 
 
 class DeltaFixtureWriter:
@@ -268,23 +322,32 @@ def write_checkpoint(table_dir: str) -> int:
     import pyarrow.parquet as pq
 
     snap = snapshot_files(table_dir)
-    rows = [
-        {
-            "add": {
-                "path": p,
-                "size": 0,
-                "modificationTime": 0,
-                "dataChange": True,
-            },
-            "metaData": None,
-            "remove": None,
+    pcols = snap["partition_columns"]
+
+    def _add(p):
+        a = {
+            "path": p,
+            "size": 0,
+            "modificationTime": 0,
+            "dataChange": True,
         }
+        if pcols:  # spec: partitionValues map rides the checkpoint
+            a["partitionValues"] = snap["partition_values"][p]
+        return a
+
+    rows = [
+        {"add": _add(p), "metaData": None, "remove": None}
         for p in snap["files"]
     ]
     rows.append(
         {
             "add": None,
-            "metaData": {"schemaString": snap["schema_string"]},
+            "metaData": {
+                "schemaString": snap["schema_string"],
+                **(
+                    {"partitionColumns": pcols} if pcols else {}
+                ),
+            },
             "remove": None,
         }
     )

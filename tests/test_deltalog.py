@@ -74,22 +74,9 @@ def test_guards(tmp_path):
         snapshot_files(str(tmp_path / "nope"))
     w = DeltaFixtureWriter(str(tmp_path), _FIELDS)
     w.commit(add_files=[("a.parquet", _rows(0, 3, "a"))], first=True)
-    # partitioned metaData must gate loudly
-    commit = tmp_path / "_delta_log" / f"{1:020d}.json"
-    md = {
-        "metaData": {
-            "id": "x",
-            "format": {"provider": "parquet", "options": {}},
-            "schemaString": json.dumps(
-                {"type": "struct", "fields": []}
-            ),
-            "partitionColumns": ["day"],
-            "configuration": {},
-        }
-    }
-    commit.write_text(json.dumps(md) + "\n")
-    with pytest.raises(NotImplementedError, match="partitioned"):
-        snapshot_files(str(tmp_path))
+    # a partition filter must name actual partition columns
+    with pytest.raises(ValueError, match="non-partition columns"):
+        snapshot_files(str(tmp_path), partition_filter={"day": "x"})
 
 
 def test_missing_commit_versions_gate_loudly(tmp_path):
@@ -279,3 +266,58 @@ def test_vacuum_and_log_cleanup(tmp_path, spark):
     ) == before
     with pytest.raises(ValueError, match="not in log"):
         snapshot_files(str(tmp_path), 1)
+
+
+def test_partitioned_sink_prunes_at_log_level(tmp_path, spark):
+    """Partitioned commits: hive dirs at the table root, add actions
+    carry partitionValues, and a partition_filter shrinks the FILE
+    LIST (inputFiles) before Spark lists anything — log-level
+    pruning, the listing-cost lever at 100 TB."""
+    from kafka_spark_streaming_app_spark.queries.formats import (
+        _delta_stream_commit,
+    )
+
+    for b, keys in enumerate(([1, 2, 3], [4, 5])):
+        _delta_stream_commit(
+            str(tmp_path), _batch_df(spark, keys), b,
+            partition_by=("o_orderstatus",),
+        )
+        _delta_stream_commit(  # replay must be a no-op
+            str(tmp_path), _batch_df(spark, keys), b,
+            partition_by=("o_orderstatus",),
+        )
+    snap = snapshot_files(str(tmp_path))
+    assert snap["partition_columns"] == ["o_orderstatus"]
+    assert all(
+        p.startswith(("o_orderstatus=F/", "o_orderstatus=O/"))
+        for p in snap["files"]
+    )
+    full = read_delta_snapshot(spark, str(tmp_path))
+    assert sorted(r.o_orderkey for r in full.collect()) == [1, 2, 3, 4, 5]
+    pruned = read_delta_snapshot(
+        spark, str(tmp_path), partition_filter={"o_orderstatus": "F"}
+    )
+    # odd keys are F — and the file list itself is pruned
+    assert sorted(r.o_orderkey for r in pruned.collect()) == [1, 3, 5]
+    assert all("o_orderstatus=F" in f for f in pruned.inputFiles())
+    fsnap = snapshot_files(
+        str(tmp_path), partition_filter={"o_orderstatus": "F"}
+    )
+    assert 0 < len(fsnap["files"]) < len(snap["files"])
+    # a checkpoint carries the partitionValues map and prunes too
+    from kafka_spark_streaming_app_spark.sources.deltalog import (
+        cleanup_log,
+        write_checkpoint,
+    )
+
+    write_checkpoint(str(tmp_path))
+    cleanup_log(str(tmp_path))
+    snap2 = snapshot_files(
+        str(tmp_path), partition_filter={"o_orderstatus": "F"}
+    )
+    assert snap2["from_checkpoint"]
+    assert snap2["files"] == fsnap["files"]
+    pruned2 = read_delta_snapshot(
+        spark, str(tmp_path), partition_filter={"o_orderstatus": "F"}
+    )
+    assert sorted(r.o_orderkey for r in pruned2.collect()) == [1, 3, 5]
