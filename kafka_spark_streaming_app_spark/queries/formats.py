@@ -1072,13 +1072,21 @@ _ICEBERG_SINK_FIELDS = [
 
 
 def _iceberg_stream_commit(
-    committer, table_dir: str, batch_df: DataFrame, batch_id: int
+    committer, table_dir: str, batch_df: DataFrame, batch_id: int,
+    partition_by: tuple = (),
 ) -> None:
     """One micro-batch -> one Iceberg snapshot, idempotent under
     foreachBatch replay via the batch id in the snapshot summary.
     Micro-batch DATA is a distributed parquet write; the driver
     reads only parquet FOOTERS (record counts for the manifest) and
-    writes the O(KB) metadata — the Delta sink's division of labor."""
+    writes the O(KB) metadata — the Delta sink's division of labor.
+
+    Partitioned commits (identity transform): Iceberg data files
+    KEEP their partition columns, so each partition value gets its
+    own distributed write (values come from a partition-cardinality
+    distinct — metadata-sized; a production writer uses a fanout
+    committer instead of one job per value) and its manifest entry
+    carries the ``partition`` struct for manifest-level pruning."""
     if committer.committed_batch_id() >= batch_id:
         return
 
@@ -1090,6 +1098,25 @@ def _iceberg_stream_commit(
         )
 
     batch_rel = f"batch-{batch_id:05d}"
+    if partition_by:
+        (pcol,) = partition_by  # identity single-column subset
+        values = sorted(
+            r[0] for r in batch_df.select(pcol).distinct().collect()
+        )
+        added = []
+        for v in values:
+            rel = f"{batch_rel}/{pcol}={v}"
+            (
+                batch_df.filter(F.col(pcol) == v)
+                .write.mode("overwrite")
+                .parquet(os.path.join(table_dir, "data", rel))
+            )
+            added += [
+                committer.data_file_entry(p, partition={pcol: v})
+                for p in _parts(rel)
+            ]
+        committer.commit(batch_id, added)
+        return
     batch_df.write.mode("overwrite").parquet(
         os.path.join(table_dir, "data", batch_rel)
     )
@@ -1138,7 +1165,9 @@ def streaming_iceberg_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _orders_sink_agg(read_iceberg_snapshot(spark, table_dir))
 
 
-def _run_iceberg_sink_stream(spark: SparkSession, sf_dir: str) -> str:
+def _run_iceberg_sink_stream(
+    spark: SparkSession, sf_dir: str, partition_by: tuple = ()
+) -> str:
     """Drive the orders feed through the foreachBatch Iceberg sink
     (availableNow); returns the table dir."""
     import atexit as _atexit
@@ -1150,11 +1179,15 @@ def _run_iceberg_sink_stream(spark: SparkSession, sf_dir: str) -> str:
     ckpt = tempfile.mkdtemp(prefix="iceberg_sink_ckpt_")
     for d in (table_dir, ckpt):
         _atexit.register(_shutil.rmtree, d, ignore_errors=True)
-    committer = IcebergCommitter(table_dir, _ICEBERG_SINK_FIELDS)
+    committer = IcebergCommitter(
+        table_dir, _ICEBERG_SINK_FIELDS, partition_by
+    )
     stream = _orders_feed_stream(spark, sf_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        _iceberg_stream_commit(committer, table_dir, batch_df, batch_id)
+        _iceberg_stream_commit(
+            committer, table_dir, batch_df, batch_id, partition_by
+        )
 
     q = (
         stream.writeStream.foreachBatch(sink)
@@ -1172,6 +1205,57 @@ def _run_iceberg_sink_stream(spark: SparkSession, sf_dir: str) -> str:
         if q.isActive:
             q.stop()
     return table_dir
+
+
+def _partitioned_orders_iceberg(spark: SparkSession, sf_dir: str) -> str:
+    d = _fixture_dir(spark, sf_dir, "iceberg_part_table")
+    if d is None:
+        d = _run_iceberg_sink_stream(
+            spark, sf_dir, partition_by=("o_orderstatus",)
+        )
+        _remember(spark, sf_dir, "iceberg_part_table", d)
+    return d
+
+
+@query("streaming_iceberg_sink_partitioned", _DELTA_STREAM_ORACLE)
+def streaming_iceberg_sink_partitioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Iceberg sink on an identity-partitioned table: every
+    manifest entry carries its partition struct, the metadata
+    declares the identity spec, and — unlike hive layout — the data
+    files keep their partition columns, so readback is the pruned (or
+    full) file list under the one table schema."""
+    from ..sources.iceberglog import read_iceberg_snapshot
+
+    table_dir = _partitioned_orders_iceberg(spark, sf_dir)
+    return _orders_sink_agg(read_iceberg_snapshot(spark, table_dir))
+
+
+@query("iceberg_partition_pruned_read", _DELTA_PRUNED_ORACLE)
+def iceberg_partition_pruned_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MANIFEST-LEVEL partition pruning: the o_orderstatus='F' filter
+    is evaluated against each manifest entry's partition struct, so
+    the file list shrinks before Spark lists a path — Iceberg's
+    defining scan-planning property. The oracle recomputes the same
+    aggregate with a WHERE clause; one extra or missing file breaks
+    the hash."""
+    from ..sources.iceberglog import read_iceberg_snapshot
+
+    table_dir = _partitioned_orders_iceberg(spark, sf_dir)
+    df = read_iceberg_snapshot(
+        spark, table_dir, partition_filter={"o_orderstatus": "F"}
+    )
+    return (
+        df.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
 
 
 @query("iceberg_maintenance_roundtrip", _DELTA_STREAM_ORACLE)

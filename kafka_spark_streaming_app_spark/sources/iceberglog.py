@@ -43,28 +43,52 @@ _MANIFEST_LIST_SCHEMA = {
     ],
 }
 
-_MANIFEST_SCHEMA = {
-    "type": "record",
-    "name": "manifest_entry",
-    "fields": [
-        {"name": "status", "type": "long"},
-        {"name": "snapshot_id", "type": "long"},
-        {
-            "name": "data_file",
-            "type": {
-                "type": "record",
+def _manifest_schema(partition_fields=()) -> dict:
+    """manifest_entry Avro schema; identity-partitioned tables embed
+    a ``partition`` record (one string field per partition column) in
+    data_file — the manifest-level pruning metadata, per spec."""
+    df_fields = [
+        {"name": "content", "type": "long"},
+        {"name": "file_path", "type": "string"},
+        {"name": "file_format", "type": "string"},
+    ]
+    if partition_fields:
+        df_fields.append(
+            {
+                "name": "partition",
+                "type": {
+                    "type": "record",
+                    "name": "r102",
+                    "fields": [
+                        {"name": c, "type": "string"}
+                        for c in partition_fields
+                    ],
+                },
+            }
+        )
+    df_fields += [
+        {"name": "record_count", "type": "long"},
+        {"name": "file_size_in_bytes", "type": "long"},
+    ]
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "long"},
+            {"name": "snapshot_id", "type": "long"},
+            {
                 "name": "data_file",
-                "fields": [
-                    {"name": "content", "type": "long"},
-                    {"name": "file_path", "type": "string"},
-                    {"name": "file_format", "type": "string"},
-                    {"name": "record_count", "type": "long"},
-                    {"name": "file_size_in_bytes", "type": "long"},
-                ],
+                "type": {
+                    "type": "record",
+                    "name": "data_file",
+                    "fields": df_fields,
+                },
             },
-        },
-    ],
-}
+        ],
+    }
+
+
+_MANIFEST_SCHEMA = _manifest_schema()
 
 
 def _metadata_path(table_dir: str) -> str:
@@ -79,18 +103,38 @@ def _metadata_path(table_dir: str) -> str:
 
 
 def snapshot_data_files(
-    table_dir: str, snapshot_id: int | None = None
+    table_dir: str, snapshot_id: int | None = None,
+    partition_filter: dict | None = None,
 ) -> dict:
     """Resolve the metadata tree to the live data-file set; returns
-    ``{"snapshot_id", "files": [paths], "schema_fields"}``."""
+    ``{"snapshot_id", "files": [paths], "schema_fields",
+    "partition_fields"}``.
+
+    Identity-partitioned tables are first-class: each manifest
+    entry's ``data_file.partition`` struct is the pruning metadata,
+    so ``partition_filter`` ({col: value}) shrinks the FILE LIST at
+    the manifest level — Iceberg's defining scale property (the scan
+    plan never lists unmatched partitions). Non-identity transforms
+    (bucket/truncate/days/...) gate loudly."""
     meta = json.loads(open(_metadata_path(table_dir)).read())
-    if meta.get("partition-specs") and any(
-        spec.get("fields") for spec in meta["partition-specs"]
-    ):
-        raise NotImplementedError(
-            "partitioned Iceberg tables are outside the metadata-replay "
-            "subset (use the jar-backed path)"
-        )
+    part_fields = []
+    for spec in meta.get("partition-specs") or []:
+        for f in spec.get("fields") or []:
+            if f.get("transform", "identity") != "identity":
+                raise NotImplementedError(
+                    f"partition transform {f['transform']!r} is outside "
+                    "the metadata-replay subset (identity only; use the "
+                    "jar-backed path)"
+                )
+            if f["name"] not in part_fields:
+                part_fields.append(f["name"])
+    if partition_filter:
+        unknown = set(partition_filter) - set(part_fields)
+        if unknown:
+            raise ValueError(
+                f"partition filter on non-partition columns "
+                f"{sorted(unknown)} (partitions: {part_fields})"
+            )
     target = (
         meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
     )
@@ -115,11 +159,19 @@ def snapshot_data_files(
                     f"data file format {df['file_format']!r} outside "
                     "the subset"
                 )
+            if partition_filter:
+                part = df.get("partition") or {}
+                if any(
+                    part.get(c) != v
+                    for c, v in partition_filter.items()
+                ):
+                    continue
             files.append(df["file_path"])
     return {
         "snapshot_id": target,
         "files": sorted(set(files)),
         "schema_fields": meta["schemas"][0]["fields"],
+        "partition_fields": part_fields,
     }
 
 
@@ -130,13 +182,29 @@ _TYPE_MAP = {
 
 
 def read_iceberg_snapshot(
-    spark: SparkSession, table_dir: str, snapshot_id: int | None = None
+    spark: SparkSession, table_dir: str, snapshot_id: int | None = None,
+    partition_filter: dict | None = None,
 ) -> DataFrame:
+    """Iceberg data files CONTAIN their partition columns (unlike
+    hive layout), so a pruned read is just the pruned file list with
+    the full schema."""
     from pyspark.sql import types as T
 
-    snap = snapshot_data_files(table_dir, snapshot_id)
+    snap = snapshot_data_files(table_dir, snapshot_id, partition_filter)
+    if not snap["files"]:
+        return spark.createDataFrame(
+            [], _spark_schema_from_fields(snap["schema_fields"])
+        )
+    return spark.read.schema(
+        _spark_schema_from_fields(snap["schema_fields"])
+    ).parquet(*snap["files"])
+
+
+def _spark_schema_from_fields(schema_fields):
+    from pyspark.sql import types as T
+
     fields = []
-    for f in snap["schema_fields"]:
+    for f in schema_fields:
         if f["type"] not in _TYPE_MAP:
             raise NotImplementedError(
                 f"iceberg type {f['type']!r} outside the subset"
@@ -155,7 +223,7 @@ def read_iceberg_snapshot(
                 True,
             )
         )
-    return spark.read.schema(T.StructType(fields)).parquet(*snap["files"])
+    return T.StructType(fields)
 
 
 class IcebergFixtureWriter:
@@ -285,12 +353,24 @@ class IcebergCommitter:
     entries in the new manifest, leaving the parquet on disk as a
     tombstone decoy exactly like the read fixtures."""
 
-    def __init__(self, table_dir: str, schema_fields):
+    def __init__(self, table_dir: str, schema_fields, partition_by=()):
         self.table_dir = table_dir
         self.meta_dir = os.path.join(table_dir, "metadata")
         self.data_dir = os.path.join(table_dir, "data")
         os.makedirs(self.meta_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
+        self.partition_by = tuple(partition_by)
+        self.manifest_schema = _manifest_schema(self.partition_by)
+        names = [n for n, _ in schema_fields]
+        self.partition_spec_fields = [
+            {
+                "name": c,
+                "transform": "identity",
+                "source-id": names.index(c) + 1,
+                "field-id": 1000 + i,
+            }
+            for i, c in enumerate(self.partition_by)
+        ]
         self.schema = {
             "type": "struct",
             "schema-id": 0,
@@ -326,18 +406,23 @@ class IcebergCommitter:
             default=-1,
         )
 
-    def data_file_entry(self, path: str) -> dict:
+    def data_file_entry(self, path: str, partition: dict | None = None) -> dict:
         """data_file record from a parquet footer (metadata-only read
         — O(KB) per file on the driver, never the data)."""
         import pyarrow.parquet as pq
 
-        return {
+        entry = {
             "content": 0,
             "file_path": path,
             "file_format": "PARQUET",
             "record_count": pq.ParquetFile(path).metadata.num_rows,
             "file_size_in_bytes": os.path.getsize(path),
         }
+        if self.partition_by:
+            entry["partition"] = {
+                c: str((partition or {}).get(c)) for c in self.partition_by
+            }
+        return entry
 
     def commit(
         self, batch_id: int, added: list, removed: list = (),
@@ -369,7 +454,7 @@ class IcebergCommitter:
         with open(manifest_path, "wb") as fh:
             fh.write(
                 write_container(
-                    entries, _MANIFEST_SCHEMA, bytes(range(16)),
+                    entries, self.manifest_schema, bytes(range(16)),
                     codec="deflate",
                 )
             )
@@ -425,7 +510,9 @@ class IcebergCommitter:
             "location": self.table_dir,
             "schemas": [self.schema],
             "current-schema-id": 0,
-            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "partition-specs": [
+                {"spec-id": 0, "fields": self.partition_spec_fields}
+            ],
             "default-spec-id": 0,
             "snapshots": snapshots,
             "current-snapshot-id": snap_id,

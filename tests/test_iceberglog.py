@@ -75,7 +75,9 @@ def test_manifests_are_real_avro(tmp_path):
             assert e["data_file"]["file_format"] == "PARQUET"
 
 
-def test_partitioned_table_gates_loudly(tmp_path):
+def test_nonidentity_transform_gates_loudly(tmp_path):
+    """Identity partitioning is first-class (see the partitioned sink
+    tests); other transforms still gate toward the jar-backed path."""
     w, _, _ = _make_table(tmp_path)
     v = int(open(tmp_path / "metadata" / "version-hint.text").read())
     meta_path = tmp_path / "metadata" / f"v{v}.metadata.json"
@@ -86,7 +88,7 @@ def test_partitioned_table_gates_loudly(tmp_path):
                      "field-id": 1000}]}
     ]
     meta_path.write_text(json.dumps(meta))
-    with pytest.raises(NotImplementedError, match="partitioned"):
+    with pytest.raises(NotImplementedError, match="transform 'day'"):
         snapshot_data_files(str(tmp_path))
     with pytest.raises(ValueError, match="not an Iceberg table"):
         snapshot_data_files(str(tmp_path / "nope"))
@@ -256,3 +258,55 @@ def test_expire_snapshots_removes_only_unreachable(tmp_path, spark):
 def _vhint_meta(tmp_path):
     v = open(tmp_path / "metadata" / "version-hint.text").read().strip()
     return tmp_path / "metadata" / f"v{v}.metadata.json"
+
+
+def test_partitioned_sink_prunes_at_manifest_level(tmp_path, spark):
+    """Identity-partitioned commits: manifest entries carry the
+    partition struct, partition_filter shrinks the file list before
+    Spark lists anything, data files keep their partition columns,
+    and non-identity transforms gate loudly."""
+    from kafka_spark_streaming_app_spark.queries.formats import (
+        _ICEBERG_SINK_FIELDS,
+        _iceberg_stream_commit,
+    )
+    from kafka_spark_streaming_app_spark.sources.iceberglog import (
+        IcebergCommitter,
+    )
+
+    c = IcebergCommitter(
+        str(tmp_path), _ICEBERG_SINK_FIELDS, ("o_orderstatus",)
+    )
+    for b, keys in enumerate(([1, 2, 3], [4, 5])):
+        _iceberg_stream_commit(
+            c, str(tmp_path), _batch_df(spark, keys), b,
+            ("o_orderstatus",),
+        )
+        _iceberg_stream_commit(  # replay: no-op
+            c, str(tmp_path), _batch_df(spark, keys), b,
+            ("o_orderstatus",),
+        )
+    full = read_iceberg_snapshot(spark, str(tmp_path))
+    assert sorted(r.o_orderkey for r in full.collect()) == [1, 2, 3, 4, 5]
+    pruned = read_iceberg_snapshot(
+        spark, str(tmp_path), partition_filter={"o_orderstatus": "F"}
+    )
+    assert sorted(r.o_orderkey for r in pruned.collect()) == [1, 3, 5]
+    assert all("o_orderstatus=F" in f for f in pruned.inputFiles())
+    fsnap = snapshot_data_files(
+        str(tmp_path), partition_filter={"o_orderstatus": "F"}
+    )
+    assert fsnap["partition_fields"] == ["o_orderstatus"]
+    assert 0 < len(fsnap["files"]) < len(
+        snapshot_data_files(str(tmp_path))["files"]
+    )
+    with pytest.raises(ValueError, match="non-partition columns"):
+        snapshot_data_files(
+            str(tmp_path), partition_filter={"nope": "x"}
+        )
+    # non-identity transform gates
+    meta_path = _vhint_meta(tmp_path)
+    meta = json.loads(open(meta_path).read())
+    meta["partition-specs"][0]["fields"][0]["transform"] = "bucket[4]"
+    open(meta_path, "w").write(json.dumps(meta))
+    with pytest.raises(NotImplementedError, match="bucket"):
+        snapshot_data_files(str(tmp_path))
