@@ -265,6 +265,17 @@ PROBES = (
     # power iteration: per round one vec-keyed and one dim-keyed agg
     # over the exploded matrix (row-linear); v rides broadcasts
     "power_iteration_top_eigvec",
+    # round-10 lakehouse wave: the sinks replay Nx orders through the
+    # fixed trigger count into per-batch distributed writes; the
+    # pruned reads' FILE LISTS are log/manifest-metadata-sized while
+    # their scans are row-linear in the pruned partition; maintenance
+    # is metadata work + unlinks. (The kafka wire queries are
+    # EXCLUDED: their payload stream is a fixed-size synthetic
+    # generator independent of sf_dir — nothing scales.)
+    "streaming_iceberg_sink",
+    "delta_partition_pruned_read",
+    "iceberg_partition_pruned_read",
+    "delta_maintenance_roundtrip",
 )
 
 
