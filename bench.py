@@ -334,6 +334,11 @@ HEADLINE = [
     "streaming_kafka_roundtrip",
     "streaming_iceberg_sink",
     "streaming_kafka_to_delta_pipeline",
+    "streaming_delta_sink_partitioned",
+    "delta_partition_pruned_read",
+    "iceberg_partition_pruned_read",
+    "delta_maintenance_roundtrip",
+    "iceberg_maintenance_roundtrip",
 ]
 
 
