@@ -591,26 +591,29 @@ _DELTA_STREAM_APP = "spark-graft-delta-sink"
 
 
 def _delta_next_version(log_dir: str, batch_id: int):
-    """O(log) scan: None if this sink batch already committed (txn
-    action replay dedup), else the next commit version number."""
-    import json as _json
+    """O(log) replay: None if this sink batch already committed (txn
+    action replay dedup), else the next commit version number.
+
+    Both answers come from ``snapshot_files`` so they survive log
+    retention: the next version is max ADDRESSABLE version + 1 (a
+    checkpointed version counts even after ``cleanup_log`` removed
+    its JSON commits — ``len(commits)`` would re-assign version 0
+    and the commit would land invisibly below the checkpoint), and
+    the txn ledger is read from checkpoint + commits, not just the
+    retained JSON files."""
+    from ..sources.deltalog import snapshot_files
 
     os.makedirs(log_dir, exist_ok=True)
-    commits = sorted(
-        f for f in os.listdir(log_dir)
-        if f.endswith(".json") and f[:20].isdigit()
-    )
-    for f in commits:
-        with open(os.path.join(log_dir, f)) as fh:
-            for line in fh:
-                a = _json.loads(line)
-                if (
-                    "txn" in a
-                    and a["txn"]["appId"] == _DELTA_STREAM_APP
-                    and a["txn"]["version"] >= batch_id
-                ):
-                    return None
-    return len(commits)
+    table_dir = os.path.dirname(log_dir)
+    try:
+        snap = snapshot_files(table_dir)
+    except ValueError:
+        # empty _delta_log (or no metaData yet): fresh table
+        return 0
+    last = snap["txns"].get(_DELTA_STREAM_APP)
+    if last is not None and last >= batch_id:
+        return None
+    return snap["version"] + 1
 
 
 def _delta_part_files(table_dir: str, rel_dir: str) -> list:

@@ -47,7 +47,13 @@ def snapshot_files(
 ) -> dict:
     """Replay the log; returns ``{"version", "files": [paths],
     "schema_string", "from_checkpoint": bool, "partition_columns",
-    "partition_values": {path: {col: val}}}``.
+    "partition_values": {path: {col: val}},
+    "txns": {appId: last_version}, "protocol": {...}}``.
+
+    ``txns`` is the setTransaction ledger (latest version per appId)
+    the streaming sink's idempotence check reads — it survives log
+    retention because checkpoints carry txn actions (Delta
+    checkpoint spec), so the replay picks it up from either source.
 
     ``partition_filter`` ({col: value}) prunes the live set AT THE
     LOG LEVEL from each add action's partitionValues — the real Delta
@@ -90,6 +96,8 @@ def snapshot_files(
     adds: dict[str, dict] = {}
     schema_string = None
     partition_columns: list = []
+    txns: dict[str, int] = {}
+    protocol: dict | None = None
     start_after = -1
     from_checkpoint = False
     if cp_version is not None:
@@ -110,7 +118,16 @@ def snapshot_files(
             tbl = pq.read_table(cp_file).to_pylist()
             for row in tbl:
                 if row.get("add") and row["add"].get("path"):
-                    adds[row["add"]["path"]] = row["add"]
+                    a = dict(row["add"])
+                    # real checkpoints store partitionValues as a
+                    # parquet MAP, which pyarrow yields as a list of
+                    # (key, value) tuples — normalize to a dict so
+                    # partition_filter works on external checkpoints
+                    pv = a.get("partitionValues") or {}
+                    a["partitionValues"] = (
+                        pv if isinstance(pv, dict) else dict(pv)
+                    )
+                    adds[a["path"]] = a
                 md = row.get("metaData")
                 if md and md.get("schemaString"):
                     schema_string = md["schemaString"]
@@ -119,6 +136,16 @@ def snapshot_files(
                     )
                 if row.get("remove") and row["remove"].get("path"):
                     adds.pop(row["remove"]["path"], None)
+                tx = row.get("txn")
+                if tx and tx.get("appId"):
+                    txns[tx["appId"]] = max(
+                        int(tx["version"]),
+                        txns.get(tx["appId"], -(1 << 62)),
+                    )
+                if row.get("protocol") and row["protocol"].get(
+                    "minReaderVersion"
+                ) is not None:
+                    protocol = dict(row["protocol"])
             start_after = cp_version
             from_checkpoint = True
 
@@ -155,7 +182,15 @@ def snapshot_files(
                     adds[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
                     adds.pop(action["remove"]["path"], None)
-                # protocol/commitInfo/txn carry no file state
+                elif "txn" in action:
+                    tx = action["txn"]
+                    txns[tx["appId"]] = max(
+                        int(tx["version"]),
+                        txns.get(tx["appId"], -(1 << 62)),
+                    )
+                elif "protocol" in action:
+                    protocol = action["protocol"]
+                # commitInfo carries no replay state
     if schema_string is None:
         raise ValueError("log replay found no metaData action")
     if partition_filter:
@@ -182,6 +217,8 @@ def snapshot_files(
         "partition_values": {
             p: dict(a.get("partitionValues") or {}) for p, a in adds.items()
         },
+        "txns": txns,
+        "protocol": protocol,
     }
 
 
@@ -219,20 +256,24 @@ def read_delta_snapshot(
     paths = [os.path.join(table_dir, p) for p in snap["files"]]
     schema = _schema_from_delta(snap["schema_string"])
     pcols = snap["partition_columns"]
+    if not paths:  # zero live files is a valid snapshot either way
+        return spark.createDataFrame([], schema)
     if not pcols:
         return spark.read.schema(schema).parquet(*paths)
-    if not paths:
-        return spark.createDataFrame([], schema)
     from pyspark.sql import types as T
 
-    ordered = T.StructType(
+    # hive-layout data files store only non-partition columns; read
+    # with partition fields last, then restore the metaData
+    # schemaString order (real Delta preserves the logical order)
+    physical = T.StructType(
         [f for f in schema.fields if f.name not in set(pcols)]
         + [schema[c] for c in pcols]
     )
     return (
-        spark.read.schema(ordered)
+        spark.read.schema(physical)
         .option("basePath", table_dir)
         .parquet(*paths)
+        .select([f.name for f in schema.fields])
     )
 
 
@@ -315,47 +356,106 @@ def write_checkpoint(table_dir: str) -> int:
     log — the write-side half of the checkpoint contract this module's
     reader already honors. Returns the checkpointed version.
 
-    partitionValues (a map in real checkpoints) is omitted: the subset
-    is unpartitioned and parquet cannot write an empty struct; the
-    reader keys on add.path only."""
+    Per the Delta checkpoint spec the snapshot's protocol action and
+    the full setTransaction (txn) ledger ride the checkpoint too —
+    without them, log retention (``cleanup_log``) would destroy the
+    streaming sink's foreachBatch idempotence state. partitionValues
+    is written as a parquet MAP (the spec's physical type), which is
+    exactly the shape the reader normalizes from."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     snap = snapshot_files(table_dir)
     pcols = snap["partition_columns"]
 
-    def _add(p):
-        a = {
-            "path": p,
-            "size": 0,
-            "modificationTime": 0,
-            "dataChange": True,
-        }
-        if pcols:  # spec: partitionValues map rides the checkpoint
-            a["partitionValues"] = snap["partition_values"][p]
-        return a
-
-    rows = [
-        {"add": _add(p), "metaData": None, "remove": None}
-        for p in snap["files"]
-    ]
-    rows.append(
-        {
-            "add": None,
-            "metaData": {
-                "schemaString": snap["schema_string"],
-                **(
-                    {"partitionColumns": pcols} if pcols else {}
+    arrow_schema = pa.schema(
+        [
+            (
+                "txn",
+                pa.struct(
+                    [("appId", pa.string()), ("version", pa.int64())]
                 ),
-            },
-            "remove": None,
-        }
+            ),
+            (
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        (
+                            "partitionValues",
+                            pa.map_(pa.string(), pa.string()),
+                        ),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+            (
+                "remove",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("deletionTimestamp", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+            (
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                    ]
+                ),
+            ),
+            (
+                "protocol",
+                pa.struct(
+                    [
+                        ("minReaderVersion", pa.int32()),
+                        ("minWriterVersion", pa.int32()),
+                    ]
+                ),
+            ),
+        ]
     )
+    rows = [
+        {
+            "protocol": snap["protocol"]
+            or {"minReaderVersion": 1, "minWriterVersion": 2}
+        },
+        {
+            "metaData": {
+                "id": "checkpointed-table",
+                "schemaString": snap["schema_string"],
+                "partitionColumns": pcols,
+            }
+        },
+    ]
+    for app_id, v in sorted(snap["txns"].items()):
+        rows.append({"txn": {"appId": app_id, "version": int(v)}})
+    for p in snap["files"]:
+        rows.append(
+            {
+                "add": {
+                    "path": p,
+                    "partitionValues": snap["partition_values"][p],
+                    "size": 0,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            }
+        )
     version = snap["version"]
     cp_file = os.path.join(
         table_dir, "_delta_log", f"{version:020d}.checkpoint.parquet"
     )
-    pq.write_table(pa.Table.from_pylist(rows), cp_file)
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=arrow_schema), cp_file
+    )
     with open(
         os.path.join(table_dir, "_delta_log", "_last_checkpoint"), "w"
     ) as fh:

@@ -135,11 +135,26 @@ class _StreamReader(DataSourceStreamReader):
                 "(regressing end offsets). Pace the producer, or use "
                 "the jar-backed kafka connector."
             )
+        # option parity with the real connector (the reference passes
+        # startingOffsets=latest): earliest/latest map to ListOffsets
+        # -2/-1; per-partition JSON assignments gate loudly rather
+        # than silently starting at earliest
+        so = str(options.get("startingoffsets", "earliest")).lower()
+        if so not in ("earliest", "latest"):
+            raise NotImplementedError(
+                f"startingOffsets={so!r}: only earliest/latest are "
+                "supported (per-partition JSON offsets need the "
+                "jar-backed kafka connector)"
+            )
+        self.start_ts = -2 if so == "earliest" else -1
 
     def initialOffset(self) -> dict:
         with MiniKafkaClient(self.bootstrap) as c:
             pids = c.metadata([self.topic])["topics"][self.topic]
-            return {str(p): c.offsets(self.topic, p, -2) for p in pids}
+            return {
+                str(p): c.offsets(self.topic, p, self.start_ts)
+                for p in pids
+            }
 
     def latestOffset(self) -> dict:
         with MiniKafkaClient(self.bootstrap) as c:

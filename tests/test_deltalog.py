@@ -321,3 +321,123 @@ def test_partitioned_sink_prunes_at_log_level(tmp_path, spark):
         spark, str(tmp_path), partition_filter={"o_orderstatus": "F"}
     )
     assert sorted(r.o_orderkey for r in pruned2.collect()) == [1, 3, 5]
+
+
+def test_resume_after_log_retention_assigns_fresh_versions(
+    tmp_path, spark
+):
+    """The medium-severity round-10 advice item: after checkpoint +
+    cleanup_log a RESUMED sink must (a) dedup already-checkpointed
+    batches from the txn ledger the checkpoint now carries, and
+    (b) assign the next version ABOVE the checkpoint (len(commits)
+    would restart at 0, landing commits invisibly below the
+    checkpoint — silent data loss)."""
+    from kafka_spark_streaming_app_spark.queries.formats import (
+        _delta_next_version,
+        _delta_stream_commit,
+    )
+    from kafka_spark_streaming_app_spark.sources.deltalog import (
+        cleanup_log,
+        write_checkpoint,
+    )
+
+    _delta_stream_commit(str(tmp_path), _batch_df(spark, [1, 2]), 0)
+    _delta_stream_commit(str(tmp_path), _batch_df(spark, [3, 4]), 1)
+    write_checkpoint(str(tmp_path))
+    removed = cleanup_log(str(tmp_path))
+    assert removed  # every JSON commit is below the checkpoint now
+    # checkpoint carries the txn ledger: replays of both batches no-op
+    assert _delta_next_version(str(tmp_path / "_delta_log"), 0) is None
+    assert _delta_next_version(str(tmp_path / "_delta_log"), 1) is None
+    # and a genuinely new batch lands ABOVE the checkpoint
+    assert _delta_next_version(str(tmp_path / "_delta_log"), 2) == 2
+    _delta_stream_commit(str(tmp_path), _batch_df(spark, [5, 6]), 2)
+    snap = snapshot_files(str(tmp_path))
+    assert snap["version"] == 2 and snap["from_checkpoint"]
+    assert snap["txns"] == {"spark-graft-delta-sink": 2}
+    got = sorted(
+        r.o_orderkey for r in
+        read_delta_snapshot(spark, str(tmp_path)).collect()
+    )
+    assert got == [1, 2, 3, 4, 5, 6]
+
+
+def test_checkpoint_carries_protocol_and_txn_actions(tmp_path, spark):
+    """Delta checkpoint spec: protocol and setTransaction actions
+    ride the checkpoint, and partitionValues is a parquet MAP (which
+    pyarrow yields as (key, value) tuples — the reader normalizes)."""
+    import pyarrow.parquet as pq
+
+    from kafka_spark_streaming_app_spark.queries.formats import (
+        _delta_stream_commit,
+    )
+    from kafka_spark_streaming_app_spark.sources.deltalog import (
+        write_checkpoint,
+    )
+
+    _delta_stream_commit(
+        str(tmp_path), _batch_df(spark, [1, 2]), 0,
+        partition_by=("o_orderstatus",),
+    )
+    v = write_checkpoint(str(tmp_path))
+    cp = pq.read_table(
+        str(tmp_path / "_delta_log" / f"{v:020d}.checkpoint.parquet")
+    )
+    names = set(cp.schema.names)
+    assert {"txn", "add", "remove", "metaData", "protocol"} <= names
+    # MAP physical type, per spec (not a struct)
+    import pyarrow as pa
+
+    pv_type = cp.schema.field("add").type.field("partitionValues").type
+    assert pa.types.is_map(pv_type)
+    rows = cp.to_pylist()
+    assert any(
+        r["txn"] and r["txn"]["appId"] == "spark-graft-delta-sink"
+        and r["txn"]["version"] == 0
+        for r in rows
+    )
+    assert any(
+        r["protocol"] and r["protocol"]["minReaderVersion"] == 1
+        for r in rows
+    )
+    # the map-shaped partitionValues replays into pruning (ADVICE:
+    # externally-written checkpoints store a MAP, not a struct)
+    snap = snapshot_files(
+        str(tmp_path), partition_filter={"o_orderstatus": "F"}
+    )
+    assert snap["files"] and all(
+        "o_orderstatus=F" in f for f in snap["files"]
+    )
+
+
+def test_empty_unpartitioned_snapshot_reads_as_empty_df(
+    tmp_path, spark
+):
+    """ADVICE: an unpartitioned snapshot with zero live files (e.g.
+    overwrite of an empty aggregate) must return an empty DataFrame,
+    not raise from spark.read.parquet() with no paths."""
+    w = DeltaFixtureWriter(str(tmp_path), _FIELDS)
+    w.commit(add_files=[("a.parquet", _rows(0, 3, "a"))], first=True)
+    w.commit(remove_paths=["a.parquet"])
+    df = read_delta_snapshot(spark, str(tmp_path))
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["k", "v"]
+
+
+def test_partitioned_read_preserves_schema_order(tmp_path, spark):
+    """ADVICE: real Delta returns columns in metaData schemaString
+    order even when partition columns sit in the middle — positional
+    consumers must see the declared order, not partitions-last."""
+    from kafka_spark_streaming_app_spark.queries.formats import (
+        _delta_stream_commit,
+    )
+
+    _delta_stream_commit(
+        str(tmp_path), _batch_df(spark, [1, 2]), 0,
+        partition_by=("o_orderstatus",),
+    )
+    df = read_delta_snapshot(spark, str(tmp_path))
+    # declared order in _delta_stream_commit's metaData:
+    assert df.columns == [
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "cents"
+    ]

@@ -359,3 +359,62 @@ def test_producer_tool_wire_transport(spark, broker):
         for r in topic_rows:
             by_key.setdefault(bytes(r.key), set()).add(r.partition)
         assert all(len(p) == 1 for p in by_key.values())
+
+
+def test_starting_offsets_latest_skips_backlog(spark, broker):
+    """Option parity with the real connector (the reference passes
+    startingOffsets=latest): latest starts at log-end so pre-start
+    backlog is skipped; earliest (the default) replays it; any other
+    value gates loudly instead of silently starting at earliest."""
+    from pyspark.sql import functions as F
+
+    _register(spark)
+    with MiniKafkaClient(broker.bootstrap) as c:
+        for p in (0, 1):
+            c.produce(
+                "t", p,
+                [(None, f"backlog-p{p}-{i}".encode()) for i in range(10)],
+            )
+
+    def _drain(name, so):
+        raw = (
+            spark.readStream.format("minikafka")
+            .option("bootstrap", broker.bootstrap)
+            .option("topic", "t")
+            .option("startingOffsets", so)
+            .load()
+        )
+        q = (
+            raw.agg(F.count(F.lit(1)).alias("n"))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            with MiniKafkaClient(broker.bootstrap) as c:
+                c.produce("t", 0, [(None, b"live-1"), (None, b"live-2")])
+            q.processAllAvailable()
+            return spark.table(name).collect()[0].n
+        finally:
+            q.stop()
+
+    assert _drain("mk_so_latest", "latest") == 2   # only live rows
+    assert _drain("mk_so_earliest", "earliest") == 24  # backlog + live
+
+    with pytest.raises(Exception) as ei:
+        q = (
+            spark.readStream.format("minikafka")
+            .option("bootstrap", broker.bootstrap)
+            .option("topic", "t")
+            .option("startingOffsets", '{"t":{"0":5}}')
+            .load()
+            .writeStream.format("memory")
+            .queryName("mk_so_bad")
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    assert "startingOffsets" in str(ei.value)
