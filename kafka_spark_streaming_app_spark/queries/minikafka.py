@@ -40,6 +40,7 @@ from ..streaming.pipeline import parse_and_clean, write_memory_stream
 from .pyds import _case, _h, _LOC_CASE, _PYDS_ORACLE, _ROWS
 
 _TOPIC = "orders"
+_V2_TOPIC = "orders_v2"
 _STREAM_TOPIC = "orders_live"
 _PIPELINE_TOPIC = "orders_pipeline"
 _N_PARTITIONS = 4
@@ -70,6 +71,7 @@ def _broker(spark: SparkSession):
     b = MiniKafkaBroker()
     atexit.register(b.close)
     b.create_topic(_TOPIC, partitions=_N_PARTITIONS)
+    b.create_topic(_V2_TOPIC, partitions=_N_PARTITIONS)
     b.create_topic(_STREAM_TOPIC, partitions=_N_PARTITIONS)
     b.create_topic(_PIPELINE_TOPIC, partitions=_N_PARTITIONS)
     register_wire_replay(spark)
@@ -79,11 +81,13 @@ def _broker(spark: SparkSession):
 
 
 def _produce_rows(
-    spark: SparkSession, broker, topic: str, start: int, end: int
+    spark: SparkSession, broker, topic: str, start: int, end: int,
+    compression: str = "none",
 ) -> None:
     """Distributed produce of wire payloads [start, end): wire_replay
-    source -> minikafka sink, every task speaking Produce v0 over its
-    own socket."""
+    source -> minikafka sink, every task speaking Produce v0 (or, with
+    ``compression=gzip``, Produce v3 RecordBatch v2) over its own
+    socket."""
     (
         spark.read.format("wire_replay")
         .option("startRow", start)
@@ -99,6 +103,7 @@ def _produce_rows(
         .write.format("minikafka")
         .option("bootstrap", broker.bootstrap)
         .option("topic", topic)
+        .option("compression.type", compression)
         .mode("append")
         .save()
     )
@@ -125,6 +130,43 @@ def kafka_wire_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("bootstrap", broker.bootstrap)
         .option("topic", _TOPIC)
         .option("minPartitions", 8)
+        .load()
+    )
+    parsed = parse_and_clean(raw, ORDER_SCHEMA, watermark=None)
+    return parsed.select(
+        "order_id", "user_id", "product_id", "product_name",
+        "category", "price", "quantity", "total_amount", "location",
+        "event_timestamp", "is_fraud_simulation",
+    )
+
+
+@query("kafka_wire_orders_v2", _PYDS_ORACLE)
+def kafka_wire_orders_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern-format twin of ``kafka_wire_orders``: the same
+    payloads ride Produce v3 as gzip-compressed RecordBatch v2 frames
+    (zigzag varints + CRC-32C, ``sources/kafkarecords.py``) and come
+    back through Fetch v4 per Spark task (``recordFormat=v2``). The
+    identical oracle hash proves format-v2 framing, CRC-32C, gzip,
+    and the v3/v4 request/response layouts carry the exact same data
+    the v0 path does."""
+    broker = _broker(spark)
+    total = _produced_through(broker, _V2_TOPIC)
+    if total == 0:
+        _produce_rows(
+            spark, broker, _V2_TOPIC, 0, _ROWS, compression="gzip"
+        )
+    elif total != _ROWS:
+        raise RuntimeError(
+            f"topic {_V2_TOPIC} holds {total} of {_ROWS} messages — a "
+            "prior produce died mid-write; the log is append-only, "
+            "use a fresh session/topic"
+        )
+    raw = (
+        spark.read.format("minikafka")
+        .option("bootstrap", broker.bootstrap)
+        .option("topic", _V2_TOPIC)
+        .option("minPartitions", 8)
+        .option("recordFormat", "v2")
         .load()
     )
     parsed = parse_and_clean(raw, ORDER_SCHEMA, watermark=None)

@@ -10,18 +10,35 @@ wire here are genuine Kafka protocol v0 frames, verifiable against
 the published spec byte-for-byte (tests pin a hand-assembled Produce
 request).
 
-Implemented APIs (all version 0, request header v1):
+Implemented APIs (version 0 unless noted, request header v1):
 
-  * Produce (0)      — CRC-validated MessageSet append, base offset
-  * Fetch (1)        — offset-addressed read, OFFSET_OUT_OF_RANGE
-  * ListOffsets (2)  — timestamp -1 => log-end, -2 => earliest
-  * Metadata (3)     — broker + topic/partition/leader layout
-  * ApiVersions (18) — advertised (api, min, max) ranges
+  * Produce (0)         — CRC-validated MessageSet append, base offset
+  * Fetch (1)           — offset-addressed read, OFFSET_OUT_OF_RANGE
+  * ListOffsets (2)     — timestamp -1 => log-end, -2 => earliest
+  * Metadata (3)        — broker + topic/partition/leader layout
+  * OffsetCommit (8)    — group offset ledger (consumer groups)
+  * OffsetFetch (9)     — committed offsets, -1 when none
+  * FindCoordinator (10)— group coordinator (this single node)
+  * ApiVersions (18)    — advertised (api, min, max) ranges
+  * CreateTopics (19)   — partitions/RF/config map, dup/invalid errors
+  * DeleteTopics (20)   — force delete, UNKNOWN for absent topics
+
+Topic administration carries per-topic configs (``retention.ms``,
+``cleanup.policy``, ...) exactly as the reference's
+``setup_kafka_topics.py`` passes them; the config map is stored and
+echoed back so a recreate flow can verify it. Consumer groups are the
+single-member fast path (FindCoordinator + OffsetCommit/OffsetFetch —
+no rebalance protocol): committed offsets survive reconnects, which
+is the contract the reference's ``kafka_consumer_test.py`` exercises.
 
 MessageSet format v0 (magic 0): ``offset:int64 size:int32 crc:uint32
 magic:int8 attributes:int8 key:BYTES value:BYTES`` with CRC-32 over
 magic..value — corrupt frames are rejected with error 2, exactly per
-spec. Compression attribute bits other than 0 gate loudly.
+spec. Compression attribute bits other than 0 gate loudly ON THE v0
+PATH; compressed traffic speaks the modern format instead: message
+format v2 (RecordBatch — zigzag varints, CRC-32C, optional gzip;
+``sources/kafkarecords.py``) rides Produce v3 / Fetch v4, the same
+log serving both generations.
 
 Scale posture: the DataSource reader is OFFSET-ADDRESSED — every
 Spark input partition fetches exactly its own [start, end) range over
@@ -47,20 +64,34 @@ API_PRODUCE = 0
 API_FETCH = 1
 API_LIST_OFFSETS = 2
 API_METADATA = 3
+API_OFFSET_COMMIT = 8
+API_OFFSET_FETCH = 9
+API_FIND_COORDINATOR = 10
 API_API_VERSIONS = 18
+API_CREATE_TOPICS = 19
+API_DELETE_TOPICS = 20
 
 ERR_NONE = 0
 ERR_OFFSET_OUT_OF_RANGE = 1
 ERR_CORRUPT_MESSAGE = 2
 ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
+ERR_INVALID_TOPIC = 17
 ERR_UNSUPPORTED_VERSION = 35
+ERR_TOPIC_ALREADY_EXISTS = 36
+ERR_INVALID_PARTITIONS = 37
+ERR_INVALID_REPLICATION_FACTOR = 38
 
 _SUPPORTED = {
-    API_PRODUCE: (0, 0),
-    API_FETCH: (0, 0),
+    API_PRODUCE: (0, 3),  # v0-2: MessageSet v0; v3: RecordBatch v2
+    API_FETCH: (0, 4),    # v0-3: MessageSet v0; v4: RecordBatch v2
     API_LIST_OFFSETS: (0, 0),
     API_METADATA: (0, 0),
+    API_OFFSET_COMMIT: (0, 0),
+    API_OFFSET_FETCH: (0, 0),
+    API_FIND_COORDINATOR: (0, 0),
     API_API_VERSIONS: (0, 0),
+    API_CREATE_TOPICS: (0, 0),
+    API_DELETE_TOPICS: (0, 0),
 }
 
 
@@ -227,6 +258,11 @@ class MiniKafkaBroker:
         self._lock = threading.Lock()
         # topic -> [partition logs]; log = list[(key, value)]
         self._topics: dict[str, list[list]] = {}
+        # topic -> {config_name: config_value} (CreateTopics configs)
+        self._configs: dict[str, dict] = {}
+        # group -> {(topic, pid): (offset, metadata)} — the committed-
+        # offset ledger behind OffsetCommit/OffsetFetch
+        self._group_offsets: dict[str, dict] = {}
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._srv.bind((host, port))
@@ -242,11 +278,19 @@ class MiniKafkaBroker:
     def bootstrap(self) -> str:
         return f"{self.host}:{self.port}"
 
-    def create_topic(self, name: str, partitions: int = 4) -> None:
+    def create_topic(
+        self, name: str, partitions: int = 4, configs: dict | None = None
+    ) -> None:
         with self._lock:
             self._topics.setdefault(
                 name, [[] for _ in range(partitions)]
             )
+            if configs:
+                self._configs[name] = dict(configs)
+
+    def topic_configs(self, name: str) -> dict:
+        with self._lock:
+            return dict(self._configs.get(name, {}))
 
     def end_offsets(self, topic: str) -> list:
         with self._lock:
@@ -312,11 +356,21 @@ class MiniKafkaBroker:
         elif api_key == API_METADATA:
             self._metadata(r, w)
         elif api_key == API_PRODUCE:
-            self._produce(r, w)
+            self._produce(r, w, api_version)
         elif api_key == API_FETCH:
-            self._fetch(r, w)
+            self._fetch(r, w, api_version)
         elif api_key == API_LIST_OFFSETS:
             self._list_offsets(r, w)
+        elif api_key == API_OFFSET_COMMIT:
+            self._offset_commit(r, w)
+        elif api_key == API_OFFSET_FETCH:
+            self._offset_fetch(r, w)
+        elif api_key == API_FIND_COORDINATOR:
+            self._find_coordinator(r, w)
+        elif api_key == API_CREATE_TOPICS:
+            self._create_topics(r, w)
+        elif api_key == API_DELETE_TOPICS:
+            self._delete_topics(r, w)
         return w.value()
 
     def _metadata(self, r: _Reader, w: _Writer):
@@ -349,7 +403,16 @@ class MiniKafkaBroker:
 
         w.array(names, emit_topic)
 
-    def _produce(self, r: _Reader, w: _Writer):
+    def _produce(self, r: _Reader, w: _Writer, version: int = 0):
+        """v0-2 requests carry MessageSet v0 record data; v3 carries
+        RecordBatch v2 (varints + CRC-32C + optional gzip). Responses
+        grow per the spec: v1+ appends throttle_time_ms, v2+ adds
+        per-partition log_append_time."""
+        txn_unsupported = False
+        if version >= 3:
+            # transactional produce needs InitProducerId state this
+            # broker does not keep; answer every partition loudly
+            txn_unsupported = r.string() is not None
         r.i16()  # acks (we always ack like acks=1: after append)
         r.i32()  # timeout_ms
 
@@ -366,6 +429,9 @@ class MiniKafkaBroker:
         for topic, parts in topics:
             tres = []
             for pid, msgset in parts:
+                if txn_unsupported:
+                    tres.append((pid, ERR_UNSUPPORTED_VERSION, -1))
+                    continue
                 with self._lock:
                     log = self._partition(topic, pid)
                     if log is None:
@@ -374,7 +440,14 @@ class MiniKafkaBroker:
                         )
                         continue
                     try:
-                        msgs = decode_message_set(msgset)
+                        if version >= 3:
+                            from .kafkarecords import (
+                                decode_record_batches,
+                            )
+
+                            msgs = decode_record_batches(msgset)
+                        else:
+                            msgs = decode_message_set(msgset)
                     except ValueError:
                         tres.append((pid, ERR_CORRUPT_MESSAGE, -1))
                         continue
@@ -382,18 +455,31 @@ class MiniKafkaBroker:
                     log.extend((k, v) for _, k, v in msgs)
                     tres.append((pid, ERR_NONE, base))
             results.append((topic, tres))
+
+        def emit_part(w2, p):
+            w2.i32(p[0]).i16(p[1]).i64(p[2])
+            if version >= 2:
+                w2.i64(-1)  # log_append_time (CreateTime batches)
+
         w.array(
             results,
-            lambda ww, t: ww.string(t[0]).array(
-                t[1],
-                lambda w2, p: w2.i32(p[0]).i16(p[1]).i64(p[2]),
-            ),
+            lambda ww, t: ww.string(t[0]).array(t[1], emit_part),
         )
+        if version >= 1:
+            w.i32(0)  # throttle_time_ms
 
-    def _fetch(self, r: _Reader, w: _Writer):
+    def _fetch(self, r: _Reader, w: _Writer, version: int = 0):
+        """v0-3 responses carry MessageSet v0 record data; v4 carries
+        RecordBatch v2. Request grows per spec (v3 adds request-level
+        max_bytes, v4 isolation_level); response v1+ leads with
+        throttle_time_ms, v4 adds last_stable_offset + aborted txns."""
         r.i32()  # replica_id
         r.i32()  # max_wait_ms (we answer immediately; client polls)
         r.i32()  # min_bytes
+        if version >= 3:
+            r.i32()  # request-level max_bytes (partition cap suffices)
+        if version >= 4:
+            r.i8()   # isolation_level (no transactions: all committed)
 
         def parse_part(rr):
             return (rr.i32(), rr.i64(), rr.i32())
@@ -419,6 +505,12 @@ class MiniKafkaBroker:
                             (pid, ERR_OFFSET_OUT_OF_RANGE, hw, b"")
                         )
                         continue
+                    if version >= 4:
+                        recs = self._slice_as_record_batch(
+                            log, off, hw, max_bytes
+                        )
+                        tres.append((pid, ERR_NONE, hw, recs))
+                        continue
                     out = _Writer()
                     size = 0
                     i = off
@@ -435,16 +527,42 @@ class MiniKafkaBroker:
                         i += 1
                     tres.append((pid, ERR_NONE, hw, out.value()))
             results.append((topic, tres))
+        if version >= 1:
+            w.i32(0)  # throttle_time_ms
+
+        def emit_part(w2, p):
+            w2.i32(p[0]).i16(p[1]).i64(p[2])
+            if version >= 4:
+                w2.i64(p[2])  # last_stable_offset = hw (no txns)
+                w2.array([], lambda w3, a: None)  # aborted_transactions
+            w2.i32(len(p[3])).raw(p[3])
+
         w.array(
             results,
-            lambda ww, t: ww.string(t[0]).array(
-                t[1],
-                lambda w2, p: (
-                    w2.i32(p[0]).i16(p[1]).i64(p[2])
-                    .i32(len(p[3])).raw(p[3])
-                ),
-            ),
+            lambda ww, t: ww.string(t[0]).array(t[1], emit_part),
         )
+
+    @staticmethod
+    def _slice_as_record_batch(
+        log, off: int, hw: int, max_bytes: int
+    ) -> bytes:
+        """Re-encode log entries [off, …) as ONE RecordBatch v2 under
+        the partition max_bytes cap (always at least one record so a
+        small cap cannot livelock the client)."""
+        from .kafkarecords import encode_record_batch
+
+        msgs = []
+        size = 61  # batch header overhead
+        i = off
+        while i < hw:
+            k, v = log[i]
+            rec = (len(k) if k else 0) + (len(v) if v else 0) + 12
+            if msgs and size + rec > max_bytes:
+                break
+            msgs.append((k, v))
+            size += rec
+            i += 1
+        return encode_record_batch(msgs, base_offset=off)
 
     def _list_offsets(self, r: _Reader, w: _Writer):
         r.i32()  # replica_id
@@ -480,6 +598,160 @@ class MiniKafkaBroker:
                 lambda w2, p: (
                     w2.i32(p[0]).i16(p[1])
                     .array(p[2], lambda w3, o: w3.i64(o))
+                ),
+            ),
+        )
+
+    # -- topic administration (CreateTopics v0 / DeleteTopics v0) ----
+
+    _LEGAL_TOPIC = frozenset(
+        "abcdefghijklmnopqrstuvwxyz"
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789._-"
+    )
+
+    @classmethod
+    def _topic_name_error(cls, name) -> int:
+        if (
+            not name
+            or name in (".", "..")
+            or len(name) > 249
+            or not set(name) <= cls._LEGAL_TOPIC
+        ):
+            return ERR_INVALID_TOPIC
+        return ERR_NONE
+
+    def _create_topics(self, r: _Reader, w: _Writer):
+        def parse_assignment(rr):
+            return (rr.i32(), rr.array(lambda r2: r2.i32()))
+
+        def parse_config(rr):
+            return (rr.string(), rr.string())
+
+        def parse_req(rr):
+            return (
+                rr.string(),                 # topic
+                rr.i32(),                    # num_partitions (-1: manual)
+                rr.i16(),                    # replication_factor
+                rr.array(parse_assignment),  # replica_assignment
+                rr.array(parse_config),      # config_entries
+            )
+
+        reqs = r.array(parse_req)
+        r.i32()  # timeout_ms (creation is synchronous here)
+        results = []
+        for name, nparts, rf, assignment, configs in reqs:
+            err = self._topic_name_error(name)
+            if not err:
+                if nparts == -1 and assignment:
+                    nparts = len(assignment)
+                if nparts <= 0:
+                    err = ERR_INVALID_PARTITIONS
+                elif rf not in (-1, 1):
+                    # single-node cluster: RF > 1 is unsatisfiable,
+                    # exactly what a real broker answers
+                    err = ERR_INVALID_REPLICATION_FACTOR
+            if not err:
+                with self._lock:
+                    if name in self._topics:
+                        err = ERR_TOPIC_ALREADY_EXISTS
+                    else:
+                        self._topics[name] = [[] for _ in range(nparts)]
+                        self._configs[name] = {
+                            k: v for k, v in configs
+                        }
+            results.append((name, err))
+        w.array(
+            results, lambda ww, t: ww.string(t[0]).i16(t[1])
+        )
+
+    def _delete_topics(self, r: _Reader, w: _Writer):
+        names = r.array(lambda rr: rr.string())
+        r.i32()  # timeout_ms
+        results = []
+        with self._lock:
+            for name in names:
+                if name in self._topics:
+                    del self._topics[name]
+                    self._configs.pop(name, None)
+                    # committed group offsets for a deleted topic are
+                    # removed (real Kafka expires them asynchronously;
+                    # synchronous here so recreate flows start clean)
+                    for ledger in self._group_offsets.values():
+                        for tp in [t for t in ledger if t[0] == name]:
+                            del ledger[tp]
+                    results.append((name, ERR_NONE))
+                else:
+                    results.append(
+                        (name, ERR_UNKNOWN_TOPIC_OR_PARTITION)
+                    )
+        w.array(
+            results, lambda ww, t: ww.string(t[0]).i16(t[1])
+        )
+
+    # -- consumer groups (single-member fast path) --------------------
+
+    def _find_coordinator(self, r: _Reader, w: _Writer):
+        r.string()  # group_id — this single node coordinates all
+        w.i16(ERR_NONE).i32(0).string(self.host).i32(self.port)
+
+    def _offset_commit(self, r: _Reader, w: _Writer):
+        group = r.string()
+
+        def parse_part(rr):
+            return (rr.i32(), rr.i64(), rr.string())
+
+        def parse_topic(rr):
+            return (rr.string(), rr.array(parse_part))
+
+        topics = r.array(parse_topic)
+        results = []
+        with self._lock:
+            ledger = self._group_offsets.setdefault(group, {})
+            for topic, parts in topics:
+                tres = []
+                for pid, off, meta in parts:
+                    if self._partition(topic, pid) is None:
+                        tres.append(
+                            (pid, ERR_UNKNOWN_TOPIC_OR_PARTITION)
+                        )
+                        continue
+                    ledger[(topic, pid)] = (off, meta or "")
+                    tres.append((pid, ERR_NONE))
+                results.append((topic, tres))
+        w.array(
+            results,
+            lambda ww, t: ww.string(t[0]).array(
+                t[1], lambda w2, p: w2.i32(p[0]).i16(p[1])
+            ),
+        )
+
+    def _offset_fetch(self, r: _Reader, w: _Writer):
+        group = r.string()
+
+        def parse_topic(rr):
+            return (rr.string(), rr.array(lambda r2: r2.i32()))
+
+        topics = r.array(parse_topic)
+        results = []
+        with self._lock:
+            ledger = self._group_offsets.get(group, {})
+            for topic, pids in topics:
+                tres = []
+                for pid in pids:
+                    if self._partition(topic, pid) is None:
+                        tres.append(
+                            (pid, -1, "", ERR_UNKNOWN_TOPIC_OR_PARTITION)
+                        )
+                        continue
+                    off, meta = ledger.get((topic, pid), (-1, ""))
+                    tres.append((pid, off, meta, ERR_NONE))
+                results.append((topic, tres))
+        w.array(
+            results,
+            lambda ww, t: ww.string(t[0]).array(
+                t[1],
+                lambda w2, p: (
+                    w2.i32(p[0]).i64(p[1]).string(p[2]).i16(p[3])
                 ),
             ),
         )
@@ -628,6 +900,90 @@ class MiniKafkaClient:
             )
         return base
 
+    def produce_v2(
+        self, topic: str, partition: int, messages,
+        compression: str = "none",
+    ) -> int:
+        """Produce v3 with a RecordBatch v2 payload (``messages``:
+        [(key|None, value)]; ``compression``: none|gzip). -> base
+        offset. The modern wire shape every 2020s producer speaks."""
+        from .kafkarecords import encode_record_batch
+
+        batch = encode_record_batch(messages, compression=compression)
+        body = (
+            _Writer()
+            .string(None)  # transactional_id (non-transactional)
+            .i16(1)        # acks
+            .i32(30000)
+            .array(
+                [(topic, [(partition, batch)])],
+                lambda ww, t: ww.string(t[0]).array(
+                    t[1],
+                    lambda w2, p: w2.i32(p[0]).i32(len(p[1])).raw(p[1]),
+                ),
+            )
+            .value()
+        )
+        r = self._request(API_PRODUCE, body, version=3)
+
+        def parse_topic(rr):
+            return (
+                rr.string(),
+                rr.array(
+                    lambda r2: (r2.i32(), r2.i16(), r2.i64(), r2.i64())
+                ),
+            )
+
+        [(rt, [(rp, err, base, _lat)])] = r.array(parse_topic)
+        r.i32()  # throttle_time_ms
+        if err:
+            raise ValueError(f"produce(v3) error {err} on {rt}[{rp}]")
+        return base
+
+    def fetch_records(
+        self, topic: str, partition: int, offset: int,
+        max_bytes: int = 1 << 20,
+    ):
+        """Fetch v4: -> (high_watermark, [(offset, key, value)])
+        decoded from RecordBatch v2 data."""
+        from .kafkarecords import decode_record_batches
+
+        body = (
+            _Writer()
+            .i32(-1)            # replica_id
+            .i32(0)             # max_wait_ms
+            .i32(0)             # min_bytes
+            .i32(max_bytes)     # request max_bytes (v3+)
+            .i8(0)              # isolation_level read_uncommitted (v4+)
+            .array(
+                [(topic, [(partition, offset, max_bytes)])],
+                lambda ww, t: ww.string(t[0]).array(
+                    t[1],
+                    lambda w2, p: w2.i32(p[0]).i64(p[1]).i32(p[2]),
+                ),
+            )
+            .value()
+        )
+        r = self._request(API_FETCH, body, version=4)
+        r.i32()  # throttle_time_ms
+
+        def parse_part(rr):
+            pid = rr.i32()
+            err = rr.i16()
+            hw = rr.i64()
+            rr.i64()  # last_stable_offset
+            rr.array(lambda r2: (r2.i64(), r2.i64()))  # aborted txns
+            n = rr.i32()
+            return (pid, err, hw, rr.raw(n))
+
+        def parse_topic(rr):
+            return (rr.string(), rr.array(parse_part))
+
+        [(_, [(_, err, hw, recs)])] = r.array(parse_topic)
+        if err:
+            raise ValueError(f"fetch(v4) error {err}")
+        return hw, decode_record_batches(recs)
+
     def fetch(
         self, topic: str, partition: int, offset: int,
         max_bytes: int = 1 << 20,
@@ -697,14 +1053,135 @@ class MiniKafkaClient:
             raise ValueError(f"list_offsets error {err}")
         return offs[0]
 
+    # -- topic administration -----------------------------------------
+
+    def create_topics(self, topics) -> dict:
+        """``topics``: [(name, num_partitions, replication_factor,
+        configs_dict)] -> {name: error_code} (0 = created). Configs
+        ride the wire as CreateTopics config_entries (e.g.
+        retention.ms, cleanup.policy), reference setup_kafka_topics
+        parity."""
+        body = (
+            _Writer()
+            .array(
+                list(topics),
+                lambda ww, t: (
+                    ww.string(t[0]).i32(t[1]).i16(t[2])
+                    .array([], lambda w2, a: None)  # no manual assignment
+                    .array(
+                        sorted((t[3] or {}).items()),
+                        lambda w2, c: w2.string(c[0]).string(c[1]),
+                    )
+                ),
+            )
+            .i32(30000)
+            .value()
+        )
+        r = self._request(API_CREATE_TOPICS, body)
+        return dict(r.array(lambda rr: (rr.string(), rr.i16())))
+
+    def delete_topics(self, names) -> dict:
+        """-> {name: error_code} (0 = deleted, 3 = unknown)."""
+        body = (
+            _Writer()
+            .array(list(names), lambda ww, n: ww.string(n))
+            .i32(30000)
+            .value()
+        )
+        r = self._request(API_DELETE_TOPICS, body)
+        return dict(r.array(lambda rr: (rr.string(), rr.i16())))
+
+    # -- consumer groups ------------------------------------------------
+
+    def find_coordinator(self, group: str) -> tuple:
+        """-> (node_id, host, port) of the group coordinator."""
+        r = self._request(
+            API_FIND_COORDINATOR, _Writer().string(group).value()
+        )
+        err = r.i16()
+        if err:
+            raise ValueError(f"find_coordinator error {err}")
+        return (r.i32(), r.string(), r.i32())
+
+    def offset_commit(self, group: str, offsets: dict) -> None:
+        """``offsets``: {(topic, pid): offset} — commit the group's
+        consumption positions (metadata left empty)."""
+        by_topic: dict[str, list] = {}
+        for (topic, pid), off in sorted(offsets.items()):
+            by_topic.setdefault(topic, []).append((pid, off))
+        body = (
+            _Writer()
+            .string(group)
+            .array(
+                sorted(by_topic.items()),
+                lambda ww, t: ww.string(t[0]).array(
+                    t[1],
+                    lambda w2, p: w2.i32(p[0]).i64(p[1]).string(""),
+                ),
+            )
+            .value()
+        )
+        r = self._request(API_OFFSET_COMMIT, body)
+        for topic, parts in r.array(
+            lambda rr: (
+                rr.string(),
+                rr.array(lambda r2: (r2.i32(), r2.i16())),
+            )
+        ):
+            for pid, err in parts:
+                if err:
+                    raise ValueError(
+                        f"offset_commit error {err} on {topic}[{pid}]"
+                    )
+
+    def offset_fetch(self, group: str, parts) -> dict:
+        """``parts``: [(topic, pid)] -> {(topic, pid): offset}
+        (-1 = nothing committed)."""
+        by_topic: dict[str, list] = {}
+        for topic, pid in sorted(parts):
+            by_topic.setdefault(topic, []).append(pid)
+        body = (
+            _Writer()
+            .string(group)
+            .array(
+                sorted(by_topic.items()),
+                lambda ww, t: ww.string(t[0]).array(
+                    t[1], lambda w2, p: w2.i32(p)
+                ),
+            )
+            .value()
+        )
+        r = self._request(API_OFFSET_FETCH, body)
+        out = {}
+        for topic, tparts in r.array(
+            lambda rr: (
+                rr.string(),
+                rr.array(
+                    lambda r2: (
+                        r2.i32(), r2.i64(), r2.string(), r2.i16()
+                    )
+                ),
+            )
+        ):
+            for pid, off, _meta, err in tparts:
+                if err:
+                    raise ValueError(
+                        f"offset_fetch error {err} on {topic}[{pid}]"
+                    )
+                out[(topic, pid)] = off
+        return out
+
     def fetch_range(
-        self, topic: str, partition: int, start: int, end: int
+        self, topic: str, partition: int, start: int, end: int,
+        fmt: str = "v0",
     ) -> Iterator:
         """Yield (offset, key, value) for exactly [start, end) —
-        offset-addressed random access, the reader's scale property."""
+        offset-addressed random access, the reader's scale property.
+        ``fmt``: v0 (MessageSet) or v2 (Fetch v4 RecordBatch)."""
+        fetch = self.fetch_records if fmt == "v2" else self.fetch
         off = start
         while off < end:
-            _, msgs = self.fetch(topic, partition, off)
+            _, msgs = fetch(topic, partition, off)
             if not msgs:
                 raise ValueError(
                     f"fetch at {off} returned no data below end {end}"

@@ -47,18 +47,20 @@ _SCHEMA = (
 
 
 class _OffsetRange(InputPartition):
-    def __init__(self, bootstrap, topic, pid, start, end):
+    def __init__(self, bootstrap, topic, pid, start, end, fmt="v0"):
         self.bootstrap = bootstrap
         self.topic = topic
         self.pid = pid
         self.start = start
         self.end = end
+        self.fmt = fmt
 
 
 def _read_range(part: _OffsetRange) -> Iterator[tuple]:
     with MiniKafkaClient(part.bootstrap) as c:
         for off, k, v in c.fetch_range(
-            part.topic, part.pid, part.start, part.end
+            part.topic, part.pid, part.start, part.end,
+            fmt=getattr(part, "fmt", "v0"),
         ):
             yield (k, v, part.topic, part.pid, off, None, -1)
 
@@ -70,11 +72,22 @@ def _require(options: dict, key: str) -> str:
     return v
 
 
+def _record_format(options: dict) -> str:
+    """``recordFormat`` option: v0 (MessageSet, Fetch v0) or v2
+    (RecordBatch, Fetch v4) — both decode to the same rows, proving
+    both generations of the public format over the wire."""
+    fmt = str(options.get("recordformat", "v0")).lower()
+    if fmt not in ("v0", "v2"):
+        raise ValueError(f"recordFormat={fmt!r}: v0|v2")
+    return fmt
+
+
 class _BatchReader(DataSourceReader):
     def __init__(self, options: dict):
         self.bootstrap = _require(options, "bootstrap")
         self.topic = _require(options, "topic")
         self.min_partitions = int(options.get("minpartitions", 0))
+        self.fmt = _record_format(options)
 
     def partitions(self) -> list:
         with MiniKafkaClient(self.bootstrap) as c:
@@ -99,7 +112,7 @@ class _BatchReader(DataSourceReader):
                 out.append(
                     _OffsetRange(
                         self.bootstrap, self.topic, pid,
-                        s, min(s + step, end),
+                        s, min(s + step, end), self.fmt,
                     )
                 )
         return out
@@ -147,6 +160,7 @@ class _StreamReader(DataSourceStreamReader):
                 "jar-backed kafka connector)"
             )
         self.start_ts = -2 if so == "earliest" else -1
+        self.fmt = _record_format(options)
 
     def initialOffset(self) -> dict:
         with MiniKafkaClient(self.bootstrap) as c:
@@ -168,7 +182,7 @@ class _StreamReader(DataSourceStreamReader):
         return [
             _OffsetRange(
                 self.bootstrap, self.topic, int(p),
-                start.get(p, 0), end[p],
+                start.get(p, 0), end[p], self.fmt,
             )
             for p in sorted(end, key=int)
             if end[p] > start.get(p, 0)
@@ -196,7 +210,22 @@ def _produce_rows(options: dict, iterator) -> _ProduceCommit:
     bootstrap = _require(options, "bootstrap")
     topic = _require(options, "topic")
     chunk = int(options.get("batchsize", 500))
+    # compression.type parity with the real producer: gzip rides
+    # Produce v3 RecordBatch v2 frames; none keeps the v0 path
+    comp = str(options.get("compression.type",
+                           options.get("compression", "none"))).lower()
+    if comp not in ("none", "gzip"):
+        raise NotImplementedError(
+            f"compression.type={comp!r}: none|gzip (snappy/lz4/zstd "
+            "codecs are not in this environment)"
+        )
     with MiniKafkaClient(bootstrap) as c:
+        if comp == "gzip":
+            def send(pid, msgs):
+                c.produce_v2(topic, pid, msgs, compression="gzip")
+        else:
+            def send(pid, msgs):
+                c.produce(topic, pid, msgs)
         nparts = len(c.metadata([topic])["topics"][topic])
         buf: dict[int, list] = {}
         n = 0
@@ -215,9 +244,9 @@ def _produce_rows(options: dict, iterator) -> _ProduceCommit:
             buf.setdefault(int(pid), []).append((key, value))
             n += 1
             if len(buf[int(pid)]) >= chunk:
-                c.produce(topic, int(pid), buf.pop(int(pid)))
+                send(int(pid), buf.pop(int(pid)))
         for pid, msgs in sorted(buf.items()):
-            c.produce(topic, pid, msgs)
+            send(pid, msgs)
     return _ProduceCommit(n)
 
 

@@ -97,3 +97,98 @@ def consume_sample_kafka(
     finally:
         consumer.close()
     return {"messages": messages, "empty": not messages, "available": available}
+
+
+def consume_sample_wire(
+    bootstrap: str,
+    topic: str = "ecommerce-orders",
+    max_messages: int = 10,
+    group_id: str | None = None,
+    auto_offset_reset: str = "earliest",
+    enable_auto_commit: bool = True,
+) -> dict:
+    """Consumer smoke test over the engine's own wire client — the
+    reference's consumer semantics (kafka_consumer_test.py:18-29:
+    ``group_id``, ``enable_auto_commit``, ``auto_offset_reset``,
+    ``partitions_for_topic``) end-to-end with no kafka-python.
+
+    Group mode is the single-member fast path: FindCoordinator names
+    the coordinator, OffsetFetch recovers the group's committed
+    positions (falling back to ``auto_offset_reset`` where nothing is
+    committed — earliest/latest exactly like the real consumer), the
+    read loop round-robins partitions up to ``max_messages``, and
+    ``enable_auto_commit`` commits the advanced positions via
+    OffsetCommit so a reconnect resumes where this call left off.
+
+    Returns ``{"messages", "empty", "available", "partitions",
+    "positions"}`` — positions are the group's post-read committed
+    offsets ({} when not committing)."""
+    import json as _json
+
+    from ..sources.minikafka import MiniKafkaClient
+
+    if auto_offset_reset not in ("earliest", "latest"):
+        raise ValueError(
+            f"auto_offset_reset={auto_offset_reset!r}: earliest|latest"
+        )
+    reset_ts = -2 if auto_offset_reset == "earliest" else -1
+    with MiniKafkaClient(bootstrap) as c:
+        meta = c.metadata([topic])
+        pids = meta["topics"][topic]  # partitions_for_topic
+        if group_id is not None:
+            c.find_coordinator(group_id)  # this node coordinates
+            committed = c.offset_fetch(
+                group_id, [(topic, p) for p in pids]
+            )
+        else:
+            committed = {}
+        positions = {
+            p: (
+                committed[(topic, p)]
+                if committed.get((topic, p), -1) >= 0
+                else c.offsets(topic, p, reset_ts)
+            )
+            for p in pids
+        }
+        ends = {p: c.offsets(topic, p, -1) for p in pids}
+        messages = []
+        progressed = True
+        while len(messages) < max_messages and progressed:
+            progressed = False
+            for p in pids:
+                if len(messages) >= max_messages:
+                    break
+                if positions[p] >= ends[p]:
+                    continue
+                _, msgs = c.fetch(topic, p, positions[p])
+                for off, _k, v in msgs:
+                    if len(messages) >= max_messages:
+                        break
+                    try:
+                        value = _json.loads(v.decode())
+                    except (UnicodeDecodeError, ValueError):
+                        value = v
+                    messages.append(
+                        {"partition": p, "offset": off, "value": value}
+                    )
+                    positions[p] = off + 1
+                    progressed = True
+        if group_id is not None and enable_auto_commit:
+            c.offset_commit(
+                group_id,
+                {(topic, p): positions[p] for p in pids},
+            )
+        available = (
+            sorted(c.metadata()["topics"]) if not messages else []
+        )
+    return {
+        "messages": messages,
+        "empty": not messages,
+        "available": available,
+        "partitions": sorted(pids),
+        "positions": (
+            {p: positions[p] for p in pids}
+            if group_id is not None and enable_auto_commit
+            else {}
+        ),
+    }
