@@ -1074,6 +1074,57 @@ _ICEBERG_SINK_FIELDS = [
 ]
 
 
+def _iceberg_partition_col(df: DataFrame, sf: dict):
+    """Spark column computing a spec field's partition value —
+    identity and truncate stay in Catalyst expressions (JVM-side,
+    codegen); bucket is a vectorized pandas batch over the public
+    Murmur3 (no per-row Python for long sources)."""
+    source, transform = sf["source"], sf["transform"]
+    col = F.col(source)
+    if transform == "identity":
+        return col
+    dtype = dict(df.dtypes)[source]
+    if transform.startswith("truncate["):
+        w = int(transform[9:-1])
+        if dtype == "string":
+            return F.substring(col, 1, w)
+        return (col - F.pmod(col, F.lit(w))).cast("long")
+    if transform.startswith("bucket["):
+        n = int(transform[7:-1])
+        from pyspark.sql.functions import pandas_udf
+
+        if dtype in ("bigint", "int", "smallint", "tinyint"):
+            @pandas_udf("int")
+            def _bucket_long(s):
+                import pandas as pd
+
+                from ..sources.iceberglog import bucket_long_array
+
+                mask = s.isna().to_numpy()
+                vals = s.fillna(0).astype("int64").to_numpy()
+                out = pd.Series(
+                    bucket_long_array(vals, n), dtype="Int32"
+                )
+                out[mask] = pd.NA
+                return out
+
+            return _bucket_long(col.cast("long"))
+        if dtype == "string":
+            @pandas_udf("int")
+            def _bucket_str(s):
+                from ..sources.iceberglog import bucket_value
+
+                return s.map(
+                    lambda v: None if v is None else bucket_value(v, n)
+                ).astype("Int32")
+
+            return _bucket_str(col)
+    raise NotImplementedError(
+        f"partition transform {transform!r} on {dtype} is outside "
+        "the sink subset (identity/truncate/bucket on long+string)"
+    )
+
+
 def _iceberg_stream_commit(
     committer, table_dir: str, batch_df: DataFrame, batch_id: int,
     partition_by: tuple = (),
@@ -1084,12 +1135,16 @@ def _iceberg_stream_commit(
     reads only parquet FOOTERS (record counts for the manifest) and
     writes the O(KB) metadata — the Delta sink's division of labor.
 
-    Partitioned commits (identity transform): Iceberg data files
-    KEEP their partition columns, so each partition value gets its
-    own distributed write (values come from a partition-cardinality
-    distinct — metadata-sized; a production writer uses a fanout
-    committer instead of one job per value) and its manifest entry
-    carries the ``partition`` struct for manifest-level pruning."""
+    Partitioned commits are a SINGLE fanout write job: Iceberg data
+    files KEEP their partition columns, so the job partitions by
+    DERIVED ``__part_*`` columns (identity copy, or the transform —
+    truncate in pure Catalyst expressions, bucket via a vectorized
+    Murmur3 pandas batch) which ``partitionBy`` consumes into the
+    directory layout while the original columns stay in the files.
+    The driver then maps each part file's path segments back to its
+    partition struct for the manifest entries — O(files) metadata, no
+    per-partition-value jobs (the round-10 shape ran one Spark job
+    per value: a job-count scale-killer at 1000-value columns)."""
     if committer.committed_batch_id() >= batch_id:
         return
 
@@ -1102,21 +1157,37 @@ def _iceberg_stream_commit(
 
     batch_rel = f"batch-{batch_id:05d}"
     if partition_by:
-        (pcol,) = partition_by  # identity single-column subset
-        values = sorted(
-            r[0] for r in batch_df.select(pcol).distinct().collect()
+        staged = batch_df
+        part_cols = []
+        for sf in committer.spec_fields:
+            c = f"__part_{sf['name']}"
+            staged = staged.withColumn(
+                c, _iceberg_partition_col(batch_df, sf)
+            )
+            part_cols.append(c)
+        (
+            staged.write.mode("overwrite")
+            .partitionBy(*part_cols)
+            .parquet(os.path.join(table_dir, "data", batch_rel))
         )
         added = []
-        for v in values:
-            rel = f"{batch_rel}/{pcol}={v}"
-            (
-                batch_df.filter(F.col(pcol) == v)
-                .write.mode("overwrite")
-                .parquet(os.path.join(table_dir, "data", rel))
-            )
+        root = os.path.join(table_dir, "data", batch_rel)
+        for dirpath, _, files in os.walk(root):
+            pqs = sorted(f for f in files if f.endswith(".parquet"))
+            if not pqs:
+                continue
+            rel = os.path.relpath(dirpath, root)
+            struct = {
+                k[len("__part_"):]: v
+                for k, v in _partition_values_from_path(
+                    rel + "/x", tuple(part_cols)
+                ).items()
+            }
             added += [
-                committer.data_file_entry(p, partition={pcol: v})
-                for p in _parts(rel)
+                committer.data_file_entry(
+                    os.path.join(dirpath, f), partition=struct
+                )
+                for f in pqs
             ]
         committer.commit(batch_id, added)
         return
@@ -1283,3 +1354,177 @@ def iceberg_maintenance_roundtrip(
     table_dir = _run_iceberg_sink_stream(spark, sf_dir)
     expire_snapshots(table_dir, keep=1)
     return _orders_sink_agg(read_iceberg_snapshot(spark, table_dir))
+
+
+# --- production-shape partitioning: multi-column + transforms -----------------
+
+_TRANSFORM_SPEC = (
+    "o_orderstatus",                      # identity
+    ("o_orderpriority", "truncate[1]"),   # Catalyst substring
+    ("o_orderkey", "bucket[4]"),          # vectorized Murmur3
+)
+
+
+def _multipart_orders_delta(spark: SparkSession, sf_dir: str) -> str:
+    d = _fixture_dir(spark, sf_dir, "delta_multipart_table")
+    if d is None:
+        d = _run_delta_sink_stream(
+            spark, sf_dir,
+            partition_by=("o_orderstatus", "o_orderpriority"),
+        )
+        _remember(spark, sf_dir, "delta_multipart_table", d)
+    return d
+
+
+def _transform_orders_iceberg(spark: SparkSession, sf_dir: str) -> str:
+    d = _fixture_dir(spark, sf_dir, "iceberg_transform_table")
+    if d is None:
+        d = _run_iceberg_sink_stream(
+            spark, sf_dir, partition_by=_TRANSFORM_SPEC
+        )
+        _remember(spark, sf_dir, "iceberg_transform_table", d)
+    return d
+
+
+@query("streaming_delta_sink_multipart", _DELTA_STREAM_ORACLE)
+def streaming_delta_sink_multipart(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Delta sink on a MULTI-COLUMN hive-partitioned table
+    (status × priority — two nested directory levels): every add
+    action carries both partitionValues parsed from its path, and
+    readback recovers both columns via basePath in metaData schema
+    order. Partition count here is |status|×|priority| = 15 — the
+    shape that, at a 1000×1000-value table, only works because the
+    commit is ONE fanout write and pruning happens in the log."""
+    from ..sources.deltalog import read_delta_snapshot
+
+    table_dir = _multipart_orders_delta(spark, sf_dir)
+    return _orders_sink_agg(read_delta_snapshot(spark, table_dir))
+
+
+_DELTA_COMPOUND_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+FROM orders
+WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
+"""
+
+
+@query("delta_compound_pruned_read", _DELTA_COMPOUND_ORACLE)
+def delta_compound_pruned_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COMPOUND log-level pruning on the multi-column table: the
+    {status='F', priority='1-URGENT'} filter intersects both
+    partitionValues in the transaction log, shrinking the file list
+    to one (status, priority) cell before Spark lists anything — at
+    100 TB a compound partition predicate must multiply its
+    selectivities in METADATA, not scan one level and filter the
+    other. The oracle recomputes the cell with a WHERE clause."""
+    from ..sources.deltalog import read_delta_snapshot
+
+    table_dir = _multipart_orders_delta(spark, sf_dir)
+    df = read_delta_snapshot(
+        spark, table_dir,
+        partition_filter={
+            "o_orderstatus": "F", "o_orderpriority": "1-URGENT",
+        },
+    )
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
+
+
+@query("streaming_iceberg_sink_transforms", _DELTA_STREAM_ORACLE)
+def streaming_iceberg_sink_transforms(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Iceberg sink on a THREE-FIELD transform spec — identity ×
+    truncate[1] × bucket[4] (Iceberg spec partition transforms; the
+    bucket hash is the spec's Murmur3, pinned to its published test
+    vectors in tests) — committed as ONE fanout write per micro-batch
+    with derived ``__part_*`` columns. The full-table readback hash
+    proves the fanout, the transformed partition structs, and the
+    manifest carry-forward lose nothing."""
+    from ..sources.iceberglog import read_iceberg_snapshot
+
+    table_dir = _transform_orders_iceberg(spark, sf_dir)
+    return _orders_sink_agg(read_iceberg_snapshot(spark, table_dir))
+
+
+_ICEBERG_TRANSFORM_PRUNED_ORACLE = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+FROM orders
+WHERE o_orderpriority = '3-MEDIUM' AND o_orderstatus = 'F'
+GROUP BY o_orderstatus
+"""
+
+
+@query("iceberg_transform_pruned_read", _ICEBERG_TRANSFORM_PRUNED_ORACLE)
+def iceberg_transform_pruned_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Transform-aware scan planning, the real engines' two-step:
+    the {priority='3-MEDIUM', status='F'} predicate is TRANSFORMED
+    (truncate[1] -> '3'; identity -> 'F') and compared against each
+    manifest entry's partition struct — the file list shrinks at the
+    manifest level — then the exact predicate re-applies as a
+    RESIDUAL filter on the surviving rows (truncate partitions are a
+    superset of the equality predicate by construction). The oracle
+    recomputes with the exact WHERE, so a pruning false-NEGATIVE
+    (lost file) breaks the hash, and the residual step catches the
+    false positives pruning legitimately leaves."""
+    from ..sources.iceberglog import read_iceberg_snapshot
+
+    table_dir = _transform_orders_iceberg(spark, sf_dir)
+    df = read_iceberg_snapshot(
+        spark, table_dir,
+        partition_filter={
+            "o_orderpriority": "3-MEDIUM", "o_orderstatus": "F",
+        },
+    ).filter(
+        (F.col("o_orderpriority") == "3-MEDIUM")
+        & (F.col("o_orderstatus") == "F")
+    )
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+    )
+
+
+_ICEBERG_POINT_ORACLE = """
+SELECT o_orderkey, o_orderstatus, o_orderpriority,
+       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+FROM orders
+WHERE o_orderkey = 1
+"""
+
+
+@query("iceberg_bucket_pruned_point_read", _ICEBERG_POINT_ORACLE)
+def iceberg_bucket_pruned_point_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Point lookup through bucket pruning: the o_orderkey=1
+    predicate buckets (spec Murmur3) to one of 4 cells, the manifest
+    scan keeps only that bucket's files, and the equality predicate
+    re-applies as the residual — the O(1/N)-scan point-read pattern
+    bucketed tables exist for. A hash mismatch means either the
+    writer bucketed the row into the wrong cell or the reader pruned
+    the right cell away."""
+    from ..sources.iceberglog import read_iceberg_snapshot
+
+    table_dir = _transform_orders_iceberg(spark, sf_dir)
+    return read_iceberg_snapshot(
+        spark, table_dir, partition_filter={"o_orderkey": 1}
+    ).filter(F.col("o_orderkey") == 1).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "cents"
+    )

@@ -14,10 +14,19 @@ own object-container codec (``operators/avrocodec.py``) — the jar
 gap closes because the metadata formats are public specs, not
 connector internals.
 
-Subset: unpartitioned v1-shaped tables, parquet data files,
-core data_file fields (content/file_path/file_format/record_count/
-file_size_in_bytes). Anything else gates loudly toward the
-jar-backed path in ``sources/lakehouse.py``."""
+Partitioning is first-class: identity, ``truncate[W]`` and
+``bucket[N]`` transforms (Iceberg spec Appendix B — bucket is
+Murmur3 x86-32 of the value's single-value serialization, pinned to
+the spec's published test vectors), multi-column specs, and
+transform-aware scan pruning (a filter on the SOURCE column is
+transformed and compared against each manifest entry's partition
+struct — exactly Iceberg's scan planning, so the file list shrinks
+at the manifest level before any path is listed).
+
+Subset: v1-shaped tables, parquet data files, core data_file fields
+(content/file_path/file_format/record_count/file_size_in_bytes).
+Anything else (date transforms, format v2 delete files, ...) gates
+loudly toward the jar-backed path in ``sources/lakehouse.py``."""
 
 from __future__ import annotations
 
@@ -31,6 +40,166 @@ from ..operators.avrocodec import read_container, write_container
 STATUS_EXISTING = 0
 STATUS_ADDED = 1
 STATUS_DELETED = 2
+
+
+# --- partition transforms (Iceberg spec §Partition Transforms + App. B) ------
+
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """Murmur3 x86 32-bit (Austin Appleby's public-domain MurmurHash3)
+    — the hash the Iceberg spec mandates for ``bucket[N]``."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n4 = len(data) // 4 * 4
+    for i in range(0, n4, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[n4:]
+    for i, b in enumerate(tail):
+        k |= b << (8 * i)
+    if tail:
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def bucket_value(value, n: int) -> int:
+    """``bucket[N]`` of a long/int/string value per the spec: ints
+    and longs hash as 8-byte little-endian (so hash(34) == hash(34L)),
+    strings as UTF-8 bytes; result ``(hash & Int.MAX) % N``."""
+    if isinstance(value, bool) or value is None:
+        raise NotImplementedError(
+            f"bucket transform on {type(value).__name__} is outside "
+            "the subset (long/int/string here)"
+        )
+    if isinstance(value, int):
+        data = (value & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little")
+    elif isinstance(value, str):
+        data = value.encode()
+    else:
+        raise NotImplementedError(
+            f"bucket transform on {type(value).__name__} is outside "
+            "the subset (long/int/string here)"
+        )
+    return (murmur3_32(data) & 0x7FFFFFFF) % n
+
+
+def bucket_long_array(vals, n: int):
+    """numpy-vectorized ``bucket[N]`` over an int64 array — the
+    executor-side twin of ``bucket_value`` for the fanout writer's
+    partition-column derivation (Arrow batch in, buckets out; no
+    per-row Python). Longs hash as two little-endian 32-bit blocks,
+    no tail, length 8 — Murmur3 x86-32 unrolled in uint32 ops."""
+    import numpy as np
+
+    v = np.asarray(vals, dtype=np.int64).view(np.uint64)
+    c1 = np.uint32(0xCC9E2D51)
+    c2 = np.uint32(0x1B873593)
+    with np.errstate(over="ignore"):
+        h = np.zeros(len(v), np.uint32)
+        for blk in (
+            (v & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+            (v >> np.uint64(32)).astype(np.uint32),
+        ):
+            k = blk * c1
+            k = (k << np.uint32(15)) | (k >> np.uint32(17))
+            k = k * c2
+            h ^= k
+            h = (h << np.uint32(13)) | (h >> np.uint32(19))
+            h = h * np.uint32(5) + np.uint32(0xE6546B64)
+        h ^= np.uint32(8)  # length
+        h ^= h >> np.uint32(16)
+        h = h * np.uint32(0x85EBCA6B)
+        h ^= h >> np.uint32(13)
+        h = h * np.uint32(0xC2B2AE35)
+        h ^= h >> np.uint32(16)
+        return ((h & np.uint32(0x7FFFFFFF)) % np.uint32(n)).astype(
+            np.int32
+        )
+
+
+def truncate_value(value, w: int):
+    """``truncate[W]``: strings keep the first W characters; integers
+    floor to the nearest lower multiple of W (``v - (v mod W)`` with a
+    non-negative mod, per spec)."""
+    if isinstance(value, str):
+        return value[:w]
+    if isinstance(value, int) and not isinstance(value, bool):
+        return value - (((value % w) + w) % w)
+    raise NotImplementedError(
+        f"truncate transform on {type(value).__name__} is outside "
+        "the subset (long/int/string here)"
+    )
+
+
+def apply_transform(transform: str, value):
+    """Partition-struct value for a source value under ``identity`` /
+    ``truncate[W]`` / ``bucket[N]`` — used by the WRITER to assign
+    files and by the READER to transform scan predicates."""
+    if transform == "identity":
+        return value
+    if transform.startswith("truncate[") and transform.endswith("]"):
+        return truncate_value(value, int(transform[9:-1]))
+    if transform.startswith("bucket[") and transform.endswith("]"):
+        return bucket_value(value, int(transform[7:-1]))
+    raise NotImplementedError(
+        f"partition transform {transform!r} is outside the "
+        "metadata-replay subset (identity/truncate[W]/bucket[N]; use "
+        "the jar-backed path)"
+    )
+
+
+def partition_field_name(source: str, transform: str) -> str:
+    """Spec-conventional derived field names: identity keeps the
+    column name; bucket/truncate suffix it."""
+    if transform == "identity":
+        return source
+    if transform.startswith("bucket"):
+        return f"{source}_bucket"
+    if transform.startswith("truncate"):
+        return f"{source}_trunc"
+    return f"{source}_{transform}"
+
+
+def normalize_partition_spec(partition_by, schema_names) -> list:
+    """Normalize a sink's ``partition_by`` — a tuple of column names
+    (identity) and/or ``(column, transform)`` pairs — into spec-field
+    dicts ``{name, source, transform, source_id, field_id}``."""
+    fields = []
+    for i, p in enumerate(partition_by):
+        source, transform = (p, "identity") if isinstance(p, str) else p
+        if source not in schema_names:
+            raise ValueError(
+                f"partition source column {source!r} not in schema "
+                f"{list(schema_names)}"
+            )
+        if transform != "identity":
+            # validate the transform syntax loudly at spec-build time
+            apply_transform(transform, 0)
+        fields.append(
+            {
+                "name": partition_field_name(source, transform),
+                "source": source,
+                "transform": transform,
+                "source_id": list(schema_names).index(source) + 1,
+                "field_id": 1000 + i,
+            }
+        )
+    return fields
 
 _MANIFEST_LIST_SCHEMA = {
     "type": "record",
@@ -110,31 +279,52 @@ def snapshot_data_files(
     ``{"snapshot_id", "files": [paths], "schema_fields",
     "partition_fields"}``.
 
-    Identity-partitioned tables are first-class: each manifest
-    entry's ``data_file.partition`` struct is the pruning metadata,
-    so ``partition_filter`` ({col: value}) shrinks the FILE LIST at
-    the manifest level — Iceberg's defining scale property (the scan
-    plan never lists unmatched partitions). Non-identity transforms
-    (bucket/truncate/days/...) gate loudly."""
+    Partitioned tables are first-class: each manifest entry's
+    ``data_file.partition`` struct is the pruning metadata, so
+    ``partition_filter`` ({source_col: value}) shrinks the FILE LIST
+    at the manifest level — Iceberg's defining scale property (the
+    scan plan never lists unmatched partitions). Filters are keyed on
+    SOURCE columns and transformed per the spec field's transform
+    before comparing (bucket/truncate predicate pushdown, exactly
+    Iceberg's scan planning); unsupported transforms gate loudly via
+    ``apply_transform``."""
     meta = json.loads(open(_metadata_path(table_dir)).read())
-    part_fields = []
+    id_to_name = {
+        f["id"]: f["name"] for f in meta["schemas"][0]["fields"]
+    }
+    spec_fields = []
     for spec in meta.get("partition-specs") or []:
         for f in spec.get("fields") or []:
-            if f.get("transform", "identity") != "identity":
-                raise NotImplementedError(
-                    f"partition transform {f['transform']!r} is outside "
-                    "the metadata-replay subset (identity only; use the "
-                    "jar-backed path)"
-                )
-            if f["name"] not in part_fields:
-                part_fields.append(f["name"])
+            transform = f.get("transform", "identity")
+            sf = {
+                "name": f["name"],
+                "source": id_to_name.get(f.get("source-id"), f["name"]),
+                "transform": transform,
+            }
+            if sf not in spec_fields:
+                spec_fields.append(sf)
+    part_fields = []
+    for sf in spec_fields:
+        if sf["name"] not in part_fields:
+            part_fields.append(sf["name"])
+    expected = {}
     if partition_filter:
-        unknown = set(partition_filter) - set(part_fields)
+        sources = {sf["source"] for sf in spec_fields}
+        unknown = set(partition_filter) - sources
         if unknown:
             raise ValueError(
                 f"partition filter on non-partition columns "
-                f"{sorted(unknown)} (partitions: {part_fields})"
+                f"{sorted(unknown)} (partition sources: "
+                f"{sorted(sources)})"
             )
+        for sf in spec_fields:
+            if sf["source"] in partition_filter:
+                expected[sf["name"]] = str(
+                    apply_transform(
+                        sf["transform"],
+                        partition_filter[sf["source"]],
+                    )
+                )
     target = (
         meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
     )
@@ -159,11 +349,11 @@ def snapshot_data_files(
                     f"data file format {df['file_format']!r} outside "
                     "the subset"
                 )
-            if partition_filter:
+            if expected:
                 part = df.get("partition") or {}
                 if any(
-                    part.get(c) != v
-                    for c, v in partition_filter.items()
+                    str(part.get(name)) != v
+                    for name, v in expected.items()
                 ):
                     continue
             files.append(df["file_path"])
@@ -172,6 +362,7 @@ def snapshot_data_files(
         "files": sorted(set(files)),
         "schema_fields": meta["schemas"][0]["fields"],
         "partition_fields": part_fields,
+        "partition_spec": spec_fields,
     }
 
 
@@ -359,17 +550,22 @@ class IcebergCommitter:
         self.data_dir = os.path.join(table_dir, "data")
         os.makedirs(self.meta_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
-        self.partition_by = tuple(partition_by)
-        self.manifest_schema = _manifest_schema(self.partition_by)
         names = [n for n, _ in schema_fields]
+        # partition_by: column names (identity) and/or
+        # (column, "bucket[N]"/"truncate[W]") transform pairs
+        self.spec_fields = normalize_partition_spec(partition_by, names)
+        self.partition_by = tuple(partition_by)
+        self.manifest_schema = _manifest_schema(
+            [sf["name"] for sf in self.spec_fields]
+        )
         self.partition_spec_fields = [
             {
-                "name": c,
-                "transform": "identity",
-                "source-id": names.index(c) + 1,
-                "field-id": 1000 + i,
+                "name": sf["name"],
+                "transform": sf["transform"],
+                "source-id": sf["source_id"],
+                "field-id": sf["field_id"],
             }
-            for i, c in enumerate(self.partition_by)
+            for sf in self.spec_fields
         ]
         self.schema = {
             "type": "struct",
@@ -418,9 +614,12 @@ class IcebergCommitter:
             "record_count": pq.ParquetFile(path).metadata.num_rows,
             "file_size_in_bytes": os.path.getsize(path),
         }
-        if self.partition_by:
+        if self.spec_fields:
+            # keys are spec-field NAMES; values are the (already
+            # transformed) partition-struct values
             entry["partition"] = {
-                c: str((partition or {}).get(c)) for c in self.partition_by
+                sf["name"]: str((partition or {}).get(sf["name"]))
+                for sf in self.spec_fields
             }
         return entry
 

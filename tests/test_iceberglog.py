@@ -75,9 +75,12 @@ def test_manifests_are_real_avro(tmp_path):
             assert e["data_file"]["file_format"] == "PARQUET"
 
 
-def test_nonidentity_transform_gates_loudly(tmp_path):
-    """Identity partitioning is first-class (see the partitioned sink
-    tests); other transforms still gate toward the jar-backed path."""
+def test_unsupported_transform_gates_only_when_filtered(tmp_path):
+    """Iceberg data files always CONTAIN their source columns, so an
+    unfiltered read of a table with any transform is well-defined;
+    only a filter that must APPLY an unsupported transform (here
+    ``day``) gates toward the jar-backed path. bucket/truncate
+    filters are first-class (see the transform sink tests)."""
     w, _, _ = _make_table(tmp_path)
     v = int(open(tmp_path / "metadata" / "version-hint.text").read())
     meta_path = tmp_path / "metadata" / f"v{v}.metadata.json"
@@ -88,8 +91,15 @@ def test_nonidentity_transform_gates_loudly(tmp_path):
                      "field-id": 1000}]}
     ]
     meta_path.write_text(json.dumps(meta))
+    snap = snapshot_data_files(str(tmp_path))  # unfiltered: fine
+    assert snap["files"]
+    assert snap["partition_spec"] == [
+        {"name": "day", "source": "k", "transform": "day"}
+    ]
     with pytest.raises(NotImplementedError, match="transform 'day'"):
-        snapshot_data_files(str(tmp_path))
+        snapshot_data_files(
+            str(tmp_path), partition_filter={"k": 1}
+        )
     with pytest.raises(ValueError, match="not an Iceberg table"):
         snapshot_data_files(str(tmp_path / "nope"))
 
@@ -303,10 +313,139 @@ def test_partitioned_sink_prunes_at_manifest_level(tmp_path, spark):
         snapshot_data_files(
             str(tmp_path), partition_filter={"nope": "x"}
         )
-    # non-identity transform gates
+    # bucket transforms are now first-class: a filter against a spec
+    # rewritten to bucket[4] compares the TRANSFORMED value ("F"
+    # buckets to 3), so the original identity struct values no longer
+    # match and the pruned set is empty — transform-aware planning,
+    # not a string compare against the source value
     meta_path = _vhint_meta(tmp_path)
     meta = json.loads(open(meta_path).read())
     meta["partition-specs"][0]["fields"][0]["transform"] = "bucket[4]"
     open(meta_path, "w").write(json.dumps(meta))
-    with pytest.raises(NotImplementedError, match="bucket"):
-        snapshot_data_files(str(tmp_path))
+    bsnap = snapshot_data_files(
+        str(tmp_path), partition_filter={"o_orderstatus": "F"}
+    )
+    assert bsnap["files"] == []
+    assert bsnap["partition_spec"][0]["transform"] == "bucket[4]"
+
+
+def test_partitioned_commit_is_one_fanout_write_job(tmp_path, spark):
+    """The production shape: a partitioned commit runs exactly ONE
+    distributed write (partitionBy fanout over derived columns), not
+    one job per partition value — at a 1000-value partition column
+    the per-value loop is a job-count scale-killer."""
+    from unittest import mock
+
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from kafka_spark_streaming_app_spark.queries.formats import (
+        _ICEBERG_SINK_FIELDS,
+        _iceberg_stream_commit,
+    )
+    from kafka_spark_streaming_app_spark.sources.iceberglog import (
+        IcebergCommitter,
+    )
+
+    c = IcebergCommitter(
+        str(tmp_path), _ICEBERG_SINK_FIELDS, ("o_orderstatus",)
+    )
+    real_parquet = DataFrameWriter.parquet
+    calls = []
+
+    def counting(self, path, **kw):
+        calls.append(path)
+        return real_parquet(self, path, **kw)
+
+    with mock.patch.object(DataFrameWriter, "parquet", counting):
+        _iceberg_stream_commit(
+            c, str(tmp_path), _batch_df(spark, [1, 2, 3, 4, 5]), 0,
+            ("o_orderstatus",),
+        )
+    assert len(calls) == 1  # one fanout job for both partition values
+    snap = snapshot_data_files(str(tmp_path))
+    structs = set()
+    from kafka_spark_streaming_app_spark.operators.avrocodec import (
+        read_container,
+    )
+    import glob as _glob
+
+    for m in _glob.glob(str(tmp_path / "metadata" / "manifest-*.avro")):
+        for e in read_container(open(m, "rb").read())["records"]:
+            structs.add(tuple(sorted(e["data_file"]["partition"].items())))
+    assert structs == {
+        (("o_orderstatus", "F"),), (("o_orderstatus", "O"),),
+    }
+    assert len(snap["files"]) >= 2
+
+
+def test_multicolumn_and_transform_partitions(tmp_path, spark):
+    """Multi-column spec mixing identity, truncate[1] (Catalyst
+    substring) and bucket[4] (vectorized Murmur3): one fanout write,
+    manifest structs carry all three transformed values, and filters
+    on ANY source column — alone or compound — prune at the manifest
+    level with the transform applied to the predicate."""
+    from kafka_spark_streaming_app_spark.queries.formats import (
+        _ICEBERG_SINK_FIELDS,
+        _iceberg_stream_commit,
+    )
+    from kafka_spark_streaming_app_spark.sources.iceberglog import (
+        IcebergCommitter,
+        bucket_value,
+    )
+
+    spec = (
+        "o_orderstatus",                      # identity
+        ("o_orderpriority", "truncate[1]"),   # "1-URGENT" -> "1"
+        ("o_orderkey", "bucket[4]"),
+    )
+    c = IcebergCommitter(str(tmp_path), _ICEBERG_SINK_FIELDS, spec)
+    assert [f["name"] for f in c.partition_spec_fields] == [
+        "o_orderstatus", "o_orderpriority_trunc", "o_orderkey_bucket",
+    ]
+    assert [f["transform"] for f in c.partition_spec_fields] == [
+        "identity", "truncate[1]", "bucket[4]",
+    ]
+    keys = list(range(1, 11))
+    _iceberg_stream_commit(
+        c, str(tmp_path), _batch_df(spark, keys), 0, spec
+    )
+    full = read_iceberg_snapshot(spark, str(tmp_path))
+    assert sorted(r.o_orderkey for r in full.collect()) == keys
+    # data files keep ALL source columns (Iceberg, not hive layout)
+    assert set(full.columns) == {
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "cents",
+    }
+    # bucket predicate: filter on the SOURCE value; the reader
+    # transforms it and prunes to exactly that bucket's files
+    k = 7
+    pruned = read_iceberg_snapshot(
+        spark, str(tmp_path), partition_filter={"o_orderkey": k}
+    )
+    got = [r.o_orderkey for r in pruned.collect()]
+    assert k in got
+    assert all(
+        bucket_value(g, 4) == bucket_value(k, 4) for g in got
+    )
+    fsnap = snapshot_data_files(
+        str(tmp_path), partition_filter={"o_orderkey": k}
+    )
+    assert 0 < len(fsnap["files"]) < len(
+        snapshot_data_files(str(tmp_path))["files"]
+    )
+    # compound predicate across all three transforms
+    both = read_iceberg_snapshot(
+        spark, str(tmp_path),
+        partition_filter={
+            "o_orderstatus": "F",
+            "o_orderpriority": "1-URGENT",
+            "o_orderkey": k,
+        },
+    )
+    assert sorted(r.o_orderkey for r in both.collect()) == [
+        g for g in got if g % 2 == 1
+    ]
+    # truncate predicate alone: everything shares prefix "1"
+    t = snapshot_data_files(
+        str(tmp_path), partition_filter={"o_orderpriority": "1-URGENT"}
+    )
+    assert t["files"] == snapshot_data_files(str(tmp_path))["files"]

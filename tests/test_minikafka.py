@@ -127,7 +127,11 @@ def test_error_codes(broker):
         with pytest.raises(ValueError, match="metadata error 3"):
             c.metadata(["ghost"])
         vs = c.api_versions()
-        assert vs[0] == (0, 0) and vs[1] == (0, 0) and vs[3] == (0, 0)
+        # Produce 0-3 / Fetch 0-4 (v3/v4 carry RecordBatch v2);
+        # Metadata v0; admin + group APIs advertised
+        assert vs[0] == (0, 3) and vs[1] == (0, 4) and vs[3] == (0, 0)
+        for api in (8, 9, 10, 19, 20):
+            assert vs[api] == (0, 0)
 
 
 def test_fetch_respects_max_bytes_and_fetch_range_paginates(broker):
