@@ -390,6 +390,50 @@ def main() -> int:
     wq.processAllAvailable()
     wq.stop()
 
+    # Fixed calibration workload (round-11, VERDICT item 8): a
+    # deterministic SF-independent CPU-bound query timed isolated at
+    # bench start AND end. Round-over-round, calibration_now /
+    # calibration_prev is the machine-speed drift factor; per-query
+    # ratios divided by it separate real plan regressions from the
+    # uniform session drift that burned round-10's analysis
+    # (1.18-1.28x across the whole roster).
+    def _calibration_once() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 30_000_000, 1, 32)
+            .selectExpr(
+                # modulo keeps the ANSI long sum overflow-free
+                "xxhash64(id, id * 31 + 7) % 1000003 AS h",
+                "sin(id % 1000000) AS s",
+            )
+            .selectExpr("sum(h) AS hs", "sum(s) AS ss")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return time.perf_counter() - t0
+
+    def _calibration() -> float:
+        return round(min(_calibration_once() for _ in range(3)), 3)
+
+    # previous round's detail (for ratio-vs-prev), read BEFORE the
+    # overwrite below
+    prev_detail: dict = {}
+    detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
+    if os.path.exists(detail_path):
+        try:
+            with open(detail_path) as f:
+                prev_detail = json.load(f)
+        except (ValueError, OSError):
+            prev_detail = {}
+    prev_times = {
+        **(prev_detail.get("queries") or {}),
+        **(prev_detail.get("extra_queries") or {}),
+    }
+    prev_calib = (prev_detail.get("calibration") or {}).get("value")
+
+    calib_start = _calibration()
+
     # min of N_RUNS full executions per query: this box shows 2-3x
     # transient noisy-neighbor variance (measured: the same streaming
     # query 2.1s-10s across minutes with identical code and no local
@@ -445,6 +489,28 @@ def main() -> int:
         )
         samples[name] += 1
 
+    calib_end = _calibration()
+    calibration = {
+        "start": calib_start,
+        "end": calib_end,
+        "value": min(calib_start, calib_end),
+        "prev": prev_calib,
+    }
+    drift = (
+        round(calibration["value"] / prev_calib, 4)
+        if prev_calib
+        else None
+    )
+    calibration["drift_vs_prev"] = drift
+    # drift-normalized per-query ratios vs the previous recorded run:
+    # ratio ~1.0 = moved with the machine; >>1.0 = a real regression
+    ratios: dict[str, float] = {}
+    for name, t in {**timings, **extra_timings}.items():
+        p = prev_times.get(name)
+        if p:
+            r = t / p
+            ratios[name] = round(r / drift if drift else r, 3)
+
     total = round(sum(timings.values()), 3)
     # The driver records only the LAST 2000 chars of bench stdout and
     # parses the JSON line out of that tail; with 100+ per-query
@@ -467,6 +533,13 @@ def main() -> int:
         "protocol": {
             name: f"min-of-{n}" for name, n in sorted(samples.items())
         },
+        "calibration": calibration,
+        "normalized_ratios_vs_prev": dict(
+            sorted(ratios.items(), key=lambda kv: kv[1], reverse=True)
+        ),
+        "ratio_note": "per-query time / previous BENCH_DETAIL time, "
+        "divided by the calibration drift factor when the previous "
+        "run recorded a calibration; ~1.0 = moved with the machine",
         "sf": sf,
     }
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
@@ -484,6 +557,8 @@ def main() -> int:
                 "queries": dict(ranked[:keep]),
                 "queries_total_count": len(timings),
                 "queries_detail_file": "BENCH_DETAIL.json",
+                "calibration": calibration["value"],
+                "calibration_drift_vs_prev": drift,
                 "sf": sf,
             }
         )

@@ -276,6 +276,14 @@ PROBES = (
     "delta_partition_pruned_read",
     "iceberg_partition_pruned_read",
     "delta_maintenance_roundtrip",
+    # round-11: multi-column/transform partitioning (fanout write is
+    # one job; pruning is metadata-sized; scans row-linear in the
+    # pruned cell)
+    "streaming_delta_sink_multipart",
+    "delta_compound_pruned_read",
+    "streaming_iceberg_sink_transforms",
+    "iceberg_transform_pruned_read",
+    "iceberg_bucket_pruned_point_read",
 )
 
 
