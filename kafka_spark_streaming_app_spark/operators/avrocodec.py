@@ -86,7 +86,22 @@ def encode_value(value, schema) -> bytes:
         if schema["type"] == "record":
             out = bytearray()
             for field in schema["fields"]:
-                out += encode_value(value[field["name"]], field["type"])
+                # .get: an absent key encodes as None, which a
+                # ["null", ...] union accepts (optional fields) and a
+                # required type rejects loudly
+                out += encode_value(
+                    value.get(field["name"]), field["type"]
+                )
+            return bytes(out)
+        if schema["type"] == "array":
+            # one block (count, items) + zero terminator, per spec;
+            # how Iceberg stores non-string-keyed maps (bounds) in Avro
+            out = bytearray()
+            if value:
+                out += encode_long(len(value))
+                for item in value:
+                    out += encode_value(item, schema["items"])
+            out += encode_long(0)
             return bytes(out)
         return encode_value(value, schema["type"])
     if schema == "long" or schema == "int":
@@ -119,6 +134,19 @@ def decode_value(data: bytes, pos: int, schema):
                     data, pos, field["type"]
                 )
             return rec, pos
+        if schema["type"] == "array":
+            items = []
+            while True:
+                count, pos = decode_long(data, pos)
+                if count == 0:
+                    break
+                if count < 0:  # size-prefixed block: skip the size
+                    count = -count
+                    _, pos = decode_long(data, pos)
+                for _ in range(count):
+                    item, pos = decode_value(data, pos, schema["items"])
+                    items.append(item)
+            return items, pos
         return decode_value(data, pos, schema["type"])
     if schema in ("long", "int"):
         return decode_long(data, pos)

@@ -646,15 +646,34 @@ def _partition_values_from_path(rel: str, partition_by) -> dict:
 def _delta_add_action(
     table_dir: str, rel: str, data_change=True, partition_by=()
 ) -> dict:
+    """add action with per-file column STATS (Delta spec: a JSON
+    string of numRecords/minValues/maxValues) read from the parquet
+    FOOTER on the driver — O(KB) per file, never the data. Stats make
+    the log itself the data-skipping index: a range predicate prunes
+    the file list before any footer or page is read."""
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    from ..sources.iceberglog import parquet_column_stats
+
+    path = os.path.join(table_dir, rel)
+    col_stats = parquet_column_stats(path)
+    stats = {
+        "numRecords": _pq.ParquetFile(path).metadata.num_rows,
+        "minValues": {c: lo for c, (lo, _) in col_stats.items()},
+        "maxValues": {c: hi for c, (_, hi) in col_stats.items()},
+    }
     return {
         "add": {
             "path": rel,
             "partitionValues": _partition_values_from_path(
                 rel, partition_by
             ),
-            "size": os.path.getsize(os.path.join(table_dir, rel)),
+            "size": os.path.getsize(path),
             "modificationTime": 0,
             "dataChange": data_change,
+            "stats": _json.dumps(stats),
         }
     }
 
@@ -1527,4 +1546,122 @@ def iceberg_bucket_pruned_point_read(
         spark, table_dir, partition_filter={"o_orderkey": 1}
     ).filter(F.col("o_orderkey") == 1).select(
         "o_orderkey", "o_orderstatus", "o_orderpriority", "cents"
+    )
+
+
+# --- stats-based data skipping (file-level min/max pruning) --------------------
+
+_SKIP_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+FROM orders
+WHERE o_orderkey BETWEEN 1000 AND 5000
+"""
+
+
+def _clustered_orders_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders range-clustered on o_orderkey into 8 files — the layout
+    that makes per-file min/max stats selective (a hash layout's
+    every file spans the whole key range and nothing can skip; this
+    is WHY table layout is a first-class lever at 100 TB)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .repartitionByRange(8, "o_orderkey")
+    )
+
+
+def _skipping_agg(df: DataFrame) -> DataFrame:
+    return df.filter(
+        (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") <= 5000)
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
+
+
+def _clustered_orders_delta(spark: SparkSession, sf_dir: str) -> str:
+    d = _fixture_dir(spark, sf_dir, "delta_clustered_table")
+    if d is None:
+        import atexit as _atexit
+        import shutil as _shutil
+
+        d = tempfile.mkdtemp(prefix="delta_clustered_")
+        _atexit.register(_shutil.rmtree, d, ignore_errors=True)
+        _delta_stream_commit(
+            d, _clustered_orders_batch(spark, sf_dir), 0
+        )
+        _remember(spark, sf_dir, "delta_clustered_table", d)
+    return d
+
+
+def _clustered_orders_iceberg(spark: SparkSession, sf_dir: str) -> str:
+    from ..sources.iceberglog import IcebergCommitter
+
+    d = _fixture_dir(spark, sf_dir, "iceberg_clustered_table")
+    if d is None:
+        import atexit as _atexit
+        import shutil as _shutil
+
+        d = tempfile.mkdtemp(prefix="iceberg_clustered_")
+        _atexit.register(_shutil.rmtree, d, ignore_errors=True)
+        committer = IcebergCommitter(d, _ICEBERG_SINK_FIELDS)
+        _iceberg_stream_commit(
+            committer, d, _clustered_orders_batch(spark, sf_dir), 0
+        )
+        _remember(spark, sf_dir, "iceberg_clustered_table", d)
+    return d
+
+
+@query("delta_stats_skipping_read", _SKIP_ORACLE)
+def delta_stats_skipping_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DATA SKIPPING from the transaction log's per-file stats: every
+    add action carries minValues/maxValues (Delta spec, read from the
+    parquet footer at commit time), so the o_orderkey BETWEEN range
+    predicate prunes the FILE LIST from the log itself — on this
+    range-clustered layout most files drop before any footer or page
+    is read, the pruning pass that sits between partition pruning and
+    parquet row-group skipping at 100 TB. The exact predicate then
+    re-applies as the residual (stats are a superset guarantee), and
+    the oracle recomputes with the same WHERE — a lost file breaks
+    the hash."""
+    from ..sources.deltalog import read_delta_snapshot
+
+    table_dir = _clustered_orders_delta(spark, sf_dir)
+    return _skipping_agg(
+        read_delta_snapshot(
+            spark, table_dir,
+            data_filter={"o_orderkey": (1000, 5000)},
+        )
+    )
+
+
+@query("iceberg_stats_skipping_read", _SKIP_ORACLE)
+def iceberg_stats_skipping_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg's twin of the Delta skipping read: manifest entries
+    carry lower_bounds/upper_bounds (field-id-keyed, single-value
+    binary serialization, stored as Avro key/value-record arrays per
+    the spec) and the scan transforms the range predicate into a
+    bounds-overlap test at the MANIFEST level. Same clustered layout,
+    same residual re-application, same oracle."""
+    from ..sources.iceberglog import read_iceberg_snapshot
+
+    table_dir = _clustered_orders_iceberg(spark, sf_dir)
+    return _skipping_agg(
+        read_iceberg_snapshot(
+            spark, table_dir,
+            data_filter={"o_orderkey": (1000, 5000)},
+        )
     )

@@ -44,6 +44,7 @@ def _commit_path(table_dir: str, version: int) -> str:
 def snapshot_files(
     table_dir: str, version: int | None = None,
     partition_filter: dict | None = None,
+    data_filter: dict | None = None,
 ) -> dict:
     """Replay the log; returns ``{"version", "files": [paths],
     "schema_string", "from_checkpoint": bool, "partition_columns",
@@ -58,7 +59,14 @@ def snapshot_files(
     ``partition_filter`` ({col: value}) prunes the live set AT THE
     LOG LEVEL from each add action's partitionValues — the real Delta
     reader's first pruning pass: at 100 TB a filter on the partition
-    column must shrink the FILE LIST, not just the row scan."""
+    column must shrink the FILE LIST, not just the row scan.
+
+    ``data_filter`` ({col: (lo, hi)}) is the second pass — DATA
+    SKIPPING from each add action's per-file stats (minValues/
+    maxValues): a file is kept only if its [min, max] overlaps
+    [lo, hi]; files without stats are kept (stats can only prune,
+    never lose rows). Callers re-apply the exact predicate as a
+    residual."""
     log_dir = os.path.join(table_dir, "_delta_log")
     if not os.path.isdir(log_dir):
         raise ValueError(f"{table_dir}: no _delta_log — not a Delta table")
@@ -208,6 +216,12 @@ def snapshot_files(
                 for c, v in partition_filter.items()
             )
         }
+    if data_filter:
+        adds = {
+            p: a
+            for p, a in adds.items()
+            if not _stats_exclude(a.get("stats"), data_filter)
+        }
     return {
         "version": target,
         "files": sorted(adds),
@@ -217,9 +231,34 @@ def snapshot_files(
         "partition_values": {
             p: dict(a.get("partitionValues") or {}) for p, a in adds.items()
         },
+        "stats": {
+            p: a["stats"] for p, a in adds.items() if a.get("stats")
+        },
         "txns": txns,
         "protocol": protocol,
     }
+
+
+def _stats_exclude(stats, data_filter: dict) -> bool:
+    """True when the add action's stats PROVE no row can match the
+    [lo, hi] interval for every filtered column; a file with missing
+    or unparseable stats is never excluded."""
+    if not stats:
+        return False
+    try:
+        parsed = json.loads(stats) if isinstance(stats, str) else stats
+    except ValueError:
+        return False
+    mins = parsed.get("minValues") or {}
+    maxs = parsed.get("maxValues") or {}
+    for col, (lo, hi) in data_filter.items():
+        if col not in mins or col not in maxs:
+            continue
+        if (hi is not None and mins[col] > hi) or (
+            lo is not None and maxs[col] < lo
+        ):
+            return True
+    return False
 
 
 def _schema_from_delta(schema_string: str):
@@ -244,6 +283,7 @@ def _schema_from_delta(schema_string: str):
 def read_delta_snapshot(
     spark: SparkSession, table_dir: str, version: int | None = None,
     partition_filter: dict | None = None,
+    data_filter: dict | None = None,
 ) -> DataFrame:
     """The log-defined snapshot as a DataFrame: live files only,
     schema from metaData — tombstoned files on disk are ignored.
@@ -252,7 +292,7 @@ def read_delta_snapshot(
     partition columns come from the directory names (data files do
     not store them), and ``partition_filter`` prunes the FILE LIST
     from the log's partitionValues before Spark ever lists a path."""
-    snap = snapshot_files(table_dir, version, partition_filter)
+    snap = snapshot_files(table_dir, version, partition_filter, data_filter)
     paths = [os.path.join(table_dir, p) for p in snap["files"]]
     schema = _schema_from_delta(snap["schema_string"])
     pcols = snap["partition_columns"]
@@ -388,6 +428,7 @@ def write_checkpoint(table_dir: str) -> int:
                         ("size", pa.int64()),
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
+                        ("stats", pa.string()),
                     ]
                 ),
             ),
@@ -446,6 +487,9 @@ def write_checkpoint(table_dir: str) -> int:
                     "size": 0,
                     "modificationTime": 0,
                     "dataChange": True,
+                    # per-file stats ride the checkpoint (spec) so
+                    # data skipping survives log retention
+                    "stats": snap["stats"].get(p),
                 }
             }
         )

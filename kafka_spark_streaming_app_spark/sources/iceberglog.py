@@ -212,10 +212,29 @@ _MANIFEST_LIST_SCHEMA = {
     ],
 }
 
+def _bounds_type(name: str) -> dict:
+    """lower_bounds/upper_bounds per spec: a map keyed by FIELD ID
+    with binary single-value-serialized bounds — stored in Avro as an
+    array of key/value records (Avro maps require string keys)."""
+    return {
+        "type": "array",
+        "items": {
+            "type": "record",
+            "name": f"k126_v127_{name}",
+            "fields": [
+                {"name": "key", "type": "long"},
+                {"name": "value", "type": "bytes"},
+            ],
+        },
+    }
+
+
 def _manifest_schema(partition_fields=()) -> dict:
-    """manifest_entry Avro schema; identity-partitioned tables embed
-    a ``partition`` record (one string field per partition column) in
-    data_file — the manifest-level pruning metadata, per spec."""
+    """manifest_entry Avro schema; partitioned tables embed a
+    ``partition`` record (one string field per spec field) in
+    data_file — the manifest-level pruning metadata — and every entry
+    carries optional lower/upper column bounds for stats-based file
+    skipping, per spec."""
     df_fields = [
         {"name": "content", "type": "long"},
         {"name": "file_path", "type": "string"},
@@ -238,6 +257,8 @@ def _manifest_schema(partition_fields=()) -> dict:
     df_fields += [
         {"name": "record_count", "type": "long"},
         {"name": "file_size_in_bytes", "type": "long"},
+        {"name": "lower_bounds", "type": ["null", _bounds_type("lo")]},
+        {"name": "upper_bounds", "type": ["null", _bounds_type("hi")]},
     ]
     return {
         "type": "record",
@@ -260,6 +281,72 @@ def _manifest_schema(partition_fields=()) -> dict:
 _MANIFEST_SCHEMA = _manifest_schema()
 
 
+def parquet_column_stats(path: str) -> dict:
+    """Per-column (min, max) from the parquet FOOTER — the O(KB)
+    metadata read both lakehouse writers use to attach file-skipping
+    stats at commit time (never the data). Columns without usable
+    statistics are simply absent. long/double/string subset."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    out: dict = {}
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode(), hi.decode()
+                except UnicodeDecodeError:
+                    continue
+            if not isinstance(lo, (int, float, str)) or isinstance(
+                lo, bool
+            ):
+                continue
+            name = col.path_in_schema
+            if name in out:
+                out[name] = (min(out[name][0], lo), max(out[name][1], hi))
+            else:
+                out[name] = (lo, hi)
+    return out
+
+
+def _bound_to_bytes(value) -> bytes:
+    """Iceberg single-value serialization for bounds: long -> 8-byte
+    little-endian, double -> IEEE-754 LE, string -> UTF-8."""
+    import struct
+
+    if isinstance(value, bool):
+        raise NotImplementedError("boolean bounds outside the subset")
+    if isinstance(value, int):
+        return struct.pack("<q", value)
+    if isinstance(value, float):
+        return struct.pack("<d", value)
+    if isinstance(value, str):
+        return value.encode()
+    raise NotImplementedError(
+        f"bound type {type(value).__name__} outside the subset"
+    )
+
+
+def _bound_from_bytes(raw: bytes, icetype: str):
+    import struct
+
+    if icetype in ("long", "int"):
+        return struct.unpack("<q", raw)[0]
+    if icetype == "double":
+        return struct.unpack("<d", raw)[0]
+    if icetype == "string":
+        return raw.decode()
+    raise NotImplementedError(
+        f"bound type {icetype!r} outside the subset"
+    )
+
+
 def _metadata_path(table_dir: str) -> str:
     hint = os.path.join(table_dir, "metadata", "version-hint.text")
     if not os.path.exists(hint):
@@ -274,10 +361,19 @@ def _metadata_path(table_dir: str) -> str:
 def snapshot_data_files(
     table_dir: str, snapshot_id: int | None = None,
     partition_filter: dict | None = None,
+    data_filter: dict | None = None,
 ) -> dict:
     """Resolve the metadata tree to the live data-file set; returns
     ``{"snapshot_id", "files": [paths], "schema_fields",
     "partition_fields"}``.
+
+    ``data_filter`` ({col: (lo, hi)}) is STATS-BASED FILE SKIPPING:
+    a file is kept only if its manifest lower/upper bounds for that
+    column overlap [lo, hi] (files without bounds are kept — stats
+    can only prune, never lose rows). This is the second metadata
+    pruning pass after partitions: at 100 TB a range predicate on a
+    clustered column must shrink the file list from the manifests,
+    before any footer or data page is read.
 
     Partitioned tables are first-class: each manifest entry's
     ``data_file.partition`` struct is the pruning metadata, so
@@ -292,6 +388,15 @@ def snapshot_data_files(
     id_to_name = {
         f["id"]: f["name"] for f in meta["schemas"][0]["fields"]
     }
+    name_to_field = {
+        f["name"]: f for f in meta["schemas"][0]["fields"]
+    }
+    if data_filter:
+        unknown = set(data_filter) - set(name_to_field)
+        if unknown:
+            raise ValueError(
+                f"data filter on unknown columns {sorted(unknown)}"
+            )
     spec_fields = []
     for spec in meta.get("partition-specs") or []:
         for f in spec.get("fields") or []:
@@ -356,6 +461,10 @@ def snapshot_data_files(
                     for name, v in expected.items()
                 ):
                     continue
+            if data_filter and _bounds_exclude(
+                df, data_filter, name_to_field
+            ):
+                continue
             files.append(df["file_path"])
     return {
         "snapshot_id": target,
@@ -364,6 +473,25 @@ def snapshot_data_files(
         "partition_fields": part_fields,
         "partition_spec": spec_fields,
     }
+
+
+def _bounds_exclude(df: dict, data_filter: dict, name_to_field) -> bool:
+    """True when the entry's bounds PROVE no row can match — a file
+    with missing bounds for a filtered column is never excluded."""
+    lower = {e["key"]: e["value"] for e in df.get("lower_bounds") or []}
+    upper = {e["key"]: e["value"] for e in df.get("upper_bounds") or []}
+    for col, (lo, hi) in data_filter.items():
+        f = name_to_field[col]
+        fid = f["id"]
+        if fid not in lower or fid not in upper:
+            continue
+        fmin = _bound_from_bytes(lower[fid], f["type"])
+        fmax = _bound_from_bytes(upper[fid], f["type"])
+        if (hi is not None and fmin > hi) or (
+            lo is not None and fmax < lo
+        ):
+            return True
+    return False
 
 
 _TYPE_MAP = {
@@ -375,13 +503,18 @@ _TYPE_MAP = {
 def read_iceberg_snapshot(
     spark: SparkSession, table_dir: str, snapshot_id: int | None = None,
     partition_filter: dict | None = None,
+    data_filter: dict | None = None,
 ) -> DataFrame:
     """Iceberg data files CONTAIN their partition columns (unlike
     hive layout), so a pruned read is just the pruned file list with
-    the full schema."""
+    the full schema. ``data_filter`` additionally skips files whose
+    column bounds preclude a match (the caller re-applies the exact
+    predicate as a residual — bounds are a superset guarantee)."""
     from pyspark.sql import types as T
 
-    snap = snapshot_data_files(table_dir, snapshot_id, partition_filter)
+    snap = snapshot_data_files(
+        table_dir, snapshot_id, partition_filter, data_filter
+    )
     if not snap["files"]:
         return spark.createDataFrame(
             [], _spark_schema_from_fields(snap["schema_fields"])
@@ -604,7 +737,9 @@ class IcebergCommitter:
 
     def data_file_entry(self, path: str, partition: dict | None = None) -> dict:
         """data_file record from a parquet footer (metadata-only read
-        — O(KB) per file on the driver, never the data)."""
+        — O(KB) per file on the driver, never the data), including
+        lower/upper column bounds (field-id-keyed, single-value
+        binary serialization) for stats-based file skipping."""
         import pyarrow.parquet as pq
 
         entry = {
@@ -614,6 +749,24 @@ class IcebergCommitter:
             "record_count": pq.ParquetFile(path).metadata.num_rows,
             "file_size_in_bytes": os.path.getsize(path),
         }
+        name_to_id = {
+            f["name"]: f["id"] for f in self.schema["fields"]
+        }
+        lower, upper = [], []
+        for name, (lo, hi) in sorted(
+            parquet_column_stats(path).items()
+        ):
+            fid = name_to_id.get(name)
+            if fid is None:
+                continue
+            try:
+                lower.append({"key": fid, "value": _bound_to_bytes(lo)})
+                upper.append({"key": fid, "value": _bound_to_bytes(hi)})
+            except NotImplementedError:
+                continue
+        if lower:
+            entry["lower_bounds"] = lower
+            entry["upper_bounds"] = upper
         if self.spec_fields:
             # keys are spec-field NAMES; values are the (already
             # transformed) partition-struct values

@@ -441,3 +441,74 @@ def test_partitioned_read_preserves_schema_order(tmp_path, spark):
     assert df.columns == [
         "o_orderkey", "o_orderstatus", "o_orderpriority", "cents"
     ]
+
+
+def test_stats_based_data_skipping(tmp_path, spark):
+    """add actions carry per-file minValues/maxValues (Delta spec);
+    a range data_filter prunes the FILE LIST from the log, survives
+    checkpoint + log retention, and files without stats are never
+    excluded (stats may only prune, never lose rows)."""
+    import json as _json
+
+    from kafka_spark_streaming_app_spark.queries.formats import (
+        _delta_stream_commit,
+    )
+    from kafka_spark_streaming_app_spark.sources.deltalog import (
+        cleanup_log,
+        write_checkpoint,
+    )
+
+    def bdf(lo, hi):
+        return spark.createDataFrame(
+            [(k, "O", "1-URGENT", k * 100) for k in range(lo, hi)],
+            "o_orderkey long, o_orderstatus string, "
+            "o_orderpriority string, cents long",
+        ).coalesce(1)
+
+    for b, (lo, hi) in enumerate([(0, 100), (100, 200), (200, 300)]):
+        _delta_stream_commit(str(tmp_path), bdf(lo, hi), b)
+    # every add action carries spec-shaped stats JSON
+    with open(tmp_path / "_delta_log" / f"{0:020d}.json") as fh:
+        adds = [
+            _json.loads(line)["add"]
+            for line in fh
+            if '"add"' in line
+        ]
+    st = _json.loads(adds[0]["stats"])
+    assert st["numRecords"] == 100
+    assert st["minValues"]["o_orderkey"] == 0
+    assert st["maxValues"]["o_orderkey"] == 99
+    full = snapshot_files(str(tmp_path))
+    pruned = snapshot_files(
+        str(tmp_path), data_filter={"o_orderkey": (120, 150)}
+    )
+    assert 0 < len(pruned["files"]) < len(full["files"])
+    df = read_delta_snapshot(
+        spark, str(tmp_path), data_filter={"o_orderkey": (120, 150)}
+    ).filter("o_orderkey BETWEEN 120 AND 150")
+    assert df.count() == 31
+    # stats survive checkpoint + retention
+    write_checkpoint(str(tmp_path))
+    assert cleanup_log(str(tmp_path))
+    snap_cp = snapshot_files(
+        str(tmp_path), data_filter={"o_orderkey": (120, 150)}
+    )
+    assert snap_cp["from_checkpoint"]
+    assert snap_cp["files"] == pruned["files"]
+    # a stats-less add (foreign writer) is never excluded
+    v = snapshot_files(str(tmp_path))["version"] + 1
+    import os as _os
+
+    foreign = dict(adds[0])
+    foreign.pop("stats")
+    foreign["path"] = "batch-00000/foreign-copy.parquet"
+    import shutil as _shutil
+
+    src = tmp_path / adds[0]["path"]
+    _shutil.copy(src, tmp_path / foreign["path"])
+    with open(tmp_path / "_delta_log" / f"{v:020d}.json", "w") as fh:
+        fh.write(_json.dumps({"add": foreign}) + "\n")
+    snap2 = snapshot_files(
+        str(tmp_path), data_filter={"o_orderkey": (120, 150)}
+    )
+    assert foreign["path"] in snap2["files"]  # kept: cannot prove miss

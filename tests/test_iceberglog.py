@@ -449,3 +449,60 @@ def test_multicolumn_and_transform_partitions(tmp_path, spark):
         str(tmp_path), partition_filter={"o_orderpriority": "1-URGENT"}
     )
     assert t["files"] == snapshot_data_files(str(tmp_path))["files"]
+
+
+def test_bounds_based_file_skipping(tmp_path, spark):
+    """Manifest entries carry lower/upper bounds (field-id-keyed
+    binary single-value serialization in Avro key/value-record
+    arrays, per spec); a range data_filter prunes the file list at
+    the manifest level; entries without bounds are never excluded."""
+    import struct
+
+    from kafka_spark_streaming_app_spark.operators.avrocodec import (
+        read_container,
+    )
+    from kafka_spark_streaming_app_spark.queries.formats import (
+        _ICEBERG_SINK_FIELDS,
+        _iceberg_stream_commit,
+    )
+    from kafka_spark_streaming_app_spark.sources.iceberglog import (
+        IcebergCommitter,
+    )
+
+    c = IcebergCommitter(str(tmp_path), _ICEBERG_SINK_FIELDS)
+    _iceberg_stream_commit(
+        c, str(tmp_path), _batch_df(spark, list(range(0, 50))), 0
+    )
+    _iceberg_stream_commit(
+        c, str(tmp_path), _batch_df(spark, list(range(50, 100))), 2
+    )
+    # the manifest's bounds are real binary single-value bytes
+    m = read_container(
+        open(tmp_path / "metadata" / "manifest-b00000.avro", "rb").read()
+    )
+    entry = m["records"][0]["data_file"]
+    lows = {e["key"]: e["value"] for e in entry["lower_bounds"]}
+    highs = {e["key"]: e["value"] for e in entry["upper_bounds"]}
+    # field 1 = o_orderkey (long, 8-byte LE)
+    assert struct.unpack("<q", lows[1])[0] == 0
+    assert struct.unpack("<q", highs[1])[0] == 49
+    # field 2 = o_orderstatus (string, UTF-8)
+    assert lows[2] == b"F" and highs[2] == b"O"
+    full = snapshot_data_files(str(tmp_path))
+    pruned = snapshot_data_files(
+        str(tmp_path), data_filter={"o_orderkey": (60, 70)}
+    )
+    assert 0 < len(pruned["files"]) < len(full["files"])
+    df = read_iceberg_snapshot(
+        spark, str(tmp_path), data_filter={"o_orderkey": (60, 70)}
+    ).filter("o_orderkey BETWEEN 60 AND 70")
+    assert df.count() == 11
+    # string-typed bounds prune too
+    s = snapshot_data_files(
+        str(tmp_path), data_filter={"o_orderstatus": ("Z", None)}
+    )
+    assert s["files"] == []
+    with pytest.raises(ValueError, match="unknown columns"):
+        snapshot_data_files(
+            str(tmp_path), data_filter={"nope": (1, 2)}
+        )
