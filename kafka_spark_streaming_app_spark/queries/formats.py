@@ -1665,3 +1665,157 @@ def iceberg_stats_skipping_read(
             data_filter={"o_orderkey": (1000, 5000)},
         )
     )
+
+
+# --- schema evolution (metadata-only add-column) -------------------------------
+
+_EVOLVE_FIELDS_V1 = (
+    ("o_orderkey", "long"),
+    ("o_orderstatus", "string"),
+    ("cents", "long"),
+)
+_EVOLVE_FIELDS_V2 = _EVOLVE_FIELDS_V1 + (("o_orderpriority", "string"),)
+
+_EVOLVE_ORACLE = """
+WITH t AS (
+    SELECT o_orderkey, o_orderstatus,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+           CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS pri
+    FROM orders
+)
+SELECT coalesce(pri, '(pre-evolution)') AS o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS cents
+FROM t
+GROUP BY coalesce(pri, '(pre-evolution)')
+ORDER BY o_orderpriority
+"""
+
+
+def _evolve_batches(spark: SparkSession, sf_dir: str):
+    """(v1_batch, v2_batch): even orderkeys under the ORIGINAL
+    3-column schema, odd orderkeys under the evolved 4-column one."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+        "o_orderpriority",
+    )
+    v1 = base.filter(F.col("o_orderkey") % 2 == 0).drop(
+        "o_orderpriority"
+    )
+    v2 = base.filter(F.col("o_orderkey") % 2 == 1)
+    return v1.coalesce(4), v2.coalesce(4)
+
+
+def _evolved_agg(df: DataFrame) -> DataFrame:
+    return (
+        df.groupBy(
+            F.coalesce(
+                F.col("o_orderpriority"), F.lit("(pre-evolution)")
+            ).alias("o_orderpriority")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _delta_evolved_commit(
+    table_dir: str, batch_df: DataFrame, batch_id: int, fields
+) -> None:
+    """One commit carrying BOTH the batch's adds and a metaData
+    action declaring the (possibly evolved) schema — Delta's
+    add-column evolution is exactly a new metaData action in the log
+    (replay takes the latest), no data rewrite; older files simply
+    lack the new column and read as null."""
+    log_dir = os.path.join(table_dir, "_delta_log")
+    version = _delta_next_version(log_dir, batch_id)
+    if version is None:
+        return
+    batch_rel = f"batch-{batch_id:05d}"
+    batch_df.write.mode("overwrite").parquet(
+        os.path.join(table_dir, batch_rel)
+    )
+    actions = (
+        _delta_meta_actions(fields)
+        if version == 0
+        else [a for a in _delta_meta_actions(fields) if "metaData" in a]
+    )
+    actions.append(
+        {"txn": {"appId": _DELTA_STREAM_APP, "version": batch_id}}
+    )
+    for rel in _delta_part_files(table_dir, batch_rel):
+        actions.append(_delta_add_action(table_dir, rel))
+    _delta_write_commit(log_dir, version, actions, table_dir, 10)
+
+
+def _evolved_orders_delta(spark: SparkSession, sf_dir: str) -> str:
+    d = _fixture_dir(spark, sf_dir, "delta_evolved_table")
+    if d is None:
+        import atexit as _atexit
+        import shutil as _shutil
+
+        d = tempfile.mkdtemp(prefix="delta_evolved_")
+        _atexit.register(_shutil.rmtree, d, ignore_errors=True)
+        v1, v2 = _evolve_batches(spark, sf_dir)
+        _delta_evolved_commit(d, v1, 0, _EVOLVE_FIELDS_V1)
+        _delta_evolved_commit(d, v2, 1, _EVOLVE_FIELDS_V2)
+        _remember(spark, sf_dir, "delta_evolved_table", d)
+    return d
+
+
+def _evolved_orders_iceberg(spark: SparkSession, sf_dir: str) -> str:
+    from ..sources.iceberglog import IcebergCommitter
+
+    d = _fixture_dir(spark, sf_dir, "iceberg_evolved_table")
+    if d is None:
+        import atexit as _atexit
+        import shutil as _shutil
+
+        d = tempfile.mkdtemp(prefix="iceberg_evolved_")
+        _atexit.register(_shutil.rmtree, d, ignore_errors=True)
+        committer = IcebergCommitter(d, list(_EVOLVE_FIELDS_V1))
+        v1, v2 = _evolve_batches(spark, sf_dir)
+        _iceberg_stream_commit(committer, d, v1, 0)
+        committer.evolve_schema([("o_orderpriority", "string")])
+        _iceberg_stream_commit(committer, d, v2, 2)  # even: no compact
+        _remember(spark, sf_dir, "iceberg_evolved_table", d)
+    return d
+
+
+@query("delta_schema_evolution_read", _EVOLVE_ORACLE)
+def delta_schema_evolution_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ADD-COLUMN schema evolution as a pure metadata operation: the
+    table's first commit declares 3 columns, a later commit's
+    metaData action declares 4 (Delta replay takes the latest), and
+    NO data file is rewritten — pre-evolution files read with null
+    for the new column under the evolved schema. The oracle splits
+    the same rows by which schema era wrote them, so the hash proves
+    the evolved read is value-exact on both eras at once."""
+    from ..sources.deltalog import read_delta_snapshot
+
+    table_dir = _evolved_orders_delta(spark, sf_dir)
+    return _evolved_agg(read_delta_snapshot(spark, table_dir))
+
+
+@query("iceberg_schema_evolution_read", _EVOLVE_ORACLE)
+def iceberg_schema_evolution_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg's twin: ``schemas`` keeps the full history, the commit
+    after ``evolve_schema`` bumps ``current-schema-id``, and the new
+    column gets a FRESH field id (never reused — the invariant that
+    keeps bounds and partition source-ids stable across evolution).
+    Readers resolve current-schema-id and fill pre-evolution files
+    with null. Same oracle as the Delta twin."""
+    from ..sources.iceberglog import read_iceberg_snapshot
+
+    table_dir = _evolved_orders_iceberg(spark, sf_dir)
+    return _evolved_agg(read_iceberg_snapshot(spark, table_dir))

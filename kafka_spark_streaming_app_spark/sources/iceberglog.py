@@ -347,6 +347,20 @@ def _bound_from_bytes(raw: bytes, icetype: str):
     )
 
 
+def _current_schema(meta: dict) -> dict:
+    """Iceberg metadata keeps EVERY historical schema in ``schemas``;
+    readers resolve the one named by ``current-schema-id`` — schema
+    evolution is a metadata operation, no data rewrite."""
+    sid = meta.get("current-schema-id", 0)
+    for s in meta["schemas"]:
+        if s.get("schema-id", 0) == sid:
+            return s
+    raise ValueError(
+        f"current-schema-id {sid} not in schemas "
+        f"({[s.get('schema-id') for s in meta['schemas']]})"
+    )
+
+
 def _metadata_path(table_dir: str) -> str:
     hint = os.path.join(table_dir, "metadata", "version-hint.text")
     if not os.path.exists(hint):
@@ -385,12 +399,9 @@ def snapshot_data_files(
     Iceberg's scan planning); unsupported transforms gate loudly via
     ``apply_transform``."""
     meta = json.loads(open(_metadata_path(table_dir)).read())
-    id_to_name = {
-        f["id"]: f["name"] for f in meta["schemas"][0]["fields"]
-    }
-    name_to_field = {
-        f["name"]: f for f in meta["schemas"][0]["fields"]
-    }
+    schema = _current_schema(meta)
+    id_to_name = {f["id"]: f["name"] for f in schema["fields"]}
+    name_to_field = {f["name"]: f for f in schema["fields"]}
     if data_filter:
         unknown = set(data_filter) - set(name_to_field)
         if unknown:
@@ -469,7 +480,7 @@ def snapshot_data_files(
     return {
         "snapshot_id": target,
         "files": sorted(set(files)),
-        "schema_fields": meta["schemas"][0]["fields"],
+        "schema_fields": schema["fields"],
         "partition_fields": part_fields,
         "partition_spec": spec_fields,
     }
@@ -709,6 +720,29 @@ class IcebergCommitter:
             ],
         }
 
+    def evolve_schema(self, add_fields) -> None:
+        """Append columns (``[(name, type)]``) as a METADATA-ONLY
+        schema evolution: fresh field ids (never reused — the spec's
+        invariant that keeps bounds/partition source-ids stable), a
+        bumped schema-id, and the next commit records the new schema
+        alongside the full history. Existing data files are
+        untouched; readers fill the new columns with null."""
+        max_id = max(f["id"] for f in self.schema["fields"])
+        self.schema = {
+            "type": "struct",
+            "schema-id": self.schema.get("schema-id", 0) + 1,
+            "fields": list(self.schema["fields"])
+            + [
+                {
+                    "id": max_id + 1 + i,
+                    "name": n,
+                    "required": False,
+                    "type": t,
+                }
+                for i, (n, t) in enumerate(add_fields)
+            ],
+        }
+
     def _current_meta(self) -> dict | None:
         hint = os.path.join(self.meta_dir, "version-hint.text")
         if not os.path.exists(hint):
@@ -856,12 +890,17 @@ class IcebergCommitter:
                 },
             }
         )
+        sid = self.schema.get("schema-id", 0)
+        schemas = [] if meta is None else [
+            s for s in meta["schemas"] if s.get("schema-id", 0) != sid
+        ]
+        schemas.append(self.schema)
         new_meta = {
             "format-version": 1,
             "table-uuid": "stream-table",
             "location": self.table_dir,
-            "schemas": [self.schema],
-            "current-schema-id": 0,
+            "schemas": schemas,
+            "current-schema-id": sid,
             "partition-specs": [
                 {"spec-id": 0, "fields": self.partition_spec_fields}
             ],

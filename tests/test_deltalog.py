@@ -512,3 +512,46 @@ def test_stats_based_data_skipping(tmp_path, spark):
         str(tmp_path), data_filter={"o_orderkey": (120, 150)}
     )
     assert foreign["path"] in snap2["files"]  # kept: cannot prove miss
+
+
+def test_schema_evolution_is_a_metadata_action(tmp_path, spark):
+    """A later commit's metaData action evolves the schema; replay
+    takes the latest, old files read as null for the new column, and
+    a checkpoint written AFTER evolution carries the evolved schema
+    through log retention."""
+    from kafka_spark_streaming_app_spark.queries.formats import (
+        _EVOLVE_FIELDS_V1,
+        _EVOLVE_FIELDS_V2,
+        _delta_evolved_commit,
+    )
+    from kafka_spark_streaming_app_spark.sources.deltalog import (
+        cleanup_log,
+        write_checkpoint,
+    )
+
+    v1 = spark.createDataFrame(
+        [(2, "O", 200), (4, "O", 400)],
+        "o_orderkey long, o_orderstatus string, cents long",
+    ).coalesce(1)
+    v2 = spark.createDataFrame(
+        [(1, "F", "1-URGENT", 100)],
+        "o_orderkey long, o_orderstatus string, "
+        "o_orderpriority string, cents long",
+    ).select("o_orderkey", "o_orderstatus", "cents", "o_orderpriority"
+             ).coalesce(1)
+    _delta_evolved_commit(str(tmp_path), v1, 0, _EVOLVE_FIELDS_V1)
+    _delta_evolved_commit(str(tmp_path), v2, 1, _EVOLVE_FIELDS_V2)
+    df = read_delta_snapshot(spark, str(tmp_path))
+    assert df.columns == [
+        "o_orderkey", "o_orderstatus", "cents", "o_orderpriority",
+    ]
+    rows = {r.o_orderkey: r.o_orderpriority for r in df.collect()}
+    assert rows == {1: "1-URGENT", 2: None, 4: None}
+    # time travel to the pre-evolution version sees the OLD schema
+    old = read_delta_snapshot(spark, str(tmp_path), version=0)
+    assert old.columns == ["o_orderkey", "o_orderstatus", "cents"]
+    # evolved schema survives checkpoint + retention
+    write_checkpoint(str(tmp_path))
+    assert cleanup_log(str(tmp_path))
+    again = read_delta_snapshot(spark, str(tmp_path))
+    assert again.columns == df.columns and again.count() == 3

@@ -506,3 +506,47 @@ def test_bounds_based_file_skipping(tmp_path, spark):
         snapshot_data_files(
             str(tmp_path), data_filter={"nope": (1, 2)}
         )
+
+
+def test_schema_evolution_metadata_only(tmp_path, spark):
+    """Add-column evolution: fresh field ids, schema history kept,
+    current-schema-id resolves, pre-evolution files read as null for
+    the new column, and bounds on the new column use the NEW id."""
+    from kafka_spark_streaming_app_spark.queries.formats import (
+        _iceberg_stream_commit,
+    )
+    from kafka_spark_streaming_app_spark.sources.iceberglog import (
+        IcebergCommitter,
+    )
+
+    fields = [("o_orderkey", "long"), ("o_orderstatus", "string"),
+              ("o_orderpriority", "string"), ("cents", "long")]
+    c = IcebergCommitter(str(tmp_path), fields)
+    _iceberg_stream_commit(c, str(tmp_path), _batch_df(spark, [1, 2]), 0)
+    c.evolve_schema([("region", "string")])
+    assert c.schema["schema-id"] == 1
+    assert c.schema["fields"][-1] == {
+        "id": 5, "name": "region", "required": False, "type": "string",
+    }
+    df5 = spark.createDataFrame(
+        [(3, "F", "1-URGENT", 300, "EU"), (4, "O", "1-URGENT", 400, "US")],
+        "o_orderkey long, o_orderstatus string, o_orderpriority string,"
+        " cents long, region string",
+    ).coalesce(1)
+    _iceberg_stream_commit(c, str(tmp_path), df5, 2)
+    meta = json.loads(open(_vhint_meta(tmp_path)).read())
+    assert meta["current-schema-id"] == 1
+    assert [s["schema-id"] for s in meta["schemas"]] == [0, 1]
+    df = read_iceberg_snapshot(spark, str(tmp_path))
+    rows = {r.o_orderkey: r.region for r in df.collect()}
+    assert rows == {1: None, 2: None, 3: "EU", 4: "US"}
+    # bounds for the evolved column key on the fresh field id
+    pruned = snapshot_data_files(
+        str(tmp_path), data_filter={"region": ("A", "F")}
+    )
+    # pre-evolution file has no region bounds -> kept; the evolved
+    # file's [EU, US] overlaps [A, F]... EU <= F so kept too; tighten:
+    gone = snapshot_data_files(
+        str(tmp_path), data_filter={"region": ("A", "B")}
+    )
+    assert len(gone["files"]) < len(pruned["files"])
