@@ -70,6 +70,7 @@ API_FIND_COORDINATOR = 10
 API_API_VERSIONS = 18
 API_CREATE_TOPICS = 19
 API_DELETE_TOPICS = 20
+API_DESCRIBE_CONFIGS = 32
 
 ERR_NONE = 0
 ERR_OFFSET_OUT_OF_RANGE = 1
@@ -92,6 +93,7 @@ _SUPPORTED = {
     API_API_VERSIONS: (0, 0),
     API_CREATE_TOPICS: (0, 0),
     API_DELETE_TOPICS: (0, 0),
+    API_DESCRIBE_CONFIGS: (0, 0),
 }
 
 
@@ -371,6 +373,8 @@ class MiniKafkaBroker:
             self._create_topics(r, w)
         elif api_key == API_DELETE_TOPICS:
             self._delete_topics(r, w)
+        elif api_key == API_DESCRIBE_CONFIGS:
+            self._describe_configs(r, w)
         return w.value()
 
     def _metadata(self, r: _Reader, w: _Writer):
@@ -687,6 +691,55 @@ class MiniKafkaBroker:
         w.array(
             results, lambda ww, t: ww.string(t[0]).i16(t[1])
         )
+
+    def _describe_configs(self, r: _Reader, w: _Writer):
+        """DescribeConfigs v0, TOPIC resources: the read side of the
+        CreateTopics config map — the recreate flow's verify step can
+        confirm retention.ms/cleanup.policy over the wire."""
+        def parse_resource(rr):
+            rtype = rr.i8()
+            name = rr.string()
+            n = rr.i32()
+            names = (
+                None if n < 0
+                else [rr.string() for _ in range(n)]
+            )
+            return (rtype, name, names)
+
+        resources = r.array(parse_resource)
+        w.i32(0)  # throttle_time_ms
+
+        def emit_resource(ww, res):
+            rtype, name, asked = res
+            if rtype != 2:  # TOPIC
+                ww.i16(ERR_UNSUPPORTED_VERSION).string(
+                    "only TOPIC resources"
+                ).i8(rtype).string(name).i32(0)
+                return
+            with self._lock:
+                known = name in self._topics
+                cfg = dict(self._configs.get(name, {}))
+            if not known:
+                ww.i16(ERR_UNKNOWN_TOPIC_OR_PARTITION).string(
+                    "unknown topic"
+                ).i8(rtype).string(name).i32(0)
+                return
+            entries = sorted(
+                (k, v) for k, v in cfg.items()
+                if asked is None or k in asked
+            )
+            ww.i16(ERR_NONE).string(None).i8(rtype).string(name)
+            ww.array(
+                entries,
+                lambda w2, e: (
+                    w2.string(e[0]).string(e[1])
+                    .i8(0)   # read_only=false
+                    .i8(0)   # is_default=false (explicitly set)
+                    .i8(0)   # is_sensitive=false
+                ),
+            )
+
+        w.array(resources, emit_resource)
 
     # -- consumer groups (single-member fast path) --------------------
 
@@ -1090,6 +1143,39 @@ class MiniKafkaClient:
         )
         r = self._request(API_DELETE_TOPICS, body)
         return dict(r.array(lambda rr: (rr.string(), rr.i16())))
+
+    def describe_configs(self, topic: str) -> dict:
+        """-> {config_name: value} for a topic (DescribeConfigs v0)."""
+        body = (
+            _Writer()
+            .array(
+                [topic],
+                lambda ww, t: ww.i8(2).string(t).i32(-1),  # all configs
+            )
+            .value()
+        )
+        r = self._request(API_DESCRIBE_CONFIGS, body)
+        r.i32()  # throttle_time_ms
+
+        def parse_resource(rr):
+            err = rr.i16()
+            msg = rr.string()
+            rr.i8()  # resource_type
+            name = rr.string()
+            entries = rr.array(
+                lambda r2: (
+                    r2.string(), r2.string(),
+                    r2.i8(), r2.i8(), r2.i8(),
+                )
+            )
+            return (err, msg, name, entries)
+
+        [(err, msg, _name, entries)] = r.array(parse_resource)
+        if err:
+            raise ValueError(
+                f"describe_configs error {err} on {topic!r}: {msg}"
+            )
+        return {k: v for k, v, *_ in entries}
 
     # -- consumer groups ------------------------------------------------
 

@@ -154,10 +154,14 @@ def recreate_topics_wire(
             t: len(ps)
             for t, ps in c.metadata(list(specs))["topics"].items()
         }
+        # verify the config map landed — read back over the wire
+        # (DescribeConfigs), not a broker-side shortcut
+        configs = {t: c.describe_configs(t) for t in specs}
     return {
         "deleted": sorted(deleted),
         "created": sorted(created),
         "layout": layout,
+        "configs": configs,
     }
 
 

@@ -225,3 +225,26 @@ def test_group_consumer_reset_and_commit_flags(broker):
         consume_sample_wire(
             broker.bootstrap, "orders", auto_offset_reset="none"
         )
+
+
+def test_describe_configs_over_the_wire(broker):
+    """DescribeConfigs v0: the recreate flow's verify step reads the
+    config map back over TCP — unknown topics answer error 3, and the
+    recreate result carries the verified configs."""
+    from kafka_spark_streaming_app_spark.tools.kafka_admin import (
+        recreate_topics_wire,
+    )
+
+    res = recreate_topics_wire(broker.bootstrap, replication=1)
+    assert res["configs"]["ecommerce-orders"] == {
+        "retention.ms": "604800000", "cleanup.policy": "delete",
+    }
+    assert res["configs"]["ecommerce-alerts"] == {
+        "retention.ms": "259200000", "cleanup.policy": "delete",
+    }
+    with MiniKafkaClient(broker.bootstrap) as c:
+        assert c.describe_configs("ecommerce-orders") == {
+            "retention.ms": "604800000", "cleanup.policy": "delete",
+        }
+        with pytest.raises(ValueError, match="error 3"):
+            c.describe_configs("ghost")
