@@ -1819,3 +1819,72 @@ def iceberg_schema_evolution_read(
 
     table_dir = _evolved_orders_iceberg(spark, sf_dir)
     return _evolved_agg(read_iceberg_snapshot(spark, table_dir))
+
+
+# --- incremental append scans (lakehouse-as-a-source) --------------------------
+
+_INCREMENTAL_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+FROM orders
+WHERE o_orderkey % 2 = 1
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def _incremental_agg(df: DataFrame) -> DataFrame:
+    return (
+        df.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query("delta_incremental_append_read", _INCREMENTAL_ORACLE)
+def delta_incremental_append_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lakehouse-as-a-source: the incremental APPEND scan reads
+    exactly the files committed in ``(from_version, to]`` from the
+    transaction log — the primitive behind Delta streaming sources
+    and incremental training-data ingestion (process only what
+    arrived since the last watermark; never rescan 100 TB). On the
+    two-era evolution table, commits after version 0 are exactly the
+    odd orderkeys, which is what the oracle recomputes. Removes in
+    the range gate loudly (append-scan, not CDF)."""
+    from ..sources.deltalog import read_delta_incremental
+
+    table_dir = _evolved_orders_delta(spark, sf_dir)
+    return _incremental_agg(
+        read_delta_incremental(spark, table_dir, from_version=0)
+    )
+
+
+@query("iceberg_incremental_append_read", _INCREMENTAL_ORACLE)
+def iceberg_incremental_append_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg's incremental append scan: manifests are selected by
+    ``added_snapshot_id`` from the TO snapshot's manifest list — an
+    O(manifests) metadata walk, no table diff — and non-append
+    snapshots in the range gate loudly. Same two-era fixture and
+    oracle as the Delta twin."""
+    import json as _json
+
+    from ..sources.iceberglog import (
+        _metadata_path,
+        read_iceberg_incremental,
+    )
+
+    table_dir = _evolved_orders_iceberg(spark, sf_dir)
+    meta = _json.loads(open(_metadata_path(table_dir)).read())
+    first = meta["snapshots"][0]["snapshot-id"]
+    return _incremental_agg(
+        read_iceberg_incremental(spark, table_dir, from_snapshot=first)
+    )

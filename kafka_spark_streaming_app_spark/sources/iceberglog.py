@@ -991,3 +991,69 @@ def expire_snapshots(table_dir: str, keep: int = 1) -> dict:
         "deleted": deleted,
         "retained_snapshot_ids": [s["snapshot-id"] for s in retained],
     }
+
+
+def incremental_append_files(
+    table_dir: str, from_snapshot: int, to_snapshot: int | None = None,
+) -> dict:
+    """Iceberg's incremental APPEND scan (the spec's incremental read
+    contract): data files added by snapshots in
+    ``(from_snapshot, to_snapshot]``, resolved from the TO snapshot's
+    manifest list via each manifest's ``added_snapshot_id`` — an
+    O(manifests) metadata walk, no full-table diff. Snapshots whose
+    summary operation is not ``append`` (overwrite/compaction) gate
+    loudly: their rewritten adds would double-count rows already seen
+    at ``from_snapshot``."""
+    meta = json.loads(open(_metadata_path(table_dir)).read())
+    schema = _current_schema(meta)
+    snaps = meta["snapshots"]
+    ids = [s["snapshot-id"] for s in snaps]
+    if from_snapshot not in ids:
+        raise ValueError(
+            f"from_snapshot {from_snapshot} not in table ({ids})"
+        )
+    to = meta["current-snapshot-id"] if to_snapshot is None else to_snapshot
+    if to not in ids:
+        raise ValueError(f"to_snapshot {to} not in table ({ids})")
+    lo, hi = ids.index(from_snapshot), ids.index(to)
+    if lo > hi:
+        raise ValueError(f"from {from_snapshot} is newer than to {to}")
+    in_range = set()
+    for s in snaps[lo + 1 : hi + 1]:
+        op = (s.get("summary") or {}).get("operation", "append")
+        if op != "append":
+            raise NotImplementedError(
+                f"snapshot {s['snapshot-id']} operation {op!r} in the "
+                "incremental range — append-scan semantics only; "
+                "changelog reads need the jar-backed path"
+            )
+        in_range.add(s["snapshot-id"])
+    to_snap = next(s for s in snaps if s["snapshot-id"] == to)
+    ml = read_container(open(to_snap["manifest-list"], "rb").read())
+    files = []
+    for mf in ml["records"]:
+        if mf["added_snapshot_id"] not in in_range:
+            continue
+        manifest = read_container(open(mf["manifest_path"], "rb").read())
+        for entry in manifest["records"]:
+            if entry["status"] == STATUS_ADDED:
+                files.append(entry["data_file"]["file_path"])
+    return {
+        "files": sorted(set(files)),
+        "from": from_snapshot,
+        "to": to,
+        "schema_fields": schema["fields"],
+    }
+
+
+def read_iceberg_incremental(
+    spark: SparkSession, table_dir: str, from_snapshot: int,
+    to_snapshot: int | None = None,
+) -> DataFrame:
+    """The incremental append scan as a DataFrame: exactly the rows
+    appended in ``(from, to]``."""
+    inc = incremental_append_files(table_dir, from_snapshot, to_snapshot)
+    schema = _spark_schema_from_fields(inc["schema_fields"])
+    if not inc["files"]:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*inc["files"])

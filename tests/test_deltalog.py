@@ -555,3 +555,37 @@ def test_schema_evolution_is_a_metadata_action(tmp_path, spark):
     assert cleanup_log(str(tmp_path))
     again = read_delta_snapshot(spark, str(tmp_path))
     assert again.columns == df.columns and again.count() == 3
+
+
+def test_incremental_append_scan_and_gates(tmp_path, spark):
+    """(from, to] append scan returns exactly the later commits'
+    rows; an empty range is an empty DataFrame; a remove in the range
+    (compaction/CDF territory) gates loudly."""
+    from kafka_spark_streaming_app_spark.queries.formats import (
+        _delta_stream_commit,
+    )
+    from kafka_spark_streaming_app_spark.sources.deltalog import (
+        incremental_add_files,
+        read_delta_incremental,
+    )
+
+    _delta_stream_commit(str(tmp_path), _batch_df(spark, [1, 2]), 0)
+    _delta_stream_commit(str(tmp_path), _batch_df(spark, [3]), 2)
+    _delta_stream_commit(str(tmp_path), _batch_df(spark, [4, 5]), 4)
+    inc = read_delta_incremental(spark, str(tmp_path), from_version=0)
+    assert sorted(r.o_orderkey for r in inc.collect()) == [3, 4, 5]
+    window = read_delta_incremental(
+        spark, str(tmp_path), from_version=0, to_version=1
+    )
+    assert sorted(r.o_orderkey for r in window.collect()) == [3]
+    empty = read_delta_incremental(
+        spark, str(tmp_path), from_version=2, to_version=2
+    )
+    assert empty.count() == 0
+    # odd batch id 5 compacts batch 4 -> remove lands in the log
+    _delta_stream_commit(str(tmp_path), _batch_df(spark, [6]), 5)
+    with pytest.raises(NotImplementedError, match="removes"):
+        incremental_add_files(str(tmp_path), 0)
+    # a range BEFORE the compaction still works
+    ok = incremental_add_files(str(tmp_path), 0, 2)
+    assert len(ok["files"]) == 2

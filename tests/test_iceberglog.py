@@ -550,3 +550,40 @@ def test_schema_evolution_metadata_only(tmp_path, spark):
         str(tmp_path), data_filter={"region": ("A", "B")}
     )
     assert len(gone["files"]) < len(pruned["files"])
+
+
+def test_incremental_append_scan_and_gates(tmp_path, spark):
+    """added_snapshot_id-driven manifest selection: (from, to] yields
+    exactly the appended rows; a compaction snapshot in the range
+    gates loudly; ranges before it still read."""
+    from kafka_spark_streaming_app_spark.queries.formats import (
+        _ICEBERG_SINK_FIELDS,
+        _iceberg_stream_commit,
+    )
+    from kafka_spark_streaming_app_spark.sources.iceberglog import (
+        IcebergCommitter,
+        incremental_append_files,
+        read_iceberg_incremental,
+    )
+
+    c = IcebergCommitter(str(tmp_path), _ICEBERG_SINK_FIELDS)
+    _iceberg_stream_commit(c, str(tmp_path), _batch_df(spark, [1, 2]), 0)
+    _iceberg_stream_commit(c, str(tmp_path), _batch_df(spark, [3]), 2)
+    _iceberg_stream_commit(c, str(tmp_path), _batch_df(spark, [4]), 4)
+    meta = json.loads(open(_vhint_meta(tmp_path)).read())
+    s0, s1, s2 = [s["snapshot-id"] for s in meta["snapshots"]]
+    inc = read_iceberg_incremental(spark, str(tmp_path), s0)
+    assert sorted(r.o_orderkey for r in inc.collect()) == [3, 4]
+    mid = read_iceberg_incremental(spark, str(tmp_path), s0, s1)
+    assert sorted(r.o_orderkey for r in mid.collect()) == [3]
+    assert read_iceberg_incremental(
+        spark, str(tmp_path), s2, s2
+    ).count() == 0
+    with pytest.raises(ValueError, match="not in table"):
+        incremental_append_files(str(tmp_path), 999)
+    # odd batch 5 compacts batch 4 -> overwrite snapshot in range
+    _iceberg_stream_commit(c, str(tmp_path), _batch_df(spark, [5]), 5)
+    with pytest.raises(NotImplementedError, match="overwrite"):
+        incremental_append_files(str(tmp_path), s0)
+    ok = incremental_append_files(str(tmp_path), s0, s2)
+    assert len(ok["files"]) == 2
