@@ -1888,3 +1888,91 @@ def iceberg_incremental_append_read(
     return _incremental_agg(
         read_iceberg_incremental(spark, table_dir, from_snapshot=first)
     )
+
+
+# --- Iceberg format v2: position deletes (merge-on-read) -----------------------
+
+_MOR_ORACLE = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+FROM orders
+WHERE o_orderkey % 3 <> 0
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def _mor_orders_iceberg(spark: SparkSession, sf_dir: str) -> str:
+    """Orders committed once, then every o_orderkey % 3 == 0 row
+    deleted by POSITION (format v2 delete files) — data parquet
+    untouched. The delete file itself is a distributed Spark write:
+    (file_path, row_index) pairs selected via the hidden _metadata
+    columns, sorted (file_path, pos) per spec."""
+    from ..sources.iceberglog import IcebergCommitter
+
+    d = _fixture_dir(spark, sf_dir, "iceberg_mor_table")
+    if d is None:
+        import atexit as _atexit
+        import shutil as _shutil
+
+        d = tempfile.mkdtemp(prefix="iceberg_mor_")
+        _atexit.register(_shutil.rmtree, d, ignore_errors=True)
+        committer = IcebergCommitter(d, _ICEBERG_SINK_FIELDS)
+        _iceberg_stream_commit(
+            committer, d, _clustered_orders_batch(spark, sf_dir), 0
+        )
+        from ..sources.iceberglog import read_iceberg_snapshot
+
+        dels_rel = "deletes-00001"
+        dels_dir = os.path.join(d, "data", dels_rel)
+        (
+            read_iceberg_snapshot(spark, d)
+            .filter(F.col("o_orderkey") % 3 == 0)
+            .select(
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/*", "/"
+                ).alias("file_path"),
+                F.col("_metadata.row_index").alias("pos"),
+            )
+            .repartition(1)
+            .sortWithinPartitions("file_path", "pos")
+            .write.mode("overwrite")
+            .parquet(dels_dir)
+        )
+        entries = [
+            committer.delete_file_entry(os.path.join(dels_dir, f))
+            for f in sorted(os.listdir(dels_dir))
+            if f.endswith(".parquet")
+        ]
+        committer.commit(2, entries, operation="delete")
+        _remember(spark, sf_dir, "iceberg_mor_table", d)
+    return d
+
+
+@query("iceberg_position_delete_read", _MOR_ORACLE)
+def iceberg_position_delete_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Format v2 MERGE-ON-READ: a delete commit lands only a
+    position-delete parquet ((file_path, pos), content=1 manifest
+    entry, summary operation=delete) and NO data file is rewritten.
+    The reader anti-joins the broadcast delete set against the hidden
+    (_metadata.file_path, _metadata.row_index) pair at scan time —
+    the deletes stay KB-sized and broadcast while the 100 TB data
+    side streams through. The oracle recomputes the surviving rows
+    with the equivalent predicate; one ghost or lost row breaks the
+    hash."""
+    from ..sources.iceberglog import read_iceberg_snapshot
+
+    table_dir = _mor_orders_iceberg(spark, sf_dir)
+    return (
+        read_iceberg_snapshot(spark, table_dir)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -454,6 +454,7 @@ def snapshot_data_files(
         )
     ml = read_container(open(snap["manifest-list"], "rb").read())
     files = []
+    delete_files = []
     for mf in ml["records"]:
         manifest = read_container(open(mf["manifest_path"], "rb").read())
         for entry in manifest["records"]:
@@ -464,6 +465,15 @@ def snapshot_data_files(
                 raise NotImplementedError(
                     f"data file format {df['file_format']!r} outside "
                     "the subset"
+                )
+            content = df.get("content") or 0
+            if content == 1:  # format v2 POSITION_DELETES
+                delete_files.append(df["file_path"])
+                continue
+            if content != 0:
+                raise NotImplementedError(
+                    f"data file content {content} (equality deletes) "
+                    "is outside the subset — use the jar-backed path"
                 )
             if expected:
                 part = df.get("partition") or {}
@@ -480,6 +490,7 @@ def snapshot_data_files(
     return {
         "snapshot_id": target,
         "files": sorted(set(files)),
+        "delete_files": sorted(set(delete_files)),
         "schema_fields": schema["fields"],
         "partition_fields": part_fields,
         "partition_spec": spec_fields,
@@ -530,9 +541,34 @@ def read_iceberg_snapshot(
         return spark.createDataFrame(
             [], _spark_schema_from_fields(snap["schema_fields"])
         )
-    return spark.read.schema(
+    df = spark.read.schema(
         _spark_schema_from_fields(snap["schema_fields"])
     ).parquet(*snap["files"])
+    if not snap.get("delete_files"):
+        return df
+    # format v2 MERGE-ON-READ: position-delete files are (file_path,
+    # pos) pairs; a broadcast LEFT ANTI join against the hidden
+    # parquet (_metadata.file_path, _metadata.row_index) drops the
+    # deleted rows at scan time — deletes stay small and broadcast
+    # while the 100 TB data side streams through; no rewrite.
+    from pyspark.sql import functions as F
+
+    def norm(c):  # "file:///t/x" / "file:/t/x" / "/t/x" -> "/t/x"
+        return F.regexp_replace(c, "^file:/*", "/")
+
+    dels = spark.read.schema("file_path string, pos bigint").parquet(
+        *snap["delete_files"]
+    )
+    cols = df.columns
+    tagged = df.withColumn(
+        "__mor_file", norm(F.col("_metadata.file_path"))
+    ).withColumn("__mor_pos", F.col("_metadata.row_index"))
+    return tagged.join(
+        F.broadcast(dels),
+        (tagged["__mor_file"] == norm(dels["file_path"]))
+        & (tagged["__mor_pos"] == dels["pos"]),
+        "left_anti",
+    ).select(cols)
 
 
 def _spark_schema_from_fields(schema_fields):
@@ -810,13 +846,75 @@ class IcebergCommitter:
             }
         return entry
 
+    def position_delete_entry(self, name: str, deletes) -> dict:
+        """Write a format-v2 POSITION-DELETE parquet file —
+        ``deletes``: [(data_file_path, row_position)] — and return
+        its manifest entry (content=1). Merge-on-read: the data files
+        are untouched; readers anti-join these (file, pos) pairs
+        against the hidden parquet row index. Unpartitioned subset
+        (partitioned delete manifests gate loudly)."""
+        if self.spec_fields:
+            raise NotImplementedError(
+                "position deletes on partitioned tables are outside "
+                "the subset (per-partition delete manifests; use the "
+                "jar-backed path)"
+            )
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = os.path.join(self.data_dir, name)
+        pq.write_table(
+            pa.table(
+                {
+                    "file_path": pa.array(
+                        [p for p, _ in deletes], pa.string()
+                    ),
+                    "pos": pa.array(
+                        [int(p) for _, p in deletes], pa.int64()
+                    ),
+                }
+            ),
+            path,
+        )
+        return {
+            "content": 1,
+            "file_path": path,
+            "file_format": "PARQUET",
+            "record_count": len(deletes),
+            "file_size_in_bytes": os.path.getsize(path),
+        }
+
+    def delete_file_entry(self, path: str) -> dict:
+        """Manifest entry (content=1) for an EXISTING position-delete
+        parquet file — the distributed-write path: a Spark job lands
+        the (file_path, pos) parquet, the driver wraps its footer."""
+        import pyarrow.parquet as pq
+
+        if self.spec_fields:
+            raise NotImplementedError(
+                "position deletes on partitioned tables are outside "
+                "the subset (per-partition delete manifests; use the "
+                "jar-backed path)"
+            )
+        return {
+            "content": 1,
+            "file_path": path,
+            "file_format": "PARQUET",
+            "record_count": pq.ParquetFile(path).metadata.num_rows,
+            "file_size_in_bytes": os.path.getsize(path),
+        }
+
     def commit(
         self, batch_id: int, added: list, removed: list = (),
         drop_manifests: tuple = (),
+        operation: str | None = None,
     ) -> int:
         """One snapshot: ``added``/``removed`` are data_file dicts
         for the NEW manifest; ``drop_manifests`` names manifest paths
-        whose entries this commit supersedes (compaction)."""
+        whose entries this commit supersedes (compaction).
+        ``operation`` overrides the summary operation (e.g.
+        ``delete`` for a position-delete commit — which correctly
+        gates incremental append scans across it)."""
         meta = self._current_meta()
         version = 0 if meta is None else (
             int(open(
@@ -885,7 +983,8 @@ class IcebergCommitter:
                 "timestamp-ms": 0,
                 "manifest-list": ml_path,
                 "summary": {
-                    "operation": "overwrite" if removed else "append",
+                    "operation": operation
+                    or ("overwrite" if removed else "append"),
                     "spark-graft-batch-id": str(batch_id),
                 },
             }

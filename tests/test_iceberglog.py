@@ -587,3 +587,78 @@ def test_incremental_append_scan_and_gates(tmp_path, spark):
         incremental_append_files(str(tmp_path), s0)
     ok = incremental_append_files(str(tmp_path), s0, s2)
     assert len(ok["files"]) == 2
+
+
+def test_position_deletes_merge_on_read(tmp_path, spark):
+    """Format v2 position deletes: the delete commit rewrites NO data
+    file (on-disk parquet untouched), the reader anti-joins the
+    (file_path, pos) pairs against the hidden row index, incremental
+    append scans gate across the delete snapshot, and equality
+    deletes (content=2) gate loudly."""
+    import glob as _glob
+
+    from kafka_spark_streaming_app_spark.queries.formats import (
+        _ICEBERG_SINK_FIELDS,
+        _iceberg_stream_commit,
+    )
+    from kafka_spark_streaming_app_spark.sources.iceberglog import (
+        IcebergCommitter,
+        incremental_append_files,
+    )
+
+    c = IcebergCommitter(str(tmp_path), _ICEBERG_SINK_FIELDS)
+    _iceberg_stream_commit(
+        c, str(tmp_path), _batch_df(spark, list(range(10))), 0
+    )
+    snap0 = snapshot_data_files(str(tmp_path))
+    (data_file,) = snap0["files"]
+    before = open(data_file, "rb").read()
+    # delete rows at positions 1,3,5 (orderkeys 1,3,5 — coalesce(1)
+    # keeps insertion order)
+    entry = c.position_delete_entry(
+        "pd-0.parquet", [(data_file, 1), (data_file, 3), (data_file, 5)]
+    )
+    c.commit(2, [entry], operation="delete")
+    assert open(data_file, "rb").read() == before  # untouched
+    snap = snapshot_data_files(str(tmp_path))
+    assert snap["files"] == [data_file]
+    assert len(snap["delete_files"]) == 1
+    df = read_iceberg_snapshot(spark, str(tmp_path))
+    assert sorted(r.o_orderkey for r in df.collect()) == [
+        0, 2, 4, 6, 7, 8, 9,
+    ]
+    # the delete snapshot is not an append: incremental gates
+    meta = json.loads(open(_vhint_meta(tmp_path)).read())
+    s0 = meta["snapshots"][0]["snapshot-id"]
+    with pytest.raises(NotImplementedError, match="delete"):
+        incremental_append_files(str(tmp_path), s0)
+    # time travel to the pre-delete snapshot still sees all rows
+    assert read_iceberg_snapshot(spark, str(tmp_path), s0).count() == 10
+    # equality deletes gate loudly
+    m = _vhint_meta(tmp_path)
+    # forge a content=2 entry by rewriting the delete entry's content
+    from kafka_spark_streaming_app_spark.operators.avrocodec import (
+        read_container,
+        write_container,
+    )
+
+    dm = [
+        p for p in _glob.glob(str(tmp_path / "metadata" / "manifest-*"))
+        if "b00002" in p
+    ][0]
+    out = read_container(open(dm, "rb").read())
+    out["records"][0]["data_file"]["content"] = 2
+    open(dm, "wb").write(
+        write_container(
+            out["records"], out["schema"], bytes(range(16)),
+            codec="deflate",
+        )
+    )
+    with pytest.raises(NotImplementedError, match="equality"):
+        snapshot_data_files(str(tmp_path))
+    # partitioned tables gate the delete writer itself
+    cp = IcebergCommitter(
+        str(tmp_path) + "_p", _ICEBERG_SINK_FIELDS, ("o_orderstatus",)
+    )
+    with pytest.raises(NotImplementedError, match="partitioned"):
+        cp.position_delete_entry("x.parquet", [("f", 0)])
