@@ -1976,3 +1976,84 @@ def iceberg_position_delete_read(
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --- Delta deletion vectors (merge-on-read) -------------------------------------
+
+_DV_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+FROM orders
+WHERE o_orderkey % 3 <> 0
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def _dv_orders_delta(spark: SparkSession, sf_dir: str) -> str:
+    """Orders committed once, then every o_orderkey % 3 == 0 row
+    deleted via INLINE DELETION VECTORS (z85 + RoaringBitmapArray) —
+    remove + re-add of the same path in one commit, no data parquet
+    rewritten."""
+    from ..sources.deltalog import (
+        delete_rows_by_position,
+        read_delta_snapshot,
+    )
+
+    d = _fixture_dir(spark, sf_dir, "delta_dv_table")
+    if d is None:
+        import atexit as _atexit
+        import shutil as _shutil
+
+        d = tempfile.mkdtemp(prefix="delta_dv_")
+        _atexit.register(_shutil.rmtree, d, ignore_errors=True)
+        _delta_stream_commit(
+            d, _clustered_orders_batch(spark, sf_dir), 0
+        )
+        doomed = (
+            read_delta_snapshot(spark, d)
+            .filter(F.col("o_orderkey") % 3 == 0)
+            .select(
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/*", "/"
+                ).alias("file_path"),
+                F.col("_metadata.row_index").alias("pos"),
+            )
+            .collect()  # O(deleted rows): builds the DV payloads,
+            # which are log-resident metadata by definition
+        )
+        by_rel: dict = {}
+        for r in doomed:
+            rel = os.path.relpath(r.file_path, d)
+            by_rel.setdefault(rel, []).append(r.pos)
+        delete_rows_by_position(d, by_rel)
+        _remember(spark, sf_dir, "delta_dv_table", d)
+    return d
+
+
+@query("delta_deletion_vector_read", _DV_ORACLE)
+def delta_deletion_vector_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta MERGE-ON-READ via inline deletion vectors: the delete
+    commit re-adds each touched file with a z85-encoded
+    RoaringBitmapArray of deleted row positions (operators/dvcodec.py
+    — Z85 pinned to the ZeroMQ RFC vector, roaring to the portable
+    format spec) and rewrites NO data parquet. The reader anti-joins
+    the decoded positions against the hidden parquet row index.
+    Iceberg's position-delete twin is iceberg_position_delete_read —
+    same semantics, the two formats' different encodings."""
+    from ..sources.deltalog import read_delta_snapshot
+
+    table_dir = _dv_orders_delta(spark, sf_dir)
+    return (
+        read_delta_snapshot(spark, table_dir)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -26,8 +26,12 @@ Partitioned tables are first-class: metaData.partitionColumns +
 per-add partitionValues replay into LOG-LEVEL partition pruning
 (``partition_filter`` shrinks the file list before Spark lists a
 path), and hive-layout reads recover partition columns via
-``basePath``. No deletion vectors / column mapping — those gate
-loudly (`sources/lakehouse.py` keeps the jar-backed path)."""
+``basePath``. INLINE deletion vectors (storageType ``i``) are
+first-class merge-on-read: the z85/roaring payload
+(``operators/dvcodec.py``) decodes executor-side and a broadcast
+anti-join on the hidden parquet row index drops deleted rows at scan
+time. File-backed vectors and column mapping gate loudly
+(`sources/lakehouse.py` keeps the jar-backed path)."""
 
 from __future__ import annotations
 
@@ -234,6 +238,12 @@ def snapshot_files(
         "stats": {
             p: a["stats"] for p, a in adds.items() if a.get("stats")
         },
+        "deletion_vectors": {
+            p: a["deletionVector"]
+            for p, a in adds.items()
+            if a.get("deletionVector")
+        },
+        "adds": adds,
         "txns": txns,
         "protocol": protocol,
     }
@@ -299,7 +309,10 @@ def read_delta_snapshot(
     if not paths:  # zero live files is a valid snapshot either way
         return spark.createDataFrame([], schema)
     if not pcols:
-        return spark.read.schema(schema).parquet(*paths)
+        df = spark.read.schema(schema).parquet(*paths)
+        return _apply_deletion_vectors(
+            spark, df, table_dir, snap, [f.name for f in schema.fields]
+        )
     from pyspark.sql import types as T
 
     # hive-layout data files store only non-partition columns; read
@@ -309,12 +322,55 @@ def read_delta_snapshot(
         [f for f in schema.fields if f.name not in set(pcols)]
         + [schema[c] for c in pcols]
     )
-    return (
+    df = (
         spark.read.schema(physical)
         .option("basePath", table_dir)
         .parquet(*paths)
-        .select([f.name for f in schema.fields])
     )
+    return _apply_deletion_vectors(
+        spark, df, table_dir, snap, [f.name for f in schema.fields]
+    )
+
+
+def _apply_deletion_vectors(
+    spark: SparkSession, df: DataFrame, table_dir: str, snap: dict,
+    out_cols: list,
+) -> DataFrame:
+    """MERGE-ON-READ: decode each add action's inline deletion vector
+    (z85 + RoaringBitmapArray, executor-side UDF over O(files)
+    metadata rows) and drop the marked row positions with a broadcast
+    LEFT ANTI join on the hidden parquet (_metadata.file_path,
+    _metadata.row_index) — data files are never rewritten, and the
+    delete side stays KB-sized while the data side streams."""
+    dvs = snap.get("deletion_vectors") or {}
+    if not dvs:
+        return df.select(out_cols)
+    from pyspark.sql import functions as F
+
+    from ..operators.dvcodec import dv_positions
+
+    # Inline DVs are LOG-RESIDENT: the z85 payload already sits in
+    # the driver's replay of the commit JSON, so decoding here adds
+    # only the integer positions — same O(cardinality) the log read
+    # already paid. (File-backed vectors, the shape for huge delete
+    # sets, gate loudly in dv_positions.)
+    pairs = []
+    for p, dv in sorted(dvs.items()):
+        full = os.path.abspath(os.path.join(table_dir, p))
+        pairs.extend((full, int(pos)) for pos in dv_positions(dv))
+    dels = spark.createDataFrame(
+        pairs, "file_path string, pos bigint"
+    )
+    tagged = df.withColumn(
+        "__mor_file",
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/"),
+    ).withColumn("__mor_pos", F.col("_metadata.row_index"))
+    return tagged.join(
+        F.broadcast(dels),
+        (tagged["__mor_file"] == dels["file_path"])
+        & (tagged["__mor_pos"] == dels["pos"]),
+        "left_anti",
+    ).select(out_cols)
 
 
 class DeltaFixtureWriter:
@@ -429,6 +485,17 @@ def write_checkpoint(table_dir: str) -> int:
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
                         ("stats", pa.string()),
+                        (
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    ("storageType", pa.string()),
+                                    ("pathOrInlineDv", pa.string()),
+                                    ("sizeInBytes", pa.int64()),
+                                    ("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
                     ]
                 ),
             ),
@@ -487,9 +554,11 @@ def write_checkpoint(table_dir: str) -> int:
                     "size": 0,
                     "modificationTime": 0,
                     "dataChange": True,
-                    # per-file stats ride the checkpoint (spec) so
-                    # data skipping survives log retention
+                    # per-file stats and deletion vectors ride the
+                    # checkpoint (spec) so data skipping and
+                    # merge-on-read survive log retention
                     "stats": snap["stats"].get(p),
+                    "deletionVector": snap["deletion_vectors"].get(p),
                 }
             }
         )
@@ -632,3 +701,41 @@ def read_delta_incremental(
     return spark.read.schema(schema).parquet(
         *[os.path.join(table_dir, p) for p in inc["files"]]
     )
+
+
+def delete_rows_by_position(
+    table_dir: str, positions_by_path: dict
+) -> int:
+    """DELETE WITHOUT REWRITE: one commit that, for each
+    ``{rel_path: [row_positions]}``, removes the live add and re-adds
+    the SAME file with an inline deletion vector (merged with any
+    existing vector) — exactly Delta's DV delete shape (remove + add
+    of one path in one transaction). Data files are untouched; the
+    commit is O(KB) metadata. Returns the new version."""
+    from ..operators.dvcodec import dv_inline, dv_positions
+
+    snap = snapshot_files(table_dir)
+    live = snap["adds"]
+    actions = []
+    for rel, positions in sorted(positions_by_path.items()):
+        if rel not in live:
+            raise ValueError(
+                f"{rel!r} is not a live file in version {snap['version']}"
+            )
+        old = dict(live[rel])
+        merged = set(int(p) for p in positions)
+        if old.get("deletionVector"):
+            merged |= set(dv_positions(old["deletionVector"]))
+        actions.append(
+            {"remove": {"path": rel, "deletionTimestamp": 0,
+                        "dataChange": True}}
+        )
+        old["deletionVector"] = dv_inline(sorted(merged))
+        old["dataChange"] = True
+        actions.append({"add": old})
+    actions.append({"commitInfo": {"operation": "DELETE"}})
+    version = snap["version"] + 1
+    with open(_commit_path(table_dir, version), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    return version

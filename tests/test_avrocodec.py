@@ -131,3 +131,43 @@ def test_avro_roundtrip_agg_matches_direct_aggregate(spark, sf_smoke):
         .collect()
     }
     assert got == {k: (n, float(rev)) for k, (n, rev) in direct.items()}
+
+
+def test_dvcodec_public_vectors():
+    """Z85 pinned to the ZeroMQ RFC 32 test vector; portable roaring
+    roundtrips across container types incl. foreign run containers;
+    RoaringBitmapArray carries 64-bit positions."""
+    import struct
+
+    from kafka_spark_streaming_app_spark.operators.dvcodec import (
+        dv_deserialize,
+        dv_inline,
+        dv_positions,
+        dv_serialize,
+        roaring32_deserialize,
+        roaring32_serialize,
+        z85_decode,
+        z85_encode,
+    )
+
+    raw = bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+    assert z85_encode(raw) == "HelloWorld"
+    assert z85_decode("HelloWorld") == raw
+    for vals in ([], [0], [7, 65536 + 2], list(range(5000)),
+                 list(range(0, 200000, 3))):
+        enc = roaring32_serialize(vals)
+        dec, end = roaring32_deserialize(enc)
+        assert dec == sorted(set(vals)) and end == len(enc)
+    # foreign run-container file (cookie 12347)
+    runfile = (
+        struct.pack("<HH", 12347, 0) + b"\x01"
+        + struct.pack("<HH", 0, 10)
+        + struct.pack("<H", 1) + struct.pack("<HH", 10, 10)
+    )
+    vals, _ = roaring32_deserialize(runfile)
+    assert vals == list(range(10, 21))
+    ps = [1, 3, (1 << 32) + 7, (1 << 33) + 1]
+    assert dv_deserialize(dv_serialize(ps)) == sorted(ps)
+    dv = dv_inline([5, 1, 3])
+    assert dv["storageType"] == "i" and dv["cardinality"] == 3
+    assert dv_positions(dv) == [1, 3, 5]

@@ -589,3 +589,70 @@ def test_incremental_append_scan_and_gates(tmp_path, spark):
     # a range BEFORE the compaction still works
     ok = incremental_add_files(str(tmp_path), 0, 2)
     assert len(ok["files"]) == 2
+
+
+def test_deletion_vectors_merge_on_read(tmp_path, spark):
+    """Inline DVs: delete-by-position rewrites no data parquet, the
+    remove+re-add shape replays correctly, repeat deletes MERGE into
+    the existing vector, DVs survive checkpoint + retention, and
+    file-backed vectors gate loudly."""
+    from kafka_spark_streaming_app_spark.operators.dvcodec import (
+        dv_positions,
+    )
+    from kafka_spark_streaming_app_spark.queries.formats import (
+        _delta_stream_commit,
+    )
+    from kafka_spark_streaming_app_spark.sources.deltalog import (
+        cleanup_log,
+        delete_rows_by_position,
+        write_checkpoint,
+    )
+
+    _delta_stream_commit(
+        str(tmp_path), _batch_df(spark, list(range(10))), 0
+    )
+    (rel,) = snapshot_files(str(tmp_path))["files"]
+    before = open(tmp_path / rel, "rb").read()
+    delete_rows_by_position(str(tmp_path), {rel: [1, 3, 5]})
+    assert open(tmp_path / rel, "rb").read() == before  # untouched
+    snap = snapshot_files(str(tmp_path))
+    assert snap["files"] == [rel]  # same file, now DV'd
+    dv = snap["deletion_vectors"][rel]
+    assert dv["storageType"] == "i" and dv["cardinality"] == 3
+    assert dv_positions(dv) == [1, 3, 5]
+    got = sorted(
+        r.o_orderkey
+        for r in read_delta_snapshot(spark, str(tmp_path)).collect()
+    )
+    assert got == [0, 2, 4, 6, 7, 8, 9]
+    # second delete merges with the existing vector
+    delete_rows_by_position(str(tmp_path), {rel: [0]})
+    snap2 = snapshot_files(str(tmp_path))
+    assert dv_positions(snap2["deletion_vectors"][rel]) == [0, 1, 3, 5]
+    # survives checkpoint + log retention
+    write_checkpoint(str(tmp_path))
+    assert cleanup_log(str(tmp_path))
+    got2 = sorted(
+        r.o_orderkey
+        for r in read_delta_snapshot(spark, str(tmp_path)).collect()
+    )
+    assert got2 == [2, 4, 6, 7, 8, 9]
+    # time travel to the pre-delete version sees everything
+    assert read_delta_snapshot(spark, str(tmp_path), 2).count() == 6
+    with pytest.raises(ValueError, match="not a live file"):
+        delete_rows_by_position(str(tmp_path), {"ghost.parquet": [0]})
+    # file-backed vectors gate loudly at read time
+    import json as _json
+
+    v = snapshot_files(str(tmp_path))["version"] + 1
+    a = dict(snapshot_files(str(tmp_path))["adds"][rel])
+    a["deletionVector"] = {
+        "storageType": "u", "pathOrInlineDv": "ab", "sizeInBytes": 1,
+        "cardinality": 1,
+    }
+    with open(
+        tmp_path / "_delta_log" / f"{v:020d}.json", "w"
+    ) as fh:
+        fh.write(_json.dumps({"add": a}) + "\n")
+    with pytest.raises(NotImplementedError, match="storageType"):
+        read_delta_snapshot(spark, str(tmp_path)).collect()
