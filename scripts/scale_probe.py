@@ -284,6 +284,19 @@ PROBES = (
     "streaming_iceberg_sink_transforms",
     "iceberg_transform_pruned_read",
     "iceberg_bucket_pruned_point_read",
+    # round-11 continuation: stats skipping, schema evolution,
+    # incremental scans, merge-on-read (all metadata-pruned or
+    # row-linear; MoR adds a broadcast anti-join on the delete set)
+    "delta_stats_skipping_read",
+    "iceberg_stats_skipping_read",
+    "delta_schema_evolution_read",
+    "iceberg_schema_evolution_read",
+    "delta_incremental_append_read",
+    "iceberg_incremental_append_read",
+    "iceberg_position_delete_read",
+    "delta_deletion_vector_read",
+    # (kafka_wire_orders_v2 is excluded like the other wire queries:
+    # its payload generator is sf-independent, nothing scales)
 )
 
 

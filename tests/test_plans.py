@@ -946,3 +946,46 @@ def test_t_closeness_grid_broadcasts_band_table(spark, sf_smoke):
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_merge_on_read_is_broadcast_anti_join(spark, sf_smoke):
+    """Both MoR readers (Iceberg position deletes, Delta deletion
+    vectors) must drop deleted rows with a BROADCAST LeftAnti join on
+    the hidden row index — the delete side stays broadcast-sized
+    while the data side keeps its scan parallelism; a shuffled or
+    cartesian shape would gate the 100 TB scan on the deletes."""
+    for name in (
+        "iceberg_position_delete_read", "delta_deletion_vector_read",
+    ):
+        plan = plan_str(registry.QUERIES[name](spark, sf_smoke))
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, name
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_stats_skipping_prunes_the_file_list(spark, sf_smoke):
+    """The skipping reads must hand Spark ONLY the overlapping files:
+    inputFiles (the planned scan set) is a strict subset of the
+    table's live files on the range-clustered layout."""
+    from kafka_spark_streaming_app_spark.queries.formats import (
+        _clustered_orders_delta,
+        _clustered_orders_iceberg,
+    )
+    from kafka_spark_streaming_app_spark.sources.deltalog import (
+        read_delta_snapshot,
+        snapshot_files,
+    )
+    from kafka_spark_streaming_app_spark.sources.iceberglog import (
+        read_iceberg_snapshot,
+        snapshot_data_files,
+    )
+
+    flt = {"o_orderkey": (1000, 5000)}
+    d = _clustered_orders_delta(spark, sf_smoke)
+    n_all = len(snapshot_files(d)["files"])
+    pruned = read_delta_snapshot(spark, d, data_filter=flt)
+    assert 0 < len(pruned.inputFiles()) < n_all
+    t = _clustered_orders_iceberg(spark, sf_smoke)
+    n_all_i = len(snapshot_data_files(t)["files"])
+    pruned_i = read_iceberg_snapshot(spark, t, data_filter=flt)
+    assert 0 < len(pruned_i.inputFiles()) < n_all_i
