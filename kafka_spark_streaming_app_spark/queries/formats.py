@@ -2057,3 +2057,96 @@ def delta_deletion_vector_read(
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --- Delta change data feed (derived from the log) ------------------------------
+
+_CDF_ORACLE = """
+WITH changes AS (
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+           'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+    FROM orders WHERE o_orderkey % 2 = 1
+    UNION ALL
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+           'delete', CAST(2 AS BIGINT)
+    FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT _change_type, _commit_version,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS cents
+FROM changes
+GROUP BY _change_type, _commit_version
+ORDER BY _change_type, _commit_version
+"""
+
+
+def _cdf_orders_delta(spark: SparkSession, sf_dir: str) -> str:
+    """Commit 0: even orderkeys; commit 1: odd orderkeys; commit 2:
+    DV-delete of every o_orderkey % 3 == 0 row (touches both files).
+    The (0, latest] change feed is then commit 1's inserts plus
+    commit 2's deletes — SQL-reproducible."""
+    from ..sources.deltalog import (
+        delete_rows_by_position,
+        read_delta_snapshot,
+    )
+
+    d = _fixture_dir(spark, sf_dir, "delta_cdf_table")
+    if d is None:
+        import atexit as _atexit
+        import shutil as _shutil
+
+        d = tempfile.mkdtemp(prefix="delta_cdf_")
+        _atexit.register(_shutil.rmtree, d, ignore_errors=True)
+        base = _clustered_orders_batch(spark, sf_dir)
+        _delta_stream_commit(
+            d, base.filter(F.col("o_orderkey") % 2 == 0), 0
+        )
+        _delta_stream_commit(
+            d, base.filter(F.col("o_orderkey") % 2 == 1), 2
+        )  # even batch id: no compaction — pure append commit
+        doomed = (
+            read_delta_snapshot(spark, d)
+            .filter(F.col("o_orderkey") % 3 == 0)
+            .select(
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/*", "/"
+                ).alias("file_path"),
+                F.col("_metadata.row_index").alias("pos"),
+            )
+            .collect()
+        )
+        by_rel: dict = {}
+        for r in doomed:
+            by_rel.setdefault(
+                os.path.relpath(r.file_path, d), []
+            ).append(r.pos)
+        delete_rows_by_position(d, by_rel)
+        _remember(spark, sf_dir, "delta_cdf_table", d)
+    return d
+
+
+@query("delta_change_feed_read", _CDF_ORACLE)
+def delta_change_feed_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED derived from the transaction log: the
+    (0, latest] feed yields commit 1's appended rows as
+    _change_type='insert' and commit 2's deletion-vector positions as
+    _change_type='delete' — deleted rows recovered from the untouched
+    data files with a broadcast LEFT SEMI join on the hidden row
+    index (the merge-on-read anti-join's mirror). Downstream
+    incremental consumers (CDC replication, TTL audits, training-set
+    diffs) read changes without ever rescanning the table; rewrites
+    and explicit cdc actions gate loudly."""
+    from ..sources.deltalog import table_changes
+
+    table_dir = _cdf_orders_delta(spark, sf_dir)
+    return (
+        table_changes(spark, table_dir, from_version=0)
+        .groupBy("_change_type", "_commit_version")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .orderBy("_change_type", "_commit_version")
+    )

@@ -656,3 +656,47 @@ def test_deletion_vectors_merge_on_read(tmp_path, spark):
         fh.write(_json.dumps({"add": a}) + "\n")
     with pytest.raises(NotImplementedError, match="storageType"):
         read_delta_snapshot(spark, str(tmp_path)).collect()
+
+
+def test_change_feed_inserts_deletes_and_gates(tmp_path, spark):
+    """table_changes: appends surface as inserts, DV commits surface
+    exactly the NEWLY-deleted positions as deletes (earlier deletions
+    are not repeated), windowed ranges work, and rewrite shapes gate
+    loudly."""
+    from kafka_spark_streaming_app_spark.queries.formats import (
+        _delta_stream_commit,
+    )
+    from kafka_spark_streaming_app_spark.sources.deltalog import (
+        delete_rows_by_position,
+        table_changes,
+    )
+
+    _delta_stream_commit(str(tmp_path), _batch_df(spark, [1, 2]), 0)
+    _delta_stream_commit(str(tmp_path), _batch_df(spark, [3, 4]), 2)
+    (rel0, rel1) = snapshot_files(str(tmp_path))["files"]
+    delete_rows_by_position(str(tmp_path), {rel0: [0]})   # v2: key 1
+    delete_rows_by_position(str(tmp_path), {rel0: [1]})   # v3: key 2
+    feed = table_changes(spark, str(tmp_path), from_version=0)
+    got = sorted(
+        (r._commit_version, r._change_type, r.o_orderkey)
+        for r in feed.collect()
+    )
+    assert got == [
+        (1, "insert", 3), (1, "insert", 4),
+        (2, "delete", 1),           # only the NEW deletion at v2
+        (3, "delete", 2),           # and only the new one at v3
+    ]
+    # windowed range: just the second delete
+    tail = table_changes(spark, str(tmp_path), 2, 3)
+    assert [(r._change_type, r.o_orderkey) for r in tail.collect()] == [
+        ("delete", 2)
+    ]
+    assert table_changes(spark, str(tmp_path), 3, 3).count() == 0
+    # a compaction (remove without DV re-add) gates: batch 5 compacts
+    # batch 4's files into a rewrite commit
+    _delta_stream_commit(str(tmp_path), _batch_df(spark, [5]), 4)
+    _delta_stream_commit(str(tmp_path), _batch_df(spark, [6]), 5)
+    with pytest.raises(NotImplementedError, match="jar-backed"):
+        table_changes(spark, str(tmp_path), 0).collect()
+    # but a range before it still reads
+    assert table_changes(spark, str(tmp_path), 0, 3).count() == 4
