@@ -2150,3 +2150,104 @@ def delta_change_feed_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("_change_type", "_commit_version")
     )
+
+
+# --- Iceberg changelog scan ------------------------------------------------------
+
+_ICEBERG_CDF_ORACLE = """
+WITH changes AS (
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+           'insert' AS _change_type, CAST(1001 AS BIGINT) AS _snapshot_id
+    FROM orders WHERE o_orderkey % 2 = 1
+    UNION ALL
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+           'delete', CAST(1002 AS BIGINT)
+    FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT _change_type, _snapshot_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS cents
+FROM changes
+GROUP BY _change_type, _snapshot_id
+ORDER BY _change_type, _snapshot_id
+"""
+
+
+def _cdf_orders_iceberg(spark: SparkSession, sf_dir: str) -> str:
+    """Snapshot 1000: even orderkeys; 1001: odd orderkeys; 1002:
+    position-delete of every o_orderkey % 3 == 0 row."""
+    from ..sources.iceberglog import (
+        IcebergCommitter,
+        read_iceberg_snapshot,
+    )
+
+    d = _fixture_dir(spark, sf_dir, "iceberg_cdf_table")
+    if d is None:
+        import atexit as _atexit
+        import shutil as _shutil
+
+        d = tempfile.mkdtemp(prefix="iceberg_cdf_")
+        _atexit.register(_shutil.rmtree, d, ignore_errors=True)
+        committer = IcebergCommitter(d, _ICEBERG_SINK_FIELDS)
+        base = _clustered_orders_batch(spark, sf_dir)
+        _iceberg_stream_commit(
+            committer, d, base.filter(F.col("o_orderkey") % 2 == 0), 0
+        )
+        _iceberg_stream_commit(
+            committer, d, base.filter(F.col("o_orderkey") % 2 == 1), 2
+        )
+        dels_dir = os.path.join(d, "data", "deletes-00001")
+        (
+            read_iceberg_snapshot(spark, d)
+            .filter(F.col("o_orderkey") % 3 == 0)
+            .select(
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/*", "/"
+                ).alias("file_path"),
+                F.col("_metadata.row_index").alias("pos"),
+            )
+            .repartition(1)
+            .sortWithinPartitions("file_path", "pos")
+            .write.mode("overwrite")
+            .parquet(dels_dir)
+        )
+        entries = [
+            committer.delete_file_entry(os.path.join(dels_dir, f))
+            for f in sorted(os.listdir(dels_dir))
+            if f.endswith(".parquet")
+        ]
+        committer.commit(4, entries, operation="delete")
+        _remember(spark, sf_dir, "iceberg_cdf_table", d)
+    return d
+
+
+@query("iceberg_changelog_read", _ICEBERG_CDF_ORACLE)
+def iceberg_changelog_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg CHANGELOG scan, the Delta change feed's twin: appended
+    snapshots surface their ADDED files as inserts, delete snapshots
+    surface their new position-delete pairs as deletes (recovered
+    from untouched data files via the row-index semi-join), each row
+    tagged with its _snapshot_id — incremental consumers follow the
+    table without rescans, across BOTH lakehouse formats with the
+    same semantics. Rewrite snapshots gate loudly."""
+    import json as _json
+
+    from ..sources.iceberglog import (
+        _metadata_path,
+        iceberg_changelog,
+    )
+
+    table_dir = _cdf_orders_iceberg(spark, sf_dir)
+    meta = _json.loads(open(_metadata_path(table_dir)).read())
+    first = meta["snapshots"][0]["snapshot-id"]
+    return (
+        iceberg_changelog(spark, table_dir, from_snapshot=first)
+        .groupBy("_change_type", "_snapshot_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .orderBy("_change_type", "_snapshot_id")
+    )

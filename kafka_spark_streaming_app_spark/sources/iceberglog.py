@@ -1156,3 +1156,151 @@ def read_iceberg_incremental(
     if not inc["files"]:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*inc["files"])
+
+
+def iceberg_changelog(
+    spark: SparkSession, table_dir: str, from_snapshot: int,
+    to_snapshot: int | None = None,
+) -> DataFrame:
+    """CHANGELOG scan, Delta ``table_changes``'s Iceberg twin: for
+    each snapshot in ``(from, to]``,
+
+    * an ``append`` snapshot emits its ADDED data files' rows as
+      ``_change_type='insert'``;
+    * a ``delete`` snapshot emits the rows its NEW position-delete
+      files mark (minus any positions already deleted by earlier
+      snapshots) as ``_change_type='delete'``, recovered from the
+      untouched data files via a broadcast LEFT SEMI join on the
+      hidden row index;
+    * ``overwrite`` (compaction/rewrite) snapshots gate loudly.
+
+    Each row carries ``_snapshot_id``. Manifest selection is by
+    ``added_snapshot_id`` within each snapshot's own manifest list —
+    O(manifests) metadata per snapshot."""
+    from pyspark.sql import functions as F
+
+    meta = json.loads(open(_metadata_path(table_dir)).read())
+    schema = _current_schema(meta)
+    spark_schema = _spark_schema_from_fields(schema["fields"])
+    out_cols = [f["name"] for f in schema["fields"]]
+    snaps = meta["snapshots"]
+    ids = [s["snapshot-id"] for s in snaps]
+    if from_snapshot not in ids:
+        raise ValueError(
+            f"from_snapshot {from_snapshot} not in table ({ids})"
+        )
+    to = meta["current-snapshot-id"] if to_snapshot is None else to_snapshot
+    if to not in ids:
+        raise ValueError(f"to_snapshot {to} not in table ({ids})")
+    lo, hi = ids.index(from_snapshot), ids.index(to)
+    if lo > hi:
+        raise ValueError(f"from {from_snapshot} is newer than to {to}")
+
+    def _norm(c):
+        return F.regexp_replace(c, "^file:/*", "/")
+
+    def _delete_pairs(delete_paths) -> set:
+        import pyarrow.parquet as pq
+
+        pairs = set()
+        for p in delete_paths:
+            for row in pq.read_table(p).to_pylist():
+                pairs.add((row["file_path"], int(row["pos"])))
+        return pairs
+
+    # positions already deleted BEFORE the range start: every delete
+    # file live in any snapshot up to from_snapshot
+    seen_delete_files: set = set()
+    for s in snaps[: lo + 1]:
+        ml = read_container(open(s["manifest-list"], "rb").read())
+        for mf in ml["records"]:
+            manifest = read_container(
+                open(mf["manifest_path"], "rb").read()
+            )
+            for entry in manifest["records"]:
+                df_ = entry["data_file"]
+                if (df_.get("content") or 0) == 1:
+                    seen_delete_files.add(df_["file_path"])
+    seen_pairs = _delete_pairs(seen_delete_files)
+
+    parts = []
+    for s in snaps[lo + 1 : hi + 1]:
+        sid = s["snapshot-id"]
+        op = (s.get("summary") or {}).get("operation", "append")
+        if op not in ("append", "delete"):
+            raise NotImplementedError(
+                f"snapshot {sid} operation {op!r} in the changelog "
+                "range — rewrites need the jar-backed path"
+            )
+        ml = read_container(open(s["manifest-list"], "rb").read())
+        added_data, added_deletes = [], []
+        for mf in ml["records"]:
+            if mf["added_snapshot_id"] != sid:
+                continue
+            manifest = read_container(
+                open(mf["manifest_path"], "rb").read()
+            )
+            for entry in manifest["records"]:
+                if entry["status"] != STATUS_ADDED:
+                    continue
+                df_ = entry["data_file"]
+                if (df_.get("content") or 0) == 1:
+                    added_deletes.append(df_["file_path"])
+                else:
+                    added_data.append(df_["file_path"])
+        if added_data:
+            parts.append(
+                spark.read.schema(spark_schema)
+                .parquet(*sorted(added_data))
+                .withColumn("_change_type", F.lit("insert"))
+                .withColumn(
+                    "_snapshot_id", F.lit(sid).cast("long")
+                )
+            )
+        if added_deletes:
+            new_pairs = sorted(
+                _delete_pairs(added_deletes) - seen_pairs
+            )
+            seen_pairs.update(new_pairs)
+            seen_delete_files.update(added_deletes)
+            if new_pairs:
+                dels = spark.createDataFrame(
+                    [(p, int(x)) for p, x in new_pairs],
+                    "file_path string, pos bigint",
+                )
+                base = spark.read.schema(spark_schema).parquet(
+                    *sorted({p for p, _ in new_pairs})
+                )
+                tagged = base.withColumn(
+                    "__cl_file", _norm(F.col("_metadata.file_path"))
+                ).withColumn(
+                    "__cl_pos", F.col("_metadata.row_index")
+                )
+                parts.append(
+                    tagged.join(
+                        F.broadcast(dels),
+                        (tagged["__cl_file"] == _norm(dels["file_path"]))
+                        & (tagged["__cl_pos"] == dels["pos"]),
+                        "left_semi",
+                    )
+                    .select(out_cols)
+                    .withColumn("_change_type", F.lit("delete"))
+                    .withColumn(
+                        "_snapshot_id", F.lit(sid).cast("long")
+                    )
+                )
+    if not parts:
+        from pyspark.sql import types as T
+
+        empty = T.StructType(
+            spark_schema.fields
+            + [
+                T.StructField("_change_type", T.StringType(), True),
+                T.StructField("_snapshot_id", T.LongType(), True),
+            ]
+        )
+        return spark.createDataFrame([], empty)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -662,3 +662,52 @@ def test_position_deletes_merge_on_read(tmp_path, spark):
     )
     with pytest.raises(NotImplementedError, match="partitioned"):
         cp.position_delete_entry("x.parquet", [("f", 0)])
+
+
+def test_changelog_inserts_deletes_and_gates(tmp_path, spark):
+    """iceberg_changelog: appends are inserts, delete snapshots emit
+    only NEWLY-deleted positions, windowed ranges work, rewrite
+    snapshots gate."""
+    from kafka_spark_streaming_app_spark.queries.formats import (
+        _ICEBERG_SINK_FIELDS,
+        _iceberg_stream_commit,
+    )
+    from kafka_spark_streaming_app_spark.sources.iceberglog import (
+        IcebergCommitter,
+        iceberg_changelog,
+    )
+
+    c = IcebergCommitter(str(tmp_path), _ICEBERG_SINK_FIELDS)
+    _iceberg_stream_commit(c, str(tmp_path), _batch_df(spark, [1, 2]), 0)
+    _iceberg_stream_commit(c, str(tmp_path), _batch_df(spark, [3, 4]), 2)
+    snap = snapshot_data_files(str(tmp_path))
+    f0 = sorted(snap["files"])[0]  # batch-00000 file (keys 1,2)
+    e1 = c.position_delete_entry("pd-1.parquet", [(f0, 0)])  # key 1
+    c.commit(4, [e1], operation="delete")
+    # re-deleting key 1 plus newly deleting key 2
+    e2 = c.position_delete_entry("pd-2.parquet", [(f0, 0), (f0, 1)])
+    c.commit(6, [e2], operation="delete")
+    meta = json.loads(open(_vhint_meta(tmp_path)).read())
+    s = [x["snapshot-id"] for x in meta["snapshots"]]
+    feed = iceberg_changelog(spark, str(tmp_path), s[0])
+    got = sorted(
+        (r._snapshot_id, r._change_type, r.o_orderkey)
+        for r in feed.collect()
+    )
+    assert got == [
+        (s[1], "insert", 3), (s[1], "insert", 4),
+        (s[2], "delete", 1),
+        (s[3], "delete", 2),   # key 1's re-delete is NOT repeated
+    ]
+    # windowed: only the second delete snapshot
+    tail = iceberg_changelog(spark, str(tmp_path), s[2], s[3])
+    assert [(r._change_type, r.o_orderkey) for r in tail.collect()] == [
+        ("delete", 2)
+    ]
+    assert iceberg_changelog(spark, str(tmp_path), s[3], s[3]).count() == 0
+    # a compaction snapshot gates
+    _iceberg_stream_commit(c, str(tmp_path), _batch_df(spark, [5]), 8)
+    _iceberg_stream_commit(c, str(tmp_path), _batch_df(spark, [6]), 9)
+    with pytest.raises(NotImplementedError, match="jar-backed"):
+        iceberg_changelog(spark, str(tmp_path), s[0]).collect()
+    assert iceberg_changelog(spark, str(tmp_path), s[0], s[3]).count() == 4
