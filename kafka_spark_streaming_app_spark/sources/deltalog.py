@@ -83,17 +83,12 @@ def snapshot_files(
     # standard retention may clean EVERY commit <= the checkpoint,
     # leaving a valid table with zero commit files
     cp_version = None
+    cp_parts = 1
     cp_meta = os.path.join(log_dir, "_last_checkpoint")
     if os.path.exists(cp_meta):
         cp = json.loads(open(cp_meta).read())
         cp_version = int(cp["version"])
-        if int(cp.get("parts") or 1) != 1:
-            raise NotImplementedError(
-                "multi-part checkpoint "
-                f"({cp_version}.checkpoint.<part>.<of>.parquet) is "
-                "outside the log-replay subset (use the jar-backed "
-                "path in sources/lakehouse.py)"
-            )
+        cp_parts = int(cp.get("parts") or 1)
     addressable = sorted(
         set(versions) | ({cp_version} if cp_version is not None else set())
     )
@@ -116,19 +111,39 @@ def snapshot_files(
         if cp_version <= target:
             import pyarrow.parquet as pq
 
-            cp_file = os.path.join(
-                log_dir, f"{cp_version:020d}.checkpoint.parquet"
-            )
-            if not os.path.exists(cp_file):
+            # single-part: NNNN.checkpoint.parquet; multi-part (spec):
+            # NNNN.checkpoint.<part>.<of>.parquet for part in 1..of —
+            # every part must exist (a partial checkpoint is invalid)
+            if cp_parts == 1:
+                cp_files = [
+                    os.path.join(
+                        log_dir, f"{cp_version:020d}.checkpoint.parquet"
+                    )
+                ]
+            else:
+                cp_files = [
+                    os.path.join(
+                        log_dir,
+                        f"{cp_version:020d}.checkpoint."
+                        f"{p:010d}.{cp_parts:010d}.parquet",
+                    )
+                    for p in range(1, cp_parts + 1)
+                ]
+            missing_parts = [f for f in cp_files if not os.path.exists(f)]
+            if missing_parts:
                 raise NotImplementedError(
-                    "_last_checkpoint names a checkpoint file this "
+                    "_last_checkpoint names checkpoint files this "
                     "replay subset cannot find "
-                    f"({cp_version:020d}.checkpoint.parquet) — "
-                    "multi-part or V2 checkpoints need the "
-                    "jar-backed path in sources/lakehouse.py"
+                    f"({[os.path.basename(f) for f in missing_parts]})"
+                    " — a V2/sidecar checkpoint needs the jar-backed "
+                    "path in sources/lakehouse.py"
                 )
-            tbl = pq.read_table(cp_file).to_pylist()
-            for row in tbl:
+            rows_iter = [
+                row
+                for f in cp_files
+                for row in pq.read_table(f).to_pylist()
+            ]
+            for row in rows_iter:
                 if row.get("add") and row["add"].get("path"):
                     a = dict(row["add"])
                     # real checkpoints store partitionValues as a
@@ -445,7 +460,7 @@ class DeltaFixtureWriter:
         write_checkpoint(self.table_dir)
 
 
-def write_checkpoint(table_dir: str) -> int:
+def write_checkpoint(table_dir: str, parts: int = 1) -> int:
     """Materialize the table's CURRENT snapshot as a spec-shaped
     parquet checkpoint (`NNNN.checkpoint.parquet` + `_last_checkpoint`)
     so readers replay O(commits-since-checkpoint) instead of the full
@@ -563,16 +578,34 @@ def write_checkpoint(table_dir: str) -> int:
             }
         )
     version = snap["version"]
-    cp_file = os.path.join(
-        table_dir, "_delta_log", f"{version:020d}.checkpoint.parquet"
-    )
-    pq.write_table(
-        pa.Table.from_pylist(rows, schema=arrow_schema), cp_file
-    )
-    with open(
-        os.path.join(table_dir, "_delta_log", "_last_checkpoint"), "w"
-    ) as fh:
-        fh.write(json.dumps({"version": version, "size": len(rows)}))
+    log_dir = os.path.join(table_dir, "_delta_log")
+    if parts <= 1:
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=arrow_schema),
+            os.path.join(
+                log_dir, f"{version:020d}.checkpoint.parquet"
+            ),
+        )
+        meta = {"version": version, "size": len(rows)}
+    else:
+        # multi-part (spec): NNNN.checkpoint.<part>.<of>.parquet —
+        # actions split contiguously; a reader must load EVERY part
+        # (at scale each part writes in parallel and stays
+        # memory-bounded on both sides)
+        per = -(-len(rows) // parts)
+        for p in range(1, parts + 1):
+            chunk = rows[(p - 1) * per : p * per]
+            pq.write_table(
+                pa.Table.from_pylist(chunk, schema=arrow_schema),
+                os.path.join(
+                    log_dir,
+                    f"{version:020d}.checkpoint."
+                    f"{p:010d}.{parts:010d}.parquet",
+                ),
+            )
+        meta = {"version": version, "size": len(rows), "parts": parts}
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        fh.write(json.dumps(meta))
     return version
 
 

@@ -92,16 +92,56 @@ def test_missing_commit_versions_gate_loudly(tmp_path):
 
 
 def test_checkpoint_shape_gates(tmp_path):
-    """Multi-part checkpoints and a dangling _last_checkpoint gate
-    with the explicit jar-backed-path message, never a raw
-    FileNotFoundError."""
+    """A dangling _last_checkpoint (single- or multi-part, files
+    absent) gates with the explicit jar-backed-path message, never a
+    raw FileNotFoundError."""
     w = DeltaFixtureWriter(str(tmp_path), _FIELDS)
     w.commit(add_files=[("a.parquet", _rows(0, 5, "a"))], first=True)
     cp_meta = tmp_path / "_delta_log" / "_last_checkpoint"
     cp_meta.write_text(json.dumps({"version": 0, "size": 1, "parts": 2}))
-    with pytest.raises(NotImplementedError, match="multi-part"):
+    with pytest.raises(NotImplementedError, match="cannot find"):
         snapshot_files(str(tmp_path))
     cp_meta.write_text(json.dumps({"version": 0, "size": 1}))
+    with pytest.raises(NotImplementedError, match="cannot find"):
+        snapshot_files(str(tmp_path))
+
+
+def test_multipart_checkpoint_roundtrip(tmp_path, spark):
+    """write_checkpoint(parts=3) emits the spec's
+    NNNN.checkpoint.<part>.<of>.parquet layout; the reader unions
+    every part (and gates if one is missing); replay after
+    cleanup_log matches the single-part behavior exactly."""
+    from kafka_spark_streaming_app_spark.queries.formats import (
+        _delta_stream_commit,
+    )
+    from kafka_spark_streaming_app_spark.sources.deltalog import (
+        cleanup_log,
+        write_checkpoint,
+    )
+
+    for b, keys in enumerate(([1, 2], [3, 4], [5, 6])):
+        _delta_stream_commit(str(tmp_path), _batch_df(spark, keys), 2 * b)
+    before = sorted(
+        r.o_orderkey
+        for r in read_delta_snapshot(spark, str(tmp_path)).collect()
+    )
+    v = write_checkpoint(str(tmp_path), parts=3)
+    names = sorted(os.listdir(tmp_path / "_delta_log"))
+    part_files = [n for n in names if ".checkpoint." in n]
+    assert part_files == [
+        f"{v:020d}.checkpoint.{p:010d}.{3:010d}.parquet"
+        for p in (1, 2, 3)
+    ]
+    assert cleanup_log(str(tmp_path))
+    snap = snapshot_files(str(tmp_path))
+    assert snap["from_checkpoint"] and snap["txns"]  # ledger intact
+    after = sorted(
+        r.o_orderkey
+        for r in read_delta_snapshot(spark, str(tmp_path)).collect()
+    )
+    assert after == before == [1, 2, 3, 4, 5, 6]
+    # a missing part is a loud, specific error
+    os.remove(tmp_path / "_delta_log" / part_files[1])
     with pytest.raises(NotImplementedError, match="cannot find"):
         snapshot_files(str(tmp_path))
 
