@@ -2251,3 +2251,64 @@ def iceberg_changelog_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("_change_type", "_snapshot_id")
     )
+
+
+# --- streaming FROM the lakehouse (delta as a source) ---------------------------
+
+
+@query("streaming_delta_source_roundtrip", _DELTA_STREAM_ORACLE)
+def streaming_delta_source_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAM FROM the lakehouse: a writer lands orders as real Delta
+    append commits in waves WHILE a Structured Streaming query
+    consumes the table through the ``deltastream`` source — offsets
+    are table versions, each trigger plans exactly the files the new
+    commits added (incremental append scan), and every task reads its
+    own parquet file executor-side. Finite deterministic input means
+    the complete-mode aggregate must equal the batch oracle, hashing
+    the version-offset planning, the incremental file resolution and
+    the streaming engine together. The write side (streaming INTO
+    delta) is streaming_delta_sink — this closes the loop."""
+    import atexit as _atexit
+    import shutil as _shutil
+
+    from ..sources.deltastream_ds import register_deltastream
+    from ..streaming.pipeline import write_memory_stream
+
+    table_dir = tempfile.mkdtemp(prefix="delta_source_")
+    _atexit.register(_shutil.rmtree, table_dir, ignore_errors=True)
+    base = _clustered_orders_batch(spark, sf_dir).withColumn(
+        "__w", F.abs(F.hash("o_orderkey")) % 4
+    )
+    waves = [
+        base.filter(F.col("__w") == w).drop("__w") for w in range(4)
+    ]
+    # commit wave 0 first: the source needs the table's schema
+    _delta_stream_commit(table_dir, waves[0], 0)
+    register_deltastream(spark)
+    raw = (
+        spark.readStream.format("deltastream")
+        .option("path", table_dir)
+        .option("startingVersion", "0")
+        .load()
+    )
+    agg = (
+        raw.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+    )
+    name = "delta_source_sink"
+    q = write_memory_stream(agg, name, output_mode="complete")
+    try:
+        q.processAllAvailable()
+        for w, df in enumerate(waves[1:], start=1):
+            _delta_stream_commit(table_dir, df, 2 * w)  # even: append
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy(
+        "o_orderstatus", "o_orderpriority"
+    )

@@ -1,0 +1,150 @@
+"""Spark 4 Python DataSource streaming FROM a Delta table
+(``spark.readStream.format("deltastream").option("path", dir)``) —
+the lakehouse-as-a-stream capability the real delta connector calls
+a "streaming source", built on the engine's own log replay:
+
+  * **offsets are table VERSIONS** (``{"version": N}``): exactly the
+    unit Delta's own streaming source checkpoints, so a restart
+    resumes from the committed version with exactly-once planning;
+  * ``latestOffset`` replays the log head (O(commits) driver
+    metadata); ``partitions(start, end)`` resolves the incremental
+    APPEND scan (``deltalog.incremental_add_files``) — one input
+    partition per file added in ``(start, end]``, so a trigger's
+    tasks scale with arrival rate, never table size;
+  * each task reads ITS OWN parquet file via pyarrow (executor-side,
+    no driver relay); non-append commits in the range make the scan
+    gate loudly (append-only streaming contract — the same error the
+    real source raises without ``skipChangeCommits``).
+
+Options: ``path`` (table dir), ``startingVersion`` (default: the
+table's version when the query starts — i.e. new data only; ``0``
+replays history, matching the real source's semantics)."""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+
+class _FileSlice(InputPartition):
+    def __init__(self, path: str, fields):
+        self.path = path
+        self.fields = fields  # [(name, delta_type)] in schema order
+
+
+def _read_file(part: _FileSlice) -> Iterator[tuple]:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(part.path, columns=[n for n, _ in part.fields])
+    cols = [tbl.column(n).to_pylist() for n, _ in part.fields]
+    for row in zip(*cols):
+        yield row
+
+
+def _require_path(options: dict) -> str:
+    p = options.get("path")
+    if not p:
+        raise ValueError("deltastream requires the 'path' option")
+    return p
+
+
+def _table_fields(table_dir: str):
+    import json
+
+    from .deltalog import snapshot_files
+
+    snap = snapshot_files(table_dir)
+    fields = [
+        (f["name"], f["type"])
+        for f in json.loads(snap["schema_string"])["fields"]
+    ]
+    return snap["version"], fields
+
+
+class _DeltaStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.table_dir = _require_path(options)
+        sv = options.get("startingversion")
+        self.starting_version = None if sv is None else int(sv)
+        self._fields = None
+
+    def _fields_now(self):
+        if self._fields is None:
+            _, self._fields = _table_fields(self.table_dir)
+        return self._fields
+
+    def initialOffset(self) -> dict:
+        version, fields = _table_fields(self.table_dir)
+        self._fields = fields
+        # offsets are EXCLUSIVE-from: the real source's
+        # startingVersion=N includes commit N, so the offset sits one
+        # below it; default = table head (new appends only)
+        start = (
+            version
+            if self.starting_version is None
+            else self.starting_version - 1
+        )
+        return {"version": start}
+
+    def latestOffset(self) -> dict:
+        version, _ = _table_fields(self.table_dir)
+        return {"version": version}
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def partitions(self, start: dict, end: dict) -> list:
+        import os
+
+        from .deltalog import incremental_add_files
+
+        lo, hi = int(start["version"]), int(end["version"])
+        if hi <= lo:
+            return []
+        inc = incremental_add_files(self.table_dir, lo, hi)
+        fields = self._fields_now()
+        return [
+            _FileSlice(os.path.join(self.table_dir, p), fields)
+            for p in inc["files"]
+        ]
+
+    def read(self, partition: _FileSlice) -> Iterator[tuple]:
+        return _read_file(partition)
+
+
+class DeltaStreamDataSource(DataSource):
+    """``deltastream``: stream a Delta table's appends."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "deltastream"
+
+    def schema(self) -> str:
+        _, fields = _table_fields(_require_path(self.options))
+        _MAP = {
+            "long": "bigint", "integer": "int", "double": "double",
+            "string": "string", "boolean": "boolean", "date": "date",
+            "timestamp": "timestamp",
+        }
+        cols = []
+        for n, t in fields:
+            if t not in _MAP:
+                raise NotImplementedError(
+                    f"delta type {t!r} outside the streaming subset"
+                )
+            cols.append(f"{n} {_MAP[t]}")
+        return ", ".join(cols)
+
+    def streamReader(self, schema) -> _DeltaStreamReader:
+        return _DeltaStreamReader(
+            {k.lower(): v for k, v in self.options.items()}
+        )
+
+
+def register_deltastream(spark) -> None:
+    spark.dataSource.register(DeltaStreamDataSource)
