@@ -297,6 +297,11 @@ PROBES = (
     "delta_deletion_vector_read",
     # (kafka_wire_orders_v2 is excluded like the other wire queries:
     # its payload generator is sf-independent, nothing scales)
+    # change feeds + lakehouse streaming source (insert/delete rows
+    # scale with the corpus; per-trigger planning is metadata-sized)
+    "delta_change_feed_read",
+    "iceberg_changelog_read",
+    "streaming_delta_source_roundtrip",
 )
 
 
