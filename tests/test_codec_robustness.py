@@ -121,3 +121,90 @@ def test_bit_flips_detected_or_decoded_consistently():
                 assert type(exc).__module__ in (
                     "zlib", "struct", "builtins"
                 ), (name, type(exc))
+
+
+# --- round-11 codecs: property tests -----------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=(1 << 40) - 1),
+        max_size=300,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_dv_roundtrip_any_position_set(positions):
+    """RoaringBitmapArray roundtrips any 64-bit position set (array
+    containers, multi-key, cross-high-word) exactly as a sorted
+    distinct list."""
+    from kafka_spark_streaming_app_spark.operators.dvcodec import (
+        dv_deserialize,
+        dv_serialize,
+    )
+
+    assert dv_deserialize(dv_serialize(positions)) == sorted(
+        set(positions)
+    )
+
+
+@given(
+    st.integers(min_value=0, max_value=65535),
+    st.integers(min_value=1, max_value=9000),
+)
+@settings(max_examples=30, deadline=None)
+def test_roaring_dense_container_flip(start, n):
+    """Around the 4096-cardinality array->bitmap container boundary
+    the portable serialization stays exact."""
+    from kafka_spark_streaming_app_spark.operators.dvcodec import (
+        roaring32_deserialize,
+        roaring32_serialize,
+    )
+
+    vals = [(start + i) & 0xFFFF for i in range(n)]
+    enc = roaring32_serialize(vals)
+    dec, end = roaring32_deserialize(enc)
+    assert dec == sorted(set(vals)) and end == len(enc)
+
+
+@given(st.binary(min_size=0, max_size=64).filter(lambda b: len(b) % 4 == 0))
+@settings(max_examples=200, deadline=None)
+def test_z85_roundtrip(data):
+    from kafka_spark_streaming_app_spark.operators.dvcodec import (
+        z85_decode,
+        z85_encode,
+    )
+
+    assert z85_decode(z85_encode(data)) == data
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.binary(max_size=40)),
+            st.one_of(st.none(), st.binary(max_size=80)),
+        ),
+        max_size=60,
+    ),
+    st.sampled_from(["none", "gzip"]),
+    st.integers(min_value=0, max_value=1 << 40),
+)
+@settings(max_examples=150, deadline=None)
+def test_record_batch_v2_roundtrip(messages, compression, base):
+    """RecordBatch v2 roundtrips arbitrary key/value byte pairs
+    (null keys, null values, empty batches) under both codecs with
+    dense offsets from any base."""
+    from kafka_spark_streaming_app_spark.sources.kafkarecords import (
+        decode_record_batches,
+        encode_record_batch,
+    )
+
+    enc = encode_record_batch(
+        messages, base_offset=base, compression=compression
+    )
+    dec = decode_record_batches(enc)
+    assert dec == [
+        (base + i, k, v) for i, (k, v) in enumerate(messages)
+    ]
