@@ -2312,3 +2312,58 @@ def streaming_delta_source_roundtrip(
     return spark.table(name).orderBy(
         "o_orderstatus", "o_orderpriority"
     )
+
+
+@query("streaming_iceberg_source_roundtrip", _DELTA_STREAM_ORACLE)
+def streaming_iceberg_source_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAM FROM Iceberg — the deltastream roundtrip's twin: a
+    committer lands append snapshots in waves WHILE the query
+    consumes the table through the ``icebergstream`` source (snapshot
+    ordinals as offsets, per-trigger incremental planning by
+    added_snapshot_id, one task per added file). The complete-mode
+    aggregate must equal the batch oracle — both lakehouse formats
+    now stream in AND out of the engine with the same semantics."""
+    import atexit as _atexit
+    import shutil as _shutil
+
+    from ..sources.iceberglog import IcebergCommitter
+    from ..sources.icebergstream_ds import register_icebergstream
+    from ..streaming.pipeline import write_memory_stream
+
+    table_dir = tempfile.mkdtemp(prefix="iceberg_source_")
+    _atexit.register(_shutil.rmtree, table_dir, ignore_errors=True)
+    committer = IcebergCommitter(table_dir, _ICEBERG_SINK_FIELDS)
+    base = _clustered_orders_batch(spark, sf_dir).withColumn(
+        "__w", F.abs(F.hash("o_orderkey")) % 4
+    )
+    waves = [
+        base.filter(F.col("__w") == w).drop("__w") for w in range(4)
+    ]
+    _iceberg_stream_commit(committer, table_dir, waves[0], 0)
+    register_icebergstream(spark)
+    raw = (
+        spark.readStream.format("icebergstream")
+        .option("path", table_dir)
+        .option("startingOrdinal", "0")
+        .load()
+    )
+    agg = raw.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
+    name = "iceberg_source_sink"
+    q = write_memory_stream(agg, name, output_mode="complete")
+    try:
+        q.processAllAvailable()
+        for w, df in enumerate(waves[1:], start=1):
+            _iceberg_stream_commit(
+                committer, table_dir, df, 2 * w
+            )  # even batch ids: pure appends
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy(
+        "o_orderstatus", "o_orderpriority"
+    )

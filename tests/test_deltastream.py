@@ -134,3 +134,78 @@ def test_non_append_commit_gates_loudly(spark, tmp_path):
     finally:
         if q.isActive:
             q.stop()
+
+
+# --- icebergstream: the Iceberg twin ------------------------------------------
+
+
+def _iceberg_commit(spark, d, keys, batch_id, committer=None):
+    from kafka_spark_streaming_app_spark.queries.formats import (
+        _ICEBERG_SINK_FIELDS,
+        _iceberg_stream_commit,
+    )
+    from kafka_spark_streaming_app_spark.sources.iceberglog import (
+        IcebergCommitter,
+    )
+
+    c = committer or IcebergCommitter(str(d), _ICEBERG_SINK_FIELDS)
+    _iceberg_stream_commit(c, str(d), _batch_df(spark, keys), batch_id)
+    return c
+
+
+def test_icebergstream_waves_and_default_start(spark, tmp_path):
+    """Snapshot-ordinal offsets: startingOrdinal=0 replays history,
+    waves committed mid-query become their own micro-batches, and the
+    DEFAULT start (no option) skips the backlog."""
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_app_spark.sources.icebergstream_ds import (
+        register_icebergstream,
+    )
+
+    c = _iceberg_commit(spark, tmp_path, [1, 2], 0)
+    register_icebergstream(spark)
+    raw = (
+        spark.readStream.format("icebergstream")
+        .option("path", str(tmp_path))
+        .option("startingOrdinal", "0")
+        .load()
+    )
+    q = (
+        raw.agg(F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").alias("s"))
+        .writeStream.format("memory")
+        .queryName("is_sink")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        row = spark.table("is_sink").collect()[0]
+        assert (row.n, row.s) == (2, 3)
+        _iceberg_commit(spark, tmp_path, [3, 4, 5], 2, c)
+        q.processAllAvailable()
+        row = spark.table("is_sink").collect()[0]
+        assert (row.n, row.s) == (5, 15)
+    finally:
+        q.stop()
+    # default start: new appends only
+    raw2 = (
+        spark.readStream.format("icebergstream")
+        .option("path", str(tmp_path))
+        .load()
+    )
+    q2 = (
+        raw2.agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.format("memory")
+        .queryName("is_new_only")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+        assert spark.table("is_new_only").collect()[0].n == 0
+        _iceberg_commit(spark, tmp_path, [6], 4, c)
+        q2.processAllAvailable()
+        assert spark.table("is_new_only").collect()[0].n == 1
+    finally:
+        q2.stop()
