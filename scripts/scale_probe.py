@@ -302,6 +302,7 @@ PROBES = (
     "delta_change_feed_read",
     "iceberg_changelog_read",
     "streaming_delta_source_roundtrip",
+    "streaming_iceberg_source_roundtrip",
 )
 
 
