@@ -172,7 +172,13 @@ def snapshot_files(
                 if row.get("protocol") and row["protocol"].get(
                     "minReaderVersion"
                 ) is not None:
-                    protocol = dict(row["protocol"])
+                    # legacy protocols have no feature lists; drop
+                    # the checkpoint struct's null placeholders
+                    protocol = {
+                        k: v
+                        for k, v in row["protocol"].items()
+                        if v is not None
+                    }
             start_after = cp_version
             from_checkpoint = True
 
@@ -540,6 +546,11 @@ def write_checkpoint(table_dir: str, parts: int = 1) -> int:
                     [
                         ("minReaderVersion", pa.int32()),
                         ("minWriterVersion", pa.int32()),
+                        # table-features protocols (e.g. the
+                        # deletionVectors upgrade) carry feature
+                        # lists; absent on legacy protocols
+                        ("readerFeatures", pa.list_(pa.string())),
+                        ("writerFeatures", pa.list_(pa.string())),
                     ]
                 ),
             ),
@@ -684,7 +695,10 @@ def incremental_add_files(
     change) gates loudly — change-data-feed semantics need the
     jar-backed path. dataChange=false removes (pure compaction) also
     gate, because their rewritten adds would double-count rows
-    already seen at ``from_version``."""
+    already seen at ``from_version``. dataChange=false ADDS (e.g. a
+    stats-recompute re-add from another writer, which has no paired
+    remove) are SKIPPED, mirroring the real Delta source's dataChange
+    filter — counting them would double-count rows already seen."""
     snap_to = snapshot_files(table_dir)  # also validates the table
     to = snap_to["version"] if to_version is None else to_version
     if from_version > to:
@@ -712,6 +726,11 @@ def incremental_add_files(
                         "jar-backed path"
                     )
                 if "add" in action:
+                    if action["add"].get("dataChange") is False:
+                        # metadata-only re-add (stats recompute from
+                        # another writer): no new rows — the real
+                        # Delta source drops these too
+                        continue
                     files.append(action["add"]["path"])
     return {
         "files": sorted(set(files)),
@@ -736,6 +755,30 @@ def read_delta_incremental(
     )
 
 
+# the protocol a deletion-vector commit requires (Delta PROTOCOL.md
+# "Deletion Vectors"): table features, i.e. reader 3 / writer 7 with
+# deletionVectors in BOTH feature lists. Per the table-features
+# upgrade rule, listing features REPLACES the version-implied set, so
+# the legacy (1,2) writer features ride along explicitly.
+DV_PROTOCOL = {
+    "minReaderVersion": 3,
+    "minWriterVersion": 7,
+    "readerFeatures": ["deletionVectors"],
+    "writerFeatures": ["appendOnly", "invariants", "deletionVectors"],
+}
+
+
+def _protocol_supports_dv(protocol) -> bool:
+    if not protocol:
+        return False
+    return (
+        int(protocol.get("minReaderVersion") or 0) >= 3
+        and int(protocol.get("minWriterVersion") or 0) >= 7
+        and "deletionVectors" in (protocol.get("readerFeatures") or ())
+        and "deletionVectors" in (protocol.get("writerFeatures") or ())
+    )
+
+
 def delete_rows_by_position(
     table_dir: str, positions_by_path: dict
 ) -> int:
@@ -744,12 +787,20 @@ def delete_rows_by_position(
     the SAME file with an inline deletion vector (merged with any
     existing vector) — exactly Delta's DV delete shape (remove + add
     of one path in one transaction). Data files are untouched; the
-    commit is O(KB) metadata. Returns the new version."""
+    commit is O(KB) metadata. Returns the new version.
+
+    A table whose protocol predates deletion vectors is upgraded in
+    the SAME commit (spec: a v1 reader would ignore the
+    deletionVector field and resurrect deleted rows, so the commit
+    that introduces one must also raise the protocol to reader 3 /
+    writer 7 with the deletionVectors table feature)."""
     from ..operators.dvcodec import dv_inline, dv_positions
 
     snap = snapshot_files(table_dir)
     live = snap["adds"]
     actions = []
+    if not _protocol_supports_dv(snap["protocol"]):
+        actions.append({"protocol": dict(DV_PROTOCOL)})
     for rel, positions in sorted(positions_by_path.items()):
         if rel not in live:
             raise ValueError(

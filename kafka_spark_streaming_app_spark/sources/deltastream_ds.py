@@ -37,13 +37,38 @@ class _FileSlice(InputPartition):
         self.fields = fields  # [(name, delta_type)] in schema order
 
 
-def _read_file(part: _FileSlice) -> Iterator[tuple]:
+# delta type -> the arrow type Spark's Python-DataSource arrow path
+# expects for the corresponding catalyst type
+_ARROW_TYPES = {
+    "long": "int64", "integer": "int32", "double": "float64",
+    "string": "string", "boolean": "bool", "date": "date32",
+}
+
+
+def _arrow_schema(fields):
+    import pyarrow as pa
+
+    out = []
+    for n, t in fields:
+        if t == "timestamp":
+            out.append((n, pa.timestamp("us", tz="UTC")))
+        else:
+            out.append((n, pa.type_for_alias(_ARROW_TYPES[t])))
+    return pa.schema(out)
+
+
+def _read_file(part: _FileSlice) -> Iterator:
+    """Yield ``pyarrow.RecordBatch``es straight from the parquet read
+    — the Python DataSource API accepts arrow batches, so rows never
+    cross a per-row Python boundary (the to_pylist()+zip shape this
+    replaced re-materialized every row as a tuple for no reason)."""
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(part.path, columns=[n for n, _ in part.fields])
-    cols = [tbl.column(n).to_pylist() for n, _ in part.fields]
-    for row in zip(*cols):
-        yield row
+    # cast to the exact arrow types the declared stream schema maps
+    # to (parquet files from other writers may carry e.g. ns
+    # timestamps or non-nullable fields)
+    yield from tbl.cast(_arrow_schema(part.fields)).to_batches()
 
 
 def _require_path(options: dict) -> str:
@@ -113,7 +138,7 @@ class _DeltaStreamReader(DataSourceStreamReader):
             for p in inc["files"]
         ]
 
-    def read(self, partition: _FileSlice) -> Iterator[tuple]:
+    def read(self, partition: _FileSlice) -> Iterator:
         return _read_file(partition)
 
 

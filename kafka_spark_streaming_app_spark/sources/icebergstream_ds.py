@@ -30,9 +30,17 @@ from pyspark.sql.datasource import (
 
 
 class _FileSlice(InputPartition):
-    def __init__(self, path: str, names):
+    def __init__(self, path: str, fields):
         self.path = path
-        self.names = names  # column names in schema order
+        self.fields = fields  # [(name, iceberg_type)] in schema order
+
+
+# iceberg type -> the arrow type Spark's Python-DataSource arrow
+# path expects for the corresponding catalyst type
+_ARROW_TYPES = {
+    "long": "int64", "int": "int32", "double": "float64",
+    "string": "string", "boolean": "bool",
+}
 
 
 def _require_path(options: dict) -> str:
@@ -57,17 +65,17 @@ class _IcebergStreamReader(DataSourceStreamReader):
         self.table_dir = _require_path(options)
         so = options.get("startingordinal")
         self.starting_ordinal = None if so is None else int(so)
-        self._names = None
+        self._fields = None
 
-    def _names_now(self):
-        if self._names is None:
+    def _fields_now(self):
+        if self._fields is None:
             _, fields = _snapshots(self.table_dir)
-            self._names = [f["name"] for f in fields]
-        return self._names
+            self._fields = [(f["name"], f["type"]) for f in fields]
+        return self._fields
 
     def initialOffset(self) -> dict:
         snaps, fields = _snapshots(self.table_dir)
-        self._names = [f["name"] for f in fields]
+        self._fields = [(f["name"], f["type"]) for f in fields]
         # ordinal N means "consumed through snapshots[N]"; -1 = none.
         # startingOrdinal=K replays snapshots[K:] (0 = full history);
         # default: table head, new appends only.
@@ -114,15 +122,25 @@ class _IcebergStreamReader(DataSourceStreamReader):
 
             base = snapshot_data_files(self.table_dir, first)
             files = sorted(set(inc["files"]) | set(base["files"]))
-        names = self._names_now()
-        return [_FileSlice(p, names) for p in files]
+        fields = self._fields_now()
+        return [_FileSlice(p, fields) for p in files]
 
-    def read(self, partition: _FileSlice) -> Iterator[tuple]:
+    def read(self, partition: _FileSlice) -> Iterator:
+        """Yield ``pyarrow.RecordBatch``es straight from the parquet
+        read — no per-row Python boundary (see deltastream twin)."""
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        tbl = pq.read_table(partition.path, columns=partition.names)
-        cols = [tbl.column(n).to_pylist() for n in partition.names]
-        return iter(zip(*cols))
+        tbl = pq.read_table(
+            partition.path, columns=[n for n, _ in partition.fields]
+        )
+        schema = pa.schema(
+            [
+                (n, pa.type_for_alias(_ARROW_TYPES[t]))
+                for n, t in partition.fields
+            ]
+        )
+        return iter(tbl.cast(schema).to_batches())
 
 
 class IcebergStreamDataSource(DataSource):

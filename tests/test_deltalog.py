@@ -740,3 +740,97 @@ def test_change_feed_inserts_deletes_and_gates(tmp_path, spark):
         table_changes(spark, str(tmp_path), 0).collect()
     # but a range before it still reads
     assert table_changes(spark, str(tmp_path), 0, 3).count() == 4
+
+
+def test_dv_commit_upgrades_protocol(tmp_path, spark):
+    """The commit that introduces a deletion vector must raise the
+    protocol to reader 3 / writer 7 with the deletionVectors table
+    feature (spec: a v1 reader would ignore the deletionVector field
+    and resurrect deleted rows), and the upgraded protocol must ride
+    write_checkpoint. A table already upgraded gets no second
+    protocol action."""
+    from kafka_spark_streaming_app_spark.queries.formats import (
+        _delta_stream_commit,
+    )
+    from kafka_spark_streaming_app_spark.sources.deltalog import (
+        cleanup_log,
+        delete_rows_by_position,
+        write_checkpoint,
+    )
+
+    _delta_stream_commit(
+        str(tmp_path), _batch_df(spark, list(range(6))), 0
+    )
+    assert snapshot_files(str(tmp_path))["protocol"] == {
+        "minReaderVersion": 1, "minWriterVersion": 2,
+    }
+    (rel,) = snapshot_files(str(tmp_path))["files"]
+    v = delete_rows_by_position(str(tmp_path), {rel: [1]})
+    proto = snapshot_files(str(tmp_path))["protocol"]
+    assert proto["minReaderVersion"] == 3
+    assert proto["minWriterVersion"] == 7
+    assert "deletionVectors" in proto["readerFeatures"]
+    assert "deletionVectors" in proto["writerFeatures"]
+    # the upgrade rides the SAME commit as the first DV
+    actions = [
+        json.loads(line)
+        for line in open(
+            tmp_path / "_delta_log" / f"{v:020d}.json"
+        )
+    ]
+    assert any("protocol" in a for a in actions)
+    assert any(
+        a.get("add", {}).get("deletionVector") for a in actions
+    )
+    # an already-upgraded table writes no second protocol action
+    v2 = delete_rows_by_position(str(tmp_path), {rel: [2]})
+    actions2 = [
+        json.loads(line)
+        for line in open(
+            tmp_path / "_delta_log" / f"{v2:020d}.json"
+        )
+    ]
+    assert not any("protocol" in a for a in actions2)
+    # checkpoint carries the feature lists through log retention
+    write_checkpoint(str(tmp_path))
+    cleanup_log(str(tmp_path))
+    proto_cp = snapshot_files(str(tmp_path))["protocol"]
+    assert proto_cp["minReaderVersion"] == 3
+    assert "deletionVectors" in proto_cp["readerFeatures"]
+    assert "deletionVectors" in proto_cp["writerFeatures"]
+    got = sorted(
+        r.o_orderkey
+        for r in read_delta_snapshot(spark, str(tmp_path)).collect()
+    )
+    assert got == [0, 3, 4, 5]
+
+
+def test_incremental_scan_skips_datachange_false_adds(
+    tmp_path, spark
+):
+    """A dataChange=false re-add (stats-recompute commit from another
+    writer: no paired remove) contributes NO rows to the incremental
+    scan — the real Delta source's dataChange filter."""
+    from kafka_spark_streaming_app_spark.queries.formats import (
+        _delta_stream_commit,
+    )
+    from kafka_spark_streaming_app_spark.sources.deltalog import (
+        incremental_add_files,
+        read_delta_incremental,
+    )
+
+    _delta_stream_commit(str(tmp_path), _batch_df(spark, [1, 2]), 0)
+    base = snapshot_files(str(tmp_path))
+    (rel,) = base["files"]
+    # foreign stats-recompute commit: re-add the same path with
+    # dataChange=false and no remove
+    a = dict(base["adds"][rel])
+    a["dataChange"] = False
+    v = base["version"] + 1
+    with open(tmp_path / "_delta_log" / f"{v:020d}.json", "w") as fh:
+        fh.write(json.dumps({"add": a}) + "\n")
+    _delta_stream_commit(str(tmp_path), _batch_df(spark, [3]), 2)
+    inc = incremental_add_files(str(tmp_path), 0)
+    assert rel not in inc["files"] and len(inc["files"]) == 1
+    got = read_delta_incremental(spark, str(tmp_path), 0)
+    assert sorted(r.o_orderkey for r in got.collect()) == [3]
