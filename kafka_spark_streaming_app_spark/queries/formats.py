@@ -631,7 +631,12 @@ def _delta_part_files(table_dir: str, rel_dir: str) -> list:
 
 
 def _partition_values_from_path(rel: str, partition_by) -> dict:
-    """{col: value} parsed from hive path segments (col=value)."""
+    """{col: value} parsed from hive path segments (col=value).
+    Spark spells a NULL partition value ``__HIVE_DEFAULT_PARTITION__``
+    in the directory name — map it back to None so the metadata
+    stores a real null (Delta: JSON null in partitionValues; leaking
+    the literal string would make null partitions silently
+    unprunable/mismatched)."""
     from urllib.parse import unquote
 
     vals = {}
@@ -639,7 +644,10 @@ def _partition_values_from_path(rel: str, partition_by) -> dict:
         if "=" in seg:
             c, v = seg.split("=", 1)
             if c in partition_by:
-                vals[c] = unquote(v)
+                v = unquote(v)
+                vals[c] = (
+                    None if v == "__HIVE_DEFAULT_PARTITION__" else v
+                )
     return vals
 
 

@@ -150,6 +150,8 @@ def apply_transform(transform: str, value):
     """Partition-struct value for a source value under ``identity`` /
     ``truncate[W]`` / ``bucket[N]`` — used by the WRITER to assign
     files and by the READER to transform scan predicates."""
+    if value is None:
+        return None  # spec: every transform maps null to null
     if transform == "identity":
         return value
     if transform.startswith("truncate[") and transform.endswith("]"):
@@ -208,6 +210,24 @@ _MANIFEST_LIST_SCHEMA = {
         {"name": "manifest_path", "type": "string"},
         {"name": "manifest_length", "type": "long"},
         {"name": "partition_spec_id", "type": "long"},
+        {"name": "added_snapshot_id", "type": "long"},
+    ],
+}
+
+# format-version 2 manifest-list entry: ``content`` flags DATA (0)
+# vs DELETES (1) manifests — v2 forbids mixing the two in one
+# manifest — and sequence numbers scope which data files a delete
+# manifest applies to (data seq <= delete seq)
+_MANIFEST_LIST_SCHEMA_V2 = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "long"},
+        {"name": "content", "type": "long"},
+        {"name": "sequence_number", "type": "long"},
+        {"name": "min_sequence_number", "type": "long"},
         {"name": "added_snapshot_id", "type": "long"},
     ],
 }
@@ -315,14 +335,19 @@ def parquet_column_stats(path: str) -> dict:
     return out
 
 
-def _bound_to_bytes(value) -> bytes:
-    """Iceberg single-value serialization for bounds: long -> 8-byte
-    little-endian, double -> IEEE-754 LE, string -> UTF-8."""
+def _bound_to_bytes(value, icetype: str | None = None) -> bytes:
+    """Iceberg single-value serialization for bounds: int -> 4-byte
+    little-endian (spec Appendix D — NOT 8), long -> 8-byte LE,
+    double -> IEEE-754 LE, string -> UTF-8. ``icetype`` is the
+    schema field type; without it an int value is serialized as
+    long."""
     import struct
 
     if isinstance(value, bool):
         raise NotImplementedError("boolean bounds outside the subset")
     if isinstance(value, int):
+        if icetype == "int":
+            return struct.pack("<i", value)
         return struct.pack("<q", value)
     if isinstance(value, float):
         return struct.pack("<d", value)
@@ -336,7 +361,11 @@ def _bound_to_bytes(value) -> bytes:
 def _bound_from_bytes(raw: bytes, icetype: str):
     import struct
 
-    if icetype in ("long", "int"):
+    if icetype == "int":
+        # spec: 4-byte LE; tolerate 8-byte values (pre-fix tables
+        # written by this engine stored int bounds as long)
+        return struct.unpack("<i" if len(raw) == 4 else "<q", raw)[0]
+    if icetype == "long":
         return struct.unpack("<q", raw)[0]
     if icetype == "double":
         return struct.unpack("<d", raw)[0]
@@ -499,7 +528,11 @@ def snapshot_data_files(
 
 def _bounds_exclude(df: dict, data_filter: dict, name_to_field) -> bool:
     """True when the entry's bounds PROVE no row can match — a file
-    with missing bounds for a filtered column is never excluded."""
+    with missing bounds for a filtered column is never excluded.
+    Unparseable bounds (e.g. a foreign writer's unexpected width)
+    keep the file too: stats may only prune, never lose rows."""
+    import struct
+
     lower = {e["key"]: e["value"] for e in df.get("lower_bounds") or []}
     upper = {e["key"]: e["value"] for e in df.get("upper_bounds") or []}
     for col, (lo, hi) in data_filter.items():
@@ -507,8 +540,11 @@ def _bounds_exclude(df: dict, data_filter: dict, name_to_field) -> bool:
         fid = f["id"]
         if fid not in lower or fid not in upper:
             continue
-        fmin = _bound_from_bytes(lower[fid], f["type"])
-        fmax = _bound_from_bytes(upper[fid], f["type"])
+        try:
+            fmin = _bound_from_bytes(lower[fid], f["type"])
+            fmax = _bound_from_bytes(upper[fid], f["type"])
+        except (struct.error, UnicodeDecodeError):
+            continue
         if (hi is not None and fmin > hi) or (
             lo is not None and fmax < lo
         ):
@@ -819,19 +855,24 @@ class IcebergCommitter:
             "record_count": pq.ParquetFile(path).metadata.num_rows,
             "file_size_in_bytes": os.path.getsize(path),
         }
-        name_to_id = {
-            f["name"]: f["id"] for f in self.schema["fields"]
+        name_to_field = {
+            f["name"]: f for f in self.schema["fields"]
         }
         lower, upper = [], []
         for name, (lo, hi) in sorted(
             parquet_column_stats(path).items()
         ):
-            fid = name_to_id.get(name)
-            if fid is None:
+            f = name_to_field.get(name)
+            if f is None:
                 continue
+            fid, ftype = f["id"], f["type"]
             try:
-                lower.append({"key": fid, "value": _bound_to_bytes(lo)})
-                upper.append({"key": fid, "value": _bound_to_bytes(hi)})
+                lower.append(
+                    {"key": fid, "value": _bound_to_bytes(lo, ftype)}
+                )
+                upper.append(
+                    {"key": fid, "value": _bound_to_bytes(hi, ftype)}
+                )
             except NotImplementedError:
                 continue
         if lower:
@@ -914,7 +955,15 @@ class IcebergCommitter:
         whose entries this commit supersedes (compaction).
         ``operation`` overrides the summary operation (e.g.
         ``delete`` for a position-delete commit — which correctly
-        gates incremental append scans across it)."""
+        gates incremental append scans across it).
+
+        Emits FORMAT-VERSION 2 metadata (required the moment a
+        content=1 position-delete manifest exists — v1 has no content
+        field and no sequence numbers scoping which data files the
+        deletes apply to): every commit assigns the next sequence
+        number, the snapshot records it, and data vs delete entries
+        land in SEPARATE manifests (v2 forbids mixing) whose
+        manifest-list rows carry content + sequence bounds."""
         meta = self._current_meta()
         version = 0 if meta is None else (
             int(open(
@@ -922,26 +971,54 @@ class IcebergCommitter:
             ).read().strip()) + 1
         )
         snap_id = 1000 + version
-        name = f"manifest-b{batch_id:05d}"
-        if removed:
-            name += "c"  # compaction rewrite manifest
-        manifest_path = os.path.join(self.meta_dir, f"{name}.avro")
-        entries = [
+        seq = (
+            0 if meta is None
+            else int(meta.get("last-sequence-number", 0)) + 1
+        )
+        # v2: one manifest holds data files XOR delete files
+        def _is_delete(df):
+            return (df.get("content") or 0) == 1
+
+        groups = []  # (list_content, manifest_path, entries)
+        data_entries = [
             {"status": STATUS_ADDED, "snapshot_id": snap_id,
              "data_file": df}
-            for df in added
+            for df in added if not _is_delete(df)
         ] + [
             {"status": STATUS_DELETED, "snapshot_id": snap_id,
              "data_file": df}
-            for df in removed
+            for df in removed if not _is_delete(df)
         ]
-        with open(manifest_path, "wb") as fh:
-            fh.write(
-                write_container(
-                    entries, self.manifest_schema, bytes(range(16)),
-                    codec="deflate",
-                )
+        delete_entries = [
+            {"status": STATUS_ADDED, "snapshot_id": snap_id,
+             "data_file": df}
+            for df in added if _is_delete(df)
+        ] + [
+            {"status": STATUS_DELETED, "snapshot_id": snap_id,
+             "data_file": df}
+            for df in removed if _is_delete(df)
+        ]
+        name = f"manifest-b{batch_id:05d}"
+        if removed:
+            name += "c"  # compaction rewrite manifest
+        if data_entries or not delete_entries:
+            groups.append(
+                (0, os.path.join(self.meta_dir, f"{name}.avro"),
+                 data_entries)
             )
+        if delete_entries:
+            groups.append(
+                (1, os.path.join(self.meta_dir, f"{name}d.avro"),
+                 delete_entries)
+            )
+        for _, manifest_path, entries in groups:
+            with open(manifest_path, "wb") as fh:
+                fh.write(
+                    write_container(
+                        entries, self.manifest_schema,
+                        bytes(range(16)), codec="deflate",
+                    )
+                )
         carried = []
         if meta is not None:
             cur = next(
@@ -949,7 +1026,22 @@ class IcebergCommitter:
                 if s["snapshot-id"] == meta["current-snapshot-id"]
             )
             carried = [
-                r
+                # pre-v2 rows lack content/sequence fields; the v1->
+                # v2 migration rule assigns them 0
+                {
+                    "content": r.get("content", 0),
+                    "sequence_number": r.get("sequence_number", 0),
+                    "min_sequence_number": r.get(
+                        "min_sequence_number", 0
+                    ),
+                    **{
+                        k: r[k]
+                        for k in (
+                            "manifest_path", "manifest_length",
+                            "partition_spec_id", "added_snapshot_id",
+                        )
+                    },
+                }
                 for r in read_container(
                     open(cur["manifest-list"], "rb").read()
                 )["records"]
@@ -969,10 +1061,14 @@ class IcebergCommitter:
                                 manifest_path
                             ),
                             "partition_spec_id": 0,
+                            "content": list_content,
+                            "sequence_number": seq,
+                            "min_sequence_number": seq,
                             "added_snapshot_id": snap_id,
                         }
+                        for list_content, manifest_path, _ in groups
                     ],
-                    _MANIFEST_LIST_SCHEMA,
+                    _MANIFEST_LIST_SCHEMA_V2,
                     bytes(range(16)),
                 )
             )
@@ -980,6 +1076,7 @@ class IcebergCommitter:
         snapshots.append(
             {
                 "snapshot-id": snap_id,
+                "sequence-number": seq,
                 "timestamp-ms": 0,
                 "manifest-list": ml_path,
                 "summary": {
@@ -995,9 +1092,10 @@ class IcebergCommitter:
         ]
         schemas.append(self.schema)
         new_meta = {
-            "format-version": 1,
+            "format-version": 2,
             "table-uuid": "stream-table",
             "location": self.table_dir,
+            "last-sequence-number": seq,
             "schemas": schemas,
             "current-schema-id": sid,
             "partition-specs": [

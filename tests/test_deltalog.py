@@ -834,3 +834,37 @@ def test_incremental_scan_skips_datachange_false_adds(
     assert rel not in inc["files"] and len(inc["files"]) == 1
     got = read_delta_incremental(spark, str(tmp_path), 0)
     assert sorted(r.o_orderkey for r in got.collect()) == [3]
+
+
+def test_null_partition_value_roundtrip(tmp_path, spark):
+    """A null partition value lands as __HIVE_DEFAULT_PARTITION__ in
+    the directory name; the add action must store a REAL null (not
+    the literal string) and a None partition_filter must prune to
+    exactly the null-keyed files."""
+    from kafka_spark_streaming_app_spark.queries.formats import (
+        _delta_stream_commit,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "F", "p", 100), (2, None, "p", 200), (3, None, "p", 300)],
+        "o_orderkey long, o_orderstatus string, "
+        "o_orderpriority string, cents long",
+    ).coalesce(1)
+    _delta_stream_commit(
+        str(tmp_path), df, 0, partition_by=("o_orderstatus",)
+    )
+    snap = snapshot_files(str(tmp_path))
+    pvs = [snap["partition_values"][p] for p in snap["files"]]
+    assert {pv["o_orderstatus"] for pv in pvs} == {"F", None}
+    assert not any(
+        pv["o_orderstatus"] == "__HIVE_DEFAULT_PARTITION__"
+        for pv in pvs
+    )
+    null_snap = snapshot_files(
+        str(tmp_path), partition_filter={"o_orderstatus": None}
+    )
+    assert 0 < len(null_snap["files"]) < len(snap["files"])
+    got = read_delta_snapshot(
+        spark, str(tmp_path), partition_filter={"o_orderstatus": None}
+    )
+    assert sorted(r.o_orderkey for r in got.collect()) == [2, 3]

@@ -711,3 +711,128 @@ def test_changelog_inserts_deletes_and_gates(tmp_path, spark):
     with pytest.raises(NotImplementedError, match="jar-backed"):
         iceberg_changelog(spark, str(tmp_path), s[0]).collect()
     assert iceberg_changelog(spark, str(tmp_path), s[0], s[3]).count() == 4
+
+
+def test_v2_metadata_sequence_numbers_and_manifest_split(
+    tmp_path, spark
+):
+    """IcebergCommitter emits format-version 2: last-sequence-number
+    advances per commit, each snapshot records its sequence-number,
+    a position-delete commit's manifest rides the manifest list with
+    content=1 (v2 forbids mixing data and delete files in one
+    manifest), and carried pre-v2 rows migrate with sequence 0."""
+    from kafka_spark_streaming_app_spark.operators.avrocodec import (
+        read_container,
+    )
+    from kafka_spark_streaming_app_spark.queries.formats import (
+        _ICEBERG_SINK_FIELDS,
+        _iceberg_stream_commit,
+    )
+    from kafka_spark_streaming_app_spark.sources.iceberglog import (
+        IcebergCommitter,
+    )
+
+    c = IcebergCommitter(str(tmp_path), _ICEBERG_SINK_FIELDS)
+    _iceberg_stream_commit(
+        c, str(tmp_path), _batch_df(spark, [1, 2, 3]), 0
+    )
+    meta = json.loads(open(_vhint_meta(tmp_path)).read())
+    assert meta["format-version"] == 2
+    assert meta["last-sequence-number"] == 0
+    assert meta["snapshots"][0]["sequence-number"] == 0
+    (data_file,) = snapshot_data_files(str(tmp_path))["files"]
+    entry = c.position_delete_entry("pd-0.parquet", [(data_file, 0)])
+    c.commit(2, [entry], operation="delete")
+    meta = json.loads(open(_vhint_meta(tmp_path)).read())
+    assert meta["last-sequence-number"] == 1
+    assert meta["snapshots"][-1]["sequence-number"] == 1
+    cur = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    rows = read_container(
+        open(cur["manifest-list"], "rb").read()
+    )["records"]
+    by_content = {r["content"]: r for r in rows}
+    assert set(by_content) == {0, 1}
+    assert by_content[1]["sequence_number"] == 1
+    assert by_content[1]["min_sequence_number"] == 1
+    assert by_content[0]["sequence_number"] == 0
+    # the delete manifest holds ONLY content=1 entries
+    dm = read_container(
+        open(by_content[1]["manifest_path"], "rb").read()
+    )["records"]
+    assert all(e["data_file"]["content"] == 1 for e in dm)
+    got = read_iceberg_snapshot(spark, str(tmp_path))
+    assert sorted(r.o_orderkey for r in got.collect()) == [2, 3]
+
+
+def test_int_bounds_are_four_bytes(tmp_path):
+    """Iceberg single-value serialization: int bounds are 4-byte LE
+    (the spec), long stays 8; unparseable foreign bounds keep the
+    file instead of crashing the scan."""
+    import struct
+
+    from kafka_spark_streaming_app_spark.sources.iceberglog import (
+        _bound_from_bytes,
+        _bound_to_bytes,
+        _bounds_exclude,
+    )
+
+    assert _bound_to_bytes(7, "int") == struct.pack("<i", 7)
+    assert _bound_to_bytes(7, "long") == struct.pack("<q", 7)
+    assert _bound_from_bytes(struct.pack("<i", -3), "int") == -3
+    # pre-fix tables stored int bounds as 8 bytes: still readable
+    assert _bound_from_bytes(struct.pack("<q", 9), "int") == 9
+    ntf = {"k": {"id": 1, "name": "k", "type": "int"}}
+    df = {
+        "lower_bounds": [{"key": 1, "value": b"\x01\x02\x03"}],
+        "upper_bounds": [{"key": 1, "value": b"\x01\x02\x03"}],
+    }
+    # 3-byte garbage bounds: keep the file (prune-only contract)
+    assert _bounds_exclude(df, {"k": (100, 200)}, ntf) is False
+    ok = {
+        "lower_bounds": [{"key": 1, "value": struct.pack("<i", 1)}],
+        "upper_bounds": [{"key": 1, "value": struct.pack("<i", 5)}],
+    }
+    assert _bounds_exclude(ok, {"k": (100, 200)}, ntf) is True
+    assert _bounds_exclude(ok, {"k": (3, 4)}, ntf) is False
+
+
+def test_null_partition_value_roundtrip(tmp_path, spark):
+    """Null partition source values: the fanout write spells them
+    __HIVE_DEFAULT_PARTITION__, the manifest struct must record the
+    NULL consistently with the reader's transform of a None filter
+    value (spec: every transform maps null to null), so null-keyed
+    partitions stay prunable."""
+    from kafka_spark_streaming_app_spark.queries.formats import (
+        _ICEBERG_SINK_FIELDS,
+        _iceberg_stream_commit,
+    )
+    from kafka_spark_streaming_app_spark.sources.iceberglog import (
+        IcebergCommitter,
+    )
+
+    c = IcebergCommitter(
+        str(tmp_path), _ICEBERG_SINK_FIELDS, ("o_orderstatus",)
+    )
+    df = spark.createDataFrame(
+        [(1, "F", "p", 100), (2, None, "p", 200), (3, None, "p", 300)],
+        "o_orderkey long, o_orderstatus string, "
+        "o_orderpriority string, cents long",
+    ).coalesce(1)
+    _iceberg_stream_commit(
+        c, str(tmp_path), df, 0, partition_by=("o_orderstatus",)
+    )
+    full = read_iceberg_snapshot(spark, str(tmp_path))
+    assert sorted(r.o_orderkey for r in full.collect()) == [1, 2, 3]
+    pruned = read_iceberg_snapshot(
+        spark, str(tmp_path),
+        partition_filter={"o_orderstatus": None},
+    )
+    assert sorted(r.o_orderkey for r in pruned.collect()) == [2, 3]
+    fsnap = snapshot_data_files(
+        str(tmp_path), partition_filter={"o_orderstatus": None}
+    )
+    all_files = snapshot_data_files(str(tmp_path))["files"]
+    assert 0 < len(fsnap["files"]) < len(all_files)
