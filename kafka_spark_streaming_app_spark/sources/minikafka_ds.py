@@ -121,33 +121,55 @@ class _BatchReader(DataSourceReader):
         return _read_range(partition)
 
 
+def _allocate(backlog: dict, cap: int) -> dict:
+    """Distribute a total per-trigger record cap across partitions
+    proportionally to their backlog (the real connector's rate-limit
+    shape), deterministically assigning remainders to the largest
+    backlogs first."""
+    total = sum(backlog.values())
+    if total <= cap:
+        return dict(backlog)
+    alloc = {p: cap * b // total for p, b in backlog.items()}
+    rem = cap - sum(alloc.values())
+    for p in sorted(
+        backlog, key=lambda x: (-(backlog[x] - alloc[x]), int(x))
+    ):
+        if rem <= 0:
+            break
+        if alloc[p] < backlog[p]:
+            alloc[p] += 1
+            rem -= 1
+    return alloc
+
+
 class _StreamReader(DataSourceStreamReader):
     """Offsets are ``{str(pid): next_offset}`` — the same shape the
     real source checkpoints.
 
-    ``latestOffset`` is PURE (always the broker's log-end): the
-    Python DataSource API gives offset hooks no single-stateful-
-    instance guarantee (initialOffset/latestOffset/commit interleave
-    across instantiations), so any pacing state here can hand the
-    engine a REGRESSING end offset — observed as both double-reads
-    and a premature "no new data" that ends a processAllAvailable
-    drain mid-topic. ``maxOffsetsPerTrigger`` therefore gates loudly:
-    the real connector implements it ENGINE-side (ReadLimit), which
-    this API does not expose; pace by produce cadence instead (each
-    produced wave becomes its own micro-batch — see
-    queries/minikafka.py)."""
+    ``maxOffsetsPerTrigger`` (the reference sets it —
+    ``ecommerce_streaming.py:46``) is the standard Python-DataSource
+    approximation of the engine-side ReadLimit the real connector
+    uses: ``latestOffset`` clamps its progression to
+    ``last_planned_end + N`` (N allocated across partitions
+    proportionally to backlog). The clamp base is the END of the last
+    batch this instance PLANNED (``partitions``), never an
+    independent pacing counter, so the reported end can only move
+    forward — the regressing-end-offset failure mode (double-reads,
+    premature drain termination) cannot occur. When no base is known
+    yet (a checkpoint restart instantiates the reader without
+    ``initialOffset``), the first ``latestOffset`` passes the log-end
+    through unclamped — one uncapped catch-up batch, after which
+    pacing resumes; the real connector makes the same trade under
+    ``failOnDataLoss`` recovery."""
 
     def __init__(self, options: dict):
         self.bootstrap = _require(options, "bootstrap")
         self.topic = _require(options, "topic")
-        if options.get("maxoffsetspertrigger"):
-            raise NotImplementedError(
-                "maxOffsetsPerTrigger needs engine-side ReadLimit "
-                "support the Python DataSource API does not expose; "
-                "driver-side offset state corrupts batch planning "
-                "(regressing end offsets). Pace the producer, or use "
-                "the jar-backed kafka connector."
-            )
+        mot = options.get("maxoffsetspertrigger")
+        self.max_per_trigger = int(mot) if mot else None
+        if self.max_per_trigger is not None and self.max_per_trigger <= 0:
+            raise ValueError("maxOffsetsPerTrigger must be positive")
+        self._clamp_base = None  # {str(pid): offset} | None
         # option parity with the real connector (the reference passes
         # startingOffsets=latest): earliest/latest map to ListOffsets
         # -2/-1; per-partition JSON assignments gate loudly rather
@@ -165,20 +187,51 @@ class _StreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         with MiniKafkaClient(self.bootstrap) as c:
             pids = c.metadata([self.topic])["topics"][self.topic]
-            return {
+            init = {
                 str(p): c.offsets(self.topic, p, self.start_ts)
                 for p in pids
             }
+        self._clamp_base = dict(init)
+        return init
 
     def latestOffset(self) -> dict:
         with MiniKafkaClient(self.bootstrap) as c:
             pids = c.metadata([self.topic])["topics"][self.topic]
-            return {str(p): c.offsets(self.topic, p, -1) for p in pids}
+            ends = {
+                str(p): c.offsets(self.topic, p, -1) for p in pids
+            }
+            if self.max_per_trigger is None:
+                return ends
+            if self._clamp_base is None:
+                # the engine calls latestOffset BEFORE initialOffset
+                # on the first trigger (observed lifecycle): seed the
+                # clamp base from the startingOffsets resolution —
+                # identical to what initialOffset will return. After
+                # a checkpoint restart this seed may sit below the
+                # committed offset; partitions() then heals the base
+                # to the engine's authoritative start (one empty
+                # micro-batch, never a double-read).
+                self._clamp_base = {
+                    str(p): c.offsets(self.topic, p, self.start_ts)
+                    for p in pids
+                }
+        base = self._clamp_base
+        backlog = {
+            p: max(0, e - base.get(p, 0)) for p, e in ends.items()
+        }
+        alloc = _allocate(backlog, self.max_per_trigger)
+        return {p: base.get(p, 0) + alloc[p] for p in ends}
 
     def commit(self, end: dict) -> None:
         pass
 
     def partitions(self, start: dict, end: dict) -> list:
+        # the engine's planned batch end is the ONLY clamp base that
+        # can never regress the reported latest offset; max(start, ·)
+        # heals a stale seed after checkpoint restart
+        self._clamp_base = {
+            p: max(int(start.get(p, 0)), int(end[p])) for p in end
+        }
         return [
             _OffsetRange(
                 self.bootstrap, self.topic, int(p),

@@ -273,32 +273,70 @@ def test_streaming_live_arrival_multiple_batches(spark, broker):
         q.stop()
 
 
-def test_max_offsets_per_trigger_gates_loudly(spark, broker):
-    _register(spark)
-    from py4j.protocol import Py4JJavaError
-    from pyspark.errors import AnalysisException
+def test_max_offsets_per_trigger_paces_batches(spark, broker):
+    """The reference's exact option (ecommerce_streaming.py:46): a
+    pre-loaded topic must drain in ceil(total/N) micro-batches, no
+    batch may exceed N records, every record arrives exactly once,
+    and the per-batch end offsets must advance monotonically (the
+    clamp can never regress the planned end)."""
+    import ast
 
-    stream = (
+    _register(spark)
+    with MiniKafkaClient(broker.bootstrap) as c:
+        for p in (0, 1):
+            c.produce(
+                "t", p,
+                [(None, f"p{p}-{i}".encode()) for i in range(35)],
+            )
+    raw = (
         spark.readStream.format("minikafka")
         .option("bootstrap", broker.bootstrap)
         .option("topic", "t")
         .option("maxOffsetsPerTrigger", 10)
         .load()
     )
-    q = None
-    with pytest.raises(Exception) as ei:
-        q = (
-            stream.writeStream.format("memory")
-            .queryName("mk_gate_sink")
+    q = (
+        raw.writeStream.format("memory")
+        .queryName("mk_paced_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.table("mk_paced_sink").collect()
+        assert len(rows) == 70
+        assert len({(r.partition, r.offset) for r in rows}) == 70
+        sizes, ends = [], []
+        for prog in q.recentProgress:
+            n = prog["numInputRows"]
+            if n:
+                sizes.append(n)
+            eo = prog["sources"][0]["endOffset"]
+            if eo:
+                d = ast.literal_eval(eo) if isinstance(eo, str) else eo
+                ends.append(sum(int(v) for v in d.values()))
+        assert max(sizes) <= 10
+        assert len(sizes) >= -(-70 // 10)  # ceil(total/N) triggers
+        assert ends == sorted(ends)
+    finally:
+        q.stop()
+    # a positive-integer contract: zero/negative gates loudly
+    qb = None
+    with pytest.raises(Exception, match="positive"):
+        qb = (
+            spark.readStream.format("minikafka")
+            .option("bootstrap", broker.bootstrap)
+            .option("topic", "t")
+            .option("maxOffsetsPerTrigger", 0)
+            .load()
+            .writeStream.format("memory")
+            .queryName("mk_paced_bad")
             .outputMode("append")
             .start()
         )
-        q.processAllAvailable()
-    if q is not None and q.isActive:
-        q.stop()
-    assert "ReadLimit" in str(ei.value) or "maxOffsetsPerTrigger" in str(
-        ei.value
-    )
+        qb.processAllAvailable()
+    if qb is not None and qb.isActive:
+        qb.stop()
 
 
 def test_sink_rejects_null_value_and_overwrite(spark, broker):
