@@ -615,8 +615,13 @@ def write_checkpoint(table_dir: str, parts: int = 1) -> int:
                 ),
             )
         meta = {"version": version, "size": len(rows), "parts": parts}
-    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+    # atomic pointer flip: streaming readers may be replaying the log
+    # while a checkpoint lands; truncate-then-write would expose an
+    # empty _last_checkpoint mid-rewrite
+    tmp = os.path.join(log_dir, "_last_checkpoint.tmp")
+    with open(tmp, "w") as fh:
         fh.write(json.dumps(meta))
+    os.replace(tmp, os.path.join(log_dir, "_last_checkpoint"))
     return version
 
 

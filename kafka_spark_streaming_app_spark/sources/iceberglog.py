@@ -390,6 +390,18 @@ def _current_schema(meta: dict) -> dict:
     )
 
 
+
+def _write_version_hint(meta_dir: str, version: int) -> None:
+    """Atomic hint update (write-temp + os.replace): streaming
+    readers poll version-hint.text between commits; a truncate-then-
+    write would expose an empty file mid-rewrite."""
+    hint = os.path.join(meta_dir, "version-hint.text")
+    tmp = hint + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(tmp, hint)
+
+
 def _metadata_path(table_dir: str) -> str:
     hint = os.path.join(table_dir, "metadata", "version-hint.text")
     if not os.path.exists(hint):
@@ -737,10 +749,7 @@ class IcebergFixtureWriter:
             "w",
         ) as fh:
             json.dump(meta, fh)
-        with open(
-            os.path.join(self.meta_dir, "version-hint.text"), "w"
-        ) as fh:
-            fh.write(str(self.version))
+        _write_version_hint(self.meta_dir, self.version)
         return snap_id
 
 
@@ -1109,10 +1118,7 @@ class IcebergCommitter:
             os.path.join(self.meta_dir, f"v{version}.metadata.json"), "w"
         ) as fh:
             json.dump(new_meta, fh)
-        with open(
-            os.path.join(self.meta_dir, "version-hint.text"), "w"
-        ) as fh:
-            fh.write(str(version))
+        _write_version_hint(self.meta_dir, version)
         return snap_id
 
 
@@ -1180,10 +1186,7 @@ def expire_snapshots(table_dir: str, keep: int = 1) -> dict:
         "w",
     ) as fh:
         json.dump(meta, fh)
-    with open(
-        os.path.join(table_dir, "metadata", "version-hint.text"), "w"
-    ) as fh:
-        fh.write(str(version))
+    _write_version_hint(os.path.join(table_dir, "metadata"), version)
     return {
         "deleted": deleted,
         "retained_snapshot_ids": [s["snapshot-id"] for s in retained],
