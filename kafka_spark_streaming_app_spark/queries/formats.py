@@ -651,39 +651,92 @@ def _partition_values_from_path(rel: str, partition_by) -> dict:
     return vals
 
 
-def _delta_add_action(
-    table_dir: str, rel: str, data_change=True, partition_by=()
-) -> dict:
-    """add action with per-file column STATS (Delta spec: a JSON
-    string of numRecords/minValues/maxValues) read from the parquet
-    FOOTER on the driver — O(KB) per file, never the data. Stats make
-    the log itself the data-skipping index: a range predicate prunes
-    the file list before any footer or page is read."""
-    import json as _json
+def _delta_add_actions(
+    spark: SparkSession, table_dir: str, rels,
+    data_change=True, partition_by=(),
+) -> list:
+    """add actions for a BATCH of part files with per-file stats
+    collected in ONE distributed job over the paths — each task opens
+    only its own files' footers (O(KB) each) and the driver receives
+    just the stats rows. A fanout commit with thousands of part files
+    must not serialize thousands of footer opens on the driver; real
+    Delta collects stats inside the write job the same way. Stats
+    (Delta spec: a JSON string of numRecords/minValues/maxValues)
+    make the log itself the data-skipping index: a range predicate
+    prunes the file list before any footer or page is read."""
+    rels = sorted(rels)
+    if not rels:
+        return []
+    abs_root = os.path.abspath(table_dir)
 
-    import pyarrow.parquet as _pq
+    def _footer_stats(it):
+        # self-contained executor closure (workers must not need the
+        # package importable): the logic mirrors the driver-side
+        # sources/iceberglog.parquet_column_stats + _delta_add_action
+        import json as _j
+        import os as _os
 
-    from ..sources.iceberglog import parquet_column_stats
+        import pyarrow.parquet as _pq
 
-    path = os.path.join(table_dir, rel)
-    col_stats = parquet_column_stats(path)
-    stats = {
-        "numRecords": _pq.ParquetFile(path).metadata.num_rows,
-        "minValues": {c: lo for c, (lo, _) in col_stats.items()},
-        "maxValues": {c: hi for c, (_, hi) in col_stats.items()},
+        for rel in it:
+            path = _os.path.join(abs_root, rel)
+            md = _pq.ParquetFile(path).metadata
+            out = {}
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    col = row_group.column(ci)
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    lo, hi = st.min, st.max
+                    if isinstance(lo, bytes):
+                        try:
+                            lo, hi = lo.decode(), hi.decode()
+                        except UnicodeDecodeError:
+                            continue
+                    if not isinstance(
+                        lo, (int, float, str)
+                    ) or isinstance(lo, bool):
+                        continue
+                    name = col.path_in_schema
+                    if name in out:
+                        out[name] = (
+                            min(out[name][0], lo),
+                            max(out[name][1], hi),
+                        )
+                    else:
+                        out[name] = (lo, hi)
+            stats = {
+                "numRecords": md.num_rows,
+                "minValues": {c: lo for c, (lo, _) in out.items()},
+                "maxValues": {c: hi for c, (_, hi) in out.items()},
+            }
+            yield rel, _j.dumps(stats), _os.path.getsize(path)
+
+    sc = spark.sparkContext
+    slices = max(1, min(len(rels), sc.defaultParallelism))
+    collected = {
+        rel: (stats, size)
+        for rel, stats, size in sc.parallelize(rels, slices)
+        .mapPartitions(_footer_stats)
+        .collect()
     }
-    return {
-        "add": {
-            "path": rel,
-            "partitionValues": _partition_values_from_path(
-                rel, partition_by
-            ),
-            "size": os.path.getsize(path),
-            "modificationTime": 0,
-            "dataChange": data_change,
-            "stats": _json.dumps(stats),
+    return [
+        {
+            "add": {
+                "path": rel,
+                "partitionValues": _partition_values_from_path(
+                    rel, partition_by
+                ),
+                "size": collected[rel][1],
+                "modificationTime": 0,
+                "dataChange": data_change,
+                "stats": collected[rel][0],
+            }
         }
-    }
+        for rel in rels
+    ]
 
 
 def _delta_meta_actions(fields, partition_by=()) -> list:
@@ -768,8 +821,10 @@ def _delta_overwrite_commit(
             {"remove": {"path": p, "deletionTimestamp": 0,
                         "dataChange": True}}
         )
-    for rel in _delta_part_files(table_dir, refresh_rel):
-        actions.append(_delta_add_action(table_dir, rel))
+    actions += _delta_add_actions(
+        batch_df.sparkSession, table_dir,
+        _delta_part_files(table_dir, refresh_rel),
+    )
     _delta_write_commit(
         log_dir, version, actions, table_dir, checkpoint_interval
     )
@@ -845,10 +900,10 @@ def _delta_stream_commit(
     actions.append(
         {"txn": {"appId": _DELTA_STREAM_APP, "version": batch_id}}
     )
-    for rel in sorted(rels):
-        actions.append(
-            _delta_add_action(table_dir, rel, partition_by=partition_by)
-        )
+    actions += _delta_add_actions(
+        batch_df.sparkSession, table_dir, rels,
+        partition_by=partition_by,
+    )
     # compaction stays in the unpartitioned sink (per-partition-dir
     # compaction is the identical shape, one directory deeper)
     if batch_id % 2 == 1 and not partition_by:
@@ -871,10 +926,10 @@ def _delta_stream_commit(
                     {"remove": {"path": p, "deletionTimestamp": 0,
                                 "dataChange": False}}
                 )
-            for rel in _part_files(rewritten):
-                actions.append(
-                    _delta_add_action(table_dir, rel, data_change=False)
-                )
+            actions += _delta_add_actions(
+                batch_df.sparkSession, table_dir,
+                _part_files(rewritten), data_change=False,
+            )
     _delta_write_commit(
         log_dir, version, actions, table_dir, checkpoint_interval
     )
@@ -1757,8 +1812,10 @@ def _delta_evolved_commit(
     actions.append(
         {"txn": {"appId": _DELTA_STREAM_APP, "version": batch_id}}
     )
-    for rel in _delta_part_files(table_dir, batch_rel):
-        actions.append(_delta_add_action(table_dir, rel))
+    actions += _delta_add_actions(
+        batch_df.sparkSession, table_dir,
+        _delta_part_files(table_dir, batch_rel),
+    )
     _delta_write_commit(log_dir, version, actions, table_dir, 10)
 
 

@@ -868,3 +868,44 @@ def test_null_partition_value_roundtrip(tmp_path, spark):
         spark, str(tmp_path), partition_filter={"o_orderstatus": None}
     )
     assert sorted(r.o_orderkey for r in got.collect()) == [2, 3]
+
+
+def test_commit_stats_are_collected_distributed(tmp_path, spark):
+    """Per-file commit stats must come from ONE distributed job over
+    the batch's paths, not a serial driver loop: during the commit
+    the DRIVER process opens zero parquet footers (executor workers
+    are separate processes, so a driver-side ParquetFile patch sees
+    only driver opens). Stats content must be unchanged: numRecords/
+    minValues/maxValues per file, and skipping still prunes."""
+    from unittest import mock
+
+    import pyarrow.parquet as _pq
+
+    from kafka_spark_streaming_app_spark.queries.formats import (
+        _delta_stream_commit,
+    )
+
+    df = _batch_df(spark, [1, 2, 3, 4]).repartition(4)
+    real = _pq.ParquetFile
+    driver_opens = []
+
+    def _counting(*a, **k):
+        driver_opens.append(a[0] if a else k)
+        return real(*a, **k)
+
+    with mock.patch.object(_pq, "ParquetFile", side_effect=_counting):
+        _delta_stream_commit(str(tmp_path), df, 0)
+    assert driver_opens == []  # O(1): zero driver-side footer opens
+    snap = snapshot_files(str(tmp_path))
+    assert len(snap["files"]) >= 2
+    stats = [json.loads(snap["stats"][rel]) for rel in snap["files"]]
+    assert sum(st["numRecords"] for st in stats) == 4
+    for st in stats:
+        if st["numRecords"]:
+            assert "o_orderkey" in st["minValues"]
+            assert "o_orderkey" in st["maxValues"]
+    # skipping still prunes on the distributed-collected stats
+    pruned = snapshot_files(
+        str(tmp_path), data_filter={"o_orderkey": (1, 1)}
+    )
+    assert 0 < len(pruned["files"]) < len(snap["files"])
