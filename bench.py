@@ -431,6 +431,14 @@ def main() -> int:
         **(prev_detail.get("extra_queries") or {}),
     }
     prev_calib = (prev_detail.get("calibration") or {}).get("value")
+    # round-12 (VERDICT item 1): the r11 run's start calibration was
+    # 2.2x its end one — machine load swings WITHIN a run, so a single
+    # scalar cannot normalize per-query ratios (19 false outliers).
+    # The calibration query now interleaves every BLOCK_EVERY query
+    # executions; each query is normalized by the calibration of its
+    # own block (and, when the previous run recorded per-query local
+    # calibrations, by the matching previous block too).
+    prev_local_calib = prev_detail.get("local_calibration") or {}
 
     calib_start = _calibration()
 
@@ -447,15 +455,38 @@ def main() -> int:
     # self-interpreting about how many samples the min covers
     samples: dict[str, int] = {}
 
+    # per-block local calibration: re-time the calibration query
+    # every BLOCK_EVERY query executions; each query's ratio is
+    # normalized by the calibration measured nearest in wall-clock,
+    # so a load burst mid-run inflates the local calibration together
+    # with the queries it actually affected
+    BLOCK_EVERY = 25
+    run_counter = 0
+    current_calib = calib_start
+    local_calib: dict[str, float] = {}
+
     def run_once(name: str) -> float:
+        nonlocal run_counter, current_calib
+        if run_counter and run_counter % BLOCK_EVERY == 0:
+            current_calib = round(_calibration_once(), 3)
+        run_counter += 1
         fn = registry.QUERIES[name]
         start = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - start
 
+    def record(store: dict, name: str) -> None:
+        """min-merge a fresh sample; the local calibration follows
+        whichever sample produced the min."""
+        t = round(run_once(name), 3)
+        if name not in store or t < store[name]:
+            store[name] = t
+            local_calib[name] = current_calib
+        samples[name] = samples.get(name, 0) + 1
+
     for name in HEADLINE:
-        timings[name] = round(min(run_once(name) for _ in range(N_RUNS)), 3)
-        samples[name] = N_RUNS
+        for _ in range(N_RUNS):
+            record(timings, name)
 
     # Full-registry coverage (round-7): every registered query gets a
     # timing in BENCH_DETAIL.json so regressions in non-headline
@@ -466,8 +497,7 @@ def main() -> int:
     extras = [q for q in sorted(registry.QUERIES) if q not in set(HEADLINE)]
     extra_timings: dict[str, float] = {}
     for name in extras:
-        extra_timings[name] = round(run_once(name), 3)
-        samples[name] = 1
+        record(extra_timings, name)
 
     # Contention shield: min-of-2 back-to-back runs shares one noise
     # window, so a neighbor burst mid-sequence can inflate a whole
@@ -478,16 +508,12 @@ def main() -> int:
         : max(4, len(HEADLINE) // 4)
     ]
     for name in retry:
-        timings[name] = round(min(timings[name], run_once(name)), 3)
-        samples[name] += 1
+        record(timings, name)
     retry_extra = sorted(extra_timings, key=extra_timings.get, reverse=True)[
         : max(4, len(extra_timings) // 4)
     ]
     for name in retry_extra:
-        extra_timings[name] = round(
-            min(extra_timings[name], run_once(name)), 3
-        )
-        samples[name] += 1
+        record(extra_timings, name)
 
     calib_end = _calibration()
     calibration = {
@@ -502,14 +528,35 @@ def main() -> int:
         else None
     )
     calibration["drift_vs_prev"] = drift
-    # drift-normalized per-query ratios vs the previous recorded run:
+    # drift-normalized per-query ratios vs the previous recorded run,
+    # using each query's BLOCK-LOCAL calibration (and the previous
+    # run's local calibration for the same query when recorded):
     # ratio ~1.0 = moved with the machine; >>1.0 = a real regression
     ratios: dict[str, float] = {}
     for name, t in {**timings, **extra_timings}.items():
         p = prev_times.get(name)
-        if p:
-            r = t / p
-            ratios[name] = round(r / drift if drift else r, 3)
+        if not p:
+            continue
+        now_c = local_calib.get(name) or calibration["value"]
+        prev_c = prev_local_calib.get(name) or prev_calib
+        local_drift = (now_c / prev_c) if prev_c else None
+        r = t / p
+        ratios[name] = round(r / local_drift if local_drift else r, 3)
+
+    # mandatory-triage list (VERDICT r11 item 1): every query whose
+    # block-normalized ratio exceeds 1.5x at >1s absolute must be
+    # isolated-re-timed (scripts/time_query.py --runs 3) and the
+    # attribution recorded in ROUND_NOTES.md — no silent outliers
+    all_t = {**timings, **extra_timings}
+    outliers = sorted(
+        (
+            name
+            for name, r in ratios.items()
+            if r > 1.5 and all_t[name] > 1.0
+        ),
+        key=lambda n: ratios[n],
+        reverse=True,
+    )
 
     total = round(sum(timings.values()), 3)
     # The driver records only the LAST 2000 chars of bench stdout and
@@ -534,12 +581,20 @@ def main() -> int:
             name: f"min-of-{n}" for name, n in sorted(samples.items())
         },
         "calibration": calibration,
+        "local_calibration": {
+            k: v for k, v in sorted(local_calib.items())
+        },
         "normalized_ratios_vs_prev": dict(
             sorted(ratios.items(), key=lambda kv: kv[1], reverse=True)
         ),
         "ratio_note": "per-query time / previous BENCH_DETAIL time, "
-        "divided by the calibration drift factor when the previous "
-        "run recorded a calibration; ~1.0 = moved with the machine",
+        "divided by the BLOCK-LOCAL calibration drift (this query's "
+        "nearest-in-wall-clock calibration over the previous run's "
+        "for the same query); ~1.0 = moved with the machine",
+        "outliers_requiring_isolated_retime": outliers,
+        "outlier_note": ">1.5x block-normalized at >1s absolute: "
+        "MUST be isolated-re-timed (scripts/time_query.py --runs 3) "
+        "and attributed in ROUND_NOTES.md",
         "sf": sf,
     }
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
@@ -559,6 +614,7 @@ def main() -> int:
                 "queries_detail_file": "BENCH_DETAIL.json",
                 "calibration": calibration["value"],
                 "calibration_drift_vs_prev": drift,
+                "outliers_requiring_isolated_retime": len(outliers),
                 "sf": sf,
             }
         )
