@@ -1160,7 +1160,9 @@ def _iceberg_partition_col(df: DataFrame, sf: dict):
     """Spark column computing a spec field's partition value —
     identity and truncate stay in Catalyst expressions (JVM-side,
     codegen); bucket is a vectorized pandas batch over the public
-    Murmur3 (no per-row Python for long sources)."""
+    Murmur3 for BOTH long and string sources (the string path hashes
+    the whole batch as masked uint32 sweeps; only the cheap utf-8
+    encode remains per-element)."""
     source, transform = sf["source"], sf["transform"]
     col = F.col(source)
     if transform == "identity":
@@ -1194,11 +1196,20 @@ def _iceberg_partition_col(df: DataFrame, sf: dict):
         if dtype == "string":
             @pandas_udf("int")
             def _bucket_str(s):
-                from ..sources.iceberglog import bucket_value
+                import pandas as pd
 
-                return s.map(
-                    lambda v: None if v is None else bucket_value(v, n)
-                ).astype("Int32")
+                from ..sources.iceberglog import bucket_str_array
+
+                mask = s.isna().to_numpy()
+                enc = [
+                    b"" if v is None else v.encode("utf-8")
+                    for v in s
+                ]
+                out = pd.Series(
+                    bucket_str_array(enc, n), dtype="Int32"
+                )
+                out[mask] = pd.NA
+                return out
 
             return _bucket_str(col)
     raise NotImplementedError(

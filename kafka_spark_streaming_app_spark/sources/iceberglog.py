@@ -132,6 +132,65 @@ def bucket_long_array(vals, n: int):
         )
 
 
+def bucket_str_array(bytes_list, n: int):
+    """numpy-vectorized ``bucket[N]`` over a list of UTF-8 byte
+    strings — ``bucket_long_array``'s variable-length twin for the
+    fanout writer's string partition columns. The whole batch is
+    scattered into one zero-padded (rows x 4-byte-aligned) uint8
+    matrix, the Murmur3 x86-32 body runs as masked uint32 column
+    sweeps (max(len)//4 vectorized rounds, no per-element Python
+    hashing), and the zero padding doubles as the tail's implicit
+    high-byte zeros."""
+    import numpy as np
+
+    m = len(bytes_list)
+    lens = np.fromiter(
+        (len(b) for b in bytes_list), dtype=np.int64, count=m
+    )
+    # pad to a 4-byte multiple PLUS one spare word so the tail word
+    # (block index nblocks) is always addressable
+    pad = (int(lens.max(initial=0)) + 4) // 4 * 4 + 4
+    buf = np.zeros((m, pad), np.uint8)
+    flat = np.frombuffer(b"".join(bytes_list), dtype=np.uint8)
+    if len(flat):
+        starts = np.zeros(m, np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        idx_row = np.repeat(np.arange(m), lens)
+        idx_col = np.arange(len(flat)) - np.repeat(starts, lens)
+        buf[idx_row, idx_col] = flat
+    words = buf.view("<u4")  # (m, pad // 4) little-endian blocks
+    nblocks = lens // 4
+    c1 = np.uint32(0xCC9E2D51)
+    c2 = np.uint32(0x1B873593)
+    with np.errstate(over="ignore"):
+        h = np.zeros(m, np.uint32)
+        for j in range(int(nblocks.max(initial=0))):
+            mask = nblocks > j
+            k = words[:, j] * c1
+            k = (k << np.uint32(15)) | (k >> np.uint32(17))
+            k = k * c2
+            h2 = h ^ k
+            h2 = (h2 << np.uint32(13)) | (h2 >> np.uint32(19))
+            h2 = h2 * np.uint32(5) + np.uint32(0xE6546B64)
+            h = np.where(mask, h2, h)
+        # tail: the word at block index nblocks already carries the
+        # 1-3 trailing bytes little-endian with zero high bytes
+        tail_mask = (lens % 4) > 0
+        k = words[np.arange(m), nblocks] * c1
+        k = (k << np.uint32(15)) | (k >> np.uint32(17))
+        k = k * c2
+        h = np.where(tail_mask, h ^ k, h)
+        h ^= lens.astype(np.uint32)
+        h ^= h >> np.uint32(16)
+        h = h * np.uint32(0x85EBCA6B)
+        h ^= h >> np.uint32(13)
+        h = h * np.uint32(0xC2B2AE35)
+        h ^= h >> np.uint32(16)
+        return ((h & np.uint32(0x7FFFFFFF)) % np.uint32(n)).astype(
+            np.int32
+        )
+
+
 def truncate_value(value, w: int):
     """``truncate[W]``: strings keep the first W characters; integers
     floor to the nearest lower multiple of W (``v - (v mod W)`` with a

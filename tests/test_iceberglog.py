@@ -836,3 +836,68 @@ def test_null_partition_value_roundtrip(tmp_path, spark):
     )
     all_files = snapshot_data_files(str(tmp_path))["files"]
     assert 0 < len(fsnap["files"]) < len(all_files)
+
+
+def test_bucket_str_array_matches_scalar_and_spec(tmp_path, spark):
+    """The vectorized string bucket (masked uint32 Murmur3 sweeps)
+    must agree with the scalar spec implementation on the Iceberg
+    Appendix-B string vector and on arbitrary lengths/scripts, and
+    the string-bucket fanout sink must stay prunable end-to-end."""
+    import random
+    import string as _string
+
+    from kafka_spark_streaming_app_spark.sources.iceberglog import (
+        bucket_str_array,
+        bucket_value,
+        murmur3_32,
+    )
+
+    # spec Appendix B: murmur3 of UTF-8 "iceberg" == 1210000089
+    assert murmur3_32("iceberg".encode()) == 1210000089
+    cases = ["iceberg", "", "a", "abc", "abcd", "ü", "日本語", "x" * 99]
+    rng = random.Random(12)
+    for _ in range(200):
+        cases.append(
+            "".join(
+                rng.choice(_string.printable + "éü語")
+                for _ in range(rng.randrange(0, 40))
+            )
+        )
+    got = bucket_str_array([c.encode() for c in cases], 16)
+    assert list(got) == [bucket_value(c, 16) for c in cases]
+    # end-to-end: string bucket[N] partitioned sink prunes by source
+    from kafka_spark_streaming_app_spark.queries.formats import (
+        _ICEBERG_SINK_FIELDS,
+        _iceberg_stream_commit,
+    )
+    from kafka_spark_streaming_app_spark.sources.iceberglog import (
+        IcebergCommitter,
+        snapshot_data_files,
+    )
+
+    c = IcebergCommitter(
+        str(tmp_path), _ICEBERG_SINK_FIELDS,
+        (("o_orderpriority", "bucket[4]"),),
+    )
+    df = spark.createDataFrame(
+        [(k, "F", p, k * 100) for k, p in
+         [(1, "1-URGENT"), (2, "2-HIGH"), (3, "3-MEDIUM"),
+          (4, "4-LOW"), (5, "5-NONE")]],
+        "o_orderkey long, o_orderstatus string, "
+        "o_orderpriority string, cents long",
+    ).coalesce(1)
+    _iceberg_stream_commit(
+        c, str(tmp_path), df, 0,
+        partition_by=(("o_orderpriority", "bucket[4]"),),
+    )
+    full = snapshot_data_files(str(tmp_path))["files"]
+    pruned = snapshot_data_files(
+        str(tmp_path),
+        partition_filter={"o_orderpriority": "1-URGENT"},
+    )["files"]
+    assert 0 < len(pruned) < len(full)
+    got_rows = read_iceberg_snapshot(
+        spark, str(tmp_path),
+        partition_filter={"o_orderpriority": "1-URGENT"},
+    ).collect()
+    assert {r.o_orderpriority for r in got_rows} >= {"1-URGENT"}
