@@ -41,6 +41,7 @@ from .pyds import _case, _h, _LOC_CASE, _PYDS_ORACLE, _ROWS
 
 _TOPIC = "orders"
 _V2_TOPIC = "orders_v2"
+_SNAPPY_TOPIC = "orders_snappy"
 _STREAM_TOPIC = "orders_live"
 _PIPELINE_TOPIC = "orders_pipeline"
 _N_PARTITIONS = 4
@@ -72,6 +73,7 @@ def _broker(spark: SparkSession):
     atexit.register(b.close)
     b.create_topic(_TOPIC, partitions=_N_PARTITIONS)
     b.create_topic(_V2_TOPIC, partitions=_N_PARTITIONS)
+    b.create_topic(_SNAPPY_TOPIC, partitions=_N_PARTITIONS)
     b.create_topic(_STREAM_TOPIC, partitions=_N_PARTITIONS)
     b.create_topic(_PIPELINE_TOPIC, partitions=_N_PARTITIONS)
     register_wire_replay(spark)
@@ -165,6 +167,45 @@ def kafka_wire_orders_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.format("minikafka")
         .option("bootstrap", broker.bootstrap)
         .option("topic", _V2_TOPIC)
+        .option("minPartitions", 8)
+        .option("recordFormat", "v2")
+        .load()
+    )
+    parsed = parse_and_clean(raw, ORDER_SCHEMA, watermark=None)
+    return parsed.select(
+        "order_id", "user_id", "product_id", "product_name",
+        "category", "price", "quantity", "total_amount", "location",
+        "event_timestamp", "is_fraud_simulation",
+    )
+
+
+@query("kafka_wire_orders_snappy", _PYDS_ORACLE)
+def kafka_wire_orders_snappy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``kafka_wire_orders_v2`` at ``compression.type=snappy`` — the
+    default codec of real 2020s producers, via the from-scratch
+    snappy block codec + snappy-java xerial framing
+    (``operators/snappycodec.py``, cross-validated against the real
+    C++ snappy both directions). The identical oracle hash proves the
+    compressed frames carry the exact same data as v0 and gzip-v2."""
+    broker = _broker(spark)
+    total = _produced_through(broker, _SNAPPY_TOPIC)
+    if total == 0:
+        _produce_rows(
+            spark, broker, _SNAPPY_TOPIC, 0, _ROWS,
+            compression="snappy",
+        )
+    elif total != _ROWS:
+        raise RuntimeError(
+            f"topic {_SNAPPY_TOPIC} holds {total} of {_ROWS} messages "
+            "— a prior produce died mid-write; the log is append-"
+            "only, use a fresh session/topic"
+        )
+    raw = (
+        spark.read.format("minikafka")
+        .option("bootstrap", broker.bootstrap)
+        .option("topic", _SNAPPY_TOPIC)
         .option("minPartitions", 8)
         .option("recordFormat", "v2")
         .load()

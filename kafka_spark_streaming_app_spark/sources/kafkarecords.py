@@ -42,10 +42,12 @@ import struct
 
 COMPRESSION_NONE = 0
 COMPRESSION_GZIP = 1
+COMPRESSION_SNAPPY = 2
 
 _CODEC_NAMES = {
     "none": COMPRESSION_NONE,
     "gzip": COMPRESSION_GZIP,
+    "snappy": COMPRESSION_SNAPPY,
 }
 
 # --- CRC-32C (Castagnoli, reflected polynomial 0x82F63B78) ------------------
@@ -163,8 +165,8 @@ def encode_record_batch(
     codec = _CODEC_NAMES.get(compression)
     if codec is None:
         raise NotImplementedError(
-            f"compression {compression!r}: none|gzip (snappy/lz4/zstd "
-            "codecs are not in this environment)"
+            f"compression {compression!r}: none|gzip|snappy "
+            "(lz4/zstd codecs are not in this environment)"
         )
     records = b"".join(
         _encode_record(i, 0, k, v) for i, (k, v) in enumerate(messages)
@@ -172,6 +174,11 @@ def encode_record_batch(
     if codec == COMPRESSION_GZIP:
         # mtime=0: deterministic frames (testable byte-for-byte)
         records = gzip.compress(records, mtime=0)
+    elif codec == COMPRESSION_SNAPPY:
+        # xerial stream framing, exactly what JVM producers emit
+        from ..operators.snappycodec import kafka_compress
+
+        records = kafka_compress(records)
     n = len(messages)
     # attributes..records — the CRC-covered span
     tail = (
@@ -221,10 +228,14 @@ def decode_record_batches(data: bytes) -> list:
         records = tail[40:]  # 2+4+8+8+8+2+4+4 header bytes
         if codec == COMPRESSION_GZIP:
             records = gzip.decompress(records)
+        elif codec == COMPRESSION_SNAPPY:
+            from ..operators.snappycodec import kafka_decompress
+
+            records = kafka_decompress(records)
         elif codec != COMPRESSION_NONE:
             raise NotImplementedError(
                 f"record batch compression codec {codec} "
-                "(only none/gzip in this environment)"
+                "(only none/gzip/snappy in this environment)"
             )
         rpos = 0
         for _ in range(count):

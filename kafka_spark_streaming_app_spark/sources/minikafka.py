@@ -958,8 +958,9 @@ class MiniKafkaClient:
         compression: str = "none",
     ) -> int:
         """Produce v3 with a RecordBatch v2 payload (``messages``:
-        [(key|None, value)]; ``compression``: none|gzip). -> base
-        offset. The modern wire shape every 2020s producer speaks."""
+        [(key|None, value)]; ``compression``: none|gzip|snappy). ->
+        base offset. The modern wire shape every 2020s producer
+        speaks (snappy in the JVM clients' xerial framing)."""
         from .kafkarecords import encode_record_batch
 
         batch = encode_record_batch(messages, compression=compression)

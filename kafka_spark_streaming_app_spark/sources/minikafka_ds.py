@@ -263,19 +263,20 @@ def _produce_rows(options: dict, iterator) -> _ProduceCommit:
     bootstrap = _require(options, "bootstrap")
     topic = _require(options, "topic")
     chunk = int(options.get("batchsize", 500))
-    # compression.type parity with the real producer: gzip rides
-    # Produce v3 RecordBatch v2 frames; none keeps the v0 path
+    # compression.type parity with the real producer: gzip/snappy
+    # ride Produce v3 RecordBatch v2 frames (snappy in the JVM
+    # clients' xerial stream framing); none keeps the v0 path
     comp = str(options.get("compression.type",
                            options.get("compression", "none"))).lower()
-    if comp not in ("none", "gzip"):
+    if comp not in ("none", "gzip", "snappy"):
         raise NotImplementedError(
-            f"compression.type={comp!r}: none|gzip (snappy/lz4/zstd "
+            f"compression.type={comp!r}: none|gzip|snappy (lz4/zstd "
             "codecs are not in this environment)"
         )
     with MiniKafkaClient(bootstrap) as c:
-        if comp == "gzip":
+        if comp in ("gzip", "snappy"):
             def send(pid, msgs):
-                c.produce_v2(topic, pid, msgs, compression="gzip")
+                c.produce_v2(topic, pid, msgs, compression=comp)
         else:
             def send(pid, msgs):
                 c.produce(topic, pid, msgs)
