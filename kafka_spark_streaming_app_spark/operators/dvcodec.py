@@ -207,14 +207,109 @@ def dv_inline(positions) -> dict:
     }
 
 
-def dv_positions(dv: dict) -> list:
-    """Deleted positions from a deletionVector struct (inline
-    subset; ``u``/``p`` file-backed vectors gate loudly)."""
-    if dv.get("storageType") != "i":
-        raise NotImplementedError(
-            f"deletionVector storageType {dv.get('storageType')!r} "
-            "(file-backed) is outside the inline subset — use the "
-            "jar-backed path"
+# --- file-backed deletion vectors (storageType "u" / "p") ---------------------
+#
+# Delta PROTOCOL.md "Deletion Vector File Storage Format": the .bin
+# file opens with a 1-byte format version (1), then each stored DV is
+# [int32 BE dataSize][RoaringBitmapArray bytes][int32 BE CRC-32 of
+# the bytes]; the descriptor's ``offset`` points at its dataSize
+# field. storageType "u": pathOrInlineDv is an optional random prefix
+# + the Z85-encoded 16-byte UUID (20 chars), naming
+# ``<prefix>/deletion_vector_<uuid>.bin`` under the table root;
+# "p" carries an absolute path.
+
+_DV_FILE_VERSION = 1
+
+
+def dv_file_write(
+    table_dir: str, positions, prefix: str = "",
+    file_uuid=None,
+) -> dict:
+    """Write one deletion vector into its own spec-shaped ``.bin``
+    file and return the add action's descriptor (storageType ``u``).
+    ``file_uuid`` pins the name for deterministic fixtures."""
+    import os
+    import uuid as _uuid
+    import zlib
+
+    raw = dv_serialize(positions)
+    u = file_uuid or _uuid.uuid4()
+    rel = f"deletion_vector_{u}.bin"
+    if prefix:
+        rel = f"{prefix}/{rel}"
+        os.makedirs(
+            os.path.join(table_dir, prefix), exist_ok=True
         )
-    raw = z85_decode(dv["pathOrInlineDv"])[: dv["sizeInBytes"]]
-    return dv_deserialize(raw)
+    blob = (
+        bytes([_DV_FILE_VERSION])
+        + struct.pack(">i", len(raw))
+        + raw
+        + struct.pack(">I", zlib.crc32(raw) & 0xFFFFFFFF)
+    )
+    with open(os.path.join(table_dir, rel), "wb") as fh:
+        fh.write(blob)
+    return {
+        "storageType": "u",
+        "pathOrInlineDv": prefix + z85_encode(u.bytes),
+        "offset": 1,  # the version byte precedes the first DV
+        "sizeInBytes": len(raw),
+        "cardinality": len(set(positions)),
+    }
+
+
+def dv_file_path(dv: dict, table_dir: str | None) -> str:
+    """Resolve a file-backed descriptor to its on-disk path."""
+    import os
+    import uuid as _uuid
+
+    st = dv.get("storageType")
+    if st == "p":
+        return dv["pathOrInlineDv"]
+    if st != "u":
+        raise ValueError(f"not a file-backed descriptor ({st!r})")
+    if table_dir is None:
+        raise ValueError(
+            "table_dir is required to resolve a 'u' deletion vector"
+        )
+    enc = dv["pathOrInlineDv"]
+    prefix, b85 = enc[:-20], enc[-20:]
+    u = _uuid.UUID(bytes=z85_decode(b85))
+    return os.path.join(table_dir, prefix, f"deletion_vector_{u}.bin")
+
+
+def dv_positions(dv: dict, table_dir: str | None = None) -> list:
+    """Deleted positions from a deletionVector struct: inline
+    (``i``, z85 in the log) or file-backed (``u``/``p``, the shape
+    for delete sets too large to inline), with the spec's size and
+    CRC-32 consistency checks."""
+    import zlib
+
+    st = dv.get("storageType")
+    if st == "i":
+        raw = z85_decode(dv["pathOrInlineDv"])[: dv["sizeInBytes"]]
+        return dv_deserialize(raw)
+    if st in ("u", "p"):
+        path = dv_file_path(dv, table_dir)
+        with open(path, "rb") as fh:
+            data = fh.read()
+        if not data or data[0] != _DV_FILE_VERSION:
+            raise NotImplementedError(
+                f"deletion-vector file version {data[:1]!r} "
+                "(format version 1 here)"
+            )
+        off = int(dv.get("offset") or 1)
+        (size,) = struct.unpack_from(">i", data, off)
+        if size != int(dv["sizeInBytes"]):
+            raise ValueError(
+                f"deletion-vector size mismatch: descriptor says "
+                f"{dv['sizeInBytes']}, file says {size}"
+            )
+        raw = data[off + 4 : off + 4 + size]
+        (crc,) = struct.unpack_from(">I", data, off + 4 + size)
+        if zlib.crc32(raw) & 0xFFFFFFFF != crc:
+            raise ValueError("deletion-vector CRC-32 mismatch")
+        return dv_deserialize(raw)
+    raise NotImplementedError(
+        f"deletionVector storageType {st!r} is outside the subset "
+        "(i/u/p here) — use the jar-backed path"
+    )

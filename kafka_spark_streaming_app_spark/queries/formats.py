@@ -2104,7 +2104,9 @@ def _dv_orders_delta(spark: SparkSession, sf_dir: str) -> str:
         for r in doomed:
             rel = os.path.relpath(r.file_path, d)
             by_rel.setdefault(rel, []).append(r.pos)
-        delete_rows_by_position(d, by_rel)
+        # this fixture pins the INLINE shape; the file-backed twin is
+        # _dv_file_orders_delta below
+        delete_rows_by_position(d, by_rel, inline_threshold=1 << 30)
         _remember(spark, sf_dir, "delta_dv_table", d)
     return d
 
@@ -2124,6 +2126,86 @@ def delta_deletion_vector_read(
     from ..sources.deltalog import read_delta_snapshot
 
     table_dir = _dv_orders_delta(spark, sf_dir)
+    return (
+        read_delta_snapshot(spark, table_dir)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_DV_FILE_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+FROM orders
+WHERE o_orderkey % 2 <> 0
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def _dv_file_orders_delta(spark: SparkSession, sf_dir: str) -> str:
+    """Orders committed once, then every EVEN o_orderkey deleted —
+    a delete set too large to inline, so the commit lands FILE-BACKED
+    deletion vectors (storageType ``u``: spec-shaped
+    ``deletion_vector_<uuid>.bin`` with version byte, BE size and
+    CRC-32; ``inline_threshold=0`` forces the file path even at small
+    SF so the shape under test is scale-invariant)."""
+    from ..sources.deltalog import (
+        delete_rows_by_position,
+        read_delta_snapshot,
+    )
+
+    d = _fixture_dir(spark, sf_dir, "delta_dv_file_table")
+    if d is None:
+        import atexit as _atexit
+        import shutil as _shutil
+
+        d = tempfile.mkdtemp(prefix="delta_dvf_")
+        _atexit.register(_shutil.rmtree, d, ignore_errors=True)
+        _delta_stream_commit(
+            d, _clustered_orders_batch(spark, sf_dir), 0
+        )
+        doomed = (
+            read_delta_snapshot(spark, d)
+            .filter(F.col("o_orderkey") % 2 == 0)
+            .select(
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/*", "/"
+                ).alias("file_path"),
+                F.col("_metadata.row_index").alias("pos"),
+            )
+            .collect()
+        )
+        by_rel: dict = {}
+        for r in doomed:
+            rel = os.path.relpath(r.file_path, d)
+            by_rel.setdefault(rel, []).append(r.pos)
+        delete_rows_by_position(d, by_rel, inline_threshold=0)
+        _remember(spark, sf_dir, "delta_dv_file_table", d)
+    return d
+
+
+@query("delta_deletion_vector_file_read", _DV_FILE_ORACLE)
+def delta_deletion_vector_file_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta MERGE-ON-READ via FILE-BACKED deletion vectors — the
+    shape externally-written tables with large delete sets use
+    (storageType ``u``; Delta PROTOCOL.md DV file format: version
+    byte + [BE size][RoaringBitmapArray][CRC-32], descriptor offset
+    pointing at the size field). The reader resolves the z85 UUID to
+    ``deletion_vector_<uuid>.bin``, validates size + checksum, and
+    anti-joins positions against the hidden parquet row index exactly
+    like the inline path."""
+    from ..sources.deltalog import read_delta_snapshot
+
+    table_dir = _dv_file_orders_delta(spark, sf_dir)
     return (
         read_delta_snapshot(spark, table_dir)
         .groupBy("o_orderpriority")

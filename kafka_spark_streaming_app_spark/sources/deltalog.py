@@ -373,12 +373,16 @@ def _apply_deletion_vectors(
     # Inline DVs are LOG-RESIDENT: the z85 payload already sits in
     # the driver's replay of the commit JSON, so decoding here adds
     # only the integer positions — same O(cardinality) the log read
-    # already paid. (File-backed vectors, the shape for huge delete
-    # sets, gate loudly in dv_positions.)
+    # already paid. File-backed vectors ("u"/"p", the shape for
+    # delete sets too large to inline) are an O(KB-per-file) metadata
+    # read with the spec's size + CRC-32 checks.
     pairs = []
     for p, dv in sorted(dvs.items()):
         full = os.path.abspath(os.path.join(table_dir, p))
-        pairs.extend((full, int(pos)) for pos in dv_positions(dv))
+        pairs.extend(
+            (full, int(pos))
+            for pos in dv_positions(dv, table_dir)
+        )
     dels = spark.createDataFrame(
         pairs, "file_path string, pos bigint"
     )
@@ -512,6 +516,10 @@ def write_checkpoint(table_dir: str, parts: int = 1) -> int:
                                 [
                                     ("storageType", pa.string()),
                                     ("pathOrInlineDv", pa.string()),
+                                    # file-backed vectors: position
+                                    # of the DV's size field in the
+                                    # .bin (absent for inline)
+                                    ("offset", pa.int32()),
                                     ("sizeInBytes", pa.int64()),
                                     ("cardinality", pa.int64()),
                                 ]
@@ -785,21 +793,33 @@ def _protocol_supports_dv(protocol) -> bool:
 
 
 def delete_rows_by_position(
-    table_dir: str, positions_by_path: dict
+    table_dir: str, positions_by_path: dict,
+    inline_threshold: int = 512,
 ) -> int:
     """DELETE WITHOUT REWRITE: one commit that, for each
     ``{rel_path: [row_positions]}``, removes the live add and re-adds
-    the SAME file with an inline deletion vector (merged with any
-    existing vector) — exactly Delta's DV delete shape (remove + add
-    of one path in one transaction). Data files are untouched; the
-    commit is O(KB) metadata. Returns the new version.
+    the SAME file with a deletion vector (merged with any existing
+    vector) — exactly Delta's DV delete shape (remove + add of one
+    path in one transaction). Data files are untouched; the commit is
+    O(KB) metadata. Returns the new version.
+
+    Vectors whose serialized bitmap exceeds ``inline_threshold``
+    bytes land FILE-BACKED (storageType ``u``: a spec-shaped
+    ``deletion_vector_<uuid>.bin`` with version byte, big-endian
+    size, and CRC-32), keeping the log itself small for large delete
+    sets — the same inline/file split real Delta writers make.
 
     A table whose protocol predates deletion vectors is upgraded in
     the SAME commit (spec: a v1 reader would ignore the
     deletionVector field and resurrect deleted rows, so the commit
     that introduces one must also raise the protocol to reader 3 /
     writer 7 with the deletionVectors table feature)."""
-    from ..operators.dvcodec import dv_inline, dv_positions
+    from ..operators.dvcodec import (
+        dv_file_write,
+        dv_inline,
+        dv_positions,
+        dv_serialize,
+    )
 
     snap = snapshot_files(table_dir)
     live = snap["adds"]
@@ -814,12 +834,18 @@ def delete_rows_by_position(
         old = dict(live[rel])
         merged = set(int(p) for p in positions)
         if old.get("deletionVector"):
-            merged |= set(dv_positions(old["deletionVector"]))
+            merged |= set(
+                dv_positions(old["deletionVector"], table_dir)
+            )
         actions.append(
             {"remove": {"path": rel, "deletionTimestamp": 0,
                         "dataChange": True}}
         )
-        old["deletionVector"] = dv_inline(sorted(merged))
+        ordered = sorted(merged)
+        if len(dv_serialize(ordered)) <= inline_threshold:
+            old["deletionVector"] = dv_inline(ordered)
+        else:
+            old["deletionVector"] = dv_file_write(table_dir, ordered)
         old["dataChange"] = True
         actions.append({"add": old})
     actions.append({"commitInfo": {"operation": "DELETE"}})
@@ -912,7 +938,11 @@ def table_changes(
         del_pairs = []
         for p, a in sorted(dv_updates.items()):
             old_dv = prev_adds[p].get("deletionVector")
-            old_pos = set(dv_positions(old_dv)) if old_dv else set()
+            old_pos = (
+                set(dv_positions(old_dv, table_dir))
+                if old_dv
+                else set()
+            )
             new_dv = a.get("deletionVector")
             if not new_dv:
                 raise NotImplementedError(
@@ -920,7 +950,9 @@ def table_changes(
                     "vector — rewrite change feeds need the "
                     "jar-backed path"
                 )
-            newly = sorted(set(dv_positions(new_dv)) - old_pos)
+            newly = sorted(
+                set(dv_positions(new_dv, table_dir)) - old_pos
+            )
             full = os.path.abspath(os.path.join(table_dir, p))
             del_pairs.extend((full, int(x)) for x in newly)
         if del_pairs:

@@ -681,13 +681,13 @@ def test_deletion_vectors_merge_on_read(tmp_path, spark):
     assert read_delta_snapshot(spark, str(tmp_path), 2).count() == 6
     with pytest.raises(ValueError, match="not a live file"):
         delete_rows_by_position(str(tmp_path), {"ghost.parquet": [0]})
-    # file-backed vectors gate loudly at read time
+    # an unknown storageType still gates loudly at read time
     import json as _json
 
     v = snapshot_files(str(tmp_path))["version"] + 1
     a = dict(snapshot_files(str(tmp_path))["adds"][rel])
     a["deletionVector"] = {
-        "storageType": "u", "pathOrInlineDv": "ab", "sizeInBytes": 1,
+        "storageType": "x", "pathOrInlineDv": "ab", "sizeInBytes": 1,
         "cardinality": 1,
     }
     with open(
@@ -909,3 +909,79 @@ def test_commit_stats_are_collected_distributed(tmp_path, spark):
         str(tmp_path), data_filter={"o_orderkey": (1, 1)}
     )
     assert 0 < len(pruned["files"]) < len(snap["files"])
+
+
+def test_file_backed_deletion_vectors(tmp_path, spark):
+    """storageType "u": a delete set above the inline threshold lands
+    in a spec-shaped deletion_vector_<uuid>.bin (version byte +
+    [BE size][RoaringBitmapArray][CRC-32 BE]); the descriptor's z85
+    UUID resolves the file, size/CRC mismatches gate loudly, merges
+    re-read the file, vacuum spares .bin files, and the vector
+    survives checkpoint + log retention."""
+    import struct
+    import zlib
+
+    from kafka_spark_streaming_app_spark.operators.dvcodec import (
+        dv_file_path,
+        dv_positions,
+    )
+    from kafka_spark_streaming_app_spark.queries.formats import (
+        _delta_stream_commit,
+    )
+    from kafka_spark_streaming_app_spark.sources.deltalog import (
+        cleanup_log,
+        delete_rows_by_position,
+        vacuum,
+        write_checkpoint,
+    )
+
+    _delta_stream_commit(
+        str(tmp_path), _batch_df(spark, list(range(12))), 0
+    )
+    (rel,) = snapshot_files(str(tmp_path))["files"]
+    delete_rows_by_position(
+        str(tmp_path), {rel: [0, 2, 4]}, inline_threshold=0
+    )
+    dv = snapshot_files(str(tmp_path))["deletion_vectors"][rel]
+    assert dv["storageType"] == "u"
+    path = dv_file_path(dv, str(tmp_path))
+    assert os.path.basename(path).startswith("deletion_vector_")
+    blob = open(path, "rb").read()
+    assert blob[0] == 1  # format version byte
+    (size,) = struct.unpack_from(">i", blob, dv["offset"])
+    assert size == dv["sizeInBytes"]
+    data = blob[dv["offset"] + 4 : dv["offset"] + 4 + size]
+    (crc,) = struct.unpack_from(">I", blob, dv["offset"] + 4 + size)
+    assert zlib.crc32(data) & 0xFFFFFFFF == crc
+    assert dv_positions(dv, str(tmp_path)) == [0, 2, 4]
+    got = sorted(
+        r.o_orderkey
+        for r in read_delta_snapshot(spark, str(tmp_path)).collect()
+    )
+    assert got == [1, 3, 5, 6, 7, 8, 9, 10, 11]
+    # a second delete MERGES by re-reading the file-backed vector
+    delete_rows_by_position(
+        str(tmp_path), {rel: [1]}, inline_threshold=0
+    )
+    dv2 = snapshot_files(str(tmp_path))["deletion_vectors"][rel]
+    assert dv_positions(dv2, str(tmp_path)) == [0, 1, 2, 4]
+    # corruption gates loudly
+    good = open(dv_file_path(dv2, str(tmp_path)), "rb").read()
+    bad = bytearray(good)
+    bad[-5] ^= 0xFF  # flip a payload byte, keep sizes intact
+    open(dv_file_path(dv2, str(tmp_path)), "wb").write(bytes(bad))
+    with pytest.raises(ValueError, match="CRC-32|mismatch"):
+        dv_positions(dv2, str(tmp_path))
+    open(dv_file_path(dv2, str(tmp_path)), "wb").write(good)
+    # checkpoint + retention + vacuum keep the vector alive
+    delete_rows_by_position(
+        str(tmp_path), {rel: [3]}, inline_threshold=0
+    )
+    write_checkpoint(str(tmp_path))
+    cleanup_log(str(tmp_path))
+    vacuum(str(tmp_path))
+    got2 = sorted(
+        r.o_orderkey
+        for r in read_delta_snapshot(spark, str(tmp_path)).collect()
+    )
+    assert got2 == [5, 6, 7, 8, 9, 10, 11]
