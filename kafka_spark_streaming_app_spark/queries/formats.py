@@ -2027,6 +2027,83 @@ def _mor_orders_iceberg(spark: SparkSession, sf_dir: str) -> str:
     return d
 
 
+_EQ_ORACLE = """
+WITH live AS (
+    SELECT o_orderstatus,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+    FROM orders
+    WHERE o_orderkey % 10 <> 0 AND o_orderstatus <> 'F'
+    UNION ALL
+    SELECT o_orderstatus,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey % 10 = 0
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS cents
+FROM live
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def _eq_orders_iceberg(spark: SparkSession, sf_dir: str) -> str:
+    """Snapshot 0 (seq 0): orders with o_orderkey % 10 != 0.
+    Snapshot 1 (seq 1): an EQUALITY-DELETE file on
+    o_orderstatus = 'F'. Snapshot 2 (seq 2): the % 10 == 0 rows —
+    appended AFTER the delete, so their F rows must SURVIVE (the
+    spec's strictly-lower-sequence scoping, reproducible in SQL)."""
+    from ..sources.iceberglog import IcebergCommitter
+
+    d = _fixture_dir(spark, sf_dir, "iceberg_eq_table")
+    if d is None:
+        import atexit as _atexit
+        import shutil as _shutil
+
+        d = tempfile.mkdtemp(prefix="iceberg_eq_")
+        _atexit.register(_shutil.rmtree, d, ignore_errors=True)
+        committer = IcebergCommitter(d, _ICEBERG_SINK_FIELDS)
+        base = _clustered_orders_batch(spark, sf_dir)
+        _iceberg_stream_commit(
+            committer, d, base.filter(F.col("o_orderkey") % 10 != 0), 0
+        )
+        e = committer.equality_delete_entry(
+            "eq-00001.parquet",
+            [{"o_orderstatus": "F"}],
+            ["o_orderstatus"],
+        )
+        committer.commit(2, [e], operation="delete")
+        _iceberg_stream_commit(
+            committer, d, base.filter(F.col("o_orderkey") % 10 == 0), 4
+        )
+        _remember(spark, sf_dir, "iceberg_eq_table", d)
+    return d
+
+
+@query("iceberg_equality_delete_read", _EQ_ORACLE)
+def iceberg_equality_delete_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Format v2 EQUALITY deletes — the other merge-on-read flavor:
+    the delete file carries VALUES for its equality_ids columns
+    (content=2 manifest entry) and removes matching rows only from
+    data files with a strictly LOWER sequence number. The fixture
+    appends more 'F' rows AFTER the delete; the oracle hash breaks
+    if scoping resurrects a deleted row or kills a later one."""
+    from ..sources.iceberglog import read_iceberg_snapshot
+
+    table_dir = _eq_orders_iceberg(spark, sf_dir)
+    return (
+        read_iceberg_snapshot(spark, table_dir)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 @query("iceberg_position_delete_read", _MOR_ORACLE)
 def iceberg_position_delete_read(
     spark: SparkSession, sf_dir: str

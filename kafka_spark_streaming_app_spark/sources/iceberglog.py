@@ -338,6 +338,13 @@ def _manifest_schema(partition_fields=()) -> dict:
         {"name": "file_size_in_bytes", "type": "long"},
         {"name": "lower_bounds", "type": ["null", _bounds_type("lo")]},
         {"name": "upper_bounds", "type": ["null", _bounds_type("hi")]},
+        # content=2 EQUALITY deletes name the field ids rows are
+        # matched on (spec: "equality_ids"); null for data files and
+        # position deletes
+        {
+            "name": "equality_ids",
+            "type": ["null", {"type": "array", "items": "long"}],
+        },
     ]
     return {
         "type": "record",
@@ -555,7 +562,13 @@ def snapshot_data_files(
     ml = read_container(open(snap["manifest-list"], "rb").read())
     files = []
     delete_files = []
+    equality_deletes = []
+    file_seqs: dict = {}
     for mf in ml["records"]:
+        # v2 manifest lists carry the commit's sequence number; v1
+        # rows migrate as 0 (spec) — it scopes which data files a
+        # delete file applies to
+        seq = int(mf.get("sequence_number") or 0)
         manifest = read_container(open(mf["manifest_path"], "rb").read())
         for entry in manifest["records"]:
             if entry["status"] == STATUS_DELETED:
@@ -570,10 +583,25 @@ def snapshot_data_files(
             if content == 1:  # format v2 POSITION_DELETES
                 delete_files.append(df["file_path"])
                 continue
+            if content == 2:  # format v2 EQUALITY deletes
+                ids = df.get("equality_ids") or []
+                if not ids:
+                    raise ValueError(
+                        f"equality-delete file {df['file_path']!r} "
+                        "carries no equality_ids"
+                    )
+                equality_deletes.append(
+                    {
+                        "path": df["file_path"],
+                        "equality_ids": [int(i) for i in ids],
+                        "seq": seq,
+                    }
+                )
+                continue
             if content != 0:
                 raise NotImplementedError(
-                    f"data file content {content} (equality deletes) "
-                    "is outside the subset — use the jar-backed path"
+                    f"data file content {content} is outside the "
+                    "subset — use the jar-backed path"
                 )
             if expected:
                 part = df.get("partition") or {}
@@ -587,10 +615,15 @@ def snapshot_data_files(
             ):
                 continue
             files.append(df["file_path"])
+            file_seqs[df["file_path"]] = seq
     return {
         "snapshot_id": target,
         "files": sorted(set(files)),
         "delete_files": sorted(set(delete_files)),
+        "equality_deletes": sorted(
+            equality_deletes, key=lambda d: (d["seq"], d["path"])
+        ),
+        "file_seqs": file_seqs,
         "schema_fields": schema["fields"],
         "partition_fields": part_fields,
         "partition_spec": spec_fields,
@@ -651,31 +684,78 @@ def read_iceberg_snapshot(
     df = spark.read.schema(
         _spark_schema_from_fields(snap["schema_fields"])
     ).parquet(*snap["files"])
-    if not snap.get("delete_files"):
+    eqs = snap.get("equality_deletes") or []
+    if not snap.get("delete_files") and not eqs:
         return df
-    # format v2 MERGE-ON-READ: position-delete files are (file_path,
+    # format v2 MERGE-ON-READ. Position-delete files are (file_path,
     # pos) pairs; a broadcast LEFT ANTI join against the hidden
     # parquet (_metadata.file_path, _metadata.row_index) drops the
     # deleted rows at scan time — deletes stay small and broadcast
     # while the 100 TB data side streams through; no rewrite.
+    # Equality-delete files (content=2) carry VALUES for their
+    # equality_ids columns and apply to data files with a STRICTLY
+    # LOWER data sequence number (spec scoping — same-commit and
+    # later appends are untouched); each becomes a broadcast
+    # null-safe LEFT ANTI join over the affected sequence range.
+    from functools import reduce as _reduce
+    from operator import and_ as _and
+
     from pyspark.sql import functions as F
 
     def norm(c):  # "file:///t/x" / "file:/t/x" / "/t/x" -> "/t/x"
         return F.regexp_replace(c, "^file:/*", "/")
 
-    dels = spark.read.schema("file_path string, pos bigint").parquet(
-        *snap["delete_files"]
-    )
     cols = df.columns
     tagged = df.withColumn(
         "__mor_file", norm(F.col("_metadata.file_path"))
     ).withColumn("__mor_pos", F.col("_metadata.row_index"))
-    return tagged.join(
-        F.broadcast(dels),
-        (tagged["__mor_file"] == norm(dels["file_path"]))
-        & (tagged["__mor_pos"] == dels["pos"]),
-        "left_anti",
-    ).select(cols)
+    if snap.get("delete_files"):
+        dels = spark.read.schema(
+            "file_path string, pos bigint"
+        ).parquet(*snap["delete_files"])
+        tagged = tagged.join(
+            F.broadcast(dels),
+            (tagged["__mor_file"] == norm(dels["file_path"]))
+            & (tagged["__mor_pos"] == dels["pos"]),
+            "left_anti",
+        )
+    if eqs:
+        id_to_name = {
+            f["id"]: f["name"] for f in snap["schema_fields"]
+        }
+        seq_rows = [
+            (os.path.abspath(p), int(snap["file_seqs"].get(p, 0)))
+            for p in snap["files"]
+        ]
+        seq_df = spark.createDataFrame(
+            seq_rows, "__eq_file string, __eq_seq bigint"
+        )
+        tagged = tagged.join(
+            F.broadcast(seq_df),
+            tagged["__mor_file"] == seq_df["__eq_file"],
+        )
+        for d in eqs:
+            names = [id_to_name.get(i) for i in d["equality_ids"]]
+            if None in names:
+                raise ValueError(
+                    f"equality_ids {d['equality_ids']} name unknown "
+                    "schema fields"
+                )
+            keys = (
+                spark.read.parquet(d["path"])
+                .select(names)
+                .dropDuplicates()
+            )
+            affected = tagged.filter(F.col("__eq_seq") < d["seq"])
+            rest = tagged.filter(F.col("__eq_seq") >= d["seq"])
+            cond = _reduce(
+                _and,
+                [affected[n].eqNullSafe(keys[n]) for n in names],
+            )
+            tagged = affected.join(
+                F.broadcast(keys), cond, "left_anti"
+            ).unionByName(rest)
+    return tagged.select(cols)
 
 
 def _spark_schema_from_fields(schema_fields):
@@ -993,6 +1073,62 @@ class IcebergCommitter:
             "file_size_in_bytes": os.path.getsize(path),
         }
 
+    def equality_delete_entry(
+        self, name: str, rows: list, equality_cols
+    ) -> dict:
+        """Write a format-v2 EQUALITY-DELETE parquet — ``rows``:
+        [{col: value}] over ``equality_cols`` — and return its
+        manifest entry (content=2, equality_ids). A data row is
+        deleted when its values null-safe-equal ANY delete row on
+        those columns, scoped to data files with a strictly lower
+        sequence number (spec). Unpartitioned subset."""
+        if self.spec_fields:
+            raise NotImplementedError(
+                "equality deletes on partitioned tables are outside "
+                "the subset (per-partition delete manifests; use the "
+                "jar-backed path)"
+            )
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        name_to_field = {
+            f["name"]: f for f in self.schema["fields"]
+        }
+        unknown = [c for c in equality_cols if c not in name_to_field]
+        if unknown:
+            raise ValueError(
+                f"equality columns {unknown} not in schema"
+            )
+        _PA = {
+            "long": pa.int64(), "int": pa.int32(),
+            "double": pa.float64(), "string": pa.string(),
+            "boolean": pa.bool_(),
+        }
+        arrow_schema = pa.schema(
+            [
+                (c, _PA[name_to_field[c]["type"]])
+                for c in equality_cols
+            ]
+        )
+        path = os.path.join(self.data_dir, name)
+        pq.write_table(
+            pa.Table.from_pylist(
+                [{c: r.get(c) for c in equality_cols} for r in rows],
+                schema=arrow_schema,
+            ),
+            path,
+        )
+        return {
+            "content": 2,
+            "file_path": path,
+            "file_format": "PARQUET",
+            "record_count": len(rows),
+            "file_size_in_bytes": os.path.getsize(path),
+            "equality_ids": [
+                name_to_field[c]["id"] for c in equality_cols
+            ],
+        }
+
     def delete_file_entry(self, path: str) -> dict:
         """Manifest entry (content=1) for an EXISTING position-delete
         parquet file — the distributed-write path: a Spark job lands
@@ -1044,8 +1180,10 @@ class IcebergCommitter:
             else int(meta.get("last-sequence-number", 0)) + 1
         )
         # v2: one manifest holds data files XOR delete files
+        # (position AND equality delete entries are both "deletes"
+        # for the manifest-list content flag)
         def _is_delete(df):
-            return (df.get("content") or 0) == 1
+            return (df.get("content") or 0) in (1, 2)
 
         groups = []  # (list_content, manifest_path, entries)
         data_entries = [
@@ -1404,8 +1542,17 @@ def iceberg_changelog(
                 if entry["status"] != STATUS_ADDED:
                     continue
                 df_ = entry["data_file"]
-                if (df_.get("content") or 0) == 1:
+                content = df_.get("content") or 0
+                if content == 1:
                     added_deletes.append(df_["file_path"])
+                elif content == 2:
+                    raise NotImplementedError(
+                        f"snapshot {sid} adds an equality-delete "
+                        "file in the changelog range — the derived "
+                        "feed recovers deleted rows by position; "
+                        "equality-delete changelogs need the "
+                        "jar-backed path"
+                    )
                 else:
                     added_data.append(df_["file_path"])
         if added_data:

@@ -654,7 +654,8 @@ def test_position_deletes_merge_on_read(tmp_path, spark):
             codec="deflate",
         )
     )
-    with pytest.raises(NotImplementedError, match="equality"):
+    # a content=2 entry WITHOUT equality_ids is malformed: loud error
+    with pytest.raises(ValueError, match="equality_ids"):
         snapshot_data_files(str(tmp_path))
     # partitioned tables gate the delete writer itself
     cp = IcebergCommitter(
@@ -901,3 +902,74 @@ def test_bucket_str_array_matches_scalar_and_spec(tmp_path, spark):
         partition_filter={"o_orderpriority": "1-URGENT"},
     ).collect()
     assert {r.o_orderpriority for r in got_rows} >= {"1-URGENT"}
+
+
+def test_equality_deletes_merge_on_read(tmp_path, spark):
+    """content=2 EQUALITY deletes: a delete file carrying VALUES for
+    its equality_ids columns removes every matching row from data
+    files with a strictly LOWER sequence number — later appends are
+    untouched (spec scoping); merges with position deletes compose;
+    the changelog gates loudly on equality-delete snapshots."""
+    from kafka_spark_streaming_app_spark.queries.formats import (
+        _ICEBERG_SINK_FIELDS,
+        _iceberg_stream_commit,
+    )
+    from kafka_spark_streaming_app_spark.sources.iceberglog import (
+        IcebergCommitter,
+        iceberg_changelog,
+        incremental_append_files,
+    )
+
+    c = IcebergCommitter(str(tmp_path), _ICEBERG_SINK_FIELDS)
+    # batch 0: keys 1..6 (odd = F, even = O)
+    _iceberg_stream_commit(
+        c, str(tmp_path), _batch_df(spark, [1, 2, 3, 4, 5, 6]), 0
+    )
+    e = c.equality_delete_entry(
+        "eq-0.parquet", [{"o_orderstatus": "F"}], ["o_orderstatus"]
+    )
+    c.commit(2, [e], operation="delete")
+    got = sorted(
+        r.o_orderkey
+        for r in read_iceberg_snapshot(spark, str(tmp_path)).collect()
+    )
+    assert got == [2, 4, 6]  # odd (F) rows deleted
+    # an append AFTER the delete (higher sequence) is untouched,
+    # including rows that would match the equality predicate
+    _iceberg_stream_commit(
+        c, str(tmp_path), _batch_df(spark, [7, 8]), 4
+    )
+    got2 = sorted(
+        r.o_orderkey
+        for r in read_iceberg_snapshot(spark, str(tmp_path)).collect()
+    )
+    assert got2 == [2, 4, 6, 7, 8]  # key 7 is F but survives
+    # equality + position deletes compose
+    snap = snapshot_data_files(str(tmp_path))
+    f_new = sorted(
+        p for p in snap["files"] if snap["file_seqs"][p] == 2
+    )[0]
+    pe = c.position_delete_entry("pd-0.parquet", [(f_new, 0)])
+    c.commit(6, [pe], operation="delete")
+    got3 = sorted(
+        r.o_orderkey
+        for r in read_iceberg_snapshot(spark, str(tmp_path)).collect()
+    )
+    assert got3 == [2, 4, 6, 8]
+    # delete snapshots gate incremental append scans
+    meta = json.loads(open(_vhint_meta(tmp_path)).read())
+    s0 = meta["snapshots"][0]["snapshot-id"]
+    with pytest.raises(NotImplementedError, match="delete"):
+        incremental_append_files(str(tmp_path), s0)
+    # changelog gates loudly across the equality-delete snapshot
+    with pytest.raises(NotImplementedError, match="equality"):
+        iceberg_changelog(spark, str(tmp_path), s0).collect()
+    # unknown equality column gates at write time
+    with pytest.raises(ValueError, match="not in schema"):
+        c.equality_delete_entry("eq-x.parquet", [], ["ghost"])
+    # partitioned tables gate the writer
+    cp = IcebergCommitter(
+        str(tmp_path) + "_p", _ICEBERG_SINK_FIELDS, ("o_orderstatus",)
+    )
+    with pytest.raises(NotImplementedError, match="partitioned"):
+        cp.equality_delete_entry("x.parquet", [], ["o_orderstatus"])
