@@ -19,6 +19,10 @@ Implemented APIs (version 0 unless noted, request header v1):
   * OffsetCommit (8)    — group offset ledger (consumer groups)
   * OffsetFetch (9)     — committed offsets, -1 when none
   * FindCoordinator (10)— group coordinator (this single node)
+  * JoinGroup (11)      — blocking rebalance entry, leader election
+  * Heartbeat (12)      — liveness + REBALANCE_IN_PROGRESS signal
+  * LeaveGroup (13)     — departure triggers the next rebalance
+  * SyncGroup (14)      — leader distributes the opaque assignment
   * ApiVersions (18)    — advertised (api, min, max) ranges
   * CreateTopics (19)   — partitions/RF/config map, dup/invalid errors
   * DeleteTopics (20)   — force delete, UNKNOWN for absent topics
@@ -26,10 +30,14 @@ Implemented APIs (version 0 unless noted, request header v1):
 Topic administration carries per-topic configs (``retention.ms``,
 ``cleanup.policy``, ...) exactly as the reference's
 ``setup_kafka_topics.py`` passes them; the config map is stored and
-echoed back so a recreate flow can verify it. Consumer groups are the
-single-member fast path (FindCoordinator + OffsetCommit/OffsetFetch —
-no rebalance protocol): committed offsets survive reconnects, which
-is the contract the reference's ``kafka_consumer_test.py`` exercises.
+echoed back so a recreate flow can verify it. Consumer groups speak
+the FULL membership protocol: the coordinator herds Empty ->
+PreparingRebalance -> AwaitingSync -> Stable, the client-side leader
+computes the range assignment (the embedded consumer protocol —
+the broker never interprets it), and committed offsets survive
+reconnects — so two concurrent consumers really split a topic's
+partitions, the contract the reference's ``kafka_consumer_test.py``
+exercises under kafka-python.
 
 MessageSet format v0 (magic 0): ``offset:int64 size:int32 crc:uint32
 magic:int8 attributes:int8 key:BYTES value:BYTES`` with CRC-32 over
@@ -67,6 +75,10 @@ API_METADATA = 3
 API_OFFSET_COMMIT = 8
 API_OFFSET_FETCH = 9
 API_FIND_COORDINATOR = 10
+API_JOIN_GROUP = 11
+API_HEARTBEAT = 12
+API_LEAVE_GROUP = 13
+API_SYNC_GROUP = 14
 API_API_VERSIONS = 18
 API_CREATE_TOPICS = 19
 API_DELETE_TOPICS = 20
@@ -77,6 +89,10 @@ ERR_OFFSET_OUT_OF_RANGE = 1
 ERR_CORRUPT_MESSAGE = 2
 ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
 ERR_INVALID_TOPIC = 17
+ERR_ILLEGAL_GENERATION = 22
+ERR_INCONSISTENT_GROUP_PROTOCOL = 23
+ERR_UNKNOWN_MEMBER_ID = 25
+ERR_REBALANCE_IN_PROGRESS = 27
 ERR_UNSUPPORTED_VERSION = 35
 ERR_TOPIC_ALREADY_EXISTS = 36
 ERR_INVALID_PARTITIONS = 37
@@ -90,6 +106,10 @@ _SUPPORTED = {
     API_OFFSET_COMMIT: (0, 0),
     API_OFFSET_FETCH: (0, 0),
     API_FIND_COORDINATOR: (0, 0),
+    API_JOIN_GROUP: (0, 0),
+    API_HEARTBEAT: (0, 0),
+    API_LEAVE_GROUP: (0, 0),
+    API_SYNC_GROUP: (0, 0),
     API_API_VERSIONS: (0, 0),
     API_CREATE_TOPICS: (0, 0),
     API_DELETE_TOPICS: (0, 0),
@@ -245,6 +265,82 @@ def decode_message_set(data: bytes) -> list:
     return out
 
 
+# --- consumer embedded protocol (the bytes inside JoinGroup/SyncGroup) -------
+#
+# The broker never interprets these: the CLIENT-side leader decodes
+# every member's subscription metadata, computes the assignment, and
+# ships it back opaque (Kafka's "embedded protocol" design). Formats
+# per the protocol guide's "consumer protocol" section, version 0.
+
+
+def encode_consumer_metadata(topics) -> bytes:
+    """version:int16=0, topics:[string], user_data:bytes."""
+    w = _Writer().i16(0)
+    w.array(list(topics), lambda ww, t: ww.string(t))
+    return w.bytes_(b"").value()
+
+
+def decode_consumer_metadata(data: bytes) -> list:
+    r = _Reader(data)
+    r.i16()  # version
+    return r.array(lambda rr: rr.string())
+
+
+def encode_consumer_assignment(assignment: dict) -> bytes:
+    """``{topic: [pids]}`` -> version:int16=0,
+    [(topic, [int32])], user_data:bytes."""
+    w = _Writer().i16(0)
+    w.array(
+        sorted(assignment.items()),
+        lambda ww, t: ww.string(t[0]).array(
+            sorted(t[1]), lambda w2, p: w2.i32(p)
+        ),
+    )
+    return w.bytes_(b"").value()
+
+
+def decode_consumer_assignment(data: bytes) -> dict:
+    if not data:
+        return {}
+    r = _Reader(data)
+    r.i16()  # version
+    return dict(
+        r.array(
+            lambda rr: (
+                rr.string(),
+                rr.array(lambda r2: r2.i32()),
+            )
+        )
+    )
+
+
+def range_assign(member_topics: dict, topic_partitions: dict) -> dict:
+    """The RANGE assignor (the consumer default the reference relies
+    on): per topic, sorted partitions are split into contiguous
+    chunks across the subscribed members in member-id order, the
+    first ``len % n`` members taking one extra. ->
+    {member_id: {topic: [pids]}}."""
+    out: dict = {m: {} for m in member_topics}
+    topics = sorted(
+        {t for ts in member_topics.values() for t in ts}
+    )
+    for topic in topics:
+        members = sorted(
+            m for m, ts in member_topics.items() if topic in ts
+        )
+        pids = sorted(topic_partitions.get(topic, []))
+        if not members or not pids:
+            continue
+        per, extra = divmod(len(pids), len(members))
+        start = 0
+        for i, m in enumerate(members):
+            n = per + (1 if i < extra else 0)
+            if n:
+                out[m][topic] = pids[start : start + n]
+            start += n
+    return out
+
+
 # --- broker -----------------------------------------------------------------
 
 
@@ -265,6 +361,10 @@ class MiniKafkaBroker:
         # group -> {(topic, pid): (offset, metadata)} — the committed-
         # offset ledger behind OffsetCommit/OffsetFetch
         self._group_offsets: dict[str, dict] = {}
+        # group -> membership state (JoinGroup/SyncGroup/Heartbeat/
+        # LeaveGroup); one condition coordinates all blocked joins
+        self._groups: dict[str, MiniKafkaBroker._Group] = {}
+        self._group_cond = threading.Condition()
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._srv.bind((host, port))
@@ -369,6 +469,14 @@ class MiniKafkaBroker:
             self._offset_fetch(r, w)
         elif api_key == API_FIND_COORDINATOR:
             self._find_coordinator(r, w)
+        elif api_key == API_JOIN_GROUP:
+            self._join_group(r, w)
+        elif api_key == API_SYNC_GROUP:
+            self._sync_group(r, w)
+        elif api_key == API_HEARTBEAT:
+            self._heartbeat(r, w)
+        elif api_key == API_LEAVE_GROUP:
+            self._leave_group(r, w)
         elif api_key == API_CREATE_TOPICS:
             self._create_topics(r, w)
         elif api_key == API_DELETE_TOPICS:
@@ -741,11 +849,233 @@ class MiniKafkaBroker:
 
         w.array(resources, emit_resource)
 
-    # -- consumer groups (single-member fast path) --------------------
+    # -- consumer groups ----------------------------------------------
 
     def _find_coordinator(self, r: _Reader, w: _Writer):
         r.string()  # group_id — this single node coordinates all
         w.i16(ERR_NONE).i32(0).string(self.host).i32(self.port)
+
+    # Full membership protocol (JoinGroup 11 / SyncGroup 14 /
+    # Heartbeat 12 / LeaveGroup 13, all v0): the coordinator herds
+    # Empty -> PreparingRebalance -> AwaitingSync -> Stable exactly
+    # like a real broker. JoinGroup BLOCKS its connection thread
+    # until the rebalance completes (every live known member has
+    # rejoined and a short quiet window admits concurrent new
+    # joiners); the first joiner of the new generation is the LEADER
+    # and computes the assignment CLIENT-side (the broker is
+    # assignment-agnostic, per protocol), distributing it via
+    # SyncGroup. Heartbeats during a rebalance answer
+    # REBALANCE_IN_PROGRESS, which is what tells a stable member to
+    # rejoin. Members whose heartbeat is older than their session
+    # timeout stop being expected, so a dead consumer cannot wedge
+    # the group.
+
+    _JOIN_GRACE = 0.3  # quiet window for concurrent joiners (s)
+
+    class _Group:
+        def __init__(self):
+            self.generation = 0
+            self.state = "Empty"
+            self.protocol_type = None
+            self.protocol = None
+            self.leader = None
+            # member_id -> {"protocols": [(name, meta)],
+            #               "session": ms, "seen": monotonic}
+            self.members: dict = {}
+            self.pending: dict = {}
+            self.assignments: dict = {}
+            self.last_join = 0.0
+            self.seq = 0
+
+    def _group(self, name: str):
+        with self._group_cond:
+            return self._groups.setdefault(
+                name, MiniKafkaBroker._Group()
+            )
+
+    def _join_group(self, r: _Reader, w: _Writer):
+        import time as _time
+
+        group = r.string()
+        session_ms = r.i32()
+        member_id = r.string() or ""
+        ptype = r.string()
+        protocols = r.array(lambda rr: (rr.string(), rr.bytes_()))
+
+        def fail(err):
+            w.i16(err).i32(-1).string("").string("").string(
+                member_id
+            ).array([], lambda *_: None)
+
+        if not protocols:
+            return fail(ERR_INCONSISTENT_GROUP_PROTOCOL)
+        self._group(group)  # ensure cond exists
+        with self._group_cond:
+            g = self._groups[group]
+            if g.members and g.protocol_type not in (None, ptype):
+                return fail(ERR_INCONSISTENT_GROUP_PROTOCOL)
+            if member_id and (
+                member_id not in g.members
+                and member_id not in g.pending
+            ):
+                return fail(ERR_UNKNOWN_MEMBER_ID)
+            if not member_id:
+                g.seq += 1
+                member_id = f"{group}-member-{g.seq}"
+            if g.state != "PreparingRebalance":
+                g.state = "PreparingRebalance"
+                g.pending = {}
+            g.protocol_type = ptype
+            now = _time.monotonic()
+            g.pending[member_id] = {
+                "protocols": protocols,
+                "session": session_ms,
+                "seen": now,
+            }
+            g.last_join = now
+            self._group_cond.notify_all()
+            deadline = now + 30.0
+            while g.state == "PreparingRebalance":
+                now = _time.monotonic()
+                live_known = {
+                    m
+                    for m, info in g.members.items()
+                    if now - info["seen"] < info["session"] / 1000.0
+                }
+                expected = live_known | set(g.pending)
+                if (
+                    set(g.pending) >= expected
+                    and now - g.last_join
+                    >= MiniKafkaBroker._JOIN_GRACE
+                ) or now >= deadline:
+                    # this thread promotes the generation
+                    g.generation += 1
+                    g.members = dict(g.pending)
+                    g.pending = {}
+                    # leader: first joiner of the new generation
+                    g.leader = next(iter(g.members))
+                    common = None
+                    for name, _meta in g.members[g.leader][
+                        "protocols"
+                    ]:
+                        if all(
+                            any(n == name for n, _ in m["protocols"])
+                            for m in g.members.values()
+                        ):
+                            common = name
+                            break
+                    if common is None:
+                        g.state = "Empty"
+                        self._group_cond.notify_all()
+                        return fail(ERR_INCONSISTENT_GROUP_PROTOCOL)
+                    g.protocol = common
+                    g.assignments = {}
+                    g.state = "AwaitingSync"
+                    self._group_cond.notify_all()
+                    break
+                self._group_cond.wait(timeout=0.05)
+            is_leader = member_id == g.leader
+            members_out = (
+                [
+                    (
+                        m,
+                        dict(info["protocols"]).get(g.protocol, b""),
+                    )
+                    for m, info in g.members.items()
+                ]
+                if is_leader
+                else []
+            )
+            w.i16(ERR_NONE).i32(g.generation).string(
+                g.protocol
+            ).string(g.leader).string(member_id)
+            w.array(
+                members_out,
+                lambda ww, m: ww.string(m[0]).bytes_(m[1]),
+            )
+
+    def _sync_group(self, r: _Reader, w: _Writer):
+        import time as _time
+
+        group = r.string()
+        generation = r.i32()
+        member_id = r.string() or ""
+        assignments = r.array(
+            lambda rr: (rr.string(), rr.bytes_())
+        )
+        self._group(group)
+        with self._group_cond:
+            g = self._groups[group]
+            if member_id not in g.members:
+                return w.i16(ERR_UNKNOWN_MEMBER_ID).bytes_(b"")
+            if generation != g.generation:
+                return w.i16(ERR_ILLEGAL_GENERATION).bytes_(b"")
+            if g.state == "PreparingRebalance":
+                return w.i16(ERR_REBALANCE_IN_PROGRESS).bytes_(b"")
+            g.members[member_id]["seen"] = _time.monotonic()
+            if member_id == g.leader and assignments:
+                g.assignments = dict(assignments)
+                g.state = "Stable"
+                self._group_cond.notify_all()
+            deadline = _time.monotonic() + 30.0
+            while (
+                g.state == "AwaitingSync"
+                and generation == g.generation
+            ):
+                if _time.monotonic() >= deadline:
+                    return w.i16(ERR_REBALANCE_IN_PROGRESS).bytes_(
+                        b""
+                    )
+                self._group_cond.wait(timeout=0.05)
+            if generation != g.generation or g.state not in (
+                "Stable",
+            ):
+                return w.i16(ERR_REBALANCE_IN_PROGRESS).bytes_(b"")
+            w.i16(ERR_NONE).bytes_(
+                g.assignments.get(member_id, b"")
+            )
+
+    def _heartbeat(self, r: _Reader, w: _Writer):
+        import time as _time
+
+        group = r.string()
+        generation = r.i32()
+        member_id = r.string() or ""
+        self._group(group)
+        with self._group_cond:
+            g = self._groups[group]
+            if member_id not in g.members:
+                return w.i16(ERR_UNKNOWN_MEMBER_ID)
+            if generation != g.generation:
+                return w.i16(ERR_ILLEGAL_GENERATION)
+            g.members[member_id]["seen"] = _time.monotonic()
+            if g.state != "Stable":
+                return w.i16(ERR_REBALANCE_IN_PROGRESS)
+            w.i16(ERR_NONE)
+
+    def _leave_group(self, r: _Reader, w: _Writer):
+        group = r.string()
+        member_id = r.string() or ""
+        self._group(group)
+        with self._group_cond:
+            g = self._groups[group]
+            if member_id not in g.members and (
+                member_id not in g.pending
+            ):
+                return w.i16(ERR_UNKNOWN_MEMBER_ID)
+            g.members.pop(member_id, None)
+            g.pending.pop(member_id, None)
+            if g.members or g.pending:
+                # surviving members rebalance (discovered via
+                # REBALANCE_IN_PROGRESS on their next heartbeat)
+                g.state = "PreparingRebalance"
+                g.pending = {}
+            else:
+                g.state = "Empty"
+                g.generation += 1
+                g.leader = None
+            self._group_cond.notify_all()
+            w.i16(ERR_NONE)
 
     def _offset_commit(self, r: _Reader, w: _Writer):
         group = r.string()
@@ -1257,6 +1587,105 @@ class MiniKafkaClient:
                     )
                 out[(topic, pid)] = off
         return out
+
+    # -- group membership (the full rebalance protocol) ---------------
+
+    def join_group(
+        self, group: str, topics, member_id: str = "",
+        session_timeout_ms: int = 10000,
+        protocol: str = "range",
+    ) -> dict:
+        """JoinGroup v0 with the consumer embedded protocol
+        (metadata = version + subscribed topics). Blocks until the
+        coordinator completes the rebalance. -> {"generation",
+        "protocol", "leader", "member_id", "is_leader",
+        "members": {member_id: [topics]}} (members only for the
+        leader, per protocol)."""
+        body = (
+            _Writer()
+            .string(group)
+            .i32(session_timeout_ms)
+            .string(member_id)
+            .string("consumer")
+            .array(
+                [(protocol, encode_consumer_metadata(topics))],
+                lambda ww, p: ww.string(p[0]).bytes_(p[1]),
+            )
+            .value()
+        )
+        r = self._request(API_JOIN_GROUP, body)
+        err = r.i16()
+        generation = r.i32()
+        proto = r.string()
+        leader = r.string()
+        me = r.string()
+        members = r.array(
+            lambda rr: (rr.string(), rr.bytes_())
+        )
+        if err:
+            raise ValueError(f"join_group error {err}")
+        return {
+            "generation": generation,
+            "protocol": proto,
+            "leader": leader,
+            "member_id": me,
+            "is_leader": me == leader,
+            "members": {
+                m: decode_consumer_metadata(meta)
+                for m, meta in members
+            },
+        }
+
+    def sync_group(
+        self, group: str, generation: int, member_id: str,
+        assignments: dict | None = None,
+    ) -> dict:
+        """SyncGroup v0. The leader passes ``assignments``
+        ({member_id: {topic: [pids]}}); followers pass None. Returns
+        THIS member's assignment as {topic: [pids]}."""
+        enc = [
+            (m, encode_consumer_assignment(a))
+            for m, a in sorted((assignments or {}).items())
+        ]
+        body = (
+            _Writer()
+            .string(group)
+            .i32(generation)
+            .string(member_id)
+            .array(
+                enc, lambda ww, p: ww.string(p[0]).bytes_(p[1])
+            )
+            .value()
+        )
+        r = self._request(API_SYNC_GROUP, body)
+        err = r.i16()
+        blob = r.bytes_()
+        if err:
+            raise ValueError(f"sync_group error {err}")
+        return decode_consumer_assignment(blob or b"")
+
+    def heartbeat(
+        self, group: str, generation: int, member_id: str
+    ) -> int:
+        """Heartbeat v0 -> error code (0 = stable; 27 =
+        REBALANCE_IN_PROGRESS means rejoin; raises on the rest)."""
+        body = (
+            _Writer()
+            .string(group)
+            .i32(generation)
+            .string(member_id)
+            .value()
+        )
+        err = self._request(API_HEARTBEAT, body).i16()
+        if err not in (ERR_NONE, ERR_REBALANCE_IN_PROGRESS):
+            raise ValueError(f"heartbeat error {err}")
+        return err
+
+    def leave_group(self, group: str, member_id: str) -> None:
+        body = _Writer().string(group).string(member_id).value()
+        err = self._request(API_LEAVE_GROUP, body).i16()
+        if err:
+            raise ValueError(f"leave_group error {err}")
 
     def fetch_range(
         self, topic: str, partition: int, start: int, end: int,

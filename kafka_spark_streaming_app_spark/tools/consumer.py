@@ -192,3 +192,107 @@ def consume_sample_wire(
             else {}
         ),
     }
+
+
+def consume_group_wire(
+    bootstrap: str,
+    topic: str = "ecommerce-orders",
+    group_id: str = "ecommerce-group",
+    max_messages: int = 10,
+    auto_offset_reset: str = "earliest",
+    enable_auto_commit: bool = True,
+    session_timeout_ms: int = 10000,
+) -> dict:
+    """The reference consumer's FULL group semantics
+    (kafka_consumer_test.py:18-29) over the engine's own wire
+    client: FindCoordinator names the coordinator, JoinGroup enters
+    the rebalance (blocking until the generation forms), the LEADER
+    computes the range assignment client-side and distributes it via
+    SyncGroup, and this member then reads ONLY its assigned
+    partitions — so two concurrent instances split the topic's
+    partitions with no overlap, exactly like two kafka-python
+    consumers in one group. Positions resume from the group's
+    committed offsets (``auto_offset_reset`` where none) and
+    ``enable_auto_commit`` commits the advance; LeaveGroup triggers
+    the next rebalance on exit.
+
+    Returns ``{"messages", "empty", "member_id", "generation",
+    "is_leader", "assigned", "positions"}``."""
+    import json as _json
+
+    from ..sources.minikafka import MiniKafkaClient, range_assign
+
+    if auto_offset_reset not in ("earliest", "latest"):
+        raise ValueError(
+            f"auto_offset_reset={auto_offset_reset!r}: earliest|latest"
+        )
+    reset_ts = -2 if auto_offset_reset == "earliest" else -1
+    with MiniKafkaClient(bootstrap) as c:
+        c.find_coordinator(group_id)
+        join = c.join_group(
+            group_id, [topic], session_timeout_ms=session_timeout_ms
+        )
+        if join["is_leader"]:
+            pids_by_topic = {
+                t: c.metadata([t])["topics"][t]
+                for ts in join["members"].values()
+                for t in ts
+            }
+            assignment = range_assign(join["members"], pids_by_topic)
+            mine = c.sync_group(
+                group_id, join["generation"], join["member_id"],
+                assignment,
+            )
+        else:
+            mine = c.sync_group(
+                group_id, join["generation"], join["member_id"]
+            )
+        assigned = sorted(mine.get(topic, []))
+        committed = c.offset_fetch(
+            group_id, [(topic, p) for p in assigned]
+        )
+        positions = {
+            p: (
+                committed[(topic, p)]
+                if committed.get((topic, p), -1) >= 0
+                else c.offsets(topic, p, reset_ts)
+            )
+            for p in assigned
+        }
+        ends = {p: c.offsets(topic, p, -1) for p in assigned}
+        messages = []
+        progressed = True
+        while len(messages) < max_messages and progressed:
+            progressed = False
+            for p in assigned:
+                if len(messages) >= max_messages:
+                    break
+                if positions[p] >= ends[p]:
+                    continue
+                _, msgs = c.fetch(topic, p, positions[p])
+                for off, _k, v in msgs:
+                    if len(messages) >= max_messages:
+                        break
+                    try:
+                        value = _json.loads(v.decode())
+                    except (UnicodeDecodeError, ValueError):
+                        value = v
+                    messages.append(
+                        {"partition": p, "offset": off, "value": value}
+                    )
+                    positions[p] = off + 1
+                    progressed = True
+        if enable_auto_commit and assigned:
+            c.offset_commit(
+                group_id, {(topic, p): positions[p] for p in assigned}
+            )
+        c.leave_group(group_id, join["member_id"])
+    return {
+        "messages": messages,
+        "empty": not messages,
+        "member_id": join["member_id"],
+        "generation": join["generation"],
+        "is_leader": join["is_leader"],
+        "assigned": assigned,
+        "positions": dict(positions),
+    }

@@ -248,3 +248,177 @@ def test_describe_configs_over_the_wire(broker):
         }
         with pytest.raises(ValueError, match="error 3"):
             c.describe_configs("ghost")
+
+
+def test_multi_member_group_splits_partitions(broker):
+    """kafka_consumer_test.py semantics under REAL concurrency: two
+    wire consumers in one group JoinGroup/SyncGroup into the same
+    generation, the leader's client-side range assignment splits the
+    reference's 3-partition topic with no overlap, every message is
+    consumed exactly once across the pair, and each member commits
+    only its own partitions."""
+    import threading
+
+    broker.create_topic("ecommerce-orders", partitions=3)
+    with MiniKafkaClient(broker.bootstrap) as c:
+        for p in range(3):
+            c.produce(
+                "ecommerce-orders", p,
+                [(None, f"p{p}-{i}".encode()) for i in range(4)],
+            )
+    from kafka_spark_streaming_app_spark.tools.consumer import (
+        consume_group_wire,
+    )
+
+    results = {}
+
+    def run(name):
+        results[name] = consume_group_wire(
+            broker.bootstrap, "ecommerce-orders", "g",
+            max_messages=100, session_timeout_ms=4000,
+        )
+
+    t1 = threading.Thread(target=run, args=("a",))
+    t2 = threading.Thread(target=run, args=("b",))
+    t1.start()
+    t2.start()
+    t1.join()
+    t2.join()
+    a, b = results["a"], results["b"]
+    assert a["generation"] == b["generation"] == 1
+    assert a["is_leader"] != b["is_leader"]  # exactly one leader
+    assert sorted(a["assigned"] + b["assigned"]) == [0, 1, 2]
+    assert not (set(a["assigned"]) & set(b["assigned"]))
+    got = sorted(
+        bytes(m["value"]).decode()
+        if isinstance(m["value"], (bytes, bytearray))
+        else str(m["value"])
+        for m in a["messages"] + b["messages"]
+    )
+    assert got == sorted(
+        f"p{p}-{i}" for p in range(3) for i in range(4)
+    )
+    # each member committed exactly its own partitions
+    with MiniKafkaClient(broker.bootstrap) as c:
+        committed = c.offset_fetch(
+            "g", [("ecommerce-orders", p) for p in range(3)]
+        )
+    assert committed == {
+        ("ecommerce-orders", p): 4 for p in range(3)
+    }
+
+
+def test_group_rebalances_on_join_and_leave(broker):
+    """A solo member owns every partition; a second join makes the
+    incumbent's heartbeat answer REBALANCE_IN_PROGRESS, the rejoin
+    forms generation 2 splitting the topic; the second member's
+    LeaveGroup triggers another rebalance handing everything back."""
+    broker.create_topic("t3", partitions=3)
+    from kafka_spark_streaming_app_spark.sources.minikafka import (
+        ERR_REBALANCE_IN_PROGRESS,
+        range_assign,
+    )
+
+    with MiniKafkaClient(broker.bootstrap) as a, MiniKafkaClient(
+        broker.bootstrap
+    ) as b:
+        ja = a.join_group("g", ["t3"], session_timeout_ms=4000)
+        assert ja["is_leader"] and ja["generation"] == 1
+        mine = a.sync_group(
+            "g", 1, ja["member_id"],
+            range_assign(ja["members"], {"t3": [0, 1, 2]}),
+        )
+        assert mine == {"t3": [0, 1, 2]}
+        assert a.heartbeat("g", 1, ja["member_id"]) == 0
+        # second member joins in the background (JoinGroup blocks
+        # until the incumbent rejoins)
+        import threading
+
+        jb_out = {}
+
+        def join_b():
+            jb_out["j"] = b.join_group(
+                "g", ["t3"], session_timeout_ms=4000
+            )
+
+        th = threading.Thread(target=join_b)
+        th.start()
+        # incumbent discovers the rebalance via heartbeat
+        deadline = 50
+        while deadline:
+            if (
+                a.heartbeat("g", 1, ja["member_id"])
+                == ERR_REBALANCE_IN_PROGRESS
+            ):
+                break
+            deadline -= 1
+        assert deadline, "heartbeat never saw the rebalance"
+        ja2 = a.join_group(
+            "g", ["t3"], member_id=ja["member_id"],
+            session_timeout_ms=4000,
+        )
+        th.join()
+        jb = jb_out["j"]
+        assert ja2["generation"] == jb["generation"] == 2
+        leader, follower = (
+            (a, ja2) if ja2["is_leader"] else (b, jb),
+            (b, jb) if ja2["is_leader"] else (a, ja2),
+        )
+        assigns = range_assign(
+            leader[1]["members"], {"t3": [0, 1, 2]}
+        )
+        got_l = leader[0].sync_group(
+            "g", 2, leader[1]["member_id"], assigns
+        )
+        got_f = follower[0].sync_group(
+            "g", 2, follower[1]["member_id"]
+        )
+        both = sorted(got_l.get("t3", []) + got_f.get("t3", []))
+        assert both == [0, 1, 2]
+        assert not (set(got_l.get("t3", [])) & set(got_f.get("t3", [])))
+        # b leaves: a rebalances back to sole ownership
+        b.leave_group("g", jb["member_id"])
+        assert (
+            a.heartbeat("g", 2, ja2["member_id"])
+            == ERR_REBALANCE_IN_PROGRESS
+        )
+        ja3 = a.join_group(
+            "g", ["t3"], member_id=ja2["member_id"],
+            session_timeout_ms=4000,
+        )
+        assert ja3["generation"] == 3 and ja3["is_leader"]
+        mine3 = a.sync_group(
+            "g", 3, ja3["member_id"],
+            range_assign(ja3["members"], {"t3": [0, 1, 2]}),
+        )
+        assert mine3 == {"t3": [0, 1, 2]}
+
+
+def test_group_protocol_error_paths(broker):
+    """UNKNOWN_MEMBER_ID for forged members, ILLEGAL_GENERATION for
+    stale generations, and sync before the leader's assignment
+    blocks (then succeeds) rather than erroring."""
+    broker.create_topic("t1", partitions=1)
+    from kafka_spark_streaming_app_spark.sources.minikafka import (
+        range_assign,
+    )
+
+    with MiniKafkaClient(broker.bootstrap) as c:
+        with pytest.raises(ValueError, match="error 25"):
+            c.heartbeat("g", 0, "ghost")
+        with pytest.raises(ValueError, match="error 25"):
+            c.sync_group("g", 0, "ghost")
+        with pytest.raises(ValueError, match="error 25"):
+            c.leave_group("g", "ghost")
+        with pytest.raises(ValueError, match="error 25"):
+            c.join_group("g", ["t1"], member_id="ghost")
+        j = c.join_group("g", ["t1"], session_timeout_ms=4000)
+        with pytest.raises(ValueError, match="error 22"):
+            c.sync_group("g", j["generation"] + 5, j["member_id"])
+        mine = c.sync_group(
+            "g", j["generation"], j["member_id"],
+            range_assign(j["members"], {"t1": [0]}),
+        )
+        assert mine == {"t1": [0]}
+        with pytest.raises(ValueError, match="error 22"):
+            c.heartbeat("g", j["generation"] + 1, j["member_id"])
