@@ -303,6 +303,13 @@ PROBES = (
     "iceberg_changelog_read",
     "streaming_delta_source_roundtrip",
     "streaming_iceberg_source_roundtrip",
+    # round-12: file-backed deletion vectors (delete set scales with
+    # the corpus; the .bin read is O(bitmap) driver metadata, the
+    # anti-join stays broadcast) and equality deletes (the delete
+    # file is a handful of VALUES — constant-size broadcast — while
+    # the data side scans row-linear with sequence-scoped splits)
+    "delta_deletion_vector_file_read",
+    "iceberg_equality_delete_read",
 )
 
 
