@@ -42,6 +42,7 @@ from .pyds import _case, _h, _LOC_CASE, _PYDS_ORACLE, _ROWS
 _TOPIC = "orders"
 _V2_TOPIC = "orders_v2"
 _SNAPPY_TOPIC = "orders_snappy"
+_LZ4_TOPIC = "orders_lz4"
 _STREAM_TOPIC = "orders_live"
 _PIPELINE_TOPIC = "orders_pipeline"
 _N_PARTITIONS = 4
@@ -74,6 +75,7 @@ def _broker(spark: SparkSession):
     b.create_topic(_TOPIC, partitions=_N_PARTITIONS)
     b.create_topic(_V2_TOPIC, partitions=_N_PARTITIONS)
     b.create_topic(_SNAPPY_TOPIC, partitions=_N_PARTITIONS)
+    b.create_topic(_LZ4_TOPIC, partitions=_N_PARTITIONS)
     b.create_topic(_STREAM_TOPIC, partitions=_N_PARTITIONS)
     b.create_topic(_PIPELINE_TOPIC, partitions=_N_PARTITIONS)
     register_wire_replay(spark)
@@ -206,6 +208,45 @@ def kafka_wire_orders_snappy(
         spark.read.format("minikafka")
         .option("bootstrap", broker.bootstrap)
         .option("topic", _SNAPPY_TOPIC)
+        .option("minPartitions", 8)
+        .option("recordFormat", "v2")
+        .load()
+    )
+    parsed = parse_and_clean(raw, ORDER_SCHEMA, watermark=None)
+    return parsed.select(
+        "order_id", "user_id", "product_id", "product_name",
+        "category", "price", "quantity", "total_amount", "location",
+        "event_timestamp", "is_fraud_simulation",
+    )
+
+
+@query("kafka_wire_orders_lz4", _PYDS_ORACLE)
+def kafka_wire_orders_lz4(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``kafka_wire_orders_v2`` at ``compression.type=lz4`` — the
+    from-scratch LZ4 frame codec + xxHash32
+    (``operators/lz4codec.py``, cross-validated against the real lz4
+    bundled with pyarrow both directions, block and frame layers).
+    With gzip and snappy this completes the compression surface real
+    producers actually use; the identical oracle hash proves the
+    frames carry the same data."""
+    broker = _broker(spark)
+    total = _produced_through(broker, _LZ4_TOPIC)
+    if total == 0:
+        _produce_rows(
+            spark, broker, _LZ4_TOPIC, 0, _ROWS, compression="lz4"
+        )
+    elif total != _ROWS:
+        raise RuntimeError(
+            f"topic {_LZ4_TOPIC} holds {total} of {_ROWS} messages "
+            "— a prior produce died mid-write; the log is append-"
+            "only, use a fresh session/topic"
+        )
+    raw = (
+        spark.read.format("minikafka")
+        .option("bootstrap", broker.bootstrap)
+        .option("topic", _LZ4_TOPIC)
         .option("minPartitions", 8)
         .option("recordFormat", "v2")
         .load()

@@ -43,11 +43,13 @@ import struct
 COMPRESSION_NONE = 0
 COMPRESSION_GZIP = 1
 COMPRESSION_SNAPPY = 2
+COMPRESSION_LZ4 = 3
 
 _CODEC_NAMES = {
     "none": COMPRESSION_NONE,
     "gzip": COMPRESSION_GZIP,
     "snappy": COMPRESSION_SNAPPY,
+    "lz4": COMPRESSION_LZ4,
 }
 
 # --- CRC-32C (Castagnoli, reflected polynomial 0x82F63B78) ------------------
@@ -165,8 +167,8 @@ def encode_record_batch(
     codec = _CODEC_NAMES.get(compression)
     if codec is None:
         raise NotImplementedError(
-            f"compression {compression!r}: none|gzip|snappy "
-            "(lz4/zstd codecs are not in this environment)"
+            f"compression {compression!r}: none|gzip|snappy|lz4 "
+            "(the zstd codec is not in this environment)"
         )
     records = b"".join(
         _encode_record(i, 0, k, v) for i, (k, v) in enumerate(messages)
@@ -179,6 +181,11 @@ def encode_record_batch(
         from ..operators.snappycodec import kafka_compress
 
         records = kafka_compress(records)
+    elif codec == COMPRESSION_LZ4:
+        # the lz4 FRAME format, per the modern clients
+        from ..operators.lz4codec import frame_compress
+
+        records = frame_compress(records)
     n = len(messages)
     # attributes..records — the CRC-covered span
     tail = (
@@ -232,10 +239,14 @@ def decode_record_batches(data: bytes) -> list:
             from ..operators.snappycodec import kafka_decompress
 
             records = kafka_decompress(records)
+        elif codec == COMPRESSION_LZ4:
+            from ..operators.lz4codec import frame_decompress
+
+            records = frame_decompress(records)
         elif codec != COMPRESSION_NONE:
             raise NotImplementedError(
                 f"record batch compression codec {codec} "
-                "(only none/gzip/snappy in this environment)"
+                "(only none/gzip/snappy/lz4 in this environment)"
             )
         rpos = 0
         for _ in range(count):

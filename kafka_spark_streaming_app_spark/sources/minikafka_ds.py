@@ -12,8 +12,10 @@ is NULL and timestampType -1 (NO_TIMESTAMP_TYPE), which is the real
 connector's value for magic-0 logs too.
 
 Options: ``bootstrap`` (host:port), ``topic``, ``minPartitions``
-(batch: split offset ranges finer than the topic's partition count).
-``maxOffsetsPerTrigger`` gates loudly — see ``_StreamReader``.
+(batch: split offset ranges finer than the topic's partition count),
+``maxOffsetsPerTrigger`` (streaming rate limit — see
+``_StreamReader``), ``recordFormat`` (v0|v2),
+``compression.type`` (sink: none|gzip|snappy|lz4).
 
 Scale posture: every Spark task speaks its own socket to the broker
 and fetches exactly its own offset range (random access — no prefix
@@ -263,18 +265,19 @@ def _produce_rows(options: dict, iterator) -> _ProduceCommit:
     bootstrap = _require(options, "bootstrap")
     topic = _require(options, "topic")
     chunk = int(options.get("batchsize", 500))
-    # compression.type parity with the real producer: gzip/snappy
-    # ride Produce v3 RecordBatch v2 frames (snappy in the JVM
-    # clients' xerial stream framing); none keeps the v0 path
+    # compression.type parity with the real producer: gzip/snappy/
+    # lz4 ride Produce v3 RecordBatch v2 frames (snappy in the JVM
+    # clients' xerial stream framing, lz4 in the frame format); none
+    # keeps the v0 path
     comp = str(options.get("compression.type",
                            options.get("compression", "none"))).lower()
-    if comp not in ("none", "gzip", "snappy"):
+    if comp not in ("none", "gzip", "snappy", "lz4"):
         raise NotImplementedError(
-            f"compression.type={comp!r}: none|gzip|snappy (lz4/zstd "
-            "codecs are not in this environment)"
+            f"compression.type={comp!r}: none|gzip|snappy|lz4 (the "
+            "zstd codec is not in this environment)"
         )
     with MiniKafkaClient(bootstrap) as c:
-        if comp in ("gzip", "snappy"):
+        if comp in ("gzip", "snappy", "lz4"):
             def send(pid, msgs):
                 c.produce_v2(topic, pid, msgs, compression=comp)
         else:

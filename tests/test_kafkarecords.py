@@ -98,8 +98,8 @@ def test_gzip_batch_roundtrip_and_corruption():
     bad[-1] ^= 0xFF
     with pytest.raises(ValueError, match="CRC-32C"):
         decode_record_batches(bytes(bad))
-    with pytest.raises(NotImplementedError, match="lz4"):
-        encode_record_batch(msgs, compression="lz4")
+    with pytest.raises(NotImplementedError, match="zstd"):
+        encode_record_batch(msgs, compression="zstd")
 
 
 def test_snappy_batch_roundtrip_xerial_framed():
@@ -367,6 +367,132 @@ def test_spark_sink_snappy_compression(spark, broker):
         .option("bootstrap", broker.bootstrap)
         .option("topic", "t")
         .option("compression.type", "snappy")
+        .save()
+    )
+    got = sorted(
+        bytes(r.value).decode()
+        for r in (
+            spark.read.format("minikafka")
+            .option("bootstrap", broker.bootstrap)
+            .option("topic", "t")
+            .option("recordFormat", "v2")
+            .load()
+        ).collect()
+    )
+    assert got == sorted(f"value-{i}" * 10 for i in range(60))
+
+
+def test_lz4_batch_roundtrip_frame_format():
+    """compression=lz4: attributes codec bits = 3 and the records
+    section opens with the lz4 frame magic — what modern clients
+    emit."""
+    msgs = [(None, f"m{i}".encode() * 20) for i in range(50)]
+    plain = encode_record_batch(msgs)
+    packed = encode_record_batch(msgs, compression="lz4")
+    assert len(packed) < len(plain)
+    assert decode_record_batches(packed) == decode_record_batches(plain)
+    attrs = struct.unpack_from(">h", packed, 21)[0]
+    assert attrs & 0x07 == 3
+    assert packed[61:65] == b"\x04\x22\x4d\x18"  # frame magic LE
+
+
+def test_lz4_codec_spec_vectors_and_real_interop():
+    """The from-scratch lz4 block + frame codec and xxHash32 against
+    spec vectors AND the real lz4 bundled with pyarrow (lz4_raw for
+    blocks, lz4 for frames), both directions — including LINKED
+    frames whose matches reach into prior blocks."""
+    import random
+
+    import pyarrow as pa
+
+    from kafka_spark_streaming_app_spark.operators.lz4codec import (
+        block_compress,
+        block_decompress,
+        frame_compress,
+        frame_decompress,
+        xxhash32,
+    )
+
+    # xxHash32 known-answer vectors
+    assert xxhash32(b"") == 0x02CC5D05
+    assert xxhash32(b"Hello World") == 0xB1FD16EE
+    # hand-built block: token(lit_len=5, ml=0) + "hello" (last
+    # sequence is literals-only per spec)
+    assert block_decompress(bytes([5 << 4]) + b"hello") == b"hello"
+    # RLE via overlapping match: 1 literal + offset-1 match of 8
+    assert (
+        block_decompress(
+            bytes([(1 << 4) | (8 - 4)]) + b"a" + b"\x01\x00"
+        )
+        == b"a" * 9
+    )
+    rng = random.Random(21)
+    raw = pa.Codec("lz4_raw")
+    frame = pa.Codec("lz4")
+    for case in (
+        b"", b"x", b"hello world " * 500,
+        bytes(rng.randrange(256) for _ in range(50000)),
+        b"ab" * 40000,
+        bytes(rng.randrange(4) for _ in range(200000)),
+    ):
+        assert block_decompress(block_compress(case)) == case
+        assert frame_decompress(frame_compress(case)) == case
+        assert (
+            frame_decompress(
+                frame_compress(case, content_checksum=False)
+            )
+            == case
+        )
+        if case:
+            assert (
+                block_decompress(raw.compress(case, asbytes=True))
+                == case
+            )
+            assert (
+                raw.decompress(
+                    block_compress(case),
+                    decompressed_size=len(case), asbytes=True,
+                )
+                == case
+            )
+        assert (
+            frame_decompress(frame.compress(case, asbytes=True))
+            == case
+        )
+        assert (
+            frame.decompress(
+                frame_compress(case),
+                decompressed_size=len(case), asbytes=True,
+            )
+            == case
+        )
+    # corruption gates loudly: bad magic, bad header checksum,
+    # bad content checksum
+    with pytest.raises(ValueError, match="magic"):
+        frame_decompress(b"\x00\x00\x00\x00rest")
+    good = bytearray(frame_compress(b"payload " * 100))
+    good[6] ^= 0xFF  # header checksum byte
+    with pytest.raises(ValueError, match="header checksum"):
+        frame_decompress(bytes(good))
+    good2 = bytearray(frame_compress(b"payload " * 100))
+    good2[-1] ^= 0xFF  # content checksum
+    with pytest.raises(ValueError, match="content checksum"):
+        frame_decompress(bytes(good2))
+
+
+def test_spark_sink_lz4_compression(spark, broker):
+    """compression.type=lz4 end-to-end over the wire through Spark."""
+    _register(spark)
+    df = spark.createDataFrame(
+        [(f"key{i}", f"value-{i}" * 10, i % 2) for i in range(60)],
+        "key string, value string, partition int",
+    )
+    (
+        df.write.format("minikafka")
+        .mode("append")
+        .option("bootstrap", broker.bootstrap)
+        .option("topic", "t")
+        .option("compression.type", "lz4")
         .save()
     )
     got = sorted(
