@@ -23,6 +23,8 @@ Implemented APIs (version 0 unless noted, request header v1):
   * Heartbeat (12)      — liveness + REBALANCE_IN_PROGRESS signal
   * LeaveGroup (13)     — departure triggers the next rebalance
   * SyncGroup (14)      — leader distributes the opaque assignment
+  * DescribeGroups (15) — state/protocol/member+assignment listing
+  * ListGroups (16)     — live groups with their protocol types
   * ApiVersions (18)    — advertised (api, min, max) ranges
   * CreateTopics (19)   — partitions/RF/config map, dup/invalid errors
   * DeleteTopics (20)   — force delete, UNKNOWN for absent topics
@@ -79,6 +81,8 @@ API_JOIN_GROUP = 11
 API_HEARTBEAT = 12
 API_LEAVE_GROUP = 13
 API_SYNC_GROUP = 14
+API_DESCRIBE_GROUPS = 15
+API_LIST_GROUPS = 16
 API_API_VERSIONS = 18
 API_CREATE_TOPICS = 19
 API_DELETE_TOPICS = 20
@@ -110,6 +114,8 @@ _SUPPORTED = {
     API_HEARTBEAT: (0, 0),
     API_LEAVE_GROUP: (0, 0),
     API_SYNC_GROUP: (0, 0),
+    API_DESCRIBE_GROUPS: (0, 0),
+    API_LIST_GROUPS: (0, 0),
     API_API_VERSIONS: (0, 0),
     API_CREATE_TOPICS: (0, 0),
     API_DELETE_TOPICS: (0, 0),
@@ -477,6 +483,10 @@ class MiniKafkaBroker:
             self._heartbeat(r, w)
         elif api_key == API_LEAVE_GROUP:
             self._leave_group(r, w)
+        elif api_key == API_DESCRIBE_GROUPS:
+            self._describe_groups(r, w)
+        elif api_key == API_LIST_GROUPS:
+            self._list_groups(r, w)
         elif api_key == API_CREATE_TOPICS:
             self._create_topics(r, w)
         elif api_key == API_DELETE_TOPICS:
@@ -1052,6 +1062,53 @@ class MiniKafkaBroker:
             if g.state != "Stable":
                 return w.i16(ERR_REBALANCE_IN_PROGRESS)
             w.i16(ERR_NONE)
+
+    def _describe_groups(self, r: _Reader, w: _Writer):
+        """DescribeGroups v0: state/protocol/member listing — what
+        kafka-consumer-groups.sh --describe reads."""
+        groups = r.array(lambda rr: rr.string())
+        with self._group_cond:
+            def emit(ww, name):
+                g = self._groups.get(name)
+                if g is None or not g.members:
+                    ww.i16(ERR_NONE).string(name).string("Dead")
+                    ww.string("").string("")
+                    ww.array([], lambda *_: None)
+                    return
+                ww.i16(ERR_NONE).string(name).string(g.state)
+                ww.string(g.protocol_type or "").string(
+                    g.protocol or ""
+                )
+                ww.array(
+                    sorted(g.members.items()),
+                    lambda w2, m: (
+                        w2.string(m[0])       # member_id
+                        .string("")            # client_id
+                        .string(self.host)     # client_host
+                        .bytes_(
+                            dict(m[1]["protocols"]).get(
+                                g.protocol, b""
+                            )
+                        )
+                        .bytes_(
+                            g.assignments.get(m[0], b"")
+                        )
+                    ),
+                )
+
+            w.array(groups, emit)
+
+    def _list_groups(self, r: _Reader, w: _Writer):
+        """ListGroups v0: every group with live members."""
+        with self._group_cond:
+            live = sorted(
+                (name, g.protocol_type or "")
+                for name, g in self._groups.items()
+                if g.members
+            )
+        w.i16(ERR_NONE).array(
+            live, lambda ww, t: ww.string(t[0]).string(t[1])
+        )
 
     def _leave_group(self, r: _Reader, w: _Writer):
         group = r.string()
@@ -1686,6 +1743,58 @@ class MiniKafkaClient:
         err = self._request(API_LEAVE_GROUP, body).i16()
         if err:
             raise ValueError(f"leave_group error {err}")
+
+    def describe_groups(self, groups) -> dict:
+        """DescribeGroups v0 -> {group: {"state", "protocol_type",
+        "protocol", "members": {member_id: {"metadata",
+        "assignment"}}}}."""
+        body = _Writer().array(
+            list(groups), lambda ww, g: ww.string(g)
+        ).value()
+        r = self._request(API_DESCRIBE_GROUPS, body)
+        out = {}
+        for _ in range(r.i32()):
+            err = r.i16()
+            name = r.string()
+            state = r.string()
+            ptype = r.string()
+            proto = r.string()
+            members = {}
+            for _ in range(r.i32()):
+                mid = r.string()
+                r.string()  # client_id
+                r.string()  # client_host
+                meta = r.bytes_()
+                assign = r.bytes_()
+                members[mid] = {
+                    "metadata": decode_consumer_metadata(meta)
+                    if meta
+                    else [],
+                    "assignment": decode_consumer_assignment(
+                        assign or b""
+                    ),
+                }
+            if err:
+                raise ValueError(
+                    f"describe_groups error {err} on {name!r}"
+                )
+            out[name] = {
+                "state": state,
+                "protocol_type": ptype,
+                "protocol": proto,
+                "members": members,
+            }
+        return out
+
+    def list_groups(self) -> dict:
+        """ListGroups v0 -> {group: protocol_type}."""
+        r = self._request(API_LIST_GROUPS, b"")
+        err = r.i16()
+        if err:
+            raise ValueError(f"list_groups error {err}")
+        return dict(
+            r.array(lambda rr: (rr.string(), rr.string()))
+        )
 
     def fetch_range(
         self, topic: str, partition: int, start: int, end: int,

@@ -422,3 +422,35 @@ def test_group_protocol_error_paths(broker):
         assert mine == {"t1": [0]}
         with pytest.raises(ValueError, match="error 22"):
             c.heartbeat("g", j["generation"] + 1, j["member_id"])
+
+
+def test_describe_and_list_groups(broker):
+    """DescribeGroups (15) / ListGroups (16): the introspection
+    surface kafka-consumer-groups.sh --describe/--list reads — state,
+    protocol, members with decoded subscriptions and assignments."""
+    broker.create_topic("t2", partitions=2)
+    from kafka_spark_streaming_app_spark.sources.minikafka import (
+        range_assign,
+    )
+
+    with MiniKafkaClient(broker.bootstrap) as c:
+        assert c.list_groups() == {}
+        assert c.describe_groups(["nope"])["nope"]["state"] == "Dead"
+        j = c.join_group("g1", ["t2"], session_timeout_ms=4000)
+        mine = c.sync_group(
+            "g1", j["generation"], j["member_id"],
+            range_assign(j["members"], {"t2": [0, 1]}),
+        )
+        assert mine == {"t2": [0, 1]}
+        assert c.list_groups() == {"g1": "consumer"}
+        d = c.describe_groups(["g1"])["g1"]
+        assert d["state"] == "Stable"
+        assert d["protocol_type"] == "consumer"
+        assert d["protocol"] == "range"
+        assert list(d["members"]) == [j["member_id"]]
+        m = d["members"][j["member_id"]]
+        assert m["metadata"] == ["t2"]
+        assert m["assignment"] == {"t2": [0, 1]}
+        c.leave_group("g1", j["member_id"])
+        assert c.list_groups() == {}
+        assert c.describe_groups(["g1"])["g1"]["state"] == "Dead"
