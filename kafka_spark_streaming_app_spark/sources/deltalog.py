@@ -26,12 +26,12 @@ Partitioned tables are first-class: metaData.partitionColumns +
 per-add partitionValues replay into LOG-LEVEL partition pruning
 (``partition_filter`` shrinks the file list before Spark lists a
 path), and hive-layout reads recover partition columns via
-``basePath``. INLINE deletion vectors (storageType ``i``) are
-first-class merge-on-read: the z85/roaring payload
-(``operators/dvcodec.py``) decodes executor-side and a broadcast
-anti-join on the hidden parquet row index drops deleted rows at scan
-time. File-backed vectors and column mapping gate loudly
-(`sources/lakehouse.py` keeps the jar-backed path)."""
+``basePath``. Deletion vectors are first-class merge-on-read in both
+storage shapes — INLINE (storageType ``i``: z85/roaring payload in
+the log) and FILE-BACKED (``u``/``p``: spec-shaped ``.bin`` with
+size + CRC-32 checks) — decoded via ``operators/dvcodec.py`` into a
+broadcast anti-join on the hidden parquet row index. Column mapping
+gates loudly (`sources/lakehouse.py` keeps the jar-backed path)."""
 
 from __future__ import annotations
 
@@ -696,6 +696,7 @@ def cleanup_log(table_dir: str) -> list:
 
 def incremental_add_files(
     table_dir: str, from_version: int, to_version: int | None = None,
+    skip_change_commits: bool = False,
 ) -> dict:
     """Incremental APPEND scan: the data files added by commits in
     ``(from_version, to_version]`` — the primitive behind streaming a
@@ -711,7 +712,13 @@ def incremental_add_files(
     already seen at ``from_version``. dataChange=false ADDS (e.g. a
     stats-recompute re-add from another writer, which has no paired
     remove) are SKIPPED, mirroring the real Delta source's dataChange
-    filter — counting them would double-count rows already seen."""
+    filter — counting them would double-count rows already seen.
+
+    ``skip_change_commits`` is the real source's ``skipChangeCommits``
+    option: a commit containing ANY remove is ignored wholesale
+    (none of its adds stream) instead of failing the scan — the
+    documented semantics for streaming past update/delete/compaction
+    transactions."""
     snap_to = snapshot_files(table_dir)  # also validates the table
     to = snap_to["version"] if to_version is None else to_version
     if from_version > to:
@@ -725,6 +732,8 @@ def incremental_add_files(
                 f"commit {v} absent (log retention?) — an incremental "
                 "scan across cleaned commits needs the jar-backed path"
             )
+        commit_adds: list = []
+        skip_commit = False
         with open(path) as fh:
             for line in fh:
                 line = line.strip()
@@ -732,11 +741,15 @@ def incremental_add_files(
                     continue
                 action = json.loads(line)
                 if "remove" in action:
+                    if skip_change_commits:
+                        skip_commit = True
+                        continue
                     raise NotImplementedError(
                         f"commit {v} removes "
                         f"{action['remove']['path']!r} — the range is "
-                        "not append-only; CDF semantics need the "
-                        "jar-backed path"
+                        "not append-only; set skipChangeCommits to "
+                        "stream past it, or use the jar-backed path "
+                        "for CDF semantics"
                     )
                 if "add" in action:
                     if action["add"].get("dataChange") is False:
@@ -744,7 +757,9 @@ def incremental_add_files(
                         # another writer): no new rows — the real
                         # Delta source drops these too
                         continue
-                    files.append(action["add"]["path"])
+                    commit_adds.append(action["add"]["path"])
+        if not skip_commit:
+            files.extend(commit_adds)
     return {
         "files": sorted(set(files)),
         "from": from_version,

@@ -18,7 +18,9 @@ a "streaming source", built on the engine's own log replay:
 
 Options: ``path`` (table dir), ``startingVersion`` (default: the
 table's version when the query starts — i.e. new data only; ``0``
-replays history, matching the real source's semantics)."""
+replays history, matching the real source's semantics);
+``skipChangeCommits`` (ignore update/delete/compaction transactions
+wholesale instead of failing, per the real option)."""
 
 from __future__ import annotations
 
@@ -96,6 +98,9 @@ class _DeltaStreamReader(DataSourceStreamReader):
         self.table_dir = _require_path(options)
         sv = options.get("startingversion")
         self.starting_version = None if sv is None else int(sv)
+        self.skip_change_commits = str(
+            options.get("skipchangecommits", "false")
+        ).lower() in ("true", "1", "yes")
         self._fields = None
 
     def _fields_now(self):
@@ -131,7 +136,10 @@ class _DeltaStreamReader(DataSourceStreamReader):
         lo, hi = int(start["version"]), int(end["version"])
         if hi <= lo:
             return []
-        inc = incremental_add_files(self.table_dir, lo, hi)
+        inc = incremental_add_files(
+            self.table_dir, lo, hi,
+            skip_change_commits=self.skip_change_commits,
+        )
         fields = self._fields_now()
         return [
             _FileSlice(os.path.join(self.table_dir, p), fields)

@@ -209,3 +209,55 @@ def test_icebergstream_waves_and_default_start(spark, tmp_path):
         assert spark.table("is_new_only").collect()[0].n == 1
     finally:
         q2.stop()
+
+
+def test_skip_change_commits_streams_past_deletes(tmp_path, spark):
+    """skipChangeCommits (the real source's option): a compaction /
+    delete commit in the range is ignored WHOLESALE (none of its adds
+    stream) while later appends still arrive; without the option the
+    same range gates loudly."""
+    import pytest as _pytest
+
+    from kafka_spark_streaming_app_spark.queries.formats import (
+        _delta_stream_commit,
+    )
+    from kafka_spark_streaming_app_spark.sources.deltalog import (
+        incremental_add_files,
+    )
+    from kafka_spark_streaming_app_spark.sources.deltastream_ds import (
+        register_deltastream,
+    )
+
+    _delta_stream_commit(str(tmp_path), _batch_df(spark, [1, 2]), 0)
+    # batch 1 appends AND compacts batch 0 (remove + re-add)
+    _delta_stream_commit(str(tmp_path), _batch_df(spark, [3]), 1)
+    _delta_stream_commit(str(tmp_path), _batch_df(spark, [4, 5]), 2)
+    with _pytest.raises(NotImplementedError, match="skipChangeCommits"):
+        incremental_add_files(str(tmp_path), 0)
+    inc = incremental_add_files(
+        str(tmp_path), 0, skip_change_commits=True
+    )
+    # the compaction commit contributes nothing; the pure append does
+    assert all("batch-00002" in f for f in inc["files"])
+    register_deltastream(spark)
+    q = (
+        spark.readStream.format("deltastream")
+        .option("path", str(tmp_path))
+        .option("startingVersion", 1)
+        .option("skipChangeCommits", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName("scc_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            r.o_orderkey for r in spark.table("scc_sink").collect()
+        )
+        # commit 1 (the change commit) skipped wholesale; commit 2
+        # streams
+        assert got == [4, 5]
+    finally:
+        q.stop()
