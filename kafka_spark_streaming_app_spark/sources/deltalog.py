@@ -31,7 +31,11 @@ storage shapes — INLINE (storageType ``i``: z85/roaring payload in
 the log) and FILE-BACKED (``u``/``p``: spec-shaped ``.bin`` with
 size + CRC-32 checks) — decoded via ``operators/dvcodec.py`` into a
 broadcast anti-join on the hidden parquet row index. Column mapping
-gates loudly (`sources/lakehouse.py` keeps the jar-backed path)."""
+(``delta.columnMapping.mode=name``) is supported for unpartitioned
+tables: physical names from the schema field metadata drive the scan
+and rename back to logical; id mode and mapped+partitioned/filtered
+shapes gate loudly (`sources/lakehouse.py` keeps the jar-backed
+path)."""
 
 from __future__ import annotations
 
@@ -103,6 +107,7 @@ def snapshot_files(
     adds: dict[str, dict] = {}
     schema_string = None
     partition_columns: list = []
+    configuration: dict = {}
     txns: dict[str, int] = {}
     protocol: dict | None = None
     start_after = -1
@@ -161,6 +166,12 @@ def snapshot_files(
                     partition_columns = list(
                         md.get("partitionColumns") or []
                     )
+                    cfg = md.get("configuration") or {}
+                    if not isinstance(cfg, dict):
+                        cfg = dict(cfg)  # parquet MAP -> tuples
+                    configuration = {
+                        k: v for k, v in cfg.items() if v is not None
+                    }
                 if row.get("remove") and row["remove"].get("path"):
                     adds.pop(row["remove"]["path"], None)
                 tx = row.get("txn")
@@ -210,6 +221,9 @@ def snapshot_files(
                     schema_string = md["schemaString"]
                     partition_columns = list(
                         md.get("partitionColumns") or []
+                    )
+                    configuration = dict(
+                        md.get("configuration") or {}
                     )
                 elif "add" in action:
                     adds[action["add"]["path"]] = action["add"]
@@ -267,6 +281,7 @@ def snapshot_files(
         "adds": adds,
         "txns": txns,
         "protocol": protocol,
+        "configuration": configuration,
     }
 
 
@@ -290,6 +305,18 @@ def _stats_exclude(stats, data_filter: dict) -> bool:
         ):
             return True
     return False
+
+
+def _physical_names(schema_string: str) -> dict:
+    """{logical_name: physical_name} from the schema field metadata
+    (``delta.columnMapping.physicalName``) — identity where absent."""
+    out = {}
+    for f in json.loads(schema_string)["fields"]:
+        meta = f.get("metadata") or {}
+        out[f["name"]] = meta.get(
+            "delta.columnMapping.physicalName", f["name"]
+        )
+    return out
 
 
 def _schema_from_delta(schema_string: str):
@@ -327,6 +354,44 @@ def read_delta_snapshot(
     paths = [os.path.join(table_dir, p) for p in snap["files"]]
     schema = _schema_from_delta(snap["schema_string"])
     pcols = snap["partition_columns"]
+    mode = (snap.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode not in ("none", "name"):
+        raise NotImplementedError(
+            f"delta.columnMapping.mode={mode!r}: only none|name here "
+            "(id mode matches on parquet field ids — jar-backed path)"
+        )
+    if mode == "name":
+        # data files carry PHYSICAL names (schema field metadata
+        # delta.columnMapping.physicalName); read physically, rename
+        # back to the logical schema. Without this, a mapped table
+        # would silently read as all-null columns.
+        if pcols or partition_filter or data_filter:
+            raise NotImplementedError(
+                "column mapping with partitions or log-level filters "
+                "is outside the subset (physical-name partitionValues"
+                "/stats keys) — use the jar-backed path"
+            )
+        phys_names = _physical_names(snap["schema_string"])
+        from pyspark.sql import types as T
+
+        phys_schema = T.StructType(
+            [
+                T.StructField(
+                    phys_names[f.name], f.dataType, True
+                )
+                for f in schema.fields
+            ]
+        )
+        if not paths:
+            return spark.createDataFrame([], schema)
+        df = spark.read.schema(phys_schema).parquet(*paths)
+        for f in schema.fields:
+            df = df.withColumnRenamed(phys_names[f.name], f.name)
+        return _apply_deletion_vectors(
+            spark, df, table_dir, snap, [f.name for f in schema.fields]
+        )
     if not paths:  # zero live files is a valid snapshot either way
         return spark.createDataFrame([], schema)
     if not pcols:
@@ -545,6 +610,10 @@ def write_checkpoint(table_dir: str, parts: int = 1) -> int:
                         ("id", pa.string()),
                         ("schemaString", pa.string()),
                         ("partitionColumns", pa.list_(pa.string())),
+                        (
+                            "configuration",
+                            pa.map_(pa.string(), pa.string()),
+                        ),
                     ]
                 ),
             ),
@@ -574,6 +643,7 @@ def write_checkpoint(table_dir: str, parts: int = 1) -> int:
                 "id": "checkpointed-table",
                 "schemaString": snap["schema_string"],
                 "partitionColumns": pcols,
+                "configuration": snap.get("configuration") or {},
             }
         },
     ]

@@ -985,3 +985,103 @@ def test_file_backed_deletion_vectors(tmp_path, spark):
         for r in read_delta_snapshot(spark, str(tmp_path)).collect()
     )
     assert got2 == [5, 6, 7, 8, 9, 10, 11]
+
+
+def test_column_mapping_name_mode_read(tmp_path, spark):
+    """delta.columnMapping.mode=name (how externally-written Delta
+    tables increasingly ship): data parquet carries PHYSICAL column
+    names (col-<uuid>); the reader must resolve them through the
+    schema field metadata and surface LOGICAL names — without mapping
+    support the table would silently read as all-null columns. id
+    mode and mapped+partitioned shapes gate loudly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    log_dir = tmp_path / "_delta_log"
+    os.makedirs(log_dir)
+    pq.write_table(
+        pa.table(
+            {
+                "col-aaa111": pa.array([1, 2, 3], pa.int64()),
+                "col-bbb222": pa.array(["x", "y", "z"], pa.string()),
+            }
+        ),
+        tmp_path / "part-0.parquet",
+    )
+    schema_string = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "k", "type": "long", "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 1,
+                        "delta.columnMapping.physicalName": "col-aaa111",
+                    },
+                },
+                {
+                    "name": "v", "type": "string", "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 2,
+                        "delta.columnMapping.physicalName": "col-bbb222",
+                    },
+                },
+            ],
+        }
+    )
+
+    def _meta(mode):
+        return {
+            "metaData": {
+                "id": "mapped-table",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_string,
+                "partitionColumns": [],
+                "configuration": {
+                    "delta.columnMapping.mode": mode,
+                    "delta.columnMapping.maxColumnId": "2",
+                },
+                "createdTime": 0,
+            }
+        }
+
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        _meta("name"),
+        {"add": {"path": "part-0.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(log_dir / f"{0:020d}.json", "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    snap = snapshot_files(str(tmp_path))
+    assert (
+        snap["configuration"]["delta.columnMapping.mode"] == "name"
+    )
+    df = read_delta_snapshot(spark, str(tmp_path))
+    assert df.columns == ["k", "v"]
+    assert sorted((r.k, r.v) for r in df.collect()) == [
+        (1, "x"), (2, "y"), (3, "z"),
+    ]
+    # the mode survives a checkpoint (configuration rides metaData)
+    from kafka_spark_streaming_app_spark.sources.deltalog import (
+        cleanup_log,
+        write_checkpoint,
+    )
+
+    write_checkpoint(str(tmp_path))
+    cleanup_log(str(tmp_path))
+    df2 = read_delta_snapshot(spark, str(tmp_path))
+    assert sorted((r.k, r.v) for r in df2.collect()) == [
+        (1, "x"), (2, "y"), (3, "z"),
+    ]
+    # filters on mapped tables gate loudly (physical-name keys)
+    with pytest.raises(NotImplementedError, match="column mapping"):
+        read_delta_snapshot(
+            spark, str(tmp_path), data_filter={"k": (1, 2)}
+        )
+    # id mode gates loudly
+    with open(log_dir / f"{1:020d}.json", "w") as fh:
+        fh.write(json.dumps(_meta("id")) + "\n")
+    with pytest.raises(NotImplementedError, match="columnMapping"):
+        read_delta_snapshot(spark, str(tmp_path))
