@@ -1496,6 +1496,52 @@ def streaming_delta_sink_multipart(
     return _orders_sink_agg(read_delta_snapshot(spark, table_dir))
 
 
+def _v2_checkpoint_orders_delta(spark: SparkSession, sf_dir: str) -> str:
+    """An unpartitioned Delta table checkpointed in the V2 LAYOUT
+    (UUID-named manifest + two _sidecars/ file-action parquets) with
+    the pre-checkpoint commits retention-cleaned — the replay must
+    start from the manifest, splice both sidecars, and still apply a
+    post-checkpoint append."""
+    from ..sources.deltalog import cleanup_log, write_checkpoint
+
+    d = _fixture_dir(spark, sf_dir, "delta_v2cp_table")
+    if d is None:
+        import atexit as _atexit
+        import shutil as _shutil
+
+        d = tempfile.mkdtemp(prefix="delta_v2cp_")
+        _atexit.register(_shutil.rmtree, d, ignore_errors=True)
+        base = _clustered_orders_batch(spark, sf_dir)
+        _delta_stream_commit(
+            d, base.filter(F.col("o_orderkey") % 2 == 0), 0
+        )
+        _delta_stream_commit(
+            d, base.filter(F.col("o_orderkey") % 2 == 1), 2
+        )
+        write_checkpoint(d, parts=2, v2=True)
+        cleanup_log(d)
+        _remember(spark, sf_dir, "delta_v2cp_table", d)
+    return d
+
+
+@query("delta_v2_checkpoint_read", _DELTA_STREAM_ORACLE)
+def delta_v2_checkpoint_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta V2 (sidecar) checkpoints — the layout modern writers
+    emit for very large tables: the reader discovers the UUID-named
+    ``NNNN.checkpoint.<id>.parquet`` manifest by listing, splices the
+    ``sidecar`` actions' file-action parquets from
+    ``_delta_log/_sidecars/`` into the replay, and reconstructs the
+    snapshot after log retention removed every JSON commit. The
+    oracle hash proves no row is lost or doubled across the
+    manifest/sidecar split."""
+    from ..sources.deltalog import read_delta_snapshot
+
+    table_dir = _v2_checkpoint_orders_delta(spark, sf_dir)
+    return _orders_sink_agg(read_delta_snapshot(spark, table_dir))
+
+
 _DELTA_COMPOUND_ORACLE = """
 SELECT CAST(count(*) AS BIGINT) AS n_orders,
        CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)

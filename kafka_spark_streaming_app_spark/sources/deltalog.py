@@ -135,19 +135,59 @@ def snapshot_files(
                     for p in range(1, cp_parts + 1)
                 ]
             missing_parts = [f for f in cp_files if not os.path.exists(f)]
+            if missing_parts and cp_parts == 1:
+                # V2 checkpoint: UUID-named manifest
+                # NNNN.checkpoint.<unique-id>.parquet found by
+                # listing (spec); its ``sidecar`` actions name files
+                # under _delta_log/_sidecars/ carrying the add/remove
+                # actions
+                import glob as _glob
+
+                v2 = [
+                    f
+                    for f in _glob.glob(
+                        os.path.join(
+                            log_dir,
+                            f"{cp_version:020d}.checkpoint.*.parquet",
+                        )
+                    )
+                    # classic = 3 dot-segments, multipart = 5, v2 = 4
+                    if len(os.path.basename(f).split(".")) == 4
+                ]
+                if len(v2) == 1:
+                    cp_files = v2
+                    missing_parts = []
             if missing_parts:
                 raise NotImplementedError(
                     "_last_checkpoint names checkpoint files this "
                     "replay subset cannot find "
                     f"({[os.path.basename(f) for f in missing_parts]})"
-                    " — a V2/sidecar checkpoint needs the jar-backed "
-                    "path in sources/lakehouse.py"
+                    " — use the jar-backed path in "
+                    "sources/lakehouse.py"
                 )
             rows_iter = [
                 row
                 for f in cp_files
                 for row in pq.read_table(f).to_pylist()
             ]
+            # V2 manifests reference sidecar files; splice their
+            # add/remove rows into the replay (checkpointMetadata
+            # rows carry no file state)
+            for row in list(rows_iter):
+                sc = row.get("sidecar")
+                if sc and sc.get("path"):
+                    sc_path = os.path.join(
+                        log_dir, "_sidecars", sc["path"]
+                    )
+                    if not os.path.exists(sc_path):
+                        raise NotImplementedError(
+                            f"sidecar {sc['path']!r} named by the V2 "
+                            "checkpoint is missing — use the "
+                            "jar-backed path"
+                        )
+                    rows_iter.extend(
+                        pq.read_table(sc_path).to_pylist()
+                    )
             for row in rows_iter:
                 if row.get("add") and row["add"].get("path"):
                     a = dict(row["add"])
@@ -535,12 +575,17 @@ class DeltaFixtureWriter:
         write_checkpoint(self.table_dir)
 
 
-def write_checkpoint(table_dir: str, parts: int = 1) -> int:
+def write_checkpoint(
+    table_dir: str, parts: int = 1, v2: bool = False
+) -> int:
     """Materialize the table's CURRENT snapshot as a spec-shaped
     parquet checkpoint (`NNNN.checkpoint.parquet` + `_last_checkpoint`)
     so readers replay O(commits-since-checkpoint) instead of the full
     log — the write-side half of the checkpoint contract this module's
     reader already honors. Returns the checkpointed version.
+    ``v2=True`` writes the V2 layout instead: a UUID-named manifest
+    whose ``sidecar`` actions reference ``parts`` file-action parquet
+    files under ``_delta_log/_sidecars/``.
 
     Per the Delta checkpoint spec the snapshot's protocol action and
     the full setTransaction (txn) ledger ride the checkpoint too —
@@ -668,7 +713,74 @@ def write_checkpoint(table_dir: str, parts: int = 1) -> int:
         )
     version = snap["version"]
     log_dir = os.path.join(table_dir, "_delta_log")
-    if parts <= 1:
+    if v2:
+        # V2 checkpoint (spec): a UUID-named MANIFEST carrying
+        # protocol/metaData/txn + checkpointMetadata, with the file
+        # actions split into SIDECAR parquet files under _sidecars/
+        # (``parts`` sidecars) — the layout that lets very large
+        # tables write checkpoint file actions in parallel and lets
+        # readers fetch them independently
+        import uuid as _uuid
+
+        v2_schema = pa.schema(
+            list(arrow_schema)
+            + [
+                (
+                    "checkpointMetadata",
+                    pa.struct([("version", pa.int64())]),
+                ),
+                (
+                    "sidecar",
+                    pa.struct(
+                        [
+                            ("path", pa.string()),
+                            ("sizeInBytes", pa.int64()),
+                            ("modificationTime", pa.int64()),
+                        ]
+                    ),
+                ),
+            ]
+        )
+        sidecar_dir = os.path.join(log_dir, "_sidecars")
+        os.makedirs(sidecar_dir, exist_ok=True)
+        file_rows = [r for r in rows if "add" in r or "remove" in r]
+        head_rows = [
+            r for r in rows if "add" not in r and "remove" not in r
+        ]
+        n_side = max(1, parts)
+        per = -(-max(len(file_rows), 1) // n_side)
+        manifest_rows = list(head_rows)
+        manifest_rows.append(
+            {"checkpointMetadata": {"version": version}}
+        )
+        for i in range(n_side):
+            chunk = file_rows[i * per : (i + 1) * per]
+            if not chunk and i > 0:
+                break
+            name = f"{_uuid.uuid4()}.parquet"
+            sc_path = os.path.join(sidecar_dir, name)
+            pq.write_table(
+                pa.Table.from_pylist(chunk, schema=arrow_schema),
+                sc_path,
+            )
+            manifest_rows.append(
+                {
+                    "sidecar": {
+                        "path": name,
+                        "sizeInBytes": os.path.getsize(sc_path),
+                        "modificationTime": 0,
+                    }
+                }
+            )
+        pq.write_table(
+            pa.Table.from_pylist(manifest_rows, schema=v2_schema),
+            os.path.join(
+                log_dir,
+                f"{version:020d}.checkpoint.{_uuid.uuid4()}.parquet",
+            ),
+        )
+        meta = {"version": version, "size": len(rows)}
+    elif parts <= 1:
         pq.write_table(
             pa.Table.from_pylist(rows, schema=arrow_schema),
             os.path.join(

@@ -1085,3 +1085,53 @@ def test_column_mapping_name_mode_read(tmp_path, spark):
         fh.write(json.dumps(_meta("id")) + "\n")
     with pytest.raises(NotImplementedError, match="columnMapping"):
         read_delta_snapshot(spark, str(tmp_path))
+
+
+def test_v2_sidecar_checkpoint_roundtrip(tmp_path, spark):
+    """V2 checkpoints: a UUID-named NNNN.checkpoint.<id>.parquet
+    manifest with checkpointMetadata + sidecar actions referencing
+    _delta_log/_sidecars/ parquet files that carry the adds. The
+    reader discovers the manifest by listing (4 dot-segments),
+    splices the sidecar rows into the replay, survives log
+    retention, and gates loudly on a missing sidecar."""
+    import glob as _glob
+
+    from kafka_spark_streaming_app_spark.queries.formats import (
+        _delta_stream_commit,
+    )
+    from kafka_spark_streaming_app_spark.sources.deltalog import (
+        cleanup_log,
+        write_checkpoint,
+    )
+
+    for b, keys in enumerate(([1, 2], [3, 4], [5, 6])):
+        _delta_stream_commit(str(tmp_path), _batch_df(spark, keys), 2 * b)
+    before = sorted(
+        r.o_orderkey
+        for r in read_delta_snapshot(spark, str(tmp_path)).collect()
+    )
+    v = write_checkpoint(str(tmp_path), parts=2, v2=True)
+    log_dir = tmp_path / "_delta_log"
+    manifests = [
+        f for f in os.listdir(log_dir)
+        if f.startswith(f"{v:020d}.checkpoint.")
+    ]
+    assert len(manifests) == 1
+    assert len(manifests[0].split(".")) == 4  # UUID-named, not classic
+    sidecars = os.listdir(log_dir / "_sidecars")
+    assert len(sidecars) == 2  # parts=2 file-action sidecars
+    assert cleanup_log(str(tmp_path))
+    snap = snapshot_files(str(tmp_path))
+    assert snap["from_checkpoint"] and snap["txns"]  # ledger intact
+    after = sorted(
+        r.o_orderkey
+        for r in read_delta_snapshot(spark, str(tmp_path)).collect()
+    )
+    assert after == before == [1, 2, 3, 4, 5, 6]
+    # appends on top of the v2 checkpoint replay correctly
+    _delta_stream_commit(str(tmp_path), _batch_df(spark, [7]), 6)
+    assert read_delta_snapshot(spark, str(tmp_path)).count() == 7
+    # a missing sidecar is a loud, specific error
+    os.remove(log_dir / "_sidecars" / sidecars[0])
+    with pytest.raises(NotImplementedError, match="sidecar"):
+        snapshot_files(str(tmp_path))
