@@ -310,6 +310,9 @@ PROBES = (
     # the data side scans row-linear with sequence-scoped splits)
     "delta_deletion_vector_file_read",
     "iceberg_equality_delete_read",
+    # v2 sidecar checkpoint: replay is O(KB) manifest+sidecar
+    # metadata; the read is corpus-linear like any snapshot scan
+    "delta_v2_checkpoint_read",
 )
 
 
