@@ -2548,66 +2548,52 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     tc = trans.groupBy("s", "t").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
-    ch = j2.filter(np_).select(
-        F.col("event_type").alias("c")
-    ).distinct()
-    var = ch.select(F.col("c").alias("var")).unionByName(
-        ch.limit(1).select(F.lit("__none__").alias("var"))
-    )
-    vt = (
-        F.broadcast(var)
-        .crossJoin(tc)
-        .filter(F.col("s") != F.col("var"))
-        .localCheckpoint(eager=False)
-    )
-    ns = vt.groupBy("var", "s").agg(F.sum("n").alias("ns"))
+    # The chain is DOMAIN-bounded, not data-bounded: its states are
+    # START/CONV/NULL plus the channel VOCABULARY (a handful of event
+    # types at any corpus size), so the transition-count table is a
+    # bounded aggregate — collecting it is collecting a result, like
+    # any 1-row agg. The r11 shape iterated the (channels+1)x(states)
+    # fixpoint with 20 rounds of distributed join+groupBy barriers
+    # (~60 tiny shuffles over a few dozen rows — pure per-stage
+    # scheduling cost); the value iteration now runs on the driver
+    # over the collected counts with BIT-IDENTICAL arithmetic
+    # (floor(double-division) on int64 terms < 2^53, exactly what the
+    # Catalyst expressions computed). The data-sized work — the
+    # journey window pass and the transition aggregation — stays
+    # distributed, and the final rounding/share arithmetic runs in
+    # Spark on the (channels)-row result so engine rounding semantics
+    # are unchanged.
+    import math as _math
+
+    rows = [(r["s"], r["t"], r["n"]) for r in tc.collect()]
+    channels = sorted({s for s, _, _ in rows if s != "START"})
+    variants = (channels + ["__none__"]) if channels else []
     scale = int(_MRA_SCALE)
-    v = ns.select(
-        "var", F.col("s").alias("state"), F.lit(0).cast("bigint").alias("vq")
-    ).localCheckpoint(eager=False)
-    for _ in range(_MRA_ITERS):
-        pv = v.select(
-            F.col("var").alias("pvar"),
-            F.col("state").alias("pstate"),
-            F.col("vq").alias("pvq"),
-        )
-        v = (
-            vt.join(
-                pv,
-                (F.col("var") == F.col("pvar"))
-                & (F.col("t") == F.col("pstate")),
-                "left",
-            )
-            .select(
-                "var",
-                "s",
-                (
-                    F.col("n")
-                    * F.when(F.col("t") == "CONV", F.lit(scale)).otherwise(
-                        F.coalesce(F.col("pvq"), F.lit(0))
-                    )
-                ).alias("term"),
-            )
-            .groupBy("var", "s")
-            .agg(F.sum("term").alias("num"))
-            .join(ns, ["var", "s"])
-            .select(
-                "var",
-                F.col("s").alias("state"),
-                F.floor(
-                    F.col("num").cast("double") / F.col("ns")
-                )
-                .cast("bigint")
-                .alias("vq"),
-            )
-            .localCheckpoint(eager=False)
-        )
-    start = v.filter(F.col("state") == "START")
-    base = start.filter(F.col("var") == "__none__").select(
-        F.col("vq").alias("bvq")
+    bvq = 0
+    rvq_by_channel: dict[str, int] = {}
+    for var in variants:
+        vt_rows = [(s, t, n) for s, t, n in rows if s != var]
+        ns: dict[str, int] = {}
+        for s, _, n in vt_rows:
+            ns[s] = ns.get(s, 0) + n
+        v = {s: 0 for s in ns}
+        for _ in range(_MRA_ITERS):
+            num: dict[str, int] = {s: 0 for s in ns}
+            for s, t, n in vt_rows:
+                num[s] += n * (scale if t == "CONV" else v.get(t, 0))
+            v = {
+                s: _math.floor(num[s] / ns[s]) for s in ns
+            }  # floor(double division): the engines' exact semantics
+        if var == "__none__":
+            bvq = v.get("START", 0)
+        else:
+            rvq_by_channel[var] = v.get("START", 0)
+    base = spark.createDataFrame(
+        [(bvq,)], "bvq bigint"
     )
-    rem = start.filter(F.col("var") != "__none__").select(
-        F.col("var").alias("channel"), F.col("vq").alias("rvq")
+    rem = spark.createDataFrame(
+        [(c, rvq_by_channel[c]) for c in channels],
+        "channel string, rvq bigint",
     )
     # degenerate-corpus guards (cross-engine contract: Spark yields
     # Inf/NaN on x/0 where DuckDB may error or disagree — pin both

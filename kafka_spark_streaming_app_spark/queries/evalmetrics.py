@@ -815,7 +815,6 @@ def ab_interleaving_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds × (anti-join + top-1 window) over candidate-depth rows per
     query — candidate-bounded, independent of corpus size once the
     two top-10 lists exist (one corpus scan each)."""
-    from ..functions.hashing import h60
     from ..functions.vectors import cosine as _cos, dot as _dot
     from ..operators.similarity import with_vector_norm
 
@@ -843,115 +842,71 @@ def ab_interleaving_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     wb = Window.partitionBy("query_id").orderBy(
         F.desc("dot_s"), F.asc("corpus_id")
     )
-    la = (
+    # Perf (r12): the drafting state is CANDIDATE-bounded (|queries| x
+    # 2 x _IL_DEPTH rows at any corpus size — the docstring's own
+    # scale argument), so the two top-k lists are collected in ONE
+    # distributed job (both ranks in a single window pass instead of
+    # two checkpointed passes) and the round-robin draft runs on the
+    # driver with identical pick semantics; the r11 shape unrolled the
+    # draft into ~30 tiny anti-join/window stages over <=100 rows —
+    # pure per-stage scheduling cost. Click credit stays in Spark.
+    ranked = (
         scored.withColumn("rank_a", F.row_number().over(wa))
-        .filter(F.col("rank_a") <= _IL_DEPTH)
-        .select("query_id", "corpus_id", "rank_a")
-        .localCheckpoint(eager=False)
+        .withColumn("rank_b", F.row_number().over(wb))
+        .filter(
+            (F.col("rank_a") <= _IL_DEPTH)
+            | (F.col("rank_b") <= _IL_DEPTH)
+        )
+        .select("query_id", "corpus_id", "rank_a", "rank_b")
     )
-    lb = (
-        scored.withColumn("rank_b", F.row_number().over(wb))
-        .filter(F.col("rank_b") <= _IL_DEPTH)
-        .select("query_id", "corpus_id", "rank_b")
-        .localCheckpoint(eager=False)
-    )
-    coins = qs.select(
-        "query_id",
-        F.explode(
-            F.sequence(F.lit(1), F.lit(_IL_ROUNDS))
-        ).alias("r"),
-    ).select(
-        "query_id",
-        "r",
-        F.pmod(
-            h60(
-                F.concat(
-                    F.lit("il|"),
-                    F.col("query_id").cast("string"),
-                    F.lit("|"),
-                    F.col("r").cast("string"),
-                )
-            ),
-            F.lit(2),
-        ).alias("c"),
-    )
-    sel = None  # (query_id, corpus_id, team)
+    rows = ranked.collect()
+    list_a: dict = {}
+    list_b: dict = {}
+    for row in sorted(rows, key=lambda r: (r["query_id"], r["rank_a"])):
+        if row["rank_a"] <= _IL_DEPTH:
+            list_a.setdefault(row["query_id"], []).append(
+                row["corpus_id"]
+            )
+    for row in sorted(rows, key=lambda r: (r["query_id"], r["rank_b"])):
+        if row["rank_b"] <= _IL_DEPTH:
+            list_b.setdefault(row["query_id"], []).append(
+                row["corpus_id"]
+            )
+
+    import hashlib as _hashlib
+
+    def _coin(q: int, r: int) -> int:
+        # pmod(h60('il|q|r'), 2): first 15 md5 hex chars as int
+        h = int(
+            _hashlib.md5(f"il|{q}|{r}".encode()).hexdigest()[:15], 16
+        )
+        return h % 2
+
+    sel_rows: list = []  # (query_id, corpus_id, team)
+    taken: dict = {}
     for r in range(1, _IL_ROUNDS + 1):
-        if sel is None:
-            av_a, av_b = la, lb
-        else:
-            key = ["query_id", "corpus_id"]
-            av_a = la.join(sel.select(*key), key, "left_anti")
-            av_b = lb.join(sel.select(*key), key, "left_anti")
-        w1a = Window.partitionBy("query_id").orderBy("rank_a")
-        w1b = Window.partitionBy("query_id").orderBy("rank_b")
-        best_a = (
-            av_a.withColumn("rn", F.row_number().over(w1a))
-            .filter(F.col("rn") == 1)
-            .select("query_id", F.col("corpus_id").alias("a_id"))
-        )
-        best_b = (
-            av_b.withColumn("rn", F.row_number().over(w1b))
-            .filter(F.col("rn") == 1)
-            .select("query_id", F.col("corpus_id").alias("b_id"))
-        )
-        first = (
-            coins.filter(F.col("r") == r)
-            .join(best_a, "query_id")
-            .join(best_b, "query_id")
-            .select(
-                "query_id",
-                F.when(F.col("c") == 0, F.col("a_id"))
-                .otherwise(F.col("b_id"))
-                .alias("corpus_id"),
-                F.when(F.col("c") == 0, F.lit("A"))
-                .otherwise(F.lit("B"))
-                .alias("team"),
-            )
-        )
-        s_a = (
-            av_a.join(
-                first.select(
-                    "query_id", F.col("corpus_id").alias("f_id")
-                ),
-                "query_id",
-            )
-            .filter(F.col("corpus_id") != F.col("f_id"))
-            .withColumn("rn", F.row_number().over(w1a))
-            .filter(F.col("rn") == 1)
-            .select("query_id", F.col("corpus_id").alias("a2_id"))
-        )
-        s_b = (
-            av_b.join(
-                first.select(
-                    "query_id", F.col("corpus_id").alias("f_id")
-                ),
-                "query_id",
-            )
-            .filter(F.col("corpus_id") != F.col("f_id"))
-            .withColumn("rn", F.row_number().over(w1b))
-            .filter(F.col("rn") == 1)
-            .select("query_id", F.col("corpus_id").alias("b2_id"))
-        )
-        second = (
-            first.join(s_a, "query_id")
-            .join(s_b, "query_id")
-            .select(
-                "query_id",
-                F.when(F.col("team") == "A", F.col("b2_id"))
-                .otherwise(F.col("a2_id"))
-                .alias("corpus_id"),
-                F.when(F.col("team") == "A", F.lit("B"))
-                .otherwise(F.lit("A"))
-                .alias("team"),
-            )
-        )
-        picked = first.unionByName(second)
-        sel = (
-            picked
-            if sel is None
-            else sel.unionByName(picked)
-        ).localCheckpoint(eager=False)
+        for q in sorted(set(list_a) | set(list_b)):
+            got = taken.setdefault(q, set())
+            av_a = [c for c in list_a.get(q, []) if c not in got]
+            av_b = [c for c in list_b.get(q, []) if c not in got]
+            if not av_a or not av_b:
+                continue  # the Spark shape's inner joins drop the query
+            if _coin(q, r) == 0:
+                fid, team1 = av_a[0], "A"
+            else:
+                fid, team1 = av_b[0], "B"
+            sel_rows.append((q, fid, team1))
+            got.add(fid)
+            s_a = next((c for c in av_a if c != fid), None)
+            s_b = next((c for c in av_b if c != fid), None)
+            if s_a is None or s_b is None:
+                continue  # second pick needs both lists non-exhausted
+            sid, team2 = (s_b, "B") if team1 == "A" else (s_a, "A")
+            sel_rows.append((q, sid, team2))
+            got.add(sid)
+    sel = spark.createDataFrame(
+        sel_rows, "query_id bigint, corpus_id bigint, team string"
+    )
     labeled = (
         sel.join(
             nv.select(F.col("vec_id").alias("corpus_id"), "label"),

@@ -2537,6 +2537,61 @@ def iceberg_changelog_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- streaming FROM the lakehouse (delta as a source) ---------------------------
 
 
+def _staged_order_waves(
+    spark: SparkSession, sf_dir: str, dest_root: str, n_waves: int = 4
+) -> dict:
+    """Stage every commit wave's parquet files in ONE distributed job.
+
+    The r11 shape ran, PER WAVE, a full orders scan + a range-sample
+    pass + a shuffle + a write (``repartitionByRange`` inside
+    ``_clustered_orders_batch`` re-sampled for every wave's filter) —
+    4x the passes over the input for data that is all known up front.
+    One range shuffle on ``(__w, o_orderkey)`` + one ``partitionBy``
+    write produces the identical per-wave row sets with the same
+    o_orderkey clustering (range partitions are contiguous in the
+    composite key, so each wave still lands as ~``8`` key-ordered
+    files); wave visibility is controlled by the COMMIT metadata, not
+    file placement, so staging everything up front cannot leak rows
+    into an earlier trigger (files outside the log/manifest are
+    invisible to readers). Returns ``{wave: [rel paths]}`` with files
+    placed under ``dest_root/batch-<2w:05d>/``.
+    """
+    import shutil as _shutil
+
+    staging = os.path.join(dest_root, "_wave_staging")
+    (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .withColumn("__w", F.abs(F.hash("o_orderkey")) % n_waves)
+        .repartitionByRange(8 * n_waves, "__w", "o_orderkey")
+        .write.partitionBy("__w")
+        .parquet(staging)
+    )
+    rels: dict[int, list] = {}
+    for w in range(n_waves):
+        src = os.path.join(staging, f"__w={w}")
+        rel_dir = f"batch-{2 * w:05d}"
+        os.makedirs(os.path.join(dest_root, rel_dir), exist_ok=True)
+        out = []
+        for f in sorted(os.listdir(src)):
+            if f.endswith(".parquet"):
+                rel = os.path.join(rel_dir, f)
+                os.replace(
+                    os.path.join(src, f), os.path.join(dest_root, rel)
+                )
+                out.append(rel)
+        rels[w] = out
+    _shutil.rmtree(staging, ignore_errors=True)
+    return rels
+
+
 @query("streaming_delta_source_roundtrip", _DELTA_STREAM_ORACLE)
 def streaming_delta_source_roundtrip(
     spark: SparkSession, sf_dir: str
@@ -2559,14 +2614,43 @@ def streaming_delta_source_roundtrip(
 
     table_dir = tempfile.mkdtemp(prefix="delta_source_")
     _atexit.register(_shutil.rmtree, table_dir, ignore_errors=True)
-    base = _clustered_orders_batch(spark, sf_dir).withColumn(
-        "__w", F.abs(F.hash("o_orderkey")) % 4
-    )
-    waves = [
-        base.filter(F.col("__w") == w).drop("__w") for w in range(4)
-    ]
+    # Perf shape (r12): the four waves' data files are staged by ONE
+    # distributed job and their stats collected by ONE job
+    # (_staged_order_waves); each between-trigger "commit" is then a
+    # driver-side O(KB) log write — identical per-wave row sets and
+    # commit sequence, 4x fewer passes over the input.
+    log_dir = os.path.join(table_dir, "_delta_log")
+    rels_by_wave = _staged_order_waves(spark, sf_dir, table_dir)
+    adds = {
+        a["add"]["path"]: a
+        for a in _delta_add_actions(
+            spark, table_dir,
+            [r for rs in rels_by_wave.values() for r in rs],
+        )
+    }
+
+    def _commit_wave(w: int) -> None:
+        batch_id = 2 * w  # even: append (parity with the r11 ids)
+        version = _delta_next_version(log_dir, batch_id)
+        if version is None:
+            return
+        actions = [] if version > 0 else _delta_meta_actions(
+            (
+                ("o_orderkey", "long"),
+                ("o_orderstatus", "string"),
+                ("o_orderpriority", "string"),
+                ("cents", "long"),
+            ),
+            (),
+        )
+        actions.append(
+            {"txn": {"appId": _DELTA_STREAM_APP, "version": batch_id}}
+        )
+        actions += [adds[r] for r in rels_by_wave[w]]
+        _delta_write_commit(log_dir, version, actions, table_dir, 10)
+
     # commit wave 0 first: the source needs the table's schema
-    _delta_stream_commit(table_dir, waves[0], 0)
+    _commit_wave(0)
     register_deltastream(spark)
     raw = (
         spark.readStream.format("deltastream")
@@ -2582,11 +2666,19 @@ def streaming_delta_source_roundtrip(
         )
     )
     name = "delta_source_sink"
-    q = write_memory_stream(agg, name, output_mode="complete")
+    # state width: the aggregate's group count is domain-bounded
+    # (status x priority), so size the stream's state partitions by
+    # state volume, not the session default — the _run_to_table rule
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = write_memory_stream(agg, name, output_mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     try:
         q.processAllAvailable()
-        for w, df in enumerate(waves[1:], start=1):
-            _delta_stream_commit(table_dir, df, 2 * w)  # even: append
+        for w in range(1, 4):
+            _commit_wave(w)  # driver-side metadata append
             q.processAllAvailable()
     finally:
         q.stop()
@@ -2616,13 +2708,28 @@ def streaming_iceberg_source_roundtrip(
     table_dir = tempfile.mkdtemp(prefix="iceberg_source_")
     _atexit.register(_shutil.rmtree, table_dir, ignore_errors=True)
     committer = IcebergCommitter(table_dir, _ICEBERG_SINK_FIELDS)
-    base = _clustered_orders_batch(spark, sf_dir).withColumn(
-        "__w", F.abs(F.hash("o_orderkey")) % 4
+    # Perf shape (r12): one distributed job stages all four waves'
+    # data files (see _staged_order_waves); each between-trigger
+    # commit is then driver-side manifest/metadata writes over
+    # pre-staged files — identical per-wave row sets and snapshot
+    # sequence, 4x fewer passes over the input.
+    rels_by_wave = _staged_order_waves(
+        spark, sf_dir, os.path.join(table_dir, "data")
     )
-    waves = [
-        base.filter(F.col("__w") == w).drop("__w") for w in range(4)
-    ]
-    _iceberg_stream_commit(committer, table_dir, waves[0], 0)
+
+    def _commit_wave(w: int) -> None:
+        batch_id = 2 * w  # even batch ids: pure appends
+        if committer.committed_batch_id() >= batch_id:
+            return
+        entries = [
+            committer.data_file_entry(
+                os.path.join(table_dir, "data", rel)
+            )
+            for rel in rels_by_wave[w]
+        ]
+        committer.commit(batch_id, entries)
+
+    _commit_wave(0)
     register_icebergstream(spark)
     raw = (
         spark.readStream.format("icebergstream")
@@ -2635,13 +2742,18 @@ def streaming_iceberg_source_roundtrip(
         F.sum("cents").cast("bigint").alias("cents"),
     )
     name = "iceberg_source_sink"
-    q = write_memory_stream(agg, name, output_mode="complete")
+    # state width sized by state volume (domain-bounded group count),
+    # matching the delta twin and the _run_to_table rule
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = write_memory_stream(agg, name, output_mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     try:
         q.processAllAvailable()
-        for w, df in enumerate(waves[1:], start=1):
-            _iceberg_stream_commit(
-                committer, table_dir, df, 2 * w
-            )  # even batch ids: pure appends
+        for w in range(1, 4):
+            _commit_wave(w)  # driver-side metadata commit
             q.processAllAvailable()
     finally:
         q.stop()

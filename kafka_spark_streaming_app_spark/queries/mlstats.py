@@ -4834,7 +4834,13 @@ def doubly_robust_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the labeled blocked pairs with add-one smoothing (keeps every
 # ln(m/u) finite even in degenerate blocks), field weights are
 # 1e9-quantized lns, and the pair score is an exact int64 sum.
-_FS_ORACLE = """
+# The pair-comparison table is shared by the m/u ESTIMATION aggregate
+# and the final SCORING projection. The oracle spells it as one CTE
+# referenced twice (DuckDB materializes CTEs); the Spark
+# implementation materializes it explicitly instead, because Spark
+# INLINES deterministic CTEs — the r11 shape executed the blocked
+# pair join twice per run (see fellegi_sunter_linkage below).
+_FS_PAIRS_SQL = """
 WITH a AS (
     SELECT c_custkey AS ck,
            c_custkey % 97 AS f1,
@@ -4859,15 +4865,19 @@ b AS (
            CAST(round(c_acctbal / 100.0, 0) AS BIGINT)
            + CASE WHEN c_custkey % 4 = 0 THEN 1 ELSE 0 END AS balb
     FROM customer
-),
-pairs AS (
-    SELECT a.ck AS ck_a, b.ck AS ck_b,
-           CASE WHEN a.ck = b.ck THEN 1 ELSE 0 END AS is_match,
-           CASE WHEN a.f1 = b.f1 THEN 1 ELSE 0 END AS g1,
-           CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS g2,
-           CASE WHEN a.balb = b.balb THEN 1 ELSE 0 END AS g3
-    FROM a JOIN b ON a.nat = b.nat
-),
+)
+SELECT a.ck AS ck_a, b.ck AS ck_b,
+       CASE WHEN a.ck = b.ck THEN 1 ELSE 0 END AS is_match,
+       CASE WHEN a.f1 = b.f1 THEN 1 ELSE 0 END AS g1,
+       CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS g2,
+       CASE WHEN a.balb = b.balb THEN 1 ELSE 0 END AS g3
+FROM a JOIN b ON a.nat = b.nat
+"""
+
+# est → wts → scored over a {pairs} relation; shared verbatim by the
+# oracle (pairs = the CTE) and the Spark run (pairs = the
+# materialized temp view), so the scoring arithmetic cannot drift.
+_FS_SCORING_SQL = """
 est AS (
     SELECT
         CAST(sum(is_match) AS BIGINT) AS nm,
@@ -4878,7 +4888,7 @@ est AS (
         CAST(sum(CASE WHEN is_match = 0 THEN g2 ELSE 0 END) AS BIGINT) AS u2c,
         CAST(sum(CASE WHEN is_match = 1 THEN g3 ELSE 0 END) AS BIGINT) AS m3c,
         CAST(sum(CASE WHEN is_match = 0 THEN g3 ELSE 0 END) AS BIGINT) AS u3c
-    FROM pairs
+    FROM {pairs}
 ),
 wts AS (
     -- integer-product ratios with one DOUBLE cast each: x.y
@@ -4900,13 +4910,22 @@ scored AS (
               + (CASE WHEN p.g2 = 1 THEN w.w2a ELSE w.w2d END)
               + (CASE WHEN p.g3 = 1 THEN w.w3a ELSE w.w3d END)
                 AS BIGINT) AS score_q
-    FROM pairs p CROSS JOIN wts w
+    FROM {pairs} p CROSS JOIN wts w
 )
 SELECT ck_a, ck_b, agree_pattern, score_q,
        CAST(is_match AS BOOLEAN) AS is_true_match
 FROM scored
 WHERE score_q > 0
 """
+
+# Oracle: the pair table as a CTE (DuckDB materializes multi-ref CTEs,
+# so the blocked join runs once there too).
+_FS_ORACLE = (
+    "WITH pairs AS ("
+    + _FS_PAIRS_SQL
+    + "),\n"
+    + _FS_SCORING_SQL.format(pairs="pairs").lstrip()
+)
 
 
 @query("fellegi_sunter_linkage", _FS_ORACLE)
@@ -4923,13 +4942,28 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays finite; weights are 1e9-quantized lns and scores exact
     int64 sums. The emitted relation is the score>0 classification
     itself WITH ground truth riding along, so the driver hash pins
-    the linkage quality, not just the arithmetic. Identical SQL text
-    on both engines; pure-Python pin incl. precision/recall bounds in
-    tests/test_properties.py."""
+    the linkage quality, not just the arithmetic. The scoring SQL is
+    the identical text on both engines; pure-Python pin incl.
+    precision/recall bounds in tests/test_properties.py.
+
+    Perf (r12): the pair-comparison table feeds BOTH the m/u
+    estimation aggregate and the final scoring projection. Spark
+    inlines deterministic CTEs, so the one-statement oracle shape
+    executed the blocked pair join TWICE per run (DuckDB materializes
+    the CTE). The Spark side now materializes the comparison vectors
+    once (lazy localCheckpoint — the Splink "comparison table"
+    discipline) and runs the verbatim scoring SQL over the
+    materialized view: one pass over the pair space instead of two.
+    At scale this is the standard trade — persist O(candidate pairs)
+    of small ints rather than re-run the blocked join."""
     from ..sources.batch import register_views
 
     register_views(spark, sf_dir, ("customer",))
-    return spark.sql(_FS_ORACLE)
+    pairs = spark.sql(_FS_PAIRS_SQL).localCheckpoint(eager=False)
+    pairs.createOrReplaceTempView("fs_pairs")
+    return spark.sql(
+        "WITH " + _FS_SCORING_SQL.format(pairs="fs_pairs").lstrip()
+    )
 
 
 # --- Rolling-origin forecast backtest ---------------------------------------

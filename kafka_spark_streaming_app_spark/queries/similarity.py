@@ -1954,48 +1954,54 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    w1 = Window.partitionBy("query_id").orderBy(
-        F.desc("rel"), F.asc("corpus_id")
-    )
-    sel = (
-        pool.withColumn("rk", F.row_number().over(w1))
-        .filter(F.col("rk") == 1)
-        .select(
-            "query_id", "corpus_id", F.lit(1).alias("mmr_rank"), "rel"
+    # Perf (r12): the greedy MMR selection state is POOL-bounded
+    # (queries x _MMR_POOL rows and their pairwise sims — independent
+    # of corpus size, the docstring's own scale argument), so after
+    # the distributed pool + pairwise-cosine jobs the K-step greedy
+    # runs on the driver over the collected pool with bit-identical
+    # IEEE double arithmetic (0.7*rel - 0.3*max_sim on round-6
+    # doubles, ties by corpus_id). The r11 shape unrolled K-1
+    # checkpointed anti-join/window rounds over <=queries*12 rows —
+    # per-stage scheduling cost, not computation.
+    pool_rows = pool.collect()
+    cc_rows = cc.collect()
+    pool_by_q: dict = {}
+    for r in pool_rows:
+        pool_by_q.setdefault(r["query_id"], []).append(
+            (r["corpus_id"], r["rel"])
         )
-    )
-    for i in range(2, _MMR_K + 1):
-        cand = pool.join(
-            sel.select("query_id", "corpus_id"),
-            ["query_id", "corpus_id"],
-            "left_anti",
-        )
-        ms = (
-            cc.join(
-                sel.select("query_id", F.col("corpus_id").alias("id_b")),
-                ["query_id", "id_b"],
-            )
-            .groupBy("query_id", F.col("id_a").alias("corpus_id"))
-            .agg(F.max("sim").alias("ms"))
-        )
-        score = F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.col("ms")
-        wi = Window.partitionBy("query_id").orderBy(
-            score.desc(), F.asc("corpus_id")
-        )
-        pick = (
-            cand.join(ms, ["query_id", "corpus_id"])
-            .withColumn("rk", F.row_number().over(wi))
-            .filter(F.col("rk") == 1)
-            .select(
-                "query_id", "corpus_id", F.lit(i).alias("mmr_rank"), "rel"
-            )
-        )
-        sel = sel.unionByName(pick).localCheckpoint(eager=False)
-    return sel.select(
-        "query_id",
-        "corpus_id",
-        F.col("mmr_rank").cast("bigint").alias("mmr_rank"),
-        "rel",
+    sim: dict = {}
+    for r in cc_rows:
+        sim[(r["query_id"], r["id_a"], r["id_b"])] = r["sim"]
+    sel_rows: list = []
+    for q in sorted(pool_by_q):
+        items = pool_by_q[q]
+        first = min(items, key=lambda t: (-t[1], t[0]))
+        chosen = {first[0]}
+        sel_rows.append((q, first[0], 1, first[1]))
+        for i in range(2, _MMR_K + 1):
+            best = None
+            for cid, rel in items:
+                if cid in chosen:
+                    continue
+                sims = [
+                    sim[(q, cid, b)]
+                    for b in chosen
+                    if (q, cid, b) in sim
+                ]
+                if not sims:
+                    continue  # the inner join's drop semantics
+                score = 0.7 * rel - 0.3 * max(sims)
+                key = (-score, cid)
+                if best is None or key < best[0]:
+                    best = (key, cid, rel)
+            if best is None:
+                continue
+            chosen.add(best[1])
+            sel_rows.append((q, best[1], i, best[2]))
+    return spark.createDataFrame(
+        sel_rows,
+        "query_id bigint, corpus_id bigint, mmr_rank bigint, rel double",
     )
 
 
