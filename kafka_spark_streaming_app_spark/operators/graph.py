@@ -62,6 +62,12 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
+        # carry the did-this-node-improve flag THROUGH the update (the
+        # label can only decrease, so improved == nlabel < label):
+        # convergence is then a filter+count over the already
+        # materialized checkpoint instead of a per-superstep join of
+        # new labels against old — one fewer shuffle per superstep,
+        # same labels
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
@@ -69,16 +75,14 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce("nlabel", "label")
                 ).alias("label"),
+                (F.coalesce("nlabel", "label") < F.col("label")).alias(
+                    "_chg"
+                ),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_chg")).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             return labels.select("node", F.col("label").alias("cluster_id"))
     raise RuntimeError(
@@ -151,9 +155,17 @@ def connected_components_star(
             .distinct()
             .localCheckpoint()
         )
+        # exact fixpoint probe in ONE job: both edge sets are DISTINCT
+        # by construction, so a row landing in exactly one of them is
+        # precisely the symmetric difference — one union+groupBy
+        # instead of the two exceptAll jobs per round this replaces
         changed = (
-            small.exceptAll(e).limit(1).count()
-            + e.exceptAll(small).limit(1).count()
+            small.unionAll(e)
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("k"))
+            .filter(F.col("k") == 1)
+            .limit(1)
+            .count()
         )
         e = small
         if changed == 0:

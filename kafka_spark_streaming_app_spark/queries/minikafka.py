@@ -352,7 +352,14 @@ def streaming_kafka_roundtrip(
     parsed = parse_and_clean(raw, ORDER_SCHEMA, watermark=None)
     agg = _windowed_location_agg(parsed)
     name = "kafka_roundtrip_sink"
-    q = write_memory_stream(agg, name, output_mode="complete")
+    # state width sized by state volume (windows x locations), the
+    # streaming-module rule — not the session shuffle width (r12)
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = write_memory_stream(agg, name, output_mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     try:
         _drain_waves(spark, broker, _STREAM_TOPIC, q)
     finally:
@@ -416,12 +423,18 @@ def streaming_kafka_to_delta_pipeline(
             table_dir, batch_df, batch_id, fields, checkpoint_interval=2
         )
 
-    q = (
-        agg.writeStream.foreachBatch(sink)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
+    # state width sized by state volume (windows x locations), as above
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     try:
         _drain_waves(spark, broker, _PIPELINE_TOPIC, q)
     finally:

@@ -167,7 +167,11 @@ def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_distinct=False,
         stabilize_sums=True,
     ).drop("unique_customers")
-    return _run_to_table(spark, agg, output_mode="complete")
+    # state width sized by state volume (windows x event types), the
+    # module rule — not the session/cluster shuffle width (r12)
+    return _run_to_table(
+        spark, agg, output_mode="complete", shuffle_partitions=8
+    )
 
 
 _STREAM_FRAUD_ORACLE = """
@@ -237,7 +241,9 @@ def streaming_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataF
         F.col("amount").alias("total_amount"),
     )
     totals = running_totals(stream)
-    snapshot = _run_to_table(spark, totals, output_mode="update")
+    snapshot = _run_to_table(
+        spark, totals, output_mode="update", shuffle_partitions=8
+    )
     return snapshot.select(
         "user_id",
         "n_orders",
@@ -364,7 +370,9 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         gap="30 minutes",
         amount_col="amount",
     )
-    return _run_to_table(spark, sessions, output_mode="complete")
+    return _run_to_table(
+        spark, sessions, output_mode="complete", shuffle_partitions=8
+    )
 
 
 _STREAM_APPEND_ORACLE = """
@@ -498,7 +506,9 @@ def streaming_windowed_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_distinct=False,
         stabilize_sums=True,
     ).drop("unique_customers", "avg_order_value", "max_order_value", "min_order_value")
-    return _run_to_table(spark, agg, output_mode="append")
+    return _run_to_table(
+        spark, agg, output_mode="append", shuffle_partitions=8
+    )
 
 
 # Custom stateful sessionization with EVENT-TIME TIMEOUT: a session
@@ -612,7 +622,9 @@ def streaming_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFram
             "total_value",
         )
     )
-    return _run_to_table(spark, sessions, output_mode="complete")
+    return _run_to_table(
+        spark, sessions, output_mode="complete", shuffle_partitions=8
+    )
 
 
 # --- bounded-state APPEND twins of the complete-mode session queries --------

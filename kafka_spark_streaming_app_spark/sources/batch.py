@@ -22,18 +22,38 @@ from pyspark.sql import functions as F
 from ..session import apply_runtime_confs
 
 
+# (path, mtime) -> ns-column names. SCHEMA metadata only — never row
+# data — so memoizing is the same class of cache as Spark's own file
+# index caching; the mtime key invalidates it if a table is rewritten.
+# A bench/driver session calls load_table hundreds of times over the
+# same immutable parquet inputs; one footer open per (table, version)
+# instead of one per call.
+_NANOS_COLS_CACHE: dict = {}
+
+
 def _nanos_timestamp_columns(path: str) -> list[str]:
     """Names of TIMESTAMP(NANOS) columns in a parquet file/dir (footer
     metadata only — no data read)."""
+    import os
+
     import pyarrow.dataset as ds
     import pyarrow.types as pat
 
+    try:
+        key = (path, os.stat(path).st_mtime_ns)
+    except OSError:
+        key = (path, None)
+    hit = _NANOS_COLS_CACHE.get(key)
+    if hit is not None:
+        return hit
     schema = ds.dataset(path, format="parquet").schema
-    return [
+    cols = [
         field.name
         for field in schema
         if pat.is_timestamp(field.type) and field.type.unit == "ns"
     ]
+    _NANOS_COLS_CACHE[key] = cols
+    return cols
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
