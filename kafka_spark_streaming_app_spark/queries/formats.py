@@ -715,7 +715,11 @@ def _delta_add_actions(
             yield rel, _j.dumps(stats), _os.path.getsize(path)
 
     sc = spark.sparkContext
-    slices = max(1, min(len(rels), sc.defaultParallelism))
+    # amortize per-task (Python worker) overhead over a few footers
+    # each — a footer open is O(ms), so one file per task is pure
+    # scheduling; parallelism still scales to the cluster for big
+    # fanout commits (thousands of files -> defaultParallelism tasks)
+    slices = max(1, min((len(rels) + 3) // 4, sc.defaultParallelism))
     collected = {
         rel: (stats, size)
         for rel, stats, size in sc.parallelize(rels, slices)

@@ -2876,29 +2876,44 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = daily.select(
         F.row_number().over(w_ord).alias("t"), "rev_cents"
     ).localCheckpoint(eager=False)
-    a = idx.select(F.col("t").alias("ta"), F.col("rev_cents").alias("ra"))
-    b = idx.select(F.col("t").alias("tb"), F.col("rev_cents").alias("rb"))
+    # spread the day index across the cluster BEFORE the pair
+    # nested-loop join — the index inherits ONE partition from its
+    # row_number window, which would otherwise generate the whole
+    # day² pair table (and everything downstream) in a single task
+    a = idx.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("t").alias("ta"), F.col("rev_cents").alias("ra")
+    )
+    b = F.broadcast(
+        idx.select(F.col("t").alias("tb"), F.col("rev_cents").alias("rb"))
+    )
     pairs = a.join(b, F.col("tb") > F.col("ta")).select(
         (
             (F.col("rb") - F.col("ra")).cast("double")
             / (F.col("tb") - F.col("ta"))
-        ).alias("slope")
-    )
-    w_rank = Window.orderBy("slope")
-    ranked = pairs.select(
-        "slope",
-        F.row_number().over(w_rank).alias("r"),
-        F.count(F.lit(1)).over(
-            Window.partitionBy()
-        ).alias("m"),
-    )
+        ).alias("slope"),
+        "ta",
+        "tb",
+    ).localCheckpoint(eager=False)
+    # Median SELECTION via the two-level distributed prefix sum
+    # (operators/llmprep.with_running_total) instead of a
+    # Window.orderBy with no partition key, which dragged the whole
+    # day² pair table through ONE task (r12; the k-th smallest VALUE
+    # is invariant to tie order, and (ta, tb) makes the order total
+    # anyway). n_pairs comes from the checkpoint-materializing count.
+    from ..operators.llmprep import with_running_total
+
+    m = pairs.count()
+    k1, k2 = (m + 1) // 2, (m + 2) // 2
+    ranked = with_running_total(
+        pairs.withColumn("_one", F.lit(1)),
+        order_cols=["slope", "ta", "tb"],
+        value_col="_one",
+        out_col="_pos",
+    ).withColumn("r", F.col("_pos").cast("bigint"))
     return (
-        ranked.filter(
-            (F.col("r") == F.expr("(m + 1) div 2"))
-            | (F.col("r") == F.expr("(m + 2) div 2"))
-        )
+        ranked.filter(F.col("r").isin([k1, k2]))
         .agg(
-            F.max("m").cast("bigint").alias("n_pairs"),
+            F.max(F.lit(m).cast("bigint")).alias("n_pairs"),
             F.round(F.avg("slope"), 6).alias(
                 "theil_sen_slope_cents_per_day"
             ),
