@@ -910,10 +910,16 @@ def bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             h60(F.concat(F.lit(f"bl{k}|"), col.cast("string"))) % _BL_BITS
         )
 
-    positions = None
-    for k in range(_BL_K):
-        part = urgent.select(pos(k, F.col("o_orderkey")).alias("pos"))
-        positions = part if positions is None else positions.unionByName(part)
+    # one scan: explode the K hash positions per key rather than
+    # unioning K scans of the build side (r12; same rows into the
+    # order-insensitive bit_or)
+    positions = urgent.select(
+        F.explode(
+            F.array(
+                *[pos(k, F.col("o_orderkey")) for k in range(_BL_K)]
+            )
+        ).alias("pos")
+    )
     # pyspark's shiftleft() takes a literal shift count only — the
     # column-shift form goes through the SQL expression
     mask_expr = f"shiftleft(1L, cast(pos % {_BL_WORD} as int))"
