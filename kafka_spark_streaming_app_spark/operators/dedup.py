@@ -481,12 +481,19 @@ def semantic_dedup(
         .join(assign, id_col)
         .localCheckpoint(eager=False)
     )
+    # §2.5: k is tiny on a small corpus (k = 2 at a few thousand
+    # vectors), and a pair join keyed on k distinct cids runs the
+    # whole quadratic stage on k tasks; salt it up to the cluster
+    # width. At corpus scale k >> parallelism and the salt is 1 —
+    # zero replication cost exactly when it isn't needed.
+    par = df.sparkSession.sparkContext.defaultParallelism
     pairs = embedding_near_dup_pairs(
         clustered,
         vec_col=vec_col,
         id_col=id_col,
         block_col="cid",
         threshold=threshold,
+        salt_partitions=max(1, -(-par // k)),
     )
     dropped = (
         pairs.select(F.col("id_b").alias(id_col))
@@ -506,6 +513,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     block_col: str = "label",
     threshold: float = 0.4,
+    salt_partitions: int = 1,
 ) -> DataFrame:
     """Near-duplicate vectors by cosine similarity within blocks.
 
@@ -514,6 +522,16 @@ def embedding_near_dup_pairs(
     see operators/similarity.py). Cosine is computed with higher-order
     functions in float64 (cast first: float32 arithmetic orders
     differently across engines).
+
+    ``salt_partitions`` > 1 splits each block's pair enumeration
+    across that many shuffle partitions: the left side is salted by a
+    deterministic hash of its id and the right side replicated per
+    salt, so every pair still meets exactly once. This is the §2.5
+    low-distinct-join-key fix — a join keyed on a handful of block
+    values otherwise runs the whole quadratic pair stage on that many
+    tasks. Callers that KNOW the block count pass
+    ``ceil(parallelism / n_blocks)`` (1 when blocks already exceed
+    the cluster width, i.e. no replication cost at scale).
     """
     withnorm = df.select(
         F.col(id_col),
@@ -532,8 +550,15 @@ def embedding_near_dup_pairs(
         # it up front keeps the division ANSI-safe on both engines
         F.col("norm") > 0
     )
-    a = withnorm.alias("a")
-    b = withnorm.alias("b")
+    salt = max(1, int(salt_partitions))
+    a_side = withnorm.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt))
+    )
+    b_side = withnorm.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("bigint"))
+    a = a_side.alias("a")
+    b = b_side.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
         F.lit(0.0),
@@ -543,6 +568,7 @@ def embedding_near_dup_pairs(
         a.join(
             b,
             (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col("a._salt") == F.col("b._salt"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
