@@ -405,91 +405,61 @@ class _JpegBitWriter:
         return bytes(self._out)
 
 
-class _JpegBitReader:
-    """MSB-first bit reader over entropy-coded data: un-stuffs 0xFF00,
-    byte-aligns at restart markers, and PADS with 1-bits at any other
-    marker (the libjpeg convention) instead of consuming it — padding
-    lets the 16-bit LUT peek work right up to the scan boundary while
-    ``pos`` stays exactly at the marker for resync."""
+def _clean_scan(data: bytes, pos: int):
+    """Un-stuff the entropy-coded segment starting at ``pos`` in ONE
+    C-speed ``bytes.find`` pass (instead of per-byte Python in a bit
+    feeder — the decoder's hottest path): 0xFF00 stuffing collapses to
+    0xFF, RSTn markers are stripped with their cleaned-stream offsets
+    recorded, and any other marker terminates the scan.
 
-    __slots__ = ("_d", "_pos", "_acc", "_nbits")
-
-    def __init__(self, data: bytes, pos: int) -> None:
-        self._d = data
-        self._pos = pos
-        self._acc = 0
-        self._nbits = 0
-
-    def _fill8(self) -> None:
-        d = self._d
-        p = self._pos
-        if p < len(d):
-            b = d[p]
-            if b == 0xFF:
-                nxt = d[p + 1] if p + 1 < len(d) else 0xD9
-                if nxt == 0x00:  # stuffed data byte
-                    self._pos = p + 2
-                    self._acc = (self._acc << 8) | 0xFF
-                    self._nbits += 8
-                    return
-                # at a marker: pad, do not consume
-                self._acc = (self._acc << 8) | 0xFF
-                self._nbits += 8
-                return
-            self._pos = p + 1
-            self._acc = (self._acc << 8) | b
-            self._nbits += 8
-            return
-        self._acc = (self._acc << 8) | 0xFF
-        self._nbits += 8
-
-    def peek16(self) -> int:
-        while self._nbits < 16:
-            self._fill8()
-        return (self._acc >> (self._nbits - 16)) & 0xFFFF
-
-    def skip(self, n: int) -> None:
-        self._nbits -= n
-        self._acc &= (1 << self._nbits) - 1
-
-    def read_bit(self) -> int:
-        if self._nbits < 1:
-            self._fill8()
-        self._nbits -= 1
-        return (self._acc >> self._nbits) & 1
-
-    def read_bits(self, n: int) -> int:
-        if n == 0:
-            return 0
-        while self._nbits < n:
-            self._fill8()
-        self._nbits -= n
-        v = (self._acc >> self._nbits) & ((1 << n) - 1)
-        self._acc &= (1 << self._nbits) - 1
-        return v
-
-    def sync_restart(self, expect: int) -> None:
-        """Discard pad bits, consume the expected RSTn marker."""
-        self._acc = 0
-        self._nbits = 0
-        if self._d[self._pos] != 0xFF or self._d[self._pos + 1] != expect:
-            raise ValueError(
-                f"expected restart marker 0xFF{expect:02X} at {self._pos}, "
-                f"got {self._d[self._pos]:02X}{self._d[self._pos + 1]:02X}"
-            )
-        self._pos += 2
-
-    @property
-    def pos(self) -> int:
-        return self._pos
+    Returns ``(buf, rsts, end)``: ``buf`` the cleaned entropy bytes,
+    ``rsts`` a list of ``(clean_offset, marker_byte)`` in stream
+    order, ``end`` the offset in ``data`` of the terminating marker's
+    0xFF (``len(data)`` if the stream just ends). The scan loops pad
+    ``buf`` with 0xFF bytes so reads past the end see 1-bits — the
+    same libjpeg pad-at-marker convention the old incremental reader
+    implemented."""
+    out = bytearray()
+    rsts = []
+    n = len(data)
+    find = data.find
+    while True:
+        f = find(b"\xff", pos)
+        if f < 0:
+            out += data[pos:]
+            return bytes(out), rsts, n
+        nxt = data[f + 1] if f + 1 < n else 0xD9
+        if nxt == 0x00:  # stuffed data byte: keep the 0xFF
+            out += data[pos : f + 1]
+            pos = f + 2
+        elif 0xD0 <= nxt <= 0xD7:  # restart marker: strip + record
+            out += data[pos:f]
+            rsts.append((len(out), nxt))
+            pos = f + 2
+        else:  # real marker: end of scan
+            out += data[pos:f]
+            return bytes(out), rsts, f
 
 
-def _decode_huffman_symbol(reader: _JpegBitReader, lut: list) -> int:
-    ent = lut[reader.peek16()]
-    if ent is None:
-        raise ValueError("invalid Huffman code (no symbol within 16 bits)")
-    reader.skip(ent & 0x1F)
-    return ent >> 5
+# EXTEND (10918-1 F.2.2.1) as table lookups so the scan loops can
+# inline it: extend(bits, s) = bits - _EXT_BIAS[s] if bits < _EXT_HALF[s]
+# else bits. _EXT_HALF[0] = 1 makes s == 0 yield 0 without branching.
+_EXT_HALF = tuple(1 << (s - 1) if s else 1 for s in range(17))
+_EXT_BIAS = tuple((1 << s) - 1 for s in range(17))
+
+
+def _sync_restart_clean(p: int, rsts, rst_i: int, expect: int) -> int:
+    """Byte-align the bit cursor and check the next recorded restart
+    marker sits exactly there and is the expected RSTn. Returns the
+    aligned cursor; raises like the old reader on a malformed stream."""
+    p = (p + 7) & ~7
+    if rst_i >= len(rsts) or rsts[rst_i] != (p >> 3, expect):
+        got = rsts[rst_i] if rst_i < len(rsts) else None
+        raise ValueError(
+            f"expected restart marker 0xFF{expect:02X} at clean offset "
+            f"{p >> 3}, got {got}"
+        )
+    return p
 
 
 def _extend(bits: int, size: int) -> int:
@@ -600,6 +570,19 @@ def encode_jpeg_baseline(
 
 
 _HUFF_LUT_CACHE: dict = {}
+_HUFF_SEG_CACHE: dict = {}
+
+
+def _huffman_decode_table_seg(seg: bytes) -> list:
+    """LUT for a raw DHT table body (16 BITS bytes + HUFFVAL bytes),
+    cached on the bytes themselves — a corpus encoded with one table
+    set (the universal case) skips even the BITS/HUFFVAL list and
+    tuple-key construction after the first file."""
+    lut = _HUFF_SEG_CACHE.get(seg)
+    if lut is None:
+        lut = _huffman_decode_table(list(seg[:16]), list(seg[16:]))
+        _HUFF_SEG_CACHE[seg] = lut
+    return lut
 
 
 def _huffman_decode_table(bits, vals) -> list:
@@ -755,10 +738,10 @@ def decode_jpeg_baseline(data: bytes, want_pixels: bool = True) -> dict:
             off = 0
             while off < len(body):
                 cls, tid = body[off] >> 4, body[off] & 0x0F
-                bits = list(body[off + 1 : off + 17])
-                n = sum(bits)
-                vals = list(body[off + 17 : off + 17 + n])
-                htables[(cls, tid)] = _huffman_decode_table(bits, vals)
+                n = sum(body[off + 1 : off + 17])
+                htables[(cls, tid)] = _huffman_decode_table_seg(
+                    body[off + 1 : off + 17 + n]
+                )
                 off += 17 + n
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
@@ -817,56 +800,123 @@ def decode_jpeg_baseline(data: bytes, want_pixels: bool = True) -> dict:
     vmax = max(c["v"] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    reader = _JpegBitReader(data, scan_start)
+    buf, rsts, _scan_end = _clean_scan(data, scan_start)
+    cap = len(buf)
+    buf += b"\xff\xff\xff\xff"  # 1-bit padding past any marker/EOF
+    frombytes = int.from_bytes
+    p = 0  # bit cursor into buf
+    rst_i = 0
     preds = [0] * len(comps)
     blocks_zz = [[] for _ in comps]
     rst = 0
+    # per-component loop invariants hoisted out of the MCU walk
+    comp_sel = []
+    for ci, comp in enumerate(comps):
+        sel = scan[comp["cid"]]
+        comp_sel.append(
+            (
+                htables[(0, sel["dc"])],
+                htables[(1, sel["ac"])],
+                qtables[comp["tq"]],
+                comp["h"] * comp["v"],
+                blocks_zz[ci].append,
+            )
+        )
     for m in range(mcux * mcuy):
         if restart_interval and m and m % restart_interval == 0:
-            reader.sync_restart(0xD0 + rst)
+            p = _sync_restart_clean(p, rsts, rst_i, 0xD0 + rst)
+            rst_i += 1
             rst = (rst + 1) % 8
             preds = [0] * len(comps)
-        for ci, comp in enumerate(comps):
-            sel = scan[comp["cid"]]
-            dc_tab = htables[(0, sel["dc"])]
-            ac_tab = htables[(1, sel["ac"])]
-            qt = qtables[comp["tq"]]
-            for _ in range(comp["h"] * comp["v"]):
+        for ci in range(len(comps)):
+            dc_tab, ac_tab, qt, nblk, blk_append = comp_sel[ci]
+            for _ in range(nblk):
                 blk = [0] * 64
-                size = _decode_huffman_symbol(reader, dc_tab)
-                diff = _extend(reader.read_bits(size), size) if size else 0
-                preds[ci] += diff
+                i = p >> 3
+                if i > cap:
+                    i = cap
+                ent = dc_tab[
+                    (frombytes(buf[i : i + 4], "big") >> (16 - (p & 7)))
+                    & 0xFFFF
+                ]
+                if ent is None:
+                    raise ValueError(
+                        "invalid Huffman code (no symbol within 16 bits)"
+                    )
+                p += ent & 31
+                size = ent >> 5
+                if size:
+                    i = p >> 3
+                    if i > cap:
+                        i = cap
+                    bits = (
+                        frombytes(buf[i : i + 4], "big")
+                        >> (32 - size - (p & 7))
+                    ) & _EXT_BIAS[size]
+                    p += size
+                    preds[ci] += (
+                        bits - _EXT_BIAS[size]
+                        if bits < _EXT_HALF[size]
+                        else bits
+                    )
                 blk[0] = preds[ci] * qt[0]
                 k = 1
                 while k < 64:
-                    sym = _decode_huffman_symbol(reader, ac_tab)
+                    i = p >> 3
+                    if i > cap:
+                        i = cap
+                    ent = ac_tab[
+                        (frombytes(buf[i : i + 4], "big") >> (16 - (p & 7)))
+                        & 0xFFFF
+                    ]
+                    if ent is None:
+                        raise ValueError(
+                            "invalid Huffman code (no symbol within 16 bits)"
+                        )
+                    p += ent & 31
+                    sym = ent >> 5
                     if sym == 0x00:
                         break
                     if sym == 0xF0:
                         k += 16
                         continue
-                    run, size = sym >> 4, sym & 0x0F
-                    k += run
+                    k += sym >> 4
+                    size = sym & 0x0F
                     if k > 63:
                         raise ValueError("AC run overflows block")
-                    blk[k] = _extend(reader.read_bits(size), size) * qt[k]
+                    i = p >> 3
+                    if i > cap:
+                        i = cap
+                    bits = (
+                        frombytes(buf[i : i + 4], "big")
+                        >> (32 - size - (p & 7))
+                    ) & _EXT_BIAS[size]
+                    p += size
+                    blk[k] = (
+                        bits - _EXT_BIAS[size]
+                        if bits < _EXT_HALF[size]
+                        else bits
+                    ) * qt[k]
                     k += 1
-                blocks_zz[ci].append(blk)
+                blk_append(blk)
 
+    # dezigzag all blocks of a component in one vectorized gather
+    # (identical integer placement, bulk instead of 64 Python ops per
+    # block); nat_arrs is reused by the pixel path below.
+    zz_index = list(JPEG_ZIGZAG)
     components = []
+    nat_arrs = []
     for ci, comp in enumerate(comps):
-        nat_blocks = []
-        for blk in blocks_zz[ci]:
-            nat = [0] * 64
-            for zz, v in enumerate(blk):
-                nat[JPEG_ZIGZAG[zz]] = v
-            nat_blocks.append(nat)
+        arrz = np.array(blocks_zz[ci], dtype=np.int64).reshape(-1, 64)
+        nat = np.empty_like(arrz)
+        nat[:, zz_index] = arrz
+        nat_arrs.append(nat)
         components.append(
             {
                 "cid": comp["cid"],
                 "h": comp["h"],
                 "v": comp["v"],
-                "blocks": nat_blocks,
+                "blocks": nat.tolist(),
             }
         )
 
@@ -875,24 +925,20 @@ def decode_jpeg_baseline(data: bytes, want_pixels: bool = True) -> dict:
         m = _idct_matrix()
         planes = []
         for ci, comp in enumerate(comps):
-            bw, bh = mcux * comp["h"], mcuy * comp["v"]
-            arr = np.array(components[ci]["blocks"], dtype=np.float64)
-            arr = arr.reshape(-1, 8, 8)
+            arr = nat_arrs[ci].astype(np.float64).reshape(-1, 8, 8)
             out = np.einsum("ux,buv,vy->bxy", m, arr, m) + 128.0
             out = np.clip(np.round(out), 0, 255)
-            plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
-            # scan order: MCU raster, then Vi x Hi within the MCU
-            bi = 0
-            for my in range(mcuy):
-                for mx in range(mcux):
-                    for v in range(comp["v"]):
-                        for hh in range(comp["h"]):
-                            py = (my * comp["v"] + v) * 8
-                            px = (mx * comp["h"] + hh) * 8
-                            plane[py : py + 8, px : px + 8] = out[bi]
-                            bi += 1
+            # scan order is MCU raster, then Vi x Hi within the MCU —
+            # a reshape+transpose places every 8x8 tile (same float64
+            # values, bulk instead of a Python loop per block)
+            cv, chh = comp["v"], comp["h"]
+            plane = (
+                out.reshape(mcuy, mcux, cv, chh, 8, 8)
+                .transpose(0, 2, 4, 1, 3, 5)
+                .reshape(mcuy * cv * 8, mcux * chh * 8)
+            )
             # upsample to full resolution by sample replication
-            ry, rx = vmax // comp["v"], hmax // comp["h"]
+            ry, rx = vmax // cv, hmax // chh
             if ry > 1 or rx > 1:
                 plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
             planes.append(plane[:h, :w])
@@ -1377,10 +1423,10 @@ def decode_jpeg_progressive(
             off = 0
             while off < len(body):
                 cls, tid = body[off] >> 4, body[off] & 0x0F
-                bits = list(body[off + 1 : off + 17])
-                n = sum(bits)
-                vals = list(body[off + 17 : off + 17 + n])
-                htables[(cls, tid)] = _huffman_decode_table(bits, vals)
+                n = sum(body[off + 1 : off + 17])
+                htables[(cls, tid)] = _huffman_decode_table_seg(
+                    body[off + 1 : off + 17 + n]
+                )
                 off += 17 + n
         elif marker == 0xC0:
             raise ValueError(
@@ -1438,7 +1484,12 @@ def decode_jpeg_progressive(
                 # image is already complete and exact — stop consuming
                 # entropy data here; AC bytes are never parsed.
                 break
-            reader = _JpegBitReader(data, pos + 2 + seglen)
+            buf, rsts, scan_end = _clean_scan(data, pos + 2 + seglen)
+            cap = len(buf)
+            buf += b"\xff\xff\xff\xff"  # 1-bit padding past markers/EOF
+            frombytes = int.from_bytes
+            p = 0  # bit cursor into buf
+            rst_i = 0
             if ns > 1:  # interleaved scan: must be DC
                 if ss != 0 or se != 0:
                     raise ValueError(
@@ -1449,7 +1500,8 @@ def decode_jpeg_progressive(
                 rst = 0
                 for m in range(mcux * mcuy):
                     if restart_interval and m and m % restart_interval == 0:
-                        reader.sync_restart(0xD0 + rst)
+                        p = _sync_restart_clean(p, rsts, rst_i, 0xD0 + rst)
+                        rst_i += 1
                         rst = (rst + 1) % 8
                         preds = [0] * len(sel)
                     mx, my = m % mcux, m // mcux
@@ -1463,18 +1515,46 @@ def decode_jpeg_progressive(
                                 ]
                                 if ah == 0:
                                     dc_tab = htables[(0, dtid)]
-                                    size = _decode_huffman_symbol(
-                                        reader, dc_tab
-                                    )
-                                    diff = (
-                                        _extend(reader.read_bits(size), size)
-                                        if size
-                                        else 0
-                                    )
-                                    preds[si] += diff
+                                    i = p >> 3
+                                    if i > cap:
+                                        i = cap
+                                    ent = dc_tab[
+                                        (
+                                            frombytes(buf[i : i + 4], "big")
+                                            >> (16 - (p & 7))
+                                        )
+                                        & 0xFFFF
+                                    ]
+                                    if ent is None:
+                                        raise ValueError(
+                                            "invalid Huffman code (no "
+                                            "symbol within 16 bits)"
+                                        )
+                                    p += ent & 31
+                                    size = ent >> 5
+                                    if size:
+                                        i = p >> 3
+                                        if i > cap:
+                                            i = cap
+                                        bits = (
+                                            frombytes(buf[i : i + 4], "big")
+                                            >> (32 - size - (p & 7))
+                                        ) & _EXT_BIAS[size]
+                                        p += size
+                                        preds[si] += (
+                                            bits - _EXT_BIAS[size]
+                                            if bits < _EXT_HALF[size]
+                                            else bits
+                                        )
                                     blk[0] = preds[si] << al
                                 else:
-                                    blk[0] |= reader.read_bit() << al
+                                    i = p >> 3
+                                    if i > cap:
+                                        i = cap
+                                    blk[0] |= (
+                                        (buf[i] >> (7 - (p & 7))) & 1
+                                    ) << al
+                                    p += 1
             else:
                 ci, dtid, atid = sel[0]
                 g = geo[ci]
@@ -1490,54 +1570,112 @@ def decode_jpeg_progressive(
                         dc_tab = htables[(0, dtid)]
                         pred = 0
                         rst = 0
+                        cblocks = coefs[ci]
                         for b, idx in enumerate(real_idx):
                             if (
                                 restart_interval
                                 and b
                                 and b % restart_interval == 0
                             ):
-                                reader.sync_restart(0xD0 + rst)
+                                p = _sync_restart_clean(
+                                    p, rsts, rst_i, 0xD0 + rst
+                                )
+                                rst_i += 1
                                 rst = (rst + 1) % 8
                                 pred = 0
-                            size = _decode_huffman_symbol(reader, dc_tab)
-                            diff = (
-                                _extend(reader.read_bits(size), size)
-                                if size
-                                else 0
-                            )
-                            pred += diff
-                            coefs[ci][idx][0] = pred << al
+                            i = p >> 3
+                            if i > cap:
+                                i = cap
+                            ent = dc_tab[
+                                (
+                                    frombytes(buf[i : i + 4], "big")
+                                    >> (16 - (p & 7))
+                                )
+                                & 0xFFFF
+                            ]
+                            if ent is None:
+                                raise ValueError(
+                                    "invalid Huffman code (no symbol "
+                                    "within 16 bits)"
+                                )
+                            p += ent & 31
+                            size = ent >> 5
+                            if size:
+                                i = p >> 3
+                                if i > cap:
+                                    i = cap
+                                bits = (
+                                    frombytes(buf[i : i + 4], "big")
+                                    >> (32 - size - (p & 7))
+                                ) & _EXT_BIAS[size]
+                                p += size
+                                pred += (
+                                    bits - _EXT_BIAS[size]
+                                    if bits < _EXT_HALF[size]
+                                    else bits
+                                )
+                            cblocks[idx][0] = pred << al
                     else:
                         rst = 0
+                        cblocks = coefs[ci]
                         for b, idx in enumerate(real_idx):
                             if (
                                 restart_interval
                                 and b
                                 and b % restart_interval == 0
                             ):
-                                reader.sync_restart(0xD0 + rst)
+                                p = _sync_restart_clean(
+                                    p, rsts, rst_i, 0xD0 + rst
+                                )
+                                rst_i += 1
                                 rst = (rst + 1) % 8
-                            coefs[ci][idx][0] |= reader.read_bit() << al
+                            i = p >> 3
+                            if i > cap:
+                                i = cap
+                            cblocks[idx][0] |= (
+                                (buf[i] >> (7 - (p & 7))) & 1
+                            ) << al
+                            p += 1
                 elif ah == 0:  # AC first scan
                     ac_tab = htables[(1, atid)]
                     eobrun = 0
                     rst = 0
+                    cblocks = coefs[ci]
                     for b, idx in enumerate(real_idx):
                         if (
                             restart_interval
                             and b
                             and b % restart_interval == 0
                         ):
-                            reader.sync_restart(0xD0 + rst)
+                            p = _sync_restart_clean(
+                                p, rsts, rst_i, 0xD0 + rst
+                            )
+                            rst_i += 1
                             rst = (rst + 1) % 8
                             eobrun = 0
                         if eobrun > 0:
                             eobrun -= 1
                             continue
-                        blk = coefs[ci][idx]
+                        blk = cblocks[idx]
                         k = ss
                         while k <= se:
-                            sym = _decode_huffman_symbol(reader, ac_tab)
+                            i = p >> 3
+                            if i > cap:
+                                i = cap
+                            ent = ac_tab[
+                                (
+                                    frombytes(buf[i : i + 4], "big")
+                                    >> (16 - (p & 7))
+                                )
+                                & 0xFFFF
+                            ]
+                            if ent is None:
+                                raise ValueError(
+                                    "invalid Huffman code (no symbol "
+                                    "within 16 bits)"
+                                )
+                            p += ent & 31
+                            sym = ent >> 5
                             r, s = sym >> 4, sym & 0x0F
                             if s == 0:
                                 if r == 15:
@@ -1545,33 +1683,71 @@ def decode_jpeg_progressive(
                                     continue
                                 eobrun = (1 << r) - 1
                                 if r:
-                                    eobrun += reader.read_bits(r)
+                                    i = p >> 3
+                                    if i > cap:
+                                        i = cap
+                                    eobrun += (
+                                        frombytes(buf[i : i + 4], "big")
+                                        >> (32 - r - (p & 7))
+                                    ) & _EXT_BIAS[r]
+                                    p += r
                                 break
                             k += r
                             if k > se:
                                 raise ValueError("AC run overflows band")
-                            v = _extend(reader.read_bits(s), s)
-                            blk[k] = v << al
+                            i = p >> 3
+                            if i > cap:
+                                i = cap
+                            bits = (
+                                frombytes(buf[i : i + 4], "big")
+                                >> (32 - s - (p & 7))
+                            ) & _EXT_BIAS[s]
+                            p += s
+                            blk[k] = (
+                                bits - _EXT_BIAS[s]
+                                if bits < _EXT_HALF[s]
+                                else bits
+                            ) << al
                             k += 1
                 else:  # AC refinement scan
                     ac_tab = htables[(1, atid)]
                     p1, m1 = 1 << al, -1 << al
                     eobrun = 0
                     rst = 0
+                    cblocks = coefs[ci]
                     for b, idx in enumerate(real_idx):
                         if (
                             restart_interval
                             and b
                             and b % restart_interval == 0
                         ):
-                            reader.sync_restart(0xD0 + rst)
+                            p = _sync_restart_clean(
+                                p, rsts, rst_i, 0xD0 + rst
+                            )
+                            rst_i += 1
                             rst = (rst + 1) % 8
                             eobrun = 0
-                        blk = coefs[ci][idx]
+                        blk = cblocks[idx]
                         k = ss
                         if eobrun == 0:
                             while k <= se:
-                                sym = _decode_huffman_symbol(reader, ac_tab)
+                                i = p >> 3
+                                if i > cap:
+                                    i = cap
+                                ent = ac_tab[
+                                    (
+                                        frombytes(buf[i : i + 4], "big")
+                                        >> (16 - (p & 7))
+                                    )
+                                    & 0xFFFF
+                                ]
+                                if ent is None:
+                                    raise ValueError(
+                                        "invalid Huffman code (no symbol "
+                                        "within 16 bits)"
+                                    )
+                                p += ent & 31
+                                sym = ent >> 5
                                 r, s = sym >> 4, sym & 0x0F
                                 newval = 0
                                 if s == 0:
@@ -1581,19 +1757,39 @@ def decode_jpeg_progressive(
                                         # still refines it
                                         eobrun = 1 << r
                                         if r:
-                                            eobrun += reader.read_bits(r)
+                                            i = p >> 3
+                                            if i > cap:
+                                                i = cap
+                                            eobrun += (
+                                                frombytes(
+                                                    buf[i : i + 4], "big"
+                                                )
+                                                >> (32 - r - (p & 7))
+                                            ) & _EXT_BIAS[r]
+                                            p += r
                                         break
                                 else:
                                     if s != 1:
                                         raise ValueError(
                                             "refinement symbol with s != 1"
                                         )
+                                    i = p >> 3
+                                    if i > cap:
+                                        i = cap
                                     newval = (
-                                        p1 if reader.read_bit() else m1
+                                        p1
+                                        if (buf[i] >> (7 - (p & 7))) & 1
+                                        else m1
                                     )
+                                    p += 1
                                 while k <= se:
                                     if blk[k] != 0:
-                                        if reader.read_bit():
+                                        i = p >> 3
+                                        if i > cap:
+                                            i = cap
+                                        bit = (buf[i] >> (7 - (p & 7))) & 1
+                                        p += 1
+                                        if bit:
                                             if (abs(blk[k]) & p1) == 0:
                                                 blk[k] += (
                                                     p1 if blk[k] > 0 else m1
@@ -1609,19 +1805,20 @@ def decode_jpeg_progressive(
                         if eobrun > 0:
                             while k <= se:
                                 if blk[k] != 0:
-                                    if reader.read_bit():
+                                    i = p >> 3
+                                    if i > cap:
+                                        i = cap
+                                    bit = (buf[i] >> (7 - (p & 7))) & 1
+                                    p += 1
+                                    if bit:
                                         if (abs(blk[k]) & p1) == 0:
                                             blk[k] += (
                                                 p1 if blk[k] > 0 else m1
                                             )
                                 k += 1
                             eobrun -= 1
-            # resync: pad bits then the next marker
-            pos = reader.pos
-            while pos + 1 < len(data) and (
-                data[pos] != 0xFF or data[pos + 1] == 0x00
-            ):
-                pos += 1
+            # resync: _clean_scan already located the next real marker
+            pos = scan_end
             continue
         pos += 2 + seglen
     if frame is None or coefs is None:
@@ -1629,24 +1826,30 @@ def decode_jpeg_progressive(
 
     w, h = frame["width"], frame["height"]
     comps = frame["comps"]
+    zz_index = list(JPEG_ZIGZAG)
     components = []
+    nat_arrs = []
     for ci, comp in enumerate(comps):
         g = geo[ci]
-        qt = qtables[comp["tq"]]
-        nat_blocks = []
-        for r in range(g["bhr"]):
-            for cc in range(g["bwr"]):
-                blk = coefs[ci][r * g["bwi"] + cc]
-                nat = [0] * 64
-                for zz, v in enumerate(blk):
-                    nat[JPEG_ZIGZAG[zz]] = v * qt[zz]
-                nat_blocks.append(nat)
+        qt = np.array(qtables[comp["tq"]], dtype=np.int64)
+        # strip the interleaved grid's dummy blocks (keep the real
+        # bwr x bhr raster), dequantize and dezigzag in bulk — the
+        # same integer placement the old per-block loop did
+        full = np.array(coefs[ci], dtype=np.int64).reshape(-1, 64)
+        real = (
+            full.reshape(g["bhi"], g["bwi"], 64)[: g["bhr"], : g["bwr"]]
+            .reshape(-1, 64)
+        )
+        deq = real * qt
+        nat = np.empty_like(deq)
+        nat[:, zz_index] = deq
+        nat_arrs.append(nat)
         components.append(
             {
                 "cid": comp["cid"],
                 "h": comp["h"],
                 "v": comp["v"],
-                "blocks": nat_blocks,
+                "blocks": nat.tolist(),
             }
         )
 
@@ -1658,18 +1861,16 @@ def decode_jpeg_progressive(
         planes = []
         for ci, comp in enumerate(comps):
             g = geo[ci]
-            arr = np.array(components[ci]["blocks"], dtype=np.float64)
-            arr = arr.reshape(-1, 8, 8)
+            arr = nat_arrs[ci].astype(np.float64).reshape(-1, 8, 8)
             out = np.einsum("ux,buv,vy->bxy", m, arr, m) + 128.0
             out = np.clip(np.round(out), 0, 255)
-            plane = np.zeros((g["bhr"] * 8, g["bwr"] * 8), dtype=np.float64)
-            bi = 0
-            for r in range(g["bhr"]):
-                for cc in range(g["bwr"]):
-                    plane[
-                        r * 8 : r * 8 + 8, cc * 8 : cc * 8 + 8
-                    ] = out[bi]
-                    bi += 1
+            # real-grid raster: reshape+transpose tiles the plane with
+            # the same float64 values the per-block loop assigned
+            plane = (
+                out.reshape(g["bhr"], g["bwr"], 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(g["bhr"] * 8, g["bwr"] * 8)
+            )
             ry, rx = vmax // comp["v"], hmax // comp["h"]
             if ry > 1 or rx > 1:
                 plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)

@@ -98,6 +98,25 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+def _spread_doc_ids(documents: DataFrame) -> DataFrame:
+    """doc_id proxy rows about to feed a compute-dense Python render
+    stage: spread them across the cluster FIRST. A small single-file
+    table arrives as ONE input split, and a chained
+    render->decode mapInPandas pipeline fuses into that one task, so
+    without this exchange the whole per-row codec CPU runs serially.
+    The exchange moves ~8 bytes/row (the id only — the payload is
+    created AFTER it), hash partitioning on the high-cardinality
+    doc_id is deterministic, and the explicit partition count is
+    exempt from AQE coalescing, which sizes partitions by BYTES and
+    cannot see per-row encode/decode cost. Sized to the cluster's
+    defaultParallelism, never a constant — the same idiom
+    synthesize_flac_media and synthesize_gif_animation_media
+    established."""
+    return documents.select("doc_id").repartition(
+        documents.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
+
+
 def synthesize_media(documents: DataFrame) -> DataFrame:
     """Deterministic media table from ``documents``: payload = utf-8
     text bytes (a stand-in blob), media_type cycles image/audio/video,
@@ -242,7 +261,7 @@ def synthesize_image_media(documents: DataFrame) -> DataFrame:
                     )
             yield pd.DataFrame(rows, columns=["media_id", "codec", "payload"])
 
-    return documents.select("doc_id").mapInPandas(
+    return _spread_doc_ids(documents).mapInPandas(
         render, schema=IMAGE_MEDIA_SCHEMA
     )
 
@@ -314,7 +333,7 @@ def synthesize_jpeg_quant_media(documents: DataFrame) -> DataFrame:
             ]
             yield pd.DataFrame(rows, columns=["media_id", "codec", "payload"])
 
-    return documents.select("doc_id").mapInPandas(
+    return _spread_doc_ids(documents).mapInPandas(
         render, schema=IMAGE_MEDIA_SCHEMA
     )
 
@@ -446,7 +465,7 @@ def synthesize_audio_media(documents: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    return documents.select("doc_id").mapInPandas(
+    return _spread_doc_ids(documents).mapInPandas(
         render, schema=AUDIO_MEDIA_SCHEMA
     )
 
@@ -532,7 +551,7 @@ def synthesize_video_media(documents: DataFrame) -> DataFrame:
                 rows.append({"media_id": d, "payload": encode_y4m(frames)})
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    return documents.select("doc_id").mapInPandas(
+    return _spread_doc_ids(documents).mapInPandas(
         render, schema=AUDIO_MEDIA_SCHEMA
     )
 
@@ -822,7 +841,7 @@ def synthesize_ahash_media(documents: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "codec", "payload"])
 
-    return documents.select("doc_id").mapInPandas(
+    return _spread_doc_ids(documents).mapInPandas(
         render, schema=IMAGE_MEDIA_SCHEMA
     )
 
@@ -916,7 +935,7 @@ def synthesize_afp_media(documents: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    return documents.select("doc_id").mapInPandas(
+    return _spread_doc_ids(documents).mapInPandas(
         render, schema=AUDIO_MEDIA_SCHEMA
     )
 
@@ -1152,7 +1171,7 @@ def synthesize_vfp_media(documents: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    return documents.select("doc_id").mapInPandas(
+    return _spread_doc_ids(documents).mapInPandas(
         render, schema=AUDIO_MEDIA_SCHEMA
     )
 
@@ -1253,7 +1272,7 @@ def synthesize_scene_video_media(documents: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    return documents.select("doc_id").mapInPandas(
+    return _spread_doc_ids(documents).mapInPandas(
         render, schema=AUDIO_MEDIA_SCHEMA
     )
 
@@ -1432,7 +1451,7 @@ def synthesize_vad_media(documents: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    return documents.select("doc_id").mapInPandas(
+    return _spread_doc_ids(documents).mapInPandas(
         render, schema=AUDIO_MEDIA_SCHEMA
     )
 
@@ -1594,7 +1613,7 @@ def synthesize_motion_media(documents: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    return documents.select("doc_id").mapInPandas(
+    return _spread_doc_ids(documents).mapInPandas(
         render, schema=AUDIO_MEDIA_SCHEMA
     )
 
@@ -1743,7 +1762,7 @@ def synthesize_jpeg_scan_media(documents: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "codec", "payload"])
 
-    return documents.select("doc_id").mapInPandas(
+    return _spread_doc_ids(documents).mapInPandas(
         render, schema=IMAGE_MEDIA_SCHEMA
     )
 
@@ -1825,7 +1844,7 @@ def synthesize_jpeg_flat_media(documents: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "codec", "payload"])
 
-    return documents.select("doc_id").mapInPandas(
+    return _spread_doc_ids(documents).mapInPandas(
         render, schema=IMAGE_MEDIA_SCHEMA
     )
 
@@ -1941,7 +1960,7 @@ def synthesize_jpeg_color_media(documents: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "codec", "payload"])
 
-    return documents.select("doc_id").mapInPandas(
+    return _spread_doc_ids(documents).mapInPandas(
         render, schema=IMAGE_MEDIA_SCHEMA
     )
 
@@ -2020,7 +2039,7 @@ def synthesize_jpeg_progressive_media(documents: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "codec", "payload"])
 
-    return documents.select("doc_id").mapInPandas(
+    return _spread_doc_ids(documents).mapInPandas(
         render, schema=IMAGE_MEDIA_SCHEMA
     )
 
@@ -2120,7 +2139,7 @@ def synthesize_jpeg_color_progressive_media(documents: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "codec", "payload"])
 
-    return documents.select("doc_id").mapInPandas(
+    return _spread_doc_ids(documents).mapInPandas(
         render, schema=IMAGE_MEDIA_SCHEMA
     )
 
@@ -2230,7 +2249,7 @@ def synthesize_jpeg_cmyk_media(documents: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "codec", "payload"])
 
-    return documents.select("doc_id").mapInPandas(
+    return _spread_doc_ids(documents).mapInPandas(
         render, schema=IMAGE_MEDIA_SCHEMA
     )
 
@@ -2301,7 +2320,7 @@ def synthesize_jpeg_ycck_flat_media(documents: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "codec", "payload"])
 
-    return documents.select("doc_id").mapInPandas(
+    return _spread_doc_ids(documents).mapInPandas(
         render, schema=IMAGE_MEDIA_SCHEMA
     )
 
@@ -2405,7 +2424,7 @@ def synthesize_gif_media(documents: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "codec", "payload"])
 
-    return documents.select("doc_id").mapInPandas(
+    return _spread_doc_ids(documents).mapInPandas(
         render, schema=IMAGE_MEDIA_SCHEMA
     )
 
@@ -2505,13 +2524,8 @@ def synthesize_gif_animation_media(documents: DataFrame) -> DataFrame:
 
     # explicit partition count for the same AQE-coalescing reason as
     # synthesize_flac_media: per-row LZW work, not bytes, is the load.
-    return (
-        documents.select("doc_id")
-        .repartition(
-            documents.sparkSession.sparkContext.defaultParallelism,
-            "doc_id",
-        )
-        .mapInPandas(render, schema=IMAGE_MEDIA_SCHEMA)
+    return _spread_doc_ids(documents).mapInPandas(
+        render, schema=IMAGE_MEDIA_SCHEMA
     )
 
 
@@ -2599,7 +2613,7 @@ def synthesize_g711_media(documents: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "codec", "payload"])
 
-    return documents.select("doc_id").mapInPandas(
+    return _spread_doc_ids(documents).mapInPandas(
         render, schema=IMAGE_MEDIA_SCHEMA
     )
 
@@ -2735,13 +2749,8 @@ def synthesize_flac_media(documents: DataFrame) -> DataFrame:
     # row fans out into a full Rice encode + decode downstream, so the
     # Python codec stages need the row-count spread, not byte spread
     # (same reasoning as similarity._prep_vectors).
-    return (
-        documents.select("doc_id")
-        .repartition(
-            documents.sparkSession.sparkContext.defaultParallelism,
-            "doc_id",
-        )
-        .mapInPandas(render, schema=IMAGE_MEDIA_SCHEMA)
+    return _spread_doc_ids(documents).mapInPandas(
+        render, schema=IMAGE_MEDIA_SCHEMA
     )
 
 
@@ -2856,7 +2865,7 @@ def synthesize_tiff_media(documents: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "codec", "payload"])
 
-    return documents.select("doc_id").mapInPandas(
+    return _spread_doc_ids(documents).mapInPandas(
         render, schema=IMAGE_MEDIA_SCHEMA
     )
 
@@ -2941,7 +2950,7 @@ def synthesize_adpcm_media(documents: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "codec", "payload"])
 
-    return documents.select("doc_id").mapInPandas(
+    return _spread_doc_ids(documents).mapInPandas(
         render, schema=IMAGE_MEDIA_SCHEMA
     )
 
@@ -3031,7 +3040,7 @@ def synthesize_archive_media(documents: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "codec", "payload"])
 
-    return documents.select("doc_id").mapInPandas(
+    return _spread_doc_ids(documents).mapInPandas(
         render, schema=IMAGE_MEDIA_SCHEMA
     )
 
@@ -3148,7 +3157,7 @@ def synthesize_warc_media(documents: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "codec", "payload"])
 
-    return documents.select("doc_id").mapInPandas(
+    return _spread_doc_ids(documents).mapInPandas(
         render, schema=IMAGE_MEDIA_SCHEMA
     )
 

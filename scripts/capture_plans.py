@@ -30,16 +30,36 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+    stale = []
     for name in names:
         df = registry.QUERIES[name](spark, sf)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
         path = os.path.join(outdir, f"{name}_{suffix}.txt")
+        # Guard against capturing in the wrong tree (the r12
+        # theil_sen incident): an "after" capture byte-identical to
+        # the committed before-file is almost certainly stale — the
+        # change the after-file is meant to document should move SOME
+        # byte of the plan. Refuse the write and fail the run.
+        if suffix != "before":
+            before = os.path.join(outdir, f"{name}_before.txt")
+            if os.path.exists(before):
+                with open(before) as f:
+                    if f.read() == buf.getvalue():
+                        stale.append(name)
+                        print(
+                            f"REFUSED {path}: byte-identical to "
+                            f"{before} — captured in the wrong tree?"
+                        )
+                        continue
         with open(path, "w") as f:
             f.write(buf.getvalue())
         print(f"wrote {path}")
     spark.stop()
+    if stale:
+        print(f"stale captures refused: {', '.join(stale)}")
+        return 1
     return 0
 
 
