@@ -32,6 +32,17 @@ def h60_sql(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
 
 
+def h60_py(s: str) -> int:
+    """Driver-side Python twin of :func:`h60` / :func:`h60_sql` — the
+    THIRD face of the same definition, for bounded-state driver
+    fixpoints (e.g. the interleaving team-draft coin) that must flip
+    the exact coins the SQL oracle derives. Keep all three in lockstep
+    (a parity test pins them to each other)."""
+    import hashlib as _hashlib
+
+    return int(_hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
 def normalize_text(col: Column | str) -> Column:
     """Canonical text form for dedup: lowercase, trimmed, whitespace
     collapsed. NULL text is treated as empty — a null-propagating

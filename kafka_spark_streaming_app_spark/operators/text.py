@@ -340,4 +340,9 @@ def jaro_winkler_col(left: Column, right: Column) -> Column:
             dtype="float64",
         )
 
-    return _jw(left, right)
+    # The score is deterministic, but callers FILTER on it: Catalyst
+    # pushes that filter below the projection and evaluates the UDF
+    # TWICE per row (two ArrowEvalPython nodes — guide §4.4's exact
+    # trap). Marking it non-deterministic forbids the duplication, so
+    # every pair pays the comparator once.
+    return _jw.asNondeterministic()(left, right)

@@ -2324,24 +2324,30 @@ def lsa_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def half_step(iterate: DataFrame, key_in: str, key_out: str, col: str):
-        """One A (or Aᵀ) multiply + max-normalize to the 1e6 grid."""
+        """One A (or Aᵀ) multiply + max-normalize to the 1e6 grid.
+
+        Perf (r13): the checkpoint barrier sits on the PRODUCT, not on
+        the normalized output — building the max's broadcast used to
+        run the join+agg once and the checkpointed normalize ran it
+        AGAIN (no cross-job exchange reuse between separate actions).
+        With prod materialized, the max is a cheap pass over its rows
+        and the normalize is a fused map the next join consumes
+        directly. Same expressions, same values, one heavy job per
+        half-step instead of two."""
         prod = (
             w.join(iterate, key_in)
             .groupBy(key_out)
             .agg(F.sum(F.col("wq") * F.col(col)).cast("bigint").alias("raw"))
+            .localCheckpoint(eager=False)
         )
         m = prod.agg(F.max(F.abs("raw")).alias("m"))
-        return (
-            prod.crossJoin(F.broadcast(m))
-            .select(
-                key_out,
-                F.floor(
-                    F.lit(1e6) * F.col("raw").cast("double") / F.col("m")
-                )
-                .cast("bigint")
-                .alias(col),
+        return prod.crossJoin(F.broadcast(m)).select(
+            key_out,
+            F.floor(
+                F.lit(1e6) * F.col("raw").cast("double") / F.col("m")
             )
-            .localCheckpoint(eager=False)
+            .cast("bigint")
+            .alias(col),
         )
 
     u = half_step(v, "token", "doc_id", "v").withColumnRenamed("v", "u")
@@ -2351,6 +2357,9 @@ def lsa_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.join(u.withColumnRenamed("u", "uu"), "doc_id")
         .groupBy("token")
         .agg(F.sum(F.col("wq") * F.col("uu")).cast("bigint").alias("v"))
+        # same prod-side barrier as half_step: m2 AND the final ranked
+        # select both consume v2 — materialize the multiply once
+        .localCheckpoint(eager=False)
     )
     m2 = v2.agg(F.max(F.abs("v")).alias("m"))
     ranked = (
@@ -2581,9 +2590,15 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             num: dict[str, int] = {s: 0 for s in ns}
             for s, t, n in vt_rows:
                 num[s] += n * (scale if t == "CONV" else v.get(t, 0))
+            # floor(double division) with the ENGINES' semantics: both
+            # Spark and DuckDB CAST the int64 numerator to double
+            # FIRST, then divide — so the numerator must round to
+            # double before dividing (int/int in Python divides the
+            # exact rationals instead, which diverges once
+            # num >= 2^53, i.e. ~9M transitions out of one state)
             v = {
-                s: _math.floor(num[s] / ns[s]) for s in ns
-            }  # floor(double division): the engines' exact semantics
+                s: _math.floor(float(num[s]) / float(ns[s])) for s in ns
+            }
         if var == "__none__":
             bvq = v.get("START", 0)
         else:

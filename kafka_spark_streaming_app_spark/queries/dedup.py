@@ -1539,7 +1539,15 @@ def jaro_winkler_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_brand", "p_size"
     )
-    a = part.alias("a")
+    # Distribute the probe side by the BLOCKING KEY before the
+    # broadcast join: a small single-file part scan is one input
+    # split, and without this exchange every blocked pair's
+    # Jaro-Winkler ran in that one task. Spreading blocks across the
+    # cluster is the standard record-linkage layout; the exchange
+    # moves the un-expanded part rows (tiny), never the pairs.
+    a = part.repartition(
+        spark.sparkContext.defaultParallelism, "p_brand", "p_size"
+    ).alias("a")
     b = part.alias("b")
     pairs = a.join(
         b,

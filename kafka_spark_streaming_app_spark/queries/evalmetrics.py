@@ -811,10 +811,12 @@ def ab_interleaving_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     each team and declares the per-query winner. This is the ONLINE
     ranker-comparison harness (sensitivity ~10-100x a separate A/B
     split) beside `ips_offline_eval`'s logged-bandit estimator and
-    `ranking_metrics_eval`'s offline metrics. Construction cost is
-    rounds × (anti-join + top-1 window) over candidate-depth rows per
-    query — candidate-bounded, independent of corpus size once the
-    two top-10 lists exist (one corpus scan each)."""
+    `ranking_metrics_eval`'s offline metrics. Construction cost: ONE
+    window pass computes both rank lists (distributed, one corpus
+    scan), then the team draft runs on the driver over the
+    candidate-bounded state (|queries| × 2 × depth rows — independent
+    of corpus size) with the md5 coin replicated exactly (r12); click
+    credit stays in Spark."""
     from ..functions.vectors import cosine as _cos, dot as _dot
     from ..operators.similarity import with_vector_norm
 
@@ -873,14 +875,13 @@ def ab_interleaving_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 row["corpus_id"]
             )
 
-    import hashlib as _hashlib
+    from ..functions.hashing import h60_py
 
     def _coin(q: int, r: int) -> int:
-        # pmod(h60('il|q|r'), 2): first 15 md5 hex chars as int
-        h = int(
-            _hashlib.md5(f"il|{q}|{r}".encode()).hexdigest()[:15], 16
-        )
-        return h % 2
+        # pmod(h60('il|q|r'), 2) — the shared h60 definition's Python
+        # face, so a change to h60/h60_sql cannot silently
+        # desynchronize the draft coins from the oracle's
+        return h60_py(f"il|{q}|{r}") % 2
 
     sel_rows: list = []  # (query_id, corpus_id, team)
     taken: dict = {}

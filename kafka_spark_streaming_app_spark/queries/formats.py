@@ -2584,6 +2584,12 @@ def _staged_order_waves(
         rel_dir = f"batch-{2 * w:05d}"
         os.makedirs(os.path.join(dest_root, rel_dir), exist_ok=True)
         out = []
+        if not os.path.isdir(src):
+            # degenerate input: no order hashed into this wave, so the
+            # partitioned write created no dir — commit an empty wave
+            # (matches the r11 per-wave filter+write behavior)
+            rels[w] = out
+            continue
         for f in sorted(os.listdir(src)):
             if f.endswith(".parquet"):
                 rel = os.path.join(rel_dir, f)

@@ -34,6 +34,8 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import h60_sql
+from ..operators.skew import hist_running_totals as _hist_running_totals
+from ..operators.skew import input_is_large as _input_is_large
 from ..registry import query
 from ..sources.batch import load_table
 
@@ -897,11 +899,14 @@ def ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ca").cast("bigint").alias("na"),
         F.sum("cb").cast("bigint").alias("nb"),
     )
-    w = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.select(
-        F.sum("ca").over(w).cast("bigint").alias("cca"),
-        F.sum("cb").over(w).cast("bigint").alias("ccb"),
-    )
+    # value cents are DATA-sized: pick the ECDF-scan shape from the
+    # input size (single-task window vs distributed prefix sum)
+    cum = _hist_running_totals(
+        hist,
+        "vc",
+        {"cca": "ca", "ccb": "cb"},
+        large=_input_is_large(sf_dir, "events"),
+    ).select("cca", "ccb")
     gap = F.abs(
         F.col("cca").cast("double") / F.col("na")
         - F.col("ccb").cast("double") / F.col("nb")
@@ -1785,15 +1790,14 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("grp_a").cast("bigint").alias("ca"),
         F.count(F.lit(1)).cast("bigint").alias("c"),
     )
-    w = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = hist.select(
+    # value cents are DATA-sized: size-conditional cumulative shape
+    ranked = _hist_running_totals(
+        hist,
         "vc",
-        "ca",
-        "c",
-        F.coalesce(F.sum("c").over(w), F.lit(0)).cast("bigint").alias(
-            "below"
-        ),
-    )
+        {"below": "c"},
+        include_current=False,
+        large=_input_is_large(sf_dir, "events"),
+    ).select("vc", "ca", "c", "below")
     sums = ranked.agg(
         F.sum("ca").cast("bigint").alias("na"),
         F.sum(F.col("c") - F.col("ca")).cast("bigint").alias("nb"),
@@ -2292,14 +2296,16 @@ def spearman_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (2 * F.sum("c").over(w_q) - F.col("c") + 1).alias("dmr_q"),
         )
     )
-    w_p = Window.orderBy("pc").rowsBetween(Window.unboundedPreceding, 0)
-    pr = (
-        t.groupBy("pc")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .select(
-            "pc",
-            (2 * F.sum("c").over(w_p) - F.col("c") + 1).alias("dmr_p"),
-        )
+    # price cents are DATA-sized (unlike the 50-value quantity
+    # domain): pick the cumulative shape from the input size
+    pr = _hist_running_totals(
+        t.groupBy("pc").agg(F.count(F.lit(1)).alias("c")),
+        "pc",
+        {"cum_c": "c"},
+        large=_input_is_large(sf_dir, "lineitem"),
+    ).select(
+        "pc",
+        (2 * F.col("cum_c") - F.col("c") + 1).alias("dmr_p"),
     )
     rr = (
         t.join(F.broadcast(qr), "qv")

@@ -1085,13 +1085,53 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     this query IS the exactness anchor for those."""
     from pyspark.sql import Window
 
-    o = load_table(spark, sf_dir, "orders")
-    ranked = o.select(
-        "o_totalprice",
-        F.ntile(10)
-        .over(Window.orderBy("o_totalprice", "o_orderkey"))
-        .alias("decile"),
+    from ..operators.skew import hist_running_totals, input_is_large
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderkey"
     )
+    if not input_is_large(sf_dir, "orders"):
+        # small input: the single global ntile window is cheapest
+        ranked = o.select(
+            "o_totalprice",
+            F.ntile(10)
+            .over(Window.orderBy("o_totalprice", "o_orderkey"))
+            .alias("decile"),
+        )
+    else:
+        # large input: derive each row's global rank from the
+        # two-level distributed prefix sum (total order via the
+        # orderkey tiebreak), then map rank -> ntile bucket with the
+        # SQL ntile formula (first n%10 buckets hold one extra row).
+        # No Exchange SinglePartition over fact-sized rows.
+        ranked = hist_running_totals(
+            o.withColumn("_one", F.lit(1)),
+            "o_totalprice",
+            {"rk": "_one"},
+            order_tiebreak=["o_orderkey"],
+            large=True,
+        )
+        # row count from a separate column-pruned agg (one tiny job)
+        # broadcast back — the pagerank n_nodes pattern
+        n_total = o.agg(F.count(F.lit(1)).cast("bigint").alias("n_tot"))
+        # pure-integer ntile formula (ceil(a/b) = (a+b-1) DIV b): the
+        # first n%10 buckets hold one extra row; exact at any n,
+        # no double division anywhere
+        ranked = (
+            ranked.crossJoin(F.broadcast(n_total))
+            .withColumn("_q", F.expr("n_tot DIV 10"))
+            .withColumn("_rem", F.expr("n_tot % 10"))
+            .withColumn("_bs", F.expr("(_q + 1) * _rem"))
+            .select(
+                "o_totalprice",
+                F.expr(
+                    "CAST(CASE WHEN rk <= _bs"
+                    " THEN (rk + _q) DIV (_q + 1)"
+                    " ELSE _rem + (rk - _bs + _q - 1) DIV _q"
+                    " END AS INT)"
+                ).alias("decile"),
+            )
+        )
     return ranked.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("o_totalprice").alias("lo"),

@@ -28,6 +28,11 @@ from ..session import apply_runtime_confs
 # A bench/driver session calls load_table hundreds of times over the
 # same immutable parquet inputs; one footer open per (table, version)
 # instead of one per call.
+# Assumption (documented, same as Spark's file-index cache): tables
+# are immutable-or-replaced. Rewriting a parquet FILE's bytes in
+# place without touching the path's mtime would serve stale schema
+# metadata — no engine path here does that (all writers create new
+# files), and bench/driver fixtures are read-only.
 _NANOS_COLS_CACHE: dict = {}
 
 

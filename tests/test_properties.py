@@ -4678,3 +4678,59 @@ def test_power_iteration_converges_on_spiked_corpus(spark, tmp_path):
     top = np.linalg.eigh(X.T @ X)[1][:, -1]
     cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
     assert cos > 0.999, cos
+
+
+def test_hist_running_totals_shapes_agree(spark, sf_smoke, monkeypatch):
+    """The size-conditional cumulative scan (spearman/mann_whitney/ks)
+    must produce IDENTICAL rows in both shapes: the single-task
+    ordered window (small inputs) and the two-level distributed
+    prefix sum (large inputs). Forcing the threshold to 0 flips all
+    three queries to the distributed shape; their single-row stats
+    must equal the default shape's bit-for-bit."""
+    from kafka_spark_streaming_app_spark import registry
+
+    registry.load_all()
+    names = [
+        "spearman_correlation",
+        "mann_whitney_u",
+        "ks_test_two_sample",
+        "equidepth_histogram",
+    ]
+    monkeypatch.delenv("SPARK_GRAFT_PREFIX_SUM_BYTES", raising=False)
+    small = {n: registry.QUERIES[n](spark, sf_smoke).collect() for n in names}
+    monkeypatch.setenv("SPARK_GRAFT_PREFIX_SUM_BYTES", "0")
+    large = {n: registry.QUERIES[n](spark, sf_smoke).collect() for n in names}
+    for n in names:
+        assert sorted(map(tuple, small[n])) == sorted(map(tuple, large[n])), n
+
+
+def test_h60_three_faces_agree(spark, sf_smoke):
+    """h60 (Spark), h60_sql (DuckDB) and h60_py (driver Python) must
+    compute the SAME 60-bit value — driver fixpoints (the
+    interleaving coin) flip coins the SQL oracle re-derives, so a
+    change to one face must break this pin, not silently diverge."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_app_spark.functions.hashing import (
+        h60,
+        h60_py,
+        h60_sql,
+    )
+
+    samples = [f"il|{q}|{r}" for q in range(5) for r in range(1, 4)]
+    samples += ["", "a", "unicode-ß-✓", "fold|123|7"]
+    got_spark = [
+        r.h
+        for r in spark.createDataFrame(
+            [(s,) for s in samples], "s string"
+        ).select(h60("s").alias("h")).collect()
+    ]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(f"SELECT {h60_sql('?')}", [s]).fetchone()[0]
+        for s in samples
+    ]
+    got_py = [h60_py(s) for s in samples]
+    assert got_spark == got_duck == got_py
