@@ -3304,9 +3304,17 @@ def synthesize_compressed_text_media(documents: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "codec", "payload"])
 
-    return documents.select("doc_id", "text").mapInPandas(
-        render, schema=IMAGE_MEDIA_SCHEMA
-    )
+    # Unlike the doc_id-proxy renders, this stage consumes the TEXT
+    # column, so an unconditional repartition would re-shuffle the
+    # whole corpus at scale (where a many-split scan already spreads
+    # it). Spread only when the scan arrives narrower than the
+    # cluster — the local single-split case where the compress+decode
+    # chain would otherwise run one-task.
+    src = documents.select("doc_id", "text")
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par, "doc_id")
+    return src.mapInPandas(render, schema=IMAGE_MEDIA_SCHEMA)
 
 
 def compressed_text_stats(media: DataFrame) -> DataFrame:

@@ -66,8 +66,17 @@ def _canon(v):
 def assert_matches_oracle(
     spark_df: DataFrame, sql: str, sf_dir: str, float_exact: bool = True
 ) -> None:
-    got = _normalize(spark_df.toPandas())
-    want = _normalize(run_oracle(sql, sf_dir))
+    # Run the DuckDB oracle CONCURRENTLY with the Spark collect: the
+    # two engines are independent processes/threads (duckdb releases
+    # the GIL; the Spark driver blocks on py4j), so each parity test
+    # costs max(spark, duckdb) instead of their sum — the suite runs
+    # 400+ of these.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        want_f = pool.submit(run_oracle, sql, sf_dir)
+        got = _normalize(spark_df.toPandas())
+        want = _normalize(want_f.result())
     assert list(got.columns) == list(want.columns), (
         f"column mismatch: spark={list(got.columns)} oracle={list(want.columns)}"
     )

@@ -515,8 +515,13 @@ def test_semantic_dedup_pairs_only_within_clusters(spark, sf_smoke):
 
 
 def test_multimodal_decode_is_single_python_stage(spark, sf_smoke):
-    """Real PNG decode: one mapInPandas over a pruned 2-column
-    projection, zero shuffle."""
+    """Real PNG decode: the render + decode mapInPandas stages stay
+    FUSED (no exchange between them — the payload never shuffles),
+    with exactly ONE exchange BELOW the first Python node: the r13
+    doc_id proxy spread that distributes the per-row codec CPU
+    across the cluster before any payload exists (a small
+    single-file scan is one input split, which used to run the whole
+    render+decode chain in one task)."""
     plan = plan_str(
         registry.QUERIES["multimodal_image_decode"](spark, sf_smoke)
     )
@@ -524,7 +529,19 @@ def test_multimodal_decode_is_single_python_stage(spark, sf_smoke):
     assert tree.count("MapInPandas") == 2, (
         "expected exactly the render + decode Arrow stages"
     )
-    assert "Exchange" not in plan, "decode stage should not shuffle"
+    n_exchange = plan.count("+- Exchange") + plan.count(":- Exchange")
+    assert n_exchange == 1, (
+        f"expected exactly the doc_id spread exchange, got {n_exchange}"
+    )
+    # the exchange must sit BELOW both Python stages: nothing between
+    # or above them may shuffle (payload rows never cross the wire)
+    first_map = tree.index("MapInPandas")
+    assert "Exchange" in tree[first_map:], (
+        "the doc_id spread exchange should feed the render stage"
+    )
+    assert "Exchange" not in tree[:first_map], (
+        "no shuffle may sit between/above the render+decode stages"
+    )
 
 
 def test_scd2_total_is_broadcast_not_global_window(spark, sf_smoke):
