@@ -105,6 +105,8 @@ def minhash_signatures(
       over a multiset equals min over its support, so deduplicating
       shingles first is pure cost.
     """
+    from .skew import spread_if_narrow
+
     if hash_family == "xxhash64":
         from ..functions.hashing import tokens
 
@@ -113,9 +115,11 @@ def minhash_signatures(
         positions = F.when(
             n_shingles >= 1, F.sequence(F.lit(1), n_shingles)
         ).otherwise(F.array().cast("array<int>"))
-        base = df.select(F.col(id_col), toks.alias("toks")).select(
-            id_col, "toks", F.explode(positions).alias("i")
-        )
+        # per-row tokenize+shingle+hash is compute-dense: spread a
+        # narrow scan first (no-op at scale)
+        base = spread_if_narrow(
+            df.select(F.col(id_col), toks.alias("toks")), id_col
+        ).select(id_col, "toks", F.explode(positions).alias("i"))
         window = [
             F.element_at("toks", F.col("i") + F.lit(k))
             for k in range(shingle_n)
@@ -128,7 +132,9 @@ def minhash_signatures(
             ),
         )
     elif hash_family == "md5":
-        exploded = df.select(
+        exploded = spread_if_narrow(
+            df.select(id_col, text_col), id_col
+        ).select(
             F.col(id_col),
             F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
         ).select(
@@ -238,8 +244,11 @@ def shingle_sets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
     """Exploded DISTINCT (id, shingle) pairs — the exact-Jaccard input."""
+    from .skew import spread_if_narrow
+
     return (
-        df.select(
+        spread_if_narrow(df.select(id_col, text_col), id_col)
+        .select(
             F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
         )
         .distinct()
@@ -258,15 +267,18 @@ def hashed_shingle_sets(
     as the signature path. Column name stays ``shingle`` so the
     set-arithmetic consumers are interchangeable."""
     from ..functions.hashing import tokens
+    from .skew import spread_if_narrow
 
     toks = tokens(text_col)
     n_shingles = F.size("toks") - F.lit(n - 1)
     positions = F.when(
         n_shingles >= 1, F.sequence(F.lit(1), n_shingles)
     ).otherwise(F.array().cast("array<int>"))
-    base = df.select(F.col(id_col), toks.alias("toks")).select(
-        id_col, "toks", F.explode(positions).alias("i")
-    )
+    # per-row tokenize+shingle is compute-dense: spread a narrow scan
+    # before the explode (no-op at scale — see skew.spread_if_narrow)
+    base = spread_if_narrow(
+        df.select(F.col(id_col), toks.alias("toks")), id_col
+    ).select(id_col, "toks", F.explode(positions).alias("i"))
     window = [F.element_at("toks", F.col("i") + F.lit(k)) for k in range(n)]
     return base.select(
         F.col(id_col), F.xxhash64(*window).alias("shingle")
@@ -415,8 +427,11 @@ def simhash_signatures(
     All JVM expressions — at scale this is a single shuffle on id.
     """
     from ..functions.hashing import tokens
+    from .skew import spread_if_narrow
 
-    tok = df.select(
+    # per-row tokenize + per-token md5 is compute-dense: spread a
+    # narrow scan first (no-op at scale)
+    tok = spread_if_narrow(df.select(id_col, text_col), id_col).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("token")
     ).withColumn("th", h60("token"))
     votes = tok.groupBy(id_col).agg(

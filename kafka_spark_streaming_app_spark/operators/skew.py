@@ -170,3 +170,19 @@ def hist_running_totals(
         *[f"_loc_{o}" for o in value_cols],
         *[f"_off_{o}" for o in value_cols],
     )
+
+
+def spread_if_narrow(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Repartition ``df`` to the cluster's defaultParallelism by
+    ``key_cols`` ONLY when it currently has fewer partitions — the
+    local small-single-file case where a scan arrives as one input
+    split and a compute-dense per-row stage (tokenize/shingle/codec)
+    would otherwise run single-task. At scale a many-split scan
+    already exceeds the cluster width and this is a no-op, so the
+    corpus is never re-shuffled just to satisfy a laptop-sized
+    fixture. (``rdd.getNumPartitions`` plans the query; it runs no
+    job.)"""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par, *key_cols)
+    return df
